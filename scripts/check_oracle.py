@@ -1,0 +1,72 @@
+#!/usr/bin/env python3
+"""Local emulation of the driver's correctness gate (dev tool only, not part
+of the engine): run Verify's parquet dumps against the DuckDB oracle SQL and
+compare column-sorted, row-sorted values per query."""
+import json, sys, math
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 9)
+    return v
+
+def norm(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
+    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
+    return [cols[i] for i in order], out
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    fails = []
+    for name, sql in sorted(oracle.items()):
+        try:
+            got = con.execute(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            gcols = [d[0] for d in got.description]
+            grows = got.fetchall()
+            exp = con.execute(sql)
+            ecols = [d[0] for d in exp.description]
+            erows = exp.fetchall()
+        except Exception as e:
+            fails.append(name)
+            print(f"FAIL {name}: error {e}")
+            continue
+        gc, gr = norm(grows, gcols)
+        ec, er = norm(erows, ecols)
+        if gc != ec:
+            fails.append(name)
+            print(f"FAIL {name}: columns spark={gc} oracle={ec}")
+        elif gr != er:
+            fails.append(name)
+            print(f"FAIL {name}: rows spark={len(gr)} oracle={len(er)}")
+            for i, (a, b) in enumerate(zip(gr, er)):
+                if a != b:
+                    print(f"  first diff at row {i}:\n   spark : {a}\n   oracle: {b}")
+                    break
+            else:
+                print(f"  (prefix equal; length differs)")
+        else:
+            print(f"ok   {name} ({len(gr)} rows)")
+    # rows-only queries (no oracle): check non-empty
+    import os
+    for name in sorted(os.listdir(out_dir)):
+        p = os.path.join(out_dir, name)
+        if os.path.isdir(p) and name not in oracle:
+            n = con.execute(f"SELECT count(*) FROM '{p}/*.parquet'").fetchone()[0]
+            status = "ok  " if n > 0 else "FAIL"
+            if n == 0:
+                fails.append(name)
+            print(f"{status} {name} (rows-only, {n} rows)")
+    print(f"\n{len(fails)} failures" + (f": {fails}" if fails else ""))
+    sys.exit(1 if fails else 0)
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])

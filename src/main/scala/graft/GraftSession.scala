@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the engine's required configs, so every entry point
+  * (Verify, Bench, tests, user code) agrees on semantics:
+  *
+  *  - UTC session timezone (oracle parity with DuckDB)
+  *  - AQE on (runtime re-plan: skew joins, partition coalescing — the 100 TB
+  *    posture; harmless at test scale)
+  *  - `nanosAsLong`: the `events` fixture stores TIMESTAMP(NANOS) which
+  *    Spark's parquet reader otherwise rejects; we read the raw long and
+  *    normalize in [[graft.ops.Tables.events]]
+  *  - shuffle partitions sized for the local harness (32 threads), NOT the
+  *    200 default; on a real cluster this is set per deployment (or left to
+  *    AQE's coalescing with a high initial value)
+  */
+object GraftSession {
+  def builder(master: String = "local[32]",
+              shufflePartitions: Int = 32): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+
+  def get(master: String = "local[32]", shufflePartitions: Int = 32): SparkSession = {
+    val spark = builder(master, shufflePartitions).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -1,13 +1,301 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.ops._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator from SURVEY.md §2 (plus the LLM-data-pipeline
+  * extensions) is exposed as a named query over the driver fixtures, with a
+  * DuckDB-equivalent oracle in [[oracleSql]] where the semantics are
+  * ANSI-SQL-expressible. Queries whose outputs depend on engine-internal
+  * hashes (MinHash/SimHash/LSH/winnowing) are declared without an oracle and
+  * get the driver's rows-only check; their exactly-verifiable counterparts
+  * (`q_dedup_ngram`, `q_ann_topk`, `q_fingerprint`) pin the semantics.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.q1Agg(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- relational / reference-core (SURVEY §2.1-2.2) ----
+    "q1_agg"           -> ((s, d) => Relational.q1Agg(s, d)),
+    "q3_join_topk"     -> ((s, d) => Relational.q3JoinTopk(s, d)),
+    "q5_multijoin"     -> ((s, d) => Relational.q5MultiJoin(s, d)),
+    "q_window_rank"    -> ((s, d) => Relational.windowRank(s, d)),
+    "q_window_running" -> ((s, d) => Relational.windowRunning(s, d)),
+    "q_rollup"         -> ((s, d) => Relational.rollupAgg(s, d)),
+    "q_distinct"       -> ((s, d) => Relational.distinctAgg(s, d)),
+    "q_topk"           -> ((s, d) => Relational.topK(s, d)),
+    "q_anti_join"      -> ((s, d) => Relational.antiJoin(s, d)),
+    "q_semi_join"      -> ((s, d) => Relational.semiJoin(s, d)),
+    "q_except_diff"    -> ((s, d) => Relational.exceptDiff(s, d)),
+    "q_scalar_funcs"   -> ((s, d) => Relational.scalarFuncs(s, d)),
+    "q_json"           -> ((s, d) => Relational.jsonExtract(s, d)),
+    "q_time_window"    -> ((s, d) => Relational.timeWindow(s, d)),
+    "q_check_counts"   -> ((s, d) => Relational.checkCounts(s, d)),
+    "q_project_coerce" -> ((s, d) => Relational.projectCoerce(s, d)),
+    "q_filter"         -> ((s, d) => Relational.filters(s, d)),
+    "q_dedup_lww"      -> ((s, d) => Relational.dedupLww(s, d)),
+    "q_cdc_apply"      -> ((s, d) => Relational.cdcApply(s, d)),
+    "q_asof_join"      -> ((s, d) => AsOf.purchaseToSignup(s, d)),
+    // ---- LLM-data-pipeline ops ----
+    "q_dedup_exact"    -> ((s, d) => Dedup.exact(s, d)),
+    "q_dedup_ngram"    -> ((s, d) => Dedup.ngramJaccard(s, d)),
+    "q_dedup_minhash"  -> ((s, d) => Dedup.minhashLsh(s, d)),
+    "q_simhash"        -> ((s, d) => Dedup.simhash(s, d)),
+    "q_simhash_pairs"  -> ((s, d) => Dedup.simhashPairs(s, d)),
+    "q_embed_dup"      -> ((s, d) => Dedup.embedDup(s, d)),
+    "q_ann_topk"       -> ((s, d) => Similarity.bruteForceTopK(s, d)),
+    "q_ann_lsh"        -> ((s, d) => Similarity.lshTopK(s, d)),
+    "q_lang_id"        -> ((s, d) => TextAnalysis.langId(s, d)),
+    "q_text_quality"   -> ((s, d) => TextAnalysis.quality(s, d)),
+    "q_token_count"    -> ((s, d) => TextAnalysis.tokenCount(s, d)),
+    "q_fingerprint"    -> ((s, d) => TextAnalysis.fingerprint(s, d)),
+    "q_winnow"         -> ((s, d) => TextAnalysis.winnow(s, d)),
+    "q_multimodal_meta" -> ((s, d) => Multimodal.metaQuery(s, d))
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for hash-dependent ops (rows-only
+    * check): q_dedup_minhash, q_simhash, q_simhash_pairs, q_ann_lsh,
+    * q_winnow. */
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | round(sum(l_extendedprice), 2) AS sum_base,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc,
+        | round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        | round(avg(l_quantity), 4) AS avg_qty,
+        | round(avg(l_discount), 4) AS avg_disc,
+        | count(*) AS cnt
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q3_join_topk" ->
+      """SELECT o_orderkey, o_orderdate,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        | JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY 1, 2 ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q5_multijoin" ->
+      """SELECT n_name,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_window_rank" ->
+      """SELECT o_custkey, o_orderkey AS top_order, round(o_totalprice, 2) AS top_price
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |        ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders)
+        |WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+
+    "q_window_running" ->
+      """SELECT user_id, event_id,
+        | round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value,
+        | lag(event_id, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_event
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT r_name, n_name, count(*) AS n_cust, round(sum(c_acctbal), 2) AS acctbal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+
+    "q_distinct" ->
+      """SELECT count(DISTINCT o_custkey) AS n_cust,
+        | count(DISTINCT o_orderpriority) AS n_prio,
+        | count(DISTINCT o_orderstatus) AS n_status FROM orders""".stripMargin,
+
+    "q_topk" ->
+      """SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS price
+        |FROM lineitem ORDER BY price DESC, l_orderkey, l_linenumber LIMIT 20""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT c_custkey FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_semi_join" ->
+      """SELECT c_nationkey, count(*) AS n FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "q_except_diff" ->
+      """SELECT o_orderkey AS k FROM orders WHERE o_totalprice > 150
+        |EXCEPT
+        |SELECT o_orderkey AS k FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY k""".stripMargin,
+
+    "q_scalar_funcs" ->
+      """SELECT p_partkey, upper(p_brand) AS brand_u, substring(p_name, 1, 5) AS name5,
+        | CAST(length(p_name) AS BIGINT) AS name_len,
+        | p_brand || '#' || p_type AS bt,
+        | abs(p_size - 25) AS size_dev,
+        | p_partkey % 7 AS k7,
+        | round(p_retailprice * 1.1, 2) AS price_up
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_json" ->
+      """SELECT CAST(props->>'$.k' AS BIGINT) % 10 AS k_bucket,
+        | count(*) AS n, round(sum(value), 2) AS total
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_time_window" ->
+      """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_start,
+        | event_type, count(*) AS n, round(sum(value), 2) AS total
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_check_counts" ->
+      Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings")
+        .map(t => s"SELECT '$t' AS tbl, count(*) AS cnt FROM $t")
+        .mkString("", " UNION ALL ", " ORDER BY tbl"),
+
+    "q_project_coerce" ->
+      """SELECT event_id AS id, user_id, event_type AS op_type,
+        | CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch,
+        | strftime(ts, '%Y-%m-%d') AS ts_date
+        |FROM events ORDER BY id""".stripMargin,
+
+    "q_filter" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+        |WHERE event_type IN ('click', 'purchase') AND value > 100
+        |ORDER BY event_id""".stripMargin,
+
+    "q_dedup_lww" ->
+      """SELECT user_id, event_id AS last_event, event_type AS last_type
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "q_cdc_apply" ->
+      """WITH tagged AS (
+        | SELECT *, CASE WHEN event_type = 'signup' THEN 'create'
+        |                WHEN event_type = 'error' THEN 'delete'
+        |                ELSE 'update' END AS op,
+        |   row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        | FROM events)
+        |SELECT user_id, op AS last_op, event_id, round(value, 2) AS value
+        |FROM tagged WHERE rn = 1 AND op <> 'delete' ORDER BY user_id""".stripMargin,
+
+    "q_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |s AS (SELECT event_id AS s_event_id, user_id AS s_user_id, ts AS s_ts
+        |      FROM events WHERE event_type = 'signup'),
+        |j AS (SELECT p.event_id, p.user_id, s.s_event_id, s.s_ts
+        |      FROM p LEFT JOIN s ON s.s_user_id = p.user_id AND s.s_ts <= p.ts),
+        |r AS (SELECT event_id, user_id, s_event_id,
+        |        row_number() OVER (PARTITION BY event_id
+        |          ORDER BY s_ts DESC NULLS LAST, s_event_id DESC NULLS LAST) AS rn
+        |      FROM j)
+        |SELECT event_id AS purchase_id, user_id, s_event_id AS signup_id
+        |FROM r WHERE rn = 1 ORDER BY purchase_id""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS h, min(doc_id) AS keeper, count(*) AS copies
+        |FROM documents GROUP BY 1 ORDER BY h""".stripMargin,
+
+    "q_dedup_ngram" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |s AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - 2),
+        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh FROM d),
+        |p AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM s),
+        |j AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb,
+        |        count(*) AS c
+        |      FROM p a JOIN p b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2, 3, 4)
+        |SELECT doc_a, doc_b, round(CAST(c AS DOUBLE) / (na + nb - c), 4) AS jaccard
+        |FROM j WHERE round(CAST(c AS DOUBLE) / (na + nb - c), 4) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_embed_dup" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, label, v,
+        |        sqrt(list_sum(list_transform(v, x -> x * x))) AS norm,
+        |        CAST(v[1] > 0 AS INT) * 8 + CAST(v[2] > 0 AS INT) * 4 +
+        |        CAST(v[3] > 0 AS INT) * 2 + CAST(v[4] > 0 AS INT) AS cell
+        |      FROM e)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        | round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 4) AS cosine
+        |FROM n a JOIN n b ON a.label = b.label AND a.cell = b.cell AND a.vec_id < b.vec_id
+        |WHERE round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 4) >= 0.3
+        |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "q_ann_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS norm FROM e),
+        |s AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        |        list_dot_product(q.v, c.v) / (q.norm * c.norm) AS cos
+        |      FROM n q JOIN n c ON c.vec_id <> q.vec_id WHERE q.vec_id < 10),
+        |r AS (SELECT q_id, n_id, cos,
+        |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+        |      FROM s)
+        |SELECT q_id, rank, n_id, round(cos, 4) AS cosine
+        |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    "q_lang_id" -> {
+      def occ(m: String) =
+        s"CAST((length(pt) - length(replace(pt, '$m', ''))) / ${m.length} AS BIGINT)"
+      """WITH d AS (SELECT doc_id, ' ' || text || ' ' AS pt FROM documents),
+        |sc AS (SELECT doc_id,
+        |  OCC_EN AS s_en, OCC_ES AS s_es, OCC_DE AS s_de, OCC_FR AS s_fr FROM d)
+        |SELECT doc_id, s_en, s_es, s_de, s_fr,
+        | CASE WHEN s_en >= greatest(s_es, s_de, s_fr) THEN 'en'
+        |      WHEN s_es >= greatest(s_de, s_fr) THEN 'es'
+        |      WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END AS predicted
+        |FROM sc ORDER BY doc_id""".stripMargin
+        .replace("OCC_EN", s"${occ(" the ")} + ${occ(" and ")}")
+        .replace("OCC_ES", s"${occ(" el ")} + ${occ(" la ")}")
+        .replace("OCC_DE", s"${occ(" der ")} + ${occ(" und ")}")
+        .replace("OCC_FR", s"${occ(" le ")} + ${occ(" et ")}")
+    },
+
+    "q_text_quality" ->
+      """WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+        |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        | round(CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(toks), 4) AS avg_tok_len,
+        | round(CAST((length(text) - length(replace(text, '.', '')))
+        |   + (length(text) - length(replace(text, ',', '')))
+        |   + (length(text) - length(replace(text, '!', '')))
+        |   + (length(text) - length(replace(text, '?', ''))) AS DOUBLE)
+        |   / length(text), 4) AS punct_ratio,
+        | round(CAST(len(list_filter(toks,
+        |     t -> t IN ('the', 'a', 'and', 'of', 'to', 'in'))) AS DOUBLE)
+        |   / len(toks), 4) AS stop_ratio
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    "q_token_count" ->
+      """SELECT doc_id,
+        | CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
+        | CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT)
+        |   AS bpeish_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_multimodal_meta" ->
+      """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS byte_len,
+        | ascii(substring(text, 1, 1)) % 64 + 1 AS width,
+        | ascii(substring(text, 2, 1)) % 64 + 1 AS height,
+        | CASE ascii(substring(text, 1, 1)) % 3
+        |   WHEN 0 THEN 'png' WHEN 1 THEN 'jpg' ELSE 'webp' END AS format
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
 }

@@ -1,0 +1,64 @@
+package graft.cdc
+
+import graft.model._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** S1-S3 generalized: the source interface (reference
+  * `source/__init__.py:7-36`). A source provides a batch full scan (S4, for
+  * backfill/refresh), an unbounded change stream in the [[ChangeEvent]]
+  * envelope (S1-S3), a count (S5), and a liveness probe (O1).
+  *
+  * The reference's three connectors (MySQL binlog `mysql.py:81-135`,
+  * Postgres wal2json `postgres.py:89-163`, Mongo change-stream
+  * `mongo.py:49-74`) would slot behind this trait as custom
+  * `MicroBatchStream`s with their binlog-pos / LSN / resume-token as the
+  * Spark `Offset`; restart-with-backoff (`mysql.py:127-129`) becomes Spark
+  * task retry + trigger cadence. In the offline harness the concrete
+  * implementations are file- and memory-backed.
+  */
+trait CdcSource {
+  /** S4: parallel batch scan for backfill — replaces the reference's O(n^2)
+    * `LIMIT size OFFSET n` paging (`mysql.py:44-47`) with a partitioned scan. */
+  def fullScan(sync: SyncConfig): DataFrame
+  /** S1-S3: unbounded stream of [[ChangeEvent]] rows (streaming DataFrame). */
+  def changes: DataFrame
+  /** S5: source-side count for the consistency check. */
+  def count(sync: SyncConfig): Long
+  /** O1: liveness probe. */
+  def ping(): Boolean
+}
+
+/** File-backed CDC feed: a directory of parquet files in the envelope
+  * schema, tailed as a stream (`readStream` + `maxFilesPerTrigger` gives the
+  * micro-batch cadence; the checkpoint dir replaces the progress store). */
+final class ParquetCdcSource(spark: SparkSession, feedDir: String,
+                             tableDir: String, maxFilesPerTrigger: Int = 1)
+    extends CdcSource {
+  def fullScan(sync: SyncConfig): DataFrame =
+    Transforms.projectAndCoerce(
+      spark.read.parquet(s"$tableDir/${sync.table}.parquet"), sync)
+  def changes: DataFrame =
+    spark.readStream
+      .schema(ChangeEvent.schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(feedDir)
+  def count(sync: SyncConfig): Long =
+    spark.read.parquet(s"$tableDir/${sync.table}.parquet").count()
+  def ping(): Boolean = new java.io.File(feedDir).exists()
+}
+
+/** In-memory CDC feed for tests (the reference's integration harness shape:
+  * script a few inserts/updates/deletes, assert the synced state). */
+final class MemoryCdcSource(spark: SparkSession,
+                            snapshot: Map[String, DataFrame] = Map.empty)
+    extends CdcSource {
+  import spark.implicits._
+  val stream: MemoryStream[ChangeEvent] = MemoryStream[ChangeEvent](spark)
+  def addEvents(evts: ChangeEvent*): Unit = stream.addData(evts)
+  def fullScan(sync: SyncConfig): DataFrame =
+    Transforms.projectAndCoerce(snapshot(sync.table), sync)
+  def changes: DataFrame = stream.toDF()
+  def count(sync: SyncConfig): Long = snapshot(sync.table).count()
+  def ping(): Boolean = true
+}

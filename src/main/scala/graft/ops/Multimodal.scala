@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: treat image/audio/video payloads as opaque
+  * `binary` columns with typed metadata, processed by partition-parallel
+  * decode functions.
+  *
+  * The container has no image/audio libraries, so the DECODE STEP IS A
+  * DETERMINISTIC FAKE (clearly marked below): it derives "metadata" from the
+  * first bytes of the payload. Everything around it is the real Spark
+  * plumbing — binary column, schema, batch shape, partition-parallel
+  * mapPartitions (the Scala analog of `mapInPandas`: one iterator per
+  * partition, so a real decoder would amortize model/codec init per
+  * partition, not per row).
+  */
+object Multimodal {
+
+  final case class MediaRow(doc_id: Long, payload: Array[Byte])
+  final case class MediaMeta(doc_id: Long, byte_len: Long, width: Int,
+                             height: Int, format: String)
+
+  /** STUB DECODER — deterministic fake standing in for an image decode
+    * (e.g. JPEG header parse). A real implementation would replace only this
+    * function; the partitioning/schema/batch shape around it stay as-is. */
+  def fakeDecode(id: Long, payload: Array[Byte]): MediaMeta = {
+    val b0 = if (payload.nonEmpty) payload(0) & 0xff else 0
+    val b1 = if (payload.length > 1) payload(1) & 0xff else 0
+    MediaMeta(id, payload.length.toLong, b0 % 64 + 1, b1 % 64 + 1,
+      Seq("png", "jpg", "webp")(b0 % 3))
+  }
+
+  /** Binary-payload view of `documents` (payload = utf8 bytes — the fixture
+    * has no real media; the binary column type and everything downstream is
+    * the real contract). */
+  def binaryView(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+
+  /** Partition-parallel decode via mapPartitions — iterator-per-partition so
+    * per-partition init (codec/model load) happens once. */
+  def decodeMeta(spark: SparkSession, dir: String): Dataset[MediaMeta] = {
+    import spark.implicits._
+    binaryView(spark, dir).as[MediaRow]
+      .mapPartitions { it =>
+        // real decoder init would go here, once per partition
+        it.map(r => fakeDecode(r.doc_id, r.payload))
+      }
+  }
+
+  /** The oracle-checkable metadata query (column-expression form of the same
+    * stub semantics, so it stays inside whole-stage codegen). */
+  def metaQuery(spark: SparkSession, dir: String): DataFrame =
+    binaryView(spark, dir).select(
+      col("doc_id"),
+      octet_length(col("payload")).cast("long").as("byte_len"),
+      (expr("ascii(substring(decode(payload, 'UTF-8'), 1, 1))") % 64 + 1).as("width"),
+      (expr("ascii(substring(decode(payload, 'UTF-8'), 2, 1))") % 64 + 1).as("height"),
+      element_at(array(lit("png"), lit("jpg"), lit("webp")),
+        (expr("ascii(substring(decode(payload, 'UTF-8'), 1, 1))") % 3 + 1).cast("int"))
+        .as("format"))
+      .orderBy(col("doc_id"))
+
+  /** "Frame sampling" on an opaque payload: every nth fixed-size chunk —
+    * the batch shape a video pipeline needs (doc_id, frame_no, frame_bytes). */
+  def frameSample(spark: SparkSession, dir: String, frameSize: Int = 64,
+                  every: Int = 4): DataFrame =
+    binaryView(spark, dir)
+      .withColumn("frame_no", explode(expr(
+        s"filter(sequence(0, int(floor((octet_length(payload) - 1) / $frameSize))), " +
+          s"i -> i % $every = 0)")))
+      .select(col("doc_id"), col("frame_no"),
+        expr(s"substring(payload, frame_no * $frameSize + 1, $frameSize)").as("frame"))
+}

@@ -1,0 +1,238 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator coverage (SURVEY.md §2.2): the categories the
+  * reference lacks, provided natively through Catalyst. Every query here is
+  * declarative DataFrame API — predicate pushdown, column pruning, join
+  * strategy selection, partial aggregation and whole-stage codegen come from
+  * the optimizer, not hand-scheduling.
+  *
+  * All computed columns are aliased identically to the DuckDB oracle SQL in
+  * [[graft.SparkEntry.oracleSql]]; money/ratio aggregates are rounded so
+  * double accumulation-order differences between engines can't flip a hash.
+  */
+object Relational {
+  private def t(spark: SparkSession, dir: String, name: String) =
+    Tables(spark, dir, name)
+
+  /** TPC-H Q1-shaped pricing summary: hash aggregate with partial+final
+    * phases (map-side combine) — one shuffle on the two low-cardinality keys. */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** TPC-H Q3-shaped: two joins + agg + deterministic top-k. `customer` is
+    * small → Catalyst broadcasts it; lineitem-orders shuffles on orderkey. */
+  def q3JoinTopk(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val o = t(spark, dir, "orders")
+    val l = t(spark, dir, "lineitem")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5-shaped: five-way join; dims broadcast, facts shuffle once. */
+  def q5MultiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val r = t(spark, dir, "region").filter(col("r_name") === "ASIA")
+    val n = t(spark, dir, "nation")
+    val c = t(spark, dir, "customer")
+    val o = t(spark, dir, "orders")
+    val l = t(spark, dir, "lineitem")
+    val s = t(spark, dir, "supplier")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(s), l("l_suppkey") === s("s_suppkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey") &&
+                          c("c_nationkey") === s("s_nationkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Ranking window: top order per customer (row_number frame). */
+  def windowRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(spark, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey").as("top_order"),
+        round(col("o_totalprice"), 2).as("top_price"))
+      .orderBy(col("o_custkey"))
+  }
+
+  /** Analytic window: running sum + lag over each user's event history. */
+  def windowRunning(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("running_value",
+        round(sum(col("value")).over(w.rowsBetween(Window.unboundedPreceding, 0)), 2))
+      .withColumn("prev_event", lag(col("event_id"), 1).over(w))
+      .select(col("user_id"), col("event_id"), col("running_value"), col("prev_event"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** Grouping sets via ROLLUP(region, nation) over the customer dimension. */
+  def rollupAgg(spark: SparkSession, dir: String): DataFrame = {
+    val r = t(spark, dir, "region")
+    val n = t(spark, dir, "nation")
+    val c = t(spark, dir, "customer")
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_cust"), round(sum(col("c_acctbal")), 2).as("acctbal"))
+      .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+  }
+
+  /** Exact distinct aggregation (expand + two-phase agg under the hood). */
+  def distinctAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders").agg(
+      countDistinct(col("o_custkey")).as("n_cust"),
+      countDistinct(col("o_orderpriority")).as("n_prio"),
+      countDistinct(col("o_orderstatus")).as("n_status"))
+
+  /** Deterministic top-k → TakeOrderedAndProject (no global sort shuffle:
+    * per-partition top-k then merge on the driver). */
+  def topK(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice"), 2).as("price"))
+      .orderBy(col("price").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(20)
+
+  /** Left-anti join: customers with no large order (NOT EXISTS). */
+  def antiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val o = t(spark, dir, "orders").filter(col("o_totalprice") > 400000)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Left-semi join + agg: customers having orders, counted per nation. */
+  def semiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val o = t(spark, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  /** Set operation: EXCEPT (hash-distinct anti semantics). */
+  def exceptDiff(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    o.filter(col("o_totalprice") > 150).select(col("o_orderkey").as("k"))
+      .except(o.filter(col("o_orderstatus") === "F").select(col("o_orderkey").as("k")))
+      .orderBy(col("k"))
+  }
+
+  /** Scalar function coverage: string/math/modulo — all codegen'd built-ins. */
+  def scalarFuncs(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "part").select(
+      col("p_partkey"),
+      upper(col("p_brand")).as("brand_u"),
+      substring(col("p_name"), 1, 5).as("name5"),
+      length(col("p_name")).as("name_len"),
+      concat(col("p_brand"), lit("#"), col("p_type")).as("bt"),
+      abs(col("p_size") - 25).as("size_dev"),
+      (col("p_partkey") % 7).as("k7"),
+      round(col("p_retailprice") * 1.1, 2).as("price_up"))
+      .orderBy(col("p_partkey"))
+
+  /** JSON payload extraction (the reference's Postgres JSON-column parse,
+    * `postgres.py:103-105`, generalized): parse, bucket, aggregate. */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .withColumn("k_bucket", col("k") % 10)
+      .groupBy(col("k_bucket"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .orderBy(col("k_bucket"))
+
+  /** Event-time tumbling window aggregate (batch form; the streaming form
+    * with watermark is exercised in StreamingSpec). Hour-aligned windows ==
+    * date_trunc, keeping the oracle portable. */
+  def timeWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("hour_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .orderBy(col("hour_start"), col("event_type"))
+
+  /** Counts across all fixture tables — the `check` command's source side
+    * (S5) widened to every table. */
+  def checkCounts(spark: SparkSession, dir: String): DataFrame = {
+    val names = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    names.map { n =>
+      t(spark, dir, n).agg(count(lit(1)).as("cnt")).select(lit(n).as("tbl"), col("cnt"))
+    }.reduce(_.unionAll(_)).orderBy(col("tbl"))
+  }
+
+  /** P1/P2 projection + rename + coercion over events (the reference's
+    * `mapping_data`, `schemas.py:18-30`): timestamp -> epoch seconds int,
+    * date -> 'yyyy-MM-dd' string. */
+  def projectCoerce(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).select(
+      col("event_id").as("id"),
+      col("user_id"),
+      col("event_type").as("op_type"),
+      unix_timestamp(col("ts")).as("ts_epoch"),
+      date_format(col("ts"), "yyyy-MM-dd").as("ts_date"))
+      .orderBy(col("id"))
+
+  /** F1+F2 combined filter (pushable predicates — reach the parquet scan). */
+  def filters(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "purchase") && col("value") > 100)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .orderBy(col("event_id"))
+
+  /** B1 last-write-wins compaction over the events stream viewed as a CDC
+    * log keyed by user_id (`event.py:10-13`). */
+  def dedupLww(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id").as("last_event"),
+        col("event_type").as("last_type"))
+      .orderBy(col("user_id"))
+  }
+
+  /** K1 upsert semantics as a batch query: treat events as a CDC log
+    * (signup=create, error=delete, else update); final state = last
+    * non-delete event per key, absent if the last event is a delete. */
+  def cdcApply(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(spark, dir)
+      .withColumn("op",
+        when(col("event_type") === "signup", "create")
+          .when(col("event_type") === "error", "delete")
+          .otherwise("update"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") =!= "delete")
+      .select(col("user_id"), col("op").as("last_op"),
+        col("event_id"), round(col("value"), 2).as("value"))
+      .orderBy(col("user_id"))
+  }
+}

@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (`embedding: ARRAY<FLOAT>`).
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]]: exact cosine top-k — broadcast the (small) query
+  *    set against the full corpus; one pass, no corpus shuffle. The correct
+  *    baseline and the oracle-checkable one.
+  *  - [[lshTopK]]: random-hyperplane LSH (sign-random-projection) — corpus
+  *    is bucketed by a b-bit code; queries probe only their own bucket
+  *    (multi-probe via hamming-adjacent codes would extend recall). The
+  *    sub-linear scale path: at 100 TB the bucket join replaces the full
+  *    scan per query.
+  *
+  * Cosine is computed in double precision with sequential folds so the
+  * DuckDB oracle matches bit-for-bit before rounding.
+  */
+object Similarity {
+
+  private def withVec(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .withColumn("norm", expr("sqrt(aggregate(v, 0D, (s, x) -> s + x * x))"))
+
+  private def cosine: Column =
+    expr("aggregate(zip_with(q.v, c.v, (x, y) -> x * y), 0D, (s, x) -> s + x)") /
+      (col("q.norm") * col("c.norm"))
+
+  /** Exact top-k neighbors for each query vector (vec_id < numQueries).
+    * The query side is broadcast; the corpus is scanned once — no shuffle of
+    * the big side. Per-query ranking is a window over ~numQueries*k rows. */
+  def bruteForceTopK(spark: SparkSession, dir: String,
+                     numQueries: Int = 10, k: Int = 5): DataFrame = {
+    val e = withVec(spark, dir)
+    val q = e.filter(col("vec_id") < numQueries).alias("q")
+    val c = e.alias("c")
+    val scored = c.join(broadcast(q), col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("q_id"), col("c.vec_id").as("n_id"),
+        cosine.as("cos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"), round(col("cos"), 4).as("cosine"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** Sign-random-projection code: bit p = sign of <h_p, v> where hyperplane
+    * h_p is a deterministic pseudo-random ±1 vector derived from
+    * xxhash64(p, dim). Pure per-row HOF work. */
+  private def srpCode(vCol: String, bits: Int): Column = expr(
+    s"""aggregate(sequence(0, ${bits - 1}), 0L, (acc, p) ->
+       |  acc + if(aggregate(zip_with($vCol, sequence(0, size($vCol) - 1),
+       |                     (x, i) -> x * if(pmod(xxhash64(p, i), 2) = 0, 1D, -1D)),
+       |           0D, (s, x) -> s + x) > 0D, shiftleft(1L, p), 0L))""".stripMargin)
+
+  /** Approximate top-k: queries probe only the corpus bucket sharing their
+    * b-bit SRP code. Recall < 1 by design; the bench companion to the exact
+    * baseline. */
+  def lshTopK(spark: SparkSession, dir: String, numQueries: Int = 10,
+              k: Int = 5, bits: Int = 8): DataFrame = {
+    val e = withVec(spark, dir).withColumn("code", srpCode("v", bits))
+    val q = e.filter(col("vec_id") < numQueries).alias("q")
+    val c = e.alias("c")
+    val scored = c.join(broadcast(q),
+        col("q.code") === col("c.code") && col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("q_id"), col("c.vec_id").as("n_id"), cosine.as("cos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"), round(col("cos"), 4).as("cosine"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+}

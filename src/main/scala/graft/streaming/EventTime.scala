@@ -1,0 +1,93 @@
+package graft.streaming
+
+import graft.model.{ChangeEvent, Op}
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event-time streaming semantics — the category the reference lacks
+  * entirely (SURVEY.md §2.2: processing is arrival-ordered, no watermarks,
+  * no event-time windows). Provided on Structured Streaming primitives.
+  */
+object EventTime {
+
+  /** Tumbling event-time window aggregate with a watermark: late events
+    * beyond `lateness` are dropped; windows finalize (append mode) once the
+    * watermark passes their end. */
+  def tumblingCounts(events: DataFrame, lateness: String = "10 minutes",
+                     width: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), width), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("total"))
+
+  /** Sliding window variant. */
+  def slidingCounts(events: DataFrame, width: String = "1 hour",
+                    slide: String = "15 minutes",
+                    lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), width, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("n"))
+
+  /** Session windows (gap-based). */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+                    lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("win_start"), col("user_id"), col("n"))
+}
+
+/** Cross-batch keyed state: last-write-wins that survives events for one pk
+  * arriving out of order ACROSS micro-batches — the reference's
+  * `EventCollection` dedup (B1, `event.py:10-13`) only holds within one
+  * buffer; this is the hard part flagged in SURVEY.md §7. Implemented with
+  * `flatMapGroupsWithState`: per (table, pk) we keep the highest offset
+  * applied and emit only events that advance it, with processing-time
+  * eviction so state stays bounded.
+  */
+object KeyedLastWrite {
+
+  final case class Keyed(key: String, event: ChangeEvent)
+  final case class MaxOffset(offset: Long)
+
+  /** Emit each event only if its offset advances its key's high-water mark.
+    * Downstream sees a monotone per-key stream, so a stale update replayed
+    * late can never clobber a newer value.
+    *
+    * @param evictAfter optional idle-key eviction (processing-time timeout)
+    *   to bound state at scale. Off by default: with a timeout configured,
+    *   the micro-batch engine keeps firing empty batches to evaluate
+    *   timeouts, which busy-loops under the default trigger — production
+    *   deployments enable it together with a real `Trigger.ProcessingTime`.
+    */
+  def latestPerKey(events: Dataset[ChangeEvent], pkOf: ChangeEvent => String,
+                   evictAfter: Option[String] = None)
+                  (implicit spark: org.apache.spark.sql.SparkSession): Dataset[ChangeEvent] = {
+    import spark.implicits._
+    val timeoutConf =
+      if (evictAfter.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events
+      .groupByKey(e => s"${e.table}/${pkOf(e)}")
+      .flatMapGroupsWithState[MaxOffset, ChangeEvent](OutputMode.Append, timeoutConf) {
+        (_: String, it: Iterator[ChangeEvent], state: GroupState[MaxOffset]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val seen = state.getOption.map(_.offset).getOrElse(Long.MinValue)
+            val fresh = it.filter(_.offset > seen).toSeq
+            if (fresh.nonEmpty) {
+              val top = fresh.maxBy(_.offset)
+              state.update(MaxOffset(top.offset))
+              evictAfter.foreach(state.setTimeoutDuration) // bounded state
+              Iterator.single(top)
+            } else Iterator.empty
+          }
+      }
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import graft.ops._
+import org.apache.spark.sql.functions._
+
+/** Sanity specs for the LLM-pipeline operators beyond the DuckDB oracle
+  * (which pins exact values at sf0.01 via Verify). */
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every declared query runs and every oracle key has a query") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  test("minhash LSH recovers the exact n-gram near-dup pairs at sf0.001") {
+    val exact = Dedup.ngramJaccard(spark, sf).select("doc_a", "doc_b")
+      .as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashLsh(spark, sf).select("doc_a", "doc_b")
+      .as[(Long, Long)].collect().toSet
+    // verification step makes LSH precise; recall should be high (>=90%)
+    assert(lsh.subsetOf(exact))
+    assert(lsh.size >= (exact.size * 9) / 10)
+  }
+
+  test("simhash pairs include the strongest near-dups") {
+    val exact = Dedup.ngramJaccard(spark, sf, threshold = 0.9)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val sim = Dedup.simhashPairs(spark, sf, maxHamming = 8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val recall = exact.count(sim.contains).toDouble / math.max(exact.size, 1)
+    assert(recall >= 0.8, s"simhash recall $recall over ${exact.size} pairs")
+  }
+
+  test("ANN LSH results are a subset of brute-force candidates' quality") {
+    val bf = Similarity.bruteForceTopK(spark, sf).collect()
+    val lsh = Similarity.lshTopK(spark, sf).collect()
+    assert(bf.length === 50) // 10 queries x top-5
+    assert(lsh.nonEmpty)
+    // approximate results can't beat the exact top-1 per query
+    val bfTop = bf.filter(_.getAs[Int]("rank") == 1)
+      .map(r => r.getAs[Long]("q_id") -> r.getAs[Double]("cosine")).toMap
+    lsh.filter(_.getAs[Int]("rank") == 1).foreach { r =>
+      assert(r.getAs[Double]("cosine") <= bfTop(r.getAs[Long]("q_id")) + 1e-9)
+    }
+  }
+
+  test("multimodal: mapPartitions decode agrees with the expression form") {
+    val viaDs = Multimodal.decodeMeta(spark, sf).toDF()
+      .orderBy("doc_id").collect().toSeq
+    val viaExpr = Multimodal.metaQuery(spark, sf)
+      .select(col("doc_id"), col("byte_len"), col("width"), col("height"), col("format"))
+      .collect().toSeq
+    assert(viaDs.map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getString(4))) ===
+      viaExpr.map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getString(4))))
+  }
+
+  test("frame sampling produces the expected batch shape") {
+    val frames = Multimodal.frameSample(spark, sf, frameSize = 64, every = 4)
+    assert(frames.columns.toSeq === Seq("doc_id", "frame_no", "frame"))
+    val one = frames.filter(col("doc_id") === 0).orderBy("frame_no").collect()
+    assert(one.nonEmpty)
+    assert(one.head.getAs[Int]("frame_no") === 0)
+    assert(one.head.getAs[Array[Byte]]("frame").length <= 64)
+  }
+
+  test("winnowing: near-identical docs share fingerprints") {
+    val pairs = Dedup.ngramJaccard(spark, sf, threshold = 0.9)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    val (a, b) = pairs.head
+    val fps = TextAnalysis.winnow(spark, sf)
+      .filter(col("doc_id").isin(a, b))
+      .groupBy("fp").count().filter(col("count") === 2).count()
+    assert(fps > 0, s"docs $a/$b share no winnowing fingerprints")
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import graft.model.ChangeEvent
+import graft.streaming._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+  private case class Ev(ts: java.sql.Timestamp, event_type: String, value: Double,
+                        user_id: Long)
+
+  test("tumbling window with watermark drops late data past the bound") {
+    val mem = MemoryStream[Ev](spark)
+    val q = EventTime.tumblingCounts(mem.toDF(), lateness = "10 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("tumb").start()
+    mem.addData(
+      Ev(ts("2024-01-01 10:05:00"), "click", 1.0, 1),
+      Ev(ts("2024-01-01 10:55:00"), "click", 2.0, 1))
+    q.processAllAvailable()
+    // advance watermark far past the 10:00 window...
+    mem.addData(Ev(ts("2024-01-01 13:00:00"), "click", 4.0, 1))
+    q.processAllAvailable()
+    // ...then send an event for the closed 10:00 window: must be dropped
+    mem.addData(Ev(ts("2024-01-01 10:30:00"), "click", 8.0, 1))
+    mem.addData(Ev(ts("2024-01-01 13:10:00"), "flush", 0.0, 1))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("tumb")
+      .filter(col("win_start") === ts("2024-01-01 10:00:00")).collect()
+    assert(rows.length === 1)
+    assert(rows.head.getAs[Long]("n") === 2)       // late event NOT counted
+    assert(rows.head.getAs[Double]("total") === 3.0)
+  }
+
+  test("session window groups events by gap") {
+    val mem = MemoryStream[Ev](spark)
+    val q = EventTime.sessionCounts(mem.toDF(), gap = "30 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("sess").start()
+    mem.addData(
+      Ev(ts("2024-01-01 10:00:00"), "a", 1.0, 7),
+      Ev(ts("2024-01-01 10:10:00"), "a", 1.0, 7),  // same session
+      Ev(ts("2024-01-01 12:00:00"), "a", 1.0, 7))  // new session
+    q.processAllAvailable()
+    mem.addData(Ev(ts("2024-01-02 00:00:00"), "a", 1.0, 8)) // advance watermark
+    q.processAllAvailable(); q.stop()
+    val sessions = spark.table("sess").filter(col("user_id") === 7)
+      .orderBy("win_start").collect()
+    assert(sessions.map(_.getAs[Long]("n")).toSeq === Seq(2L, 1L))
+  }
+
+  test("KeyedLastWrite: stale cross-batch replays never clobber newer state") {
+    implicit val s = spark
+    val mem = MemoryStream[ChangeEvent](spark)
+    val out = KeyedLastWrite.latestPerKey(mem.toDS(), pkOf = _.data)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("lww").start()
+    mem.addData(ChangeEvent("update", "t", 10, ts("2024-01-01 00:00:10"), "k1"))
+    q.processAllAvailable()
+    // batch 2: a STALE event (offset 5 < 10) and a fresh one
+    mem.addData(
+      ChangeEvent("update", "t", 5, ts("2024-01-01 00:00:05"), "k1"),
+      ChangeEvent("update", "t", 20, ts("2024-01-01 00:00:20"), "k2"))
+    q.processAllAvailable(); q.stop()
+    val emitted = spark.table("lww").as[ChangeEvent].collect()
+    assert(emitted.map(_.offset).sorted.toSeq === Seq(10L, 20L)) // 5 suppressed
+  }
+}
