@@ -214,7 +214,9 @@ object SparkEntry {
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |s AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - 2),
         |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh FROM d),
-        |p AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM s),
+        |p AS (SELECT doc_id, n_sh, shingle FROM
+        |        (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM s)
+        |      QUALIFY count(*) OVER (PARTITION BY shingle) <= 128),
         |j AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb,
         |        count(*) AS c
         |      FROM p a JOIN p b ON a.shingle = b.shingle AND a.doc_id < b.doc_id

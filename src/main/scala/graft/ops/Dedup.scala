@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators over `documents` — the core of a training-data
@@ -37,15 +38,23 @@ object Dedup {
           "i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))"))
       .select(col("doc_id"), col("sh"), size(col("sh")).as("n_sh"))
 
-  /** Exact n-gram-Jaccard near-dup pairs via inverted index:
+  /** N-gram-Jaccard near-dup pairs via inverted index:
     * explode shingles -> self-join on the shingle -> count shared shingles c
     * per pair -> J = c / (|A| + |B| - c). Only pairs sharing >= 1 shingle are
-    * ever materialized. At 100 TB the one refinement needed is dropping
-    * ultra-frequent shingles (df cap) or salting hot shingles; the LSH
-    * variant below is the fully sub-quadratic path. */
-  def ngramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    * ever materialized, and ultra-frequent shingles (document frequency >
+    * `dfCap`) are excluded from candidate generation and overlap counting —
+    * the standard stop-shingle refinement that removes the quadratic hot-key
+    * tail (a shingle appearing in d docs contributes d^2 join rows but zero
+    * near-dup signal). Exact for pairs whose shared shingles are all below
+    * the cap; the LSH variant below is the fully sub-quadratic path. */
+  def ngramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.5,
+                   dfCap: Int = 128): DataFrame = {
     val s = shingled(spark, dir)
+    val w = Window.partitionBy(col("shingle"))
     val posts = s.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("shingle"))
+      .withColumn("df", count(lit(1)).over(w))
+      .filter(col("df") <= dfCap)
+      .drop("df")
     val a = posts.alias("a")
     val b = posts.alias("b")
     a.join(b, col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
@@ -104,16 +113,27 @@ object Dedup {
     * the sum over feature hashes of (+1 if bit j set else -1). Features are
     * the word-3-gram shingles (order-sensitive; distinct-word features
     * saturate on a small vocabulary and lose the near-dup signal). Near-dups
-    * land at small hamming distance. Computed entirely per-row with HOFs. */
-  def simhash(spark: SparkSession, dir: String): DataFrame =
-    shingled(spark, dir)
-      .withColumn("hs", expr("transform(sh, t -> xxhash64(t))"))
-      .withColumn("simhash", expr(
-        """aggregate(sequence(0, 63), 0L, (acc, j) ->
-          |  acc + if(aggregate(hs, 0, (s, h) -> s + if((shiftright(h, j) & 1) = 1, 1, -1)) > 0,
-          |           shiftleft(1L, j), 0L))""".stripMargin))
-      .select(col("doc_id"), col("simhash"))
+    * land at small hamming distance.
+    *
+    * Shape: explode shingles, hash, then ONE hash-aggregate with 64
+    * codegen'd signed-bit sums, and assemble the fingerprint from the sums.
+    * (A per-row nested-HOF fold reads nicer but re-evaluates the feature
+    * hash array once per bit under Catalyst's project collapsing — 64x
+    * recompute; the explode+groupBy form is the one that scales.) */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val posts = shingled(spark, dir)
+      .select(col("doc_id"), explode(col("sh")).as("t"))
+      .select(col("doc_id"), expr("xxhash64(t)").as("h"))
+    val bitSums = (0 until 64).map(j =>
+      sum(expr(s"int(shiftright(h, $j) & 1) * 2 - 1")).as(s"b$j"))
+    val fp = (0 until 64)
+      .map(j => expr(s"if(b$j > 0, shiftleft(1L, $j), 0L)"))
+      .reduce(_ + _)
+    posts.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), fp.as("simhash"))
       .orderBy(col("doc_id"))
+  }
 
   /** SimHash near-dup pairs: banded candidate join (4 x 16-bit blocks — any
     * pair within hamming distance 3 shares at least one whole block by
