@@ -33,6 +33,8 @@ object SparkEntry {
     "q_anti_join"      -> ((s, d) => Relational.antiJoin(s, d)),
     "q_semi_join"      -> ((s, d) => Relational.semiJoin(s, d)),
     "q_except_diff"    -> ((s, d) => Relational.exceptDiff(s, d)),
+    "q_intersect"      -> ((s, d) => Relational.intersectOp(s, d)),
+    "q_udaf_wavg"      -> ((s, d) => Relational.udafWavg(s, d)),
     "q_scalar_funcs"   -> ((s, d) => Relational.scalarFuncs(s, d)),
     "q_json"           -> ((s, d) => Relational.jsonExtract(s, d)),
     "q_time_window"    -> ((s, d) => Relational.timeWindow(s, d)),
@@ -140,6 +142,17 @@ object SparkEntry {
         |EXCEPT
         |SELECT o_orderkey AS k FROM orders WHERE o_orderstatus = 'F'
         |ORDER BY k""".stripMargin,
+
+    "q_intersect" ->
+      """SELECT o_orderkey AS k FROM orders WHERE o_totalprice > 300000
+        |INTERSECT
+        |SELECT o_orderkey AS k FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY k""".stripMargin,
+
+    "q_udaf_wavg" ->
+      """SELECT l_returnflag,
+        | round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 2) AS wavg_price
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_scalar_funcs" ->
       """SELECT p_partkey, upper(p_brand) AS brand_u, substring(p_name, 1, 5) AS name5,

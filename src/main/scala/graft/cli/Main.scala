@@ -1,0 +1,98 @@
+package graft.cli
+
+import graft.GraftSession
+import graft.cdc.{ParquetCdcSource, Pipeline}
+import graft.model._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
+
+/** CLI mirroring the reference's typer commands (`main.py:71-208`):
+  *
+  * {{{
+  * graft.cli.Main start   <config.properties>   # stream sync (with backfill)
+  * graft.cli.Main refresh <config.properties> [table...]   # atomic rebuild
+  * graft.cli.Main check   <config.properties>   # source/sink count check
+  * graft.cli.Main version
+  * }}}
+  *
+  * Config is a flat java.util.Properties file (zero-dependency stand-in for
+  * the reference's YAML `Settings`, `settings.py:60-82`):
+  *
+  * {{{
+  * feed.dir=/data/cdc-feed          # parquet ChangeEvent envelope stream
+  * table.dir=/data/tables           # full-scan source tables
+  * sink.root=/data/index            # keyed sink tables ("indexes")
+  * checkpoint.dir=/data/ckpt
+  * trigger.seconds=10               # absent => AvailableNow (drain + stop)
+  * sync.<table>.pk=id
+  * sync.<table>.full=true
+  * sync.<table>.index=<name>        # optional
+  * sync.<table>.fields=src1:dst1,src2    # optional projection/rename
+  * sync.<table>.schema=id INT, name STRING, time TIMESTAMP   # payload DDL
+  * }}}
+  */
+object Main {
+
+  def main(args: Array[String]): Unit = args.toList match {
+    case "version" :: Nil => println("meilisyncspark 0.1.0")
+    case cmd :: cfgPath :: rest if Set("start", "refresh", "check")(cmd) =>
+      val props = new java.util.Properties()
+      val in = new java.io.FileInputStream(cfgPath)
+      try props.load(in) finally in.close()
+      val spark = GraftSession.get()
+      try run(cmd, props, rest, spark)
+      finally spark.stop()
+    case _ =>
+      System.err.println("usage: start|refresh|check <config.properties> [tables...] | version")
+      sys.exit(2)
+  }
+
+  private def run(cmd: String, props: java.util.Properties, rest: List[String],
+                  spark: org.apache.spark.sql.SparkSession): Unit = {
+    val cfg = parseConfig(props)
+    val source = new ParquetCdcSource(spark,
+      props.getProperty("feed.dir"), props.getProperty("table.dir"))
+    val pipe = new Pipeline(spark, cfg, source, props.getProperty("sink.root"))
+    cmd match {
+      case "start" =>
+        val trigger = Option(props.getProperty("trigger.seconds"))
+          .map(s => Trigger.ProcessingTime(s.toLong * 1000))
+          .getOrElse(Trigger.AvailableNow())
+        val q = pipe.start(props.getProperty("checkpoint.dir"), trigger)
+        q.awaitTermination()
+      case "refresh" =>
+        pipe.refresh(rest).foreach { case (t, n) => println(s"refreshed $t: $n rows") }
+      case "check" =>
+        var ok = true
+        pipe.check().foreach { case (t, (src, sink)) =>
+          val status = if (src == sink) "OK" else { ok = false; "MISMATCH" }
+          println(s"$status $t: source=$src sink=$sink")
+        }
+        if (!ok) sys.exit(1)
+    }
+  }
+
+  /** Parse `sync.<table>.*` keys into [[SyncConfig]]s. */
+  private[graft] def parseConfig(props: java.util.Properties): PipelineConfig = {
+    import scala.jdk.CollectionConverters._
+    val tables = props.stringPropertyNames().asScala
+      .filter(_.startsWith("sync.")).map(_.split('.')(1)).toSeq.distinct.sorted
+    val syncs = tables.map { t =>
+      def p(k: String) = Option(props.getProperty(s"sync.$t.$k"))
+      val fields = p("fields").map(_.split(',').toSeq.map { f =>
+        f.split(':') match {
+          case Array(src, dst) => FieldMapping(src.trim, Some(dst.trim))
+          case Array(src)      => FieldMapping(src.trim)
+        }
+      }).getOrElse(Seq.empty)
+      SyncConfig(
+        table = t,
+        pk = p("pk").getOrElse("id"),
+        full = p("full").exists(_.toBoolean),
+        index = p("index"),
+        fields = fields,
+        schema = p("schema").map(StructType.fromDDL))
+    }
+    PipelineConfig(syncs)
+  }
+}

@@ -165,10 +165,11 @@ object Dedup {
     * double precision with a sequential fold, matching the oracle
     * bit-for-bit before rounding. */
   def embedDup(spark: SparkSession, dir: String, threshold: Double = 0.3): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
     val e = Tables(spark, dir, "embeddings")
       .select(col("vec_id"), col("label"),
         expr("transform(embedding, x -> cast(x as double))").as("v"))
-      .withColumn("norm", expr("sqrt(aggregate(v, 0D, (s, x) -> s + x * x))"))
+      .withColumn("norm", expr("graft_norm(v)"))
       .withColumn("cell", expr(
         "int(v[0] > 0D) * 8 + int(v[1] > 0D) * 4 + int(v[2] > 0D) * 2 + int(v[3] > 0D)"))
     val a = e.alias("a")
@@ -176,8 +177,7 @@ object Dedup {
     a.join(b, col("a.label") === col("b.label") && col("a.cell") === col("b.cell") &&
         col("a.vec_id") < col("b.vec_id"))
       .withColumn("cosine", round(
-        expr("aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D, (s, x) -> s + x)") /
-          (col("a.norm") * col("b.norm")), 4))
+        expr("graft_dot(a.v, b.v)") / (col("a.norm") * col("b.norm")), 4))
       .filter(col("cosine") >= threshold)
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cosine"))
       .orderBy(col("vec_a"), col("vec_b"))

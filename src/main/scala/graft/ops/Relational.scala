@@ -144,6 +144,22 @@ object Relational {
       .orderBy(col("k"))
   }
 
+  /** Set operation: INTERSECT. */
+  def intersectOp(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    o.filter(col("o_totalprice") > 300000).select(col("o_orderkey").as("k"))
+      .intersect(o.filter(col("o_orderstatus") === "O").select(col("o_orderkey").as("k")))
+      .orderBy(col("k"))
+  }
+
+  /** Custom typed UDAF (weighted average Aggregator) in a grouped agg. */
+  def udafWavg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(round(graft.functions.WeightedAvg(col("l_extendedprice"), col("l_quantity")), 2)
+        .as("wavg_price"))
+      .orderBy(col("l_returnflag"))
+
   /** Scalar function coverage: string/math/modulo — all codegen'd built-ins. */
   def scalarFuncs(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "part").select(

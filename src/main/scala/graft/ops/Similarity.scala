@@ -21,15 +21,16 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  private def withVec(spark: SparkSession, dir: String): DataFrame =
+  private def withVec(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
     Tables(spark, dir, "embeddings")
       .select(col("vec_id"), col("label"),
         expr("transform(embedding, x -> cast(x as double))").as("v"))
-      .withColumn("norm", expr("sqrt(aggregate(v, 0D, (s, x) -> s + x * x))"))
+      .withColumn("norm", expr("graft_norm(v)"))
+  }
 
   private def cosine: Column =
-    expr("aggregate(zip_with(q.v, c.v, (x, y) -> x * y), 0D, (s, x) -> s + x)") /
-      (col("q.norm") * col("c.norm"))
+    expr("graft_dot(q.v, c.v)") / (col("q.norm") * col("c.norm"))
 
   /** Exact top-k neighbors for each query vector (vec_id < numQueries).
     * The query side is broadcast; the corpus is scanned once — no shuffle of

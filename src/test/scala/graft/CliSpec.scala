@@ -1,0 +1,23 @@
+package graft
+
+import graft.cli.Main
+import graft.model.FieldMapping
+
+class CliSpec extends SparkSpec {
+  test("properties config parses into SyncConfigs") {
+    val p = new java.util.Properties()
+    p.setProperty("sync.users.pk", "_id")
+    p.setProperty("sync.users.full", "true")
+    p.setProperty("sync.users.index", "users_idx")
+    p.setProperty("sync.users.fields", "_id:id,age")
+    p.setProperty("sync.users.schema", "_id STRING, age INT, time TIMESTAMP")
+    p.setProperty("sync.orders.schema", "id INT")
+    val cfg = Main.parseConfig(p)
+    assert(cfg.tables === Seq("orders", "users"))
+    val u = cfg.syncFor("users").get
+    assert(u.pk === "_id" && u.full && u.indexName === "users_idx")
+    assert(u.fields === Seq(FieldMapping("_id", Some("id")), FieldMapping("age")))
+    assert(u.schema.get.fieldNames.toSeq === Seq("_id", "age", "time"))
+    assert(cfg.syncFor("orders").get.pk === "id")
+  }
+}

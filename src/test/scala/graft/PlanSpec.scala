@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Physical-plan assertions — the 100 TB posture is checked, not assumed:
+  * dims broadcast, filters reach the parquet scan, aggregates are two-phase
+  * (map-side partial), top-k avoids a global sort. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q3: small dimension side is broadcast, not shuffled") {
+    assert(plan("q3_join_topk").contains("BroadcastHashJoin"))
+  }
+
+  test("q5: all dimension joins broadcast; only the fact tables shuffle") {
+    val p = plan("q5_multijoin")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, p.take(2000))
+  }
+
+  test("filters are pushed down to the parquet scan") {
+    val p = plan("q_filter")
+    assert(p.contains("PushedFilters: ["), p.take(2000))
+    assert(p.contains("In(event_type") || p.contains("EqualTo(event_type"), p.take(2000))
+    assert(p.contains("GreaterThan(value"), p.take(2000))
+  }
+
+  test("projection pruning reaches the scan (ReadSchema is narrow)") {
+    val p = plan("q_dedup_exact")
+    // only text + doc_id should be read from a 5-column table
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p.take(2000))
+  }
+
+  test("q1: aggregation is two-phase (map-side partial before the shuffle)") {
+    val p = plan("q1_agg")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
+    assert(p.contains("partial_"), p.take(2000))
+  }
+
+  test("top-k compiles to TakeOrderedAndProject, not a global sort") {
+    assert(plan("q_topk").contains("TakeOrderedAndProject"))
+  }
+}
