@@ -53,7 +53,9 @@ object Dedup {
     val w = Window.partitionBy(col("shingle"))
     val posts = s.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("shingle"))
       .withColumn("df", count(lit(1)).over(w))
-      .filter(col("df") <= dfCap)
+      // df = 1 can't produce a join row — dropping it is a pure optimization;
+      // df > dfCap is the (semantic) stop-shingle cap mirrored in the oracle
+      .filter(col("df") >= 2 && col("df") <= dfCap)
       .drop("df")
     val a = posts.alias("a")
     val b = posts.alias("b")
@@ -115,23 +117,16 @@ object Dedup {
     * saturate on a small vocabulary and lose the near-dup signal). Near-dups
     * land at small hamming distance.
     *
-    * Shape: explode shingles, hash, then ONE hash-aggregate with 64
-    * codegen'd signed-bit sums, and assemble the fingerprint from the sums.
-    * (A per-row nested-HOF fold reads nicer but re-evaluates the feature
-    * hash array once per bit under Catalyst's project collapsing — 64x
-    * recompute; the explode+groupBy form is the one that scales.) */
+    * The fold runs in [[graft.functions.SimHash64]] — a codegen'd O(n*64)
+    * loop per row, no shuffle. (A nested-HOF fold re-evaluates the feature
+    * hash array once per bit under Catalyst's project collapsing, and an
+    * explode + 64-sum groupBy pays a shuffle for features that already sit
+    * in one row.) */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val posts = shingled(spark, dir)
-      .select(col("doc_id"), explode(col("sh")).as("t"))
-      .select(col("doc_id"), expr("xxhash64(t)").as("h"))
-    val bitSums = (0 until 64).map(j =>
-      sum(expr(s"int(shiftright(h, $j) & 1) * 2 - 1")).as(s"b$j"))
-    val fp = (0 until 64)
-      .map(j => expr(s"if(b$j > 0, shiftleft(1L, $j), 0L)"))
-      .reduce(_ + _)
-    posts.groupBy(col("doc_id"))
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"), fp.as("simhash"))
+    graft.functions.TextFunctions.register(spark)
+    shingled(spark, dir)
+      .select(col("doc_id"),
+        expr("graft_simhash64(transform(sh, t -> xxhash64(t)))").as("simhash"))
       .orderBy(col("doc_id"))
   }
 

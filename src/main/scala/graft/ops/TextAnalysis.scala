@@ -85,25 +85,18 @@ object TextAnalysis {
     * distinct selected hashes. Guarantees any shared substring of length
     * >= w+k-1 yields a shared fingerprint.
     *
-    * Shape: posexplode the gram hashes, fan each gram out to the w windows
-    * it participates in, groupBy (doc, window) -> min, distinct. All
-    * codegen'd built-ins + two shuffles. (A per-row sliding-min via nested
-    * HOFs reads nicer but Catalyst's project collapsing inlines the gram
-    * array into every window term -> O(grams * w) recompute per row; the
-    * explode form is the one that scales.) */
-  def winnow(spark: SparkSession, dir: String, k: Int = 5, w: Int = 8): DataFrame =
+    * The window-min selection runs in [[graft.functions.SlidingMinDistinct]]
+    * — a monotonic-deque O(n) pass per row, no shuffle. (A nested-HOF
+    * sliding min re-evaluates the gram array per window under Catalyst's
+    * project collapsing, and an explode-per-(gram,window) formulation pays
+    * an O(n*w)-row shuffle.) */
+  def winnow(spark: SparkSession, dir: String, k: Int = 5, w: Int = 8): DataFrame = {
+    graft.functions.TextFunctions.register(spark)
     Tables(spark, dir, "documents")
-      .select(col("doc_id"), length(col("text")).as("len"),
-        posexplode(expr(
-          s"transform(sequence(1, greatest(length(text) - ${k - 1}, 1)), i -> xxhash64(substring(text, i, $k)))"))
-          .as(Seq("i", "h")))
-      // gram i (0-based) covers window j in [i-w+1, i], clamped to valid range
-      .select(col("doc_id"), col("h"),
+      .select(col("doc_id"),
         explode(expr(
-          s"filter(transform(sequence(0, ${w - 1}), x -> i - x), " +
-            s"j -> j >= 0 AND j <= greatest(len - ${k - 1}, 1) - $w)")).as("win"))
-      .groupBy(col("doc_id"), col("win"))
-      .agg(min(col("h")).as("fp"))
-      .select(col("doc_id"), col("fp")).distinct()
+          s"graft_sliding_min_distinct(transform(sequence(1, greatest(length(text) - ${k - 1}, 1)), " +
+            s"i -> xxhash64(substring(text, i, $k))), $w)")).as("fp"))
       .orderBy(col("doc_id"), col("fp"))
+  }
 }
