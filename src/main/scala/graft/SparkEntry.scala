@@ -28,6 +28,8 @@ object SparkEntry {
     "q_window_rank"    -> ((s, d) => Relational.windowRank(s, d)),
     "q_window_running" -> ((s, d) => Relational.windowRunning(s, d)),
     "q_rollup"         -> ((s, d) => Relational.rollupAgg(s, d)),
+    "q_cube"           -> ((s, d) => Relational.cubeAgg(s, d)),
+    "q_approx_distinct" -> ((s, d) => Relational.approxDistinct(s, d)),
     "q_distinct"       -> ((s, d) => Relational.distinctAgg(s, d)),
     "q_topk"           -> ((s, d) => Relational.topK(s, d)),
     "q_anti_join"      -> ((s, d) => Relational.antiJoin(s, d)),
@@ -116,6 +118,12 @@ object SparkEntry {
         | JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP(r_name, n_name)
         |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        | round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
 
     "q_distinct" ->
       """SELECT count(DISTINCT o_custkey) AS n_cust,

@@ -18,8 +18,18 @@ import org.apache.spark.sql.types._
   * buffer unflushed forever — SURVEY.md §2.3) cannot occur: every micro-batch
   * flushes.
   */
+/** U1 plugin surface (reference `plugin.py:8-22`): `preEvent` transforms run
+  * on each sync's projected view before compaction (the reference's
+  * `pre_event`, 1-row -> 1-row, here as whole-DataFrame transforms so they
+  * stay declarative and codegen'd); `postBatch` callbacks fire after each
+  * sync's batch is applied (the reference's `post_event`, batched). */
+final case class PluginHooks(
+    preEvent: Seq[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame] = Seq.empty,
+    postBatch: Seq[(String, Long) => Unit] = Seq.empty)
+
 final class Pipeline(spark: SparkSession, config: PipelineConfig,
-                     source: CdcSource, sinkRoot: String) {
+                     source: CdcSource, sinkRoot: String,
+                     hooks: PluginHooks = PluginHooks()) {
 
   private def statePath(sync: SyncConfig): String = s"$sinkRoot/${sync.indexName}"
 
@@ -72,14 +82,16 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
   /** Apply one micro-batch for one sync: B1 compaction then K1 upsert,
     * committed via atomic directory swap. Idempotent — replaying a batch
     * yields the same state (at-least-once -> effectively exactly-once). */
-  private def applySync(batch: DataFrame, sync: SyncConfig): Unit = {
+  private def applySync(batch: DataFrame, sync: SyncConfig, batchId: Long): Unit = {
     val pk = pkOut(sync)
-    val compacted = Transforms.lastWriteWins(syncView(batch, sync), col(pk))
+    val view = hooks.preEvent.foldLeft(syncView(batch, sync))((df, h) => h(df))
+    val compacted = Transforms.lastWriteWins(view, col(pk))
     val state = UpsertSink.currentState(spark, statePath(sync), sinkSchema(sync))
     val next = UpsertSink.applyBatch(state, compacted, pk)
     val tmp = statePath(sync) + ".next"
     next.write.mode("overwrite").parquet(tmp)
     UpsertSink.atomicSwapDirs(tmp, statePath(sync))
+    hooks.postBatch.foreach(_(sync.table, batchId))
   }
 
   /** K3 bootstrap backfill: if `sync.full` and the sink is absent, load the
@@ -98,9 +110,9 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
     source.changes.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val cached = batch.persist()
-        try config.syncs.foreach(applySync(cached, _))
+        try config.syncs.foreach(applySync(cached, _, batchId))
         finally { cached.unpersist(); () }
       }
       .start()

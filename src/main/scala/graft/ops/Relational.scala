@@ -101,6 +101,21 @@ object Relational {
       .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
   }
 
+  /** Grouping sets via CUBE over order status x priority. */
+  def cubeAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
+  /** Approximate distinct (HyperLogLog++). Sketch-dependent -> rows-only
+    * check; the exact counterpart is [[distinctAgg]]. The relative-error
+    * contract is asserted in OpsSpec instead. */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders").agg(
+      approx_count_distinct(col("o_custkey"), 0.02).as("approx_cust"),
+      countDistinct(col("o_custkey")).as("exact_cust"))
+
   /** Exact distinct aggregation (expand + two-phase agg under the hood). */
   def distinctAgg(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "orders").agg(

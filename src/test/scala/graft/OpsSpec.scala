@@ -48,6 +48,13 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("approx_count_distinct stays within its error bound") {
+    val r = Relational.approxDistinct(spark, sf).head()
+    val (approx, exact) = (r.getAs[Long]("approx_cust"), r.getAs[Long]("exact_cust"))
+    assert(math.abs(approx - exact).toDouble / exact <= 0.1,
+      s"approx=$approx exact=$exact")
+  }
+
   test("multimodal: mapPartitions decode agrees with the expression form") {
     val viaDs = Multimodal.decodeMeta(spark, sf).toDF()
       .orderBy("doc_id").collect().toSeq

@@ -60,6 +60,26 @@ class PipelineSpec extends SparkSpec {
       Seq(Row("a", 19), Row("c", 30)))
   }
 
+  test("plugin hooks: preEvent transform applies, postBatch fires") {
+    import org.apache.spark.sql.functions._
+    val sinkRoot = tmpDir("sink")
+    val ckpt = tmpDir("ckpt")
+    val sync = SyncConfig("t", pk = "id", schema = Some(StructType(Seq(
+      StructField("id", IntegerType), StructField("name", StringType)))))
+    val fired = new java.util.concurrent.atomic.AtomicInteger(0)
+    val hooks = PluginHooks(
+      preEvent = Seq(df => df.withColumn("name", upper(col("name")))),
+      postBatch = Seq((_, _) => { fired.incrementAndGet(); () }))
+    val src = new MemoryCdcSource(spark)
+    val pipe = new Pipeline(spark, PipelineConfig(Seq(sync)), src, sinkRoot, hooks)
+    src.addEvents(ChangeEvent("create", "t", 1, ts("2024-01-01 00:00:00"),
+      """{"id": 1, "name": "ann"}"""))
+    val q = pipe.start(ckpt)
+    q.processAllAvailable(); q.stop()
+    assert(pipe.sinkState(sync).collect().toSeq === Seq(Row(1, "ANN")))
+    assert(fired.get() >= 1)
+  }
+
   test("backfill + refresh + check against fixture tables") {
     val sinkRoot = tmpDir("sink")
     val sync = SyncConfig("region", pk = "r_regionkey", full = true,
