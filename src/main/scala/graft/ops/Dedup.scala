@@ -50,11 +50,14 @@ object Dedup {
   def ngramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.5,
                    dfCap: Int = 128): DataFrame = {
     val s = shingled(spark, dir)
+    // df per shingle via a count window over the single postings shuffle
+    // (a groupBy + filter-join re-derives the postings twice and shuffles
+    // twice — measured slower). df = 1 can't produce a join row, so dropping
+    // it is a pure optimization; df > dfCap is the (semantic) stop-shingle
+    // cap mirrored in the oracle.
     val w = Window.partitionBy(col("shingle"))
     val posts = s.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("shingle"))
       .withColumn("df", count(lit(1)).over(w))
-      // df = 1 can't produce a join row — dropping it is a pure optimization;
-      // df > dfCap is the (semantic) stop-shingle cap mirrored in the oracle
       .filter(col("df") >= 2 && col("df") <= dfCap)
       .drop("df")
     val a = posts.alias("a")

@@ -59,16 +59,24 @@ object Similarity {
        |                     (x, i) -> x * if(pmod(xxhash64(p, i), 2) = 0, 1D, -1D)),
        |           0D, (s, x) -> s + x) > 0D, shiftleft(1L, p), 0L))""".stripMargin)
 
-  /** Approximate top-k: queries probe only the corpus bucket sharing their
-    * b-bit SRP code. Recall < 1 by design; the bench companion to the exact
-    * baseline. */
+  /** Approximate top-k with multi-probe: each query probes its own b-bit
+    * SRP bucket plus the b hamming-1-adjacent buckets (vectors near a
+    * hyperplane land on either side, so flipping one bit recovers most
+    * missed neighbors at (b+1)/2^b of the corpus scanned). Recall < 1 by
+    * design; the bench companion to the exact baseline. */
   def lshTopK(spark: SparkSession, dir: String, numQueries: Int = 10,
               k: Int = 5, bits: Int = 8): DataFrame = {
     val e = withVec(spark, dir).withColumn("code", srpCode("v", bits))
-    val q = e.filter(col("vec_id") < numQueries).alias("q")
+    val q = e.filter(col("vec_id") < numQueries)
+      .withColumn("probe", explode(expr(
+        s"concat(array(code), transform(sequence(0, ${bits - 1}, 1), " +
+          "b -> code ^ shiftleft(1L, b)))")))
+      .alias("q")
     val c = e.alias("c")
     val scored = c.join(broadcast(q),
-        col("q.code") === col("c.code") && col("q.vec_id") =!= col("c.vec_id"))
+        col("q.probe") === col("c.code") && col("q.vec_id") =!= col("c.vec_id"))
+      // a pair matches exactly one probe (all probe codes are distinct), so
+      // no dedup is needed
       .select(col("q.vec_id").as("q_id"), col("c.vec_id").as("n_id"), cosine.as("cos"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
     scored.withColumn("rank", row_number().over(w))

@@ -60,6 +60,24 @@ class PipelineSpec extends SparkSpec {
       Seq(Row("a", 19), Row("c", 30)))
   }
 
+  test("A2: nested JSON payload round-trips as a struct (postgres json column)") {
+    // reference tests/test_postgres.py:21-28 pins data_json -> nested object
+    val sinkRoot = tmpDir("sink")
+    val ckpt = tmpDir("ckpt")
+    val sync = SyncConfig("test", pk = "id", schema = Some(StructType(Seq(
+      StructField("id", IntegerType), StructField("age", IntegerType),
+      StructField("data_json", StructType(Seq(StructField("name", StringType))))))))
+    val src = new MemoryCdcSource(spark)
+    val pipe = new Pipeline(spark, PipelineConfig(Seq(sync)), src, sinkRoot)
+    src.addEvents(ChangeEvent("create", "test", 1, ts("2024-01-01 00:00:00"),
+      """{"id": 1, "age": 18, "data_json": {"name": "test data"}}"""))
+    val q = pipe.start(ckpt)
+    q.processAllAvailable(); q.stop()
+    val row = pipe.sinkState(sync).head()
+    assert(row.getInt(0) === 1 && row.getInt(1) === 18)
+    assert(row.getStruct(2).getString(0) === "test data")
+  }
+
   test("plugin hooks: preEvent transform applies, postBatch fires") {
     import org.apache.spark.sql.functions._
     val sinkRoot = tmpDir("sink")
