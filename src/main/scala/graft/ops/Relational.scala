@@ -192,7 +192,8 @@ object Relational {
     * `postgres.py:103-105`, generalized): parse, bucket, aggregate. */
   def jsonExtract(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
-      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .withColumn("k", from_json(col("props"),
+        org.apache.spark.sql.types.StructType.fromDDL("k BIGINT")).getField("k"))
       .withColumn("k_bucket", col("k") % 10)
       .groupBy(col("k_bucket"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
