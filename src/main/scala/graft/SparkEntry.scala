@@ -40,6 +40,8 @@ object SparkEntry {
     "q_scalar_funcs"   -> ((s, d) => Relational.scalarFuncs(s, d)),
     "q_json"           -> ((s, d) => Relational.jsonExtract(s, d)),
     "q_time_window"    -> ((s, d) => Relational.timeWindow(s, d)),
+    "q_session_window" -> ((s, d) => Relational.sessionWindows(s, d)),
+    "q_percentile"     -> ((s, d) => Relational.percentiles(s, d)),
     "q_check_counts"   -> ((s, d) => Relational.checkCounts(s, d)),
     "q_project_coerce" -> ((s, d) => Relational.projectCoerce(s, d)),
     "q_filter"         -> ((s, d) => Relational.filters(s, d)),
@@ -180,6 +182,28 @@ object SparkEntry {
       """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_start,
         | event_type, count(*) AS n, round(sum(value), 2) AS total
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_session_window" ->
+      """WITH m AS (
+        | SELECT user_id, ts, value,
+        |   CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |          OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |             > INTERVAL 30 MINUTE
+        |        THEN 1 ELSE 0 END AS new_sess
+        | FROM events),
+        |s AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |      FROM m)
+        |SELECT user_id, CAST(floor(epoch(min(ts))) AS BIGINT) AS sess_start,
+        | count(*) AS n, round(sum(value), 2) AS total
+        |FROM s GROUP BY user_id, sess_id
+        |ORDER BY user_id, sess_start""".stripMargin,
+
+    "q_percentile" ->
+      """SELECT o_orderpriority,
+        | round(quantile_cont(o_totalprice, 0.5), 2) AS median_price,
+        | round(quantile_cont(o_totalprice, 0.9), 2) AS p90_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_check_counts" ->
       Seq("region", "nation", "customer", "supplier", "part", "orders",

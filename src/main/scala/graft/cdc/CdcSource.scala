@@ -48,6 +48,27 @@ final class ParquetCdcSource(spark: SparkSession, feedDir: String,
   def ping(): Boolean = new java.io.File(feedDir).exists()
 }
 
+/** CDC feed backed by the custom V2 `MicroBatchStream` source
+  * ([[graft.sources.GraftCdcSource]], `format("graft-cdc")`): replication
+  * offsets live in the Spark checkpoint, and table/op selection runs inside
+  * the source's partition readers. */
+final class V2CdcSource(spark: SparkSession, feedDir: String, tableDir: String,
+                        tables: Seq[String] = Seq.empty,
+                        ops: Seq[String] = Seq.empty) extends CdcSource {
+  def fullScan(sync: SyncConfig): DataFrame =
+    Transforms.projectAndCoerce(
+      spark.read.parquet(s"$tableDir/${sync.table}.parquet"), sync)
+  def changes: DataFrame = {
+    var r = spark.readStream.format("graft-cdc")
+    if (tables.nonEmpty) r = r.option("tables", tables.mkString(","))
+    if (ops.nonEmpty) r = r.option("ops", ops.mkString(","))
+    r.load(feedDir)
+  }
+  def count(sync: SyncConfig): Long =
+    spark.read.parquet(s"$tableDir/${sync.table}.parquet").count()
+  def ping(): Boolean = new java.io.File(feedDir).exists()
+}
+
 /** In-memory CDC feed for tests (the reference's integration harness shape:
   * script a few inserts/updates/deletes, assert the synced state). */
 final class MemoryCdcSource(spark: SparkSession,

@@ -208,6 +208,27 @@ object Relational {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
       .orderBy(col("hour_start"), col("event_type"))
 
+  /** Exact interpolated percentiles (median / p90) per group. */
+  def percentiles(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 2).as("median_price"),
+        round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90_price"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Session windows in batch mode (gap-based, 30 min): Spark's
+    * `session_window` — oracle-checkable because the gaps-and-islands SQL
+    * formulation defines the identical grouping. */
+  def sessionWindows(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .select(col("user_id"),
+        unix_timestamp(col("session_window.start")).as("sess_start"),
+        col("n"), col("total"))
+      .orderBy(col("user_id"), col("sess_start"))
+
   /** Counts across all fixture tables — the `check` command's source side
     * (S5) widened to every table. */
   def checkCounts(spark: SparkSession, dir: String): DataFrame = {

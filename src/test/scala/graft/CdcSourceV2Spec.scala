@@ -43,6 +43,27 @@ class CdcSourceV2Spec extends SparkSpec {
     assert(second.map(_.getAs[Long]("offset")) === Seq(4L))
   }
 
+  test("full pipeline runs on the V2 source end-to-end") {
+    import graft.cdc.{Pipeline, V2CdcSource}
+    import graft.model.{PipelineConfig, SyncConfig}
+    import org.apache.spark.sql.types._
+    val feed = tmpDir("feed")
+    val sinkRoot = tmpDir("sink")
+    val ckpt = tmpDir("ckpt")
+    writeChunk(feed, 0, Seq(
+      ("create", "users", 1, 1704067200000L, """{"id": 1, "age": 46}"""),
+      ("create", "users", 2, 1704067201000L, """{"id": 2, "age": 30}"""),
+      ("delete", "users", 3, 1704067202000L, """{"id": 1}""")))
+    val sync = SyncConfig("users", pk = "id", schema = Some(StructType(Seq(
+      StructField("id", IntegerType), StructField("age", IntegerType)))))
+    val src = new V2CdcSource(spark, feed, tmpDir("tables"), tables = Seq("users"))
+    val pipe = new Pipeline(spark, PipelineConfig(Seq(sync)), src, sinkRoot)
+    val q = pipe.start(ckpt)
+    q.processAllAvailable(); q.stop()
+    assert(pipe.sinkState(sync).collect().toSeq ===
+      Seq(org.apache.spark.sql.Row(2, 30)))
+  }
+
   test("tables/ops options filter inside the reader (no engine-side filter)") {
     val feed = tmpDir("feed")
     val ckpt = tmpDir("ckpt")
