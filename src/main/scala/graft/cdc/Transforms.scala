@@ -85,4 +85,20 @@ object Transforms {
       .filter(col("__rn") === 1)
       .drop("__rn")
   }
+
+  /** Skew-resistant B1: two-stage compaction for hot keys. Stage 1 compacts
+    * within (table, pk, salt) — the salt spreads one hot pk's events over
+    * `salt` reducers — leaving at most `salt` candidates per pk; stage 2
+    * compacts those. Equivalent to [[lastWriteWins]] (max-offset selection
+    * is associative); PropertySpec asserts the equality. Use when a feed has
+    * pathological hot keys that AQE's skew handling can't split (a window
+    * over one key can't be split, unlike a join). The salt derives from
+    * `offset` so it's deterministic under replay. */
+  def saltedLastWriteWins(events: DataFrame, pkCol: Column, salt: Int = 16): DataFrame = {
+    val s1 = Window.partitionBy(col("table"), pkCol, pmod(col("offset"), lit(salt)))
+      .orderBy(col("offset").desc)
+    val stage1 = events.withColumn("__rn", row_number().over(s1))
+      .filter(col("__rn") === 1).drop("__rn")
+    lastWriteWins(stage1, pkCol)
+  }
 }

@@ -50,21 +50,25 @@ object Dedup {
   def ngramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.5,
                    dfCap: Int = 128): DataFrame = {
     val s = shingled(spark, dir)
-    // df per shingle via a count window over the single postings shuffle
-    // (a groupBy + filter-join re-derives the postings twice and shuffles
-    // twice — measured slower). df = 1 can't produce a join row, so dropping
-    // it is a pure optimization; df > dfCap is the (semantic) stop-shingle
-    // cap mirrored in the oracle.
-    val w = Window.partitionBy(col("shingle"))
+    // One shuffle to group postings per shingle; the df filter (2..dfCap,
+    // df=1 contributes nothing, df>dfCap is the semantic stop-shingle cap
+    // mirrored in the oracle) is a size() check on the grouped list, and
+    // pair generation is a per-shingle HOF double loop (bounded by dfCap^2)
+    // instead of a sorted-window + self-join, which re-shuffles the postings
+    // twice. Second shuffle: the per-pair count aggregate.
     val posts = s.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("shingle"))
-      .withColumn("df", count(lit(1)).over(w))
-      .filter(col("df") >= 2 && col("df") <= dfCap)
-      .drop("df")
-    val a = posts.alias("a")
-    val b = posts.alias("b")
-    a.join(b, col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
+    val pairs = posts
+      .groupBy(col("shingle"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("n_sh")))).as("ds"))
+      .filter(size(col("ds")).between(2, dfCap))
+      .select(explode(expr(
+        """flatten(transform(ds, (a, i) ->
+          |  transform(slice(ds, i + 2, size(ds)),
+          |    b -> struct(a.doc_id AS doc_a, a.n_sh AS na,
+          |                b.doc_id AS doc_b, b.n_sh AS nb))))""".stripMargin)).as("p"))
+    pairs
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        col("p.na").as("na"), col("p.nb").as("nb"))
       .agg(count(lit(1)).as("c"))
       .withColumn("jaccard",
         round(col("c").cast("double") / (col("na") + col("nb") - col("c")), 4))

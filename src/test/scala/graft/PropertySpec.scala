@@ -60,6 +60,18 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("salted two-stage compaction equals single-stage last-write-wins") {
+    samples(8).foreach { log =>
+      val df = log.map(_.toEvent).toDF()
+        .withColumn("id", get_json_object(col("data"), "$.id").cast("int"))
+      val plain = Transforms.lastWriteWins(df, col("id"))
+        .select("op", "id", "offset").as[(String, Int, Long)].collect().sorted.toSeq
+      val salted = Transforms.saltedLastWriteWins(df, col("id"), salt = 4)
+        .select("op", "id", "offset").as[(String, Int, Long)].collect().sorted.toSeq
+      assert(salted === plain, s"log=$log")
+    }
+  }
+
   test("splitting a log into batches gives the same state as one batch") {
     samples(8).zipWithIndex.foreach { case (log, i) =>
       val cut = 1 + (i * 7) % 28
