@@ -129,6 +129,76 @@ case class SlidingMinDistinct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** MinHash signature: for each of k seeded hash functions, the min over the
+  * input feature hashes. The per-seed hash is a splitmix64-style finalizer
+  * of (feature xor seeded golden-ratio step) — a tight O(n*k) codegen'd
+  * loop, replacing k interpreted `transform(...)` passes. */
+case class MinHashSig(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), IntegerType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<bigint>, int), got (${l.sql}, ${r.sql})")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_sig"
+
+  @inline private def mix(h: Long, seed: Long): Long = {
+    var z = h ^ (seed * 0x9E3779B97F4A7C15L)
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val k = b.asInstanceOf[Int]
+    val n = xs.numElements()
+    val out = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = xs.getLong(i)
+      var s = 0
+      while (s < k) {
+        val m = mix(h, s + 1L)
+        if (m < out(s)) out(s) = m
+        s += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val s = ctx.freshName("s"); val h = ctx.freshName("h")
+      val z = ctx.freshName("z"); val out = ctx.freshName("out")
+      s"""
+         |int $n = $a.numElements();
+         |long[] $out = new long[$b];
+         |java.util.Arrays.fill($out, Long.MAX_VALUE);
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $h = $a.getLong($i);
+         |  for (int $s = 0; $s < $b; $s++) {
+         |    long $z = $h ^ (($s + 1L) * 0x9E3779B97F4A7C15L);
+         |    $z = ($z ^ ($z >>> 30)) * 0xBF58476D1CE4E5B9L;
+         |    $z = ($z ^ ($z >>> 27)) * 0x94D049BB133111EBL;
+         |    $z = $z ^ ($z >>> 31);
+         |    if ($z < $out[$s]) $out[$s] = $z;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): MinHashSig =
+    copy(left = newLeft, right = newRight)
+}
+
 object TextFunctions {
   /** Register `graft_simhash64` / `graft_sliding_min_distinct`. Idempotent. */
   def register(spark: SparkSession): Unit = {
@@ -137,5 +207,7 @@ object TextFunctions {
       exprs => SimHash64(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_sliding_min_distinct",
       exprs => SlidingMinDistinct(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_minhash_sig",
+      exprs => MinHashSig(exprs(0), exprs(1)), "scala_udf")
   }
 }

@@ -41,6 +41,25 @@ object EventTime {
       .groupBy(session_window(col("ts"), gap), col("user_id"))
       .agg(count(lit(1)).as("n"))
       .select(col("session_window.start").as("win_start"), col("user_id"), col("n"))
+
+  /** Stream-stream inner join with event-time bounds: each purchase joins
+    * signups of the same user within [signup, signup + horizon]. Watermarks
+    * on both sides + the time-range condition let the engine expire join
+    * state — without them, stream-stream join state grows forever. */
+  def purchaseAttribution(purchases: DataFrame, signups: DataFrame,
+                          horizon: String = "1 hour",
+                          lateness: String = "10 minutes"): DataFrame = {
+    val p = purchases.withWatermark("ts", lateness)
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+    val s = signups.withWatermark("ts", lateness)
+      .select(col("event_id").as("s_id"), col("user_id").as("s_user"),
+        col("ts").as("s_ts"))
+    p.join(s,
+      col("p_user") === col("s_user") &&
+        col("p_ts") >= col("s_ts") &&
+        col("p_ts") <= col("s_ts") + expr(s"INTERVAL $horizon"))
+  }
 }
 
 /** Cross-batch keyed state: last-write-wins that survives events for one pk

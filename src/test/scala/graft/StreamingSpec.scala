@@ -50,6 +50,26 @@ class StreamingSpec extends SparkSpec {
     assert(sessions.map(_.getAs[Long]("n")).toSeq === Seq(2L, 1L))
   }
 
+  test("stream-stream join attributes purchases to signups within the horizon") {
+    val purchases = MemoryStream[Ev](spark)
+    val signups = MemoryStream[Ev](spark)
+    // Ev lacks event_id; reuse user_id-bearing frame with an id column
+    val p = purchases.toDF().withColumn("event_id", (col("value") * 100).cast("long"))
+    val s = signups.toDF().withColumn("event_id", (col("value") * 100).cast("long"))
+    val q = EventTime.purchaseAttribution(p, s, horizon = "1 hour")
+      .writeStream.outputMode("append").format("memory").queryName("attr").start()
+    signups.addData(Ev(ts("2024-01-01 10:00:00"), "signup", 1.0, 7))
+    purchases.addData(
+      Ev(ts("2024-01-01 10:30:00"), "purchase", 2.0, 7),  // within horizon
+      Ev(ts("2024-01-01 12:30:00"), "purchase", 3.0, 7),  // past horizon
+      Ev(ts("2024-01-01 10:30:00"), "purchase", 4.0, 8))  // other user
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("attr").collect()
+    assert(rows.length === 1)
+    assert(rows.head.getAs[Long]("p_id") === 200L)
+    assert(rows.head.getAs[Long]("s_id") === 100L)
+  }
+
   test("KeyedLastWrite: stale cross-batch replays never clobber newer state") {
     implicit val s = spark
     val mem = MemoryStream[ChangeEvent](spark)
