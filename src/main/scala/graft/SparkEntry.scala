@@ -33,6 +33,7 @@ object SparkEntry {
     "q_distinct"       -> ((s, d) => Relational.distinctAgg(s, d)),
     "q_topk"           -> ((s, d) => Relational.topK(s, d)),
     "q_anti_join"      -> ((s, d) => Relational.antiJoin(s, d)),
+    "q_outer_join"     -> ((s, d) => Relational.outerJoin(s, d)),
     "q_semi_join"      -> ((s, d) => Relational.semiJoin(s, d)),
     "q_except_diff"    -> ((s, d) => Relational.exceptDiff(s, d)),
     "q_intersect"      -> ((s, d) => Relational.intersectOp(s, d)),
@@ -51,6 +52,7 @@ object SparkEntry {
     // ---- LLM-data-pipeline ops ----
     "q_dedup_exact"    -> ((s, d) => Dedup.exact(s, d)),
     "q_dedup_ngram"    -> ((s, d) => Dedup.ngramJaccard(s, d)),
+    "q_dedup_pipeline" -> ((s, d) => Dedup.dedupPipeline(s, d)),
     "q_dedup_minhash"  -> ((s, d) => Dedup.minhashLsh(s, d)),
     "q_simhash"        -> ((s, d) => Dedup.simhash(s, d)),
     "q_simhash_pairs"  -> ((s, d) => Dedup.simhashPairs(s, d)),
@@ -141,6 +143,13 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM orders
         |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
         |ORDER BY c_custkey""".stripMargin,
+
+    "q_outer_join" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+        | round(coalesce(sum(o_totalprice), 0), 2) AS total
+        |FROM customer LEFT JOIN orders
+        |  ON o_custkey = c_custkey AND o_totalprice > 400000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_semi_join" ->
       """SELECT c_nationkey, count(*) AS n FROM customer
@@ -257,6 +266,22 @@ object SparkEntry {
 
     "q_dedup_ngram" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |s AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - 2),
+        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh FROM d),
+        |p AS (SELECT doc_id, n_sh, shingle FROM
+        |        (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM s)
+        |      QUALIFY count(*) OVER (PARTITION BY shingle) <= 128),
+        |j AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb,
+        |        count(*) AS c
+        |      FROM p a JOIN p b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2, 3, 4)
+        |SELECT doc_a, doc_b, round(CAST(c AS DOUBLE) / (na + nb - c), 4) AS jaccard
+        |FROM j WHERE round(CAST(c AS DOUBLE) / (na + nb - c), 4) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_dedup_pipeline" ->
+      """WITH sv AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
+        |d AS (SELECT doc_id, string_split(text, ' ') AS t FROM sv),
         |s AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - 2),
         |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh FROM d),
         |p AS (SELECT doc_id, n_sh, shingle FROM

@@ -31,7 +31,10 @@ object Dedup {
   /** Distinct word-3-gram shingles per doc (order-sensitive — robust where
     * bag-of-words Jaccard saturates on a small vocabulary). */
   private def shingled(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents")
+    shingledOf(Tables(spark, dir, "documents"))
+
+  private def shingledOf(docs: DataFrame): DataFrame =
+    docs
       .withColumn("t", split(col("text"), " "))
       .withColumn("sh", expr(
         "array_distinct(transform(sequence(1, greatest(size(t) - 2, 1)), " +
@@ -48,8 +51,10 @@ object Dedup {
     * near-dup signal). Exact for pairs whose shared shingles are all below
     * the cap; the LSH variant below is the fully sub-quadratic path. */
   def ngramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.5,
-                   dfCap: Int = 128): DataFrame = {
-    val s = shingled(spark, dir)
+                   dfCap: Int = 128): DataFrame =
+    ngramJaccardOn(shingled(spark, dir), threshold, dfCap)
+
+  private def ngramJaccardOn(s: DataFrame, threshold: Double, dfCap: Int): DataFrame = {
     // One shuffle to group postings per shingle; the df filter (2..dfCap,
     // df=1 contributes nothing, df>dfCap is the semantic stop-shingle cap
     // mirrored in the oracle) is a size() check on the grouped list, and
@@ -128,6 +133,19 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** The standard two-tier dedup pipeline: exact dedup first (drop byte
+    * copies, keep the min-id representative — at crawl scale this removes
+    * the bulk of duplication for the price of one hash-groupBy), then
+    * near-dup detection over the survivors. Keeps the near-dup tier's
+    * quadratic-in-duplication cost from ever seeing exact copies. */
+  def dedupPipeline(spark: SparkSession, dir: String, threshold: Double = 0.5,
+                    dfCap: Int = 128): DataFrame = {
+    val survivors = Tables(spark, dir, "documents")
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    ngramJaccardOn(shingledOf(survivors), threshold, dfCap)
   }
 
   /** SimHash: 64-bit fingerprint — bit j of the fingerprint is the sign of

@@ -141,6 +141,18 @@ object Relational {
       .orderBy(col("c_custkey"))
   }
 
+  /** Left-outer join + null-preserving aggregation: every customer with
+    * their count/total of large orders (0 where none). */
+  def outerJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val o = t(spark, dir, "orders").filter(col("o_totalprice") > 400000)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        round(coalesce(sum(col("o_totalprice")), lit(0d)), 2).as("total"))
+      .orderBy(col("c_custkey"))
+  }
+
   /** Left-semi join + agg: customers having orders, counted per nation. */
   def semiJoin(spark: SparkSession, dir: String): DataFrame = {
     val c = t(spark, dir, "customer")
