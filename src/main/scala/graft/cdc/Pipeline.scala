@@ -103,11 +103,35 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
   }
 
   /** `start`: bootstrap + one streaming query applying all syncs per
-    * micro-batch. Returns the running query (caller stops it). */
+    * micro-batch. Returns the running query (caller stops it).
+    *
+    * @param monotonic when true, the envelope stream first passes through
+    *   [[graft.streaming.KeyedLastWrite.latestPerKey]]: per-(table, pk)
+    *   offset high-water marks in keyed state suppress stale events that
+    *   arrive in a LATER micro-batch than a newer event they were reordered
+    *   past (SURVEY.md §7 hard part 1 — within-batch reordering is already
+    *   handled by B1 compaction; this closes the cross-batch case at the
+    *   cost of keyed state proportional to live keys).
+    */
   def start(checkpointDir: String,
-            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+            trigger: Trigger = Trigger.AvailableNow(),
+            monotonic: Boolean = false): StreamingQuery = {
     backfillIfNeeded()
-    source.changes.writeStream
+    val changes =
+      if (!monotonic) source.changes
+      else {
+        implicit val sp: SparkSession = spark
+        import sp.implicits._
+        val pkOfEvent: ChangeEvent => String = {
+          val pkByTable = config.syncs.map(s => s.table -> s.pk).toMap
+          e => pkByTable.get(e.table)
+            .flatMap(pk => Pipeline.jsonField(e.data, pk))
+            .getOrElse("")
+        }
+        graft.streaming.KeyedLastWrite
+          .latestPerKey(source.changes.as[ChangeEvent], pkOfEvent).toDF()
+      }
+    changes.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -137,4 +161,19 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
 
   /** Read one sync's current sink state (test/inspection helper). */
   def sinkState(sync: SyncConfig): DataFrame = spark.read.parquet(statePath(sync))
+}
+
+object Pipeline {
+  /** Extract a top-level field from a JSON object string as a stable string
+    * key (executor-side; uses Spark's shaded-in Jackson). */
+  private[cdc] def jsonField(json: String, field: String): Option[String] = {
+    try {
+      val node = JsonMapper.mapper.readTree(json).get(field)
+      if (node == null || node.isNull) None else Some(node.asText())
+    } catch { case _: Exception => None }
+  }
+
+  private object JsonMapper {
+    lazy val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  }
 }

@@ -98,6 +98,25 @@ class PipelineSpec extends SparkSpec {
     assert(fired.get() >= 1)
   }
 
+  test("monotonic mode: stale cross-batch replay cannot clobber newer state") {
+    val sinkRoot = tmpDir("sink")
+    val ckpt = tmpDir("ckpt")
+    val sync = SyncConfig("t", pk = "id", schema = Some(StructType(Seq(
+      StructField("id", IntegerType), StructField("age", IntegerType)))))
+    val src = new MemoryCdcSource(spark)
+    val pipe = new Pipeline(spark, PipelineConfig(Seq(sync)), src, sinkRoot)
+    src.addEvents(ChangeEvent("create", "t", 10, ts("2024-01-01 00:00:10"),
+      """{"id": 1, "age": 46}"""))
+    val q1 = pipe.start(ckpt, monotonic = true)
+    q1.processAllAvailable(); q1.stop()
+    // batch 2 delivers a STALE event (offset 5 < 10) for the same pk
+    src.addEvents(ChangeEvent("update", "t", 5, ts("2024-01-01 00:00:05"),
+      """{"id": 1, "age": 99}"""))
+    val q2 = pipe.start(ckpt, monotonic = true)
+    q2.processAllAvailable(); q2.stop()
+    assert(pipe.sinkState(sync).collect().toSeq === Seq(Row(1, 46)))
+  }
+
   test("backfill + refresh + check against fixture tables") {
     val sinkRoot = tmpDir("sink")
     val sync = SyncConfig("region", pk = "r_regionkey", full = true,
