@@ -40,6 +40,8 @@ object SparkEntry {
     "q_udaf_wavg"      -> ((s, d) => Relational.udafWavg(s, d)),
     "q_scalar_funcs"   -> ((s, d) => Relational.scalarFuncs(s, d)),
     "q_json"           -> ((s, d) => Relational.jsonExtract(s, d)),
+    "q_explode"        -> ((s, d) => Relational.explodeTokens(s, d)),
+    "q_string_agg"     -> ((s, d) => Relational.stringAgg(s, d)),
     "q_time_window"    -> ((s, d) => Relational.timeWindow(s, d)),
     "q_session_window" -> ((s, d) => Relational.sessionWindows(s, d)),
     "q_percentile"     -> ((s, d) => Relational.percentiles(s, d)),
@@ -186,6 +188,17 @@ object SparkEntry {
       """SELECT CAST(props->>'$.k' AS BIGINT) % 10 AS k_bucket,
         | count(*) AS n, round(sum(value), 2) AS total
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_explode" ->
+      """SELECT token, count(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |GROUP BY 1 ORDER BY n DESC, token LIMIT 25""".stripMargin,
+
+    "q_string_agg" ->
+      """SELECT n_name, string_agg(c_name, ',' ORDER BY c_name) AS names,
+        | count(*) AS n_cust
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_time_window" ->
       """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_start,

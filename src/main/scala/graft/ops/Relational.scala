@@ -241,6 +241,26 @@ object Relational {
         col("n"), col("total"))
       .orderBy(col("user_id"), col("sess_start"))
 
+  /** Generator / UDTF row: explode tokens and count the top terms. */
+  def explodeTokens(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(25)
+
+  /** Ordered string aggregation per group. */
+  def stringAgg(spark: SparkSession, dir: String): DataFrame = {
+    val n = t(spark, dir, "nation")
+    val c = t(spark, dir, "customer")
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(array_join(array_sort(collect_list(col("c_name"))), ",").as("names"),
+        count(lit(1)).as("n_cust"))
+      .orderBy(col("n_name"))
+  }
+
   /** Counts across all fixture tables — the `check` command's source side
     * (S5) widened to every table. */
   def checkCounts(spark: SparkSession, dir: String): DataFrame = {
