@@ -64,6 +64,7 @@ object SparkEntry {
     "q_lang_id"        -> ((s, d) => TextAnalysis.langId(s, d)),
     "q_text_quality"   -> ((s, d) => TextAnalysis.quality(s, d)),
     "q_token_count"    -> ((s, d) => TextAnalysis.tokenCount(s, d)),
+    "q_chunk"          -> ((s, d) => TextAnalysis.chunk(s, d)),
     "q_fingerprint"    -> ((s, d) => TextAnalysis.fingerprint(s, d)),
     "q_winnow"         -> ((s, d) => TextAnalysis.winnow(s, d)),
     "q_multimodal_meta" -> ((s, d) => Multimodal.metaQuery(s, d))
@@ -370,6 +371,15 @@ object SparkEntry {
         | CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT)
         |   AS bpeish_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_chunk" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |c AS (SELECT doc_id, unnest(generate_series(0, (len(toks) - 1) // 48)) AS chunk_id,
+        |        toks FROM d)
+        |SELECT doc_id, chunk_id,
+        | CAST(len(toks[chunk_id * 48 + 1 : chunk_id * 48 + 64]) AS BIGINT) AS n_chunk_tokens,
+        | md5(array_to_string(toks[chunk_id * 48 + 1 : chunk_id * 48 + 64], ' ')) AS chunk_md5
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
 
     "q_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp

@@ -80,6 +80,25 @@ object TextAnalysis {
       md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("fp"))
       .orderBy(col("doc_id"))
 
+  /** Fixed-size token chunking with overlap — the standard context-window
+    * preparation step for a training pipeline: chunk i covers tokens
+    * [i*step, i*step + size), step = size - overlap. Emits a digest + token
+    * count per chunk (the compact, join-friendly shape; the chunk text
+    * itself is `concat_ws` of the same slice). Pure per-row HOF work. */
+  def chunk(spark: SparkSession, dir: String, chunkSize: Int = 64,
+            overlap: Int = 16): DataFrame = {
+    val step = chunkSize - overlap
+    Tables(spark, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, (size(toks) - 1) div $step), " +
+          s"i -> slice(toks, i * $step + 1, $chunkSize))")).as(Seq("chunk_id", "chunk")))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        size(col("chunk")).cast("long").as("n_chunk_tokens"),
+        md5(concat_ws(" ", col("chunk"))).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
   /** Winnowing fingerprints (Schleimer et al., SIGMOD'03): hash all k-char
     * grams, take the min hash of each sliding window of w grams, emit the
     * distinct selected hashes. Guarantees any shared substring of length
