@@ -6,6 +6,15 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
 
+/** U1 plugin surface (reference `plugin.py:8-22`): `preEvent` transforms run
+  * on each sync's projected view before compaction (the reference's
+  * `pre_event`, 1-row -> 1-row, here as whole-DataFrame transforms so they
+  * stay declarative and codegen'd); `postBatch` callbacks fire after each
+  * sync's batch is applied (the reference's `post_event`, batched). */
+final case class PluginHooks(
+    preEvent: Seq[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame] = Seq.empty,
+    postBatch: Seq[(String, Long) => Unit] = Seq.empty)
+
 /** The three entry points of the reference (`main.py`): `start` (streaming
   * sync with optional bootstrap backfill), `refresh` (atomic rebuild),
   * `check` (consistency) — re-expressed on Structured Streaming + batch jobs.
@@ -18,15 +27,6 @@ import org.apache.spark.sql.types._
   * buffer unflushed forever — SURVEY.md §2.3) cannot occur: every micro-batch
   * flushes.
   */
-/** U1 plugin surface (reference `plugin.py:8-22`): `preEvent` transforms run
-  * on each sync's projected view before compaction (the reference's
-  * `pre_event`, 1-row -> 1-row, here as whole-DataFrame transforms so they
-  * stay declarative and codegen'd); `postBatch` callbacks fire after each
-  * sync's batch is applied (the reference's `post_event`, batched). */
-final case class PluginHooks(
-    preEvent: Seq[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame] = Seq.empty,
-    postBatch: Seq[(String, Long) => Unit] = Seq.empty)
-
 final class Pipeline(spark: SparkSession, config: PipelineConfig,
                      source: CdcSource, sinkRoot: String,
                      hooks: PluginHooks = PluginHooks()) {
