@@ -26,6 +26,16 @@ class FormatsSpec extends SparkSpec {
     // each micro-batch join shuffles only the (small) batch side. Evidence:
     // the join plan reads the bucketed table with no Exchange above its scan.
     spark.sql("DROP TABLE IF EXISTS state_bucketed")
+    // a previous JVM's run may have left the managed location behind while
+    // this session's in-memory catalog has no such table — clear both
+    val loc = new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath,
+      "state_bucketed")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    if (loc.exists()) rm(loc)
     ops.Tables(spark, sf, "customer")
       .write.mode("overwrite")
       .bucketBy(8, "c_custkey").sortBy("c_custkey")
