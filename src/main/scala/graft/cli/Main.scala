@@ -50,8 +50,15 @@ object Main {
   private def run(cmd: String, props: java.util.Properties, rest: List[String],
                   spark: org.apache.spark.sql.SparkSession): Unit = {
     val cfg = parseConfig(props)
-    val source = new ParquetCdcSource(spark,
-      props.getProperty("feed.dir"), props.getProperty("table.dir"))
+    // feed.format=graft-cdc selects the V2 MicroBatchStream source (chunked
+    // tsv feed, offsets in the checkpoint); default is the parquet envelope
+    // feed
+    val source: graft.cdc.CdcSource =
+      if (props.getProperty("feed.format") == "graft-cdc")
+        new graft.cdc.V2CdcSource(spark, props.getProperty("feed.dir"),
+          props.getProperty("table.dir"), tables = cfg.tables)
+      else new ParquetCdcSource(spark,
+        props.getProperty("feed.dir"), props.getProperty("table.dir"))
     val pipe = new Pipeline(spark, cfg, source, props.getProperty("sink.root"))
     cmd match {
       case "start" =>

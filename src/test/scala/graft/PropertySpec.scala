@@ -60,6 +60,20 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("projection/rename round-trip: renaming out and back is identity") {
+    import graft.cdc.Transforms
+    import graft.model.{FieldMapping, SyncConfig}
+    val base = Seq((1, "a", 2.0), (2, "b", 3.5)).toDF("id", "name", "score")
+    val out = Transforms.projectAndCoerce(base, SyncConfig("t", pk = "id",
+      fields = Seq(FieldMapping("id", Some("pk")), FieldMapping("name", Some("label")),
+        FieldMapping("score"))))
+    val back = Transforms.projectAndCoerce(out, SyncConfig("t", pk = "pk",
+      fields = Seq(FieldMapping("pk", Some("id")), FieldMapping("label", Some("name")),
+        FieldMapping("score"))))
+    assert(back.columns.toSeq === base.columns.toSeq)
+    assert(back.collect().toSeq === base.collect().toSeq)
+  }
+
   test("salted two-stage compaction equals single-stage last-write-wins") {
     samples(8).foreach { log =>
       val df = log.map(_.toEvent).toDF()
