@@ -159,12 +159,14 @@ object Dedup {
     * hash array once per bit under Catalyst's project collapsing, and an
     * explode + 64-sum groupBy pays a shuffle for features that already sit
     * in one row.) */
-  def simhash(spark: SparkSession, dir: String): DataFrame = {
+  def simhash(spark: SparkSession, dir: String): DataFrame =
+    simhashRaw(spark, dir).orderBy(col("doc_id"))
+
+  private def simhashRaw(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.TextFunctions.register(spark)
     shingled(spark, dir)
       .select(col("doc_id"),
         expr("graft_simhash64(transform(sh, t -> xxhash64(t)))").as("simhash"))
-      .orderBy(col("doc_id"))
   }
 
   /** SimHash near-dup pairs: banded candidate join (4 x 16-bit blocks — any
@@ -173,7 +175,7 @@ object Dedup {
     * bits cluster in few blocks), then exact hamming verification via
     * bit_count(xor). */
   def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 8): DataFrame = {
-    val fp = simhash(spark, dir)
+    val fp = simhashRaw(spark, dir) // no ordering — it would just feed a join
       .withColumn("block", explode(expr(
         "transform(sequence(0, 3), b -> named_struct('id', b, 'v', shiftright(simhash, b * 16) & 65535))")))
       .select(col("doc_id"), col("simhash"), col("block.id").as("block_id"),
