@@ -12,6 +12,14 @@ class OpsSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("entry works on a driver-shaped session without graft configs") {
+    // the driver smoke-checks entry() with ITS session, which won't carry
+    // nanosAsLong etc. — entry must not depend on GraftSession settings
+    val plain = spark.newSession()
+    plain.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    assert(SparkEntry.entry(plain).count() > 0)
+  }
+
   test("every declared query runs and every oracle key has a query") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
