@@ -59,13 +59,16 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
 
   /** One sync's view of the envelope stream: F1 table filter + F2 op filter
     * + payload parse + P1/P2 projection/rename/coercion, with the envelope's
-    * op/offset kept for compaction and apply. All declarative — Catalyst
-    * prunes the JSON parse to the referenced fields. */
+    * op/offset kept for compaction and apply, plus the field-presence mask
+    * (which raw-JSON keys the event actually carried — output names) so the
+    * sink can distinguish explicit-null from absent fields. All declarative —
+    * Catalyst prunes the JSON parse to the referenced fields. */
   private def syncView(events: DataFrame, sync: SyncConfig): DataFrame = {
     val parsed = Transforms.parsePayload(
       Transforms.opFilter(Transforms.tableFilter(events, Seq(sync.table))), sync)
     val payload = sync.schema.get
-    val cols = Seq(col("op"), col("table"), col("offset")) ++ mappings(sync).map { m =>
+    val ms = mappings(sync)
+    val projected = ms.map { m =>
       val dt = payload.fields.find(_.name == m.src).getOrElse(
         throw new IllegalArgumentException(s"no payload column '${m.src}'")).dataType
       val c = dt match {
@@ -76,7 +79,11 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
       }
       c.as(m.out)
     }
-    parsed.select(cols: _*)
+    val present = filter(
+      array(ms.map(m =>
+        when(array_contains(expr("json_object_keys(data)"), m.src), lit(m.out))): _*),
+      x => x.isNotNull).as(UpsertSink.PresentCol)
+    parsed.select(Seq(col("op"), col("table"), col("offset")) ++ projected :+ present: _*)
   }
 
   /** Apply one micro-batch for one sync: B1 compaction then K1 upsert,
@@ -90,14 +97,14 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
     val next = UpsertSink.applyBatch(state, compacted, pk)
     val tmp = statePath(sync) + ".next"
     next.write.mode("overwrite").parquet(tmp)
-    UpsertSink.atomicSwapDirs(tmp, statePath(sync))
+    UpsertSink.atomicSwapDirs(spark, tmp, statePath(sync))
     hooks.postBatch.foreach(_(sync.table, batchId))
   }
 
   /** K3 bootstrap backfill: if `sync.full` and the sink is absent, load the
     * full scan before tailing (`main.py:84-101`). */
   def backfillIfNeeded(): Unit = config.syncs.foreach { sync =>
-    if (sync.full && !new java.io.File(statePath(sync)).exists()) {
+    if (sync.full && !UpsertSink.liveExists(spark, statePath(sync))) {
       SwapRefresh.refresh(source.fullScan(sync), statePath(sync)); ()
     }
   }
@@ -122,11 +129,13 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
       else {
         implicit val sp: SparkSession = spark
         import sp.implicits._
-        val pkOfEvent: ChangeEvent => String = {
+        // None (unknown table / missing / unparseable pk) => the event passes
+        // through un-suppressed rather than sharing a keyed-state channel
+        // with every other pk-less event (ADVICE r01: "" collapsed them all)
+        val pkOfEvent: ChangeEvent => Option[String] = {
           val pkByTable = config.syncs.map(s => s.table -> s.pk).toMap
           e => pkByTable.get(e.table)
             .flatMap(pk => Pipeline.jsonField(e.data, pk))
-            .getOrElse("")
         }
         graft.streaming.KeyedLastWrite
           .latestPerKey(source.changes.as[ChangeEvent], pkOfEvent).toDF()
@@ -153,7 +162,7 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
   /** `check`: source count vs sink count per sync (`main.py:179-208`). */
   def check(): Map[String, (Long, Long)] = config.syncs.map { s =>
     val sinkCount =
-      if (new java.io.File(statePath(s)).exists())
+      if (UpsertSink.liveExists(spark, statePath(s)))
         spark.read.parquet(statePath(s)).count()
       else 0L
     s.table -> (source.count(s), sinkCount)

@@ -22,7 +22,7 @@ object SwapRefresh {
     val staging = livePath + ".staging"
     fresh.write.mode("overwrite").parquet(staging)
     val n = fresh.sparkSession.read.parquet(staging).count()
-    UpsertSink.atomicSwapDirs(staging, livePath)
+    UpsertSink.atomicSwapDirs(fresh.sparkSession, staging, livePath)
     n
   }
 }

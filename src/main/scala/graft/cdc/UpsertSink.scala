@@ -23,32 +23,49 @@ import org.apache.spark.sql.functions._
   */
 object UpsertSink {
 
+  /** Column name of the optional field-presence mask: an array of payload
+    * column names that the event's raw payload actually carried. With it,
+    * an explicitly-null field OVERWRITES the stored value (Meilisearch
+    * `update_documents` overwrites every listed field, null included) and
+    * only genuinely absent fields keep the old value. */
+  val PresentCol = "_present"
+
   /** Apply one micro-batch of per-pk-compacted change rows to the current
     * state table.
     *
     * @param state   current table state (columns = payload columns; may be empty)
     * @param changes batch rows: an `op` column + payload columns, already
     *                last-write-wins-compacted per pk ([[Transforms.lastWriteWins]]).
-    *                For partial updates, absent fields are null.
+    *                May carry a [[PresentCol]] field-presence mask; without
+    *                it, null fields are treated as absent (explicit-NULL
+    *                updates are then unsupported — the coalesce fallback).
     * @param pk      primary-key column name
     * @return        new state
     */
   def applyBatch(state: DataFrame, changes: DataFrame, pk: String): DataFrame = {
     val payloadCols = state.columns.toSeq
     require(payloadCols.contains(pk), s"state table has no pk column '$pk'")
+    val hasMask = changes.columns.contains(PresentCol)
 
     val s = state.alias("s")
     val c = changes.alias("c")
     val joined = s.join(c, col(s"s.$pk") === col(s"c.$pk"), "full_outer")
 
     // Row survives unless the change for its pk is a delete; column-wise:
-    // changed (non-null) fields win, otherwise keep existing value. A
-    // `create`/`update` for an absent pk inserts the event's fields.
+    // a `create` replaces the whole document (reference add_documents,
+    // `meili.py:129`), an `update` overwrites exactly the fields the event
+    // carried (mask) / the non-null fields (no mask), keeping the rest.
     val merged = joined
       .filter(col("c.op").isNull || col("c.op") =!= Op.Delete)
       .select(payloadCols.map { name =>
+        val applied =
+          if (hasMask)
+            when(col("c.op") === Op.Create, col(s"c.$name"))
+              .otherwise(when(array_contains(col(s"c.$PresentCol"), name), col(s"c.$name"))
+                .otherwise(col(s"s.$name")))
+          else coalesce(col(s"c.$name"), col(s"s.$name"))
         when(col("c.op").isNull, col(s"s.$name"))            // unchanged row
-          .otherwise(coalesce(col(s"c.$name"), col(s"s.$name")))
+          .otherwise(applied)
           .as(name)
       }: _*)
     merged
@@ -72,36 +89,55 @@ object UpsertSink {
     // keeps the apply atomic without a table format in the offline harness
     val tmp = statePath + ".next"
     next.write.mode("overwrite").parquet(tmp)
-    atomicSwapDirs(tmp, statePath)
+    atomicSwapDirs(spark, tmp, statePath)
   }
 
   def currentState(
       spark: SparkSession,
       statePath: String,
       schema: org.apache.spark.sql.types.StructType
-  ): DataFrame = {
-    val p = new java.io.File(statePath)
-    if (p.exists()) spark.read.parquet(statePath)
+  ): DataFrame =
+    if (liveExists(spark, statePath)) spark.read.parquet(statePath)
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+  /** Resolve a path against the session's Hadoop conf — works for local,
+    * HDFS, S3A, … (a bare `java.io.File` probe silently treats any remote
+    * sink as absent — ADVICE r01). */
+  private def hfs(spark: SparkSession, p: String) = {
+    val path = new org.apache.hadoop.fs.Path(p)
+    (path.getFileSystem(spark.sparkContext.hadoopConfiguration), path)
+  }
+
+  /** True iff the live state dir exists, after healing any interrupted swap. */
+  def liveExists(spark: SparkSession, live: String): Boolean = {
+    recoverSwap(spark, live)
+    val (fs, p) = hfs(spark, live)
+    fs.exists(p)
+  }
+
+  /** Heal [[atomicSwapDirs]]'s crash window: a crash between the two renames
+    * leaves no live dir but a complete `.old` — restore it. The state then
+    * reflects the pre-batch version; the streaming checkpoint replays the
+    * un-committed batch and the idempotent apply makes the replay safe. */
+  private[cdc] def recoverSwap(spark: SparkSession, live: String): Unit = {
+    val (fs, p) = hfs(spark, live)
+    val old = new org.apache.hadoop.fs.Path(live + ".old")
+    if (!fs.exists(p) && fs.exists(old)) { fs.rename(old, p); () }
   }
 
   /** Directory pointer swap (stand-in for Delta/Iceberg atomic commit in the
-    * zero-dependency harness): move live aside, move next into place. */
-  private[cdc] def atomicSwapDirs(next: String, live: String): Unit = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    val livePath = Paths.get(live)
-    val old = Paths.get(live + ".old")
-    deleteRecursively(old)
-    if (Files.exists(livePath)) Files.move(livePath, old, StandardCopyOption.ATOMIC_MOVE)
-    Files.move(Paths.get(next), livePath, StandardCopyOption.ATOMIC_MOVE)
-    deleteRecursively(old)
-  }
-
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    import java.nio.file.Files
-    if (Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
-    }
+    * zero-dependency harness): move live aside, move next into place. Each
+    * rename is atomic (same-volume dir rename); the window between them is
+    * recoverable — every read path calls [[recoverSwap]] first. */
+  private[cdc] def atomicSwapDirs(spark: SparkSession, next: String, live: String): Unit = {
+    recoverSwap(spark, live) // heal any earlier interrupted swap first
+    val (fs, livePath) = hfs(spark, live)
+    val old = new org.apache.hadoop.fs.Path(live + ".old")
+    if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(livePath)) require(fs.rename(livePath, old), s"rename $live -> $old failed")
+    require(fs.rename(new org.apache.hadoop.fs.Path(next), livePath),
+      s"rename $next -> $live failed")
+    if (fs.exists(old)) fs.delete(old, true)
+    ()
   }
 }

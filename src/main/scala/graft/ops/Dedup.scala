@@ -33,12 +33,17 @@ object Dedup {
   private def shingled(spark: SparkSession, dir: String): DataFrame =
     shingledOf(Tables(spark, dir, "documents"))
 
+  // Docs with < 3 tokens have NO shingles (empty array), mirroring the
+  // oracle's generate_series(1, len(t)-2); guarding with CASE (not
+  // greatest(...,1)) also keeps element_at in bounds under ANSI mode.
   private def shingledOf(docs: DataFrame): DataFrame =
     docs
       .withColumn("t", split(col("text"), " "))
       .withColumn("sh", expr(
-        "array_distinct(transform(sequence(1, greatest(size(t) - 2, 1)), " +
-          "i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))"))
+        "case when size(t) >= 3 then " +
+          "array_distinct(transform(sequence(1, size(t) - 2), " +
+          "i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)))) " +
+          "else cast(array() as array<string>) end"))
       .select(col("doc_id"), col("sh"), size(col("sh")).as("n_sh"))
 
   /** N-gram-Jaccard near-dup pairs via inverted index:
@@ -102,7 +107,10 @@ object Dedup {
   def minhashLsh(spark: SparkSession, dir: String, threshold: Double = 0.5,
                  numHashes: Int = 16, bands: Int = 8): DataFrame = {
     val r = numHashes / bands
-    val docs = minhashed(spark, dir, numHashes)
+    // zero-shingle docs (< 3 tokens) have no near-dup signal and an
+    // all-MaxValue signature that would make them all mutual candidates
+    // (and a 0/0 Jaccard under ANSI) — exclude them up front
+    val docs = minhashed(spark, dir, numHashes).filter(col("n_sh") > 0)
     // Band join on (doc_id, band_hash) ONLY — a pair matching several bands
     // must not ship its shingle arrays once per match; ids dedupe first and
     // the shingle sets join back exactly once per verified pair side.
@@ -160,13 +168,14 @@ object Dedup {
     * explode + 64-sum groupBy pays a shuffle for features that already sit
     * in one row.) */
   def simhash(spark: SparkSession, dir: String): DataFrame =
-    simhashRaw(spark, dir).orderBy(col("doc_id"))
+    simhashRaw(spark, dir).select(col("doc_id"), col("simhash")).orderBy(col("doc_id"))
 
   private def simhashRaw(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.TextFunctions.register(spark)
     shingled(spark, dir)
       .select(col("doc_id"),
-        expr("graft_simhash64(transform(sh, t -> xxhash64(t)))").as("simhash"))
+        expr("graft_simhash64(transform(sh, t -> xxhash64(t)))").as("simhash"),
+        col("n_sh"))
   }
 
   /** SimHash near-dup pairs: banded candidate join (4 x 16-bit blocks — any
@@ -176,6 +185,7 @@ object Dedup {
     * bit_count(xor). */
   def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 8): DataFrame = {
     val fp = simhashRaw(spark, dir) // no ordering — it would just feed a join
+      .filter(col("n_sh") > 0) // zero-shingle docs all share fingerprint 0
       .withColumn("block", explode(expr(
         "transform(sequence(0, 3), b -> named_struct('id', b, 'v', shiftright(simhash, b * 16) & 65535))")))
       .select(col("doc_id"), col("simhash"), col("block.id").as("block_id"),

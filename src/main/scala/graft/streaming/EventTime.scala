@@ -75,9 +75,17 @@ object KeyedLastWrite {
   final case class Keyed(key: String, event: ChangeEvent)
   final case class MaxOffset(offset: Long)
 
+  /** Group key for events whose pk can't be extracted: such events PASS
+    * THROUGH un-suppressed (no keyed state) instead of being collapsed into
+    * one shared channel where distinct rows would suppress each other — the
+    * reference raises `KeyError` on a missing pk (`event.py:11`); silently
+    * dropping data is the one behavior this operator must never have. */
+  private val Passthrough = "\u0000nopk"
+
   /** Emit each event only if its offset advances its key's high-water mark.
     * Downstream sees a monotone per-key stream, so a stale update replayed
-    * late can never clobber a newer value.
+    * late can never clobber a newer value. Events where `pkOf` yields None
+    * are emitted unchanged (see [[Passthrough]]).
     *
     * @param evictAfter optional idle-key eviction (processing-time timeout)
     *   to bound state at scale. Off by default: with a timeout configured,
@@ -85,7 +93,7 @@ object KeyedLastWrite {
     *   timeouts, which busy-loops under the default trigger — production
     *   deployments enable it together with a real `Trigger.ProcessingTime`.
     */
-  def latestPerKey(events: Dataset[ChangeEvent], pkOf: ChangeEvent => String,
+  def latestPerKey(events: Dataset[ChangeEvent], pkOf: ChangeEvent => Option[String],
                    evictAfter: Option[String] = None)
                   (implicit spark: org.apache.spark.sql.SparkSession): Dataset[ChangeEvent] = {
     import spark.implicits._
@@ -93,10 +101,11 @@ object KeyedLastWrite {
       if (evictAfter.isDefined) GroupStateTimeout.ProcessingTimeTimeout
       else GroupStateTimeout.NoTimeout
     events
-      .groupByKey(e => s"${e.table}/${pkOf(e)}")
+      .groupByKey(e => pkOf(e).map(pk => s"${e.table}/$pk").getOrElse(Passthrough))
       .flatMapGroupsWithState[MaxOffset, ChangeEvent](OutputMode.Append, timeoutConf) {
-        (_: String, it: Iterator[ChangeEvent], state: GroupState[MaxOffset]) =>
+        (key: String, it: Iterator[ChangeEvent], state: GroupState[MaxOffset]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else if (key == Passthrough) it // no suppression, no state
           else {
             val seen = state.getOption.map(_.offset).getOrElse(Long.MinValue)
             val fresh = it.filter(_.offset > seen).toSeq

@@ -82,6 +82,25 @@ class OpsSpec extends SparkSpec {
     assert(one.head.getAs[Array[Byte]]("frame").length <= 64)
   }
 
+  test("dedup tiers survive docs with fewer than 3 tokens (ANSI mode)") {
+    // ADVICE r01: short docs must yield ZERO shingles (like the oracle's
+    // generate_series(1, len-2)), not crash element_at under ANSI
+    val dir = tmpDir("shortdocs")
+    Seq(
+      (0L, ""), (1L, "one"), (2L, "two words"),
+      (3L, "three little words"),
+      (4L, "a longer sentence that repeats a longer sentence that repeats"),
+      (5L, "a longer sentence that repeats a longer sentence that repeats"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val ngram = Dedup.ngramJaccard(spark, dir).collect()
+    assert(ngram.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((4L, 5L)))
+    assert(Dedup.minhashLsh(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet === Set((4L, 5L)))
+    assert(Dedup.simhash(spark, dir).count() === 6) // fingerprints all docs
+    // pipeline's exact tier collapses 4/5 into one survivor -> no pairs left
+    assert(Dedup.dedupPipeline(spark, dir).count() === 0)
+  }
+
   test("winnowing: near-identical docs share fingerprints") {
     val pairs = Dedup.ngramJaccard(spark, sf, threshold = 0.9)
       .select("doc_a", "doc_b").as[(Long, Long)].collect()

@@ -73,7 +73,7 @@ class StreamingSpec extends SparkSpec {
   test("KeyedLastWrite: stale cross-batch replays never clobber newer state") {
     implicit val s = spark
     val mem = MemoryStream[ChangeEvent](spark)
-    val out = KeyedLastWrite.latestPerKey(mem.toDS(), pkOf = _.data)
+    val out = KeyedLastWrite.latestPerKey(mem.toDS(), pkOf = e => Some(e.data))
     val q = out.writeStream.outputMode("append").format("memory")
       .queryName("lww").start()
     mem.addData(ChangeEvent("update", "t", 10, ts("2024-01-01 00:00:10"), "k1"))
@@ -85,5 +85,25 @@ class StreamingSpec extends SparkSpec {
     q.processAllAvailable(); q.stop()
     val emitted = spark.table("lww").as[ChangeEvent].collect()
     assert(emitted.map(_.offset).sorted.toSeq === Seq(10L, 20L)) // 5 suppressed
+  }
+
+  test("KeyedLastWrite: events with no extractable pk pass through un-suppressed") {
+    // ADVICE r01: keying pk-less events on "" collapsed distinct rows into
+    // one channel where they suppressed each other (silent data loss)
+    implicit val s = spark
+    val mem = MemoryStream[ChangeEvent](spark)
+    val out = KeyedLastWrite.latestPerKey(mem.toDS(),
+      pkOf = e => if (e.data.startsWith("k")) Some(e.data) else None)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("lww_nopk").start()
+    mem.addData(
+      ChangeEvent("update", "t", 30, ts("2024-01-01 00:00:30"), "row-a"),
+      ChangeEvent("update", "t", 10, ts("2024-01-01 00:00:10"), "row-b"))
+    q.processAllAvailable()
+    // a lower-offset pk-less event in a LATER batch must still come through
+    mem.addData(ChangeEvent("update", "t", 5, ts("2024-01-01 00:00:05"), "row-c"))
+    q.processAllAvailable(); q.stop()
+    val emitted = spark.table("lww_nopk").as[ChangeEvent].collect()
+    assert(emitted.map(_.data).sorted.toSeq === Seq("row-a", "row-b", "row-c"))
   }
 }

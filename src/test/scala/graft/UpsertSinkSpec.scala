@@ -39,6 +39,42 @@ class UpsertSinkSpec extends SparkSpec {
     assert(once.orderBy("id").collect().toSeq === twice.orderBy("id").collect().toSeq)
   }
 
+  test("presence mask: explicit NULL overwrites, absent field keeps old value") {
+    // ADVICE r01: with coalesce, an update could never null a column; the
+    // _present mask distinguishes explicit-null from absent (json keys)
+    val s0 = state((1, "ann", "nyc"), (2, "bob", "sf"))
+    val batch = changes(
+      ("update", 1, null, null),  // name explicitly nulled, city absent
+      ("update", 2, "bobby", null)) // name changed, city absent
+      .withColumn("_present", array(lit("id"), lit("name")))
+    val out = UpsertSink.applyBatch(s0, batch, "id").orderBy("id").collect().toSeq
+    assert(out === Seq(Row(1, null, "nyc"), Row(2, "bobby", "sf")))
+  }
+
+  test("presence mask: create replaces the whole document (add_documents)") {
+    val s0 = state((5, "old", "berlin"))
+    val batch = changes(("create", 5, "new", null))
+      .withColumn("_present", array(lit("id"), lit("name")))
+    // replace semantics: city not carried by the create -> null, not 'berlin'
+    val out = UpsertSink.applyBatch(s0, batch, "id").collect().toSeq
+    assert(out === Seq(Row(5, "new", null)))
+  }
+
+  test("interrupted swap recovers the pre-batch state on next read") {
+    // simulate the crash window: live moved aside to .old, next never moved in
+    val root = tmpDir("swapcrash")
+    val live = s"$root/t"
+    state((1, "ann", "nyc")).write.parquet(live)
+    state((1, "ann", "paris")).write.parquet(live + ".next")
+    import java.nio.file.{Files, Paths}
+    Files.move(Paths.get(live), Paths.get(live + ".old"))
+    assert(!Files.exists(Paths.get(live)))
+    val recovered = UpsertSink.currentState(spark, live,
+      state().schema)
+    assert(recovered.collect().toSeq === Seq(Row(1, "ann", "nyc")))
+    assert(Files.exists(Paths.get(live))) // healed on disk, not just in-memory
+  }
+
   test("create -> update -> delete on one pk within a batch nets to absence") {
     // reference event.py:10-13 last-write-wins, then delete applies
     val evs = Seq(
