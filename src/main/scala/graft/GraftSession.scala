@@ -25,6 +25,14 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // InferFiltersFromGenerate copies an explode's array-building
+      // expression into a synthesized size(..)>0 filter; after predicate
+      // pushdown that filter re-evaluates the whole expression (interpreted,
+      // with shared sub-projections re-inlined per reference) at the scan —
+      // measured 3-20x slowdowns on the shingling/chunking pipelines. The
+      // rows it would skip (empty arrays pre-explode) are negligible here.
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.ui.enabled", "false")
 
   def get(master: String = "local[32]", shufflePartitions: Int = 32): SparkSession = {

@@ -199,8 +199,116 @@ case class MinHashSig(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Distinct word n-gram shingles of a single-space-tokenized text, in
+  * first-occurrence order — semantically identical to
+  * `array_distinct(transform(sequence(1, size(t)-n+1), i -> concat_ws(' ',
+  * element_at(t,i)...)))` over `t = split(text, ' ')`, but ONE tight per-row
+  * loop instead of an interpreted higher-order-function tree. The HOF form
+  * is poison in two ways at scale: every `element_at(t, …)` reference gets
+  * `split(text)` re-inlined by collapsed projections when the expression is
+  * copied into a pushed-down predicate (InferFiltersFromGenerate /
+  * PushDownPredicates), and the whole tree is evaluated interpreted. Texts
+  * with fewer than n tokens yield an EMPTY array (DuckDB
+  * generate_series(1, len-2) parity). */
+case class WordShingles(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (_: StringType, IntegerType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string, int), got (${l.sql}, ${r.sql})")
+    }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_shingles"
+
+  override def nullSafeEval(t: Any, nAny: Any): Any = {
+    val grams = WordShingles.distinctGrams(t, nAny.asInstanceOf[Int])
+    val out = new Array[Any](grams.size)
+    val it = grams.iterator()
+    var k = 0
+    while (it.hasNext) {
+      out(k) = org.apache.spark.unsafe.types.UTF8String.fromString(it.next())
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("shingles", this, classOf[WordShingles].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) " +
+        s"$self.nullSafeEval($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): WordShingles =
+    copy(left = newLeft, right = newRight)
+}
+
+object WordShingles {
+  /** Shared tokenize + n-gram + dedupe loop (first-occurrence order, matching
+    * `array_distinct`). Tokenization matches `split(text, ' ', -1)`: single
+    * spaces, empty tokens preserved. */
+  private[functions] def distinctGrams(t: Any, n: Int): java.util.LinkedHashSet[String] = {
+    val toks = t.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      .toString.split(" ", -1)
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i <= toks.length - n) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+      seen.add(sb.toString)
+      i += 1
+    }
+    seen
+  }
+}
+
+/** xxhash64 (seed 42 — identical to Spark's `xxhash64` function) of each
+  * distinct word n-gram shingle: one fused pass replacing
+  * `transform(graft_shingles(text, n), s -> xxhash64(s))`, skipping the
+  * intermediate string array entirely for the MinHash/SimHash paths. */
+case class WordShingleHashes(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (_: StringType, IntegerType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string, int), got (${l.sql}, ${r.sql})")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_hashes"
+
+  override def nullSafeEval(t: Any, nAny: Any): Any = {
+    val grams = WordShingles.distinctGrams(t, nAny.asInstanceOf[Int])
+    val out = new Array[Long](grams.size)
+    val it = grams.iterator()
+    var k = 0
+    while (it.hasNext) {
+      val u = org.apache.spark.unsafe.types.UTF8String.fromString(it.next())
+      out(k) = XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("shingleHashes", this, classOf[WordShingleHashes].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) " +
+        s"$self.nullSafeEval($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): WordShingleHashes =
+    copy(left = newLeft, right = newRight)
+}
+
 object TextFunctions {
-  /** Register `graft_simhash64` / `graft_sliding_min_distinct`. Idempotent. */
+  /** Register `graft_simhash64` / `graft_sliding_min_distinct` / shingling. Idempotent. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("graft_simhash64",
@@ -209,5 +317,9 @@ object TextFunctions {
       exprs => SlidingMinDistinct(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_minhash_sig",
       exprs => MinHashSig(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_shingles",
+      exprs => WordShingles(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_shingle_hashes",
+      exprs => WordShingleHashes(exprs(0), exprs(1)), "scala_udf")
   }
 }

@@ -33,18 +33,29 @@ object Dedup {
   private def shingled(spark: SparkSession, dir: String): DataFrame =
     shingledOf(Tables(spark, dir, "documents"))
 
-  // Docs with < 3 tokens have NO shingles (empty array), mirroring the
-  // oracle's generate_series(1, len(t)-2); guarding with CASE (not
-  // greatest(...,1)) also keeps element_at in bounds under ANSI mode.
-  private def shingledOf(docs: DataFrame): DataFrame =
+  // Shingling runs in [[graft.functions.WordShingles]] — one codegen'd
+  // per-row loop. (The HOF formulation — array_distinct(transform(sequence,
+  // i -> concat_ws(element_at…))) — was 20x slower end-to-end: optimizer
+  // rules copy the expression into pushed-down predicates where split(text)
+  // is re-inlined into every element_at and the tree runs interpreted.)
+  // Docs with < 3 tokens have NO shingles, mirroring the oracle's
+  // generate_series(1, len(t)-2).
+  private def shingledOf(docs: DataFrame): DataFrame = {
+    graft.functions.TextFunctions.register(docs.sparkSession)
     docs
-      .withColumn("t", split(col("text"), " "))
-      .withColumn("sh", expr(
-        "case when size(t) >= 3 then " +
-          "array_distinct(transform(sequence(1, size(t) - 2), " +
-          "i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)))) " +
-          "else cast(array() as array<string>) end"))
-      .select(col("doc_id"), col("sh"), size(col("sh")).as("n_sh"))
+      .select(col("doc_id"), expr("graft_shingles(text, 3)").as("sh"))
+      .withColumn("n_sh", size(col("sh")))
+  }
+
+  /** Hashed-shingle variant for the MinHash/SimHash tiers: xxhash64 per
+    * distinct shingle, fused into the shingling pass — the string shingle
+    * array is never materialized. */
+  private def hashShingledOf(docs: DataFrame): DataFrame = {
+    graft.functions.TextFunctions.register(docs.sparkSession)
+    docs
+      .select(col("doc_id"), expr("graft_shingle_hashes(text, 3)").as("hs"))
+      .withColumn("n_sh", size(col("hs")))
+  }
 
   /** N-gram-Jaccard near-dup pairs via inverted index:
     * explode shingles -> self-join on the shingle -> count shared shingles c
@@ -88,15 +99,13 @@ object Dedup {
   }
 
   /** MinHash signatures: for each of `numHashes` seeded hash functions, the
-    * min over shingle hashes — estimates Jaccard. One codegen'd O(n*k) pass
-    * per row ([[graft.functions.MinHashSig]]); the k interpreted
-    * `transform` passes it replaces dominated the whole LSH pipeline. */
-  private def minhashed(spark: SparkSession, dir: String, numHashes: Int): DataFrame = {
-    graft.functions.TextFunctions.register(spark)
-    shingled(spark, dir)
-      .withColumn("sig",
-        expr(s"graft_minhash_sig(transform(sh, t -> xxhash64(t)), $numHashes)"))
-  }
+    * min over shingle hashes — estimates Jaccard. Two codegen'd passes per
+    * row (hash shingling, then [[graft.functions.MinHashSig]]'s O(n*k)
+    * fold); the k interpreted `transform` passes they replace dominated the
+    * whole LSH pipeline. */
+  private def minhashed(spark: SparkSession, dir: String, numHashes: Int): DataFrame =
+    hashShingledOf(Tables(spark, dir, "documents"))
+      .withColumn("sig", expr(s"graft_minhash_sig(hs, $numHashes)"))
 
   /** MinHash + LSH banding near-dup: split the signature into `bands` bands
     * of r rows; docs agreeing on any whole band become candidates (one
@@ -128,12 +137,13 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    // join-back side only needs the shingle sets, not the signatures
-    val sets = shingled(spark, dir)
+    // join-back side only needs the shingle sets, not the signatures; the
+    // hashed sets make the exact-verify intersection a long-array compare
+    val sets = hashShingledOf(Tables(spark, dir, "documents"))
     candidates
-      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sha"),
+      .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("sha"),
         col("n_sh").as("na")), Seq("doc_a"))
-      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("shb"),
+      .join(sets.select(col("doc_id").as("doc_b"), col("hs").as("shb"),
         col("n_sh").as("nb")), Seq("doc_b"))
       .withColumn("c", size(array_intersect(col("sha"), col("shb"))))
       .withColumn("jaccard",
@@ -170,13 +180,9 @@ object Dedup {
   def simhash(spark: SparkSession, dir: String): DataFrame =
     simhashRaw(spark, dir).select(col("doc_id"), col("simhash")).orderBy(col("doc_id"))
 
-  private def simhashRaw(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.TextFunctions.register(spark)
-    shingled(spark, dir)
-      .select(col("doc_id"),
-        expr("graft_simhash64(transform(sh, t -> xxhash64(t)))").as("simhash"),
-        col("n_sh"))
-  }
+  private def simhashRaw(spark: SparkSession, dir: String): DataFrame =
+    hashShingledOf(Tables(spark, dir, "documents"))
+      .select(col("doc_id"), expr("graft_simhash64(hs)").as("simhash"), col("n_sh"))
 
   /** SimHash near-dup pairs: banded candidate join (4 x 16-bit blocks — any
     * pair within hamming distance 3 shares at least one whole block by
