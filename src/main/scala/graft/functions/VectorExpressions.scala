@@ -105,13 +105,86 @@ case class VecNorm(child: Expression)
     copy(child = newChild)
 }
 
+/** Sign-random-projection LSH code: bit p of the result is the sign of
+  * `<h_p, v>` where hyperplane `h_p` is a deterministic pseudo-random ±1
+  * vector (splitmix64 finalizer of plane/index, as in
+  * [[graft.functions.MinHashSig]]'s per-seed hash). One O(bits * dim)
+  * codegen'd loop per row — the `aggregate(zip_with(...))` HOF formulation
+  * it replaces paid interpreted-lambda overhead per (plane, component). */
+case class SrpCode(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), IntegerType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires (array<double>, int), got (${l.sql}, ${r.sql})")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_srp_code"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val bits = b.asInstanceOf[Int]
+    val n = v.numElements()
+    var code = 0L
+    var p = 0
+    while (p < bits) {
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        var z = (p.toLong << 32 | i.toLong) * 0x9E3779B97F4A7C15L
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        z = z ^ (z >>> 31)
+        s += (if ((z & 1L) == 0L) v.getDouble(i) else -v.getDouble(i))
+        i += 1
+      }
+      if (s > 0.0) code |= (1L << p)
+      p += 1
+    }
+    code
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val p = ctx.freshName("p")
+      val i = ctx.freshName("i"); val s = ctx.freshName("s")
+      val z = ctx.freshName("z"); val code = ctx.freshName("code")
+      s"""
+         |int $n = $a.numElements();
+         |long $code = 0L;
+         |for (int $p = 0; $p < $b; $p++) {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    long $z = (((long) $p << 32) | (long) $i) * 0x9E3779B97F4A7C15L;
+         |    $z = ($z ^ ($z >>> 30)) * 0xBF58476D1CE4E5B9L;
+         |    $z = ($z ^ ($z >>> 27)) * 0x94D049BB133111EBL;
+         |    $z = $z ^ ($z >>> 31);
+         |    $s += (($z & 1L) == 0L) ? $a.getDouble($i) : -$a.getDouble($i);
+         |  }
+         |  if ($s > 0.0) $code |= (1L << $p);
+         |}
+         |${ev.value} = $code;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SrpCode =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
-  /** Register `graft_dot` / `graft_norm` for SQL + `expr(...)` use. Idempotent. */
+  /** Register `graft_dot` / `graft_norm` / `graft_srp_code`. Idempotent. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("graft_dot",
       exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_norm",
       exprs => VecNorm(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_srp_code",
+      exprs => SrpCode(exprs(0), exprs(1)), "scala_udf")
   }
 }

@@ -51,13 +51,10 @@ object Similarity {
   }
 
   /** Sign-random-projection code: bit p = sign of <h_p, v> where hyperplane
-    * h_p is a deterministic pseudo-random ±1 vector derived from
-    * xxhash64(p, dim). Pure per-row HOF work. */
-  private def srpCode(vCol: String, bits: Int): Column = expr(
-    s"""aggregate(sequence(0, ${bits - 1}), 0L, (acc, p) ->
-       |  acc + if(aggregate(zip_with($vCol, sequence(0, size($vCol) - 1),
-       |                     (x, i) -> x * if(pmod(xxhash64(p, i), 2) = 0, 1D, -1D)),
-       |           0D, (s, x) -> s + x) > 0D, shiftleft(1L, p), 0L))""".stripMargin)
+    * h_p is a deterministic pseudo-random ±1 vector. Runs in
+    * [[graft.functions.SrpCode]] — one codegen'd O(bits*dim) loop per row. */
+  private def srpCode(vCol: String, bits: Int): Column =
+    expr(s"graft_srp_code($vCol, $bits)")
 
   /** Approximate top-k with multi-probe: each query probes its own b-bit
     * SRP bucket plus the b hamming-1-adjacent buckets (vectors near a

@@ -114,8 +114,7 @@ object TextAnalysis {
     Tables(spark, dir, "documents")
       .select(col("doc_id"),
         explode(expr(
-          s"graft_sliding_min_distinct(transform(sequence(1, greatest(length(text) - ${k - 1}, 1)), " +
-            s"i -> xxhash64(substring(text, i, $k))), $w)")).as("fp"))
+          s"graft_sliding_min_distinct(graft_chargram_hashes(text, $k), $w)")).as("fp"))
       .orderBy(col("doc_id"), col("fp"))
   }
 }
