@@ -29,6 +29,12 @@ object SparkEntry {
     "q_window_running" -> ((s, d) => Relational.windowRunning(s, d)),
     "q_rollup"         -> ((s, d) => Relational.rollupAgg(s, d)),
     "q_cube"           -> ((s, d) => Relational.cubeAgg(s, d)),
+    "q_grouping_sets"  -> ((s, d) => Relational.groupingSetsAgg(s, d)),
+    "q_pivot"          -> ((s, d) => Relational.pivotAgg(s, d)),
+    "q_unpivot"        -> ((s, d) => Relational.unpivotAttrs(s, d)),
+    "q_range_join"     -> ((s, d) => Relational.rangeJoinCount(s, d)),
+    "q_conditional_agg" -> ((s, d) => Relational.conditionalAgg(s, d)),
+    "q_date_buckets"   -> ((s, d) => Relational.dateBuckets(s, d)),
     "q_approx_distinct" -> ((s, d) => Relational.approxDistinct(s, d)),
     "q_distinct"       -> ((s, d) => Relational.distinctAgg(s, d)),
     "q_topk"           -> ((s, d) => Relational.topK(s, d)),
@@ -65,6 +71,8 @@ object SparkEntry {
     "q_text_quality"   -> ((s, d) => TextAnalysis.quality(s, d)),
     "q_token_count"    -> ((s, d) => TextAnalysis.tokenCount(s, d)),
     "q_chunk"          -> ((s, d) => TextAnalysis.chunk(s, d)),
+    "q_tfidf"          -> ((s, d) => TextAnalysis.tfidfTop(s, d)),
+    "q_train_test_split" -> ((s, d) => TextAnalysis.trainTestSplit(s, d)),
     "q_fingerprint"    -> ((s, d) => TextAnalysis.fingerprint(s, d)),
     "q_winnow"         -> ((s, d) => TextAnalysis.winnow(s, d)),
     "q_multimodal_meta" -> ((s, d) => Multimodal.metaQuery(s, d))
@@ -131,6 +139,76 @@ object SparkEntry {
         | round(sum(o_totalprice), 2) AS total
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT r_name, n_name, count(*) AS n_cust, round(sum(c_acctbal), 2) AS acctbal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY GROUPING SETS ((r_name), (n_name))
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT user_id,
+        | round(sum(CASE WHEN event_type = 'click' THEN value END), 2) AS click,
+        | round(sum(CASE WHEN event_type = 'error' THEN value END), 2) AS error,
+        | round(sum(CASE WHEN event_type = 'purchase' THEN value END), 2) AS purchase,
+        | round(sum(CASE WHEN event_type = 'signup' THEN value END), 2) AS signup,
+        | round(sum(CASE WHEN event_type = 'view' THEN value END), 2) AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_unpivot" ->
+      """SELECT p_partkey, 'p_size' AS attr, round(CAST(p_size AS DOUBLE), 2) AS val
+        |FROM part
+        |UNION ALL
+        |SELECT p_partkey, 'p_retailprice' AS attr, round(p_retailprice, 2) AS val
+        |FROM part
+        |ORDER BY p_partkey, attr""".stripMargin,
+
+    "q_range_join" ->
+      """WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts
+        |           FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id AS v_user, ts AS v_ts FROM events WHERE event_type = 'view')
+        |SELECT purchase_id, user_id, count(v_ts) AS n_views
+        |FROM p LEFT JOIN v ON user_id = v_user
+        |  AND v_ts >= p_ts - INTERVAL 1 HOUR AND v_ts < p_ts
+        |GROUP BY 1, 2 ORDER BY purchase_id""".stripMargin,
+
+    "q_conditional_agg" ->
+      """SELECT o_orderpriority,
+        | count_if(o_totalprice > 200000) AS n_big,
+        | round(count_if(o_totalprice > 200000) / count(*), 4) AS big_share,
+        | round(avg(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS avg_f,
+        | bool_or(o_totalprice > 500000) AS any_jumbo
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_date_buckets" ->
+      """SELECT EXTRACT(year FROM o_orderdate) AS yr,
+        | EXTRACT(month FROM o_orderdate) AS mon,
+        | EXTRACT(quarter FROM o_orderdate) AS qtr,
+        | count(*) AS n, round(sum(o_totalprice), 2) AS revenue
+        |FROM orders GROUP BY 1, 2, 3 ORDER BY yr, mon""".stripMargin,
+
+    "q_tfidf" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |              FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfreq AS (SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |s AS (SELECT doc_id, token,
+        |        round(tf * ln(CAST(n_docs AS DOUBLE) / df), 4) AS score
+        |      FROM tf JOIN dfreq USING (token) CROSS JOIN n),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY score DESC, token) AS rank FROM s)
+        |SELECT doc_id, rank, token, score FROM r WHERE rank <= 3
+        |ORDER BY doc_id, rank""".stripMargin,
+
+    "q_train_test_split" ->
+      """SELECT CASE WHEN (doc_id * 2654435761) % 100 < 80
+        |            THEN 'train' ELSE 'test' END AS split,
+        | count(*) AS n_docs,
+        | round(avg(length(text)), 4) AS avg_chars,
+        | round(avg(len(string_split(text, ' '))), 4) AS avg_tokens
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_distinct" ->
       """SELECT count(DISTINCT o_custkey) AS n_cust,

@@ -108,6 +108,80 @@ object Relational {
       .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
       .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
 
+  /** GROUPING SETS proper (neither rollup nor cube): independent per-region
+    * and per-nation aggregates in ONE pass over the join — Catalyst expands
+    * to a single Expand + hash aggregate, not two scans. */
+  def groupingSetsAgg(spark: SparkSession, dir: String): DataFrame = {
+    val r = t(spark, dir, "region")
+    val n = t(spark, dir, "nation")
+    val c = t(spark, dir, "customer")
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupingSets(Seq(Seq(col("r_name")), Seq(col("n_name"))),
+        col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_cust"), round(sum(col("c_acctbal")), 2).as("acctbal"))
+      .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+  }
+
+  /** Pivot: per-user event-type value matrix. Explicit pivot values keep the
+    * schema static (no extra distinct-values job) — the form that scales. */
+  def pivotAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(round(sum(col("value")), 2))
+      .orderBy(col("user_id"))
+
+  /** Unpivot/melt: wide part attributes to long (attr, val) form — the
+    * inverse of pivot, a narrow Expand with no shuffle at all. */
+  def unpivotAttrs(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "part")
+      .select(col("p_partkey"), col("p_size").cast("double").as("p_size"),
+        col("p_retailprice"))
+      .unpivot(Array(col("p_partkey")), Array(col("p_size"), col("p_retailprice")),
+        "attr", "raw")
+      .select(col("p_partkey"), col("attr"), round(col("raw"), 2).as("val"))
+      .orderBy(col("p_partkey"), col("attr"))
+
+  /** Range (interval) join: views attributed to a purchase of the same user
+    * within the preceding hour. The user_id equality keeps this a hash/SMJ
+    * join with a range residual — NOT a nested-loop — so it shuffles once on
+    * the key and scales; the pure-inequality form would be quadratic. */
+  def rangeJoinCount(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+    val v = e.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+    p.join(v, col("user_id") === col("v_user") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("v_ts") < col("p_ts"), "left")
+      .groupBy(col("purchase_id"), col("user_id"))
+      .agg(count(col("v_ts")).as("n_views"))
+      .orderBy(col("purchase_id"))
+  }
+
+  /** Filtered/conditional aggregation: count_if + CASE-gated avg + bool_or
+    * in one hash aggregate (no self-joins, no multi-pass). */
+  def conditionalAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count_if(col("o_totalprice") > 200000).as("n_big"),
+        round(count_if(col("o_totalprice") > 200000) / count(lit(1)), 4).as("big_share"),
+        round(avg(when(col("o_orderstatus") === "F", col("o_totalprice"))), 2).as("avg_f"),
+        bool_or(col("o_totalprice") > 500000).as("any_jumbo"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Date-part bucketing: monthly order volume/revenue (year/month/quarter
+    * extraction — pushdown-friendly scalar date functions). */
+  def dateBuckets(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mon"),
+        quarter(col("o_orderdate")).as("qtr"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("revenue"))
+      .orderBy(col("yr"), col("mon"))
+
   /** Approximate distinct (HyperLogLog++). Sketch-dependent -> rows-only
     * check; the exact counterpart is [[distinctAgg]]. The relative-error
     * contract is asserted in OpsSpec instead. */

@@ -99,6 +99,43 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("chunk_id"))
   }
 
+  /** TF-IDF top terms per document: term frequency from one explode +
+    * (doc, token) aggregate, document frequency from a token aggregate, the
+    * corpus size as a broadcast 1-row aggregate — two shuffles plus a
+    * broadcast, never a per-document pass over the corpus. Top-3 terms per
+    * doc by score via ranking window. */
+  def tfidfTop(spark: SparkSession, dir: String, topK: Int = 3): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    val tf = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = toks.groupBy(col("token"))
+      .agg(count_distinct(col("doc_id")).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, "token").crossJoin(broadcast(n))
+      .withColumn("score",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score").desc, col("token"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("doc_id"), col("rank"), col("token"), col("score"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  /** Deterministic train/test split on a multiplicative hash of the doc id —
+    * reproducible across engines and runs (no RNG state), the property a
+    * 100 TB split job actually needs. Emits per-split corpus stats. */
+  def trainTestSplit(spark: SparkSession, dir: String, trainPct: Int = 80): DataFrame =
+    Tables(spark, dir, "documents")
+      .withColumn("split",
+        when((col("doc_id") * lit(2654435761L)) % 100 < trainPct, "train")
+          .otherwise("test"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(length(col("text"))), 4).as("avg_chars"),
+        round(avg(size(split(col("text"), " "))), 4).as("avg_tokens"))
+      .orderBy(col("split"))
+
   /** Winnowing fingerprints (Schleimer et al., SIGMOD'03): hash all k-char
     * grams, take the min hash of each sliding window of w grams, emit the
     * distinct selected hashes. Guarantees any shared substring of length

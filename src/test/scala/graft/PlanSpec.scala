@@ -41,4 +41,16 @@ class PlanSpec extends SparkSpec {
   test("top-k compiles to TakeOrderedAndProject, not a global sort") {
     assert(plan("q_topk").contains("TakeOrderedAndProject"))
   }
+
+  test("range join keeps its equi-key (hash/merge join, not nested loop)") {
+    val p = plan("q_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(2000))
+  }
+
+  test("grouping sets expand in one pass (single Expand, no union of scans)") {
+    val p = plan("q_grouping_sets")
+    assert("Expand".r.findAllIn(p).size >= 1, p.take(2000))
+    assert("Scan parquet".r.findAllIn(p).size <= 3, p.take(2000)) // 3 tables, 1 scan each
+  }
 }
