@@ -86,12 +86,25 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
     parsed.select(Seq(col("op"), col("table"), col("offset")) ++ projected :+ present: _*)
   }
 
-  /** Apply one micro-batch for one sync: B1 compaction then K1 upsert,
-    * committed via atomic directory swap. Idempotent — replaying a batch
-    * yields the same state (at-least-once -> effectively exactly-once). */
+  /** Where events whose payload carries no primary key are quarantined
+    * (per sync): the reference raises `KeyError` and dies (`event.py:11`);
+    * crashing a 1000-executor pipeline on one malformed event is wrong, and
+    * silently compacting all null-pk rows into one key is worse — they are
+    * preserved here with their full envelope for replay after repair. */
+  def deadLetterPath(sync: SyncConfig): String =
+    s"$sinkRoot/_dead_letter/${sync.indexName}"
+
+  /** Apply one micro-batch for one sync: dead-letter split, B1 compaction,
+    * then K1 upsert, committed via atomic directory swap. Idempotent —
+    * replaying a batch yields the same state (at-least-once -> effectively
+    * exactly-once; dead-letter rows carry `offset` so replays dedupe there). */
   private def applySync(batch: DataFrame, sync: SyncConfig, batchId: Long): Unit = {
     val pk = pkOut(sync)
-    val view = hooks.preEvent.foldLeft(syncView(batch, sync))((df, h) => h(df))
+    val full = hooks.preEvent.foldLeft(syncView(batch, sync))((df, h) => h(df))
+    val dead = full.filter(col(pk).isNull)
+    if (!dead.isEmpty)
+      dead.write.mode("append").parquet(deadLetterPath(sync))
+    val view = full.filter(col(pk).isNotNull)
     val compacted = Transforms.lastWriteWins(view, col(pk))
     val state = UpsertSink.currentState(spark, statePath(sync), sinkSchema(sync))
     val next = UpsertSink.applyBatch(state, compacted, pk)
@@ -108,6 +121,17 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
       SwapRefresh.refresh(source.fullScan(sync), statePath(sync)); ()
     }
   }
+
+  /** B2 flush triggers from config (reference `main.py:110-133`):
+    * `insert_interval` -> a `ProcessingTime` cadence; unset -> immediate
+    * micro-batches (the reference's per-event path — every batch still
+    * flushes, so the reference's stranded-tail hazard cannot occur).
+    * `insert_size` is admission control, not a trigger: it maps to the
+    * source's `maxFilesPerTrigger`/`maxOffsetsPerTrigger` option. */
+  def configTrigger: Trigger =
+    config.insertIntervalSecs
+      .map(s => Trigger.ProcessingTime(s * 1000L))
+      .getOrElse(Trigger.ProcessingTime(0L))
 
   /** `start`: bootstrap + one streaming query applying all syncs per
     * micro-batch. Returns the running query (caller stops it).

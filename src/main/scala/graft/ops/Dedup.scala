@@ -68,9 +68,13 @@ object Dedup {
     * the cap; the LSH variant below is the fully sub-quadratic path. */
   def ngramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.5,
                    dfCap: Int = 128): DataFrame =
-    ngramJaccardOn(shingled(spark, dir), threshold, dfCap)
+    ngramPairsOn(shingled(spark, dir), threshold, dfCap)
+      .orderBy(col("doc_a"), col("doc_b"))
 
-  private def ngramJaccardOn(s: DataFrame, threshold: Double, dfCap: Int): DataFrame = {
+  /** Unsorted pair stream — for consumers that feed a join/iteration, where
+    * an output sort would only add a range-partitioning sampling pass that
+    * executes the whole pair pipeline twice. */
+  private def ngramPairsOn(s: DataFrame, threshold: Double, dfCap: Int): DataFrame = {
     // One shuffle to group postings per shingle; the df filter (2..dfCap,
     // df=1 contributes nothing, df>dfCap is the semantic stop-shingle cap
     // mirrored in the oracle) is a size() check on the grouped list, and
@@ -95,7 +99,6 @@ object Dedup {
         round(col("c").cast("double") / (col("na") + col("nb") - col("c")), 4))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** MinHash signatures: for each of `numHashes` seeded hash functions, the
@@ -163,7 +166,8 @@ object Dedup {
     val survivors = Tables(spark, dir, "documents")
       .groupBy(col("text"))
       .agg(min(col("doc_id")).as("doc_id"))
-    ngramJaccardOn(shingledOf(survivors), threshold, dfCap)
+    ngramPairsOn(shingledOf(survivors), threshold, dfCap)
+      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** SimHash: 64-bit fingerprint — bit j of the fingerprint is the sign of
@@ -205,6 +209,62 @@ object Dedup {
       .dropDuplicates("doc_a", "doc_b")
       .filter(col("hamming") <= maxHamming)
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Near-dup clusters: connected components over the n-gram-Jaccard pair
+    * graph, labeled by the minimum doc_id of each component (the canonical
+    * survivor). Pregel-style min-label propagation on DataFrames: each
+    * iteration is one join + aggregate on the (tiny relative to the corpus)
+    * edge set, and the loop runs until the label sum reaches fixpoint —
+    * O(cluster diameter) iterations, 2-3 for real dup clusters. The
+    * driver-side loop iterates over CONVERGENCE, never over data. At
+    * hub-cluster pathology scale, swap in large-star/small-star; the
+    * iteration scaffold is identical. */
+  def nearDupClusters(spark: SparkSession, dir: String,
+                      threshold: Double = 0.5, maxIter: Int = 20): DataFrame = {
+    // Persist the pair stream BEFORE mirroring it: the union's two branches
+    // would otherwise each execute the whole inverted-index pipeline.
+    val pairs = ngramPairsOn(shingled(spark, dir), threshold, dfCap = 128)
+      .select(col("doc_a"), col("doc_b"))
+      .persist()
+    // Size the iteration working set to the EDGE count, not the corpus: the
+    // dup graph is orders of magnitude smaller than the input, and every
+    // label-propagation round pays per-partition task overhead. ~100k edges
+    // per partition, capped at the cluster's parallelism.
+    val nEdges = pairs.count()
+    val parts = math.max(1, math.min((nEdges / 100000L).toInt + 1,
+      spark.sparkContext.defaultParallelism))
+    val edges = pairs
+      .union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst")
+      .repartition(parts, col("src"))
+      .persist()
+    var labels = edges.select(col("src").as("doc")).distinct()
+      .withColumn("cluster", col("doc"))
+      .persist()
+    var converged = false
+    var iter = 0
+    var checksum = labels.agg(sum(col("cluster"))).head().getLong(0)
+    pairs.unpersist()
+    while (!converged && iter < maxIter) {
+      // neighbor-min pass: label(x) <- min(label(x), min over nbrs label(n))
+      val nbrMin = edges
+        .join(labels.withColumnRenamed("doc", "src"), "src")
+        .groupBy(col("dst").as("doc"))
+        .agg(min(col("cluster")).as("nbr_min"))
+      val next = labels.join(nbrMin, Seq("doc"), "left")
+        .select(col("doc"),
+          least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"))
+        .persist()
+      val nextSum = next.agg(sum(col("cluster"))).head().getLong(0)
+      labels.unpersist()
+      labels = next
+      converged = nextSum == checksum // labels only decrease; equal sum = fixpoint
+      checksum = nextSum
+      iter += 1
+    }
+    edges.unpersist()
+    labels.orderBy(col("doc")).select(col("doc").as("doc_id"), col("cluster"))
   }
 
   /** Embedding-cosine near-dup: pairs above a cosine threshold, blocked by

@@ -101,6 +101,21 @@ class OpsSpec extends SparkSpec {
     assert(Dedup.dedupPipeline(spark, dir).count() === 0)
   }
 
+  test("near-dup clusters are consistent with the pair graph") {
+    val pairs = Dedup.ngramJaccard(spark, sf).select("doc_a", "doc_b")
+      .as[(Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    val cluster = Dedup.nearDupClusters(spark, sf).as[(Long, Long)]
+      .collect().toMap
+    // every paired doc is labeled, pairs share a cluster, label = min member
+    pairs.foreach { case (a, b) =>
+      assert(cluster(a) === cluster(b), s"pair ($a,$b) split across clusters")
+    }
+    cluster.groupBy(_._2).foreach { case (lbl, members) =>
+      assert(lbl === members.keys.min, s"cluster $lbl not labeled by min member")
+    }
+  }
+
   test("winnowing: near-identical docs share fingerprints") {
     val pairs = Dedup.ngramJaccard(spark, sf, threshold = 0.9)
       .select("doc_a", "doc_b").as[(Long, Long)].collect()

@@ -117,6 +117,56 @@ class PipelineSpec extends SparkSpec {
     assert(pipe.sinkState(sync).collect().toSeq === Seq(Row(1, 46)))
   }
 
+  test("events without a pk are dead-lettered, not dropped or collapsed") {
+    val sinkRoot = tmpDir("sink")
+    val ckpt = tmpDir("ckpt")
+    val sync = SyncConfig("t", pk = "id", schema = Some(StructType(Seq(
+      StructField("id", IntegerType), StructField("v", StringType)))))
+    val src = new MemoryCdcSource(spark)
+    val pipe = new Pipeline(spark, PipelineConfig(Seq(sync)), src, sinkRoot)
+    src.addEvents(
+      ChangeEvent("create", "t", 1, ts("2024-01-01 00:00:00"), """{"id": 1, "v": "ok"}"""),
+      ChangeEvent("create", "t", 2, ts("2024-01-01 00:00:01"), """{"v": "no-pk"}"""),
+      ChangeEvent("create", "t", 3, ts("2024-01-01 00:00:02"), """not json at all"""))
+    val q = pipe.start(ckpt)
+    q.processAllAvailable(); q.stop()
+    assert(pipe.sinkState(sync).collect().toSeq === Seq(Row(1, "ok")))
+    val dead = spark.read.parquet(pipe.deadLetterPath(sync))
+    assert(dead.count() === 2) // both quarantined rows, with their envelopes
+    assert(dead.select("offset").collect().map(_.getLong(0)).sorted.toSeq === Seq(2L, 3L))
+  }
+
+  test("explicit NULL in an update clears the column end-to-end") {
+    val sinkRoot = tmpDir("sink")
+    val ckpt = tmpDir("ckpt")
+    val sync = SyncConfig("t", pk = "id", schema = Some(StructType(Seq(
+      StructField("id", IntegerType), StructField("v", StringType),
+      StructField("w", StringType)))))
+    val src = new MemoryCdcSource(spark)
+    val pipe = new Pipeline(spark, PipelineConfig(Seq(sync)), src, sinkRoot)
+    src.addEvents(
+      ChangeEvent("create", "t", 1, ts("2024-01-01 00:00:00"),
+        """{"id": 1, "v": "keep", "w": "clear-me"}"""))
+    val q1 = pipe.start(ckpt); q1.processAllAvailable(); q1.stop()
+    // w explicitly nulled; v absent (stays). The coalesce fallback could not
+    // express this — the _present mask can (ADVICE r01).
+    src.addEvents(
+      ChangeEvent("update", "t", 2, ts("2024-01-01 00:00:01"), """{"id": 1, "w": null}"""))
+    val q2 = pipe.start(ckpt); q2.processAllAvailable(); q2.stop()
+    assert(pipe.sinkState(sync).collect().toSeq === Seq(Row(1, "keep", null)))
+  }
+
+  test("configTrigger maps the reference's flush knobs to Spark triggers") {
+    val sync = SyncConfig("t", pk = "id")
+    val src = new MemoryCdcSource(spark)
+    import org.apache.spark.sql.streaming.Trigger
+    val timed = new Pipeline(spark,
+      PipelineConfig(Seq(sync), insertIntervalSecs = Some(10)), src, tmpDir("s1"))
+    assert(timed.configTrigger === Trigger.ProcessingTime(10000L))
+    val immediate = new Pipeline(spark, PipelineConfig(Seq(sync)), src, tmpDir("s2"))
+    assert(immediate.configTrigger === Trigger.ProcessingTime(0L))
+  }
+
   test("backfill + refresh + check against fixture tables") {
     val sinkRoot = tmpDir("sink")
     val sync = SyncConfig("region", pk = "r_regionkey", full = true,
