@@ -92,11 +92,19 @@ object Dedup {
           |    b -> struct(a.doc_id AS doc_a, a.n_sh AS na,
           |                b.doc_id AS doc_b, b.n_sh AS nb))))""".stripMargin)).as("p"))
     pairs
+      // doc_id is a key by contract; if the input violates that, equal-id
+      // "pairs" appear (sorted postings put duplicates adjacent) and the
+      // overlap count breaks the c <= min(na, nb) invariant. Drop the
+      // self-pairs and clamp the denominator (a no-op when the invariant
+      // holds: na+nb-c >= max(na,nb) >= 1) so bad input degrades to noisy
+      // rows instead of an ANSI divide-by-zero killing the job.
+      .filter(col("p.doc_a") =!= col("p.doc_b"))
       .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
         col("p.na").as("na"), col("p.nb").as("nb"))
       .agg(count(lit(1)).as("c"))
       .withColumn("jaccard",
-        round(col("c").cast("double") / (col("na") + col("nb") - col("c")), 4))
+        round(col("c").cast("double") /
+          greatest(col("na") + col("nb") - col("c"), lit(1)), 4))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }

@@ -101,6 +101,19 @@ class OpsSpec extends SparkSpec {
     assert(Dedup.dedupPipeline(spark, dir).count() === 0)
   }
 
+  test("ngram dedup survives duplicate doc_ids (contract violation degrades, not crashes)") {
+    val dir = tmpDir("dupids")
+    Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (1L, "alpha beta gamma delta epsilon zeta"), // same id, same text
+      (2L, "alpha beta gamma delta epsilon zeta eta"),
+      (2L, "totally different words here entirely now")) // same id, other text
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    // must not throw (equal-id self-pairs dropped, denominator clamped)
+    val out = Dedup.ngramJaccard(spark, dir).collect()
+    assert(out.forall(r => r.getLong(0) != r.getLong(1)))
+  }
+
   test("near-dup clusters are consistent with the pair graph") {
     val pairs = Dedup.ngramJaccard(spark, sf).select("doc_a", "doc_b")
       .as[(Long, Long)].collect()
