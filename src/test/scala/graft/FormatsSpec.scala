@@ -21,6 +21,17 @@ class FormatsSpec extends SparkSpec {
     assert(viaJson.columns.sorted.toSeq === src.columns.sorted.toSeq)
   }
 
+  test("orc sink round-trips with predicate pushdown reaching the scan") {
+    val src = ops.Tables(spark, sf, "orders")
+    val base = tmpDir("orc")
+    src.write.mode("overwrite").orc(s"$base/orc")
+    val via = spark.read.orc(s"$base/orc").filter(col("o_totalprice") > 300000)
+    assert(via.count() === src.filter(col("o_totalprice") > 300000).count())
+    val plan = via.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") &&
+      plan.contains("GreaterThan(o_totalprice"), plan.take(1500))
+  }
+
   test("bucketed state table joins without an Exchange on the state side") {
     // The K1 upsert's scale posture (SCALE.md): bucket the state by pk so
     // each micro-batch join shuffles only the (small) batch side. Evidence:

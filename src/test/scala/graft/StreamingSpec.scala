@@ -70,6 +70,29 @@ class StreamingSpec extends SparkSpec {
     assert(rows.head.getAs[Long]("s_id") === 100L)
   }
 
+  test("streaming dropDuplicates with watermark dedupes across batches, bounded state") {
+    // SURVEY §2.2 stateful-streaming row: exactly-once-per-key emission with
+    // event-time-bounded state (late replays past the watermark age out)
+    implicit val s = spark
+    val mem = MemoryStream[ChangeEvent](spark)
+    val out = mem.toDS().toDF()
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicates("table", "data")
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("dd").start()
+    mem.addData(
+      ChangeEvent("update", "t", 1, ts("2024-01-01 00:00:00"), "k1"),
+      ChangeEvent("update", "t", 2, ts("2024-01-01 00:00:01"), "k1"), // in-batch dup
+      ChangeEvent("update", "t", 3, ts("2024-01-01 00:00:02"), "k2"))
+    q.processAllAvailable()
+    mem.addData(
+      ChangeEvent("update", "t", 4, ts("2024-01-01 00:00:03"), "k1"), // cross-batch dup
+      ChangeEvent("update", "t", 5, ts("2024-01-01 00:00:04"), "k3"))
+    q.processAllAvailable(); q.stop()
+    val seen = spark.table("dd").as[ChangeEvent].collect().map(_.data).sorted.toSeq
+    assert(seen === Seq("k1", "k2", "k3"))
+  }
+
   test("KeyedLastWrite: stale cross-batch replays never clobber newer state") {
     implicit val s = spark
     val mem = MemoryStream[ChangeEvent](spark)
