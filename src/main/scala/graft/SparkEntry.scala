@@ -62,6 +62,7 @@ object SparkEntry {
     "q_dedup_ngram"    -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "q_dedup_pipeline" -> ((s, d) => Dedup.dedupPipeline(s, d)),
     "q_dedup_cluster"  -> ((s, d) => Dedup.nearDupClusters(s, d)),
+    "q_dedup_ngram_prefix" -> ((s, d) => Dedup.ngramJaccardPrefix(s, d)),
     "q_dedup_minhash"  -> ((s, d) => Dedup.minhashLsh(s, d)),
     "q_simhash"        -> ((s, d) => Dedup.simhash(s, d)),
     "q_simhash_pairs"  -> ((s, d) => Dedup.simhashPairs(s, d)),
@@ -358,6 +359,23 @@ object SparkEntry {
         |FROM documents GROUP BY 1 ORDER BY h""".stripMargin,
 
     "q_dedup_ngram" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |s AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - 2),
+        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh FROM d),
+        |p AS (SELECT doc_id, n_sh, shingle FROM
+        |        (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM s)
+        |      QUALIFY count(*) OVER (PARTITION BY shingle) <= 128),
+        |j AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb,
+        |        count(*) AS c
+        |      FROM p a JOIN p b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2, 3, 4)
+        |SELECT doc_a, doc_b, round(CAST(c AS DOUBLE) / (na + nb - c), 4) AS jaccard
+        |FROM j WHERE round(CAST(c AS DOUBLE) / (na + nb - c), 4) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Same oracle as q_dedup_ngram: the prefix-filtered formulation must be
+    // output-identical (the gate proves the equivalence at sf0.01).
+    "q_dedup_ngram_prefix" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |s AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - 2),
         |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh FROM d),

@@ -109,6 +109,59 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Prefix-filtered exact n-gram Jaccard (PPJoin-style): identical output
+    * to [[ngramJaccard]], sub-quadratic candidate volume. Theory: if
+    * J(a,b) >= t then the overlap c >= ceil(t*na), so two qualifying docs
+    * MUST share a shingle among the first (m - ceil(t*na) + 1) elements of
+    * their effective shingle lists in ANY global total order — candidates
+    * come from joining only those PREFIXES (rare-shingles-first order
+    * maximizes pruning), then exact verification computes the true overlap.
+    * At t=0.5 the prefix is ~half the postings, so the quadratic
+    * per-shingle pair volume drops ~4x; the cost is more (cheap, keyed)
+    * shuffles. Crossover favors this variant as duplication density and
+    * document count grow; the bench carries both tiers, measured. */
+  def ngramJaccardPrefix(spark: SparkSession, dir: String, threshold: Double = 0.5,
+                         dfCap: Int = 128): DataFrame = {
+    val s = shingled(spark, dir)
+    val posts = s.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("shingle"))
+    // document frequency per shingle; stop-shingles (df > cap) leave the
+    // effective sets entirely — same overlap semantics as ngramJaccard
+    // (df=1 shingles can never be shared, so keeping them only pads m)
+    val dfs = posts.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, dfCap))
+    val eff = posts.join(dfs, "shingle")
+    // per-doc effective list sorted rare-first + its verification set
+    val perDoc = eff.groupBy(col("doc_id"), col("n_sh"))
+      .agg(array_sort(collect_list(struct(col("df"), col("shingle")))).as("eord"))
+      .withColumn("m", size(col("eord")))
+      .withColumn("plen",
+        col("m") - ceil(col("n_sh") * lit(threshold)).cast("int") + lit(1))
+    // docs with plen < 1 cannot reach the threshold with anyone: c <= m < t*na
+    val sets = perDoc
+      .select(col("doc_id"), col("n_sh"), expr("transform(eord, x -> x.shingle)").as("eset"))
+    val prefixes = perDoc.filter(col("plen") >= 1)
+      .select(col("doc_id"), explode(expr("slice(eord, 1, plen)")).as("p"))
+      .select(col("doc_id"), col("p.shingle").as("shingle"))
+    val a = prefixes.alias("a")
+    val b = prefixes.alias("b")
+    val candidates = a.join(b,
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    candidates
+      .join(sets.select(col("doc_id").as("doc_a"), col("eset").as("ea"),
+        col("n_sh").as("na")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("eset").as("eb"),
+        col("n_sh").as("nb")), Seq("doc_b"))
+      .withColumn("c", size(array_intersect(col("ea"), col("eb"))))
+      .withColumn("jaccard",
+        round(col("c").cast("double") /
+          greatest(col("na") + col("nb") - col("c"), lit(1)), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** MinHash signatures: for each of `numHashes` seeded hash functions, the
     * min over shingle hashes — estimates Jaccard. Two codegen'd passes per
     * row (hash shingling, then [[graft.functions.MinHashSig]]'s O(n*k)

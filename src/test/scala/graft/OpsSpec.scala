@@ -114,6 +114,16 @@ class OpsSpec extends SparkSpec {
     assert(out.forall(r => r.getLong(0) != r.getLong(1)))
   }
 
+  test("prefix-filtered ngram tier is output-identical to the inverted-index tier") {
+    val base = Dedup.ngramJaccard(spark, sf).collect().map(_.toSeq).toSeq
+    val pfx = Dedup.ngramJaccardPrefix(spark, sf).collect().map(_.toSeq).toSeq
+    assert(pfx === base)
+    // and at a higher threshold (tighter prefixes prune harder)
+    val base9 = Dedup.ngramJaccard(spark, sf, threshold = 0.9).collect().map(_.toSeq).toSeq
+    val pfx9 = Dedup.ngramJaccardPrefix(spark, sf, threshold = 0.9).collect().map(_.toSeq).toSeq
+    assert(pfx9 === base9)
+  }
+
   test("near-dup clusters are consistent with the pair graph") {
     val pairs = Dedup.ngramJaccard(spark, sf).select("doc_a", "doc_b")
       .as[(Long, Long)].collect()
