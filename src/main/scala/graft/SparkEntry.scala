@@ -73,6 +73,7 @@ object SparkEntry {
     "q_text_quality"   -> ((s, d) => TextAnalysis.quality(s, d)),
     "q_token_count"    -> ((s, d) => TextAnalysis.tokenCount(s, d)),
     "q_chunk"          -> ((s, d) => TextAnalysis.chunk(s, d)),
+    "q_array_funcs"    -> ((s, d) => TextAnalysis.arrayFuncs(s, d)),
     "q_tfidf"          -> ((s, d) => TextAnalysis.tfidfTop(s, d)),
     "q_train_test_split" -> ((s, d) => TextAnalysis.trainTestSplit(s, d)),
     "q_fingerprint"    -> ((s, d) => TextAnalysis.fingerprint(s, d)),
@@ -189,6 +190,18 @@ object SparkEntry {
         | EXTRACT(quarter FROM o_orderdate) AS qtr,
         | count(*) AS n, round(sum(o_totalprice), 2) AS revenue
         |FROM orders GROUP BY 1, 2, 3 ORDER BY yr, mon""".stripMargin,
+
+    "q_array_funcs" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |SELECT doc_id,
+        | CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+        | list_sort(list_distinct(toks))[1] AS first_alpha,
+        | toks[1] AS first_tok,
+        | toks[-1] AS last_tok,
+        | array_to_string(toks[1:3], '_') AS head3,
+        | CAST(len(list_filter(toks, t -> length(t) > 5)) AS BIGINT) AS n_long,
+        | array_to_string(list_transform(toks[1:2], t -> upper(t)), ' ') AS up2
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     "q_tfidf" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token

@@ -99,6 +99,23 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("chunk_id"))
   }
 
+  /** Array/higher-order-function coverage over the token arrays: sort,
+    * distinct, slice, position, HOF filter/transform — per-row expression
+    * work, no shuffle, all replicable in DuckDB's list functions. */
+  def arrayFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .select(
+        col("doc_id"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+        array_sort(array_distinct(col("toks"))).getItem(0).as("first_alpha"),
+        element_at(col("toks"), 1).as("first_tok"),
+        element_at(col("toks"), -1).as("last_tok"),
+        concat_ws("_", slice(col("toks"), 1, 3)).as("head3"),
+        size(filter(col("toks"), t => length(t) > 5)).cast("long").as("n_long"),
+        array_join(transform(slice(col("toks"), 1, 2), t => upper(t)), " ").as("up2"))
+      .orderBy(col("doc_id"))
+
   /** TF-IDF top terms per document: term frequency from one explode +
     * (doc, token) aggregate, document frequency from a token aggregate, the
     * corpus size as a broadcast 1-row aggregate — two shuffles plus a
