@@ -64,10 +64,23 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
     * sink can distinguish explicit-null from absent fields. All declarative —
     * Catalyst prunes the JSON parse to the referenced fields. */
   private def syncView(events: DataFrame, sync: SyncConfig): DataFrame = {
-    val parsed = Transforms.parsePayload(
-      Transforms.opFilter(Transforms.tableFilter(events, Seq(sync.table))), sync)
     val payload = sync.schema.get
     val ms = mappings(sync)
+    val filtered = Transforms.opFilter(Transforms.tableFilter(events, Seq(sync.table)))
+    // Multi-row events: a JSON ARRAY payload is one envelope carrying n rows
+    // (MySQL multi-row binlog write). The reference decodes only rows[0]
+    // and silently drops rows 1..n (`mysql.py:110-116`, SURVEY.md §2.3);
+    // here every row expands to its own change, with the position kept as
+    // `_ridx` so later rows of one event win compaction ties.
+    // posexplode_outer keeps unparseable payloads as a (null, null) row for
+    // the dead-letter path instead of vanishing.
+    val isArray = startswith(ltrim(col("data")), lit("["))
+    val exploded = filtered
+      .withColumn("__rows",
+        when(isArray, from_json(col("data"), ArrayType(payload)))
+          .otherwise(array(from_json(col("data"), payload))))
+      .select(col("op"), col("table"), col("offset"), col("data"),
+        posexplode_outer(col("__rows")).as(Seq("_ridx", "row")))
     val projected = ms.map { m =>
       val dt = payload.fields.find(_.name == m.src).getOrElse(
         throw new IllegalArgumentException(s"no payload column '${m.src}'")).dataType
@@ -79,11 +92,19 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
       }
       c.as(m.out)
     }
+    // Field presence: from the raw JSON keys for single-row events (explicit
+    // null vs absent); for multi-row events from the parsed struct's non-null
+    // fields — array elements' raw text isn't individually addressable, and
+    // multi-row binlog events are full row images, not partial updates.
     val present = filter(
-      array(ms.map(m =>
-        when(array_contains(expr("json_object_keys(data)"), m.src), lit(m.out))): _*),
+      array(ms.map { m =>
+        when(isArray, when(col(s"row.${m.src}").isNotNull, lit(m.out)))
+          .otherwise(
+            when(array_contains(expr("json_object_keys(data)"), m.src), lit(m.out)))
+      }: _*),
       x => x.isNotNull).as(UpsertSink.PresentCol)
-    parsed.select(Seq(col("op"), col("table"), col("offset")) ++ projected :+ present: _*)
+    exploded.select(
+      Seq(col("op"), col("table"), col("offset"), col("_ridx")) ++ projected :+ present: _*)
   }
 
   /** Where events whose payload carries no primary key are quarantined
@@ -105,7 +126,7 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
     if (!dead.isEmpty)
       dead.write.mode("append").parquet(deadLetterPath(sync))
     val view = full.filter(col(pk).isNotNull)
-    val compacted = Transforms.lastWriteWins(view, col(pk))
+    val compacted = Transforms.lastWriteWins(view, col(pk), Seq(col("_ridx")))
     val state = UpsertSink.currentState(spark, statePath(sync), sinkSchema(sync))
     val next = UpsertSink.applyBatch(state, compacted, pk)
     val tmp = statePath(sync) + ".next"

@@ -78,9 +78,18 @@ object Transforms {
     * @param pkCol column holding the primary key value
     * @param ordering tie-break ordering; later offset wins
     */
-  def lastWriteWins(events: DataFrame, pkCol: Column): DataFrame = {
+  def lastWriteWins(events: DataFrame, pkCol: Column): DataFrame =
+    lastWriteWins(events, pkCol, Seq.empty)
+
+  /** Variant with extra tie-break columns AFTER the offset — used for
+    * multi-row events where several rows share one source offset and the
+    * LATER row in the payload array must win (reference semantics for a
+    * multi-row binlog event, minus its rows[0]-only bug — `mysql.py:110-116`
+    * drops rows 1..n entirely, SURVEY.md §2.3). */
+  def lastWriteWins(events: DataFrame, pkCol: Column,
+                    tiebreak: Seq[Column]): DataFrame = {
     val w = Window.partitionBy(col("table"), pkCol)
-      .orderBy(col("offset").desc)
+      .orderBy(col("offset").desc +: tiebreak.map(_.desc): _*)
     events.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")

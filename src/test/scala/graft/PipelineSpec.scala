@@ -117,6 +117,27 @@ class PipelineSpec extends SparkSpec {
     assert(pipe.sinkState(sync).collect().toSeq === Seq(Row(1, 46)))
   }
 
+  test("multi-row events expand to every row (reference drops rows 1..n)") {
+    // SURVEY §2.3: MySQL's decoder reads only event.rows[0]; a multi-row
+    // INSERT .. VALUES (..),(..) silently loses rows. Our engine explodes
+    // the array payload, and the LAST row of one event wins pk ties.
+    val sinkRoot = tmpDir("sink")
+    val ckpt = tmpDir("ckpt")
+    val sync = SyncConfig("t", pk = "id", schema = Some(StructType(Seq(
+      StructField("id", IntegerType), StructField("v", StringType)))))
+    val src = new MemoryCdcSource(spark)
+    val pipe = new Pipeline(spark, PipelineConfig(Seq(sync)), src, sinkRoot)
+    src.addEvents(
+      ChangeEvent("create", "t", 1, ts("2024-01-01 00:00:00"),
+        """[{"id": 1, "v": "a"}, {"id": 2, "v": "b"}, {"id": 3, "v": "c"},
+          | {"id": 3, "v": "c-later"}]""".stripMargin),
+      ChangeEvent("update", "t", 2, ts("2024-01-01 00:00:01"), """{"id": 2, "v": "b2"}"""))
+    val q = pipe.start(ckpt)
+    q.processAllAvailable(); q.stop()
+    assert(pipe.sinkState(sync).orderBy("id").collect().toSeq ===
+      Seq(Row(1, "a"), Row(2, "b2"), Row(3, "c-later")))
+  }
+
   test("events without a pk are dead-lettered, not dropped or collapsed") {
     val sinkRoot = tmpDir("sink")
     val ckpt = tmpDir("ckpt")
