@@ -74,6 +74,7 @@ object SparkEntry {
     "q_token_count"    -> ((s, d) => TextAnalysis.tokenCount(s, d)),
     "q_chunk"          -> ((s, d) => TextAnalysis.chunk(s, d)),
     "q_array_funcs"    -> ((s, d) => TextAnalysis.arrayFuncs(s, d)),
+    "q_repetition"     -> ((s, d) => TextAnalysis.repetition(s, d)),
     "q_tfidf"          -> ((s, d) => TextAnalysis.tfidfTop(s, d)),
     "q_train_test_split" -> ((s, d) => TextAnalysis.trainTestSplit(s, d)),
     "q_fingerprint"    -> ((s, d) => TextAnalysis.fingerprint(s, d)),
@@ -190,6 +191,19 @@ object SparkEntry {
         | EXTRACT(quarter FROM o_orderdate) AS qtr,
         | count(*) AS n, round(sum(o_totalprice), 2) AS revenue
         |FROM orders GROUP BY 1, 2, 3 ORDER BY yr, mon""".stripMargin,
+
+    "q_repetition" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |g AS (SELECT doc_id,
+        |        CAST(greatest(len(t) - 2, 0) AS BIGINT) AS n_grams,
+        |        CAST(len(list_distinct(list_transform(generate_series(1, len(t) - 2),
+        |          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS BIGINT) AS n_distinct
+        |      FROM d)
+        |SELECT doc_id, n_grams, n_distinct,
+        | CASE WHEN n_grams > 0
+        |      THEN round(CAST(n_grams - n_distinct AS DOUBLE) / n_grams, 4)
+        |      ELSE 0.0 END AS rep_ratio
+        |FROM g ORDER BY doc_id""".stripMargin,
 
     "q_array_funcs" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)

@@ -99,6 +99,24 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("chunk_id"))
   }
 
+  /** Within-document repetition: share of word-3-gram positions whose gram
+    * already occurred in the same document — the standard boilerplate/
+    * looping-text quality filter (high ratio = repeated phrases). Pure
+    * per-row work: total positional grams minus distinct grams. */
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.TextFunctions.register(spark)
+    Tables(spark, dir, "documents")
+      .withColumn("n_grams",
+        greatest(size(split(col("text"), " ")) - 2, lit(0)).cast("long"))
+      .withColumn("n_distinct",
+        size(expr("graft_shingles(text, 3)")).cast("long"))
+      .select(col("doc_id"), col("n_grams"), col("n_distinct"),
+        when(col("n_grams") > 0,
+          round((col("n_grams") - col("n_distinct")).cast("double") / col("n_grams"), 4))
+          .otherwise(lit(0.0)).as("rep_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Array/higher-order-function coverage over the token arrays: sort,
     * distinct, slice, position, HOF filter/transform — per-row expression
     * work, no shuffle, all replicable in DuckDB's list functions. */
