@@ -23,7 +23,12 @@ import org.apache.spark.sql.types.StructType
   * table.dir=/data/tables           # full-scan source tables
   * sink.root=/data/index            # keyed sink tables ("indexes")
   * checkpoint.dir=/data/ckpt
-  * trigger.seconds=10               # absent => AvailableNow (drain + stop)
+  * trigger.seconds=10               # absent => insert.interval.seconds if
+  *                                  # set, else AvailableNow (drain + stop)
+  * insert.interval.seconds=10       # reference insert_interval (B2 flush)
+  * insert.size=1000                 # reference insert_size -> per-batch
+  *                                  # source admission (maxFilesPerTrigger)
+  * monotonic=true                   # cross-batch stale-event suppression
   * sync.<table>.pk=id
   * sync.<table>.full=true
   * sync.<table>.index=<name>        # optional
@@ -58,14 +63,17 @@ object Main {
         new graft.cdc.V2CdcSource(spark, props.getProperty("feed.dir"),
           props.getProperty("table.dir"), tables = cfg.tables)
       else new ParquetCdcSource(spark,
-        props.getProperty("feed.dir"), props.getProperty("table.dir"))
+        props.getProperty("feed.dir"), props.getProperty("table.dir"),
+        maxFilesPerTrigger = cfg.insertSize.getOrElse(1))
     val pipe = new Pipeline(spark, cfg, source, props.getProperty("sink.root"))
     cmd match {
       case "start" =>
         val trigger = Option(props.getProperty("trigger.seconds"))
           .map(s => Trigger.ProcessingTime(s.toLong * 1000))
+          .orElse(cfg.insertIntervalSecs.map(_ => pipe.configTrigger))
           .getOrElse(Trigger.AvailableNow())
-        val q = pipe.start(props.getProperty("checkpoint.dir"), trigger)
+        val q = pipe.start(props.getProperty("checkpoint.dir"), trigger,
+          monotonic = props.getProperty("monotonic") == "true")
         q.awaitTermination()
       case "refresh" =>
         pipe.refresh(rest).foreach { case (t, n) => println(s"refreshed $t: $n rows") }
@@ -100,6 +108,9 @@ object Main {
         fields = fields,
         schema = p("schema").map(StructType.fromDDL))
     }
-    PipelineConfig(syncs)
+    PipelineConfig(syncs,
+      insertSize = Option(props.getProperty("insert.size")).map(_.trim.toInt),
+      insertIntervalSecs =
+        Option(props.getProperty("insert.interval.seconds")).map(_.trim.toInt))
   }
 }

@@ -5,18 +5,23 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators over `documents` — the core of a training-data
-  * pipeline at 100 TB. Four tiers:
+  * pipeline at 100 TB. Tiers:
   *
   *  1. exact:      hash-groupBy on a content digest (one shuffle, partial agg)
   *  2. n-gram Jaccard: exact near-dup via an INVERTED INDEX on shingles —
   *     pairs are generated only where a shingle is shared, so cost scales
-  *     with real overlap, not |docs|^2
+  *     with real overlap, not |docs|^2; [[ngramJaccardPrefix]] is the
+  *     output-identical PPJoin prefix-filtered formulation (sub-quadratic
+  *     candidates) that overtakes it as duplication density grows
   *  3. MinHash+LSH: sub-quadratic candidate generation (banding), exact
   *     verification of candidates only — the 100 TB scale path
   *  4. SimHash:    64-bit fingerprint + banded hamming candidate join
+  *  5. clustering: connected components over the near-dup pair graph
+  *     ([[nearDupClusters]] — min-label propagation to fixpoint)
   *
-  * All shingling/hashing is per-row higher-order-function work (no UDFs);
-  * the only shuffles are the joins/groupBys the semantics require.
+  * All shingling/hashing is per-row codegen'd expression work (no UDFs,
+  * no interpreted HOF trees — see [[graft.functions.WordShingles]]); the
+  * only shuffles are the joins/groupBys the semantics require.
   */
 object Dedup {
 

@@ -20,4 +20,19 @@ class CliSpec extends SparkSpec {
     assert(u.schema.get.fieldNames.toSeq === Seq("_id", "age", "time"))
     assert(cfg.syncFor("orders").get.pk === "id")
   }
+
+  test("B2 flush knobs parse into PipelineConfig") {
+    val p = new java.util.Properties()
+    p.setProperty("sync.t.schema", "id INT")
+    p.setProperty("insert.size", "1000")
+    p.setProperty("insert.interval.seconds", "10")
+    val cfg = Main.parseConfig(p)
+    assert(cfg.insertSize === Some(1000))
+    assert(cfg.insertIntervalSecs === Some(10))
+    // absent => None (immediate micro-batches via configTrigger)
+    val bare = Main.parseConfig {
+      val q = new java.util.Properties(); q.setProperty("sync.t.schema", "id INT"); q
+    }
+    assert(bare.insertSize === None && bare.insertIntervalSecs === None)
+  }
 }
