@@ -58,16 +58,6 @@ object Transforms {
     rows.select(cols: _*)
   }
 
-  /** Parse the JSON `data` payload of the envelope into typed columns using
-    * the sync's configured schema (the reference's schemaless dict tier made
-    * typed so Catalyst can prune — SURVEY.md §1.5). Keeps the envelope
-    * columns alongside the payload struct. */
-  def parsePayload(events: DataFrame, sync: SyncConfig): DataFrame = {
-    val s = sync.schema.getOrElse(throw new IllegalArgumentException(
-      s"sync '${sync.table}' has no payload schema configured"))
-    events.withColumn("row", from_json(col("data"), s))
-  }
-
   /** B1: per-PK last-write-wins compaction inside a batch — the core
     * write-reduction semantics of the pipeline (`event.py:10-13`: a later
     * event on the same (table, pk) overwrites the earlier one).
