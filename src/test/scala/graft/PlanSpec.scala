@@ -53,4 +53,17 @@ class PlanSpec extends SparkSpec {
     assert("Expand".r.findAllIn(p).size >= 1, p.take(2000))
     assert("Scan parquet".r.findAllIn(p).size <= 3, p.take(2000)) // 3 tables, 1 scan each
   }
+
+  test("tfidf top-k per group gets the WindowGroupLimit pushdown") {
+    // rank<=k is evaluated as a per-partition group limit BEFORE the window
+    // shuffle (Spark 3.5+), so the shuffle moves k rows per doc, not all
+    val p = plan("q_tfidf")
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+  }
+
+  test("prefix-filtered dedup joins stay keyed (no nested loop anywhere)") {
+    val p = plan("q_dedup_ngram_prefix")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(2000))
+  }
 }
