@@ -75,6 +75,62 @@ class UpsertSinkSpec extends SparkSpec {
     assert(Files.exists(Paths.get(live))) // healed on disk, not just in-memory
   }
 
+  test("bucketed sink rewrites only the touched buckets") {
+    import graft.cdc.BucketedUpsertSink
+    val path = tmpDir("bsink") + "/state"
+    val s0 = (1 to 200).map(i => (i, s"name$i", s"city$i")).toDF("id", "name", "city")
+    BucketedUpsertSink.init(s0, path, "id", numBuckets = 8)
+    def bucketFiles(): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(path)).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> f.lastModified()).toMap
+    }
+    val before = bucketFiles()
+    // one update + one delete; both pks land in <= 2 of the 8 buckets
+    val batch = changes(("update", 7, "seven", null), ("delete", 8, null, null))
+    BucketedUpsertSink.applyBatch(spark, path, batch, "id", numBuckets = 8)
+    val state = BucketedUpsertSink.currentState(spark, path, s0.schema)
+    assert(state.count() === 199)
+    assert(state.filter(col("id") === 7).head() === Row(7, "seven", "city7"))
+    assert(state.filter(col("id") === 8).count() === 0)
+    // untouched bucket files are bit-for-bit the same files (same mtime)
+    val after = bucketFiles()
+    val untouchedSurvivors = before.keySet.intersect(after.keySet)
+    assert(untouchedSurvivors.nonEmpty, "expected untouched bucket files to survive")
+    untouchedSurvivors.foreach(p => assert(before(p) === after(p), s"file $p rewritten"))
+    // at least one bucket dir must have survived completely (8 buckets, 2 pks)
+    assert(untouchedSurvivors.size >= before.size / 2, s"${untouchedSurvivors.size}/${before.size}")
+  }
+
+  test("bucketed sink: deleting a bucket's last row drops its partition") {
+    import graft.cdc.BucketedUpsertSink
+    val path = tmpDir("bsink2") + "/state"
+    BucketedUpsertSink.init(Seq((1, "only", "row")).toDF("id", "name", "city"),
+      path, "id", numBuckets = 4)
+    val schema = Seq((1, "only", "row")).toDF("id", "name", "city").schema
+    BucketedUpsertSink.applyBatch(spark, path,
+      changes(("delete", 1, null, null)), "id", numBuckets = 4)
+    assert(BucketedUpsertSink.currentState(spark, path, schema).count() === 0)
+  }
+
+  test("bucketed sink is idempotent under batch replay") {
+    import graft.cdc.BucketedUpsertSink
+    val path = tmpDir("bsink3") + "/state"
+    BucketedUpsertSink.init(
+      (1 to 20).map(i => (i, s"n$i", s"c$i")).toDF("id", "name", "city"),
+      path, "id", numBuckets = 4)
+    val batch = changes(("update", 3, "three", null), ("create", 21, "new", "here"),
+      ("delete", 5, null, null))
+    val schema3 = state((0, "x", "y")).schema
+    BucketedUpsertSink.applyBatch(spark, path, batch, "id", numBuckets = 4)
+    val once = BucketedUpsertSink.currentState(spark, path, schema3).orderBy("id").collect().toSeq
+    BucketedUpsertSink.applyBatch(spark, path, batch, "id", numBuckets = 4)
+    val twice = BucketedUpsertSink.currentState(spark, path, schema3).orderBy("id").collect().toSeq
+    assert(once === twice)
+    assert(once.length === 20) // 20 - 1 delete + 1 create
+  }
+
   test("create -> update -> delete on one pk within a batch nets to absence") {
     // reference event.py:10-13 last-write-wins, then delete applies
     val evs = Seq(
