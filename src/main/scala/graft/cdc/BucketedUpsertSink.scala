@@ -39,24 +39,33 @@ object BucketedUpsertSink {
       .partitionBy(BucketCol)
       .parquet(statePath)
 
-  /** Current state (without the bucket column). The payload schema makes a
-    * fully-emptied state (every bucket deleted) readable. */
-  def currentState(spark: SparkSession, statePath: String,
-                   schema: org.apache.spark.sql.types.StructType): DataFrame = {
+  private def hasBuckets(spark: SparkSession, statePath: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(statePath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val hasBuckets = fs.exists(p) &&
+    fs.exists(p) &&
       fs.listStatus(p).exists(_.getPath.getName.startsWith(BucketCol + "="))
-    if (hasBuckets) spark.read.parquet(statePath).drop(BucketCol)
-    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
+
+  /** Current state (without the bucket column). The payload schema makes a
+    * fully-emptied or not-yet-created state readable. */
+  def currentState(spark: SparkSession, statePath: String,
+                   schema: org.apache.spark.sql.types.StructType): DataFrame =
+    if (hasBuckets(spark, statePath)) spark.read.parquet(statePath).drop(BucketCol)
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 
   /** Apply one compacted micro-batch: read ONLY the buckets the batch
     * touches, merge with [[UpsertSink.applyBatch]] semantics (presence
     * mask, create-replaces, delete-removes), overwrite ONLY those bucket
     * partitions. */
   def applyBatch(spark: SparkSession, statePath: String, changes: DataFrame,
-                 pk: String, numBuckets: Int): Unit = {
+                 pk: String, numBuckets: Int): Unit =
+    applyBatch(spark, statePath, changes, pk, numBuckets, schema = None)
+
+  /** As [[applyBatch]]; `schema` makes the very first batch work against a
+    * not-yet-created state (bootstrap without a separate [[init]]). */
+  def applyBatch(spark: SparkSession, statePath: String, changes: DataFrame,
+                 pk: String, numBuckets: Int,
+                 schema: Option[org.apache.spark.sql.types.StructType]): Unit = {
     val withBucket = changes.withColumn(BucketCol, bucketOf(col(pk), numBuckets))
     // bounded by numBuckets (config), so collecting the DISTINCT bucket ids
     // is O(buckets), not O(data) — it exists to make the state read a
@@ -64,9 +73,14 @@ object BucketedUpsertSink {
     val touched = withBucket.select(BucketCol).distinct()
       .collect().map(_.getLong(0)).sorted
     if (touched.isEmpty) return
-    val state = spark.read.parquet(statePath)
-      .filter(col(BucketCol).isin(touched: _*))
-      .drop(BucketCol)
+    val state =
+      if (hasBuckets(spark, statePath))
+        spark.read.parquet(statePath)
+          .filter(col(BucketCol).isin(touched: _*))
+          .drop(BucketCol)
+      else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        schema.getOrElse(throw new IllegalStateException(
+          s"no state at $statePath and no bootstrap schema given")))
     val merged = UpsertSink.applyBatch(state, withBucket.drop(BucketCol), pk)
       .withColumn(BucketCol, bucketOf(col(pk), numBuckets))
       .persist()

@@ -127,11 +127,17 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
       dead.write.mode("append").parquet(deadLetterPath(sync))
     val view = full.filter(col(pk).isNotNull)
     val compacted = Transforms.lastWriteWins(view, col(pk), Seq(col("_ridx")))
-    val state = UpsertSink.currentState(spark, statePath(sync), sinkSchema(sync))
-    val next = UpsertSink.applyBatch(state, compacted, pk)
-    val tmp = statePath(sync) + ".next"
-    next.write.mode("overwrite").parquet(tmp)
-    UpsertSink.atomicSwapDirs(spark, tmp, statePath(sync))
+    config.stateBuckets match {
+      case Some(n) =>
+        BucketedUpsertSink.applyBatch(spark, statePath(sync), compacted, pk, n,
+          schema = Some(sinkSchema(sync)))
+      case None =>
+        val state = UpsertSink.currentState(spark, statePath(sync), sinkSchema(sync))
+        val next = UpsertSink.applyBatch(state, compacted, pk)
+        val tmp = statePath(sync) + ".next"
+        next.write.mode("overwrite").parquet(tmp)
+        UpsertSink.atomicSwapDirs(spark, tmp, statePath(sync))
+    }
     hooks.postBatch.foreach(_(sync.table, batchId))
   }
 
@@ -139,7 +145,12 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
     * full scan before tailing (`main.py:84-101`). */
   def backfillIfNeeded(): Unit = config.syncs.foreach { sync =>
     if (sync.full && !UpsertSink.liveExists(spark, statePath(sync))) {
-      SwapRefresh.refresh(source.fullScan(sync), statePath(sync)); ()
+      config.stateBuckets match {
+        case Some(n) =>
+          BucketedUpsertSink.init(source.fullScan(sync), statePath(sync), pkOut(sync), n)
+        case None =>
+          SwapRefresh.refresh(source.fullScan(sync), statePath(sync)); ()
+      }
     }
   }
 
@@ -213,8 +224,10 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
     s.table -> (source.count(s), sinkCount)
   }.toMap
 
-  /** Read one sync's current sink state (test/inspection helper). */
-  def sinkState(sync: SyncConfig): DataFrame = spark.read.parquet(statePath(sync))
+  /** Read one sync's current sink state (test/inspection helper); the
+    * bucketed layout's partition column is internal and dropped. */
+  def sinkState(sync: SyncConfig): DataFrame =
+    spark.read.parquet(statePath(sync)).drop(BucketedUpsertSink.BucketCol)
 }
 
 object Pipeline {

@@ -73,11 +73,17 @@ final case class SyncConfig(
 }
 
 /** Pipeline-level configuration — mirrors reference `Settings`
-  * (`settings.py:60-82`): flush triggers and the list of syncs. */
+  * (`settings.py:60-82`): flush triggers and the list of syncs.
+  *
+  * Spark addition: `stateBuckets` switches the sink to the bucketed layout
+  * ([[graft.cdc.BucketedUpsertSink]] — each batch rewrites only the pk-hash
+  * buckets it touches) with the given bucket count; None keeps the flat
+  * state dir + atomic swap. */
 final case class PipelineConfig(
     syncs: Seq[SyncConfig],
     insertSize: Option[Int] = None,
-    insertIntervalSecs: Option[Int] = None
+    insertIntervalSecs: Option[Int] = None,
+    stateBuckets: Option[Int] = None
 ) {
   /** `settings.get_sync(table)` (reference `settings.py:78-82`). */
   def syncFor(table: String): Option[SyncConfig] = syncs.find(_.table == table)

@@ -188,6 +188,28 @@ class PipelineSpec extends SparkSpec {
     assert(immediate.configTrigger === Trigger.ProcessingTime(0L))
   }
 
+  test("bucketed sink mode: end-to-end sync with per-bucket state layout") {
+    val sinkRoot = tmpDir("sink")
+    val ckpt = tmpDir("ckpt")
+    val sync = SyncConfig("t", pk = "id", schema = Some(StructType(Seq(
+      StructField("id", IntegerType), StructField("v", StringType)))))
+    val src = new MemoryCdcSource(spark)
+    val pipe = new Pipeline(spark,
+      PipelineConfig(Seq(sync), stateBuckets = Some(4)), src, sinkRoot)
+    src.addEvents(
+      ChangeEvent("create", "t", 1, ts("2024-01-01 00:00:00"), """{"id": 1, "v": "a"}"""),
+      ChangeEvent("create", "t", 2, ts("2024-01-01 00:00:01"), """{"id": 2, "v": "b"}"""))
+    val q1 = pipe.start(ckpt); q1.processAllAvailable(); q1.stop()
+    src.addEvents(
+      ChangeEvent("update", "t", 3, ts("2024-01-01 00:01:00"), """{"id": 1, "v": "a2"}"""),
+      ChangeEvent("delete", "t", 4, ts("2024-01-01 00:01:01"), """{"id": 2}"""))
+    val q2 = pipe.start(ckpt); q2.processAllAvailable(); q2.stop()
+    assert(pipe.sinkState(sync).collect().toSeq === Seq(Row(1, "a2")))
+    // the state dir really is bucket-partitioned
+    val dirs = new java.io.File(s"$sinkRoot/t").listFiles().map(_.getName)
+    assert(dirs.exists(_.startsWith("_bucket=")), dirs.mkString(","))
+  }
+
   test("backfill + refresh + check against fixture tables") {
     val sinkRoot = tmpDir("sink")
     val sync = SyncConfig("region", pk = "r_regionkey", full = true,
