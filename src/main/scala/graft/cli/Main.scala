@@ -29,6 +29,9 @@ import org.apache.spark.sql.types.StructType
   * insert.size=1000                 # reference insert_size -> per-batch
   *                                  # source admission (maxFilesPerTrigger)
   * monotonic=true                   # cross-batch stale-event suppression
+  * state.buckets=64                 # bucketed sink layout (rewrite only
+  *                                  # touched pk-hash buckets); absent =
+  *                                  # flat state dir + atomic swap
   * sync.<table>.pk=id
   * sync.<table>.full=true
   * sync.<table>.index=<name>        # optional
@@ -111,6 +114,7 @@ object Main {
     PipelineConfig(syncs,
       insertSize = Option(props.getProperty("insert.size")).map(_.trim.toInt),
       insertIntervalSecs =
-        Option(props.getProperty("insert.interval.seconds")).map(_.trim.toInt))
+        Option(props.getProperty("insert.interval.seconds")).map(_.trim.toInt),
+      stateBuckets = Option(props.getProperty("state.buckets")).map(_.trim.toInt))
   }
 }
