@@ -39,6 +39,21 @@ def main(sf_dir, out_dir):
             fails.append(name)
             print(f"FAIL {name}: error {e}")
             continue
+        # dtype parity: the driver's hash is type-sensitive beyond the
+        # int32/int64 normalization — HUGEINT (count_if) or DECIMAL on the
+        # oracle side vs BIGINT/DOUBLE on the spark side fails there even
+        # when every cell value matches. Surface it here as a failure.
+        gtypes = {d[0]: str(t) for d, t in
+                  zip(got.description, con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").types)}
+        etypes = {d[0]: str(t) for d, t in zip(exp.description, con.sql(sql).types)}
+        bad_types = [c for c in etypes
+                     if any(k in etypes[c] for k in ("HUGEINT", "DECIMAL"))
+                     and etypes[c] != gtypes.get(c)]
+        if bad_types:
+            fails.append(name)
+            print(f"FAIL {name}: oracle dtype not hashable-equal: " +
+                  ", ".join(f"{c} oracle={etypes[c]} spark={gtypes.get(c)}" for c in bad_types))
+            continue
         gc, gr = norm(grows, gcols)
         ec, er = norm(erows, ecols)
         if gc != ec:

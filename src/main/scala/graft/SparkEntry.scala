@@ -179,8 +179,8 @@ object SparkEntry {
 
     "q_conditional_agg" ->
       """SELECT o_orderpriority,
-        | count_if(o_totalprice > 200000) AS n_big,
-        | round(count_if(o_totalprice > 200000) / count(*), 4) AS big_share,
+        | CAST(count_if(o_totalprice > 200000) AS BIGINT) AS n_big,
+        | round(CAST(count_if(o_totalprice > 200000) AS BIGINT) / count(*), 4) AS big_share,
         | round(avg(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS avg_f,
         | bool_or(o_totalprice > 500000) AS any_jumbo
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,

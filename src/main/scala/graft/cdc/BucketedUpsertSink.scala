@@ -84,6 +84,11 @@ object BucketedUpsertSink {
     val merged = UpsertSink.applyBatch(state, withBucket.drop(BucketCol), pk)
       .withColumn(BucketCol, bucketOf(col(pk), numBuckets))
       .persist()
+    // Collect the written-bucket set BEFORE the overwrite: after the commit
+    // the old files are gone, so any recompute of `merged` (cache eviction)
+    // would re-list a replaced directory and fail. Pre-write, a recompute
+    // only re-reads still-live files.
+    val written = merged.select(BucketCol).distinct().collect().map(_.getLong(0)).toSet
     merged.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(BucketCol)
@@ -91,7 +96,6 @@ object BucketedUpsertSink {
     // dynamic overwrite replaces only partitions PRESENT in the output: a
     // touched bucket whose last row was deleted writes nothing, so its stale
     // dir must be dropped explicitly
-    val written = merged.select(BucketCol).distinct().collect().map(_.getLong(0)).toSet
     merged.unpersist()
     val fsPath = new org.apache.hadoop.fs.Path(statePath)
     val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)

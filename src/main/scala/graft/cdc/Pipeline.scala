@@ -74,7 +74,10 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
     // `_ridx` so later rows of one event win compaction ties.
     // posexplode_outer keeps unparseable payloads as a (null, null) row for
     // the dead-letter path instead of vanishing.
-    val isArray = startswith(ltrim(col("data")), lit("["))
+    // rlike, not ltrim+startswith: ltrim strips only ASCII space, so a
+    // payload led by tab/newline before '[' would be mis-read as single-row
+    // and dead-lettered. \s covers all JSON whitespace.
+    val isArray = col("data").rlike("^\\s*\\[")
     val exploded = filtered
       .withColumn("__rows",
         when(isArray, from_json(col("data"), ArrayType(payload)))

@@ -330,6 +330,14 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    // Fail-stop, not silent divergence: a component with diameter > maxIter
+    // would keep split labels and violate the label = min(member) invariant
+    // the spec (and recursive-CTE oracle) assert.
+    if (!converged)
+      throw new IllegalStateException(
+        s"nearDupClusters did not converge in $maxIter iterations: a dup " +
+          "cluster has diameter > maxIter; raise maxIter or use a " +
+          "large-star/small-star formulation for hub-graph pathologies")
     labels.orderBy(col("doc")).select(col("doc").as("doc_id"), col("cluster"))
   }
 
