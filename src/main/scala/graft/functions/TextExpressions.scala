@@ -368,6 +368,65 @@ case class CharGramHashes(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Overlap count of two SORTED (ascending) distinct long arrays — the exact
+  * set-intersection size, as one codegen'd merge loop. Replaces
+  * `size(array_intersect(a, b))`, which builds a hash set per call; on the
+  * dedup verification path (hundreds of thousands of candidate pairs, each
+  * intersecting ~100-element shingle-hash sets) the merge is both branch-
+  * predictable and allocation-free. */
+case class SortedOverlapCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<bigint>, array<bigint>), got (${l.sql}, ${r.sql})")
+    }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_overlap_count"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val ys = b.asInstanceOf[ArrayData]
+    val n = xs.numElements(); val m = ys.numElements()
+    var i = 0; var j = 0; var c = 0
+    while (i < n && j < m) {
+      val x = xs.getLong(i); val y = ys.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val m = ctx.freshName("m")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      s"""
+         |int $n = $a.numElements();
+         |int $m = $b.numElements();
+         |int $i = 0, $j = 0, $c = 0;
+         |while ($i < $n && $j < $m) {
+         |  long $x = $a.getLong($i);
+         |  long $y = $b.getLong($j);
+         |  if ($x == $y) { $c++; $i++; $j++; }
+         |  else if ($x < $y) $i++;
+         |  else $j++;
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedOverlapCount =
+    copy(left = newLeft, right = newRight)
+}
+
 object TextFunctions {
   /** Register `graft_simhash64` / `graft_sliding_min_distinct` / shingling. Idempotent. */
   def register(spark: SparkSession): Unit = {
@@ -384,5 +443,7 @@ object TextFunctions {
       exprs => WordShingleHashes(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_chargram_hashes",
       exprs => CharGramHashes(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_overlap_count",
+      exprs => SortedOverlapCount(exprs(0), exprs(1)), "scala_udf")
   }
 }

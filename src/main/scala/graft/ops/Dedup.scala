@@ -33,28 +33,24 @@ object Dedup {
       .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("copies"))
       .orderBy(col("h"))
 
-  /** Distinct word-3-gram shingles per doc (order-sensitive — robust where
-    * bag-of-words Jaccard saturates on a small vocabulary). */
+  /** Distinct word-3-gram shingle HASHES per doc (order-sensitive — robust
+    * where bag-of-words Jaccard saturates on a small vocabulary). The whole
+    * Jaccard family runs on xxhash64(shingle) longs, never on shingle
+    * strings: 8-byte keys through every shuffle/groupBy/join instead of
+    * ~25-byte strings, and set intersections become long-array merges.
+    * Exact modulo 64-bit hash collisions (~1e-9 at 1e5 distinct shingles) —
+    * the standard trade at crawl scale.
+    *
+    * Hashing runs in [[graft.functions.WordShingleHashes]] — one codegen'd
+    * per-row loop. (The HOF formulation — array_distinct(transform(sequence,
+    * i -> concat_ws(element_at…))) — was 20x slower end-to-end: optimizer
+    * rules copy the expression into pushed-down predicates where split(text)
+    * is re-inlined into every element_at and the tree runs interpreted.)
+    * Docs with < 3 tokens have NO shingles, mirroring the oracle's
+    * generate_series(1, len(t)-2). */
   private def shingled(spark: SparkSession, dir: String): DataFrame =
-    shingledOf(Tables(spark, dir, "documents"))
+    hashShingledOf(Tables(spark, dir, "documents"))
 
-  // Shingling runs in [[graft.functions.WordShingles]] — one codegen'd
-  // per-row loop. (The HOF formulation — array_distinct(transform(sequence,
-  // i -> concat_ws(element_at…))) — was 20x slower end-to-end: optimizer
-  // rules copy the expression into pushed-down predicates where split(text)
-  // is re-inlined into every element_at and the tree runs interpreted.)
-  // Docs with < 3 tokens have NO shingles, mirroring the oracle's
-  // generate_series(1, len(t)-2).
-  private def shingledOf(docs: DataFrame): DataFrame = {
-    graft.functions.TextFunctions.register(docs.sparkSession)
-    docs
-      .select(col("doc_id"), expr("graft_shingles(text, 3)").as("sh"))
-      .withColumn("n_sh", size(col("sh")))
-  }
-
-  /** Hashed-shingle variant for the MinHash/SimHash tiers: xxhash64 per
-    * distinct shingle, fused into the shingling pass — the string shingle
-    * array is never materialized. */
   private def hashShingledOf(docs: DataFrame): DataFrame = {
     graft.functions.TextFunctions.register(docs.sparkSession)
     docs
@@ -86,7 +82,7 @@ object Dedup {
     // pair generation is a per-shingle HOF double loop (bounded by dfCap^2)
     // instead of a sorted-window + self-join, which re-shuffles the postings
     // twice. Second shuffle: the per-pair count aggregate.
-    val posts = s.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("shingle"))
+    val posts = s.select(col("doc_id"), col("n_sh"), explode(col("hs")).as("shingle"))
     val pairs = posts
       .groupBy(col("shingle"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("n_sh")))).as("ds"))
@@ -128,7 +124,7 @@ object Dedup {
   def ngramJaccardPrefix(spark: SparkSession, dir: String, threshold: Double = 0.5,
                          dfCap: Int = 128): DataFrame = {
     val s = shingled(spark, dir)
-    val posts = s.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("shingle"))
+    val posts = s.select(col("doc_id"), col("n_sh"), explode(col("hs")).as("shingle"))
     // document frequency per shingle; stop-shingles (df > cap) leave the
     // effective sets entirely — same overlap semantics as ngramJaccard
     // (df=1 shingles can never be shared, so keeping them only pads m)
@@ -142,8 +138,10 @@ object Dedup {
       .withColumn("plen",
         col("m") - ceil(col("n_sh") * lit(threshold)).cast("int") + lit(1))
     // docs with plen < 1 cannot reach the threshold with anyone: c <= m < t*na
+    // verification sets sorted ASCENDING so the overlap is one merge pass
     val sets = perDoc
-      .select(col("doc_id"), col("n_sh"), expr("transform(eord, x -> x.shingle)").as("eset"))
+      .select(col("doc_id"), col("n_sh"),
+        array_sort(expr("transform(eord, x -> x.shingle)")).as("eset"))
     val prefixes = perDoc.filter(col("plen") >= 1)
       .select(col("doc_id"), explode(expr("slice(eord, 1, plen)")).as("p"))
       .select(col("doc_id"), col("p.shingle").as("shingle"))
@@ -158,7 +156,7 @@ object Dedup {
         col("n_sh").as("na")), Seq("doc_a"))
       .join(sets.select(col("doc_id").as("doc_b"), col("eset").as("eb"),
         col("n_sh").as("nb")), Seq("doc_b"))
-      .withColumn("c", size(array_intersect(col("ea"), col("eb"))))
+      .withColumn("c", expr("graft_overlap_count(ea, eb)"))
       .withColumn("jaccard",
         round(col("c").cast("double") /
           greatest(col("na") + col("nb") - col("c"), lit(1)), 4))
@@ -206,15 +204,16 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    // join-back side only needs the shingle sets, not the signatures; the
-    // hashed sets make the exact-verify intersection a long-array compare
+    // join-back side only needs the shingle sets, not the signatures; sorted
+    // hashed sets make the exact-verify intersection one merge pass
     val sets = hashShingledOf(Tables(spark, dir, "documents"))
+      .select(col("doc_id"), array_sort(col("hs")).as("hs"), col("n_sh"))
     candidates
       .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("sha"),
         col("n_sh").as("na")), Seq("doc_a"))
       .join(sets.select(col("doc_id").as("doc_b"), col("hs").as("shb"),
         col("n_sh").as("nb")), Seq("doc_b"))
-      .withColumn("c", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("c", expr("graft_overlap_count(sha, shb)"))
       .withColumn("jaccard",
         round(col("c").cast("double") / (col("na") + col("nb") - col("c")), 4))
       .filter(col("jaccard") >= threshold)
@@ -232,7 +231,7 @@ object Dedup {
     val survivors = Tables(spark, dir, "documents")
       .groupBy(col("text"))
       .agg(min(col("doc_id")).as("doc_id"))
-    ngramPairsOn(shingledOf(survivors), threshold, dfCap)
+    ngramPairsOn(hashShingledOf(survivors), threshold, dfCap)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

@@ -1,0 +1,60 @@
+package graft
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.functions._
+
+class TextExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("graft_overlap_count == size(array_intersect) on sorted distinct arrays") {
+    TextFunctions.register(spark)
+    // real shingle-hash sets from the fixture: distinct by construction,
+    // sorted here as the Dedup verification path does
+    val sets = ops.Tables(spark, sf, "documents")
+      .select(col("doc_id"), array_sort(expr("graft_shingle_hashes(text, 3)")).as("hs"))
+    val a = sets.select(col("doc_id").as("ia"), col("hs").as("ha"))
+    val b = sets.select(col("doc_id").as("ib"), col("hs").as("hb"))
+    val rows = a.join(b, col("ia") < col("ib"))
+      .limit(2000)
+      .select(
+        expr("graft_overlap_count(ha, hb)").as("merge"),
+        size(array_intersect(col("ha"), col("hb"))).as("hashset"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getInt(0) === r.getInt(1)))
+  }
+
+  test("graft_overlap_count participates in whole-stage codegen") {
+    TextFunctions.register(spark)
+    val df = ops.Tables(spark, sf, "documents")
+      .select(array_sort(expr("graft_shingle_hashes(text, 3)")).as("hs"))
+      .select(expr("graft_overlap_count(hs, hs)").as("c"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) Project \[graft_overlap_count""".r.findFirstIn(plan).isDefined, plan)
+  }
+
+  test("graft_overlap_count edges: empty, disjoint, identical, null") {
+    TextFunctions.register(spark)
+    val rows = Seq(
+      (Some(Seq.empty[Long]), Some(Seq(1L, 2L))),
+      (Some(Seq(1L, 3L, 5L)), Some(Seq(2L, 4L, 6L))),
+      (Some(Seq(1L, 2L, 3L)), Some(Seq(1L, 2L, 3L))),
+      (Option.empty[Seq[Long]], Some(Seq(1L))))
+      .toDF("a", "b")
+      .select(expr("graft_overlap_count(a, b)").as("c"))
+      .collect()
+    assert(rows(0).getInt(0) === 0)
+    assert(rows(1).getInt(0) === 0)
+    assert(rows(2).getInt(0) === 3)
+    assert(rows(3).isNullAt(0))
+  }
+
+  test("graft_overlap_count rejects non-long arrays") {
+    TextFunctions.register(spark)
+    val err = intercept[Exception] {
+      Seq((Seq(1, 2), Seq(2, 3))).toDF("a", "b")
+        .select(expr("graft_overlap_count(a, b)")).collect()
+    }
+    assert(err.getMessage.contains("array<bigint>"))
+  }
+}
