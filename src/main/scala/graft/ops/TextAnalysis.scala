@@ -135,16 +135,16 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
 
   /** TF-IDF top terms per document: term frequency from one explode +
-    * (doc, token) aggregate, document frequency from a token aggregate, the
-    * corpus size as a broadcast 1-row aggregate — two shuffles plus a
-    * broadcast, never a per-document pass over the corpus. Top-3 terms per
-    * doc by score via ranking window. */
+    * (doc, token) aggregate; document frequency derived FROM tf (its rows
+    * are already distinct (doc, token) pairs, so df = a plain count —
+    * one corpus scan + explode instead of two, and no count_distinct);
+    * the corpus size as a broadcast 1-row aggregate. Top-3 terms per doc
+    * by score via ranking window. */
   def tfidfTop(spark: SparkSession, dir: String, topK: Int = 3): DataFrame = {
     val docs = Tables(spark, dir, "documents")
     val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
     val tf = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-    val dfreq = toks.groupBy(col("token"))
-      .agg(count_distinct(col("doc_id")).as("df"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val scored = tf.join(dfreq, "token").crossJoin(broadcast(n))
       .withColumn("score",

@@ -53,6 +53,28 @@ object Profile {
         val candD = cand.dropDuplicates("doc_a", "doc_b")
         time("cand-dedup")(candD.count())
         time("full-query")(graft.ops.Dedup.ngramJaccardPrefix(spark, sfDir).count())
+      case "ngram" =>
+        val s = docs.select(col("doc_id"), expr("graft_shingle_hashes(text, 3)").as("hs"))
+          .withColumn("n_sh", size(col("hs")))
+        val posts = s.select(col("doc_id"), col("n_sh"), explode(col("hs")).as("shingle"))
+        time("posts")(posts.count())
+        val grouped = posts.groupBy(col("shingle"))
+          .agg(sort_array(collect_list(struct(col("doc_id"), col("n_sh")))).as("ds"))
+          .filter(size(col("ds")).between(2, 128))
+        time("grouped")(grouped.count())
+        val pairs = grouped.select(explode(expr(
+          """flatten(transform(ds, (a, i) ->
+            |  transform(slice(ds, i + 2, size(ds)),
+            |    b -> struct(a.doc_id AS doc_a, a.n_sh AS na,
+            |                b.doc_id AS doc_b, b.n_sh AS nb))))""".stripMargin)).as("p"))
+        time("pair-expand")(pairs.count())
+        val agg = pairs.filter(col("p.doc_a") =!= col("p.doc_b"))
+          .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+            col("p.na").as("na"), col("p.nb").as("nb"))
+          .agg(count(lit(1)).as("c"))
+        time("pair-agg")(agg.count())
+        time("full-ngram")(graft.ops.Dedup.ngramJaccard(spark, sfDir).count())
+        time("full-ngram-2")(graft.ops.Dedup.ngramJaccard(spark, sfDir).count())
       case "cluster" =>
         time("pairs-only")(graft.ops.Dedup.ngramJaccard(spark, sfDir).count())
         time("full-cluster")(graft.ops.Dedup.nearDupClusters(spark, sfDir).count())
