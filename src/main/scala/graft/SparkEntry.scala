@@ -79,7 +79,11 @@ object SparkEntry {
     "q_train_test_split" -> ((s, d) => TextAnalysis.trainTestSplit(s, d)),
     "q_fingerprint"    -> ((s, d) => TextAnalysis.fingerprint(s, d)),
     "q_winnow"         -> ((s, d) => TextAnalysis.winnow(s, d)),
-    "q_multimodal_meta" -> ((s, d) => Multimodal.metaQuery(s, d))
+    "q_multimodal_meta" -> ((s, d) => Multimodal.metaQuery(s, d)),
+    "q_ann_ivf"        -> ((s, d) => Similarity.ivfTopK(s, d)),
+    "q_decontaminate"  -> ((s, d) => Dedup.decontaminate(s, d)),
+    "q_pack_sequences" -> ((s, d) => TextAnalysis.packSequences(s, d)),
+    "q_filter_funnel"  -> ((s, d) => TextAnalysis.filterFunnel(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -537,6 +541,86 @@ object SparkEntry {
         | ascii(substring(text, 2, 1)) % 64 + 1 AS height,
         | CASE ascii(substring(text, 1, 1)) % 3
         |   WHEN 0 THEN 'png' WHEN 1 THEN 'jpg' ELSE 'webp' END AS format
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Deterministic IVF (seed centroids = vec_id < 8, ties to lowest seed):
+    // unlike the hash-seeded LSH variant this is exactly reproducible.
+    "q_ann_ivf" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS norm FROM e),
+        |sd AS (SELECT vec_id AS seed_id, v AS sv, norm AS snorm FROM n WHERE vec_id < 8),
+        |asn AS (SELECT vec_id, v, norm, seed_id AS cell FROM (
+        |          SELECT c.vec_id, c.v, c.norm, sd.seed_id,
+        |            row_number() OVER (PARTITION BY c.vec_id
+        |              ORDER BY list_dot_product(c.v, sd.sv) / (c.norm * sd.snorm) DESC,
+        |                       sd.seed_id) AS r
+        |          FROM n c CROSS JOIN sd) WHERE r = 1),
+        |pr AS (SELECT vec_id, v, norm, seed_id AS cell FROM (
+        |          SELECT q.vec_id, q.v, q.norm, sd.seed_id,
+        |            row_number() OVER (PARTITION BY q.vec_id
+        |              ORDER BY list_dot_product(q.v, sd.sv) / (q.norm * sd.snorm) DESC,
+        |                       sd.seed_id) AS r
+        |          FROM n q CROSS JOIN sd WHERE q.vec_id < 10) WHERE r <= 2),
+        |s AS (SELECT pr.vec_id AS q_id, c.vec_id AS n_id,
+        |        list_dot_product(pr.v, c.v) / (pr.norm * c.norm) AS cos
+        |      FROM pr JOIN asn c ON pr.cell = c.cell AND c.vec_id <> pr.vec_id),
+        |r AS (SELECT q_id, n_id, cos,
+        |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+        |      FROM s)
+        |SELECT q_id, rank, n_id, round(cos, 4) AS cosine
+        |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    // Word-5-gram containment of the hash-derived test split in the train
+    // split. Spark computes it on xxhash64 shingles, the oracle on strings:
+    // equal modulo 64-bit collisions, like the Jaccard family.
+    "q_decontaminate" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t,
+        |             (doc_id * 2654435761) % 100 < 80 AS tr FROM documents),
+        |s AS (SELECT doc_id, tr, list_distinct(list_transform(generate_series(1, len(t) - 4),
+        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])) AS sh
+        |      FROM d),
+        |trn AS (SELECT DISTINCT unnest(sh) AS g FROM s WHERE tr),
+        |te AS (SELECT doc_id, unnest(sh) AS g FROM s WHERE NOT tr),
+        |h AS (SELECT te.doc_id, count(trn.g) AS n_hit
+        |      FROM te LEFT JOIN trn ON te.g = trn.g GROUP BY 1)
+        |SELECT s.doc_id, CAST(len(sh) AS BIGINT) AS n_sh,
+        |  CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+        |  round(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / greatest(len(sh), 1), 4) AS contam_ratio
+        |FROM s LEFT JOIN h ON s.doc_id = h.doc_id
+        |WHERE NOT s.tr ORDER BY s.doc_id""".stripMargin,
+
+    "q_pack_sequences" ->
+      """WITH d AS (SELECT doc_id,
+        |             CASE WHEN (doc_id * 2654435761) % 100 < 80
+        |               THEN 'train' ELSE 'test' END AS split,
+        |             CAST(doc_id % 8 AS INT) AS shard,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |           FROM documents),
+        |c AS (SELECT *, sum(n_tok) OVER (PARTITION BY split, shard
+        |        ORDER BY doc_id) - n_tok AS start_tok FROM d)
+        |SELECT split, shard, CAST(floor(start_tok / 512) AS BIGINT) AS bin,
+        |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        |FROM c GROUP BY 1, 2, 3 ORDER BY split, shard, bin""".stripMargin,
+
+    "q_filter_funnel" ->
+      """WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+        |m AS (SELECT length(text) AS chars, len(t) AS n_tok,
+        |        CASE WHEN len(t) - 2 > 0 THEN
+        |          (len(t) - 2 - len(list_distinct(list_transform(generate_series(1, len(t) - 2),
+        |             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))))::DOUBLE / (len(t) - 2)
+        |          ELSE 0.0 END AS rep
+        |      FROM d),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n0,
+        |        CAST(count_if(chars >= 120) AS BIGINT) AS n1,
+        |        CAST(count_if(chars >= 120 AND n_tok >= 30) AS BIGINT) AS n2,
+        |        CAST(count_if(chars >= 120 AND n_tok >= 30 AND rep <= 0.01) AS BIGINT) AS n3
+        |      FROM m)
+        |SELECT * FROM (
+        |  SELECT '0_all' AS stage, n0 AS n_docs,
+        |    round(CAST(n0 AS DOUBLE) / n0, 4) AS yield_pct FROM a
+        |  UNION ALL SELECT '1_chars_ge_120', n1, round(CAST(n1 AS DOUBLE) / n0, 4) FROM a
+        |  UNION ALL SELECT '2_tokens_ge_30', n2, round(CAST(n2 AS DOUBLE) / n0, 4) FROM a
+        |  UNION ALL SELECT '3_rep_le_0.01', n3, round(CAST(n3 AS DOUBLE) / n0, 4) FROM a
+        |) ORDER BY stage""".stripMargin
   )
 }

@@ -365,4 +365,42 @@ object Dedup {
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cosine"))
       .orderBy(col("vec_a"), col("vec_b"))
   }
+
+  /** Benchmark decontamination: for every document in the (hash-derived)
+    * test split, how many of its word-`n`-gram shingles appear anywhere in
+    * the train split. The standard eval-leakage check run before training:
+    * a test doc with n_hit > 0 shares at least one n-gram with training
+    * data; contam_ratio ~ 1 means the doc is effectively contained in it.
+    *
+    * Shape at scale: the train shingle set is a distinct over exploded
+    * 8-byte hashes (map-side partial distinct first), and the containment
+    * test is ONE shuffle join keyed on the hash — test-side shingles
+    * against train-side shingles, never doc x doc. Both sides grow linearly
+    * with the corpus; nothing is quadratic and nothing is collected.
+    * Exact modulo 64-bit collisions, like the Jaccard family. */
+  def decontaminate(spark: SparkSession, dir: String, n: Int = 5): DataFrame = {
+    graft.functions.TextFunctions.register(spark)
+    val d = Tables(spark, dir, "documents")
+      .withColumn("is_train", (col("doc_id") * lit(2654435761L)) % 100 < 80)
+      .select(col("doc_id"), col("is_train"),
+        expr(s"graft_shingle_hashes(text, $n)").as("hs"))
+      .withColumn("n_sh", size(col("hs")))
+    val trainSh = d.filter(col("is_train"))
+      .select(explode(col("hs")).as("h")).distinct()
+      .withColumn("hit", lit(1))
+    val hits = d.filter(!col("is_train"))
+      .select(col("doc_id"), explode(col("hs")).as("h"))
+      .join(trainSh, Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(col("hit")).as("n_hit"))
+    // left join back so short test docs (zero shingles) still report
+    d.filter(!col("is_train"))
+      .select(col("doc_id"), col("n_sh").cast("long").as("n_sh"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_sh"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)).cast("double") /
+          greatest(col("n_sh"), lit(1L)), 4).as("contam_ratio"))
+      .orderBy(col("doc_id"))
+  }
 }

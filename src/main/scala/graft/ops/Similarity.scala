@@ -56,6 +56,64 @@ object Similarity {
   private def srpCode(vCol: String, bits: Int): Column =
     expr(s"graft_srp_code($vCol, $bits)")
 
+  /** IVF-style ANN (the FAISS coarse-quantizer pattern): the corpus is
+    * partitioned into `nCells` cells by max-cosine against a deterministic
+    * seed set (the first `nCells` corpus vectors — a stand-in for trained
+    * k-means centroids, which would be a separate fit job); each query
+    * searches only its `nProbe` closest cells.
+    *
+    * Scale shape: cell assignment is ONE broadcast of the (tiny) seed set
+    * folded per corpus row — no corpus shuffle, O(nCells * dim) per row;
+    * the probe join is again a broadcast of the query probes against the
+    * assigned corpus. At 100 TB with nCells ~ sqrt(N), each query touches
+    * nProbe/nCells of the data instead of all of it.
+    *
+    * Fully deterministic (seed order fixed, ties broken by seed_id), so the
+    * DuckDB oracle reproduces it exactly — unlike the hash-seeded LSH path.
+    */
+  def ivfTopK(spark: SparkSession, dir: String, numQueries: Int = 10, k: Int = 5,
+              nCells: Int = 8, nProbe: Int = 2): DataFrame = {
+    val e = withVec(spark, dir)
+    // one row holding all seeds, sorted by seed_id so the fold's tie-break
+    // (strict >) deterministically keeps the lowest seed_id
+    val seeds = e.filter(col("vec_id") < nCells)
+      .agg(sort_array(collect_list(
+        struct(col("vec_id").as("seed_id"), col("v").as("sv"), col("norm").as("snorm"))))
+        .as("cells"))
+    // per-row argmax over the seed array: no shuffle, no per-vector join row
+    // amplification; cosine via the same sequential-fold dot as the oracle
+    val assignExpr =
+      """aggregate(cells,
+        |  named_struct('best', cast(-2.0 as double), 'cell', -1L),
+        |  (acc, s) -> if(graft_dot(v, s.sv) / (norm * s.snorm) > acc.best,
+        |    named_struct('best', graft_dot(v, s.sv) / (norm * s.snorm),
+        |                 'cell', s.seed_id),
+        |    acc)).cell""".stripMargin
+    val assigned = e.crossJoin(broadcast(seeds))
+      .withColumn("cell", expr(assignExpr))
+      .select(col("vec_id"), col("v"), col("norm"), col("cell"))
+    // queries probe their top-nProbe cells (rank over the same seed scores)
+    val q = e.filter(col("vec_id") < numQueries).crossJoin(broadcast(seeds))
+      .select(col("vec_id"), col("v"), col("norm"),
+        explode(col("cells")).as("s"))
+      .withColumn("cos_seed", expr("graft_dot(v, s.sv)") / (col("norm") * col("s.snorm")))
+    val wq = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos_seed").desc, col("s.seed_id"))
+    val probes = q.withColumn("pr", row_number().over(wq))
+      .filter(col("pr") <= nProbe)
+      .select(col("vec_id"), col("v"), col("norm"), col("s.seed_id").as("cell"))
+      .alias("q")
+    val c = assigned.alias("c")
+    val scored = c.join(broadcast(probes),
+        col("q.cell") === col("c.cell") && col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("q_id"), col("c.vec_id").as("n_id"), cosine.as("cos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"), round(col("cos"), 4).as("cosine"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** Approximate top-k with multi-probe: each query probes its own b-bit
     * SRP bucket plus the b hamming-1-adjacent buckets (vectors near a
     * hyperplane land on either side, so flipping one bit recovers most

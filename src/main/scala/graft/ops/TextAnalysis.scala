@@ -171,6 +171,65 @@ object TextAnalysis {
         round(avg(size(split(col("text"), " "))), 4).as("avg_tokens"))
       .orderBy(col("split"))
 
+  /** Sequence packing: lay each split's documents end-to-end in doc_id
+    * order and cut the token stream into fixed `budget`-token bins — the
+    * standard step that turns a filtered corpus into fixed-length training
+    * sequences. A document's bin is the bin its first token lands in
+    * (contiguous packing; long docs may straddle bins, which the trainer's
+    * chunker handles downstream).
+    *
+    * Scale shape: packing is per (split, shard) where shard = doc_id % 8 —
+    * each shard packs independently under one ranking window, so the
+    * cumulative sum never serializes the whole corpus through one
+    * partition; more shards = more parallelism, same semantics. */
+  def packSequences(spark: SparkSession, dir: String, budget: Int = 512,
+                    shards: Int = 8): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+      .withColumn("split",
+        when((col("doc_id") * lit(2654435761L)) % 100 < 80, "train").otherwise("test"))
+      .withColumn("shard", (col("doc_id") % shards).cast("int"))
+      .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("split"), col("shard")).orderBy(col("doc_id"))
+    d.withColumn("start_tok", sum(col("n_tok")).over(w) - col("n_tok"))
+      .withColumn("bin", floor(col("start_tok") / budget).cast("long"))
+      .groupBy(col("split"), col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .orderBy(col("split"), col("shard"), col("bin"))
+  }
+
+  /** Quality-filter funnel: the per-stage yield report of a cumulative
+    * filter chain (length -> token count -> repetition), the first artifact
+    * anyone asks for from a training-data pipeline ("how much survives each
+    * filter"). One pass, one row out per stage: every stage is a
+    * conditional count inside a single aggregate — no per-stage scans, no
+    * intermediate materialization, and the repetition term reuses the
+    * codegen'd shingle-hash pass. */
+  def filterFunnel(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.TextFunctions.register(spark)
+    val d = Tables(spark, dir, "documents")
+      .withColumn("chars", length(col("text")))
+      .withColumn("n_tok", size(split(col("text"), " ")))
+      .withColumn("n_grams", greatest(col("n_tok") - 2, lit(0)))
+      .withColumn("rep", when(col("n_grams") > 0,
+        (col("n_grams") - size(expr("graft_shingle_hashes(text, 3)"))).cast("double") /
+          col("n_grams")).otherwise(lit(0.0)))
+    val s1 = col("chars") >= 120
+    val s2 = s1 && col("n_tok") >= 30
+    val s3 = s2 && col("rep") <= 0.01
+    val m = d.agg(
+      count(lit(1)).as("n0"), count(when(s1, 1)).as("n1"),
+      count(when(s2, 1)).as("n2"), count(when(s3, 1)).as("n3"))
+    m.select(expr(
+      """stack(4,
+        |  '0_all',            n0, round(cast(n0 as double) / n0, 4),
+        |  '1_chars_ge_120',   n1, round(cast(n1 as double) / n0, 4),
+        |  '2_tokens_ge_30',   n2, round(cast(n2 as double) / n0, 4),
+        |  '3_rep_le_0.01',    n3, round(cast(n3 as double) / n0, 4)
+        |) as (stage, n_docs, yield_pct)""".stripMargin))
+      .orderBy(col("stage"))
+  }
+
   /** Winnowing fingerprints (Schleimer et al., SIGMOD'03): hash all k-char
     * grams, take the min hash of each sliding window of w grams, emit the
     * distinct selected hashes. Guarantees any shared substring of length

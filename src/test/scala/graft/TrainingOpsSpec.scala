@@ -1,0 +1,71 @@
+package graft
+
+import graft.ops.{Dedup, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Round-3 training-pipeline operators: IVF ANN, decontamination, sequence
+  * packing, and the filter funnel. The DuckDB oracle pins exact values; these
+  * specs pin the CONTRACTS (what the numbers mean). */
+class TrainingOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ivf ANN: full result shape, per-query ranking, cells restrict the search") {
+    val rows = Similarity.ivfTopK(spark, sf).collect()
+    assert(rows.length === 50) // 10 queries x k=5 (corpus >> k per probed cell)
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.toSeq === (1 to 5)) // dense ranks
+      val cos = rs.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b }) // non-increasing
+    }
+    // IVF cosines can never beat the exact brute-force top-1
+    val bf = Similarity.bruteForceTopK(spark, sf).collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getDouble(3)).max }
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      assert(rs.map(_.getDouble(3)).max <= bf(q) + 1e-9)
+    }
+  }
+
+  test("decontamination: a copied train doc is fully contaminated, fresh text is clean") {
+    // (id*2654435761)%100: 3 -> 83 and 8 -> 88 land in the test split;
+    // 1 -> 61 lands in train.
+    val dir = tmpDir("decon")
+    Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"), // train
+      (3L, "alpha beta gamma delta epsilon zeta eta theta"), // test: verbatim copy
+      (8L, "one two three four five six seven eight"))       // test: disjoint
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val r = Dedup.decontaminate(spark, dir).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getDouble(3))).toMap
+    assert(r.keySet === Set(3L, 8L)) // only test-split docs report
+    assert(r(3L) === ((4L, 4L, 1.0))) // 8 tokens -> 4 5-gram shingles, all hit
+    assert(r(8L) === ((4L, 0L, 0.0)))
+  }
+
+  test("sequence packing: bins partition each shard's token stream exactly") {
+    val d = ops.Tables(spark, sf, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val totTok = d.agg(sum("n_tok")).head().getLong(0)
+    val nDocs = d.count()
+    val bins = TextAnalysis.packSequences(spark, sf).collect()
+    assert(bins.map(_.getLong(4)).sum === totTok) // every token lands in a bin
+    assert(bins.map(_.getLong(3)).sum === nDocs)  // every doc lands in a bin
+    // per (split, shard): bin ids are contiguous from 0
+    bins.groupBy(r => (r.getString(0), r.getInt(1))).foreach { case (_, rs) =>
+      val ids = rs.map(_.getLong(2)).sorted
+      assert(ids.head === 0L && ids.toSeq === (0L until ids.length).toSeq)
+    }
+  }
+
+  test("filter funnel: cumulative stages only ever shrink, yields match counts") {
+    val rows = TextAnalysis.filterFunnel(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSeq ===
+      Seq("0_all", "1_chars_ge_120", "2_tokens_ge_30", "3_rep_le_0.01"))
+    val n = rows.map(_.getLong(1))
+    assert(n(0) === ops.Tables(spark, sf, "documents").count())
+    assert(n.zip(n.tail).forall { case (a, b) => a >= b })
+    rows.foreach { r =>
+      assert(r.getDouble(2) ===
+        math.rint(r.getLong(1).toDouble / n(0) * 10000) / 10000)
+    }
+  }
+}
