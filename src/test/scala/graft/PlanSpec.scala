@@ -66,4 +66,31 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       p.take(2000))
   }
+
+  test("ivf: the corpus is never shuffled — seeds and probes broadcast to it") {
+    val p = plan("q_ann_ivf")
+    // the probe join against the assigned corpus is a broadcast hash join;
+    // the only Exchanges are for the tiny query/probe windows, not a
+    // repartition of the corpus by cell
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
+  test("decontamination joins stay keyed on the shingle hash") {
+    val p = plan("q_decontaminate")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(2000))
+  }
+
+  test("filter funnel is one scan and one aggregate") {
+    val p = plan("q_filter_funnel")
+    assert("Scan parquet".r.findAllIn(p).size === 1, p.take(2000))
+  }
+
+  test("sequence packing windows per (split, shard), never a global order") {
+    val p = plan("q_pack_sequences")
+    // the window partitions by both keys; a global (empty-key) window or
+    // a single-partition Exchange would serialize the corpus
+    assert(!p.contains("SinglePartition"), p.take(2000))
+  }
 }
