@@ -54,7 +54,8 @@ final class ParquetCdcSource(spark: SparkSession, feedDir: String,
   * the source's partition readers. */
 final class V2CdcSource(spark: SparkSession, feedDir: String, tableDir: String,
                         tables: Seq[String] = Seq.empty,
-                        ops: Seq[String] = Seq.empty) extends CdcSource {
+                        ops: Seq[String] = Seq.empty,
+                        maxChunksPerTrigger: Option[Long] = None) extends CdcSource {
   def fullScan(sync: SyncConfig): DataFrame =
     Transforms.projectAndCoerce(
       spark.read.parquet(s"$tableDir/${sync.table}.parquet"), sync)
@@ -62,6 +63,8 @@ final class V2CdcSource(spark: SparkSession, feedDir: String, tableDir: String,
     var r = spark.readStream.format("graft-cdc")
     if (tables.nonEmpty) r = r.option("tables", tables.mkString(","))
     if (ops.nonEmpty) r = r.option("ops", ops.mkString(","))
+    // B2 insert_size as source admission: bounded catch-up micro-batches
+    maxChunksPerTrigger.foreach(m => r = r.option("maxChunksPerTrigger", m.toString))
     r.load(feedDir)
   }
   def count(sync: SyncConfig): Long =

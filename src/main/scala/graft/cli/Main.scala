@@ -64,7 +64,8 @@ object Main {
     val source: graft.cdc.CdcSource =
       if (props.getProperty("feed.format") == "graft-cdc")
         new graft.cdc.V2CdcSource(spark, props.getProperty("feed.dir"),
-          props.getProperty("table.dir"), tables = cfg.tables)
+          props.getProperty("table.dir"), tables = cfg.tables,
+          maxChunksPerTrigger = cfg.insertSize.map(_.toLong))
       else new ParquetCdcSource(spark,
         props.getProperty("feed.dir"), props.getProperty("table.dir"),
         maxFilesPerTrigger = cfg.insertSize.getOrElse(1))

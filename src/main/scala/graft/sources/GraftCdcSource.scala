@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -59,11 +59,13 @@ private class CdcTable(path: String, tables: Option[String], ops: Option[String]
           v.split(',').map(_.trim: Any)): Filter)
         .toArray
     new CdcScanBuilder(Option(path).getOrElse(options.get("path")),
-      optSet(tables, "tables") ++ optSet(ops, "ops"))
+      optSet(tables, "tables") ++ optSet(ops, "ops"),
+      Option(options.get("maxChunksPerTrigger")).map(_.toLong))
   }
 }
 
-private class CdcScanBuilder(path: String, optionFilters: Array[Filter])
+private class CdcScanBuilder(path: String, optionFilters: Array[Filter],
+                             maxChunks: Option[Long])
     extends ScanBuilder with SupportsPushDownFilters {
   private var pushed: Array[Filter] = Array.empty
 
@@ -79,15 +81,16 @@ private class CdcScanBuilder(path: String, optionFilters: Array[Filter])
     rest
   }
   override def pushedFilters(): Array[Filter] = pushed
-  override def build(): Scan = new CdcScan(path, optionFilters ++ pushed)
+  override def build(): Scan = new CdcScan(path, optionFilters ++ pushed, maxChunks)
 }
 
-private class CdcScan(path: String, pushed: Array[Filter]) extends Scan {
+private class CdcScan(path: String, pushed: Array[Filter],
+                      maxChunks: Option[Long]) extends Scan {
   override def readSchema(): StructType = ChangeEvent.schema
   override def description(): String =
-    s"graft-cdc $path pushed=[${pushed.mkString(", ")}]"
+    s"graft-cdc $path pushed=[${pushed.mkString(", ")}] maxChunks=$maxChunks"
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new CdcMicroBatchStream(path, pushed)
+    new CdcMicroBatchStream(path, pushed, maxChunks)
 }
 
 /** The replication position: index of the last consumed chunk. */
@@ -95,8 +98,17 @@ case class ChunkOffset(chunk: Long) extends Offset {
   override def json(): String = chunk.toString
 }
 
-private class CdcMicroBatchStream(path: String, pushed: Array[Filter])
-    extends MicroBatchStream {
+private class CdcMicroBatchStream(path: String, pushed: Array[Filter],
+                                  maxChunks: Option[Long] = None)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  // Trigger.AvailableNow: the drain target is the position captured at
+  // query start; the engine then loops admission-bounded micro-batches up
+  // to it instead of one giant catch-up batch (or, without this interface,
+  // a single-batch fallback that would stop after the first bounded batch).
+  @volatile private var availableAtStart: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableAtStart = Some(maxChunk())
 
   private def maxChunk(): Long = {
     val files = Option(new java.io.File(path).list()).getOrElse(Array.empty)
@@ -106,7 +118,21 @@ private class CdcMicroBatchStream(path: String, pushed: Array[Filter])
   }
 
   override def initialOffset(): Offset = ChunkOffset(-1L)
-  override def latestOffset(): Offset = ChunkOffset(maxChunk())
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(start, limit) is the admission-controlled path")
+
+  /** B2 admission control (the reference's `insert_size` flush bound,
+    * `main.py:115-118`): cap each micro-batch at `maxChunksPerTrigger`
+    * chunks so a large replication backlog drains as bounded batches
+    * instead of one giant catch-up batch. Without the option, drain all. */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val avail = availableAtStart.getOrElse(maxChunk())
+    val s = start.asInstanceOf[ChunkOffset].chunk
+    ChunkOffset(maxChunks.fold(avail)(m => math.min(avail, s + m)))
+  }
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def reportLatestOffset(): Offset = ChunkOffset(maxChunk())
   override def deserializeOffset(json: String): Offset = ChunkOffset(json.toLong)
   override def commit(end: Offset): Unit = () // chunks are retained; a real
   // connector would ack/advance the replication slot here

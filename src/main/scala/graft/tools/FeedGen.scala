@@ -31,9 +31,11 @@ object FeedGen {
   final case class Layout(root: String) {
     def tableDir: String = s"$root/tables"
     def feedDir: String = s"$root/feed"
+    def feedV2Dir: String = s"$root/feed-v2"
     def sinkRoot: String = s"$root/sink"
     def ckptDir: String = s"$root/ckpt"
     def propsPath: String = s"$root/demo.properties"
+    def propsV2Path: String = s"$root/demo-v2.properties"
   }
 
   private val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
@@ -59,8 +61,11 @@ object FeedGen {
       .parquet(s"${lay.tableDir}/users.parquet")
 
     // feed: one parquet file appended per batch = one micro-batch each under
-    // maxFilesPerTrigger=1
+    // maxFilesPerTrigger=1; the same plan is also written as the V2 source's
+    // chunked-tsv wire format (chunk index == replication position), so both
+    // source paths replay identical histories
     val envSchema = graft.model.ChangeEvent.schema
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(lay.feedV2Dir))
     for (b <- 0 until nBatches) {
       val rows = (0 until eventsPerBatch).map { j =>
         val off = (b.toLong * eventsPerBatch + j) + 1000000L
@@ -86,6 +91,12 @@ object FeedGen {
           new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
           envSchema)
         .repartition(1).write.mode(SaveMode.Append).parquet(lay.feedDir)
+      val tsv = rows.map { r =>
+        val ts = r.getAs[java.sql.Timestamp](3).getTime // epochMillis
+        s"${r.getString(0)}\t${r.getString(1)}\t${r.getLong(2)}\t$ts\t${r.getString(4)}"
+      }.mkString("", "\n", "\n")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"${lay.feedV2Dir}/chunk-$b.tsv"), tsv)
     }
 
     val props =
@@ -100,6 +111,16 @@ object FeedGen {
          |""".stripMargin
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
     java.nio.file.Files.writeString(java.nio.file.Paths.get(lay.propsPath), props)
+    // same sync, V2 MicroBatchStream source; separate sink/checkpoint so the
+    // two paths can be run side by side and diffed
+    // insert.size=1 -> one chunk per micro-batch (source admission control),
+    // matching the parquet path's default maxFilesPerTrigger=1 so both
+    // replay with identical batch boundaries
+    val propsV2 = props
+      .replace(s"feed.dir=${lay.feedDir}", s"feed.dir=${lay.feedV2Dir}\nfeed.format=graft-cdc\ninsert.size=1")
+      .replace(s"sink.root=${lay.sinkRoot}", s"sink.root=${lay.sinkRoot}-v2")
+      .replace(s"checkpoint.dir=${lay.ckptDir}", s"checkpoint.dir=${lay.ckptDir}-v2")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(lay.propsV2Path), propsV2)
     lay
   }
 

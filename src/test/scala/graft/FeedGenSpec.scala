@@ -43,4 +43,35 @@ class FeedGenSpec extends SparkSpec {
     assert(state.schema("updated").dataType ===
       org.apache.spark.sql.types.LongType)
   }
+
+  test("the V2 chunked feed replays to the identical end state as the parquet feed") {
+    val root = tmpDir("feedgen2")
+    val lay = FeedGen.generate(spark, root)
+    val props = new java.util.Properties()
+    val in = new java.io.FileInputStream(lay.propsV2Path)
+    try props.load(in) finally in.close()
+    assert(props.getProperty("feed.format") === "graft-cdc")
+    val cfg = Main.parseConfig(props)
+    val sync = cfg.syncFor("users").get
+
+    def drain(src: graft.cdc.CdcSource, sinkRoot: String, ckpt: String) = {
+      val pipe = new Pipeline(spark, cfg, src, sinkRoot)
+      pipe.backfillIfNeeded()
+      val q = pipe.start(ckpt, monotonic = true)
+      q.processAllAvailable(); q.stop()
+      pipe.sinkState(sync).orderBy("id").collect().toSeq
+    }
+    val viaParquet = drain(
+      new ParquetCdcSource(spark, lay.feedDir, lay.tableDir, 1),
+      props.getProperty("sink.root") + "-p", props.getProperty("checkpoint.dir") + "-p")
+    // insert.size=1 -> maxChunksPerTrigger=1 (source admission control):
+    // one chunk per micro-batch, the same boundaries as the parquet path
+    assert(cfg.insertSize === Some(1))
+    val viaV2 = drain(
+      new graft.cdc.V2CdcSource(spark, lay.feedV2Dir, lay.tableDir,
+        tables = cfg.tables, maxChunksPerTrigger = cfg.insertSize.map(_.toLong)),
+      props.getProperty("sink.root"), props.getProperty("checkpoint.dir"))
+    assert(viaV2 === viaParquet)
+    assert(viaV2.size === FeedGen.expected()._1)
+  }
 }
