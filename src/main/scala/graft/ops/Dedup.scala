@@ -304,8 +304,14 @@ object Dedup {
       .toDF("src", "dst")
       .repartition(parts, col("src"))
       .persist()
-    var labels = edges.select(col("src").as("doc")).distinct()
-      .withColumn("cluster", col("doc"))
+    // Initialize with the FIRST propagation round fused in: label(x) =
+    // min(x, min direct neighbor) is exactly the state after one iteration
+    // from identity labels, for the cost of the distinct the identity init
+    // needed anyway. Clique-shaped dup clusters (the common case) then
+    // converge in a single confirming pass.
+    var labels = edges.groupBy(col("src").as("doc"))
+      .agg(min(col("dst")).as("nbr_min"))
+      .select(col("doc"), least(col("doc"), col("nbr_min")).as("cluster"))
       .persist()
     var converged = false
     var iter = 0
