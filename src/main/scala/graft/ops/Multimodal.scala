@@ -62,6 +62,56 @@ object Multimodal {
         .as("format"))
       .orderBy(col("doc_id"))
 
+  final case class MediaFeature(doc_id: Long, feature: Array[Float])
+  final case class MediaThumb(doc_id: Long, thumb: Array[Byte])
+
+  /** Feature extraction: payload -> fixed-length Float vector, the batch
+    * shape an embedding model produces. STUB COMPUTE (byte histogram over
+    * `dims` bins, L1-normalized) standing in for a model forward pass; the
+    * mapPartitions boundary is where a real model would load once per
+    * partition and run batched inference. Output plugs straight into the
+    * Similarity operators (Array[Float] embedding column). */
+  def featureExtract(spark: SparkSession, dir: String,
+                     dims: Int = 16): Dataset[MediaFeature] = {
+    import spark.implicits._
+    binaryView(spark, dir).as[MediaRow]
+      .mapPartitions { it =>
+        // real model init would go here, once per partition
+        it.map { r =>
+          val hist = new Array[Float](dims)
+          var i = 0
+          while (i < r.payload.length) {
+            hist((r.payload(i) & 0xff) % dims) += 1f; i += 1
+          }
+          val total = math.max(1f, r.payload.length.toFloat)
+          var j = 0
+          while (j < dims) { hist(j) /= total; j += 1 }
+          MediaFeature(r.doc_id, hist)
+        }
+      }
+  }
+
+  /** Resize: payload -> fixed-size thumbnail bytes via stride sampling (the
+    * nearest-neighbor shape of an image downsample; STUB for a real scaler).
+    * Constant output size regardless of input — the contract a downstream
+    * fixed-shape tensor loader needs. */
+  def resize(spark: SparkSession, dir: String, outBytes: Int = 32): Dataset[MediaThumb] = {
+    import spark.implicits._
+    binaryView(spark, dir).as[MediaRow]
+      .mapPartitions(_.map { r =>
+        val out = new Array[Byte](outBytes)
+        if (r.payload.nonEmpty) {
+          val stride = math.max(1.0, r.payload.length.toDouble / outBytes)
+          var i = 0
+          while (i < outBytes) {
+            out(i) = r.payload(math.min(r.payload.length - 1, (i * stride).toInt))
+            i += 1
+          }
+        }
+        MediaThumb(r.doc_id, out)
+      })
+  }
+
   /** "Frame sampling" on an opaque payload: every nth fixed-size chunk —
     * the batch shape a video pipeline needs (doc_id, frame_no, frame_bytes). */
   def frameSample(spark: SparkSession, dir: String, frameSize: Int = 64,

@@ -73,6 +73,25 @@ class OpsSpec extends SparkSpec {
       viaExpr.map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getString(4))))
   }
 
+  test("multimodal: feature extraction yields normalized fixed-dim vectors that feed ANN") {
+    val feats = Multimodal.featureExtract(spark, sf, dims = 16).collect()
+    assert(feats.length === ops.Tables(spark, sf, "documents").count())
+    feats.foreach { f =>
+      assert(f.feature.length === 16)
+      assert(math.abs(f.feature.sum - 1f) < 1e-3) // L1-normalized histogram
+    }
+    // deterministic: a second run is byte-identical
+    val again = Multimodal.featureExtract(spark, sf, dims = 16).collect()
+    assert(feats.sortBy(_.doc_id).map(_.feature.toSeq).toSeq ===
+      again.sortBy(_.doc_id).map(_.feature.toSeq).toSeq)
+  }
+
+  test("multimodal: resize emits constant-size thumbnails") {
+    val thumbs = Multimodal.resize(spark, sf, outBytes = 32).collect()
+    assert(thumbs.nonEmpty)
+    thumbs.foreach(t => assert(t.thumb.length === 32))
+  }
+
   test("frame sampling produces the expected batch shape") {
     val frames = Multimodal.frameSample(spark, sf, frameSize = 64, every = 4)
     assert(frames.columns.toSeq === Seq("doc_id", "frame_no", "frame"))
