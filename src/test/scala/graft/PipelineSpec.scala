@@ -98,6 +98,39 @@ class PipelineSpec extends SparkSpec {
     assert(fired.get() >= 1)
   }
 
+  test("plugin hooks: broadcast-dimension enrichment fills a declared column") {
+    // Beyond the reference's 1-row->1-row plugins: a preEvent hook is a
+    // whole-DataFrame transform, so it can do a broadcast lookup join —
+    // the standard stream-enrichment shape. The enriched column is declared
+    // in the sync schema (arrives null in the payload), the dim is tiny and
+    // broadcast, and the hook preserves the view's column order/internals.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val sinkRoot = tmpDir("sink")
+    val ckpt = tmpDir("ckpt")
+    val sync = SyncConfig("t", pk = "id", schema = Some(StructType(Seq(
+      StructField("id", IntegerType), StructField("region_id", IntegerType),
+      StructField("region", StringType)))))
+    val dim = Seq((1, "emea"), (2, "apac")).toDF("region_id", "region")
+    val hooks = PluginHooks(preEvent = Seq { df =>
+      val order = df.columns
+      df.drop("region")
+        .join(broadcast(dim), Seq("region_id"), "left")
+        .select(order.map(col).toIndexedSeq: _*)
+    })
+    val src = new MemoryCdcSource(spark)
+    val pipe = new Pipeline(spark, PipelineConfig(Seq(sync)), src, sinkRoot, hooks)
+    src.addEvents(
+      ChangeEvent("create", "t", 1, ts("2024-01-01 00:00:00"),
+        """{"id": 1, "region_id": 2}"""),
+      ChangeEvent("create", "t", 2, ts("2024-01-01 00:00:01"),
+        """{"id": 2, "region_id": 99}""")) // no dim row -> stays null
+    val q = pipe.start(ckpt)
+    q.processAllAvailable(); q.stop()
+    assert(pipe.sinkState(sync).orderBy("id").collect().toSeq ===
+      Seq(Row(1, 2, "apac"), Row(2, 99, null)))
+  }
+
   test("monotonic mode: stale cross-batch replay cannot clobber newer state") {
     val sinkRoot = tmpDir("sink")
     val ckpt = tmpDir("ckpt")
