@@ -15,6 +15,32 @@ final case class PluginHooks(
     preEvent: Seq[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame] = Seq.empty,
     postBatch: Seq[(String, Long) => Unit] = Seq.empty)
 
+/** The user-facing plugin contract for config-driven loading (the
+  * reference's `Plugin` classes with `pre_event`/`post_event`,
+  * `plugin.py:8-22`): implement with a no-arg constructor and list the
+  * class name under `plugins=` in the CLI config. `preEvent` is a
+  * whole-DataFrame transform (so it can broadcast-join, not just map rows);
+  * `postBatch` fires after each sync's batch commits. */
+trait GraftPlugin {
+  def preEvent(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = df
+  def postBatch(table: String, batchId: Long): Unit = ()
+}
+
+object PluginHooks {
+  /** Reflection loader mirroring the reference's dotted-path
+    * `load_plugin(str)` (`plugin.py:25-31`, via `importlib`): one singleton
+    * instance per listed class (the reference's `is_global=True` mode). */
+  def load(classNames: Seq[String]): PluginHooks = {
+    val plugins = classNames.map { n =>
+      Class.forName(n).getDeclaredConstructor().newInstance()
+        .asInstanceOf[GraftPlugin]
+    }
+    PluginHooks(
+      preEvent = plugins.map(p => p.preEvent _),
+      postBatch = plugins.map(p => p.postBatch _))
+  }
+}
+
 /** The three entry points of the reference (`main.py`): `start` (streaming
   * sync with optional bootstrap backfill), `refresh` (atomic rebuild),
   * `check` (consistency) — re-expressed on Structured Streaming + batch jobs.

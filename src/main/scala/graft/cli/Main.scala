@@ -32,6 +32,7 @@ import org.apache.spark.sql.types.StructType
   * state.buckets=64                 # bucketed sink layout (rewrite only
   *                                  # touched pk-hash buckets); absent =
   *                                  # flat state dir + atomic swap
+  * plugins=com.example.MyPlugin   # reflection-loaded GraftPlugin classes
   * sync.<table>.pk=id
   * sync.<table>.full=true
   * sync.<table>.index=<name>        # optional
@@ -69,7 +70,12 @@ object Main {
       else new ParquetCdcSource(spark,
         props.getProperty("feed.dir"), props.getProperty("table.dir"),
         maxFilesPerTrigger = cfg.insertSize.getOrElse(1))
-    val pipe = new Pipeline(spark, cfg, source, props.getProperty("sink.root"))
+    // plugins=<fqcn>[,<fqcn>...] — reflection-loaded GraftPlugin classes
+    // (the reference's dotted-path plugin list, settings.py:25-36)
+    val hooks = Option(props.getProperty("plugins"))
+      .map(s => graft.cdc.PluginHooks.load(s.split(',').map(_.trim).toSeq))
+      .getOrElse(graft.cdc.PluginHooks())
+    val pipe = new Pipeline(spark, cfg, source, props.getProperty("sink.root"), hooks)
     cmd match {
       case "start" =>
         val trigger = Option(props.getProperty("trigger.seconds"))

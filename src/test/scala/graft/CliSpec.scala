@@ -35,4 +35,36 @@ class CliSpec extends SparkSpec {
     }
     assert(bare.insertSize === None && bare.insertIntervalSecs === None)
   }
+
+  test("U1: plugins load by class name and their hooks run end-to-end") {
+    import graft.cdc._
+    import graft.model._
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    val hooks = PluginHooks.load(Seq("graft.UppercasePlugin"))
+    val sinkRoot = tmpDir("sink")
+    val sync = SyncConfig("t", pk = "id", schema = Some(StructType(Seq(
+      StructField("id", IntegerType), StructField("name", StringType)))))
+    val src = new MemoryCdcSource(spark)
+    val pipe = new Pipeline(spark, PipelineConfig(Seq(sync)), src, sinkRoot, hooks)
+    src.addEvents(ChangeEvent("create", "t", 1,
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), """{"id": 1, "name": "ann"}"""))
+    val q = pipe.start(tmpDir("ckpt"))
+    q.processAllAvailable(); q.stop()
+    assert(pipe.sinkState(sync).collect().toSeq === Seq(Row(1, "ANN")))
+    assert(UppercasePlugin.batches.get() >= 1)
+  }
+}
+
+/** Test fixture for the reflection plugin loader. */
+class UppercasePlugin extends graft.cdc.GraftPlugin {
+  override def preEvent(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.withColumn("name", org.apache.spark.sql.functions.upper(
+      org.apache.spark.sql.functions.col("name")))
+  override def postBatch(table: String, batchId: Long): Unit = {
+    UppercasePlugin.batches.incrementAndGet(); ()
+  }
+}
+object UppercasePlugin {
+  val batches = new java.util.concurrent.atomic.AtomicInteger(0)
 }
