@@ -80,6 +80,8 @@ object SparkEntry {
     "q_fingerprint"    -> ((s, d) => TextAnalysis.fingerprint(s, d)),
     "q_winnow"         -> ((s, d) => TextAnalysis.winnow(s, d)),
     "q_multimodal_meta" -> ((s, d) => Multimodal.metaQuery(s, d)),
+    "q_window_analytics" -> ((s, d) => Relational.windowAnalytics(s, d)),
+    "q_mix_deciles"    -> ((s, d) => TextAnalysis.mixDeciles(s, d)),
     "q_ann_ivf"        -> ((s, d) => Similarity.ivfTopK(s, d)),
     "q_decontaminate"  -> ((s, d) => Dedup.decontaminate(s, d)),
     "q_pack_sequences" -> ((s, d) => TextAnalysis.packSequences(s, d)),
@@ -542,6 +544,32 @@ object SparkEntry {
         | CASE ascii(substring(text, 1, 1)) % 3
         |   WHEN 0 THEN 'png' WHEN 1 THEN 'jpg' ELSE 'webp' END AS format
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_window_analytics" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, value,
+        |             epoch_us(ts) AS ts_us FROM events)
+        |SELECT user_id, event_id,
+        |  lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS next_type,
+        |  first_value(event_id) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS first_event,
+        |  last_value(event_id) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_event,
+        |  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts_us
+        |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 2) AS hour_sum
+        |FROM e ORDER BY user_id, event_id""".stripMargin,
+
+    "q_mix_deciles" ->
+      """WITH d AS (SELECT doc_id,
+        |             CASE WHEN (doc_id * 2654435761) % 100 < 80
+        |               THEN 'train' ELSE 'test' END AS split,
+        |             CAST(doc_id % 8 AS INT) AS shard,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |           FROM documents),
+        |r AS (SELECT *, ntile(10) OVER (PARTITION BY split, shard
+        |        ORDER BY n_tok, doc_id) AS decile FROM d)
+        |SELECT split, decile, count(*) AS n_docs,
+        |  CAST(count_if((doc_id * 40503) % 100 < decile * 10) AS BIGINT) AS n_sampled,
+        |  round(avg(n_tok), 4) AS avg_tok
+        |FROM r GROUP BY 1, 2 ORDER BY split, decile""".stripMargin,
 
     // Deterministic IVF (seed centroids = vec_id < 8, ties to lowest seed):
     // unlike the hash-seeded LSH variant this is exactly reproducible.

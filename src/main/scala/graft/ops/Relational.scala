@@ -89,6 +89,27 @@ object Relational {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** Window analytics beyond ranking/running: lead, first/last value with
+    * an explicit full frame, and a RANGE frame over event time (trailing
+    * one-hour sum per user — the sliding-aggregate shape). Event time is
+    * compared as epoch MICROSECONDS, so the range bound is 3.6e9. All
+    * frames are per-user partitions: no global window anywhere. */
+  def windowAnalytics(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .withColumn("ts_us", unix_micros(col("ts")))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wHour = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rangeBetween(-3600000000L, 0L)
+    e.select(
+        col("user_id"), col("event_id"),
+        lead(col("event_type"), 1).over(w).as("next_type"),
+        first(col("event_id")).over(w).as("first_event"),
+        last(col("event_id")).over(wFull).as("last_event"),
+        round(sum(col("value")).over(wHour), 2).as("hour_sum"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   /** Grouping sets via ROLLUP(region, nation) over the customer dimension. */
   def rollupAgg(spark: SparkSession, dir: String): DataFrame = {
     val r = t(spark, dir, "region")

@@ -230,6 +230,34 @@ object TextAnalysis {
       .orderBy(col("stage"))
   }
 
+  /** Data-mixture deciles: rank documents into quality deciles (proxy:
+    * token count) and compute the deterministic sample each decile
+    * contributes to a training mix — the "upsample high-quality data"
+    * step of corpus assembly. Deciles are EXACT within each (split,
+    * shard = doc_id % 8) partition: the ntile window parallelizes across
+    * shards instead of forcing one global sort (at 100 TB the global
+    * variant is an approx-quantile bucketing job; per-shard exact ntile is
+    * the distributed-friendly formulation with the same mixing effect).
+    * Sampling is a hash rule (decile d keeps ~d*10%%), so the mix is
+    * reproducible across engines and runs. */
+  def mixDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+      .withColumn("split",
+        when((col("doc_id") * lit(2654435761L)) % 100 < 80, "train").otherwise("test"))
+      .withColumn("shard", (col("doc_id") % 8).cast("int"))
+      .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("split"), col("shard")).orderBy(col("n_tok"), col("doc_id"))
+    d.withColumn("decile", ntile(10).over(w))
+      .withColumn("sampled",
+        (col("doc_id") * lit(40503L)) % 100 < col("decile") * 10)
+      .groupBy(col("split"), col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("sampled"), 1)).as("n_sampled"),
+        round(avg(col("n_tok")), 4).as("avg_tok"))
+      .orderBy(col("split"), col("decile"))
+  }
+
   /** Winnowing fingerprints (Schleimer et al., SIGMOD'03): hash all k-char
     * grams, take the min hash of each sliding window of w grams, emit the
     * distinct selected hashes. Guarantees any shared substring of length
