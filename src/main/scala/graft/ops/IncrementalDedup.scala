@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental near-dup maintenance: dedup the corpus as it GROWS, without
+  * re-deduplicating what's already indexed — the operational shape at
+  * 100 TB, where a daily crawl batch is orders of magnitude smaller than
+  * the corpus and a full recompute per batch is unaffordable.
+  *
+  * State: a postings index `(shingle, doc_id, n_sh)` of xxhash64'd word
+  * n-gram shingles, stored as parquet (appended per batch; a real
+  * deployment buckets it by `shingle` so the probe join co-partitions).
+  *
+  * Per batch: shingle the new docs (one codegen'd pass), probe the index
+  * with the NEW postings only — every emitted pair has at least one new
+  * side, so old x old pairs (already emitted by earlier batches) are never
+  * recomputed — count shared shingles per candidate pair, emit pairs with
+  * Jaccard >= threshold, then append the new postings to the index. Work
+  * per batch is O(|batch postings| x avg shingle df), independent of how
+  * many batches came before.
+  *
+  * Stop-shingle cap semantics under growth: `dfCap` is evaluated against
+  * the CURRENT corpus (old + new document frequency). A shingle can
+  * therefore cross the cap as the corpus grows — pairs it emitted earlier
+  * are not retracted (append-only emission, the standard trade; a periodic
+  * [[Dedup.ngramJaccard]] compaction re-derives the exact capped answer).
+  * With `dfCap` at infinity the incremental union over batches is EXACTLY
+  * the one-shot answer — the spec asserts that equivalence.
+  */
+object IncrementalDedup {
+
+  /** Read the postings index; empty-but-typed when absent. */
+  def postings(spark: SparkSession, statePath: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("shingle", LongType), StructField("doc_id", LongType),
+      StructField("n_sh", IntegerType)))
+    if (new java.io.File(statePath).exists())
+      spark.read.schema(schema).parquet(statePath)
+    else spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+  }
+
+  /** Ingest one batch of `(doc_id, text)` docs: emit the NEW near-dup pairs
+    * (doc_a < doc_b, at least one side from this batch), then append the
+    * batch's postings to the index. doc_ids must be globally unique. */
+  def update(spark: SparkSession, statePath: String, newDocs: DataFrame,
+             threshold: Double = 0.5, dfCap: Int = Int.MaxValue): DataFrame = {
+    graft.functions.TextFunctions.register(spark)
+    val newPosts = newDocs
+      .select(col("doc_id"), expr("graft_shingle_hashes(text, 3)").as("hs"))
+      .withColumn("n_sh", size(col("hs")))
+      .select(col("doc_id"), explode(col("hs")).as("shingle"), col("n_sh"))
+      .persist()
+    val oldPosts = postings(spark, statePath)
+    val allPosts = oldPosts.unionByName(newPosts)
+
+    // df cap over the CURRENT corpus; shingles above it leave candidate
+    // generation and overlap counting entirely (same semantics per batch as
+    // the one-shot tier)
+    val liveShingles = allPosts.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, dfCap))
+      .select(col("shingle"))
+
+    // probe: new postings x all postings on the shingle — every candidate
+    // pair touches the batch; order the pair (a < b) so new x new pairs
+    // appear once after the distinct-shingle count
+    val probe = newPosts.join(liveShingles, "shingle")
+      .select(col("shingle"), col("doc_id").as("p_doc"), col("n_sh").as("p_n"))
+    val other = allPosts.join(liveShingles, "shingle")
+      .select(col("shingle"), col("doc_id").as("o_doc"), col("n_sh").as("o_n"))
+    val pairs = probe.join(other,
+        Seq("shingle")).filter(col("p_doc") =!= col("o_doc"))
+      .select(
+        least(col("p_doc"), col("o_doc")).as("doc_a"),
+        greatest(col("p_doc"), col("o_doc")).as("doc_b"),
+        when(col("p_doc") < col("o_doc"), col("p_n")).otherwise(col("o_n")).as("na"),
+        when(col("p_doc") < col("o_doc"), col("o_n")).otherwise(col("p_n")).as("nb"),
+        col("shingle"))
+      // a new x new pair is produced twice (each side probes); count each
+      // shared shingle once per pair
+      .dropDuplicates("doc_a", "doc_b", "shingle")
+      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("jaccard",
+        round(col("c").cast("double") /
+          greatest(col("na") + col("nb") - col("c"), lit(1)), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+
+    val out = pairs.persist()
+    out.count() // materialize BEFORE the index is appended under the probe
+    newPosts.select(col("shingle"), col("doc_id"), col("n_sh"))
+      .write.mode(SaveMode.Append).parquet(statePath)
+    newPosts.unpersist()
+    out
+  }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import graft.ops.{Dedup, IncrementalDedup}
+import org.apache.spark.sql.functions._
+
+class IncrementalDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  test("incremental batches union to exactly the one-shot answer (uncapped)") {
+    val state = tmpDir("incstate") + "/postings"
+    val docs = ops.Tables(spark, sf, "documents")
+    // three arrival batches, any interleaving of ids
+    val emitted = (0 until 3).flatMap { b =>
+      val batch = docs.filter(col("doc_id") % 3 === b)
+      pairSet(IncrementalDedup.update(spark, state, batch))
+    }.toSet
+    val oneShot = pairSet(
+      Dedup.ngramJaccard(spark, sf, threshold = 0.5, dfCap = Int.MaxValue))
+    assert(emitted === oneShot)
+    assert(emitted.nonEmpty) // the fixture plants near-dup pairs
+    // no pair is emitted twice across batches
+    assert(emitted.size === emitted.map(p => (p._1, p._2)).size)
+  }
+
+  test("streaming ingest: foreachBatch maintains the dup index as docs arrive") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val root = tmpDir("incstream")
+    val state = s"$root/postings"
+    val pairsOut = s"$root/pairs"
+    val mem = MemoryStream[(Long, String)](spark)
+    val q = mem.toDF().toDF("doc_id", "text")
+      .writeStream
+      .option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        IncrementalDedup.update(spark, state, batch)
+          .write.mode("append").parquet(pairsOut)
+      }
+      .start()
+    mem.addData((1L, "alpha beta gamma delta epsilon zeta eta theta"))
+    q.processAllAvailable()
+    mem.addData((2L, "alpha beta gamma delta epsilon zeta eta theta"),
+                (3L, "one two three four five six seven eight"))
+    q.processAllAvailable()
+    mem.addData((4L, "one two three four five six seven eight nine"))
+    q.processAllAvailable(); q.stop()
+    val pairs = pairSet(spark.read.parquet(pairsOut)
+      .select(col("doc_a"), col("doc_b"), col("jaccard")))
+    // (1,2) identical from batch 2; (3,4) near-dup across batches 2 and 3
+    assert(pairs.map(p => (p._1, p._2)) === Set((1L, 2L), (3L, 4L)))
+  }
+
+  test("a batch only pays for itself: old x old pairs never re-emitted") {
+    val state = tmpDir("incstate2") + "/postings"
+    val b1 = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta")).toDF("doc_id", "text")
+    val b2 = Seq(
+      (3L, "one two three four five six seven eight")).toDF("doc_id", "text")
+    val b3 = Seq(
+      (4L, "alpha beta gamma delta epsilon zeta eta theta")).toDF("doc_id", "text")
+    val p1 = pairSet(IncrementalDedup.update(spark, state, b1))
+    assert(p1 === Set((1L, 2L, 1.0)))
+    val p2 = pairSet(IncrementalDedup.update(spark, state, b2))
+    assert(p2 === Set.empty) // disjoint doc: no pairs, and (1,2) NOT re-emitted
+    val p3 = pairSet(IncrementalDedup.update(spark, state, b3))
+    assert(p3 === Set((1L, 4L, 1.0), (2L, 4L, 1.0))) // new side pairs only
+  }
+}
