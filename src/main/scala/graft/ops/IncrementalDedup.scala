@@ -96,4 +96,71 @@ object IncrementalDedup {
     newPosts.unpersist()
     out
   }
+
+  /** The LSH variant — the sub-quadratic incremental path for 100 TB: the
+    * persisted index is band hashes (`bands` rows/doc, not one per shingle)
+    * plus the sorted shingle-hash set per doc for exact verification. New
+    * docs' bands probe the band index; candidates verify with one
+    * merge-pass intersection against the sets store. Per-batch cost is
+    * O(batch bands × bucket occupancy) — df-cap-free, so incremental
+    * emission is EXACTLY append-only (no cap drift at all; union over
+    * batches == one-shot [[Dedup.minhashLsh]], spec-asserted). */
+  def updateLsh(spark: SparkSession, statePath: String, newDocs: DataFrame,
+                threshold: Double = 0.5, numHashes: Int = 16,
+                bands: Int = 8): DataFrame = {
+    graft.functions.TextFunctions.register(spark)
+    val r = numHashes / bands
+    val bandsPath = s"$statePath/bands"
+    val setsPath = s"$statePath/sets"
+
+    val newSets = newDocs
+      .select(col("doc_id"), expr("graft_shingle_hashes(text, 3)").as("hs"))
+      .withColumn("n_sh", size(col("hs")))
+      .filter(col("n_sh") > 0) // zero-shingle docs carry no near-dup signal
+      .select(col("doc_id"), array_sort(col("hs")).as("hs"), col("n_sh"))
+      .persist()
+    val newBands = newSets
+      .withColumn("sig", expr(s"graft_minhash_sig(hs, $numHashes)"))
+      .withColumn("band", explode(expr(
+        s"transform(sequence(0, ${bands - 1}), " +
+          s"b -> named_struct('id', b, 'h', xxhash64(slice(sig, b * $r + 1, $r))))")))
+      .select(col("doc_id"), col("band.id").as("band_id"), col("band.h").as("band_h"))
+
+    def readOr(path: String, ddl: String): DataFrame = {
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+      if (new java.io.File(path).exists()) spark.read.schema(schema).parquet(path)
+      else spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    }
+    val oldBands = readOr(bandsPath, "doc_id BIGINT, band_id INT, band_h BIGINT")
+    val oldSets = readOr(setsPath, "doc_id BIGINT, hs ARRAY<BIGINT>, n_sh INT")
+    val allBands = oldBands.unionByName(newBands)
+    val allSets = oldSets.unionByName(newSets)
+
+    // probe: new bands x all bands; (a < b) ordering makes new x new pairs
+    // single after the distinct
+    val candidates = newBands.alias("a").join(allBands.alias("b"),
+        col("a.band_id") === col("b.band_id") && col("a.band_h") === col("b.band_h") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    val verified = candidates
+      .join(allSets.select(col("doc_id").as("doc_a"), col("hs").as("sha"),
+        col("n_sh").as("na")), Seq("doc_a"))
+      .join(allSets.select(col("doc_id").as("doc_b"), col("hs").as("shb"),
+        col("n_sh").as("nb")), Seq("doc_b"))
+      .withColumn("c", expr("graft_overlap_count(sha, shb)"))
+      .withColumn("jaccard",
+        round(col("c").cast("double") / (col("na") + col("nb") - col("c")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+
+    val out = verified.persist()
+    out.count() // materialize before appending the state it probes
+    newBands.write.mode(SaveMode.Append).parquet(bandsPath)
+    newSets.write.mode(SaveMode.Append).parquet(setsPath)
+    newSets.unpersist()
+    out
+  }
 }

@@ -52,6 +52,18 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(pairs.map(p => (p._1, p._2)) === Set((1L, 2L), (3L, 4L)))
   }
 
+  test("incremental LSH batches union to exactly the one-shot LSH answer") {
+    val state = tmpDir("inclsh")
+    val docs = ops.Tables(spark, sf, "documents")
+    val emitted = (0 until 3).flatMap { b =>
+      val batch = docs.filter(col("doc_id") % 3 === b)
+      pairSet(IncrementalDedup.updateLsh(spark, state, batch))
+    }.toSet
+    val oneShot = pairSet(Dedup.minhashLsh(spark, sf))
+    assert(emitted === oneShot)
+    assert(emitted.nonEmpty)
+  }
+
   test("a batch only pays for itself: old x old pairs never re-emitted") {
     val state = tmpDir("incstate2") + "/postings"
     val b1 = Seq(
