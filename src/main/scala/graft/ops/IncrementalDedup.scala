@@ -30,16 +30,28 @@ import org.apache.spark.sql.functions._
   */
 object IncrementalDedup {
 
-  /** Read the postings index; empty-but-typed when absent. */
-  def postings(spark: SparkSession, statePath: String): DataFrame = {
-    import org.apache.spark.sql.types._
-    val schema = StructType(Seq(
-      StructField("shingle", LongType), StructField("doc_id", LongType),
-      StructField("n_sh", IntegerType)))
-    if (new java.io.File(statePath).exists())
-      spark.read.schema(schema).parquet(statePath)
-    else spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+  /** Read a state dir by an explicit SNAPSHOT of its current files.
+    *
+    * Load-bearing: the emitted-pairs plan reads this state, and appending
+    * the batch afterwards triggers Spark's refreshByPath, which invalidates
+    * any cache built on a directory-based scan — a consumer re-executing
+    * the returned DataFrame would then re-read the state INCLUDING the
+    * batch it just contributed and double-emit every new x old pair.
+    * Pinning the file list at read time makes re-execution reproducible
+    * regardless of later appends. */
+  private def snapshotRead(spark: SparkSession, path: String, ddl: String): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+    val files = Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .map(_.getAbsolutePath)
+    if (files.nonEmpty) spark.read.schema(schema).parquet(files.toIndexedSeq: _*)
+    else spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
   }
+
+  /** Read the postings index; empty-but-typed when absent. */
+  def postings(spark: SparkSession, statePath: String): DataFrame =
+    snapshotRead(spark, statePath, "shingle BIGINT, doc_id BIGINT, n_sh INT")
 
   /** Ingest one batch of `(doc_id, text)` docs: emit the NEW near-dup pairs
     * (doc_a < doc_b, at least one side from this batch), then append the
@@ -89,12 +101,13 @@ object IncrementalDedup {
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
 
-    val out = pairs.persist()
-    out.count() // materialize BEFORE the index is appended under the probe
+    // The pair plan is pinned to the pre-append state snapshot, so the
+    // append cannot change its result — no materialize-before-write dance,
+    // and no cache for refreshByPath to eagerly recompute.
     newPosts.select(col("shingle"), col("doc_id"), col("n_sh"))
       .write.mode(SaveMode.Append).parquet(statePath)
     newPosts.unpersist()
-    out
+    pairs
   }
 
   /** The LSH variant — the sub-quadratic incremental path for 100 TB: the
@@ -118,22 +131,19 @@ object IncrementalDedup {
       .withColumn("n_sh", size(col("hs")))
       .filter(col("n_sh") > 0) // zero-shingle docs carry no near-dup signal
       .select(col("doc_id"), array_sort(col("hs")).as("hs"), col("n_sh"))
-      .persist()
+      // serialized cache: each of (probe, two verify joins, state write)
+      // would otherwise re-run the shingle+sort pipeline per action
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val newBands = newSets
       .withColumn("sig", expr(s"graft_minhash_sig(hs, $numHashes)"))
       .withColumn("band", explode(expr(
         s"transform(sequence(0, ${bands - 1}), " +
           s"b -> named_struct('id', b, 'h', xxhash64(slice(sig, b * $r + 1, $r))))")))
       .select(col("doc_id"), col("band.id").as("band_id"), col("band.h").as("band_h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
 
-    def readOr(path: String, ddl: String): DataFrame = {
-      val schema = org.apache.spark.sql.types.StructType.fromDDL(ddl)
-      if (new java.io.File(path).exists()) spark.read.schema(schema).parquet(path)
-      else spark.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-    }
-    val oldBands = readOr(bandsPath, "doc_id BIGINT, band_id INT, band_h BIGINT")
-    val oldSets = readOr(setsPath, "doc_id BIGINT, hs ARRAY<BIGINT>, n_sh INT")
+    val oldBands = snapshotRead(spark, bandsPath, "doc_id BIGINT, band_id INT, band_h BIGINT")
+    val oldSets = snapshotRead(spark, setsPath, "doc_id BIGINT, hs ARRAY<BIGINT>, n_sh INT")
     val allBands = oldBands.unionByName(newBands)
     val allSets = oldSets.unionByName(newSets)
 
@@ -156,11 +166,11 @@ object IncrementalDedup {
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
 
-    val out = verified.persist()
-    out.count() // materialize before appending the state it probes
+    // Plan pinned to the pre-append snapshot (see snapshotRead) — append
+    // first, return the lazy frame; one execution per consumer action.
     newBands.write.mode(SaveMode.Append).parquet(bandsPath)
     newSets.write.mode(SaveMode.Append).parquet(setsPath)
-    newSets.unpersist()
-    out
+    newBands.unpersist(); newSets.unpersist()
+    verified
   }
 }

@@ -92,6 +92,108 @@ object Profile {
         time("scored")(scored.count())
         time("tfidf-1")(graft.SparkEntry.queries("q_tfidf")(spark, sfDir).count())
         time("tfidf-2")(graft.SparkEntry.queries("q_tfidf")(spark, sfDir).count())
+      case "inclsh" =>
+        // stage breakdown of IncrementalDedup.updateLsh's index build
+        val src = spark.read.parquet(s"$sfDir/documents.parquet")
+        val numHashes = 16; val bands = 8; val r = numHashes / bands
+        val newSets = src
+          .select(col("doc_id"), expr("graft_shingle_hashes(text, 3)").as("hs"))
+          .withColumn("n_sh", size(col("hs")))
+          .filter(col("n_sh") > 0)
+          .select(col("doc_id"), array_sort(col("hs")).as("hs"), col("n_sh"))
+        time("newSets")(newSets.count())
+        val newBands = newSets
+          .withColumn("sig", expr(s"graft_minhash_sig(hs, $numHashes)"))
+          .withColumn("band", explode(expr(
+            s"transform(sequence(0, ${bands - 1}), " +
+              s"b -> named_struct('id', b, 'h', xxhash64(slice(sig, b * $r + 1, $r))))")))
+          .select(col("doc_id"), col("band.id").as("band_id"), col("band.h").as("band_h"))
+        time("newBands")(newBands.count())
+        val cand = newBands.alias("a").join(newBands.alias("b"),
+            col("a.band_id") === col("b.band_id") && col("a.band_h") === col("b.band_h") &&
+              col("a.doc_id") =!= col("b.doc_id"))
+          .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+            greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+        time("cand-raw")(cand.count())
+        val candD = cand.dropDuplicates("doc_a", "doc_b")
+        time("cand-dedup")(candD.count())
+        val verified = candD
+          .join(newSets.select(col("doc_id").as("doc_a"), col("hs").as("sha"),
+            col("n_sh").as("na")), Seq("doc_a"))
+          .join(newSets.select(col("doc_id").as("doc_b"), col("hs").as("shb"),
+            col("n_sh").as("nb")), Seq("doc_b"))
+          .withColumn("c", expr("graft_overlap_count(sha, shb)"))
+          .withColumn("jaccard",
+            round(col("c").cast("double") / (col("na") + col("nb") - col("c")), 4))
+          .filter(col("jaccard") >= 0.5)
+        time("verified")(verified.count())
+        val st = s"/tmp/inclsh-profile-state"
+        org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(st), true)
+        time("writes")({
+          newBands.write.mode("append").parquet(s"$st/bands")
+          newSets.write.mode("append").parquet(s"$st/sets"); 0L
+        })
+        time("full-updateLsh")({
+          org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+            .delete(new org.apache.hadoop.fs.Path(st), true)
+          graft.ops.IncrementalDedup.updateLsh(spark, st, src).count()
+        })
+        time("oneshot-lsh")({
+          graft.ops.Dedup.minhashLsh(spark,
+            new java.io.File(s"$sfDir/documents.parquet").getParent).count()
+        })
+      case "incbatch" =>
+        // batch-path breakdown: index 90%, then stage-time the 10% batch
+        val src = spark.read.parquet(s"$sfDir/documents.parquet")
+        val old = src.filter(col("doc_id") % 10 =!= 0)
+        val batch = src.filter(col("doc_id") % 10 === 0)
+        val st = "/tmp/incbatch-profile-state"
+        org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(st), true)
+        graft.ops.Dedup.minhashLsh(spark,
+          new java.io.File(s"$sfDir/documents.parquet").getParent).count() // warm
+        time("index-90pct")(graft.ops.IncrementalDedup.updateLsh(spark, st, old).count())
+        val numHashes = 16; val bands = 8; val r = numHashes / bands
+        val newSets = batch
+          .select(col("doc_id"), expr("graft_shingle_hashes(text, 3)").as("hs"))
+          .withColumn("n_sh", size(col("hs")))
+          .filter(col("n_sh") > 0)
+          .select(col("doc_id"), array_sort(col("hs")).as("hs"), col("n_sh"))
+        val newBands = newSets
+          .withColumn("sig", expr(s"graft_minhash_sig(hs, $numHashes)"))
+          .withColumn("band", explode(expr(
+            s"transform(sequence(0, ${bands - 1}), " +
+              s"b -> named_struct('id', b, 'h', xxhash64(slice(sig, b * $r + 1, $r))))")))
+          .select(col("doc_id"), col("band.id").as("band_id"), col("band.h").as("band_h"))
+        val oldBands = spark.read.schema(
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "doc_id BIGINT, band_id INT, band_h BIGINT")).parquet(s"$st/bands")
+        val oldSets = spark.read.schema(
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "doc_id BIGINT, hs ARRAY<BIGINT>, n_sh INT")).parquet(s"$st/sets")
+        time("read-oldBands")(oldBands.count())
+        time("read-oldSets")(oldSets.count())
+        val allBands = oldBands.unionByName(newBands)
+        val allSets = oldSets.unionByName(newSets)
+        val cand = newBands.alias("a").join(allBands.alias("b"),
+            col("a.band_id") === col("b.band_id") && col("a.band_h") === col("b.band_h") &&
+              col("a.doc_id") =!= col("b.doc_id"))
+          .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+            greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+          .dropDuplicates("doc_a", "doc_b")
+        time("cand")(cand.count())
+        val verified = cand
+          .join(allSets.select(col("doc_id").as("doc_a"), col("hs").as("sha"),
+            col("n_sh").as("na")), Seq("doc_a"))
+          .join(allSets.select(col("doc_id").as("doc_b"), col("hs").as("shb"),
+            col("n_sh").as("nb")), Seq("doc_b"))
+          .withColumn("c", expr("graft_overlap_count(sha, shb)"))
+          .withColumn("jaccard",
+            round(col("c").cast("double") / (col("na") + col("nb") - col("c")), 4))
+          .filter(col("jaccard") >= 0.5)
+        time("verified")(verified.count())
+        time("full-batch")(graft.ops.IncrementalDedup.updateLsh(spark, st, batch).count())
       case "pipeline" =>
         time("pipeline")(graft.SparkEntry.queries("q_dedup_pipeline")(spark, sfDir).count())
       case q =>

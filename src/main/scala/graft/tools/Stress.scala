@@ -72,6 +72,28 @@ object Stress {
     time("cluster")(graft.ops.Dedup.nearDupClusters(spark, dir).count())
     time("decontaminate")(graft.ops.Dedup.decontaminate(spark, dir).count())
     time("tfidf")(graft.ops.TextAnalysis.tfidfTop(spark, dir).count())
+    if (want("incremental")) {
+      // the operational claim: a FIXED-SIZE arrival batch (5k docs) against
+      // a growing corpus costs ~the batch, while the one-shot recompute
+      // grows with the corpus — run at several nOrig to see the asymptote
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val old = docs.filter(col("doc_id") >= 5000)
+      val batch = docs.filter(col("doc_id") < 5000)
+      val st = s"$dir/lsh-state"
+      org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(st), true)
+      def t2(name: String)(f: => Long): Unit = {
+        val t0 = System.nanoTime()
+        val n = f
+        println(f"STRESS $name%-18s ${(System.nanoTime() - t0) / 1e9}%8.3f s  rows=$n")
+      }
+      graft.ops.Dedup.minhashLsh(spark, dir).count() // JIT/codegen warmup
+      t2("inc-index-rest")(
+        graft.ops.IncrementalDedup.updateLsh(spark, st, old).count())
+      t2("inc-batch-5k")(
+        graft.ops.IncrementalDedup.updateLsh(spark, st, batch).count())
+      t2("oneshot-lsh-full")(graft.ops.Dedup.minhashLsh(spark, dir).count())
+    }
     spark.stop()
   }
 }

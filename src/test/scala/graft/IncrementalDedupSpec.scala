@@ -13,16 +13,20 @@ class IncrementalDedupSpec extends SparkSpec {
     val state = tmpDir("incstate") + "/postings"
     val docs = ops.Tables(spark, sf, "documents")
     // three arrival batches, any interleaving of ids
-    val emitted = (0 until 3).flatMap { b =>
+    val emittedSeq = (0 until 3).flatMap { b =>
       val batch = docs.filter(col("doc_id") % 3 === b)
-      pairSet(IncrementalDedup.update(spark, state, batch))
-    }.toSet
+      val out = IncrementalDedup.update(spark, state, batch)
+      // re-execute the RETURNED frame after the state append — regression
+      // for the refreshByPath cache invalidation that double-read the state
+      assert(out.count() === out.dropDuplicates("doc_a", "doc_b").count())
+      pairSet(out).toSeq
+    }
+    val emitted = emittedSeq.toSet
+    assert(emittedSeq.size === emitted.size) // nothing emitted twice, ever
     val oneShot = pairSet(
       Dedup.ngramJaccard(spark, sf, threshold = 0.5, dfCap = Int.MaxValue))
     assert(emitted === oneShot)
     assert(emitted.nonEmpty) // the fixture plants near-dup pairs
-    // no pair is emitted twice across batches
-    assert(emitted.size === emitted.map(p => (p._1, p._2)).size)
   }
 
   test("streaming ingest: foreachBatch maintains the dup index as docs arrive") {
@@ -46,19 +50,26 @@ class IncrementalDedupSpec extends SparkSpec {
     q.processAllAvailable()
     mem.addData((4L, "one two three four five six seven eight nine"))
     q.processAllAvailable(); q.stop()
-    val pairs = pairSet(spark.read.parquet(pairsOut)
-      .select(col("doc_a"), col("doc_b"), col("jaccard")))
-    // (1,2) identical from batch 2; (3,4) near-dup across batches 2 and 3
-    assert(pairs.map(p => (p._1, p._2)) === Set((1L, 2L), (3L, 4L)))
+    val rows = spark.read.parquet(pairsOut)
+      .select(col("doc_a"), col("doc_b"), col("jaccard")).collect()
+    // (1,2) identical from batch 2; (3,4) near-dup across batches 2 and 3 —
+    // exactly ONE row each (the sink write re-executes the returned frame
+    // after the state append; emission must still be single)
+    assert(rows.length === 2)
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 2L), (3L, 4L)))
   }
 
   test("incremental LSH batches union to exactly the one-shot LSH answer") {
     val state = tmpDir("inclsh")
     val docs = ops.Tables(spark, sf, "documents")
-    val emitted = (0 until 3).flatMap { b =>
+    val emittedSeq = (0 until 3).flatMap { b =>
       val batch = docs.filter(col("doc_id") % 3 === b)
-      pairSet(IncrementalDedup.updateLsh(spark, state, batch))
-    }.toSet
+      val out = IncrementalDedup.updateLsh(spark, state, batch)
+      assert(out.count() === out.dropDuplicates("doc_a", "doc_b").count())
+      pairSet(out).toSeq
+    }
+    val emitted = emittedSeq.toSet
+    assert(emittedSeq.size === emitted.size)
     val oneShot = pairSet(Dedup.minhashLsh(spark, sf))
     assert(emitted === oneShot)
     assert(emitted.nonEmpty)
