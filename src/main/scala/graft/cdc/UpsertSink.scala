@@ -129,7 +129,7 @@ object UpsertSink {
     * zero-dependency harness): move live aside, move next into place. Each
     * rename is atomic (same-volume dir rename); the window between them is
     * recoverable — every read path calls [[recoverSwap]] first. */
-  private[cdc] def atomicSwapDirs(spark: SparkSession, next: String, live: String): Unit = {
+  private[graft] def atomicSwapDirs(spark: SparkSession, next: String, live: String): Unit = {
     recoverSwap(spark, live) // heal any earlier interrupted swap first
     val (fs, livePath) = hfs(spark, live)
     val old = new org.apache.hadoop.fs.Path(live + ".old")

@@ -41,12 +41,35 @@ object IncrementalDedup {
     * regardless of later appends. */
   private def snapshotRead(spark: SparkSession, path: String, ddl: String): DataFrame = {
     val schema = org.apache.spark.sql.types.StructType.fromDDL(ddl)
-    val files = Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-      .map(_.getAbsolutePath)
-    if (files.nonEmpty) spark.read.schema(schema).parquet(files.toIndexedSeq: _*)
+    // Hadoop FileSystem, not java.io: the state dir may be HDFS/S3
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val files: Seq[String] =
+      if (fs.exists(p))
+        fs.listStatus(p).toIndexedSeq
+          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+          .map(_.getPath.toString)
+      else Seq.empty
+    if (files.nonEmpty) spark.read.schema(schema).parquet(files: _*)
     else spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+  }
+
+  /** Compact a state dir's accumulated per-batch files into `numFiles`
+    * (append-per-batch leaves one file set per micro-batch — at a batch
+    * every few minutes that is thousands of small files per week, and
+    * snapshot listings + scan planning degrade linearly in file count).
+    * Crash-safe: rewrite to a staging dir, then atomic pointer swap with
+    * `.old` recovery, same protocol as the upsert sink. Run it from a
+    * maintenance schedule, not the hot path. */
+  def compactState(spark: SparkSession, path: String, ddl: String,
+                   numFiles: Int = 8): Unit = {
+    val cur = snapshotRead(spark, path, ddl)
+    if (!cur.isEmpty) {
+      val tmp = path + ".next"
+      cur.repartition(numFiles).write.mode(SaveMode.Overwrite).parquet(tmp)
+      graft.cdc.UpsertSink.atomicSwapDirs(spark, tmp, path)
+    }
   }
 
   /** Read the postings index; empty-but-typed when absent. */

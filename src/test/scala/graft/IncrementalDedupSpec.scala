@@ -75,6 +75,29 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(emitted.nonEmpty)
   }
 
+  test("state compaction mid-sequence changes nothing but the file count") {
+    val state = tmpDir("inccompact") + "/postings"
+    val docs = ops.Tables(spark, sf, "documents")
+    val before = (0 until 2).flatMap { b =>
+      pairSet(IncrementalDedup.update(spark, state,
+        docs.filter(col("doc_id") % 3 === b))).toSeq
+    }
+    val filesBefore = new java.io.File(state).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    IncrementalDedup.compactState(spark, state,
+      "shingle BIGINT, doc_id BIGINT, n_sh INT", numFiles = 1)
+    val filesAfter = new java.io.File(state).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(filesAfter === 1 && filesAfter < filesBefore)
+    // the third batch over compacted state completes the exact one-shot set
+    val after = pairSet(IncrementalDedup.update(spark, state,
+      docs.filter(col("doc_id") % 3 === 2))).toSeq
+    val oneShot = pairSet(
+      Dedup.ngramJaccard(spark, sf, threshold = 0.5, dfCap = Int.MaxValue))
+    assert((before ++ after).toSet === oneShot)
+    assert((before ++ after).size === oneShot.size)
+  }
+
   test("a batch only pays for itself: old x old pairs never re-emitted") {
     val state = tmpDir("incstate2") + "/postings"
     val b1 = Seq(
