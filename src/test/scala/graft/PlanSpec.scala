@@ -93,4 +93,18 @@ class PlanSpec extends SparkSpec {
     // a single-partition Exchange would serialize the corpus
     assert(!p.contains("SinglePartition"), p.take(2000))
   }
+
+  test("mix deciles: ntile runs per shard partition, not one global sort") {
+    val p = plan("q_mix_deciles")
+    assert(!p.contains("SinglePartition"), p.take(2000))
+    assert(p.contains("ntile"), p.take(2000))
+  }
+
+  test("window analytics: all frames share one per-user sort, no extra exchanges") {
+    val p = plan("q_window_analytics")
+    assert(!p.contains("SinglePartition"), p.take(2000))
+    // lead/first/last and the range frame partition identically -> one
+    // hashpartitioning exchange on user_id feeds every window
+    assert("hashpartitioning\\(user_id".r.findAllIn(p).size >= 1, p.take(2000))
+  }
 }
