@@ -12,7 +12,7 @@ import org.apache.spark.sql.types._
   * stay declarative and codegen'd); `postBatch` callbacks fire after each
   * sync's batch is applied (the reference's `post_event`, batched). */
 final case class PluginHooks(
-    preEvent: Seq[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame] = Seq.empty,
+    preEvent: Seq[(String, org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame] = Seq.empty,
     postBatch: Seq[(String, Long) => Unit] = Seq.empty)
 
 /** The user-facing plugin contract for config-driven loading (the
@@ -22,6 +22,11 @@ final case class PluginHooks(
   * whole-DataFrame transform (so it can broadcast-join, not just map rows);
   * `postBatch` fires after each sync's batch commits. */
 trait GraftPlugin {
+  /** Tables this plugin applies to; empty = every sync. A preEvent that
+    * references table-specific columns MUST scope itself here — the hook
+    * runs per sync view, and an unresolved column in one sync's view would
+    * otherwise kill the whole multi-table query. */
+  def tables: Set[String] = Set.empty
   def preEvent(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = df
   def postBatch(table: String, batchId: Long): Unit = ()
 }
@@ -31,12 +36,17 @@ object PluginHooks {
     * `load_plugin(str)` (`plugin.py:25-31`, via `importlib`): one singleton
     * instance per listed class (the reference's `is_global=True` mode). */
   def load(classNames: Seq[String]): PluginHooks = {
-    val plugins = classNames.map { n =>
-      Class.forName(n).getDeclaredConstructor().newInstance()
+    val plugins = classNames.map(_.trim).filter(_.nonEmpty).map { n =>
+      try Class.forName(n).getDeclaredConstructor().newInstance()
         .asInstanceOf[GraftPlugin]
+      catch { case e: Exception =>
+        throw new IllegalArgumentException(
+          s"cannot load plugin class '$n' (config key plugins=)", e)
+      }
     }
     PluginHooks(
-      preEvent = plugins.map(p => p.preEvent _),
+      preEvent = plugins.map(p => (table: String, df: org.apache.spark.sql.DataFrame) =>
+        if (p.tables.isEmpty || p.tables(table)) p.preEvent(df) else df),
       postBatch = plugins.map(p => p.postBatch _))
   }
 }
@@ -150,7 +160,7 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
     * exactly-once; dead-letter rows carry `offset` so replays dedupe there). */
   private def applySync(batch: DataFrame, sync: SyncConfig, batchId: Long): Unit = {
     val pk = pkOut(sync)
-    val full = hooks.preEvent.foldLeft(syncView(batch, sync))((df, h) => h(df))
+    val full = hooks.preEvent.foldLeft(syncView(batch, sync))((df, h) => h(sync.table, df))
     val dead = full.filter(col(pk).isNull)
     if (!dead.isEmpty)
       dead.write.mode("append").parquet(deadLetterPath(sync))

@@ -119,7 +119,7 @@ object UpsertSink {
     * leaves no live dir but a complete `.old` — restore it. The state then
     * reflects the pre-batch version; the streaming checkpoint replays the
     * un-committed batch and the idempotent apply makes the replay safe. */
-  private[cdc] def recoverSwap(spark: SparkSession, live: String): Unit = {
+  private[graft] def recoverSwap(spark: SparkSession, live: String): Unit = {
     val (fs, p) = hfs(spark, live)
     val old = new org.apache.hadoop.fs.Path(live + ".old")
     if (!fs.exists(p) && fs.exists(old)) { fs.rename(old, p); () }

@@ -41,16 +41,25 @@ object IncrementalDedup {
     * regardless of later appends. */
   private def snapshotRead(spark: SparkSession, path: String, ddl: String): DataFrame = {
     val schema = org.apache.spark.sql.types.StructType.fromDDL(ddl)
-    // Hadoop FileSystem, not java.io: the state dir may be HDFS/S3
+    // heal a compactState crash window FIRST (live dir momentarily absent,
+    // complete copy parked at <path>.old) — reading without this would see
+    // an empty index, silently emit nothing, and the subsequent append
+    // would re-create the live dir so the .old copy could never restore
+    graft.cdc.UpsertSink.recoverSwap(spark, path)
+    // Hadoop FileSystem, not java.io: the state dir may be HDFS/S3.
+    // Recursive: idempotent per-batch appends live in batch-<id> subdirs.
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val files: Seq[String] =
-      if (fs.exists(p))
-        fs.listStatus(p).toIndexedSeq
-          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-          .map(_.getPath.toString)
-      else Seq.empty
-    if (files.nonEmpty) spark.read.schema(schema).parquet(files: _*)
+    val files = scala.collection.mutable.ArrayBuffer.empty[String]
+    if (fs.exists(p)) {
+      val it = fs.listFiles(p, true)
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile && st.getPath.getName.endsWith(".parquet"))
+          files += st.getPath.toString
+      }
+    }
+    if (files.nonEmpty) spark.read.schema(schema).parquet(files.toSeq: _*)
     else spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
   }
@@ -60,8 +69,12 @@ object IncrementalDedup {
     * every few minutes that is thousands of small files per week, and
     * snapshot listings + scan planning degrade linearly in file count).
     * Crash-safe: rewrite to a staging dir, then atomic pointer swap with
-    * `.old` recovery, same protocol as the upsert sink. Run it from a
-    * maintenance schedule, not the hot path. */
+    * `.old` recovery, same protocol as the upsert sink (snapshotRead heals
+    * the crash window before every read). Run it from a maintenance
+    * schedule while the ingest stream is stopped with its last batch
+    * committed — compaction folds per-batch subdirs into flat files, so a
+    * replay of a not-yet-committed batch afterwards would re-add that
+    * batch's rows alongside their compacted copies. */
   def compactState(spark: SparkSession, path: String, ddl: String,
                    numFiles: Int = 8): Unit = {
     val cur = snapshotRead(spark, path, ddl)
@@ -80,7 +93,8 @@ object IncrementalDedup {
     * (doc_a < doc_b, at least one side from this batch), then append the
     * batch's postings to the index. doc_ids must be globally unique. */
   def update(spark: SparkSession, statePath: String, newDocs: DataFrame,
-             threshold: Double = 0.5, dfCap: Int = Int.MaxValue): DataFrame = {
+             threshold: Double = 0.5, dfCap: Int = Int.MaxValue,
+             batchId: Option[Long] = None): DataFrame = {
     graft.functions.TextFunctions.register(spark)
     val newPosts = newDocs
       .select(col("doc_id"), expr("graft_shingle_hashes(text, 3)").as("hs"))
@@ -90,10 +104,16 @@ object IncrementalDedup {
     val oldPosts = postings(spark, statePath)
     val allPosts = oldPosts.unionByName(newPosts)
 
-    // df cap over the CURRENT corpus; shingles above it leave candidate
-    // generation and overlap counting entirely (same semantics per batch as
-    // the one-shot tier)
-    val liveShingles = allPosts.groupBy(col("shingle"))
+    // df cap over the CURRENT corpus, computed ONLY for shingles the batch
+    // carries: shingles untouched by the batch cannot contribute a pair
+    // with a new side, so the df aggregate semi-joins to the batch's
+    // distinct shingles first — shuffle/agg volume is O(touched postings),
+    // not O(index). (The full-index SCAN that feeds the semi-join is pruned
+    // too once the state is bucketed by shingle, the layout a real
+    // deployment uses.)
+    val touched = newPosts.select(col("shingle")).distinct()
+    val relevant = allPosts.join(touched, Seq("shingle"), "left_semi")
+    val liveShingles = relevant.groupBy(col("shingle"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df").between(2, dfCap))
       .select(col("shingle"))
@@ -103,7 +123,7 @@ object IncrementalDedup {
     // appear once after the distinct-shingle count
     val probe = newPosts.join(liveShingles, "shingle")
       .select(col("shingle"), col("doc_id").as("p_doc"), col("n_sh").as("p_n"))
-    val other = allPosts.join(liveShingles, "shingle")
+    val other = relevant.join(liveShingles, "shingle")
       .select(col("shingle"), col("doc_id").as("o_doc"), col("n_sh").as("o_n"))
     val pairs = probe.join(other,
         Seq("shingle")).filter(col("p_doc") =!= col("o_doc"))
@@ -127,11 +147,23 @@ object IncrementalDedup {
     // The pair plan is pinned to the pre-append state snapshot, so the
     // append cannot change its result — no materialize-before-write dance,
     // and no cache for refreshByPath to eagerly recompute.
-    newPosts.select(col("shingle"), col("doc_id"), col("n_sh"))
-      .write.mode(SaveMode.Append).parquet(statePath)
+    writeState(newPosts.select(col("shingle"), col("doc_id"), col("n_sh")),
+      statePath, batchId)
     newPosts.unpersist()
     pairs
   }
+
+  /** State append. With a `batchId` (the foreachBatch id), the write is an
+    * OVERWRITE of a per-batch subdir — an at-least-once replay of the same
+    * batch rewrites the same files instead of appending duplicates (which
+    * would double every replayed doc's postings and shift df counts).
+    * Without one (ad-hoc batch use), a plain append. */
+  private def writeState(df: DataFrame, path: String, batchId: Option[Long]): Unit =
+    batchId match {
+      case Some(id) =>
+        df.write.mode(SaveMode.Overwrite).parquet(s"$path/batch-$id")
+      case None => df.write.mode(SaveMode.Append).parquet(path)
+    }
 
   /** The LSH variant — the sub-quadratic incremental path for 100 TB: the
     * persisted index is band hashes (`bands` rows/doc, not one per shingle)
@@ -143,7 +175,7 @@ object IncrementalDedup {
     * batches == one-shot [[Dedup.minhashLsh]], spec-asserted). */
   def updateLsh(spark: SparkSession, statePath: String, newDocs: DataFrame,
                 threshold: Double = 0.5, numHashes: Int = 16,
-                bands: Int = 8): DataFrame = {
+                bands: Int = 8, batchId: Option[Long] = None): DataFrame = {
     graft.functions.TextFunctions.register(spark)
     val r = numHashes / bands
     val bandsPath = s"$statePath/bands"
@@ -191,8 +223,10 @@ object IncrementalDedup {
 
     // Plan pinned to the pre-append snapshot (see snapshotRead) — append
     // first, return the lazy frame; one execution per consumer action.
-    newBands.write.mode(SaveMode.Append).parquet(bandsPath)
-    newSets.write.mode(SaveMode.Append).parquet(setsPath)
+    // With a batchId both writes are per-batch overwrites, so a replay (or
+    // a crash between the two) converges to a consistent bands+sets pair.
+    writeState(newBands, bandsPath, batchId)
+    writeState(newSets, setsPath, batchId)
     newBands.unpersist(); newSets.unpersist()
     verified
   }

@@ -65,6 +65,13 @@ object FeedGen {
     // chunked-tsv wire format (chunk index == replication position), so both
     // source paths replay identical histories
     val envSchema = graft.model.ChangeEvent.schema
+    // clean both feeds first: the parquet feed is written in append mode
+    // (one file per batch), so a re-run against an existing root would
+    // otherwise double the history and break the documented determinism
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(lay.feedDir), true)
+    fs.delete(new org.apache.hadoop.fs.Path(lay.feedV2Dir), true)
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(lay.feedV2Dir))
     for (b <- 0 until nBatches) {
       val rows = (0 until eventsPerBatch).map { j =>

@@ -54,6 +54,32 @@ class CliSpec extends SparkSpec {
     assert(pipe.sinkState(sync).collect().toSeq === Seq(Row(1, "ANN")))
     assert(UppercasePlugin.batches.get() >= 1)
   }
+
+  test("U1: a table-scoped plugin leaves other syncs' views untouched") {
+    val hooks = graft.cdc.PluginHooks.load(Seq("graft.UsersOnlyPlugin"))
+    import spark.implicits._
+    val view = Seq((1, 9.5)).toDF("id", "amount") // no 'name' column at all
+    // applying the hook under table 'orders' must be the identity, not an
+    // unresolved-column crash that would kill every sync in the query
+    val out = hooks.preEvent.foldLeft(view)((df, h) => h("orders", df))
+    assert(out.collect().toSeq === view.collect().toSeq)
+  }
+
+  test("U1: blank plugin entries are ignored, bad classes name themselves") {
+    assert(graft.cdc.PluginHooks.load(Seq("", "  ")).preEvent.isEmpty)
+    val err = intercept[IllegalArgumentException] {
+      graft.cdc.PluginHooks.load(Seq("com.example.Nope"))
+    }
+    assert(err.getMessage.contains("com.example.Nope"))
+  }
+}
+
+/** Scoped plugin: must leave other tables' views untouched. */
+class UsersOnlyPlugin extends graft.cdc.GraftPlugin {
+  override def tables: Set[String] = Set("users")
+  override def preEvent(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.withColumn("name", org.apache.spark.sql.functions.upper(
+      org.apache.spark.sql.functions.col("name"))) // column only users has
 }
 
 /** Test fixture for the reflection plugin loader. */

@@ -38,8 +38,10 @@ class IncrementalDedupSpec extends SparkSpec {
     val q = mem.toDF().toDF("doc_id", "text")
       .writeStream
       .option("checkpointLocation", s"$root/ckpt")
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        IncrementalDedup.update(spark, state, batch)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        // batchId makes the state append an idempotent per-batch overwrite,
+        // so an at-least-once replay cannot double the postings
+        IncrementalDedup.update(spark, state, batch, batchId = Some(id))
           .write.mode("append").parquet(pairsOut)
       }
       .start()

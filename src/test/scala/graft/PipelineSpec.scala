@@ -86,7 +86,7 @@ class PipelineSpec extends SparkSpec {
       StructField("id", IntegerType), StructField("name", StringType)))))
     val fired = new java.util.concurrent.atomic.AtomicInteger(0)
     val hooks = PluginHooks(
-      preEvent = Seq(df => df.withColumn("name", upper(col("name")))),
+      preEvent = Seq((_, df) => df.withColumn("name", upper(col("name")))),
       postBatch = Seq((_, _) => { fired.incrementAndGet(); () }))
     val src = new MemoryCdcSource(spark)
     val pipe = new Pipeline(spark, PipelineConfig(Seq(sync)), src, sinkRoot, hooks)
@@ -112,7 +112,7 @@ class PipelineSpec extends SparkSpec {
       StructField("id", IntegerType), StructField("region_id", IntegerType),
       StructField("region", StringType)))))
     val dim = Seq((1, "emea"), (2, "apac")).toDF("region_id", "region")
-    val hooks = PluginHooks(preEvent = Seq { df =>
+    val hooks = PluginHooks(preEvent = Seq { (_, df) =>
       val order = df.columns
       df.drop("region")
         .join(broadcast(dim), Seq("region_id"), "left")
