@@ -80,6 +80,7 @@ object SparkEntry {
     "q_fingerprint"    -> ((s, d) => TextAnalysis.fingerprint(s, d)),
     "q_winnow"         -> ((s, d) => TextAnalysis.winnow(s, d)),
     "q_multimodal_meta" -> ((s, d) => Multimodal.metaQuery(s, d)),
+    "q_train_manifest" -> ((s, d) => TrainingPipeline.trainManifest(s, d)),
     "q_window_analytics" -> ((s, d) => Relational.windowAnalytics(s, d)),
     "q_mix_deciles"    -> ((s, d) => TextAnalysis.mixDeciles(s, d)),
     "q_ann_ivf"        -> ((s, d) => Similarity.ivfTopK(s, d)),
@@ -544,6 +545,50 @@ object SparkEntry {
         | CASE ascii(substring(text, 1, 1)) % 3
         |   WHEN 0 THEN 'png' WHEN 1 THEN 'jpg' ELSE 'webp' END AS format
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Capstone composition: exact dedup -> near-dup removal -> quality
+    // filter -> decontamination -> packing, as one manifest. Each stage
+    // reuses a formulation whose standalone oracle already matches.
+    "q_train_manifest" ->
+      """WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS t,
+        |             (doc_id * 2654435761) % 100 < 80 AS tr FROM documents),
+        |k1 AS (SELECT min(doc_id) AS doc_id FROM d WHERE tr GROUP BY text),
+        |d1 AS (SELECT d.* FROM d JOIN k1 USING (doc_id)),
+        |s AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - 2),
+        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh FROM d1),
+        |p AS (SELECT doc_id, n_sh, shingle FROM
+        |        (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM s)
+        |      QUALIFY count(*) OVER (PARTITION BY shingle) <= 128),
+        |j AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb,
+        |        count(*) AS c
+        |      FROM p a JOIN p b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2, 3, 4),
+        |drop2 AS (SELECT DISTINCT doc_b AS doc_id FROM j
+        |          WHERE round(CAST(c AS DOUBLE) / (na + nb - c), 4) >= 0.5),
+        |d2 AS (SELECT * FROM d1 WHERE doc_id NOT IN (SELECT doc_id FROM drop2)),
+        |m AS (SELECT *, length(text) AS chars, len(t) AS n_tok,
+        |        CASE WHEN len(t) - 2 > 0 THEN
+        |          (len(t) - 2 - len(list_distinct(list_transform(generate_series(1, len(t) - 2),
+        |             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))))::DOUBLE / (len(t) - 2)
+        |          ELSE 0.0 END AS rep
+        |      FROM d2),
+        |d3 AS (SELECT * FROM m WHERE chars >= 120 AND n_tok >= 30 AND rep <= 0.01),
+        |tst AS (SELECT DISTINCT unnest(list_transform(generate_series(1, len(t) - 4),
+        |          i -> t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4])) AS g
+        |        FROM d WHERE NOT tr),
+        |sh5 AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(t) - 4),
+        |          i -> t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4]))) AS g
+        |        FROM d3),
+        |cont AS (SELECT DISTINCT sh5.doc_id FROM sh5 JOIN tst USING (g)),
+        |d4 AS (SELECT * FROM d3 WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+        |c5 AS (SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
+        |         CAST(n_tok AS BIGINT) AS n_tok2,
+        |         sum(CAST(n_tok AS BIGINT)) OVER (PARTITION BY doc_id % 8
+        |           ORDER BY doc_id) - n_tok AS start_tok
+        |       FROM d4)
+        |SELECT shard, CAST(floor(start_tok / 512) AS BIGINT) AS bin,
+        |  count(*) AS n_docs, CAST(sum(n_tok2) AS BIGINT) AS n_tokens
+        |FROM c5 GROUP BY 1, 2 ORDER BY shard, bin""".stripMargin,
 
     "q_window_analytics" ->
       """WITH e AS (SELECT user_id, event_id, event_type, value,

@@ -51,7 +51,7 @@ object Dedup {
   private def shingled(spark: SparkSession, dir: String): DataFrame =
     hashShingledOf(Tables(spark, dir, "documents"))
 
-  private def hashShingledOf(docs: DataFrame): DataFrame = {
+  private[ops] def hashShingledOf(docs: DataFrame): DataFrame = {
     graft.functions.TextFunctions.register(docs.sparkSession)
     docs
       .select(col("doc_id"), expr("graft_shingle_hashes(text, 3)").as("hs"))
@@ -75,7 +75,7 @@ object Dedup {
   /** Unsorted pair stream — for consumers that feed a join/iteration, where
     * an output sort would only add a range-partitioning sampling pass that
     * executes the whole pair pipeline twice. */
-  private def ngramPairsOn(s: DataFrame, threshold: Double, dfCap: Int): DataFrame = {
+  private[ops] def ngramPairsOn(s: DataFrame, threshold: Double, dfCap: Int): DataFrame = {
     // One shuffle to group postings per shingle; the df filter (2..dfCap,
     // df=1 contributes nothing, df>dfCap is the semantic stop-shingle cap
     // mirrored in the oracle) is a size() check on the grouped list, and

@@ -56,6 +56,25 @@ class TrainingOpsSpec extends SparkSpec {
     }
   }
 
+  test("train manifest: the composition is consistent with its stage operators") {
+    val manifest = TextAnalysis.packSequences(spark, sf) // full-corpus packing
+    val bins = graft.ops.TrainingPipeline.trainManifest(spark, sf).collect()
+    assert(bins.nonEmpty)
+    // the manifest's doc count can never exceed the train-split funnel
+    // survivors (stages 1-2-4 only remove more)
+    val funnelFinal = TextAnalysis.filterFunnel(spark, sf).collect()
+      .find(_.getString(0) == "3_rep_le_0.01").get.getLong(1)
+    val manifestDocs = bins.map(_.getLong(2)).sum
+    assert(manifestDocs <= funnelFinal)
+    assert(manifestDocs > 0)
+    // packing invariant holds post-filtering: contiguous bins from 0/shard
+    bins.groupBy(_.getInt(0)).foreach { case (_, rs) =>
+      val ids = rs.map(_.getLong(1)).sorted
+      assert(ids.head === 0L && ids.toSeq === (0L until ids.length).toSeq)
+    }
+    assert(manifest.count() > 0) // stage operator itself still healthy
+  }
+
   test("filter funnel: cumulative stages only ever shrink, yields match counts") {
     val rows = TextAnalysis.filterFunnel(spark, sf).collect()
     assert(rows.map(_.getString(0)).toSeq ===
