@@ -431,19 +431,20 @@ object TextFunctions {
   /** Register `graft_simhash64` / `graft_sliding_min_distinct` / shingling. Idempotent. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("graft_simhash64",
-      exprs => SimHash64(exprs.head), "scala_udf")
-    reg.createOrReplaceTempFunction("graft_sliding_min_distinct",
-      exprs => SlidingMinDistinct(exprs(0), exprs(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("graft_minhash_sig",
-      exprs => MinHashSig(exprs(0), exprs(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("graft_shingles",
-      exprs => WordShingles(exprs(0), exprs(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("graft_shingle_hashes",
-      exprs => WordShingleHashes(exprs(0), exprs(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("graft_chargram_hashes",
-      exprs => CharGramHashes(exprs(0), exprs(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("graft_overlap_count",
-      exprs => SortedOverlapCount(exprs(0), exprs(1)), "scala_udf")
+    // Skip names that already resolve: createOrReplaceTempFunction on an
+    // existing name logs a replacement WARN per call, and these are invoked
+    // from every operator entry point.
+    def reg1(name: String, builder: Seq[Expression] => Expression): Unit =
+      if (!reg.functionExists(
+            org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+        reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+    reg1("graft_simhash64", exprs => SimHash64(exprs.head))
+    reg1("graft_sliding_min_distinct",
+      exprs => SlidingMinDistinct(exprs(0), exprs(1)))
+    reg1("graft_minhash_sig", exprs => MinHashSig(exprs(0), exprs(1)))
+    reg1("graft_shingles", exprs => WordShingles(exprs(0), exprs(1)))
+    reg1("graft_shingle_hashes", exprs => WordShingleHashes(exprs(0), exprs(1)))
+    reg1("graft_chargram_hashes", exprs => CharGramHashes(exprs(0), exprs(1)))
+    reg1("graft_overlap_count", exprs => SortedOverlapCount(exprs(0), exprs(1)))
   }
 }
