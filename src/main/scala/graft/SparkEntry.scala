@@ -86,7 +86,15 @@ object SparkEntry {
     "q_ann_ivf"        -> ((s, d) => Similarity.ivfTopK(s, d)),
     "q_decontaminate"  -> ((s, d) => Dedup.decontaminate(s, d)),
     "q_pack_sequences" -> ((s, d) => TextAnalysis.packSequences(s, d)),
-    "q_filter_funnel"  -> ((s, d) => TextAnalysis.filterFunnel(s, d))
+    "q_filter_funnel"  -> ((s, d) => TextAnalysis.filterFunnel(s, d)),
+    "q_stats_agg"      -> ((s, d) => Relational.statsAgg(s, d)),
+    "q_histogram"      -> ((s, d) => Relational.histogram(s, d)),
+    "q_winsorize"      -> ((s, d) => Relational.winsorize(s, d)),
+    "q_lang_balance"   -> ((s, d) => TextAnalysis.langBalance(s, d)),
+    "q_pii_scrub"      -> ((s, d) => TextAnalysis.piiScrub(s, d)),
+    "q_boilerplate"    -> ((s, d) => TextAnalysis.boilerplate(s, d)),
+    "q_containment"    -> ((s, d) => Dedup.containment(s, d)),
+    "q_cluster_bigstar" -> ((s, d) => Dedup.nearDupClustersBigStar(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -694,6 +702,97 @@ object SparkEntry {
         |  UNION ALL SELECT '1_chars_ge_120', n1, round(CAST(n1 AS DOUBLE) / n0, 4) FROM a
         |  UNION ALL SELECT '2_tokens_ge_30', n2, round(CAST(n2 AS DOUBLE) / n0, 4) FROM a
         |  UNION ALL SELECT '3_rep_le_0.01', n3, round(CAST(n3 AS DOUBLE) / n0, 4) FROM a
-        |) ORDER BY stage""".stripMargin
+        |) ORDER BY stage""".stripMargin,
+
+    "q_stats_agg" ->
+      """SELECT l_returnflag,
+        | round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+        | round(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_cov,
+        | round(stddev_samp(l_extendedprice), 2) AS price_sd,
+        | round(var_samp(l_discount), 6) AS disc_var,
+        | count(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+        | count(*) AS n,
+        | round(min(o_totalprice), 2) AS lo,
+        | round(max(o_totalprice), 2) AS hi
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "q_winsorize" ->
+      """WITH b AS (SELECT o_orderpriority AS prio,
+        |             quantile_cont(o_totalprice, 0.05) AS p05,
+        |             quantile_cont(o_totalprice, 0.95) AS p95
+        |           FROM orders GROUP BY 1)
+        |SELECT o_orderpriority,
+        | round(avg(o_totalprice), 2) AS avg_raw,
+        | round(avg(greatest(least(o_totalprice, p95), p05)), 2) AS avg_winsor,
+        | round(min(p05), 2) AS p05, round(min(p95), 2) AS p95
+        |FROM orders JOIN b ON o_orderpriority = prio
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_lang_balance" ->
+      """SELECT lang, doc_id FROM (
+        |  SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+        |    ORDER BY (doc_id * 40503) % 997, doc_id) AS rn FROM documents)
+        |WHERE rn <= 100 ORDER BY lang, doc_id""".stripMargin,
+
+    "q_pii_scrub" ->
+      """SELECT doc_id,
+        | CAST(len(regexp_extract_all(text, '[0-9]{2,}')) AS BIGINT) AS n_redactions,
+        | md5(regexp_replace(text, '[0-9]{2,}', '<NUM>', 'g')) AS scrub_md5,
+        | CAST(length(regexp_replace(text, '[0-9]{2,}', '<NUM>', 'g')) AS BIGINT)
+        |   AS scrub_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_boilerplate" ->
+      """WITH s AS (SELECT doc_id, unnest(string_split(text, '. ')) AS s
+        |           FROM documents)
+        |SELECT md5(s) AS h, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        | count(*) AS n_occ
+        |FROM s WHERE s <> ''
+        |GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2 ORDER BY h""".stripMargin,
+
+    "q_containment" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |s AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - 2),
+        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh FROM d),
+        |p AS (SELECT doc_id, n_sh, shingle FROM
+        |        (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM s)
+        |      QUALIFY count(*) OVER (PARTITION BY shingle) <= 128),
+        |j AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb,
+        |        count(*) AS c
+        |      FROM p a JOIN p b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2, 3, 4)
+        |SELECT doc_a, doc_b,
+        | round(CAST(c AS DOUBLE) / least(na, nb), 4) AS containment
+        |FROM j WHERE round(CAST(c AS DOUBLE) / least(na, nb), 4) >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Output-identical to q_dedup_cluster by construction (same pair graph,
+    // same min-of-component labels) — the gate proves the large-star/
+    // small-star formulation equivalent to the recursive-CTE oracle.
+    "q_cluster_bigstar" ->
+      """WITH RECURSIVE d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |s AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - 2),
+        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh FROM d),
+        |p AS (SELECT doc_id, n_sh, shingle FROM
+        |        (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM s)
+        |      QUALIFY count(*) OVER (PARTITION BY shingle) <= 128),
+        |j AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb,
+        |        count(*) AS c
+        |      FROM p a JOIN p b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2, 3, 4),
+        |pr AS (SELECT doc_a, doc_b FROM j
+        |       WHERE round(CAST(c AS DOUBLE) / (na + nb - c), 4) >= 0.5),
+        |e AS (SELECT doc_a AS a, doc_b AS b FROM pr
+        |      UNION ALL SELECT doc_b, doc_a FROM pr),
+        |reach(src, dst) AS (
+        |  SELECT a, a FROM (SELECT DISTINCT a FROM e)
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN e ON e.a = r.dst)
+        |SELECT src AS doc_id, min(dst) AS cluster
+        |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -72,10 +72,9 @@ object Dedup {
     ngramPairsOn(shingled(spark, dir), threshold, dfCap)
       .orderBy(col("doc_a"), col("doc_b"))
 
-  /** Unsorted pair stream — for consumers that feed a join/iteration, where
-    * an output sort would only add a range-partitioning sampling pass that
-    * executes the whole pair pipeline twice. */
-  private[ops] def ngramPairsOn(s: DataFrame, threshold: Double, dfCap: Int): DataFrame = {
+  /** Shared-shingle pair counts (doc_a, doc_b, na, nb, c): the inverted-
+    * index core that Jaccard, containment and clustering all reduce over. */
+  private[ops] def pairCounts(s: DataFrame, dfCap: Int): DataFrame = {
     // One shuffle to group postings per shingle; the df filter (2..dfCap,
     // df=1 contributes nothing, df>dfCap is the semantic stop-shingle cap
     // mirrored in the oracle) is a size() check on the grouped list, and
@@ -103,12 +102,34 @@ object Dedup {
       .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
         col("p.na").as("na"), col("p.nb").as("nb"))
       .agg(count(lit(1)).as("c"))
+  }
+
+  /** Unsorted pair stream — for consumers that feed a join/iteration, where
+    * an output sort would only add a range-partitioning sampling pass that
+    * executes the whole pair pipeline twice. */
+  private[ops] def ngramPairsOn(s: DataFrame, threshold: Double, dfCap: Int): DataFrame =
+    pairCounts(s, dfCap)
       .withColumn("jaccard",
         round(col("c").cast("double") /
           greatest(col("na") + col("nb") - col("c"), lit(1)), 4))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
-  }
+
+  /** Asymmetric n-gram CONTAINMENT (quote/inclusion detection): c / min(na,
+    * nb) — near 1 when the smaller doc's shingles are almost all inside the
+    * larger one, even when symmetric Jaccard is low because the sizes
+    * differ. This is how quotation, excerpting and wrapper-page inclusion
+    * are caught; same inverted-index core and scale posture as
+    * [[ngramJaccard]]. */
+  def containment(spark: SparkSession, dir: String, threshold: Double = 0.8,
+                  dfCap: Int = 128): DataFrame =
+    pairCounts(shingled(spark, dir), dfCap)
+      .withColumn("containment",
+        round(col("c").cast("double") /
+          greatest(least(col("na"), col("nb")), lit(1)), 4))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("containment"))
+      .orderBy(col("doc_a"), col("doc_b"))
 
   /** Prefix-filtered exact n-gram Jaccard (PPJoin-style): identical output
     * to [[ngramJaccard]], sub-quadratic candidate volume. Theory: if
@@ -323,10 +344,16 @@ object Dedup {
         .join(labels.withColumnRenamed("doc", "src"), "src")
         .groupBy(col("dst").as("doc"))
         .agg(min(col("cluster")).as("nbr_min"))
+      // localCheckpoint (eager) both caches the round's result AND truncates
+      // lineage: each round references the previous labels twice, so without
+      // truncation the logical plan doubles per round and plan
+      // stringification alone goes exponential (measured OOM at diameter
+      // ~10). A production run on a real cluster would use a reliable
+      // checkpoint dir; local checkpoint is the single-process equivalent.
       val next = labels.join(nbrMin, Seq("doc"), "left")
         .select(col("doc"),
           least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"))
-        .persist()
+        .localCheckpoint(true)
       val nextSum = next.agg(sum(col("cluster"))).head().getLong(0)
       labels.unpersist()
       labels = next
@@ -344,6 +371,97 @@ object Dedup {
           "cluster has diameter > maxIter; raise maxIter or use a " +
           "large-star/small-star formulation for hub-graph pathologies")
     labels.orderBy(col("doc")).select(col("doc").as("doc_id"), col("cluster"))
+  }
+
+  /** Connected components via alternating large-star / small-star rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14): output-identical to [[nearDupClusters]] but converges in
+    * O(log n) rounds regardless of component DIAMETER — the formulation
+    * that survives hub-graph / long-chain pathologies where min-label
+    * propagation needs diameter rounds. Each round is two groupBy-explode
+    * passes over the (small) edge set; the driver loop iterates on a
+    * convergence checksum, never on data.
+    *
+    *  - large-star: for every node u, attach u's LARGER neighbors to
+    *    m = min({u} ∪ N(u))
+    *  - small-star: direct edges large→small, attach u and its smaller
+    *    neighbors to m
+    *
+    * At fixpoint the edge set is a star forest (v, root) and labels read
+    * off directly. */
+  def nearDupClustersBigStar(spark: SparkSession, dir: String,
+                             threshold: Double = 0.5, maxIter: Int = 20): DataFrame = {
+    val pairs = ngramPairsOn(shingled(spark, dir), threshold, dfCap = 128)
+      .select(col("doc_a"), col("doc_b"))
+      .persist()
+    val nEdges = pairs.count()
+    val parts = math.max(1, math.min((nEdges / 100000L).toInt + 1,
+      spark.sparkContext.defaultParallelism))
+    // canonical direction u > v; the iteration preserves it
+    var edges = pairs
+      .select(greatest(col("doc_a"), col("doc_b")).as("u"),
+        least(col("doc_a"), col("doc_b")).as("v"))
+      .distinct()
+      .repartition(parts, col("u"))
+      .persist()
+    edges.count()
+    pairs.unpersist()
+    // Order-insensitive set checksum: (count, xor of per-edge hashes).
+    // XOR instead of sum — ANSI mode makes a sum of full-range longs an
+    // overflow error, and xor is closed over Long with the same
+    // collision-probability argument.
+    def edgeChecksum(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var checksum = edgeChecksum(edges)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // large-star: symmetric neighborhoods; emit (larger nbr, min)
+      val sym = edges.select(col("u").as("a"), col("v").as("b"))
+        .union(edges.select(col("v").as("a"), col("u").as("b")))
+      val ls = sym.groupBy(col("a"))
+        .agg(collect_list(col("b")).as("nbrs"))
+        .withColumn("m", least(col("a"), array_min(col("nbrs"))))
+        .select(col("a"), col("m"), explode(col("nbrs")).as("b"))
+        .filter(col("b") > col("a"))
+        .select(col("b").as("u"), col("m").as("v"))
+        .distinct()
+      // small-star: edges already directed large->small; attach u and its
+      // smaller neighbors to the min
+      // eager localCheckpoint: cache + lineage truncation — every round
+      // references the previous edge set three times (sym twice, small-star
+      // once), so an un-truncated plan grows 3^rounds and the explain-string
+      // build OOMs before any data does. See nearDupClusters for the
+      // cluster-deployment note.
+      val ss = ls.groupBy(col("u").as("a"))
+        .agg(collect_list(col("v")).as("nbrs"))
+        .withColumn("m", array_min(col("nbrs")))
+        .select(col("a"), col("m"),
+          explode(array_union(col("nbrs"), array(col("a")))).as("n"))
+        .filter(col("n") =!= col("m"))
+        .select(col("n").as("u"), col("m").as("v"))
+        .distinct()
+        .localCheckpoint(true)
+      val nextSum = edgeChecksum(ss)
+      edges.unpersist()
+      edges = ss
+      converged = nextSum == checksum
+      checksum = nextSum
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"nearDupClustersBigStar did not converge in $maxIter rounds " +
+          "(expected O(log n)); the edge set is pathological or maxIter is too low")
+    // star forest: non-roots point at their root; roots label themselves
+    val labels = edges.select(col("u").as("doc_id"), col("v").as("cluster"))
+      .union(edges.select(col("v").as("doc_id"), col("v").as("cluster")))
+      .groupBy(col("doc_id")).agg(min(col("cluster")).as("cluster"))
+    edges.unpersist()
+    labels.orderBy(col("doc_id"))
   }
 
   /** Embedding-cosine near-dup: pairs above a cosine threshold, blocked by

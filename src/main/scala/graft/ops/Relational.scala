@@ -415,4 +415,51 @@ object Relational {
         col("event_id"), round(col("value"), 2).as("value"))
       .orderBy(col("user_id"))
   }
+
+  /** Statistical aggregates beyond sum/avg: Pearson correlation, sample
+    * covariance, sample stddev/variance — all single-pass partial+final
+    * hash aggregates (one shuffle on the group key, map-side moments). */
+  def statsAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("qty_price_corr"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("qty_price_cov"),
+        round(stddev_samp(col("l_extendedprice")), 2).as("price_sd"),
+        round(var_samp(col("l_discount")), 6).as("disc_var"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  /** Fixed-width histogram: arithmetic binning (floor(x / width)) keeps the
+    * whole computation inside one partial+final aggregate — at 100 TB this
+    * is the cheapest possible full-scan profile (no sort, one tiny shuffle
+    * keyed by ~dozens of buckets). */
+  def histogram(spark: SparkSession, dir: String, width: Double = 50000.0): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(floor(col("o_totalprice") / width).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("o_totalprice")), 2).as("lo"),
+        round(max(col("o_totalprice")), 2).as("hi"))
+      .orderBy(col("bucket"))
+
+  /** Winsorized means: clip each group's values at its own p05/p95 before
+    * averaging — outlier-robust statistics. Two aggregates over one scan:
+    * the per-group percentile aggregate is a handful of rows, broadcast
+    * back onto the fact table, so the fact table is read once and never
+    * shuffled on a high-cardinality key. */
+  def winsorize(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val bounds = o.groupBy(col("o_orderpriority").as("prio"))
+      .agg(expr("percentile(o_totalprice, 0.05)").as("p05"),
+        expr("percentile(o_totalprice, 0.95)").as("p95"))
+    o.join(broadcast(bounds), col("o_orderpriority") === col("prio"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        round(avg(col("o_totalprice")), 2).as("avg_raw"),
+        round(avg(greatest(least(col("o_totalprice"), col("p95")), col("p05"))), 2)
+          .as("avg_winsor"),
+        round(first(col("p05")), 2).as("p05"),
+        round(first(col("p95")), 2).as("p95"))
+      .orderBy(col("o_orderpriority"))
+  }
 }

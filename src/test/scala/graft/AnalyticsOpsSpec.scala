@@ -1,0 +1,133 @@
+package graft
+
+import graft.ops.{Dedup, Relational, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Round-3 analytics/curation additions: statistical aggregates, histogram,
+  * winsorized means, language balancing, PII scrubbing, boilerplate
+  * detection, containment, and the large-star/small-star clustering. The
+  * DuckDB oracle pins exact values; these specs pin the contracts. */
+class AnalyticsOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("stats agg: correlation bounded, group counts partition the table") {
+    val rows = Relational.statsAgg(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val corr = r.getDouble(1)
+      assert(corr >= -1.0 && corr <= 1.0)
+      assert(r.getDouble(3) >= 0.0) // stddev
+      assert(r.getDouble(4) >= 0.0) // variance
+    }
+    val total = ops.Tables(spark, sf, "lineitem").count()
+    assert(rows.map(_.getLong(5)).sum === total)
+  }
+
+  test("histogram: buckets partition the table and bound their members") {
+    val rows = Relational.histogram(spark, sf).collect()
+    val total = ops.Tables(spark, sf, "orders").count()
+    assert(rows.map(_.getLong(1)).sum === total)
+    rows.foreach { r =>
+      val (bucket, lo, hi) = (r.getLong(0), r.getDouble(2), r.getDouble(3))
+      assert(lo >= bucket * 50000.0 - 0.01 && hi < (bucket + 1) * 50000.0 + 0.01)
+      assert(lo <= hi)
+    }
+  }
+
+  test("winsorize: clipped mean lies within the clip bounds") {
+    Relational.winsorize(spark, sf).collect().foreach { r =>
+      val (winsor, p05, p95) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(p05 <= p95)
+      assert(winsor >= p05 - 0.01 && winsor <= p95 + 0.01)
+    }
+  }
+
+  test("lang balance: caps every language, deterministic, kept ids are a subset") {
+    val cap = 7
+    val kept = TextAnalysis.langBalance(spark, sf, cap).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val sizes = ops.Tables(spark, sf, "documents")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val keptByLang = kept.groupBy(_._1).map { case (l, xs) => l -> xs.length.toLong }
+    assert(keptByLang === sizes.map { case (l, n) => l -> math.min(n, cap.toLong) })
+    // deterministic: a second run selects the identical set
+    val again = TextAnalysis.langBalance(spark, sf, cap).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(kept.toSet === again.toSet)
+  }
+
+  test("pii scrub: digit runs are replaced and counted") {
+    val dir = tmpDir("pii")
+    Seq(
+      (1L, "call 5551234 or 911 now"),   // two runs (>=2 digits)
+      (2L, "x1 y2 z3"),                  // single digits never match
+      (3L, "acct 0012 pin 9876 code 55"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val r = TextAnalysis.piiScrub(spark, dir).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(3))).toMap
+    assert(r(1L) === ((2L, "call <NUM> or <NUM> now".length.toLong)))
+    assert(r(2L) === ((0L, "x1 y2 z3".length.toLong)))
+    assert(r(3L) === ((3L, "acct <NUM> pin <NUM> code <NUM>".length.toLong)))
+  }
+
+  test("boilerplate: a sentence shared across docs is flagged, unique ones are not") {
+    val dir = tmpDir("boiler")
+    Seq(
+      (1L, "All rights reserved. Original alpha text"),
+      (2L, "All rights reserved. Different beta text"),
+      (3L, "Totally unrelated content here"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val rows = TextAnalysis.boilerplate(spark, dir).collect()
+    assert(rows.length === 1)
+    assert(rows.head.getLong(1) === 2L) // n_docs
+    assert(rows.head.getLong(2) === 2L) // n_occ
+    val h = spark.sql("SELECT md5('All rights reserved')").head().getString(0)
+    assert(rows.head.getString(0) === h)
+  }
+
+  test("containment: a quoted excerpt scores 1.0 even when Jaccard is low") {
+    val dir = tmpDir("contain")
+    val excerpt = "one two three four five six seven"     // 5 shingles
+    val long = excerpt + " " + (1 to 40).map(i => s"w$i").mkString(" ")
+    Seq((1L, long), (2L, excerpt))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val c = Dedup.containment(spark, dir).collect()
+    assert(c.length === 1)
+    assert((c.head.getLong(0), c.head.getLong(1), c.head.getDouble(2)) === ((1L, 2L, 1.0)))
+    // symmetric Jaccard correctly does NOT consider them near-dups
+    assert(Dedup.ngramJaccard(spark, dir).collect().isEmpty)
+  }
+
+  test("big-star clustering is output-identical to min-label propagation") {
+    val a = Dedup.nearDupClusters(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Dedup.nearDupClustersBigStar(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
+
+  test("big-star clustering resolves a long chain (diameter >> log2 rounds)") {
+    // path-shaped dup graph over docs 0..19: doc i is a 40-token sliding
+    // window at offset 5i, so docs 1 apart share a 35-token run (J ~ 0.77),
+    // 2 apart share 30 (J ~ 0.58), 3+ apart fall under the 0.5 threshold —
+    // one connected component of diameter ~10 whose min label is doc 0.
+    val docs = (0 until 20).map { i =>
+      val toks = ((i * 5) until (i * 5 + 40)).map(j => s"tok$j")
+      (i.toLong, toks.mkString(" "))
+    }
+    val dir = tmpDir("chain")
+    docs.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val labels = Dedup.nearDupClustersBigStar(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(labels.nonEmpty)
+    // every doc in the pair graph must resolve to the global min of its
+    // component; since the chain is connected, that is doc 0
+    assert(labels.map(_._2).toSet === Set(0L))
+    // and min-label propagation agrees
+    val viaProp = Dedup.nearDupClusters(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(labels.toSet === viaProp)
+  }
+}
