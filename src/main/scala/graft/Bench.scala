@@ -14,6 +14,17 @@ object Bench {
       try { spark.read.parquet(s"$sfDir/$t.parquet").count(); () }
       catch { case _: Throwable => () }
     }
+    // Second warmup tier: run a small representative query set untimed so
+    // the shuffle machinery, window/sort/aggregate codegen infrastructure
+    // and the custom expressions are JIT-compiled before anything is
+    // measured. Without this, whichever queries run first absorb ~2-3 s of
+    // one-time JVM warmup and the per-query numbers depend on map ordering
+    // (measured: q_tfidf 1.56 s cold -> 0.79 s steady-state at sf0.01).
+    Seq("q1_agg", "q3_join_topk", "q_window_rank", "q_explode",
+      "q_simhash", "q_ann_topk").foreach { q =>
+      try { SparkEntry.queries(q)(spark, sfDir).count(); () }
+      catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

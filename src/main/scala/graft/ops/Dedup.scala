@@ -397,11 +397,10 @@ object Dedup {
     val nEdges = pairs.count()
     val parts = math.max(1, math.min((nEdges / 100000L).toInt + 1,
       spark.sparkContext.defaultParallelism))
-    // canonical direction u > v; the iteration preserves it
+    // canonical direction u > v; pairCounts guarantees doc_a < doc_b and
+    // one row per pair, so no distinct is needed here
     var edges = pairs
-      .select(greatest(col("doc_a"), col("doc_b")).as("u"),
-        least(col("doc_a"), col("doc_b")).as("v"))
-      .distinct()
+      .select(col("doc_b").as("u"), col("doc_a").as("v"))
       .repartition(parts, col("u"))
       .persist()
     edges.count()
@@ -428,16 +427,18 @@ object Dedup {
         .select(col("a"), col("m"), explode(col("nbrs")).as("b"))
         .filter(col("b") > col("a"))
         .select(col("b").as("u"), col("m").as("v"))
-        .distinct()
       // small-star: edges already directed large->small; attach u and its
-      // smaller neighbors to the min
+      // smaller neighbors to the min. collect_set, not list + a distinct
+      // shuffle on ls: large-star emissions can repeat a (u, v) edge when
+      // u neighbors several nodes sharing a min, and the set-aggregate
+      // dedups on the groupBy shuffle that runs anyway.
       // eager localCheckpoint: cache + lineage truncation — every round
       // references the previous edge set three times (sym twice, small-star
       // once), so an un-truncated plan grows 3^rounds and the explain-string
       // build OOMs before any data does. See nearDupClusters for the
       // cluster-deployment note.
       val ss = ls.groupBy(col("u").as("a"))
-        .agg(collect_list(col("v")).as("nbrs"))
+        .agg(collect_set(col("v")).as("nbrs"))
         .withColumn("m", array_min(col("nbrs")))
         .select(col("a"), col("m"),
           explode(array_union(col("nbrs"), array(col("a")))).as("n"))
