@@ -94,7 +94,9 @@ object SparkEntry {
     "q_pii_scrub"      -> ((s, d) => TextAnalysis.piiScrub(s, d)),
     "q_boilerplate"    -> ((s, d) => TextAnalysis.boilerplate(s, d)),
     "q_containment"    -> ((s, d) => Dedup.containment(s, d)),
-    "q_cluster_bigstar" -> ((s, d) => Dedup.nearDupClustersBigStar(s, d))
+    "q_cluster_bigstar" -> ((s, d) => Dedup.nearDupClustersBigStar(s, d)),
+    "q_mix_weights"    -> ((s, d) => TextAnalysis.mixWeights(s, d)),
+    "q_vec_quantize"   -> ((s, d) => Similarity.vecQuantize(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -793,6 +795,33 @@ object SparkEntry {
         |  UNION
         |  SELECT r.src, e.b FROM reach r JOIN e ON e.a = r.dst)
         |SELECT src AS doc_id, min(dst) AS cluster
-        |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_mix_weights" ->
+      """WITH d AS (SELECT source, len(string_split(text, ' ')) AS n_tok
+        |           FROM documents),
+        |a AS (SELECT source, count(*) AS n_docs,
+        |        CAST(sum(n_tok) AS BIGINT) AS n_tokens FROM d GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS tot,
+        |        sum(pow(CAST(n_tokens AS DOUBLE), 0.7)) AS totw FROM a)
+        |SELECT source, n_docs, n_tokens,
+        | round(CAST(n_tokens AS DOUBLE) / tot, 4) AS token_share,
+        | round(pow(CAST(n_tokens AS DOUBLE), 0.7) / totw, 4) AS weight
+        |FROM a CROSS JOIN t ORDER BY source""".stripMargin,
+
+    "q_vec_quantize" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS norm FROM e),
+        |sd AS (SELECT vec_id AS seed_id, v AS sv, norm AS snorm FROM n WHERE vec_id < 8),
+        |sc AS (SELECT c.vec_id, sd.seed_id,
+        |         list_dot_product(c.v, sd.sv) / (c.norm * sd.snorm) AS cos,
+        |         row_number() OVER (PARTITION BY c.vec_id
+        |           ORDER BY list_dot_product(c.v, sd.sv) / (c.norm * sd.snorm) DESC,
+        |                    sd.seed_id) AS r
+        |       FROM n c CROSS JOIN sd),
+        |asn AS (SELECT vec_id, seed_id AS cell, cos FROM sc WHERE r = 1)
+        |SELECT cell, count(*) AS n, round(avg(cos), 4) AS avg_cos,
+        | round(min(cos), 4) AS min_cos, round(max(cos), 4) AS max_cos
+        |FROM asn GROUP BY 1 ORDER BY cell""".stripMargin
   )
 }

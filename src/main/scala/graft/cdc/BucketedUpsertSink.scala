@@ -67,6 +67,27 @@ object BucketedUpsertSink {
                  pk: String, numBuckets: Int,
                  schema: Option[org.apache.spark.sql.types.StructType]): Unit = {
     val withBucket = changes.withColumn(BucketCol, bucketOf(col(pk), numBuckets))
+    // Schema evolution guard: a batch carrying a column the stored state
+    // lacks cannot use the per-bucket path — untouched bucket dirs would
+    // keep the old parquet schema and later unpruned reads would see an
+    // inconsistent table. Evolution is rare, so pay a one-time full-state
+    // merge + rewrite through the atomic dir swap; afterwards every bucket
+    // carries the new schema and the incremental path resumes.
+    if (hasBuckets(spark, statePath)) {
+      val storedCols = spark.read.parquet(statePath).columns.filterNot(_ == BucketCol)
+      val evolved = changes.columns
+        .filterNot(n => n == "op" || n == UpsertSink.PresentCol)
+        .exists(n => !storedCols.contains(n))
+      if (evolved) {
+        val full = spark.read.parquet(statePath).drop(BucketCol)
+        val merged = UpsertSink.applyBatch(full, changes, pk)
+          .withColumn(BucketCol, bucketOf(col(pk), numBuckets))
+        val tmp = statePath + ".next"
+        merged.write.mode("overwrite").partitionBy(BucketCol).parquet(tmp)
+        UpsertSink.atomicSwapDirs(spark, tmp, statePath)
+        return
+      }
+    }
     // bounded by numBuckets (config), so collecting the DISTINCT bucket ids
     // is O(buckets), not O(data) — it exists to make the state read a
     // partition-PRUNED scan

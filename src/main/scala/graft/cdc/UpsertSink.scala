@@ -43,13 +43,32 @@ object UpsertSink {
     * @return        new state
     */
   def applyBatch(state: DataFrame, changes: DataFrame, pk: String): DataFrame = {
-    val payloadCols = state.columns.toSeq
-    require(payloadCols.contains(pk), s"state table has no pk column '$pk'")
+    // Schema evolution, both directions (the reference is SCHEMALESS —
+    // `data: dict`, whatever the connector decodes flows through, so fields
+    // appear and disappear mid-stream):
+    //  - a field first seen in this batch extends the table; pre-existing
+    //    rows read null for it
+    //  - a field the batch doesn't carry is preserved from state for every
+    //    touched row (same semantics as a non-present masked field)
+    val changeTypes = changes.schema
+      .filterNot(f => f.name == "op" || f.name == PresentCol)
+      .map(f => f.name -> f.dataType).toMap
+    val newCols = changes.columns
+      .filterNot(n => n == "op" || n == PresentCol)
+      .filterNot(state.columns.contains)
+    val payloadCols = state.columns.toSeq ++ newCols
+    require(state.columns.contains(pk), s"state table has no pk column '$pk'")
     val hasMask = changes.columns.contains(PresentCol)
 
     val s = state.alias("s")
     val c = changes.alias("c")
     val joined = s.join(c, col(s"s.$pk") === col(s"c.$pk"), "full_outer")
+    def sCol(name: String) =
+      if (state.columns.contains(name)) col(s"s.$name")
+      else lit(null).cast(changeTypes(name))
+    def cCol(name: String) =
+      if (changeTypes.contains(name)) col(s"c.$name")
+      else lit(null).cast(state.schema(name).dataType)
 
     // Row survives unless the change for its pk is a delete; column-wise:
     // a `create` replaces the whole document (reference add_documents,
@@ -60,11 +79,11 @@ object UpsertSink {
       .select(payloadCols.map { name =>
         val applied =
           if (hasMask)
-            when(col("c.op") === Op.Create, col(s"c.$name"))
-              .otherwise(when(array_contains(col(s"c.$PresentCol"), name), col(s"c.$name"))
-                .otherwise(col(s"s.$name")))
-          else coalesce(col(s"c.$name"), col(s"s.$name"))
-        when(col("c.op").isNull, col(s"s.$name"))            // unchanged row
+            when(col("c.op") === Op.Create, cCol(name))
+              .otherwise(when(array_contains(col(s"c.$PresentCol"), name), cCol(name))
+                .otherwise(sCol(name)))
+          else coalesce(cCol(name), sCol(name))
+        when(col("c.op").isNull, sCol(name))                 // unchanged row
           .otherwise(applied)
           .as(name)
       }: _*)

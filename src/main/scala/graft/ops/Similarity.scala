@@ -56,6 +56,18 @@ object Similarity {
   private def srpCode(vCol: String, bits: Int): Column =
     expr(s"graft_srp_code($vCol, $bits)")
 
+  /** Per-row argmax over a broadcast seed array: no shuffle, no per-vector
+    * join row amplification; cosine via the same sequential-fold dot as the
+    * oracle. Yields `(best: max cosine, cell: argmax seed_id)`; strict `>`
+    * keeps the lowest seed_id on ties (seeds sorted by id). */
+  private val assignStruct =
+    """aggregate(cells,
+      |  named_struct('best', cast(-2.0 as double), 'cell', -1L),
+      |  (acc, s) -> if(graft_dot(v, s.sv) / (norm * s.snorm) > acc.best,
+      |    named_struct('best', graft_dot(v, s.sv) / (norm * s.snorm),
+      |                 'cell', s.seed_id),
+      |    acc))""".stripMargin
+
   /** IVF-style ANN (the FAISS coarse-quantizer pattern): the corpus is
     * partitioned into `nCells` cells by max-cosine against a deterministic
     * seed set (the first `nCells` corpus vectors — a stand-in for trained
@@ -80,17 +92,8 @@ object Similarity {
       .agg(sort_array(collect_list(
         struct(col("vec_id").as("seed_id"), col("v").as("sv"), col("norm").as("snorm"))))
         .as("cells"))
-    // per-row argmax over the seed array: no shuffle, no per-vector join row
-    // amplification; cosine via the same sequential-fold dot as the oracle
-    val assignExpr =
-      """aggregate(cells,
-        |  named_struct('best', cast(-2.0 as double), 'cell', -1L),
-        |  (acc, s) -> if(graft_dot(v, s.sv) / (norm * s.snorm) > acc.best,
-        |    named_struct('best', graft_dot(v, s.sv) / (norm * s.snorm),
-        |                 'cell', s.seed_id),
-        |    acc)).cell""".stripMargin
     val assigned = e.crossJoin(broadcast(seeds))
-      .withColumn("cell", expr(assignExpr))
+      .withColumn("cell", expr(assignStruct + ".cell"))
       .select(col("vec_id"), col("v"), col("norm"), col("cell"))
     // queries probe their top-nProbe cells (rank over the same seed scores)
     val q = e.filter(col("vec_id") < numQueries).crossJoin(broadcast(seeds))
@@ -112,6 +115,30 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("n_id"), round(col("cos"), 4).as("cosine"))
       .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** Vector quantization profile: assign every embedding to its nearest of
+    * `nCells` deterministic seed centroids (the [[ivfTopK]] coarse
+    * quantizer) and report per-cell population and cosine-to-centroid
+    * stats — the index-quality diagnostic run before committing to an IVF
+    * layout (empty/overfull cells or low centroid cosines mean re-train).
+    * Same scale shape as assignment in [[ivfTopK]]: one broadcast fold per
+    * corpus row, then a tiny aggregate keyed by nCells values. */
+  def vecQuantize(spark: SparkSession, dir: String, nCells: Int = 8): DataFrame = {
+    val e = withVec(spark, dir)
+    val seeds = e.filter(col("vec_id") < nCells)
+      .agg(sort_array(collect_list(
+        struct(col("vec_id").as("seed_id"), col("v").as("sv"), col("norm").as("snorm"))))
+        .as("cells"))
+    e.crossJoin(broadcast(seeds))
+      .withColumn("asn", expr(assignStruct))
+      .select(col("vec_id"), col("asn.cell").as("cell"), col("asn.best").as("cos"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("cos")), 4).as("avg_cos"),
+        round(min(col("cos")), 4).as("min_cos"),
+        round(max(col("cos")), 4).as("max_cos"))
+      .orderBy(col("cell"))
   }
 
   /** Approximate top-k with multi-probe: each query probes its own b-bit

@@ -277,6 +277,26 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("fp"))
   }
 
+  /** Domain-mixture weights: per source, token counts and a sub-linearly
+    * scaled sampling weight (token_share^0.7, normalized — the standard
+    * temperature-style reweighting that upsamples small domains without
+    * letting the largest dominate). Two tiny aggregates over one scan; the
+    * totals join back as a broadcast single row, so nothing shuffles on a
+    * high-cardinality key at any corpus size. */
+  def mixWeights(spark: SparkSession, dir: String): DataFrame = {
+    val a = Tables(spark, dir, "documents")
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+    val t = a.agg(sum(col("n_tokens")).cast("double").as("tot"),
+      sum(pow(col("n_tokens").cast("double"), 0.7)).as("totw"))
+    a.crossJoin(broadcast(t))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens").cast("double") / col("tot"), 4).as("token_share"),
+        round(pow(col("n_tokens").cast("double"), 0.7) / col("totw"), 4).as("weight"))
+      .orderBy(col("source"))
+  }
+
   /** Language-balanced sampling: keep at most `cap` docs per language,
     * selected by a deterministic per-doc hash order (so the kept set is
     * stable across runs and resumable). One window shuffle partitioned by

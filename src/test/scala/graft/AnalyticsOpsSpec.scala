@@ -99,6 +99,31 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(Dedup.ngramJaccard(spark, dir).collect().isEmpty)
   }
 
+  test("mix weights: shares and weights are distributions, weight flattens the mix") {
+    val rows = TextAnalysis.mixWeights(spark, sf).collect()
+    assert(rows.length > 1)
+    assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 0.01) // shares sum ~1
+    assert(math.abs(rows.map(_.getDouble(4)).sum - 1.0) < 0.01) // weights sum ~1
+    // temperature scaling flattens: the biggest source's weight is below its
+    // raw share, the smallest source's is above
+    val bySize = rows.sortBy(_.getLong(2))
+    assert(bySize.last.getDouble(4) <= bySize.last.getDouble(3) + 1e-9)
+    assert(bySize.head.getDouble(4) >= bySize.head.getDouble(3) - 1e-9)
+  }
+
+  test("vec quantize: cells partition the corpus, centroids score 1.0 on themselves") {
+    val rows = graft.ops.Similarity.vecQuantize(spark, sf).collect()
+    val total = ops.Tables(spark, sf, "embeddings").count()
+    assert(rows.map(_.getLong(1)).sum === total)
+    rows.foreach { r =>
+      assert(r.getDouble(2) >= r.getDouble(3) - 1e-9) // avg >= min
+      assert(r.getDouble(4) >= r.getDouble(2) - 1e-9) // max >= avg
+      assert(r.getDouble(4) <= 1.0 + 1e-9)
+      // every cell contains its own seed vector at cosine 1.0
+      assert(r.getDouble(4) >= 1.0 - 1e-4)
+    }
+  }
+
   test("big-star clustering is output-identical to min-label propagation") {
     val a = Dedup.nearDupClusters(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -131,6 +131,50 @@ class UpsertSinkSpec extends SparkSpec {
     assert(once.length === 20) // 20 - 1 delete + 1 create
   }
 
+  test("schema evolution: a new column extends the table, old rows read null") {
+    // reference is schemaless (data: dict, schemas.py:16): fields appear
+    // mid-stream and must flow through, not be silently dropped
+    val s0 = state((1, "ann", "nyc"), (2, "bob", "sf"))
+    val batch = Seq(("update", 1, "anne", "tier-1"))
+      .toDF("op", "id", "name", "segment") // 'segment' never seen before
+    val out = UpsertSink.applyBatch(s0, batch, "id").orderBy("id").collect().toSeq
+    assert(out === Seq(
+      Row(1, "anne", "nyc", "tier-1"),
+      Row(2, "bob", "sf", null))) // untouched row reads null for the new field
+  }
+
+  test("schema evolution: a batch missing a stored column preserves it") {
+    val s0 = state((1, "ann", "nyc"))
+    val batch = Seq(("update", 1, "anne")).toDF("op", "id", "name") // no city
+    val out = UpsertSink.applyBatch(s0, batch, "id").collect().toSeq
+    assert(out === Seq(Row(1, "anne", "nyc")))
+  }
+
+  test("bucketed sink: schema evolution rewrites every bucket onto the new schema") {
+    import graft.cdc.BucketedUpsertSink
+    val path = tmpDir("bsinkevo") + "/state"
+    BucketedUpsertSink.init(
+      (1 to 40).map(i => (i, s"n$i", s"c$i")).toDF("id", "name", "city"),
+      path, "id", numBuckets = 4)
+    val batch = Seq(("update", 3, "three", "gold"))
+      .toDF("op", "id", "name", "segment")
+    BucketedUpsertSink.applyBatch(spark, path, batch, "id", numBuckets = 4)
+    val got = spark.read.parquet(path).drop(BucketedUpsertSink.BucketCol)
+    assert(got.columns.sorted.toSeq === Seq("city", "id", "name", "segment"))
+    assert(got.count() === 40)
+    assert(got.filter(col("id") === 3).head().getAs[String]("segment") === "gold")
+    // every row (every bucket dir) now carries the evolved schema
+    assert(got.filter(col("id") =!= 3)
+      .filter(col("segment").isNotNull).count() === 0)
+    // and the incremental per-bucket path resumes on the new schema
+    BucketedUpsertSink.applyBatch(spark, path,
+      Seq(("update", 7, "seven", "silver")).toDF("op", "id", "name", "segment"),
+      "id", numBuckets = 4)
+    val after = BucketedUpsertSink.currentState(spark, path,
+      got.schema).filter(col("id") === 7).head()
+    assert(after.getAs[String]("segment") === "silver")
+  }
+
   test("create -> update -> delete on one pk within a batch nets to absence") {
     // reference event.py:10-13 last-write-wins, then delete applies
     val evs = Seq(
