@@ -1,0 +1,132 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DataType
+
+/** Connector-shaped envelope decoders: each takes a raw message stream in
+  * the wire shape of one reference connector and yields the engine's
+  * normalized change envelope `(op, table, offset, _ridx, data)` that
+  * [[Pipeline]] consumes — op in {create, update, delete}, data a JSON row
+  * payload, `_ridx` the row's position within its message so later rows of
+  * one message win last-write-wins ties ([[Transforms.lastWriteWins]]).
+  *
+  * Values pass through as VARIANT and are re-serialized with their types
+  * intact (ints stay ints, nested objects stay objects — the fidelity the
+  * reference gets from native driver decoding). Everything is declarative
+  * `from_json`/`posexplode`/`to_json` — codegen'd, no UDFs, partition-
+  * parallel, so decode throughput scales with executors, which is the point
+  * of replacing a single-event-loop decoder.
+  *
+  * Two reference bugs are deliberately NOT reproduced (SURVEY.md §2.3):
+  *  - MySQL: only `rows[0]` of a multi-row binlog event is decoded
+  *    (`mysql.py:110-116`) — here every row expands.
+  *  - Postgres: the wal2json consumer `return`s (not `continue`s) on the
+  *    first change for a non-synced table, dropping the REST of that
+  *    transaction's changes (`postgres.py:97-98`) — here every change[]
+  *    entry is decoded and table filtering happens downstream (F1), so a
+  *    transaction touching several tables survives intact.
+  */
+object EnvelopeDecoders {
+
+  private def ddl(s: String): DataType = DataType.fromDDL(s)
+
+  /** wal2json logical-replication messages (reference `postgres.py:89-131`):
+    * `{"change": [{"kind", "schema", "table", "columnnames", "columnvalues",
+    * "oldkeys": {"keynames", "keyvalues"}}, ...], "nextlsn": "..."}`.
+    * insert/update carry columnnames/columnvalues; delete carries only the
+    * key under `oldkeys`. `nextlsn` is exposed as a column — it is the
+    * replication position the checkpoint stores (`postgres.py:128`). */
+  def decodeWal2json(raw: DataFrame, dataCol: String = "data",
+                     offsetCol: String = "offset"): DataFrame = {
+    val schema = ddl(
+      """STRUCT<change: ARRAY<STRUCT<
+        |  kind: STRING, schema: STRING, table: STRING,
+        |  columnnames: ARRAY<STRING>, columnvalues: ARRAY<VARIANT>,
+        |  oldkeys: STRUCT<keynames: ARRAY<STRING>, keyvalues: ARRAY<VARIANT>>>>,
+        |nextlsn: STRING>""".stripMargin)
+    raw
+      .withColumn("__w", from_json(col(dataCol), schema))
+      .select(col(offsetCol).as("offset"), col("__w.nextlsn").as("nextlsn"),
+        posexplode(col("__w.change")).as(Seq("_ridx", "c")))
+      // unknown kinds (truncate, message, ...) are dropped like the
+      // reference's F2 filter — but only the ENTRY, never the rest of the
+      // transaction
+      .filter(col("c.kind").isin("insert", "update", "delete"))
+      .select(
+        opFrom(col("c.kind"), "insert").as("op"),
+        col("c.table").as("table"),
+        col("offset"), col("_ridx"), col("nextlsn"),
+        when(col("c.kind") === "delete",
+          to_json(map_from_arrays(col("c.oldkeys.keynames"), col("c.oldkeys.keyvalues"))))
+          .otherwise(
+            to_json(map_from_arrays(col("c.columnnames"), col("c.columnvalues"))))
+          .as("data"))
+  }
+
+  /** Decoded MySQL binlog row events (reference `mysql.py:104-120`): one
+    * message per binlog event, `{"schema", "table", "type": "write|update|
+    * delete", "rows": [{"values": {...}} | {"before_values": {...},
+    * "after_values": {...}}]}`. write→create (values), update→update
+    * (after_values — the full new row image), delete→delete (values = the
+    * old row). EVERY element of rows[] expands — a multi-row
+    * `INSERT ... VALUES (...),(...)` is one binlog event with n rows. */
+  def decodeMysqlBinlog(raw: DataFrame, dataCol: String = "data",
+                        offsetCol: String = "offset"): DataFrame = {
+    val schema = ddl(
+      """STRUCT<schema: STRING, table: STRING, type: STRING,
+        |rows: ARRAY<STRUCT<values: VARIANT, before_values: VARIANT,
+        |                   after_values: VARIANT>>>""".stripMargin)
+    raw
+      .withColumn("__e", from_json(col(dataCol), schema))
+      .filter(col("__e.type").isin("write", "update", "delete"))
+      .select(col(offsetCol).as("offset"),
+        opFrom(col("__e.type"), "write").as("op"),
+        col("__e.table").as("table"),
+        posexplode(col("__e.rows")).as(Seq("_ridx", "r")))
+      .select(col("op"), col("table"), col("offset"), col("_ridx"),
+        to_json(when(col("op") === "update", col("r.after_values"))
+          .otherwise(col("r.values"))).as("data"))
+  }
+
+  /** Mongo change-stream documents (reference `mongo.py:49-74`):
+    * `{"operationType", "ns": {"db", "coll"}, "fullDocument",
+    * "updateDescription": {"updatedFields"}, "documentKey": {"_id"}}`.
+    * insert→create with the full document; update→update with ONLY the
+    * updated fields plus the key (the partial-update shape the presence-mask
+    * merge exists for); delete→delete with just the key. */
+  def decodeMongoChangeStream(raw: DataFrame, dataCol: String = "data",
+                              offsetCol: String = "offset"): DataFrame = {
+    val schema = ddl(
+      """STRUCT<operationType: STRING, ns: STRUCT<db: STRING, coll: STRING>,
+        |fullDocument: VARIANT,
+        |updateDescription: STRUCT<updatedFields: VARIANT>,
+        |documentKey: VARIANT>""".stripMargin)
+    val d = raw
+      .withColumn("__m", from_json(col(dataCol), schema))
+      .filter(col("__m.operationType").isin("insert", "update", "delete"))
+    val uf = to_json(col("__m.updateDescription.updatedFields"))
+    val dk = to_json(col("__m.documentKey"))
+    // update payload = updatedFields ∪ documentKey (reference mongo.py:64-68
+    // merges the key into the partial row). Both are JSON objects; the
+    // splice drops updatedFields' closing '}' and documentKey's opening '{'.
+    // An empty updatedFields ('{}') degenerates to the key alone.
+    val merged = when(uf.isNull || uf === "{}", dk)
+      .otherwise(concat(uf.substr(lit(1), length(uf) - 1),
+        lit(","), dk.substr(lit(2), length(dk))))
+    d.select(
+      opFrom(col("__m.operationType"), "insert").as("op"),
+      col("__m.ns.coll").as("table"),
+      col(offsetCol).as("offset"),
+      lit(0).as("_ridx"), // change streams deliver one document per event
+      when(col("__m.operationType") === "insert", to_json(col("__m.fullDocument")))
+        .when(col("__m.operationType") === "update", merged)
+        .otherwise(dk)
+        .as("data"))
+  }
+
+  private def opFrom(kind: Column, createKind: String): Column =
+    when(kind === createKind, graft.model.Op.Create)
+      .when(kind === "update", graft.model.Op.Update)
+      .otherwise(graft.model.Op.Delete)
+}

@@ -165,7 +165,11 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
     if (!dead.isEmpty)
       dead.write.mode("append").parquet(deadLetterPath(sync))
     val view = full.filter(col(pk).isNotNull)
+    // compact on the envelope, then hand the sink ONLY op + payload (+ mask):
+    // the merge treats every unknown change column as schema evolution, so
+    // leaking table/offset/_ridx here would evolve them INTO the sink table
     val compacted = Transforms.lastWriteWins(view, col(pk), Seq(col("_ridx")))
+      .drop("table", "offset", "_ridx")
     config.stateBuckets match {
       case Some(n) =>
         BucketedUpsertSink.applyBatch(spark, statePath(sync), compacted, pk, n,

@@ -1,0 +1,109 @@
+package graft
+
+import graft.cdc.EnvelopeDecoders
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Connector-wire-shape decoders. Sample payloads follow the documented
+  * wire formats of the reference's three connectors (wal2json change
+  * arrays, decoded binlog row events, Mongo change-stream documents) —
+  * including the malformed corners the reference mishandles (SURVEY §2.3).
+  */
+class EnvelopeDecodersSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("wal2json: a multi-table transaction decodes every change (no truncation)") {
+    // reference postgres.py:97-98 `return`s on the first non-synced table,
+    // dropping the rest of the transaction; here all three survive decode
+    // and F1 filtering happens downstream
+    val msg =
+      """{"change":[
+        |{"kind":"insert","schema":"public","table":"other","columnnames":["id"],"columnvalues":[9]},
+        |{"kind":"insert","schema":"public","table":"test","columnnames":["id","content","data_json"],"columnvalues":[1,"hello",{"name":"test data"}]},
+        |{"kind":"delete","schema":"public","table":"test","oldkeys":{"keynames":["id"],"keyvalues":[2]}}
+        |],"nextlsn":"0/16B6E60"}""".stripMargin.replace("\n", "")
+    val out = EnvelopeDecoders.decodeWal2json(Seq((msg, 7L)).toDF("data", "offset"))
+      .orderBy("_ridx").collect()
+    assert(out.length === 3)
+    assert(out.map(_.getAs[String]("table")).toSeq === Seq("other", "test", "test"))
+    assert(out.map(_.getAs[String]("op")).toSeq === Seq("create", "create", "delete"))
+    assert(out.map(_.getAs[Int]("_ridx")).toSeq === Seq(0, 1, 2))
+    // type fidelity: ints stay ints, nested JSON stays an object
+    assert(out(1).getAs[String]("data") ===
+      """{"id":1,"content":"hello","data_json":{"name":"test data"}}""")
+    // deletes carry only the key (oldkeys)
+    assert(out(2).getAs[String]("data") === """{"id":2}""")
+    assert(out.forall(_.getAs[String]("nextlsn") === "0/16B6E60"))
+    assert(out.forall(_.getAs[Long]("offset") === 7L))
+  }
+
+  test("wal2json: unknown kinds drop without killing the rest of the message") {
+    val msg =
+      """{"change":[
+        |{"kind":"truncate","schema":"public","table":"test"},
+        |{"kind":"update","schema":"public","table":"test","columnnames":["id","v"],"columnvalues":[3,4.5]}
+        |],"nextlsn":"0/1"}""".stripMargin.replace("\n", "")
+    val out = EnvelopeDecoders.decodeWal2json(Seq((msg, 1L)).toDF("data", "offset")).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[String]("op") === "update")
+    assert(out.head.getAs[String]("data") === """{"id":3,"v":4.5}""")
+  }
+
+  test("mysql binlog: a multi-row write expands to every row, later rows win ties") {
+    // reference mysql.py:110-116 reads only rows[0]
+    val msg =
+      """{"schema":"db","table":"test","type":"write","rows":[
+        |{"values":{"id":1,"age":46}},
+        |{"values":{"id":2,"age":31}},
+        |{"values":{"id":1,"age":47}}
+        |]}""".stripMargin.replace("\n", "")
+    val out = EnvelopeDecoders.decodeMysqlBinlog(Seq((msg, 3L)).toDF("data", "offset"))
+      .orderBy("_ridx").collect()
+    assert(out.length === 3)
+    // note: VARIANT serialization normalizes object keys to sorted order —
+    // same JSON value, different key order than the wire form
+    assert(out.map(_.getAs[String]("data")).toSeq === Seq(
+      """{"age":46,"id":1}""", """{"age":31,"id":2}""", """{"age":47,"id":1}"""))
+    // last-write-wins with the _ridx tiebreak keeps the LATER row for id=1
+    val env = EnvelopeDecoders.decodeMysqlBinlog(Seq((msg, 3L)).toDF("data", "offset"))
+      .withColumn("id", get_json_object(col("data"), "$.id").cast("int"))
+    val compacted = graft.cdc.Transforms.lastWriteWins(env, col("id"), Seq(col("_ridx")))
+    val age1 = compacted.filter(col("id") === 1)
+      .select(get_json_object(col("data"), "$.age")).head().getString(0)
+    assert(age1 === "47")
+  }
+
+  test("mysql binlog: update rows carry the after-image, deletes the old row") {
+    val upd = """{"schema":"db","table":"t","type":"update","rows":[{"before_values":{"id":5,"v":1},"after_values":{"id":5,"v":2}}]}"""
+    val del = """{"schema":"db","table":"t","type":"delete","rows":[{"values":{"id":6,"v":9}}]}"""
+    val out = EnvelopeDecoders.decodeMysqlBinlog(
+      Seq((upd, 1L), (del, 2L)).toDF("data", "offset")).orderBy("offset").collect()
+    assert(out(0).getAs[String]("op") === "update")
+    assert(out(0).getAs[String]("data") === """{"id":5,"v":2}""")
+    assert(out(1).getAs[String]("op") === "delete")
+    assert(out(1).getAs[String]("data") === """{"id":6,"v":9}""")
+    // (keys happen to be sorted already in these payloads)
+  }
+
+  test("mongo change stream: insert full doc, update partial+key, delete key only") {
+    val ins = """{"operationType":"insert","ns":{"db":"d","coll":"c"},"fullDocument":{"_id":"a1","name":"x","tags":["p","q"]},"documentKey":{"_id":"a1"}}"""
+    val upd = """{"operationType":"update","ns":{"db":"d","coll":"c"},"updateDescription":{"updatedFields":{"name":"y"}},"documentKey":{"_id":"a1"}}"""
+    val del = """{"operationType":"delete","ns":{"db":"d","coll":"c"},"documentKey":{"_id":"a1"}}"""
+    val out = EnvelopeDecoders.decodeMongoChangeStream(
+      Seq((ins, 1L), (upd, 2L), (del, 3L)).toDF("data", "offset"))
+      .orderBy("offset").collect()
+    assert(out.map(_.getAs[String]("op")).toSeq === Seq("create", "update", "delete"))
+    assert(out.forall(_.getAs[String]("table") === "c"))
+    assert(out(0).getAs[String]("data") === """{"_id":"a1","name":"x","tags":["p","q"]}""")
+    // partial update: ONLY the changed field plus the key (mongo.py:64-68)
+    assert(out(1).getAs[String]("data") === """{"name":"y","_id":"a1"}""")
+    assert(out(2).getAs[String]("data") === """{"_id":"a1"}""")
+  }
+
+  test("mongo change stream: empty updatedFields degenerates to the key alone") {
+    val upd = """{"operationType":"update","ns":{"db":"d","coll":"c"},"updateDescription":{"updatedFields":{}},"documentKey":{"_id":"z9"}}"""
+    val out = EnvelopeDecoders.decodeMongoChangeStream(
+      Seq((upd, 1L)).toDF("data", "offset")).collect()
+    assert(out.head.getAs[String]("data") === """{"_id":"z9"}""")
+  }
+}

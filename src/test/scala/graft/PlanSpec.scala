@@ -107,4 +107,45 @@ class PlanSpec extends SparkSpec {
     // hashpartitioning exchange on user_id feeds every window
     assert("hashpartitioning\\(user_id".r.findAllIn(p).size >= 1, p.take(2000))
   }
+
+  test("stats agg: one two-phase aggregate computes every moment (no extra scans)") {
+    val p = plan("q_stats_agg")
+    assert(p.contains("partial_"), p.take(2000))
+    assert("FileScan parquet".r.findAllIn(p).size === 1, p.take(2000))
+  }
+
+  test("histogram: arithmetic binning is one two-phase aggregate, no sort") {
+    val p = plan("q_histogram")
+    assert(p.contains("partial_"), p.take(2000))
+    assert("FileScan parquet".r.findAllIn(p).size === 1, p.take(2000))
+  }
+
+  test("winsorize: the per-group bounds broadcast back onto the facts") {
+    val p = plan("q_winsorize")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("mix weights: corpus totals join as a broadcast, no key shuffle of sources") {
+    val p = plan("q_mix_weights")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(2000)) // single-row cross join broadcasts
+  }
+
+  test("vec quantize: the corpus is never shuffled for assignment") {
+    val p = plan("q_vec_quantize")
+    // one broadcast (the seed row) + the final tiny aggregate shuffle keyed
+    // by cell; no exchange of the embeddings on a per-vector key
+    assert(!p.contains("hashpartitioning(vec_id"), p.take(2000))
+  }
+
+  test("pii scrub: pure per-row work — no exchange except the output sort") {
+    val p = plan("q_pii_scrub")
+    assert(!p.contains("hashpartitioning"), p.take(2000))
+  }
+
+  test("boilerplate: sentence keys shuffle as md5 digests, two-level aggregate") {
+    val p = plan("q_boilerplate")
+    assert(p.contains("partial_"), p.take(2000))
+    assert(p.contains("md5"), p.take(2000))
+  }
 }
