@@ -72,6 +72,55 @@ final class V2CdcSource(spark: SparkSession, feedDir: String, tableDir: String,
   def ping(): Boolean = new java.io.File(feedDir).exists()
 }
 
+/** CDC feed of RAW connector wire messages: a stream of `(offset, data)`
+  * records — the shape a Kafka topic (offset, value) or a captured-feed
+  * JSONL file delivers — where `data` is one message in the connector's own
+  * wire format, decoded declaratively by [[EnvelopeDecoders]]. This is the
+  * drop-in for feeds taken straight off a replication slot / binlog tailer /
+  * change stream, with no preprocessing step in between.
+  *
+  * One wire message can decode to several changes (a wal2json transaction,
+  * a multi-row binlog event), so the envelope offset is refined to
+  * `(message offset << 20) | row index`: global order is preserved, rows
+  * within one message stay ordered for last-write-wins, and the checkpoint
+  * still tracks the coarse message offset (2^20 rows per message bound).
+  *
+  * @param wireFormat one of `wal2json`, `mysql-binlog`, `mongo`
+  */
+final class WireCdcSource(spark: SparkSession, feedDir: String, tableDir: String,
+                          wireFormat: String, maxFilesPerTrigger: Int = 1)
+    extends CdcSource {
+  import org.apache.spark.sql.functions._
+
+  def fullScan(sync: SyncConfig): DataFrame =
+    Transforms.projectAndCoerce(
+      spark.read.parquet(s"$tableDir/${sync.table}.parquet"), sync)
+
+  private[cdc] def decode(raw: DataFrame): DataFrame = {
+    val decoded = wireFormat match {
+      case "wal2json"     => EnvelopeDecoders.decodeWal2json(raw)
+      case "mysql-binlog" => EnvelopeDecoders.decodeMysqlBinlog(raw)
+      case "mongo"        => EnvelopeDecoders.decodeMongoChangeStream(raw)
+      case other => throw new IllegalArgumentException(
+        s"unknown wire format '$other' (wal2json | mysql-binlog | mongo)")
+    }
+    decoded.select(col("op"), col("table"),
+      (shiftleft(col("offset"), 20) + col("_ridx")).as("offset"),
+      lit(null).cast("timestamp").as("ts"),
+      col("data"))
+  }
+
+  def changes: DataFrame =
+    decode(spark.readStream
+      .schema("offset LONG, data STRING")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(feedDir))
+
+  def count(sync: SyncConfig): Long =
+    spark.read.parquet(s"$tableDir/${sync.table}.parquet").count()
+  def ping(): Boolean = new java.io.File(feedDir).exists()
+}
+
 /** In-memory CDC feed for tests (the reference's integration harness shape:
   * script a few inserts/updates/deletes, assert the synced state). */
 final class MemoryCdcSource(spark: SparkSession,

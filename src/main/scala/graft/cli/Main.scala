@@ -59,17 +59,26 @@ object Main {
   private def run(cmd: String, props: java.util.Properties, rest: List[String],
                   spark: org.apache.spark.sql.SparkSession): Unit = {
     val cfg = parseConfig(props)
-    // feed.format=graft-cdc selects the V2 MicroBatchStream source (chunked
-    // tsv feed, offsets in the checkpoint); default is the parquet envelope
-    // feed
-    val source: graft.cdc.CdcSource =
-      if (props.getProperty("feed.format") == "graft-cdc")
+    // feed.format selects the source:
+    //   graft-cdc                       -> V2 MicroBatchStream (chunked tsv
+    //                                      feed, offsets in the checkpoint)
+    //   wal2json|mysql-binlog|mongo     -> raw connector wire messages as
+    //                                      (offset, data) JSONL, decoded by
+    //                                      EnvelopeDecoders
+    //   unset                           -> parquet envelope feed
+    val source: graft.cdc.CdcSource = props.getProperty("feed.format") match {
+      case "graft-cdc" =>
         new graft.cdc.V2CdcSource(spark, props.getProperty("feed.dir"),
           props.getProperty("table.dir"), tables = cfg.tables,
           maxChunksPerTrigger = cfg.insertSize.map(_.toLong))
-      else new ParquetCdcSource(spark,
+      case f @ ("wal2json" | "mysql-binlog" | "mongo") =>
+        new graft.cdc.WireCdcSource(spark, props.getProperty("feed.dir"),
+          props.getProperty("table.dir"), f,
+          maxFilesPerTrigger = cfg.insertSize.getOrElse(1))
+      case _ => new ParquetCdcSource(spark,
         props.getProperty("feed.dir"), props.getProperty("table.dir"),
         maxFilesPerTrigger = cfg.insertSize.getOrElse(1))
+    }
     // plugins=<fqcn>[,<fqcn>...] — reflection-loaded GraftPlugin classes
     // (the reference's dotted-path plugin list, settings.py:25-36)
     val hooks = Option(props.getProperty("plugins"))
