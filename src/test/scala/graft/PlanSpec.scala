@@ -148,4 +148,29 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_"), p.take(2000))
     assert(p.contains("md5"), p.take(2000))
   }
+
+  test("date-partitioned layout: a date predicate prunes partitions at plan time") {
+    // the storage layout a 100 TB event table actually uses: partition dirs
+    // by date, so a time-bounded query never lists or reads other days
+    val dir = tmpDir("partev") + "/events"
+    ops.Tables.events(spark, sf)
+      .withColumn("day", to_date(col("ts")))
+      .write.partitionBy("day").parquet(dir)
+    val q = spark.read.parquet(dir)
+      .filter(col("day") === "2024-03-02" && col("value") > 100)
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: ["), p.take(2000))
+    assert(p.contains("day"), p.take(2000))
+    // the residual value predicate still pushes to parquet
+    assert(p.contains("GreaterThan(value"), p.take(2000))
+    // pruning is real: the scan's numFiles metric counts only the matching
+    // day's files (inputFiles on the DataFrame ignores pruning)
+    q.collect()
+    val scan = q.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    val all = spark.read.parquet(dir).inputFiles.length
+    assert(scan.metrics("numFiles").value < all,
+      s"${scan.metrics("numFiles").value} vs $all")
+  }
 }
