@@ -96,7 +96,9 @@ object SparkEntry {
     "q_containment"    -> ((s, d) => Dedup.containment(s, d)),
     "q_cluster_bigstar" -> ((s, d) => Dedup.nearDupClustersBigStar(s, d)),
     "q_mix_weights"    -> ((s, d) => TextAnalysis.mixWeights(s, d)),
-    "q_vec_quantize"   -> ((s, d) => Similarity.vecQuantize(s, d))
+    "q_vec_quantize"   -> ((s, d) => Similarity.vecQuantize(s, d)),
+    "q_salted_join"    -> ((s, d) => Relational.saltedJoin(s, d)),
+    "q_funnel"         -> ((s, d) => Relational.funnel(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -822,6 +824,29 @@ object SparkEntry {
         |asn AS (SELECT vec_id, seed_id AS cell, cos FROM sc WHERE r = 1)
         |SELECT cell, count(*) AS n, round(avg(cos), 4) AS avg_cos,
         | round(min(cos), 4) AS min_cos, round(max(cos), 4) AS max_cos
-        |FROM asn GROUP BY 1 ORDER BY cell""".stripMargin
+        |FROM asn GROUP BY 1 ORDER BY cell""".stripMargin,
+
+    // Salting is a physical-plan device; the oracle is the PLAIN join —
+    // the gate proves the salted formulation output-identical.
+    "q_salted_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        | round(sum(o_totalprice), 2) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_funnel" ->
+      """WITH u AS (SELECT user_id,
+        |        min(CASE WHEN event_type = 'signup' THEN ts END) AS s_ts,
+        |        max(CASE WHEN event_type = 'purchase' THEN ts END) AS last_p
+        |      FROM events GROUP BY 1),
+        |a AS (SELECT count(*) AS n0, count(s_ts) AS n1,
+        |        CAST(count_if(last_p > s_ts) AS BIGINT) AS n2 FROM u)
+        |SELECT * FROM (
+        |  SELECT '0_all_users' AS stage, n0 AS n_users,
+        |    round(CAST(n0 AS DOUBLE) / n0, 4) AS pct_of_all FROM a
+        |  UNION ALL SELECT '1_signed_up', n1, round(CAST(n1 AS DOUBLE) / n0, 4) FROM a
+        |  UNION ALL SELECT '2_purchased_after_signup', n2,
+        |    round(CAST(n2 AS DOUBLE) / n0, 4) FROM a
+        |) ORDER BY stage""".stripMargin
   )
 }

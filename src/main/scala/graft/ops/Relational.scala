@@ -416,6 +416,52 @@ object Relational {
       .orderBy(col("user_id"))
   }
 
+  /** Skew-resistant join, proved output-identical to the plain join by the
+    * oracle: the build side is replicated once per salt value and the
+    * probe side joins on (key, deterministic salt), so one hot key's rows
+    * spread over `salt` reducers instead of one. This is the manual form
+    * of what AQE's skew-join split does at runtime — kept explicit because
+    * a window/aggregate AFTER the join can't always be re-split by AQE.
+    * Salt derives from the probe row's own id — deterministic under
+    * replay, no RNG state. */
+  def saltedJoin(spark: SparkSession, dir: String, salt: Int = 8): DataFrame = {
+    val o = t(spark, dir, "orders")
+      .withColumn("__salt", pmod(col("o_orderkey"), lit(salt)))
+    val c = t(spark, dir, "customer")
+      .withColumn("__salt", explode(sequence(lit(0), lit(salt - 1))))
+    o.join(c, o("o_custkey") === c("c_custkey") && o("__salt") === c("__salt"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("revenue"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** Conversion funnel: of all users, how many ever signed up, and how many
+    * purchased AFTER their first signup — the sequential-condition count a
+    * product-analytics pipeline runs constantly. ONE scan: the per-user
+    * conditional min/max aggregate reduces "any purchase after the first
+    * signup" to `max(purchase ts) > min(signup ts)`, then a 1-row aggregate
+    * explodes into stage rows — no joins, no repeated scans, no
+    * driver-side loop. */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "signup", col("ts"))).as("s_ts"),
+        max(when(col("event_type") === "purchase", col("ts"))).as("last_p"))
+    perUser
+      .agg(count(lit(1)).as("n0"), count(col("s_ts")).as("n1"),
+        count(when(col("last_p") > col("s_ts"), 1)).as("n2"))
+      .select(explode(array(
+        struct(lit("0_all_users").as("stage"), col("n0").as("n_users")),
+        struct(lit("1_signed_up").as("stage"), col("n1").as("n_users")),
+        struct(lit("2_purchased_after_signup").as("stage"), col("n2").as("n_users"))))
+        .as("s"), col("n0"))
+      .select(col("s.stage").as("stage"), col("s.n_users").as("n_users"),
+        round(col("s.n_users").cast("double") / col("n0"), 4).as("pct_of_all"))
+      .orderBy(col("stage"))
+  }
+
   /** Statistical aggregates beyond sum/avg: Pearson correlation, sample
     * covariance, sample stddev/variance — all single-pass partial+final
     * hash aggregates (one shuffle on the group key, map-side moments). */

@@ -124,6 +124,31 @@ class AnalyticsOpsSpec extends SparkSpec {
     }
   }
 
+  test("salted join equals the plain join; salt actually spreads the key") {
+    val salted = Relational.saltedJoin(spark, sf).collect().toSeq
+    val plain = ops.Tables(spark, sf, "orders")
+      .join(ops.Tables(spark, sf, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("revenue"))
+      .orderBy(col("c_mktsegment")).collect().toSeq
+    assert(salted === plain)
+    // the join condition includes the salt column on both sides
+    val p = Relational.saltedJoin(spark, sf).queryExecution.executedPlan.toString
+    assert(p.contains("__salt"), p.take(2000))
+  }
+
+  test("funnel: stages are monotone and percentages are of the user universe") {
+    val rows = Relational.funnel(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSeq ===
+      Seq("0_all_users", "1_signed_up", "2_purchased_after_signup"))
+    val ns = rows.map(_.getLong(1))
+    assert(ns(0) >= ns(1) && ns(1) >= ns(2)) // each stage only narrows
+    assert(ns(2) > 0) // fixture has converting users
+    assert(rows.head.getDouble(2) === 1.0)
+  }
+
   test("big-star clustering is output-identical to min-label propagation") {
     val a = Dedup.nearDupClusters(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
