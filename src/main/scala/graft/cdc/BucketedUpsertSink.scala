@@ -40,6 +40,12 @@ object BucketedUpsertSink {
       .parquet(statePath)
 
   private def hasBuckets(spark: SparkSession, statePath: String): Boolean = {
+    // Heal an interrupted evolution swap FIRST (live moved to '.old', next
+    // never moved in): without this, a crash in that window makes the state
+    // look absent, the next batch bootstraps an empty table, and once a new
+    // live dir exists the '.old' full state is stranded forever — silent
+    // loss. The flat sink heals through liveExists; this is its equivalent.
+    UpsertSink.recoverSwap(spark, statePath)
     val p = new org.apache.hadoop.fs.Path(statePath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.exists(p) &&
@@ -73,14 +79,19 @@ object BucketedUpsertSink {
     // inconsistent table. Evolution is rare, so pay a one-time full-state
     // merge + rewrite through the atomic dir swap; afterwards every bucket
     // carries the new schema and the incremental path resumes.
-    if (hasBuckets(spark, statePath)) {
-      val storedCols = spark.read.parquet(statePath).columns.filterNot(_ == BucketCol)
+    // One reader serves the evolution check (schema only — a footer read,
+    // no data scan) and, if evolution fires, the full-state merge; the
+    // exists/bucket-dir probe runs once per batch.
+    val stored =
+      if (hasBuckets(spark, statePath)) Some(spark.read.parquet(statePath))
+      else None
+    stored.foreach { full =>
+      val storedCols = full.columns.filterNot(_ == BucketCol)
       val evolved = changes.columns
         .filterNot(n => n == "op" || n == UpsertSink.PresentCol)
         .exists(n => !storedCols.contains(n))
       if (evolved) {
-        val full = spark.read.parquet(statePath).drop(BucketCol)
-        val merged = UpsertSink.applyBatch(full, changes, pk)
+        val merged = UpsertSink.applyBatch(full.drop(BucketCol), changes, pk)
           .withColumn(BucketCol, bucketOf(col(pk), numBuckets))
         val tmp = statePath + ".next"
         merged.write.mode("overwrite").partitionBy(BucketCol).parquet(tmp)
@@ -94,14 +105,14 @@ object BucketedUpsertSink {
     val touched = withBucket.select(BucketCol).distinct()
       .collect().map(_.getLong(0)).sorted
     if (touched.isEmpty) return
-    val state =
-      if (hasBuckets(spark, statePath))
-        spark.read.parquet(statePath)
-          .filter(col(BucketCol).isin(touched: _*))
-          .drop(BucketCol)
-      else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        schema.getOrElse(throw new IllegalStateException(
-          s"no state at $statePath and no bootstrap schema given")))
+    val state = stored match {
+      case Some(full) =>
+        full.filter(col(BucketCol).isin(touched: _*)).drop(BucketCol)
+      case None =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          schema.getOrElse(throw new IllegalStateException(
+            s"no state at $statePath and no bootstrap schema given")))
+    }
     val merged = UpsertSink.applyBatch(state, withBucket.drop(BucketCol), pk)
       .withColumn(BucketCol, bucketOf(col(pk), numBuckets))
       .persist()

@@ -104,10 +104,20 @@ final class WireCdcSource(spark: SparkSession, feedDir: String, tableDir: String
       case other => throw new IllegalArgumentException(
         s"unknown wire format '$other' (wal2json | mysql-binlog | mongo)")
     }
-    decoded.select(col("op"), col("table"),
-      (shiftleft(col("offset"), 20) + col("_ridx")).as("offset"),
-      lit(null).cast("timestamp").as("ts"),
-      col("data"))
+    // Fail LOUDLY if a message exceeds the encoding's bounds instead of
+    // silently colliding with the next message's offset range (a 2M-row
+    // transaction would otherwise interleave with its successor in
+    // last-write-wins order): assert_true raises, the stream stops at the
+    // checkpointed position, and the operator widens the encoding.
+    decoded
+      .filter(assert_true(col("_ridx") < (1 << 20) && col("offset") < (1L << 43),
+        concat(lit(s"wire message exceeds offset encoding (rows >= 2^20 or " +
+          s"message offset >= 2^43): offset="), col("offset"),
+          lit(" _ridx="), col("_ridx"))).isNull)
+      .select(col("op"), col("table"),
+        (shiftleft(col("offset"), 20) + col("_ridx")).as("offset"),
+        lit(null).cast("timestamp").as("ts"),
+        col("data"))
   }
 
   def changes: DataFrame =

@@ -47,6 +47,12 @@ object EnvelopeDecoders {
         |nextlsn: STRING>""".stripMargin)
     raw
       .withColumn("__w", from_json(col(dataCol), schema))
+      // fail-stop on undecodable messages rather than vanishing them:
+      // posexplode of a null array emits zero rows, which would silently
+      // lose the message's changes — upstream of the pipeline's per-sync
+      // dead-letter protection. The stream stops at the checkpoint.
+      .filter(undecodableGuard(col("__w").isNotNull && col("__w.change").isNotNull,
+        "wal2json", col(dataCol)))
       .select(col(offsetCol).as("offset"), col("__w.nextlsn").as("nextlsn"),
         posexplode(col("__w.change")).as(Seq("_ridx", "c")))
       // unknown kinds (truncate, message, ...) are dropped like the
@@ -79,6 +85,7 @@ object EnvelopeDecoders {
         |                   after_values: VARIANT>>>""".stripMargin)
     raw
       .withColumn("__e", from_json(col(dataCol), schema))
+      .filter(undecodableGuard(col("__e").isNotNull, "mysql binlog", col(dataCol)))
       .filter(col("__e.type").isin("write", "update", "delete"))
       .select(col(offsetCol).as("offset"),
         opFrom(col("__e.type"), "write").as("op"),
@@ -104,6 +111,7 @@ object EnvelopeDecoders {
         |documentKey: VARIANT>""".stripMargin)
     val d = raw
       .withColumn("__m", from_json(col(dataCol), schema))
+      .filter(undecodableGuard(col("__m").isNotNull, "mongo change stream", col(dataCol)))
       .filter(col("__m.operationType").isin("insert", "update", "delete"))
     val uf = to_json(col("__m.updateDescription.updatedFields"))
     val dk = to_json(col("__m.documentKey"))
@@ -124,6 +132,16 @@ object EnvelopeDecoders {
         .otherwise(dk)
         .as("data"))
   }
+
+  /** Filter predicate that RAISES on an undecodable message instead of
+    * dropping it (from_json yields null on parse failure; a silent drop
+    * would lose the message's changes with no trace, upstream of the
+    * pipeline's dead-letter path). assert_true returns null when the
+    * condition holds, so `.isNull` keeps every valid row; evaluation cannot
+    * be pruned away because it gates the filter itself. */
+  private def undecodableGuard(ok: Column, format: String, data: Column): Column =
+    assert_true(ok,
+      concat(lit(s"undecodable $format message: "), coalesce(data, lit("null")))).isNull
 
   private def opFrom(kind: Column, createKind: String): Column =
     when(kind === createKind, graft.model.Op.Create)

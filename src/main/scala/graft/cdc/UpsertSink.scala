@@ -102,7 +102,11 @@ object UpsertSink {
       payloadSchema: org.apache.spark.sql.types.StructType
   ): (DataFrame, Long) => Unit = { (batch: DataFrame, _: Long) =>
     val state = currentState(spark, statePath, payloadSchema)
+    // compact on the envelope, then drop its columns: with schema evolution
+    // in the merge, leaking table/offset/ts/data here would evolve them
+    // INTO the state table (same hazard Pipeline.applySync guards)
     val compacted = Transforms.lastWriteWins(batch, col(pk))
+      .drop("table", "offset", "ts", "data", "_ridx")
     val next = applyBatch(state, compacted, pk)
     // two-phase write: next state to a versioned dir, then pointer swap —
     // keeps the apply atomic without a table format in the offline harness

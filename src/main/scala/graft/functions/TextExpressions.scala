@@ -430,14 +430,7 @@ case class SortedOverlapCount(left: Expression, right: Expression)
 object TextFunctions {
   /** Register `graft_simhash64` / `graft_sliding_min_distinct` / shingling. Idempotent. */
   def register(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    // Skip names that already resolve: createOrReplaceTempFunction on an
-    // existing name logs a replacement WARN per call, and these are invoked
-    // from every operator entry point.
-    def reg1(name: String, builder: Seq[Expression] => Expression): Unit =
-      if (!reg.functionExists(
-            org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
-        reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+    val reg1 = Registration.registerIfAbsent(spark) _
     reg1("graft_simhash64", exprs => SimHash64(exprs.head))
     reg1("graft_sliding_min_distinct",
       exprs => SlidingMinDistinct(exprs(0), exprs(1)))

@@ -179,14 +179,7 @@ case class SrpCode(left: Expression, right: Expression)
 object VectorFunctions {
   /** Register `graft_dot` / `graft_norm` / `graft_srp_code`. Idempotent. */
   def register(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    // Skip names that already resolve: createOrReplaceTempFunction on an
-    // existing name logs a replacement WARN per call, and these are invoked
-    // from every operator entry point.
-    def reg1(name: String, builder: Seq[Expression] => Expression): Unit =
-      if (!reg.functionExists(
-            org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
-        reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+    val reg1 = Registration.registerIfAbsent(spark) _
     reg1("graft_dot", exprs => DotProduct(exprs(0), exprs(1)))
     reg1("graft_norm", exprs => VecNorm(exprs.head))
     reg1("graft_srp_code", exprs => SrpCode(exprs(0), exprs(1)))

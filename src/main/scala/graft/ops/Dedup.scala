@@ -330,10 +330,16 @@ object Dedup {
     // from identity labels, for the cost of the distinct the identity init
     // needed anyway. Clique-shaped dup clusters (the common case) then
     // converge in a single confirming pass.
+    // localCheckpoint like every later round (uniform lifecycle): rounds are
+    // dropped by overwriting `labels`, and ContextCleaner frees the dead
+    // rounds' blocks once the references are GC'd — Dataset.unpersist is a
+    // CacheManager call and does nothing for checkpoint blocks, so explicit
+    // frees here would be no-ops anyway. O(log n)/O(diameter) live rounds of
+    // edge-set-sized data bound the transient footprint.
     var labels = edges.groupBy(col("src").as("doc"))
       .agg(min(col("dst")).as("nbr_min"))
       .select(col("doc"), least(col("doc"), col("nbr_min")).as("cluster"))
-      .persist()
+      .localCheckpoint(true)
     var converged = false
     var iter = 0
     var checksum = labels.agg(sum(col("cluster"))).head().getLong(0)
@@ -355,8 +361,7 @@ object Dedup {
           least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"))
         .localCheckpoint(true)
       val nextSum = next.agg(sum(col("cluster"))).head().getLong(0)
-      labels.unpersist()
-      labels = next
+      labels = next // previous round's blocks are freed by ContextCleaner
       converged = nextSum == checksum // labels only decrease; equal sum = fixpoint
       checksum = nextSum
       iter += 1
@@ -398,12 +403,13 @@ object Dedup {
     val parts = math.max(1, math.min((nEdges / 100000L).toInt + 1,
       spark.sparkContext.defaultParallelism))
     // canonical direction u > v; pairCounts guarantees doc_a < doc_b and
-    // one row per pair, so no distinct is needed here
+    // one row per pair, so no distinct is needed here. localCheckpoint like
+    // every round's result (uniform lifecycle — see nearDupClusters' note
+    // on ContextCleaner freeing dropped rounds).
     var edges = pairs
       .select(col("doc_b").as("u"), col("doc_a").as("v"))
       .repartition(parts, col("u"))
-      .persist()
-    edges.count()
+      .localCheckpoint(true)
     pairs.unpersist()
     // Order-insensitive set checksum: (count, xor of per-edge hashes).
     // XOR instead of sum — ANSI mode makes a sum of full-range longs an
@@ -418,37 +424,39 @@ object Dedup {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      // large-star: symmetric neighborhoods; emit (larger nbr, min)
+      // Each star round is a groupBy-MIN plus a join back onto the edges —
+      // never a per-node collect_list/collect_set: a hub of degree d would
+      // otherwise materialize a d-element array in one row of one task,
+      // hitting the record-size/heap wall at exactly the hub pathology this
+      // operator exists for. min + join stream per edge; both sides hash-
+      // partition on the same key.
+      // large-star: attach each node's LARGER neighbors to m = min(N+(a))
       val sym = edges.select(col("u").as("a"), col("v").as("b"))
         .union(edges.select(col("v").as("a"), col("u").as("b")))
-      val ls = sym.groupBy(col("a"))
-        .agg(collect_list(col("b")).as("nbrs"))
-        .withColumn("m", least(col("a"), array_min(col("nbrs"))))
-        .select(col("a"), col("m"), explode(col("nbrs")).as("b"))
+      val lsMin = sym.groupBy(col("a")).agg(min(col("b")).as("nm"))
+        .select(col("a"), least(col("a"), col("nm")).as("m"))
+      val ls = sym.join(lsMin, "a")
         .filter(col("b") > col("a"))
         .select(col("b").as("u"), col("m").as("v"))
-      // small-star: edges already directed large->small; attach u and its
-      // smaller neighbors to the min. collect_set, not list + a distinct
-      // shuffle on ls: large-star emissions can repeat a (u, v) edge when
-      // u neighbors several nodes sharing a min, and the set-aggregate
-      // dedups on the groupBy shuffle that runs anyway.
+        .distinct()
+      // small-star: edges now directed large->small; attach u and its
+      // smaller neighbors to m = min(N(u)) (all neighbors are < u here)
+      val ssMin = ls.groupBy(col("u")).agg(min(col("v")).as("m"))
       // eager localCheckpoint: cache + lineage truncation — every round
       // references the previous edge set three times (sym twice, small-star
       // once), so an un-truncated plan grows 3^rounds and the explain-string
       // build OOMs before any data does. See nearDupClusters for the
       // cluster-deployment note.
-      val ss = ls.groupBy(col("u").as("a"))
-        .agg(collect_set(col("v")).as("nbrs"))
-        .withColumn("m", array_min(col("nbrs")))
-        .select(col("a"), col("m"),
-          explode(array_union(col("nbrs"), array(col("a")))).as("n"))
-        .filter(col("n") =!= col("m"))
+      val ss = ls.join(ssMin, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("n"), col("m"))
+        .union(ssMin.filter(col("u") =!= col("m"))
+          .select(col("u").as("n"), col("m")))
         .select(col("n").as("u"), col("m").as("v"))
         .distinct()
         .localCheckpoint(true)
       val nextSum = edgeChecksum(ss)
-      edges.unpersist()
-      edges = ss
+      edges = ss // previous round's blocks are freed by ContextCleaner
       converged = nextSum == checksum
       checksum = nextSum
       iter += 1
@@ -461,7 +469,6 @@ object Dedup {
     val labels = edges.select(col("u").as("doc_id"), col("v").as("cluster"))
       .union(edges.select(col("v").as("doc_id"), col("v").as("cluster")))
       .groupBy(col("doc_id")).agg(min(col("cluster")).as("cluster"))
-    edges.unpersist()
     labels.orderBy(col("doc_id"))
   }
 

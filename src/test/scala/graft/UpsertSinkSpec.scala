@@ -175,6 +175,43 @@ class UpsertSinkSpec extends SparkSpec {
     assert(after.getAs[String]("segment") === "silver")
   }
 
+  test("foreachBatchApply: envelope columns never evolve into the state table") {
+    // with schema evolution in the merge, the raw envelope's table/offset/
+    // ts/data columns would become payload columns unless dropped
+    val root = tmpDir("fba")
+    val statePath = s"$root/state"
+    val schema = Seq.empty[(Int, String)].toDF("id", "name").schema
+    val apply = UpsertSink.foreachBatchApply(spark, statePath, "id", schema)
+    val batch = Seq(("create", 1, "ann", "t", 1L, "{}"))
+      .toDF("op", "id", "name", "table", "offset", "data")
+    apply(batch, 0L)
+    val state = spark.read.parquet(statePath)
+    assert(state.columns.sorted.toSeq === Seq("id", "name"))
+    assert(state.collect().toSeq === Seq(Row(1, "ann")))
+  }
+
+  test("bucketed sink: interrupted evolution swap heals instead of losing the state") {
+    import graft.cdc.BucketedUpsertSink
+    val path = tmpDir("bsinkcrash") + "/state"
+    BucketedUpsertSink.init(
+      (1 to 10).map(i => (i, s"n$i", s"c$i")).toDF("id", "name", "city"),
+      path, "id", numBuckets = 4)
+    // simulate the crash window between the two renames: live moved aside,
+    // next never moved in
+    import java.nio.file.{Files, Paths}
+    Files.move(Paths.get(path), Paths.get(path + ".old"))
+    assert(!Files.exists(Paths.get(path)))
+    // the next batch must heal and apply against the FULL pre-crash state,
+    // not bootstrap an empty one
+    val schema = Seq((0, "x", "y")).toDF("id", "name", "city").schema
+    BucketedUpsertSink.applyBatch(spark, path,
+      changes(("update", 3, "three", null)), "id", numBuckets = 4,
+      schema = Some(schema))
+    val state = BucketedUpsertSink.currentState(spark, path, schema)
+    assert(state.count() === 10) // nothing lost
+    assert(state.filter(col("id") === 3).head().getString(1) === "three")
+  }
+
   test("create -> update -> delete on one pk within a batch nets to absence") {
     // reference event.py:10-13 last-write-wins, then delete applies
     val evs = Seq(
