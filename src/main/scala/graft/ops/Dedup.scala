@@ -383,9 +383,11 @@ object Dedup {
     * SoCC'14): output-identical to [[nearDupClusters]] but converges in
     * O(log n) rounds regardless of component DIAMETER — the formulation
     * that survives hub-graph / long-chain pathologies where min-label
-    * propagation needs diameter rounds. Each round is two groupBy-explode
-    * passes over the (small) edge set; the driver loop iterates on a
-    * convergence checksum, never on data.
+    * propagation needs diameter rounds. Each round is two groupBy-min +
+    * join passes over the (small) edge set — per-edge streaming, no
+    * per-node neighborhood arrays, so hubs of any degree stay within
+    * record-size limits; the driver loop iterates on a convergence
+    * checksum, never on data.
     *
     *  - large-star: for every node u, attach u's LARGER neighbors to
     *    m = min({u} ∪ N(u))
