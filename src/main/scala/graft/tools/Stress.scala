@@ -70,6 +70,7 @@ object Stress {
     time("ngram_prefix")(graft.ops.Dedup.ngramJaccardPrefix(spark, dir).count())
     time("pipeline")(graft.ops.Dedup.dedupPipeline(spark, dir).count())
     time("cluster")(graft.ops.Dedup.nearDupClusters(spark, dir).count())
+    time("cluster_bigstar")(graft.ops.Dedup.nearDupClustersBigStar(spark, dir).count())
     time("decontaminate")(graft.ops.Dedup.decontaminate(spark, dir).count())
     time("tfidf")(graft.ops.TextAnalysis.tfidfTop(spark, dir).count())
     if (want("incremental")) {
