@@ -98,7 +98,8 @@ object SparkEntry {
     "q_mix_weights"    -> ((s, d) => TextAnalysis.mixWeights(s, d)),
     "q_vec_quantize"   -> ((s, d) => Similarity.vecQuantize(s, d)),
     "q_salted_join"    -> ((s, d) => Relational.saltedJoin(s, d)),
-    "q_funnel"         -> ((s, d) => Relational.funnel(s, d))
+    "q_funnel"         -> ((s, d) => Relational.funnel(s, d)),
+    "q_text_embed_join" -> ((s, d) => Multimodal.textEmbedJoin(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -847,6 +848,15 @@ object SparkEntry {
         |  UNION ALL SELECT '1_signed_up', n1, round(CAST(n1 AS DOUBLE) / n0, 4) FROM a
         |  UNION ALL SELECT '2_purchased_after_signup', n2,
         |    round(CAST(n2 AS DOUBLE) / n0, 4) FROM a
-        |) ORDER BY stage""".stripMargin
+        |) ORDER BY stage""".stripMargin,
+
+    "q_text_embed_join" ->
+      """SELECT doc_id, lang,
+        | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        | round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 4)
+        |   AS norm,
+        | label
+        |FROM documents JOIN embeddings ON doc_id = vec_id
+        |ORDER BY doc_id""".stripMargin
   )
 }

@@ -122,4 +122,23 @@ object Multimodal {
           s"i -> i % $every = 0)")))
       .select(col("doc_id"), col("frame_no"),
         expr(s"substring(payload, frame_no * $frameSize + 1, $frameSize)").as("frame"))
+
+  /** Cross-modal alignment join: text rows to their embedding rows by id —
+    * the everyday join of a multimodal training pipeline (captions to image
+    * embeddings, documents to their vectors). Both sides are keyed on the
+    * id, so this is one co-partitioned shuffle join at any scale; with both
+    * tables bucketed by id on disk it is shuffle-free. */
+  def textEmbedJoin(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val d = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val e = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        round(expr("graft_norm(transform(embedding, x -> cast(x as double)))"), 4)
+          .as("norm"))
+    d.join(e, d("doc_id") === e("vec_id"))
+      .select(col("doc_id"), col("lang"), col("n_tok"), col("norm"), col("label"))
+      .orderBy(col("doc_id"))
+  }
 }
