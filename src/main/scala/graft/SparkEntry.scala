@@ -99,7 +99,8 @@ object SparkEntry {
     "q_vec_quantize"   -> ((s, d) => Similarity.vecQuantize(s, d)),
     "q_salted_join"    -> ((s, d) => Relational.saltedJoin(s, d)),
     "q_funnel"         -> ((s, d) => Relational.funnel(s, d)),
-    "q_text_embed_join" -> ((s, d) => Multimodal.textEmbedJoin(s, d))
+    "q_text_embed_join" -> ((s, d) => Multimodal.textEmbedJoin(s, d)),
+    "q_kmeans_profile" -> ((s, d) => Similarity.kmeansProfile(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

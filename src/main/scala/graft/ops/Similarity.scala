@@ -126,11 +126,19 @@ object Similarity {
     * corpus row, then a tiny aggregate keyed by nCells values. */
   def vecQuantize(spark: SparkSession, dir: String, nCells: Int = 8): DataFrame = {
     val e = withVec(spark, dir)
-    val seeds = e.filter(col("vec_id") < nCells)
+    quantizeProfile(e, e.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("seed_id"), col("v").as("sv")))
+  }
+
+  /** Per-cell population + cosine-to-centroid stats of `corpus` against an
+    * arbitrary centroid set `(seed_id, sv)` — the index-quality profile for
+    * both the deterministic seed quantizer and [[kmeansFit]]'s output. */
+  def quantizeProfile(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+    val seeds = centroids
+      .withColumn("snorm", expr("graft_norm(sv)"))
       .agg(sort_array(collect_list(
-        struct(col("vec_id").as("seed_id"), col("v").as("sv"), col("norm").as("snorm"))))
-        .as("cells"))
-    e.crossJoin(broadcast(seeds))
+        struct(col("seed_id"), col("sv"), col("snorm")))).as("cells"))
+    corpus.crossJoin(broadcast(seeds))
       .withColumn("asn", expr(assignStruct))
       .select(col("vec_id"), col("asn.cell").as("cell"), col("asn.best").as("cos"))
       .groupBy(col("cell"))
@@ -140,6 +148,69 @@ object Similarity {
         round(max(col("cos")), 4).as("max_cos"))
       .orderBy(col("cell"))
   }
+
+  /** Spherical k-means fit (Lloyd's): the real trainer behind the IVF
+    * coarse quantizer — deterministic init (the first `k` corpus vectors),
+    * cosine assignment via the broadcast fold, mean update, stop on stable
+    * assignments or `maxIter`. Cosine against an unnormalized mean equals
+    * cosine against the normalized mean (scale-invariance), so the mean
+    * update IS the spherical k-means step and the objective (mean cosine to
+    * assigned centroid) is non-decreasing — the spec asserts it.
+    *
+    * Scale shape per iteration: one broadcast fold over the corpus (no
+    * shuffle) + one (cell, dim)-keyed aggregate whose explode factor is the
+    * vector dimension — linear in corpus size, k*dim driver state only.
+    * Empty cells keep their previous centroid (the standard dead-cell
+    * rule), so k never silently shrinks. */
+  def kmeansFit(spark: SparkSession, dir: String, k: Int = 8,
+                maxIter: Int = 10): DataFrame = {
+    val e = withVec(spark, dir)
+    var centroids = e.filter(col("vec_id") < k)
+      .select(col("vec_id").as("seed_id"), col("v").as("sv"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    var checksum = (-1L, -1L)
+    while (!converged && iter < maxIter) {
+      val seeds = centroids
+        .withColumn("snorm", expr("graft_norm(sv)"))
+        .agg(sort_array(collect_list(
+          struct(col("seed_id"), col("sv"), col("snorm")))).as("cells"))
+      val assigned = e.crossJoin(broadcast(seeds))
+        .withColumn("cell", expr(assignStruct + ".cell"))
+        .select(col("vec_id"), col("v"), col("cell"))
+        .localCheckpoint(true)
+      val r = assigned.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(vec_id, cell))"), lit(0L))).head()
+      val nextSum = (r.getLong(0), r.getLong(1))
+      converged = nextSum == checksum // assignments stable => fixpoint
+      checksum = nextSum
+      if (!converged) {
+        // mean per (cell, dim), reassembled in dim order; dead cells fall
+        // back to their previous centroid via the right join + coalesce
+        val means = assigned
+          .select(col("cell"), posexplode(col("v")).as(Seq("idx", "x")))
+          .groupBy(col("cell"), col("idx")).agg(avg(col("x")).as("m"))
+          .groupBy(col("cell"))
+          .agg(expr("transform(sort_array(collect_list(struct(idx, m))), p -> p.m)")
+            .as("mv"))
+        centroids = centroids.join(means,
+            centroids("seed_id") === means("cell"), "left")
+          .select(col("seed_id"), coalesce(col("mv"), col("sv")).as("sv"))
+          .localCheckpoint(true)
+      }
+      iter += 1
+    }
+    centroids
+  }
+
+  /** Quantization profile of the TRAINED quantizer ([[kmeansFit]]) — the
+    * rows-only bench/driver surface for the k-means path (float iteration
+    * means no closed-form SQL oracle; the spec pins the contracts:
+    * partition totality and objective improvement over the seed cells). */
+  def kmeansProfile(spark: SparkSession, dir: String, k: Int = 8,
+                    maxIter: Int = 10): DataFrame =
+    quantizeProfile(withVec(spark, dir), kmeansFit(spark, dir, k, maxIter))
 
   /** Approximate top-k with multi-probe: each query probes its own b-bit
     * SRP bucket plus the b hamming-1-adjacent buckets (vectors near a

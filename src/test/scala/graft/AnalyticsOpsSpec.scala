@@ -149,6 +149,24 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(rows.head.getDouble(2) === 1.0)
   }
 
+  test("k-means fit: cells partition the corpus and beat the seed quantizer") {
+    import graft.ops.Similarity
+    val total = ops.Tables(spark, sf, "embeddings").count()
+    def weightedAvg(rows: Array[org.apache.spark.sql.Row]): Double = {
+      val n = rows.map(_.getLong(1)).sum.toDouble
+      rows.map(r => r.getLong(1) * r.getDouble(2)).sum / n
+    }
+    val seeds = Similarity.vecQuantize(spark, sf).collect()
+    val trained = Similarity.kmeansProfile(spark, sf, maxIter = 5).collect()
+    assert(trained.map(_.getLong(1)).sum === total) // partition totality
+    // the spherical k-means objective (mean cosine to assigned centroid)
+    // must not regress versus the untrained seed cells
+    assert(weightedAvg(trained) >= weightedAvg(seeds) - 1e-6,
+      s"trained=${weightedAvg(trained)} seeds=${weightedAvg(seeds)}")
+    // (bit-exact rerun determinism is NOT asserted: the mean update's
+    // floating-point reduction order varies with task scheduling)
+  }
+
   test("big-star clustering is output-identical to min-label propagation") {
     val a = Dedup.nearDupClusters(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
