@@ -100,7 +100,9 @@ object SparkEntry {
     "q_salted_join"    -> ((s, d) => Relational.saltedJoin(s, d)),
     "q_funnel"         -> ((s, d) => Relational.funnel(s, d)),
     "q_text_embed_join" -> ((s, d) => Multimodal.textEmbedJoin(s, d)),
-    "q_kmeans_profile" -> ((s, d) => Similarity.kmeansProfile(s, d))
+    // 5 Lloyd rounds: the objective is near-saturated there and the bench
+    // measures a bounded fit, not convergence-tail jitter
+    "q_kmeans_profile" -> ((s, d) => Similarity.kmeansProfile(s, d, maxIter = 5))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -168,37 +168,41 @@ object Similarity {
     var centroids = e.filter(col("vec_id") < k)
       .select(col("vec_id").as("seed_id"), col("v").as("sv"))
       .localCheckpoint(true)
+    // Convergence reads the CENTROIDS (k rows, materialized), not a second
+    // corpus scan: new centroids identical to the old ones means the
+    // assignments were stable, and the per-iteration corpus cost stays at
+    // exactly one assignment scan (the mean update). If floating-point
+    // partial-aggregation order makes a converged mean jitter in the last
+    // bit, the loop just runs to maxIter — never incorrect, only slower.
+    def centroidChecksum(c: DataFrame): (Long, Long) = {
+      val r = c.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(seed_id, to_json(sv)))"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
     var iter = 0
     var converged = false
-    var checksum = (-1L, -1L)
+    var checksum = centroidChecksum(centroids)
     while (!converged && iter < maxIter) {
       val seeds = centroids
         .withColumn("snorm", expr("graft_norm(sv)"))
         .agg(sort_array(collect_list(
           struct(col("seed_id"), col("sv"), col("snorm")))).as("cells"))
-      val assigned = e.crossJoin(broadcast(seeds))
+      // mean per (cell, dim), reassembled in dim order; dead cells fall
+      // back to their previous centroid via the left join + coalesce
+      val means = e.crossJoin(broadcast(seeds))
         .withColumn("cell", expr(assignStruct + ".cell"))
-        .select(col("vec_id"), col("v"), col("cell"))
+        .select(col("cell"), posexplode(col("v")).as(Seq("idx", "x")))
+        .groupBy(col("cell"), col("idx")).agg(avg(col("x")).as("m"))
+        .groupBy(col("cell"))
+        .agg(expr("transform(sort_array(collect_list(struct(idx, m))), p -> p.m)")
+          .as("mv"))
+      centroids = centroids.join(means,
+          centroids("seed_id") === means("cell"), "left")
+        .select(col("seed_id"), coalesce(col("mv"), col("sv")).as("sv"))
         .localCheckpoint(true)
-      val r = assigned.agg(count(lit(1)),
-        coalesce(expr("bit_xor(xxhash64(vec_id, cell))"), lit(0L))).head()
-      val nextSum = (r.getLong(0), r.getLong(1))
-      converged = nextSum == checksum // assignments stable => fixpoint
+      val nextSum = centroidChecksum(centroids)
+      converged = nextSum == checksum // stable centroids => stable assignments
       checksum = nextSum
-      if (!converged) {
-        // mean per (cell, dim), reassembled in dim order; dead cells fall
-        // back to their previous centroid via the right join + coalesce
-        val means = assigned
-          .select(col("cell"), posexplode(col("v")).as(Seq("idx", "x")))
-          .groupBy(col("cell"), col("idx")).agg(avg(col("x")).as("m"))
-          .groupBy(col("cell"))
-          .agg(expr("transform(sort_array(collect_list(struct(idx, m))), p -> p.m)")
-            .as("mv"))
-        centroids = centroids.join(means,
-            centroids("seed_id") === means("cell"), "left")
-          .select(col("seed_id"), coalesce(col("mv"), col("sv")).as("sv"))
-          .localCheckpoint(true)
-      }
       iter += 1
     }
     centroids
