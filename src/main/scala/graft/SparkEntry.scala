@@ -102,7 +102,8 @@ object SparkEntry {
     "q_text_embed_join" -> ((s, d) => Multimodal.textEmbedJoin(s, d)),
     // 5 Lloyd rounds: the objective is near-saturated there and the bench
     // measures a bounded fit, not convergence-tail jitter
-    "q_kmeans_profile" -> ((s, d) => Similarity.kmeansProfile(s, d, maxIter = 5))
+    "q_kmeans_profile" -> ((s, d) => Similarity.kmeansProfile(s, d, maxIter = 5)),
+    "q_lm_score"       -> ((s, d) => TextAnalysis.lmScore(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -852,6 +853,19 @@ object SparkEntry {
         |  UNION ALL SELECT '2_purchased_after_signup', n2,
         |    round(CAST(n2 AS DOUBLE) / n0, 4) FROM a
         |) ORDER BY stage""".stripMargin,
+
+    "q_lm_score" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+        |         i -> t[i] || ' ' || t[i+1])) AS big FROM d),
+        |cb AS (SELECT big, count(*) AS c2 FROM bg GROUP BY 1),
+        |cu AS (SELECT string_split(big, ' ')[1] AS w1, count(*) AS c1
+        |       FROM bg GROUP BY 1),
+        |s AS (SELECT doc_id, ln(CAST(c2 AS DOUBLE) / c1) AS lp
+        |      FROM bg JOIN cb USING (big)
+        |      JOIN cu ON string_split(bg.big, ' ')[1] = cu.w1)
+        |SELECT doc_id, count(*) AS n_bigrams, round(avg(lp), 4) AS avg_logp
+        |FROM s GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     "q_text_embed_join" ->
       """SELECT doc_id, lang,

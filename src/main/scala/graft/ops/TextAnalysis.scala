@@ -277,6 +277,37 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("fp"))
   }
 
+  /** Corpus bigram LM score — the perplexity-proxy quality filter: fit a
+    * maximum-likelihood bigram model on the corpus itself (c(w1,w2)/c(w1·))
+    * and score each doc by its mean log-probability. Gibberish and
+    * boilerplate-free repetition score low/high respectively, which is why
+    * LM filtering is a standard pipeline stage (the real deployment swaps
+    * the self-fit counts for a reference-corpus table — same joins).
+    *
+    * Shape at scale: one explode pass builds the bigram stream, the model
+    * is two hash aggregates over it, and scoring is two keyed joins back —
+    * everything keyed, nothing quadratic, no driver state. */
+  def lmScore(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+    // guard: Spark's sequence(1, 0) DESCENDS, so short docs need the CASE
+    val bg = d.select(col("doc_id"), explode(expr(
+      """CASE WHEN size(t) >= 2
+        |  THEN transform(sequence(1, size(t) - 1),
+        |         i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))
+        |  ELSE array() END""".stripMargin)).as("big"))
+    val cb = bg.groupBy(col("big")).agg(count(lit(1)).as("c2"))
+    val cu = bg.select(expr("split(big, ' ')[0]").as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    bg.join(cb, "big")
+      .withColumn("w1", expr("split(big, ' ')[0]"))
+      .join(cu, "w1")
+      .withColumn("lp", log(col("c2").cast("double") / col("c1")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), round(avg(col("lp")), 4).as("avg_logp"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Domain-mixture weights: per source, token counts and a sub-linearly
     * scaled sampling weight (token_share^0.7, normalized — the standard
     * temperature-style reweighting that upsamples small domains without

@@ -149,6 +149,22 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(rows.head.getDouble(2) === 1.0)
   }
 
+  test("lm score: fully predictable text scores 0, ambiguous continuations score below") {
+    val dir = tmpDir("lm")
+    Seq(
+      (1L, "a b a b a b"),   // every continuation deterministic -> avg ln(1) = 0
+      (2L, "a c a d a e"))   // 'a' continues 3 ways (plus doc 1's b) -> lp < 0
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val r = TextAnalysis.lmScore(spark, dir).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(2))).toMap
+    assert(r(1L)._1 === 5L)
+    assert(r(2L)._1 === 5L)
+    // doc 1's 'a->b' is no longer certain corpus-wide (a also precedes c/d/e),
+    // but remains the modal continuation: strictly better score than doc 2
+    assert(r(1L)._2 > r(2L)._2)
+    assert(r(2L)._2 < 0.0)
+  }
+
   test("k-means fit: cells partition the corpus and beat the seed quantizer") {
     import graft.ops.Similarity
     val total = ops.Tables(spark, sf, "embeddings").count()
