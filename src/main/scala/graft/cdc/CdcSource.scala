@@ -96,7 +96,7 @@ final class WireCdcSource(spark: SparkSession, feedDir: String, tableDir: String
     Transforms.projectAndCoerce(
       spark.read.parquet(s"$tableDir/${sync.table}.parquet"), sync)
 
-  private[cdc] def decode(raw: DataFrame): DataFrame = {
+  private[graft] def decode(raw: DataFrame): DataFrame = {
     val decoded = wireFormat match {
       case "wal2json"     => EnvelopeDecoders.decodeWal2json(raw)
       case "mysql-binlog" => EnvelopeDecoders.decodeMysqlBinlog(raw)

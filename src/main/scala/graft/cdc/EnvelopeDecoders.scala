@@ -85,7 +85,10 @@ object EnvelopeDecoders {
         |                   after_values: VARIANT>>>""".stripMargin)
     raw
       .withColumn("__e", from_json(col(dataCol), schema))
-      .filter(undecodableGuard(col("__e").isNotNull, "mysql binlog", col(dataCol)))
+      // guard on the mandatory `type` field: PERMISSIVE from_json returns an
+      // all-null STRUCT (not a null struct) for corrupt records, so struct
+      // non-nullity alone never fires
+      .filter(undecodableGuard(col("__e.type").isNotNull, "mysql binlog", col(dataCol)))
       .filter(col("__e.type").isin("write", "update", "delete"))
       .select(col(offsetCol).as("offset"),
         opFrom(col("__e.type"), "write").as("op"),
@@ -111,7 +114,9 @@ object EnvelopeDecoders {
         |documentKey: VARIANT>""".stripMargin)
     val d = raw
       .withColumn("__m", from_json(col(dataCol), schema))
-      .filter(undecodableGuard(col("__m").isNotNull, "mongo change stream", col(dataCol)))
+      // mandatory-field guard — see the binlog note on PERMISSIVE structs
+      .filter(undecodableGuard(col("__m.operationType").isNotNull,
+        "mongo change stream", col(dataCol)))
       .filter(col("__m.operationType").isin("insert", "update", "delete"))
     val uf = to_json(col("__m.updateDescription.updatedFields"))
     val dk = to_json(col("__m.documentKey"))

@@ -107,6 +107,39 @@ class EnvelopeDecodersSpec extends SparkSpec {
     assert(out.head.getAs[String]("data") === """{"_id":"z9"}""")
   }
 
+  test("undecodable messages fail loudly instead of vanishing") {
+    // from_json yields null on garbage; the decoders must raise, not emit
+    // zero rows (the changes would silently never reach the sink)
+    val garbage = Seq(("{not json at all", 1L)).toDF("data", "offset")
+    val e1 = intercept[Exception] {
+      EnvelopeDecoders.decodeWal2json(garbage).collect()
+    }
+    assert(e1.getMessage.contains("undecodable") ||
+      Option(e1.getCause).exists(_.getMessage.contains("undecodable")))
+    val e2 = intercept[Exception] {
+      EnvelopeDecoders.decodeMysqlBinlog(garbage).collect()
+    }
+    assert(e2.getMessage.contains("undecodable") ||
+      Option(e2.getCause).exists(_.getMessage.contains("undecodable")))
+  }
+
+  test("wire source: an out-of-range message offset fails loudly, not silently") {
+    import graft.cdc.WireCdcSource
+    val root = tmpDir("wireguard")
+    val src = new WireCdcSource(spark, s"$root/feed", root, "wal2json")
+    val msg = """{"change":[{"kind":"insert","schema":"p","table":"t","columnnames":["id"],"columnvalues":[1]}],"nextlsn":"0/1"}"""
+    // offset 2^43 would collide after the <<20 shift — must raise
+    val raw = Seq((8796093022208L, msg)).toDF("offset", "data")
+    val e = intercept[Exception] { src.decode(raw).collect() }
+    assert(e.getMessage.contains("offset encoding") ||
+      Option(e.getCause).exists(_.getMessage.contains("offset encoding")))
+    // and a well-in-range message decodes through the same path
+    val ok = Seq((7L, msg)).toDF("offset", "data")
+    val out = src.decode(ok).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Long]("offset") === (7L << 20))
+  }
+
   test("wire source e2e: raw wal2json feed streams through the full pipeline") {
     import graft.cdc._
     import graft.model._
