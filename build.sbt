@@ -15,6 +15,11 @@ run / fork := true
 // parse the single JSON line Bench.main prints, and sbt's default logger
 // would wrap it as "[info] {...}" which is not valid JSON to a line parser.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// Suppress sbt's trailing "[success] Total time: ..." line so the bench
+// JSON printed by Bench.main is the LAST line of stdout — the bench driver
+// reads the output tail and a trailing non-JSON line breaks its parse
+// (BENCH_r01..r03 all recorded parsed:null with the success line last).
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
