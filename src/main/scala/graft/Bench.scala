@@ -20,8 +20,15 @@ object Bench {
     // measured. Without this, whichever queries run first absorb ~2-3 s of
     // one-time JVM warmup and the per-query numbers depend on map ordering
     // (measured: q_tfidf 1.56 s cold -> 0.79 s steady-state at sf0.01).
+    // q_dedup_ngram / q_dedup_ngram_prefix / q_kmeans_profile cover the
+    // shingle->inverted-index pair pipeline, the sorted-merge overlap
+    // verify, and the iterative localCheckpoint loop — the three heaviest
+    // codegen surfaces. Measured: q_containment 11.5 s cold -> 2.1 s
+    // steady-state at sf0.1; without these, whichever pair query the map
+    // ordering puts first absorbs that warmup.
     Seq("q1_agg", "q3_join_topk", "q_window_rank", "q_explode",
-      "q_simhash", "q_ann_topk").foreach { q =>
+      "q_simhash", "q_ann_topk", "q_dedup_ngram", "q_dedup_ngram_prefix",
+      "q_kmeans_profile").foreach { q =>
       try { SparkEntry.queries(q)(spark, sfDir).count(); () }
       catch { case _: Throwable => () }
     }

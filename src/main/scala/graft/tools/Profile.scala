@@ -24,6 +24,24 @@ object Profile {
     val docs = graft.ops.Tables(spark, sfDir, "documents")
     docs.count() // warm footer/JIT
 
+    // whole-query steady-state mode: `<sfDir> queries <reps> <q1,q2,...>` —
+    // per-rep seconds expose the cold-vs-warm JIT gap the Bench warmup tier
+    // has to cover (single-shot driver measurements hide it).
+    if (which == "queries") {
+      val reps = args(2).toInt
+      args(3).split(",").foreach { q =>
+        val fn = graft.SparkEntry.queries(q)
+        val ts = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(f"PROFILE $q%-24s ${ts.map(t => f"$t%.2f").mkString(" ")}")
+      }
+      spark.stop()
+      return
+    }
+
     which match {
       case "prefix" =>
         val s = docs.select(col("doc_id"), expr("graft_shingle_hashes(text, 3)").as("hs"))
