@@ -437,10 +437,14 @@ object Dedup {
         .union(edges.select(col("v").as("a"), col("u").as("b")))
       val lsMin = sym.groupBy(col("a")).agg(min(col("b")).as("nm"))
         .select(col("a"), least(col("a"), col("nm")).as("m"))
+      // No distinct here: each undirected edge survives the b > a filter in
+      // exactly one orientation, so |ls| = |edges| up to min-label
+      // collisions, and both consumers tolerate duplicates (ssMin is a
+      // groupBy-min; ss dedups itself). Dropping it removes one full
+      // shuffle per round.
       val ls = sym.join(lsMin, "a")
         .filter(col("b") > col("a"))
         .select(col("b").as("u"), col("m").as("v"))
-        .distinct()
       // small-star: edges now directed large->small; attach u and its
       // smaller neighbors to m = min(N(u)) (all neighbors are < u here)
       val ssMin = ls.groupBy(col("u")).agg(min(col("v")).as("m"))
