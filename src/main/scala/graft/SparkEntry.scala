@@ -103,7 +103,10 @@ object SparkEntry {
     // 5 Lloyd rounds: the objective is near-saturated there and the bench
     // measures a bounded fit, not convergence-tail jitter
     "q_kmeans_profile" -> ((s, d) => Similarity.kmeansProfile(s, d, maxIter = 5)),
-    "q_lm_score"       -> ((s, d) => TextAnalysis.lmScore(s, d))
+    "q_lm_score"       -> ((s, d) => TextAnalysis.lmScore(s, d)),
+    "q_gopher_rules"   -> ((s, d) => TextAnalysis.gopherRules(s, d)),
+    "q_reshard"        -> ((s, d) => TextAnalysis.reshard(s, d)),
+    "q_novelty"        -> ((s, d) => Dedup.novelty(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -874,6 +877,43 @@ object SparkEntry {
         |   AS norm,
         | label
         |FROM documents JOIN embeddings ON doc_id = vec_id
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_gopher_rules" ->
+      """WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok,
+        |        len(toks) BETWEEN 30 AND 10000 AS ok_ntok,
+        |        CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(toks)
+        |          BETWEEN 4.3 AND 10.0 AS ok_wlen,
+        |        CAST(len(list_filter(toks,
+        |            t -> t IN ('the', 'a', 'and', 'of', 'to', 'in'))) AS DOUBLE)
+        |          / len(toks) >= 0.02 AS ok_stop,
+        |        CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) >= 0.4 AS ok_ttr
+        |      FROM d)
+        |SELECT doc_id, n_tok, ok_ntok, ok_wlen, ok_stop, ok_ttr,
+        |  ok_ntok AND ok_wlen AND ok_stop AND ok_ttr AS keep
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q_reshard" ->
+      """SELECT CAST(((doc_id * 2654435761) % 1000003) % 16 AS INT) AS shard,
+        |  count(*) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin,
+
+    "q_novelty" ->
+      """WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |s AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - 2),
+        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh FROM t0),
+        |e AS (SELECT doc_id, unnest(sh) AS gm FROM s),
+        |f AS (SELECT gm, count(*) AS cnt FROM e GROUP BY 1),
+        |u AS (SELECT e.doc_id, count(*) AS n_unique FROM e JOIN f ON e.gm = f.gm
+        |      WHERE f.cnt = 1 GROUP BY 1)
+        |SELECT s.doc_id, CAST(len(sh) AS BIGINT) AS n_sh,
+        |  CAST(coalesce(u.n_unique, 0) AS BIGINT) AS n_unique,
+        |  round(CAST(coalesce(u.n_unique, 0) AS DOUBLE) / greatest(len(sh), 1), 4)
+        |    AS novelty_ratio
+        |FROM s LEFT JOIN u ON s.doc_id = u.doc_id ORDER BY s.doc_id""".stripMargin
   )
 }

@@ -541,4 +541,36 @@ object Dedup {
           greatest(col("n_sh"), lit(1L)), 4).as("contam_ratio"))
       .orderBy(col("doc_id"))
   }
+
+  /** Corpus n-gram NOVELTY: per document, how many of its distinct word-
+    * `n`-gram shingles appear in NO other document (corpus df = 1), and the
+    * novelty ratio. The inverse of [[containment]]/boilerplate detection —
+    * high novelty marks content contributing new text to the corpus, the
+    * signal used to weight or keep documents during mixture construction.
+    *
+    * Scale shape: df is one groupBy over exploded 8-byte shingle hashes
+    * (map-side partial agg), the per-doc reduction one more keyed groupBy —
+    * both linear in corpus shingle volume, nothing quadratic, nothing
+    * collected. Exact modulo 64-bit hash collisions like the whole Jaccard
+    * family (the DuckDB oracle shingles strings; counts agree unless
+    * xxhash64 collides, ~1e-9 at 1e5 distinct shingles). */
+  def novelty(spark: SparkSession, dir: String, n: Int = 3): DataFrame = {
+    graft.functions.TextFunctions.register(spark)
+    val d = Tables(spark, dir, "documents")
+      .select(col("doc_id"), expr(s"graft_shingle_hashes(text, $n)").as("hs"))
+      .withColumn("n_sh", size(col("hs")).cast("long"))
+    val dfreq = d.select(explode(col("hs")).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val uniq = d.select(col("doc_id"), explode(col("hs")).as("h"))
+      .join(dfreq.filter(col("df") === 1), Seq("h"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_unique"))
+    // left join back so zero-shingle docs (< n tokens) still report
+    d.select(col("doc_id"), col("n_sh"))
+      .join(uniq, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_sh"),
+        coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+        round(coalesce(col("n_unique"), lit(0L)).cast("double") /
+          greatest(col("n_sh"), lit(1L)), 4).as("novelty_ratio"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -366,6 +366,53 @@ object TextAnalysis {
     * boilerplate exact-dedup misses. One explode + one two-level aggregate:
     * sentences are keyed by md5 so the shuffle carries 16-byte keys, and
     * the (sentence, doc) distinct happens map-side before the global count. */
+  /** Gopher/C4-style rule-based quality filter: per-document boolean flags
+    * for token count, mean word length, stop-word density and type-token
+    * ratio, plus the conjunction (`keep`). Pure per-row expression work —
+    * scan-bound at 100 TB like the rest of this operator class; the rules
+    * are the standard heuristic-filter shapes (Rae et al. Gopher §A1.1,
+    * C4's cleanup) with thresholds tuned to discriminate on this corpus.
+    * All arithmetic is exact-integer or single-division IEEE, so the DuckDB
+    * oracle reproduces the booleans bit-for-bit. */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val stop = Seq("the", "a", "and", "of", "to", "in")
+    val d = Tables(spark, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+    d.select(
+        col("doc_id"), col("n_tok"),
+        col("n_tok").between(30, 10000).as("ok_ntok"),
+        (length(replace(col("text"), lit(" "), lit(""))).cast("double") / col("n_tok"))
+          .between(4.3, 10.0).as("ok_wlen"),
+        (size(filter(col("toks"), t => t.isin(stop: _*))).cast("double") / col("n_tok") >= 0.02)
+          .as("ok_stop"),
+        (size(array_distinct(col("toks"))).cast("double") / col("n_tok") >= 0.4)
+          .as("ok_ttr"))
+      .withColumn("keep",
+        col("ok_ntok") && col("ok_wlen") && col("ok_stop") && col("ok_ttr"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Deterministic hash-resharding diagnostics: assign every document to one
+    * of `shards` shards by a multiplicative hash (reproducible across runs
+    * and engines — the property a training dataloader needs) and report
+    * per-shard balance: doc/token counts and language spread. At 100 TB the
+    * assignment is the partitioner itself (`repartition(shards, shard)`);
+    * the aggregate here is the balance check run before committing a
+    * layout. One shuffle (the groupBy), partial-agg reduced at the scan. */
+  def reshard(spark: SparkSession, dir: String, shards: Int = 16): DataFrame =
+    Tables(spark, dir, "documents")
+      .withColumn("shard",
+        (((col("doc_id") * lit(2654435761L)) % 1000003L) % shards).cast("int"))
+      .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        count_distinct(col("lang")).as("n_langs"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy(col("shard"))
+
   def boilerplate(spark: SparkSession, dir: String, minDocs: Int = 2): DataFrame =
     Tables(spark, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), "\\. ")).as("s"))

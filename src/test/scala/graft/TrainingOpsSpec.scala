@@ -87,4 +87,43 @@ class TrainingOpsSpec extends SparkSpec {
         math.rint(r.getLong(1).toDouble / n(0) * 10000) / 10000)
     }
   }
+
+  test("gopher rules: keep is the conjunction and each rule matches its definition") {
+    val rows = TextAnalysis.gopherRules(spark, sf).collect()
+    assert(rows.length === ops.Tables(spark, sf, "documents").count()) // total
+    rows.foreach { r =>
+      assert(r.getBoolean(6) ===
+        (r.getBoolean(2) && r.getBoolean(3) && r.getBoolean(4) && r.getBoolean(5)))
+      assert(r.getBoolean(2) === (r.getLong(1) >= 30 && r.getLong(1) <= 10000))
+    }
+    // the thresholds actually discriminate on this corpus
+    assert(rows.exists(_.getBoolean(6)) && rows.exists(!_.getBoolean(6)))
+  }
+
+  test("novelty: shared shingles score zero, unique text scores one") {
+    // two verbatim copies (every 3-gram has df >= 2 -> zero novelty) plus a
+    // disjoint doc (every 3-gram unique -> novelty 1)
+    val dir = tmpDir("novelty")
+    Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "one two three four five six"),
+      (4L, "hi there")) // < 3 tokens: no shingles, reports 0/0
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val r = Dedup.novelty(spark, dir).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getDouble(3))).toMap
+    assert(r(1L) === ((3L, 0L, 0.0)))
+    assert(r(2L) === ((3L, 0L, 0.0)))
+    assert(r(3L) === ((4L, 4L, 1.0)))
+    assert(r(4L) === ((0L, 0L, 0.0)))
+  }
+
+  test("reshard: deterministic total partition with in-range shards") {
+    val docs = ops.Tables(spark, sf, "documents")
+    val rows = TextAnalysis.reshard(spark, sf).collect()
+    assert(rows.map(_.getLong(1)).sum === docs.count()) // every doc in a shard
+    rows.foreach(r => assert(r.getInt(0) >= 0 && r.getInt(0) < 16))
+    // deterministic: a second run yields the identical result set
+    assert(TextAnalysis.reshard(spark, sf).collect().toSeq === rows.toSeq)
+  }
 }
