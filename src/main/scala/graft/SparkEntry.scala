@@ -106,7 +106,11 @@ object SparkEntry {
     "q_lm_score"       -> ((s, d) => TextAnalysis.lmScore(s, d)),
     "q_gopher_rules"   -> ((s, d) => TextAnalysis.gopherRules(s, d)),
     "q_reshard"        -> ((s, d) => TextAnalysis.reshard(s, d)),
-    "q_novelty"        -> ((s, d) => Dedup.novelty(s, d))
+    "q_novelty"        -> ((s, d) => Dedup.novelty(s, d)),
+    "q_scd2"           -> ((s, d) => Relational.scd2(s, d)),
+    "q_entropy"        -> ((s, d) => TextAnalysis.entropy(s, d)),
+    "q_source_profile" -> ((s, d) => TextAnalysis.sourceProfile(s, d)),
+    "q_dedup_incr"     -> ((s, d) => IncrementalDedup.twoBatchPairs(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -914,6 +918,50 @@ object SparkEntry {
         |  CAST(coalesce(u.n_unique, 0) AS BIGINT) AS n_unique,
         |  round(CAST(coalesce(u.n_unique, 0) AS DOUBLE) / greatest(len(sh), 1), 4)
         |    AS novelty_ratio
-        |FROM s LEFT JOIN u ON s.doc_id = u.doc_id ORDER BY s.doc_id""".stripMargin
+        |FROM s LEFT JOIN u ON s.doc_id = u.doc_id ORDER BY s.doc_id""".stripMargin,
+
+    "q_scd2" ->
+      """SELECT user_id, event_id AS version_id,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS valid_from,
+        |  CAST(floor(epoch(lead(ts, 1) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) AS valid_to,
+        |  lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |    AS is_current,
+        |  round(value, 2) AS value
+        |FROM events ORDER BY user_id, valid_from, version_id""".stripMargin,
+
+    "q_entropy" ->
+      """WITH e AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |c AS (SELECT doc_id, tok, count(*) AS c FROM e GROUP BY 1, 2),
+        |a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok,
+        |        sum(c * log2(c)) AS clog FROM c GROUP BY 1)
+        |SELECT doc_id, n_tok, round(log2(n_tok) - clog / n_tok, 4) AS entropy
+        |FROM a ORDER BY doc_id""".stripMargin,
+
+    "q_source_profile" ->
+      """SELECT source, count(*) AS n_docs,
+        |  round(avg(n_chars), 2) AS avg_chars,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST(count(DISTINCT text) AS BIGINT) AS n_uniq,
+        |  round(CAST(count(*) - count(DISTINCT text) AS DOUBLE) / count(*), 4)
+        |    AS dup_ratio
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    // One-shot pair set (no df cap) restricted to pairs with a new-side doc
+    // (doc_b > median split) — grades IncrementalDedup.twoBatchPairs'
+    // incremental = one-shot contract.
+    "q_dedup_incr" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |s AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - 2),
+        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh FROM d),
+        |p AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM s),
+        |j AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb,
+        |        count(*) AS c
+        |      FROM p a JOIN p b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2, 3, 4)
+        |SELECT doc_a, doc_b, round(CAST(c AS DOUBLE) / (na + nb - c), 4) AS jaccard
+        |FROM j WHERE round(CAST(c AS DOUBLE) / (na + nb - c), 4) >= 0.5
+        |  AND doc_b > (SELECT max(doc_id) // 2 FROM documents)
+        |ORDER BY doc_a, doc_b""".stripMargin
   )
 }

@@ -230,4 +230,27 @@ object IncrementalDedup {
     newBands.unpersist(); newSets.unpersist()
     verified
   }
+
+  /** Driver-checked incremental contract: split `documents` at the median
+    * doc_id (old corpus vs new crawl batch), ingest both through [[update]]
+    * with no df cap, and return the SECOND batch's emitted pairs. Exactly
+    * the one-shot n-gram-Jaccard pairs with at least one new-side doc
+    * (doc_b > split, since doc_a < doc_b) — the oracle grades that
+    * equivalence, turning the incremental = one-shot property the specs
+    * assert into a gate-checked query. State lives in a scratch dir wiped
+    * up front, so the query is re-runnable and self-contained. */
+  def twoBatchPairs(spark: SparkSession, dir: String,
+                    threshold: Double = 0.5): DataFrame = {
+    val docs = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val split = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+    val state = s"${sys.props("java.io.tmpdir")}/graft_incr_twobatch"
+    val p = new org.apache.hadoop.fs.Path(state)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) fs.delete(p, true)
+    // update() appends state eagerly (the write is an action); batch 1's
+    // pair frame is discarded unexecuted — only its postings matter here.
+    update(spark, state, docs.filter(col("doc_id") <= split), threshold)
+    update(spark, state, docs.filter(col("doc_id") > split), threshold)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
 }

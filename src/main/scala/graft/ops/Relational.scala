@@ -508,4 +508,28 @@ object Relational {
         round(first(col("p95")), 2).as("p95"))
       .orderBy(col("o_orderpriority"))
   }
+
+  /** SCD type-2 history materialization from the CDC feed — the standard
+    * warehouse shape for "what did this row look like at time T": every
+    * change event becomes a version row with a [valid_from, valid_to)
+    * interval, closed by the NEXT event on the same key (lead window) and
+    * open (null valid_to, is_current) for the latest version. One shuffle
+    * on the key — the window's partitionBy — which is the minimal shuffle
+    * the semantics allow; at 100 TB the events feed is already
+    * partitioned by key in the lakehouse layout, making this map-side.
+    * Timestamps are emitted as epoch seconds (the sink coercion rule the
+    * reference applies, schemas.py:21-22). */
+  def scd2(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("valid_to_ts", lead(col("ts"), 1).over(w))
+      .select(col("user_id"),
+        col("event_id").as("version_id"),
+        unix_timestamp(col("ts")).as("valid_from"),
+        unix_timestamp(col("valid_to_ts")).as("valid_to"),
+        col("valid_to_ts").isNull.as("is_current"),
+        round(col("value"), 2).as("value"))
+      .orderBy(col("user_id"), col("valid_from"), col("version_id"))
+  }
 }

@@ -422,4 +422,40 @@ object TextAnalysis {
       .agg(count_distinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_occ"))
       .filter(col("n_docs") >= minDocs)
       .orderBy(col("h"))
+
+  /** Unigram word-entropy per document — the gibberish / low-diversity
+    * quality signal (near-zero for looping text, ~log2(n) for all-distinct
+    * tokens). Uses H = log2(n) - (1/n)·Σ c·log2(c) over per-doc token
+    * counts so the aggregation is a single partial+final sum after the
+    * token count — two keyed shuffles total ((doc, token) then doc), both
+    * map-side-combined; no per-doc state larger than a few doubles. */
+  def entropy(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tok"),
+        sum(col("c").cast("double") * log2(col("c"))).as("clog"))
+      .select(col("doc_id"), col("n_tok"),
+        round(log2(col("n_tok")) - col("clog") / col("n_tok"), 4).as("entropy"))
+      .orderBy(col("doc_id"))
+
+  /** Per-source corpus profile — the ingest-monitoring dashboard for a
+    * crawl pipeline: volume, size, language spread and exact-dup rate per
+    * source. Distinct content is counted via xxhash64(text), not the text
+    * itself, so the distinct aggregate shuffles 8-byte keys instead of
+    * full documents (at 100 TB the difference is the whole corpus); the
+    * oracle counts DISTINCT text directly — equal by hash injectivity at
+    * corpus scale. One groupBy on the (low-cardinality) source key. */
+  def sourceProfile(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("n_chars")), 2).as("avg_chars"),
+        count_distinct(col("lang")).as("n_langs"),
+        count_distinct(xxhash64(col("text"))).as("n_uniq"))
+      .withColumn("dup_ratio",
+        round((col("n_docs") - col("n_uniq")).cast("double") / col("n_docs"), 4))
+      .orderBy(col("source"))
 }

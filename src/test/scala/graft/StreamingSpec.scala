@@ -5,12 +5,20 @@ import graft.streaming._
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
+/** Top-level, not nested in the suite: a case class inside a spec CLASS
+  * captures the outer instance, and Janino's generated encoder code can't
+  * construct it — every MemoryStream addData fell back to interpreted
+  * UnsafeProjection (harmless in tests, but noisy and slow). */
+case class StreamEv(ts: java.sql.Timestamp, event_type: String, value: Double,
+                    user_id: Long)
+
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
 
   private def ts(s: String) = java.sql.Timestamp.valueOf(s)
-  private case class Ev(ts: java.sql.Timestamp, event_type: String, value: Double,
-                        user_id: Long)
+  private type Ev = StreamEv
+  private def Ev(ts: java.sql.Timestamp, event_type: String, value: Double,
+                 user_id: Long): StreamEv = StreamEv(ts, event_type, value, user_id)
 
   test("tumbling window with watermark drops late data past the bound") {
     val mem = MemoryStream[Ev](spark)
