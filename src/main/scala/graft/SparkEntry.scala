@@ -110,7 +110,9 @@ object SparkEntry {
     "q_scd2"           -> ((s, d) => Relational.scd2(s, d)),
     "q_entropy"        -> ((s, d) => TextAnalysis.entropy(s, d)),
     "q_source_profile" -> ((s, d) => TextAnalysis.sourceProfile(s, d)),
-    "q_dedup_incr"     -> ((s, d) => IncrementalDedup.twoBatchPairs(s, d))
+    "q_dedup_incr"     -> ((s, d) => IncrementalDedup.twoBatchPairs(s, d)),
+    "q_dup_spans"      -> ((s, d) => TextAnalysis.dupSpans(s, d)),
+    "q_vocab"          -> ((s, d) => TextAnalysis.vocabCoverage(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -962,6 +964,40 @@ object SparkEntry {
         |SELECT doc_a, doc_b, round(CAST(c AS DOUBLE) / (na + nb - c), 4) AS jaccard
         |FROM j WHERE round(CAST(c AS DOUBLE) / (na + nb - c), 4) >= 0.5
         |  AND doc_b > (SELECT max(doc_id) // 2 FROM documents)
-        |ORDER BY doc_a, doc_b""".stripMargin
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_dup_spans" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |g AS (SELECT doc_id, r['pos'] AS pos, r['gm'] AS gm FROM
+        |        (SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 4),
+        |           i -> struct_pack(pos := i - 1,
+        |             gm := t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+        |               || ' ' || t[i+4]))) AS r FROM d)),
+        |dup AS (SELECT gm FROM (SELECT gm, count(DISTINCT doc_id) AS dd
+        |          FROM g GROUP BY 1) WHERE dd >= 2),
+        |f AS (SELECT doc_id, pos FROM g WHERE gm IN (SELECT gm FROM dup)),
+        |runs AS (SELECT doc_id,
+        |           pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |         FROM f),
+        |r AS (SELECT doc_id, count(*) AS rl FROM runs GROUP BY doc_id, grp),
+        |agg AS (SELECT doc_id, CAST(sum(rl) AS BIGINT) AS n_dup_pos,
+        |          CAST(max(rl) AS BIGINT) AS longest_run FROM r GROUP BY 1),
+        |base AS (SELECT doc_id, CAST(greatest(len(t) - 4, 0) AS BIGINT) AS n_pos FROM d)
+        |SELECT base.doc_id, n_pos,
+        |  coalesce(n_dup_pos, 0) AS n_dup_pos,
+        |  coalesce(longest_run, 0) AS longest_run,
+        |  round(CAST(coalesce(n_dup_pos, 0) AS DOUBLE) / greatest(n_pos, 1), 4)
+        |    AS dup_ratio
+        |FROM base LEFT JOIN agg ON base.doc_id = agg.doc_id
+        |ORDER BY base.doc_id""".stripMargin,
+
+    "q_vocab" ->
+      """WITH e AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |f AS (SELECT tok, count(*) AS tf FROM e GROUP BY 1),
+        |tot AS (SELECT CAST(sum(tf) AS DOUBLE) AS tot FROM f),
+        |r AS (SELECT tok, tf, row_number() OVER (ORDER BY tf DESC, tok) AS rank FROM f)
+        |SELECT rank, tok, tf, round(tf / tot.tot, 4) AS share,
+        |  round(CAST(sum(tf) OVER (ORDER BY rank) AS DOUBLE) / tot.tot, 4) AS cum_share
+        |FROM r, tot WHERE rank <= 20 ORDER BY rank""".stripMargin
   )
 }

@@ -427,6 +427,54 @@ case class SortedOverlapCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** POSITIONAL xxhash64 (seed 42) of every word n-gram: element i is the
+  * hash of the gram starting at token i, duplicates preserved, order =
+  * position — the front end for duplicate-SPAN detection, where
+  * [[WordShingleHashes]]' set semantics lose exactly the information
+  * (which positions, how contiguous) the operator needs. One fused
+  * codegen'd pass; texts with fewer than n tokens yield an empty array. */
+case class WordGramPosHashes(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (_: StringType, IntegerType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string, int), got (${l.sql}, ${r.sql})")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_gram_pos_hashes"
+
+  override def nullSafeEval(t: Any, nAny: Any): Any = {
+    val toks = t.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      .toString.split(" ", -1)
+    val n = nAny.asInstanceOf[Int]
+    val count = math.max(toks.length - n + 1, 0)
+    val out = new Array[Long](count)
+    var i = 0
+    while (i < count) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+      val u = org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+      out(i) = XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("gramPosHashes", this, classOf[WordGramPosHashes].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) " +
+        s"$self.nullSafeEval($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): WordGramPosHashes =
+    copy(left = newLeft, right = newRight)
+}
+
 object TextFunctions {
   /** Register `graft_simhash64` / `graft_sliding_min_distinct` / shingling. Idempotent. */
   def register(spark: SparkSession): Unit = {
@@ -439,5 +487,6 @@ object TextFunctions {
     reg1("graft_shingle_hashes", exprs => WordShingleHashes(exprs(0), exprs(1)))
     reg1("graft_chargram_hashes", exprs => CharGramHashes(exprs(0), exprs(1)))
     reg1("graft_overlap_count", exprs => SortedOverlapCount(exprs(0), exprs(1)))
+    reg1("graft_gram_pos_hashes", exprs => WordGramPosHashes(exprs(0), exprs(1)))
   }
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a training-data pipeline over `documents`:
@@ -440,6 +441,75 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_tok"),
         round(log2(col("n_tok")) - col("clog") / col("n_tok"), 4).as("entropy"))
       .orderBy(col("doc_id"))
+
+  /** Duplicate-SPAN detection — the positional diagnostic behind
+    * exact-substring dedup (Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better"): for every doc, how many word-n-gram
+    * positions are covered by text that also appears in ANOTHER doc, and
+    * the longest contiguous such run. A doc with a long run is quoting /
+    * mirroring; a doc with high coverage but short runs shares phrasing.
+    *
+    * Shape at scale: positional gram hashes from one codegen'd pass
+    * (`graft_gram_pos_hashes` — set-based shingles lose positions), one
+    * (gram → distinct-doc df) aggregate over 8-byte keys, a semi-join back
+    * to flag positions, and per-doc run-length via the gaps-and-islands
+    * window (pos − row_number is constant within a run). Two keyed
+    * shuffles + one window; nothing quadratic — the pair explosion of
+    * pairwise dedup never happens because spans are graded per-position,
+    * not per-pair. */
+  def dupSpans(spark: SparkSession, dir: String, n: Int = 5): DataFrame = {
+    graft.functions.TextFunctions.register(spark)
+    val base = Tables(spark, dir, "documents")
+      .select(col("doc_id"), expr(s"graft_gram_pos_hashes(text, $n)").as("ghs"))
+      .select(col("doc_id"), size(col("ghs")).cast("long").as("n_pos"), col("ghs"))
+    val grams = base.select(col("doc_id"),
+      posexplode(col("ghs")).as(Seq("pos", "gh")))
+    // grams present in >= 2 DISTINCT docs (within-doc repetition alone is
+    // q_repetition's signal, not a cross-doc dup span)
+    val dupGrams = grams.groupBy(col("gh"))
+      .agg(count_distinct(col("doc_id")).as("dd"))
+      .filter(col("dd") >= 2)
+      .select(col("gh"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val runs = grams.join(dupGrams, Seq("gh"), "left_semi")
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(count(lit(1)).as("rl"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("rl")).as("n_dup_pos"), max(col("rl")).as("longest_run"))
+    base.select(col("doc_id"), col("n_pos"))
+      .join(runs, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_pos"),
+        coalesce(col("n_dup_pos"), lit(0L)).as("n_dup_pos"),
+        coalesce(col("longest_run"), lit(0L)).as("longest_run"),
+        round(coalesce(col("n_dup_pos"), lit(0L)).cast("double") /
+          greatest(col("n_pos"), lit(1L)), 4).as("dup_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Corpus vocabulary coverage — the Zipf head report: top-k tokens by
+    * corpus frequency with per-token and cumulative probability mass (how
+    * much of the corpus the first k vocabulary entries explain — the
+    * tokenizer-budget diagnostic). The heavy work is one two-phase token
+    * count; the top-k is TakeOrderedAndProject (per-partition heaps, no
+    * global sort), and the single-partition window that ranks + cumsums
+    * runs over exactly `topK` surviving rows. */
+  def vocabCoverage(spark: SparkSession, dir: String, topK: Int = 20): DataFrame = {
+    val tf = Tables(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+    val total = tf.agg(sum(col("tf")).cast("double").as("tot"))
+    val wRank = Window.orderBy(col("tf").desc, col("tok"))
+    tf.orderBy(col("tf").desc, col("tok")).limit(topK)
+      .crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(wRank))
+      .withColumn("share", round(col("tf") / col("tot"), 4))
+      .withColumn("cum_share", round(
+        sum(col("tf")).over(wRank.rowsBetween(Window.unboundedPreceding, 0)) /
+          col("tot"), 4))
+      .select(col("rank"), col("tok"), col("tf"), col("share"), col("cum_share"))
+      .orderBy(col("rank"))
+  }
 
   /** Per-source corpus profile — the ingest-monitoring dashboard for a
     * crawl pipeline: volume, size, language spread and exact-dup rate per

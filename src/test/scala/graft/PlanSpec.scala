@@ -173,4 +173,26 @@ class PlanSpec extends SparkSpec {
     assert(scan.metrics("numFiles").value < all,
       s"${scan.metrics("numFiles").value} vs $all")
   }
+
+  test("scd2: one keyed shuffle (the window's partitionBy), nothing else") {
+    val p = plan("q_scd2")
+    assert(p.contains("Window"), p.take(2000))
+    // the lead window and the versioning all ride one hash exchange on the
+    // key; only the user-facing output sort may add a range exchange
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p.take(2000))
+  }
+
+  test("entropy: both aggregation levels are two-phase with partial state") {
+    val p = plan("q_entropy")
+    assert("partial_".r.findAllIn(p).size >= 2, p.take(2000))
+    assert("Scan parquet".r.findAllIn(p).size === 1, p.take(2000))
+  }
+
+  test("source profile: single scan, hash-based distinct (no text shuffle)") {
+    val p = plan("q_source_profile")
+    assert("Scan parquet".r.findAllIn(p).size === 1, p.take(2000))
+    assert(p.contains("xxhash64"), p.take(2000))
+    // partial aggregation runs before the source-key shuffle
+    assert(p.contains("partial_"), p.take(2000))
+  }
 }

@@ -48,6 +48,54 @@ class Round4OpsSpec extends SparkSpec {
     }
   }
 
+  test("gram pos hashes: positional, duplicates preserved, matches SQL equivalent") {
+    graft.functions.TextFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq("a b c a b c a b", "x y", "solo", "").toDF("text")
+    val got = df.select(expr("graft_gram_pos_hashes(text, 3)").as("h")).collect()
+      .map(_.getSeq[Long](0))
+    // 8 tokens -> 6 positional 3-grams; repeated text repeats hashes
+    assert(got(0).length === 6)
+    assert(got(0)(0) === got(0)(3)) // "a b c" at pos 0 and 3
+    assert(got(0)(1) === got(0)(4))
+    assert(got(1).isEmpty && got(2).isEmpty) // shorter than n
+    assert(got(3).isEmpty)
+    // parity with the interpreted HOF formulation it replaces (guarded:
+    // sequence(1, 0) counts DOWN in Spark, so short texts need the branch)
+    val ref = df.select(expr(
+      """CASE WHEN size(split(text, ' ')) < 3 THEN array()
+        |ELSE transform(sequence(1, size(split(text, ' ')) - 2),
+        |  i -> xxhash64(concat_ws(' ', slice(split(text, ' '), i, 3)))) END"""
+        .stripMargin).as("h")).collect().map(_.getSeq[Long](0))
+    got.zip(ref).foreach { case (g, r) => assert(g === r) }
+  }
+
+  test("dup spans: corpus-duplicated positions flagged, runs contiguous") {
+    val rows = TextAnalysis.dupSpans(spark, sf).collect()
+    assert(rows.length.toLong === ops.Tables(spark, sf, "documents").count())
+    rows.foreach { r =>
+      val (nPos, nDup, longest, ratio) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(nDup <= nPos)
+      assert(longest <= nDup)
+      assert(nDup == 0 || longest >= 1)
+      assert(ratio >= 0.0 && ratio <= 1.0)
+    }
+    // the fixture corpus is known to contain cross-doc duplication
+    assert(rows.exists(_.getLong(2) > 0))
+  }
+
+  test("vocab coverage: ranked by frequency, cumulative share is monotone") {
+    val rows = TextAnalysis.vocabCoverage(spark, sf).collect()
+    assert(rows.length === 20)
+    assert(rows.map(_.getInt(0)).toSeq === (1 to 20))
+    val tfs = rows.map(_.getLong(2))
+    assert(tfs.zip(tfs.tail).forall { case (a, b) => a >= b })
+    val cums = rows.map(_.getDouble(4))
+    assert(cums.zip(cums.tail).forall { case (a, b) => a <= b + 1e-9 })
+    assert(cums.last <= 1.0 + 1e-9)
+  }
+
   test("incremental two-batch pairs == one-shot pairs with a new side") {
     val docs = ops.Tables(spark, sf, "documents")
     val split = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
