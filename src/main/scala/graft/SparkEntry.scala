@@ -112,7 +112,8 @@ object SparkEntry {
     "q_source_profile" -> ((s, d) => TextAnalysis.sourceProfile(s, d)),
     "q_dedup_incr"     -> ((s, d) => IncrementalDedup.twoBatchPairs(s, d)),
     "q_dup_spans"      -> ((s, d) => TextAnalysis.dupSpans(s, d)),
-    "q_vocab"          -> ((s, d) => TextAnalysis.vocabCoverage(s, d))
+    "q_vocab"          -> ((s, d) => TextAnalysis.vocabCoverage(s, d)),
+    "q_ann_pq"         -> ((s, d) => Similarity.pqTopK(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -998,6 +999,35 @@ object SparkEntry {
         |r AS (SELECT tok, tf, row_number() OVER (ORDER BY tf DESC, tok) AS rank FROM f)
         |SELECT rank, tok, tf, round(tf / tot.tot, 4) AS share,
         |  round(CAST(sum(tf) OVER (ORDER BY rank) AS DOUBLE) / tot.tot, 4) AS cum_share
-        |FROM r, tot WHERE rank <= 20 ORDER BY rank""".stripMargin
+        |FROM r, tot WHERE rank <= 20 ORDER BY rank""".stripMargin,
+
+    // PQ-ADC with deterministic seed codebooks; distances are integer
+    // micro-units so the ADC sum is order-independent (exact oracle).
+    "q_ann_pq" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |sub AS (SELECT vec_id, s, v[s * 8 + 1 : s * 8 + 8] AS sv,
+        |          list_dot_product(v[s * 8 + 1 : s * 8 + 8],
+        |            v[s * 8 + 1 : s * 8 + 8]) AS nn
+        |        FROM e, (SELECT unnest(range(0, 8)) AS s)),
+        |cb AS (SELECT vec_id AS j, s, sv AS cv, nn AS cnn FROM sub WHERE vec_id < 16),
+        |enc AS (SELECT c.vec_id, c.s, cb.j,
+        |          c.nn + cb.cnn - 2 * list_dot_product(c.sv, cb.cv) AS dist
+        |        FROM sub c JOIN cb ON c.s = cb.s),
+        |codes AS (SELECT vec_id, s, j AS code FROM
+        |          (SELECT *, row_number() OVER (PARTITION BY vec_id, s
+        |             ORDER BY dist, j) AS rn FROM enc) WHERE rn = 1),
+        |dt AS (SELECT q.vec_id AS q_id, cb.s, cb.j,
+        |         CAST(round((q.nn + cb.cnn - 2 * list_dot_product(q.sv, cb.cv)) * 1e6)
+        |           AS BIGINT) AS di
+        |       FROM sub q JOIN cb ON q.s = cb.s WHERE q.vec_id < 10),
+        |adc AS (SELECT dt.q_id, codes.vec_id AS n_id,
+        |          CAST(sum(dt.di) AS BIGINT) AS adist_micro
+        |        FROM codes JOIN dt ON codes.s = dt.s AND codes.code = dt.j
+        |        WHERE dt.q_id <> codes.vec_id GROUP BY 1, 2),
+        |r AS (SELECT q_id, n_id, adist_micro,
+        |        row_number() OVER (PARTITION BY q_id
+        |          ORDER BY adist_micro, n_id) AS rank FROM adc)
+        |SELECT q_id, rank, n_id, adist_micro
+        |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
   )
 }

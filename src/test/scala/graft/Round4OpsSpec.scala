@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Dedup, IncrementalDedup, Relational, TextAnalysis}
+import graft.ops.{Dedup, IncrementalDedup, Relational, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** Round-4 additions: SCD2 history materialization, word-entropy quality
@@ -94,6 +94,28 @@ class Round4OpsSpec extends SparkSpec {
     val cums = rows.map(_.getDouble(4))
     assert(cums.zip(cums.tail).forall { case (a, b) => a <= b + 1e-9 })
     assert(cums.last <= 1.0 + 1e-9)
+  }
+
+  test("pq-adc: well-formed top-k, recall well above chance") {
+    val pq = Similarity.pqTopK(spark, sf).collect()
+    val nQ = 10
+    assert(pq.length === nQ * 5)
+    pq.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getInt(1)).sorted.toSeq === (1 to 5))
+      // approximate squared distances (micro-units) are non-negative up to
+      // the per-entry rounding of exact zeros
+      rows.foreach(r => assert(r.getLong(3) >= -8L))
+    }
+    val bf = Similarity.bruteForceTopK(spark, sf).collect()
+    def sets(rows: Array[org.apache.spark.sql.Row]) =
+      rows.groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val (p, b) = (sets(pq), sets(bf))
+    // toSeq: mapping over the key SET would dedupe equal per-query recalls
+    val recall = b.keys.toSeq.map(q => p(q).intersect(b(q)).size.toDouble / b(q).size)
+      .sum / b.size
+    // measured 0.22 with 16 seed codewords vs 0.01 by chance (5/499);
+    // trained sub-codebooks (kmeansFit per subspace) are the quality path
+    assert(recall >= 0.1, s"PQ recall@5 $recall")
   }
 
   test("incremental two-batch pairs == one-shot pairs with a new side") {
