@@ -195,4 +195,18 @@ class PlanSpec extends SparkSpec {
     // partial aggregation runs before the source-key shuffle
     assert(p.contains("partial_"), p.take(2000))
   }
+
+  test("pq-adc: codebook and distance tables broadcast, corpus never nested-loops") {
+    val p = plan("q_ann_pq")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(3000))
+  }
+
+  test("dup spans: flagging is a keyed semi-join, no pair join anywhere") {
+    val p = plan("q_dup_spans")
+    assert(p.contains("LeftSemi"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(3000))
+  }
 }
