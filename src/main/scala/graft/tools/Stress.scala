@@ -73,6 +73,7 @@ object Stress {
     time("cluster_bigstar")(graft.ops.Dedup.nearDupClustersBigStar(spark, dir).count())
     time("decontaminate")(graft.ops.Dedup.decontaminate(spark, dir).count())
     time("tfidf")(graft.ops.TextAnalysis.tfidfTop(spark, dir).count())
+    time("dup_spans")(graft.ops.TextAnalysis.dupSpans(spark, dir).count())
     if (want("incremental")) {
       // the operational claim: a FIXED-SIZE arrival batch (5k docs) against
       // a growing corpus costs ~the batch, while the one-shot recompute

@@ -209,4 +209,35 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       p.take(3000))
   }
+
+  test("bucketed layout: a co-bucketed join plans with zero exchanges") {
+    // THE shuffle-elimination technique for repeated big-big joins at
+    // 100 TB: both sides bucketed by the join key at write time join with
+    // no Exchange at all — each bucket pair streams through a sort-merge
+    // join locally. The fixture stands in for lineitem/orders-scale facts.
+    // default warehouse dir (static conf); managed tables dropped in finally
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    try {
+      ops.Tables(spark, sf, "orders")
+        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("b_orders")
+      ops.Tables(spark, sf, "lineitem")
+        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("b_lineitem")
+      val j = spark.table("b_lineitem").join(spark.table("b_orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("l_quantity")).as("qty"))
+      j.collect() // force final (AQE) plan
+      val p = j.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange hashpartitioning(l_orderkey") &&
+        !p.contains("Exchange hashpartitioning(o_orderkey"), p.take(3000))
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+        p.contains("BroadcastHashJoin"), p.take(3000))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
 }
