@@ -113,7 +113,8 @@ object SparkEntry {
     "q_dedup_incr"     -> ((s, d) => IncrementalDedup.twoBatchPairs(s, d)),
     "q_dup_spans"      -> ((s, d) => TextAnalysis.dupSpans(s, d)),
     "q_vocab"          -> ((s, d) => TextAnalysis.vocabCoverage(s, d)),
-    "q_ann_pq"         -> ((s, d) => Similarity.pqTopK(s, d))
+    "q_ann_pq"         -> ((s, d) => Similarity.pqTopK(s, d)),
+    "q_retention"      -> ((s, d) => Relational.retention(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1028,6 +1029,19 @@ object SparkEntry {
         |        row_number() OVER (PARTITION BY q_id
         |          ORDER BY adist_micro, n_id) AS rank FROM adc)
         |SELECT q_id, rank, n_id, adist_micro
-        |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+        |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    "q_retention" ->
+      """WITH c AS (SELECT user_id,
+        |        min(CAST(floor(floor(epoch(ts)) / 604800) AS BIGINT)) AS cohort_week
+        |      FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |a AS (SELECT e.user_id, c.cohort_week,
+        |        CAST(floor(floor(epoch(ts)) / 604800) AS BIGINT) - c.cohort_week
+        |          AS week_offset
+        |      FROM events e JOIN c ON e.user_id = c.user_id
+        |      WHERE CAST(floor(floor(epoch(ts)) / 604800) AS BIGINT) >= c.cohort_week)
+        |SELECT cohort_week, week_offset,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS active_users
+        |FROM a GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin
   )
 }

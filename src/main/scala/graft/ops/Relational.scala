@@ -519,6 +519,30 @@ object Relational {
     * partitioned by key in the lakehouse layout, making this map-side.
     * Timestamps are emitted as epoch seconds (the sink coercion rule the
     * reference applies, schemas.py:21-22). */
+  /** Cohort retention matrix — signup week × week offset → distinct active
+    * users: the standard product-analytics rollup. One equi-join keyed on
+    * user_id (signups are a small filtered slice — Catalyst broadcasts
+    * them) and one partial+final count-distinct aggregate on the
+    * (cohort, offset) key; the events feed is scanned twice (once for
+    * cohorts, once for activity) but never shuffled on a high-cardinality
+    * key. Weeks are epoch-day divisions (not date_trunc) for exact oracle
+    * parity across engines' week conventions. */
+  def retention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val cohorts = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id"))
+      .agg(min(floor(unix_timestamp(col("ts")) / 604800L)).as("cohort_week"))
+    ev.select(col("user_id"),
+        floor(unix_timestamp(col("ts")) / 604800L).as("act_week"))
+      .join(broadcast(cohorts), Seq("user_id"))
+      .filter(col("act_week") >= col("cohort_week"))
+      .select(col("user_id"), col("cohort_week"),
+        (col("act_week") - col("cohort_week")).as("week_offset"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count_distinct(col("user_id")).as("active_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
   def scd2(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))

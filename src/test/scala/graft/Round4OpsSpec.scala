@@ -96,6 +96,20 @@ class Round4OpsSpec extends SparkSpec {
     assert(cums.last <= 1.0 + 1e-9)
   }
 
+  test("retention: offsets non-negative, week-0 actives bound later weeks") {
+    val rows = Relational.retention(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byCohort = rows.groupBy(_.getLong(0))
+    byCohort.foreach { case (_, vs) =>
+      assert(vs.forall(_.getLong(1) >= 0L))
+      // week 0 exists (the signup itself is activity in its own week) and
+      // no later week can have more distinct actives than the cohort did
+      val w0 = vs.find(_.getLong(1) == 0L)
+      assert(w0.isDefined)
+      vs.foreach(v => assert(v.getLong(2) <= w0.get.getLong(2)))
+    }
+  }
+
   test("pq-adc: well-formed top-k, recall well above chance") {
     val pq = Similarity.pqTopK(spark, sf).collect()
     val nQ = 10
