@@ -265,27 +265,28 @@ object Similarity {
     * build codes (amortized: a real deployment stores codes), then ADC is
     * a broadcast join + integer sum, one more keyed shuffle. Nothing
     * quadratic in the corpus anywhere. */
-  def pqTopK(spark: SparkSession, dir: String, numQueries: Int = 10, k: Int = 5,
-             m: Int = 8, ks: Int = 16): DataFrame = {
-    val e = withVec(spark, dir)
-    val sub = 64 / m // fixture embedding dim
-    def subspaces(df: DataFrame, idCol: String): DataFrame = df
-      .select(col("vec_id").as(idCol), explode(expr(
-        s"transform(sequence(0, ${m - 1}), s -> " +
-          s"struct(s AS s, slice(v, s * $sub + 1, $sub) AS sv))")).as("p"))
-      .select(col(idCol), col("p.s").as("s"), col("p.sv").as("sv"))
-      .withColumn("nn", expr("graft_dot(sv, sv)"))
-    val cb = subspaces(e.filter(col("vec_id") < ks), "j")
-      .select(col("j"), col("s"), col("sv").as("cv"), col("nn").as("cnn"))
+  /** Subspace view: one row per (id, subspace) with the 8-dim subvector
+    * and its squared norm. */
+  private def subspacesOf(df: DataFrame, idCol: String, m: Int, sub: Int): DataFrame = df
+    .select(col("vec_id").as(idCol), explode(expr(
+      s"transform(sequence(0, ${m - 1}), s -> " +
+        s"struct(s AS s, slice(v, s * $sub + 1, $sub) AS sv))")).as("p"))
+    .select(col(idCol), col("p.s").as("s"), col("p.sv").as("sv"))
+    .withColumn("nn", expr("graft_dot(sv, sv)"))
+
+  /** Encode the corpus against codebook `cb` ((j, s, cv, cnn) rows) and
+    * rank queries by ADC distance — the shared back half of both PQ tiers. */
+  private def pqAdcTopK(corpusSub: DataFrame, querySub: DataFrame,
+                        cb: DataFrame, k: Int): DataFrame = {
     // encode: nearest codeword per (vec_id, s); ||a-b||^2 = <a,a>+<b,b>-2<a,b>
     // via the codegen'd dot, no interpreted per-dim lambda in the hot path
-    val codes = subspaces(e, "vec_id").join(broadcast(cb), Seq("s"))
+    val codes = corpusSub.join(broadcast(cb), Seq("s"))
       .withColumn("dist", col("nn") + col("cnn") - lit(2.0) * expr("graft_dot(sv, cv)"))
       .groupBy(col("vec_id"), col("s"))
       .agg(min(struct(col("dist"), col("j"))).as("mn"))
       .select(col("vec_id"), col("s"), col("mn.j").as("code"))
     // ADC lookup tables, in integer micro-units from here on
-    val dt = subspaces(e.filter(col("vec_id") < numQueries), "q_id")
+    val dt = querySub
       .join(broadcast(cb), Seq("s"))
       .select(col("q_id"), col("s"), col("j"),
         round((col("nn") + col("cnn") - lit(2.0) * expr("graft_dot(sv, cv)")) * 1e6)
@@ -300,5 +301,70 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("n_id"), col("adist_micro"))
       .orderBy(col("q_id"), col("rank"))
+  }
+
+  def pqTopK(spark: SparkSession, dir: String, numQueries: Int = 10, k: Int = 5,
+             m: Int = 8, ks: Int = 16): DataFrame = {
+    val e = withVec(spark, dir)
+    val sub = 64 / m // fixture embedding dim
+    val cb = subspacesOf(e.filter(col("vec_id") < ks), "j", m, sub)
+      .select(col("j"), col("s"), col("sv").as("cv"), col("nn").as("cnn"))
+    pqAdcTopK(subspacesOf(e, "vec_id", m, sub),
+      subspacesOf(e.filter(col("vec_id") < numQueries), "q_id", m, sub), cb, k)
+  }
+
+  /** Train all `m` sub-codebooks JOINTLY with one Lloyd loop: centroids are
+    * keyed (s, j), assignment is one broadcast join + (vec, s)-keyed argmin
+    * over the whole subspace view, and the mean update is one
+    * (s, j, dim)-keyed aggregate — per iteration the corpus is scanned
+    * once regardless of m, instead of m separate k-means runs. Dead
+    * codewords keep their previous centroid (the standard rule, same as
+    * [[kmeansFit]]). Fixed iteration count — the bench measures a bounded
+    * fit, and PQ quality saturates in a few rounds. */
+  def pqTrainCodebooks(spark: SparkSession, dir: String, m: Int = 8,
+                       ks: Int = 16, maxIter: Int = 4): DataFrame = {
+    val e = withVec(spark, dir)
+    val sub = 64 / m
+    val corpusSub = subspacesOf(e, "vec_id", m, sub)
+    var cb = subspacesOf(e.filter(col("vec_id") < ks), "j", m, sub)
+      .select(col("j"), col("s"), col("sv").as("cv"), col("nn").as("cnn"))
+      .localCheckpoint(true)
+    var iter = 0
+    while (iter < maxIter) {
+      val assigned = corpusSub.join(broadcast(cb), Seq("s"))
+        .withColumn("dist",
+          col("nn") + col("cnn") - lit(2.0) * expr("graft_dot(sv, cv)"))
+        .groupBy(col("vec_id"), col("s"))
+        // sv is constant within the (vec_id, s) group; carry it through the
+        // argmin instead of joining the subspace view a second time
+        .agg(min(struct(col("dist"), col("j"))).as("mn"), first(col("sv")).as("sv"))
+        .select(col("s"), col("mn.j").as("j"), col("sv"))
+      val means = assigned
+        .select(col("s"), col("j"), posexplode(col("sv")).as(Seq("idx", "x")))
+        .groupBy(col("s"), col("j"), col("idx")).agg(avg(col("x")).as("mv"))
+        .groupBy(col("s"), col("j"))
+        .agg(expr("transform(sort_array(collect_list(struct(idx, mv))), p -> p.mv)")
+          .as("cv2"))
+      cb = cb.join(means, Seq("s", "j"), "left")
+        .select(col("j"), col("s"),
+          coalesce(col("cv2"), col("cv")).as("cv"))
+        .withColumn("cnn", expr("graft_dot(cv, cv)"))
+        .localCheckpoint(true) // truncate per-round lineage (see kmeansFit)
+      iter += 1
+    }
+    cb
+  }
+
+  /** [[pqTopK]] with TRAINED sub-codebooks — the quality path (float Lloyd
+    * iterations mean no closed-form oracle; the spec compares its recall
+    * against the seed-codebook tier on the same queries). */
+  def pqTopKTrained(spark: SparkSession, dir: String, numQueries: Int = 10,
+                    k: Int = 5, m: Int = 8, ks: Int = 16,
+                    maxIter: Int = 4): DataFrame = {
+    val e = withVec(spark, dir)
+    val sub = 64 / m
+    val cb = pqTrainCodebooks(spark, dir, m, ks, maxIter)
+    pqAdcTopK(subspacesOf(e, "vec_id", m, sub),
+      subspacesOf(e.filter(col("vec_id") < numQueries), "q_id", m, sub), cb, k)
   }
 }

@@ -132,6 +132,29 @@ class Round4OpsSpec extends SparkSpec {
     assert(recall >= 0.1, s"PQ recall@5 $recall")
   }
 
+  test("trained-pq: joint Lloyd codebooks are well-formed, recall comparable to seed tier") {
+    val cb = Similarity.pqTrainCodebooks(spark, sf, maxIter = 2).collect()
+    assert(cb.length === 8 * 16) // every (subspace, codeword) survives (dead-cell rule)
+    assert(cb.forall(_.getSeq[Double](2).length === 8))
+    val tr = Similarity.pqTopKTrained(spark, sf, maxIter = 2).collect()
+    val seed = Similarity.pqTopK(spark, sf).collect()
+    val bf = Similarity.bruteForceTopK(spark, sf).collect()
+    def sets(rows: Array[org.apache.spark.sql.Row]) =
+      rows.groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val (p, q, b) = (sets(tr), sets(seed), sets(bf))
+    def recall(m: Map[Long, Set[Long]]) =
+      b.keys.toSeq.map(k => m(k).intersect(b(k)).size.toDouble / b(k).size).sum / b.size
+    val (rTr, rSeed) = (recall(p), recall(q))
+    // Measured negative result (kept honest): on the synthetic near-uniform
+    // embeddings there is no cluster structure for Lloyd to learn — trained
+    // centroids shrink toward the mean and recall stays at the seed tier's
+    // level (0.18-0.22 vs 0.22 across iteration counts) instead of beating
+    // it. The assertion pins "comparable, well above chance", which is what
+    // this fixture can support; on clustered real data the trained tier is
+    // the quality path.
+    assert(rTr >= 0.1 && rTr >= rSeed - 0.1, s"trained $rTr vs seed $rSeed")
+  }
+
   test("incremental two-batch pairs == one-shot pairs with a new side") {
     val docs = ops.Tables(spark, sf, "documents")
     val split = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
