@@ -114,13 +114,17 @@ object SparkEntry {
     "q_dup_spans"      -> ((s, d) => TextAnalysis.dupSpans(s, d)),
     "q_vocab"          -> ((s, d) => TextAnalysis.vocabCoverage(s, d)),
     "q_ann_pq"         -> ((s, d) => Similarity.pqTopK(s, d)),
-    "q_retention"      -> ((s, d) => Relational.retention(s, d))
+    "q_retention"      -> ((s, d) => Relational.retention(s, d)),
+    "q_outliers"       -> ((s, d) => Relational.outliers(s, d)),
+    "q_approx_percentile" -> ((s, d) => Relational.approxPercentiles(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for hash-dependent ops (rows-only
-    * check): q_dedup_minhash, q_simhash, q_simhash_pairs, q_ann_lsh,
-    * q_winnow. */
+    * the same parquet tables. Omitted (rows-only check) only where the
+    * output depends on engine-internal hashes or float/sketch iteration:
+    * q_dedup_minhash, q_simhash, q_simhash_pairs, q_ann_lsh, q_winnow,
+    * q_approx_distinct, q_kmeans_profile, q_approx_percentile — each pinned
+    * instead by a property spec (recall/error-bound/objective). */
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -1042,6 +1046,18 @@ object SparkEntry {
         |      WHERE CAST(floor(floor(epoch(ts)) / 604800) AS BIGINT) >= c.cohort_week)
         |SELECT cohort_week, week_offset,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS active_users
-        |FROM a GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin
+        |FROM a GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin,
+
+    // Thresholds from ROUNDED moments: exact decimals both engines agree
+    // on (raw float mean/stddev differ in the last ulp across engines).
+    "q_outliers" ->
+      """WITH s AS (SELECT event_type, count(*) AS n,
+        |        round(avg(value), 2) AS mu, round(stddev_samp(value), 2) AS sd
+        |      FROM events GROUP BY 1)
+        |SELECT e.event_type, max(s.n) AS n, max(s.mu) AS mu, max(s.sd) AS sd,
+        |  CAST(count_if(e.value < s.mu - 3 * s.sd OR e.value > s.mu + 3 * s.sd)
+        |    AS BIGINT) AS n_outliers
+        |FROM events e JOIN s ON e.event_type = s.event_type
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -324,6 +324,43 @@ object Relational {
         round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90_price"))
       .orderBy(col("o_orderpriority"))
 
+  /** Z-score outlier profile per event type — the standard data-quality
+    * monitor: per-type mean/stddev (one partial+final aggregate over a
+    * handful of groups) broadcast back onto the feed, and a second scan
+    * counts values outside mu ± 3·sd. Thresholds derive from the ROUNDED
+    * moments so the boundary is an exact decimal both engines agree on —
+    * raw float mean/stddev differ across engines in the last ulp, and a
+    * threshold sitting on a raw value would make the count
+    * accumulation-order-dependent. */
+  def outliers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val stats = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(avg(col("value")), 2).as("mu"),
+        round(stddev(col("value")), 2).as("sd"))
+    ev.join(broadcast(stats), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"), max(col("mu")).as("mu"), max(col("sd")).as("sd"),
+        sum(when(col("value") < col("mu") - lit(3) * col("sd") ||
+                 col("value") > col("mu") + lit(3) * col("sd"), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Sketch-based percentiles (`approx_percentile`, 1000-bin accuracy) —
+    * the single-pass mergeable path that replaces the exact percentile's
+    * per-group sort at scale: sketch state is O(accuracy) per group and
+    * merges associatively across partitions. Sketch merge order makes the
+    * result engine-specific → rows-only driver check; the spec bounds the
+    * error against the exact tier. */
+  def approxPercentiles(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(expr("approx_percentile(o_totalprice, array(0.5, 0.9), 1000)").as("ap"))
+      .select(col("o_orderpriority"),
+        round(col("ap").getItem(0), 2).as("median_approx"),
+        round(col("ap").getItem(1), 2).as("p90_approx"))
+      .orderBy(col("o_orderpriority"))
+
   /** Session windows in batch mode (gap-based, 30 min): Spark's
     * `session_window` — oracle-checkable because the gaps-and-islands SQL
     * formulation defines the identical grouping. */

@@ -155,6 +155,41 @@ class Round4OpsSpec extends SparkSpec {
     assert(rTr >= 0.1 && rTr >= rSeed - 0.1, s"trained $rTr vs seed $rSeed")
   }
 
+  test("approx percentile stays within 2% of the exact tier") {
+    val exact = Relational.percentiles(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val approx = Relational.approxPercentiles(spark, sf).collect()
+    assert(approx.length === exact.size)
+    approx.foreach { r =>
+      val (med, p90) = exact(r.getString(0))
+      assert(math.abs(r.getDouble(1) - med) / med <= 0.02, s"${r.getString(0)} median")
+      assert(math.abs(r.getDouble(2) - p90) / p90 <= 0.02, s"${r.getString(0)} p90")
+    }
+  }
+
+  test("scd2 current versions agree with the last-write-wins compaction") {
+    // cross-operator invariant: the open (is_current) SCD2 row per key IS
+    // the row last-write-wins keeps — two independent formulations of
+    // "latest state" must agree (modulo their tiebreaks on equal ts: scd2
+    // orders by (ts, event_id), lww by (ts desc, event_id desc) — same row)
+    val current = Relational.scd2(spark, sf).collect()
+      .filter(_.getBoolean(4)).map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lww = Relational.dedupLww(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(current === lww)
+  }
+
+  test("outliers: threshold accounting is exact and bounded") {
+    val rows = Relational.outliers(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = ops.Tables.events(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum === total)
+    rows.foreach { r =>
+      assert(r.getLong(4) >= 0L && r.getLong(4) < r.getLong(1) / 10,
+        s"${r.getString(0)}: 3-sigma outliers should be rare")
+    }
+  }
+
   test("incremental two-batch pairs == one-shot pairs with a new side") {
     val docs = ops.Tables(spark, sf, "documents")
     val split = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
