@@ -1,0 +1,41 @@
+package graft
+
+import graft.cdc.Scd2Sink
+import graft.ops.{Relational, Tables}
+import org.apache.spark.sql.functions._
+
+class Scd2SinkSpec extends SparkSpec {
+
+  test("incremental SCD2 over two batches equals the one-shot materialization") {
+    val dir = tmpDir("scd2sink") + "/state"
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+    val cut = ev.agg(expr("percentile(unix_timestamp(ts), 0.5)")).head().getDouble(0).toLong
+    val b1 = ev.filter(unix_timestamp(col("ts")) <= cut)
+    val b2 = ev.filter(unix_timestamp(col("ts")) > cut)
+    Scd2Sink.applyBatch(spark, dir, b1, "user_id", "event_id", "ts")
+    Scd2Sink.applyBatch(spark, dir, b2, "user_id", "event_id", "ts")
+    val got = Scd2Sink.read(spark, dir)
+      .select(col("user_id"), col("event_id").as("version_id"),
+        col("valid_from"), col("valid_to"), col("is_current"),
+        round(col("value"), 2).as("value"))
+      .collect().map(_.toSeq).toSet
+    val want = Relational.scd2(spark, sf).collect().map(_.toSeq).toSet
+    assert(got === want)
+  }
+
+  test("out-of-replication-order batch is rejected loudly, state intact") {
+    val dir = tmpDir("scd2bad") + "/state"
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+    val late = ev.orderBy(col("ts")).limit(50)     // oldest events
+    val early = ev.orderBy(col("ts").desc).limit(50) // newest events
+    Scd2Sink.applyBatch(spark, dir, early, "user_id", "event_id", "ts")
+    val before = Scd2Sink.read(spark, dir).count()
+    val ex = intercept[IllegalArgumentException] {
+      Scd2Sink.applyBatch(spark, dir, late, "user_id", "event_id", "ts")
+    }
+    assert(ex.getMessage.contains("replication order"))
+    assert(Scd2Sink.read(spark, dir).count() === before) // nothing half-applied
+  }
+}
