@@ -51,7 +51,12 @@ object Bench {
     // output-tail window (full nanosecond precision overflowed it at 79
     // queries, truncating the JSON's head — BENCH_r03).
     def line(dp: Int): String = {
-      def f(v: Double): String = s"%.${dp}f".format(v)
+      // Locale.ROOT: the default-locale format would print "0,123" on
+      // comma-decimal locales — invalid JSON, the parsed:null failure all
+      // over again. (The pre-rounding code printed Double.toString, which
+      // is locale-independent; rounding must stay so too.)
+      def f(v: Double): String = String.format(java.util.Locale.ROOT, s"%.${dp}f",
+        Double.box(v))
       val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
         .mkString("{", ",", "}")
       val total = if (results.nonEmpty) results.values.sum else 0.0
@@ -59,10 +64,15 @@ object Bench {
     }
     // The driver's output-tail window measured ~3.7 KB in BENCH_r03 (the
     // overflowing full-precision line was cut at 3708 chars): prefer 3
-    // decimals, fall to 2 past 2.6 KB — conservative against other trailing
-    // stdout (a stray WARN line) sharing the window, generous enough that
-    // coverage growth doesn't silently coarsen the numbers.
-    val out = Seq(line(3), line(2)).find(_.length <= 2600).getOrElse(line(2))
+    // decimals, degrade through 2 and 1 past 2.6 KB so the guard stays
+    // TERMINAL as coverage grows — emitting a known-overflowing line would
+    // reintroduce the r03 parsed:null regression silently. 0.1 s resolution
+    // is coarse but parseable; warn on stderr when degraded.
+    val out = Seq(line(3), line(2), line(1)).find(_.length <= 2600)
+      .getOrElse { System.err.println("bench: JSON line exceeds window at 1dp")
+        line(1) }
+    if (out != line(3)) System.err.println(
+      s"bench: degraded decimal precision to fit the output-tail window (${out.length} chars)")
     // Stop Spark BEFORE printing so no shutdown logging can land after the
     // JSON line: it must be the last line of stdout for the driver's parser.
     spark.stop()

@@ -556,20 +556,26 @@ object Dedup {
     * xxhash64 collides, ~1e-9 at 1e5 distinct shingles). */
   def novelty(spark: SparkSession, dir: String, n: Int = 3): DataFrame = {
     graft.functions.TextFunctions.register(spark)
-    val d = Tables(spark, dir, "documents")
+    // ONE pass through the shingle hasher (the dominant cost): the earlier
+    // three-subtree formulation (df aggregate + unique-join + report join)
+    // re-executed the corpus scan per subtree. Here df comes from a count
+    // window over the single exploded postings stream — same hash
+    // partitioning the aggregate would use — and the per-doc reduction is
+    // the only other shuffle. explode_outer keeps zero-shingle docs (< n
+    // tokens) as a null-h row so they still report; null h is excluded
+    // from the unique count (it is a missing shingle, not a rare one).
+    val w = Window.partitionBy(col("h"))
+    Tables(spark, dir, "documents")
       .select(col("doc_id"), expr(s"graft_shingle_hashes(text, $n)").as("hs"))
-      .withColumn("n_sh", size(col("hs")).cast("long"))
-    val dfreq = d.select(explode(col("hs")).as("h"))
-      .groupBy(col("h")).agg(count(lit(1)).as("df"))
-    val uniq = d.select(col("doc_id"), explode(col("hs")).as("h"))
-      .join(dfreq.filter(col("df") === 1), Seq("h"))
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_unique"))
-    // left join back so zero-shingle docs (< n tokens) still report
-    d.select(col("doc_id"), col("n_sh"))
-      .join(uniq, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_sh"),
-        coalesce(col("n_unique"), lit(0L)).as("n_unique"),
-        round(coalesce(col("n_unique"), lit(0L)).cast("double") /
+      .select(col("doc_id"), size(col("hs")).cast("long").as("n_sh"),
+        explode_outer(col("hs")).as("h"))
+      .withColumn("df", count(col("h")).over(w))
+      .groupBy(col("doc_id"))
+      .agg(first(col("n_sh")).as("n_sh"),
+        sum(when(col("df") === 1 && col("h").isNotNull, 1L).otherwise(0L))
+          .as("n_unique"))
+      .select(col("doc_id"), col("n_sh"), col("n_unique"),
+        round(col("n_unique").cast("double") /
           greatest(col("n_sh"), lit(1L)), 4).as("novelty_ratio"))
       .orderBy(col("doc_id"))
   }

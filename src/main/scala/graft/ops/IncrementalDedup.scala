@@ -243,10 +243,14 @@ object IncrementalDedup {
                     threshold: Double = 0.5): DataFrame = {
     val docs = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
     val split = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
-    val state = s"${sys.props("java.io.tmpdir")}/graft_incr_twobatch"
-    val p = new org.apache.hadoop.fs.Path(state)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(p)) fs.delete(p, true)
+    // Per-invocation scratch dir: a fixed shared path let two concurrent
+    // runs (bench alongside tests, or two sessions) wipe each other's
+    // state mid-probe — FileNotFoundException or interleaved df counts.
+    // The returned frame lazily reads this state's pinned file snapshot,
+    // so the dir must outlive the caller's action; tmpdir reaping is the
+    // cleanup, matching the specs' tmpDir pattern.
+    val state = s"${sys.props("java.io.tmpdir")}/graft_incr_twobatch_" +
+      java.util.UUID.randomUUID().toString
     // update() appends state eagerly (the write is an action); batch 1's
     // pair frame is discarded unexecuted — only its postings matter here.
     update(spark, state, docs.filter(col("doc_id") <= split), threshold)

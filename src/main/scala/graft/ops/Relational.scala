@@ -546,16 +546,6 @@ object Relational {
       .orderBy(col("o_orderpriority"))
   }
 
-  /** SCD type-2 history materialization from the CDC feed — the standard
-    * warehouse shape for "what did this row look like at time T": every
-    * change event becomes a version row with a [valid_from, valid_to)
-    * interval, closed by the NEXT event on the same key (lead window) and
-    * open (null valid_to, is_current) for the latest version. One shuffle
-    * on the key — the window's partitionBy — which is the minimal shuffle
-    * the semantics allow; at 100 TB the events feed is already
-    * partitioned by key in the lakehouse layout, making this map-side.
-    * Timestamps are emitted as epoch seconds (the sink coercion rule the
-    * reference applies, schemas.py:21-22). */
   /** Cohort retention matrix — signup week × week offset → distinct active
     * users: the standard product-analytics rollup. One equi-join keyed on
     * user_id (signups are a small filtered slice — Catalyst broadcasts
@@ -580,6 +570,16 @@ object Relational {
       .orderBy(col("cohort_week"), col("week_offset"))
   }
 
+  /** SCD type-2 history materialization from the CDC feed — the standard
+    * warehouse shape for "what did this row look like at time T": every
+    * change event becomes a version row with a [valid_from, valid_to)
+    * interval, closed by the NEXT event on the same key (lead window) and
+    * open (null valid_to, is_current) for the latest version. One shuffle
+    * on the key — the window's partitionBy — which is the minimal shuffle
+    * the semantics allow; at 100 TB the events feed is already
+    * partitioned by key in the lakehouse layout, making this map-side.
+    * Timestamps are emitted as epoch seconds (the sink coercion rule the
+    * reference applies, schemas.py:21-22). */
   def scd2(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))

@@ -218,6 +218,14 @@ class PlanSpec extends SparkSpec {
     // default warehouse dir (static conf); managed tables dropped in finally
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    // disable broadcast: at fixture scale the dim side fits under the
+    // threshold and a BroadcastHashJoin avoids the key exchanges for ANY
+    // layout — the test would pass vacuously and prove nothing about
+    // bucketing. Forcing the shuffle-join path makes the zero-exchange
+    // assertion actually about the co-bucketed scan.
+    val bcKey = "spark.sql.autoBroadcastJoinThreshold"
+    val priorBc = spark.conf.get(bcKey)
+    spark.conf.set(bcKey, "-1")
     try {
       ops.Tables(spark, sf, "orders")
         .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
@@ -233,9 +241,10 @@ class PlanSpec extends SparkSpec {
       val p = j.queryExecution.executedPlan.toString
       assert(!p.contains("Exchange hashpartitioning(l_orderkey") &&
         !p.contains("Exchange hashpartitioning(o_orderkey"), p.take(3000))
-      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
-        p.contains("BroadcastHashJoin"), p.take(3000))
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        p.take(3000))
     } finally {
+      spark.conf.set(bcKey, priorBc)
       spark.sql("DROP TABLE IF EXISTS b_orders")
       spark.sql("DROP TABLE IF EXISTS b_lineitem")
     }

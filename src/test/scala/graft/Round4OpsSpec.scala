@@ -185,7 +185,9 @@ class Round4OpsSpec extends SparkSpec {
     val total = ops.Tables.events(spark, sf).count()
     assert(rows.map(_.getLong(1)).sum === total)
     rows.foreach { r =>
-      assert(r.getLong(4) >= 0L && r.getLong(4) < r.getLong(1) / 10,
+      // real-valued bound: integer n/10 would demand n_outliers < 0 for
+      // any group of <= 10 rows, failing spuriously on small fixtures
+      assert(r.getLong(4) >= 0L && r.getLong(4) <= r.getLong(1) * 0.1,
         s"${r.getString(0)}: 3-sigma outliers should be rare")
     }
   }
