@@ -1,0 +1,105 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Measured scaling evidence: replicate the sf0.1 fact tables 1x/10x/100x
+  * with shifted keys (join integrity preserved — each replica's lineitem
+  * rows point at its own orders replica; replica documents get perturbed
+  * text so the corpus grows in DISTINCT content rather than in duplicate
+  * multiplicity, which would measure the quadratic dup pathology instead
+  * of scan scaling) and time the headline operator shapes at each factor.
+  * The point is the SLOPE: a plan that scales linearly here is
+  * scan/shuffle-bound the way it will be on a cluster, while any
+  * super-linear term (pair blowup, driver state) bends the curve long
+  * before 100 TB does. Dev tool; results recorded in SCALE.md.
+  *
+  * Usage: runMain graft.tools.ScaleCurve [factors csv, default 1,10,100]
+  */
+object ScaleCurve {
+  def main(args: Array[String]): Unit = {
+    val factors = (if (args.nonEmpty) args(0) else "1,10,100")
+      .split(',').map(_.trim.toInt).toSeq
+    // 256 shuffle partitions, not the harness's 32: the tool's whole point
+    // is data 100x the fixtures, and partition sizing belongs to the data
+    // (SCALE.md global posture) — at 60M-row shuffles, 32 partitions spill
+    // where 256 fit in memory. AQE coalesces the small-factor runs back.
+    val spark: SparkSession = graft.GraftSession.get("local[32]", 256)
+    spark.sparkContext.setLogLevel("WARN")
+    val sf = "/root/testdata/sf0.1"
+    val shift = 10000000L
+
+    def replicate(df: DataFrame, keyCols: Set[String], fac: Int,
+                  perturbText: Boolean): DataFrame =
+      df.crossJoin(spark.range(fac).select(col("id").as("__r")))
+        .select(df.columns.map {
+          case k if keyCols(k) => (col(k) + col("__r") * shift).as(k)
+          case "text" if perturbText =>
+            // rewrite EVERY token with the replica id: replicas must be
+            // DISSIMILAR so the corpus grows in distinct content — an
+            // appended-word perturbation leaves replicas ~98% similar and
+            // the near-dup tier then correctly finds fac^2/2 REAL pairs
+            // per original (measured: 27.3M pairs at x100), which measures
+            // the duplicate pathology, not scan scaling
+            regexp_replace(col("text"), lit("(\\S+)"),
+              concat(lit("$1r"), col("__r"))).as("text")
+          case c => col(c)
+        }.toSeq: _*)
+
+    def time(name: String, fac: Int)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"SCALECURVE $name%-14s x$fac%-4d ${(System.nanoTime() - t0) / 1e9}%8.3f s  rows=$n")
+    }
+
+    factors.foreach { fac =>
+      // materialize each factor once so timings measure the OPERATOR, not
+      // the replication cross-join
+      val dir = s"/tmp/graft-scalecurve-$fac"
+      // repartition(64) at WRITE time: the replication cross-join inherits
+      // the fixture's 1-2 input splits, and a 344 MB table in 2 files caps
+      // the later scan/shuffle-write at 2-3 map tasks (measured 160 s for
+      // the x100 join). Splitting at the source is the fix SCALE.md's
+      // negative-result note prescribes — ingest writes many files; an
+      // engine-side blanket reshuffle was measured a loss.
+      if (fac != 1) {
+        replicate(spark.read.parquet(s"$sf/lineitem.parquet"),
+          Set("l_orderkey"), fac, perturbText = false)
+          .repartition(64)
+          .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+        replicate(spark.read.parquet(s"$sf/orders.parquet"),
+          Set("o_orderkey"), fac, perturbText = false)
+          .repartition(64)
+          .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+        replicate(spark.read.parquet(s"$sf/documents.parquet"),
+          Set("doc_id"), fac, perturbText = true)
+          .repartition(64)
+          .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      }
+      val root = if (fac == 1) sf else dir
+      val lf = spark.read.parquet(s"$root/lineitem.parquet")
+      val of = spark.read.parquet(s"$root/orders.parquet")
+      val df2 = spark.read.parquet(s"$root/documents.parquet")
+      lf.count(); of.count(); df2.count() // warm footers + JIT
+
+      time("q1_agg_shape", fac)(
+        lf.groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(sum(col("l_quantity")), avg(col("l_extendedprice")), count(lit(1)))
+          .count())
+      time("join_agg_shape", fac)(
+        lf.join(of, lf("l_orderkey") === of("o_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(round(sum(col("l_extendedprice")), 2))
+          .count())
+      time("window_shape", fac)(
+        of.withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc)))
+          .filter(col("rn") === 1).count())
+      time("dedup_exact", fac)(
+        df2.groupBy(md5(col("text"))).agg(count(lit(1))).count())
+      time("dedup_lsh", fac)(graft.ops.Dedup.minhashLsh(spark, root).count())
+    }
+    spark.stop()
+  }
+}
