@@ -68,10 +68,14 @@ object Bench {
     // TERMINAL as coverage grows — emitting a known-overflowing line would
     // reintroduce the r03 parsed:null regression silently. 0.1 s resolution
     // is coarse but parseable; warn on stderr when degraded.
-    val out = Seq(line(3), line(2), line(1)).find(_.length <= 2600)
-      .getOrElse { System.err.println("bench: JSON line exceeds window at 1dp")
-        line(1) }
-    if (out != line(3)) System.err.println(
+    val l3 = line(3)
+    val out =
+      if (l3.length <= 2600) l3
+      else Seq(2, 1).view.map(line).find(_.length <= 2600).getOrElse {
+        System.err.println("bench: JSON line exceeds window even at 1dp")
+        line(1)
+      }
+    if (!(out eq l3)) System.err.println(
       s"bench: degraded decimal precision to fit the output-tail window (${out.length} chars)")
     // Stop Spark BEFORE printing so no shutdown logging can land after the
     // JSON line: it must be the last line of stdout for the driver's parser.

@@ -13,20 +13,24 @@ import org.apache.spark.sql.functions._
   *
   * Contract: per key, events arrive in non-decreasing (ts, version) order
   * across batches — replication order, which is what the CDC sources
-  * deliver. A batch event that sorts at-or-before a key's open version
-  * would interleave history; it is counted and REJECTED loudly
-  * (fail-stop) rather than silently appended out of order — the same
-  * fail-loud stance as the dead-letter path. The guard compares raw
-  * event-time MICROSECONDS plus the version id (stored internally as
-  * `__ts_us`/`__ver`), not the emitted epoch-second interval bounds —
-  * second-truncated bounds cannot see a same-second reordering.
+  * deliver; `version` compares with its column type's natural ordering,
+  * the SAME ordering the interval window uses (numeric for numeric ids,
+  * lexicographic for strings — no hidden numeric cast that would order
+  * the guard differently from the window, or null out non-numeric ids).
+  * A batch event that sorts at-or-before a key's open version would
+  * interleave history; it is counted and REJECTED loudly (fail-stop)
+  * rather than silently appended out of order — the same fail-loud
+  * stance as the dead-letter path. The guard compares raw event-time
+  * MICROSECONDS (stored internally as `__ts_us`) plus the version id —
+  * second-truncated interval bounds cannot see a same-second reordering.
   *
-  * Idempotent under at-least-once replay: rows whose (key, version)
-  * already exist in the state are dropped up front, so a replayed batch
-  * (crash after the swap committed, before the streaming checkpoint did)
-  * is a no-op instead of a poisoned-forever guard failure or a duplicate
-  * version row — the swap is atomic, so state holds either none or all
-  * of a batch, never a prefix.
+  * Idempotent under at-least-once replay, loud under conflict: rows whose
+  * (key, version, ts) triple already exists in the state are dropped up
+  * front (a replayed batch — crash after the swap committed, before the
+  * streaming checkpoint did — is a no-op; the swap is atomic, so state
+  * holds either none or all of a batch). A row that REUSES an existing
+  * (key, version) with a different ts is not a replay but corruption in
+  * the making, and is rejected before the order guard runs.
   *
   * State layout: one parquet dir of interval rows, open versions having
   * null valid_to; `is_current` is derived on read, not stored. EVERY
@@ -47,55 +51,78 @@ object Scd2Sink {
                  key: String, version: String, tsCol: String): Unit = {
     UpsertSink.recoverSwap(spark, statePath)
     val stored = readRaw(spark, statePath)
-
-    // at-least-once replay safety: drop rows already in the state
-    val fresh = stored match {
-      case Some(state) => batch.join(
-        state.select(col(key), col(version)), Seq(key, version), "left_anti")
-      case None => batch
+    stored.foreach { state =>
+      // clear upgrade error instead of UNRESOLVED_COLUMN mid-plan: state
+      // written by a sink version without the ordering column cannot be
+      // guarded correctly and needs a rebuild
+      require(state.columns.contains("__ts_us"),
+        s"state at $statePath lacks the __ts_us ordering column " +
+          "(written by an incompatible Scd2Sink); rebuild the history")
     }
-    if (fresh.isEmpty) return
 
-    val w = Window.partitionBy(col(key)).orderBy(col(tsCol), col(version))
-    val newVers = fresh
-      .withColumn("valid_from", unix_timestamp(col(tsCol)))
-      .withColumn("valid_to", unix_timestamp(lead(col(tsCol), 1).over(w)))
-      .withColumn("__ts_us", unix_micros(col(tsCol)))
-      .withColumn("__ver", col(version).cast("long"))
-      .drop(tsCol)
-    // the batch's first event per key, in full (micros, version) precision
-    val firstPerKey = fresh.groupBy(col(key))
-      .agg(min(struct(unix_micros(col(tsCol)).as("us"),
-        col(version).cast("long").as("ver"))).as("__first"),
-        min(unix_timestamp(col(tsCol))).as("__first_s"))
+    val batchTs = batch.withColumn("__ts_us", unix_micros(col(tsCol)))
+    // replay idempotence: (key, version, ts) already in state == the same
+    // event delivered again — drop silently. One cached frame: the guard
+    // count, the emptiness check and the final write all reuse it instead
+    // of re-running the state scan + anti-join per job.
+    val fresh = (stored match {
+      case Some(state) => batchTs.join(
+        state.select(col(key), col(version), col("__ts_us")),
+        Seq(key, version, "__ts_us"), "left_anti")
+      case None => batchTs
+    }).persist()
+    try {
+      if (fresh.isEmpty) return
 
-    val next = statePath + ".next"
-    stored match {
-      case Some(state) =>
-        // fail-stop on history interleave: the batch's first event must
-        // sort strictly AFTER every touched key's open version in
-        // (ts_us, version) order
-        val bad = state.filter(col("valid_to").isNull)
-          .join(firstPerKey, Seq(key))
-          .filter(col("__ts_us") > col("__first.us") ||
-            (col("__ts_us") === col("__first.us") &&
-              col("__ver") >= col("__first.ver")))
+      stored.foreach { state =>
+        // version-id REUSE (same key+version, different ts) is not replay;
+        // swallowing it would vanish an event from history — fail loudly
+        val conflicts = fresh.join(
+          state.select(col(key), col(version)), Seq(key, version), "left_semi")
           .count()
-        require(bad == 0L,
-          s"$bad key(s) received events at or before their open version; " +
-            "SCD2 history cannot interleave — replay in replication order")
-        // close the open version of every touched key at the batch's first
-        // event time; untouched keys pass through (left join, null first)
-        val closed = state.join(broadcast(firstPerKey), Seq(key), "left")
-          .withColumn("valid_to",
-            when(col("valid_to").isNull && col("__first_s").isNotNull,
-              col("__first_s")).otherwise(col("valid_to")))
-          .drop("__first", "__first_s")
-        closed.unionByName(newVers).write.mode("overwrite").parquet(next)
-      case None =>
-        newVers.write.mode("overwrite").parquet(next)
-    }
-    UpsertSink.atomicSwapDirs(spark, next, statePath)
+        require(conflicts == 0L,
+          s"$conflicts event(s) reuse an existing (key, version) with a " +
+            "different timestamp; refusing to rewrite SCD2 history")
+      }
+
+      val w = Window.partitionBy(col(key)).orderBy(col(tsCol), col(version))
+      val newVers = fresh
+        .withColumn("valid_from", unix_timestamp(col(tsCol)))
+        .withColumn("valid_to", unix_timestamp(lead(col(tsCol), 1).over(w)))
+        .drop(tsCol)
+      // the batch's first event per key — micros plus the RAW version id,
+      // ordered exactly as the window orders
+      val firstPerKey = fresh.groupBy(col(key))
+        .agg(min(struct(col("__ts_us").as("us"), col(version).as("ver")))
+          .as("__first"),
+          min(unix_timestamp(col(tsCol))).as("__first_s"))
+
+      val next = statePath + ".next"
+      stored match {
+        case Some(state) =>
+          // fail-stop on history interleave: the batch's first event must
+          // sort strictly AFTER every touched key's open version in
+          // (ts_us, version) order
+          val bad = state.filter(col("valid_to").isNull)
+            .join(firstPerKey, Seq(key))
+            .filter(col("__ts_us") > col("__first.us") ||
+              (col("__ts_us") === col("__first.us") &&
+                col(version) >= col("__first.ver")))
+            .count()
+          require(bad == 0L,
+            s"$bad key(s) received events at or before their open version; " +
+              "SCD2 history cannot interleave — replay in replication order")
+          val closed = state.join(broadcast(firstPerKey), Seq(key), "left")
+            .withColumn("valid_to",
+              when(col("valid_to").isNull && col("__first_s").isNotNull,
+                col("__first_s")).otherwise(col("valid_to")))
+            .drop("__first", "__first_s")
+          closed.unionByName(newVers).write.mode("overwrite").parquet(next)
+        case None =>
+          newVers.write.mode("overwrite").parquet(next)
+      }
+      UpsertSink.atomicSwapDirs(spark, next, statePath)
+    } finally fresh.unpersist()
   }
 
   private def readRaw(spark: SparkSession, path: String): Option[DataFrame] = {
@@ -105,11 +132,11 @@ object Scd2Sink {
   }
 
   /** The history table with `is_current` derived from the open interval;
-    * the internal ordering columns stay internal. */
+    * the internal ordering column stays internal. */
   def read(spark: SparkSession, statePath: String): DataFrame = {
     UpsertSink.recoverSwap(spark, statePath)
     spark.read.parquet(statePath)
       .withColumn("is_current", col("valid_to").isNull)
-      .drop("__ts_us", "__ver")
+      .drop("__ts_us")
   }
 }

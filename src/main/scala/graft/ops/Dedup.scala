@@ -562,14 +562,20 @@ object Dedup {
     // window over the single exploded postings stream — same hash
     // partitioning the aggregate would use — and the per-doc reduction is
     // the only other shuffle. explode_outer keeps zero-shingle docs (< n
-    // tokens) as a null-h row so they still report; null h is excluded
-    // from the unique count (it is a missing shingle, not a rare one).
-    val w = Window.partitionBy(col("h"))
+    // tokens) as a null-h row so they still report; the window key gives
+    // each such row its own per-doc SURROGATE partition — partitioning all
+    // of them on literal null would funnel every short doc in the corpus
+    // into one straggler task, the skew regime this file exists to avoid.
+    // (Surrogate-vs-real hash collisions are the same ~n^2/2^64 class the
+    // whole hashed-shingle family accepts.) Null h stays excluded from the
+    // unique count: a missing shingle, not a rare one.
+    val w = Window.partitionBy(
+      coalesce(col("h"), xxhash64(lit("graft_novelty_nullkey"), col("doc_id"))))
     Tables(spark, dir, "documents")
       .select(col("doc_id"), expr(s"graft_shingle_hashes(text, $n)").as("hs"))
       .select(col("doc_id"), size(col("hs")).cast("long").as("n_sh"),
         explode_outer(col("hs")).as("h"))
-      .withColumn("df", count(col("h")).over(w))
+      .withColumn("df", count(lit(1)).over(w))
       .groupBy(col("doc_id"))
       .agg(first(col("n_sh")).as("n_sh"),
         sum(when(col("df") === 1 && col("h").isNotNull, 1L).otherwise(0L))

@@ -243,18 +243,41 @@ object IncrementalDedup {
                     threshold: Double = 0.5): DataFrame = {
     val docs = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
     val split = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
-    // Per-invocation scratch dir: a fixed shared path let two concurrent
-    // runs (bench alongside tests, or two sessions) wipe each other's
-    // state mid-probe — FileNotFoundException or interleaved df counts.
-    // The returned frame lazily reads this state's pinned file snapshot,
-    // so the dir must outlive the caller's action; tmpdir reaping is the
-    // cleanup, matching the specs' tmpDir pattern.
+    // Per-APPLICATION scratch dir, wiped at each call: a fixed shared path
+    // let two concurrent JVMs (bench alongside tests) wipe each other's
+    // state mid-probe, while a per-invocation UUID dir leaked one full
+    // postings copy per call (Bench runs this query 3x per invocation).
+    // The appId disambiguates JVMs; within one app calls are sequential
+    // and each consumer's action completes before the next call wipes —
+    // the returned frame reads a pinned file snapshot of THIS call's dirs.
+    // One bounded dir per app; a JVM shutdown hook removes it.
     val state = s"${sys.props("java.io.tmpdir")}/graft_incr_twobatch_" +
-      java.util.UUID.randomUUID().toString
+      spark.sparkContext.applicationId
+    val sp = new org.apache.hadoop.fs.Path(state)
+    val sfs = sp.getFileSystem(spark.sessionState.newHadoopConf())
+    if (sfs.exists(sp)) sfs.delete(sp, true)
+    TwoBatchScratch.registerCleanup(state)
     // update() appends state eagerly (the write is an action); batch 1's
     // pair frame is discarded unexecuted — only its postings matter here.
     update(spark, state, docs.filter(col("doc_id") <= split), threshold)
     update(spark, state, docs.filter(col("doc_id") > split), threshold)
       .orderBy(col("doc_a"), col("doc_b"))
   }
+}
+
+/** JVM-exit cleanup of [[IncrementalDedup.twoBatchPairs]] scratch dirs —
+  * local-tmpdir paths, so plain java.io deletion suffices. */
+private[ops] object TwoBatchScratch {
+  private val registered = new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+  def registerCleanup(path: String): Unit =
+    if (registered.putIfAbsent(path, true) == null) {
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          val kids = f.listFiles()
+          if (kids != null) kids.foreach(rm)
+          f.delete(); ()
+        }
+        rm(new java.io.File(path))
+      }))
+    }
 }

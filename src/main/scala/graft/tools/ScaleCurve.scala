@@ -99,6 +99,14 @@ object ScaleCurve {
       time("dedup_exact", fac)(
         df2.groupBy(md5(col("text"))).agg(count(lit(1))).count())
       time("dedup_lsh", fac)(graft.ops.Dedup.minhashLsh(spark, root).count())
+
+      // the replicated tables are multi-GB at x100; don't leave them to
+      // fill /tmp across repeated runs
+      if (fac != 1) {
+        val p = new org.apache.hadoop.fs.Path(dir)
+        p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+        ()
+      }
     }
     spark.stop()
   }
