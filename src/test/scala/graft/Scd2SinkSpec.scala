@@ -41,6 +41,23 @@ class Scd2SinkSpec extends SparkSpec {
     assert(twice === once)
   }
 
+  test("version-id reuse with a different timestamp is a conflict, not a replay") {
+    val dir = tmpDir("scd2conflict") + "/state"
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .orderBy(col("ts")).limit(100)
+    Scd2Sink.applyBatch(spark, dir, ev, "user_id", "event_id", "ts")
+    val before = Scd2Sink.read(spark, dir).count()
+    // same (key, version) ids, shifted timestamps: corruption-in-the-making
+    val reused = ev.withColumn("ts",
+      (col("ts").cast("long") + 864000L).cast("timestamp"))
+    val ex = intercept[IllegalArgumentException] {
+      Scd2Sink.applyBatch(spark, dir, reused, "user_id", "event_id", "ts")
+    }
+    assert(ex.getMessage.contains("reuse"))
+    assert(Scd2Sink.read(spark, dir).count() === before)
+  }
+
   test("out-of-replication-order batch is rejected loudly, state intact") {
     val dir = tmpDir("scd2bad") + "/state"
     val ev = Tables.events(spark, sf)
