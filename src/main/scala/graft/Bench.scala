@@ -47,36 +47,34 @@ object Bench {
     }
     val (p1, p2) = (timedPass(), timedPass())
     val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
-    // 3-decimal values keep the whole line well under the driver's 2000-char
-    // output-tail window (full nanosecond precision overflowed it at 79
-    // queries, truncating the JSON's head — BENCH_r03).
-    def line(dp: Int): String = {
-      // Locale.ROOT: the default-locale format would print "0,123" on
-      // comma-decimal locales — invalid JSON, the parsed:null failure all
-      // over again. (The pre-rounding code printed Double.toString, which
-      // is locale-independent; rounding must stay so too.)
-      def f(v: Double): String = String.format(java.util.Locale.ROOT, s"%.${dp}f",
-        Double.box(v))
-      val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
-        .mkString("{", ",", "}")
-      val total = if (results.nonEmpty) results.values.sum else 0.0
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Locale.ROOT: the default-locale format would print "0,123" on
+    // comma-decimal locales — invalid JSON, the parsed:null failure all
+    // over again.
+    def f(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f",
+      Double.box(v))
+    val total = if (results.nonEmpty) results.values.sum else 0.0
+    // The driver's output-tail window is a hard 2000 chars (BENCH_r03 and
+    // r04 tails both captured exactly 2000, truncating the line's HEAD).
+    // 92 query names alone exceed that at any decimal precision, so the
+    // per-query map cannot live on stdout: write it to BENCH_QUERIES.json
+    // next to the repo root, and keep the final stdout line a compact
+    // totals-only summary (~100 chars — can never overflow the window).
+    val perQuery = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + f(v) }
+      .mkString("{", ",", "}")
+    val fileJson =
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${results.size},"queries":$perQuery,"sf":"$sfDir"}"""
+    // Anchor at the repo root (driver CWD is unspecified); overridable for tests.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERIES", "/root/repo/BENCH_QUERIES.json")
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(outPath),
+        (fileJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch {
+      case e: Throwable => System.err.println(s"bench: could not write $outPath: $e")
     }
-    // The driver's output-tail window measured ~3.7 KB in BENCH_r03 (the
-    // overflowing full-precision line was cut at 3708 chars): prefer 3
-    // decimals, degrade through 2 and 1 past 2.6 KB so the guard stays
-    // TERMINAL as coverage grows — emitting a known-overflowing line would
-    // reintroduce the r03 parsed:null regression silently. 0.1 s resolution
-    // is coarse but parseable; warn on stderr when degraded.
-    val l3 = line(3)
     val out =
-      if (l3.length <= 2600) l3
-      else Seq(2, 1).view.map(line).find(_.length <= 2600).getOrElse {
-        System.err.println("bench: JSON line exceeds window even at 1dp")
-        line(1)
-      }
-    if (!(out eq l3)) System.err.println(
-      s"bench: degraded decimal precision to fit the output-tail window (${out.length} chars)")
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${results.size},"sf":"$sfDir","per_query":"BENCH_QUERIES.json"}"""
     // Stop Spark BEFORE printing so no shutdown logging can land after the
     // JSON line: it must be the last line of stdout for the driver's parser.
     spark.stop()

@@ -60,7 +60,12 @@ object Scd2Sink {
           "(written by an incompatible Scd2Sink); rebuild the history")
     }
 
+    // intra-batch replay idempotence, mirroring the cross-batch anti-join
+    // below: the same event delivered twice INSIDE one batch (identical
+    // key+version+ts) collapses to one row instead of writing two history
+    // rows under one version id.
     val batchTs = batch.withColumn("__ts_us", unix_micros(col(tsCol)))
+      .dropDuplicates(key, version, "__ts_us")
     // replay idempotence: (key, version, ts) already in state == the same
     // event delivered again — drop silently. One cached frame: the guard
     // count, the emptiness check and the final write all reuse it instead
@@ -73,6 +78,17 @@ object Scd2Sink {
     }).persist()
     try {
       if (fresh.isEmpty) return
+
+      // version-id reuse WITHIN the batch: after the exact-replay collapse
+      // above, two surviving rows sharing (key, version) must differ in ts
+      // — the corruption the cross-state guard below rejects, arriving in
+      // one delivery. It would sail past the state anti-join and write two
+      // history rows under one version id; reject it here too.
+      val intraDups = fresh.groupBy(col(key), col(version)).count()
+        .filter(col("count") > 1).count()
+      require(intraDups == 0L,
+        s"$intraDups (key, version) pair(s) appear more than once within " +
+          "the batch; refusing to write duplicate SCD2 version rows")
 
       stored.foreach { state =>
         // version-id REUSE (same key+version, different ts) is not replay;

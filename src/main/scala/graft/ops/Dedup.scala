@@ -249,9 +249,15 @@ object Dedup {
     * quadratic-in-duplication cost from ever seeing exact copies. */
   def dedupPipeline(spark: SparkSession, dir: String, threshold: Double = 0.5,
                     dfCap: Int = 128): DataFrame = {
+    // Shuffle-key by the 16-byte md5 digest, not the document body: the
+    // text still has to move (survivors get re-shingled) but key hashing,
+    // sort comparisons and map-side combine now touch 16 bytes instead of
+    // multi-KB bodies. min_by keeps the survivor pick deterministic.
     val survivors = Tables(spark, dir, "documents")
-      .groupBy(col("text"))
-      .agg(min(col("doc_id")).as("doc_id"))
+      .groupBy(md5(col("text").cast("binary")).as("text_digest"))
+      .agg(min(col("doc_id")).as("doc_id"),
+        min_by(col("text"), col("doc_id")).as("text"))
+      .drop("text_digest")
     ngramPairsOn(hashShingledOf(survivors), threshold, dfCap)
       .orderBy(col("doc_a"), col("doc_b"))
   }
@@ -566,11 +572,16 @@ object Dedup {
     // each such row its own per-doc SURROGATE partition — partitioning all
     // of them on literal null would funnel every short doc in the corpus
     // into one straggler task, the skew regime this file exists to avoid.
-    // (Surrogate-vs-real hash collisions are the same ~n^2/2^64 class the
-    // whole hashed-shingle family accepts.) Null h stays excluded from the
+    // The struct key's is_surrogate flag keeps the surrogate domain
+    // structurally disjoint from real shingle hashes: a surrogate that
+    // happens to equal a real hash can no longer inflate that shingle's df
+    // from 1 to 2 and silently drop it from n_unique (symmetric
+    // shingle-vs-shingle collisions remain the ~n^2/2^64 class the whole
+    // hashed-shingle family accepts). Null h stays excluded from the
     // unique count: a missing shingle, not a rare one.
-    val w = Window.partitionBy(
-      coalesce(col("h"), xxhash64(lit("graft_novelty_nullkey"), col("doc_id"))))
+    val w = Window.partitionBy(struct(
+      coalesce(col("h"), xxhash64(col("doc_id"))).as("k"),
+      col("h").isNull.as("is_surrogate")))
     Tables(spark, dir, "documents")
       .select(col("doc_id"), expr(s"graft_shingle_hashes(text, $n)").as("hs"))
       .select(col("doc_id"), size(col("hs")).cast("long").as("n_sh"),

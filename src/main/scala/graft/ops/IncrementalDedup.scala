@@ -242,7 +242,12 @@ object IncrementalDedup {
   def twoBatchPairs(spark: SparkSession, dir: String,
                     threshold: Double = 0.5): DataFrame = {
     val docs = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
-    val split = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+    val maxRow = docs.agg(max(col("doc_id"))).head()
+    // max() of an empty table is null — fail with a message instead of a
+    // bare NullPointerException out of getLong
+    require(!maxRow.isNullAt(0),
+      s"twoBatchPairs: documents table at $dir is empty; nothing to split")
+    val split = maxRow.getLong(0) / 2
     // Per-APPLICATION scratch dir, wiped at each call: a fixed shared path
     // let two concurrent JVMs (bench alongside tests) wipe each other's
     // state mid-probe, while a per-invocation UUID dir leaked one full
@@ -268,9 +273,14 @@ object IncrementalDedup {
 /** JVM-exit cleanup of [[IncrementalDedup.twoBatchPairs]] scratch dirs —
   * local-tmpdir paths, so plain java.io deletion suffices. */
 private[ops] object TwoBatchScratch {
-  private val registered = new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+  // newKeySet.add returns a primitive boolean (first-add = true); the
+  // previous ConcurrentHashMap[String, Boolean].putIfAbsent == null check
+  // unboxed to false == null — always false — so the hook NEVER registered
+  // and scratch dirs leaked one per application.
+  private val registered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   def registerCleanup(path: String): Unit =
-    if (registered.putIfAbsent(path, true) == null) {
+    if (registered.add(path)) {
       Runtime.getRuntime.addShutdownHook(new Thread(() => {
         def rm(f: java.io.File): Unit = {
           val kids = f.listFiles()

@@ -548,12 +548,15 @@ object Relational {
 
   /** Cohort retention matrix — signup week × week offset → distinct active
     * users: the standard product-analytics rollup. One equi-join keyed on
-    * user_id (signups are a small filtered slice — Catalyst broadcasts
-    * them) and one partial+final count-distinct aggregate on the
+    * user_id and one partial+final count-distinct aggregate on the
     * (cohort, offset) key; the events feed is scanned twice (once for
     * cohorts, once for activity) but never shuffled on a high-cardinality
-    * key. Weeks are epoch-day divisions (not date_trunc) for exact oracle
-    * parity across engines' week conventions. */
+    * key. The cohorts side is one row per user who ever signed up —
+    * unbounded at scale — so the join hint is left to the broadcast
+    * threshold / AQE: small cohort sets broadcast, large ones fall back to
+    * a shuffle join instead of OOMing the driver. Weeks are epoch-day
+    * divisions (not date_trunc) for exact oracle parity across engines'
+    * week conventions. */
   def retention(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
     val cohorts = ev.filter(col("event_type") === "signup")
@@ -561,7 +564,7 @@ object Relational {
       .agg(min(floor(unix_timestamp(col("ts")) / 604800L)).as("cohort_week"))
     ev.select(col("user_id"),
         floor(unix_timestamp(col("ts")) / 604800L).as("act_week"))
-      .join(broadcast(cohorts), Seq("user_id"))
+      .join(cohorts, Seq("user_id"))
       .filter(col("act_week") >= col("cohort_week"))
       .select(col("user_id"), col("cohort_week"),
         (col("act_week") - col("cohort_week")).as("week_offset"))

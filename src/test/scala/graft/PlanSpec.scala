@@ -210,6 +210,15 @@ class PlanSpec extends SparkSpec {
       p.take(3000))
   }
 
+  test("dedup pipeline: exact stage shuffles on the md5 digest, not the text") {
+    val p = plan("q_dedup_pipeline")
+    // the exact-dedup groupBy must key its exchange on the 16-byte digest;
+    // hashpartitioning directly on the multi-KB text column is the 100 TB
+    // shuffle-key mistake this assertion pins against
+    assert(p.contains("md5"), p.take(2000))
+    assert(!p.contains("Exchange hashpartitioning(text#"), p.take(2000))
+  }
+
   test("bucketed layout: a co-bucketed join plans with zero exchanges") {
     // THE shuffle-elimination technique for repeated big-big joins at
     // 100 TB: both sides bucketed by the join key at write time join with
