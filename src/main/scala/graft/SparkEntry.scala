@@ -123,8 +123,11 @@ object SparkEntry {
     * the same parquet tables. Omitted (rows-only check) only where the
     * output depends on engine-internal hashes or float/sketch iteration:
     * q_dedup_minhash, q_simhash, q_simhash_pairs, q_ann_lsh, q_winnow,
-    * q_approx_distinct, q_kmeans_profile, q_approx_percentile — each pinned
-    * instead by a property spec (recall/error-bound/objective). */
+    * q_kmeans_profile — each pinned instead by a property spec
+    * (recall/error-bound/objective). The approx sketches
+    * (q_approx_distinct, q_approx_percentile) ARE gate-checked: they emit
+    * exact values plus Spark-computed error-bound booleans the oracle
+    * expects to be TRUE. */
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -372,6 +375,20 @@ object SparkEntry {
       """SELECT o_orderpriority,
         | round(quantile_cont(o_totalprice, 0.5), 2) AS median_price,
         | round(quantile_cont(o_totalprice, 0.9), 2) AS p90_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the approx estimates are engine-specific; the gate-checked contract
+    // is exact values + error-bound verdicts Spark computes and the oracle
+    // pins to TRUE (a sketch past its bound fails the hash compare)
+    "q_approx_distinct" ->
+      """SELECT count(DISTINCT o_custkey) AS exact_cust, TRUE AS within_5pct
+        |FROM orders""".stripMargin,
+
+    "q_approx_percentile" ->
+      """SELECT o_orderpriority,
+        | round(quantile_cont(o_totalprice, 0.5), 2) AS median_exact,
+        | round(quantile_cont(o_totalprice, 0.9), 2) AS p90_exact,
+        | TRUE AS median_ok, TRUE AS p90_ok
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_check_counts" ->

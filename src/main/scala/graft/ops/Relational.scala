@@ -203,13 +203,19 @@ object Relational {
       .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("revenue"))
       .orderBy(col("yr"), col("mon"))
 
-  /** Approximate distinct (HyperLogLog++). Sketch-dependent -> rows-only
-    * check; the exact counterpart is [[distinctAgg]]. The relative-error
-    * contract is asserted in OpsSpec instead. */
+  /** Approximate distinct (HyperLogLog++). The sketch estimate itself is
+    * engine-specific, so the oracle-comparable output is the EXACT count
+    * plus a Spark-computed error-bound verdict: `within_5pct` must be true
+    * (2.5σ of the 2% target rsd), and the oracle emits literal TRUE — an
+    * estimate drifting past the bound flips the boolean and fails the hash
+    * gate, turning the error contract into a driver-checked property. */
   def approxDistinct(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "orders").agg(
       approx_count_distinct(col("o_custkey"), 0.02).as("approx_cust"),
       countDistinct(col("o_custkey")).as("exact_cust"))
+      .select(col("exact_cust"),
+        (abs(col("approx_cust") - col("exact_cust")).cast("double") /
+          col("exact_cust") <= 0.05).as("within_5pct"))
 
   /** Exact distinct aggregation (expand + two-phase agg under the hood). */
   def distinctAgg(spark: SparkSession, dir: String): DataFrame =
@@ -350,15 +356,24 @@ object Relational {
     * the single-pass mergeable path that replaces the exact percentile's
     * per-group sort at scale: sketch state is O(accuracy) per group and
     * merges associatively across partitions. Sketch merge order makes the
-    * result engine-specific → rows-only driver check; the spec bounds the
-    * error against the exact tier. */
+    * estimates engine-specific, so the oracle-comparable output is the
+    * EXACT interpolated percentiles (parity with DuckDB's quantile_cont is
+    * proven by q_percentile) plus Spark-computed 2%-error verdicts; the
+    * oracle emits literal TRUE — an estimate past the bound flips the
+    * boolean and fails the hash gate. */
   def approxPercentiles(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "orders")
       .groupBy(col("o_orderpriority"))
-      .agg(expr("approx_percentile(o_totalprice, array(0.5, 0.9), 1000)").as("ap"))
+      .agg(expr("approx_percentile(o_totalprice, array(0.5, 0.9), 1000)").as("ap"),
+        expr("percentile(o_totalprice, 0.5)").as("ex_med"),
+        expr("percentile(o_totalprice, 0.9)").as("ex_p90"))
       .select(col("o_orderpriority"),
-        round(col("ap").getItem(0), 2).as("median_approx"),
-        round(col("ap").getItem(1), 2).as("p90_approx"))
+        round(col("ex_med"), 2).as("median_exact"),
+        round(col("ex_p90"), 2).as("p90_exact"),
+        (abs(col("ap").getItem(0) - col("ex_med")) / col("ex_med") <= 0.02)
+          .as("median_ok"),
+        (abs(col("ap").getItem(1) - col("ex_p90")) / col("ex_p90") <= 0.02)
+          .as("p90_ok"))
       .orderBy(col("o_orderpriority"))
 
   /** Session windows in batch mode (gap-based, 30 min): Spark's
