@@ -27,27 +27,44 @@ trait GraftPlugin {
     * runs per sync view, and an unresolved column in one sync's view would
     * otherwise kill the whole multi-table query. */
   def tables: Set[String] = Set.empty
+  /** The reference's `is_global` flag (`settings.py:29-36`): true (default)
+    * = one singleton instance serves every invocation; false = a FRESH
+    * instance is constructed per hook invocation (per sync per micro-batch
+    * — the DataFrame-granularity analog of the reference's per-event
+    * instantiation), so stateful plugins start clean each batch. */
+  def isGlobal: Boolean = true
   def preEvent(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = df
   def postBatch(table: String, batchId: Long): Unit = ()
 }
 
 object PluginHooks {
   /** Reflection loader mirroring the reference's dotted-path
-    * `load_plugin(str)` (`plugin.py:25-31`, via `importlib`): one singleton
-    * instance per listed class (the reference's `is_global=True` mode). */
+    * `load_plugin(str)` (`plugin.py:25-31`, via `importlib`). A class
+    * declaring `isGlobal = true` (the default) is instantiated once and
+    * reused; `isGlobal = false` re-instantiates per hook invocation
+    * (`settings.py:29-36`'s two modes). The probe instance that reads the
+    * flags is the singleton in global mode and is discarded otherwise. */
   def load(classNames: Seq[String]): PluginHooks = {
-    val plugins = classNames.map(_.trim).filter(_.nonEmpty).map { n =>
-      try Class.forName(n).getDeclaredConstructor().newInstance()
-        .asInstanceOf[GraftPlugin]
-      catch { case e: Exception =>
+    val loaded = classNames.map(_.trim).filter(_.nonEmpty).map { n =>
+      try {
+        val ctor = Class.forName(n).getDeclaredConstructor()
+        (ctor, ctor.newInstance().asInstanceOf[GraftPlugin])
+      } catch { case e: Exception =>
         throw new IllegalArgumentException(
           s"cannot load plugin class '$n' (config key plugins=)", e)
       }
     }
+    val instanceOf = loaded.map { case (ctor, probe) =>
+      if (probe.isGlobal) () => probe
+      else () => ctor.newInstance().asInstanceOf[GraftPlugin]
+    }
     PluginHooks(
-      preEvent = plugins.map(p => (table: String, df: org.apache.spark.sql.DataFrame) =>
-        if (p.tables.isEmpty || p.tables(table)) p.preEvent(df) else df),
-      postBatch = plugins.map(p => p.postBatch _))
+      preEvent = instanceOf.map(inst => (table: String, df: org.apache.spark.sql.DataFrame) => {
+        val p = inst()
+        if (p.tables.isEmpty || p.tables(table)) p.preEvent(df) else df
+      }),
+      postBatch = instanceOf.map(inst =>
+        (table: String, batchId: Long) => inst().postBatch(table, batchId)))
   }
 }
 

@@ -65,6 +65,21 @@ class CliSpec extends SparkSpec {
     assert(out.collect().toSeq === view.collect().toSeq)
   }
 
+  test("U1: a non-global plugin is re-instantiated per invocation, a global one is not") {
+    PerBatchPlugin.constructed.set(0)
+    GlobalCountPlugin.constructed.set(0)
+    val hooks = graft.cdc.PluginHooks.load(
+      Seq("graft.PerBatchPlugin", "graft.GlobalCountPlugin"))
+    val afterLoad = PerBatchPlugin.constructed.get()
+    hooks.postBatch.foreach(_("t", 0L))
+    hooks.postBatch.foreach(_("t", 1L))
+    hooks.postBatch.foreach(_("t", 2L))
+    // non-global: the load-time probe plus one fresh instance per postBatch
+    assert(PerBatchPlugin.constructed.get() === afterLoad + 3)
+    // global: only the load-time singleton, however many batches fire
+    assert(GlobalCountPlugin.constructed.get() === 1)
+  }
+
   test("U1: blank plugin entries are ignored, bad classes name themselves") {
     assert(graft.cdc.PluginHooks.load(Seq("", "  ")).preEvent.isEmpty)
     val err = intercept[IllegalArgumentException] {
@@ -93,4 +108,21 @@ class UppercasePlugin extends graft.cdc.GraftPlugin {
 }
 object UppercasePlugin {
   val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+}
+
+/** Non-global fixture: counts constructions to prove per-batch mode. */
+class PerBatchPlugin extends graft.cdc.GraftPlugin {
+  PerBatchPlugin.constructed.incrementAndGet()
+  override def isGlobal: Boolean = false
+}
+object PerBatchPlugin {
+  val constructed = new java.util.concurrent.atomic.AtomicInteger(0)
+}
+
+/** Global fixture: the loader's probe must be the only construction. */
+class GlobalCountPlugin extends graft.cdc.GraftPlugin {
+  GlobalCountPlugin.constructed.incrementAndGet()
+}
+object GlobalCountPlugin {
+  val constructed = new java.util.concurrent.atomic.AtomicInteger(0)
 }
