@@ -14,12 +14,16 @@ import org.apache.spark.sql.functions._
   * super-linear term (pair blowup, driver state) bends the curve long
   * before 100 TB does. Dev tool; results recorded in SCALE.md.
   *
-  * Usage: runMain graft.tools.ScaleCurve [factors csv, default 1,10,100]
+  * Usage: runMain graft.tools.ScaleCurve [factors csv, default 1,10,100] [neardup]
+  *   `neardup` adds the near-dup composite (decontaminate + dup-span) at
+  *   each factor — the standing per-round stress entry for the near-dup
+  *   tier's scale curve (VERDICT r4 item 7).
   */
 object ScaleCurve {
   def main(args: Array[String]): Unit = {
     val factors = (if (args.nonEmpty) args(0) else "1,10,100")
       .split(',').map(_.trim.toInt).toSeq
+    val nearDup = args.length > 1 && args(1) == "neardup"
     // 256 shuffle partitions, not the harness's 32: the tool's whole point
     // is data 100x the fixtures, and partition sizing belongs to the data
     // (SCALE.md global posture) — at 60M-row shuffles, 32 partitions spill
@@ -99,6 +103,16 @@ object ScaleCurve {
       time("dedup_exact", fac)(
         df2.groupBy(md5(col("text"))).agg(count(lit(1))).count())
       time("dedup_lsh", fac)(graft.ops.Dedup.minhashLsh(spark, root).count())
+      if (nearDup) {
+        // near-dup composite: benchmark decontamination (keyed shingle
+        // semi-join) + exact-substring dup spans (positional gram hashes).
+        // Both are the linear-scan half of the near-dup tier; their slope
+        // here is the evidence that the tier stays scan-bound as the
+        // corpus grows in DISTINCT content.
+        time("decontaminate", fac)(graft.ops.Dedup.decontaminate(spark, root).count())
+        time("dup_spans", fac)(graft.ops.TextAnalysis.dupSpans(spark, root).count())
+        time("ngram_prefix", fac)(graft.ops.Dedup.ngramJaccardPrefix(spark, root).count())
+      }
 
       // the replicated tables are multi-GB at x100; don't leave them to
       // fill /tmp across repeated runs
