@@ -268,11 +268,14 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
   }
 
   /** `refresh`: atomic rebuild of each sync from a full scan
-    * (`main.py:143-176`; offset pinning is the caller's checkpoint). */
+    * (`main.py:143-176`; offset pinning is the caller's checkpoint). The
+    * configured sink layout (state.buckets) carries onto the rebuilt copy —
+    * the reference's settings-copy-on-refresh (`meili.py:43-49`). */
   def refresh(tables: Seq[String] = Seq.empty): Map[String, Long] =
     config.syncs
       .filter(s => tables.isEmpty || tables.contains(s.table))
-      .map(s => s.table -> SwapRefresh.refresh(source.fullScan(s), statePath(s)))
+      .map(s => s.table -> SwapRefresh.refresh(source.fullScan(s), statePath(s),
+        config.stateBuckets.map(n => (pkOut(s), n))))
       .toMap
 
   /** `check`: source count vs sink count per sync (`main.py:179-208`). */

@@ -17,10 +17,29 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SwapRefresh {
 
-  /** Rebuild `livePath` from `fresh`, atomically. Returns row count written. */
-  def refresh(fresh: DataFrame, livePath: String): Long = {
+  /** Rebuild `livePath` from `fresh`, atomically. Returns row count written.
+    *
+    * `buckets = Some((pk, n))` carries the live sink's bucketed layout onto
+    * the staging copy before the swap — the analog of the reference copying
+    * the live index's settings onto the tmp index (`meili.py:43-49`).
+    * Without it a refresh of a bucketed sink would swap in a FLAT dir; the
+    * next micro-batch's `hasBuckets` probe would then see no layout,
+    * bootstrap an empty state, and silently discard the refreshed rows in
+    * every bucket it touches. */
+  def refresh(fresh: DataFrame, livePath: String,
+              buckets: Option[(String, Int)] = None): Long = {
     val staging = livePath + ".staging"
-    fresh.write.mode("overwrite").parquet(staging)
+    buckets match {
+      case Some((pk, n)) =>
+        fresh
+          .withColumn(BucketedUpsertSink.BucketCol,
+            BucketedUpsertSink.bucketOf(org.apache.spark.sql.functions.col(pk), n))
+          .write.mode("overwrite")
+          .partitionBy(BucketedUpsertSink.BucketCol)
+          .parquet(staging)
+      case None =>
+        fresh.write.mode("overwrite").parquet(staging)
+    }
     val n = fresh.sparkSession.read.parquet(staging).count()
     UpsertSink.atomicSwapDirs(fresh.sparkSession, staging, livePath)
     n

@@ -243,6 +243,38 @@ class PipelineSpec extends SparkSpec {
     assert(dirs.exists(_.startsWith("_bucket=")), dirs.mkString(","))
   }
 
+  test("refresh of a bucketed sink keeps the bucket layout (settings copy on swap)") {
+    // the reference copies the live index's settings onto the tmp index
+    // before the swap (meili.py:43-49); the layout analog here is the
+    // bucket partitioning. A flat refresh would make the next batch's
+    // hasBuckets probe miss, bootstrap an empty state, and silently drop
+    // the refreshed rows in every touched bucket.
+    val sinkRoot = tmpDir("sink")
+    val ckpt = tmpDir("ckpt")
+    val sync = SyncConfig("region", pk = "r_regionkey", full = true,
+      schema = Some(StructType(Seq(
+        StructField("r_regionkey", IntegerType), StructField("r_name", StringType)))))
+    import org.apache.spark.sql.functions.col
+    val snapshot = Map("region" -> ops.Tables(spark, sf, "region")
+      .select(col("r_regionkey"), col("r_name")))
+    val src = new MemoryCdcSource(spark, snapshot)
+    val pipe = new Pipeline(spark,
+      PipelineConfig(Seq(sync), stateBuckets = Some(4)), src, sinkRoot)
+    pipe.backfillIfNeeded()
+    assert(pipe.refresh()("region") === 5L)
+    val dirs = new java.io.File(s"$sinkRoot/region").listFiles().map(_.getName)
+    assert(dirs.exists(_.startsWith("_bucket=")),
+      s"refresh lost the bucket layout: ${dirs.mkString(",")}")
+    // and the next micro-batch upserts AGAINST the refreshed state instead
+    // of bootstrapping empty: the other four regions must survive
+    src.addEvents(ChangeEvent("update", "region", 1,
+      ts("2024-01-01 00:00:00"), """{"r_regionkey": 0, "r_name": "AFRICA2"}"""))
+    val q = pipe.start(ckpt); q.processAllAvailable(); q.stop()
+    val state = pipe.sinkState(sync).orderBy("r_regionkey").collect()
+    assert(state.length === 5, state.mkString(","))
+    assert(state.head === Row(0, "AFRICA2"))
+  }
+
   test("backfill + refresh + check against fixture tables") {
     val sinkRoot = tmpDir("sink")
     val sync = SyncConfig("region", pk = "r_regionkey", full = true,
