@@ -66,15 +66,22 @@ object Bench {
       s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${results.size},"queries":$perQuery,"sf":"$sfDir"}"""
     // Anchor at the repo root (driver CWD is unspecified); overridable for tests.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERIES", "/root/repo/BENCH_QUERIES.json")
-    try {
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get(outPath),
-        (fileJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    } catch {
-      case e: Throwable => System.err.println(s"bench: could not write $outPath: $e")
-    }
+    // per_query advertises the path actually WRITTEN, and null if the write
+    // failed — a fixed pointer would present a stale committed file as this
+    // run's timings.
+    val wrote =
+      try {
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(outPath),
+          (fileJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        true
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"bench: could not write $outPath: $e"); false
+      }
+    val perQueryRef = if (wrote) "\"" + outPath + "\"" else "null"
     val out =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${results.size},"sf":"$sfDir","per_query":"BENCH_QUERIES.json"}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${results.size},"sf":"$sfDir","per_query":$perQueryRef}"""
     // Stop Spark BEFORE printing so no shutdown logging can land after the
     // JSON line: it must be the last line of stdout for the driver's parser.
     spark.stop()

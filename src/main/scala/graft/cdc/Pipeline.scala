@@ -22,7 +22,8 @@ final case class PluginHooks(
   * whole-DataFrame transform (so it can broadcast-join, not just map rows);
   * `postBatch` fires after each sync's batch commits. */
 trait GraftPlugin {
-  /** Tables this plugin applies to; empty = every sync. A preEvent that
+  /** Tables this plugin applies to (both hooks); empty = every sync. Must
+    * be a class constant — it is read once at load time. A preEvent that
     * references table-specific columns MUST scope itself here — the hook
     * runs per sync view, and an unresolved column in one sync's view would
     * otherwise kill the whole multi-table query. */
@@ -54,17 +55,31 @@ object PluginHooks {
           s"cannot load plugin class '$n' (config key plugins=)", e)
       }
     }
-    val instanceOf = loaded.map { case (ctor, probe) =>
-      if (probe.isGlobal) () => probe
-      else () => ctor.newInstance().asInstanceOf[GraftPlugin]
+    val hooks = loaded.map { case (ctor, probe) =>
+      // table scoping reads from the load-time probe (tables is a class
+      // constant by contract), so a non-global plugin is only constructed
+      // for hooks it actually serves; hook-time construction failures keep
+      // the plugin-name context the load path provides instead of escaping
+      // as a bare reflection exception that kills the stream anonymously
+      val inst: () => GraftPlugin =
+        if (probe.isGlobal) () => probe
+        else () => try ctor.newInstance().asInstanceOf[GraftPlugin]
+        catch { case e: Exception =>
+          throw new IllegalStateException(
+            s"cannot re-instantiate non-global plugin " +
+              s"'${ctor.getDeclaringClass.getName}' (config key plugins=)", e)
+        }
+      (probe.tables, inst)
     }
     PluginHooks(
-      preEvent = instanceOf.map(inst => (table: String, df: org.apache.spark.sql.DataFrame) => {
-        val p = inst()
-        if (p.tables.isEmpty || p.tables(table)) p.preEvent(df) else df
-      }),
-      postBatch = instanceOf.map(inst =>
-        (table: String, batchId: Long) => inst().postBatch(table, batchId)))
+      preEvent = hooks.map { case (scope, inst) =>
+        (table: String, df: org.apache.spark.sql.DataFrame) =>
+          if (scope.isEmpty || scope(table)) inst().preEvent(df) else df
+      },
+      postBatch = hooks.map { case (scope, inst) =>
+        (table: String, batchId: Long) =>
+          if (scope.isEmpty || scope(table)) inst().postBatch(table, batchId)
+      })
   }
 }
 

@@ -61,11 +61,14 @@ object Scd2Sink {
     }
 
     // intra-batch replay idempotence, mirroring the cross-batch anti-join
-    // below: the same event delivered twice INSIDE one batch (identical
-    // key+version+ts) collapses to one row instead of writing two history
-    // rows under one version id.
+    // below: the same event delivered twice INSIDE one batch collapses to
+    // one row instead of writing two history rows under one version id.
+    // Whole-row distinct, NOT dropDuplicates(key, version, ts): two rows
+    // sharing the triple but carrying DIFFERENT payloads are a conflict
+    // the guard below must reject loudly, not a replay to silently pick a
+    // nondeterministic winner from.
     val batchTs = batch.withColumn("__ts_us", unix_micros(col(tsCol)))
-      .dropDuplicates(key, version, "__ts_us")
+      .dropDuplicates()
     // replay idempotence: (key, version, ts) already in state == the same
     // event delivered again — drop silently. One cached frame: the guard
     // count, the emptiness check and the final write all reuse it instead
@@ -80,12 +83,16 @@ object Scd2Sink {
       if (fresh.isEmpty) return
 
       // version-id reuse WITHIN the batch: after the exact-replay collapse
-      // above, two surviving rows sharing (key, version) must differ in ts
-      // — the corruption the cross-state guard below rejects, arriving in
-      // one delivery. It would sail past the state anti-join and write two
-      // history rows under one version id; reject it here too.
-      val intraDups = fresh.groupBy(col(key), col(version)).count()
-        .filter(col("count") > 1).count()
+      // above, two surviving rows sharing (key, version) — differing ts OR
+      // differing payload at the same ts — are the corruption the
+      // cross-state guard below rejects, arriving in one delivery. It
+      // would sail past the state anti-join and write two history rows
+      // under one version id; reject it here too. (The aggregate gets an
+      // internal alias: a user version column literally named "count"
+      // would make col("count") ambiguous.)
+      val intraDups = fresh.groupBy(col(key), col(version))
+        .agg(count(lit(1)).as("__graft_n"))
+        .filter(col("__graft_n") > 1).count()
       require(intraDups == 0L,
         s"$intraDups (key, version) pair(s) appear more than once within " +
           "the batch; refusing to write duplicate SCD2 version rows")

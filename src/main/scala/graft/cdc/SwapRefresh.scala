@@ -30,15 +30,10 @@ object SwapRefresh {
               buckets: Option[(String, Int)] = None): Long = {
     val staging = livePath + ".staging"
     buckets match {
-      case Some((pk, n)) =>
-        fresh
-          .withColumn(BucketedUpsertSink.BucketCol,
-            BucketedUpsertSink.bucketOf(org.apache.spark.sql.functions.col(pk), n))
-          .write.mode("overwrite")
-          .partitionBy(BucketedUpsertSink.BucketCol)
-          .parquet(staging)
-      case None =>
-        fresh.write.mode("overwrite").parquet(staging)
+      // init IS the layout-defining write — reusing it keeps refresh's
+      // staging copy from drifting if the bucket layout ever changes
+      case Some((pk, n)) => BucketedUpsertSink.init(fresh, staging, pk, n)
+      case None          => fresh.write.mode("overwrite").parquet(staging)
     }
     val n = fresh.sparkSession.read.parquet(staging).count()
     UpsertSink.atomicSwapDirs(fresh.sparkSession, staging, livePath)

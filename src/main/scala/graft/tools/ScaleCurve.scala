@@ -104,11 +104,13 @@ object ScaleCurve {
         df2.groupBy(md5(col("text"))).agg(count(lit(1))).count())
       time("dedup_lsh", fac)(graft.ops.Dedup.minhashLsh(spark, root).count())
       if (nearDup) {
-        // near-dup composite: benchmark decontamination (keyed shingle
-        // semi-join) + exact-substring dup spans (positional gram hashes).
-        // Both are the linear-scan half of the near-dup tier; their slope
-        // here is the evidence that the tier stays scan-bound as the
-        // corpus grows in DISTINCT content.
+        // near-dup composite, two tiers with different expected slopes:
+        // decontaminate (keyed shingle semi-join) and dup_spans (positional
+        // gram hashes) are the LINEAR-scan half — their slope evidences the
+        // tier staying scan-bound as the corpus grows in DISTINCT content.
+        // ngram_prefix is the PAIR-generating half: its slope tracks
+        // candidate-pair volume (duplication density), not corpus size —
+        // flat here because replicas are dissimilar by construction.
         time("decontaminate", fac)(graft.ops.Dedup.decontaminate(spark, root).count())
         time("dup_spans", fac)(graft.ops.TextAnalysis.dupSpans(spark, root).count())
         time("ngram_prefix", fac)(graft.ops.Dedup.ngramJaccardPrefix(spark, root).count())

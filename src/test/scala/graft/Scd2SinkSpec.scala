@@ -58,6 +58,35 @@ class Scd2SinkSpec extends SparkSpec {
     assert(Scd2Sink.read(spark, dir).count() === before)
   }
 
+  test("intra-batch: exact duplicate rows collapse, same-triple different " +
+    "payload is a conflict") {
+    import spark.implicits._
+    val dir = tmpDir("scd2intra") + "/state"
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // the same event delivered twice inside one batch — a replay, applies
+    // as one version row
+    val replay = Seq((1L, 10L, t0, "a"), (1L, 10L, t0, "a"))
+      .toDF("user_id", "event_id", "ts", "v")
+    Scd2Sink.applyBatch(spark, dir, replay, "user_id", "event_id", "ts")
+    assert(Scd2Sink.read(spark, dir).count() === 1)
+    // same (key, version, ts) but DIFFERENT payloads in one batch: two
+    // distinct events under one version id — must fail loudly, never pick
+    // a nondeterministic winner
+    val dir2 = tmpDir("scd2intra2") + "/state"
+    val conflict = Seq((1L, 10L, t0, "a"), (1L, 10L, t0, "b"))
+      .toDF("user_id", "event_id", "ts", "v")
+    val ex = intercept[IllegalArgumentException] {
+      Scd2Sink.applyBatch(spark, dir2, conflict, "user_id", "event_id", "ts")
+    }
+    assert(ex.getMessage.contains("more than once within"))
+    // same-key different-version at one ts stays legal (ordered by version)
+    val dir3 = tmpDir("scd2intra3") + "/state"
+    val legal = Seq((1L, 10L, t0, "a"), (1L, 11L, t0, "b"))
+      .toDF("user_id", "event_id", "ts", "v")
+    Scd2Sink.applyBatch(spark, dir3, legal, "user_id", "event_id", "ts")
+    assert(Scd2Sink.read(spark, dir3).count() === 2)
+  }
+
   test("out-of-replication-order batch is rejected loudly, state intact") {
     val dir = tmpDir("scd2bad") + "/state"
     val ev = Tables.events(spark, sf)
