@@ -163,13 +163,32 @@ object Dedup {
     val sets = perDoc
       .select(col("doc_id"), col("n_sh"),
         array_sort(expr("transform(eord, x -> x.shingle)")).as("eset"))
+    // PPJoin prunings on the candidate join itself — they cut candidates
+    // BEFORE the pair-dedup shuffle, which dominates at scale (measured
+    // x100 ScaleCurve: 299 s -> see SCALE.md -> with the filters below):
+    //  - LENGTH: J >= t forces t*na <= nb <= na/t, so cross-length pairs
+    //    drop in the join condition.
+    //  - POSITIONAL: arrays share one global (df, shingle) sort, so at a
+    //    shared prefix position (pa, pb) the overlap is bounded by
+    //    1 + min(remaining a, remaining b); a pair needs
+    //    c >= ceil(t/(1+t)*(na+nb)) to reach J >= t. The bound is loosest
+    //    at the EARLIEST shared shingle and shrinks monotonically, so
+    //    filtering every match independently keeps exactly the pairs whose
+    //    earliest match passes — sound, no recall loss (the equality spec
+    //    vs the inverted-index tier pins this).
     val prefixes = perDoc.filter(col("plen") >= 1)
-      .select(col("doc_id"), explode(expr("slice(eord, 1, plen)")).as("p"))
-      .select(col("doc_id"), col("p.shingle").as("shingle"))
+      .select(col("doc_id"), col("n_sh"), col("m"),
+        posexplode(expr("slice(eord, 1, plen)")).as(Seq("pos", "p")))
+      .select(col("doc_id"), col("n_sh"), col("m"), col("pos"),
+        col("p.shingle").as("shingle"))
     val a = prefixes.alias("a")
     val b = prefixes.alias("b")
     val candidates = a.join(b,
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id") &&
+          col("b.n_sh") >= ceil(col("a.n_sh") * lit(threshold)) &&
+          col("a.n_sh") >= ceil(col("b.n_sh") * lit(threshold)) &&
+          (lit(1) + least(col("a.m") - col("a.pos") - 1, col("b.m") - col("b.pos") - 1)) >=
+            ceil(lit(threshold) / (1 + threshold) * (col("a.n_sh") + col("b.n_sh"))))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
     candidates
