@@ -60,12 +60,19 @@ object Profile {
           .withColumn("plen", col("m") - ceil(col("n_sh") * lit(0.5)).cast("int") + lit(1))
         time("perDoc")(perDoc.count())
         val prefixes = perDoc.filter(col("plen") >= 1)
-          .select(col("doc_id"), explode(expr("slice(eord, 1, plen)")).as("p"))
-          .select(col("doc_id"), col("p.shingle").as("shingle"))
+          .select(col("doc_id"), col("n_sh"), col("m"),
+            posexplode(expr("slice(eord, 1, plen)")).as(Seq("pos", "p")))
+          .select(col("doc_id"), col("n_sh"), col("m"), col("pos"),
+            col("p.shingle").as("shingle"))
         time("prefixes")(prefixes.count())
         val a = prefixes.alias("a"); val b = prefixes.alias("b")
+        // mirror the query's PPJoin length+positional prunings (t = 0.5)
         val cand = a.join(b,
-            col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+            col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id") &&
+              col("b.n_sh") >= ceil(col("a.n_sh") * lit(0.5)) &&
+              col("a.n_sh") >= ceil(col("b.n_sh") * lit(0.5)) &&
+              (lit(1) + least(col("a.m") - col("a.pos") - 1, col("b.m") - col("b.pos") - 1)) >=
+                ceil(lit(0.5) / 1.5 * (col("a.n_sh") + col("b.n_sh"))))
           .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         time("cand-raw")(cand.count())
         val candD = cand.dropDuplicates("doc_a", "doc_b")

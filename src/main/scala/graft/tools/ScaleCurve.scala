@@ -23,7 +23,10 @@ object ScaleCurve {
   def main(args: Array[String]): Unit = {
     val factors = (if (args.nonEmpty) args(0) else "1,10,100")
       .split(',').map(_.trim.toInt).toSeq
-    val nearDup = args.length > 1 && args(1) == "neardup"
+    val nearDup = args.length > 1 && args.drop(1).contains("neardup")
+    // keep: leave the replicated tables on disk for stage profiling
+    // (graft.tools.Profile <dir> prefix) instead of the default cleanup
+    val keep = args.length > 1 && args.drop(1).contains("keep")
     // 256 shuffle partitions, not the harness's 32: the tool's whole point
     // is data 100x the fixtures, and partition sizing belongs to the data
     // (SCALE.md global posture) — at 60M-row shuffles, 32 partitions spill
@@ -118,7 +121,7 @@ object ScaleCurve {
 
       // the replicated tables are multi-GB at x100; don't leave them to
       // fill /tmp across repeated runs
-      if (fac != 1) {
+      if (fac != 1 && !keep) {
         val p = new org.apache.hadoop.fs.Path(dir)
         p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
         ()
