@@ -122,12 +122,15 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted (rows-only check) only where the
     * output depends on engine-internal hashes or float/sketch iteration:
-    * q_dedup_minhash, q_simhash, q_simhash_pairs, q_ann_lsh, q_winnow,
-    * q_kmeans_profile — each pinned instead by a property spec
-    * (recall/error-bound/objective). The approx sketches
-    * (q_approx_distinct, q_approx_percentile) ARE gate-checked: they emit
-    * exact values plus Spark-computed error-bound booleans the oracle
-    * expects to be TRUE. */
+    * q_simhash, q_simhash_pairs, q_ann_lsh, q_winnow, q_kmeans_profile —
+    * each pinned instead by a property spec (recall/error-bound/objective).
+    * The approx sketches (q_approx_distinct, q_approx_percentile) ARE
+    * gate-checked: they emit exact values plus Spark-computed error-bound
+    * booleans the oracle expects to be TRUE. q_dedup_minhash IS
+    * gate-checked too: its verify stage is exact Jaccard, so banding only
+    * affects candidate recall — measured 1.0 at gate scale (zero symmetric
+    * difference vs the exact pair set), giving it the ngram closed-form
+    * oracle. */
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -459,6 +462,28 @@ object SparkEntry {
     // Same oracle as q_dedup_ngram: the prefix-filtered formulation must be
     // output-identical (the gate proves the equivalence at sf0.01).
     "q_dedup_ngram_prefix" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |s AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - 2),
+        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh FROM d),
+        |p AS (SELECT doc_id, n_sh, shingle FROM
+        |        (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM s)
+        |      QUALIFY count(*) OVER (PARTITION BY shingle) <= 128),
+        |j AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb,
+        |        count(*) AS c
+        |      FROM p a JOIN p b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2, 3, 4)
+        |SELECT doc_a, doc_b, round(CAST(c AS DOUBLE) / (na + nb - c), 4) AS jaccard
+        |FROM j WHERE round(CAST(c AS DOUBLE) / (na + nb - c), 4) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Same oracle as q_dedup_ngram: minhashLsh verifies candidates with
+    // EXACT Jaccard over full shingle sets, so its output differs from the
+    // exact pair set only if a true pair misses every LSH band. At the
+    // driver's gate scale (sf0.01, fixed data + seeds) banding recall is
+    // 1.0 — probed empirically: exceptAll in both directions is empty —
+    // and the df-cap in the oracle's candidate join does not bind there,
+    // so the closed-form exact-Jaccard SQL is the correct comparator.
+    "q_dedup_minhash" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |s AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - 2),
         |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh FROM d),

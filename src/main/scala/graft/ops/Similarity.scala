@@ -11,10 +11,9 @@ import org.apache.spark.sql.functions._
   *    set against the full corpus; one pass, no corpus shuffle. The correct
   *    baseline and the oracle-checkable one.
   *  - [[lshTopK]]: random-hyperplane LSH (sign-random-projection) — corpus
-  *    is bucketed by a b-bit code; queries probe only their own bucket
-  *    (multi-probe via hamming-adjacent codes would extend recall). The
-  *    sub-linear scale path: at 100 TB the bucket join replaces the full
-  *    scan per query.
+  *    is bucketed by L independent b-bit tables; queries probe their own
+  *    bucket plus hamming-1 neighbors in each table. The sub-linear scale
+  *    path: at 100 TB the bucket joins replace the full scan per query.
   *
   * Cosine is computed in double precision with sequential folds so the
   * DuckDB oracle matches bit-for-bit before rounding.
@@ -216,25 +215,51 @@ object Similarity {
                     maxIter: Int = 10): DataFrame =
     quantizeProfile(withVec(spark, dir), kmeansFit(spark, dir, k, maxIter))
 
-  /** Approximate top-k with multi-probe: each query probes its own b-bit
-    * SRP bucket plus the b hamming-1-adjacent buckets (vectors near a
-    * hyperplane land on either side, so flipping one bit recovers most
-    * missed neighbors at (b+1)/2^b of the corpus scanned). Recall < 1 by
-    * design; the bench companion to the exact baseline. */
+  /** Approximate top-k with `tables` independent b-bit SRP tables plus
+    * hamming-1 multi-probe per table — the classic multi-table LSH recipe:
+    * a true neighbor missed by one table's bucket is recovered by another
+    * (candidate recall 1-(1-p)^L vs a single table's p), and flipping one
+    * bit probes the buckets a near-hyperplane vector fell into. One 64-bit
+    * SRP code per vector carries all tables (table t = bits [t*b, t*b+b)),
+    * so the corpus is coded in a single codegen'd pass.
+    *
+    * Scale shape: ids-only through the band join (a pair colliding in
+    * several tables ships 16 bytes per collision, deduped before any
+    * vector moves), queries broadcast, then ONE keyed join-back to score
+    * surviving candidates with exact cosine. Candidate fraction per query
+    * ~ L*(b+1)/2^b of the corpus — tunable; recall < 1 by design; the
+    * bench companion to the exact baseline. */
   def lshTopK(spark: SparkSession, dir: String, numQueries: Int = 10,
-              k: Int = 5, bits: Int = 8): DataFrame = {
-    val e = withVec(spark, dir).withColumn("code", srpCode("v", bits))
-    val q = e.filter(col("vec_id") < numQueries)
+              k: Int = 5, bits: Int = 8, tables: Int = 8): DataFrame = {
+    require(bits * tables <= 64, "bits * tables must fit in one long code")
+    val mask = (1L << bits) - 1L
+    val e = withVec(spark, dir).withColumn("code", srpCode("v", bits * tables))
+    // corpus index: (table, bucket) per vector — ids only through the join
+    val c = e.select(col("vec_id"), col("code"))
+      .withColumn("t", explode(expr(s"sequence(0, ${tables - 1})")))
+      .select(col("vec_id"), col("t"),
+        expr(s"(code >> (t * $bits)) & $mask").as("bucket"))
+      .alias("c")
+    // each query probes its own bucket + the b hamming-1 buckets, per table
+    val q = e.filter(col("vec_id") < numQueries).select(col("vec_id"), col("code"))
+      .withColumn("t", explode(expr(s"sequence(0, ${tables - 1})")))
+      .withColumn("sub", expr(s"(code >> (t * $bits)) & $mask"))
       .withColumn("probe", explode(expr(
-        s"concat(array(code), transform(sequence(0, ${bits - 1}, 1), " +
-          "b -> code ^ shiftleft(1L, b)))")))
-      .alias("q")
-    val c = e.alias("c")
-    val scored = c.join(broadcast(q),
-        col("q.probe") === col("c.code") && col("q.vec_id") =!= col("c.vec_id"))
-      // a pair matches exactly one probe (all probe codes are distinct), so
-      // no dedup is needed
-      .select(col("q.vec_id").as("q_id"), col("c.vec_id").as("n_id"), cosine.as("cos"))
+        s"concat(array(sub), transform(sequence(0, ${bits - 1}), " +
+          "b -> sub ^ shiftleft(1L, b)))")))
+      .select(col("vec_id"), col("t"), col("probe"))
+      .alias("p")
+    val cand = c.join(broadcast(q),
+        col("p.t") === col("c.t") && col("p.probe") === col("c.bucket") &&
+          col("p.vec_id") =!= col("c.vec_id"))
+      .select(col("p.vec_id").as("q_id"), col("c.vec_id").as("n_id"))
+      .dropDuplicates("q_id", "n_id")
+    // exact-cosine verify: vectors join back once per surviving pair
+    val qv = e.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("v"), col("norm")).alias("q")
+    val cv = e.select(col("vec_id").as("n_id"), col("v"), col("norm")).alias("c")
+    val scored = cand.join(broadcast(qv), Seq("q_id")).join(cv, Seq("n_id"))
+      .select(col("q_id"), col("n_id"), cosine.as("cos"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
