@@ -76,6 +76,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(2000))
   }
 
+  test("ann-lsh: band join broadcasts the probe side; every join stays keyed") {
+    val p = plan("q_ann_lsh")
+    // probes (numQueries * tables * (bits+1) rows) broadcast against the
+    // corpus bucket index; the exact-cosine join-back is keyed on ids
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(2000))
+  }
+
   test("decontamination joins stay keyed on the shingle hash") {
     val p = plan("q_decontaminate")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
