@@ -111,6 +111,7 @@ object SparkEntry {
     "q_entropy"        -> ((s, d) => TextAnalysis.entropy(s, d)),
     "q_source_profile" -> ((s, d) => TextAnalysis.sourceProfile(s, d)),
     "q_dedup_incr"     -> ((s, d) => IncrementalDedup.twoBatchPairs(s, d)),
+    "q_dedup_stream"   -> ((s, d) => graft.streaming.DedupStream.streamedPairs(s, d)),
     "q_dup_spans"      -> ((s, d) => TextAnalysis.dupSpans(s, d)),
     "q_vocab"          -> ((s, d) => TextAnalysis.vocabCoverage(s, d)),
     "q_ann_pq"         -> ((s, d) => Similarity.pqTopK(s, d)),
@@ -484,6 +485,25 @@ object SparkEntry {
     // and the df-cap in the oracle's candidate join does not bind there,
     // so the closed-form exact-Jaccard SQL is the correct comparator.
     "q_dedup_minhash" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |s AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - 2),
+        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh FROM d),
+        |p AS (SELECT doc_id, n_sh, shingle FROM
+        |        (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM s)
+        |      QUALIFY count(*) OVER (PARTITION BY shingle) <= 128),
+        |j AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb,
+        |        count(*) AS c
+        |      FROM p a JOIN p b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2, 3, 4)
+        |SELECT doc_a, doc_b, round(CAST(c AS DOUBLE) / (na + nb - c), 4) AS jaccard
+        |FROM j WHERE round(CAST(c AS DOUBLE) / (na + nb - c), 4) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // A checkpointed Structured Streaming ingest (two crawl-batch files ->
+    // two micro-batches through the incremental LSH index) graded against
+    // the SAME closed form: the df-cap-free LSH union over batches equals
+    // the one-shot exact pair set (see q_dedup_minhash above).
+    "q_dedup_stream" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |s AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - 2),
         |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh FROM d),

@@ -38,8 +38,17 @@ object IncrementalDedup {
     * the returned DataFrame would then re-read the state INCLUDING the
     * batch it just contributed and double-emit every new x old pair.
     * Pinning the file list at read time makes re-execution reproducible
-    * regardless of later appends. */
-  private def snapshotRead(spark: SparkSession, path: String, ddl: String): DataFrame = {
+    * regardless of later appends.
+    *
+    * `excludeBatch`: an at-least-once REPLAY of foreachBatch batch k finds
+    * the crashed attempt's own `batch-k/` subdir already in the state dir;
+    * reading it as "old" corpus would double every replayed doc (duplicate
+    * sets rows multiply the verify join, and the batch pairs with its own
+    * crashed copy). Excluding the current batch's subdir makes the replay
+    * read exactly the pre-batch snapshot, so replay output == first-run
+    * output. */
+  private def snapshotRead(spark: SparkSession, path: String, ddl: String,
+                           excludeBatch: Option[Long] = None): DataFrame = {
     val schema = org.apache.spark.sql.types.StructType.fromDDL(ddl)
     // heal a compactState crash window FIRST (live dir momentarily absent,
     // complete copy parked at <path>.old) — reading without this would see
@@ -50,12 +59,14 @@ object IncrementalDedup {
     // Recursive: idempotent per-batch appends live in batch-<id> subdirs.
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val skipDir = excludeBatch.map(id => s"batch-$id")
     val files = scala.collection.mutable.ArrayBuffer.empty[String]
     if (fs.exists(p)) {
       val it = fs.listFiles(p, true)
       while (it.hasNext) {
         val st = it.next()
-        if (st.isFile && st.getPath.getName.endsWith(".parquet"))
+        if (st.isFile && st.getPath.getName.endsWith(".parquet") &&
+            !skipDir.contains(st.getPath.getParent.getName))
           files += st.getPath.toString
       }
     }
@@ -85,9 +96,12 @@ object IncrementalDedup {
     }
   }
 
-  /** Read the postings index; empty-but-typed when absent. */
-  def postings(spark: SparkSession, statePath: String): DataFrame =
-    snapshotRead(spark, statePath, "shingle BIGINT, doc_id BIGINT, n_sh INT")
+  /** Read the postings index; empty-but-typed when absent. `excludeBatch`
+    * skips that batch's own subdir — see [[snapshotRead]] on replay. */
+  def postings(spark: SparkSession, statePath: String,
+               excludeBatch: Option[Long] = None): DataFrame =
+    snapshotRead(spark, statePath, "shingle BIGINT, doc_id BIGINT, n_sh INT",
+      excludeBatch)
 
   /** Ingest one batch of `(doc_id, text)` docs: emit the NEW near-dup pairs
     * (doc_a < doc_b, at least one side from this batch), then append the
@@ -101,7 +115,7 @@ object IncrementalDedup {
       .withColumn("n_sh", size(col("hs")))
       .select(col("doc_id"), explode(col("hs")).as("shingle"), col("n_sh"))
       .persist()
-    val oldPosts = postings(spark, statePath)
+    val oldPosts = postings(spark, statePath, excludeBatch = batchId)
     val allPosts = oldPosts.unionByName(newPosts)
 
     // df cap over the CURRENT corpus, computed ONLY for shingles the batch
@@ -197,8 +211,10 @@ object IncrementalDedup {
       .select(col("doc_id"), col("band.id").as("band_id"), col("band.h").as("band_h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
 
-    val oldBands = snapshotRead(spark, bandsPath, "doc_id BIGINT, band_id INT, band_h BIGINT")
-    val oldSets = snapshotRead(spark, setsPath, "doc_id BIGINT, hs ARRAY<BIGINT>, n_sh INT")
+    val oldBands = snapshotRead(spark, bandsPath,
+      "doc_id BIGINT, band_id INT, band_h BIGINT", batchId)
+    val oldSets = snapshotRead(spark, setsPath,
+      "doc_id BIGINT, hs ARRAY<BIGINT>, n_sh INT", batchId)
     val allBands = oldBands.unionByName(newBands)
     val allSets = oldSets.unionByName(newSets)
 
@@ -270,9 +286,10 @@ object IncrementalDedup {
   }
 }
 
-/** JVM-exit cleanup of [[IncrementalDedup.twoBatchPairs]] scratch dirs —
+/** JVM-exit cleanup of driver-query scratch dirs ([[IncrementalDedup
+  * .twoBatchPairs]], [[graft.streaming.DedupStream.streamedPairs]]) —
   * local-tmpdir paths, so plain java.io deletion suffices. */
-private[ops] object TwoBatchScratch {
+private[graft] object TwoBatchScratch {
   // newKeySet.add returns a primitive boolean (first-add = true); the
   // previous ConcurrentHashMap[String, Boolean].putIfAbsent == null check
   // unboxed to false == null — always false — so the hook NEVER registered

@@ -1,0 +1,130 @@
+package graft.streaming
+
+import graft.ops.IncrementalDedup
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Continuous corpus dedup: a file stream of crawl batches drives the
+  * incremental near-dup index ([[graft.ops.IncrementalDedup]]) under Spark's
+  * checkpointed exactly-once-per-batch contract — the operational shape of
+  * dedup at 100 TB, where the corpus only ever grows and each arriving
+  * batch must pay for itself, not for a recompute.
+  *
+  * Per micro-batch (foreachBatch): emit the batch's new near-dup pairs
+  * (every pair has at least one side in the batch) to `outPath/batch-<id>`,
+  * and append the batch's postings/bands to the persisted index — BOTH
+  * writes are per-batch-directory overwrites keyed by the foreachBatch id,
+  * and the index read excludes the in-flight batch's own subdir, so an
+  * at-least-once replay after a crash inside the batch window converges to
+  * exactly the uninterrupted run's output (spec: `DedupStreamSpec` kills
+  * the query with a lost commit and compares).
+  *
+  * The reference's closest shape is its continuous CDC sync loop
+  * (meilisync `main.py:84-101`: progress checkpoint + restart); here the
+  * same checkpoint-resume contract carries an analytics operator instead
+  * of an index upsert. */
+object DedupStream {
+
+  val docsSchema: StructType = StructType.fromDDL("doc_id BIGINT, text STRING")
+
+  /** Start the ingest stream over parquet crawl batches in `docsDir`.
+    *
+    * `useLsh` picks the sub-quadratic MinHash+LSH tier (the 100 TB path;
+    * df-cap-free, so the union over batches is EXACTLY the one-shot
+    * [[graft.ops.Dedup.minhashLsh]] answer) over the exact inverted-index
+    * tier. `maxFilesPerTrigger` bounds a micro-batch for steady state. */
+  def start(spark: SparkSession, docsDir: String, statePath: String,
+            outPath: String, checkpoint: String, threshold: Double = 0.5,
+            useLsh: Boolean = true, maxFilesPerTrigger: Option[Int] = None,
+            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val reader = spark.readStream.schema(docsSchema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.parquet(docsDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        // the batch frame is bound to a CLONED session with its own
+        // function registry — register/plan against it, not the outer one,
+        // or graft_* expressions fail to resolve on a fresh session
+        val session = batch.sparkSession
+        val docs = batch.select(col("doc_id"), col("text"))
+        val pairs =
+          if (useLsh)
+            IncrementalDedup.updateLsh(session, statePath, docs, threshold,
+              batchId = Some(id))
+          else
+            IncrementalDedup.update(session, statePath, docs, threshold,
+              batchId = Some(id))
+        // replay-idempotent emission: same batch id -> same directory, not
+        // an append that would double the crashed batch's pairs
+        pairs.write.mode(SaveMode.Overwrite).parquet(s"$outPath/batch-$id")
+      }
+      .start()
+  }
+
+  /** Driver-checked streaming contract: stage the `documents` table as two
+    * single-file crawl batches, drive them through a checkpointed
+    * [[start]] run (one file per micro-batch), and return the union pair
+    * log. The LSH tier is df-cap-free, so the streamed union is EXACTLY
+    * the one-shot [[graft.ops.Dedup.minhashLsh]] answer — which carries
+    * the exact-Jaccard closed form: the oracle grades an actual
+    * checkpointed Structured Streaming run against DuckDB.
+    *
+    * Scratch discipline is [[graft.ops.IncrementalDedup.twoBatchPairs]]'s:
+    * one per-application tmp dir, wiped at each call (checkpoint included,
+    * so every call is a fresh stream, not a resume), removed on JVM exit. */
+  def streamedPairs(spark: SparkSession, dir: String,
+                    threshold: Double = 0.5): DataFrame = {
+    import graft.ops.Tables
+    val root = s"${sys.props("java.io.tmpdir")}/graft_dedup_stream_" +
+      spark.sparkContext.applicationId
+    val rp = new org.apache.hadoop.fs.Path(root)
+    val fs = rp.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(rp)) fs.delete(rp, true)
+    graft.ops.TwoBatchScratch.registerCleanup(root)
+    val docs = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val maxRow = docs.agg(org.apache.spark.sql.functions.max(col("doc_id"))).head()
+    require(!maxRow.isNullAt(0),
+      s"streamedPairs: documents table at $dir is empty; nothing to stream")
+    val split = maxRow.getLong(0) / 2
+    val feed = s"$root/feed"
+    new java.io.File(feed).mkdirs()
+    val base = System.currentTimeMillis() - 60000
+    Seq(col("doc_id") <= split, col("doc_id") > split).zipWithIndex.foreach {
+      case (pred, i) =>
+        val staging = s"$root/stage$i"
+        docs.filter(pred).coalesce(1).write.parquet(staging)
+        val part = new java.io.File(staging).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dest = new java.io.File(s"$feed/c$i.parquet")
+        java.nio.file.Files.move(part.toPath, dest.toPath)
+        // FileStreamSource admits files in mtime order; same-millisecond
+        // writes tie, so stagger the clock to pin batch order
+        require(dest.setLastModified(base + i * 1000L))
+    }
+    val q = start(spark, feed, s"$root/state", s"$root/pairs", s"$root/ckpt",
+      threshold, maxFilesPerTrigger = Some(1))
+    q.processAllAvailable(); q.stop()
+    pairs(spark, s"$root/pairs").orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** The emitted pair log so far: union over per-batch directories;
+    * empty-but-typed before the first batch lands. */
+  def pairs(spark: SparkSession, outPath: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(outPath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val schema = StructType.fromDDL("doc_a BIGINT, doc_b BIGINT, jaccard DOUBLE")
+    val dirs =
+      if (fs.exists(p))
+        fs.listStatus(p).filter(_.isDirectory)
+          .filter(_.getPath.getName.startsWith("batch-"))
+          .map(_.getPath.toString).toSeq
+      else Seq.empty[String]
+    if (dirs.nonEmpty) spark.read.schema(schema).parquet(dirs: _*)
+    else spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+  }
+}

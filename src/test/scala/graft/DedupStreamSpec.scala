@@ -1,0 +1,84 @@
+package graft
+
+import graft.ops.{Dedup, Tables}
+import graft.streaming.DedupStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** The continuous-dedup contract: a corpus streamed in as crawl batches
+  * must emit, across all batches, exactly the pairs the one-shot LSH run
+  * finds on the full corpus — including when the query is killed inside a
+  * batch window (commit erased) and resumed from its checkpoint. */
+class DedupStreamSpec extends SparkSpec {
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+    df.select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  /** Stage the sf0.001 documents as four single-file crawl batches with
+    * strictly increasing mtimes (FileStreamSource admits files in
+    * modification-time order). */
+  private def writeFeed(root: String): String = {
+    val feed = s"$root/feed"
+    new java.io.File(feed).mkdirs()
+    val docs = Tables(spark, sf, "documents").select(col("doc_id"), col("text"))
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val base = System.currentTimeMillis() - 60000
+    (0 until 4).foreach { i =>
+      // [lo, hi) buckets with an unbounded last one — doc_ids start at 0
+      val lo = maxId * i / 4
+      val hi = maxId * (i + 1) / 4
+      val staging = s"$root/stage$i"
+      docs.filter(col("doc_id") >= lo &&
+          (if (i == 3) lit(true) else col("doc_id") < hi))
+        .coalesce(1).write.parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = new java.io.File(s"$feed/c$i.parquet")
+      java.nio.file.Files.move(part.toPath, dest.toPath)
+      assert(dest.setLastModified(base + i * 1000L))
+    }
+    feed
+  }
+
+  test("streamed batches union to exactly the one-shot LSH answer") {
+    val root = tmpDir("dedupstream")
+    val feed = writeFeed(root)
+    val q = DedupStream.start(spark, feed, s"$root/state", s"$root/pairs",
+      s"$root/ckpt", maxFilesPerTrigger = Some(1))
+    q.processAllAvailable(); q.stop()
+    val streamed = pairSet(DedupStream.pairs(spark, s"$root/pairs"))
+    val oneShot = pairSet(Dedup.minhashLsh(spark, sf))
+    assert(streamed.nonEmpty)
+    assert(streamed === oneShot)
+  }
+
+  test("killed mid-batch with a lost commit, the resumed pair log equals " +
+    "the uninterrupted run") {
+    val root = tmpDir("dedupstream_crash")
+    val feed = writeFeed(root)
+    val ckpt = s"$root/ckpt"
+    // phase 1: continuous trigger, one file per batch; kill after >= 2 commits
+    val q1 = DedupStream.start(spark, feed, s"$root/state", s"$root/pairs",
+      ckpt, maxFilesPerTrigger = Some(1), trigger = Trigger.ProcessingTime(0L))
+    CkptCrash.awaitCommits(ckpt, 2)
+    q1.stop()
+    // crash window: batch k's state subdirs and pair dir may exist, but the
+    // checkpoint says it never committed — resume must replay it without
+    // pairing the batch against its own crashed copy (snapshotRead excludes
+    // the in-flight batch's subdir) or doubling its emitted pairs
+    CkptCrash.simulateCrashAtLastCommit(spark, ckpt)
+    val q2 = DedupStream.start(spark, feed, s"$root/state", s"$root/pairs",
+      ckpt, maxFilesPerTrigger = Some(1))
+    q2.processAllAvailable(); q2.stop()
+    val log = DedupStream.pairs(spark, s"$root/pairs")
+    val resumed = pairSet(log)
+    val oneShot = pairSet(Dedup.minhashLsh(spark, sf))
+    assert(resumed === oneShot)
+    // the replayed batch must not pair against its own crashed copy: that
+    // bug emits each of its pairs 4x (2 state copies per side), which a
+    // set compare cannot see — the row count can
+    assert(log.count() === resumed.size.toLong,
+      "duplicate rows in the replayed pair log")
+  }
+}

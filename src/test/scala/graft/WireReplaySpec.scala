@@ -85,35 +85,6 @@ class WireReplaySpec extends SparkSpec {
     pipe.sinkState(sync).orderBy("id").collect().toSeq
   }
 
-  private def logFiles(ckpt: String, log: String): Seq[java.io.File] = {
-    val d = new java.io.File(s"$ckpt/$log")
-    Option(d.listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.matches("\\d+")).sortBy(_.getName.toLong).toSeq
-  }
-
-  /** Rewind the checkpoint to a consistent crash-inside-batch-k snapshot:
-    * offsets {0..k} present, commits {0..k-1} — exactly what a process
-    * killed after starting batch k but before its commit leaves behind.
-    * (Deleting only the commit would fabricate an impossible state: an
-    * offsets entry k+1 can only be written after commit k.) Deletions go
-    * through the Hadoop FS so the local ChecksumFileSystem's hidden
-    * `.N.crc` siblings go too — a stale crc left by java.io deletion makes
-    * the resumed query's commit rename fail as a bogus
-    * "multiple streaming queries" conflict. */
-  private def simulateCrashAtLastCommit(ckpt: String): Long = {
-    val commits = logFiles(ckpt, "commits")
-    assert(commits.size >= 2, s"stream never committed two batches in $ckpt")
-    val k = commits.last.getName.toLong
-    val fs = new org.apache.hadoop.fs.Path(ckpt)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    def rm(f: java.io.File): Unit =
-      assert(fs.delete(new org.apache.hadoop.fs.Path(f.getAbsolutePath), false),
-        s"could not delete $f")
-    rm(commits.last)
-    logFiles(ckpt, "offsets").filter(_.getName.toLong > k).foreach(rm)
-    k
-  }
-
   private def runWithCrash(feed: String, format: String, root: String,
                            monotonic: Boolean = false): Seq[Row] = {
     val ckpt = s"$root/ckpt_crash"
@@ -122,14 +93,12 @@ class WireReplaySpec extends SparkSpec {
     // phase 1: continuous trigger, one file per micro-batch; kill once at
     // least two batches committed (and ideally before all six land)
     val q1 = mkPipe().start(ckpt, Trigger.ProcessingTime(0L), monotonic = monotonic)
-    val deadline = System.currentTimeMillis() + 120000
-    while (logFiles(ckpt, "commits").size < 2 && System.currentTimeMillis() < deadline)
-      Thread.sleep(20)
+    CkptCrash.awaitCommits(ckpt, 2)
     q1.stop()
     // crash window: rewind to mid-batch-k — batch k's sink effects may
     // already be applied, but as far as the checkpoint knows it never
     // committed. Resume must replay it idempotently.
-    simulateCrashAtLastCommit(ckpt)
+    CkptCrash.simulateCrashAtLastCommit(spark, ckpt)
     // phase 2: resume from the same checkpoint and drain what's left
     val q2 = mkPipe().start(ckpt, Trigger.AvailableNow(), monotonic = monotonic)
     q2.processAllAvailable(); q2.stop()
