@@ -132,6 +132,27 @@ object SparkEntry {
     * affects candidate recall — measured 1.0 at gate scale (zero symmetric
     * difference vs the exact pair set), giving it the ngram closed-form
     * oracle. */
+
+  /** The exact n-gram-Jaccard closed form, shared verbatim by the FOUR
+    * dedup formulations that must produce the identical pair set
+    * (inverted-index, PPJoin prefix-filtered, MinHash+LSH, and the
+    * checkpointed streaming ingest) — one definition so the "same oracle"
+    * claim cannot desynchronize across keys. */
+  private val ngramJaccardOracle: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |s AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - 2),
+      |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh FROM d),
+      |p AS (SELECT doc_id, n_sh, shingle FROM
+      |        (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM s)
+      |      QUALIFY count(*) OVER (PARTITION BY shingle) <= 128),
+      |j AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb,
+      |        count(*) AS c
+      |      FROM p a JOIN p b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |      GROUP BY 1, 2, 3, 4)
+      |SELECT doc_a, doc_b, round(CAST(c AS DOUBLE) / (na + nb - c), 4) AS jaccard
+      |FROM j WHERE round(CAST(c AS DOUBLE) / (na + nb - c), 4) >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -445,37 +466,11 @@ object SparkEntry {
       """SELECT md5(text) AS h, min(doc_id) AS keeper, count(*) AS copies
         |FROM documents GROUP BY 1 ORDER BY h""".stripMargin,
 
-    "q_dedup_ngram" ->
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |s AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - 2),
-        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh FROM d),
-        |p AS (SELECT doc_id, n_sh, shingle FROM
-        |        (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM s)
-        |      QUALIFY count(*) OVER (PARTITION BY shingle) <= 128),
-        |j AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb,
-        |        count(*) AS c
-        |      FROM p a JOIN p b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |      GROUP BY 1, 2, 3, 4)
-        |SELECT doc_a, doc_b, round(CAST(c AS DOUBLE) / (na + nb - c), 4) AS jaccard
-        |FROM j WHERE round(CAST(c AS DOUBLE) / (na + nb - c), 4) >= 0.5
-        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_dedup_ngram" -> ngramJaccardOracle,
 
     // Same oracle as q_dedup_ngram: the prefix-filtered formulation must be
     // output-identical (the gate proves the equivalence at sf0.01).
-    "q_dedup_ngram_prefix" ->
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |s AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - 2),
-        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh FROM d),
-        |p AS (SELECT doc_id, n_sh, shingle FROM
-        |        (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM s)
-        |      QUALIFY count(*) OVER (PARTITION BY shingle) <= 128),
-        |j AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb,
-        |        count(*) AS c
-        |      FROM p a JOIN p b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |      GROUP BY 1, 2, 3, 4)
-        |SELECT doc_a, doc_b, round(CAST(c AS DOUBLE) / (na + nb - c), 4) AS jaccard
-        |FROM j WHERE round(CAST(c AS DOUBLE) / (na + nb - c), 4) >= 0.5
-        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_dedup_ngram_prefix" -> ngramJaccardOracle,
 
     // Same oracle as q_dedup_ngram: minhashLsh verifies candidates with
     // EXACT Jaccard over full shingle sets, so its output differs from the
@@ -484,39 +479,13 @@ object SparkEntry {
     // 1.0 — probed empirically: exceptAll in both directions is empty —
     // and the df-cap in the oracle's candidate join does not bind there,
     // so the closed-form exact-Jaccard SQL is the correct comparator.
-    "q_dedup_minhash" ->
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |s AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - 2),
-        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh FROM d),
-        |p AS (SELECT doc_id, n_sh, shingle FROM
-        |        (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM s)
-        |      QUALIFY count(*) OVER (PARTITION BY shingle) <= 128),
-        |j AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb,
-        |        count(*) AS c
-        |      FROM p a JOIN p b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |      GROUP BY 1, 2, 3, 4)
-        |SELECT doc_a, doc_b, round(CAST(c AS DOUBLE) / (na + nb - c), 4) AS jaccard
-        |FROM j WHERE round(CAST(c AS DOUBLE) / (na + nb - c), 4) >= 0.5
-        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_dedup_minhash" -> ngramJaccardOracle,
 
     // A checkpointed Structured Streaming ingest (two crawl-batch files ->
     // two micro-batches through the incremental LSH index) graded against
     // the SAME closed form: the df-cap-free LSH union over batches equals
     // the one-shot exact pair set (see q_dedup_minhash above).
-    "q_dedup_stream" ->
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |s AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - 2),
-        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh FROM d),
-        |p AS (SELECT doc_id, n_sh, shingle FROM
-        |        (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM s)
-        |      QUALIFY count(*) OVER (PARTITION BY shingle) <= 128),
-        |j AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb,
-        |        count(*) AS c
-        |      FROM p a JOIN p b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |      GROUP BY 1, 2, 3, 4)
-        |SELECT doc_a, doc_b, round(CAST(c AS DOUBLE) / (na + nb - c), 4) AS jaccard
-        |FROM j WHERE round(CAST(c AS DOUBLE) / (na + nb - c), 4) >= 0.5
-        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_dedup_stream" -> ngramJaccardOracle,
 
     "q_dedup_pipeline" ->
       """WITH sv AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),

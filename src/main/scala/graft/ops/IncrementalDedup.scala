@@ -44,9 +44,13 @@ object IncrementalDedup {
     * the crashed attempt's own `batch-k/` subdir already in the state dir;
     * reading it as "old" corpus would double every replayed doc (duplicate
     * sets rows multiply the verify join, and the batch pairs with its own
-    * crashed copy). Excluding the current batch's subdir makes the replay
-    * read exactly the pre-batch snapshot, so replay output == first-run
-    * output. */
+    * crashed copy). Excluding subdirs with id >= k makes the replay read
+    * exactly the pre-batch snapshot, so replay output == first-run output.
+    * The `>=` (not `==`) also covers a checkpoint REWIND — an operator
+    * deleting trailing offsets/commits to reprocess from batch k leaves
+    * later batches' subdirs on disk; those are future state relative to
+    * the replay and must be invisible to it (each later batch overwrites
+    * its own subdir when it re-runs). */
   private def snapshotRead(spark: SparkSession, path: String, ddl: String,
                            excludeBatch: Option[Long] = None): DataFrame = {
     val schema = org.apache.spark.sql.types.StructType.fromDDL(ddl)
@@ -59,14 +63,18 @@ object IncrementalDedup {
     // Recursive: idempotent per-batch appends live in batch-<id> subdirs.
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val skipDir = excludeBatch.map(id => s"batch-$id")
+    val batchDir = "batch-(\\d+)".r
+    def skip(parent: String): Boolean = excludeBatch.exists(k => parent match {
+      case batchDir(n) => n.toLong >= k
+      case _ => false
+    })
     val files = scala.collection.mutable.ArrayBuffer.empty[String]
     if (fs.exists(p)) {
       val it = fs.listFiles(p, true)
       while (it.hasNext) {
         val st = it.next()
         if (st.isFile && st.getPath.getName.endsWith(".parquet") &&
-            !skipDir.contains(st.getPath.getParent.getName))
+            !skip(st.getPath.getParent.getName))
           files += st.getPath.toString
       }
     }

@@ -231,8 +231,12 @@ object Similarity {
     * bench companion to the exact baseline. */
   def lshTopK(spark: SparkSession, dir: String, numQueries: Int = 10,
               k: Int = 5, bits: Int = 8, tables: Int = 8): DataFrame = {
-    require(bits * tables <= 64, "bits * tables must fit in one long code")
-    val mask = (1L << bits) - 1L
+    require(bits >= 1 && tables >= 1 && bits * tables <= 64,
+      "bits * tables must fit in one long code")
+    // -1L >>> (64 - bits), not (1L << bits) - 1: a shift by 64 is mod-64 in
+    // the JVM, so the latter wraps to mask 0 at bits = 64 (every vector in
+    // bucket 0 => a silent full scan per query)
+    val mask = -1L >>> (64 - bits)
     val e = withVec(spark, dir).withColumn("code", srpCode("v", bits * tables))
     // corpus index: (table, bucket) per vector — ids only through the join
     val c = e.select(col("vec_id"), col("code"))

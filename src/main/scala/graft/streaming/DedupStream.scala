@@ -16,8 +16,9 @@ import org.apache.spark.sql.types.StructType
   * (every pair has at least one side in the batch) to `outPath/batch-<id>`,
   * and append the batch's postings/bands to the persisted index — BOTH
   * writes are per-batch-directory overwrites keyed by the foreachBatch id,
-  * and the index read excludes the in-flight batch's own subdir, so an
-  * at-least-once replay after a crash inside the batch window converges to
+  * and the index read excludes subdirs at or beyond the in-flight batch
+  * id, so an at-least-once replay after a crash inside the batch window —
+  * or a manual checkpoint rewind past completed batches — converges to
   * exactly the uninterrupted run's output (spec: `DedupStreamSpec` kills
   * the query with a lost commit and compares).
   *
@@ -91,24 +92,35 @@ object DedupStream {
       s"streamedPairs: documents table at $dir is empty; nothing to stream")
     val split = maxRow.getLong(0) / 2
     val feed = s"$root/feed"
-    new java.io.File(feed).mkdirs()
-    val base = System.currentTimeMillis() - 60000
-    Seq(col("doc_id") <= split, col("doc_id") > split).zipWithIndex.foreach {
-      case (pred, i) =>
-        val staging = s"$root/stage$i"
-        docs.filter(pred).coalesce(1).write.parquet(staging)
-        val part = new java.io.File(staging).listFiles()
-          .find(_.getName.endsWith(".parquet")).get
-        val dest = new java.io.File(s"$feed/c$i.parquet")
-        java.nio.file.Files.move(part.toPath, dest.toPath)
-        // FileStreamSource admits files in mtime order; same-millisecond
-        // writes tie, so stagger the clock to pin batch order
-        require(dest.setLastModified(base + i * 1000L))
-    }
+    stageBatches(feed,
+      Seq(docs.filter(col("doc_id") <= split), docs.filter(col("doc_id") > split)))
     val q = start(spark, feed, s"$root/state", s"$root/pairs", s"$root/ckpt",
       threshold, maxFilesPerTrigger = Some(1))
     q.processAllAvailable(); q.stop()
     pairs(spark, s"$root/pairs").orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Stage each frame as ONE parquet file in `feedDir`, with strictly
+    * increasing mtimes: FileStreamSource admits files in modification-time
+    * order, and files written in the same millisecond tie — a real crawl
+    * feed arrives over time, so the deterministic stand-in staggers the
+    * clock. With `maxFilesPerTrigger = 1`, file i IS micro-batch i. */
+  def stageBatches(feedDir: String, parts: Seq[DataFrame]): Unit = {
+    new java.io.File(feedDir).mkdirs()
+    val base = System.currentTimeMillis() - 60000
+    parts.zipWithIndex.foreach { case (df, i) =>
+      val staging = s"$feedDir.stage$i"
+      df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = new java.io.File(s"$feedDir/c$i.parquet")
+      java.nio.file.Files.move(part.toPath, dest.toPath)
+      require(dest.setLastModified(base + i * 1000L))
+      val sp = new org.apache.hadoop.fs.Path(staging)
+      sp.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
+        .delete(sp, true)
+      ()
+    }
   }
 
   /** The emitted pair log so far: union over per-batch directories;

@@ -15,29 +15,18 @@ class DedupStreamSpec extends SparkSpec {
     df.select(col("doc_a"), col("doc_b"), col("jaccard"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
 
-  /** Stage the sf0.001 documents as four single-file crawl batches with
-    * strictly increasing mtimes (FileStreamSource admits files in
-    * modification-time order). */
+  /** Stage the sf0.001 documents as four single-file crawl batches. */
   private def writeFeed(root: String): String = {
     val feed = s"$root/feed"
-    new java.io.File(feed).mkdirs()
     val docs = Tables(spark, sf, "documents").select(col("doc_id"), col("text"))
     val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
-    val base = System.currentTimeMillis() - 60000
-    (0 until 4).foreach { i =>
+    DedupStream.stageBatches(feed, (0 until 4).map { i =>
       // [lo, hi) buckets with an unbounded last one — doc_ids start at 0
       val lo = maxId * i / 4
       val hi = maxId * (i + 1) / 4
-      val staging = s"$root/stage$i"
       docs.filter(col("doc_id") >= lo &&
-          (if (i == 3) lit(true) else col("doc_id") < hi))
-        .coalesce(1).write.parquet(staging)
-      val part = new java.io.File(staging).listFiles()
-        .find(_.getName.endsWith(".parquet")).get
-      val dest = new java.io.File(s"$feed/c$i.parquet")
-      java.nio.file.Files.move(part.toPath, dest.toPath)
-      assert(dest.setLastModified(base + i * 1000L))
-    }
+        (if (i == 3) lit(true) else col("doc_id") < hi))
+    })
     feed
   }
 
@@ -63,10 +52,11 @@ class DedupStreamSpec extends SparkSpec {
       ckpt, maxFilesPerTrigger = Some(1), trigger = Trigger.ProcessingTime(0L))
     CkptCrash.awaitCommits(ckpt, 2)
     q1.stop()
-    // crash window: batch k's state subdirs and pair dir may exist, but the
-    // checkpoint says it never committed — resume must replay it without
-    // pairing the batch against its own crashed copy (snapshotRead excludes
-    // the in-flight batch's subdir) or doubling its emitted pairs
+    // crash window: state subdirs and pair dirs for batch k AND any batch
+    // the stop() interrupted beyond it may exist, but the checkpoint says
+    // none of them committed — resume must replay batch k against the
+    // pre-k snapshot only (snapshotRead excludes subdir ids >= k; the
+    // later batches overwrite their own subdirs when they re-run)
     CkptCrash.simulateCrashAtLastCommit(spark, ckpt)
     val q2 = DedupStream.start(spark, feed, s"$root/state", s"$root/pairs",
       ckpt, maxFilesPerTrigger = Some(1))
