@@ -14,16 +14,18 @@ import org.apache.spark.sql.functions._
   * super-linear term (pair blowup, driver state) bends the curve long
   * before 100 TB does. Dev tool; results recorded in SCALE.md.
   *
-  * Usage: runMain graft.tools.ScaleCurve [factors csv, default 1,10,100] [neardup]
+  * Usage: runMain graft.tools.ScaleCurve [factors csv, default 1,10,100] [neardup] [stream]
   *   `neardup` adds the near-dup composite (decontaminate + dup-span) at
   *   each factor — the standing per-round stress entry for the near-dup
-  *   tier's scale curve (VERDICT r4 item 7).
+  *   tier's scale curve (VERDICT r4 item 7). `stream` adds the
+  *   checkpointed streaming dedup ingest (DedupStream.streamedPairs).
   */
 object ScaleCurve {
   def main(args: Array[String]): Unit = {
     val factors = (if (args.nonEmpty) args(0) else "1,10,100")
       .split(',').map(_.trim.toInt).toSeq
     val nearDup = args.length > 1 && args.drop(1).contains("neardup")
+    val stream = args.length > 1 && args.drop(1).contains("stream")
     // keep: leave the replicated tables on disk for stage profiling
     // (graft.tools.Profile <dir> prefix) instead of the default cleanup
     val keep = args.length > 1 && args.drop(1).contains("keep")
@@ -117,6 +119,13 @@ object ScaleCurve {
         time("decontaminate", fac)(graft.ops.Dedup.decontaminate(spark, root).count())
         time("dup_spans", fac)(graft.ops.TextAnalysis.dupSpans(spark, root).count())
         time("ngram_prefix", fac)(graft.ops.Dedup.ngramJaccardPrefix(spark, root).count())
+      }
+      if (stream) {
+        // the checkpointed streaming ingest (two micro-batches through the
+        // incremental LSH index): its slope vs the one-shot dedup_lsh line
+        // is the cost of incrementality — per-batch index probe + state IO
+        time("dedup_stream", fac)(
+          graft.streaming.DedupStream.streamedPairs(spark, root).count())
       }
 
       // the replicated tables are multi-GB at x100; don't leave them to
