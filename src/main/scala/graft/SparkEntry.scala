@@ -113,6 +113,7 @@ object SparkEntry {
     "q_dedup_incr"     -> ((s, d) => IncrementalDedup.twoBatchPairs(s, d)),
     "q_dedup_stream"   -> ((s, d) => graft.streaming.DedupStream.streamedPairs(s, d)),
     "q_dup_spans"      -> ((s, d) => TextAnalysis.dupSpans(s, d)),
+    "q_scrub_spans"    -> ((s, d) => TextAnalysis.scrubDupSpans(s, d)),
     "q_vocab"          -> ((s, d) => TextAnalysis.vocabCoverage(s, d)),
     "q_ann_pq"         -> ((s, d) => Similarity.pqTopK(s, d)),
     "q_retention"      -> ((s, d) => Relational.retention(s, d)),
@@ -1026,6 +1027,36 @@ object SparkEntry {
         |  round(CAST(coalesce(n_dup_pos, 0) AS DOUBLE) / greatest(n_pos, 1), 4)
         |    AS dup_ratio
         |FROM base LEFT JOIN agg ON base.doc_id = agg.doc_id
+        |ORDER BY base.doc_id""".stripMargin,
+
+    // Same gram construction as q_dup_spans (proven aligned with the
+    // codegen'd positional hashes by that gate); scrub policy: the minimum
+    // doc_id containing a gram keeps it, every other doc drops all tokens
+    // covered by a shared gram, and the survivors rejoin in order.
+    "q_scrub_spans" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |g AS (SELECT doc_id, r['pos'] AS pos, r['gm'] AS gm FROM
+        |        (SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 4),
+        |           i -> struct_pack(pos := i - 1,
+        |             gm := t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+        |               || ' ' || t[i+4]))) AS r FROM d)),
+        |m AS (SELECT gm, min(doc_id) AS first_doc FROM g GROUP BY 1),
+        |f AS (SELECT g.doc_id, g.pos FROM g JOIN m ON g.gm = m.gm
+        |      WHERE g.doc_id > m.first_doc),
+        |cov AS (SELECT DISTINCT doc_id, pos + u AS tpos
+        |        FROM f, (SELECT unnest(generate_series(0, 4)) AS u)),
+        |tok AS (SELECT doc_id, r['tpos'] AS tpos, r['tok'] AS tok FROM
+        |        (SELECT doc_id, unnest(list_transform(generate_series(1, len(t)),
+        |           i -> struct_pack(tpos := i - 1, tok := t[i]))) AS r FROM d)),
+        |k AS (SELECT * FROM tok WHERE NOT EXISTS (SELECT 1 FROM cov
+        |        WHERE cov.doc_id = tok.doc_id AND cov.tpos = tok.tpos)),
+        |c AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY tpos) AS clean_text,
+        |        count(*) AS n_kept FROM k GROUP BY 1),
+        |base AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM d)
+        |SELECT base.doc_id, n_tokens,
+        |  CAST(n_tokens - coalesce(n_kept, 0) AS BIGINT) AS n_scrubbed,
+        |  coalesce(clean_text, '') AS clean_text
+        |FROM base LEFT JOIN c ON base.doc_id = c.doc_id
         |ORDER BY base.doc_id""".stripMargin,
 
     "q_vocab" ->

@@ -487,6 +487,54 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Exact-substring scrub — the TRANSFORM [[dupSpans]] only diagnoses:
+    * remove cross-doc duplicated spans from every doc except the first
+    * (minimum doc_id) occurrence, the policy of suffix-array substring
+    * dedup applied at n-gram granularity. A token is scrubbed when any
+    * n-gram covering it also occurs in a smaller-id doc; the remaining
+    * tokens rejoin in order (reference scope: the engine's dedup tier
+    * detects whole-doc dups only — span-level removal is the LLM-pipeline
+    * extension).
+    *
+    * Shape at scale: positional gram hashes (one codegen'd pass), a
+    * (gram -> min doc_id) aggregate over 8-byte keys, a keyed join-back to
+    * flag starts, offset explode (×n) + distinct for covered tokens, one
+    * anti-join against the token table, and a per-doc ordered reassembly
+    * whose state is bounded by the doc's own length. Everything is keyed
+    * on gram hashes or (doc_id, pos) — no pair join, nothing quadratic in
+    * the corpus. */
+  def scrubDupSpans(spark: SparkSession, dir: String, n: Int = 5): DataFrame = {
+    graft.functions.TextFunctions.register(spark)
+    val docs = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val grams = docs.select(col("doc_id"),
+      posexplode(expr(s"graft_gram_pos_hashes(text, $n)")).as(Seq("pos", "gh")))
+    // keep-first policy: the smallest doc_id containing a gram keeps it
+    val firstDoc = grams.groupBy(col("gh")).agg(min(col("doc_id")).as("first_doc"))
+    val flaggedStarts = grams.join(firstDoc, Seq("gh"))
+      .filter(col("doc_id") > col("first_doc"))
+      .select(col("doc_id"), col("pos"))
+    // gram starting at pos covers tokens pos .. pos+n-1 (0-based)
+    val covered = flaggedStarts
+      .select(col("doc_id"), explode(expr(s"sequence(pos, pos + ${n - 1})")).as("tpos"))
+      .distinct()
+    val toks = docs.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("tpos", "tok")))
+    val kept = toks.join(covered, Seq("doc_id", "tpos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(expr("array_join(transform(array_sort(collect_list(struct(tpos, tok))), " +
+          "x -> x.tok), ' ')").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    // a doc scrubbed in full (e.g. an exact copy of a smaller-id doc) has
+    // no kept rows: surface it as an empty clean_text, not a dropped row
+    docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_scrubbed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Corpus vocabulary coverage — the Zipf head report: top-k tokens by
     * corpus frequency with per-token and cumulative probability mass (how
     * much of the corpus the first k vocabulary entries explain — the

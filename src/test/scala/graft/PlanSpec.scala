@@ -212,6 +212,12 @@ class PlanSpec extends SparkSpec {
       p.take(3000))
   }
 
+  test("scrub spans: flag, cover and anti-join stay keyed — no pair join") {
+    val p = plan("q_scrub_spans")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(2000))
+  }
+
   test("dup spans: flagging is a keyed semi-join, no pair join anywhere") {
     val p = plan("q_dup_spans")
     assert(p.contains("LeftSemi"), p.take(3000))

@@ -85,6 +85,34 @@ class Round4OpsSpec extends SparkSpec {
     assert(rows.exists(_.getLong(2) > 0))
   }
 
+  test("scrub spans: untouched docs pass through, exact copies of earlier " +
+    "docs empty out, counts reconcile") {
+    val docs = ops.Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = TextAnalysis.scrubDupSpans(spark, sf).collect()
+    assert(rows.length === docs.size)
+    rows.foreach { r =>
+      val (id, nTok, nScrub, clean) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))
+      assert(nScrub >= 0 && nScrub <= nTok)
+      if (nScrub == 0) assert(clean === docs(id)) // untouched => verbatim
+      // kept-token count reconciles with the reassembled text
+      val keptToks = if (clean.isEmpty) 0L else clean.split(" ", -1).length.toLong
+      assert(keptToks === nTok - nScrub, s"doc $id")
+    }
+    // keep-first policy on byte-identical docs: the smaller id keeps its
+    // text, every later copy is scrubbed in full (>= 5 tokens so grams exist)
+    val firstOf = docs.groupBy(_._2).values.map(_.keys.min).toSet
+    docs.foreach { case (id, text) =>
+      if (!firstOf(id) && text.split(" ", -1).length >= 5)
+        assert(rows.find(_.getLong(0) == id).get.getString(3) === "",
+          s"later exact copy $id not fully scrubbed")
+    }
+    assert(rows.exists(r => r.getLong(2) > 0 && r.getString(3).nonEmpty),
+      "fixture should contain a partially scrubbed doc")
+  }
+
   test("vocab coverage: ranked by frequency, cumulative share is monotone") {
     val rows = TextAnalysis.vocabCoverage(spark, sf).collect()
     assert(rows.length === 20)
