@@ -92,30 +92,45 @@ object DedupStream {
       s"streamedPairs: documents table at $dir is empty; nothing to stream")
     val split = maxRow.getLong(0) / 2
     val feed = s"$root/feed"
+    // 8 files per crawl batch: batch-input parallelism (see stageBatches)
     stageBatches(feed,
-      Seq(docs.filter(col("doc_id") <= split), docs.filter(col("doc_id") > split)))
+      Seq(docs.filter(col("doc_id") <= split), docs.filter(col("doc_id") > split)),
+      filesPerPart = 8)
     val q = start(spark, feed, s"$root/state", s"$root/pairs", s"$root/ckpt",
-      threshold, maxFilesPerTrigger = Some(1))
+      threshold, maxFilesPerTrigger = Some(8))
     q.processAllAvailable(); q.stop()
     pairs(spark, s"$root/pairs").orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** Stage each frame as ONE parquet file in `feedDir`, with strictly
-    * increasing mtimes: FileStreamSource admits files in modification-time
-    * order, and files written in the same millisecond tie — a real crawl
-    * feed arrives over time, so the deterministic stand-in staggers the
-    * clock. With `maxFilesPerTrigger = 1`, file i IS micro-batch i. */
-  def stageBatches(feedDir: String, parts: Seq[DataFrame]): Unit = {
+  /** Stage each frame as `filesPerPart` parquet files in `feedDir`, with
+    * strictly increasing mtimes per part: FileStreamSource admits files in
+    * modification-time order, and files written in the same millisecond
+    * tie — a real crawl feed arrives over time, so the deterministic
+    * stand-in staggers the clock. With `maxFilesPerTrigger = filesPerPart`,
+    * part i IS micro-batch i.
+    *
+    * filesPerPart > 1 matters for fixture realism: a single small parquet
+    * file is ONE row group, so the whole per-batch shingle/minhash pipeline
+    * would run in one task — while a real multi-GB crawl batch splits at
+    * `maxPartitionBytes`. Multi-file parts restore the batch-input
+    * parallelism deployment has (measured at x100: the single-file feed
+    * serialized ~30 s of per-row compute onto one core). */
+  def stageBatches(feedDir: String, parts: Seq[DataFrame],
+                   filesPerPart: Int = 1): Unit = {
     new java.io.File(feedDir).mkdirs()
     val base = System.currentTimeMillis() - 60000
     parts.zipWithIndex.foreach { case (df, i) =>
       val staging = s"$feedDir.stage$i"
-      df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(staging)
-      val part = new java.io.File(staging).listFiles()
-        .find(_.getName.endsWith(".parquet")).get
-      val dest = new java.io.File(s"$feedDir/c$i.parquet")
-      java.nio.file.Files.move(part.toPath, dest.toPath)
-      require(dest.setLastModified(base + i * 1000L))
+      df.repartition(filesPerPart).write.mode(SaveMode.Overwrite).parquet(staging)
+      val files = new java.io.File(staging).listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      files.zipWithIndex.foreach { case (part, j) =>
+        val dest = new java.io.File(f"$feedDir/c${i}_$j%03d.parquet")
+        java.nio.file.Files.move(part.toPath, dest.toPath)
+        // intra-part mtimes may tie (admission order within a batch is
+        // irrelevant); the +1000 stride keeps PARTS strictly ordered
+        require(dest.setLastModified(base + i * 1000L + j))
+      }
       val sp = new org.apache.hadoop.fs.Path(staging)
       sp.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
         .delete(sp, true)

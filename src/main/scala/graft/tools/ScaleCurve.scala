@@ -126,6 +126,25 @@ object ScaleCurve {
         // is the cost of incrementality — per-batch index probe + state IO
         time("dedup_stream", fac)(
           graft.streaming.DedupStream.streamedPairs(spark, root).count())
+        // phase breakdown of the same run shape, so the gap vs one-shot is
+        // attributed (staging write? streaming machinery? the operator?):
+        // drive the SAME two halves through updateLsh directly from the
+        // well-partitioned source — stream-minus-direct is the harness
+        // (feed layout + checkpoint) overhead
+        val sroot = s"/tmp/graft-scurve-streamprof-$fac"
+        val sp = new org.apache.hadoop.fs.Path(sroot)
+        val sfs = sp.getFileSystem(spark.sessionState.newHadoopConf())
+        sfs.delete(sp, true)
+        val sdocs = df2.select(col("doc_id"), col("text"))
+        val smax = sdocs.agg(max(col("doc_id"))).head().getLong(0) / 2
+        time("direct_batch0", fac)(graft.ops.IncrementalDedup.updateLsh(
+          spark, s"$sroot/state", sdocs.filter(col("doc_id") <= smax),
+          batchId = Some(0L)).count())
+        time("direct_batch1", fac)(graft.ops.IncrementalDedup.updateLsh(
+          spark, s"$sroot/state", sdocs.filter(col("doc_id") > smax),
+          batchId = Some(1L)).count())
+        sfs.delete(sp, true)
+        ()
       }
 
       // the replicated tables are multi-GB at x100; don't leave them to
