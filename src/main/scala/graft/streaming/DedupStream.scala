@@ -87,19 +87,30 @@ object DedupStream {
     if (fs.exists(rp)) fs.delete(rp, true)
     graft.ops.TwoBatchScratch.registerCleanup(root)
     val docs = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
-    val maxRow = docs.agg(org.apache.spark.sql.functions.max(col("doc_id"))).head()
-    require(!maxRow.isNullAt(0),
-      s"streamedPairs: documents table at $dir is empty; nothing to stream")
-    val split = maxRow.getLong(0) / 2
     val feed = s"$root/feed"
     // 8 files per crawl batch: batch-input parallelism (see stageBatches)
-    stageBatches(feed,
-      Seq(docs.filter(col("doc_id") <= split), docs.filter(col("doc_id") > split)),
-      filesPerPart = 8)
+    stageBatches(feed, corpusHalves(docs), filesPerPart = 8)
     val q = start(spark, feed, s"$root/state", s"$root/pairs", s"$root/ckpt",
       threshold, maxFilesPerTrigger = Some(8))
     q.processAllAvailable(); q.stop()
     pairs(spark, s"$root/pairs").orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Split a doc frame into the two "old corpus / new crawl batch" halves
+    * at the midpoint doc_id — ONE definition shared by [[streamedPairs]]
+    * and the scale-curve profiler, so "the same two halves" stays true by
+    * construction. Requires both halves non-empty (ids on both sides of
+    * the midpoint): a degenerate corpus would silently collapse the
+    * two-batch shape the callers claim to measure. */
+  def corpusHalves(docs: DataFrame): Seq[DataFrame] = {
+    val r = docs.agg(org.apache.spark.sql.functions.min(col("doc_id")),
+      org.apache.spark.sql.functions.max(col("doc_id"))).head()
+    require(!r.isNullAt(0), "corpusHalves: empty documents frame")
+    val split = r.getLong(1) / 2
+    require(r.getLong(0) <= split && r.getLong(1) > split,
+      s"corpusHalves: doc_ids [${r.getLong(0)}, ${r.getLong(1)}] all on one " +
+        "side of the midpoint; two-batch split would be degenerate")
+    Seq(docs.filter(col("doc_id") <= split), docs.filter(col("doc_id") > split))
   }
 
   /** Stage each frame as `filesPerPart` parquet files in `feedDir`, with
@@ -117,6 +128,8 @@ object DedupStream {
     * serialized ~30 s of per-row compute onto one core). */
   def stageBatches(feedDir: String, parts: Seq[DataFrame],
                    filesPerPart: Int = 1): Unit = {
+    require(filesPerPart >= 1 && filesPerPart < 1000,
+      "filesPerPart must stay under the 1000-per-part mtime stride")
     new java.io.File(feedDir).mkdirs()
     val base = System.currentTimeMillis() - 60000
     parts.zipWithIndex.foreach { case (df, i) =>
@@ -124,6 +137,13 @@ object DedupStream {
       df.repartition(filesPerPart).write.mode(SaveMode.Overwrite).parquet(staging)
       val files = new java.io.File(staging).listFiles()
         .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      // Spark skips empty partitions at write, so a part with fewer rows
+      // than filesPerPart yields fewer files — the trigger would then fill
+      // its batch across the part boundary and silently merge parts.
+      // Loud beats silent: the callers stage real corpora.
+      require(files.length == filesPerPart,
+        s"stageBatches: part $i wrote ${files.length} files, expected " +
+          s"$filesPerPart — too few rows to keep part/batch alignment")
       files.zipWithIndex.foreach { case (part, j) =>
         val dest = new java.io.File(f"$feedDir/c${i}_$j%03d.parquet")
         java.nio.file.Files.move(part.toPath, dest.toPath)

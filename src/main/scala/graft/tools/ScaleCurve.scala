@@ -135,14 +135,12 @@ object ScaleCurve {
         val sp = new org.apache.hadoop.fs.Path(sroot)
         val sfs = sp.getFileSystem(spark.sessionState.newHadoopConf())
         sfs.delete(sp, true)
-        val sdocs = df2.select(col("doc_id"), col("text"))
-        val smax = sdocs.agg(max(col("doc_id"))).head().getLong(0) / 2
+        val halves = graft.streaming.DedupStream.corpusHalves(
+          df2.select(col("doc_id"), col("text")))
         time("direct_batch0", fac)(graft.ops.IncrementalDedup.updateLsh(
-          spark, s"$sroot/state", sdocs.filter(col("doc_id") <= smax),
-          batchId = Some(0L)).count())
+          spark, s"$sroot/state", halves(0), batchId = Some(0L)).count())
         time("direct_batch1", fac)(graft.ops.IncrementalDedup.updateLsh(
-          spark, s"$sroot/state", sdocs.filter(col("doc_id") > smax),
-          batchId = Some(1L)).count())
+          spark, s"$sroot/state", halves(1), batchId = Some(1L)).count())
         sfs.delete(sp, true)
         ()
       }
