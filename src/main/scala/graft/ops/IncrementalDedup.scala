@@ -50,9 +50,17 @@ object IncrementalDedup {
     * deleting trailing offsets/commits to reprocess from batch k leaves
     * later batches' subdirs on disk; those are future state relative to
     * the replay and must be invisible to it (each later batch overwrites
-    * its own subdir when it re-runs). */
+    * its own subdir when it re-runs).
+    *
+    * `bucketFilter`: when the store is laid out with `bucket=<j>` partition
+    * dirs ([[updateLsh]] with `buckets > 0`), restricts the snapshot to the
+    * given bucket ids — the partition-PRUNED read that keeps the per-batch
+    * verify scan proportional to the batch's candidates, not the corpus.
+    * Files without a bucket segment (pre-bucketing layout) are always kept:
+    * they may hold any doc, so pruning them would silently drop pairs. */
   private def snapshotRead(spark: SparkSession, path: String, ddl: String,
-                           excludeBatch: Option[Long] = None): DataFrame = {
+                           excludeBatch: Option[Long] = None,
+                           bucketFilter: Option[Set[Long]] = None): DataFrame = {
     val schema = org.apache.spark.sql.types.StructType.fromDDL(ddl)
     // heal a compactState crash window FIRST (live dir momentarily absent,
     // complete copy parked at <path>.old) — reading without this would see
@@ -64,17 +72,32 @@ object IncrementalDedup {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val batchDir = "batch-(\\d+)".r
-    def skip(parent: String): Boolean = excludeBatch.exists(k => parent match {
-      case batchDir(n) => n.toLong >= k
-      case _ => false
-    })
+    val bucketDir = "bucket=(\\d+)".r
+    // listFiles yields fully-qualified paths; qualify the root so the
+    // ancestor walk terminates on Path equality
+    val qp = fs.makeQualified(p)
+    // decide on every ancestor segment below the store root, not just the
+    // direct parent: bucket dirs nest inside batch dirs
+    def skip(file: org.apache.hadoop.fs.Path): Boolean = {
+      var d = file.getParent
+      var drop = false
+      while (d != null && d != qp && !drop) {
+        d.getName match {
+          case batchDir(n) => drop = excludeBatch.exists(n.toLong >= _)
+          case bucketDir(j) => drop = bucketFilter.exists(!_.contains(j.toLong))
+          case _ =>
+        }
+        d = d.getParent
+      }
+      drop
+    }
     val files = scala.collection.mutable.ArrayBuffer.empty[String]
     if (fs.exists(p)) {
       val it = fs.listFiles(p, true)
       while (it.hasNext) {
         val st = it.next()
         if (st.isFile && st.getPath.getName.endsWith(".parquet") &&
-            !skip(st.getPath.getParent.getName))
+            !skip(st.getPath))
           files += st.getPath.toString
       }
     }
@@ -179,13 +202,19 @@ object IncrementalDedup {
     * OVERWRITE of a per-batch subdir — an at-least-once replay of the same
     * batch rewrites the same files instead of appending duplicates (which
     * would double every replayed doc's postings and shift df counts).
-    * Without one (ad-hoc batch use), a plain append. */
-  private def writeState(df: DataFrame, path: String, batchId: Option[Long]): Unit =
-    batchId match {
-      case Some(id) =>
-        df.write.mode(SaveMode.Overwrite).parquet(s"$path/batch-$id")
-      case None => df.write.mode(SaveMode.Append).parquet(path)
-    }
+    * Without one (ad-hoc batch use), a plain append. `partitionCols` adds
+    * partition dirs under the target (the bucketed sets layout). */
+  private def writeState(df: DataFrame, path: String, batchId: Option[Long],
+                         partitionCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(batchId match {
+      case Some(_) => SaveMode.Overwrite
+      case None => SaveMode.Append
+    }).partitionBy(partitionCols: _*)
+    w.parquet(batchId match {
+      case Some(id) => s"$path/batch-$id"
+      case None => path
+    })
+  }
 
   /** The LSH variant — the sub-quadratic incremental path for 100 TB: the
     * persisted index is band hashes (`bands` rows/doc, not one per shingle)
@@ -194,10 +223,24 @@ object IncrementalDedup {
     * merge-pass intersection against the sets store. Per-batch cost is
     * O(batch bands × bucket occupancy) — df-cap-free, so incremental
     * emission is EXACTLY append-only (no cap drift at all; union over
-    * batches == one-shot [[Dedup.minhashLsh]], spec-asserted). */
+    * batches == one-shot [[Dedup.minhashLsh]], spec-asserted).
+    *
+    * `buckets > 0` stores the sets under `bucket=pmod(doc_id, buckets)`
+    * partition dirs and PRUNES the verify read to the buckets the batch's
+    * candidates actually touch (an O(buckets) driver-side id set, the
+    * [[graft.cdc.BucketedUpsertSink]] pattern). Output-identical to the
+    * flat layout (spec-asserted); mixing layouts in one store is safe
+    * (unbucketed files are never pruned). MEASURED NEGATIVE RESULT at the
+    * 500k-doc fixture tier (`Profile incbucket`): flat wins — a 10% batch
+    * touches every bucket (pruning moot, layout overhead 2x), and at a
+    * 0.1% batch the saved sets read is a wash because the un-pruned BAND
+    * index scan and fixed per-batch costs dominate first. Default stays 0;
+    * the layout becomes relevant only once the sets store outweighs the
+    * band index by enough that its scan is the batch bottleneck. */
   def updateLsh(spark: SparkSession, statePath: String, newDocs: DataFrame,
                 threshold: Double = 0.5, numHashes: Int = 16,
-                bands: Int = 8, batchId: Option[Long] = None): DataFrame = {
+                bands: Int = 8, batchId: Option[Long] = None,
+                buckets: Int = 0): DataFrame = {
     graft.functions.TextFunctions.register(spark)
     val r = numHashes / bands
     val bandsPath = s"$statePath/bands"
@@ -221,10 +264,7 @@ object IncrementalDedup {
 
     val oldBands = snapshotRead(spark, bandsPath,
       "doc_id BIGINT, band_id INT, band_h BIGINT", batchId)
-    val oldSets = snapshotRead(spark, setsPath,
-      "doc_id BIGINT, hs ARRAY<BIGINT>, n_sh INT", batchId)
     val allBands = oldBands.unionByName(newBands)
-    val allSets = oldSets.unionByName(newSets)
 
     // probe: new bands x all bands; (a < b) ordering makes new x new pairs
     // single after the distinct
@@ -234,6 +274,25 @@ object IncrementalDedup {
       .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
+
+    val setsDdl = "doc_id BIGINT, hs ARRAY<BIGINT>, n_sh INT"
+    val allSets =
+      if (buckets > 0) {
+        // the bucket-id collect is O(buckets) rows, not O(candidates): the
+        // candidate pair set itself never reaches the driver. The candidate
+        // frame is cached because this action and the verify execution both
+        // consume it (deterministic recompute would also be correct — the
+        // snapshot is pinned — just wasteful).
+        val cand = candidates.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        val touched = cand
+          .select(explode(array(pmod(col("doc_a"), lit(buckets.toLong)),
+            pmod(col("doc_b"), lit(buckets.toLong)))).as("b"))
+          .distinct().collect().map(_.getLong(0)).toSet
+        snapshotRead(spark, setsPath, setsDdl, batchId, Some(touched))
+          .unionByName(newSets)
+      } else snapshotRead(spark, setsPath, setsDdl, batchId).unionByName(newSets)
+
     val verified = candidates
       .join(allSets.select(col("doc_id").as("doc_a"), col("hs").as("sha"),
         col("n_sh").as("na")), Seq("doc_a"))
@@ -250,8 +309,17 @@ object IncrementalDedup {
     // With a batchId both writes are per-batch overwrites, so a replay (or
     // a crash between the two) converges to a consistent bands+sets pair.
     writeState(newBands, bandsPath, batchId)
-    writeState(newSets, setsPath, batchId)
+    if (buckets > 0)
+      // repartition by bucket first: partitionBy alone writes up to
+      // (tasks x buckets) splinter files — one shuffle of the BATCH's sets
+      // (O(batch), not O(corpus)) buys one file per touched bucket
+      writeState(newSets
+          .withColumn("bucket", pmod(col("doc_id"), lit(buckets.toLong)))
+          .repartition(col("bucket")),
+        setsPath, batchId, partitionCols = Seq("bucket"))
+    else writeState(newSets, setsPath, batchId)
     newBands.unpersist(); newSets.unpersist()
+    if (buckets > 0) { candidates.unpersist(); () }
     verified
   }
 

@@ -39,7 +39,8 @@ object DedupStream {
   def start(spark: SparkSession, docsDir: String, statePath: String,
             outPath: String, checkpoint: String, threshold: Double = 0.5,
             useLsh: Boolean = true, maxFilesPerTrigger: Option[Int] = None,
-            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+            trigger: Trigger = Trigger.AvailableNow(),
+            buckets: Int = 0): StreamingQuery = {
     val reader = spark.readStream.schema(docsSchema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     reader.parquet(docsDir)
@@ -55,7 +56,7 @@ object DedupStream {
         val pairs =
           if (useLsh)
             IncrementalDedup.updateLsh(session, statePath, docs, threshold,
-              batchId = Some(id))
+              batchId = Some(id), buckets = buckets)
           else
             IncrementalDedup.update(session, statePath, docs, threshold,
               batchId = Some(id))

@@ -219,6 +219,27 @@ object Profile {
           .filter(col("jaccard") >= 0.5)
         time("verified")(verified.count())
         time("full-batch")(graft.ops.IncrementalDedup.updateLsh(spark, st, batch).count())
+      case "incbucket" =>
+        // bucketed vs flat sets layout on the operational shape: index all
+        // but a small crawl batch, then time the batch whose verify read
+        // should be pruned to its candidates' buckets. Pruning can only pay
+        // when the batch (hence its candidate set) is small relative to the
+        // corpus — the daily-crawl-vs-100TB shape — so measure a 10% batch
+        // (pruning CANNOT win: candidates touch every bucket) and a 0.1%
+        // batch (the realistic tier) side by side.
+        val src = spark.read.parquet(s"$sfDir/documents.parquet")
+        for ((frac, mod) <- Seq(("10pct", 10L), ("0.1pct", 1000L));
+             (tag, buckets) <- Seq(("flat", 0), ("bucketed", 256))) {
+          val old = src.filter(col("doc_id") % mod =!= 0)
+          val batch = src.filter(col("doc_id") % mod === 0)
+          val st = s"/tmp/incbucket-profile-$frac-$tag"
+          org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+            .delete(new org.apache.hadoop.fs.Path(st), true)
+          time(s"index-$frac-$tag")(graft.ops.IncrementalDedup.updateLsh(
+            spark, st, old, batchId = Some(0L), buckets = buckets).count())
+          time(s"batch-$frac-$tag")(graft.ops.IncrementalDedup.updateLsh(
+            spark, st, batch, batchId = Some(1L), buckets = buckets).count())
+        }
       case "pipeline" =>
         time("pipeline")(graft.SparkEntry.queries("q_dedup_pipeline")(spark, sfDir).count())
       case q =>

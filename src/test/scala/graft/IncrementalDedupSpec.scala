@@ -75,6 +75,20 @@ class IncrementalDedupSpec extends SparkSpec {
     val oneShot = pairSet(Dedup.minhashLsh(spark, sf))
     assert(emitted === oneShot)
     assert(emitted.nonEmpty)
+    // the bucketed sets layout (partition-pruned verify reads) must be
+    // output-identical over the same batch sequence, with batch ids so the
+    // layout takes effect (per-batch subdirs + bucket partition dirs)
+    val bstate = tmpDir("inclsh_bucketed")
+    val bucketed = (0 until 3).flatMap { b =>
+      pairSet(IncrementalDedup.updateLsh(spark, bstate,
+        docs.filter(col("doc_id") % 3 === b), batchId = Some(b.toLong),
+        buckets = 16)).toSeq
+    }.toSet
+    assert(bucketed === oneShot)
+    // and the layout really is bucketed: sets files live under bucket= dirs
+    val setsDir = new java.io.File(s"$bstate/sets/batch-2")
+    assert(setsDir.listFiles().exists(_.getName.startsWith("bucket=")),
+      "bucketed layout missing bucket= partition dirs")
   }
 
   test("state compaction mid-sequence changes nothing but the file count") {
