@@ -85,7 +85,9 @@ final class V2CdcSource(spark: SparkSession, feedDir: String, tableDir: String,
   * within one message stay ordered for last-write-wins, and the checkpoint
   * still tracks the coarse message offset (2^20 rows per message bound).
   *
-  * @param wireFormat one of `wal2json`, `mysql-binlog`, `mongo`
+  * @param wireFormat one of `wal2json`, `mysql-binlog`, `mongo`,
+  *                   `debezium` (the Kafka-standard envelope — beyond the
+  *                   reference's three connectors)
   */
 final class WireCdcSource(spark: SparkSession, feedDir: String, tableDir: String,
                           wireFormat: String, maxFilesPerTrigger: Int = 1)
@@ -101,8 +103,9 @@ final class WireCdcSource(spark: SparkSession, feedDir: String, tableDir: String
       case "wal2json"     => EnvelopeDecoders.decodeWal2json(raw)
       case "mysql-binlog" => EnvelopeDecoders.decodeMysqlBinlog(raw)
       case "mongo"        => EnvelopeDecoders.decodeMongoChangeStream(raw)
+      case "debezium"     => EnvelopeDecoders.decodeDebezium(raw)
       case other => throw new IllegalArgumentException(
-        s"unknown wire format '$other' (wal2json | mysql-binlog | mongo)")
+        s"unknown wire format '$other' (wal2json | mysql-binlog | mongo | debezium)")
     }
     // Fail LOUDLY if a message exceeds the encoding's bounds instead of
     // silently colliding with the next message's offset range (a 2M-row

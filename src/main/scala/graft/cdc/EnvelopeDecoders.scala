@@ -138,6 +138,40 @@ object EnvelopeDecoders {
         .as("data"))
   }
 
+  /** Debezium JSON change events — NOT a reference connector, but the
+    * de-facto CDC envelope a Spark deployment actually ingests from Kafka
+    * (public shape, debezium.io "change event value" docs): `{"op": "c|u|
+    * d|r", "before": {...}|null, "after": {...}|null, "source": {"table":
+    * ...}, "ts_ms": ...}`, optionally wrapped in `{"payload": ...}` when
+    * the connector runs with schema envelopes enabled. op `c` (insert) and
+    * `r` (snapshot read — the backfill rows) both map to create; `u`
+    * carries the full after-image; `d` carries the key in `before`. One
+    * change per record, so `_ridx` is 0. */
+  def decodeDebezium(raw: DataFrame, dataCol: String = "data",
+                     offsetCol: String = "offset"): DataFrame = {
+    val inner = """op: STRING, before: VARIANT, after: VARIANT,
+      |source: STRUCT<table: STRING>, ts_ms: LONG""".stripMargin
+    val schema = ddl(s"STRUCT<payload: STRUCT<$inner>, $inner>")
+    val d = raw.withColumn("__z", from_json(col(dataCol), schema))
+    // the wrapped and flat forms are distinguished per record: schema
+    // envelopes are a connector-level setting but a feed can mix producers
+    def f(field: String): Column =
+      coalesce(col(s"__z.payload.$field"), col(s"__z.$field"))
+    d
+      // mandatory-field guard — see the binlog note on PERMISSIVE structs
+      .filter(undecodableGuard(f("op").isNotNull, "debezium", col(dataCol)))
+      .filter(f("op").isin("c", "u", "d", "r"))
+      .select(
+        when(f("op").isin("c", "r"), graft.model.Op.Create)
+          .when(f("op") === "u", graft.model.Op.Update)
+          .otherwise(graft.model.Op.Delete).as("op"),
+        f("source.table").as("table"),
+        col(offsetCol).as("offset"),
+        lit(0).as("_ridx"),
+        when(f("op") === "d", to_json(f("before")))
+          .otherwise(to_json(f("after"))).as("data"))
+  }
+
   /** Filter predicate that RAISES on an undecodable message instead of
     * dropping it (from_json yields null on parse failure; a silent drop
     * would lose the message's changes with no trace, upstream of the

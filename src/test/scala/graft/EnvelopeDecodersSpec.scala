@@ -107,6 +107,32 @@ class EnvelopeDecodersSpec extends SparkSpec {
     assert(out.head.getAs[String]("data") === """{"_id":"z9"}""")
   }
 
+  test("debezium: wrapped and flat envelopes decode; c/r create, u after-" +
+    "image, d key-from-before") {
+    val feed = Seq(
+      // flat form (schemas disabled) — snapshot read + insert
+      ("""{"op":"r","before":null,"after":{"id":1,"age":10},"source":{"table":"test"},"ts_ms":1}""", 1L),
+      ("""{"op":"c","before":null,"after":{"id":2,"age":20},"source":{"table":"test"},"ts_ms":2}""", 2L),
+      // wrapped form (schema envelope) — update carries the after-image
+      ("""{"payload":{"op":"u","before":{"id":1,"age":10},"after":{"id":1,"age":11},"source":{"table":"test"},"ts_ms":3}}""", 3L),
+      // delete: the key rides in `before`
+      ("""{"op":"d","before":{"id":2,"age":20},"after":null,"source":{"table":"test"},"ts_ms":4}""", 4L))
+    val out = EnvelopeDecoders.decodeDebezium(feed.toDF("data", "offset"))
+      .orderBy("offset").collect()
+    assert(out.map(_.getAs[String]("op")).toSeq ===
+      Seq("create", "create", "update", "delete"))
+    assert(out.map(_.getAs[String]("table")).toSeq === Seq.fill(4)("test"))
+    assert(out(2).getAs[String]("data").contains(""""age":11"""))
+    assert(out(2).getAs[String]("data").contains(""""id":1"""))
+    assert(!out(2).getAs[String]("data").contains(""""age":10"""),
+      "update must carry the after-image, not before")
+    assert(out(3).getAs[String]("data").contains(""""id":2"""))
+    // tombstones/unknown ops drop without killing the stream
+    val tomb = Seq(("""{"op":"t","source":{"table":"test"}}""", 5L))
+      .toDF("data", "offset")
+    assert(EnvelopeDecoders.decodeDebezium(tomb).collect().isEmpty)
+  }
+
   test("undecodable messages fail loudly instead of vanishing") {
     // from_json yields null on garbage; the decoders must raise, not emit
     // zero rows (the changes would silently never reach the sink)

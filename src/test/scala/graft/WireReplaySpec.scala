@@ -77,6 +77,18 @@ class WireReplaySpec extends SparkSpec {
   // mongo's sequence differs (inserts are single-document): its final state
   private val mongoExpected = Seq(Row(1, 11), Row(3, 31))
 
+  // the same sequence in Debezium's envelope (single-row events like mongo;
+  // mixes the flat and payload-wrapped forms a mixed-producer feed carries)
+  private val debeziumFeed = Seq(
+    """{"op":"c","before":null,"after":{"id":1,"age":10},"source":{"table":"test"},"ts_ms":1}""",
+    """{"op":"c","before":null,"after":{"id":2,"age":20},"source":{"table":"test"},"ts_ms":2}""",
+    """{"payload":{"op":"u","before":{"id":1,"age":10},"after":{"id":1,"age":11},"source":{"table":"test"},"ts_ms":3}}""",
+    """{"op":"d","before":{"id":2,"age":20},"after":null,"source":{"table":"test"},"ts_ms":4}""",
+    """{"payload":{"op":"c","before":null,"after":{"id":3,"age":30},"source":{"table":"test"},"ts_ms":5}}""",
+    """{"op":"u","before":{"id":3,"age":30},"after":{"id":3,"age":31},"source":{"table":"test"},"ts_ms":6}""")
+
+  private val debeziumExpected = Seq(Row(1, 11), Row(3, 31))
+
   private def runUninterrupted(feed: String, format: String, root: String): Seq[Row] = {
     val src = new WireCdcSource(spark, feed, root, format)
     val pipe = new Pipeline(spark, PipelineConfig(Seq(sync)), src, s"$root/sink_ref")
@@ -109,7 +121,8 @@ class WireReplaySpec extends SparkSpec {
   for ((format, feedMsgs, want) <- Seq(
     ("wal2json", wal2jsonFeed, expected),
     ("mysql-binlog", mysqlFeed, expected),
-    ("mongo", mongoFeed, mongoExpected))) {
+    ("mongo", mongoFeed, mongoExpected),
+    ("debezium", debeziumFeed, debeziumExpected))) {
     test(s"$format: killed mid-stream with a lost commit, the resumed sink " +
       "equals the uninterrupted run") {
       val root = tmpDir(s"wirereplay_${format.replace("-", "")}")
