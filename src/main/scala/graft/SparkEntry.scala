@@ -114,6 +114,11 @@ object SparkEntry {
     "q_dedup_stream"   -> ((s, d) => graft.streaming.DedupStream.streamedPairs(s, d)),
     "q_dup_spans"      -> ((s, d) => TextAnalysis.dupSpans(s, d)),
     "q_scrub_spans"    -> ((s, d) => TextAnalysis.scrubDupSpans(s, d)),
+    "q_para_dedup"     -> ((s, d) => TextAnalysis.paragraphDedup(s, d)),
+    "q_quality_classify" -> ((s, d) => TextAnalysis.qualityClassify(s, d)),
+    "q_stratified_sample" -> ((s, d) => Sampling.stratifiedSample(s, d)),
+    "q_corpus_sample"  -> ((s, d) => Sampling.corpusSample(s, d)),
+    "q_decontaminate_bloom" -> ((s, d) => Dedup.decontaminateBloom(s, d)),
     "q_vocab"          -> ((s, d) => TextAnalysis.vocabCoverage(s, d)),
     "q_ann_pq"         -> ((s, d) => Similarity.pqTopK(s, d)),
     "q_retention"      -> ((s, d) => Relational.retention(s, d)),
@@ -154,7 +159,13 @@ object SparkEntry {
       |FROM j WHERE round(CAST(c AS DOUBLE) / (na + nb - c), 4) >= 0.5
       |ORDER BY doc_a, doc_b""".stripMargin
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = oracleSqlBase +
+    // the Bloom prefilter admits false positives but no false negatives,
+    // and the exact verify join removes the former — byte-identical output
+    // to the join-only operator, so it shares the same oracle
+    ("q_decontaminate_bloom" -> oracleSqlBase("q_decontaminate"))
+
+  private def oracleSqlBase: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity), 2) AS sum_qty,
@@ -1058,6 +1069,71 @@ object SparkEntry {
         |  coalesce(clean_text, '') AS clean_text
         |FROM base LEFT JOIN c ON base.doc_id = c.doc_id
         |ORDER BY base.doc_id""".stripMargin,
+
+    // Paragraph-block dedup: non-overlapping 16-token segments, global
+    // keep-first by (doc_id, seg_idx); md5 keys both engines identically.
+    "q_para_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        |), idx AS (
+        |  SELECT doc_id, ts,
+        |    UNNEST(range(CAST(ceil(len(ts) / 16.0) AS BIGINT))) AS seg_idx
+        |  FROM toks
+        |), segs AS (
+        |  SELECT doc_id, seg_idx,
+        |    array_to_string(ts[seg_idx * 16 + 1 : seg_idx * 16 + 16], ' ') AS seg
+        |  FROM idx
+        |), flagged AS (
+        |  SELECT doc_id, seg_idx, seg,
+        |    row_number() OVER (PARTITION BY md5(seg) ORDER BY doc_id, seg_idx) = 1 AS keep
+        |  FROM segs
+        |)
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_segs,
+        |  CAST(sum(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_segs,
+        |  coalesce(string_agg(CASE WHEN keep THEN seg END, ' ' ORDER BY seg_idx), '')
+        |    AS clean_text
+        |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Frozen-weight logistic quality score; ln/exp on doubles agree across
+    // engines and the 4 dp rounding absorbs any last-ulp libm drift.
+    "q_quality_classify" -> {
+      def occ(m: String) =
+        s"((length(pt) - length(replace(pt, '$m', ''))) / ${m.length})"
+      """WITH d AS (SELECT doc_id, text, ' ' || text || ' ' AS pt,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |           FROM documents),
+        |f AS (SELECT doc_id, n_tok,
+        |        round(CAST(length(text) - (n_tok - 1) AS DOUBLE) / n_tok, 4)
+        |          AS mean_tok_len,
+        |        round(CAST(STOPS AS DOUBLE) / n_tok, 4) AS stop_ratio
+        |      FROM d),
+        |z AS (SELECT *, -3.1 + 0.6 * ln(1.0 + n_tok) + 0.8 * mean_tok_len / 5.0
+        |        + 1.5 * stop_ratio AS z FROM f)
+        |SELECT doc_id, n_tok, mean_tok_len, stop_ratio,
+        |  round(1.0 / (1.0 + exp(-z)), 4) AS quality,
+        |  round(1.0 / (1.0 + exp(-z)), 4) >= 0.5 AS keep
+        |FROM z ORDER BY doc_id""".stripMargin
+        .replace("STOPS", s"${occ(" the ")} + ${occ(" a ")}")
+    },
+
+    // Deterministic hash-order sampling: md5 ranks identically everywhere.
+    "q_stratified_sample" ->
+      """WITH h AS (SELECT doc_id, lang, source,
+        |             md5('graft_sample:' || CAST(doc_id AS VARCHAR)) AS h
+        |           FROM documents),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY h, doc_id)
+        |        AS rank FROM h)
+        |SELECT lang, CAST(rank AS INT) AS rank, doc_id, source
+        |FROM r WHERE rank <= 40 ORDER BY lang, rank""".stripMargin,
+
+    "q_corpus_sample" ->
+      """WITH h AS (SELECT doc_id, lang, source,
+        |             md5('graft_sample:' || CAST(doc_id AS VARCHAR)) AS h
+        |           FROM documents),
+        |r AS (SELECT *, row_number() OVER (ORDER BY h, doc_id) AS rank FROM h)
+        |SELECT CAST(rank AS INT) AS rank, doc_id, lang, source
+        |FROM r WHERE rank <= 64 ORDER BY rank""".stripMargin,
 
     "q_vocab" ->
       """WITH e AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),

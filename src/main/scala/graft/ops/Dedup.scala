@@ -567,6 +567,49 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** [[decontaminate]] with a broadcast Bloom prefilter — the sketch-first
+    * shape the exact join takes at 100 TB: the train shingle set is folded
+    * into a Bloom filter (built distributed via `stat.bloomFilter`'s
+    * treeAggregate, only the ~10-bits-per-item bitset reaches the driver),
+    * broadcast to every executor, and the test-side shingle stream is
+    * prefiltered AT THE SCAN — no shuffle — before the exact verify join
+    * sees it. Bloom filters admit false positives but never false
+    * negatives, so after the exact join the output is IDENTICAL to the
+    * join-only operator (same oracle); what changes is the join volume:
+    * only test shingles that (probably) occur in train ever reach the
+    * shuffle, which for a typically-small contamination surface removes
+    * almost the entire test-side shuffle. Sizing here derives from the
+    * train distinct count (one extra O(1)-result job); a 100 TB deployment
+    * pins a fixed bitset budget instead and lets fpp float. */
+  def decontaminateBloom(spark: SparkSession, dir: String, n: Int = 5,
+                         fpp: Double = 0.01): DataFrame = {
+    graft.functions.TextFunctions.register(spark)
+    val d = Tables(spark, dir, "documents")
+      .withColumn("is_train", (col("doc_id") * lit(2654435761L)) % 100 < 80)
+      .select(col("doc_id"), col("is_train"),
+        expr(s"graft_shingle_hashes(text, $n)").as("hs"))
+      .withColumn("n_sh", size(col("hs")))
+    val trainSh = d.filter(col("is_train"))
+      .select(explode(col("hs")).as("h")).distinct()
+    val bloom = trainSh.stat.bloomFilter("h", math.max(trainSh.count(), 64L), fpp)
+    val bc = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((h: Long) => bc.value.mightContainLong(h))
+    val hits = d.filter(!col("is_train"))
+      .select(col("doc_id"), explode(col("hs")).as("h"))
+      .filter(mightContain(col("h")))
+      .join(trainSh.withColumn("hit", lit(1)), Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(col("hit")).as("n_hit"))
+    d.filter(!col("is_train"))
+      .select(col("doc_id"), col("n_sh").cast("long").as("n_sh"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_sh"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)).cast("double") /
+          greatest(col("n_sh"), lit(1L)), 4).as("contam_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Corpus n-gram NOVELTY: per document, how many of its distinct word-
     * `n`-gram shingles appear in NO other document (corpus df = 1), and the
     * novelty ratio. The inverse of [[containment]]/boilerplate detection —

@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling over `documents` — the subset-selection ops a
+  * training-data pipeline runs constantly (eval slices, ablation corpora,
+  * per-source quotas) and the reference has no analog for. Randomness is
+  * replaced by a keyed hash order: `md5("graft_sample:" || doc_id)` ranks
+  * every row identically in any engine and on any cluster layout, so a
+  * sample is reproducible across reruns, re-partitions and engine swaps —
+  * the property seeded `rand()` loses the moment partitioning changes.
+  */
+object Sampling {
+
+  /** The deterministic sampling order: uniform-ish over docs, stable across
+    * engines (md5 is in every SQL dialect; xxhash64 is Spark-only). */
+  private def sampleKey: Column =
+    md5(concat(lit("graft_sample:"), col("doc_id").cast("string")))
+
+  /** Stratified k-per-group sample (group = `lang`): the first `k` docs of
+    * each language in sample-hash order — the per-stratum eval-slice
+    * selector.
+    *
+    * Shape at scale: a single `row_number` window per language would funnel
+    * each language's WHOLE corpus slice through one reducer (5 languages =
+    * 5 tasks at 100 TB — the window-skew regime). Two-stage salted top-k
+    * instead: stage 1 ranks within (lang, doc_id % salt) cells and keeps at
+    * most `k` per cell — every cell's ordered prefix is a superset of the
+    * global per-lang top-k, so correctness is unaffected — and stage 2
+    * ranks the surviving ≤ salt·k rows per language. The heavy shuffle is
+    * spread over `salt` reducers per group; the skewed window only ever
+    * sees a bounded candidate set. Output is identical to the single
+    * window (spec-asserted). */
+  def stratifiedSample(spark: SparkSession, dir: String, k: Int = 40,
+                       salt: Int = 32): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"))
+      .withColumn("h", sampleKey)
+    val w1 = Window.partitionBy(col("lang"), pmod(col("doc_id"), lit(salt)))
+      .orderBy(col("h"), col("doc_id"))
+    val w2 = Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+    d.withColumn("rn1", row_number().over(w1)).filter(col("rn1") <= k)
+      .withColumn("rank", row_number().over(w2)).filter(col("rank") <= k)
+      .select(col("lang"), col("rank"), col("doc_id"), col("source"))
+      .orderBy(col("lang"), col("rank"))
+  }
+
+  /** Fixed-size whole-corpus sample: the globally first `n` docs in
+    * sample-hash order, with their rank. `orderBy(h).limit(n)` lowers to
+    * `TakeOrderedAndProject` — per-partition heaps of n rows, driver merges
+    * n — so no global sort and no full shuffle ever happens; the trailing
+    * rank window runs over exactly `n` surviving rows. */
+  def corpusSample(spark: SparkSession, dir: String, n: Int = 64): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"))
+      .withColumn("h", sampleKey)
+    d.orderBy(col("h"), col("doc_id")).limit(n)
+      .withColumn("rank", row_number().over(Window.orderBy(col("h"), col("doc_id"))))
+      .select(col("rank"), col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("rank"))
+  }
+}

@@ -535,6 +535,76 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Paragraph-level cross-doc dedup scrub — the repeated-segment removal
+    * every crawl pipeline runs before model training (CCNet / RefinedWeb
+    * "remove duplicated paragraphs"; reference scope: whole-doc dedup only
+    * — segment granularity is the LLM-pipeline extension). Real corpora
+    * split on newline paragraphs; the fixture text is single-line, so the
+    * segment unit is non-overlapping `k`-token blocks — the same operator
+    * shape with a different splitter. Policy: globally keep the FIRST
+    * occurrence of each distinct segment (min (doc_id, seg_idx)), drop
+    * every later occurrence, reassemble survivors in order.
+    *
+    * Shape at scale: segments are keyed by their 16-byte md5 digest — the
+    * shuffle key is fixed-width however long the paragraph is (and md5 is
+    * replicable in the oracle engine, unlike xxhash64). One shuffle on the
+    * digest for the first-occurrence window, one keyed groupBy back to
+    * docs; per-doc state is bounded by the doc's own segment count.
+    * Nothing pairwise, nothing quadratic in the corpus. */
+  def paragraphDedup(spark: SparkSession, dir: String, k: Int = 16): DataFrame = {
+    val docs = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
+    // seg_idx is 0-based; slice() is 1-based — block i covers tokens
+    // [i*k, i*k+k). size(toks) >= 1 always (no empty texts in the table),
+    // so every doc emits at least one segment and survives to the report.
+    val segs = docs
+      .select(col("doc_id"), expr(
+        s"""posexplode(transform(sequence(0, cast(ceil(size(split(text, ' ')) / $k.0) as int) - 1),
+           |  i -> array_join(slice(split(text, ' '), i * $k + 1, $k), ' ')))""".stripMargin))
+      .toDF("doc_id", "seg_idx", "seg")
+      .withColumn("h", md5(col("seg").cast("binary")))
+    val w = Window.partitionBy(col("h")).orderBy(col("doc_id"), col("seg_idx"))
+    segs.withColumn("keep", row_number().over(w) === 1)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segs"),
+        sum(when(!col("keep"), 1L).otherwise(0L)).as("n_dup_segs"),
+        // collect_list skips the nulls the when() emits for dropped segs
+        expr("array_join(transform(array_sort(collect_list(" +
+          "case when keep then struct(seg_idx, seg) end)), x -> x.seg), ' ')")
+          .as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Fixed-weight logistic quality classifier — the shape of the
+    * fasttext-style document-quality scorers every crawl pipeline runs
+    * (CCNet's LM filter, FineWeb's quality classifier), with the learned
+    * weights frozen as constants so the operator is deterministic and
+    * oracle-checkable. Features are the interpretable per-row signals the
+    * public pipelines use: log token count, mean token length, stopword
+    * ratio. score = sigmoid(w·x + b); keep at 0.5.
+    *
+    * Shape at scale: pure per-row expression work, zero shuffles, fully
+    * codegen'd built-ins — scan-bound, the correct bound for a classifier
+    * applied to 100 TB. A real learned model drops in by replacing the
+    * constants (weights broadcast, same plan shape). */
+  def qualityClassify(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+      .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+    val padded = concat(lit(" "), col("text"), lit(" "))
+    val stops = Seq(" the ", " a ").map(occurrences(padded, _)).reduce(_ + _)
+    val scored = d
+      .withColumn("mean_tok_len", round(
+        (length(col("text")) - (col("n_tok") - 1)).cast("double") / col("n_tok"), 4))
+      .withColumn("stop_ratio", round(stops.cast("double") / col("n_tok"), 4))
+      .withColumn("z",
+        lit(-3.1) + lit(0.6) * log(lit(1.0) + col("n_tok")) +
+          lit(0.8) * col("mean_tok_len") / lit(5.0) + lit(1.5) * col("stop_ratio"))
+    scored.select(col("doc_id"), col("n_tok"), col("mean_tok_len"),
+        col("stop_ratio"),
+        round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 4).as("quality"),
+        (round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 4) >= 0.5).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Corpus vocabulary coverage — the Zipf head report: top-k tokens by
     * corpus frequency with per-token and cumulative probability mass (how
     * much of the corpus the first k vocabulary entries explain — the

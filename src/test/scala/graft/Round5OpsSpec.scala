@@ -1,0 +1,106 @@
+package graft
+
+import graft.ops.{Dedup, Sampling, Tables, TextAnalysis}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-5 additions: paragraph-block dedup scrub, deterministic sampling,
+  * the frozen-weight quality classifier, and the Bloom-prefiltered
+  * decontamination path. The DuckDB oracle pins exact values; these specs
+  * pin the structural contracts and the equivalences the scale-shaped
+  * variants must preserve. */
+class Round5OpsSpec extends SparkSpec {
+
+  test("paragraph dedup: untouched docs reassemble verbatim, counts " +
+    "reconcile, fixture contains cross-doc duplicate segments") {
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = TextAnalysis.paragraphDedup(spark, sf).collect()
+    assert(rows.length === docs.size, "every doc must report")
+    rows.foreach { r =>
+      val (id, nSegs, nDup, clean) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))
+      assert(nDup >= 0 && nDup <= nSegs)
+      // block segmentation partitions the tokens, so zero dropped segments
+      // must reassemble the original text exactly
+      if (nDup == 0) assert(clean === docs(id), s"doc $id")
+    }
+    assert(rows.exists(_.getLong(2) > 0),
+      "fixture is known to contain duplicated segments")
+  }
+
+  test("paragraph dedup: keep-first policy on a crafted corpus") {
+    val dir = tmpDir("paradedup")
+    // 16 tokens per block: b1/b2 are one full block each
+    val b1 = (1 to 16).map(i => s"w$i").mkString(" ")
+    val b2 = (21 to 36).map(i => s"v$i").mkString(" ")
+    spark.createDataFrame(Seq(
+      (10L, s"$b1 $b2"), // first occurrence of both blocks: kept in full
+      (20L, b1),         // copy of block 1: fully scrubbed
+      (30L, s"$b2 tail tokens"), // block copy + a short unique tail block
+      (40L, "unique little doc") // single sub-16 block, untouched
+    )).toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.paragraphDedup(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(10L) === ((2L, 0L, s"$b1 $b2")))
+    assert(got(20L) === ((1L, 1L, "")))
+    assert(got(30L) === ((2L, 1L, "tail tokens")))
+    assert(got(40L) === ((1L, 0L, "unique little doc")))
+  }
+
+  test("stratified sample: salted two-stage output equals the plain " +
+    "per-group window, k per group, ranks contiguous") {
+    val k = 40
+    val got = Sampling.stratifiedSample(spark, sf, k).collect()
+    // reference: the single-window formulation the salted variant replaces
+    val h = md5(concat(lit("graft_sample:"), col("doc_id").cast("string")))
+    val w = Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+    val ref = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("lang"), col("source")).withColumn("h", h)
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("lang"), col("rank"), col("doc_id"), col("source"))
+      .orderBy(col("lang"), col("rank")).collect()
+    assert(got.toSeq === ref.toSeq)
+    val counts = Tables(spark, sf, "documents")
+      .groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    got.groupBy(_.getString(0)).foreach { case (lang, rows) =>
+      assert(rows.length.toLong === math.min(k.toLong, counts(lang)))
+      assert(rows.map(_.getInt(1)).sorted.toSeq === (1 to rows.length).toSeq)
+    }
+  }
+
+  test("corpus sample: top-n lowers to TakeOrderedAndProject (no global " +
+    "sort shuffle) and reruns are byte-identical") {
+    val df = Sampling.corpusSample(spark, sf, 64)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(400))
+    val a = df.collect()
+    assert(a.length === 64)
+    assert(a.map(_.getInt(0)).toSeq === (1 to 64).toSeq)
+    assert(Sampling.corpusSample(spark, sf, 64).collect().toSeq === a.toSeq,
+      "hash-order sampling must be deterministic across runs")
+  }
+
+  test("bloom decontamination: output identical to the exact join-only " +
+    "operator (no false negatives survive the verify join)") {
+    val exact = Dedup.decontaminate(spark, sf).collect()
+    val bloom = Dedup.decontaminateBloom(spark, sf).collect()
+    assert(bloom.toSeq === exact.toSeq)
+  }
+
+  test("quality classifier: scores in (0,1), keep consistent, every doc " +
+    "reports") {
+    val rows = TextAnalysis.qualityClassify(spark, sf).collect()
+    assert(rows.length.toLong === Tables(spark, sf, "documents").count())
+    rows.foreach { r =>
+      val q = r.getDouble(4)
+      assert(q > 0.0 && q < 1.0)
+      assert(r.getBoolean(5) === (q >= 0.5))
+    }
+    // the frozen weights must actually separate the corpus, not saturate
+    assert(rows.exists(_.getBoolean(5)) && rows.exists(!_.getBoolean(5)),
+      "classifier should split the fixture corpus")
+  }
+}
