@@ -119,6 +119,8 @@ object SparkEntry {
     "q_stratified_sample" -> ((s, d) => Sampling.stratifiedSample(s, d)),
     "q_corpus_sample"  -> ((s, d) => Sampling.corpusSample(s, d)),
     "q_decontaminate_bloom" -> ((s, d) => Dedup.decontaminateBloom(s, d)),
+    "q_bm25"           -> ((s, d) => TextAnalysis.bm25(s, d)),
+    "q_dsir_weights"   -> ((s, d) => TrainingPipeline.dsirWeights(s, d)),
     "q_vocab"          -> ((s, d) => TextAnalysis.vocabCoverage(s, d)),
     "q_ann_pq"         -> ((s, d) => Similarity.pqTopK(s, d)),
     "q_retention"      -> ((s, d) => Relational.retention(s, d)),
@@ -1116,6 +1118,40 @@ object SparkEntry {
         |FROM z ORDER BY doc_id""".stripMargin
         .replace("STOPS", s"${occ(" the ")} + ${occ(" a ")}")
     },
+
+    // BM25 with Lucene's idf; corpus stats are exact (integer-valued
+    // doubles), so only the per-doc <=|Q|-term sum is float-order-sensitive
+    // and 4 dp rounding absorbs it (the entropy/lm_score precedent).
+    "q_bm25" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |s AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(len(t)) AS avgdl FROM d),
+        |e AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl, unnest(t) AS w FROM d),
+        |tf AS (SELECT doc_id, dl, w, CAST(count(*) AS DOUBLE) AS tf FROM e
+        |       WHERE w IN ('spark', 'join', 'stream') GROUP BY 1, 2, 3),
+        |df AS (SELECT w, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+        |sc AS (SELECT tf.doc_id,
+        |         ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0) * tf.tf * (1.2 + 1.0) /
+        |           (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / s.avgdl)) AS sco
+        |       FROM tf JOIN df USING (w), s)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms, round(sum(sco), 4) AS bm25
+        |FROM sc GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // DSIR unigram importance weights: target = lang 'en', add-0.5
+    // smoothing over the joint vocabulary.
+    "q_dsir_weights" ->
+      """WITH e AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents),
+        |raw AS (SELECT w, count(*) AS c_raw FROM e GROUP BY 1),
+        |tgt AS (SELECT w, count(*) AS c_tgt FROM e WHERE lang = 'en' GROUP BY 1),
+        |lp AS (SELECT raw.w, c_raw, coalesce(c_tgt, 0) AS c_tgt
+        |       FROM raw LEFT JOIN tgt USING (w)),
+        |tot AS (SELECT CAST(sum(c_raw) AS DOUBLE) AS t_raw,
+        |          CAST(sum(c_tgt) AS DOUBLE) AS t_tgt,
+        |          CAST(count(*) AS DOUBLE) AS v FROM lp),
+        |r AS (SELECT w, ln((c_tgt + 0.5) / (t_tgt + 0.5 * v))
+        |        - ln((c_raw + 0.5) / (t_raw + 0.5 * v)) AS lr FROM lp, tot)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+        |  round(sum(lr), 4) AS log_weight
+        |FROM e JOIN r USING (w) GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     // Deterministic hash-order sampling: md5 ranks identically everywhere.
     "q_stratified_sample" ->

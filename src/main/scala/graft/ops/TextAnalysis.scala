@@ -605,6 +605,44 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** BM25 relevance scoring against a fixed query term set — the retrieval
+    * scorer (Robertson/Spärck Jones; Lucene's idf variant, k1 = 1.2,
+    * b = 0.75) behind search-based corpus curation: rank documents by
+    * query relevance to build topical training slices, the complement of
+    * the embedding ANN tier. Emits every matching doc with its rounded
+    * score, ordered by doc_id — a top-k is one `orderBy(score).limit(k)`
+    * (TakeOrderedAndProject) away, left to the caller so the gate compares
+    * the full deterministic score surface instead of a float-tie cutoff.
+    *
+    * Shape at scale: query terms are filtered AT THE EXPLODE (the isin
+    * lands beside the generator), so the tf aggregate only ever sees
+    * |Q|-matching tokens; df and the corpus stats are tiny aggregates
+    * broadcast back. One real shuffle (per-doc tf), everything else
+    * broadcast — scan-bound like any scorer should be. */
+  def bm25(spark: SparkSession, dir: String,
+           query: Seq[String] = Seq("spark", "join", "stream"),
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("dl", size(col("toks")).cast("double"))
+    val stats = docs.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val tf = docs.select(col("doc_id"), col("dl"), explode(col("toks")).as("t"))
+      .filter(col("t").isin(query: _*))
+      .groupBy(col("doc_id"), col("dl"), col("t"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfreq = tf.groupBy(col("t")).agg(count(lit(1)).cast("double").as("df"))
+    tf.join(broadcast(dfreq), Seq("t")).crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("s", col("idf") * col("tf") * (k1 + 1.0) /
+        (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_terms"),
+        round(sum(col("s")), 4).as("bm25"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Corpus vocabulary coverage — the Zipf head report: top-k tokens by
     * corpus frequency with per-token and cumulative probability mass (how
     * much of the corpus the first k vocabulary entries explain — the

@@ -31,9 +31,12 @@ object TrainingPipeline {
     val d = Tables(spark, dir, "documents")
       .withColumn("tr", (col("doc_id") * lit(2654435761L)) % 100 < 80)
 
-    // 1. exact tier among train docs
+    // 1. exact tier among train docs — digest-keyed like dedupPipeline:
+    // the shuffle key is the 16-byte md5, never the document body
     val keep1 = d.filter(col("tr"))
-      .groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+      .groupBy(md5(col("text").cast("binary")).as("text_digest"))
+      .agg(min(col("doc_id")).as("doc_id"),
+        min_by(col("text"), col("doc_id")).as("text"))
       .select(col("doc_id"), col("text"))
 
     // 2. near-dup pairs among survivors; drop the doc_b side
@@ -72,5 +75,48 @@ object TrainingPipeline {
         floor(col("start_tok") / budget).cast("long").as("bin"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
       .orderBy(col("shard"), col("bin"))
+  }
+
+  /** DSIR-style importance weights for data selection (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling"): score
+    * every document by how target-domain-like its token distribution is —
+    * log w(d) = Σ_w count_w(d) · (ln p_target(w) − ln p_raw(w)) — then
+    * resample the raw corpus by weight. Target here = the `lang = 'en'`
+    * slice; raw = the whole corpus; unigram features with add-α smoothing
+    * (the paper hashes n-grams into 10k buckets — on this fixture's ~40
+    * word vocabulary, unsmashed unigrams are the same model; a bucketed
+    * generalization changes only the token→feature projection). Smoothing
+    * is over the JOINT vocabulary, so target-unseen tokens get finite
+    * negative evidence instead of −∞.
+    *
+    * Shape at scale: two token-count aggregates (target and raw — the raw
+    * one subsumes the corpus scan), ONE shuffle each; the per-token
+    * log-ratio table is vocabulary-sized (broadcast — at web scale the
+    * hashed-feature table is 10k rows, still broadcastable by design), and
+    * the per-doc score is one explode + keyed groupBy. Everything linear
+    * in corpus tokens, nothing collected. */
+  def dsirWeights(spark: SparkSession, dir: String,
+                  targetLang: String = "en", alpha: Double = 0.5): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("w"))
+    val raw = d.groupBy(col("w")).agg(count(lit(1)).as("c_raw"))
+    val tgt = d.filter(col("lang") === targetLang)
+      .groupBy(col("w")).agg(count(lit(1)).as("c_tgt"))
+    // joint vocab = raw vocab (target ⊆ raw); totals as broadcast 1-rows
+    val lp = raw.join(tgt, Seq("w"), "left")
+      .withColumn("c_tgt", coalesce(col("c_tgt"), lit(0L)))
+    val totals = lp.agg(sum(col("c_raw")).cast("double").as("t_raw"),
+      sum(col("c_tgt")).cast("double").as("t_tgt"),
+      count(lit(1)).cast("double").as("v"))
+    val ratio = lp.crossJoin(broadcast(totals))
+      .select(col("w"),
+        (log((col("c_tgt") + alpha) / (col("t_tgt") + lit(alpha) * col("v"))) -
+          log((col("c_raw") + alpha) / (col("t_raw") + lit(alpha) * col("v"))))
+          .as("lr"))
+    d.join(broadcast(ratio), Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_tok"),
+        round(sum(col("lr")), 4).as("log_weight"))
+      .orderBy(col("doc_id"))
   }
 }

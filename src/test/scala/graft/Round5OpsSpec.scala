@@ -90,6 +90,35 @@ class Round5OpsSpec extends SparkSpec {
     assert(bloom.toSeq === exact.toSeq)
   }
 
+  test("bm25: only query-term docs score, scores positive, n_terms bounded " +
+    "by the query size") {
+    val query = Seq("spark", "join", "stream")
+    val rows = TextAnalysis.bm25(spark, sf, query).collect()
+    val withTerm = Tables(spark, sf, "documents")
+      .filter(query.map(t => array_contains(split(col("text"), " "), t))
+        .reduce(_ || _)).count()
+    assert(rows.length.toLong === withTerm,
+      "exactly the docs containing >=1 query term must score")
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 1 && r.getLong(1) <= query.length)
+      assert(r.getDouble(2) > 0.0, "lucene idf is bounded below by ln(1)=0+")
+    }
+  }
+
+  test("dsir weights: every doc reports and target-language docs carry " +
+    "higher importance than the rest") {
+    val langs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = graft.ops.TrainingPipeline.dsirWeights(spark, sf).collect()
+    assert(rows.length === langs.size)
+    val (en, rest) = rows.partition(r => langs(r.getLong(0)) == "en")
+    def mean(xs: Array[org.apache.spark.sql.Row]) =
+      xs.map(_.getDouble(2)).sum / xs.length
+    assert(mean(en) > mean(rest),
+      "importance sampling must rank the target domain above the raw corpus")
+  }
+
   test("quality classifier: scores in (0,1), keep consistent, every doc " +
     "reports") {
     val rows = TextAnalysis.qualityClassify(spark, sf).collect()
