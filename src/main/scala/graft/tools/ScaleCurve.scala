@@ -119,6 +119,9 @@ object ScaleCurve {
         time("decontaminate", fac)(graft.ops.Dedup.decontaminate(spark, root).count())
         time("dup_spans", fac)(graft.ops.TextAnalysis.dupSpans(spark, root).count())
         time("ngram_prefix", fac)(graft.ops.Dedup.ngramJaccardPrefix(spark, root).count())
+        // paragraph-block scrub: one digest-keyed window + one doc groupBy —
+        // the third linear tier; slope should match dup_spans
+        time("para_dedup", fac)(graft.ops.TextAnalysis.paragraphDedup(spark, root).count())
       }
       if (stream) {
         // the checkpointed streaming ingest (two micro-batches through the

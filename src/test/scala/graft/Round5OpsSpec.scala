@@ -90,6 +90,21 @@ class Round5OpsSpec extends SparkSpec {
     assert(bloom.toSeq === exact.toSeq)
   }
 
+  test("paragraph dedup: scrubbing is a fixed point — a second pass over " +
+    "the scrubbed corpus drops nothing") {
+    // the keep-first policy removes every later occurrence in pass 1, so
+    // pass 2 must find zero duplicated segments (the idempotence contract
+    // a pipeline relies on when re-running a stage after a crash)
+    val dir = tmpDir("parafixpoint")
+    TextAnalysis.paragraphDedup(spark, sf)
+      .filter(length(col("clean_text")) > 0)
+      .select(col("doc_id"), col("clean_text").as("text"))
+      .write.parquet(s"$dir/documents.parquet")
+    val second = TextAnalysis.paragraphDedup(spark, dir)
+      .agg(sum(col("n_dup_segs"))).collect()(0).getLong(0)
+    assert(second === 0L, "re-scrub of a scrubbed corpus must be a no-op")
+  }
+
   test("bm25: only query-term docs score, scores positive, n_terms bounded " +
     "by the query size") {
     val query = Seq("spark", "join", "stream")
