@@ -273,4 +273,52 @@ class PlanSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS b_lineitem")
     }
   }
+
+  test("para dedup: the first-occurrence window shuffles on the md5 digest, " +
+    "never the segment text") {
+    val p = plan("q_para_dedup")
+    assert(p.contains("hashpartitioning(h#") || p.contains("hashpartitioning(h,"),
+      p.take(3000))
+    assert(!p.contains("hashpartitioning(seg"), p.take(3000))
+  }
+
+  test("bm25: df and corpus stats broadcast; the query-term filter sits at " +
+    "the explode, before the tf aggregate") {
+    val p = plan("q_bm25")
+    assert("BroadcastExchange".r.findAllIn(p).size >= 2, p.take(3000))
+    // the only real shuffles: the per-doc tf aggregate, the df aggregate
+    // under its broadcast, and the user-facing output sort
+    val gen = p.indexOf("Generate explode")
+    val filt = p.indexOf("Filter t#")
+    assert(gen >= 0 && filt >= 0 && filt < gen,
+      "isin must filter directly above the generator\n" + p.take(3000))
+  }
+
+  test("dsir: the vocabulary log-ratio table broadcasts onto the token " +
+    "stream (the corpus is never re-shuffled for scoring)") {
+    val p = plan("q_dsir_weights")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("NestedLoop") ||
+      "BroadcastNestedLoopJoin BuildRight, Cross".r.findAllIn(p).size ==
+        "NestedLoop".r.findAllIn(p).size, // 1-row totals cross only
+      p.take(3000))
+  }
+
+  test("stratified sample: both stages stay keyed windows, no nested loop, " +
+    "no global (empty-key) window") {
+    val p = plan("q_stratified_sample")
+    assert(!p.contains("NestedLoop"), p.take(3000))
+    assert(!p.contains("hashpartitioning(32)"), p.take(3000))
+  }
+
+  test("bloom decontamination: the prefilter sits in the scan stage " +
+    "(below the first exchange on the test side)") {
+    val p = plan("q_decontaminate_bloom")
+    // the UDF filter must appear under a FileScan without an intervening
+    // Exchange — i.e. scan-side, shuffling only surviving shingles
+    val filt = p.indexOf("Filter ")
+    assert(filt >= 0, p.take(3000))
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      p.take(3000))
+  }
 }
