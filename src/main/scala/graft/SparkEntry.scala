@@ -120,6 +120,7 @@ object SparkEntry {
     "q_corpus_sample"  -> ((s, d) => Sampling.corpusSample(s, d)),
     "q_decontaminate_bloom" -> ((s, d) => Dedup.decontaminateBloom(s, d)),
     "q_bm25"           -> ((s, d) => TextAnalysis.bm25(s, d)),
+    "q_bpe_pairs"      -> ((s, d) => TextAnalysis.bpePairStats(s, d)),
     "q_dsir_weights"   -> ((s, d) => TrainingPipeline.dsirWeights(s, d)),
     "q_vocab"          -> ((s, d) => TextAnalysis.vocabCoverage(s, d)),
     "q_ann_pq"         -> ((s, d) => Similarity.pqTopK(s, d)),
@@ -1135,6 +1136,19 @@ object SparkEntry {
         |       FROM tf JOIN df USING (w), s)
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms, round(sum(sco), 4) AS bm25
         |FROM sc GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // BPE merge statistic: integer-weighted char-pair counts over the
+    // distinct-token table — exact in any engine; ties broken by pair.
+    "q_bpe_pairs" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tc AS (SELECT tok, count(*) AS c FROM t GROUP BY 1),
+        |p AS (SELECT tc.c, unnest(list_transform(generate_series(1, length(tok) - 1),
+        |        i -> substr(tok, i, 2))) AS pair
+        |      FROM tc WHERE length(tok) >= 2),
+        |a AS (SELECT pair, CAST(sum(c) AS BIGINT) AS freq FROM p GROUP BY 1),
+        |r AS (SELECT *, row_number() OVER (ORDER BY freq DESC, pair) AS rank FROM a)
+        |SELECT CAST(rank AS INT) AS rank, pair, freq
+        |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin,
 
     // DSIR unigram importance weights: target = lang 'en', add-0.5
     // smoothing over the joint vocabulary.

@@ -643,6 +643,36 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** BPE merge statistics — the adjacent character-pair frequencies the
+    * byte-pair-encoding tokenizer trainer (Sennrich et al. 2016) maximizes
+    * at every merge step, weighted by corpus token frequency. This is the
+    * per-iteration SCAN of BPE training: the full trainer loops
+    * (merge the argmax pair → re-segment → recount) with a driver-side
+    * round loop exactly like the k-means fit; each round's heavy work is
+    * this statistic, so its shape is what must scale.
+    *
+    * Shape at scale: the pair explosion runs over the DISTINCT-token
+    * table, not the corpus — token frequencies are aggregated first (one
+    * shuffle over ~vocabulary-sized keys), so a token occurring a million
+    * times contributes its character pairs once, weighted. Top-k is
+    * TakeOrderedAndProject. All counts are integers — exact in any
+    * engine. */
+  def bpePairStats(spark: SparkSession, dir: String, topK: Int = 20): DataFrame = {
+    val tc = Tables(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val pairs = tc.filter(length(col("tok")) >= 2)
+      .select(col("c"), explode(expr(
+        "transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))"))
+        .as("pair"))
+      .groupBy(col("pair")).agg(sum(col("c")).as("freq"))
+    val w = Window.orderBy(col("freq").desc, col("pair"))
+    pairs.orderBy(col("freq").desc, col("pair")).limit(topK)
+      .withColumn("rank", row_number().over(w))
+      .select(col("rank"), col("pair"), col("freq"))
+      .orderBy(col("rank"))
+  }
+
   /** Corpus vocabulary coverage — the Zipf head report: top-k tokens by
     * corpus frequency with per-token and cumulative probability mass (how
     * much of the corpus the first k vocabulary entries explain — the

@@ -308,7 +308,10 @@ class PlanSpec extends SparkSpec {
     "no global (empty-key) window") {
     val p = plan("q_stratified_sample")
     assert(!p.contains("NestedLoop"), p.take(3000))
-    assert(!p.contains("hashpartitioning(32)"), p.take(3000))
+    // an empty-partitionBy window would plan Exchange SinglePartition —
+    // the one-reducer funnel the salted two-stage design exists to avoid
+    assert(!p.contains("SinglePartition"), p.take(3000))
+    assert(p.contains("hashpartitioning(lang"), p.take(3000))
   }
 
   test("bloom decontamination: the prefilter sits in the scan stage " +

@@ -134,6 +134,28 @@ class Round5OpsSpec extends SparkSpec {
       "importance sampling must rank the target domain above the raw corpus")
   }
 
+  test("bpe pair stats: ranks contiguous, frequencies non-increasing, " +
+    "pairs are two chars, weighting matches a direct corpus count") {
+    val rows = TextAnalysis.bpePairStats(spark, sf).collect()
+    assert(rows.map(_.getInt(0)).toSeq === (1 to rows.length).toSeq)
+    assert(rows.sliding(2).forall {
+      case Array(a, b) => a.getLong(2) >= b.getLong(2)
+      case _           => true
+    })
+    rows.foreach(r => assert(r.getString(1).length === 2))
+    // the distinct-token weighting must equal counting pairs over the raw
+    // corpus directly (the equivalence that makes the cheap shape correct)
+    val top = rows.head
+    val direct = Tables(spark, sf, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))"))
+        .as("pair"))
+      .filter(col("pair") === top.getString(1)).count()
+    assert(direct === top.getLong(2))
+  }
+
   test("quality classifier: scores in (0,1), keep consistent, every doc " +
     "reports") {
     val rows = TextAnalysis.qualityClassify(spark, sf).collect()
