@@ -121,6 +121,9 @@ object SparkEntry {
     "q_decontaminate_bloom" -> ((s, d) => Dedup.decontaminateBloom(s, d)),
     "q_bm25"           -> ((s, d) => TextAnalysis.bm25(s, d)),
     "q_bpe_pairs"      -> ((s, d) => TextAnalysis.bpePairStats(s, d)),
+    // rows-only: the iterative merge can't be expressed in one oracle SQL;
+    // Round5OpsSpec pins the textbook example + pair-stat agreement
+    "q_bpe_fit"        -> ((s, d) => TextAnalysis.bpeFit(s, d)),
     "q_dsir_weights"   -> ((s, d) => TrainingPipeline.dsirWeights(s, d)),
     "q_vocab"          -> ((s, d) => TextAnalysis.vocabCoverage(s, d)),
     "q_ann_pq"         -> ((s, d) => Similarity.pqTopK(s, d)),

@@ -673,6 +673,76 @@ object TextAnalysis {
       .orderBy(col("rank"))
   }
 
+  /** Iterative BPE tokenizer training (Sennrich et al. 2016): run
+    * [[bpePairStats]]'s scan for `merges` rounds, each round merging the
+    * argmax pair (ties broken by pair, so the fit is deterministic) into
+    * every token's symbol sequence via a greedy left-to-right fold, exactly
+    * the reference BPE algorithm. Returns the learned merge table —
+    * (round, left, right, merged, freq) — the artifact a tokenizer ships.
+    *
+    * Shape at scale: the k-means pattern — a driver loop over ROUNDS, never
+    * rows. Each round is one aggregate over the distinct-token table
+    * (vocabulary-sized, shuffles 2-symbol keys) and a 1-row argmax
+    * `collect`; the corpus itself is touched ONCE (the initial token
+    * count). The per-round symbol re-fold is a HOF over vocabulary rows —
+    * at web scale the vocabulary is millions of rows against a corpus of
+    * trillions of tokens, so rounds cost vocabulary-scan time, which is
+    * why real BPE trainers are feasible at all. No oracle (DuckDB cannot
+    * express the iterative merge); the spec pins the textbook example. */
+  def bpeFit(spark: SparkSession, dir: String, merges: Int = 3): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    var vocab = Tables(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .select(col("c"), split(col("tok"), "").as("syms"))
+      .persist() // the only corpus scan; rounds iterate on this
+    val learned = scala.collection.mutable.ArrayBuffer.empty[Row]
+    try {
+      for (round <- 1 to merges) {
+        // guard the 1-symbol rows: sequence(1, 0) counts DOWN in Spark
+        // (the Round4OpsSpec-documented trap), so filter before exploding
+        val best = vocab.filter(size(col("syms")) >= 2)
+          .select(col("c"), explode(expr(
+            "transform(sequence(1, size(syms) - 1), " +
+              "i -> struct(syms[i - 1] AS a, syms[i] AS b))")).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum(col("c")).as("freq"))
+          .orderBy(col("freq").desc, col("a"), col("b"))
+          .limit(1).collect() // 1-row argmax, the kmeans-convergence shape
+        if (best.nonEmpty) {
+          val (a, b, f) =
+            (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+          learned += Row(round, a, b, a + b, f)
+          // greedy left-to-right merge of (a, b) in every symbol sequence;
+          // string literals are escaped through a lit() binding, not
+          // spliced into the SQL text
+          val next = vocab.select(col("c"),
+            aggregate(col("syms"),
+              expr("cast(array() as array<string>)"),
+              (acc, x) => when(
+                size(acc) > 0 &&
+                  element_at(acc, -1) === lit(a) && x === lit(b),
+                concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+                .otherwise(concat(acc, array(x)))).as("syms"))
+            .persist()
+          next.count() // materialize before unpersisting the parent
+          vocab.unpersist()
+          vocab = next
+        }
+      }
+    } finally vocab.unpersist()
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(learned.toSeq).asJava),
+      StructType(Seq(
+        StructField("round", IntegerType, nullable = false),
+        StructField("left", StringType, nullable = false),
+        StructField("right", StringType, nullable = false),
+        StructField("merged", StringType, nullable = false),
+        StructField("freq", LongType, nullable = false))))
+  }
+
   /** Corpus vocabulary coverage — the Zipf head report: top-k tokens by
     * corpus frequency with per-token and cumulative probability mass (how
     * much of the corpus the first k vocabulary entries explain — the

@@ -156,6 +156,25 @@ class Round5OpsSpec extends SparkSpec {
     assert(direct === top.getLong(2))
   }
 
+  test("bpe fit: the textbook corpus learns the textbook merges in order") {
+    // 'low low lower': pairs lo/ow tie at 3, lexicographic tie-break takes
+    // lo; then (lo,w) at 3 makes low; then (e,r) beats (low,e) on the
+    // a-column tie-break. The greedy fold must merge left-to-right.
+    val dir = tmpDir("bpefit")
+    spark.createDataFrame(Seq((1L, "low low lower")))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.bpeFit(spark, dir, merges = 3).collect()
+      .map(r => (r.getInt(0), r.getString(3), r.getLong(4)))
+    assert(got.toSeq === Seq((1, "lo", 3L), (2, "low", 3L), (3, "er", 1L)))
+  }
+
+  test("bpe fit: round 1 agrees with the pair-stat scan's argmax") {
+    val stats = TextAnalysis.bpePairStats(spark, sf, topK = 1).collect()(0)
+    val fit = TextAnalysis.bpeFit(spark, sf, merges = 1).collect()(0)
+    assert(fit.getString(1) + fit.getString(2) === stats.getString(1))
+    assert(fit.getLong(4) === stats.getLong(2))
+  }
+
   test("quality classifier: scores in (0,1), keep consistent, every doc " +
     "reports") {
     val rows = TextAnalysis.qualityClassify(spark, sf).collect()
