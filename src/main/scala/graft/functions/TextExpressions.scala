@@ -475,6 +475,57 @@ case class WordGramPosHashes(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Non-overlapping `k`-token blocks of `text`, joined with single spaces —
+  * one tokenize pass per row, replacing the `transform(sequence, i ->
+  * array_join(slice(split(text), ...)))` formulation whose lambda
+  * re-evaluates `split(text)` once per block (Catalyst inlines
+  * array-building expressions into every lambda reference — the SCALE.md
+  * lesson — making segmentation O(blocks × doc length)). Tokenization
+  * matches `split(text, ' ', -1)`. */
+case class WordBlocks(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (_: StringType, IntegerType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string, int), got (${l.sql}, ${r.sql})")
+    }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_word_blocks"
+
+  override def nullSafeEval(t: Any, kAny: Any): Any = {
+    val k = kAny.asInstanceOf[Int]
+    require(k >= 1, s"$prettyName: block size must be >= 1, got $k")
+    val toks = t.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      .toString.split(" ", -1)
+    val nBlocks = (toks.length + k - 1) / k
+    val out = new Array[Any](nBlocks)
+    var i = 0
+    while (i < nBlocks) {
+      val from = i * k
+      val until = math.min(from + k, toks.length)
+      val sb = new java.lang.StringBuilder(toks(from))
+      var j = from + 1
+      while (j < until) { sb.append(' ').append(toks(j)); j += 1 }
+      out(i) = org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("blocks", this, classOf[WordBlocks].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) " +
+        s"$self.nullSafeEval($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): WordBlocks =
+    copy(left = newLeft, right = newRight)
+}
+
 object TextFunctions {
   /** Register `graft_simhash64` / `graft_sliding_min_distinct` / shingling. Idempotent. */
   def register(spark: SparkSession): Unit = {
@@ -488,5 +539,6 @@ object TextFunctions {
     reg1("graft_chargram_hashes", exprs => CharGramHashes(exprs(0), exprs(1)))
     reg1("graft_overlap_count", exprs => SortedOverlapCount(exprs(0), exprs(1)))
     reg1("graft_gram_pos_hashes", exprs => WordGramPosHashes(exprs(0), exprs(1)))
+    reg1("graft_word_blocks", exprs => WordBlocks(exprs(0), exprs(1)))
   }
 }

@@ -589,8 +589,13 @@ object Dedup {
       .select(col("doc_id"), col("is_train"),
         expr(s"graft_shingle_hashes(text, $n)").as("hs"))
       .withColumn("n_sh", size(col("hs")))
+    // persisted: the sizing count, the bloom build and the verify join all
+    // read this set — without the cache each action re-runs the corpus
+    // scan + shingle pass + distinct (left to LRU / the session's cache
+    // clears; an in-function unpersist would silently un-cache it before
+    // the caller ever executes the returned lazy plan)
     val trainSh = d.filter(col("is_train"))
-      .select(explode(col("hs")).as("h")).distinct()
+      .select(explode(col("hs")).as("h")).distinct().persist()
     val bloom = trainSh.stat.bloomFilter("h", math.max(trainSh.count(), 64L), fpp)
     val bc = spark.sparkContext.broadcast(bloom)
     val mightContain = udf((h: Long) => bc.value.mightContainLong(h))

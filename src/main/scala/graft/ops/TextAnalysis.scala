@@ -552,14 +552,17 @@ object TextAnalysis {
     * docs; per-doc state is bounded by the doc's own segment count.
     * Nothing pairwise, nothing quadratic in the corpus. */
   def paragraphDedup(spark: SparkSession, dir: String, k: Int = 16): DataFrame = {
+    graft.functions.TextFunctions.register(spark)
     val docs = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
-    // seg_idx is 0-based; slice() is 1-based — block i covers tokens
-    // [i*k, i*k+k). size(toks) >= 1 always (no empty texts in the table),
-    // so every doc emits at least one segment and survives to the report.
+    // graft_word_blocks: ONE tokenize pass per row. The transform/slice
+    // formulation it replaces re-evaluated split(text) inside the lambda
+    // once per block (Catalyst inlines array-building expressions into
+    // every lambda reference), making segmentation O(blocks x doc length).
+    // Every doc tokenizes to >= 1 token, so every doc emits >= 1 segment
+    // and survives to the report.
     val segs = docs
-      .select(col("doc_id"), expr(
-        s"""posexplode(transform(sequence(0, cast(ceil(size(split(text, ' ')) / $k.0) as int) - 1),
-           |  i -> array_join(slice(split(text, ' '), i * $k + 1, $k), ' ')))""".stripMargin))
+      .select(col("doc_id"),
+        posexplode(expr(s"graft_word_blocks(text, $k)")))
       .toDF("doc_id", "seg_idx", "seg")
       .withColumn("h", md5(col("seg").cast("binary")))
     val w = Window.partitionBy(col("h")).orderBy(col("doc_id"), col("seg_idx"))
@@ -598,10 +601,12 @@ object TextAnalysis {
       .withColumn("z",
         lit(-3.1) + lit(0.6) * log(lit(1.0) + col("n_tok")) +
           lit(0.8) * col("mean_tok_len") / lit(5.0) + lit(1.5) * col("stop_ratio"))
-    scored.select(col("doc_id"), col("n_tok"), col("mean_tok_len"),
-        col("stop_ratio"),
-        round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 4).as("quality"),
-        (round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 4) >= 0.5).as("keep"))
+    scored
+      .withColumn("quality", round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 4))
+      // derived from the quality COLUMN, not a second copy of the sigmoid
+      // expression — the two can never drift apart
+      .select(col("doc_id"), col("n_tok"), col("mean_tok_len"),
+        col("stop_ratio"), col("quality"), (col("quality") >= 0.5).as("keep"))
       .orderBy(col("doc_id"))
   }
 
@@ -699,7 +704,8 @@ object TextAnalysis {
       .persist() // the only corpus scan; rounds iterate on this
     val learned = scala.collection.mutable.ArrayBuffer.empty[Row]
     try {
-      for (round <- 1 to merges) {
+      var exhausted = false
+      for (round <- 1 to merges if !exhausted) {
         // guard the 1-symbol rows: sequence(1, 0) counts DOWN in Spark
         // (the Round4OpsSpec-documented trap), so filter before exploding
         val best = vocab.filter(size(col("syms")) >= 2)
@@ -729,6 +735,10 @@ object TextAnalysis {
           next.count() // materialize before unpersisting the parent
           vocab.unpersist()
           vocab = next
+        } else {
+          // nothing left to merge: stop instead of launching an identical
+          // guaranteed-empty aggregate job for every remaining round
+          exhausted = true
         }
       }
     } finally vocab.unpersist()

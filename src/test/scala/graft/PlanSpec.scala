@@ -317,10 +317,19 @@ class PlanSpec extends SparkSpec {
   test("bloom decontamination: the prefilter sits in the scan stage " +
     "(below the first exchange on the test side)") {
     val p = plan("q_decontaminate_bloom")
-    // the UDF filter must appear under a FileScan without an intervening
-    // Exchange — i.e. scan-side, shuffling only surviving shingles
-    val filt = p.indexOf("Filter ")
-    assert(filt >= 0, p.take(3000))
+    // the bloom probe is the plan's only scala UDF; scan-side placement
+    // means walking DOWN its branch (tree prints parent-then-children)
+    // reaches the parquet scan before any Exchange — i.e. only surviving
+    // shingles ever shuffle
+    val lines = p.linesIterator.toVector
+    val fi = lines.indexWhere(l => l.contains("Filter") && l.contains("UDF"))
+    assert(fi >= 0, "no UDF filter in the plan\n" + p.take(3000))
+    val below = lines.drop(fi + 1)
+    val scanAt = below.indexWhere(_.contains("FileScan"))
+    val exchAt = below.indexWhere(_.contains("Exchange"))
+    assert(scanAt >= 0, p.take(3000))
+    assert(exchAt < 0 || scanAt < exchAt,
+      "an Exchange sits between the bloom filter and its scan\n" + p.take(3000))
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
       p.take(3000))
   }

@@ -57,4 +57,29 @@ class TextExpressionsSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("array<bigint>"))
   }
+
+  test("graft_word_blocks matches the transform/slice HOF it replaces") {
+    TextFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq(
+      (1 to 40).map(i => s"w$i").mkString(" "), // 2 full blocks + tail
+      (1 to 16).map(i => s"w$i").mkString(" "), // exactly one block
+      "short tail only",                        // sub-block doc
+      "solo",                                   // single token
+      ""                                        // empty string -> [""]
+    ).toDF("text")
+    val got = df.select(expr("graft_word_blocks(text, 16)").as("b"))
+      .collect().map(_.getSeq[String](0))
+    val ref = df.select(expr(
+      """transform(sequence(0, cast(ceil(size(split(text, ' ')) / 16.0) as int) - 1),
+        |  i -> array_join(slice(split(text, ' '), i * 16 + 1, 16), ' '))"""
+        .stripMargin).as("b")).collect().map(_.getSeq[String](0))
+    got.zip(ref).foreach { case (g, r) => assert(g === r) }
+    // blocks partition the tokens: rejoining reproduces the text
+    got.zip(Seq(
+      (1 to 40).map(i => s"w$i").mkString(" "),
+      (1 to 16).map(i => s"w$i").mkString(" "),
+      "short tail only", "solo", ""))
+      .foreach { case (g, t) => assert(g.mkString(" ") === t) }
+  }
 }
