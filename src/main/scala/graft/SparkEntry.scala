@@ -121,6 +121,7 @@ object SparkEntry {
     "q_decontaminate_bloom" -> ((s, d) => Dedup.decontaminateBloom(s, d)),
     "q_bm25"           -> ((s, d) => TextAnalysis.bm25(s, d)),
     "q_bpe_pairs"      -> ((s, d) => TextAnalysis.bpePairStats(s, d)),
+    "q_embed_pool"     -> ((s, d) => Similarity.embedPool(s, d)),
     // rows-only: the iterative merge can't be expressed in one oracle SQL;
     // Round5OpsSpec pins the textbook example + pair-stat agreement
     "q_bpe_fit"        -> ((s, d) => TextAnalysis.bpeFit(s, d)),
@@ -1152,6 +1153,16 @@ object SparkEntry {
         |r AS (SELECT *, row_number() OVER (ORDER BY freq DESC, pair) AS rank FROM a)
         |SELECT CAST(rank AS INT) AS rank, pair, freq
         |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin,
+
+    // Mean-pooled centroids; generate_subscripts pairs positionally with
+    // unnest, matching posexplode's (dim, value) fan-out.
+    "q_embed_pool" ->
+      """WITH e AS (SELECT label, unnest(embedding) AS v,
+        |             CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim
+        |           FROM embeddings)
+        |SELECT label, dim, CAST(count(*) AS BIGINT) AS n_vecs,
+        |  round(avg(CAST(v AS DOUBLE)), 4) + 0.0 AS centroid
+        |FROM e GROUP BY 1, 2 ORDER BY label, dim""".stripMargin,
 
     // DSIR unigram importance weights: target = lang 'en', add-0.5
     // smoothing over the joint vocabulary.

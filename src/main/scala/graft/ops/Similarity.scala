@@ -396,4 +396,32 @@ object Similarity {
     pqAdcTopK(subspacesOf(e, "vec_id", m, sub),
       subspacesOf(e.filter(col("vec_id") < numQueries), "q_id", m, sub), cb, k)
   }
+
+  /** Per-label mean-pooled embedding centroids — the pooling/centroid
+    * report behind class prototypes, cluster summaries and nearest-
+    * centroid classification: element-wise mean per (label, dimension),
+    * with the member count. Float components are cast to double BEFORE
+    * averaging (matching the oracle engine's arithmetic, like the whole
+    * embedding family).
+    *
+    * Shape at scale: posexplode fans each vector into (dim, value) rows —
+    * x dim, linear — and the centroid is ONE two-phase aggregate keyed on
+    * (label, dim): partial sums map-side, then a shuffle of
+    * labels x dims partial buffers, independent of corpus size. For
+    * very high dim x label cardinality the alternative is a fixed-width
+    * vector-sum aggregator (MLlib Summarizer shape); at embedding dims the
+    * exploded two-phase agg is the simpler plan with the same single
+    * shuffle. */
+  def embedPool(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "embeddings")
+      .select(col("label"),
+        posexplode(expr("transform(embedding, x -> cast(x as double))"))
+          .as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).cast("long").as("n_vecs"),
+        // + 0.0 collapses IEEE negative zero: round(-0.00004, 4) is -0.0
+        // in one engine and 0.0 in the other, and the gate's sort keys
+        // distinguish them even though -0.0 == 0.0
+        (round(avg(col("v")), 4) + lit(0.0)).as("centroid"))
+      .orderBy(col("label"), col("dim"))
 }

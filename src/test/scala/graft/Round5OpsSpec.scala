@@ -175,6 +175,25 @@ class Round5OpsSpec extends SparkSpec {
     assert(fit.getLong(4) === stats.getLong(2))
   }
 
+  test("embed pool: one row per (label, dim), counts consistent, centroid " +
+    "norm below the member mean norm (averaging shrinks)") {
+    val rows = graft.ops.Similarity.embedPool(spark, sf).collect()
+    val labels = Tables(spark, sf, "embeddings")
+      .groupBy(col("label")).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(rows.length === labels.size * 64)
+    rows.foreach { r =>
+      assert(r.getLong(2) === labels(r.getInt(0)), "n_vecs must be the label size")
+    }
+    // centroids of near-random unit-ish vectors concentrate near 0: the
+    // pooled norm must be far below the individual vectors' mean norm
+    val centroidNormSq = rows.groupBy(_.getInt(0)).map { case (_, rs) =>
+      rs.map(r => r.getDouble(3) * r.getDouble(3)).sum
+    }
+    assert(centroidNormSq.forall(_ < 1.0),
+      "mean-pooling random-ish vectors must shrink the norm")
+  }
+
   test("quality classifier: scores in (0,1), keep consistent, every doc " +
     "reports") {
     val rows = TextAnalysis.qualityClassify(spark, sf).collect()
