@@ -589,14 +589,17 @@ object Dedup {
       .select(col("doc_id"), col("is_train"),
         expr(s"graft_shingle_hashes(text, $n)").as("hs"))
       .withColumn("n_sh", size(col("hs")))
-    // persisted: the sizing count, the bloom build and the verify join all
-    // read this set — without the cache each action re-runs the corpus
-    // scan + shingle pass + distinct (left to LRU / the session's cache
-    // clears; an in-function unpersist would silently un-cache it before
-    // the caller ever executes the returned lazy plan)
+    // persisted across the two BUILD-TIME actions (sizing count + bloom
+    // aggregate), then released: the verify join in the returned lazy plan
+    // recomputes the set once at execution, which costs one scan but
+    // leaves no session-lifetime cache entry behind (an unreleased persist
+    // here would stay resident for every later query in the session).
+    // Net: two computations instead of the unpersisted three.
     val trainSh = d.filter(col("is_train"))
       .select(explode(col("hs")).as("h")).distinct().persist()
-    val bloom = trainSh.stat.bloomFilter("h", math.max(trainSh.count(), 64L), fpp)
+    val bloom =
+      try trainSh.stat.bloomFilter("h", math.max(trainSh.count(), 64L), fpp)
+      finally trainSh.unpersist()
     val bc = spark.sparkContext.broadcast(bloom)
     val mightContain = udf((h: Long) => bc.value.mightContainLong(h))
     val hits = d.filter(!col("is_train"))

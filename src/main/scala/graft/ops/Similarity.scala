@@ -414,11 +414,13 @@ object Similarity {
     * shuffle. */
   def embedPool(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "embeddings")
-      .select(col("label"),
-        posexplode(expr("transform(embedding, x -> cast(x as double))"))
-          .as(Seq("dim", "v")))
+      // explode the raw float array and cast the SCALAR: a transform()
+      // here would materialize a second 64-element array per row just to
+      // explode it (float->double is exact per element either way)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "f")))
+      .withColumn("v", col("f").cast("double"))
       .groupBy(col("label"), col("dim"))
-      .agg(count(lit(1)).cast("long").as("n_vecs"),
+      .agg(count(lit(1)).as("n_vecs"),
         // + 0.0 collapses IEEE negative zero: round(-0.00004, 4) is -0.0
         // in one engine and 0.0 in the other, and the gate's sort keys
         // distinguish them even though -0.0 == 0.0

@@ -181,7 +181,9 @@ class Round5OpsSpec extends SparkSpec {
     val labels = Tables(spark, sf, "embeddings")
       .groupBy(col("label")).count().collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
-    assert(rows.length === labels.size * 64)
+    val dim = Tables(spark, sf, "embeddings")
+      .select(size(col("embedding"))).head.getInt(0)
+    assert(rows.length === labels.size * dim)
     rows.foreach { r =>
       assert(r.getLong(2) === labels(r.getInt(0)), "n_vecs must be the label size")
     }
