@@ -64,8 +64,11 @@ object Bench {
       .mkString("{", ",", "}")
     val fileJson =
       s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${results.size},"queries":$perQuery,"sf":"$sfDir"}"""
-    // Anchor at the repo root (driver CWD is unspecified); overridable for tests.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERIES", "/root/repo/BENCH_QUERIES.json")
+    // Anchor at the launch directory (sbt runs from the repo root, and any
+    // other checkout gets a path that exists there too — a hardcoded
+    // absolute path broke outside this container); overridable for tests.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERIES",
+      new java.io.File(sys.props("user.dir"), "BENCH_QUERIES.json").getPath)
     // per_query advertises the path actually WRITTEN, and null if the write
     // failed — a fixed pointer would present a stale committed file as this
     // run's timings.

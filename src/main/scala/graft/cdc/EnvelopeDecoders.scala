@@ -160,6 +160,13 @@ object EnvelopeDecoders {
     d
       // mandatory-field guard — see the binlog note on PERMISSIVE structs
       .filter(undecodableGuard(f("op").isNotNull, "debezium", col(dataCol)))
+      // 'm' (logical-decoding message) carries no row change — dropping it
+      // is safe and explicit here. Anything else is fail-loud: Debezium also
+      // emits 't' (truncate), and silently ignoring a truncate would leave
+      // the sink stale with no trace — the opposite of the posture
+      // undecodableGuard establishes for corrupt records.
+      .filter(undecodableGuard(f("op").isin("c", "u", "d", "r", "m"),
+        "debezium (unsupported op)", col(dataCol)))
       .filter(f("op").isin("c", "u", "d", "r"))
       .select(
         when(f("op").isin("c", "r"), graft.model.Op.Create)

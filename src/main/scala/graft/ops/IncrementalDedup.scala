@@ -127,6 +127,38 @@ object IncrementalDedup {
     }
   }
 
+  /** The bucketed sets layout's modulus, persisted in the store itself
+    * (`_buckets` marker, written on the FIRST bucketed write): `pmod(doc_id,
+    * buckets)` decides which `bucket=<j>` dir a doc's set lives in, so
+    * pruning an existing store with a DIFFERENT modulus than it was laid
+    * out with would drop verify sets and silently lose near-dup pairs.
+    * Later calls therefore use the STORED modulus — for pruning AND for new
+    * writes — regardless of what the caller passes (a mismatch logs a
+    * warning); the store stays self-consistent and stays pruned. A store
+    * predating the marker (or compacted to flat files, which removes it)
+    * adopts the next caller's modulus: flat files are never pruned, and
+    * pre-marker stores were only ever written with one modulus. The marker
+    * is not a `.parquet` file, so [[snapshotRead]] never scans it. */
+  private def resolveBuckets(spark: SparkSession, setsPath: String,
+                             requested: Int): Int = {
+    val marker = new org.apache.hadoop.fs.Path(setsPath, "_buckets")
+    val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val stored =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+        finally in.close()
+      if (stored != requested)
+        System.err.println(s"graft: bucketed sets store at $setsPath has " +
+          s"modulus $stored; ignoring requested $requested")
+      stored
+    } else {
+      val out = fs.create(marker, true)
+      try out.write(s"$requested\n".getBytes("UTF-8")) finally out.close()
+      requested
+    }
+  }
+
   /** Read the postings index; empty-but-typed when absent. `excludeBatch`
     * skips that batch's own subdir — see [[snapshotRead]] on replay. */
   def postings(spark: SparkSession, statePath: String,
@@ -245,6 +277,9 @@ object IncrementalDedup {
     val r = numHashes / bands
     val bandsPath = s"$statePath/bands"
     val setsPath = s"$statePath/sets"
+    // the layout's modulus is a property of the STORE, not the call — see
+    // resolveBuckets on why the stored value wins over `buckets`
+    val eb = if (buckets > 0) resolveBuckets(spark, setsPath, buckets) else 0
 
     val newSets = newDocs
       .select(col("doc_id"), expr("graft_shingle_hashes(text, 3)").as("hs"))
@@ -277,7 +312,7 @@ object IncrementalDedup {
 
     val setsDdl = "doc_id BIGINT, hs ARRAY<BIGINT>, n_sh INT"
     val allSets =
-      if (buckets > 0) {
+      if (eb > 0) {
         // the bucket-id collect is O(buckets) rows, not O(candidates): the
         // candidate pair set itself never reaches the driver. The candidate
         // frame is cached because this action and the verify execution both
@@ -286,8 +321,8 @@ object IncrementalDedup {
         val cand = candidates.persist(
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
         val touched = cand
-          .select(explode(array(pmod(col("doc_a"), lit(buckets.toLong)),
-            pmod(col("doc_b"), lit(buckets.toLong)))).as("b"))
+          .select(explode(array(pmod(col("doc_a"), lit(eb.toLong)),
+            pmod(col("doc_b"), lit(eb.toLong)))).as("b"))
           .distinct().collect().map(_.getLong(0)).toSet
         snapshotRead(spark, setsPath, setsDdl, batchId, Some(touched))
           .unionByName(newSets)
@@ -309,17 +344,17 @@ object IncrementalDedup {
     // With a batchId both writes are per-batch overwrites, so a replay (or
     // a crash between the two) converges to a consistent bands+sets pair.
     writeState(newBands, bandsPath, batchId)
-    if (buckets > 0)
+    if (eb > 0)
       // repartition by bucket first: partitionBy alone writes up to
       // (tasks x buckets) splinter files — one shuffle of the BATCH's sets
       // (O(batch), not O(corpus)) buys one file per touched bucket
       writeState(newSets
-          .withColumn("bucket", pmod(col("doc_id"), lit(buckets.toLong)))
+          .withColumn("bucket", pmod(col("doc_id"), lit(eb.toLong)))
           .repartition(col("bucket")),
         setsPath, batchId, partitionCols = Seq("bucket"))
     else writeState(newSets, setsPath, batchId)
     newBands.unpersist(); newSets.unpersist()
-    if (buckets > 0) { candidates.unpersist(); () }
+    if (eb > 0) { candidates.unpersist(); () }
     verified
   }
 

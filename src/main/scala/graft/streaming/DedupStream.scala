@@ -93,7 +93,11 @@ object DedupStream {
     stageBatches(feed, corpusHalves(docs), filesPerPart = 8)
     val q = start(spark, feed, s"$root/state", s"$root/pairs", s"$root/ckpt",
       threshold, maxFilesPerTrigger = Some(8))
-    q.processAllAvailable(); q.stop()
+    // stop in finally: a failing micro-batch surfaces from
+    // processAllAvailable as StreamingQueryException, and leaving the query
+    // running would leak it (and its scratch state) into every later query
+    // of the same session/bench run
+    try q.processAllAvailable() finally q.stop()
     pairs(spark, s"$root/pairs").orderBy(col("doc_a"), col("doc_b"))
   }
 

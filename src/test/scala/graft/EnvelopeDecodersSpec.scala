@@ -127,10 +127,17 @@ class EnvelopeDecodersSpec extends SparkSpec {
     assert(!out(2).getAs[String]("data").contains(""""age":10"""),
       "update must carry the after-image, not before")
     assert(out(3).getAs[String]("data").contains(""""id":2"""))
-    // tombstones/unknown ops drop without killing the stream
-    val tomb = Seq(("""{"op":"t","source":{"table":"test"}}""", 5L))
+    // 'm' (logical-decoding message) carries no row change: explicit drop
+    val msg = Seq(("""{"op":"m","source":{"table":"test"}}""", 5L))
       .toDF("data", "offset")
-    assert(EnvelopeDecoders.decodeDebezium(tomb).collect().isEmpty)
+    assert(EnvelopeDecoders.decodeDebezium(msg).collect().isEmpty)
+    // 't' (truncate) is a data change this envelope cannot apply — silently
+    // ignoring it would leave the sink stale, so it must fail loudly
+    val trunc = Seq(("""{"op":"t","source":{"table":"test"}}""", 6L))
+      .toDF("data", "offset")
+    val et = intercept[Exception] { EnvelopeDecoders.decodeDebezium(trunc).collect() }
+    assert(et.getMessage.contains("undecodable") ||
+      Option(et.getCause).exists(_.getMessage.contains("undecodable")))
   }
 
   test("undecodable messages fail loudly instead of vanishing") {

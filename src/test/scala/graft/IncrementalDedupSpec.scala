@@ -91,6 +91,28 @@ class IncrementalDedupSpec extends SparkSpec {
       "bucketed layout missing bucket= partition dirs")
   }
 
+  test("bucketed sets store pins its modulus against mismatched callers") {
+    val state = tmpDir("inclsh_modulus")
+    val docs = ops.Tables(spark, sf, "documents")
+    // batches 0 and 1 lay the store out at modulus 16; batch 2 asks for 7 —
+    // pruning batch-0/1 dirs (written under 16) with pmod(...,7) would drop
+    // verify sets and lose pairs, so the stored modulus must win
+    val emitted = Seq(16, 16, 7).zipWithIndex.flatMap { case (m, b) =>
+      pairSet(IncrementalDedup.updateLsh(spark, state,
+        docs.filter(col("doc_id") % 3 === b), batchId = Some(b.toLong),
+        buckets = m)).toSeq
+    }.toSet
+    assert(emitted === pairSet(Dedup.minhashLsh(spark, sf)))
+    // the marker records the first writer's modulus...
+    val marker = scala.io.Source.fromFile(s"$state/sets/_buckets")
+    try assert(marker.mkString.trim === "16") finally marker.close()
+    // ...and batch 2 was WRITTEN under it too: modulus 7 could only produce
+    // bucket dirs 0..6, so a dir >= 7 proves the stored 16 was used
+    val b2 = new java.io.File(s"$state/sets/batch-2").listFiles()
+      .filter(_.getName.startsWith("bucket=")).map(_.getName.stripPrefix("bucket=").toInt)
+    assert(b2.exists(_ >= 7), s"batch-2 buckets ${b2.mkString(",")} all < 7")
+  }
+
   test("state compaction mid-sequence changes nothing but the file count") {
     val state = tmpDir("inccompact") + "/postings"
     val docs = ops.Tables(spark, sf, "documents")
