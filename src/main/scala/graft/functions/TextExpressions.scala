@@ -540,5 +540,12 @@ object TextFunctions {
     reg1("graft_overlap_count", exprs => SortedOverlapCount(exprs(0), exprs(1)))
     reg1("graft_gram_pos_hashes", exprs => WordGramPosHashes(exprs(0), exprs(1)))
     reg1("graft_word_blocks", exprs => WordBlocks(exprs(0), exprs(1)))
+    // Spark's own codegen'd bloom probe (the expression behind
+    // InjectRuntimeFilter's semi-join blooms), surfaced under a graft name
+    // so operators can prefilter with a serialized sketch without a scala
+    // UDF: args are (serialized bloom BINARY literal, BIGINT value)
+    reg1("graft_might_contain", exprs =>
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        exprs(0), exprs(1)))
   }
 }

@@ -600,11 +600,16 @@ object Dedup {
     val bloom =
       try trainSh.stat.bloomFilter("h", math.max(trainSh.count(), 64L), fpp)
       finally trainSh.unpersist()
-    val bc = spark.sparkContext.broadcast(bloom)
-    val mightContain = udf((h: Long) => bc.value.mightContainLong(h))
+    // the probe is Spark's own codegen'd BloomFilterMightContain (the
+    // expression behind InjectRuntimeFilter's semi-join blooms) over the
+    // serialized bitset — not a scala UDF, so the filter stays inside the
+    // scan stage's WholeStageCodegen span and deserializes once per task,
+    // exactly how Spark ships its runtime-filter blooms to executors
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
     val hits = d.filter(!col("is_train"))
       .select(col("doc_id"), explode(col("hs")).as("h"))
-      .filter(mightContain(col("h")))
+      .filter(call_function("graft_might_contain", lit(bos.toByteArray), col("h")))
       .join(trainSh.withColumn("hit", lit(1)), Seq("h"), "left")
       .groupBy(col("doc_id"))
       .agg(count(col("hit")).as("n_hit"))

@@ -317,13 +317,15 @@ class PlanSpec extends SparkSpec {
   test("bloom decontamination: the prefilter sits in the scan stage " +
     "(below the first exchange on the test side)") {
     val p = plan("q_decontaminate_bloom")
-    // the bloom probe is the plan's only scala UDF; scan-side placement
-    // means walking DOWN its branch (tree prints parent-then-children)
-    // reaches the parquet scan before any Exchange — i.e. only surviving
-    // shingles ever shuffle
+    // the bloom probe is Spark's codegen'd might_contain — NOT a scala UDF
+    // (a UDF here would break the scan stage's codegen span); scan-side
+    // placement means walking DOWN its branch (tree prints parent-then-
+    // children) reaches the parquet scan before any Exchange — i.e. only
+    // surviving shingles ever shuffle
+    assert(!p.contains("UDF"), "scala UDF crept into the bloom plan\n" + p.take(3000))
     val lines = p.linesIterator.toVector
-    val fi = lines.indexWhere(l => l.contains("Filter") && l.contains("UDF"))
-    assert(fi >= 0, "no UDF filter in the plan\n" + p.take(3000))
+    val fi = lines.indexWhere(l => l.contains("Filter") && l.contains("might_contain"))
+    assert(fi >= 0, "no might_contain filter in the plan\n" + p.take(3000))
     val below = lines.drop(fi + 1)
     val scanAt = below.indexWhere(_.contains("FileScan"))
     val exchAt = below.indexWhere(_.contains("Exchange"))
