@@ -30,6 +30,12 @@ import org.apache.spark.sql.functions._
   */
 object IncrementalDedup {
 
+  /** State-store schemas, shared with the stream wrapper's compaction
+    * cadence ([[graft.streaming.DedupStream]]). */
+  val postingsDdl = "shingle BIGINT, doc_id BIGINT, n_sh INT"
+  val bandsDdl = "doc_id BIGINT, band_id INT, band_h BIGINT"
+  val setsDdl = "doc_id BIGINT, hs ARRAY<BIGINT>, n_sh INT"
+
   /** Read a state dir by an explicit SNAPSHOT of its current files.
     *
     * Load-bearing: the emitted-pairs plan reads this state, and appending
@@ -114,15 +120,46 @@ object IncrementalDedup {
     * `.old` recovery, same protocol as the upsert sink (snapshotRead heals
     * the crash window before every read). Run it from a maintenance
     * schedule while the ingest stream is stopped with its last batch
-    * committed — compaction folds per-batch subdirs into flat files, so a
-    * replay of a not-yet-committed batch afterwards would re-add that
-    * batch's rows alongside their compacted copies. */
+    * committed, OR in-stream from the head of foreachBatch for batch k with
+    * `excludeBatch = Some(k)`: every batch < k is committed by then (the
+    * stream commits k-1 before starting k) so folding them is final, and
+    * excluding k's own subdir keeps a crashed earlier attempt of k out of
+    * the flat files — otherwise a replay of k would find its own rows in
+    * the "old" snapshot and double-emit (the excluded subdir's files are
+    * dropped by the swap; the replay rewrites them). A compaction that
+    * itself gets replayed is idempotent: flat files carry no batch segment,
+    * so the re-run folds the already-compacted state unchanged. The one
+    * thing in-stream compaction forecloses is a manual checkpoint REWIND
+    * past the compaction point (those batches' subdir structure is gone) —
+    * same trade the reference makes when it trims its progress log.
+    *
+    * A bucketed sets store (`_buckets` marker, see [[resolveBuckets]]) is
+    * compacted INTO its own layout — one fold per bucket dir, marker
+    * carried inside the staged dir so it swaps in atomically with the data
+    * (the layout's bucket key is `pmod(doc_id, m)` by construction). */
   def compactState(spark: SparkSession, path: String, ddl: String,
-                   numFiles: Int = 8): Unit = {
-    val cur = snapshotRead(spark, path, ddl)
+                   numFiles: Int = 8, excludeBatch: Option[Long] = None): Unit = {
+    val cur = snapshotRead(spark, path, ddl, excludeBatch)
     if (!cur.isEmpty) {
       val tmp = path + ".next"
-      cur.repartition(numFiles).write.mode(SaveMode.Overwrite).parquet(tmp)
+      val marker = new org.apache.hadoop.fs.Path(path, "_buckets")
+      val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+      val stored: Option[Int] =
+        if (fs.exists(marker)) {
+          val in = fs.open(marker)
+          try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt)
+          finally in.close()
+        } else None
+      stored match {
+        case Some(m) =>
+          cur.withColumn("bucket", pmod(col("doc_id"), lit(m.toLong)))
+            .repartition(col("bucket"))
+            .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(tmp)
+          val out = fs.create(new org.apache.hadoop.fs.Path(tmp, "_buckets"), true)
+          try out.write(s"$m\n".getBytes("UTF-8")) finally out.close()
+        case None =>
+          cur.repartition(numFiles).write.mode(SaveMode.Overwrite).parquet(tmp)
+      }
       graft.cdc.UpsertSink.atomicSwapDirs(spark, tmp, path)
     }
   }
@@ -163,8 +200,7 @@ object IncrementalDedup {
     * skips that batch's own subdir — see [[snapshotRead]] on replay. */
   def postings(spark: SparkSession, statePath: String,
                excludeBatch: Option[Long] = None): DataFrame =
-    snapshotRead(spark, statePath, "shingle BIGINT, doc_id BIGINT, n_sh INT",
-      excludeBatch)
+    snapshotRead(spark, statePath, postingsDdl, excludeBatch)
 
   /** Ingest one batch of `(doc_id, text)` docs: emit the NEW near-dup pairs
     * (doc_a < doc_b, at least one side from this batch), then append the
@@ -297,8 +333,7 @@ object IncrementalDedup {
       .select(col("doc_id"), col("band.id").as("band_id"), col("band.h").as("band_h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
 
-    val oldBands = snapshotRead(spark, bandsPath,
-      "doc_id BIGINT, band_id INT, band_h BIGINT", batchId)
+    val oldBands = snapshotRead(spark, bandsPath, bandsDdl, batchId)
     val allBands = oldBands.unionByName(newBands)
 
     // probe: new bands x all bands; (a < b) ordering makes new x new pairs
@@ -310,7 +345,6 @@ object IncrementalDedup {
         greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
 
-    val setsDdl = "doc_id BIGINT, hs ARRAY<BIGINT>, n_sh INT"
     val allSets =
       if (eb > 0) {
         // the bucket-id collect is O(buckets) rows, not O(candidates): the

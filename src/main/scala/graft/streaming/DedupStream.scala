@@ -35,12 +35,20 @@ object DedupStream {
     * `useLsh` picks the sub-quadratic MinHash+LSH tier (the 100 TB path;
     * df-cap-free, so the union over batches is EXACTLY the one-shot
     * [[graft.ops.Dedup.minhashLsh]] answer) over the exact inverted-index
-    * tier. `maxFilesPerTrigger` bounds a micro-batch for steady state. */
+    * tier. `maxFilesPerTrigger` bounds a micro-batch for steady state.
+    *
+    * `compactEvery`: every N batches, fold the accumulated per-batch state
+    * subdirs into flat files from the HEAD of the batch window (safe by
+    * [[graft.ops.IncrementalDedup.compactState]]'s argument: batches < k
+    * are committed when k starts, and k's own crashed-attempt subdir is
+    * excluded from the fold). Without a cadence the state read at batch B
+    * is a B-subdir listing + union — thousands of dirs after a week of
+    * micro-batches. 0 disables. */
   def start(spark: SparkSession, docsDir: String, statePath: String,
             outPath: String, checkpoint: String, threshold: Double = 0.5,
             useLsh: Boolean = true, maxFilesPerTrigger: Option[Int] = None,
             trigger: Trigger = Trigger.AvailableNow(),
-            buckets: Int = 0): StreamingQuery = {
+            buckets: Int = 0, compactEvery: Int = 64): StreamingQuery = {
     val reader = spark.readStream.schema(docsSchema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     reader.parquet(docsDir)
@@ -52,6 +60,16 @@ object DedupStream {
         // function registry — register/plan against it, not the outer one,
         // or graft_* expressions fail to resolve on a fresh session
         val session = batch.sparkSession
+        if (compactEvery > 0 && id > 0 && id % compactEvery == 0) {
+          if (useLsh) {
+            IncrementalDedup.compactState(session, s"$statePath/bands",
+              IncrementalDedup.bandsDdl, excludeBatch = Some(id))
+            IncrementalDedup.compactState(session, s"$statePath/sets",
+              IncrementalDedup.setsDdl, excludeBatch = Some(id))
+          } else
+            IncrementalDedup.compactState(session, statePath,
+              IncrementalDedup.postingsDdl, excludeBatch = Some(id))
+        }
         val docs = batch.select(col("doc_id"), col("text"))
         val pairs =
           if (useLsh)

@@ -42,6 +42,54 @@ class DedupStreamSpec extends SparkSpec {
     assert(streamed === oneShot)
   }
 
+  test("periodic state compaction changes nothing in the emitted pair log") {
+    val root = tmpDir("dedupstream_compact")
+    val feed = writeFeed(root)
+    // compact at the head of every batch after the first: batches 1..3 each
+    // fold the prior state into flat files before probing it
+    val q = DedupStream.start(spark, feed, s"$root/state", s"$root/pairs",
+      s"$root/ckpt", maxFilesPerTrigger = Some(1), compactEvery = 1)
+    try q.processAllAvailable() finally q.stop()
+    val log = DedupStream.pairs(spark, s"$root/pairs")
+    val compacted = pairSet(log)
+    assert(compacted === pairSet(Dedup.minhashLsh(spark, sf)))
+    assert(log.count() === compacted.size.toLong, "duplicate rows after compaction")
+    // and the state really was folded: batches 0..2 have no subdirs left
+    // (batch 3 appended after the last compaction, so its subdir remains)
+    for (b <- 0 until 3; store <- Seq("bands", "sets"))
+      assert(!new java.io.File(s"$root/state/$store/batch-$b").exists(),
+        s"$store/batch-$b survived compaction")
+    assert(new java.io.File(s"$root/state/bands").listFiles()
+      .exists(_.getName.endsWith(".parquet")), "no flat files after compaction")
+  }
+
+  test("compaction cadence survives a crash in the batch window: replayed " +
+    "batch re-compacts idempotently and the log converges") {
+    val root = tmpDir("dedupstream_compact_crash")
+    val feed = writeFeed(root)
+    val ckpt = s"$root/ckpt"
+    // phase 1: compaction at every batch head; kill after >= 2 commits, so
+    // the in-flight batch's compaction (and possibly its writes) ran but
+    // its commit is then erased
+    val q1 = DedupStream.start(spark, feed, s"$root/state", s"$root/pairs",
+      ckpt, maxFilesPerTrigger = Some(1), trigger = Trigger.ProcessingTime(0L),
+      compactEvery = 1)
+    CkptCrash.awaitCommits(ckpt, 2)
+    q1.stop()
+    CkptCrash.simulateCrashAtLastCommit(spark, ckpt)
+    // resume with the same cadence: the replayed batch k re-runs its
+    // compaction over the already-compacted flat files (idempotent fold,
+    // excludeBatch keeps k's crashed subdir out), then re-emits its pairs
+    val q2 = DedupStream.start(spark, feed, s"$root/state", s"$root/pairs",
+      ckpt, maxFilesPerTrigger = Some(1), compactEvery = 1)
+    try q2.processAllAvailable() finally q2.stop()
+    val log = DedupStream.pairs(spark, s"$root/pairs")
+    val resumed = pairSet(log)
+    assert(resumed === pairSet(Dedup.minhashLsh(spark, sf)))
+    assert(log.count() === resumed.size.toLong,
+      "duplicate rows in the replayed pair log")
+  }
+
   test("killed mid-batch with a lost commit, the resumed pair log equals " +
     "the uninterrupted run") {
     val root = tmpDir("dedupstream_crash")

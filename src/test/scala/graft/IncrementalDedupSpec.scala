@@ -123,7 +123,7 @@ class IncrementalDedupSpec extends SparkSpec {
     val filesBefore = new java.io.File(state).listFiles()
       .count(_.getName.endsWith(".parquet"))
     IncrementalDedup.compactState(spark, state,
-      "shingle BIGINT, doc_id BIGINT, n_sh INT", numFiles = 1)
+      IncrementalDedup.postingsDdl, numFiles = 1)
     val filesAfter = new java.io.File(state).listFiles()
       .count(_.getName.endsWith(".parquet"))
     assert(filesAfter === 1 && filesAfter < filesBefore)
