@@ -135,16 +135,19 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted (rows-only check) only where the
-    * output depends on engine-internal hashes or float/sketch iteration:
-    * q_simhash, q_simhash_pairs, q_ann_lsh, q_winnow, q_kmeans_profile —
-    * each pinned instead by a property spec (recall/error-bound/objective).
-    * The approx sketches (q_approx_distinct, q_approx_percentile) ARE
-    * gate-checked: they emit exact values plus Spark-computed error-bound
-    * booleans the oracle expects to be TRUE. q_dedup_minhash IS
-    * gate-checked too: its verify stage is exact Jaccard, so banding only
-    * affects candidate recall — measured 1.0 at gate scale (zero symmetric
-    * difference vs the exact pair set), giving it the ngram closed-form
-    * oracle. */
+    * output depends on seed-bound or float-iteration state: q_ann_lsh,
+    * q_kmeans_profile, q_bpe_fit — each pinned instead by a property spec
+    * (recall-floor/objective-improvement/textbook-merges). The simhash and
+    * winnow queries, formerly rows-only because they hashed with Spark's
+    * xxhash64, now hash with an md5 prefix (graft.functions.Md5Hash60 ==
+    * DuckDB `CAST('0x' || substr(md5(s),1,15) AS BIGINT)`) and are
+    * hard-gate-checked bit for bit. The approx sketches
+    * (q_approx_distinct, q_approx_percentile) ARE gate-checked: they emit
+    * exact values plus Spark-computed error-bound booleans the oracle
+    * expects to be TRUE. q_dedup_minhash IS gate-checked too: its verify
+    * stage is exact Jaccard, so banding only affects candidate recall —
+    * measured 1.0 at gate scale (zero symmetric difference vs the exact
+    * pair set), giving it the ngram closed-form oracle. */
 
   /** The exact n-gram-Jaccard closed form, shared verbatim by the FOUR
     * dedup formulations that must produce the identical pair set
@@ -1101,6 +1104,77 @@ object SparkEntry {
         |  coalesce(string_agg(CASE WHEN keep THEN seg END, ' ' ORDER BY seg_idx), '')
         |    AS clean_text
         |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // SimHash over md5-prefix feature hashes: the fingerprint is a pure
+    // integer function of the distinct word-3-gram set, so DuckDB rebuilds
+    // it bit by bit — 60 per-bit majority sums folded into one BIGINT
+    // (features are 60-bit non-negative, so no sign handling anywhere).
+    // Docs with no shingles (< 3 tokens) carry fingerprint 0 via the left
+    // join, mirroring graft_simhash64 of an empty array.
+    "q_simhash" ->
+      ("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |sh AS (SELECT doc_id,
+        |         unnest(list_distinct(list_transform(generate_series(1, len(ts) - 2),
+        |           i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))) AS s
+        |       FROM d),
+        |feat AS (SELECT doc_id,
+        |           CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS h FROM sh),
+        |fp AS (SELECT doc_id, BITSUM AS simhash FROM feat GROUP BY doc_id)
+        |SELECT d2.doc_id, coalesce(fp.simhash, 0) AS simhash
+        |FROM documents d2 LEFT JOIN fp ON d2.doc_id = fp.doc_id
+        |ORDER BY d2.doc_id""".stripMargin)
+        .replace("BITSUM", (0 until 60).map(j =>
+          s"(CASE WHEN sum(((h >> $j) & 1) * 2 - 1) > 0 " +
+            s"THEN CAST(1 AS BIGINT) << $j ELSE 0 END)").mkString(" + ")),
+
+    // Banded simhash pairs: 4 x 16-bit blocks, candidate join on a shared
+    // block, exact hamming verify via bit_count(xor). Same fingerprint CTE
+    // as q_simhash; zero-shingle docs are excluded like the Spark side's
+    // n_sh > 0 filter.
+    "q_simhash_pairs" ->
+      ("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |sh AS (SELECT doc_id,
+        |         unnest(list_distinct(list_transform(generate_series(1, len(ts) - 2),
+        |           i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))) AS s
+        |       FROM d),
+        |feat AS (SELECT doc_id,
+        |           CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS h FROM sh),
+        |fp AS (SELECT doc_id, BITSUM AS simhash FROM feat GROUP BY doc_id),
+        |blk AS (SELECT doc_id, simhash, b AS block_id,
+        |          (simhash >> (b * 16)) & 65535 AS block_v
+        |        FROM fp, unnest([0, 1, 2, 3]) AS t(b))
+        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+        |FROM blk a JOIN blk b
+        |  ON a.block_id = b.block_id AND a.block_v = b.block_v
+        |  AND a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+        |ORDER BY doc_a, doc_b""".stripMargin)
+        .replace("BITSUM", (0 until 60).map(j =>
+          s"(CASE WHEN sum(((h >> $j) & 1) * 2 - 1) > 0 " +
+            s"THEN CAST(1 AS BIGINT) << $j ELSE 0 END)").mkString(" + ")),
+
+    // Winnowing fingerprints over md5-prefix gram hashes: k-char grams,
+    // min per sliding window of w=8 (full windows only), distinct per doc.
+    // The window-frame min reproduces graft_sliding_min_distinct exactly;
+    // docs with fewer than w grams select nothing in both engines.
+    "q_winnow" ->
+      """WITH g AS (SELECT doc_id, text,
+        |             unnest(range(1, greatest(length(text) - 5 + 1, 1) + 1)) AS i
+        |           FROM documents),
+        |h AS (SELECT doc_id, i,
+        |        CAST('0x' || substr(md5(substr(text, CAST(i AS INTEGER), 5)), 1, 15)
+        |          AS BIGINT) AS gh
+        |      FROM g),
+        |n AS (SELECT doc_id, count(*) AS ng FROM h GROUP BY doc_id),
+        |wm AS (SELECT doc_id, i,
+        |         min(gh) OVER (PARTITION BY doc_id ORDER BY i
+        |           ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS m
+        |       FROM h)
+        |SELECT DISTINCT wm.doc_id, wm.m AS fp
+        |FROM wm JOIN n ON wm.doc_id = n.doc_id
+        |WHERE wm.i <= n.ng - 8 + 1
+        |ORDER BY wm.doc_id, fp""".stripMargin,
 
     // Frozen-weight logistic quality score; ln/exp on doubles agree across
     // engines and the 4 dp rounding absorbs any last-ulp libm drift.

@@ -295,9 +295,17 @@ object Dedup {
   def simhash(spark: SparkSession, dir: String): DataFrame =
     simhashRaw(spark, dir).select(col("doc_id"), col("simhash")).orderBy(col("doc_id"))
 
-  private def simhashRaw(spark: SparkSession, dir: String): DataFrame =
-    hashShingledOf(Tables(spark, dir, "documents"))
-      .select(col("doc_id"), expr("graft_simhash64(hs)").as("simhash"), col("n_sh"))
+  // md5-prefix feature hashes (graft.functions.Md5Hash60) rather than the
+  // Jaccard family's xxhash64: replicable in the oracle engine, so the
+  // whole fingerprint is hard-gate-checked. The 60-bit feature domain
+  // leaves fingerprint bits 60-63 constant-zero — harmless to banding.
+  private def simhashRaw(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.TextFunctions.register(spark)
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), expr("graft_shingle_md5_hashes(text, 3)").as("hs"))
+      .select(col("doc_id"), expr("graft_simhash64(hs)").as("simhash"),
+        size(col("hs")).as("n_sh"))
+  }
 
   /** SimHash near-dup pairs: banded candidate join (4 x 16-bit blocks — any
     * pair within hamming distance 3 shares at least one whole block by

@@ -271,10 +271,13 @@ object TextAnalysis {
     * an O(n*w)-row shuffle.) */
   def winnow(spark: SparkSession, dir: String, k: Int = 5, w: Int = 8): DataFrame = {
     graft.functions.TextFunctions.register(spark)
+    // md5-prefix gram hashes (graft.functions.Md5Hash60), not xxhash64:
+    // replicable in the oracle engine, so the fingerprint set is
+    // hard-gate-checked instead of rows-only
     Tables(spark, dir, "documents")
       .select(col("doc_id"),
         explode(expr(
-          s"graft_sliding_min_distinct(graft_chargram_hashes(text, $k), $w)")).as("fp"))
+          s"graft_sliding_min_distinct(graft_chargram_md5_hashes(text, $k), $w)")).as("fp"))
       .orderBy(col("doc_id"), col("fp"))
   }
 

@@ -82,4 +82,31 @@ class TextExpressionsSpec extends SparkSpec {
       "short tail only", "solo", ""))
       .foreach { case (g, t) => assert(g.mkString(" ") === t) }
   }
+
+  test("md5-prefix hashes match the oracle engine's hex-cast formula") {
+    TextFunctions.register(spark)
+    import spark.implicits._
+    // DuckDB: CAST('0x' || substr(md5('abc'), 1, 15) AS BIGINT) — md5('abc')
+    // = 900150983cd24fb0..., top 60 bits = 0x0900150983cd24fb
+    val expected = java.lang.Long.parseLong("900150983cd24fb", 16)
+    assert(expected === 648541476951500027L) // pinned against a live DuckDB run
+    val one = Seq("abc").toDF("text")
+      .select(expr("graft_chargram_md5_hashes(text, 3)").as("hs"))
+      .collect().head.getSeq[Long](0)
+    assert(one === Seq(expected))
+    // the shingle variant hashes whole distinct word n-grams the same way
+    val sh = Seq("abc abc abc abc").toDF("text")
+      .select(expr("graft_shingle_md5_hashes(text, 3)").as("hs"))
+      .collect().head.getSeq[Long](0)
+    val gram = "abc abc abc".getBytes("UTF-8")
+    val dig = java.security.MessageDigest.getInstance("MD5").digest(gram)
+    val hex = dig.take(8).map(b => f"${b & 0xff}%02x").mkString
+    assert(sh === Seq(java.lang.Long.parseLong(hex.take(15), 16)))
+    assert(sh.forall(_ >= 0L)) // 60-bit domain is non-negative by design
+    // agreement with Spark's own md5() on the same bytes (hex prefix route)
+    val viaSql = Seq("abc").toDF("t")
+      .select(expr("conv(substr(md5(cast(t as binary)), 1, 15), 16, 10)"))
+      .collect().head.getString(0)
+    assert(viaSql.toLong === expected)
+  }
 }
