@@ -147,7 +147,9 @@ object SparkEntry {
     * expects to be TRUE. q_dedup_minhash IS gate-checked too: its verify
     * stage is exact Jaccard, so banding only affects candidate recall —
     * measured 1.0 at gate scale (zero symmetric difference vs the exact
-    * pair set), giving it the ngram closed-form oracle. */
+    * pair set), giving it the ngram closed-form oracle — that premise (and
+    * the never-binding 128 df cap) is pinned by OraclePremiseSpec at
+    * sf0.01, so a fixture change fails the spec, not the gate. */
 
   /** The exact n-gram-Jaccard closed form, shared verbatim by the FOUR
     * dedup formulations that must produce the identical pair set
