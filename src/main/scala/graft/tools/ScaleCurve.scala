@@ -14,11 +14,16 @@ import org.apache.spark.sql.functions._
   * super-linear term (pair blowup, driver state) bends the curve long
   * before 100 TB does. Dev tool; results recorded in SCALE.md.
   *
-  * Usage: runMain graft.tools.ScaleCurve [factors csv, default 1,10,100] [neardup] [stream]
+  * Usage: runMain graft.tools.ScaleCurve [factors csv, default 1,10,100] [neardup] [stream] [bpe]
   *   `neardup` adds the near-dup composite (decontaminate + dup-span) at
   *   each factor — the standing per-round stress entry for the near-dup
   *   tier's scale curve (VERDICT r4 item 7). `stream` adds the
   *   checkpointed streaming dedup ingest (DedupStream.streamedPairs).
+  *   `bpe` adds the iterative BPE trainer over DUPLICATE-text replicas
+  *   (no perturbation): the corpus grows fac x while the vocabulary stays
+  *   constant, which is exactly the axis that separates the trainer's one
+  *   corpus scan (must grow linearly) from its per-round cost (claimed
+  *   vocabulary-bound, so must stay FLAT as the corpus grows).
   */
 object ScaleCurve {
   def main(args: Array[String]): Unit = {
@@ -26,6 +31,7 @@ object ScaleCurve {
       .split(',').map(_.trim.toInt).toSeq
     val nearDup = args.length > 1 && args.drop(1).contains("neardup")
     val stream = args.length > 1 && args.drop(1).contains("stream")
+    val bpe = args.length > 1 && args.drop(1).contains("bpe")
     // keep: leave the replicated tables on disk for stage profiling
     // (graft.tools.Profile <dir> prefix) instead of the default cleanup
     val keep = args.length > 1 && args.drop(1).contains("keep")
@@ -146,6 +152,36 @@ object ScaleCurve {
           spark, s"$sroot/state", halves(1), batchId = Some(1L)).count())
         sfs.delete(sp, true)
         ()
+      }
+
+      if (bpe) {
+        // duplicate-text replica: vocabulary constant, corpus fac x
+        val bdir = s"/tmp/graft-scalecurve-bpe-$fac"
+        val broot =
+          if (fac == 1) sf
+          else {
+            replicate(spark.read.parquet(s"$sf/documents.parquet"),
+              Set("doc_id"), fac, perturbText = false)
+              .repartition(64)
+              .write.mode("overwrite").parquet(s"$bdir/documents.parquet")
+            bdir
+          }
+        val bdocs = spark.read.parquet(s"$broot/documents.parquet")
+        bdocs.count() // warm
+        // phase 1, corpus-bound: the trainer's ONE corpus scan (token
+        // explode + count into the distinct-token table)
+        time("bpe_corpus_scan", fac)(
+          bdocs.select(explode(split(col("text"), " ")).as("tok"))
+            .groupBy(col("tok")).agg(count(lit(1))).count())
+        // full trainer (3 merge rounds); fit-minus-scan is the per-round
+        // tier, which must NOT grow with fac
+        time("bpe_fit", fac)(
+          graft.ops.TextAnalysis.bpeFit(spark, broot).count())
+        if (fac != 1 && !keep) {
+          val p = new org.apache.hadoop.fs.Path(bdir)
+          p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+          ()
+        }
       }
 
       // the replicated tables are multi-GB at x100; don't leave them to
