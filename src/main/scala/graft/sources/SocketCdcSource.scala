@@ -1,0 +1,227 @@
+package graft.sources
+
+import graft.model.ChangeEvent
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import java.util
+
+/** Socket-transport CDC source: tails a LIVE server over TCP with
+  * replayable offsets — the closest sandbox analog to the reference's
+  * binlog client (`/root/reference/meilisync/source/mysql.py:81-135`,
+  * which connects with a saved `(log_file, log_pos)` and re-streams from
+  * there). The transport semantics a file feed cannot exercise are exactly
+  * the ones here:
+  *
+  *  - the SERVER owns the log and assigns offsets; the client discovers
+  *    the tail position by asking it (`LATEST`), not by listing anything;
+  *  - every micro-batch read is a bounded REPLAY request
+  *    (`FROM <start> <end>`) — after a crash, the restarted query
+  *    re-requests the same span from the checkpointed position and the
+  *    server re-serves it, the binlog-retention contract;
+  *  - events appended to the server while a query runs are picked up by
+  *    the next trigger — tail-a-live-stream, not drain-a-directory.
+  *
+  * One input partition per batch: a replication stream is a single ordered
+  * wire; parallelism belongs to the downstream plan, not the tail.
+  *
+  * Usage: `spark.readStream.format("graft-cdc-socket").load("host:port")`.
+  * Wire lines are the chunk-TSV envelope (`op \t table \t offset \t
+  * epochMillis \t dataJson`); `maxEventsPerTrigger` bounds a batch (B2
+  * admission, the reference's `insert_size`). */
+class SocketCdcSource extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "graft-cdc-socket"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    ChangeEvent.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new SocketCdcTable(properties.get("path"))
+}
+
+private class SocketCdcTable(path: String) extends Table with SupportsRead {
+  override def name(): String = s"graft-cdc-socket($path)"
+  override def schema(): StructType = ChangeEvent.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new SocketCdcScan(
+      Option(path).getOrElse(options.get("path")),
+      Option(options.get("maxEventsPerTrigger")).map(_.toLong))
+}
+
+private class SocketCdcScan(hostPort: String, maxEvents: Option[Long])
+    extends Scan {
+  override def readSchema(): StructType = ChangeEvent.schema
+  override def description(): String =
+    s"graft-cdc-socket $hostPort maxEvents=$maxEvents"
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new SocketMicroBatchStream(hostPort, maxEvents)
+}
+
+/** The replication position: offset of the last consumed event (server-
+  * assigned, monotonic — the binlog-position analog). */
+case class EventOffset(last: Long) extends Offset {
+  override def json(): String = last.toString
+}
+
+private class SocketMicroBatchStream(hostPort: String, maxEvents: Option[Long])
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  private val Array(host, port) = hostPort.split(':')
+
+  @volatile private var availableAtStart: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableAtStart = Some(SocketCdc.latest(host, port.toInt))
+
+  override def initialOffset(): Offset = EventOffset(-1L)
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(start, limit) is the admission-controlled path")
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val avail = availableAtStart.getOrElse(SocketCdc.latest(host, port.toInt))
+    val s = start.asInstanceOf[EventOffset].last
+    EventOffset(maxEvents.fold(avail)(m => math.min(avail, s + m)))
+  }
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def reportLatestOffset(): Offset =
+    EventOffset(SocketCdc.latest(host, port.toInt))
+  override def deserializeOffset(json: String): Offset = EventOffset(json.toLong)
+  override def commit(end: Offset): Unit = () // a real connector acks the
+  // replication slot here so the server may trim the log
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[EventOffset].last
+    val e = end.asInstanceOf[EventOffset].last
+    if (e <= s) Array.empty
+    else Array(SocketSpanPartition(host, port.toInt, s + 1, e))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    (partition: InputPartition) => {
+      val p = partition.asInstanceOf[SocketSpanPartition]
+      new SocketSpanReader(p)
+    }
+}
+
+private case class SocketSpanPartition(host: String, port: Int,
+                                       from: Long, to: Long) extends InputPartition
+
+/** Reads one replayed span [from, to] over a fresh connection — the
+  * bounded re-request that makes crash replay exact. */
+private class SocketSpanReader(p: SocketSpanPartition)
+    extends PartitionReader[InternalRow] {
+
+  private val lines: Iterator[String] =
+    SocketCdc.fetch(p.host, p.port, p.from, p.to).iterator
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    if (!lines.hasNext) return false
+    val parts = lines.next().split('\t')
+    require(parts.length >= 5, s"malformed wire line: ${parts.mkString("|")}")
+    current = InternalRow(
+      UTF8String.fromString(parts(0)),
+      UTF8String.fromString(parts(1)),
+      parts(2).toLong,
+      parts(3).toLong * 1000L, // epochMillis -> micros (TimestampType)
+      UTF8String.fromString(parts(4)))
+    true
+  }
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}
+
+/** Client side of the two-verb wire protocol. */
+private[graft] object SocketCdc {
+  private def roundTrip[A](host: String, port: Int, request: String)(
+      read: java.io.BufferedReader => A): A = {
+    val sock = new java.net.Socket(host, port)
+    try {
+      val out = new java.io.PrintWriter(sock.getOutputStream, true)
+      val in = new java.io.BufferedReader(
+        new java.io.InputStreamReader(sock.getInputStream, "UTF-8"))
+      out.println(request)
+      read(in)
+    } finally sock.close()
+  }
+
+  /** Highest offset the server has — the `SHOW MASTER STATUS` analog. */
+  def latest(host: String, port: Int): Long =
+    roundTrip(host, port, "LATEST")(_.readLine().trim.toLong)
+
+  /** Replay events with offsets in [from, to], in order. */
+  def fetch(host: String, port: Int, from: Long, to: Long): Seq[String] =
+    roundTrip(host, port, s"FROM $from $to") { in =>
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      var line = in.readLine()
+      while (line != null) { buf += line; line = in.readLine() }
+      buf.toSeq
+    }
+}
+
+/** Deterministic replayable feed server — the sandbox stand-in for the DB
+  * side of the wire (a binlog server / replication slot): an append-only
+  * in-memory log of envelope TSV lines, offsets assigned at append, served
+  * over TCP with two verbs (`LATEST`, `FROM a b`). Retains everything, so
+  * any span can be replayed — the retention contract crash recovery rests
+  * on. Appends while clients are connected are safe (the log is
+  * synchronized) and visible to the next `LATEST`. */
+final class CdcFeedServer {
+  private val log = new java.util.ArrayList[String]()
+  private val server = new java.net.ServerSocket(0) // ephemeral port
+  @volatile private var running = true
+
+  def port: Int = server.getLocalPort
+
+  /** Append one event; returns its server-assigned offset. */
+  def append(op: String, table: String, epochMillis: Long, data: String): Long =
+    log.synchronized {
+      val off = log.size.toLong
+      log.add(s"$op\t$table\t$off\t$epochMillis\t$data")
+      off
+    }
+
+  private val acceptor = new Thread(() => {
+    while (running) {
+      try {
+        val sock = server.accept()
+        try {
+          val in = new java.io.BufferedReader(
+            new java.io.InputStreamReader(sock.getInputStream, "UTF-8"))
+          val out = new java.io.PrintWriter(sock.getOutputStream, true)
+          val req = in.readLine()
+          if (req != null) req.trim.split(' ') match {
+            case Array("LATEST") =>
+              out.println(log.synchronized(log.size.toLong - 1))
+            case Array("FROM", a, b) =>
+              val (from, to) = (a.toLong, b.toLong)
+              val snap = log.synchronized {
+                log.subList(
+                  math.max(from, 0L).toInt,
+                  math.min(to + 1, log.size.toLong).toInt)
+                  .toArray(Array.empty[String])
+              }
+              snap.foreach(out.println)
+            case other =>
+              out.println(s"ERR unknown request: ${other.mkString(" ")}")
+          }
+        } finally sock.close()
+      } catch {
+        case _: java.net.SocketException => // closed during accept: shutdown
+        case scala.util.control.NonFatal(_) => // malformed client; keep serving
+      }
+    }
+  }, s"cdc-feed-server-$port")
+  acceptor.setDaemon(true)
+  acceptor.start()
+
+  def close(): Unit = { running = false; server.close() }
+}

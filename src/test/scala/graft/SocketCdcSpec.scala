@@ -1,0 +1,74 @@
+package graft
+
+import graft.model.ChangeEvent
+import graft.sources.CdcFeedServer
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** The socket transport's offset contract, CkptCrash-style: a LIVE server
+  * owns the log; the query tails it over TCP, events appended mid-run are
+  * picked up by later triggers, and after a kill with a lost commit the
+  * resumed query re-requests the crashed span from the checkpointed
+  * position (the server re-serves it — binlog retention) so the final
+  * event log is exactly-once. The file-feed specs cannot exercise any of
+  * this: there the "source" is a directory listing, not a position
+  * negotiated with a live peer. */
+class SocketCdcSpec extends SparkSpec {
+
+  private def startTail(server: CdcFeedServer, ckpt: String, out: String) =
+    spark.readStream.format("graft-cdc-socket")
+      .option("maxEventsPerTrigger", 5) // bounded batches -> several commits
+      .load(s"localhost:${server.port}")
+      .writeStream.option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime(0L))
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        // replay-idempotent per-batch dirs, the DedupStream emission shape
+        batch.write.mode("overwrite").parquet(s"$out/batch-$id")
+      }
+      .start()
+
+  private def readOut(out: String) =
+    spark.read.schema(ChangeEvent.schema).parquet(s"$out/batch-*")
+
+  private def awaitRows(out: String, n: Long): Unit = {
+    val deadline = System.currentTimeMillis() + 120000
+    def count() = try readOut(out).count() catch { case _: Exception => -1L }
+    while (count() < n && System.currentTimeMillis() < deadline) Thread.sleep(50)
+    assert(count() >= n, s"tail never reached $n events in $out")
+  }
+
+  test("live tail + mid-stream kill: resumed query replays the crashed " +
+    "span from the server and the log stays exactly-once") {
+    val server = new CdcFeedServer
+    try {
+      // backlog the connector catches up on at start
+      for (i <- 1 to 20) server.append("create", "t", 1000L + i, s"""{"id": $i}""")
+      val root = tmpDir("socketcdc")
+      val ckpt = s"$root/ckpt"
+      val out = s"$root/out"
+      val q1 = startTail(server, ckpt, out)
+      CkptCrash.awaitCommits(ckpt, 2)
+      // live tail: append WHILE the query runs; later triggers must see it
+      for (i <- 21 to 30) server.append("create", "t", 1000L + i, s"""{"id": $i}""")
+      awaitRows(out, 30)
+      q1.stop()
+      // kill inside a batch window: last commit erased, its output dir and
+      // the server's log both survive — the resume must re-request that
+      // span from the server and overwrite the dir, not double it
+      CkptCrash.simulateCrashAtLastCommit(spark, ckpt)
+      // events that arrive while the consumer is down join the backlog
+      for (i <- 31 to 35) server.append("update", "t", 1000L + i, s"""{"id": $i}""")
+      val q2 = startTail(server, ckpt, out)
+      q2.processAllAvailable(); q2.stop()
+      val rows = readOut(out).select(col("op"), col("offset"), col("data")).collect()
+      // exactly-once: 35 events, offsets 0..34, each ONCE (a replay that
+      // appended instead of overwriting would double the crashed span)
+      assert(rows.length === 35, s"expected 35 rows, got ${rows.length}")
+      assert(rows.map(_.getLong(1)).sorted.toSeq === (0L until 35L))
+      // payload integrity across the wire + replay, including post-crash ops
+      val byOff = rows.map(r => r.getLong(1) -> (r.getString(0), r.getString(2))).toMap
+      assert(byOff(0L) === ("create", """{"id": 1}"""))
+      assert(byOff(34L) === ("update", """{"id": 35}"""))
+    } finally server.close()
+  }
+}
