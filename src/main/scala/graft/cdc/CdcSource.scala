@@ -134,6 +134,33 @@ final class WireCdcSource(spark: SparkSession, feedDir: String, tableDir: String
   def ping(): Boolean = new java.io.File(feedDir).exists()
 }
 
+/** CDC feed tailed from a LIVE socket server via
+  * [[graft.sources.SocketCdcSource]] (`format("graft-cdc-socket")`): the
+  * server owns the log and assigns offsets, each micro-batch is a bounded
+  * replayed span, and the checkpointed position is re-requested after a
+  * crash — the binlog-client transport shape (`source/mysql.py:81-135`).
+  * `hostPort` is `host:port`; the liveness probe IS a wire round-trip. */
+final class SocketTailCdcSource(spark: SparkSession, hostPort: String,
+                                tableDir: String,
+                                maxEventsPerTrigger: Option[Long] = None)
+    extends CdcSource {
+  def fullScan(sync: SyncConfig): DataFrame =
+    Transforms.projectAndCoerce(
+      spark.read.parquet(s"$tableDir/${sync.table}.parquet"), sync)
+  def changes: DataFrame = {
+    var r = spark.readStream.format("graft-cdc-socket")
+    maxEventsPerTrigger.foreach(m => r = r.option("maxEventsPerTrigger", m.toString))
+    r.load(hostPort)
+  }
+  def count(sync: SyncConfig): Long =
+    spark.read.parquet(s"$tableDir/${sync.table}.parquet").count()
+  def ping(): Boolean = {
+    val Array(host, port) = hostPort.split(':')
+    try { graft.sources.SocketCdc.latest(host, port.toInt); true }
+    catch { case _: Exception => false }
+  }
+}
+
 /** In-memory CDC feed for tests (the reference's integration harness shape:
   * script a few inserts/updates/deletes, assert the synced state). */
 final class MemoryCdcSource(spark: SparkSession,

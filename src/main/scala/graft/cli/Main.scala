@@ -65,12 +65,19 @@ object Main {
     //   wal2json|mysql-binlog|mongo     -> raw connector wire messages as
     //                                      (offset, data) JSONL, decoded by
     //                                      EnvelopeDecoders
+    //   graft-cdc-socket                -> live TCP tail with server-owned
+    //                                      replayable offsets (feed.dir
+    //                                      holds host:port)
     //   unset                           -> parquet envelope feed
     val source: graft.cdc.CdcSource = props.getProperty("feed.format") match {
       case "graft-cdc" =>
         new graft.cdc.V2CdcSource(spark, props.getProperty("feed.dir"),
           props.getProperty("table.dir"), tables = cfg.tables,
           maxChunksPerTrigger = cfg.insertSize.map(_.toLong))
+      case "graft-cdc-socket" =>
+        new graft.cdc.SocketTailCdcSource(spark, props.getProperty("feed.dir"),
+          props.getProperty("table.dir"),
+          maxEventsPerTrigger = cfg.insertSize.map(_.toLong))
       case f @ ("wal2json" | "mysql-binlog" | "mongo") =>
         new graft.cdc.WireCdcSource(spark, props.getProperty("feed.dir"),
           props.getProperty("table.dir"), f,

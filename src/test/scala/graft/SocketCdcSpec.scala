@@ -71,4 +71,28 @@ class SocketCdcSpec extends SparkSpec {
       assert(byOff(34L) === ("update", """{"id": 35}"""))
     } finally server.close()
   }
+
+  test("full pipeline over the socket transport: decode, compact, upsert") {
+    import graft.cdc.{Pipeline, SocketTailCdcSource}
+    import graft.model.{PipelineConfig, SyncConfig}
+    val server = new CdcFeedServer
+    try {
+      server.append("create", "users", 1L, """{"id": 1, "age": 10}""")
+      server.append("create", "users", 2L, """{"id": 2, "age": 20}""")
+      server.append("update", "users", 3L, """{"id": 1, "age": 11}""")
+      server.append("delete", "users", 4L, """{"id": 2}""")
+      val root = tmpDir("socketpipe")
+      val sync = SyncConfig("users", pk = "id",
+        schema = Some(org.apache.spark.sql.types.StructType.fromDDL(
+          "id INT, age INT")))
+      val src = new SocketTailCdcSource(spark, s"localhost:${server.port}",
+        tableDir = root /* unused: no backfill */)
+      assert(src.ping(), "liveness probe should round-trip the wire")
+      val pipe = new Pipeline(spark, PipelineConfig(Seq(sync)), src, s"$root/sink")
+      val q = pipe.start(s"$root/ckpt")
+      try q.processAllAvailable() finally q.stop()
+      assert(pipe.sinkState(sync).orderBy("id").collect().toSeq ===
+        Seq(org.apache.spark.sql.Row(1, 11)))
+    } finally server.close()
+  }
 }
