@@ -250,10 +250,15 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
     *   past (SURVEY.md §7 hard part 1 — within-batch reordering is already
     *   handled by B1 compaction; this closes the cross-batch case at the
     *   cost of keyed state proportional to live keys).
+    * @param progress optional EXTERNAL progress store (the reference's
+    *   file/redis `Progress` backends): committed batch positions are
+    *   published through [[ProgressPublisher]] for other applications to
+    *   read. Advisory — the checkpoint stays the restart source of truth.
     */
   def start(checkpointDir: String,
             trigger: Trigger = Trigger.AvailableNow(),
-            monotonic: Boolean = false): StreamingQuery = {
+            monotonic: Boolean = false,
+            progress: Option[ProgressStore] = None): StreamingQuery = {
     backfillIfNeeded()
     val changes =
       if (!monotonic) source.changes
@@ -271,7 +276,7 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
         graft.streaming.KeyedLastWrite
           .latestPerKey(source.changes.as[ChangeEvent], pkOfEvent).toDF()
       }
-    changes.writeStream
+    val q = changes.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -280,6 +285,8 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
         finally { cached.unpersist(); () }
       }
       .start()
+    progress.foreach(ProgressPublisher.attach(spark, q.id, _))
+    q
   }
 
   /** `refresh`: atomic rebuild of each sync from a full scan

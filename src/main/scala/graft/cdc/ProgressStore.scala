@@ -1,0 +1,181 @@
+package graft.cdc
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.StreamingQueryListener
+
+/** Pluggable EXTERNAL progress store — the reference's `Progress` backends
+  * (`progress/file.py`, `progress/redis.py:19-23`: a string hash the sync
+  * loop rewrites after every applied batch so OTHER applications can read
+  * where the sync is). Spark's checkpoint remains the source of truth for
+  * restart; this store is the cross-application visibility channel the
+  * checkpoint directory cannot provide (it is private to the query).
+  *
+  * `set` MERGES fields into the stored hash (redis `HMSET` semantics) in
+  * both backends; the reference's file backend REPLACES the whole map on
+  * every set, which silently drops sibling keys when two writers share one
+  * store — an asymmetry vs its own redis backend that we deliberately do
+  * not reproduce (same posture as the rows[0] and wal2json-truncation
+  * bugs, SURVEY.md §2.3). */
+trait ProgressStore {
+  def set(fields: Map[String, String]): Unit
+  def get(): Map[String, String]
+}
+
+/** File-backed store (`progress/file.py`): one JSON object of string
+  * fields. Writes are read-merge-write through a temp file + atomic rename
+  * so a concurrent reader never sees a torn object. */
+final class FileProgressStore(path: String) extends ProgressStore {
+  private val p = java.nio.file.Paths.get(path)
+
+  def set(fields: Map[String, String]): Unit = synchronized {
+    val merged = get() ++ fields
+    val json = merged.toSeq.sortBy(_._1).map { case (k, v) =>
+      s"${quote(k)}: ${quote(v)}"
+    }.mkString("{", ", ", "}")
+    val tmp = java.nio.file.Paths.get(path + ".tmp")
+    java.nio.file.Files.write(tmp,
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp, p,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  def get(): Map[String, String] =
+    if (!java.nio.file.Files.exists(p)) Map.empty
+    else {
+      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(java.nio.file.Files.readAllBytes(p))
+      val it = node.fields()
+      val b = Map.newBuilder[String, String]
+      while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asText() }
+      b.result()
+    }
+
+  private def quote(s: String): String =
+    new com.fasterxml.jackson.databind.ObjectMapper().writeValueAsString(s)
+}
+
+/** Socket-backed store — the redis analog over the same two-verb wire
+  * discipline as the CDC socket transport: `HSET k v [k v ...]` merges
+  * fields, `HGETALL` returns `k\tv` lines. Values are URL-encoded on the
+  * wire so fields may contain whitespace/newlines (offset JSON does). */
+final class SocketProgressStore(hostPort: String) extends ProgressStore {
+  private val Array(host, port) = hostPort.split(':')
+
+  private def roundTrip[A](request: String)(read: java.io.BufferedReader => A): A = {
+    val sock = new java.net.Socket(host, port.toInt)
+    try {
+      val out = new java.io.PrintWriter(sock.getOutputStream, true)
+      val in = new java.io.BufferedReader(
+        new java.io.InputStreamReader(sock.getInputStream, "UTF-8"))
+      out.println(request)
+      read(in)
+    } finally sock.close()
+  }
+
+  private def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+  private def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
+
+  def set(fields: Map[String, String]): Unit =
+    if (fields.nonEmpty) {
+      val kv = fields.toSeq.flatMap { case (k, v) => Seq(enc(k), enc(v)) }
+      roundTrip(s"HSET ${kv.mkString(" ")}")(_.readLine()) // OK ack
+      ()
+    }
+
+  def get(): Map[String, String] =
+    roundTrip("HGETALL") { in =>
+      val b = Map.newBuilder[String, String]
+      var line = in.readLine()
+      while (line != null) {
+        val Array(k, v) = line.split('\t')
+        b += dec(k) -> dec(v)
+        line = in.readLine()
+      }
+      b.result()
+    }
+}
+
+/** The redis stand-in: an in-memory string hash served over TCP with the
+  * two verbs [[SocketProgressStore]] speaks. Sandbox-deterministic like
+  * [[graft.sources.CdcFeedServer]]. */
+final class ProgressKvServer {
+  private val hash = scala.collection.mutable.Map.empty[String, String]
+  private val server = new java.net.ServerSocket(0)
+  @volatile private var running = true
+
+  def port: Int = server.getLocalPort
+  def snapshot: Map[String, String] = hash.synchronized(hash.toMap)
+
+  private val acceptor = new Thread(() => {
+    while (running) {
+      try {
+        val sock = server.accept()
+        try {
+          val in = new java.io.BufferedReader(
+            new java.io.InputStreamReader(sock.getInputStream, "UTF-8"))
+          val out = new java.io.PrintWriter(sock.getOutputStream, true)
+          val req = in.readLine()
+          if (req != null) {
+            val parts = req.trim.split(' ')
+            parts(0) match {
+              case "HSET" =>
+                hash.synchronized {
+                  parts.drop(1).grouped(2).foreach {
+                    case Array(k, v) => hash(k) = v
+                    case _ => // trailing key with no value: ignore
+                  }
+                }
+                out.println("OK")
+              case "HGETALL" =>
+                hash.synchronized(hash.toSeq).sortBy(_._1)
+                  .foreach { case (k, v) => out.println(s"$k\t$v") }
+              case other => out.println(s"ERR unknown verb: $other")
+            }
+          }
+        } finally sock.close()
+      } catch {
+        case _: java.net.SocketException =>
+        case scala.util.control.NonFatal(_) =>
+      }
+    }
+  }, s"progress-kv-server-$port")
+  acceptor.setDaemon(true)
+  acceptor.start()
+
+  def close(): Unit = { running = false; server.close() }
+}
+
+/** Publishes a streaming query's COMMITTED progress to a [[ProgressStore]]
+  * — the reference's write-progress-after-each-batch loop
+  * (`main.py:84-101`), expressed as a `StreamingQueryListener` so only
+  * batches the checkpoint has committed are ever visible externally (a
+  * foreachBatch-side write would publish positions a crash then rewinds).
+  * Fields mirror the reference's hash: the batch id, the source's end
+  * offset (the replication position), and the trigger timestamp. */
+object ProgressPublisher {
+  def attach(spark: SparkSession, queryId: java.util.UUID,
+             store: ProgressStore): StreamingQueryListener = {
+    val l = new StreamingQueryListener {
+      override def onQueryStarted(
+          e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: StreamingQueryListener.QueryProgressEvent): Unit =
+        if (e.progress.id == queryId && e.progress.numInputRows > 0)
+          store.set(Map(
+            "batchId" -> e.progress.batchId.toString,
+            "endOffset" -> e.progress.sources.map(_.endOffset).mkString(","),
+            "timestamp" -> e.progress.timestamp))
+      override def onQueryTerminated(
+          e: StreamingQueryListener.QueryTerminatedEvent): Unit =
+        // self-detach so per-run listeners don't accumulate across the
+        // restart cycles a checkpointed pipeline goes through in one session
+        if (e.id == queryId) spark.streams.removeListener(this)
+    }
+    spark.streams.addListener(l)
+    l
+  }
+
+  def detach(spark: SparkSession, l: StreamingQueryListener): Unit =
+    spark.streams.removeListener(l)
+}

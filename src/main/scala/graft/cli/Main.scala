@@ -92,6 +92,14 @@ object Main {
       .map(s => graft.cdc.PluginHooks.load(s.split(',').map(_.trim).toSeq))
       .getOrElse(graft.cdc.PluginHooks())
     val pipe = new Pipeline(spark, cfg, source, props.getProperty("sink.root"), hooks)
+    // progress.path=<file> | progress.addr=<host:port> — the reference's
+    // file/redis progress backends: committed positions published for
+    // OTHER applications (the checkpoint dir is private to this query)
+    val progress: Option[graft.cdc.ProgressStore] =
+      Option(props.getProperty("progress.path"))
+        .map(new graft.cdc.FileProgressStore(_): graft.cdc.ProgressStore)
+        .orElse(Option(props.getProperty("progress.addr"))
+          .map(new graft.cdc.SocketProgressStore(_)))
     cmd match {
       case "start" =>
         val trigger = Option(props.getProperty("trigger.seconds"))
@@ -99,7 +107,8 @@ object Main {
           .orElse(cfg.insertIntervalSecs.map(_ => pipe.configTrigger))
           .getOrElse(Trigger.AvailableNow())
         val q = pipe.start(props.getProperty("checkpoint.dir"), trigger,
-          monotonic = props.getProperty("monotonic") == "true")
+          monotonic = props.getProperty("monotonic") == "true",
+          progress = progress)
         q.awaitTermination()
       case "refresh" =>
         pipe.refresh(rest).foreach { case (t, n) => println(s"refreshed $t: $n rows") }

@@ -1,0 +1,78 @@
+package graft
+
+import graft.cdc._
+import graft.model._
+import org.apache.spark.sql.types._
+
+/** The external progress channel (reference `progress/file.py` /
+  * `progress/redis.py`): a string hash other APPLICATIONS read to learn
+  * where a sync is — distinct from the checkpoint, which is private to
+  * the query. Both backends merge fields (redis HMSET semantics; the
+  * reference's file backend replace-drops sibling keys, deliberately not
+  * reproduced), and the publisher only ever writes COMMITTED batches. */
+class ProgressStoreSpec extends SparkSpec {
+
+  test("file store: set merges fields, get round-trips, absent file is empty") {
+    val store = new FileProgressStore(tmpDir("prog") + "/progress.json")
+    assert(store.get() === Map.empty)
+    store.set(Map("a" -> "1", "b" -> "x y\nz"))
+    store.set(Map("b" -> "2")) // merge: a survives, b overwritten
+    assert(store.get() === Map("a" -> "1", "b" -> "2"))
+  }
+
+  test("socket store: HSET merges into the live server hash, HGETALL " +
+    "round-trips values with whitespace") {
+    val server = new ProgressKvServer
+    try {
+      val store = new SocketProgressStore(s"localhost:${server.port}")
+      assert(store.get() === Map.empty)
+      store.set(Map("pos" -> """{"file": "binlog.01", "pos": 4}""", "x" -> "1"))
+      store.set(Map("x" -> "2"))
+      assert(store.get() ===
+        Map("pos" -> """{"file": "binlog.01", "pos": 4}""", "x" -> "2"))
+      assert(server.snapshot.size === 2)
+    } finally server.close()
+  }
+
+  test("pipeline publishes committed positions; a second application " +
+    "reads them and they advance across restarts") {
+    val root = tmpDir("progpipe")
+    val path = s"$root/progress.json"
+    val sync = SyncConfig("t", pk = "id", schema = Some(StructType(Seq(
+      StructField("id", IntegerType), StructField("v", IntegerType)))))
+    val src = new MemoryCdcSource(spark)
+    val pipe = new Pipeline(spark, PipelineConfig(Seq(sync)), src, s"$root/sink")
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+    def drain(events: ChangeEvent*): Unit = {
+      src.addEvents(events: _*)
+      val q = pipe.start(s"$root/ckpt",
+        progress = Some(new FileProgressStore(path)))
+      try q.processAllAvailable() finally q.stop()
+    }
+    def awaitBatch(reader: ProgressStore, id: Long): Map[String, String] = {
+      // the listener fires asynchronously after the commit; poll briefly
+      val deadline = System.currentTimeMillis() + 30000
+      var m = reader.get()
+      while (!m.get("batchId").contains(id.toString) &&
+             System.currentTimeMillis() < deadline) {
+        Thread.sleep(50); m = reader.get()
+      }
+      m
+    }
+
+    drain(ChangeEvent("create", "t", 1, ts("2024-01-01 00:00:00"), """{"id": 1, "v": 1}"""))
+    // the "other application": an independent store instance on the path
+    val reader = new FileProgressStore(path)
+    val m1 = awaitBatch(reader, 0L)
+    assert(m1.get("batchId").contains("0"), s"progress after batch 0: $m1")
+    assert(m1.contains("endOffset") && m1.contains("timestamp"))
+
+    drain(ChangeEvent("update", "t", 2, ts("2024-01-01 00:00:01"), """{"id": 1, "v": 2}"""))
+    val m2 = awaitBatch(reader, 1L)
+    assert(m2.get("batchId").contains("1"), s"progress after restart: $m2")
+    // and the sink really holds the committed state the store points at
+    assert(pipe.sinkState(sync).collect().toSeq ===
+      Seq(org.apache.spark.sql.Row(1, 2)))
+  }
+}
