@@ -130,7 +130,10 @@ object SparkEntry {
     "q_ann_pq"         -> ((s, d) => Similarity.pqTopK(s, d)),
     "q_retention"      -> ((s, d) => Relational.retention(s, d)),
     "q_outliers"       -> ((s, d) => Relational.outliers(s, d)),
-    "q_approx_percentile" -> ((s, d) => Relational.approxPercentiles(s, d))
+    "q_approx_percentile" -> ((s, d) => Relational.approxPercentiles(s, d)),
+    "q_rrf_fusion"     -> ((s, d) => Similarity.hybridRetrieve(s, d)),
+    "q_hard_negatives" -> ((s, d) => Similarity.hardNegatives(s, d)),
+    "q_pmi_collocations" -> ((s, d) => TextAnalysis.pmiCollocations(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1216,6 +1219,89 @@ object SparkEntry {
         |       FROM tf JOIN df USING (w), s)
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms, round(sum(sco), 4) AS bm25
         |FROM sc GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // Reciprocal-rank fusion of the BM25 leg (q_bm25's oracle, ranked) and
+    // a single-query cosine leg (q_ann_topk's shape): both rank lists are
+    // assigned on 4-dp-rounded scores with id tie-breaks, and absent-list
+    // membership is rank 0, so the fused surface is engine-deterministic.
+    "q_rrf_fusion" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |s AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(len(t)) AS avgdl FROM d),
+        |e AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl, unnest(t) AS w FROM d),
+        |tf AS (SELECT doc_id, dl, w, CAST(count(*) AS DOUBLE) AS tf FROM e
+        |       WHERE w IN ('spark', 'join', 'stream') GROUP BY 1, 2, 3),
+        |df AS (SELECT w, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+        |sc AS (SELECT tf.doc_id,
+        |         ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0) * tf.tf * (1.2 + 1.0) /
+        |           (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / s.avgdl)) AS sco
+        |       FROM tf JOIN df USING (w), s),
+        |bm AS (SELECT doc_id, round(sum(sco), 4) AS bm25 FROM sc GROUP BY 1),
+        |lex AS (SELECT id, lex_rank FROM
+        |          (SELECT doc_id AS id, CAST(row_number() OVER
+        |             (ORDER BY bm25 DESC, doc_id) AS INT) AS lex_rank FROM bm)
+        |        WHERE lex_rank <= 50),
+        |ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS norm FROM ev),
+        |cs AS (SELECT c.vec_id AS id,
+        |         round(list_dot_product(q.v, c.v) / (q.norm * c.norm), 4) + 0.0 AS cos
+        |       FROM n c JOIN n q ON q.vec_id = 0 AND c.vec_id <> 0),
+        |sem AS (SELECT id, sem_rank FROM
+        |          (SELECT id, CAST(row_number() OVER
+        |             (ORDER BY cos DESC, id) AS INT) AS sem_rank FROM cs)
+        |        WHERE sem_rank <= 50),
+        |f AS (SELECT coalesce(lex.id, sem.id) AS doc_id,
+        |        coalesce(lex_rank, 0) AS lex_rank, coalesce(sem_rank, 0) AS sem_rank
+        |      FROM lex FULL OUTER JOIN sem ON lex.id = sem.id),
+        |r AS (SELECT doc_id, lex_rank, sem_rank,
+        |        round((CASE WHEN lex_rank > 0
+        |                 THEN CAST(1.0 AS DOUBLE) / (60 + lex_rank) ELSE 0.0 END)
+        |            + (CASE WHEN sem_rank > 0
+        |                 THEN CAST(1.0 AS DOUBLE) / (60 + sem_rank) ELSE 0.0 END), 4) AS rrf
+        |      FROM f)
+        |SELECT CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INT) AS rank,
+        |  doc_id, lex_rank, sem_rank, rrf
+        |FROM r ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
+
+    // Hard negatives: q_ann_topk's exact-cosine ranking with the label
+    // exclusion as the join predicate; ranks on unrounded cosine (the
+    // sequential-fold dot is bit-identical across engines), id tie-break.
+    "q_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, label, v,
+        |        sqrt(list_sum(list_transform(v, x -> x * x))) AS norm FROM e),
+        |s AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id, c.label AS n_label,
+        |        list_dot_product(q.v, c.v) / (q.norm * c.norm) AS cos
+        |      FROM n q JOIN n c ON q.label <> c.label WHERE q.vec_id < 10),
+        |r AS (SELECT q_id, n_id, n_label, cos,
+        |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+        |      FROM s)
+        |SELECT q_id, CAST(rank AS INT) AS rank, n_id, n_label,
+        |  round(cos, 4) + 0.0 AS cosine
+        |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    // PMI collocations: integer corpus counts feed one fixed-order double
+    // expression (joint / (marginal*marginal)) rounded at 4 dp; ties broken
+    // by the word pair.
+    "q_pmi_collocations" ->
+      """WITH d AS (SELECT string_split(text, ' ') AS t FROM documents),
+        |uni AS (SELECT w, count(*) AS cw FROM
+        |          (SELECT unnest(t) AS w FROM d) GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cw) AS DOUBLE) AS n_tok FROM uni),
+        |bp AS (SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+        |         i -> t[i] || ' ' || t[i+1])) AS pr
+        |       FROM d WHERE len(t) >= 2),
+        |big AS (SELECT split_part(pr, ' ', 1) AS w1, split_part(pr, ' ', 2) AS w2,
+        |          count(*) AS cab FROM bp GROUP BY 1, 2),
+        |np AS (SELECT CAST(sum(cab) AS DOUBLE) AS n_pair FROM big),
+        |sc AS (SELECT w1, w2, cab,
+        |         round(ln((cab / np.n_pair) /
+        |           ((c1.cw / tot.n_tok) * (c2.cw / tot.n_tok))), 4) + 0.0 AS pmi
+        |       FROM big JOIN uni c1 ON big.w1 = c1.w
+        |         JOIN uni c2 ON big.w2 = c2.w, tot, np
+        |       WHERE cab >= 5),
+        |r AS (SELECT *, row_number() OVER (ORDER BY pmi DESC, w1, w2) AS rank FROM sc)
+        |SELECT CAST(rank AS INT) AS rank, w1, w2, CAST(cab AS BIGINT) AS pair_count, pmi
+        |FROM r WHERE rank <= 25 ORDER BY rank""".stripMargin,
 
     // BPE merge statistic: integer-weighted char-pair counts over the
     // distinct-token table — exact in any engine; ties broken by pair.

@@ -426,4 +426,84 @@ object Similarity {
         // distinguish them even though -0.0 == 0.0
         (round(avg(col("v")), 4) + lit(0.0)).as("centroid"))
       .orderBy(col("label"), col("dim"))
+
+  /** Hybrid retrieval with reciprocal-rank fusion (Cormack et al., SIGIR
+    * 2009): fuse the lexical BM25 ranking ([[TextAnalysis.bm25]]) with the
+    * semantic cosine ranking against one query embedding by
+    * `rrf(d) = Σ_lists 1 / (rrfK + rank_list(d))` — the standard RAG
+    * retrieval front end (sparse+dense fusion), which neither list alone
+    * provides. Documents absent from a list contribute 0 for it and report
+    * rank 0 (never null, so the fused row set is total).
+    *
+    * Shape at scale: each leg is already scale-correct on its own — BM25 is
+    * one tf shuffle with broadcast df/corpus stats, the semantic leg is a
+    * broadcast single-query corpus scan — and each is cut to its top-N by
+    * TakeOrderedAndProject BEFORE fusion, so the full-outer fusion join and
+    * final re-rank run over ≤ 2N rows regardless of corpus size. Ranks are
+    * assigned on 4-dp-rounded scores with id tie-breaks, so both rank lists
+    * (and hence the fusion) are engine-deterministic. */
+  def hybridRetrieve(spark: SparkSession, dir: String,
+                     query: Seq[String] = Seq("spark", "join", "stream"),
+                     queryVecId: Long = 0L, topN: Int = 50, k: Int = 20,
+                     rrfK: Int = 60): DataFrame = {
+    val wLex = Window.orderBy(col("bm25").desc, col("doc_id"))
+    val lex = TextAnalysis.bm25(spark, dir, query)
+      .orderBy(col("bm25").desc, col("doc_id")).limit(topN)
+      .select(col("doc_id").as("id"), row_number().over(wLex).as("lex_rank"))
+    val e = withVec(spark, dir)
+    val q = e.filter(col("vec_id") === queryVecId).alias("q")
+    val c = e.filter(col("vec_id") =!= queryVecId).alias("c")
+    val wSem = Window.orderBy(col("cos").desc, col("id"))
+    // + 0.0 collapses IEEE negative zero BEFORE the rank sort: Spark's
+    // double comparator orders -0.0 < 0.0 while the oracle engine may not,
+    // and a rounded cosine near zero can land on either
+    val sem = c.join(broadcast(q))
+      .select(col("c.vec_id").as("id"), (round(cosine, 4) + lit(0.0)).as("cos"))
+      .orderBy(col("cos").desc, col("id")).limit(topN)
+      .select(col("id"), row_number().over(wSem).as("sem_rank"))
+    val wFin = Window.orderBy(col("rrf").desc, col("doc_id"))
+    lex.join(sem, Seq("id"), "full_outer")
+      .select(col("id").as("doc_id"),
+        coalesce(col("lex_rank"), lit(0)).as("lex_rank"),
+        coalesce(col("sem_rank"), lit(0)).as("sem_rank"))
+      // lex term first, then sem: fixed addition order so the rounded sum
+      // is bit-identical in any engine evaluating the same two terms
+      .withColumn("rrf", round(
+        when(col("lex_rank") > 0,
+          lit(1.0) / (lit(rrfK) + col("lex_rank"))).otherwise(lit(0.0)) +
+          when(col("sem_rank") > 0,
+            lit(1.0) / (lit(rrfK) + col("sem_rank"))).otherwise(lit(0.0)), 4))
+      .orderBy(col("rrf").desc, col("doc_id")).limit(k)
+      .withColumn("rank", row_number().over(wFin))
+      .select(col("rank"), col("doc_id"), col("lex_rank"), col("sem_rank"),
+        col("rrf"))
+      .orderBy(col("rank"))
+  }
+
+  /** Hard-negative mining for contrastive training (the DPR/Contriever
+    * recipe): for each query vector, the top-k most-similar corpus vectors
+    * with a DIFFERENT label — the near-miss negatives a bi-encoder learns
+    * most from (random negatives are trivially separable; same-label rows
+    * are positives, not negatives). Same broadcast-query/one-corpus-scan
+    * shape as [[bruteForceTopK]] — no corpus shuffle, per-query ranking
+    * over ~numQueries·k rows — with the label exclusion as a join
+    * predicate, so same-label rows are dropped before the dot-product fold
+    * ever runs. */
+  def hardNegatives(spark: SparkSession, dir: String,
+                    numQueries: Int = 10, k: Int = 5): DataFrame = {
+    val e = withVec(spark, dir)
+    val q = e.filter(col("vec_id") < numQueries).alias("q")
+    val c = e.alias("c")
+    val scored = c.join(broadcast(q), col("q.label") =!= col("c.label"))
+      .select(col("q.vec_id").as("q_id"), col("c.vec_id").as("n_id"),
+        col("c.label").as("n_label"), cosine.as("cos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      // + 0.0: a near-zero negative cosine rounds to IEEE -0.0, which the
+      // gate's sort keys distinguish from 0.0 even though -0.0 == 0.0
+      .select(col("q_id"), col("rank"), col("n_id"), col("n_label"),
+        (round(col("cos"), 4) + lit(0.0)).as("cosine"))
+      .orderBy(col("q_id"), col("rank"))
+  }
 }

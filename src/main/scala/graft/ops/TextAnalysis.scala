@@ -780,6 +780,59 @@ object TextAnalysis {
       .orderBy(col("rank"))
   }
 
+  /** PMI collocation mining (Church & Hanks 1990): the top-k adjacent word
+    * bigrams by pointwise mutual information,
+    * `pmi(a,b) = ln( P(a,b) / (P(a)·P(b)) )` with P estimated from corpus
+    * counts — the classic collocation detector ("multi-word expression"
+    * finder) a tokenizer-vocabulary or phrase-mining pass runs over a
+    * training corpus. A `minCount` floor removes the low-frequency noise
+    * PMI is notoriously dominated by.
+    *
+    * Shape at scale: two aggregations — unigrams (vocabulary-sized keys)
+    * and adjacent bigrams (pair-sized keys, exploded via one HOF, no
+    * self-join) — then the pair table re-joined to the unigram table twice
+    * on word keys: everything is linear in the corpus with standard keyed
+    * shuffles (the unigram side is NOT broadcast: web-scale vocabularies
+    * are executor-memory-sized). Corpus totals are two 1-row aggregates
+    * cross-joined broadcast. Top-k is TakeOrderedAndProject; all counts
+    * are integers, so pmi is one deterministic double expression. */
+  def pmiCollocations(spark: SparkSession, dir: String, minCount: Int = 5,
+                      topK: Int = 25): DataFrame = {
+    val toks = Tables(spark, dir, "documents")
+      .select(split(col("text"), " ").as("t"))
+    val uni = toks.select(explode(col("t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cw"))
+    val totals = uni.agg(sum(col("cw")).cast("double").as("n_tok"))
+    // guard 1-token docs: sequence(1, 0) counts DOWN in Spark (the
+    // Round4OpsSpec-documented trap), so filter before exploding
+    val big = toks.filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(t) - 1), " +
+          "i -> struct(t[i - 1] AS a, t[i] AS b))")).as("p"))
+      .groupBy(col("p.a").as("w1"), col("p.b").as("w2"))
+      .agg(count(lit(1)).as("cab"))
+    val nPairs = big.agg(sum(col("cab")).cast("double").as("n_pair"))
+    val w = Window.orderBy(col("pmi").desc, col("w1"), col("w2"))
+    big.filter(col("cab") >= minCount)
+      .join(uni.withColumnRenamed("w", "w1").withColumnRenamed("cw", "c1"),
+        Seq("w1"))
+      .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("cw", "c2"),
+        Seq("w2"))
+      .crossJoin(broadcast(totals)).crossJoin(broadcast(nPairs))
+      // fixed association order (joint / (marginal·marginal)) so the double
+      // is bit-identical across engines before the 4-dp round
+      // + 0.0 collapses IEEE negative zero (a pmi rounding to -0.0 would
+      // sort and hash differently across engines)
+      .withColumn("pmi", round(log(
+        (col("cab") / col("n_pair")) /
+          ((col("c1") / col("n_tok")) * (col("c2") / col("n_tok")))), 4) + lit(0.0))
+      .orderBy(col("pmi").desc, col("w1"), col("w2")).limit(topK)
+      .withColumn("rank", row_number().over(w))
+      .select(col("rank"), col("w1"), col("w2"),
+        col("cab").as("pair_count"), col("pmi"))
+      .orderBy(col("rank"))
+  }
+
   /** Per-source corpus profile — the ingest-monitoring dashboard for a
     * crawl pipeline: volume, size, language spread and exact-dup rate per
     * source. Distinct content is counted via xxhash64(text), not the text

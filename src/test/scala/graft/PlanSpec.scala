@@ -335,4 +335,36 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
       p.take(3000))
   }
+
+  test("rrf fusion: both retrieval legs are cut by TakeOrderedAndProject " +
+    "before the fusion join; corpus-side stats arrive broadcast") {
+    val p = plan("q_rrf_fusion")
+    // one top-N per leg: neither leg may global-sort the corpus
+    assert("TakeOrderedAndProject".r.findAllIn(p).size >= 2, p.take(3000))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("hard negatives: query side broadcast, corpus never shuffled " +
+    "before scoring") {
+    val p = plan("q_hard_negatives")
+    // label-inequality is a non-equi predicate: the legal shapes are a
+    // broadcast nested-loop of the TINY query side, never a cartesian
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("pmi collocations: top-k is TakeOrderedAndProject; corpus totals " +
+    "broadcast; no nested-loop on the pair-to-vocabulary joins") {
+    val p = plan("q_pmi_collocations")
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+    // the two 1-row totals cross-join broadcast
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2, p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    // pair->unigram joins are keyed (hash or sort-merge), not nested-loop
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      p.take(3000))
+  }
 }

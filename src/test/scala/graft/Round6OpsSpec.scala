@@ -1,0 +1,146 @@
+package graft
+
+import graft.ops.{Similarity, Tables, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Round-6 additions: hybrid retrieval (reciprocal-rank fusion of the BM25
+  * and cosine legs), hard-negative mining, and PMI collocation mining. The
+  * DuckDB oracle pins exact values; these specs pin the closed forms and
+  * the structural contracts driver-side, so a fixture change points at the
+  * violated property rather than a bare hash mismatch. */
+class Round6OpsSpec extends SparkSpec {
+
+  private def round4(x: Double): Double =
+    BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private def embeddings(): Array[(Long, Int, Array[Double])] =
+    Tables(spark, sf, "embeddings").collect().map { r =>
+      (r.getLong(0),
+        r.getInt(2),
+        r.getSeq[Float](1).map(_.toDouble).toArray)
+    }
+
+  // the same sequential-fold dot/norm graft_dot/graft_norm evaluate, so the
+  // doubles are bit-identical with the operator's
+  private def cos(a: Array[Double], b: Array[Double]): Double = {
+    var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    d / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  test("rrf fusion: score is the closed form of its two rank legs, ranks " +
+    "contiguous, both legs represented in the fixture's fused head") {
+    val rows = Similarity.hybridRetrieve(spark, sf).collect()
+    assert(rows.length === 20)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val (rank, lex, sem, rrf) =
+        (r.getInt(0), r.getInt(2), r.getInt(3), r.getDouble(4))
+      assert(rank === i + 1, "ranks must be contiguous from 1")
+      assert(lex > 0 || sem > 0, "membership only ever comes from a leg")
+      val expect = round4(
+        (if (lex > 0) 1.0 / (60 + lex) else 0.0) +
+          (if (sem > 0) 1.0 / (60 + sem) else 0.0))
+      assert(rrf === expect, s"row $r must equal its closed form")
+    }
+    val rrfs = rows.map(_.getDouble(4))
+    assert(rrfs.zip(rrfs.tail).forall { case (a, b) => a >= b },
+      "fused scores must be non-increasing")
+    assert(rows.exists(_.getInt(2) > 0) && rows.exists(_.getInt(3) > 0),
+      "fixture head must draw from both the lexical and the semantic leg")
+    // docs in BOTH legs outrank a doc seen by one leg at the same position
+    assert(rows.exists(r => r.getInt(2) > 0 && r.getInt(3) > 0),
+      "fixture is known to have lexical-semantic overlap in the head")
+  }
+
+  test("rrf fusion: the lexical leg is exactly the standalone BM25 " +
+    "operator's top-50 ranking") {
+    val lexRank = TextAnalysis.bm25(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+      .sortBy { case (id, s) => (-s, id) }
+      .take(50).zipWithIndex
+      .map { case ((id, _), i) => id -> (i + 1) }.toMap
+    Similarity.hybridRetrieve(spark, sf).collect().foreach { r =>
+      assert(r.getInt(2) === lexRank.getOrElse(r.getLong(1), 0),
+        s"lex_rank mismatch for doc ${r.getLong(1)}")
+    }
+  }
+
+  test("rrf fusion: the semantic leg is the rounded-cosine ranking " +
+    "against query vector 0") {
+    val e = embeddings()
+    val q = e.find(_._1 == 0L).get._3
+    val semRank = e.filter(_._1 != 0L)
+      .map { case (id, _, v) => (id, round4(cos(q, v))) }
+      .sortBy { case (id, c) => (-c, id) }
+      .take(50).zipWithIndex
+      .map { case ((id, _), i) => id -> (i + 1) }.toMap
+    Similarity.hybridRetrieve(spark, sf).collect().foreach { r =>
+      assert(r.getInt(3) === semRank.getOrElse(r.getLong(1), 0),
+        s"sem_rank mismatch for doc ${r.getLong(1)}")
+    }
+  }
+
+  test("hard negatives: every negative crosses the label boundary and " +
+    "each query's list is the true different-label cosine top-5") {
+    val e = embeddings()
+    val labelOf = e.map { case (id, l, _) => id -> l }.toMap
+    val byQuery = Similarity.hardNegatives(spark, sf).collect()
+      .groupBy(_.getLong(0))
+    assert(byQuery.keySet === (0L until 10L).toSet)
+    byQuery.foreach { case (qid, rows) =>
+      val qVec = e.find(_._1 == qid).get._3
+      val qLabel = labelOf(qid)
+      val expect = e.filter { case (id, l, _) => l != qLabel }
+        .map { case (id, l, v) => (id, l, cos(qVec, v)) }
+        .sortBy { case (id, _, c) => (-c, id) }
+        .take(5)
+      val got = rows.sortBy(_.getInt(1))
+      assert(got.length === 5)
+      got.zip(expect).zipWithIndex.foreach { case ((g, (id, l, c)), i) =>
+        assert(g.getInt(1) === i + 1)
+        assert(g.getLong(2) === id, s"query $qid rank ${i + 1}")
+        assert(g.getInt(3) === l)
+        assert(g.getInt(3) !== qLabel, "a negative must cross the label boundary")
+        assert(g.getDouble(4) === round4(c) + 0.0)
+      }
+    }
+  }
+
+  test("pmi collocations: counts respect the floor and pmi equals the " +
+    "closed form over driver-recomputed corpus counts") {
+    val texts = Tables(spark, sf, "documents")
+      .select(col("text")).collect().map(_.getString(0))
+    val uni = scala.collection.mutable.Map.empty[String, Long]
+    val big = scala.collection.mutable.Map.empty[(String, String), Long]
+    texts.foreach { t =>
+      val w = t.split(" ", -1)
+      w.foreach(x => uni(x) = uni.getOrElse(x, 0L) + 1)
+      w.sliding(2).foreach {
+        case Array(a, b) => big((a, b)) = big.getOrElse((a, b), 0L) + 1
+        case _ =>
+      }
+    }
+    val nTok = uni.values.sum.toDouble
+    val nPair = big.values.sum.toDouble
+    val got = TextAnalysis.pmiCollocations(spark, sf).collect()
+    assert(got.nonEmpty && got.length <= 25)
+    got.zipWithIndex.foreach { case (r, i) =>
+      val (rank, w1, w2, cab, pmi) = (r.getInt(0), r.getString(1),
+        r.getString(2), r.getLong(3), r.getDouble(4))
+      assert(rank === i + 1)
+      assert(cab >= 5, "minCount floor")
+      assert(cab === big((w1, w2)), s"pair count for ($w1,$w2)")
+      val expect = round4(math.log(
+        (cab / nPair) / ((uni(w1) / nTok) * (uni(w2) / nTok)))) + 0.0
+      assert(pmi === expect, s"pmi closed form for ($w1,$w2)")
+    }
+    val pmis = got.map(_.getDouble(4))
+    assert(pmis.zip(pmis.tail).forall { case (a, b) => a >= b })
+    // and the head is the true argmax over ALL eligible pairs
+    val best = big.filter(_._2 >= 5).map { case ((a, b), c) =>
+      ((a, b), round4(math.log((c / nPair) / ((uni(a) / nTok) * (uni(b) / nTok)))) + 0.0)
+    }.toSeq.sortBy { case ((a, b), p) => (-p, a, b) }.head
+    assert((got.head.getString(1), got.head.getString(2)) === best._1)
+    assert(got.head.getDouble(4) === best._2)
+  }
+}
