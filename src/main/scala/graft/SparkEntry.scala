@@ -133,14 +133,18 @@ object SparkEntry {
     "q_approx_percentile" -> ((s, d) => Relational.approxPercentiles(s, d)),
     "q_rrf_fusion"     -> ((s, d) => Similarity.hybridRetrieve(s, d)),
     "q_hard_negatives" -> ((s, d) => Similarity.hardNegatives(s, d)),
-    "q_pmi_collocations" -> ((s, d) => TextAnalysis.pmiCollocations(s, d))
+    "q_pmi_collocations" -> ((s, d) => TextAnalysis.pmiCollocations(s, d)),
+    // rows-only: encodes with the merge table learned by the iterative fit
+    // (inexpressible in DuckDB); Round6OpsSpec re-encodes driver-side
+    "q_bpe_encode"     -> ((s, d) => TextAnalysis.bpeEncode(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted (rows-only check) only where the
     * output depends on seed-bound or float-iteration state: q_ann_lsh,
-    * q_kmeans_profile, q_bpe_fit — each pinned instead by a property spec
-    * (recall-floor/objective-improvement/textbook-merges). The simhash and
+    * q_kmeans_profile, q_bpe_fit, q_bpe_encode — each pinned instead by a
+    * property spec (recall-floor/objective-improvement/textbook-merges/
+    * driver-side re-encode). The simhash and
     * winnow queries, formerly rows-only because they hashed with Spark's
     * xxhash64, now hash with an md5 prefix (graft.functions.Md5Hash60 ==
     * DuckDB `CAST('0x' || substr(md5(s),1,15) AS BIGINT)`) and are

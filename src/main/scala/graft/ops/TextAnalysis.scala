@@ -756,6 +756,63 @@ object TextAnalysis {
         StructField("freq", LongType, nullable = false))))
   }
 
+  /** BPE tokenizer APPLICATION — the other half of [[bpeFit]]: take the
+    * learned merge table and encode the corpus with it, reporting per-doc
+    * true-tokenizer statistics (BPE token count, chars-per-token
+    * compression) — the numbers a training pipeline actually budgets with
+    * (mixture weights, packing, cost estimates all count TOKENIZER tokens,
+    * not whitespace words). Merges apply in learned priority order, each
+    * as the same greedy left-to-right fold the trainer re-segments with.
+    *
+    * Shape at scale: encoding happens on the DISTINCT-word table, never
+    * the corpus — each vocabulary word is encoded once (M chained folds in
+    * one projection, no shuffle) and the corpus only pays a word-keyed
+    * join of exploded tokens against that map, then one per-doc count
+    * aggregate. A trillion-token corpus with a million-word vocabulary
+    * does a million encodes and one linear join — the same
+    * vocabulary-not-corpus inversion that makes the trainer feasible.
+    *
+    * The merge table is DATA, not code: one array literal folded by a
+    * doubly-nested `aggregate` HOF — outer over merges, inner the same
+    * greedy left-to-right fold [[bpeFit]] re-segments with, so trainer
+    * and encoder can never disagree on merge semantics. Expression depth
+    * is constant however many merges were learned: a real 30k-merge table
+    * compiles the same two-level expression, where a fold-per-merge chain
+    * would nest 30k deep (measured at 8 merges: the chain costs ~27 s of
+    * first-run analysis/compile, this shape does not). No oracle (the
+    * merge table comes from the iterative fit DuckDB cannot express);
+    * Round6OpsSpec re-encodes the vocabulary driver-side and pins doc
+    * stats exactly. */
+  def bpeEncode(spark: SparkSession, dir: String, merges: Int = 8): DataFrame = {
+    val table = bpeFit(spark, dir, merges).collect()
+      .sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2)))
+    val words = Tables(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("tok")).distinct()
+    val mergeArr = array(table.map { case (a, b) =>
+      struct(lit(a).as("a"), lit(b).as("b"))
+    }: _*)
+    val encoded = aggregate(mergeArr, split(col("tok"), ""),
+      (syms, m) => aggregate(syms,
+        expr("cast(array() as array<string>)"),
+        (acc, x) => when(
+          size(acc) > 0 && element_at(acc, -1) === m.getField("a") &&
+            x === m.getField("b"),
+          concat(slice(acc, lit(1), size(acc) - 1),
+            array(concat(m.getField("a"), m.getField("b")))))
+          .otherwise(concat(acc, array(x)))))
+    val lens = words.select(col("tok"), size(encoded).cast("long").as("n_sym"))
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
+        explode(split(col("text"), " ")).as("tok"))
+      .join(lens, Seq("tok"))
+      .groupBy(col("doc_id"), col("n_chars"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sym")).as("n_tokens"))
+      .select(col("doc_id"), col("n_words"), col("n_tokens"),
+        round(col("n_chars").cast("double") / col("n_tokens"), 4)
+          .as("chars_per_token"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Corpus vocabulary coverage — the Zipf head report: top-k tokens by
     * corpus frequency with per-token and cumulative probability mass (how
     * much of the corpus the first k vocabulary entries explain — the

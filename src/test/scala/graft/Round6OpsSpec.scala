@@ -106,6 +106,45 @@ class Round6OpsSpec extends SparkSpec {
     }
   }
 
+  test("bpe encode: driver-side re-encode with the learned merge table " +
+    "reproduces every doc's token stats exactly") {
+    val table = TextAnalysis.bpeFit(spark, sf, 8).collect()
+      .sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2)))
+    assert(table.nonEmpty, "the fixture must yield learnable merges")
+    // the same greedy left-to-right single-merge fold the operator (and
+    // the trainer) applies, re-implemented independently
+    def encode(tok: String): Long = {
+      var syms: Vector[String] = tok.split("").toVector
+      table.foreach { case (a, b) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        syms.foreach { x =>
+          if (out.nonEmpty && out.last == a && x == b)
+            out(out.length - 1) = a + b
+          else out += x
+        }
+        syms = out.toVector
+      }
+      syms.length.toLong
+    }
+    val texts = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+    val got = TextAnalysis.bpeEncode(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.size === texts.length, "every doc must report")
+    texts.foreach { r =>
+      val (id, text) = (r.getLong(0), r.getString(1))
+      val words = text.split(" ", -1)
+      val nTok = words.map(encode).sum
+      assert(got(id) === ((words.length.toLong, nTok,
+        round4(text.length.toDouble / nTok))), s"doc $id")
+    }
+    // and the merges must actually compress: fewer BPE tokens than chars
+    assert(texts.exists { r =>
+      got(r.getLong(0))._2 < r.getString(1).replace(" ", "").length
+    }, "learned merges should compress at least one fixture doc")
+  }
+
   test("pmi collocations: counts respect the floor and pmi equals the " +
     "closed form over driver-recomputed corpus counts") {
     val texts = Tables(spark, sf, "documents")
