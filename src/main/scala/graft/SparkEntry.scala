@@ -62,6 +62,7 @@ object SparkEntry {
     "q_dedup_ngram"    -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "q_dedup_pipeline" -> ((s, d) => Dedup.dedupPipeline(s, d)),
     "q_dedup_cluster"  -> ((s, d) => Dedup.nearDupClusters(s, d)),
+    "q_dedup_apply"    -> ((s, d) => Dedup.dedupApply(s, d)),
     "q_dedup_ngram_prefix" -> ((s, d) => Dedup.ngramJaccardPrefix(s, d)),
     "q_dedup_minhash"  -> ((s, d) => Dedup.minhashLsh(s, d)),
     "q_simhash"        -> ((s, d) => Dedup.simhash(s, d)),
@@ -555,6 +556,33 @@ object SparkEntry {
         |  SELECT r.src, e.b FROM reach r JOIN e ON e.a = r.dst)
         |SELECT src AS doc_id, min(dst) AS cluster
         |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // The dedup ACTION: q_dedup_cluster's component labels left-joined back
+    // to the corpus — kept = doc is its cluster's min-id representative.
+    "q_dedup_apply" ->
+      """WITH RECURSIVE d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |s AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - 2),
+        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh FROM d),
+        |p AS (SELECT doc_id, n_sh, shingle FROM
+        |        (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM s)
+        |      QUALIFY count(*) OVER (PARTITION BY shingle) <= 128),
+        |j AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb,
+        |        count(*) AS c
+        |      FROM p a JOIN p b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2, 3, 4),
+        |pr AS (SELECT doc_a, doc_b FROM j
+        |       WHERE round(CAST(c AS DOUBLE) / (na + nb - c), 4) >= 0.5),
+        |e AS (SELECT doc_a AS a, doc_b AS b FROM pr
+        |      UNION ALL SELECT doc_b, doc_a FROM pr),
+        |reach(src, dst) AS (
+        |  SELECT a, a FROM (SELECT DISTINCT a FROM e)
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN e ON e.a = r.dst),
+        |cl AS (SELECT src AS doc_id, min(dst) AS cluster FROM reach GROUP BY 1)
+        |SELECT d.doc_id, coalesce(cl.cluster, d.doc_id) AS cluster,
+        |  coalesce(cl.cluster, d.doc_id) = d.doc_id AS kept
+        |FROM d LEFT JOIN cl ON d.doc_id = cl.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q_embed_dup" ->
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),

@@ -411,6 +411,31 @@ object Dedup {
     labels.orderBy(col("doc")).select(col("doc").as("doc_id"), col("cluster"))
   }
 
+  /** The dedup ACTION — the step that actually ships a training corpus:
+    * every document's disposition after near-dup clustering. Each doc
+    * reports its cluster label (its own id when it is in no dup cluster)
+    * and `kept` — true iff it is the canonical min-id representative of
+    * its cluster. Filtering `kept` is the surviving corpus; the full
+    * disposition is emitted (not just survivors) because the drop LIST is
+    * what audits, lineage manifests and ablation studies need.
+    *
+    * Shape at scale: [[nearDupClusters]]'s label table is dup-graph-sized;
+    * attaching it back is ONE left join keyed on doc_id against the corpus
+    * — linear, no new shuffle structure. Not broadcast deliberately: a
+    * heavily-duplicated crawl can put 30%+ of the corpus in the label
+    * table, far past executor memory; the keyed join is the shape that
+    * never falls over. */
+  def dedupApply(spark: SparkSession, dir: String,
+                 threshold: Double = 0.5): DataFrame = {
+    val clusters = nearDupClusters(spark, dir, threshold)
+    Tables(spark, dir, "documents").select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster"), col("doc_id")).as("cluster"),
+        (coalesce(col("cluster"), col("doc_id")) === col("doc_id")).as("kept"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Connected components via alternating large-star / small-star rounds
     * (Kiveris et al., "Connected Components in MapReduce and Beyond",
     * SoCC'14): output-identical to [[nearDupClusters]] but converges in

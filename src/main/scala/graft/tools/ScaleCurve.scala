@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   * super-linear term (pair blowup, driver state) bends the curve long
   * before 100 TB does. Dev tool; results recorded in SCALE.md.
   *
-  * Usage: runMain graft.tools.ScaleCurve [factors csv, default 1,10,100] [neardup] [stream] [bpe]
+  * Usage: runMain graft.tools.ScaleCurve [factors csv, default 1,10,100] [neardup] [stream] [bpe] [r6]
   *   `neardup` adds the near-dup composite (decontaminate + dup-span) at
   *   each factor — the standing per-round stress entry for the near-dup
   *   tier's scale curve (VERDICT r4 item 7). `stream` adds the
@@ -32,6 +32,7 @@ object ScaleCurve {
     val nearDup = args.length > 1 && args.drop(1).contains("neardup")
     val stream = args.length > 1 && args.drop(1).contains("stream")
     val bpe = args.length > 1 && args.drop(1).contains("bpe")
+    val r6 = args.length > 1 && args.drop(1).contains("r6")
     // keep: leave the replicated tables on disk for stage profiling
     // (graft.tools.Profile <dir> prefix) instead of the default cleanup
     val keep = args.length > 1 && args.drop(1).contains("keep")
@@ -152,6 +153,46 @@ object ScaleCurve {
           spark, s"$sroot/state", halves(1), batchId = Some(1L)).count())
         sfs.delete(sp, true)
         ()
+      }
+
+      if (r6) {
+        // the round-6 operators. Expected slopes: pmi/hard_negatives/rrf
+        // legs linear in the corpus (scan/agg tiers); the rrf FUSION and
+        // each top-N constant; dedup_apply = flat pair graph (dissimilar
+        // replicas) + one linear disposition join.
+        if (fac != 1)
+          replicate(spark.read.parquet(s"$sf/embeddings.parquet"),
+            Set("vec_id"), fac, perturbText = false)
+            .repartition(64)
+            .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+        time("pmi_colloc", fac)(
+          graft.ops.TextAnalysis.pmiCollocations(spark, root).count())
+        time("rrf_fusion", fac)(
+          graft.ops.Similarity.hybridRetrieve(spark, root).count())
+        time("hard_negs", fac)(
+          graft.ops.Similarity.hardNegatives(spark, root).count())
+        time("dedup_apply", fac)(
+          graft.ops.Dedup.dedupApply(spark, root).count())
+        // duplicate-text replica (vocabulary constant, like the bpe tier):
+        // the encode phase must NOT grow with fac — only the corpus join
+        val edir = s"/tmp/graft-scalecurve-enc-$fac"
+        val eroot =
+          if (fac == 1) sf
+          else {
+            replicate(spark.read.parquet(s"$sf/documents.parquet"),
+              Set("doc_id"), fac, perturbText = false)
+              .repartition(64)
+              .write.mode("overwrite").parquet(s"$edir/documents.parquet")
+            edir
+          }
+        spark.read.parquet(s"$eroot/documents.parquet").count() // warm
+        time("bpe_encode", fac)(
+          graft.ops.TextAnalysis.bpeEncode(spark, eroot).count())
+        if (fac != 1 && !keep) {
+          val p = new org.apache.hadoop.fs.Path(edir)
+          p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+          ()
+        }
       }
 
       if (bpe) {

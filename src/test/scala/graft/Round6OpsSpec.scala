@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Similarity, Tables, TextAnalysis}
+import graft.ops.{Dedup, Similarity, Tables, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** Round-6 additions: hybrid retrieval (reciprocal-rank fusion of the BM25
@@ -104,6 +104,24 @@ class Round6OpsSpec extends SparkSpec {
         assert(g.getDouble(4) === round4(c) + 0.0)
       }
     }
+  }
+
+  test("dedup apply: total disposition, representatives are cluster " +
+    "minima and are themselves kept, drops exist in the fixture") {
+    val clusters = Dedup.nearDupClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = Dedup.dedupApply(spark, sf).collect()
+    assert(rows.length === Tables(spark, sf, "documents").count())
+    rows.foreach { r =>
+      val (id, cl, kept) = (r.getLong(0), r.getLong(1), r.getBoolean(2))
+      assert(cl === clusters.getOrElse(id, id), s"doc $id cluster label")
+      assert(kept === (cl == id), s"doc $id kept flag")
+    }
+    val keptSet = rows.filter(_.getBoolean(2)).map(_.getLong(0)).toSet
+    rows.foreach(r => assert(keptSet.contains(r.getLong(1)),
+      "every cluster label must itself be a kept representative"))
+    assert(rows.exists(!_.getBoolean(2)),
+      "fixture is known to contain near-dup clusters to drop")
   }
 
   test("bpe encode: driver-side re-encode with the learned merge table " +
