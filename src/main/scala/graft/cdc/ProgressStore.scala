@@ -79,8 +79,11 @@ final class SocketProgressStore(hostPort: String) extends ProgressStore {
   def set(fields: Map[String, String]): Unit =
     if (fields.nonEmpty) {
       val kv = fields.toSeq.flatMap { case (k, v) => Seq(enc(k), enc(v)) }
-      roundTrip(s"HSET ${kv.mkString(" ")}")(_.readLine()) // OK ack
-      ()
+      val ack = roundTrip(s"HSET ${kv.mkString(" ")}")(_.readLine())
+      // fail loud, not silent: a swallowed ERR here would look like a
+      // stalled sync to every downstream reader of the store
+      if (ack != "OK")
+        throw new IllegalStateException(s"progress HSET rejected: $ack")
     }
 
   def get(): Map[String, String] =
@@ -88,8 +91,11 @@ final class SocketProgressStore(hostPort: String) extends ProgressStore {
       val b = Map.newBuilder[String, String]
       var line = in.readLine()
       while (line != null) {
-        val Array(k, v) = line.split('\t')
-        b += dec(k) -> dec(v)
+        // split at the FIRST tab only — an empty value yields "k\t" whose
+        // split-array has one element, and values themselves never contain
+        // raw tabs (URL-encoded on the wire)
+        val i = line.indexOf('\t')
+        b += dec(line.substring(0, i)) -> dec(line.substring(i + 1))
         line = in.readLine()
       }
       b.result()
@@ -117,7 +123,10 @@ final class ProgressKvServer {
           val out = new java.io.PrintWriter(sock.getOutputStream, true)
           val req = in.readLine()
           if (req != null) {
-            val parts = req.trim.split(' ')
+            // limit -1 keeps trailing empty fields: an empty (URL-encoded
+            // zero-length) value in last position must not be trim/split
+            // away, or the preceding key is silently dropped
+            val parts = req.split(" ", -1)
             parts(0) match {
               case "HSET" =>
                 hash.synchronized {

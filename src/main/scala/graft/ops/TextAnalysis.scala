@@ -788,6 +788,20 @@ object TextAnalysis {
       .sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2)))
     val words = Tables(spark, dir, "documents")
       .select(explode(split(col("text"), " ")).as("tok")).distinct()
+    // guard the degenerate corpus (no 2-symbol token anywhere -> no
+    // learnable merges): an empty array() literal is ArrayType(NullType)
+    // and the fold's m.getField would fail analysis — encode as raw chars
+    if (table.isEmpty)
+      return Tables(spark, dir, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_words"),
+          size(split(regexp_replace(col("text"), " ", ""), ""))
+            .cast("long").as("n_tokens"),
+          length(col("text")).cast("long").as("n_chars"))
+        .select(col("doc_id"), col("n_words"), col("n_tokens"),
+          round(col("n_chars").cast("double") / col("n_tokens"), 4)
+            .as("chars_per_token"))
+        .orderBy(col("doc_id"))
     val mergeArr = array(table.map { case (a, b) =>
       struct(lit(a).as("a"), lit(b).as("b"))
     }: _*)

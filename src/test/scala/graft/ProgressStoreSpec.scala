@@ -27,10 +27,11 @@ class ProgressStoreSpec extends SparkSpec {
       val store = new SocketProgressStore(s"localhost:${server.port}")
       assert(store.get() === Map.empty)
       store.set(Map("pos" -> """{"file": "binlog.01", "pos": 4}""", "x" -> "1"))
-      store.set(Map("x" -> "2"))
+      store.set(Map("x" -> "2", "empty" -> "")) // empty values must round-trip
       assert(store.get() ===
-        Map("pos" -> """{"file": "binlog.01", "pos": 4}""", "x" -> "2"))
-      assert(server.snapshot.size === 2)
+        Map("pos" -> """{"file": "binlog.01", "pos": 4}""", "x" -> "2",
+          "empty" -> ""))
+      assert(server.snapshot.size === 3)
     } finally server.close()
   }
 

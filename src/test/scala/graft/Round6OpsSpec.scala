@@ -163,6 +163,18 @@ class Round6OpsSpec extends SparkSpec {
     }, "learned merges should compress at least one fixture doc")
   }
 
+  test("bpe encode: a corpus with no learnable merges (all 1-char words) " +
+    "degrades to character tokenization instead of failing analysis") {
+    val dir = tmpDir("bpedegen")
+    spark.createDataFrame(Seq((1L, "a b c"), (2L, "x y")))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.bpeEncode(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) === ((3L, 3L, round4(5.0 / 3))))
+    assert(got(2L) === ((2L, 2L, round4(3.0 / 2))))
+  }
+
   test("pmi collocations: counts respect the floor and pmi equals the " +
     "closed form over driver-recomputed corpus counts") {
     val texts = Tables(spark, sf, "documents")
