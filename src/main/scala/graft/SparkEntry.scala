@@ -135,6 +135,7 @@ object SparkEntry {
     "q_rrf_fusion"     -> ((s, d) => Similarity.hybridRetrieve(s, d)),
     "q_hard_negatives" -> ((s, d) => Similarity.hardNegatives(s, d)),
     "q_pmi_collocations" -> ((s, d) => TextAnalysis.pmiCollocations(s, d)),
+    "q_sem_dedup"      -> ((s, d) => Dedup.semDedup(s, d)),
     // rows-only: encodes with the merge table learned by the iterative fit
     // (inexpressible in DuckDB); Round6OpsSpec re-encodes driver-side
     "q_bpe_encode"     -> ((s, d) => TextAnalysis.bpeEncode(s, d))
@@ -1334,6 +1335,43 @@ object SparkEntry {
         |r AS (SELECT *, row_number() OVER (ORDER BY pmi DESC, w1, w2) AS rank FROM sc)
         |SELECT CAST(rank AS INT) AS rank, w1, w2, CAST(cab AS BIGINT) AS pair_count, pmi
         |FROM r WHERE rank <= 25 ORDER BY rank""".stripMargin,
+
+    // SemDeDup disposition: deterministic sign-cell clusters stand in for
+    // the paper's seed-bound k-means; keep-rule comparisons run on
+    // 4-dp-rounded cos-to-centroid with vec_id tie-breaks, so the kept
+    // flag is engine-exact. Centroid reassembly pairs unnest with
+    // generate_subscripts positionally (the q_embed_pool pattern).
+    "q_sem_dedup" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, label, v,
+        |        sqrt(list_sum(list_transform(v, x -> x * x))) AS norm,
+        |        CAST(v[1] > 0 AS INT) * 8 + CAST(v[2] > 0 AS INT) * 4 +
+        |        CAST(v[3] > 0 AS INT) * 2 + CAST(v[4] > 0 AS INT) AS cell
+        |      FROM e),
+        |cd AS (SELECT label, cell, CAST(generate_subscripts(v, 1) AS INT) AS dim,
+        |         unnest(v) AS x FROM n),
+        |cm AS (SELECT label, cell, dim, avg(x) AS m FROM cd GROUP BY 1, 2, 3),
+        |c AS (SELECT label, cell, list(m ORDER BY dim) AS cv FROM cm GROUP BY 1, 2),
+        |s AS (SELECT n.vec_id, n.label, n.cell,
+        |        round(list_dot_product(n.v, c.cv) /
+        |          (n.norm * sqrt(list_sum(list_transform(c.cv, x -> x * x)))), 4) + 0.0
+        |          AS cos_centroid
+        |      FROM n JOIN c USING (label, cell)),
+        |p AS (SELECT a.vec_id AS i, b.vec_id AS j
+        |      FROM n a JOIN n b ON a.label = b.label AND a.cell = b.cell
+        |        AND a.vec_id < b.vec_id
+        |      WHERE round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 4) >= 0.3),
+        |sym AS (SELECT i, j FROM p UNION ALL SELECT j, i FROM p),
+        |g AS (SELECT sym.i AS vec_id, count(*) AS n_dups,
+        |        bool_or(sj.cos_centroid < si.cos_centroid OR
+        |          (sj.cos_centroid = si.cos_centroid AND sym.j < sym.i)) AS has_better
+        |      FROM sym JOIN s si ON si.vec_id = sym.i JOIN s sj ON sj.vec_id = sym.j
+        |      GROUP BY 1)
+        |SELECT s.vec_id, s.label, s.cell, s.cos_centroid,
+        |  CAST(coalesce(g.n_dups, 0) AS BIGINT) AS n_dups,
+        |  NOT coalesce(g.has_better, FALSE) AS kept
+        |FROM s LEFT JOIN g USING (vec_id)
+        |ORDER BY s.vec_id""".stripMargin,
 
     // BPE merge statistic: integer-weighted char-pair counts over the
     // distinct-token table — exact in any engine; ties broken by pair.

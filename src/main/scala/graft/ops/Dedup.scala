@@ -544,13 +544,7 @@ object Dedup {
     * double precision with a sequential fold, matching the oracle
     * bit-for-bit before rounding. */
   def embedDup(spark: SparkSession, dir: String, threshold: Double = 0.3): DataFrame = {
-    graft.functions.VectorFunctions.register(spark)
-    val e = Tables(spark, dir, "embeddings")
-      .select(col("vec_id"), col("label"),
-        expr("transform(embedding, x -> cast(x as double))").as("v"))
-      .withColumn("norm", expr("graft_norm(v)"))
-      .withColumn("cell", expr(
-        "int(v[0] > 0D) * 8 + int(v[1] > 0D) * 4 + int(v[2] > 0D) * 2 + int(v[3] > 0D)"))
+    val e = signCelled(spark, dir)
     val a = e.alias("a")
     val b = e.alias("b")
     a.join(b, col("a.label") === col("b.label") && col("a.cell") === col("b.cell") &&
@@ -560,6 +554,84 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cosine"))
       .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** Embeddings with double components, their norm, and the (label, sign
+    * pattern of the first 4 components) blocking cell shared by the
+    * embedding-dedup family. */
+  private def signCelled(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .withColumn("norm", expr("graft_norm(v)"))
+      .withColumn("cell", expr(
+        "int(v[0] > 0D) * 8 + int(v[1] > 0D) * 4 + int(v[2] > 0D) * 2 + int(v[3] > 0D)"))
+  }
+
+  /** SemDeDup-style semantic dedup DISPOSITION (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space coarsely, find
+    * near-duplicate pairs within each cluster, and keep — per the paper's
+    * keep-rule — the member FARTHEST from the cluster centroid (lowest
+    * cosine to it), dropping its eps-neighbors. The paper clusters with
+    * k-means (seed-bound, not oracle-replicable); this operator uses the
+    * deterministic (label, sign-cell) blocking that [[embedDup]] already
+    * establishes as the coarse-quantization analog, so the whole
+    * disposition is engine-exact and DuckDB-checkable. The keep-rule is
+    * applied pairwise: an item is dropped iff SOME eps-neighbor in its
+    * cell is a strictly better keeper — smaller (rounded cos-to-centroid,
+    * vec_id) key — which needs no iteration and guarantees every dup pair
+    * loses at least one member while singletons always survive.
+    *
+    * Shape at scale: centroids are ONE two-phase aggregate keyed on
+    * (label, cell, dim) — labels x cells x dims partial buffers, corpus-
+    * independent (the [[graft.ops.Similarity.embedPool]] shape) — then a
+    * 64-element reassembly per cell. The pair join is cell-blocked like
+    * [[embedDup]] (never all-pairs), and the disposition is one groupBy
+    * over the pair set, which is dup-graph-sized, not corpus-sized. The
+    * final attach is a keyed left join on vec_id — linear. Nothing is
+    * collected; comparisons use 4-dp-rounded doubles so the kept flag is
+    * engine-deterministic. */
+  def semDedup(spark: SparkSession, dir: String, eps: Double = 0.3): DataFrame = {
+    val e = signCelled(spark, dir)
+    // centroid per (label, cell): element-wise mean, rebuilt into an array
+    // ordered by dimension (the collect_list is dim-count-sized, bounded)
+    val cent = e
+      .select(col("label"), col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("cell"), col("dim"))
+      .agg(avg(col("x")).as("m"))
+      .groupBy(col("label"), col("cell"))
+      .agg(expr("transform(array_sort(collect_list(struct(dim, m))), s -> s.m)")
+        .as("cv"))
+    val scored = e.join(cent, Seq("label", "cell"))
+      .withColumn("cos_centroid",
+        round(expr("graft_dot(v, cv)") / (col("norm") * expr("graft_norm(cv)")), 4)
+          + lit(0.0))
+      .select(col("vec_id"), col("label"), col("cell"), col("cos_centroid"))
+    val a = e.alias("a")
+    val b = e.alias("b")
+    val pairs = a.join(b,
+        col("a.label") === col("b.label") && col("a.cell") === col("b.cell") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .filter(round(expr("graft_dot(a.v, b.v)") / (col("a.norm") * col("b.norm")), 4)
+        >= eps)
+      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"))
+    val sym = pairs.union(pairs.select(col("j").as("i"), col("i").as("j")))
+    val si = scored.select(col("vec_id").as("i"),
+      col("cos_centroid").as("cos_i"))
+    val sj = scored.select(col("vec_id").as("j"),
+      col("cos_centroid").as("cos_j"))
+    val disposition = sym.join(si, "i").join(sj, "j")
+      .groupBy(col("i").as("vec_id"))
+      .agg(count(lit(1)).as("n_dups"),
+        max(col("cos_j") < col("cos_i") ||
+          (col("cos_j") === col("cos_i") && col("j") < col("i")))
+          .as("has_better"))
+    scored.join(disposition, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("label"), col("cell"), col("cos_centroid"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        (!coalesce(col("has_better"), lit(false))).as("kept"))
+      .orderBy(col("vec_id"))
   }
 
   /** Benchmark decontamination: for every document in the (hash-derived)

@@ -20,6 +20,13 @@ object Tables {
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      // parquet naive timestamps arrive as TIMESTAMP_NTZ; the session tz is
+      // pinned UTC, so the cast is a value-identity that restores the
+      // TIMESTAMP type the time functions (unix_micros etc.) require
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast(
+            org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
   }

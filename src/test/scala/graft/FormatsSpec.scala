@@ -21,6 +21,25 @@ class FormatsSpec extends SparkSpec {
     assert(viaJson.columns.sorted.toSeq === src.columns.sorted.toSeq)
   }
 
+  test("events normalizes naive (NTZ) parquet timestamps to TIMESTAMP " +
+    "without shifting instants") {
+    // the driver's fixture generator writes events.ts as a parquet naive
+    // timestamp (read back as TIMESTAMP_NTZ); Tables.events must hand the
+    // time functions (unix_micros etc.) a TIMESTAMP, value-identical under
+    // the pinned UTC session tz — regression for the round-6 fixture swap
+    val base = tmpDir("ntz")
+    spark.sql(
+      """SELECT 1L AS event_id, 1L AS user_id, 'view' AS event_type,
+        |  1.0D AS value,
+        |  TIMESTAMP_NTZ '2026-01-02 03:04:05.123456' AS ts""".stripMargin)
+      .write.mode("overwrite").parquet(s"$base/events.parquet")
+    val ev = ops.Tables.events(spark, base)
+    assert(ev.schema("ts").dataType ===
+      org.apache.spark.sql.types.TimestampType)
+    assert(ev.select(expr("unix_micros(ts)")).head().getLong(0) ===
+      1767323045123456L)
+  }
+
   test("orc sink round-trips with predicate pushdown reaching the scan") {
     val src = ops.Tables(spark, sf, "orders")
     val base = tmpDir("orc")

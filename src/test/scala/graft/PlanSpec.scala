@@ -356,6 +356,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 
+  test("sem dedup: pair join is cell-blocked (keyed, never cartesian); " +
+    "the tiny centroid table arrives broadcast") {
+    val p = plan("q_sem_dedup")
+    // the labels x cells centroid table is corpus-independent: broadcast
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    // the self-join and disposition joins are keyed — all-pairs is the
+    // one shape this operator exists to avoid
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
   test("pmi collocations: top-k is TakeOrderedAndProject; corpus totals " +
     "broadcast; no nested-loop on the pair-to-vocabulary joins") {
     val p = plan("q_pmi_collocations")

@@ -124,6 +124,53 @@ class Round6OpsSpec extends SparkSpec {
       "fixture is known to contain near-dup clusters to drop")
   }
 
+  test("sem dedup: total disposition, cos-to-centroid matches the " +
+    "driver-side closed form, every dup pair loses a member, singletons " +
+    "survive") {
+    val rows = Dedup.semDedup(spark, sf).collect()
+    val e = embeddings()
+    assert(rows.length === e.length, "disposition must be total")
+    def cellOf(v: Array[Double]): Int =
+      (if (v(0) > 0) 8 else 0) + (if (v(1) > 0) 4 else 0) +
+        (if (v(2) > 0) 2 else 0) + (if (v(3) > 0) 1 else 0)
+    val cents = e.groupBy { case (_, label, v) => (label, cellOf(v)) }
+      .map { case (k, ms) =>
+        val dim = ms.head._3.length
+        k -> Array.tabulate(dim)(d => ms.map(_._3(d)).sum / ms.length)
+      }
+    val byId = rows.map(r => r.getLong(0) ->
+      ((r.getInt(1), r.getInt(2), r.getDouble(3), r.getLong(4), r.getBoolean(5)))).toMap
+    e.foreach { case (id, label, v) =>
+      val (gotLabel, gotCell, gotCos, _, _) = byId(id)
+      assert(gotLabel === label)
+      assert(gotCell === cellOf(v))
+      assert(gotCos === round4(cos(v, cents((label, cellOf(v))))) + 0.0,
+        s"vec $id cos-to-centroid")
+    }
+    val pairs = Dedup.embedDup(spark, sf).collect()
+      .map(p => (p.getLong(0), p.getLong(1)))
+    val neigh = (pairs ++ pairs.map(_.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2)).toMap
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val ns = neigh.getOrElse(id, Array.empty[(Long, Long)].map(_._1))
+      assert(r.getLong(4) === ns.length.toLong, s"vec $id n_dups")
+      val hasBetter = ns.exists { j =>
+        byId(j)._3 < r.getDouble(3) ||
+          (byId(j)._3 == r.getDouble(3) && j < id)
+      }
+      assert(r.getBoolean(5) === !hasBetter, s"vec $id kept flag")
+    }
+    pairs.foreach { case (a, b) =>
+      assert(!(byId(a)._5 && byId(b)._5),
+        s"pair ($a,$b): both members kept — the keep-rule must drop one")
+    }
+    rows.filter(_.getLong(4) == 0L)
+      .foreach(r => assert(r.getBoolean(5), "singletons must survive"))
+    assert(rows.exists(!_.getBoolean(5)),
+      "fixture is known to contain semantic dups to drop")
+  }
+
   test("bpe encode: driver-side re-encode with the learned merge table " +
     "reproduces every doc's token stats exactly") {
     val table = TextAnalysis.bpeFit(spark, sf, 8).collect()
