@@ -46,10 +46,24 @@ object ScaleCurve {
     val shift = 10000000L
 
     def replicate(df: DataFrame, keyCols: Set[String], fac: Int,
-                  perturbText: Boolean): DataFrame =
+                  perturbText: Boolean,
+                  perturbEmbedding: Boolean = false): DataFrame =
       df.crossJoin(spark.range(fac).select(col("id").as("__r")))
         .select(df.columns.map {
           case k if keyCols(k) => (col(k) + col("__r") * shift).as(k)
+          case "embedding" if perturbEmbedding =>
+            // deterministic per-replica sign REFLECTION, pattern keyed on
+            // (__r, dim): within a replica every vector gets the same
+            // flips, so within-replica cosines — including the fixture's
+            // real dup structure — are preserved exactly, while cross-
+            // replica cosines collapse toward 0 (uncorrelated half-flips
+            // over 64 dims). The corpus therefore grows in DISTINCT
+            // directions and the eps-pair graph linearly in fac, not
+            // quadratically in duplicate multiplicity. Replica 0 is the
+            // untouched base.
+            expr("""transform(embedding, (x, i) ->
+                   CASE WHEN __r = 0L OR pmod(hash(__r, i), 2) = 0 THEN x
+                        ELSE -x END)""").as("embedding")
           case "text" if perturbText =>
             // rewrite EVERY token with the replica id: replicas must be
             // DISSIMILAR so the corpus grows in distinct content — an
@@ -173,6 +187,31 @@ object ScaleCurve {
           graft.ops.Similarity.hardNegatives(spark, root).count())
         time("dedup_apply", fac)(
           graft.ops.Dedup.dedupApply(spark, root).count())
+        // sem_dedup over sign-reflected embedding replicas (see
+        // replicate): distinct directions, linear pair graph. The
+        // unperturbed replica above would hand sem_dedup fac identical
+        // copies of every vector — fac^2/2 REAL eps-pairs per original —
+        // measuring the dup-multiplicity pathology instead of scan/agg
+        // scaling, exactly the text-perturbation rationale.
+        val sedir = s"/tmp/graft-scalecurve-semb-$fac"
+        val seroot =
+          if (fac == 1) sf
+          else {
+            replicate(spark.read.parquet(s"$sf/embeddings.parquet"),
+              Set("vec_id"), fac, perturbText = false,
+              perturbEmbedding = true)
+              .repartition(64)
+              .write.mode("overwrite").parquet(s"$sedir/embeddings.parquet")
+            sedir
+          }
+        spark.read.parquet(s"$seroot/embeddings.parquet").count() // warm
+        time("sem_dedup", fac)(
+          graft.ops.Dedup.semDedup(spark, seroot).count())
+        if (fac != 1 && !keep) {
+          val p = new org.apache.hadoop.fs.Path(sedir)
+          p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+          ()
+        }
         // duplicate-text replica (vocabulary constant, like the bpe tier):
         // the encode phase must NOT grow with fac — only the corpus join
         val edir = s"/tmp/graft-scalecurve-enc-$fac"
