@@ -119,6 +119,7 @@ object SparkEntry {
     "q_quality_classify" -> ((s, d) => TextAnalysis.qualityClassify(s, d)),
     "q_stratified_sample" -> ((s, d) => Sampling.stratifiedSample(s, d)),
     "q_corpus_sample"  -> ((s, d) => Sampling.corpusSample(s, d)),
+    "q_source_cap"     -> ((s, d) => Sampling.sourceCap(s, d)),
     "q_decontaminate_bloom" -> ((s, d) => Dedup.decontaminateBloom(s, d)),
     "q_bm25"           -> ((s, d) => TextAnalysis.bm25(s, d)),
     "q_bpe_pairs"      -> ((s, d) => TextAnalysis.bpePairStats(s, d)),
@@ -1430,6 +1431,25 @@ object SparkEntry {
         |r AS (SELECT *, row_number() OVER (ORDER BY h, doc_id) AS rank FROM h)
         |SELECT CAST(rank AS INT) AS rank, doc_id, lang, source
         |FROM r WHERE rank <= 64 ORDER BY rank""".stripMargin,
+
+    // Per-source quota: cap = greatest(minCap=10, ceil(0.03 * corpus)),
+    // survivors are each source's cap-prefix in graft_cap md5 order.
+    "q_source_cap" ->
+      """WITH d AS (SELECT doc_id, source,
+        |             md5('graft_cap:' || CAST(doc_id AS VARCHAR)) AS h
+        |           FROM documents),
+        |c AS (SELECT source, count(*) AS n_docs FROM d GROUP BY 1),
+        |t AS (SELECT sum(n_docs) AS total FROM c),
+        |cap AS (SELECT source, n_docs,
+        |          greatest(10, CAST(ceil(total * 0.03) AS BIGINT)) AS cap
+        |        FROM c, t),
+        |r AS (SELECT doc_id, source,
+        |        row_number() OVER (PARTITION BY source ORDER BY h, doc_id)
+        |          AS rank FROM d)
+        |SELECT r.source, CAST(r.rank AS INT) AS rank, r.doc_id,
+        |  cap.n_docs, cap.cap
+        |FROM r JOIN cap USING (source)
+        |WHERE r.rank <= cap.cap ORDER BY r.source, r.rank""".stripMargin,
 
     "q_vocab" ->
       """WITH e AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),

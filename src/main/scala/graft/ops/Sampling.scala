@@ -47,6 +47,46 @@ object Sampling {
       .orderBy(col("lang"), col("rank"))
   }
 
+  /** Per-source corpus quota (the RefinedWeb/CCNet-style domain cap): no
+    * single source may contribute more than `ceil(alpha * corpus)` docs
+    * (floored at `minCap` so tiny sources are never wiped out), and the
+    * docs a capped source DOES contribute are its first `cap` in the
+    * deterministic sample-hash order — reproducible curation, not seeded
+    * `rand()`. Emits the surviving corpus with per-source accounting
+    * (`n_docs`, `cap`, `rank`): the table a pipeline materializes before
+    * mixing, where one over-crawled domain would otherwise dominate the
+    * training distribution.
+    *
+    * Shape at scale: per-source counts are one map-side-combined aggregate;
+    * the corpus total is a broadcast 1-row; the caps table is
+    * sources-sized, broadcast back onto the corpus. Ranking reuses the
+    * salted two-stage top-k of [[stratifiedSample]] — an over-crawled
+    * source is EXACTLY the window-skew regime a single per-source window
+    * would funnel through one reducer, and stage 1 discards everything
+    * past each salt cell's `cap`-prefix before the real window runs
+    * (cell prefixes are supersets of the global per-source prefix, so the
+    * output is identical — spec-asserted). */
+  def sourceCap(spark: SparkSession, dir: String, alpha: Double = 0.03,
+                minCap: Int = 10, salt: Int = 32): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"))
+      .withColumn("h", md5(concat(lit("graft_cap:"), col("doc_id").cast("string"))))
+    val counts = d.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val total = counts.agg(sum(col("n_docs")).as("total"))
+    val caps = counts.crossJoin(broadcast(total))
+      .withColumn("cap",
+        greatest(lit(minCap.toLong), ceil(col("total") * lit(alpha))))
+      .select(col("source"), col("n_docs"), col("cap"))
+    val withCap = d.join(broadcast(caps), "source")
+    val w1 = Window.partitionBy(col("source"), pmod(col("doc_id"), lit(salt)))
+      .orderBy(col("h"), col("doc_id"))
+    val w2 = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+    withCap.withColumn("rn1", row_number().over(w1)).filter(col("rn1") <= col("cap"))
+      .withColumn("rank", row_number().over(w2)).filter(col("rank") <= col("cap"))
+      .select(col("source"), col("rank"), col("doc_id"), col("n_docs"), col("cap"))
+      .orderBy(col("source"), col("rank"))
+  }
+
   /** Fixed-size whole-corpus sample: the globally first `n` docs in
     * sample-hash order, with their rank. `orderBy(h).limit(n)` lowers to
     * `TakeOrderedAndProject` — per-partition heaps of n rows, driver merges

@@ -367,6 +367,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
   }
 
+  test("source cap: the sources-sized caps table is broadcast onto the " +
+    "corpus; only the 1-row total is nested-loop; ranking never " +
+    "cartesians") {
+    val p = plan("q_source_cap")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    // the corpus-total 1-row cross-join is the only BNLJ
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
   test("pmi collocations: top-k is TakeOrderedAndProject; corpus totals " +
     "broadcast; no nested-loop on the pair-to-vocabulary joins") {
     val p = plan("q_pmi_collocations")

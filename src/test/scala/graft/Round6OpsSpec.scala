@@ -171,6 +171,57 @@ class Round6OpsSpec extends SparkSpec {
       "fixture is known to contain semantic dups to drop")
   }
 
+  test("source cap: survivors are each source's cap-prefix in md5 order " +
+    "(driver-side closed form), the fixture really gets capped, and the " +
+    "salted two-stage ranking equals the single-window form") {
+    val rows = graft.ops.Sampling.sourceCap(spark, sf).collect()
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def h(id: Long): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"graft_cap:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val cap = math.max(10L, math.ceil(docs.length * 0.03).toLong)
+    val expect = docs.groupBy(_._2).toSeq.flatMap { case (src, ds) =>
+      ds.sortBy { case (id, _) => (h(id), id) }.take(cap.toInt)
+        .zipWithIndex
+        .map { case ((id, _), i) => (src, i + 1, id, ds.length.toLong, cap) }
+    }.toSet
+    val got = rows.map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+      r.getLong(3), r.getLong(4))).toSet
+    assert(got === expect)
+    assert(rows.exists(r => r.getLong(3) > r.getLong(4)),
+      "fixture must contain a source that actually gets capped")
+    val unsalted = graft.ops.Sampling.sourceCap(spark, sf, salt = 1)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(unsalted === got,
+      "salted two-stage must equal the single-window form")
+  }
+
+  test("source cap: an over-crawled source is cut to the alpha share " +
+    "while the minCap floor keeps tiny sources whole") {
+    // synthetic skew the uniform fixture can't produce: one source with
+    // 180 of 200 docs, one with 15, one with 5
+    val base = tmpDir("srccap")
+    spark.range(200).selectExpr(
+      "id AS doc_id",
+      """CASE WHEN id < 180 THEN 'big' WHEN id < 195 THEN 'mid'
+        |     ELSE 'tiny' END AS source""".stripMargin,
+      "'x' AS text", "'en' AS lang", "1L AS n_chars")
+      .write.mode("overwrite").parquet(s"$base/documents.parquet")
+    // alpha 0.05 of 200 = cap 10 = the minCap floor
+    val rows = graft.ops.Sampling.sourceCap(spark, base, alpha = 0.05)
+      .collect()
+    val kept = rows.groupBy(_.getString(0)).view.mapValues(_.length).toMap
+    assert(kept("big") === 10, "the over-crawled source is cut to the cap")
+    assert(kept("mid") === 10, "mid source capped at the floor")
+    assert(kept("tiny") === 5, "sources under the floor survive whole")
+    rows.foreach(r => assert(r.getInt(1) <= r.getLong(4),
+      "no survivor may rank past its source's cap"))
+  }
+
   test("bpe encode: driver-side re-encode with the learned merge table " +
     "reproduces every doc's token stats exactly") {
     val table = TextAnalysis.bpeFit(spark, sf, 8).collect()
