@@ -130,6 +130,7 @@ object SparkEntry {
     "q_dsir_weights"   -> ((s, d) => TrainingPipeline.dsirWeights(s, d)),
     "q_vocab"          -> ((s, d) => TextAnalysis.vocabCoverage(s, d)),
     "q_ann_pq"         -> ((s, d) => Similarity.pqTopK(s, d)),
+    "q_ann_ivfpq"      -> ((s, d) => Similarity.ivfPqTopK(s, d)),
     "q_retention"      -> ((s, d) => Relational.retention(s, d)),
     "q_outliers"       -> ((s, d) => Relational.outliers(s, d)),
     "q_approx_percentile" -> ((s, d) => Relational.approxPercentiles(s, d)),
@@ -1487,6 +1488,53 @@ object SparkEntry {
         |        row_number() OVER (PARTITION BY q_id
         |          ORDER BY adist_micro, n_id) AS rank FROM adc)
         |SELECT q_id, rank, n_id, adist_micro
+        |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    // IVF-PQ composite (FAISS IVFADC): the q_ann_ivf probe cut feeding the
+    // q_ann_pq integer micro-unit ADC — candidates restricted to each
+    // query's probed cells, ranked by code distance.
+    "q_ann_ivfpq" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS norm FROM e),
+        |sd AS (SELECT vec_id AS seed_id, v AS sv, norm AS snorm FROM n WHERE vec_id < 8),
+        |asn AS (SELECT vec_id, seed_id AS cell FROM (
+        |          SELECT c.vec_id, sd.seed_id,
+        |            row_number() OVER (PARTITION BY c.vec_id
+        |              ORDER BY list_dot_product(c.v, sd.sv) / (c.norm * sd.snorm) DESC,
+        |                       sd.seed_id) AS r
+        |          FROM n c CROSS JOIN sd) WHERE r = 1),
+        |pr AS (SELECT vec_id, seed_id AS cell FROM (
+        |          SELECT q.vec_id, sd.seed_id,
+        |            row_number() OVER (PARTITION BY q.vec_id
+        |              ORDER BY list_dot_product(q.v, sd.sv) / (q.norm * sd.snorm) DESC,
+        |                       sd.seed_id) AS r
+        |          FROM n q CROSS JOIN sd WHERE q.vec_id < 10) WHERE r <= 2),
+        |cand AS (SELECT pr.vec_id AS q_id, c.vec_id AS n_id
+        |         FROM pr JOIN asn c ON pr.cell = c.cell AND c.vec_id <> pr.vec_id),
+        |sub AS (SELECT vec_id, s, v[s * 8 + 1 : s * 8 + 8] AS sv,
+        |          list_dot_product(v[s * 8 + 1 : s * 8 + 8],
+        |            v[s * 8 + 1 : s * 8 + 8]) AS nn
+        |        FROM e, (SELECT unnest(range(0, 8)) AS s)),
+        |cb AS (SELECT vec_id AS j, s, sv AS cv, nn AS cnn FROM sub WHERE vec_id < 16),
+        |enc AS (SELECT c.vec_id, c.s, cb.j,
+        |          c.nn + cb.cnn - 2 * list_dot_product(c.sv, cb.cv) AS dist
+        |        FROM sub c JOIN cb ON c.s = cb.s),
+        |codes AS (SELECT vec_id, s, j AS code FROM
+        |          (SELECT *, row_number() OVER (PARTITION BY vec_id, s
+        |             ORDER BY dist, j) AS rn FROM enc) WHERE rn = 1),
+        |dt AS (SELECT q.vec_id AS q_id, cb.s, cb.j,
+        |         CAST(round((q.nn + cb.cnn - 2 * list_dot_product(q.sv, cb.cv)) * 1e6)
+        |           AS BIGINT) AS di
+        |       FROM sub q JOIN cb ON q.s = cb.s WHERE q.vec_id < 10),
+        |adc AS (SELECT cand.q_id, cand.n_id, CAST(sum(dt.di) AS BIGINT) AS adist_micro
+        |        FROM cand JOIN codes ON codes.vec_id = cand.n_id
+        |          JOIN dt ON dt.q_id = cand.q_id AND codes.s = dt.s
+        |            AND codes.code = dt.j
+        |        GROUP BY 1, 2),
+        |r AS (SELECT q_id, n_id, adist_micro,
+        |        row_number() OVER (PARTITION BY q_id
+        |          ORDER BY adist_micro, n_id) AS rank FROM adc)
+        |SELECT q_id, CAST(rank AS INT) AS rank, n_id, adist_micro
         |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
 
     "q_retention" ->

@@ -82,29 +82,44 @@ object Similarity {
     * Fully deterministic (seed order fixed, ties broken by seed_id), so the
     * DuckDB oracle reproduces it exactly — unlike the hash-seeded LSH path.
     */
-  def ivfTopK(spark: SparkSession, dir: String, numQueries: Int = 10, k: Int = 5,
-              nCells: Int = 8, nProbe: Int = 2): DataFrame = {
-    val e = withVec(spark, dir)
-    // one row holding all seeds, sorted by seed_id so the fold's tie-break
-    // (strict >) deterministically keeps the lowest seed_id
-    val seeds = e.filter(col("vec_id") < nCells)
+  /** One row holding all `nCells` deterministic seed centroids, sorted by
+    * seed_id so the assignment fold's tie-break (strict >) keeps the lowest
+    * seed_id — the coarse quantizer shared by [[ivfTopK]] and
+    * [[ivfPqTopK]]. */
+  private def seedCells(e: DataFrame, nCells: Int): DataFrame =
+    e.filter(col("vec_id") < nCells)
       .agg(sort_array(collect_list(
         struct(col("vec_id").as("seed_id"), col("v").as("sv"), col("norm").as("snorm"))))
         .as("cells"))
-    val assigned = e.crossJoin(broadcast(seeds))
+
+  /** Corpus rows with their assigned coarse cell: one broadcast fold per
+    * row, no shuffle. */
+  private def cellAssign(e: DataFrame, seeds: DataFrame): DataFrame =
+    e.crossJoin(broadcast(seeds))
       .withColumn("cell", expr(assignStruct + ".cell"))
       .select(col("vec_id"), col("v"), col("norm"), col("cell"))
-    // queries probe their top-nProbe cells (rank over the same seed scores)
+
+  /** Each query's top-`nProbe` cells (rank over the same seed scores the
+    * assignment fold uses). */
+  private def cellProbes(e: DataFrame, seeds: DataFrame, numQueries: Int,
+                         nProbe: Int): DataFrame = {
     val q = e.filter(col("vec_id") < numQueries).crossJoin(broadcast(seeds))
       .select(col("vec_id"), col("v"), col("norm"),
         explode(col("cells")).as("s"))
       .withColumn("cos_seed", expr("graft_dot(v, s.sv)") / (col("norm") * col("s.snorm")))
     val wq = Window.partitionBy(col("vec_id"))
       .orderBy(col("cos_seed").desc, col("s.seed_id"))
-    val probes = q.withColumn("pr", row_number().over(wq))
+    q.withColumn("pr", row_number().over(wq))
       .filter(col("pr") <= nProbe)
       .select(col("vec_id"), col("v"), col("norm"), col("s.seed_id").as("cell"))
-      .alias("q")
+  }
+
+  def ivfTopK(spark: SparkSession, dir: String, numQueries: Int = 10, k: Int = 5,
+              nCells: Int = 8, nProbe: Int = 2): DataFrame = {
+    val e = withVec(spark, dir)
+    val seeds = seedCells(e, nCells)
+    val assigned = cellAssign(e, seeds)
+    val probes = cellProbes(e, seeds, numQueries, nProbe).alias("q")
     val c = assigned.alias("c")
     val scored = c.join(broadcast(probes),
         col("q.cell") === col("c.cell") && col("q.vec_id") =!= col("c.vec_id"))
@@ -305,21 +320,30 @@ object Similarity {
 
   /** Encode the corpus against codebook `cb` ((j, s, cv, cnn) rows) and
     * rank queries by ADC distance — the shared back half of both PQ tiers. */
-  private def pqAdcTopK(corpusSub: DataFrame, querySub: DataFrame,
-                        cb: DataFrame, k: Int): DataFrame = {
-    // encode: nearest codeword per (vec_id, s); ||a-b||^2 = <a,a>+<b,b>-2<a,b>
-    // via the codegen'd dot, no interpreted per-dim lambda in the hot path
-    val codes = corpusSub.join(broadcast(cb), Seq("s"))
+  /** Encode: nearest codeword per (vec_id, s); ||a-b||^2 = <a,a>+<b,b>-2<a,b>
+    * via the codegen'd dot, no interpreted per-dim lambda in the hot path.
+    * Argmin ties break on the lower codeword id via the (dist, j)
+    * struct-min. */
+  private def pqEncode(corpusSub: DataFrame, cb: DataFrame): DataFrame =
+    corpusSub.join(broadcast(cb), Seq("s"))
       .withColumn("dist", col("nn") + col("cnn") - lit(2.0) * expr("graft_dot(sv, cv)"))
       .groupBy(col("vec_id"), col("s"))
       .agg(min(struct(col("dist"), col("j"))).as("mn"))
       .select(col("vec_id"), col("s"), col("mn.j").as("code"))
-    // ADC lookup tables, in integer micro-units from here on
-    val dt = querySub
+
+  /** ADC lookup tables in integer micro-units: per (query, subspace,
+    * codeword), the rounded query-to-codeword squared distance. */
+  private def pqDistTables(querySub: DataFrame, cb: DataFrame): DataFrame =
+    querySub
       .join(broadcast(cb), Seq("s"))
       .select(col("q_id"), col("s"), col("j"),
         round((col("nn") + col("cnn") - lit(2.0) * expr("graft_dot(sv, cv)")) * 1e6)
           .cast("long").as("di"))
+
+  private def pqAdcTopK(corpusSub: DataFrame, querySub: DataFrame,
+                        cb: DataFrame, k: Int): DataFrame = {
+    val codes = pqEncode(corpusSub, cb)
+    val dt = pqDistTables(querySub, cb)
     val w = Window.partitionBy(col("q_id")).orderBy(col("adist_micro"), col("n_id"))
     codes.join(broadcast(dt), codes("s") === dt("s") && codes("code") === dt("j"))
       .filter(col("q_id") =!= col("vec_id"))
@@ -395,6 +419,61 @@ object Similarity {
     val cb = pqTrainCodebooks(spark, dir, m, ks, maxIter)
     pqAdcTopK(subspacesOf(e, "vec_id", m, sub),
       subspacesOf(e.filter(col("vec_id") < numQueries), "q_id", m, sub), cb, k)
+  }
+
+  /** IVF-PQ composite — the production ANN shape (the full FAISS IVFADC
+    * pattern): the coarse quantizer restricts each query to its `nProbe`
+    * closest cells, and candidates inside those cells are ranked by PQ
+    * asymmetric distance over codes, never raw vectors. This is the index
+    * that actually runs at 100 TB: the probe cut means a query touches
+    * ~nProbe/nCells of the corpus, and the PQ cut means what it touches is
+    * m bytes per vector, memory-resident. Both halves reuse the
+    * deterministic constructions of [[ivfTopK]] (seed cells, strict->
+    * assignment fold, probe ranking) and [[pqTopK]] (seed sub-codebooks,
+    * struct-min encode, integer micro-unit ADC), so the composite keeps
+    * their closed-form DuckDB oracle. Classic IVFADC encodes the RESIDUAL
+    * v - centroid; encoding raw vectors instead changes the accuracy
+    * constant, not the dataflow shape, and keeps the oracle exact — the
+    * trained analog is [[pqTopKTrained]]'s tier.
+    *
+    * Scale shape: seeds, codebook and the query distance tables all
+    * broadcast; cell assignment is a per-row fold (no corpus shuffle); the
+    * candidate cut is a broadcast join of the (queries x nProbe) probe
+    * table onto the assigned corpus BEFORE any code join, so ADC work is
+    * candidate-sized, not corpus-sized; codes attach by one keyed join on
+    * vec_id. In a real deployment assignment and codes are computed once
+    * at ingest and stored — here they are part of the query for
+    * oracle-checkability. */
+  def ivfPqTopK(spark: SparkSession, dir: String, numQueries: Int = 10,
+                k: Int = 5, nCells: Int = 8, nProbe: Int = 2,
+                m: Int = 8, ks: Int = 16): DataFrame = {
+    val e = withVec(spark, dir)
+    val sub = 64 / m
+    val seeds = seedCells(e, nCells)
+    val assigned = cellAssign(e, seeds).select(col("vec_id"), col("cell"))
+    val probes = cellProbes(e, seeds, numQueries, nProbe)
+      .select(col("vec_id").as("q_id"), col("cell"))
+    val cand = assigned.join(broadcast(probes),
+        assigned("cell") === probes("cell") && col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"))
+    val cb = subspacesOf(e.filter(col("vec_id") < ks), "j", m, sub)
+      .select(col("j"), col("s"), col("sv").as("cv"), col("nn").as("cnn"))
+    val codes = pqEncode(subspacesOf(e, "vec_id", m, sub), cb)
+    val dt = pqDistTables(
+      subspacesOf(e.filter(col("vec_id") < numQueries), "q_id", m, sub), cb)
+      .withColumnRenamed("q_id", "dq").withColumnRenamed("s", "ds")
+      .withColumnRenamed("j", "dj")
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adist_micro"), col("n_id"))
+    cand.join(codes, Seq("vec_id"))
+      .join(broadcast(dt), col("q_id") === col("dq") &&
+        col("s") === col("ds") && col("code") === col("dj"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("di")).as("adist_micro"))
+      .withColumn("n_id", col("vec_id"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"), col("adist_micro"))
+      .orderBy(col("q_id"), col("rank"))
   }
 
   /** Per-label mean-pooled embedding centroids — the pooling/centroid

@@ -377,6 +377,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 
+  test("ivf-pq: the probe cut and code joins stay keyed/broadcast; only " +
+    "the two 1-row seed folds are nested-loop; corpus never cartesians") {
+    val p = plan("q_ann_ivfpq")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    // assignment + probe ranking each cross-join the 1-row seed set
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2, p.take(3000))
+  }
+
   test("pmi collocations: top-k is TakeOrderedAndProject; corpus totals " +
     "broadcast; no nested-loop on the pair-to-vocabulary joins") {
     val p = plan("q_pmi_collocations")

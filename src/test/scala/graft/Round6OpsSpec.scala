@@ -222,6 +222,83 @@ class Round6OpsSpec extends SparkSpec {
       "no survivor may rank past its source's cap"))
   }
 
+  test("ivf-pq composite: equals the driver-side closed form — PQ ADC " +
+    "ranking restricted to each query's probed IVF cells") {
+    val rows = Similarity.ivfPqTopK(spark, sf).collect()
+    val e = embeddings().map { case (id, _, v) => (id, v) }.sortBy(_._1)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); i += 1 }
+      d
+    }
+    val norms = e.map { case (id, v) => id -> math.sqrt(dot(v, v)) }.toMap
+    val seeds = e.filter(_._1 < 8)
+    // strict-> fold over seeds in id order: first max wins, like the
+    // operator's assignStruct
+    def cellOf(v: Array[Double], nv: Double): Long = {
+      var best = -2.0; var cell = -1L
+      seeds.foreach { case (sid, sv) =>
+        val c = dot(v, sv) / (nv * norms(sid))
+        if (c > best) { best = c; cell = sid }
+      }
+      cell
+    }
+    val cells = e.map { case (id, v) => id -> cellOf(v, norms(id)) }.toMap
+    val probes = e.filter(_._1 < 10).map { case (qid, v) =>
+      qid -> seeds.map { case (sid, sv) =>
+        (dot(v, sv) / (norms(qid) * norms(sid)), sid)
+      }.sortBy { case (c, sid) => (-c, sid) }.take(2).map(_._2).toSet
+    }.toMap
+    // PQ over m=8 subspaces of 8 dims with the 16 seed codewords
+    def subv(v: Array[Double], s: Int): Array[Double] =
+      v.slice(s * 8, s * 8 + 8)
+    val cb = e.filter(_._1 < 16).flatMap { case (j, v) =>
+      (0 until 8).map(s => (s, j, subv(v, s)))
+    }
+    def codeOf(v: Array[Double], s: Int): Long = {
+      val sv = subv(v, s); val nn = dot(sv, sv)
+      cb.filter(_._1 == s).map { case (_, j, cv) =>
+        (nn + dot(cv, cv) - 2.0 * dot(sv, cv), j)
+      }.minBy(identity)._2
+    }
+    val codes = e.map { case (id, v) =>
+      id -> Array.tabulate(8)(s => codeOf(v, s))
+    }.toMap
+    // mirror Spark's Round(HALF_UP over the decimal string form) exactly
+    def di(qv: Array[Double], s: Int, j: Long): Long = {
+      val sv = subv(qv, s)
+      val cv = cb.find(c => c._1 == s && c._2 == j).get._3
+      val d = (dot(sv, sv) + dot(cv, cv) - 2.0 * dot(sv, cv)) * 1e6
+      java.math.BigDecimal.valueOf(d)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+    }
+    val expect = probes.toSeq.flatMap { case (qid, pcs) =>
+      val qv = e.find(_._1 == qid).get._2
+      e.collect { case (id, _) if id != qid && pcs(cells(id)) =>
+        (id, (0 until 8).map(s => di(qv, s, codes(id)(s))).sum)
+      }.sortBy { case (id, d) => (d, id) }.take(5).zipWithIndex
+        .map { case ((id, d), i) => (qid, i + 1, id, d) }
+    }.toSet
+    val got = rows.map(r =>
+      (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === expect)
+    assert(rows.length === 50, "10 queries x top-5, all cells populated")
+  }
+
+  test("ivf-pq composite: the probe cut loses little vs unrestricted PQ " +
+    "on the fixture (the accuracy knob is nProbe, not the dataflow)") {
+    val full = Similarity.pqTopK(spark, sf).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val cut = Similarity.ivfPqTopK(spark, sf).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val overlap = full.keys.toSeq
+      .map(q => cut(q).intersect(full(q)).size.toDouble / full(q).size)
+      .sum / full.size
+    // measured 0.66 with nProbe=2 of 8 cells; chance would be ~nProbe/nCells
+    // of the PQ list only when cells are balanced — well above that floor
+    assert(overlap >= 0.4, s"probe-cut overlap with full PQ: $overlap")
+  }
+
   test("bpe encode: driver-side re-encode with the learned merge table " +
     "reproduces every doc's token stats exactly") {
     val table = TextAnalysis.bpeFit(spark, sf, 8).collect()
