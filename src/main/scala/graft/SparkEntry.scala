@@ -138,6 +138,8 @@ object SparkEntry {
     "q_hard_negatives" -> ((s, d) => Similarity.hardNegatives(s, d)),
     "q_pmi_collocations" -> ((s, d) => TextAnalysis.pmiCollocations(s, d)),
     "q_sem_dedup"      -> ((s, d) => Dedup.semDedup(s, d)),
+    "q_unigram_counts" -> ((s, d) => TextAnalysis.unigramCounts(s, d)),
+    "q_unigram_encode" -> ((s, d) => TextAnalysis.unigramEncode(s, d)),
     // rows-only: encodes with the merge table learned by the iterative fit
     // (inexpressible in DuckDB); Round6OpsSpec re-encodes driver-side
     "q_bpe_encode"     -> ((s, d) => TextAnalysis.bpeEncode(s, d))
@@ -1374,6 +1376,79 @@ object SparkEntry {
         |  NOT coalesce(g.has_better, FALSE) AS kept
         |FROM s LEFT JOIN g USING (vec_id)
         |ORDER BY s.vec_id""".stripMargin,
+
+    // Unigram-LM (SentencePiece) candidate inventory: substrings of length
+    // 1..4 over the distinct-word table, weighted by word frequency —
+    // exact integer oracle, ties broken by piece.
+    "q_unigram_counts" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tc AS (SELECT tok, count(*) AS c FROM t WHERE len(tok) > 0 GROUP BY 1),
+        |p AS (SELECT unnest(flatten(list_transform(range(1, len(tok) + 1),
+        |        i -> list_transform(range(i, least(i + 3, len(tok)) + 1),
+        |          j -> substr(tok, i, j - i + 1))))) AS piece, c
+        |      FROM tc),
+        |f AS (SELECT piece, CAST(sum(c) AS BIGINT) AS freq FROM p GROUP BY 1),
+        |r AS (SELECT piece, freq,
+        |        row_number() OVER (ORDER BY freq DESC, piece) AS rank FROM f)
+        |SELECT CAST(rank AS INT) AS rank, piece, CAST(len(piece) AS INT) AS len,
+        |  freq
+        |FROM r WHERE rank <= 64 ORDER BY rank""".stripMargin,
+
+    // Viterbi unigram segmentation: fewest pieces, ties toward the highest
+    // path frequency mass, as a packed-integer DP. The recursive CTE
+    // carries the last four best-costs as columns (maxLen = 4), which is
+    // the SQL shape of the Spark side's aggregate fold.
+    "q_unigram_encode" ->
+      """WITH RECURSIVE
+        |t AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tc AS (SELECT tok, count(*) AS c FROM t WHERE len(tok) > 0 GROUP BY 1),
+        |p AS (SELECT unnest(flatten(list_transform(range(1, len(tok) + 1),
+        |        i -> list_transform(range(i, least(i + 3, len(tok)) + 1),
+        |          j -> substr(tok, i, j - i + 1))))) AS piece, c
+        |      FROM tc),
+        |f AS (SELECT piece, CAST(sum(c) AS BIGINT) AS freq FROM p GROUP BY 1),
+        |top AS (SELECT piece, freq FROM f ORDER BY freq DESC, piece LIMIT 64),
+        |-- explicit GROUP BY dedup: under WITH RECURSIVE DuckDB executes a
+        |-- plain UNION here without cross-branch dedup (measured), which
+        |-- would double every char lookup in the recursion below
+        |v AS (SELECT piece, max(freq) AS freq FROM (
+        |        SELECT piece, freq FROM top
+        |        UNION ALL
+        |        SELECT piece, freq FROM f WHERE len(piece) = 1) u
+        |      GROUP BY piece),
+        |dp AS (
+        |  SELECT tok, c, 0 AS i, CAST(0 AS BIGINT) AS b0,
+        |    CAST(2305843009213693951 AS BIGINT) AS b1,
+        |    CAST(2305843009213693951 AS BIGINT) AS b2,
+        |    CAST(2305843009213693951 AS BIGINT) AS b3
+        |  FROM tc
+        |  UNION ALL
+        |  SELECT dp.tok, dp.c, dp.i + 1,
+        |    least(
+        |      CASE WHEN v1.freq IS NOT NULL
+        |        THEN dp.b0 + 1099511627776 - v1.freq
+        |        ELSE 2305843009213693951 END,
+        |      CASE WHEN dp.i >= 1 AND v2.freq IS NOT NULL
+        |        THEN dp.b1 + 1099511627776 - v2.freq
+        |        ELSE 2305843009213693951 END,
+        |      CASE WHEN dp.i >= 2 AND v3.freq IS NOT NULL
+        |        THEN dp.b2 + 1099511627776 - v3.freq
+        |        ELSE 2305843009213693951 END,
+        |      CASE WHEN dp.i >= 3 AND v4.freq IS NOT NULL
+        |        THEN dp.b3 + 1099511627776 - v4.freq
+        |        ELSE 2305843009213693951 END),
+        |    dp.b0, dp.b1, dp.b2
+        |  FROM dp
+        |  LEFT JOIN v v1 ON v1.piece = substr(dp.tok, dp.i + 1, 1)
+        |  LEFT JOIN v v2 ON dp.i >= 1 AND v2.piece = substr(dp.tok, dp.i, 2)
+        |  LEFT JOIN v v3 ON dp.i >= 2 AND v3.piece = substr(dp.tok, dp.i - 1, 3)
+        |  LEFT JOIN v v4 ON dp.i >= 3 AND v4.piece = substr(dp.tok, dp.i - 2, 4)
+        |  WHERE dp.i < len(dp.tok))
+        |SELECT tok, CAST(c AS BIGINT) AS n_occ, CAST(len(tok) AS INT) AS n_chars,
+        |  CAST((b0 // 1099511627776) + 1 AS INT) AS n_pieces,
+        |  CAST(((b0 // 1099511627776) + 1) * 1099511627776 - b0 AS BIGINT)
+        |    AS piece_freq_sum
+        |FROM dp WHERE i = len(tok) ORDER BY tok""".stripMargin,
 
     // BPE merge statistic: integer-weighted char-pair counts over the
     // distinct-token table — exact in any engine; ties broken by pair.

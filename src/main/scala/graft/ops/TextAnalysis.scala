@@ -827,6 +827,104 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Substring piece-candidate frequencies — the vocabulary-seeding scan
+    * of unigram-LM (SentencePiece, Kudo 2018) tokenizer training: every
+    * substring of length 1..`maxLen` of every distinct word, weighted by
+    * corpus word frequency, ranked by weighted count. The Kudo trainer
+    * seeds its EM vocabulary with exactly this inventory before pruning;
+    * the ranking is also the classical "which subwords carry the corpus"
+    * report.
+    *
+    * Shape at scale: like [[bpePairStats]], the substring explosion runs
+    * over the DISTINCT-token table, not the corpus — frequencies aggregate
+    * first (one vocabulary-keyed shuffle), so a word occurring a million
+    * times contributes its substrings once, weighted. Piece counting is a
+    * second map-side-combined aggregate over ~maxLen*avg_len keys per
+    * distinct word; top-k is TakeOrderedAndProject. All counts integers —
+    * exact in any engine. */
+  def unigramCounts(spark: SparkSession, dir: String, maxLen: Int = 4,
+                    topK: Int = 64): DataFrame = {
+    val w = Window.orderBy(col("freq").desc, col("piece"))
+    pieceFreqs(spark, dir, maxLen)
+      .orderBy(col("freq").desc, col("piece")).limit(topK)
+      .withColumn("rank", row_number().over(w))
+      .select(col("rank"), col("piece"),
+        length(col("piece")).as("len"), col("freq"))
+      .orderBy(col("rank"))
+  }
+
+  /** The (piece, weighted freq) table shared by [[unigramCounts]] and
+    * [[unigramEncode]]. */
+  private def pieceFreqs(spark: SparkSession, dir: String,
+                         maxLen: Int): DataFrame =
+    distinctWords(spark, dir)
+      .select(col("c"), explode(expr(
+        s"""flatten(transform(sequence(1, length(tok)),
+           |  i -> transform(sequence(i, least(i + ${maxLen - 1}, length(tok))),
+           |    j -> substring(tok, i, j - i + 1))))""".stripMargin)).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("c")).as("freq"))
+
+  private def distinctWords(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+
+  /** Optimal subword segmentation against the substring-candidate
+    * vocabulary — the Viterbi inference half of the unigram-LM tokenizer:
+    * each distinct word is segmented into the FEWEST vocabulary pieces,
+    * ties broken toward the highest total piece frequency (the integer
+    * stand-in for the float log-likelihood objective, which no two engines
+    * would argmax identically; with counts this coarse the whole DP is
+    * engine-exact). The vocabulary is the top-`vocabSize` pieces of
+    * [[unigramCounts]]' inventory plus every single character, so the DP
+    * is total by construction. Emits per distinct word its occurrence
+    * count, length, optimal piece count and the winning path's frequency
+    * mass — the tokenizer-compression diagnostic per vocabulary budget.
+    *
+    * The DP is data-shaped, not driver-shaped: best-cost-to-prefix runs as
+    * ONE `aggregate` fold over each word's character positions, carrying
+    * the packed (pieces, -freq_sum) scores as an integer array; the
+    * vocabulary rides along as a broadcast one-row map. Packing stride
+    * 2^40 holds while a path's frequency mass stays under it — true up to
+    * ~10^12-token corpora; bump the stride constant beyond that.
+    *
+    * Shape at scale: everything downstream of the corpus is
+    * vocabulary-sized. Two aggregates build the word and piece tables, the
+    * vocabulary cut is TakeOrderedAndProject, the map is one broadcast
+    * row, and the DP itself is a per-row fold over distinct words — the
+    * corpus is never rescanned. */
+  def unigramEncode(spark: SparkSession, dir: String, maxLen: Int = 4,
+                    vocabSize: Int = 64): DataFrame = {
+    val stride = 1L << 40
+    val big = Long.MaxValue / 4
+    val freqs = pieceFreqs(spark, dir, maxLen)
+    val vocab = freqs
+      .orderBy(col("freq").desc, col("piece")).limit(vocabSize)
+      .unionByName(freqs.filter(length(col("piece")) === 1))
+      .dropDuplicates("piece")
+    val vmap = vocab.agg(
+      map_from_entries(collect_list(struct(col("piece"), col("freq"))))
+        .as("vmap"))
+    distinctWords(spark, dir).crossJoin(broadcast(vmap))
+      .withColumn("packed", expr(
+        s"""element_at(aggregate(sequence(1, length(tok)),
+           |  array(cast(0 as bigint)),
+           |  (acc, i) -> concat(acc, array(
+           |    array_min(transform(sequence(1, least($maxLen, i)), l ->
+           |      CASE WHEN element_at(vmap, substring(tok, i - l + 1, l))
+           |             IS NOT NULL
+           |        THEN element_at(acc, i - l + 1) + ${stride}L
+           |             - element_at(vmap, substring(tok, i - l + 1, l))
+           |        ELSE ${big}L END))))), -1)""".stripMargin))
+      .select(col("tok"), col("c").as("n_occ"),
+        length(col("tok")).as("n_chars"),
+        (expr(s"packed div ${stride}L") + 1L).cast("int").as("n_pieces"),
+        ((expr(s"packed div ${stride}L") + 1L) * stride - col("packed"))
+          .as("piece_freq_sum"))
+      .orderBy(col("tok"))
+  }
+
   /** Corpus vocabulary coverage — the Zipf head report: top-k tokens by
     * corpus frequency with per-token and cumulative probability mass (how
     * much of the corpus the first k vocabulary entries explain — the

@@ -386,6 +386,15 @@ class PlanSpec extends SparkSpec {
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2, p.take(3000))
   }
 
+  test("unigram encode: the vocabulary cut is TakeOrderedAndProject; the " +
+    "one-row vocabulary map is the only nested-loop; the DP is a per-row " +
+    "fold with no extra exchange") {
+    val p = plan("q_unigram_encode")
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
   test("pmi collocations: top-k is TakeOrderedAndProject; corpus totals " +
     "broadcast; no nested-loop on the pair-to-vocabulary joins") {
     val p = plan("q_pmi_collocations")

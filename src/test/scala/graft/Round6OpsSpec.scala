@@ -299,6 +299,67 @@ class Round6OpsSpec extends SparkSpec {
     assert(overlap >= 0.4, s"probe-cut overlap with full PQ: $overlap")
   }
 
+  // corpus substring inventory: piece -> word-frequency-weighted count,
+  // the closed form shared by the two unigram-tokenizer specs
+  private def pieceFreqs(): (Map[String, Long], Map[String, Long]) = {
+    val toks = Tables(spark, sf, "documents").select(col("text")).collect()
+      .flatMap(_.getString(0).split(" ")).filter(_.nonEmpty)
+    val tc = toks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val pf = collection.mutable.Map.empty[String, Long]
+    tc.foreach { case (w, c) =>
+      for (i <- 0 until w.length; j <- (i + 1) to math.min(i + 4, w.length)) {
+        val p = w.substring(i, j)
+        pf(p) = pf.getOrElse(p, 0L) + c
+      }
+    }
+    (tc, pf.toMap)
+  }
+
+  test("unigram counts: the ranked inventory equals the driver-side " +
+    "substring fold") {
+    val rows = TextAnalysis.unigramCounts(spark, sf).collect()
+    val (_, pf) = pieceFreqs()
+    val top = pf.toSeq.sortBy { case (p, f) => (-f, p) }.take(64)
+    assert(rows.length === top.length)
+    rows.zip(top).zipWithIndex.foreach { case ((r, (p, f)), i) =>
+      assert(r.getInt(0) === i + 1, "ranks contiguous")
+      assert(r.getString(1) === p, s"piece at rank ${i + 1}")
+      assert(r.getInt(2) === p.length)
+      assert(r.getLong(3) === f, s"freq of $p")
+    }
+  }
+
+  test("unigram encode: the packed-integer Viterbi DP matches the " +
+    "driver-side closed form — fewest pieces, ties toward path mass") {
+    val rows = TextAnalysis.unigramEncode(spark, sf).collect()
+    val (tc, pf) = pieceFreqs()
+    val vocab = (pf.toSeq.sortBy { case (p, f) => (-f, p) }.take(64) ++
+      pf.filter(_._1.length == 1)).toMap
+    val stride = 1L << 40
+    val big = Long.MaxValue / 4
+    def dp(w: String): (Int, Long) = {
+      val best = Array.fill(w.length + 1)(big); best(0) = 0L
+      for (i <- 1 to w.length; l <- 1 to math.min(4, i)) {
+        vocab.get(w.substring(i - l, i)).foreach { f =>
+          val cand = best(i - l) + stride - f
+          if (cand < best(i)) best(i) = cand
+        }
+      }
+      val n = (best(w.length) / stride + 1).toInt
+      (n, n * stride - best(w.length))
+    }
+    val got = rows.map(r => r.getString(0) ->
+      ((r.getLong(1), r.getInt(2), r.getInt(3), r.getLong(4)))).toMap
+    assert(got.size === tc.size, "one disposition row per distinct word")
+    tc.foreach { case (w, c) =>
+      val (n, mass) = dp(w)
+      assert(got(w) === ((c, w.length, n, mass)), s"word $w")
+      assert(n >= (w.length + 3) / 4 && n <= w.length, s"piece bounds for $w")
+    }
+    assert(rows.exists(_.getInt(3) > 1),
+      "fixture must contain words the vocabulary cannot cover whole")
+  }
+
   test("bpe encode: driver-side re-encode with the learned merge table " +
     "reproduces every doc's token stats exactly") {
     val table = TextAnalysis.bpeFit(spark, sf, 8).collect()
