@@ -257,6 +257,13 @@ object ScaleCurve {
         // tier, which must NOT grow with fac
         time("bpe_fit", fac)(
           graft.ops.TextAnalysis.bpeFit(spark, broot).count())
+        // unigram family on the same duplicate-text replicas: the piece
+        // inventory and the Viterbi DP are both claimed vocabulary-bound —
+        // only the initial word count may grow with fac
+        time("unigram_counts", fac)(
+          graft.ops.TextAnalysis.unigramCounts(spark, broot).count())
+        time("unigram_encode", fac)(
+          graft.ops.TextAnalysis.unigramEncode(spark, broot).count())
         if (fac != 1 && !keep) {
           val p = new org.apache.hadoop.fs.Path(bdir)
           p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
