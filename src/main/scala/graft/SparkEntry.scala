@@ -120,6 +120,7 @@ object SparkEntry {
     "q_stratified_sample" -> ((s, d) => Sampling.stratifiedSample(s, d)),
     "q_corpus_sample"  -> ((s, d) => Sampling.corpusSample(s, d)),
     "q_source_cap"     -> ((s, d) => Sampling.sourceCap(s, d)),
+    "q_token_budget"   -> ((s, d) => Sampling.tokenBudget(s, d)),
     "q_decontaminate_bloom" -> ((s, d) => Dedup.decontaminateBloom(s, d)),
     "q_bm25"           -> ((s, d) => TextAnalysis.bm25(s, d)),
     "q_bpe_pairs"      -> ((s, d) => TextAnalysis.bpePairStats(s, d)),
@@ -1526,6 +1527,20 @@ object SparkEntry {
         |  cap.n_docs, cap.cap
         |FROM r JOIN cap USING (source)
         |WHERE r.rank <= cap.cap ORDER BY r.source, r.rank""".stripMargin,
+
+    // Token-budget selection: greedy quality-ordered prefix under a 15k
+    // token budget; the oracle is the single-window form the histogram
+    // refinement is spec-proven equal to.
+    "q_token_budget" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |s AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tok,
+        |        round(CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 4)
+        |          AS score
+        |      FROM d),
+        |c AS (SELECT *, sum(n_tok) OVER (ORDER BY score DESC, doc_id) AS cum
+        |      FROM s)
+        |SELECT doc_id, n_tok, score, cum <= 15000 AS kept
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "q_vocab" ->
       """WITH e AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),

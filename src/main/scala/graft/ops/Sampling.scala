@@ -87,6 +87,54 @@ object Sampling {
       .orderBy(col("source"), col("rank"))
   }
 
+  /** Token-budget corpus selection: greedily keep the highest-quality
+    * documents (quality = type-token ratio, the distinct-word share — a
+    * standard cheap diversity signal; ties by doc_id) until the training
+    * token budget is spent — i.e. the prefix of the quality-ordered corpus
+    * whose cumulative token count fits `budget`. The "we can afford N
+    * tokens, which documents?" cut every training run makes. Emits a TOTAL
+    * disposition (doc_id, n_tok, score, kept).
+    *
+    * Shape at scale: the naive form is ONE GLOBAL ordered prefix-sum — a
+    * single-reducer window funnel over the whole corpus. This runs the
+    * histogram refinement instead: bucket scores (tiny, score-range-sized
+    * table), take cumulative token mass per bucket from the top (a window
+    * over ~100 rows), broadcast it back, and decide whole buckets in a
+    * map-side comparison. Only the ONE boundary bucket that straddles the
+    * budget needs an exact ordered prefix-sum, and that window runs over a
+    * single bucket's docs, not the corpus (bucket width bounds the skew;
+    * recurse the refinement if a bucket is still too fat). Spec-proven
+    * identical to the single-window form. Bucketing by floor(score*100)
+    * is monotone in score, so the decomposition is exact whatever IEEE
+    * does to the product. */
+  def tokenBudget(spark: SparkSession, dir: String,
+                  budget: Long = 15000L): DataFrame = {
+    val s = Tables(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), size(col("t")).cast("long").as("n_tok"),
+        round(size(array_distinct(col("t"))).cast("double") / size(col("t")), 4)
+          .as("score"))
+      .withColumn("bucket", floor(col("score") * 100).cast("int"))
+    val wb = Window.orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val buckets = s.groupBy(col("bucket")).agg(sum(col("n_tok")).as("btok"))
+      .withColumn("above", coalesce(sum(col("btok")).over(wb), lit(0L)))
+    val joined = s.join(broadcast(buckets), "bucket")
+    val whole = joined.filter(col("above") + col("btok") <= budget)
+      .withColumn("kept", lit(true))
+    val dead = joined.filter(col("above") >= budget)
+      .withColumn("kept", lit(false))
+    val wB = Window.partitionBy(col("bucket"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val boundary = joined
+      .filter(col("above") < budget && col("above") + col("btok") > budget)
+      .withColumn("kept", col("above") + sum(col("n_tok")).over(wB) <= budget)
+    whole.unionByName(dead).unionByName(boundary)
+      .select(col("doc_id"), col("n_tok"), col("score"), col("kept"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Fixed-size whole-corpus sample: the globally first `n` docs in
     * sample-hash order, with their rank. `orderBy(h).limit(n)` lowers to
     * `TakeOrderedAndProject` — per-partition heaps of n rows, driver merges

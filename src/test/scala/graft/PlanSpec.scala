@@ -386,6 +386,15 @@ class PlanSpec extends SparkSpec {
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2, p.take(3000))
   }
 
+  test("token budget: no global-order window funnel — every window " +
+    "partitions by bucket or runs over the tiny bucket table; the bucket " +
+    "sums broadcast back") {
+    val p = plan("q_token_budget")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
   test("unigram encode: the vocabulary cut is TakeOrderedAndProject; the " +
     "one-row vocabulary map is the only nested-loop; the DP is a per-row " +
     "fold with no extra exchange") {

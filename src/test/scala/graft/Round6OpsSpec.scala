@@ -360,6 +360,39 @@ class Round6OpsSpec extends SparkSpec {
       "fixture must contain words the vocabulary cannot cover whole")
   }
 
+  test("token budget: the histogram refinement equals the single-window " +
+    "greedy prefix, the budget binds tight, and the disposition is total") {
+    val rows = graft.ops.Sampling.tokenBudget(spark, sf).collect()
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map { r =>
+        val t = r.getString(1).split(" ", -1)
+        (r.getLong(0), t.length.toLong,
+          java.math.BigDecimal.valueOf(t.distinct.length.toDouble / t.length)
+            .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue)
+      }
+    assert(rows.length === docs.length, "disposition must be total")
+    // the single-window closed form: greedy quality-ordered prefix
+    var cum = 0L
+    val kept = docs.sortBy { case (id, _, s) => (-s, id) }.map {
+      case (id, n, _) => cum += n; id -> (cum <= 15000L)
+    }.toMap
+    val got = rows.map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    docs.foreach { case (id, n, s) =>
+      assert(got(id) === ((n, s, kept(id))), s"doc $id")
+    }
+    val keptTok = docs.filter(d => kept(d._1)).map(_._2).sum
+    assert(keptTok <= 15000L, "budget respected")
+    // tight: the next doc in greedy order would not have fit
+    val firstDropped = docs.sortBy { case (id, _, s) => (-s, id) }
+      .find(d => !kept(d._1))
+    firstDropped.foreach(d =>
+      assert(keptTok + d._2 > 15000L, "greedy prefix is maximal"))
+    assert(rows.exists(!_.getBoolean(3)) && rows.exists(_.getBoolean(3)),
+      "fixture must straddle the budget")
+  }
+
   test("bpe encode: driver-side re-encode with the learned merge table " +
     "reproduces every doc's token stats exactly") {
     val table = TextAnalysis.bpeFit(spark, sf, 8).collect()
