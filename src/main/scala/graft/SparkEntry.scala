@@ -132,6 +132,7 @@ object SparkEntry {
     "q_vocab"          -> ((s, d) => TextAnalysis.vocabCoverage(s, d)),
     "q_ann_pq"         -> ((s, d) => Similarity.pqTopK(s, d)),
     "q_ann_ivfpq"      -> ((s, d) => Similarity.ivfPqTopK(s, d)),
+    "q_jl_project"     -> ((s, d) => Similarity.jlProject(s, d)),
     "q_retention"      -> ((s, d) => Relational.retention(s, d)),
     "q_outliers"       -> ((s, d) => Relational.outliers(s, d)),
     "q_approx_percentile" -> ((s, d) => Relational.approxPercentiles(s, d)),
@@ -1626,6 +1627,22 @@ object SparkEntry {
         |          ORDER BY adist_micro, n_id) AS rank FROM adc)
         |SELECT q_id, CAST(rank AS INT) AS rank, n_id, adist_micro
         |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    // JL projection: md5-hex-digit-parity sign matrix, sequential-fold
+    // dot so doubles match bit-for-bit before the 4-dp round.
+    "q_jl_project" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |mr AS (SELECT r, list_transform(range(0, 64), d ->
+        |         CASE WHEN CAST('0x' || substr(
+        |             md5('graft_jl:' || r || ':' || d), 1, 1) AS BIGINT) % 2 = 0
+        |           THEN 1.0 ELSE -1.0 END) AS srow
+        |       FROM (SELECT unnest(range(0, 16)) AS r)),
+        |p AS (SELECT e.vec_id, mr.r,
+        |        round(list_sum(list_transform(range(1, 65),
+        |          d -> mr.srow[d] * e.v[d])) / sqrt(16.0), 4) + 0.0 AS value
+        |      FROM e, mr)
+        |SELECT vec_id, CAST(r AS INT) AS r, value
+        |FROM p ORDER BY vec_id, r""".stripMargin,
 
     "q_retention" ->
       """WITH c AS (SELECT user_id,

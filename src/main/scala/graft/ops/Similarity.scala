@@ -476,6 +476,45 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** Johnson-Lindenstrauss random projection: reduce every embedding to
+    * `outDim` dimensions with a dense +-1 sign matrix (Achlioptas 2003 —
+    * database-friendly random projections), scaled by 1/sqrt(outDim) so
+    * pairwise distances are preserved in expectation. The cheap first
+    * stage in front of ANN indexing and clustering when 64 dims are still
+    * too many per candidate. The sign matrix is md5-keyed
+    * (`graft_jl:<r>:<d>` hex-digit parity), so it is not engine-internal
+    * hash state: any engine rebuilds the exact matrix and the operator
+    * keeps an exact oracle.
+    *
+    * Shape at scale: the outDim x 64 matrix folds into ONE broadcast row;
+    * projection is a per-row HOF fold over the corpus — zero shuffles, no
+    * join row-amplification, nothing corpus-keyed anywhere (the output
+    * sort is the only exchange). Sums run as sequential folds so the
+    * doubles match the oracle bit-for-bit before the 4-dp round. */
+  def jlProject(spark: SparkSession, dir: String, outDim: Int = 16): DataFrame = {
+    val e = withVec(spark, dir)
+    val m = spark.range(1)
+      .select(explode(expr(s"sequence(0, ${outDim - 1})")).as("r"))
+      .select(col("r"), explode(expr("sequence(0, 63)")).as("d"))
+      .select(col("r"), col("d"), when(
+        expr("cast(conv(substring(md5(concat('graft_jl:', r, ':', d)), 1, 1), 16, 10) as int) % 2 = 0"),
+        lit(1.0)).otherwise(lit(-1.0)).as("sgn"))
+      .groupBy(col("r"))
+      .agg(expr("transform(array_sort(collect_list(struct(d, sgn))), s -> s.sgn)")
+        .as("srow"))
+      .agg(expr("transform(array_sort(collect_list(struct(r, srow))), s -> s.srow)")
+        .as("mat"))
+    e.crossJoin(broadcast(m))
+      .select(col("vec_id"), posexplode(expr(
+        s"""transform(sequence(0, ${outDim - 1}), r ->
+           |  round(aggregate(sequence(0, 63), cast(0.0 as double),
+           |    (acc, d) -> acc + element_at(element_at(mat, r + 1), d + 1)
+           |      * element_at(v, d + 1))
+           |    / sqrt(cast($outDim as double)), 4) + 0.0d)""".stripMargin))
+        .as(Seq("r", "value")))
+      .orderBy(col("vec_id"), col("r"))
+  }
+
   /** Per-label mean-pooled embedding centroids — the pooling/centroid
     * report behind class prototypes, cluster summaries and nearest-
     * centroid classification: element-wise mean per (label, dimension),

@@ -395,6 +395,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
   }
 
+  test("jl projection: per-row fold against the one-row broadcast sign " +
+    "matrix — no corpus shuffle, no cartesian, at most the one-row " +
+    "nested-loop") {
+    val p = plan("q_jl_project")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
   test("unigram encode: the vocabulary cut is TakeOrderedAndProject; the " +
     "one-row vocabulary map is the only nested-loop; the DP is a per-row " +
     "fold with no extra exchange") {

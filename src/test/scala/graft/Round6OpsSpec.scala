@@ -393,6 +393,47 @@ class Round6OpsSpec extends SparkSpec {
       "fixture must straddle the budget")
   }
 
+  test("jl projection: exact md5-sign closed form per component, and " +
+    "pairwise distances preserved in the JL sense on sampled pairs") {
+    val rows = Similarity.jlProject(spark, sf).collect()
+    val e = embeddings()
+    assert(rows.length === e.length * 16)
+    def sgn(r: Int, d: Int): Double = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"graft_jl:$r:$d".getBytes("UTF-8"))
+      if (((h(0) >> 4) & 0xf) % 2 == 0) 1.0 else -1.0
+    }
+    val mat = Array.tabulate(16, 64)((r, d) => sgn(r, d))
+    def projRaw(v: Array[Double]): Array[Double] =
+      Array.tabulate(16) { r =>
+        var acc = 0.0; var d = 0
+        while (d < 64) { acc += mat(r)(d) * v(d); d += 1 }
+        acc / 4.0
+      }
+    val byKey = rows.map(r =>
+      (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val raw = e.map { case (id, _, v) => id -> projRaw(v) }.toMap
+    e.foreach { case (id, _, _) =>
+      (0 until 16).foreach { r =>
+        val expect = java.math.BigDecimal.valueOf(raw(id)(r))
+          .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue + 0.0
+        assert(byKey((id, r)) === expect, s"vec $id component $r")
+      }
+    }
+    // JL guarantee (k = 16): E[||p(a)-p(b)||^2] = ||a-b||^2; the mean
+    // ratio over sampled pairs concentrates near 1
+    def d2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val sample = e.take(40)
+    val ratios = for {
+      i <- sample.indices; j <- (i + 1) until sample.length
+    } yield d2(raw(sample(i)._1), raw(sample(j)._1)) /
+      d2(sample(i)._3, sample(j)._3)
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.8 && mean < 1.2,
+      s"mean projected/original distance ratio $mean must concentrate near 1")
+  }
+
   test("bpe encode: driver-side re-encode with the learned merge table " +
     "reproduces every doc's token stats exactly") {
     val table = TextAnalysis.bpeFit(spark, sf, 8).collect()
