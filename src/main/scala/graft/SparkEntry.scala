@@ -121,6 +121,7 @@ object SparkEntry {
     "q_corpus_sample"  -> ((s, d) => Sampling.corpusSample(s, d)),
     "q_source_cap"     -> ((s, d) => Sampling.sourceCap(s, d)),
     "q_token_budget"   -> ((s, d) => Sampling.tokenBudget(s, d)),
+    "q_weighted_sample" -> ((s, d) => Sampling.weightedSample(s, d)),
     "q_decontaminate_bloom" -> ((s, d) => Dedup.decontaminateBloom(s, d)),
     "q_bm25"           -> ((s, d) => TextAnalysis.bm25(s, d)),
     "q_bpe_pairs"      -> ((s, d) => TextAnalysis.bpePairStats(s, d)),
@@ -142,6 +143,9 @@ object SparkEntry {
     "q_sem_dedup"      -> ((s, d) => Dedup.semDedup(s, d)),
     "q_unigram_counts" -> ((s, d) => TextAnalysis.unigramCounts(s, d)),
     "q_unigram_encode" -> ((s, d) => TextAnalysis.unigramEncode(s, d)),
+    "q_heavy_hitters"  -> ((s, d) => FrequentItems.heavyHitters(s, d)),
+    "q_wordpiece_encode" -> ((s, d) => TextAnalysis.wordpieceEncode(s, d)),
+    "q_pagerank"       -> ((s, d) => Graph.pageRank(s, d)),
     // rows-only: encodes with the merge table learned by the iterative fit
     // (inexpressible in DuckDB); Round6OpsSpec re-encodes driver-side
     "q_bpe_encode"     -> ((s, d) => TextAnalysis.bpeEncode(s, d))
@@ -165,6 +169,44 @@ object SparkEntry {
     * pair set), giving it the ngram closed-form oracle — that premise (and
     * the never-binding 128 df cap) is pinned by OraclePremiseSpec at
     * sf0.01, so a fixture change fails the spec, not the gate. */
+
+  /** PageRank over the symmetrized [[graft.ops.Dedup.embedDup]] graph in
+    * integer micro-units: six power iterations unrolled as six chained
+    * CTEs (floor-divided integer mass is engine-exact, so no float
+    * summation-order hazard; DuckDB's recursive CTE cannot aggregate in
+    * the recursive term, hence the unroll). Must mirror
+    * [[graft.ops.Graph.pageRank]] constant for constant. */
+  private val pageRankOracle: String = {
+    val base =
+      """WITH e0 AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |nr AS (SELECT vec_id, label, v,
+        |        sqrt(list_sum(list_transform(v, x -> x * x))) AS norm,
+        |        CAST(v[1] > 0 AS INT) * 8 + CAST(v[2] > 0 AS INT) * 4 +
+        |        CAST(v[3] > 0 AS INT) * 2 + CAST(v[4] > 0 AS INT) AS cell
+        |      FROM e0),
+        |pr AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |       FROM nr a JOIN nr b ON a.label = b.label AND a.cell = b.cell
+        |         AND a.vec_id < b.vec_id
+        |       WHERE round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 4) >= 0.3),
+        |e AS (SELECT vec_a AS src, vec_b AS dst FROM pr
+        |      UNION ALL SELECT vec_b, vec_a FROM pr),
+        |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+        |nn AS (SELECT count(*) AS n FROM deg),
+        |r0 AS (SELECT src AS node, CAST(1000000000000 AS BIGINT) // n AS r, n
+        |       FROM deg, nn)""".stripMargin
+    val iterCtes = (1 to 6).map { i =>
+      s"""r$i AS (SELECT e.dst AS node,
+         |  CAST(15000000000000 AS BIGINT) // (100 * p.n) +
+         |  sum((85 * p.r) // (100 * d.outdeg)) AS r, p.n AS n
+         |FROM e JOIN r${i - 1} p ON p.node = e.src JOIN deg d ON d.src = e.src
+         |GROUP BY e.dst, p.n)""".stripMargin
+    }
+    (base +: iterCtes).mkString(",\n") +
+      """
+        |SELECT node AS vec_id, CAST(r AS BIGINT) AS rank_micro,
+        |  round(CAST(r AS DOUBLE) / 1000000000000.0, 6) AS rank
+        |FROM r6 ORDER BY vec_id""".stripMargin
+  }
 
   /** The exact n-gram-Jaccard closed form, shared verbatim by the FOUR
     * dedup formulations that must produce the identical pair set
@@ -1501,6 +1543,73 @@ object SparkEntry {
         |        AS rank FROM h)
         |SELECT lang, CAST(rank AS INT) AS rank, doc_id, source
         |FROM r WHERE rank <= 40 ORDER BY lang, rank""".stripMargin,
+
+    "q_pagerank" -> pageRankOracle,
+
+    // WordPiece greedy longest-match-first segmentation, replayed as a
+    // carried-position recursive CTE over the distinct-word table; the
+    // vocabulary is the top-64 piece-frequency head WITHOUT the all-chars
+    // union, so the [UNK] branch is exercised for real.
+    "q_wordpiece_encode" ->
+      """WITH RECURSIVE
+        |t AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tc AS (SELECT tok, count(*) AS c FROM t WHERE len(tok) > 0 GROUP BY 1),
+        |p AS (SELECT unnest(flatten(list_transform(range(1, len(tok) + 1),
+        |        i -> list_transform(range(i, least(i + 3, len(tok)) + 1),
+        |          j -> substr(tok, i, j - i + 1))))) AS piece, c
+        |      FROM tc),
+        |f AS (SELECT piece FROM (SELECT piece, CAST(sum(c) AS BIGINT) AS freq
+        |                         FROM p GROUP BY 1)
+        |      ORDER BY freq DESC, piece LIMIT 64),
+        |g AS (
+        |  SELECT tok, c, 1 AS pos, 0 AS np, 0 AS nu FROM tc
+        |  UNION ALL
+        |  SELECT g.tok, g.c,
+        |    g.pos + greatest(CASE WHEN v4.piece IS NOT NULL THEN 4
+        |      WHEN v3.piece IS NOT NULL THEN 3
+        |      WHEN v2.piece IS NOT NULL THEN 2
+        |      WHEN v1.piece IS NOT NULL THEN 1 ELSE 0 END, 1),
+        |    g.np + 1,
+        |    g.nu + CASE WHEN v1.piece IS NULL AND v2.piece IS NULL
+        |      AND v3.piece IS NULL AND v4.piece IS NULL THEN 1 ELSE 0 END
+        |  FROM g
+        |  LEFT JOIN f v1 ON v1.piece = substr(g.tok, g.pos, 1)
+        |  LEFT JOIN f v2 ON g.pos + 1 <= len(g.tok)
+        |    AND v2.piece = substr(g.tok, g.pos, 2)
+        |  LEFT JOIN f v3 ON g.pos + 2 <= len(g.tok)
+        |    AND v3.piece = substr(g.tok, g.pos, 3)
+        |  LEFT JOIN f v4 ON g.pos + 3 <= len(g.tok)
+        |    AND v4.piece = substr(g.tok, g.pos, 4)
+        |  WHERE g.pos <= len(g.tok))
+        |SELECT tok, CAST(c AS BIGINT) AS n_occ, CAST(len(tok) AS INT) AS n_chars,
+        |  CAST(np AS INT) AS n_pieces, CAST(nu AS INT) AS n_unk
+        |FROM g WHERE pos = len(tok) + 1 ORDER BY tok""".stripMargin,
+
+    // Exact heavy hitters (Misra-Gries candidates + exact recount): the
+    // sketch only affects WHICH tokens get recounted, never the answer,
+    // so the oracle is the plain exact form.
+    "q_heavy_hitters" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |c AS (SELECT tok, count(*) AS cnt FROM t WHERE len(tok) > 0 GROUP BY 1),
+        |tot AS (SELECT sum(cnt) AS n FROM c)
+        |SELECT tok, cnt, round(CAST(cnt AS DOUBLE) / n, 6) AS share
+        |FROM c, tot WHERE cnt >= ceil(0.01 * n)
+        |ORDER BY cnt DESC, tok""".stripMargin,
+
+    // A-ES weighted sampling without replacement: key = -ln(u)/w with a
+    // 48-bit md5-derived uniform and w = token count; sample = k smallest.
+    "q_weighted_sample" ->
+      """WITH d AS (SELECT doc_id,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |           FROM documents),
+        |k AS (SELECT doc_id, n_tok,
+        |        -ln((CAST('0x' || substr(md5('graft_wsample:' ||
+        |              CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) + 0.5)
+        |            / 281474976710656.0) / n_tok AS key
+        |      FROM d),
+        |r AS (SELECT *, row_number() OVER (ORDER BY key, doc_id) AS rank FROM k)
+        |SELECT CAST(rank AS INT) AS rank, doc_id, n_tok, round(key, 6) AS key
+        |FROM r WHERE rank <= 48 ORDER BY rank""".stripMargin,
 
     "q_corpus_sample" ->
       """WITH h AS (SELECT doc_id, lang, source,

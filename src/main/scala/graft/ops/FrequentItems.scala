@@ -1,0 +1,104 @@
+package graft.ops
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Exact heavy hitters at sketch cost — the "which tokens exceed s of the
+  * corpus" query a tokenizer-vocabulary or contamination audit runs, answered
+  * WITHOUT shuffling the full vocabulary. Two passes:
+  *
+  *   1. a Misra-Gries summary (Misra & Gries 1982; merge rule per Agarwal et
+  *      al. 2012 "Mergeable Summaries") of capacity C runs as a typed
+  *      `Aggregator`: per-partition partials, tree-merged by Spark's normal
+  *      partial-aggregation machinery, ONE summary of ≤ C counters reaching
+  *      the driver. MG guarantees every token with true count > n/(C+1)
+  *      survives the merged summary, so with support s > 1/(C+1) the
+  *      summary keys are a SUPERSET of the true heavy hitters — whatever
+  *      the partitioning.
+  *   2. an exact count of ONLY the candidate tokens: the `isin(candidates)`
+  *      filter sits directly on the tokenizer's generate output — before
+  *      any exchange — so the groupBy shuffle carries candidate rows alone,
+  *      O(C) distinct keys, instead of the full vocabulary.
+  *
+  * The final `count >= ceil(s*n)` cut makes the output exact and
+  * deterministic (partitioning changes the candidate set, never the
+  * answer). The reference has no sketch surface at all; Spark's built-in
+  * `count_min_sketch` answers point queries but cannot enumerate, which is
+  * the operation a pipeline actually needs.
+  */
+object FrequentItems {
+
+  /** Mergeable Misra-Gries: buffer = (stream length, up to `capacity`
+    * surviving counters). `reduce` is textbook MG insert; `merge` sums
+    * counters pointwise and, when over capacity, subtracts the (C+1)-th
+    * largest count from every counter and drops the non-positive — the
+    * Agarwal et al. merge that preserves the n/(C+1) error bound. */
+  class MisraGries(capacity: Int)
+      extends Aggregator[String, (Long, Map[String, Long]), (Long, Map[String, Long])] {
+
+    override def zero: (Long, Map[String, Long]) = (0L, Map.empty)
+
+    override def reduce(b: (Long, Map[String, Long]), tok: String): (Long, Map[String, Long]) = {
+      val (n, m) = b
+      m.get(tok) match {
+        case Some(c) => (n + 1, m.updated(tok, c + 1))
+        case None if m.size < capacity => (n + 1, m.updated(tok, 1L))
+        case None =>
+          // decrement-all: every counter loses 1, zeros fall out
+          (n + 1, m.iterator.map { case (k, c) => (k, c - 1) }
+            .filter(_._2 > 0).toMap)
+      }
+    }
+
+    override def merge(b1: (Long, Map[String, Long]),
+                       b2: (Long, Map[String, Long])): (Long, Map[String, Long]) = {
+      val summed = mutable.HashMap.from(b1._2)
+      b2._2.foreach { case (k, c) => summed.update(k, summed.getOrElse(k, 0L) + c) }
+      val reduced: Map[String, Long] =
+        if (summed.size <= capacity) summed.toMap
+        else {
+          val d = summed.values.toArray.sorted(Ordering.Long.reverse).apply(capacity)
+          summed.iterator.map { case (k, c) => (k, c - d) }.filter(_._2 > 0).toMap
+        }
+      (b1._1 + b2._1, reduced)
+    }
+
+    override def finish(b: (Long, Map[String, Long])): (Long, Map[String, Long]) = b
+    override def bufferEncoder: Encoder[(Long, Map[String, Long])] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.kryo[Map[String, Long]])
+    override def outputEncoder: Encoder[(Long, Map[String, Long])] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.kryo[Map[String, Long]])
+  }
+
+  /** MG candidate pass over an already-tokenized Dataset — exposed for the
+    * spec's partitioning-invariance and superset-property checks. Returns
+    * (total token count, candidate summary). */
+  def mgCandidates(spark: SparkSession, toks: DataFrame,
+                   capacity: Int): (Long, Map[String, Long]) = {
+    import spark.implicits._
+    toks.as[String].select(new MisraGries(capacity).toColumn).head()
+  }
+
+  /** Tokens whose corpus frequency is at least `support` of all tokens,
+    * with exact counts and corpus share. `capacity` must exceed
+    * 1/support (enforced) for the MG superset guarantee to hold. */
+  def heavyHitters(spark: SparkSession, dir: String, support: Double = 0.01,
+                   capacity: Int = 256): DataFrame = {
+    require(capacity + 1 > 1.0 / support,
+      s"capacity $capacity too small for support $support: need capacity+1 > 1/s")
+    val toks = Tables(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val (total, summary) = mgCandidates(spark, toks, capacity)
+    val threshold = math.ceil(support * total).toLong
+    val candidates = summary.keys.toSeq
+    toks.filter(col("tok").isin(candidates: _*))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= threshold)
+      .withColumn("share", round(col("cnt") / lit(total.toDouble), 6))
+      .orderBy(col("cnt").desc, col("tok"))
+  }
+}

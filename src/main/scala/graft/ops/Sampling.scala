@@ -135,6 +135,38 @@ object Sampling {
       .orderBy(col("doc_id"))
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis & Spirakis 2006,
+    * "Weighted random sampling with a reservoir"): each doc draws a key
+    * `-ln(u) / w` from its own deterministic uniform `u` and weight `w`
+    * (token count — sample docs proportional to token mass, the mixture-
+    * sampling primitive), and the sample is the `k` SMALLEST keys. One
+    * pass, no sequential draw-and-remove: the A-ES key order realizes
+    * exactly the successive weighted-draw-without-replacement process.
+    * `u` is md5-derived (first 12 hex digits → 48-bit uniform), so the
+    * sample is reproducible across engines, reruns and repartitions —
+    * seeded `rand()` would not survive a partitioning change.
+    *
+    * Shape at scale: key derivation is per-row codegen'd builtins (md5 /
+    * conv / ln — no UDF); the selection is `orderBy(key).limit(k)` which
+    * lowers to TakeOrderedAndProject (per-partition k-row heaps, driver
+    * merges k) — NO global sort, no full shuffle, whatever the corpus
+    * size. The trailing rank window runs over exactly `k` survivors. */
+  def weightedSample(spark: SparkSession, dir: String, k: Int = 48): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("u",
+        (expr("cast(conv(substring(md5(concat('graft_wsample:', " +
+          "cast(doc_id as string))), 1, 12), 16, 10) as double)") + 0.5d) /
+          lit(281474976710656.0d))
+      .withColumn("key", -log(col("u")) / col("n_tok"))
+    d.orderBy(col("key"), col("doc_id")).limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("key"), col("doc_id"))))
+      .select(col("rank"), col("doc_id"), col("n_tok"),
+        round(col("key"), 6).as("key"))
+      .orderBy(col("rank"))
+  }
+
   /** Fixed-size whole-corpus sample: the globally first `n` docs in
     * sample-hash order, with their rank. `orderBy(h).limit(n)` lowers to
     * `TakeOrderedAndProject` — per-partition heaps of n rows, driver merges

@@ -925,6 +925,54 @@ object TextAnalysis {
       .orderBy(col("tok"))
   }
 
+  /** WordPiece-style GREEDY subword segmentation (Wu et al. 2016's
+    * longest-match-first inference, the scheme BERT tokenization uses):
+    * at each position consume the LONGEST vocabulary piece that matches,
+    * or one [UNK] character when nothing does. Completes the tokenizer
+    * family alongside the BPE merge-fold ([[bpeEncode]]) and the unigram
+    * Viterbi DP ([[unigramEncode]]): same substring-candidate vocabulary
+    * machinery, deliberately DIFFERENT inference rule — greedy is not
+    * optimal, and the per-word (n_pieces, n_unk) it emits is exactly the
+    * fertility/OOV diagnostic that distinguishes the schemes on a corpus.
+    * Unlike the unigram vocabulary, the top-`vocabSize` cut here does NOT
+    * union in every character, so the [UNK] path is real: a character
+    * outside the frequency head costs one UNK piece, as in BERT.
+    *
+    * Shape at scale: identical to [[unigramEncode]] — two corpus
+    * aggregates (distinct words, piece frequencies), a
+    * TakeOrderedAndProject vocabulary cut, ONE broadcast vocabulary map,
+    * and the greedy scan as a single `aggregate` fold per distinct word
+    * carrying a packed (next_pos, n_pieces, n_unk) bigint. Everything
+    * downstream of the two aggregates is vocabulary-sized; the corpus is
+    * never rescanned, and no UDF is involved — the fold is a codegen'd
+    * higher-order function. */
+  def wordpieceEncode(spark: SparkSession, dir: String, maxLen: Int = 4,
+                      vocabSize: Int = 64): DataFrame = {
+    val sPos = 1L << 40 // next_pos stride
+    val sPc = 1L << 20 // piece-count stride; unk count in the low bits
+    val vocab = pieceFreqs(spark, dir, maxLen)
+      .orderBy(col("freq").desc, col("piece")).limit(vocabSize)
+    val vmap = vocab.agg(
+      map_from_entries(collect_list(struct(col("piece"), col("freq"))))
+        .as("vmap"))
+    // longest match at position i, 0 when nothing in the vocab fits
+    val longest = s"""array_max(transform(
+       |  sequence(1, least($maxLen, length(tok) - i + 1)),
+       |  l -> CASE WHEN element_at(vmap, substring(tok, i, l)) IS NOT NULL
+       |    THEN l ELSE 0 END))""".stripMargin
+    distinctWords(spark, dir).crossJoin(broadcast(vmap))
+      .withColumn("packed", expr(
+        s"""aggregate(sequence(1, length(tok)), cast(${sPos}L as bigint),
+           |  (acc, i) -> CASE WHEN i < acc div ${sPos}L THEN acc
+           |    ELSE acc + greatest($longest, 1) * ${sPos}L + ${sPc}L
+           |         + CASE WHEN $longest = 0 THEN 1L ELSE 0L END END)""".stripMargin))
+      .select(col("tok"), col("c").as("n_occ"),
+        length(col("tok")).as("n_chars"),
+        (expr(s"packed div ${sPc}L") % sPc).cast("int").as("n_pieces"),
+        (col("packed") % sPc).cast("int").as("n_unk"))
+      .orderBy(col("tok"))
+  }
+
   /** Corpus vocabulary coverage — the Zipf head report: top-k tokens by
     * corpus frequency with per-token and cumulative probability mass (how
     * much of the corpus the first k vocabulary entries explain — the

@@ -424,4 +424,41 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
       p.take(3000))
   }
+
+  test("weighted sample: A-ES selection is TakeOrderedAndProject — " +
+    "per-partition heaps, never a global sort of the corpus") {
+    val p = plan("q_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      p.take(3000))
+  }
+
+  test("heavy hitters: the recount groupBy is two-phase and fed by the " +
+    "candidate filter, so only candidate tokens reach the exchange") {
+    val p = plan("q_heavy_hitters")
+    assert(p.contains("partial_count") || p.contains("partial_"), p.take(3000))
+    // the isin(candidates) filter sits below the aggregation exchange
+    val filterIdx = p.indexOf("tok#")
+    assert(p.contains(" IN ") || p.contains("INSET"), p.take(3000))
+    assert(filterIdx >= 0 && !p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("wordpiece encode: same shape contract as the unigram DP — " +
+    "TakeOrderedAndProject vocabulary cut, one broadcast map, no cartesian") {
+    val p = plan("q_wordpiece_encode")
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("pagerank: every iteration joins keyed (hash/merge) — no nested " +
+    "loop anywhere except the 1-row node-count broadcast") {
+    val p = plan("q_pagerank")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      p.take(3000))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    // per-destination sums are map-side combined
+    assert(p.contains("partial_sum"), p.take(3000))
+  }
 }
