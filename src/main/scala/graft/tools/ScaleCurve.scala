@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   * super-linear term (pair blowup, driver state) bends the curve long
   * before 100 TB does. Dev tool; results recorded in SCALE.md.
   *
-  * Usage: runMain graft.tools.ScaleCurve [factors csv, default 1,10,100] [neardup] [stream] [bpe] [r6]
+  * Usage: runMain graft.tools.ScaleCurve [factors csv, default 1,10,100] [neardup] [stream] [bpe] [r6] [b5]
   *   `neardup` adds the near-dup composite (decontaminate + dup-span) at
   *   each factor — the standing per-round stress entry for the near-dup
   *   tier's scale curve (VERDICT r4 item 7). `stream` adds the
@@ -33,6 +33,7 @@ object ScaleCurve {
     val stream = args.length > 1 && args.drop(1).contains("stream")
     val bpe = args.length > 1 && args.drop(1).contains("bpe")
     val r6 = args.length > 1 && args.drop(1).contains("r6")
+    val b5 = args.length > 1 && args.drop(1).contains("b5")
     // keep: leave the replicated tables on disk for stage profiling
     // (graft.tools.Profile <dir> prefix) instead of the default cleanup
     val keep = args.length > 1 && args.drop(1).contains("keep")
@@ -229,6 +230,65 @@ object ScaleCurve {
           graft.ops.TextAnalysis.bpeEncode(spark, eroot).count())
         if (fac != 1 && !keep) {
           val p = new org.apache.hadoop.fs.Path(edir)
+          p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+          ()
+        }
+      }
+
+      if (b5) {
+        // fifth-batch operators, each on the replica axis that isolates
+        // its claimed cost driver:
+        // - weighted_sample on the DISTINCT-content corpus: one scan +
+        //   per-partition heaps — must be scan-linear with a constant
+        //   driver merge (k rows whatever fac is)
+        time("weighted_sample", fac)(
+          graft.ops.Sampling.weightedSample(spark, root).count())
+        // - heavy_hitters + wordpiece on DUPLICATE-text replicas:
+        //   vocabulary constant, counts scale with fac, so token SHARES —
+        //   and therefore the heavy-hitter answer — are fac-invariant
+        //   while the sketch/recount scans grow linearly; the wordpiece
+        //   fold runs over the SAME distinct-word table at every fac, so
+        //   fit-minus-scan must stay flat (the unigram/bpe claim, greedy
+        //   flavor)
+        val hdir = s"/tmp/graft-scalecurve-b5-$fac"
+        val hroot =
+          if (fac == 1) sf
+          else {
+            replicate(spark.read.parquet(s"$sf/documents.parquet"),
+              Set("doc_id"), fac, perturbText = false)
+              .repartition(64)
+              .write.mode("overwrite").parquet(s"$hdir/documents.parquet")
+            hdir
+          }
+        spark.read.parquet(s"$hroot/documents.parquet").count() // warm
+        time("heavy_hitters", fac)(
+          graft.ops.FrequentItems.heavyHitters(spark, hroot).count())
+        time("wordpiece_enc", fac)(
+          graft.ops.TextAnalysis.wordpieceEncode(spark, hroot).count())
+        if (fac != 1 && !keep) {
+          val p = new org.apache.hadoop.fs.Path(hdir)
+          p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+          ()
+        }
+        // - pagerank on sign-REFLECTED embedding replicas (the sem_dedup
+        //   rationale): the eps-neighbor graph grows linearly in fac, so
+        //   per-iteration join+agg cost must track edges, not fac^2
+        val pdir = s"/tmp/graft-scalecurve-b5pr-$fac"
+        val proot =
+          if (fac == 1) sf
+          else {
+            replicate(spark.read.parquet(s"$sf/embeddings.parquet"),
+              Set("vec_id"), fac, perturbText = false,
+              perturbEmbedding = true)
+              .repartition(64)
+              .write.mode("overwrite").parquet(s"$pdir/embeddings.parquet")
+            pdir
+          }
+        spark.read.parquet(s"$proot/embeddings.parquet").count() // warm
+        time("pagerank", fac)(
+          graft.ops.Graph.pageRank(spark, proot).count())
+        if (fac != 1 && !keep) {
+          val p = new org.apache.hadoop.fs.Path(pdir)
           p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
           ()
         }
