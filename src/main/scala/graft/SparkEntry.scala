@@ -146,6 +146,9 @@ object SparkEntry {
     "q_heavy_hitters"  -> ((s, d) => FrequentItems.heavyHitters(s, d)),
     "q_wordpiece_encode" -> ((s, d) => TextAnalysis.wordpieceEncode(s, d)),
     "q_pagerank"       -> ((s, d) => Graph.pageRank(s, d)),
+    "q_triangles"      -> ((s, d) => Graph.triangles(s, d)),
+    "q_epoch_order"    -> ((s, d) => Sampling.epochOrder(s, d)),
+    "q_bitext_mine"    -> ((s, d) => Similarity.bitextMine(s, d)),
     // rows-only: encodes with the merge table learned by the iterative fit
     // (inexpressible in DuckDB); Round6OpsSpec re-encodes driver-side
     "q_bpe_encode"     -> ((s, d) => TextAnalysis.bpeEncode(s, d))
@@ -1545,6 +1548,97 @@ object SparkEntry {
         |FROM r WHERE rank <= 40 ORDER BY lang, rank""".stripMargin,
 
     "q_pagerank" -> pageRankOracle,
+
+    // Degree-oriented triangle counting: each triangle produced once at
+    // its lowest-(deg, id) vertex; integer counts, single-division
+    // clustering coefficient. Threshold 0.15, looser than the dup cut —
+    // the density diagnostic needs a graph that closes wedges.
+    "q_triangles" ->
+      """WITH e0 AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |nr AS (SELECT vec_id, label, v,
+        |        sqrt(list_sum(list_transform(v, x -> x * x))) AS norm,
+        |        CAST(v[1] > 0 AS INT) * 8 + CAST(v[2] > 0 AS INT) * 4 +
+        |        CAST(v[3] > 0 AS INT) * 2 + CAST(v[4] > 0 AS INT) AS cell
+        |      FROM e0),
+        |pr AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |       FROM nr a JOIN nr b ON a.label = b.label AND a.cell = b.cell
+        |         AND a.vec_id < b.vec_id
+        |       WHERE round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 4) >= 0.15),
+        |e AS (SELECT vec_a AS src, vec_b AS dst FROM pr
+        |      UNION ALL SELECT vec_b, vec_a FROM pr),
+        |deg AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY 1),
+        |o AS (SELECT CASE WHEN da.deg < db.deg
+        |               OR (da.deg = db.deg AND pr.vec_a < pr.vec_b)
+        |             THEN pr.vec_a ELSE pr.vec_b END AS u,
+        |        CASE WHEN da.deg < db.deg
+        |               OR (da.deg = db.deg AND pr.vec_a < pr.vec_b)
+        |             THEN pr.vec_b ELSE pr.vec_a END AS v,
+        |        CASE WHEN da.deg < db.deg
+        |               OR (da.deg = db.deg AND pr.vec_a < pr.vec_b)
+        |             THEN db.deg ELSE da.deg END AS dv
+        |      FROM pr JOIN deg da ON da.node = pr.vec_a
+        |              JOIN deg db ON db.node = pr.vec_b),
+        |w AS (SELECT o1.u AS a, o1.v AS b, o2.v AS c
+        |      FROM o o1 JOIN o o2 ON o1.u = o2.u
+        |        AND (o1.dv < o2.dv OR (o1.dv = o2.dv AND o1.v < o2.v))),
+        |t AS (SELECT w.a, w.b, w.c FROM w
+        |      JOIN o ON o.u = w.b AND o.v = w.c),
+        |x AS (SELECT a AS node FROM t UNION ALL SELECT b FROM t
+        |      UNION ALL SELECT c FROM t),
+        |pn AS (SELECT node, count(*) AS n_tri FROM x GROUP BY 1)
+        |SELECT deg.node AS vec_id, deg.deg,
+        |  coalesce(pn.n_tri, 0) AS n_tri,
+        |  CASE WHEN deg.deg > 1 THEN
+        |    round(2.0 * coalesce(pn.n_tri, 0) / (deg.deg * (deg.deg - 1)), 4)
+        |  ELSE 0.0 END AS clustering
+        |FROM deg LEFT JOIN pn ON pn.node = deg.node
+        |ORDER BY vec_id""".stripMargin,
+
+    // Deterministic epoch-shuffle order: epoch-keyed md5 shard + in-shard
+    // hash order; gpos is the round-robin interleaved read position.
+    "q_epoch_order" ->
+      """WITH h AS (SELECT doc_id,
+        |             md5('graft_epoch:1:' || CAST(doc_id AS VARCHAR)) AS h
+        |           FROM documents),
+        |s AS (SELECT doc_id, h,
+        |        CAST(CAST('0x' || substr(h, 1, 8) AS BIGINT) % 8 AS INT) AS shard
+        |      FROM h),
+        |r AS (SELECT doc_id, shard,
+        |        CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
+        |          AS INT) AS pos
+        |      FROM s)
+        |SELECT doc_id, shard, pos,
+        |  CAST(pos - 1 AS BIGINT) * 8 + shard AS gpos
+        |FROM r ORDER BY shard, pos""".stripMargin,
+
+    // Margin-based bitext mining in integer micro-units: per-source argmax
+    // of cos/(neighborhood avg), kept when margin >= 1.0.
+    "q_bitext_mine" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, label, v,
+        |        sqrt(list_sum(list_transform(v, z -> z * z))) AS norm FROM e),
+        |x AS (SELECT * FROM n WHERE label = 0),
+        |y AS (SELECT * FROM n WHERE label = 1),
+        |s AS (SELECT x.vec_id AS src_id, y.vec_id AS tgt_id,
+        |        CAST(round(list_dot_product(x.v, y.v) / (x.norm * y.norm)
+        |          * 10000) AS BIGINT) AS cm
+        |      FROM x, y),
+        |sx AS (SELECT src_id, sum(cm) AS sx FROM (
+        |        SELECT src_id, cm, row_number() OVER
+        |          (PARTITION BY src_id ORDER BY cm DESC, tgt_id) AS r FROM s) z
+        |       WHERE r <= 4 GROUP BY 1),
+        |sy AS (SELECT tgt_id, sum(cm) AS sy FROM (
+        |        SELECT tgt_id, cm, row_number() OVER
+        |          (PARTITION BY tgt_id ORDER BY cm DESC, src_id) AS r FROM s) z
+        |       WHERE r <= 4 GROUP BY 1),
+        |m AS (SELECT s.src_id, s.tgt_id, cm, (cm * 80000) // (sx + sy) AS mm
+        |      FROM s JOIN sx USING (src_id) JOIN sy USING (tgt_id)
+        |      WHERE cm > 0 AND sx + sy > 0),
+        |sel AS (SELECT *, row_number() OVER
+        |          (PARTITION BY src_id ORDER BY mm DESC, tgt_id) AS r FROM m)
+        |SELECT src_id, tgt_id, round(cm / 10000.0, 4) AS cosine,
+        |  round(mm / 10000.0, 4) AS margin
+        |FROM sel WHERE r = 1 AND mm >= 10000 ORDER BY src_id""".stripMargin,
 
     // WordPiece greedy longest-match-first segmentation, replayed as a
     // carried-position recursive CTE over the distinct-word table; the

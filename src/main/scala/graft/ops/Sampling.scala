@@ -167,6 +167,37 @@ object Sampling {
       .orderBy(col("rank"))
   }
 
+  /** Deterministic epoch-shuffle order: materialize the training-read
+    * order for one epoch as (shard, pos) — every doc hashed into one of
+    * `nShards` shards by an epoch-keyed md5 and ordered within its shard
+    * by the same hash. Reading the shards round-robin realizes a global
+    * shuffled order (`gpos` is that interleaved position, with holes where
+    * shards differ in size) WITHOUT a global sort: this is the "shuffle
+    * the corpus for epoch N" materialization every training run performs,
+    * reproducible across engines and reruns because the permutation is
+    * the hash, not a seeded in-memory shuffle.
+    *
+    * Shape at scale: the hash and shard assignment are per-row codegen'd
+    * builtins; the only shuffle is the per-shard window, and the hash is
+    * uniform so the `nShards` windows are skew-free by construction (in
+    * production nShards is thousands — each window is corpus/nShards).
+    * Changing `epoch` re-keys the hash and yields an independent order. */
+  def epochOrder(spark: SparkSession, dir: String, epoch: Int = 1,
+                 nShards: Int = 8): DataFrame = {
+    val d = Tables(spark, dir, "documents").select(col("doc_id"))
+      .withColumn("h",
+        md5(concat(lit(s"graft_epoch:$epoch:"), col("doc_id").cast("string"))))
+      .withColumn("shard",
+        pmod(expr("cast(conv(substring(h, 1, 8), 16, 10) as bigint)"),
+          lit(nShards.toLong)).cast("int"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+    d.withColumn("pos", row_number().over(w))
+      .withColumn("gpos",
+        ((col("pos") - 1).cast("long") * nShards + col("shard")).as("gpos"))
+      .select(col("doc_id"), col("shard"), col("pos"), col("gpos"))
+      .orderBy(col("shard"), col("pos"))
+  }
+
   /** Fixed-size whole-corpus sample: the globally first `n` docs in
     * sample-hash order, with their rank. `orderBy(h).limit(n)` lowers to
     * `TakeOrderedAndProject` — per-partition heaps of n rows, driver merges

@@ -624,4 +624,65 @@ object Similarity {
         (round(col("cos"), 4) + lit(0.0)).as("cosine"))
       .orderBy(col("q_id"), col("rank"))
   }
+
+  /** Margin-based bitext mining (Artetxe & Schwenk 2019, the
+    * LASER/CCMatrix parallel-corpus miner): for every source-side vector,
+    * find the target-side candidate maximizing the MARGIN score —
+    * cos(x,y) normalized by the average cosine of each side's k-nearest
+    * neighborhood — and keep it when the margin clears 1.0. The margin
+    * kills the "hub" false positives a raw cosine threshold mines (a
+    * vector cosine-close to EVERYTHING scores high against all queries;
+    * dividing by its neighborhood average cancels exactly that). Labels
+    * stand in for languages: `srcLabel` is the query corpus, `tgtLabel`
+    * the candidate pool.
+    *
+    * All scoring is integer micro-units on 4-dp cosines (ratio via
+    * truncating integer division over positive operands), so the mined
+    * set and every score are engine-exact — the float ratio would
+    * diverge in the last ulp.
+    *
+    * Shape at scale: the cross-scoring table here is the brute-force
+    * EXACT tier (source side broadcast, target corpus scanned once, same
+    * as [[bruteForceTopK]]); at web scale the [[ivfPqTopK]] probe cut
+    * replaces it as the candidate generator and everything downstream —
+    * neighborhood sums, margins, per-source argmax — is unchanged. The
+    * kNN sums are two keyed window/agg passes over the scored table, and
+    * the final selection is one per-source window over candidate rows. */
+  def bitextMine(spark: SparkSession, dir: String, srcLabel: Int = 0,
+                 tgtLabel: Int = 1, k: Int = 4,
+                 thresholdMicro: Long = 10000L): DataFrame = {
+    val e = withVec(spark, dir)
+    val x = e.filter(col("label") === srcLabel).alias("q")
+    val y = e.filter(col("label") === tgtLabel).alias("c")
+    // the brute-force scoring tier is consumed THREE times (margins + the
+    // two neighborhood sums); eager localCheckpoint materializes it once —
+    // without it each consumer re-runs the cross scoring (verified in the
+    // plan: three nested-loop joins instead of one)
+    val scored = y.crossJoin(broadcast(x))
+      .select(col("q.vec_id").as("src_id"), col("c.vec_id").as("tgt_id"),
+        round(cosine * 10000).cast("long").as("cm"))
+      .localCheckpoint(true)
+    val wx = Window.partitionBy(col("src_id"))
+      .orderBy(col("cm").desc, col("tgt_id"))
+    val wy = Window.partitionBy(col("tgt_id"))
+      .orderBy(col("cm").desc, col("src_id"))
+    val sx = scored.withColumn("r", row_number().over(wx)).filter(col("r") <= k)
+      .groupBy(col("src_id")).agg(sum(col("cm")).as("sx"))
+    val sy = scored.withColumn("r", row_number().over(wy)).filter(col("r") <= k)
+      .groupBy(col("tgt_id")).agg(sum(col("cm")).as("sy"))
+    val margins = scored.join(sx, "src_id").join(sy, "tgt_id")
+      // positive-cosine candidates with positive neighborhood mass only:
+      // keeps the truncating `div` on positive operands, where floor and
+      // truncation agree in both engines
+      .filter(col("cm") > 0 && col("sx") + col("sy") > 0)
+      .withColumn("mm", expr(s"(cm * ${2 * k}L * 10000L) div (sx + sy)"))
+    val wSel = Window.partitionBy(col("src_id"))
+      .orderBy(col("mm").desc, col("tgt_id"))
+    margins.withColumn("sel", row_number().over(wSel))
+      .filter(col("sel") === 1 && col("mm") >= thresholdMicro)
+      .select(col("src_id"), col("tgt_id"),
+        round(col("cm") / lit(10000.0), 4).as("cosine"),
+        round(col("mm") / lit(10000.0), 4).as("margin"))
+      .orderBy(col("src_id"))
+  }
 }

@@ -451,6 +451,36 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 
+  test("triangles: wedge and closure joins are keyed equi-joins, never " +
+    "cartesian; the per-node count is two-phase") {
+    val p = plan("q_triangles")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(p.contains("partial_count"), p.take(3000))
+  }
+
+  test("epoch order: shard windows only (hash-uniform, skew-free) — no " +
+    "single global window funnel before the final presentation sort; " +
+    "scan reads doc_id alone") {
+    val p = plan("q_epoch_order")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint>"), p.take(3000))
+    // the ranking window partitions by shard — a global row_number would
+    // show an empty partition spec before the window exchange
+    assert(p.contains("hashpartitioning(shard"), p.take(3000))
+  }
+
+  test("bitext mine: the source side is broadcast into the brute-force " +
+    "scoring tier (the ONE intended nested loop); neighborhood sums and " +
+    "selection are keyed windows/joins") {
+    val p = plan("q_bitext_mine")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      p.take(3000))
+  }
+
   test("pagerank: every iteration joins keyed (hash/merge) — no nested " +
     "loop anywhere except the 1-row node-count broadcast") {
     val p = plan("q_pagerank")
