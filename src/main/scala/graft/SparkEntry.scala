@@ -149,6 +149,9 @@ object SparkEntry {
     "q_triangles"      -> ((s, d) => Graph.triangles(s, d)),
     "q_epoch_order"    -> ((s, d) => Sampling.epochOrder(s, d)),
     "q_bitext_mine"    -> ((s, d) => Similarity.bitextMine(s, d)),
+    "q_dq_checks"      -> ((s, d) => QualityChecks.dqChecks(s, d)),
+    "q_stream_join"    -> ((s, d) =>
+      graft.streaming.StreamJoin.streamedAttribution(s, d)),
     // rows-only: encodes with the merge table learned by the iterative fit
     // (inexpressible in DuckDB); Round6OpsSpec re-encodes driver-side
     "q_bpe_encode"     -> ((s, d) => TextAnalysis.bpeEncode(s, d))
@@ -1610,6 +1613,57 @@ object SparkEntry {
         |SELECT doc_id, shard, pos,
         |  CAST(pos - 1 AS BIGINT) * 8 + shard AS gpos
         |FROM r ORDER BY shard, pos""".stripMargin,
+
+    // Deequ-style constraint suite: every metric is exact SQL, so the
+    // fused-aggregate engine path is graded against the naive form.
+    "q_dq_checks" ->
+      """WITH o AS (SELECT count(*) AS n,
+        |    sum(CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END) AS ck,
+        |    count(DISTINCT o_orderkey) AS od,
+        |    sum(CASE WHEN o_totalprice >= 0 THEN 1 ELSE 0 END) AS pok
+        |  FROM orders),
+        |l AS (SELECT count(*) AS n,
+        |    sum(CASE WHEN l_returnflag IN ('A','N','R') THEN 1 ELSE 0 END) AS fok,
+        |    sum(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 1 ELSE 0 END) AS qok
+        |  FROM lineitem),
+        |ri AS (SELECT count(*) AS orphans FROM orders
+        |       WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)),
+        |u AS (
+        |  SELECT 'completeness' AS "check", 'orders.o_custkey' AS "column",
+        |    round(CAST(ck AS DOUBLE) / n, 6) AS metric, 1.0 AS threshold FROM o
+        |  UNION ALL SELECT 'uniqueness', 'orders.o_orderkey',
+        |    round(CAST(od AS DOUBLE) / n, 6), 1.0 FROM o
+        |  UNION ALL SELECT 'non_negative', 'orders.o_totalprice',
+        |    round(CAST(pok AS DOUBLE) / n, 6), 1.0 FROM o
+        |  UNION ALL SELECT 'min_size', 'orders',
+        |    round(CAST(n AS DOUBLE), 6), 1.0 FROM o
+        |  UNION ALL SELECT 'accepted_values', 'lineitem.l_returnflag',
+        |    round(CAST(fok AS DOUBLE) / n, 6), 1.0 FROM l
+        |  UNION ALL SELECT 'in_range', 'lineitem.l_quantity',
+        |    round(CAST(qok AS DOUBLE) / n, 6), 1.0 FROM l
+        |  UNION ALL SELECT 'referential_integrity', 'orders.o_custkey->customer',
+        |    round(1.0 - CAST(orphans AS DOUBLE) / (SELECT n FROM o), 6), 1.0
+        |  FROM ri)
+        |SELECT "check", "column", metric,
+        |  CAST(threshold AS DOUBLE) AS threshold,
+        |  metric >= threshold AS pass
+        |FROM u ORDER BY "check", "column"""".stripMargin,
+
+    // The stream-stream join graded as an ACTUAL checkpointed streaming
+    // run (the q_dedup_stream promotion pattern): median-time batch split
+    // means the watermark never drops a row, so streamed == batch join.
+    "q_stream_join" ->
+      """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id
+        |           FROM events WHERE event_type = 'purchase'),
+        |s AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id
+        |      FROM events WHERE event_type = 'signup')
+        |SELECT e.event_id AS p_id, s.event_id AS s_id, e.user_id,
+        |  CAST(floor(epoch(e.ts)) AS BIGINT) AS p_sec,
+        |  CAST(floor(epoch(s.ts)) AS BIGINT) AS s_sec,
+        |  CAST(floor(epoch(e.ts)) - floor(epoch(s.ts)) AS BIGINT) AS lag_sec
+        |FROM e JOIN s ON e.user_id = s.user_id
+        |  AND e.ts >= s.ts AND e.ts <= s.ts + INTERVAL 1 HOUR
+        |ORDER BY p_id, s_id""".stripMargin,
 
     // Margin-based bitext mining in integer micro-units: per-source argmax
     // of cos/(neighborhood avg), kept when margin >= 1.0.

@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality constraint suite (the Deequ design, Schelter et
+  * al. VLDB 2018): completeness / uniqueness / accepted-values / range /
+  * referential-integrity checks evaluated as METRICS with thresholds, one
+  * row per constraint — the validation gate a pipeline runs before letting
+  * a new data drop anywhere near training. The reference has no validation
+  * surface at all; its closest shape is the `check` count command
+  * (`main.py:179-208`), which is exactly one of these constraints
+  * (row-count parity) generalized.
+  *
+  * Shape at scale — the Deequ trick is that metrics FUSE: every per-table
+  * constraint compiles into one aggregate over that table (count, nulls,
+  * distincts, in-range counts all in the same codegen'd pass), so a
+  * 40-constraint suite over 3 tables costs 3 scans, not 40. The one join
+  * (referential integrity) keys on the dimension and broadcasts it. The
+  * output is constraints-sized — nothing corpus-sized survives the aggs. */
+object QualityChecks {
+
+  /** The standing suite over the TPC-H-ish fixtures: one row per
+    * constraint with its measured metric, threshold and verdict. */
+  def dqChecks(spark: SparkSession, dir: String): DataFrame =
+    suite(Tables(spark, dir, "orders"), Tables(spark, dir, "lineitem"),
+      Tables(spark, dir, "customer"))
+
+  /** The constraint suite over explicit frames — the spec entry point, so
+    * violation injection (nulls, dup keys, orphans, out-of-range values)
+    * can prove each constraint actually trips. */
+  def suite(orders: DataFrame, lineitem: DataFrame,
+            customer: DataFrame): DataFrame = {
+    // one fused aggregate pass per table
+    val o = orders.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("o_custkey").isNotNull, 1L).otherwise(0L)).as("custkey_nn"),
+      countDistinct(col("o_orderkey")).as("orderkey_d"),
+      sum(when(col("o_totalprice") >= 0, 1L).otherwise(0L)).as("price_ok"))
+    val l = lineitem.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("l_returnflag").isin("A", "N", "R"), 1L).otherwise(0L))
+        .as("flag_ok"),
+      sum(when(col("l_quantity").between(1, 50), 1L).otherwise(0L))
+        .as("qty_ok"))
+    // referential integrity: orphaned orders (no matching customer) via a
+    // broadcast anti join on the dimension key. NON-NULL keys only — a
+    // null key is a completeness violation, not a dangling reference
+    // (also the SQL NOT IN semantics the oracle uses)
+    val orphans = orders.filter(col("o_custkey").isNotNull)
+      .join(broadcast(customer),
+        orders("o_custkey") === customer("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("orphans"))
+
+    def row(check: String, column: String, metric: org.apache.spark.sql.Column,
+            threshold: Double) =
+      struct(lit(check).as("check"), lit(column).as("column"),
+        round(metric, 6).as("metric"), lit(threshold).as("threshold"),
+        (round(metric, 6) >= threshold).as("pass"))
+
+    val oRows = o.select(explode(array(
+      row("completeness", "orders.o_custkey",
+        col("custkey_nn") / col("n"), 1.0),
+      row("uniqueness", "orders.o_orderkey",
+        col("orderkey_d") / col("n"), 1.0),
+      row("non_negative", "orders.o_totalprice",
+        col("price_ok") / col("n"), 1.0),
+      row("min_size", "orders",
+        col("n").cast("double"), 1.0))).as("r"))
+    val lRows = l.select(explode(array(
+      row("accepted_values", "lineitem.l_returnflag",
+        col("flag_ok") / col("n"), 1.0),
+      row("in_range", "lineitem.l_quantity",
+        col("qty_ok") / col("n"), 1.0))).as("r"))
+    val riRows = orphans.crossJoin(broadcast(orders.agg(count(lit(1)).as("n"))))
+      .select(explode(array(
+        row("referential_integrity", "orders.o_custkey->customer",
+          lit(1.0) - col("orphans") / col("n"), 1.0))).as("r"))
+
+    oRows.unionByName(lRows).unionByName(riRows)
+      .select(col("r.check").as("check"), col("r.column").as("column"),
+        col("r.metric").as("metric"), col("r.threshold").as("threshold"),
+        col("r.pass").as("pass"))
+      .orderBy(col("check"), col("column"))
+  }
+}

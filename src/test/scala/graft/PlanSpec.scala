@@ -481,6 +481,15 @@ class PlanSpec extends SparkSpec {
       p.take(3000))
   }
 
+  test("dq checks: per-table metrics fuse into single aggregate passes " +
+    "(two-phase), the RI anti join broadcasts the dimension") {
+    val p = plan("q_dq_checks")
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p.take(3000))
+    assert(p.contains("LeftAnti"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
   test("pagerank: every iteration joins keyed (hash/merge) — no nested " +
     "loop anywhere except the 1-row node-count broadcast") {
     val p = plan("q_pagerank")
