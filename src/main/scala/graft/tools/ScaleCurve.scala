@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   * super-linear term (pair blowup, driver state) bends the curve long
   * before 100 TB does. Dev tool; results recorded in SCALE.md.
   *
-  * Usage: runMain graft.tools.ScaleCurve [factors csv, default 1,10,100] [neardup] [stream] [bpe] [r6] [b5]
+  * Usage: runMain graft.tools.ScaleCurve [factors csv, default 1,10,100] [neardup] [stream] [bpe] [r6] [b5] [b6]
   *   `neardup` adds the near-dup composite (decontaminate + dup-span) at
   *   each factor — the standing per-round stress entry for the near-dup
   *   tier's scale curve (VERDICT r4 item 7). `stream` adds the
@@ -34,6 +34,7 @@ object ScaleCurve {
     val bpe = args.length > 1 && args.drop(1).contains("bpe")
     val r6 = args.length > 1 && args.drop(1).contains("r6")
     val b5 = args.length > 1 && args.drop(1).contains("b5")
+    val b6 = args.length > 1 && args.drop(1).contains("b6")
     // keep: leave the replicated tables on disk for stage profiling
     // (graft.tools.Profile <dir> prefix) instead of the default cleanup
     val keep = args.length > 1 && args.drop(1).contains("keep")
@@ -289,6 +290,54 @@ object ScaleCurve {
           graft.ops.Graph.pageRank(spark, proot).count())
         if (fac != 1 && !keep) {
           val p = new org.apache.hadoop.fs.Path(pdir)
+          p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+          ()
+        }
+      }
+
+      if (b6) {
+        // sixth/seventh-batch operators.
+        // - epoch_order on the distinct-content corpus: hash + skew-free
+        //   shard windows — must be scan-linear
+        time("epoch_order", fac)(
+          graft.ops.Sampling.epochOrder(spark, root).count())
+        // - dq_checks over the replicated fact tables (customer stays the
+        //   unreplicated dimension — replica orders keep their custkeys, so
+        //   referential integrity still holds): fused single-pass metrics
+        //   must track the scans
+        if (fac != 1) {
+          val cp = new org.apache.hadoop.fs.Path(s"$dir/customer.parquet")
+          val cfs = cp.getFileSystem(spark.sessionState.newHadoopConf())
+          if (!cfs.exists(cp))
+            spark.read.parquet(s"$sf/customer.parquet")
+              .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+        }
+        time("dq_checks", fac)(
+          graft.ops.QualityChecks.dqChecks(spark, root).count())
+        // - triangles + bitext on sign-reflected embedding replicas (the
+        //   pagerank axis): triangles must track the oriented wedge
+        //   volume; bitext's brute-force scoring tier is QUADRATIC in the
+        //   per-label corpus BY DESIGN — the measured bend is the
+        //   documented motivation for the IVF-PQ candidate generator at
+        //   production scale
+        val gdir = s"/tmp/graft-scalecurve-b6-$fac"
+        val groot =
+          if (fac == 1) sf
+          else {
+            replicate(spark.read.parquet(s"$sf/embeddings.parquet"),
+              Set("vec_id"), fac, perturbText = false,
+              perturbEmbedding = true)
+              .repartition(64)
+              .write.mode("overwrite").parquet(s"$gdir/embeddings.parquet")
+            gdir
+          }
+        spark.read.parquet(s"$groot/embeddings.parquet").count() // warm
+        time("triangles", fac)(
+          graft.ops.Graph.triangles(spark, groot).count())
+        time("bitext_mine", fac)(
+          graft.ops.Similarity.bitextMine(spark, groot).count())
+        if (fac != 1 && !keep) {
+          val p = new org.apache.hadoop.fs.Path(gdir)
           p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
           ()
         }
