@@ -150,6 +150,8 @@ object SparkEntry {
     "q_epoch_order"    -> ((s, d) => Sampling.epochOrder(s, d)),
     "q_bitext_mine"    -> ((s, d) => Similarity.bitextMine(s, d)),
     "q_dq_checks"      -> ((s, d) => QualityChecks.dqChecks(s, d)),
+    "q_drift"          -> ((s, d) => Drift.driftReport(s, d)),
+    "q_bitext_mine_ivf" -> ((s, d) => Similarity.bitextMineIvf(s, d)),
     "q_stream_join"    -> ((s, d) =>
       graft.streaming.StreamJoin.streamedAttribution(s, d)),
     // rows-only: encodes with the merge table learned by the iterative fit
@@ -1664,6 +1666,73 @@ object SparkEntry {
         |FROM e JOIN s ON e.user_id = s.user_id
         |  AND e.ts >= s.ts AND e.ts <= s.ts + INTERVAL 1 HOUR
         |ORDER BY p_id, s_id""".stripMargin,
+
+    // PSI drift between the two corpus halves: laplace-smoothed bucket
+    // shares, one ln per bucket, per-feature sums.
+    "q_drift" ->
+      """WITH mm AS (SELECT (min(doc_id) + max(doc_id)) // 2 AS mid FROM documents),
+        |fb AS (SELECT CASE WHEN doc_id <= mid THEN 'b' ELSE 'c' END AS side,
+        |         unnest(['len:' || CAST(least(CAST(floor(
+        |                    len(string_split(text, ' ')) / 10) AS BIGINT),
+        |                  19) AS VARCHAR),
+        |                 'lang:' || lang, 'src:' || source]) AS fb
+        |       FROM documents, mm),
+        |ct AS (SELECT string_split(fb, ':')[1] AS feature, fb AS bucket,
+        |         sum(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS cb,
+        |         sum(CASE WHEN side = 'c' THEN 1 ELSE 0 END) AS cc
+        |       FROM fb GROUP BY 1, 2),
+        |st AS (SELECT feature, count(*) AS nbkt, sum(cb) AS nb, sum(cc) AS nc
+        |       FROM ct GROUP BY 1),
+        |t AS (SELECT ct.feature, st.nbkt,
+        |        CAST(cb + 1 AS DOUBLE) / (nb + nbkt) AS p,
+        |        CAST(cc + 1 AS DOUBLE) / (nc + nbkt) AS q
+        |      FROM ct JOIN st USING (feature))
+        |SELECT feature, CAST(nbkt AS INT) AS n_buckets,
+        |  round(sum((p - q) * ln(p / q)), 4) AS psi,
+        |  round(sum((p - q) * ln(p / q)), 4) >= 0.1 AS drifted
+        |FROM t GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+
+    // IVF probe-cut bitext mining: q_ann_ivf's deterministic coarse
+    // quantizer as the candidate generator, q_bitext_mine's micro-unit
+    // margin machinery over the candidate table.
+    "q_bitext_mine_ivf" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, label, v,
+        |        sqrt(list_sum(list_transform(v, z -> z * z))) AS norm FROM e),
+        |sd AS (SELECT vec_id AS seed_id, v AS sv, norm AS snorm FROM n
+        |       WHERE vec_id < 8),
+        |asn AS (SELECT vec_id, v, norm, seed_id AS cell FROM (
+        |          SELECT c.vec_id, c.v, c.norm, sd.seed_id,
+        |            row_number() OVER (PARTITION BY c.vec_id
+        |              ORDER BY list_dot_product(c.v, sd.sv) / (c.norm * sd.snorm) DESC,
+        |                       sd.seed_id) AS r
+        |          FROM n c CROSS JOIN sd WHERE c.label = 1) WHERE r = 1),
+        |pr AS (SELECT vec_id, v, norm, seed_id AS cell FROM (
+        |          SELECT q.vec_id, q.v, q.norm, sd.seed_id,
+        |            row_number() OVER (PARTITION BY q.vec_id
+        |              ORDER BY list_dot_product(q.v, sd.sv) / (q.norm * sd.snorm) DESC,
+        |                       sd.seed_id) AS r
+        |          FROM n q CROSS JOIN sd WHERE q.label = 0) WHERE r <= 4),
+        |s AS (SELECT pr.vec_id AS src_id, c.vec_id AS tgt_id,
+        |        CAST(round(list_dot_product(pr.v, c.v) / (pr.norm * c.norm)
+        |          * 10000) AS BIGINT) AS cm
+        |      FROM pr JOIN asn c ON pr.cell = c.cell),
+        |sx AS (SELECT src_id, sum(cm) AS sx FROM (
+        |        SELECT src_id, cm, row_number() OVER
+        |          (PARTITION BY src_id ORDER BY cm DESC, tgt_id) AS r FROM s) z
+        |       WHERE r <= 4 GROUP BY 1),
+        |sy AS (SELECT tgt_id, sum(cm) AS sy FROM (
+        |        SELECT tgt_id, cm, row_number() OVER
+        |          (PARTITION BY tgt_id ORDER BY cm DESC, src_id) AS r FROM s) z
+        |       WHERE r <= 4 GROUP BY 1),
+        |m AS (SELECT s.src_id, s.tgt_id, cm, (cm * 80000) // (sx + sy) AS mm
+        |      FROM s JOIN sx USING (src_id) JOIN sy USING (tgt_id)
+        |      WHERE cm > 0 AND sx + sy > 0),
+        |sel AS (SELECT *, row_number() OVER
+        |          (PARTITION BY src_id ORDER BY mm DESC, tgt_id) AS r FROM m)
+        |SELECT src_id, tgt_id, round(cm / 10000.0, 4) AS cosine,
+        |  round(mm / 10000.0, 4) AS margin
+        |FROM sel WHERE r = 1 AND mm >= 10000 ORDER BY src_id""".stripMargin,
 
     // Margin-based bitext mining in integer micro-units: per-source argmax
     // of cos/(neighborhood avg), kept when margin >= 1.0.

@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift detection between two corpus snapshots — the
+  * population stability index (PSI), the standard train/serve-skew and
+  * crawl-drift monitor: for each feature, bucket both snapshots, compare
+  * bucket shares, PSI = Σ (p−q)·ln(p/q) (non-negative, 0 iff identical;
+  * the industry rule of thumb flags ≥ 0.1 as drift). The validation
+  * counterpart to [[QualityChecks]]: DQ asks "is this drop well-formed",
+  * drift asks "is it the same distribution we trained on".
+  */
+object Drift {
+
+  /** The standing report over the fixtures: split `documents` at the
+    * midpoint doc_id ("yesterday's crawl" vs "today's") and compare
+    * token-length, language and source distributions. */
+  def driftReport(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val mm = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    val mid = (mm.getLong(0) + mm.getLong(1)) / 2
+    psiReport(docs.filter(col("doc_id") <= mid),
+      docs.filter(col("doc_id") > mid))
+  }
+
+  /** PSI per feature between a baseline and a current snapshot — the spec
+    * entry point (identical frames must score exactly 0).
+    *
+    * Laplace smoothing (+1 per bucket over n+B) keeps every share
+    * positive whichever side a bucket is missing from — deterministic,
+    * engine-exact inputs into the one float ln per bucket.
+    *
+    * Shape at scale: per-feature bucketing is a per-row projection
+    * (explode of a 3-element literal-shaped array); the counts are one
+    * two-phase aggregate keyed by (feature, bucket) — buckets are
+    * BOUNDED (length caps at 20, languages and sources are small
+    * vocabularies), so everything after the first aggregate is
+    * bucket-table-sized, and the per-feature stats broadcast back onto
+    * it. Nothing corpus-sized survives the first aggregate. */
+  def psiReport(base: DataFrame, curr: DataFrame): DataFrame = {
+    def buckets(df: DataFrame, side: String): DataFrame =
+      df.select(explode(array(
+          concat(lit("len:"),
+            least(floor(size(split(col("text"), " ")) / 10), lit(19))),
+          concat(lit("lang:"), col("lang")),
+          concat(lit("src:"), col("source")))).as("fb"))
+        .select(split(col("fb"), ":").getItem(0).as("feature"),
+          col("fb").as("bucket"), lit(side).as("side"))
+    val counts = buckets(base, "b").unionByName(buckets(curr, "c"))
+      .groupBy(col("feature"), col("bucket"))
+      .agg(sum(when(col("side") === "b", 1L).otherwise(0L)).as("cb"),
+        sum(when(col("side") === "c", 1L).otherwise(0L)).as("cc"))
+    val stats = counts.groupBy(col("feature"))
+      .agg(count(lit(1)).as("nbkt"), sum(col("cb")).as("nb"),
+        sum(col("cc")).as("nc"))
+    counts.join(broadcast(stats), "feature")
+      .withColumn("p", (col("cb") + 1) / (col("nb") + col("nbkt")))
+      .withColumn("q", (col("cc") + 1) / (col("nc") + col("nbkt")))
+      .withColumn("term", (col("p") - col("q")) * log(col("p") / col("q")))
+      .groupBy(col("feature"))
+      .agg(max(col("nbkt")).cast("int").as("n_buckets"),
+        round(sum(col("term")), 4).as("psi"))
+      .withColumn("drifted", col("psi") >= 0.1)
+      .orderBy(col("feature"))
+  }
+}

@@ -102,8 +102,13 @@ object Similarity {
   /** Each query's top-`nProbe` cells (rank over the same seed scores the
     * assignment fold uses). */
   private def cellProbes(e: DataFrame, seeds: DataFrame, numQueries: Int,
-                         nProbe: Int): DataFrame = {
-    val q = e.filter(col("vec_id") < numQueries).crossJoin(broadcast(seeds))
+                         nProbe: Int): DataFrame =
+    probesOf(e.filter(col("vec_id") < numQueries), seeds, nProbe)
+
+  /** Top-`nProbe` cells for every row of an arbitrary query frame. */
+  private def probesOf(qf: DataFrame, seeds: DataFrame,
+                       nProbe: Int): DataFrame = {
+    val q = qf.crossJoin(broadcast(seeds))
       .select(col("vec_id"), col("v"), col("norm"),
         explode(col("cells")).as("s"))
       .withColumn("cos_seed", expr("graft_dot(v, s.sv)") / (col("norm") * col("s.snorm")))
@@ -662,6 +667,15 @@ object Similarity {
       .select(col("q.vec_id").as("src_id"), col("c.vec_id").as("tgt_id"),
         round(cosine * 10000).cast("long").as("cm"))
       .localCheckpoint(true)
+    marginSelect(scored, k, thresholdMicro)
+  }
+
+  /** The margin scorer + per-source argmax over a (src_id, tgt_id, cm)
+    * candidate table — shared verbatim by the brute-force and IVF miners,
+    * so "same margin machinery, different candidate generator" stays true
+    * by construction. */
+  private def marginSelect(scored: DataFrame, k: Int,
+                           thresholdMicro: Long): DataFrame = {
     val wx = Window.partitionBy(col("src_id"))
       .orderBy(col("cm").desc, col("tgt_id"))
     val wy = Window.partitionBy(col("tgt_id"))
@@ -684,5 +698,42 @@ object Similarity {
         round(col("cm") / lit(10000.0), 4).as("cosine"),
         round(col("mm") / lit(10000.0), 4).as("margin"))
       .orderBy(col("src_id"))
+  }
+
+  /** The production bitext miner: [[bitextMine]]'s margin machinery over
+    * the IVF probe-cut candidate set instead of the full cross join — the
+    * swap the brute-force tier's scaladoc promises. The coarse quantizer
+    * is the same deterministic seed construction [[ivfTopK]] uses, SHARED
+    * across both language sides (the cross-lingual analog of a shared
+    * FAISS index): targets are assigned to their one nearest cell, each
+    * source probes its `nProbe` closest cells, and candidates are the
+    * keyed (cell) join of the two — fac^2 cross-pair volume becomes
+    * fac^2/nCells, and at real scale cells are thousands. Neighborhood
+    * sums for the margin come from the CANDIDATE table, exactly what a
+    * FAISS-retrieval miner computes (the margin's kNN is the retrieved
+    * neighborhood). Fully deterministic, so the probe-cut mining is
+    * DuckDB-oracle-checkable end to end, like [[ivfTopK]].
+    *
+    * nProbe is the recall/cost dial: on the near-random fixture
+    * embeddings the coarse quantizer is weakly informative, and measured
+    * argmax agreement with the brute-force miner is 0.27/0.49/0.65 at
+    * nProbe 2/3/4 of 8 cells — the default probes half the cells (2x
+    * candidate reduction, 0.65 agreement, spec floor 0.5); real
+    * clustered embedding spaces sit far higher at far lower probe
+    * fractions, which is the entire FAISS premise. */
+  def bitextMineIvf(spark: SparkSession, dir: String, srcLabel: Int = 0,
+                    tgtLabel: Int = 1, k: Int = 4,
+                    thresholdMicro: Long = 10000L, nCells: Int = 8,
+                    nProbe: Int = 4): DataFrame = {
+    val e = withVec(spark, dir)
+    val seeds = seedCells(e, nCells)
+    val y = cellAssign(e.filter(col("label") === tgtLabel), seeds).alias("c")
+    val xp = probesOf(e.filter(col("label") === srcLabel), seeds, nProbe)
+      .alias("q")
+    val scored = y.join(broadcast(xp), col("q.cell") === col("c.cell"))
+      .select(col("q.vec_id").as("src_id"), col("c.vec_id").as("tgt_id"),
+        round(cosine * 10000).cast("long").as("cm"))
+      .localCheckpoint(true)
+    marginSelect(scored, k, thresholdMicro)
   }
 }

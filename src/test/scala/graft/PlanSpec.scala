@@ -490,6 +490,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 
+  test("drift: bucket counts are one two-phase aggregate; per-feature " +
+    "stats broadcast back onto the bucket table; no cartesian") {
+    val p = plan("q_drift")
+    assert(p.contains("partial_"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("bitext ivf: margin machinery over the checkpointed candidate " +
+    "table is keyed joins + windows — no cartesian, no nested loop") {
+    val p = plan("q_bitext_mine_ivf")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
   test("pagerank: every iteration joins keyed (hash/merge) — no nested " +
     "loop anywhere except the 1-row node-count broadcast") {
     val p = plan("q_pagerank")
