@@ -156,7 +156,13 @@ object SparkEntry {
       graft.streaming.StreamJoin.streamedAttribution(s, d)),
     // rows-only: encodes with the merge table learned by the iterative fit
     // (inexpressible in DuckDB); Round6OpsSpec re-encodes driver-side
-    "q_bpe_encode"     -> ((s, d) => TextAnalysis.bpeEncode(s, d))
+    "q_bpe_encode"     -> ((s, d) => TextAnalysis.bpeEncode(s, d)),
+    "q_knn_graph"      -> ((s, d) => Similarity.knnGraph(s, d)),
+    "q_zorder"         -> ((s, d) => Layout.zorderKeys(s, d)),
+    "q_zone_map"       -> ((s, d) => Layout.zoneMap(s, d)),
+    "q_corr_matrix"    -> ((s, d) => Relational.corrMatrix(s, d)),
+    "q_skew_report"    -> ((s, d) => Maintenance.skewReport(s, d)),
+    "q_compaction_plan" -> ((s, d) => Maintenance.compactionPlan(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1993,6 +1999,93 @@ object SparkEntry {
         |  CAST(count_if(e.value < s.mu - 3 * s.sd OR e.value > s.mu + 3 * s.sd)
         |    AS BIGINT) AS n_outliers
         |FROM events e JOIN s ON e.event_type = s.event_type
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_knn_graph" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, label, v,
+        |        sqrt(list_sum(list_transform(v, x -> x * x))) AS norm FROM e),
+        |s AS (SELECT q.vec_id AS src_id, c.vec_id AS n_id,
+        |        list_dot_product(q.v, c.v) / (q.norm * c.norm) AS cos
+        |      FROM n q JOIN n c ON c.label = q.label AND c.vec_id <> q.vec_id),
+        |r AS (SELECT src_id, n_id, cos,
+        |        row_number() OVER (PARTITION BY src_id ORDER BY cos DESC, n_id)
+        |          AS rank
+        |      FROM s)
+        |SELECT src_id, rank, n_id, round(cos, 4) AS cosine
+        |FROM r WHERE rank <= 3 ORDER BY src_id, rank""".stripMargin,
+
+    // The identical range-scale + bit-interleave arithmetic as
+    // graft.ops.Layout.{scaledDims,zvalue}, the interleave rendered by the
+    // shared zvalueSql generator so the two cannot drift. Integer `//`
+    // division mirrors Spark's `div` exactly.
+    "q_zorder" ->
+      s"""WITH o AS (SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS x,
+         |        CAST(date_diff('day', DATE '1992-01-01', o_orderdate::DATE)
+         |          AS BIGINT) AS y
+         |      FROM orders),
+         |st AS (SELECT max(x) AS mx, max(y) AS my FROM o),
+         |sc AS (SELECT o_orderkey, (x * 65536) // (mx + 1) AS xs,
+         |         (y * 65536) // (my + 1) AS ys FROM o CROSS JOIN st),
+         |z AS (SELECT o_orderkey, ${graft.ops.Layout.zvalueSql("xs", "ys")} AS zval
+         |      FROM sc)
+         |SELECT o_orderkey, zval, CAST(zval >> 26 AS INT) AS zshard
+         |FROM z ORDER BY o_orderkey""".stripMargin,
+
+    "q_zone_map" ->
+      s"""WITH o AS (SELECT CAST(o_custkey AS BIGINT) AS x,
+         |        CAST(date_diff('day', DATE '1992-01-01', o_orderdate::DATE)
+         |          AS BIGINT) AS y
+         |      FROM orders),
+         |st AS (SELECT max(x) AS mx, max(y) AS my FROM o),
+         |sc AS (SELECT x, y, (x * 65536) // (mx + 1) AS xs,
+         |         (y * 65536) // (my + 1) AS ys FROM o CROSS JOIN st),
+         |z AS (SELECT x, y, ${graft.ops.Layout.zvalueSql("xs", "ys")} AS zval
+         |      FROM sc)
+         |SELECT CAST(zval >> 26 AS INT) AS zshard,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  min(x) AS min_custkey, max(x) AS max_custkey,
+         |  min(y) AS min_day, max(y) AS max_day
+         |FROM z GROUP BY 1 ORDER BY zshard""".stripMargin,
+
+    "q_corr_matrix" -> {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val pairs = for { i <- cols.indices; j <- cols.indices if i < j }
+        yield (cols(i), cols(j))
+      pairs.map { case (a, b) =>
+        s"SELECT '$a' AS col_a, '$b' AS col_b, round(corr($a, $b), 6) AS pearson_r FROM lineitem"
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY col_a, col_b")
+    },
+
+    "q_skew_report" ->
+      """WITH c AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n
+        |      FROM orders GROUP BY 1),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |        CAST(sum(n) AS BIGINT) AS n_rows, max(n) AS max_mult,
+        |        round(avg(n), 4) AS mean_mult FROM c),
+        |h AS (SELECT o_custkey, n,
+        |        CAST(row_number() OVER (ORDER BY n DESC, o_custkey) AS INT)
+        |          AS rank
+        |      FROM c ORDER BY n DESC, o_custkey LIMIT 5)
+        |SELECT h.rank, h.o_custkey AS hot_key, h.n AS hot_n,
+        |  s.n_keys, s.n_rows, s.max_mult, s.mean_mult,
+        |  round(CAST(s.max_mult AS DOUBLE) / s.mean_mult, 4) AS skew_ratio,
+        |  round(CAST(h.n AS DOUBLE) / s.n_rows, 6) AS hot_share,
+        |  CAST(ceil(CAST(s.max_mult AS DOUBLE) / s.mean_mult) AS INT)
+        |    AS salt_factor
+        |FROM h CROSS JOIN s ORDER BY rank""".stripMargin,
+
+    "q_compaction_plan" ->
+      """WITH d AS (SELECT doc_id % 64 AS shard,
+        |        CAST(length(text) AS BIGINT) AS b FROM documents),
+        |s AS (SELECT shard, CAST(sum(b) AS BIGINT) AS bytes
+        |      FROM d GROUP BY 1),
+        |p AS (SELECT shard, bytes,
+        |        CAST(coalesce(sum(bytes) OVER (ORDER BY shard
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |          AS BIGINT) AS prefix
+        |      FROM s)
+        |SELECT shard, bytes, prefix // 32768 AS bin
+        |FROM p ORDER BY shard""".stripMargin
   )
 }

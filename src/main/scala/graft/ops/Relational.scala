@@ -611,4 +611,29 @@ object Relational {
         round(col("value"), 2).as("value"))
       .orderBy(col("user_id"), col("valid_from"), col("version_id"))
   }
+
+  /** Pairwise Pearson correlation matrix over lineitem's numeric measures,
+    * in ONE corpus scan: all C(4,2)=6 `corr` aggregates run inside a single
+    * two-phase hash aggregate (each keeps a constant-size moment buffer —
+    * n, Σx, Σy, Σxy, Σx², Σy² — merged associatively), then the 1-row
+    * result unpivots to long form with `stack`, a driver-free per-row op.
+    * The profiling pattern for a 100 TB feature audit: cost is exactly one
+    * scan regardless of how many pairs are requested, vs one scan PER pair
+    * if issued naively. */
+  def corrMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    val aggs = pairs.map { case (a, b) =>
+      round(corr(col(a), col(b)), 6).as(s"${a}__$b")
+    }
+    val one = Tables(spark, dir, "lineitem").agg(aggs.head, aggs.tail: _*)
+    val stackArgs = pairs.map { case (a, b) =>
+      s"'$a', '$b', ${a}__$b"
+    }.mkString(", ")
+    one.select(expr(
+      s"stack(${pairs.size}, $stackArgs) AS (col_a, col_b, pearson_r)"))
+      .orderBy(col("col_a"), col("col_b"))
+  }
 }

@@ -736,4 +736,36 @@ object Similarity {
       .localCheckpoint(true)
     marginSelect(scored, k, thresholdMicro)
   }
+
+  /** KNN graph: every vector's top-k cosine neighbors WITHIN its coarse
+    * cell — the all-corpus analog of [[bruteForceTopK]] (which ranks only a
+    * small query set) and the backbone structure SemDeDup-style pipelines
+    * and graph clustering consume. The label column stands in for the
+    * coarse cell (on a real corpus the cell is [[kmeansFit]]'s assignment,
+    * exactly [[ivfTopK]]'s partitioner).
+    *
+    * Scale posture: one shuffle of the corpus by cell, then a per-cell
+    * self-join — quadratic ONLY in cell size (corpus/nCells), never in the
+    * corpus; the per-source ranking is a window inside the same cell
+    * partitioning, so the join output never reshuffles. This is the
+    * standard blocked KNN-graph build: total work Σ|cell|², tuned by
+    * nCells, and each cell's block is independent — embarrassingly
+    * parallel across 1000 executors. No broadcast of the corpus, no
+    * nested loop: the self-join is a hash equi-join on cell. */
+  def knnGraph(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val e = withVec(spark, dir)
+    val a = e.alias("c")
+    val b = e.alias("q")
+    val scored = a.join(b,
+      col("q.label") === col("c.label") && col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("src_id"), col("c.vec_id").as("n_id"),
+        cosine.as("cos"))
+    val w = Window.partitionBy(col("src_id"))
+      .orderBy(col("cos").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("src_id"), col("rank"), col("n_id"),
+        round(col("cos"), 4).as("cosine"))
+      .orderBy(col("src_id"), col("rank"))
+  }
 }

@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   * super-linear term (pair blowup, driver state) bends the curve long
   * before 100 TB does. Dev tool; results recorded in SCALE.md.
   *
-  * Usage: runMain graft.tools.ScaleCurve [factors csv, default 1,10,100] [neardup] [stream] [bpe] [r6] [b5] [b6]
+  * Usage: runMain graft.tools.ScaleCurve [factors csv, default 1,10,100] [neardup] [stream] [bpe] [r6] [b5] [b6] [b9]
   *   `neardup` adds the near-dup composite (decontaminate + dup-span) at
   *   each factor — the standing per-round stress entry for the near-dup
   *   tier's scale curve (VERDICT r4 item 7). `stream` adds the
@@ -35,6 +35,7 @@ object ScaleCurve {
     val r6 = args.length > 1 && args.drop(1).contains("r6")
     val b5 = args.length > 1 && args.drop(1).contains("b5")
     val b6 = args.length > 1 && args.drop(1).contains("b6")
+    val b9 = args.length > 1 && args.drop(1).contains("b9")
     // keep: leave the replicated tables on disk for stage profiling
     // (graft.tools.Profile <dir> prefix) instead of the default cleanup
     val keep = args.length > 1 && args.drop(1).contains("keep")
@@ -338,6 +339,56 @@ object ScaleCurve {
           graft.ops.Similarity.bitextMine(spark, groot).count())
         if (fac != 1 && !keep) {
           val p = new org.apache.hadoop.fs.Path(gdir)
+          p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+          ()
+        }
+      }
+
+      if (b9) {
+        // ninth-batch operators: layout + profiling ops over the
+        // key-shifted fact replicas (scan-linear by construction), and the
+        // blocked KNN graph on BOTH scaling axes — cells-fixed (per-cell
+        // quadratic, the documented pathology) vs cells-scaled (per-cell
+        // size constant as the corpus grows — the production posture,
+        // where nCells tracks the corpus via kmeansFit).
+        val ztmp = s"/tmp/graft-scalecurve-zw-$fac"
+        time("zorder_write", fac) {
+          graft.ops.Layout.zorderWrite(spark, root, ztmp, shards = 64)
+          spark.read.parquet(ztmp).count()
+        }
+        locally {
+          val p = new org.apache.hadoop.fs.Path(ztmp)
+          p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+        }
+        time("zone_map", fac)(
+          graft.ops.Layout.zoneMap(spark, root).count())
+        time("corr_matrix", fac)(
+          graft.ops.Relational.corrMatrix(spark, root).count())
+
+        val kdir = s"/tmp/graft-scalecurve-b9-$fac"
+        val (krootFixed, krootScaled) =
+          if (fac == 1) (sf, sf)
+          else {
+            val rep = replicate(spark.read.parquet(s"$sf/embeddings.parquet"),
+              Set("vec_id"), fac, perturbText = false,
+              perturbEmbedding = true)
+            rep.repartition(64)
+              .write.mode("overwrite").parquet(s"$kdir/fixed/embeddings.parquet")
+            // cells-scaled: each replica contributes its own cells, so the
+            // cell SIZE stays the fixture's while cell COUNT grows fac x
+            rep.withColumn("label",
+              (col("label") + (floor(col("vec_id") / shift) * 1000)).cast("int"))
+              .repartition(64)
+              .write.mode("overwrite").parquet(s"$kdir/scaled/embeddings.parquet")
+            (s"$kdir/fixed", s"$kdir/scaled")
+          }
+        spark.read.parquet(s"$krootScaled/embeddings.parquet").count() // warm
+        time("knn_cells_scaled", fac)(
+          graft.ops.Similarity.knnGraph(spark, krootScaled).count())
+        time("knn_cells_fixed", fac)(
+          graft.ops.Similarity.knnGraph(spark, krootFixed).count())
+        if (fac != 1 && !keep) {
+          val p = new org.apache.hadoop.fs.Path(kdir)
           p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
           ()
         }

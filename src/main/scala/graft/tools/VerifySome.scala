@@ -1,0 +1,39 @@
+package graft.tools
+
+/** Dev tool: run a SUBSET of SparkEntry.queries and dump results + their
+  * oracle SQL in Verify's exact output layout, so scripts/check_oracle.py
+  * can gate individual queries while iterating without paying for the full
+  * 120+-query sweep. Not part of the engine surface.
+  *
+  * Usage: runMain graft.tools.VerifySome <sfDir> <outDir> <name> [name ...]
+  */
+object VerifySome {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val outDir = args(1)
+    val names = args.drop(2).toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = graft.GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    new java.io.File(outDir).mkdirs()
+    names.foreach { name =>
+      graft.SparkEntry.queries(name)(spark, sfDir)
+        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      println(s"[verify-some] wrote $name")
+    }
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c    => c.toString
+    } + "\""
+    val sqls = names.flatMap(n => graft.SparkEntry.oracleSql.get(n).map(n -> _))
+    val json = sqls.map { case (n, s) => s"${q(n)}: ${q(s)}" }
+      .mkString("{", ", ", "}")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$outDir/oracle_sql.json"),
+      json.getBytes("UTF-8"))
+    spark.stop()
+  }
+}

@@ -1,0 +1,234 @@
+package graft
+
+import graft.ops.{Layout, Maintenance, Relational, Similarity, Tables}
+import org.apache.spark.sql.functions._
+
+/** Ninth round-6 batch: blocked KNN-graph construction, Z-order layout +
+  * zone-map manifest, and the one-pass correlation matrix. All four are
+  * exact-oracle-checked; these specs pin the structural contracts the
+  * oracle can't see — neighbor-list shape, two-dimensional prunability of
+  * the physical layout, and the single-scan plan shape. */
+class BatchNineOpsSpec extends SparkSpec {
+
+  // ----------------------------------------------------------- knn graph
+
+  test("knn graph: every vector gets a contiguous 1..k neighbor list from " +
+    "its own cell with non-increasing cosine") {
+    val k = 3
+    val rows = Similarity.knnGraph(spark, sf, k).collect()
+    val labels = Tables(spark, sf, "embeddings").collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val bySrc = rows.groupBy(_.getLong(0))
+    assert(bySrc.size === labels.size,
+      "every corpus vector is a source (each cell is larger than k)")
+    bySrc.foreach { case (src, rs) =>
+      val sorted = rs.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq === (1 to k),
+        s"src $src ranks must be contiguous 1..$k")
+      val cosines = sorted.map(_.getDouble(3)).toSeq
+      assert(cosines === cosines.sorted.reverse,
+        s"src $src cosine must be non-increasing down the ranks")
+      rs.foreach { r =>
+        assert(labels(r.getLong(2)) === labels(src),
+          s"neighbor ${r.getLong(2)} of $src crossed a cell boundary")
+        assert(r.getLong(2) !== src, "self-neighbor")
+      }
+    }
+  }
+
+  test("knn graph: the top-1 neighbor of a query vector matches the exact " +
+    "brute-force ranking restricted to the query's cell") {
+    val knn = Similarity.knnGraph(spark, sf, 3).collect()
+      .filter(r => r.getLong(0) < 10 && r.getInt(1) === 1)
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val labels = Tables(spark, sf, "embeddings").collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val brute = Similarity.bruteForceTopK(spark, sf, numQueries = 10, k = 50)
+      .collect()
+    // brute ranks over the WHOLE corpus; the first brute neighbor that
+    // shares the query's cell must be the knn graph's rank-1 pick
+    brute.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      val firstInCell = rs.sortBy(_.getInt(1))
+        .find(r => labels(r.getLong(2)) === labels(q)).map(_.getLong(2))
+      assert(firstInCell === Some(knn(q)),
+        s"query $q: blocked rank-1 must equal cell-restricted exact rank-1")
+    }
+  }
+
+  // -------------------------------------------------------------- zorder
+
+  test("zvalue: interleaves bits exactly (x=5,y=3 -> 27; identity on " +
+    "single-bit inputs)") {
+    val row = spark.range(1)
+      .select(
+        Layout.zvalue(lit(5L), lit(3L)).as("a"),
+        Layout.zvalue(lit(1L), lit(0L)).as("b"),
+        Layout.zvalue(lit(0L), lit(1L)).as("c"),
+        Layout.zvalue(lit(65535L), lit(65535L)).as("d"))
+      .head()
+    assert(row.getLong(0) === 27L) // x bits at even positions: 1+4*0+16*1, y odd: 2+8
+    assert(row.getLong(1) === 1L)
+    assert(row.getLong(2) === 2L)
+    assert(row.getLong(3) === (1L << 32) - 1, "full 16+16 bits fill 32")
+  }
+
+  test("zorder layout prunes on BOTH dimensions where a single-column sort " +
+    "prunes on one") {
+    val shards = 16
+    // per-shard bounding boxes under the z layout vs a custkey sort
+    def boxes(df: org.apache.spark.sql.DataFrame, orderCol: String) = {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col(orderCol), col("o_orderkey"))
+      df.withColumn("rn", row_number().over(w) - 1)
+        .withColumn("shard", (col("rn") * shards / count(lit(1)).over()).cast("int"))
+        .groupBy("shard")
+        .agg(min("x").as("x0"), max("x").as("x1"),
+          min("y").as("y0"), max("y").as("y1"))
+        .collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    }
+    val keyed = Tables(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_custkey").cast("long").as("x"),
+        datediff(col("o_orderdate"), lit("1992-01-01")).cast("long").as("y"))
+    val st = keyed.agg(max("x").as("mx"), max("y").as("my")).head()
+    val (mx, my) = (st.getLong(0), st.getLong(1))
+    val zKeyed = keyed
+      .withColumn("xs", expr(s"(x * 65536L) div (${mx}L + 1)"))
+      .withColumn("ys", expr(s"(y * 65536L) div (${my}L + 1)"))
+      .withColumn("zval", Layout.zvalue(col("xs"), col("ys")))
+    val zBoxes = boxes(zKeyed, "zval")
+    val xBoxes = boxes(keyed, "x")
+
+    // a one-eighth query window on the DATE dim
+    val (d0, d1) = (my / 2, my / 2 + my / 8)
+    def touches(bs: Array[(Long, Long, Long, Long)]) =
+      bs.count { case (_, _, y0, y1) => y1 >= d0 && y0 <= d1 }
+    val zTouch = touches(zBoxes)
+    val xTouch = touches(xBoxes)
+    assert(xTouch === shards,
+      "custkey-sorted layout: every shard spans the full date range, zero pruning")
+    assert(zTouch <= shards / 2,
+      s"z layout must prune the date window to <=half the shards, touched $zTouch")
+    // and the custkey dim keeps pruning too: an eighth-window on x
+    val (c0, c1) = (mx / 2, mx / 2 + mx / 8)
+    // x occupies the LOWER bit of each interleaved pair, so shard cuts
+    // align with y first — x pruning is real but coarser at 16 shards
+    val zTouchX = zBoxes.count { case (x0, x1, _, _) => x1 >= c0 && x0 <= c1 }
+    assert(zTouchX <= 3 * shards / 4,
+      s"z layout must still prune custkey windows, touched $zTouchX")
+  }
+
+  test("zorderWrite: written files carry tight footer ranges on both " +
+    "dimensions (the zone map a cluster reader would consult)") {
+    val out = tmpDir("graft-zorder") + "/orders_z"
+    Layout.zorderWrite(spark, sf, out, shards = 8)
+    val withFile = spark.read.parquet(out)
+      .withColumn("file", input_file_name())
+      .groupBy("file")
+      .agg(min("day_off").as("y0"), max("day_off").as("y1"), count(lit(1)).as("n"))
+      .collect()
+    assert(withFile.length >= 4, "range partitioner produced a real spread")
+    val my = withFile.map(_.getLong(2)).max
+    val full = withFile.map(r => r.getLong(2) - r.getLong(1)).max
+    val avgSpan = withFile.map(r => r.getLong(2) - r.getLong(1)).sum.toDouble / withFile.length
+    assert(avgSpan < full,
+      s"average per-file day span ($avgSpan) must beat the worst file ($full)")
+    val d0 = my / 2
+    val touched = withFile.count(r => r.getLong(2) >= d0 && r.getLong(1) <= d0 + my / 8)
+    assert(touched < withFile.length,
+      "a date-window read must be able to skip at least one file")
+  }
+
+  test("zone map: shards partition the table exactly and boxes nest inside " +
+    "the global ranges") {
+    val zm = Layout.zoneMap(spark, sf).collect()
+    val total = Tables(spark, sf, "orders").count()
+    assert(zm.map(_.getLong(1)).sum === total, "zone map covers every row once")
+    assert(zm.length > 8, "the scaled domain spreads rows over many shards")
+    val shardIds = zm.map(_.getInt(0))
+    assert(shardIds.toSeq === shardIds.sorted.toSeq)
+    zm.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(3) && r.getLong(4) <= r.getLong(5))
+    }
+  }
+
+  // --------------------------------------------------------- corr matrix
+
+  test("corr matrix: six pairs, each in [-1,1], and all near zero — the " +
+    "fixture generator draws the measures independently") {
+    val rows = Relational.corrMatrix(spark, sf).collect()
+    assert(rows.length === 6)
+    rows.foreach { r =>
+      val v = r.getDouble(2)
+      assert(v >= -1.0 && v <= 1.0, s"${r.getString(0)}-${r.getString(1)}: $v")
+      assert(math.abs(v) < 0.1,
+        s"independent draws must decorrelate: ${r.getString(0)}-${r.getString(1)}: $v")
+    }
+    assert(rows.map(r => (r.getString(0), r.getString(1))).distinct.length === 6)
+  }
+
+  test("corr matrix: a correlated injected column is detected (sanity that " +
+    "the moment math sees real structure, not just zeros)") {
+    import org.apache.spark.sql.functions.{col, corr => corrF, round => roundF}
+    val li = Tables(spark, sf, "lineitem")
+      .withColumn("charge", col("l_extendedprice") * (lit(1) - col("l_discount")))
+    val r = li.agg(roundF(corrF(col("l_extendedprice"), col("charge")), 6)).head().getDouble(0)
+    assert(r > 0.95, s"derived charge must track extendedprice, got $r")
+  }
+
+  // ---------------------------------------------------------- maintenance
+
+  test("skew report: stats agree with a direct recount and the salt factor " +
+    "levels the hottest key to at most one mean-sized slice") {
+    val rows = Maintenance.skewReport(spark, sf).collect()
+    assert(rows.length === 5)
+    assert(rows.map(_.getInt(0)).toSeq === (1 to 5))
+    val counts = Tables(spark, sf, "orders")
+      .groupBy("o_custkey").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val r1 = rows.head
+    assert(r1.getLong(2) === counts.values.max, "rank-1 hot_n is the max multiplicity")
+    assert(r1.getLong(5) === counts.values.max, "max_mult column agrees")
+    assert(r1.getLong(3) === counts.size, "n_keys is the distinct key count")
+    assert(r1.getLong(4) === counts.values.sum, "n_rows is the table size")
+    val hotNs = rows.map(_.getLong(2)).toSeq
+    assert(hotNs === hotNs.sorted.reverse, "hot keys ranked by multiplicity")
+    val salt = r1.getInt(9)
+    assert(salt >= 1 &&
+      counts.values.max.toDouble / salt <= r1.getDouble(6) + 1,
+      s"salting the hottest key by $salt must land near the mean multiplicity")
+  }
+
+  test("compaction plan: bins are monotone, byte-complete, and no bin " +
+    "exceeds target + one shard (the streaming bin-pack bound)") {
+    val target = 32768L
+    val plan = Maintenance.compactionPlan(spark, sf, targetBytes = target)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val totalBytes = Tables(spark, sf, "documents")
+      .agg(sum(length(col("text")))).head().getLong(0)
+    assert(plan.map(_._2).sum === totalBytes, "every byte lands in a bin")
+    val bins = plan.map(_._3)
+    assert(bins.toSeq === bins.sorted.toSeq, "bin ids non-decreasing in shard order")
+    val maxShard = plan.map(_._2).max
+    plan.groupBy(_._3).foreach { case (bin, ss) =>
+      assert(ss.map(_._2).sum <= target + maxShard,
+        s"bin $bin overflows the streaming bound")
+    }
+    // shards inside one bin are consecutive — compaction reads a
+    // contiguous range, the property that makes the merge a local read
+    plan.groupBy(_._3).values.foreach { ss =>
+      val ids = ss.map(_._1).sorted
+      assert(ids.last - ids.head === ids.length - 1, "bins hold consecutive shards")
+    }
+  }
+
+  test("corr matrix: the plan reads lineitem ONCE — all six moments ride " +
+    "a single two-phase aggregate") {
+    val plan = Relational.corrMatrix(spark, sf)
+      .queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans === 1, s"expected a single lineitem scan, got $scans:\n$plan")
+    assert(plan.contains("partial_corr") || plan.contains("HashAggregate"),
+      "moments must aggregate two-phase")
+  }
+}

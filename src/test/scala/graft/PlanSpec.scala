@@ -517,4 +517,58 @@ class PlanSpec extends SparkSpec {
     // per-destination sums are map-side combined
     assert(p.contains("partial_sum"), p.take(3000))
   }
+
+  test("knn graph: the cell self-join is a keyed equi-join (hash/merge on " +
+    "label), never a cartesian — per-cell quadratic, corpus-linear shuffles") {
+    val p = plan("q_knn_graph")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
+  test("zorder: the stats side is a broadcast 1-row join and the scan " +
+    "reads only the three layout columns") {
+    val p = plan("q_zorder")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "1-row stats must broadcast: " + p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint,o_orderdate"),
+      p.take(3000))
+    // the interleave is pure codegen'd integer arithmetic — no udf calls
+    assert(!p.toLowerCase.contains("batchevalpython") && !p.contains("UDF"),
+      p.take(3000))
+  }
+
+  test("zone map: manifest aggregate is two-phase, output O(shards)") {
+    val p = plan("q_zone_map")
+    assert(p.contains("partial_min") && p.contains("partial_max") &&
+      p.contains("partial_count"), p.take(3000))
+  }
+
+  test("corr matrix: all six moment sets ride ONE scan and two-phase " +
+    "aggregate — no per-pair scans") {
+    val p = plan("q_corr_matrix")
+    assert("Scan parquet".r.findAllIn(p).size === 1, p.take(3000))
+    assert(p.contains("partial_corr"), p.take(3000))
+  }
+
+  test("skew report: per-key counts are two-phase; the hot-key cut is " +
+    "TakeOrderedAndProject; the 1-row stats side broadcasts") {
+    val p = plan("q_skew_report")
+    assert(p.contains("partial_count"), p.take(3000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("compaction plan: shard sizes aggregate two-phase and the scan " +
+    "reads only doc_id + text; the prefix window runs over O(shards) rows") {
+    val p = plan("q_compaction_plan")
+    assert(p.contains("partial_sum"), p.take(3000))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      p.take(3000))
+    assert(p.contains("Window"), p.take(3000))
+  }
 }
