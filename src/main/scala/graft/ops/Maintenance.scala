@@ -77,4 +77,73 @@ object Maintenance {
       .select(col("shard"), col("bytes"), col("bin"))
       .orderBy(col("shard"))
   }
+
+  /** Per-bucket zone map over a [[graft.cdc.BucketedUpsertSink]] state
+    * table: bucket -> (row count, min/max of each stat column). With
+    * `buckets` given, the scan is partition-PRUNED to exactly those
+    * bucket dirs — the incremental-maintenance read path. */
+  def bucketZoneMap(spark: SparkSession, statePath: String,
+                    statCols: Seq[String],
+                    buckets: Option[Seq[Long]] = None): DataFrame = {
+    val b = graft.cdc.BucketedUpsertSink.BucketCol
+    val state = spark.read.parquet(statePath)
+    val pruned = buckets match {
+      case Some(bs) if bs.nonEmpty => state.filter(col(b).isin(bs: _*))
+      case Some(_) => state.filter(lit(false))
+      case None => state
+    }
+    val aggs = count(lit(1)).as("n_rows") +:
+      statCols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    // partition discovery reads the bucket dir value back as INT; the
+    // writer's bucketOf is LONG — normalize so the manifest key is stable
+    pruned.groupBy(col(b).cast("long").as("bucket"))
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy(col("bucket"))
+  }
+
+  /** Incrementally maintain the sink's zone-map manifest after a
+    * micro-batch: recompute stats for the TOUCHED buckets only (a
+    * partition-pruned scan — the cost is proportional to the changed
+    * data, exactly like the sink write itself), splice them over the
+    * prior manifest, and atomically swap the manifest file. Buckets the
+    * batch emptied disappear from the recomputed stats and therefore
+    * from the manifest. The manifest is O(buckets) rows — its rewrite is
+    * free; the point is never rescanning the untouched state. */
+  def refreshZoneMap(spark: SparkSession, statePath: String, zmPath: String,
+                     touched: Seq[Long], statCols: Seq[String]): Unit = {
+    val fresh = bucketZoneMap(spark, statePath, statCols, Some(touched))
+    val fs = new org.apache.hadoop.fs.Path(zmPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prior =
+      if (fs.exists(new org.apache.hadoop.fs.Path(zmPath)))
+        Some(spark.read.parquet(zmPath))
+      else None
+    val next = prior match {
+      case Some(p) => p.filter(!col("bucket").isin(touched: _*)).unionByName(fresh)
+      case None => fresh
+    }
+    val tmp = zmPath + ".next"
+    next.orderBy(col("bucket")).coalesce(1).write.mode("overwrite").parquet(tmp)
+    graft.cdc.UpsertSink.atomicSwapDirs(spark, tmp, zmPath)
+  }
+
+  /** Manifest-driven pruned read: consult the O(buckets) zone map for the
+    * buckets whose [min,max] window on `statCol` intersects
+    * [lo, hi], then read ONLY those bucket partitions and apply the exact
+    * predicate. The manifest is tiny, so the candidate-bucket collect is
+    * O(buckets) — the data scan it saves is the whole point: at 100 TB a
+    * selective range predicate touches a handful of bucket dirs instead
+    * of the full state. Returns exactly what the unpruned filter would. */
+  def prunedRead(spark: SparkSession, statePath: String, zmPath: String,
+                 statCol: String, lo: Long, hi: Long): DataFrame = {
+    val b = graft.cdc.BucketedUpsertSink.BucketCol
+    val candidates = spark.read.parquet(zmPath)
+      .filter(col(s"max_$statCol") >= lo && col(s"min_$statCol") <= hi)
+      .select(col("bucket")).collect().map(_.getLong(0))
+    val state = spark.read.parquet(statePath)
+    val pruned =
+      if (candidates.isEmpty) state.filter(lit(false))
+      else state.filter(col(b).isin(candidates: _*))
+    pruned.filter(col(statCol) >= lo && col(statCol) <= hi).drop(b)
+  }
 }

@@ -751,15 +751,29 @@ object Similarity {
     * standard blocked KNN-graph build: total work Σ|cell|², tuned by
     * nCells, and each cell's block is independent — embarrassingly
     * parallel across 1000 executors. No broadcast of the corpus, no
-    * nested loop: the self-join is a hash equi-join on cell. */
+    * nested loop: the self-join is a hash equi-join on cell.
+    *
+    * Per-source ranking uses the bounded [[graft.functions.TopKAgg]]
+    * aggregate, NOT a window: partial buffers cap at k map-side, so the
+    * src_id exchange moves k rows per source instead of the whole
+    * candidate set (cell size per source). [[knnGraphWindow]] keeps the
+    * window formulation as the semantic reference; a spec pins them
+    * byte-identical. */
   def knnGraph(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
-    val e = withVec(spark, dir)
-    val a = e.alias("c")
-    val b = e.alias("q")
-    val scored = a.join(b,
-      col("q.label") === col("c.label") && col("q.vec_id") =!= col("c.vec_id"))
-      .select(col("q.vec_id").as("src_id"), col("c.vec_id").as("n_id"),
-        cosine.as("cos"))
+    val scored = knnCandidates(spark, dir)
+    scored.groupBy(col("src_id"))
+      .agg(graft.functions.TopKAgg(k, col("cos"), col("n_id")).as("nn"))
+      .select(col("src_id"), posexplode(col("nn")).as(Seq("pos", "s")))
+      .select(col("src_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("s._2").as("n_id"), round(col("s._1"), 4).as("cosine"))
+      .orderBy(col("src_id"), col("rank"))
+  }
+
+  /** The window-ranked formulation of [[knnGraph]] — same answer, but the
+    * exchange carries every candidate pair; kept as the reference
+    * semantics for the equality spec. */
+  def knnGraphWindow(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val scored = knnCandidates(spark, dir)
     val w = Window.partitionBy(col("src_id"))
       .orderBy(col("cos").desc, col("n_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -767,5 +781,15 @@ object Similarity {
       .select(col("src_id"), col("rank"), col("n_id"),
         round(col("cos"), 4).as("cosine"))
       .orderBy(col("src_id"), col("rank"))
+  }
+
+  private def knnCandidates(spark: SparkSession, dir: String): DataFrame = {
+    val e = withVec(spark, dir)
+    val a = e.alias("c")
+    val b = e.alias("q")
+    a.join(b,
+      col("q.label") === col("c.label") && col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("src_id"), col("c.vec_id").as("n_id"),
+        cosine.as("cos"))
   }
 }

@@ -55,6 +55,15 @@ class BatchNineOpsSpec extends SparkSpec {
     }
   }
 
+  test("knn graph: the bounded-aggregate formulation is byte-identical to " +
+    "the window-ranked reference semantics") {
+    val agg = Similarity.knnGraph(spark, sf, 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val win = Similarity.knnGraphWindow(spark, sf, 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(agg.toSeq === win.toSeq)
+  }
+
   // -------------------------------------------------------------- zorder
 
   test("zvalue: interleaves bits exactly (x=5,y=3 -> 27; identity on " +
@@ -150,6 +159,59 @@ class BatchNineOpsSpec extends SparkSpec {
     zm.foreach { r =>
       assert(r.getLong(2) <= r.getLong(3) && r.getLong(4) <= r.getLong(5))
     }
+  }
+
+  // ---------------------------------------------- incremental zone map
+
+  test("sink zone map: incremental refresh after a micro-batch equals a " +
+    "full recompute, and the manifest-driven read prunes to candidate " +
+    "buckets while returning the exact unpruned answer") {
+    import graft.cdc.BucketedUpsertSink
+    import spark.implicits._
+    val root = tmpDir("graft-zm")
+    val statePath = s"$root/state"
+    val zmPath = s"$root/state.zonemap"
+    val nb = 8
+    val s0 = (0L until 200L).map(i => (i, i * 10, s"v$i"))
+      .toDF("id", "score", "payload")
+    BucketedUpsertSink.init(s0, statePath, "id", nb)
+    Maintenance.refreshZoneMap(spark, statePath, zmPath, (0L until nb).toSeq,
+      Seq("score"))
+    val full0 = Maintenance.bucketZoneMap(spark, statePath, Seq("score")).collect()
+    val inc0 = spark.read.parquet(zmPath).orderBy("bucket").collect()
+    assert(inc0.map(_.toSeq).toSeq === full0.map(_.toSeq).toSeq)
+
+    // a micro-batch: update two pks, delete one, insert one far-off score
+    val batch = Seq(
+      ("update", 5L, 99999L, "v5b"),
+      ("update", 17L, -5L, "v17b"),
+      ("delete", 30L, 0L, null),
+      ("create", 999L, 123456L, "new"))
+      .toDF("op", "id", "score", "payload")
+    val touched = batch
+      .select(BucketedUpsertSink.bucketOf(col("id"), nb)).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    assert(touched.length < nb, "the batch must not touch every bucket")
+    BucketedUpsertSink.applyBatch(spark, statePath, batch, "id", nb)
+    Maintenance.refreshZoneMap(spark, statePath, zmPath, touched, Seq("score"))
+    val full1 = Maintenance.bucketZoneMap(spark, statePath, Seq("score")).collect()
+    val inc1 = spark.read.parquet(zmPath).orderBy("bucket").collect()
+    assert(inc1.map(_.toSeq).toSeq === full1.map(_.toSeq).toSeq,
+      "incremental splice must equal the full recompute")
+
+    // manifest-driven pruned read: the far-off score lives in one bucket
+    val got = Maintenance.prunedRead(spark, statePath, zmPath,
+      "score", 99000L, 200000L).orderBy("id").collect()
+    val want = spark.read.parquet(statePath)
+      .filter(col("score") >= 99000L && col("score") <= 200000L)
+      .drop(BucketedUpsertSink.BucketCol).orderBy("id").collect()
+    assert(got.map(_.toSeq).toSeq === want.map(_.toSeq).toSeq)
+    assert(got.map(_.getLong(0)).toSet === Set(5L, 999L))
+    // and the prune really narrowed the candidate set
+    val candidates = spark.read.parquet(zmPath)
+      .filter(col("max_score") >= 99000L && col("min_score") <= 200000L)
+      .count()
+    assert(candidates < nb, s"zone map must rule out buckets, kept $candidates")
   }
 
   // --------------------------------------------------------- corr matrix

@@ -527,6 +527,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
   }
 
+  test("knn graph: per-source top-k is a PARTIAL bounded aggregate — the " +
+    "src exchange moves k rows per source, not the candidate set") {
+    val p = plan("q_knn_graph")
+    assert(p.contains("ObjectHashAggregate"), p.take(3000))
+    assert(p.contains("partial_topkagg"), p.take(3000))
+  }
+
   test("zorder: the stats side is a broadcast 1-row join and the scan " +
     "reads only the three layout columns") {
     val p = plan("q_zorder")
