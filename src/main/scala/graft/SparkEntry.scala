@@ -162,7 +162,8 @@ object SparkEntry {
     "q_zone_map"       -> ((s, d) => Layout.zoneMap(s, d)),
     "q_corr_matrix"    -> ((s, d) => Relational.corrMatrix(s, d)),
     "q_skew_report"    -> ((s, d) => Maintenance.skewReport(s, d)),
-    "q_compaction_plan" -> ((s, d) => Maintenance.compactionPlan(s, d))
+    "q_compaction_plan" -> ((s, d) => Maintenance.compactionPlan(s, d)),
+    "q_oov_rate"       -> ((s, d) => TextAnalysis.oovRate(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2086,6 +2087,22 @@ object SparkEntry {
         |          AS BIGINT) AS prefix
         |      FROM s)
         |SELECT shard, bytes, prefix // 32768 AS bin
-        |FROM p ORDER BY shard""".stripMargin
+        |FROM p ORDER BY shard""".stripMargin,
+
+    "q_oov_rate" ->
+      """WITH t AS (SELECT lang, unnest(string_split(text, ' ')) AS tok
+        |      FROM documents),
+        |lt AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS n
+        |       FROM t GROUP BY 1, 2),
+        |v AS (SELECT tok FROM
+        |        (SELECT tok, sum(n) AS tf FROM lt GROUP BY 1)
+        |      ORDER BY tf DESC, tok LIMIT 50),
+        |a AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_tokens,
+        |        CAST(sum(CASE WHEN lt.tok IN (SELECT tok FROM v) THEN 0
+        |                 ELSE n END) AS BIGINT) AS oov_tokens
+        |      FROM lt GROUP BY 1)
+        |SELECT lang, n_tokens, oov_tokens,
+        |  round(CAST(oov_tokens AS DOUBLE) / n_tokens, 4) AS oov_rate
+        |FROM a ORDER BY lang""".stripMargin
   )
 }

@@ -206,6 +206,18 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
       case Some(n) =>
         BucketedUpsertSink.applyBatch(spark, statePath(sync), compacted, pk, n,
           schema = Some(sinkSchema(sync)))
+        // incremental zone-map maintenance: stats recompute only for the
+        // buckets this batch touched — same O(changed data) bound as the
+        // sink write itself. The touched-set collect is O(buckets) (the
+        // same bounded collect applyBatch does).
+        if (config.zoneMapCols.nonEmpty) {
+          val touched = compacted
+            .select(BucketedUpsertSink.bucketOf(col(pk), n)).distinct()
+            .collect().map(_.getLong(0)).toSeq
+          if (touched.nonEmpty)
+            graft.ops.Maintenance.refreshZoneMap(spark, statePath(sync),
+              zoneMapPath(sync), touched, zoneMapColsFor(sync))
+        }
       case None =>
         val state = UpsertSink.currentState(spark, statePath(sync), sinkSchema(sync))
         val next = UpsertSink.applyBatch(state, compacted, pk)
@@ -216,6 +228,27 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
     hooks.postBatch.foreach(_(sync.table, batchId))
   }
 
+  /** Zone-map manifest path for a sync's sink state. */
+  def zoneMapPath(sync: SyncConfig): String = statePath(sync) + ".zonemap"
+
+  // only stat columns the sink schema actually carries: a configured column
+  // missing from one sync's payload must not fail that sync's batches
+  private def zoneMapColsFor(sync: SyncConfig): Seq[String] = {
+    val have = sinkSchema(sync).fieldNames.toSet
+    config.zoneMapCols.filter(have)
+  }
+
+  /** Full zone-map rebuild for one sync — the non-incremental path used
+    * after [[refresh]]/backfill rebuilds where every bucket may have
+    * changed. */
+  private def rebuildZoneMap(sync: SyncConfig): Unit =
+    (config.stateBuckets, zoneMapColsFor(sync)) match {
+      case (Some(n), cols) if cols.nonEmpty =>
+        graft.ops.Maintenance.refreshZoneMap(spark, statePath(sync),
+          zoneMapPath(sync), (0L until n.toLong).toSeq, cols)
+      case _ => ()
+    }
+
   /** K3 bootstrap backfill: if `sync.full` and the sink is absent, load the
     * full scan before tailing (`main.py:84-101`). */
   def backfillIfNeeded(): Unit = config.syncs.foreach { sync =>
@@ -223,6 +256,7 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
       config.stateBuckets match {
         case Some(n) =>
           BucketedUpsertSink.init(source.fullScan(sync), statePath(sync), pkOut(sync), n)
+          rebuildZoneMap(sync)
         case None =>
           SwapRefresh.refresh(source.fullScan(sync), statePath(sync)); ()
       }
@@ -296,8 +330,13 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
   def refresh(tables: Seq[String] = Seq.empty): Map[String, Long] =
     config.syncs
       .filter(s => tables.isEmpty || tables.contains(s.table))
-      .map(s => s.table -> SwapRefresh.refresh(source.fullScan(s), statePath(s),
-        config.stateBuckets.map(n => (pkOut(s), n))))
+      .map { s =>
+        val n = SwapRefresh.refresh(source.fullScan(s), statePath(s),
+          config.stateBuckets.map(nb => (pkOut(s), nb)))
+        // every bucket may have changed under the swap — rebuild, don't splice
+        rebuildZoneMap(s)
+        s.table -> n
+      }
       .toMap
 
   /** `check`: source count vs sink count per sync (`main.py:179-208`). */

@@ -78,12 +78,16 @@ final case class SyncConfig(
   * Spark addition: `stateBuckets` switches the sink to the bucketed layout
   * ([[graft.cdc.BucketedUpsertSink]] — each batch rewrites only the pk-hash
   * buckets it touches) with the given bucket count; None keeps the flat
-  * state dir + atomic swap. */
+  * state dir + atomic swap. `zoneMapCols` (bucketed mode only) keeps a
+  * per-bucket min/max/count manifest incrementally maintained after every
+  * micro-batch ([[graft.ops.Maintenance.refreshZoneMap]]) — the stats a
+  * manifest-driven reader uses to prune bucket dirs at query time. */
 final case class PipelineConfig(
     syncs: Seq[SyncConfig],
     insertSize: Option[Int] = None,
     insertIntervalSecs: Option[Int] = None,
-    stateBuckets: Option[Int] = None
+    stateBuckets: Option[Int] = None,
+    zoneMapCols: Seq[String] = Seq.empty
 ) {
   /** `settings.get_sync(table)` (reference `settings.py:78-82`). */
   def syncFor(table: String): Option[SyncConfig] = syncs.find(_.table == table)

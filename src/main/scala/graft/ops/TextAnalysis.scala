@@ -997,6 +997,37 @@ object TextAnalysis {
       .orderBy(col("rank"))
   }
 
+  /** Per-language OOV rate against the corpus's own top-V vocabulary — the
+    * tokenizer-evaluation metric a vocabulary cut is judged by (what share
+    * of each language's tokens would map to `<unk>`). Same vocabulary
+    * definition as [[vocabCoverage]] (top-V by tf, ties by token).
+    *
+    * Shape at scale: the corpus explodes ONCE into a (lang, token) count
+    * table (two-phase agg); the global tf, the vocabulary cut
+    * (TakeOrderedAndProject), and the per-language rollup all run over
+    * that vocabulary-sized table — the corpus is never re-read, and the
+    * V-row vocabulary broadcasts into the membership join. */
+  def oovRate(spark: SparkSession, dir: String, topV: Int = 50): DataFrame = {
+    // localCheckpoint: two consumers (vocabulary cut + membership rollup)
+    // read this vocabulary-sized table; without it each recomputes the
+    // corpus explode — measured as a second full FileScan even under AQE
+    // (exchange reuse does not fire across the broadcast boundary)
+    val langTok = Tables(spark, dir, "documents")
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val vocab = langTok.groupBy(col("tok")).agg(sum(col("n")).as("tf"))
+      .orderBy(col("tf").desc, col("tok")).limit(topV)
+      .select(col("tok").as("vtok"))
+    langTok.join(broadcast(vocab), col("tok") === col("vtok"), "left")
+      .groupBy(col("lang"))
+      .agg(
+        sum(col("n")).as("n_tokens"),
+        sum(when(col("vtok").isNull, col("n")).otherwise(lit(0L))).as("oov_tokens"))
+      .withColumn("oov_rate", round(col("oov_tokens") / col("n_tokens"), 4))
+      .orderBy(col("lang"))
+  }
+
   /** PMI collocation mining (Church & Hanks 1990): the top-k adjacent word
     * bigrams by pointwise mutual information,
     * `pmi(a,b) = ln( P(a,b) / (P(a)·P(b)) )` with P estimated from corpus

@@ -214,6 +214,24 @@ class BatchNineOpsSpec extends SparkSpec {
     assert(candidates < nb, s"zone map must rule out buckets, kept $candidates")
   }
 
+  // ------------------------------------------------------------ oov rate
+
+  test("oov rate: per-language rates weight-average to exactly the " +
+    "complement of vocabCoverage's cumulative top-V share") {
+    val topV = 50
+    val oov = graft.ops.TextAnalysis.oovRate(spark, sf, topV).collect()
+    oov.foreach { r =>
+      val rate = r.getDouble(3)
+      assert(rate >= 0.0 && rate <= 1.0)
+      assert(r.getLong(2) <= r.getLong(1), "oov tokens bounded by total")
+    }
+    val cov = graft.ops.TextAnalysis.vocabCoverage(spark, sf, topV).collect()
+    val cumShare = cov.map(_.getDouble(4)).max // rank-topV cumulative share
+    val corpusOov = oov.map(_.getLong(2)).sum.toDouble / oov.map(_.getLong(1)).sum
+    assert(math.abs(corpusOov - (1.0 - cumShare)) < 2e-4,
+      s"corpus oov $corpusOov must complement top-$topV coverage $cumShare")
+  }
+
   // --------------------------------------------------------- corr matrix
 
   test("corr matrix: six pairs, each in [-1,1], and all near zero — the " +

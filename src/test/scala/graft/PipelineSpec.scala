@@ -243,6 +243,39 @@ class PipelineSpec extends SparkSpec {
     assert(dirs.exists(_.startsWith("_bucket=")), dirs.mkString(","))
   }
 
+  test("zoneMapCols: the sink's manifest is maintained incrementally per " +
+    "micro-batch and always equals a full recompute") {
+    import org.apache.spark.sql.functions.col
+    val sinkRoot = tmpDir("sink")
+    val ckpt = tmpDir("ckpt")
+    val sync = SyncConfig("t", pk = "id", schema = Some(StructType(Seq(
+      StructField("id", IntegerType), StructField("score", LongType)))))
+    val src = new MemoryCdcSource(spark)
+    val pipe = new Pipeline(spark,
+      PipelineConfig(Seq(sync), stateBuckets = Some(4),
+        zoneMapCols = Seq("score", "missing_col")), src, sinkRoot)
+    src.addEvents(
+      ChangeEvent("create", "t", 1, ts("2024-01-01 00:00:00"), """{"id": 1, "score": 10}"""),
+      ChangeEvent("create", "t", 2, ts("2024-01-01 00:00:01"), """{"id": 2, "score": 20}"""),
+      ChangeEvent("create", "t", 3, ts("2024-01-01 00:00:02"), """{"id": 3, "score": 30}"""))
+    val q1 = pipe.start(ckpt); q1.processAllAvailable(); q1.stop()
+    val zm = pipe.zoneMapPath(sync)
+    def manifest() = spark.read.parquet(zm).orderBy("bucket").collect().map(_.toSeq).toSeq
+    def full() = ops.Maintenance
+      .bucketZoneMap(spark, s"$sinkRoot/t", Seq("score")).collect().map(_.toSeq).toSeq
+    assert(manifest() === full(), "manifest after the first batch")
+    // second batch: update one pk far out of range, delete another
+    src.addEvents(
+      ChangeEvent("update", "t", 4, ts("2024-01-01 00:01:00"), """{"id": 1, "score": 9999}"""),
+      ChangeEvent("delete", "t", 5, ts("2024-01-01 00:01:01"), """{"id": 2}"""))
+    val q2 = pipe.start(ckpt); q2.processAllAvailable(); q2.stop()
+    assert(manifest() === full(), "incremental splice equals full recompute")
+    // manifest-driven pruned read returns the exact survivor
+    val got = ops.Maintenance.prunedRead(spark, s"$sinkRoot/t", zm,
+      "score", 1000L, 100000L).collect()
+    assert(got.map(_.getLong(1)).toSeq === Seq(9999L))
+  }
+
   test("refresh of a bucketed sink keeps the bucket layout (settings copy on swap)") {
     // the reference copies the live index's settings onto the tmp index
     // before the swap (meili.py:43-49); the layout analog here is the

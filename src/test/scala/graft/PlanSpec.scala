@@ -570,6 +570,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 
+  test("oov rate: the corpus explodes ONCE — both consumers read the " +
+    "checkpointed (lang, token) table and the vocabulary broadcasts") {
+    val p = plan("q_oov_rate")
+    assert(!p.contains("FileScan parquet"),
+      "corpus must be read only inside the one checkpoint materialization: " + p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(p.contains("partial_sum"), p.take(3000))
+  }
+
   test("compaction plan: shard sizes aggregate two-phase and the scan " +
     "reads only doc_id + text; the prefix window runs over O(shards) rows") {
     val p = plan("q_compaction_plan")
