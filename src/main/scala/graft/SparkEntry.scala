@@ -163,7 +163,12 @@ object SparkEntry {
     "q_corr_matrix"    -> ((s, d) => Relational.corrMatrix(s, d)),
     "q_skew_report"    -> ((s, d) => Maintenance.skewReport(s, d)),
     "q_compaction_plan" -> ((s, d) => Maintenance.compactionPlan(s, d)),
-    "q_oov_rate"       -> ((s, d) => TextAnalysis.oovRate(s, d))
+    "q_oov_rate"       -> ((s, d) => TextAnalysis.oovRate(s, d)),
+    // an ACTUAL checkpointed transformWithState run (MapState counts),
+    // graded by the batch GROUP BY/HAVING oracle — the q_dedup_stream
+    // promotion shape
+    "q_stream_hh"      -> ((s, d) =>
+      graft.streaming.StreamHeavyHitters.streamedHeavyHitters(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2103,6 +2108,11 @@ object SparkEntry {
         |      FROM lt GROUP BY 1)
         |SELECT lang, n_tokens, oov_tokens,
         |  round(CAST(oov_tokens AS DOUBLE) / n_tokens, 4) AS oov_rate
-        |FROM a ORDER BY lang""".stripMargin
+        |FROM a ORDER BY lang""".stripMargin,
+
+    "q_stream_hh" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+        |FROM events GROUP BY 1 HAVING count(*) >= 75
+        |ORDER BY user_id""".stripMargin
   )
 }

@@ -1,0 +1,125 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, TimerValues, Trigger}
+import org.apache.spark.sql.Encoders
+
+/** Streaming heavy-hitter ALERTS: maintain per-key event counts in keyed
+  * state across micro-batches and emit each key exactly once, in the batch
+  * where its cumulative count first crosses the threshold — the
+  * "hot key / abusive client / trending item" monitor every streaming
+  * deployment bolts onto its ingest.
+  *
+  * State layout: the stream is keyed by a bounded SHARD (`hash(key) %
+  * shards`), and each shard keeps a `MapState[key -> count]` — the
+  * map-typed state primitive (vs [[KeyedLastWriteTws]]'s `ValueState`):
+  * per-entry point lookups and updates without deserializing the whole
+  * shard's map, which is exactly what RocksDB's prefix-keyed layout
+  * provides. Keying by shard instead of by raw key bounds the stateful
+  * operator's key cardinality (shard count is a config), while state
+  * SIZE stays proportional to live keys either way.
+  *
+  * Exactness: counts are additive and never evicted, so after an
+  * AvailableNow drain the alerted set is exactly the keys whose total
+  * count >= threshold — independent of how the feed was batched. The
+  * count carried on the alert is the cumulative count at crossing (batch-
+  * split-dependent); [[streamedHeavyHitters]] therefore re-joins the
+  * final totals so the query output is fully deterministic and
+  * DuckDB-oracle-checkable, the same promotion shape as
+  * [[DedupStream.streamedPairs]] and [[StreamJoin.streamedAttribution]].
+  */
+object StreamHeavyHitters {
+
+  /** (key, cumulative count at crossing) emitted at most once per key. */
+  final case class Alert(key: Long, at_count: Long)
+
+  final class HeavyHitterProcessor(threshold: Long)
+      extends StatefulProcessor[Long, (Long, Long), Alert] {
+    import org.apache.spark.sql.streaming.{MapState, TTLConfig}
+    @transient private var counts: MapState[Long, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getMapState[Long, Long]("counts",
+        Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(shard: Long, rows: Iterator[(Long, Long)],
+                                 timerValues: TimerValues): Iterator[Alert] = {
+      // fold the batch's rows per key first: one state read + one write
+      // per DISTINCT key per batch, not per event row
+      val batchCounts = rows.foldLeft(Map.empty[Long, Long]) {
+        case (m, (_, key)) => m.updated(key, m.getOrElse(key, 0L) + 1L)
+      }
+      batchCounts.iterator.flatMap { case (key, added) =>
+        val before = if (counts.containsKey(key)) counts.getValue(key) else 0L
+        val after = before + added
+        counts.updateValue(key, after)
+        if (before < threshold && after >= threshold) Iterator.single(Alert(key, after))
+        else Iterator.empty
+      }
+    }
+  }
+
+  /** Drive the events fixture through a checkpointed AvailableNow run as a
+    * two-batch feed (median-event-time split) and return the alerted
+    * users with their FINAL totals: `(user_id, n_events)` for every user
+    * whose event count reaches `threshold` — deterministic, so the
+    * streaming run itself is graded by the batch GROUP BY/HAVING oracle. */
+  /** Scratch root for one application's heavy-hitter run (specs read the
+    * raw alert log from `<root>/alerts` for the exactly-once check). */
+  private[graft] def scratchRoot(spark: SparkSession): String =
+    s"${sys.props("java.io.tmpdir")}/graft_stream_hh_" +
+      spark.sparkContext.applicationId
+
+  def streamedHeavyHitters(spark: SparkSession, dir: String,
+                           threshold: Long = 75, shards: Int = 64): DataFrame = {
+    import spark.implicits._
+    val root = scratchRoot(spark)
+    val rp = new org.apache.hadoop.fs.Path(root)
+    val fs = rp.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(rp)) fs.delete(rp, true)
+    graft.ops.TwoBatchScratch.registerCleanup(root)
+    val ev = graft.ops.Tables.events(spark, dir)
+      .select(col("event_id"), unix_micros(col("ts")).as("tsu"), col("user_id"))
+    val mid = ev.agg((min(col("tsu")) + max(col("tsu"))) / 2).head().getDouble(0).toLong
+    DedupStream.stageBatches(s"$root/feed",
+      Seq(ev.filter(col("tsu") <= mid).select(col("user_id")),
+        ev.filter(col("tsu") > mid).select(col("user_id"))))
+    // RocksDB store: required by transformWithState
+    val prevProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = spark.readStream
+        .schema("user_id BIGINT")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$root/feed")
+        .as[Long]
+        .map(u => (math.floorMod(u, shards.toLong), u))
+        .groupByKey(_._1)
+        .transformWithState(new HeavyHitterProcessor(threshold),
+          TimeMode.None(), OutputMode.Append())
+      val q = stream.writeStream
+        .format("parquet")
+        .option("path", s"$root/alerts")
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+    val alerts = spark.read.parquet(s"$root/alerts")
+    val totals = graft.ops.Tables.events(spark, dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+    alerts.select(col("key").as("user_id"))
+      .join(totals, "user_id")
+      .orderBy(col("user_id"))
+  }
+}
