@@ -385,8 +385,12 @@ object ScaleCurve {
         spark.read.parquet(s"$krootScaled/embeddings.parquet").count() // warm
         time("knn_cells_scaled", fac)(
           graft.ops.Similarity.knnGraph(spark, krootScaled).count())
-        time("knn_cells_fixed", fac)(
-          graft.ops.Similarity.knnGraph(spark, krootFixed).count())
+        // the frozen-cell pathology is quadratic BY CONSTRUCTION — x10
+        // demonstrates the bend (0.9 -> 14-25 s); x100 of a known
+        // quadratic is 100x that, measured information-free
+        if (fac <= 10)
+          time("knn_cells_fixed", fac)(
+            graft.ops.Similarity.knnGraph(spark, krootFixed).count())
         if (fac != 1 && !keep) {
           val p = new org.apache.hadoop.fs.Path(kdir)
           p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
