@@ -59,6 +59,7 @@ object SparkEntry {
     "q_asof_join"      -> ((s, d) => AsOf.purchaseToSignup(s, d)),
     // ---- LLM-data-pipeline ops ----
     "q_dedup_exact"    -> ((s, d) => Dedup.exact(s, d)),
+    "q_dedup_norm"     -> ((s, d) => Dedup.exactNormalized(s, d)),
     "q_dedup_ngram"    -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "q_dedup_pipeline" -> ((s, d) => Dedup.dedupPipeline(s, d)),
     "q_dedup_cluster"  -> ((s, d) => Dedup.nearDupClusters(s, d)),
@@ -566,6 +567,18 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keeper, count(*) AS copies
         |FROM documents GROUP BY 1 ORDER BY h""".stripMargin,
+
+    // regexp_replace needs the 'g' flag in DuckDB to match Spark's
+    // replace-all semantics
+    "q_dedup_norm" ->
+      """WITH n AS (SELECT doc_id, text,
+        |        trim(regexp_replace(regexp_replace(lower(text),
+        |          '[.,!?;:]', '', 'g'), '\s+', ' ', 'g')) AS norm
+        |      FROM documents)
+        |SELECT md5(norm) AS h, min(doc_id) AS keeper,
+        |  CAST(count(*) AS BIGINT) AS copies,
+        |  CAST(count(DISTINCT text) AS BIGINT) AS raw_variants
+        |FROM n GROUP BY 1 ORDER BY h""".stripMargin,
 
     "q_dedup_ngram" -> ngramJaccardOracle,
 

@@ -33,6 +33,24 @@ object Dedup {
       .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("copies"))
       .orderBy(col("h"))
 
+  /** CCNet-style NORMALIZED exact dedup: digest over a canonical text form
+    * (lowercase, punctuation stripped, whitespace runs collapsed, ends
+    * trimmed) so trivially-reformatted copies — the most common crawl
+    * duplicate class, invisible to [[exact]] — collapse to one group. The
+    * normalization is a per-row codegen'd expression chain; everything
+    * after it is [[exact]]'s map-side-partial digest groupBy. Same output
+    * shape; `n_norm_only` groups (copies > 1 with distinct raw texts) are
+    * exactly the wins over the raw digest. */
+  def exactNormalized(spark: SparkSession, dir: String): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[.,!?;:]", ""), "\\s+", " "))
+    Tables(spark, dir, "documents")
+      .groupBy(md5(norm).as("h"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("copies"),
+        countDistinct(col("text")).as("raw_variants"))
+      .orderBy(col("h"))
+  }
+
   /** Distinct word-3-gram shingle HASHES per doc (order-sensitive — robust
     * where bag-of-words Jaccard saturates on a small vocabulary). The whole
     * Jaccard family runs on xxhash64(shingle) longs, never on shingle

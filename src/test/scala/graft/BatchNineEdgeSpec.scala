@@ -101,6 +101,28 @@ class BatchNineEdgeSpec extends SparkSpec {
     assert(rows.head.getLong(2) === 3L)
   }
 
+  test("normalized dedup: conserves the corpus, only MERGES raw-exact " +
+    "groups, and catches an injected reformat the raw digest misses") {
+    import spark.implicits._
+    val dir = tmpDir("norm-dedup")
+    stage(dir, "documents")(Seq(
+      (0L, "The cat sat. On the mat."),
+      (1L, "  the CAT  sat; on the mat!  "), // same doc, reformatted
+      (2L, "The cat sat. On the mat."),     // raw-exact copy of 0
+      (3L, "an entirely different text"))
+      .toDF("doc_id", "text"))
+    val norm = graft.ops.Dedup.exactNormalized(spark, dir).collect()
+    val raw = graft.ops.Dedup.exact(spark, dir).collect()
+    assert(norm.map(_.getLong(2)).sum === 4L, "every doc lands in one group")
+    assert(raw.length === 3, "raw digest sees the reformat as distinct")
+    assert(norm.length === 2, "normalization merges the reformat")
+    val merged = norm.find(_.getLong(2) === 3L).get
+    assert(merged.getLong(1) === 0L, "keeper is the min id across the merge")
+    assert(merged.getLong(3) === 2L, "two raw variants inside the merged group")
+    assert(norm.length <= raw.length,
+      "normalization can only merge raw-exact groups, never split them")
+  }
+
   test("bucket zone map: an explicit empty bucket list returns an empty " +
     "manifest, not a full scan") {
     import spark.implicits._
