@@ -60,6 +60,7 @@ object SparkEntry {
     // ---- LLM-data-pipeline ops ----
     "q_dedup_exact"    -> ((s, d) => Dedup.exact(s, d)),
     "q_dedup_norm"     -> ((s, d) => Dedup.exactNormalized(s, d)),
+    "q_scd2_asof"      -> ((s, d) => Relational.scd2AsOf(s, d)),
     "q_dedup_ngram"    -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "q_dedup_pipeline" -> ((s, d) => Dedup.dedupPipeline(s, d)),
     "q_dedup_cluster"  -> ((s, d) => Dedup.nearDupClusters(s, d)),
@@ -1109,6 +1110,24 @@ object SparkEntry {
         |    AS is_current,
         |  round(value, 2) AS value
         |FROM events ORDER BY user_id, valid_from, version_id""".stripMargin,
+
+    // AS OF over the q_scd2 history at the event-time-range midpoint:
+    // interval-containment filter, no join
+    "q_scd2_asof" ->
+      """WITH h AS (SELECT user_id, event_id AS version_id,
+        |        CAST(floor(epoch(ts)) AS BIGINT) AS valid_from,
+        |        CAST(floor(epoch(lead(ts, 1) OVER
+        |          (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT)
+        |          AS valid_to,
+        |        round(value, 2) AS value
+        |      FROM events),
+        |t AS (SELECT CAST((min(CAST(floor(epoch(ts)) AS BIGINT)) +
+        |        max(CAST(floor(epoch(ts)) AS BIGINT))) // 2 AS BIGINT) AS mid
+        |      FROM events)
+        |SELECT user_id, version_id, valid_from, value
+        |FROM h CROSS JOIN t
+        |WHERE valid_from <= mid AND (valid_to IS NULL OR valid_to > mid)
+        |ORDER BY user_id""".stripMargin,
 
     "q_entropy" ->
       """WITH e AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),

@@ -612,6 +612,27 @@ object Relational {
       .orderBy(col("user_id"), col("valid_from"), col("version_id"))
   }
 
+  /** Time-travel (AS OF) read over the [[scd2]] history table: the state
+    * of every key at instant T — rows whose validity interval contains T
+    * (`valid_from <= T < valid_to`, open intervals current). T is the
+    * data-derived midpoint of the event-time range so the query is
+    * deterministic on any fixture. This is the lakehouse snapshot-read
+    * semantic (`VERSION AS OF`/`TIMESTAMP AS OF`) expressed over the SCD2
+    * layout: at 100 TB the filter prunes on valid_from/valid_to zone maps
+    * (both monotone-ish within a key's file run), and the history table is
+    * read once with no join — a per-row interval test. */
+  def scd2AsOf(spark: SparkSession, dir: String): DataFrame = {
+    val hist = scd2(spark, dir)
+    val mid = Tables.events(spark, dir)
+      .agg(((min(unix_timestamp(col("ts"))) +
+        max(unix_timestamp(col("ts")))) / 2).cast("long")).head().getLong(0)
+    hist.filter(col("valid_from") <= mid &&
+        (col("valid_to").isNull || col("valid_to") > mid))
+      .select(col("user_id"), col("version_id"), col("valid_from"),
+        col("value"))
+      .orderBy(col("user_id"))
+  }
+
   /** Pairwise Pearson correlation matrix over lineitem's numeric measures,
     * in ONE corpus scan: all C(4,2)=6 `corr` aggregates run inside a single
     * two-phase hash aggregate (each keeps a constant-size moment buffer —

@@ -101,6 +101,26 @@ class BatchNineEdgeSpec extends SparkSpec {
     assert(rows.head.getLong(2) === 3L)
   }
 
+  test("scd2 as-of: exactly one version per key contains the instant, and " +
+    "it is the latest version that began on or before it") {
+    import graft.ops.{Relational, Tables}
+    val snap = Relational.scd2AsOf(spark, sf).collect()
+    assert(snap.nonEmpty)
+    assert(snap.map(_.getLong(0)).distinct.length === snap.length,
+      "the interval partition admits one version per key at any instant")
+    val hist = Relational.scd2(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val mid = Tables.events(spark, sf)
+      .agg((min(unix_timestamp(col("ts"))) +
+        max(unix_timestamp(col("ts")))) / 2).head().getDouble(0).toLong
+    snap.foreach { r =>
+      val expect = hist.filter(h => h._1 == r.getLong(0) && h._3 <= mid)
+        .maxBy(h => (h._3, h._2))
+      assert((r.getLong(1), r.getLong(2)) === ((expect._2, expect._3)),
+        s"user ${r.getLong(0)}: as-of row must be the latest version at T")
+    }
+  }
+
   test("normalized dedup: conserves the corpus, only MERGES raw-exact " +
     "groups, and catches an injected reformat the raw digest misses") {
     import spark.implicits._
