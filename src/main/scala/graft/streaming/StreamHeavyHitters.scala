@@ -85,28 +85,51 @@ object StreamHeavyHitters {
     DedupStream.stageBatches(s"$root/feed",
       Seq(ev.filter(col("tsu") <= mid).select(col("user_id")),
         ev.filter(col("tsu") > mid).select(col("user_id"))))
-    // RocksDB store: required by transformWithState
+    val q = start(spark, s"$root/feed", s"$root/alerts", s"$root/ckpt",
+      threshold, shards)
+    try q.processAllAvailable() finally q.stop()
+    val alerts = spark.read.parquet(s"$root/alerts")
+    val totals = graft.ops.Tables.events(spark, dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+    alerts.select(col("key").as("user_id"))
+      .join(totals, "user_id")
+      .orderBy(col("user_id"))
+  }
+
+  /** Start (or RESUME — the checkpoint owns progress) the heavy-hitter
+    * stream over a staged parquet feed. Exactly-once across a crash:
+    * MapState restores to the last committed batch's snapshot, the
+    * replayed batch recomputes the same crossings, and the file sink's
+    * metadata log deduplicates the replayed batch's output files —
+    * [[StreamHeavyHittersSpec]] kills a run at its last commit and
+    * proves the resumed alert log is still alert-per-key-unique. */
+  def start(spark: SparkSession, feedDir: String, alertsOut: String,
+            ckpt: String, threshold: Long = 75, shards: Int = 64,
+            maxFilesPerTrigger: Int = 1): org.apache.spark.sql.streaming.StreamingQuery = {
+    import spark.implicits._
+    // RocksDB store: required by transformWithState. The provider is
+    // captured into the checkpoint at creation; restore the session conf
+    // after start so co-resident queries keep their own store.
     val prevProvider = spark.conf.getOption(
       "spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
-      val stream = spark.readStream
+      spark.readStream
         .schema("user_id BIGINT")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(s"$root/feed")
+        .option("maxFilesPerTrigger", maxFilesPerTrigger)
+        .parquet(feedDir)
         .as[Long]
         .map(u => (math.floorMod(u, shards.toLong), u))
         .groupByKey(_._1)
         .transformWithState(new HeavyHitterProcessor(threshold),
           TimeMode.None(), OutputMode.Append())
-      val q = stream.writeStream
+        .writeStream
         .format("parquet")
-        .option("path", s"$root/alerts")
-        .option("checkpointLocation", s"$root/ckpt")
+        .option("path", alertsOut)
+        .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
         .start()
-      try q.processAllAvailable() finally q.stop()
     } finally {
       prevProvider match {
         case Some(p) => spark.conf.set(
@@ -115,11 +138,5 @@ object StreamHeavyHitters {
           "spark.sql.streaming.stateStore.providerClass")
       }
     }
-    val alerts = spark.read.parquet(s"$root/alerts")
-    val totals = graft.ops.Tables.events(spark, dir)
-      .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
-    alerts.select(col("key").as("user_id"))
-      .join(totals, "user_id")
-      .orderBy(col("user_id"))
   }
 }

@@ -38,6 +38,34 @@ class StreamHeavyHittersSpec extends SparkSpec {
     }
   }
 
+  test("crash at the last commit: the resumed run replays the lost batch " +
+    "idempotently — the alert log stays alert-per-key-unique and equals " +
+    "the batch answer") {
+    import org.apache.spark.sql.functions.{col, unix_micros, min => minF, max => maxF}
+    val root = tmpDir("hh-crash")
+    val ev = ops.Tables.events(spark, sf)
+      .select(unix_micros(col("ts")).as("tsu"), col("user_id"))
+    val mm = ev.agg(minF(col("tsu")), maxF(col("tsu"))).head()
+    val mid = (mm.getLong(0) + mm.getLong(1)) / 2
+    graft.streaming.DedupStream.stageBatches(s"$root/feed",
+      Seq(ev.filter(col("tsu") <= mid).select(col("user_id")),
+        ev.filter(col("tsu") > mid).select(col("user_id"))))
+    val q1 = StreamHeavyHitters.start(spark, s"$root/feed", s"$root/alerts",
+      s"$root/ckpt", threshold)
+    try q1.processAllAvailable() finally q1.stop()
+    CkptCrash.awaitCommits(s"$root/ckpt", 2)
+    CkptCrash.simulateCrashAtLastCommit(spark, s"$root/ckpt")
+    val q2 = StreamHeavyHitters.start(spark, s"$root/feed", s"$root/alerts",
+      s"$root/ckpt", threshold)
+    try q2.processAllAvailable() finally q2.stop()
+    val raw = spark.read.parquet(s"$root/alerts").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(raw.map(_._1).distinct.length === raw.length,
+      "a replayed batch must not duplicate its alerts")
+    assert(raw.map(_._1).toSet === batchHitters().keySet,
+      "the resumed run converges to the batch GROUP BY/HAVING answer")
+  }
+
   test("the alerted set is independent of shard fan-in (state keying is an " +
     "operational knob, not a semantic one)") {
     val a = StreamHeavyHitters.streamedHeavyHitters(spark, sf, threshold, shards = 4)
