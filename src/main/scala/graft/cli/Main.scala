@@ -32,6 +32,11 @@ import org.apache.spark.sql.types.StructType
   * state.buckets=64                 # bucketed sink layout (rewrite only
   *                                  # touched pk-hash buckets); absent =
   *                                  # flat state dir + atomic swap
+  * state.zonemap.cols=score,ts      # bucketed mode only: per-bucket
+  *                                  # min/max/count manifest maintained
+  *                                  # incrementally per micro-batch;
+  *                                  # columns missing from a sync's
+  *                                  # payload are skipped for that sync
   * plugins=com.example.MyPlugin   # reflection-loaded GraftPlugin classes
   * sync.<table>.pk=id
   * sync.<table>.full=true
@@ -147,6 +152,8 @@ object Main {
       insertSize = Option(props.getProperty("insert.size")).map(_.trim.toInt),
       insertIntervalSecs =
         Option(props.getProperty("insert.interval.seconds")).map(_.trim.toInt),
-      stateBuckets = Option(props.getProperty("state.buckets")).map(_.trim.toInt))
+      stateBuckets = Option(props.getProperty("state.buckets")).map(_.trim.toInt),
+      zoneMapCols = Option(props.getProperty("state.zonemap.cols")).toSeq
+        .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty))
   }
 }

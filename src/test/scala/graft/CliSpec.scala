@@ -36,6 +36,21 @@ class CliSpec extends SparkSpec {
     assert(bare.insertSize === None && bare.insertIntervalSecs === None)
   }
 
+  test("zone-map column list parses (trimmed, blanks dropped) and defaults " +
+    "empty") {
+    val p = new java.util.Properties()
+    p.setProperty("sync.t.schema", "id INT")
+    p.setProperty("state.buckets", "8")
+    p.setProperty("state.zonemap.cols", " score , ts ,, ")
+    val cfg = Main.parseConfig(p)
+    assert(cfg.stateBuckets === Some(8))
+    assert(cfg.zoneMapCols === Seq("score", "ts"))
+    val bare = Main.parseConfig {
+      val q = new java.util.Properties(); q.setProperty("sync.t.schema", "id INT"); q
+    }
+    assert(bare.zoneMapCols === Seq.empty)
+  }
+
   test("U1: plugins load by class name and their hooks run end-to-end") {
     import graft.cdc._
     import graft.model._
