@@ -170,7 +170,11 @@ object SparkEntry {
     // graded by the batch GROUP BY/HAVING oracle — the q_dedup_stream
     // promotion shape
     "q_stream_hh"      -> ((s, d) =>
-      graft.streaming.StreamHeavyHitters.streamedHeavyHitters(s, d))
+      graft.streaming.StreamHeavyHitters.streamedHeavyHitters(s, d)),
+    // timer-based sessionization as an ACTUAL checkpointed run; the
+    // sentinel batch makes the emitted set the complete gap-grouping
+    "q_stream_sessions" -> ((s, d) =>
+      graft.streaming.StreamSessions.streamedSessions(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2145,6 +2149,28 @@ object SparkEntry {
     "q_stream_hh" ->
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
         |FROM events GROUP BY 1 HAVING count(*) >= 75
-        |ORDER BY user_id""".stripMargin
+        |ORDER BY user_id""".stripMargin,
+
+    // gap-grouping in MILLISECOND precision (the processor compares
+    // java.sql.Timestamp.getTime values), emitted bounds floored to
+    // seconds exactly like the processor's /1000
+    "q_stream_sessions" ->
+      """WITH o AS (SELECT user_id, epoch_ms(ts) AS ms,
+        |        lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts)
+        |          AS pms
+        |      FROM events),
+        |f AS (SELECT user_id, ms,
+        |        CASE WHEN pms IS NULL OR ms - pms > 86400000 THEN 1
+        |             ELSE 0 END AS new_s
+        |      FROM o),
+        |g AS (SELECT user_id, ms,
+        |        sum(new_s) OVER (PARTITION BY user_id ORDER BY ms
+        |          ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM f)
+        |SELECT user_id, CAST(min(ms) // 1000 AS BIGINT) AS start_sec,
+        |  CAST(max(ms) // 1000 AS BIGINT) AS end_sec,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, start_sec""".stripMargin
   )
 }

@@ -1,0 +1,76 @@
+package graft
+
+import graft.streaming.{DedupStream, StreamSessions}
+import org.apache.spark.sql.functions._
+
+/** Timer-based sessionization: event-time timers close quiet sessions,
+  * row-driven splits close superseded ones, and every emitted session is
+  * exactly a maximal gap-bounded run of its key's events. */
+class StreamSessionsSpec extends SparkSpec {
+
+  private val gapSec = 86400L   // 24 h — the fixture's p90 inter-event gap
+  private val latenessSec = 3600L
+
+  /** Batch ground truth: each user's events gap-grouped after a global
+    * sort — (user, start_sec, end_sec, n). */
+  private def batchSessions(): Seq[(Long, Long, Long, Long)] = {
+    val ev = ops.Tables.events(spark, sf)
+      .select(col("user_id"), unix_timestamp(col("ts")).as("sec"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    ev.groupBy(_._1).toSeq.flatMap { case (u, rows) =>
+      val ts = rows.map(_._2).sorted
+      val out = scala.collection.mutable.ListBuffer.empty[(Long, Long, Long, Long)]
+      var start = ts.head; var last = ts.head; var n = 1L
+      ts.tail.foreach { t =>
+        if (t - last <= gapSec) { last = t; n += 1 }
+        else { out += ((u, start, last, n)); start = t; last = t; n = 1L }
+      }
+      out += ((u, start, last, n))
+      out.toSeq
+    }
+  }
+
+  test("every emitted session is a maximal gap-run; sessions closed well " +
+    "before the final watermark are all present; at most one open tail " +
+    "per key is missing") {
+    val root = tmpDir("sessions")
+    val ev = ops.Tables.events(spark, sf).select(col("user_id"), col("ts"))
+    // three event-time-ordered crawl batches (terciles)
+    val b = ev.select(unix_micros(col("ts")).as("u")).agg(
+      expr("percentile(u, 0.3333)"), expr("percentile(u, 0.6667)")).head()
+    val (t1, t2) = (b.getDouble(0).toLong, b.getDouble(1).toLong)
+    DedupStream.stageBatches(s"$root/feed", Seq(
+      ev.filter(unix_micros(col("ts")) <= t1),
+      ev.filter(unix_micros(col("ts")) > t1 && unix_micros(col("ts")) <= t2),
+      ev.filter(unix_micros(col("ts")) > t2)))
+    val q = StreamSessions.start(spark, s"$root/feed", s"$root/out",
+      s"$root/ckpt", java.time.Duration.ofSeconds(gapSec))
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.read.parquet(s"$root/out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val want = batchSessions()
+    val wantSet = want.toSet
+    assert(got.nonEmpty, "sessions must close during the drain")
+    got.foreach(s => assert(wantSet.contains(s),
+      s"emitted session $s is not a maximal batch gap-run"))
+    assert(got.distinct.length === got.length, "no session emitted twice")
+
+    // completeness: everything ending well before the final watermark
+    // closed (margin dodges the exact watermark-boundary semantics)
+    val maxSec = ops.Tables.events(spark, sf)
+      .agg(max(unix_timestamp(col("ts")))).head().getLong(0)
+    val margin = 2 * latenessSec
+    val mustClose = want.filter(_._3 + gapSec < maxSec - latenessSec - margin)
+    val gotSet = got.toSet
+    mustClose.foreach(s => assert(gotSet.contains(s),
+      s"session $s ended ${maxSec - s._3} s before the end and must have closed"))
+    // at most one missing (open tail) session per key
+    want.groupBy(_._1).foreach { case (u, ss) =>
+      val missing = ss.filterNot(gotSet.contains)
+      assert(missing.length <= 1, s"user $u left ${missing.length} sessions open")
+      missing.foreach(m => assert(m._3 === ss.map(_._3).max,
+        s"user $u: only the LAST session may stay open, not $m"))
+    }
+  }
+}
