@@ -174,7 +174,11 @@ object SparkEntry {
     // timer-based sessionization as an ACTUAL checkpointed run; the
     // sentinel batch makes the emitted set the complete gap-grouping
     "q_stream_sessions" -> ((s, d) =>
-      graft.streaming.StreamSessions.streamedSessions(s, d))
+      graft.streaming.StreamSessions.streamedSessions(s, d)),
+    // ListState trailing-k log with a sentinel flush — the fourth state
+    // primitive, graded by the batch row_number DESC oracle
+    "q_stream_traillog" -> ((s, d) =>
+      graft.streaming.StreamTrailLog.streamedTrailLog(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2171,6 +2175,17 @@ object SparkEntry {
         |  CAST(max(ms) // 1000 AS BIGINT) AS end_sec,
         |  CAST(count(*) AS BIGINT) AS n_events
         |FROM g GROUP BY user_id, sid
-        |ORDER BY user_id, start_sec""".stripMargin
+        |ORDER BY user_id, start_sec""".stripMargin,
+
+    // trailing-k per user, latest-first (ts desc, id desc), ts floored to
+    // seconds from ms exactly like the processor's /1000
+    "q_stream_traillog" ->
+      """WITH r AS (SELECT user_id, event_id, epoch_ms(ts) AS ms, value,
+        |        CAST(row_number() OVER (PARTITION BY user_id
+        |          ORDER BY ts DESC, event_id DESC) AS INT) AS rank
+        |      FROM events)
+        |SELECT user_id, rank, event_id,
+        |  CAST(ms // 1000 AS BIGINT) AS ts_sec, round(value, 2) AS value
+        |FROM r WHERE rank <= 5 ORDER BY user_id, rank""".stripMargin
   )
 }
