@@ -183,14 +183,17 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted (rows-only check) only where the
-    * output depends on seed-bound or float-iteration state: q_ann_lsh,
-    * q_kmeans_profile, q_bpe_fit, q_bpe_encode — each pinned instead by a
-    * property spec (recall-floor/objective-improvement/textbook-merges/
-    * driver-side re-encode). The simhash and
+    * output depends on float-iteration state:
+    * q_kmeans_profile — pinned instead by a property spec
+    * (objective-improvement over the seed cells). The simhash and
     * winnow queries, formerly rows-only because they hashed with Spark's
     * xxhash64, now hash with an md5 prefix (graft.functions.Md5Hash60 ==
     * DuckDB `CAST('0x' || substr(md5(s),1,15) AS BIGINT)`) and are
-    * hard-gate-checked bit for bit. The approx sketches
+    * hard-gate-checked bit for bit; q_ann_lsh joined them in round 7 by
+    * deriving its ±1 SRP hyperplanes from the same md5 generator and
+    * accumulating dots on the floor(x*1e6) micro-unit lattice (integer
+    * sums — a near-zero sign cannot flip with summation order), with the
+    * recall-floor spec retained. The approx sketches
     * (q_approx_distinct, q_approx_percentile) ARE gate-checked: they emit
     * exact values plus Spark-computed error-bound booleans the oracle
     * expects to be TRUE. q_dedup_minhash IS gate-checked too: its verify
@@ -687,6 +690,44 @@ object SparkEntry {
         |FROM n a JOIN n b ON a.label = b.label AND a.cell = b.cell AND a.vec_id < b.vec_id
         |WHERE round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 4) >= 0.3
         |ORDER BY vec_a, vec_b""".stripMargin,
+
+    // Multi-table multi-probe SRP LSH, engine-exact end to end: the ±1
+    // hyperplane matrix is rebuilt from md5 (sign(p,i) = bit 0 of the
+    // 60-bit md5 prefix of 'srp:p:i'), dots accumulate as floor(x*1e6)
+    // micro-unit BIGINTs (order-independent), buckets are assembled per
+    // table (p // 8) so no shift ever reaches DuckDB's checked bit 63,
+    // and the surviving candidates are scored by the same sequential
+    // double cosine as q_ann_topk.
+    "q_ann_lsh" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS norm FROM e),
+        |sg AS (SELECT p, list_transform(range(64), i ->
+        |         CASE WHEN CAST('0x' || substr(md5('srp:' || p || ':' || i), 1, 15) AS BIGINT) % 2 = 0
+        |              THEN 1 ELSE -1 END) AS sgn
+        |       FROM range(64) rp(p)),
+        |dots AS (SELECT e.vec_id, sg.p,
+        |           list_sum(list_transform(range(64), i ->
+        |             sgn[i + 1] * CAST(floor(v[i + 1] * 1e6) AS BIGINT))) AS s
+        |         FROM e CROSS JOIN sg),
+        |bk AS (SELECT vec_id, p // 8 AS t,
+        |         CAST(sum(CASE WHEN s > 0 THEN (1 << (p % 8)) ELSE 0 END) AS BIGINT) AS bucket
+        |       FROM dots GROUP BY 1, 2),
+        |probes AS (SELECT vec_id, t, bucket AS probe FROM bk WHERE vec_id < 10
+        |           UNION ALL
+        |           SELECT vec_id, t, xor(bucket, CAST(1 << b AS BIGINT)) AS probe
+        |           FROM bk CROSS JOIN range(8) rb(b) WHERE vec_id < 10),
+        |cand AS (SELECT DISTINCT p.vec_id AS q_id, c.vec_id AS n_id
+        |         FROM probes p JOIN bk c ON p.t = c.t AND p.probe = c.bucket
+        |           AND c.vec_id <> p.vec_id),
+        |s AS (SELECT cand.q_id, cand.n_id,
+        |        list_dot_product(q.v, c.v) / (q.norm * c.norm) AS cos
+        |      FROM cand JOIN n q ON q.vec_id = cand.q_id
+        |                JOIN n c ON c.vec_id = cand.n_id),
+        |r AS (SELECT q_id, n_id, cos,
+        |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+        |      FROM s)
+        |SELECT q_id, rank, n_id, round(cos, 4) AS cosine
+        |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
 
     "q_ann_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

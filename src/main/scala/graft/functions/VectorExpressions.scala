@@ -105,44 +105,50 @@ case class VecNorm(child: Expression)
     copy(child = newChild)
 }
 
-/** Sign-random-projection LSH code: bit p of the result is the sign of
-  * `<h_p, v>` where hyperplane `h_p` is a deterministic pseudo-random ±1
-  * vector (splitmix64 finalizer of plane/index, as in
-  * [[graft.functions.MinHashSig]]'s per-seed hash). One O(bits * dim)
-  * codegen'd loop per row — the `aggregate(zip_with(...))` HOF formulation
-  * it replaces paid interpreted-lambda overhead per (plane, component). */
-case class SrpCode(left: Expression, right: Expression)
+/** Sign-random-projection LSH code over the micro-unit lattice: bit p of
+  * the result is the sign of `<h_p, q(v)>` where `q(v)_i =
+  * floor(v_i * 1e6)` (exact integer accumulation — no float summation-order
+  * hazard can flip a near-zero sign between engines) and hyperplane `h_p`
+  * is a ±1 vector supplied as a boolean row of `signs` (true = +1). The
+  * caller derives the sign matrix from md5 ([[Md5Hash60]], the same
+  * oracle-replicable generator that promoted the simhash family), so a
+  * DuckDB oracle rebuilds the identical matrix with
+  * `CAST('0x' || substr(md5(key), 1, 15) AS BIGINT) % 2`. One
+  * O(bits * dim) codegen'd loop per row — the `aggregate(zip_with(...))`
+  * HOF formulation it replaces paid interpreted-lambda overhead per
+  * (plane, component). */
+case class SrpCodeSigns(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     (left.dataType, right.dataType) match {
-      case (ArrayType(DoubleType, _), IntegerType) =>
+      case (ArrayType(DoubleType, _), ArrayType(ArrayType(BooleanType, _), _)) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case (l, r) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"$prettyName requires (array<double>, int), got (${l.sql}, ${r.sql})")
+          s"$prettyName requires (array<double>, array<array<boolean>>), " +
+            s"got (${l.sql}, ${r.sql})")
     }
   override def dataType: DataType = LongType
-  override def prettyName: String = "graft_srp_code"
+  override def prettyName: String = "graft_srp_code_signs"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val v = a.asInstanceOf[ArrayData]
-    val bits = b.asInstanceOf[Int]
-    val n = v.numElements()
+    val planes = b.asInstanceOf[ArrayData]
+    val bits = math.min(planes.numElements(), 64)
     var code = 0L
     var p = 0
     while (p < bits) {
-      var s = 0.0
+      val row = planes.getArray(p)
+      val n = math.min(v.numElements(), row.numElements())
+      var s = 0L
       var i = 0
       while (i < n) {
-        var z = (p.toLong << 32 | i.toLong) * 0x9E3779B97F4A7C15L
-        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-        z = z ^ (z >>> 31)
-        s += (if ((z & 1L) == 0L) v.getDouble(i) else -v.getDouble(i))
+        val q = math.floor(v.getDouble(i) * 1e6).toLong
+        s += (if (row.getBoolean(i)) q else -q)
         i += 1
       }
-      if (s > 0.0) code |= (1L << p)
+      if (s > 0L) code |= (1L << p)
       p += 1
     }
     code
@@ -150,38 +156,51 @@ case class SrpCode(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val n = ctx.freshName("n"); val p = ctx.freshName("p")
+      val bits = ctx.freshName("bits"); val p = ctx.freshName("p")
+      val row = ctx.freshName("row"); val n = ctx.freshName("n")
       val i = ctx.freshName("i"); val s = ctx.freshName("s")
-      val z = ctx.freshName("z"); val code = ctx.freshName("code")
+      val q = ctx.freshName("q"); val code = ctx.freshName("code")
       s"""
-         |int $n = $a.numElements();
+         |int $bits = java.lang.Math.min($b.numElements(), 64);
          |long $code = 0L;
-         |for (int $p = 0; $p < $b; $p++) {
-         |  double $s = 0.0;
+         |for (int $p = 0; $p < $bits; $p++) {
+         |  org.apache.spark.sql.catalyst.util.ArrayData $row = $b.getArray($p);
+         |  int $n = java.lang.Math.min($a.numElements(), $row.numElements());
+         |  long $s = 0L;
          |  for (int $i = 0; $i < $n; $i++) {
-         |    long $z = (((long) $p << 32) | (long) $i) * 0x9E3779B97F4A7C15L;
-         |    $z = ($z ^ ($z >>> 30)) * 0xBF58476D1CE4E5B9L;
-         |    $z = ($z ^ ($z >>> 27)) * 0x94D049BB133111EBL;
-         |    $z = $z ^ ($z >>> 31);
-         |    $s += (($z & 1L) == 0L) ? $a.getDouble($i) : -$a.getDouble($i);
+         |    long $q = (long) java.lang.Math.floor($a.getDouble($i) * 1e6);
+         |    $s += $row.getBoolean($i) ? $q : -$q;
          |  }
-         |  if ($s > 0.0) $code |= (1L << $p);
+         |  if ($s > 0L) $code |= (1L << $p);
          |}
          |${ev.value} = $code;
        """.stripMargin
     })
 
   override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): SrpCode =
+      newLeft: Expression, newRight: Expression): SrpCodeSigns =
     copy(left = newLeft, right = newRight)
 }
 
 object VectorFunctions {
-  /** Register `graft_dot` / `graft_norm` / `graft_srp_code`. Idempotent. */
+  /** Register `graft_dot` / `graft_norm` / `graft_srp_code_signs`.
+    * Idempotent. */
   def register(spark: SparkSession): Unit = {
     val reg1 = Registration.registerIfAbsent(spark) _
     reg1("graft_dot", exprs => DotProduct(exprs(0), exprs(1)))
     reg1("graft_norm", exprs => VecNorm(exprs.head))
-    reg1("graft_srp_code", exprs => SrpCode(exprs(0), exprs(1)))
+    reg1("graft_srp_code_signs", exprs => SrpCodeSigns(exprs(0), exprs(1)))
   }
+
+  /** md5-derived ±1 hyperplane matrix for [[SrpCodeSigns]]: sign(p, i) is
+    * bit 0 of Md5Hash60("srp:p:i") — true = +1. The DuckDB oracle rebuilds
+    * it as `CAST('0x' || substr(md5('srp:' || p || ':' || i), 1, 15) AS
+    * BIGINT) % 2 = 0`. */
+  def srpSigns(bits: Int, dim: Int): Seq[Seq[Boolean]] =
+    (0 until bits).map { p =>
+      (0 until dim).map { i =>
+        val b = s"srp:$p:$i".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        (Md5Hash60.hash(b, 0, b.length) & 1L) == 0L
+      }
+    }
 }

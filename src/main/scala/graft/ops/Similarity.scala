@@ -49,11 +49,16 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
-  /** Sign-random-projection code: bit p = sign of <h_p, v> where hyperplane
-    * h_p is a deterministic pseudo-random ±1 vector. Runs in
-    * [[graft.functions.SrpCode]] — one codegen'd O(bits*dim) loop per row. */
-  private def srpCode(vCol: String, bits: Int): Column =
-    expr(s"graft_srp_code($vCol, $bits)")
+  /** Sign-random-projection code: bit p = sign of <h_p, q(v)> where
+    * hyperplane h_p is an md5-derived ±1 vector and q quantizes to the
+    * micro-unit lattice (floor(x*1e6) — integer accumulation, so the sign
+    * is engine-exact and the DuckDB oracle rebuilds the identical codes).
+    * Runs in [[graft.functions.SrpCodeSigns]] — one codegen'd O(bits*dim)
+    * loop per row; the ±1 matrix is a plan-time literal (bits×dim booleans,
+    * ~4 KB), never a join side. */
+  private def srpCode(vCol: String, bits: Int, dim: Int): Column =
+    call_function("graft_srp_code_signs", col(vCol),
+      typedLit(graft.functions.VectorFunctions.srpSigns(bits, dim)))
 
   /** Per-row argmax over a broadcast seed array: no shuffle, no per-vector
     * join row amplification; cosine via the same sequential-fold dot as the
@@ -250,14 +255,15 @@ object Similarity {
     * ~ L*(b+1)/2^b of the corpus — tunable; recall < 1 by design; the
     * bench companion to the exact baseline. */
   def lshTopK(spark: SparkSession, dir: String, numQueries: Int = 10,
-              k: Int = 5, bits: Int = 8, tables: Int = 8): DataFrame = {
+              k: Int = 5, bits: Int = 8, tables: Int = 8,
+              dim: Int = 64): DataFrame = {
     require(bits >= 1 && tables >= 1 && bits * tables <= 64,
       "bits * tables must fit in one long code")
     // -1L >>> (64 - bits), not (1L << bits) - 1: a shift by 64 is mod-64 in
     // the JVM, so the latter wraps to mask 0 at bits = 64 (every vector in
     // bucket 0 => a silent full scan per query)
     val mask = -1L >>> (64 - bits)
-    val e = withVec(spark, dir).withColumn("code", srpCode("v", bits * tables))
+    val e = withVec(spark, dir).withColumn("code", srpCode("v", bits * tables, dim))
     // corpus index: (table, bucket) per vector — ids only through the join
     val c = e.select(col("vec_id"), col("code"))
       .withColumn("t", explode(expr(s"sequence(0, ${tables - 1})")))
