@@ -267,6 +267,74 @@ object SparkEntry {
     // to the join-only operator, so it shares the same oracle
     ("q_decontaminate_bloom" -> oracleSqlBase("q_decontaminate"))
 
+  /** The greedy left-to-right BPE merge fold in DuckDB, parameterized by
+    * the 1-row merge table `bTab` (columns a, b). DuckDB's list_reduce has
+    * no empty-accumulator init, so the fold runs over singleton lists —
+    * equivalent to Spark's empty-init `aggregate` because the empty-acc
+    * branch can never merge. */
+  private def bpeFoldSql(bTab: String): String =
+    s"""list_reduce(list_transform(syms, s -> [s]),
+       |  (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = $bTab.a AND x[1] = $bTab.b
+       |                   THEN acc[1:len(acc) - 1] || [$bTab.a || $bTab.b]
+       |                   ELSE acc || x END)""".stripMargin
+
+  /** Unrolled BPE training rounds as chained CTEs: v0 is the
+    * frequency-weighted vocabulary split to symbols; round r derives pair
+    * stats p{r} from v{r-1}, the argmax b{r}, and (while further rounds
+    * need it) the re-folded vocabulary v{r}. */
+  private def bpeRoundCtes(merges: Int, lastVocab: Boolean): String = {
+    val v0 =
+      """v0 AS (SELECT CAST(c AS BIGINT) AS c, string_split(tok, '') AS syms
+        |  FROM (SELECT tok, count(*) AS c FROM
+        |          (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |        GROUP BY tok))""".stripMargin
+    val rounds = (1 to merges).map { r =>
+      val stats =
+        s"""pr$r AS (SELECT c, unnest(list_transform(range(1, len(syms)), i ->
+           |    struct_pack(a := syms[i], b := syms[i + 1]))) AS p FROM v${r - 1}),
+           |p$r AS (SELECT p.a AS a, p.b AS b, CAST(sum(c) AS BIGINT) AS freq
+           |        FROM pr$r GROUP BY 1, 2),
+           |b$r AS (SELECT a, b, a || b AS merged, freq FROM p$r
+           |        ORDER BY freq DESC, a, b LIMIT 1)""".stripMargin
+      val refold =
+        s""",
+           |v$r AS (SELECT c, ${bpeFoldSql(s"b$r")} AS syms
+           |        FROM v${r - 1} CROSS JOIN b$r)""".stripMargin
+      if (r < merges || lastVocab) stats + refold else stats
+    }
+    (v0 +: rounds).mkString(",\n")
+  }
+
+  private def bpeFitOracle(merges: Int): String = {
+    val union = (1 to merges)
+      .map(r => s"SELECT $r AS r, a, b, merged, freq FROM b$r")
+      .mkString("\n UNION ALL ")
+    s"""WITH ${bpeRoundCtes(merges, lastVocab = false)}
+       |SELECT r AS round, a AS "left", b AS "right", merged, freq
+       |FROM ($union) ORDER BY round""".stripMargin
+  }
+
+  private def bpeEncodeOracle(merges: Int): String = {
+    val encodeChain = (1 to merges).map { r =>
+      s"""enc$r AS (SELECT tok, ${bpeFoldSql(s"b$r")} AS syms
+         |          FROM enc${r - 1} CROSS JOIN b$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${bpeRoundCtes(merges, lastVocab = false)},
+       |w AS (SELECT DISTINCT tok FROM
+       |        (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)),
+       |enc0 AS (SELECT tok, string_split(tok, '') AS syms FROM w),
+       |$encodeChain,
+       |lens AS (SELECT tok, CAST(len(syms) AS BIGINT) AS n_sym FROM enc$merges),
+       |d AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+       |        unnest(string_split(text, ' ')) AS tok FROM documents),
+       |agg AS (SELECT doc_id, n_chars, CAST(count(*) AS BIGINT) AS n_words,
+       |          CAST(sum(n_sym) AS BIGINT) AS n_tokens
+       |        FROM d JOIN lens USING (tok) GROUP BY 1, 2)
+       |SELECT doc_id, n_words, n_tokens,
+       |  round(CAST(n_chars AS DOUBLE) / n_tokens, 4) AS chars_per_token
+       |FROM agg ORDER BY doc_id""".stripMargin
+  }
+
   private def oracleSqlBase: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -1607,6 +1675,17 @@ object SparkEntry {
         |r AS (SELECT *, row_number() OVER (ORDER BY freq DESC, pair) AS rank FROM a)
         |SELECT CAST(rank AS INT) AS rank, pair, freq
         |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin,
+
+    // Iterative BPE training, oracle'd by unrolling rounds (the q_pagerank
+    // trick): each round is a closed-form CTE triple — pair stats, the
+    // (freq DESC, a, b) argmax, and the greedy left-to-right re-fold — and
+    // every count is an integer, so the learned table is engine-exact.
+    "q_bpe_fit" -> bpeFitOracle(3),
+
+    // The encoder half: the same unrolled fit derives the 8-merge table,
+    // then every DISTINCT word is re-folded through the merges in learned
+    // order and docs pay one word-keyed join — mirroring the Spark shape.
+    "q_bpe_encode" -> bpeEncodeOracle(8),
 
     // Mean-pooled centroids; generate_subscripts pairs positionally with
     // unnest, matching posexplode's (dim, value) fan-out.

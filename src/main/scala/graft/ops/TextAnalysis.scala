@@ -695,8 +695,11 @@ object TextAnalysis {
     * count). The per-round symbol re-fold is a HOF over vocabulary rows —
     * at web scale the vocabulary is millions of rows against a corpus of
     * trillions of tokens, so rounds cost vocabulary-scan time, which is
-    * why real BPE trainers are feasible at all. No oracle (DuckDB cannot
-    * express the iterative merge); the spec pins the textbook example. */
+    * why real BPE trainers are feasible at all. Oracle-exact since round 7:
+    * every count is an integer, so the rounds unroll to chained DuckDB CTEs
+    * (pair stats → argmax → greedy re-fold — the q_pagerank trick) and the
+    * learned table is gate-checked bit for bit; the textbook-example spec
+    * is retained. */
   def bpeFit(spark: SparkSession, dir: String, merges: Int = 3): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
@@ -779,10 +782,11 @@ object TextAnalysis {
     * is constant however many merges were learned: a real 30k-merge table
     * compiles the same two-level expression, where a fold-per-merge chain
     * would nest 30k deep (measured at 8 merges: the chain costs ~27 s of
-    * first-run analysis/compile, this shape does not). No oracle (the
-    * merge table comes from the iterative fit DuckDB cannot express);
-    * Round6OpsSpec re-encodes the vocabulary driver-side and pins doc
-    * stats exactly. */
+    * first-run analysis/compile, this shape does not). Oracle-exact since
+    * round 7: the DuckDB side unrolls the same 8 fit rounds and re-folds
+    * every distinct word through the merges in learned order, so the
+    * per-doc stats are gate-checked bit for bit; Round6OpsSpec's
+    * driver-side re-encode is retained. */
   def bpeEncode(spark: SparkSession, dir: String, merges: Int = 8): DataFrame = {
     val table = bpeFit(spark, dir, merges).collect()
       .sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2)))
