@@ -182,10 +182,12 @@ object SparkEntry {
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted (rows-only check) only where the
-    * output depends on float-iteration state:
-    * q_kmeans_profile — pinned instead by a property spec
-    * (objective-improvement over the seed cells). The simhash and
+    * the same parquet tables. As of round 7 EVERY query carries an oracle —
+    * the last rows-only holdouts were promoted by making their state
+    * integer-exact: q_bpe_fit/q_bpe_encode unroll trainer rounds to chained
+    * CTEs, and q_kmeans_profile accumulates Lloyd updates in floor(x*1e6)
+    * micro-units (stable integer centroids are a fixed point, so the
+    * oracle runs all rounds while the fit may stop early). The simhash and
     * winnow queries, formerly rows-only because they hashed with Spark's
     * xxhash64, now hash with an md5 prefix (graft.functions.Md5Hash60 ==
     * DuckDB `CAST('0x' || substr(md5(s),1,15) AS BIGINT)`) and are
@@ -303,6 +305,48 @@ object SparkEntry {
       if (r < merges || lastVocab) stats + refold else stats
     }
     (v0 +: rounds).mkString(",\n")
+  }
+
+  /** Unrolled Lloyd-round k-means oracle: c0 is the first-k seed set on
+    * the micro-unit lattice; round r assigns every corpus vector to its
+    * argmax-cosine centroid of c{r-1} (row_number DESC + seed_id — the
+    * same first-max rule as the Spark fold) and rebuilds c{r} from
+    * floor(sum(vq)/n) per dimension, dead cells keeping their previous
+    * centroid. The final SELECT is the per-cell quantization profile. */
+  private def kmeansOracle(k: Int, rounds: Int): String = {
+    def withNorm(c: String) =
+      s"(SELECT seed_id, sv, sqrt(list_sum(list_transform(sv, x -> x * x))) AS snorm FROM $c)"
+    val roundCtes = (1 to rounds).map { r =>
+      s"""s$r AS (SELECT n0.vec_id, n0.vq, cc.seed_id,
+         |          row_number() OVER (PARTITION BY n0.vec_id
+         |            ORDER BY list_dot_product(n0.v, cc.sv) / (n0.norm * cc.snorm) DESC,
+         |                     cc.seed_id) AS rk
+         |        FROM n0 CROSS JOIN ${withNorm(s"c${r - 1}")} cc),
+         |g$r AS (SELECT seed_id, CAST(generate_subscripts(vq, 1) AS INT) AS idx,
+         |          unnest(vq) AS q FROM s$r WHERE rk = 1),
+         |m$r AS (SELECT seed_id, list(floor(s / n) ORDER BY idx) AS mv FROM
+         |          (SELECT seed_id, idx, sum(q) AS s, count(*) AS n
+         |           FROM g$r GROUP BY 1, 2) GROUP BY seed_id),
+         |c$r AS (SELECT c.seed_id, coalesce(m.mv, c.sv) AS sv
+         |        FROM c${r - 1} c LEFT JOIN m$r m USING (seed_id))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n0 AS (SELECT vec_id, v,
+       |         sqrt(list_sum(list_transform(v, x -> x * x))) AS norm,
+       |         list_transform(v, x -> floor(x * 1e6)) AS vq FROM e),
+       |c0 AS (SELECT vec_id AS seed_id, vq AS sv FROM n0 WHERE vec_id < $k),
+       |$roundCtes,
+       |fin AS (SELECT n0.vec_id, cc.seed_id,
+       |          list_dot_product(n0.v, cc.sv) / (n0.norm * cc.snorm) AS cos,
+       |          row_number() OVER (PARTITION BY n0.vec_id
+       |            ORDER BY list_dot_product(n0.v, cc.sv) / (n0.norm * cc.snorm) DESC,
+       |                     cc.seed_id) AS rk
+       |        FROM n0 CROSS JOIN ${withNorm(s"c$rounds")} cc)
+       |SELECT seed_id AS cell, CAST(count(*) AS BIGINT) AS n,
+       |  round(avg(cos), 4) + 0.0 AS avg_cos,
+       |  round(min(cos), 4) + 0.0 AS min_cos,
+       |  round(max(cos), 4) + 0.0 AS max_cos
+       |FROM fin WHERE rk = 1 GROUP BY 1 ORDER BY cell""".stripMargin
   }
 
   private def bpeFitOracle(merges: Int): String = {
@@ -1132,9 +1176,18 @@ object SparkEntry {
         |                    sd.seed_id) AS r
         |       FROM n c CROSS JOIN sd),
         |asn AS (SELECT vec_id, seed_id AS cell, cos FROM sc WHERE r = 1)
-        |SELECT cell, count(*) AS n, round(avg(cos), 4) AS avg_cos,
-        | round(min(cos), 4) AS min_cos, round(max(cos), 4) AS max_cos
+        |SELECT cell, count(*) AS n, round(avg(cos), 4) + 0.0 AS avg_cos,
+        | round(min(cos), 4) + 0.0 AS min_cos, round(max(cos), 4) + 0.0 AS max_cos
         |FROM asn GROUP BY 1 ORDER BY cell""".stripMargin,
+
+    // Spherical k-means (5 Lloyd rounds, k=8), oracle'd by unrolling: the
+    // corpus is quantized once to floor(x*1e6) micro-units, each round is
+    // (argmax-cosine assignment -> integer component sums -> floor-divided
+    // centroid), and integer accumulation is order-exact, so the trained
+    // centroids — and hence the final profile — are engine-identical.
+    // Early stop in the Spark fit needs no counterpart here: a stable
+    // integer centroid set is a fixed point, so extra rounds are no-ops.
+    "q_kmeans_profile" -> kmeansOracle(k = 8, rounds = 5),
 
     // Salting is a physical-plan device; the oracle is the PLAIN join —
     // the gate proves the salted formulation output-identical.

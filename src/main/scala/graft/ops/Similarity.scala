@@ -166,20 +166,34 @@ object Similarity {
       .withColumn("asn", expr(assignStruct))
       .select(col("vec_id"), col("asn.cell").as("cell"), col("asn.best").as("cos"))
       .groupBy(col("cell"))
+      // + 0.0 AFTER the round: a stat that rounds to exactly zero from
+      // below is -0.0 in one engine and 0.0 in the other (the r5 trap)
       .agg(count(lit(1)).as("n"),
-        round(avg(col("cos")), 4).as("avg_cos"),
-        round(min(col("cos")), 4).as("min_cos"),
-        round(max(col("cos")), 4).as("max_cos"))
+        (round(avg(col("cos")), 4) + 0.0).as("avg_cos"),
+        (round(min(col("cos")), 4) + 0.0).as("min_cos"),
+        (round(max(col("cos")), 4) + 0.0).as("max_cos"))
       .orderBy(col("cell"))
   }
 
-  /** Spherical k-means fit (Lloyd's): the real trainer behind the IVF
-    * coarse quantizer — deterministic init (the first `k` corpus vectors),
-    * cosine assignment via the broadcast fold, mean update, stop on stable
+  /** Spherical k-means fit (Lloyd's) in integer micro-units: the real
+    * trainer behind the IVF coarse quantizer — deterministic init (the
+    * first `k` corpus vectors on the floor(x*1e6) lattice), cosine
+    * assignment via the broadcast fold, mean update, stop on stable
     * assignments or `maxIter`. Cosine against an unnormalized mean equals
     * cosine against the normalized mean (scale-invariance), so the mean
     * update IS the spherical k-means step and the objective (mean cosine to
     * assigned centroid) is non-decreasing — the spec asserts it.
+    *
+    * Engine-exact since round 7 (the q_pagerank trick): component sums
+    * accumulate the corpus's floor(x*1e6) micro-units as integers — exact
+    * in any order — and centroids are floor(sum / n) micro-unit values, so
+    * no float partial-aggregation order can perturb a round. Assignment
+    * cosines stay float, but both engines fold identical doubles in the
+    * same sequential order, so the argmax matches bit for bit; the DuckDB
+    * oracle unrolls the rounds as chained CTEs. Early stop needs no oracle
+    * counterpart: stable integer centroids are a FIXED POINT (same
+    * assignment -> same sums -> same floor-divs), so rounds past
+    * convergence are no-ops and the oracle can always run all `maxIter`.
     *
     * Scale shape per iteration: one broadcast fold over the corpus (no
     * shuffle) + one (cell, dim)-keyed aggregate whose explode factor is the
@@ -188,16 +202,19 @@ object Similarity {
     * rule), so k never silently shrinks. */
   def kmeansFit(spark: SparkSession, dir: String, k: Int = 8,
                 maxIter: Int = 10): DataFrame = {
+    // vq: the micro-unit lattice image of v. Kept alongside v: assignment
+    // scores use v (scale-invariant), mean updates sum vq (order-exact).
     val e = withVec(spark, dir)
+      .withColumn("vq", expr("transform(v, x -> floor(x * 1e6))"))
     var centroids = e.filter(col("vec_id") < k)
-      .select(col("vec_id").as("seed_id"), col("v").as("sv"))
+      .select(col("vec_id").as("seed_id"),
+        expr("transform(vq, q -> cast(q as double))").as("sv"))
       .localCheckpoint(true)
     // Convergence reads the CENTROIDS (k rows, materialized), not a second
     // corpus scan: new centroids identical to the old ones means the
     // assignments were stable, and the per-iteration corpus cost stays at
-    // exactly one assignment scan (the mean update). If floating-point
-    // partial-aggregation order makes a converged mean jitter in the last
-    // bit, the loop just runs to maxIter — never incorrect, only slower.
+    // exactly one assignment scan (the mean update). Integer centroids make
+    // the checksum exact — a converged fit really does stop.
     def centroidChecksum(c: DataFrame): (Long, Long) = {
       val r = c.agg(count(lit(1)),
         coalesce(expr("bit_xor(xxhash64(seed_id, to_json(sv)))"), lit(0L))).head()
@@ -211,15 +228,20 @@ object Similarity {
         .withColumn("snorm", expr("graft_norm(sv)"))
         .agg(sort_array(collect_list(
           struct(col("seed_id"), col("sv"), col("snorm")))).as("cells"))
-      // mean per (cell, dim), reassembled in dim order; dead cells fall
-      // back to their previous centroid via the left join + coalesce
+      // integer micro-unit mean per (cell, dim), reassembled in dim order;
+      // floor(double-division) rather than integer div so the oracle's
+      // identical double op sequence yields the identical centroid even
+      // when the true quotient sits on a representability boundary. Dead
+      // cells fall back to their previous centroid via left join+coalesce.
       val means = e.crossJoin(broadcast(seeds))
         .withColumn("cell", expr(assignStruct + ".cell"))
-        .select(col("cell"), posexplode(col("v")).as(Seq("idx", "x")))
-        .groupBy(col("cell"), col("idx")).agg(avg(col("x")).as("m"))
+        .select(col("cell"), posexplode(col("vq")).as(Seq("idx", "q")))
+        .groupBy(col("cell"), col("idx"))
+        .agg(sum(col("q")).as("s"), count(lit(1)).as("cnt"))
+        .withColumn("m", floor(col("s").cast("double") / col("cnt")))
         .groupBy(col("cell"))
-        .agg(expr("transform(sort_array(collect_list(struct(idx, m))), p -> p.m)")
-          .as("mv"))
+        .agg(expr("transform(sort_array(collect_list(struct(idx, m))), " +
+          "p -> cast(p.m as double))").as("mv"))
       centroids = centroids.join(means,
           centroids("seed_id") === means("cell"), "left")
         .select(col("seed_id"), coalesce(col("mv"), col("sv")).as("sv"))
@@ -233,9 +255,10 @@ object Similarity {
   }
 
   /** Quantization profile of the TRAINED quantizer ([[kmeansFit]]) — the
-    * rows-only bench/driver surface for the k-means path (float iteration
-    * means no closed-form SQL oracle; the spec pins the contracts:
-    * partition totality and objective improvement over the seed cells). */
+    * bench/driver surface for the k-means path. Oracle-exact since round 7:
+    * integer micro-unit centroids unroll to chained DuckDB CTEs, so the
+    * gate hash-checks the full Lloyd iteration; the spec keeps the
+    * contracts (partition totality, objective improvement over seeds). */
   def kmeansProfile(spark: SparkSession, dir: String, k: Int = 8,
                     maxIter: Int = 10): DataFrame =
     quantizeProfile(withVec(spark, dir), kmeansFit(spark, dir, k, maxIter))
