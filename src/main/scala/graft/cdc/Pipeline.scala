@@ -204,19 +204,29 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
       .drop("table", "offset", "_ridx")
     config.stateBuckets match {
       case Some(n) =>
+        // write-ahead staleness marker: the sink write and the zone-map
+        // refresh are two non-atomic steps; marking BEFORE the write means
+        // a crash anywhere in the window leaves a visible marker (pruned
+        // reads fall back to the exact unpruned filter) rather than a
+        // silently-stale manifest, and the at-least-once batch replay
+        // re-runs the refresh and clears it (r6 ADVICE fix).
+        val zoneMapActive = config.zoneMapCols.nonEmpty
+        if (zoneMapActive)
+          graft.ops.Maintenance.markZoneMapPending(spark, zoneMapPath(sync), batchId)
         BucketedUpsertSink.applyBatch(spark, statePath(sync), compacted, pk, n,
           schema = Some(sinkSchema(sync)))
         // incremental zone-map maintenance: stats recompute only for the
         // buckets this batch touched — same O(changed data) bound as the
         // sink write itself. The touched-set collect is O(buckets) (the
         // same bounded collect applyBatch does).
-        if (config.zoneMapCols.nonEmpty) {
+        if (zoneMapActive) {
           val touched = compacted
             .select(BucketedUpsertSink.bucketOf(col(pk), n)).distinct()
             .collect().map(_.getLong(0)).toSeq
           if (touched.nonEmpty)
             graft.ops.Maintenance.refreshZoneMap(spark, statePath(sync),
               zoneMapPath(sync), touched, zoneMapColsFor(sync))
+          graft.ops.Maintenance.clearZoneMapPending(spark, zoneMapPath(sync))
         }
       case None =>
         val state = UpsertSink.currentState(spark, statePath(sync), sinkSchema(sync))

@@ -127,23 +127,61 @@ object Maintenance {
     graft.cdc.UpsertSink.atomicSwapDirs(spark, tmp, zmPath)
   }
 
+  /** Path of the staleness marker guarding `zmPath`: present while a sink
+    * write has committed whose zone-map refresh has not. */
+  def zoneMapPendingPath(zmPath: String): String = zmPath + ".pending"
+
+  /** Mark the manifest potentially stale BEFORE the sink write of `batchId`
+    * lands (write-ahead: a crash anywhere in the sink-write → refresh
+    * window leaves the marker, never a silently-stale manifest). */
+  def markZoneMapPending(spark: SparkSession, zmPath: String,
+                         batchId: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(zoneMapPendingPath(zmPath))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Clear the staleness marker AFTER a successful refresh. */
+  def clearZoneMapPending(spark: SparkSession, zmPath: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(zoneMapPendingPath(zmPath))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, false)
+  }
+
+  private def zoneMapPendingExists(spark: SparkSession, zmPath: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(zoneMapPendingPath(zmPath))
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   /** Manifest-driven pruned read: consult the O(buckets) zone map for the
     * buckets whose [min,max] window on `statCol` intersects
     * [lo, hi], then read ONLY those bucket partitions and apply the exact
     * predicate. The manifest is tiny, so the candidate-bucket collect is
     * O(buckets) — the data scan it saves is the whole point: at 100 TB a
     * selective range predicate touches a handful of bucket dirs instead
-    * of the full state. Returns exactly what the unpruned filter would. */
+    * of the full state. Returns exactly what the unpruned filter would.
+    *
+    * The "exactly" contract survives the sink-write → refresh crash
+    * window (the r6 ADVICE finding): the pipeline write-ahead-marks the
+    * manifest pending before each sink write and clears it after the
+    * refresh, and while the marker exists this read skips pruning and
+    * applies the exact filter to the full state — correct, just unpruned —
+    * until the streaming engine's at-least-once replay of the interrupted
+    * batch re-runs the refresh and clears the marker. */
   def prunedRead(spark: SparkSession, statePath: String, zmPath: String,
                  statCol: String, lo: Long, hi: Long): DataFrame = {
     val b = graft.cdc.BucketedUpsertSink.BucketCol
+    val state = spark.read.parquet(statePath)
+    val exact = col(statCol) >= lo && col(statCol) <= hi
+    if (zoneMapPendingExists(spark, zmPath))
+      return state.filter(exact).drop(b)
     val candidates = spark.read.parquet(zmPath)
       .filter(col(s"max_$statCol") >= lo && col(s"min_$statCol") <= hi)
       .select(col("bucket")).collect().map(_.getLong(0))
-    val state = spark.read.parquet(statePath)
     val pruned =
       if (candidates.isEmpty) state.filter(lit(false))
       else state.filter(col(b).isin(candidates: _*))
-    pruned.filter(col(statCol) >= lo && col(statCol) <= hi).drop(b)
+    pruned.filter(exact).drop(b)
   }
 }

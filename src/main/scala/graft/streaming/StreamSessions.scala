@@ -62,8 +62,26 @@ object StreamSessions {
       if (ts.isEmpty) return Iterator.empty
       var out = List.empty[SessionOut]
       var cur = Option(if (sess.exists()) sess.get() else null)
+      // A late row more than a gap BEFORE the open session's start belongs
+      // to its own earlier session under batch gap-grouping — the r6 ADVICE
+      // hazard was merging it via the vacuously-true `t - last <= gap` for
+      // t < last. Such rows gap-group among themselves and emit closed.
+      // (With the operating contract lateness < gap, they can never also
+      // reach within a gap of the open start, so no backward bridge is
+      // missed.)
+      var early = Option.empty[(Long, Long, Long)]
       ts.foreach { t =>
         cur match {
+          case Some(s) if t < s._1 - gapMs =>
+            early match {
+              case Some(e) if t - e._2 <= gapMs =>
+                early = Some((e._1, t, e._3 + 1))
+              case Some(e) =>
+                out ::= SessionOut(key, e._1 / 1000, e._2 / 1000, e._3)
+                early = Some((t, t, 1L))
+              case None =>
+                early = Some((t, t, 1L))
+            }
           case Some(s) if t - s._2 <= gapMs =>
             cur = Some((math.min(s._1, t), math.max(s._2, t), s._3 + 1))
           case Some(s) =>
@@ -73,6 +91,7 @@ object StreamSessions {
             cur = Some((t, t, 1L))
         }
       }
+      early.foreach(e => out ::= SessionOut(key, e._1 / 1000, e._2 / 1000, e._3))
       val open = cur.get
       sess.update(open)
       rearm(open._2)

@@ -29,7 +29,11 @@ object StreamTrailLog {
   final case class TrailOut(user_id: Long, rank: Int, event_id: Long,
                             ts_sec: Long, value: Double)
 
-  /** (event_id, tsMs, value, sentinel) keyed by user. */
+  /** (event_id, tsUs, value, sentinel) keyed by user. Timestamps travel as
+    * unix MICROseconds: the events fixture carries µs precision, and the
+    * batch oracle ranks on the full-precision ts — a millisecond
+    * truncation here could order two same-ms events by id while the
+    * oracle splits them on µs (the round-6 ADVICE finding). */
   final class TrailProcessor(k: Int)
       extends StatefulProcessor[Long, (Long, Long, Long, Double, Boolean), TrailOut] {
     @transient private var log: ListState[(Long, Long, Double)] = _
@@ -52,7 +56,7 @@ object StreamTrailLog {
       if (sentinels.hasNext) {
         log.clear()
         merged.iterator.zipWithIndex.map { case ((id, ts, v), i) =>
-          TrailOut(key, i + 1, id, ts / 1000, v)
+          TrailOut(key, i + 1, id, ts / 1000000, v)
         }
       } else {
         if (merged.nonEmpty) log.put(merged.toArray)
@@ -101,7 +105,7 @@ object StreamTrailLog {
           .option("maxFilesPerTrigger", 1)
           .parquet(s"$root/feed")
           .select(col("user_id"), col("event_id"),
-            unix_millis(col("ts")).as("tms"), col("value"), col("sentinel"))
+            unix_micros(col("ts")).as("tus"), col("value"), col("sentinel"))
           .as[(Long, Long, Long, Double, Boolean)]
           .groupByKey(_._1)
           .transformWithState(new TrailProcessor(k),

@@ -214,6 +214,49 @@ class BatchNineOpsSpec extends SparkSpec {
     assert(candidates < nb, s"zone map must rule out buckets, kept $candidates")
   }
 
+  test("sink zone map: the pending marker keeps prunedRead exact through " +
+    "the sink-write -> refresh crash window") {
+    import graft.cdc.BucketedUpsertSink
+    import spark.implicits._
+    val root = tmpDir("graft-zm-crash")
+    val statePath = s"$root/state"
+    val zmPath = s"$root/state.zonemap"
+    val nb = 8
+    val s0 = (0L until 200L).map(i => (i, i * 10, s"v$i"))
+      .toDF("id", "score", "payload")
+    BucketedUpsertSink.init(s0, statePath, "id", nb)
+    Maintenance.refreshZoneMap(spark, statePath, zmPath, (0L until nb).toSeq,
+      Seq("score"))
+    // simulate the crash window: mark pending (the pipeline's write-ahead
+    // step), apply the sink write, and CRASH before the refresh
+    Maintenance.markZoneMapPending(spark, zmPath, batchId = 42L)
+    val batch = Seq(("update", 5L, 99999L, "v5b"))
+      .toDF("op", "id", "score", "payload")
+    BucketedUpsertSink.applyBatch(spark, statePath, batch, "id", nb)
+    // the stale manifest alone WOULD drop the moved row (the hazard)...
+    val staleCandidates = spark.read.parquet(zmPath)
+      .filter(col("max_score") >= 99000L && col("min_score") <= 200000L).count()
+    assert(staleCandidates === 0L,
+      "precondition: the stale manifest rules out every bucket for this range")
+    // ...but the marker forces the exact unpruned path
+    val got = Maintenance.prunedRead(spark, statePath, zmPath,
+      "score", 99000L, 200000L).collect()
+    assert(got.map(_.getLong(0)).toSet === Set(5L),
+      "pending marker must make the pruned read fall back to the exact filter")
+    // replay heals: refresh + clear, after which pruning is live again and
+    // still exact
+    Maintenance.refreshZoneMap(spark, statePath, zmPath, Seq(
+      batch.select(BucketedUpsertSink.bucketOf(col("id"), nb))
+        .head().getLong(0)), Seq("score"))
+    Maintenance.clearZoneMapPending(spark, zmPath)
+    val healed = Maintenance.prunedRead(spark, statePath, zmPath,
+      "score", 99000L, 200000L).collect()
+    assert(healed.map(_.getLong(0)).toSet === Set(5L))
+    val freshCandidates = spark.read.parquet(zmPath)
+      .filter(col("max_score") >= 99000L && col("min_score") <= 200000L).count()
+    assert(freshCandidates >= 1L && freshCandidates < nb)
+  }
+
   // ------------------------------------------------------------ oov rate
 
   test("oov rate: per-language rates weight-average to exactly the " +

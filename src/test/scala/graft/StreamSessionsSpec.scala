@@ -12,20 +12,25 @@ class StreamSessionsSpec extends SparkSpec {
   private val latenessSec = 3600L
 
   /** Batch ground truth: each user's events gap-grouped after a global
-    * sort — (user, start_sec, end_sec, n). */
+    * sort — (user, start_sec, end_sec, n). Gap decisions run in epoch
+    * MILLISECONDS to match the processor exactly (the r6 ADVICE finding:
+    * a second-truncated gap test can split an inter-event gap within ~1 s
+    * of exactly 24 h differently from the ms-precision stream); only the
+    * reported bounds truncate to seconds, as the stream's output does. */
   private def batchSessions(): Seq[(Long, Long, Long, Long)] = {
+    val gapMs = gapSec * 1000L
     val ev = ops.Tables.events(spark, sf)
-      .select(col("user_id"), unix_timestamp(col("ts")).as("sec"))
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     ev.groupBy(_._1).toSeq.flatMap { case (u, rows) =>
       val ts = rows.map(_._2).sorted
       val out = scala.collection.mutable.ListBuffer.empty[(Long, Long, Long, Long)]
       var start = ts.head; var last = ts.head; var n = 1L
       ts.tail.foreach { t =>
-        if (t - last <= gapSec) { last = t; n += 1 }
-        else { out += ((u, start, last, n)); start = t; last = t; n = 1L }
+        if (t - last <= gapMs) { last = t; n += 1 }
+        else { out += ((u, start / 1000, last / 1000, n)); start = t; last = t; n = 1L }
       }
-      out += ((u, start, last, n))
+      out += ((u, start / 1000, last / 1000, n))
       out.toSeq
     }
   }
