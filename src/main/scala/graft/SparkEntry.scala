@@ -165,6 +165,9 @@ object SparkEntry {
     "q_corr_matrix"    -> ((s, d) => Relational.corrMatrix(s, d)),
     "q_skew_report"    -> ((s, d) => Maintenance.skewReport(s, d)),
     "q_compaction_plan" -> ((s, d) => Maintenance.compactionPlan(s, d)),
+    // the OPTIMIZE rewrite the plan diagnoses: stage a sharded layout,
+    // compact through staging+atomic-swap, report bins FROM the new files
+    "q_compaction_apply" -> ((s, d) => Maintenance.compactionApplyQuery(s, d)),
     "q_oov_rate"       -> ((s, d) => TextAnalysis.oovRate(s, d)),
     // an ACTUAL checkpointed transformWithState run (MapState counts),
     // graded by the batch GROUP BY/HAVING oracle — the q_dedup_stream
@@ -2306,6 +2309,24 @@ object SparkEntry {
         |      FROM s)
         |SELECT shard, bytes, prefix // 32768 AS bin
         |FROM p ORDER BY shard""".stripMargin,
+
+    // The applied compaction's audit must equal the plan's binning re-run
+    // in pure SQL: the Spark side reads the POST-rewrite files, so a
+    // mis-executed bin (split, merged, or dropped rows) hash-mismatches.
+    "q_compaction_apply" ->
+      """WITH d AS (SELECT doc_id % 64 AS shard, doc_id,
+        |        CAST(length(text) AS BIGINT) AS b FROM documents),
+        |s AS (SELECT shard, CAST(sum(b) AS BIGINT) AS bytes
+        |      FROM d GROUP BY 1),
+        |p AS (SELECT shard, bytes,
+        |        CAST(coalesce(sum(bytes) OVER (ORDER BY shard
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |          AS BIGINT) AS prefix
+        |      FROM s),
+        |bins AS (SELECT shard, prefix // 32768 AS bin FROM p)
+        |SELECT bin, CAST(count(DISTINCT shard) AS BIGINT) AS n_shards,
+        |  CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(b) AS BIGINT) AS bytes
+        |FROM d JOIN bins USING (shard) GROUP BY 1 ORDER BY bin""".stripMargin,
 
     "q_oov_rate" ->
       """WITH t AS (SELECT lang, unnest(string_split(text, ' ')) AS tok

@@ -78,6 +78,85 @@ object Maintenance {
       .orderBy(col("shard"))
   }
 
+  /** Execute a compaction plan (the OPTIMIZE rewrite step
+    * [[compactionPlan]] only diagnoses): rewrite a shard-partitioned
+    * corpus into first-fit bins of at most `targetBytes` (proxy bytes —
+    * the same deterministic prefix-sum policy as the plan), each bin ONE
+    * output file, through the staging + atomic-swap protocol, then refresh
+    * the per-bin zone-map manifest (`livePath + ".zonemap"`: bin, files
+    * become prunable by doc_id range again immediately after the swap).
+    *
+    * Shape at scale: the plan is an O(shards) window; rows take ONE pass —
+    * a broadcast join of the O(shards) shard→bin map, then a bin-keyed
+    * repartition so each bin is written by exactly one task (a task may
+    * carry several bins; partitionBy still emits one file per bin). A
+    * crash between the two renames heals via [[graft.cdc.UpsertSink]]'s
+    * recoverSwap; a crash before the manifest write leaves the pre-swap
+    * manifest pointing at vanished bins, so the manifest is rewritten
+    * FROM the swapped data before anyone reads it (same call). Returns
+    * the manifest. */
+  def compactApply(spark: SparkSession, livePath: String,
+                   targetBytes: Long = 32768): DataFrame = {
+    val state = spark.read.parquet(livePath)
+    val sizes = state
+      .select(col("shard").cast("long").as("shard"),
+        length(col("text")).cast("long").as("b"))
+      .groupBy(col("shard")).agg(sum(col("b")).as("bytes"))
+    val w = Window.orderBy(col("shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val plan = sizes
+      .withColumn("prefix", coalesce(sum(col("bytes")).over(w), lit(0L)))
+      .withColumn("bin", expr(s"prefix div ${targetBytes}L"))
+      .select(col("shard"), col("bin"))
+    val staging = livePath + ".staging"
+    // partition discovery reads the shard dir value back as INT; the plan
+    // keys on LONG — normalize before the broadcast join
+    state.withColumn("shard", col("shard").cast("long"))
+      .join(broadcast(plan), Seq("shard"))
+      .repartition(col("bin"))
+      .write.mode("overwrite").partitionBy("bin").parquet(staging)
+    graft.cdc.UpsertSink.atomicSwapDirs(spark, staging, livePath)
+    val manifest = spark.read.parquet(livePath)
+      .groupBy(col("bin").cast("long").as("bin"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(length(col("text")).cast("long")).as("bytes"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+    val zmTmp = livePath + ".zonemap.next"
+    manifest.orderBy(col("bin")).coalesce(1)
+      .write.mode("overwrite").parquet(zmTmp)
+    graft.cdc.UpsertSink.atomicSwapDirs(spark, zmTmp, livePath + ".zonemap")
+    spark.read.parquet(livePath + ".zonemap").orderBy(col("bin"))
+  }
+
+  /** Driver query for the applied compaction: stage the documents corpus
+    * as a `doc_id % shards` shard-partitioned layout (the many-small-files
+    * ingest shape), run [[compactApply]], and report the per-bin audit
+    * FROM THE COMPACTED FILES — so the gate checks the layout the rewrite
+    * actually produced, which the DuckDB oracle reproduces with the same
+    * prefix-sum binning in pure SQL. */
+  def compactionApplyQuery(spark: SparkSession, dir: String,
+                           shards: Int = 64,
+                           targetBytes: Long = 32768): DataFrame = {
+    val root = s"${sys.props("java.io.tmpdir")}/graft_compact_" +
+      spark.sparkContext.applicationId
+    val rp = new org.apache.hadoop.fs.Path(root)
+    val fs = rp.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(rp)) fs.delete(rp, true)
+    TwoBatchScratch.registerCleanup(root)
+    val live = s"$root/docs"
+    Tables(spark, dir, "documents")
+      .withColumn("shard", pmod(col("doc_id"), lit(shards)))
+      .repartition(col("shard"))
+      .write.partitionBy("shard").parquet(live)
+    compactApply(spark, live, targetBytes)
+    spark.read.parquet(live)
+      .groupBy(col("bin").cast("long").as("bin"))
+      .agg(countDistinct(col("shard")).as("n_shards"),
+        count(lit(1)).as("n_docs"),
+        sum(length(col("text")).cast("long")).as("bytes"))
+      .orderBy(col("bin"))
+  }
+
   /** Per-bucket zone map over a [[graft.cdc.BucketedUpsertSink]] state
     * table: bucket -> (row count, min/max of each stat column). With
     * `buckets` given, the scan is partition-PRUNED to exactly those

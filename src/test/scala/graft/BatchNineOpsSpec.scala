@@ -214,6 +214,77 @@ class BatchNineOpsSpec extends SparkSpec {
     assert(candidates < nb, s"zone map must rule out buckets, kept $candidates")
   }
 
+  test("compaction apply: content survives, one file per bin, bin sizes " +
+    "respect the first-fit bound, and manifest-pruned reads stay exact") {
+    val root = tmpDir("graft-compact")
+    val live = s"$root/docs"
+    val target = 32768L
+    // RANGE sharding (8 docs per shard) rather than the query's modulo:
+    // compactApply is layout-agnostic, and ranges give the doc_id zone
+    // map real locality so the prune-out assertion below is meaningful
+    val docs = Tables(spark, sf, "documents")
+      .withColumn("shard", expr("doc_id div 8"))
+    docs.repartition(col("shard")).write.partitionBy("shard").parquet(live)
+    val beforeIds = spark.read.parquet(live)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    def partFiles(dir: java.io.File): Seq[java.io.File] = {
+      val kids = Option(dir.listFiles()).getOrElse(Array.empty)
+      kids.filter(_.isFile).filter(_.getName.endsWith(".parquet")).toSeq ++
+        kids.filter(_.isDirectory).flatMap(partFiles)
+    }
+    val filesBefore = partFiles(new java.io.File(live)).length
+
+    val manifest = Maintenance.compactApply(spark, live, target).collect()
+
+    // content identity through the rewrite
+    val afterIds = spark.read.parquet(live)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(afterIds.toSeq === beforeIds.toSeq)
+    // exactly one data file per bin, and fewer files than before
+    val binDirs = new java.io.File(live).listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("bin="))
+    assert(binDirs.length === manifest.length)
+    binDirs.foreach(d => assert(partFiles(d).length === 1,
+      s"${d.getName} must hold exactly one compacted file"))
+    assert(partFiles(new java.io.File(live)).length < filesBefore,
+      "compaction must reduce the file count")
+    // first-fit bound: a bin exceeds the target by at most the one shard
+    // whose arrival crossed the boundary
+    val maxShardBytes = docs
+      .groupBy("shard").agg(sum(length(col("text")).cast("long")).as("b"))
+      .agg(max(col("b"))).head().getLong(0)
+    manifest.foreach { r =>
+      assert(r.getAs[Long]("bytes") <= target + maxShardBytes,
+        s"bin ${r.getAs[Long]("bin")} breaks the first-fit bound")
+    }
+    // bins are consecutive shard intervals: doc_id %64 ranges may
+    // interleave, but shard intervals must not — check via the data
+    val binShards = spark.read.parquet(live)
+      .groupBy(col("bin")).agg(min(col("shard")).as("lo"), max(col("shard")).as("hi"))
+      .orderBy(col("bin")).collect()
+      .map(r => (r.getAs[Long]("lo"), r.getAs[Long]("hi")))
+    binShards.sliding(2).foreach {
+      case Array((_, hi0), (lo1, _)) => assert(lo1 > hi0,
+        "bins must cover consecutive disjoint shard intervals")
+      case _ =>
+    }
+    // manifest-pruned read by doc_id range equals the exact filter
+    val (lo, hi) = (beforeIds.head + 7, beforeIds.head + 103)
+    val candidates = manifest
+      .filter(r => r.getAs[Long]("max_doc") >= lo && r.getAs[Long]("min_doc") <= hi)
+      .map(_.getAs[Long]("bin"))
+    val pruned = spark.read.parquet(live)
+      .filter(col("bin").isin(candidates: _*))
+      .filter(col("doc_id") >= lo && col("doc_id") <= hi)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val exact = spark.read.parquet(live)
+      .filter(col("doc_id") >= lo && col("doc_id") <= hi)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(pruned.toSeq === exact.toSeq)
+    assert(candidates.length < manifest.length,
+      "the doc_id zone map must rule out at least one bin")
+  }
+
   test("sink zone map: the pending marker keeps prunedRead exact through " +
     "the sink-write -> refresh crash window") {
     import graft.cdc.BucketedUpsertSink
