@@ -53,16 +53,27 @@ private class SocketCdcTable(path: String) extends Table with SupportsRead {
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     () => new SocketCdcScan(
       Option(path).getOrElse(options.get("path")),
-      Option(options.get("maxEventsPerTrigger")).map(_.toLong))
+      Option(options.get("maxEventsPerTrigger")).map(_.toLong),
+      Retry(
+        Option(options.get("reconnectRetries")).map(_.toInt).getOrElse(5),
+        Option(options.get("reconnectBackoffMs")).map(_.toLong).getOrElse(500L)))
 }
 
-private class SocketCdcScan(hostPort: String, maxEvents: Option[Long])
+/** In-query reconnect policy: `retries` fresh-connection attempts with
+  * doubling backoff from `backoffMs` (capped at 10 s — the reference's
+  * fixed in-loop retry delay, `source/mysql.py:127-129`). A transient
+  * server drop must not kill the stream: recovery-by-query-restart is
+  * correct but a 1000-executor stream shouldn't die for a 2 s blip. */
+private[graft] case class Retry(retries: Int, backoffMs: Long)
+
+private class SocketCdcScan(hostPort: String, maxEvents: Option[Long],
+                            retry: Retry)
     extends Scan {
   override def readSchema(): StructType = ChangeEvent.schema
   override def description(): String =
-    s"graft-cdc-socket $hostPort maxEvents=$maxEvents"
+    s"graft-cdc-socket $hostPort maxEvents=$maxEvents retry=$retry"
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new SocketMicroBatchStream(hostPort, maxEvents)
+    new SocketMicroBatchStream(hostPort, maxEvents, retry)
 }
 
 /** The replication position: offset of the last consumed event (server-
@@ -71,27 +82,28 @@ case class EventOffset(last: Long) extends Offset {
   override def json(): String = last.toString
 }
 
-private class SocketMicroBatchStream(hostPort: String, maxEvents: Option[Long])
+private class SocketMicroBatchStream(hostPort: String, maxEvents: Option[Long],
+                                     retry: Retry)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   private val Array(host, port) = hostPort.split(':')
 
   @volatile private var availableAtStart: Option[Long] = None
   override def prepareForTriggerAvailableNow(): Unit =
-    availableAtStart = Some(SocketCdc.latest(host, port.toInt))
+    availableAtStart = Some(SocketCdc.latest(host, port.toInt, retry))
 
   override def initialOffset(): Offset = EventOffset(-1L)
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(
       "latestOffset(start, limit) is the admission-controlled path")
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val avail = availableAtStart.getOrElse(SocketCdc.latest(host, port.toInt))
+    val avail = availableAtStart.getOrElse(SocketCdc.latest(host, port.toInt, retry))
     val s = start.asInstanceOf[EventOffset].last
     EventOffset(maxEvents.fold(avail)(m => math.min(avail, s + m)))
   }
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
   override def reportLatestOffset(): Offset =
-    EventOffset(SocketCdc.latest(host, port.toInt))
+    EventOffset(SocketCdc.latest(host, port.toInt, retry))
   override def deserializeOffset(json: String): Offset = EventOffset(json.toLong)
   override def commit(end: Offset): Unit = () // a real connector acks the
   // replication slot here so the server may trim the log
@@ -101,7 +113,7 @@ private class SocketMicroBatchStream(hostPort: String, maxEvents: Option[Long])
     val s = start.asInstanceOf[EventOffset].last
     val e = end.asInstanceOf[EventOffset].last
     if (e <= s) Array.empty
-    else Array(SocketSpanPartition(host, port.toInt, s + 1, e))
+    else Array(SocketSpanPartition(host, port.toInt, s + 1, e, retry))
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -112,7 +124,8 @@ private class SocketMicroBatchStream(hostPort: String, maxEvents: Option[Long])
 }
 
 private case class SocketSpanPartition(host: String, port: Int,
-                                       from: Long, to: Long) extends InputPartition
+                                       from: Long, to: Long,
+                                       retry: Retry) extends InputPartition
 
 /** Reads one replayed span [from, to] over a fresh connection — the
   * bounded re-request that makes crash replay exact. */
@@ -120,7 +133,7 @@ private class SocketSpanReader(p: SocketSpanPartition)
     extends PartitionReader[InternalRow] {
 
   private val lines: Iterator[String] =
-    SocketCdc.fetch(p.host, p.port, p.from, p.to).iterator
+    SocketCdc.fetch(p.host, p.port, p.from, p.to, p.retry).iterator
   private var current: InternalRow = _
 
   override def next(): Boolean = {
@@ -153,17 +166,58 @@ private[graft] object SocketCdc {
     } finally sock.close()
   }
 
-  /** Highest offset the server has — the `SHOW MASTER STATUS` analog. */
-  def latest(host: String, port: Int): Long =
-    roundTrip(host, port, "LATEST")(_.readLine().trim.toLong)
+  /** Run `op` with in-query reconnects: each attempt is a FRESH connection
+    * (roundTrip never reuses sockets), retried on connection/read failure
+    * with doubling backoff, then failed LOUD — a down server is still an
+    * error, just not a 2-second-blip-sized one. */
+  private def withReconnect[A](what: String, retry: Retry)(op: => A): A = {
+    var attempt = 0
+    var delay = math.max(retry.backoffMs, 1L)
+    while (attempt < retry.retries) {
+      try return op
+      catch {
+        case e: java.io.IOException =>
+          attempt += 1
+          if (attempt >= retry.retries)
+            throw new java.io.IOException(
+              s"$what failed after $attempt reconnect attempts", e)
+          Thread.sleep(delay)
+          delay = math.min(delay * 2, 10000L)
+      }
+    }
+    op // retries <= 0: single unguarded attempt
+  }
 
-  /** Replay events with offsets in [from, to], in order. */
-  def fetch(host: String, port: Int, from: Long, to: Long): Seq[String] =
-    roundTrip(host, port, s"FROM $from $to") { in =>
-      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
-      var line = in.readLine()
-      while (line != null) { buf += line; line = in.readLine() }
-      buf.toSeq
+  /** Highest offset the server has — the `SHOW MASTER STATUS` analog. */
+  def latest(host: String, port: Int, retry: Retry = Retry(0, 0L)): Long =
+    withReconnect(s"LATEST $host:$port", retry) {
+      roundTrip(host, port, "LATEST") { in =>
+        val line = in.readLine()
+        // a connection cut before the reply reads as EOF — transient
+        if (line == null) throw new java.io.IOException("connection closed before LATEST reply")
+        line.trim.toLong
+      }
+    }
+
+  /** Replay events with offsets in [from, to], in order. A connection cut
+    * mid-span looks like end-of-stream to the reader, so a short read is
+    * treated as a transient failure and the WHOLE span is re-requested
+    * (offsets are dense and server-assigned, so completeness is exactly
+    * `to - from + 1` lines) — the partial buffer is discarded, keeping the
+    * replayed batch exactly-once. */
+  def fetch(host: String, port: Int, from: Long, to: Long,
+            retry: Retry = Retry(0, 0L)): Seq[String] =
+    withReconnect(s"FROM $from $to @ $host:$port", retry) {
+      val got = roundTrip(host, port, s"FROM $from $to") { in =>
+        val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+        var line = in.readLine()
+        while (line != null) { buf += line; line = in.readLine() }
+        buf.toSeq
+      }
+      if (got.length != (to - from + 1))
+        throw new java.io.IOException(
+          s"short span read: got ${got.length} of ${to - from + 1} lines")
+      got
     }
 }
 
@@ -174,12 +228,28 @@ private[graft] object SocketCdc {
   * any span can be replayed — the retention contract crash recovery rests
   * on. Appends while clients are connected are safe (the log is
   * synchronized) and visible to the next `LATEST`. */
-final class CdcFeedServer {
+final class CdcFeedServer(fixedPort: Int = 0, seed: Seq[String] = Nil) {
   private val log = new java.util.ArrayList[String]()
-  private val server = new java.net.ServerSocket(0) // ephemeral port
+  seed.foreach(log.add)
+  // explicit bind with SO_REUSEADDR so a restart can reclaim its old port
+  // immediately (the restart-same-endpoint contract the reconnect spec
+  // exercises); 0 = ephemeral
+  private val server = {
+    val s = new java.net.ServerSocket()
+    s.setReuseAddress(true)
+    s.bind(new java.net.InetSocketAddress(fixedPort))
+    s
+  }
   @volatile private var running = true
 
   def port: Int = server.getLocalPort
+
+  /** Durable-log snapshot: what a restarted server (same port, same log —
+    * a DB restart with its binlog intact) is seeded with. */
+  def snapshot: Seq[String] = log.synchronized {
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(
+      log.toArray(Array.empty[String]))
+  }
 
   /** Append one event; returns its server-assigned offset. */
   def append(op: String, table: String, epochMillis: Long, data: String): Long =

@@ -72,6 +72,47 @@ class SocketCdcSpec extends SparkSpec {
     } finally server.close()
   }
 
+  test("in-query reconnect: the feed server dies and restarts mid-stream " +
+    "and the SAME uninterrupted query completes exactly-once") {
+    val server1 = new CdcFeedServer
+    val root = tmpDir("socketreconn")
+    val ckpt = s"$root/ckpt"
+    val out = s"$root/out"
+    for (i <- 1 to 12) server1.append("create", "t", 1000L + i, s"""{"id": $i}""")
+    val port = server1.port
+    // generous retry budget, short backoff: the staged outage is sub-second
+    val q = spark.readStream.format("graft-cdc-socket")
+      .option("maxEventsPerTrigger", 5)
+      .option("reconnectRetries", 60)
+      .option("reconnectBackoffMs", 50)
+      .load(s"localhost:$port")
+      .writeStream.option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime(0L))
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        batch.write.mode("overwrite").parquet(s"$out/batch-$id")
+      }
+      .start()
+    try {
+      awaitRows(out, 12)
+      // outage: kill the server mid-query, let live triggers hit the dead
+      // socket, then restart at the SAME port with the log intact plus
+      // events appended while down — a DB restart with a durable binlog
+      val snap = server1.snapshot
+      server1.close()
+      Thread.sleep(300)
+      val server2 = new CdcFeedServer(port, snap)
+      try {
+        for (i <- 13 to 20) server2.append("create", "t", 1000L + i, s"""{"id": $i}""")
+        awaitRows(out, 20)
+        assert(q.isActive,
+          "the reader-level retry must carry the query across the outage")
+      } finally server2.close()
+    } finally q.stop()
+    val offs = readOut(out).select(col("offset")).collect().map(_.getLong(0))
+    assert(offs.sorted.toSeq === (0L until 20L),
+      "post-outage log must be exactly-once with no gap and no double")
+  }
+
   test("full pipeline over the socket transport: decode, compact, upsert") {
     import graft.cdc.{Pipeline, SocketTailCdcSource}
     import graft.model.{PipelineConfig, SyncConfig}
