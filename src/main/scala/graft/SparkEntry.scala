@@ -83,6 +83,9 @@ object SparkEntry {
     "q_fingerprint"    -> ((s, d) => TextAnalysis.fingerprint(s, d)),
     "q_winnow"         -> ((s, d) => TextAnalysis.winnow(s, d)),
     "q_multimodal_meta" -> ((s, d) => Multimodal.metaQuery(s, d)),
+    // REAL codec roundtrip: javax.imageio encodes deterministic PNGs and
+    // decodes them back; width/height/pixel-checksum are oracle-graded
+    "q_multimodal_decode" -> ((s, d) => Multimodal.pngMetaQuery(s, d)),
     "q_train_manifest" -> ((s, d) => TrainingPipeline.trainManifest(s, d)),
     "q_window_analytics" -> ((s, d) => Relational.windowAnalytics(s, d)),
     "q_mix_deciles"    -> ((s, d) => TextAnalysis.mixDeciles(s, d)),
@@ -914,6 +917,20 @@ object SparkEntry {
         | CASE ascii(substring(text, 1, 1)) % 3
         |   WHEN 0 THEN 'png' WHEN 1 THEN 'jpg' ELSE 'webp' END AS format
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Real-codec PNG roundtrip: the Spark side ENCODES a deterministic
+    // grayscale image per doc and DECODES it with javax.imageio; the
+    // oracle recomputes the shape and pixel checksum analytically — PNG
+    // is lossless, so any codec deviation hash-mismatches.
+    "q_multimodal_decode" ->
+      """WITH d AS (SELECT doc_id, CAST(doc_id % 13 + 1 AS INT) AS width,
+        |             CAST(doc_id % 7 + 1 AS INT) AS height FROM documents),
+        |px AS (SELECT d.doc_id,
+        |         CAST(sum((d.doc_id + 31 * rx.x + 17 * ry.y) % 256) AS BIGINT) AS px_sum
+        |       FROM d, range(13) rx(x), range(7) ry(y)
+        |       WHERE rx.x < d.width AND ry.y < d.height GROUP BY 1)
+        |SELECT d.doc_id, TRUE AS is_png, width, height, px_sum
+        |FROM d JOIN px USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     // Capstone composition: exact dedup -> near-dup removal -> quality
     // filter -> decontamination -> packing, as one manifest. Each stage

@@ -7,15 +7,94 @@ import org.apache.spark.sql.functions._
   * `binary` columns with typed metadata, processed by partition-parallel
   * decode functions.
   *
-  * The container has no image/audio libraries, so the DECODE STEP IS A
-  * DETERMINISTIC FAKE (clearly marked below): it derives "metadata" from the
-  * first bytes of the payload. Everything around it is the real Spark
-  * plumbing — binary column, schema, batch shape, partition-parallel
-  * mapPartitions (the Scala analog of `mapInPandas`: one iterator per
-  * partition, so a real decoder would amortize model/codec init per
-  * partition, not per row).
+  * Two tiers since round 7:
+  *  - a REAL image path ([[pngView]]/[[decodePng]]): deterministic real PNG
+  *    payloads encoded and decoded with `javax.imageio` (in the JDK, so no
+  *    external library) — width, height and the pixel checksum come from an
+  *    actual codec roundtrip and are oracle-graded;
+  *  - the original STUB tier (clearly marked below) for the modalities the
+  *    container has no codec for (audio/video): it derives "metadata" from
+  *    the first bytes of the payload. Everything around it is the real
+  *    Spark plumbing — binary column, schema, batch shape,
+  *    partition-parallel mapPartitions (the Scala analog of `mapInPandas`:
+  *    one iterator per partition, so a real decoder amortizes codec init
+  *    per partition, not per row).
   */
 object Multimodal {
+
+  final case class PngRow(doc_id: Long, payload: Array[Byte])
+  final case class PngMeta(doc_id: Long, is_png: Boolean, width: Int,
+                           height: Int, px_sum: Long)
+
+  /** Deterministic REAL-PNG column: a grayscale image per document —
+    * width `(doc_id % 13) + 1`, height `(doc_id % 7) + 1`, pixel
+    * `(x, y) = (doc_id + 31x + 17y) % 256` — encoded by `javax.imageio`
+    * into genuine compressed PNG bytes (signature, IHDR/IDAT/IEND, CRCs,
+    * DEFLATE). The formula-derived shape is what lets the DuckDB oracle
+    * grade a real codec roundtrip: PNG is lossless, so the decoder must
+    * reproduce these exact numbers or the gate hash-mismatches. */
+  def pngView(spark: SparkSession, dir: String): Dataset[PngRow] = {
+    import spark.implicits._
+    Tables(spark, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = (id % 13).toInt + 1
+          val h = (id % 7).toInt + 1
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val raster = img.getRaster
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              raster.setSample(x, y, 0, ((id + 31L * x + 17L * y) % 256L).toInt)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          PngRow(id, bos.toByteArray)
+        }
+      }
+  }
+
+  private val PngSignature =
+    Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+
+  /** REAL decode via `javax.imageio`: container sniff (PNG signature
+    * bytes), then a full codec roundtrip — width/height from the decoded
+    * image, px_sum over the decoded raster. Fails loud on an undecodable
+    * payload (a corrupt image must not silently become metadata). */
+  def decodePng(spark: SparkSession, dir: String): Dataset[PngMeta] = {
+    import spark.implicits._
+    pngView(spark, dir).mapPartitions { it =>
+      // ImageIO scans for plugins lazily; touching it here keeps codec
+      // discovery once per partition, not per row
+      javax.imageio.ImageIO.getUseCache
+      it.map { r =>
+        val isPng = r.payload.length >= 8 &&
+          r.payload.take(8).sameElements(PngSignature)
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.payload))
+        require(img != null, s"doc ${r.doc_id}: payload is not a decodable image")
+        val raster = img.getRaster
+        var s = 0L
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) { s += raster.getSample(x, y, 0); x += 1 }
+          y += 1
+        }
+        PngMeta(r.doc_id, isPng, img.getWidth, img.getHeight, s)
+      }
+    }
+  }
+
+  /** The oracle-graded real-decoder query: every reported number has
+    * passed through an actual PNG encode + decode. */
+  def pngMetaQuery(spark: SparkSession, dir: String): DataFrame =
+    decodePng(spark, dir).toDF().orderBy(col("doc_id"))
 
   final case class MediaRow(doc_id: Long, payload: Array[Byte])
   final case class MediaMeta(doc_id: Long, byte_len: Long, width: Int,
