@@ -94,40 +94,48 @@ object StreamTrailLog {
       ev.filter(unix_micros(col("ts")) > t1 && unix_micros(col("ts")) <= t2),
       ev.filter(unix_micros(col("ts")) > t2),
       sentinel))
-    val prevProvider = spark.conf.getOption(
-      "spark.sql.streaming.stateStore.providerClass")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val q =
-      try {
-        spark.readStream
-          .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, value DOUBLE, sentinel BOOLEAN")
-          .option("maxFilesPerTrigger", 1)
-          .parquet(s"$root/feed")
-          .select(col("user_id"), col("event_id"),
-            unix_micros(col("ts")).as("tus"), col("value"), col("sentinel"))
-          .as[(Long, Long, Long, Double, Boolean)]
-          .groupByKey(_._1)
-          .transformWithState(new TrailProcessor(k),
-            TimeMode.None(), OutputMode.Append())
-          .writeStream
-          .format("parquet")
-          .option("path", s"$root/out")
-          .option("checkpointLocation", s"$root/ckpt")
-          .trigger(Trigger.AvailableNow())
-          .start()
-      } finally {
-        prevProvider match {
-          case Some(p) =>
-            spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-          case None =>
-            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-        }
-      }
+    val q = start(spark, s"$root/feed", s"$root/out", s"$root/ckpt", k)
     try q.processAllAvailable() finally q.stop()
     spark.read.parquet(s"$root/out")
       .select(col("user_id"), col("rank"), col("event_id"), col("ts_sec"),
         round(col("value"), 2).as("value"))
       .orderBy(col("user_id"), col("rank"))
+  }
+
+  /** Start (or resume) the trailing-log stream over a staged parquet feed
+    * of `(event_id, ts, user_id, value, sentinel)` rows. */
+  def start(spark: SparkSession, feedDir: String, out: String, ckpt: String,
+            k: Int = 5,
+            maxFilesPerTrigger: Int = 1): org.apache.spark.sql.streaming.StreamingQuery = {
+    import spark.implicits._
+    val prevProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      spark.readStream
+        .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, value DOUBLE, sentinel BOOLEAN")
+        .option("maxFilesPerTrigger", maxFilesPerTrigger)
+        .parquet(feedDir)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("tus"), col("value"), col("sentinel"))
+        .as[(Long, Long, Long, Double, Boolean)]
+        .groupByKey(_._1)
+        .transformWithState(new TrailProcessor(k),
+          TimeMode.None(), OutputMode.Append())
+        .writeStream
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    } finally {
+      prevProvider match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
   }
 }

@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   * super-linear term (pair blowup, driver state) bends the curve long
   * before 100 TB does. Dev tool; results recorded in SCALE.md.
   *
-  * Usage: runMain graft.tools.ScaleCurve [factors csv, default 1,10,100] [neardup] [stream] [bpe] [r6] [b5] [b6] [b9]
+  * Usage: runMain graft.tools.ScaleCurve [factors csv, default 1,10,100] [neardup] [stream] [bpe] [r6] [b5] [b6] [b9] [tws]
   *   `neardup` adds the near-dup composite (decontaminate + dup-span) at
   *   each factor — the standing per-round stress entry for the near-dup
   *   tier's scale curve (VERDICT r4 item 7). `stream` adds the
@@ -36,6 +36,13 @@ object ScaleCurve {
     val b5 = args.length > 1 && args.drop(1).contains("b5")
     val b6 = args.length > 1 && args.drop(1).contains("b6")
     val b9 = args.length > 1 && args.drop(1).contains("b9")
+    // `tws` measures the transformWithState band (hh / sessions / traillog)
+    // at fac x feed volume AND fac x key cardinality: per-batch trigger
+    // times print as TWSBATCH lines. The claim under test: a batch's cost
+    // tracks ITS input (touched keys), not the accumulated state/corpus —
+    // flat TWSBATCH times across batch index and ~constant rows/s across
+    // factors.
+    val tws = args.length > 1 && args.drop(1).contains("tws")
     // keep: leave the replicated tables on disk for stage profiling
     // (graft.tools.Profile <dir> prefix) instead of the default cleanup
     val keep = args.length > 1 && args.drop(1).contains("keep")
@@ -169,6 +176,73 @@ object ScaleCurve {
         time("direct_batch1", fac)(graft.ops.IncrementalDedup.updateLsh(
           spark, s"$sroot/state", halves(1), batchId = Some(1L)).count())
         sfs.delete(sp, true)
+        ()
+      }
+
+      if (tws) {
+        if (fac != 1)
+          replicate(spark.read.parquet(s"$sf/events.parquet"),
+            Set("event_id", "user_id"), fac, perturbText = false)
+            .repartition(64)
+            .write.mode("overwrite").parquet(s"$dir/events.parquet")
+        val sroot = s"/tmp/graft-scurve-tws-$fac"
+        val spth = new org.apache.hadoop.fs.Path(sroot)
+        val sfs2 = spth.getFileSystem(spark.sessionState.newHadoopConf())
+        sfs2.delete(spth, true)
+        val ev = graft.ops.Tables.events(spark, root)
+          .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+          .withColumn("tsu", unix_micros(col("ts")))
+        ev.persist(); ev.count()
+        // fixed batch COUNT at every factor: batch volume grows fac x, so
+        // rows/s per batch is the throughput axis
+        def qsplit(n: Int): Seq[DataFrame] = {
+          val cuts = ev.stat.approxQuantile("tsu",
+            (1 until n).map(_.toDouble / n).toArray, 0.001)
+          val bounds = (Double.MinValue +: cuts :+ Double.MaxValue)
+            .sliding(2).toSeq
+          bounds.map { case Array(lo, hi) =>
+            ev.filter(col("tsu") > lo && col("tsu") <= hi) }
+        }
+        def drain(name: String)(
+            startQ: => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+          val t0 = System.nanoTime()
+          val q = startQ
+          try q.processAllAvailable() finally q.stop()
+          val wall = (System.nanoTime() - t0) / 1e9
+          val stats = graft.streaming.StreamLatency.stats(q)
+          val rows = stats.map(_.inputRows).sum
+          val stateRows = q.recentProgress
+            .flatMap(_.stateOperators.map(_.numRowsTotal))
+            .foldLeft(0L)(math.max)
+          println(f"SCALECURVE tws_$name%-11s x$fac%-4d $wall%8.3f s  " +
+            f"rows=$rows  rows/s=${if (wall > 0) rows / wall else 0.0}%.0f  " +
+            s"stateRows=$stateRows")
+          stats.foreach(s => println(
+            f"TWSBATCH $name x$fac batch=${s.batchId} ${s.seconds}%6.3f s " +
+              s"in=${s.inputRows}"))
+        }
+        val batches = qsplit(4)
+        graft.streaming.DedupStream.stageBatches(s"$sroot/hh/feed",
+          batches.map(_.select(col("user_id"))))
+        drain("hh")(graft.streaming.StreamHeavyHitters.start(
+          spark, s"$sroot/hh/feed", s"$sroot/hh/alerts", s"$sroot/hh/ckpt"))
+        graft.streaming.DedupStream.stageBatches(s"$sroot/sess/feed",
+          batches.map(_.select(col("user_id"), col("ts"))))
+        drain("sessions")(graft.streaming.StreamSessions.start(
+          spark, s"$sroot/sess/feed", s"$sroot/sess/out", s"$sroot/sess/ckpt",
+          java.time.Duration.ofSeconds(86400L)))
+        val tmax = ev.agg(max(col("tsu"))).head().getLong(0)
+        val sentinelT = ev.select(col("user_id")).distinct()
+          .select(lit(-1L).as("event_id"),
+            timestamp_micros(lit(tmax + 1000000L)).as("ts"),
+            col("user_id"), lit(0.0).as("value"), lit(true).as("sentinel"))
+        graft.streaming.DedupStream.stageBatches(s"$sroot/trail/feed",
+          batches.map(_.select(col("event_id"), col("ts"), col("user_id"),
+            col("value"), lit(false).as("sentinel"))) :+ sentinelT)
+        drain("traillog")(graft.streaming.StreamTrailLog.start(
+          spark, s"$sroot/trail/feed", s"$sroot/trail/out", s"$sroot/trail/ckpt"))
+        ev.unpersist()
+        sfs2.delete(spth, true)
         ()
       }
 
