@@ -88,6 +88,8 @@ object SparkEntry {
     "q_multimodal_decode" -> ((s, d) => Multimodal.pngMetaQuery(s, d)),
     "q_train_manifest" -> ((s, d) => TrainingPipeline.trainManifest(s, d)),
     "q_window_analytics" -> ((s, d) => Relational.windowAnalytics(s, d)),
+    // time-series gap-fill (resample) over the events log
+    "q_gapfill"        -> ((s, d) => Relational.gapFill(s, d)),
     "q_mix_deciles"    -> ((s, d) => TextAnalysis.mixDeciles(s, d)),
     "q_ann_ivf"        -> ((s, d) => Similarity.ivfTopK(s, d)),
     "q_decontaminate"  -> ((s, d) => Dedup.decontaminate(s, d)),
@@ -606,6 +608,17 @@ object SparkEntry {
         | count(*) AS n_cust
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_gapfill" ->
+      """WITH e AS (SELECT user_id,
+        |        CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day FROM events),
+        |d AS (SELECT user_id, day, CAST(count(*) AS BIGINT) AS n
+        |      FROM e GROUP BY 1, 2),
+        |s AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM e GROUP BY 1),
+        |g AS (SELECT user_id, unnest(range(d0, d1 + 1)) AS day FROM s)
+        |SELECT g.user_id, g.day, CAST(coalesce(d.n, 0) AS BIGINT) AS n_events
+        |FROM g LEFT JOIN d USING (user_id, day)
+        |ORDER BY user_id, day""".stripMargin,
 
     "q_time_window" ->
       """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_start,

@@ -657,4 +657,27 @@ object Relational {
       s"stack(${pairs.size}, $stackArgs) AS (col_a, col_b, pearson_r)"))
       .orderBy(col("col_a"), col("col_b"))
   }
+
+  /** Time-series gap-fill (resample): per-user DAILY event counts with
+    * missing days materialized as zero rows — the regularization every
+    * downstream window/forecast op needs before it can assume a dense
+    * axis. Span explosion is per-user `sequence(min_day, max_day)` —
+    * bounded by the time horizon, never by event volume — and the count
+    * join-back is keyed on (user, day). At 100 TB the generated frame is
+    * users × days, orders of magnitude smaller than the event log it
+    * summarizes. */
+  def gapFill(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+    val daily = ev.groupBy(col("user_id"), col("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val spans = ev.groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    spans.select(col("user_id"), explode(expr("sequence(d0, d1)")).as("day"))
+      .join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+      .orderBy(col("user_id"), col("day"))
+  }
 }

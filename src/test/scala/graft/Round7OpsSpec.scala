@@ -39,6 +39,22 @@ class Round7OpsSpec extends SparkSpec {
     }
   }
 
+  test("gap-fill: every user's day axis is dense from first to last " +
+    "event, zero-filled, and sums back to the raw event count") {
+    val rows = ops.Relational.gapFill(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val total = ops.Tables.events(spark, sf).count()
+    assert(rows.map(_._3).sum === total, "zero-fill must not invent events")
+    rows.groupBy(_._1).foreach { case (u, ds) =>
+      val days = ds.map(_._2).sorted
+      assert(days.last - days.head + 1 === days.length.toLong,
+        s"user $u: day axis has gaps")
+      assert(days.distinct.length === days.length, s"user $u: duplicate days")
+    }
+    assert(rows.exists(_._3 == 0L),
+      "the fixture spans quiet days; at least one zero row must appear")
+  }
+
   test("png decode fails loud on a corrupt payload") {
     import spark.implicits._
     val bad = Seq(Multimodal.PngRow(1L, Array[Byte](1, 2, 3, 4))).toDS()
