@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   * super-linear term (pair blowup, driver state) bends the curve long
   * before 100 TB does. Dev tool; results recorded in SCALE.md.
   *
-  * Usage: runMain graft.tools.ScaleCurve [factors csv, default 1,10,100] [neardup] [stream] [bpe] [r6] [b5] [b6] [b9] [tws]
+  * Usage: runMain graft.tools.ScaleCurve [factors csv, default 1,10,100] [neardup] [stream] [bpe] [r6] [b5] [b6] [b9] [tws] [r7]
   *   `neardup` adds the near-dup composite (decontaminate + dup-span) at
   *   each factor — the standing per-round stress entry for the near-dup
   *   tier's scale curve (VERDICT r4 item 7). `stream` adds the
@@ -43,6 +43,11 @@ object ScaleCurve {
     // flat TWSBATCH times across batch index and ~constant rows/s across
     // factors.
     val tws = args.length > 1 && args.drop(1).contains("tws")
+    // `r7` measures the round-7 batch ops: the compaction APPLY rewrite
+    // (expected: I/O-linear in corpus bytes), the real-codec PNG
+    // encode+decode roundtrip (row-linear, partition-parallel), and the
+    // time-series gap-fill (user x day frame, sub-linear in events).
+    val r7 = args.length > 1 && args.drop(1).contains("r7")
     // keep: leave the replicated tables on disk for stage profiling
     // (graft.tools.Profile <dir> prefix) instead of the default cleanup
     val keep = args.length > 1 && args.drop(1).contains("keep")
@@ -243,6 +248,21 @@ object ScaleCurve {
           spark, s"$sroot/trail/feed", s"$sroot/trail/out", s"$sroot/trail/ckpt"))
         ev.unpersist()
         sfs2.delete(spth, true)
+        ()
+      }
+
+      if (r7) {
+        if (fac != 1)
+          replicate(spark.read.parquet(s"$sf/events.parquet"),
+            Set("event_id", "user_id"), fac, perturbText = false)
+            .repartition(64)
+            .write.mode("overwrite").parquet(s"$dir/events.parquet")
+        time("compact_apply", fac)(
+          graft.ops.Maintenance.compactionApplyQuery(spark, root).count())
+        time("png_roundtrip", fac)(
+          graft.ops.Multimodal.pngMetaQuery(spark, root).count())
+        time("gapfill", fac)(
+          graft.ops.Relational.gapFill(spark, root).count())
         ()
       }
 
