@@ -161,9 +161,13 @@ object SparkEntry {
     "q_bitext_mine_ivf" -> ((s, d) => Similarity.bitextMineIvf(s, d)),
     "q_stream_join"    -> ((s, d) =>
       graft.streaming.StreamJoin.streamedAttribution(s, d)),
-    // rows-only: encodes with the merge table learned by the iterative fit
-    // (inexpressible in DuckDB); Round6OpsSpec re-encodes driver-side
+    // encodes with the merge table learned by the iterative fit —
+    // oracle-exact since r7 (the oracle unrolls the same fit rounds);
+    // Round6OpsSpec's driver-side re-encode retained
     "q_bpe_encode"     -> ((s, d) => TextAnalysis.bpeEncode(s, d)),
+    // one hard-EM (Viterbi-EM) round of the unigram-LM trainer: integer
+    // Viterbi re-segmentation + corpus-weighted piece re-count
+    "q_unigram_em"     -> ((s, d) => TextAnalysis.unigramEmRound(s, d)),
     "q_knn_graph"      -> ((s, d) => Similarity.knnGraph(s, d)),
     "q_zorder"         -> ((s, d) => Layout.zorderKeys(s, d)),
     "q_zone_map"       -> ((s, d) => Layout.zoneMap(s, d)),
@@ -1697,6 +1701,68 @@ object SparkEntry {
     // path frequency mass, as a packed-integer DP. The recursive CTE
     // carries the last four best-costs as columns (maxLen = 4), which is
     // the SQL shape of the Spark side's aggregate fold.
+    // Hard-EM round: the q_unigram_encode DP carrying the FULL prefix-cost
+    // list, then a LATERAL traceback walk picking the shortest piece that
+    // reproduces the optimum at each boundary (the engine's tie rule), and
+    // one corpus-weighted piece re-count. All-integer scores make the
+    // round engine-exact.
+    "q_unigram_em" ->
+      """WITH RECURSIVE
+        |t AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tc AS (SELECT tok, count(*) AS c FROM t WHERE len(tok) > 0 GROUP BY 1),
+        |p AS (SELECT unnest(flatten(list_transform(range(1, len(tok) + 1),
+        |        i -> list_transform(range(i, least(i + 3, len(tok)) + 1),
+        |          j -> substr(tok, i, j - i + 1))))) AS piece, c
+        |      FROM tc),
+        |f AS (SELECT piece, CAST(sum(c) AS BIGINT) AS freq FROM p GROUP BY 1),
+        |top AS (SELECT piece, freq FROM f ORDER BY freq DESC, piece LIMIT 64),
+        |v AS (SELECT piece, max(freq) AS freq FROM (
+        |        SELECT piece, freq FROM top
+        |        UNION ALL
+        |        SELECT piece, freq FROM f WHERE len(piece) = 1) u
+        |      GROUP BY piece),
+        |dp AS (
+        |  SELECT tok, c, 0 AS i, [CAST(0 AS BIGINT)] AS costs FROM tc
+        |  UNION ALL
+        |  SELECT dp.tok, dp.c, dp.i + 1,
+        |    costs || [least(
+        |      CASE WHEN v1.freq IS NOT NULL
+        |        THEN costs[dp.i + 1] + 1099511627776 - v1.freq
+        |        ELSE 2305843009213693951 END,
+        |      CASE WHEN dp.i >= 1 AND v2.freq IS NOT NULL
+        |        THEN costs[dp.i] + 1099511627776 - v2.freq
+        |        ELSE 2305843009213693951 END,
+        |      CASE WHEN dp.i >= 2 AND v3.freq IS NOT NULL
+        |        THEN costs[dp.i - 1] + 1099511627776 - v3.freq
+        |        ELSE 2305843009213693951 END,
+        |      CASE WHEN dp.i >= 3 AND v4.freq IS NOT NULL
+        |        THEN costs[dp.i - 2] + 1099511627776 - v4.freq
+        |        ELSE 2305843009213693951 END)]
+        |  FROM dp
+        |  LEFT JOIN v v1 ON v1.piece = substr(dp.tok, dp.i + 1, 1)
+        |  LEFT JOIN v v2 ON dp.i >= 1 AND v2.piece = substr(dp.tok, dp.i, 2)
+        |  LEFT JOIN v v3 ON dp.i >= 2 AND v3.piece = substr(dp.tok, dp.i - 1, 3)
+        |  LEFT JOIN v v4 ON dp.i >= 3 AND v4.piece = substr(dp.tok, dp.i - 2, 4)
+        |  WHERE dp.i < len(dp.tok)),
+        |dpf AS (SELECT tok, c, costs FROM dp WHERE i = len(tok)),
+        |tb AS (
+        |  SELECT tok, c, costs, len(tok) AS pos,
+        |    CAST(NULL AS VARCHAR) AS piece FROM dpf
+        |  UNION ALL
+        |  SELECT tb.tok, tb.c, tb.costs, tb.pos - pick.l,
+        |    substr(tb.tok, tb.pos - pick.l + 1, pick.l)
+        |  FROM tb,
+        |  LATERAL (SELECT min(l) AS l FROM (
+        |     SELECT unnest(range(1, least(4, tb.pos) + 1)) AS l) ls, v
+        |     WHERE v.piece = substr(tb.tok, tb.pos - ls.l + 1, ls.l)
+        |       AND tb.costs[tb.pos + 1] = tb.costs[tb.pos - ls.l + 1]
+        |           + 1099511627776 - v.freq) pick
+        |  WHERE tb.pos > 0),
+        |em AS (SELECT piece, CAST(sum(c) AS BIGINT) AS em_freq
+        |       FROM tb WHERE piece IS NOT NULL GROUP BY 1)
+        |SELECT v.piece, v.freq, CAST(coalesce(em.em_freq, 0) AS BIGINT) AS em_freq
+        |FROM v LEFT JOIN em USING (piece) ORDER BY piece""".stripMargin,
+
     "q_unigram_encode" ->
       """WITH RECURSIVE
         |t AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),

@@ -929,6 +929,81 @@ object TextAnalysis {
       .orderBy(col("tok"))
   }
 
+  /** One HARD-EM round of unigram-LM tokenizer training (the Viterbi-EM
+    * variant of Kudo 2018's trainer, chosen because its statistics are
+    * integer-exact): E-step re-segments every distinct word by the same
+    * integer-scored Viterbi as [[unigramEncode]] (fewest pieces, ties to
+    * the highest frequency sum) and TRACES BACK the winning segmentation;
+    * M-step re-counts how often each vocabulary piece is actually USED,
+    * corpus-weighted — the re-estimated frequencies the next round (or the
+    * SentencePiece prune step) would consume. A seed piece that wins no
+    * segmentations re-estimates to 0: exactly the signal the pruner acts
+    * on.
+    *
+    * Shape at scale: the same vocabulary inversion as the other trainers —
+    * two corpus aggregates (distinct words, piece freqs), ONE broadcast
+    * vocabulary map, then both the DP and its traceback run as folds over
+    * DISTINCT words (no UDF, no extra shuffle), and the M-step is one
+    * piece-keyed aggregate over the segmented vocabulary. Engine-exact:
+    * all scores are integers (pieceCount*2^40 - freqSum), and the
+    * traceback deterministically takes the SHORTEST qualifying piece at
+    * each boundary, so the DuckDB oracle (recursive DP carrying the cost
+    * list + a LATERAL min-length traceback walk) reproduces the counts
+    * bit for bit. */
+  def unigramEmRound(spark: SparkSession, dir: String, maxLen: Int = 4,
+                     vocabSize: Int = 64): DataFrame = {
+    val stride = 1L << 40
+    val big = Long.MaxValue / 4
+    val freqs = pieceFreqs(spark, dir, maxLen)
+    val vocab = freqs
+      .orderBy(col("freq").desc, col("piece")).limit(vocabSize)
+      .unionByName(freqs.filter(length(col("piece")) === 1))
+      .dropDuplicates("piece")
+    val vmap = vocab.agg(
+      map_from_entries(collect_list(struct(col("piece"), col("freq"))))
+        .as("vmap"))
+    // the smallest piece length l that reproduces the DP optimum at
+    // boundary st.pos — spliced twice below (HOF lambdas have no let)
+    val lExpr =
+      s"""array_min(filter(transform(sequence(1, least($maxLen, st.pos)), l ->
+         |  CASE WHEN element_at(vmap, substring(tok, st.pos - l + 1, l))
+         |         IS NOT NULL
+         |        AND element_at(costs, st.pos + 1) =
+         |            element_at(costs, st.pos - l + 1) + ${stride}L
+         |            - element_at(vmap, substring(tok, st.pos - l + 1, l))
+         |       THEN l END), x -> x IS NOT NULL))""".stripMargin
+    val seg = distinctWords(spark, dir).crossJoin(broadcast(vmap))
+      // forward DP: full prefix-cost array (costs[i+1] = best for the
+      // first i chars), the [[unigramEncode]] fold minus its final cut
+      .withColumn("costs", expr(
+        s"""aggregate(sequence(1, length(tok)),
+           |  array(cast(0 as bigint)),
+           |  (acc, i) -> concat(acc, array(
+           |    array_min(transform(sequence(1, least($maxLen, i)), l ->
+           |      CASE WHEN element_at(vmap, substring(tok, i - l + 1, l))
+           |             IS NOT NULL
+           |        THEN element_at(acc, i - l + 1) + ${stride}L
+           |             - element_at(vmap, substring(tok, i - l + 1, l))
+           |        ELSE ${big}L END)))))""".stripMargin))
+      // traceback: walk boundaries right-to-left, emitting the winning
+      // piece at each step; at most length(tok) steps, so one fold
+      .withColumn("pieces", expr(
+        s"""aggregate(sequence(1, length(tok)),
+           |  named_struct('pos', length(tok),
+           |               'ps', cast(array() as array<string>)),
+           |  (st, z) -> IF(st.pos <= 0, st,
+           |    named_struct(
+           |      'pos', st.pos - ($lExpr),
+           |      'ps', concat(st.ps, array(
+           |        substring(tok, st.pos - ($lExpr) + 1, ($lExpr))))))).ps""".stripMargin))
+    val em = seg.select(col("c"), explode(col("pieces")).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("c")).as("em_freq"))
+    vocab.join(em, Seq("piece"), "left")
+      .select(col("piece"), col("freq"),
+        coalesce(col("em_freq"), lit(0L)).as("em_freq"))
+      .orderBy(col("piece"))
+  }
+
   /** WordPiece-style GREEDY subword segmentation (Wu et al. 2016's
     * longest-match-first inference, the scheme BERT tokenization uses):
     * at each position consume the LONGEST vocabulary piece that matches,

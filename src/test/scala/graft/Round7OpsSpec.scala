@@ -55,6 +55,28 @@ class Round7OpsSpec extends SparkSpec {
       "the fixture spans quiet days; at least one zero row must appear")
   }
 
+  test("unigram hard-EM round: re-estimated mass equals the Viterbi piece " +
+    "budget exactly, and no piece is used more often than it occurs") {
+    import graft.ops.TextAnalysis
+    val em = TextAnalysis.unigramEmRound(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(em.nonEmpty)
+    // usage is a subset of raw substring occurrence
+    em.foreach { case (p, freq, emFreq) =>
+      assert(emFreq <= freq, s"piece '$p' used $emFreq > occurs $freq")
+    }
+    // the M-step conserves mass: total piece usage == the corpus-weighted
+    // Viterbi piece count the encoder reports (same DP, same tie rule)
+    val enc = TextAnalysis.unigramEncode(spark, sf).collect()
+    val budget = enc.map(r =>
+      r.getAs[Long]("n_occ") * r.getAs[Int]("n_pieces")).sum
+    assert(em.map(_._3).sum === budget,
+      "EM usage mass must equal the encoder's corpus-weighted piece count")
+    // the E-step is selective: some seed piece must lose all its usage
+    assert(em.exists(_._3 == 0L),
+      "the fixture vocabulary overlaps; at least one piece must re-estimate to 0")
+  }
+
   test("png decode fails loud on a corrupt payload") {
     import spark.implicits._
     val bad = Seq(Multimodal.PngRow(1L, Array[Byte](1, 2, 3, 4))).toDS()
