@@ -349,6 +349,24 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
       }
       .toMap
 
+  /** Async [[refresh]]: fire each sync's rebuild as a [[SinkTasks]] task
+    * and return the ids — the reference's fire-then-gather refresh
+    * (`meili.py:56-63`); pair with [[SinkTasks.waitForTask]] and a
+    * timeout (its `wait_for_task_timeout`). The zone-map rebuild runs
+    * INSIDE each task, after its swap, so an awaited task implies a
+    * fresh manifest. */
+  def refreshAsync(tables: Seq[String] = Seq.empty): Map[String, Long] =
+    config.syncs
+      .filter(s => tables.isEmpty || tables.contains(s.table))
+      .map { s =>
+        s.table -> SinkTasks.submit(s"refresh:${s.table}") {
+          SwapRefresh.refresh(source.fullScan(s), statePath(s),
+            config.stateBuckets.map(nb => (pkOut(s), nb)))
+          rebuildZoneMap(s)
+        }
+      }
+      .toMap
+
   /** `check`: source count vs sink count per sync (`main.py:179-208`). */
   def check(): Map[String, (Long, Long)] = config.syncs.map { s =>
     val sinkCount =

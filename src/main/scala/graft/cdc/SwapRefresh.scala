@@ -15,6 +15,66 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * so changes made during the rebuild replay afterwards — snapshot-then-tail.
   * [[refresh]] takes the caller's already-captured offset for the same reason.
   */
+/** Async sink-task surface — the reference's every-write-is-a-task model
+  * (`meili.py:20-70`): Meilisearch acknowledges a write by returning a
+  * TASK id; the client awaits it with `wait_for_task(timeout_in_ms =
+  * wait_for_task_timeout)` (`meili.py:28,56-63`), and the refresh path
+  * fires many data tasks and gathers them before the swap. Our parquet
+  * micro-batch writes commit synchronously (the sink IS the commit), but
+  * the blue/green refresh is genuinely long-running — so it is the async
+  * task here, with the same await-with-timeout contract: a timeout is an
+  * ERROR (the caller's data isn't queryable), while a FAILED task returns
+  * with its error so the caller decides. */
+object SinkTasks {
+  final case class TaskInfo(id: Long, name: String, status: String,
+                            error: Option[String]) {
+    def pending: Boolean = status == "enqueued" || status == "processing"
+  }
+
+  private val ids = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val tasks =
+    new java.util.concurrent.ConcurrentHashMap[Long, TaskInfo]()
+
+  /** Run `work` on a daemon thread; returns the task id immediately (the
+    * task_uid the reference's client hands back on every write). */
+  def submit(name: String)(work: => Unit): Long = {
+    val id = ids.incrementAndGet()
+    tasks.put(id, TaskInfo(id, name, "enqueued", None))
+    val t = new Thread(() => {
+      tasks.put(id, TaskInfo(id, name, "processing", None))
+      try {
+        work
+        tasks.put(id, TaskInfo(id, name, "succeeded", None))
+      } catch {
+        case e: Throwable =>
+          tasks.put(id, TaskInfo(id, name, "failed", Some(e.toString)))
+      }
+    }, s"graft-sink-task-$id")
+    t.setDaemon(true)
+    t.start()
+    id
+  }
+
+  def status(id: Long): TaskInfo = Option(tasks.get(id)).getOrElse(
+    throw new NoSuchElementException(s"no sink task $id"))
+
+  /** `wait_for_task(timeout_in_ms)`: poll until the task leaves the
+    * pending states or the deadline passes; past the deadline, fail loud
+    * with [[java.util.concurrent.TimeoutException]]. */
+  def waitForTask(id: Long, timeoutMs: Long, pollMs: Long = 25L): TaskInfo = {
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    var s = status(id)
+    while (s.pending && System.nanoTime() < deadline) {
+      Thread.sleep(pollMs)
+      s = status(id)
+    }
+    if (s.pending)
+      throw new java.util.concurrent.TimeoutException(
+        s"sink task $id (${s.name}) still ${s.status} after $timeoutMs ms")
+    s
+  }
+}
+
 object SwapRefresh {
 
   /** Rebuild `livePath` from `fresh`, atomically. Returns row count written.
@@ -39,6 +99,15 @@ object SwapRefresh {
     UpsertSink.atomicSwapDirs(fresh.sparkSession, staging, livePath)
     n
   }
+
+  /** Async [[refresh]]: returns a [[SinkTasks]] id immediately — the shape
+    * the reference's refresh has (fire the rebuild as tasks, then gather
+    * them with `wait_for_task_timeout`, `meili.py:56-63`). Spark job
+    * submission is thread-safe, so the rebuild runs concurrently with the
+    * caller; reads of `livePath` see the OLD copy until the atomic swap. */
+  def refreshAsync(fresh: DataFrame, livePath: String,
+                   buckets: Option[(String, Int)] = None): Long =
+    SinkTasks.submit(s"refresh:$livePath") { refresh(fresh, livePath, buckets); () }
 }
 
 /** S5 + `check` command: consistency verification (reference

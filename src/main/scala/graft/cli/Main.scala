@@ -116,7 +116,21 @@ object Main {
           progress = progress)
         q.awaitTermination()
       case "refresh" =>
-        pipe.refresh(rest).foreach { case (t, n) => println(s"refreshed $t: $n rows") }
+        // refresh.timeout.ms configured => the reference's async shape:
+        // fire every table's rebuild as a task, then gather each with
+        // wait_for_task_timeout (meili.py:28,56-63); a timeout fails loud
+        Option(props.getProperty("refresh.timeout.ms")) match {
+          case Some(ms) =>
+            pipe.refreshAsync(rest).foreach { case (t, taskId) =>
+              val info = graft.cdc.SinkTasks.waitForTask(taskId, ms.toLong)
+              require(info.status == "succeeded",
+                s"refresh task for $t failed: ${info.error.getOrElse("?")}")
+              println(s"refreshed $t (task $taskId ${info.status})")
+            }
+          case None =>
+            pipe.refresh(rest).foreach { case (t, n) =>
+              println(s"refreshed $t: $n rows") }
+        }
       case "check" =>
         var ok = true
         pipe.check().foreach { case (t, (src, sink)) =>

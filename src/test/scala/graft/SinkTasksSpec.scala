@@ -1,0 +1,45 @@
+package graft
+
+import graft.cdc.{SinkTasks, SwapRefresh}
+
+/** The reference's task-await surface (`meili.py:28,56-63`): every write
+  * is a task the client awaits with `wait_for_task(timeout_in_ms)`. Here
+  * the long-running blue/green refresh is the async task; the await
+  * contract is: succeeded tasks return, failed tasks return WITH their
+  * error, and a still-pending task past the deadline fails loud. */
+class SinkTasksSpec extends SparkSpec {
+
+  test("async refresh: the task id returns immediately, waitForTask " +
+    "gathers it, and the rebuilt copy is swapped live") {
+    import spark.implicits._
+    val live = s"${tmpDir("sinktasks")}/t"
+    Seq((1, "a"), (2, "b")).toDF("id", "v")
+      .write.parquet(live)
+    val fresh = Seq((1, "a2"), (2, "b2"), (3, "c")).toDF("id", "v")
+    val id = SwapRefresh.refreshAsync(fresh, live)
+    val info = SinkTasks.waitForTask(id, timeoutMs = 120000)
+    assert(info.status === "succeeded", info.toString)
+    assert(spark.read.parquet(live).count() === 3)
+  }
+
+  test("waitForTask fails loud past the deadline, and a later wait on the " +
+    "same task still succeeds (the task keeps running)") {
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val id = SinkTasks.submit("slow") { gate.await() }
+    intercept[java.util.concurrent.TimeoutException] {
+      SinkTasks.waitForTask(id, timeoutMs = 150)
+    }
+    assert(SinkTasks.status(id).pending)
+    gate.countDown()
+    assert(SinkTasks.waitForTask(id, timeoutMs = 5000).status === "succeeded")
+  }
+
+  test("a failed task returns its error through the await instead of " +
+    "hanging or vanishing") {
+    val id = SinkTasks.submit("boom") { sys.error("index exploded") }
+    val info = SinkTasks.waitForTask(id, timeoutMs = 5000)
+    assert(info.status === "failed")
+    assert(info.error.exists(_.contains("index exploded")))
+    intercept[NoSuchElementException](SinkTasks.status(-1L))
+  }
+}
