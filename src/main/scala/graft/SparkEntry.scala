@@ -168,6 +168,10 @@ object SparkEntry {
     // one hard-EM (Viterbi-EM) round of the unigram-LM trainer: integer
     // Viterbi re-segmentation + corpus-weighted piece re-count
     "q_unigram_em"     -> ((s, d) => TextAnalysis.unigramEmRound(s, d)),
+    // the SentencePiece prune step: rank by EM usage, drop the bottom 20%
+    // of multi-char pieces, re-weight survivors, re-segment — chained
+    // engine-exactly (chars always survive as the encodability fallback)
+    "q_unigram_prune"  -> ((s, d) => TextAnalysis.unigramPrune(s, d)),
     "q_knn_graph"      -> ((s, d) => Similarity.knnGraph(s, d)),
     "q_zorder"         -> ((s, d) => Layout.zorderKeys(s, d)),
     "q_zone_map"       -> ((s, d) => Layout.zoneMap(s, d)),
@@ -360,6 +364,69 @@ object SparkEntry {
        |  round(max(cos), 4) + 0.0 AS max_cos
        |FROM fin WHERE rk = 1 GROUP BY 1 ORDER BY cell""".stripMargin
   }
+
+  /** dp/tb/em CTE triple for one unigram Viterbi usage pass over
+    * vocabulary table `vTab` (piece, freq), suffixed `sfx` so
+    * q_unigram_prune can chain two passes: the recursive DP carrying the
+    * FULL prefix-cost list, the LATERAL shortest-piece traceback walk
+    * (the engine's tie rule), and the corpus-weighted usage count. All
+    * scores integer. */
+  private def unigramUsageCtes(sfx: String, vTab: String): String =
+    s"""dp$sfx AS (
+       |  SELECT tok, c, 0 AS i, [CAST(0 AS BIGINT)] AS costs FROM tc
+       |  UNION ALL
+       |  SELECT d.tok, d.c, d.i + 1,
+       |    costs || [least(
+       |      CASE WHEN v1.freq IS NOT NULL
+       |        THEN costs[d.i + 1] + 1099511627776 - v1.freq
+       |        ELSE 2305843009213693951 END,
+       |      CASE WHEN d.i >= 1 AND v2.freq IS NOT NULL
+       |        THEN costs[d.i] + 1099511627776 - v2.freq
+       |        ELSE 2305843009213693951 END,
+       |      CASE WHEN d.i >= 2 AND v3.freq IS NOT NULL
+       |        THEN costs[d.i - 1] + 1099511627776 - v3.freq
+       |        ELSE 2305843009213693951 END,
+       |      CASE WHEN d.i >= 3 AND v4.freq IS NOT NULL
+       |        THEN costs[d.i - 2] + 1099511627776 - v4.freq
+       |        ELSE 2305843009213693951 END)]
+       |  FROM dp$sfx d
+       |  LEFT JOIN $vTab v1 ON v1.piece = substr(d.tok, d.i + 1, 1)
+       |  LEFT JOIN $vTab v2 ON d.i >= 1 AND v2.piece = substr(d.tok, d.i, 2)
+       |  LEFT JOIN $vTab v3 ON d.i >= 2 AND v3.piece = substr(d.tok, d.i - 1, 3)
+       |  LEFT JOIN $vTab v4 ON d.i >= 3 AND v4.piece = substr(d.tok, d.i - 2, 4)
+       |  WHERE d.i < len(d.tok)),
+       |dpf$sfx AS (SELECT tok, c, costs FROM dp$sfx WHERE i = len(tok)),
+       |tb$sfx AS (
+       |  SELECT tok, c, costs, len(tok) AS pos,
+       |    CAST(NULL AS VARCHAR) AS piece FROM dpf$sfx
+       |  UNION ALL
+       |  SELECT t.tok, t.c, t.costs, t.pos - pick.l,
+       |    substr(t.tok, t.pos - pick.l + 1, pick.l)
+       |  FROM tb$sfx t,
+       |  LATERAL (SELECT min(l) AS l FROM (
+       |     SELECT unnest(range(1, least(4, t.pos) + 1)) AS l) ls, $vTab v
+       |     WHERE v.piece = substr(t.tok, t.pos - ls.l + 1, ls.l)
+       |       AND t.costs[t.pos + 1] = t.costs[t.pos - ls.l + 1]
+       |           + 1099511627776 - v.freq) pick
+       |  WHERE t.pos > 0),
+       |em$sfx AS (SELECT piece, CAST(sum(c) AS BIGINT) AS em_freq
+       |           FROM tb$sfx WHERE piece IS NOT NULL GROUP BY 1)""".stripMargin
+
+  /** The shared corpus/vocabulary preamble of the unigram-trainer oracles. */
+  private val unigramSeedCtes: String =
+    """t AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      |tc AS (SELECT tok, count(*) AS c FROM t WHERE len(tok) > 0 GROUP BY 1),
+      |p AS (SELECT unnest(flatten(list_transform(range(1, len(tok) + 1),
+      |        i -> list_transform(range(i, least(i + 3, len(tok)) + 1),
+      |          j -> substr(tok, i, j - i + 1))))) AS piece, c
+      |      FROM tc),
+      |f AS (SELECT piece, CAST(sum(c) AS BIGINT) AS freq FROM p GROUP BY 1),
+      |top AS (SELECT piece, freq FROM f ORDER BY freq DESC, piece LIMIT 64),
+      |v AS (SELECT piece, max(freq) AS freq FROM (
+      |        SELECT piece, freq FROM top
+      |        UNION ALL
+      |        SELECT piece, freq FROM f WHERE len(piece) = 1) u
+      |      GROUP BY piece)""".stripMargin
 
   private def bpeFitOracle(merges: Int): String = {
     val union = (1 to merges)
@@ -1707,61 +1774,36 @@ object SparkEntry {
     // one corpus-weighted piece re-count. All-integer scores make the
     // round engine-exact.
     "q_unigram_em" ->
-      """WITH RECURSIVE
-        |t AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
-        |tc AS (SELECT tok, count(*) AS c FROM t WHERE len(tok) > 0 GROUP BY 1),
-        |p AS (SELECT unnest(flatten(list_transform(range(1, len(tok) + 1),
-        |        i -> list_transform(range(i, least(i + 3, len(tok)) + 1),
-        |          j -> substr(tok, i, j - i + 1))))) AS piece, c
-        |      FROM tc),
-        |f AS (SELECT piece, CAST(sum(c) AS BIGINT) AS freq FROM p GROUP BY 1),
-        |top AS (SELECT piece, freq FROM f ORDER BY freq DESC, piece LIMIT 64),
-        |v AS (SELECT piece, max(freq) AS freq FROM (
-        |        SELECT piece, freq FROM top
-        |        UNION ALL
-        |        SELECT piece, freq FROM f WHERE len(piece) = 1) u
-        |      GROUP BY piece),
-        |dp AS (
-        |  SELECT tok, c, 0 AS i, [CAST(0 AS BIGINT)] AS costs FROM tc
-        |  UNION ALL
-        |  SELECT dp.tok, dp.c, dp.i + 1,
-        |    costs || [least(
-        |      CASE WHEN v1.freq IS NOT NULL
-        |        THEN costs[dp.i + 1] + 1099511627776 - v1.freq
-        |        ELSE 2305843009213693951 END,
-        |      CASE WHEN dp.i >= 1 AND v2.freq IS NOT NULL
-        |        THEN costs[dp.i] + 1099511627776 - v2.freq
-        |        ELSE 2305843009213693951 END,
-        |      CASE WHEN dp.i >= 2 AND v3.freq IS NOT NULL
-        |        THEN costs[dp.i - 1] + 1099511627776 - v3.freq
-        |        ELSE 2305843009213693951 END,
-        |      CASE WHEN dp.i >= 3 AND v4.freq IS NOT NULL
-        |        THEN costs[dp.i - 2] + 1099511627776 - v4.freq
-        |        ELSE 2305843009213693951 END)]
-        |  FROM dp
-        |  LEFT JOIN v v1 ON v1.piece = substr(dp.tok, dp.i + 1, 1)
-        |  LEFT JOIN v v2 ON dp.i >= 1 AND v2.piece = substr(dp.tok, dp.i, 2)
-        |  LEFT JOIN v v3 ON dp.i >= 2 AND v3.piece = substr(dp.tok, dp.i - 1, 3)
-        |  LEFT JOIN v v4 ON dp.i >= 3 AND v4.piece = substr(dp.tok, dp.i - 2, 4)
-        |  WHERE dp.i < len(dp.tok)),
-        |dpf AS (SELECT tok, c, costs FROM dp WHERE i = len(tok)),
-        |tb AS (
-        |  SELECT tok, c, costs, len(tok) AS pos,
-        |    CAST(NULL AS VARCHAR) AS piece FROM dpf
-        |  UNION ALL
-        |  SELECT tb.tok, tb.c, tb.costs, tb.pos - pick.l,
-        |    substr(tb.tok, tb.pos - pick.l + 1, pick.l)
-        |  FROM tb,
-        |  LATERAL (SELECT min(l) AS l FROM (
-        |     SELECT unnest(range(1, least(4, tb.pos) + 1)) AS l) ls, v
-        |     WHERE v.piece = substr(tb.tok, tb.pos - ls.l + 1, ls.l)
-        |       AND tb.costs[tb.pos + 1] = tb.costs[tb.pos - ls.l + 1]
-        |           + 1099511627776 - v.freq) pick
-        |  WHERE tb.pos > 0),
-        |em AS (SELECT piece, CAST(sum(c) AS BIGINT) AS em_freq
-        |       FROM tb WHERE piece IS NOT NULL GROUP BY 1)
-        |SELECT v.piece, v.freq, CAST(coalesce(em.em_freq, 0) AS BIGINT) AS em_freq
-        |FROM v LEFT JOIN em USING (piece) ORDER BY piece""".stripMargin,
+      s"""WITH RECURSIVE
+         |$unigramSeedCtes,
+         |${unigramUsageCtes("1", "v")}
+         |SELECT v.piece, v.freq, CAST(coalesce(em1.em_freq, 0) AS BIGINT) AS em_freq
+         |FROM v LEFT JOIN em1 USING (piece) ORDER BY piece""".stripMargin,
+
+    // The SentencePiece prune step as one chained statement: usage pass 1
+    // over the seed vocabulary, rank multi-char pieces by usage and keep
+    // the top ceil(0.8 * n) (chars always survive), re-weight survivors
+    // with their EM counts, usage pass 2 over the pruned vocabulary. The
+    // 0.8 is the same double literal the engine uses, so even the ceil's
+    // representation error matches bit for bit.
+    "q_unigram_prune" ->
+      s"""WITH RECURSIVE
+         |$unigramSeedCtes,
+         |${unigramUsageCtes("1", "v")},
+         |em1f AS (SELECT v.piece, CAST(coalesce(em1.em_freq, 0) AS BIGINT) AS em1
+         |         FROM v LEFT JOIN em1 USING (piece)),
+         |m AS (SELECT piece, em1, row_number() OVER (ORDER BY em1 DESC, piece) AS rk,
+         |        count(*) OVER () AS nm FROM em1f WHERE len(piece) > 1),
+         |v2 AS (SELECT piece, em1 AS freq FROM m
+         |       WHERE rk <= CAST(ceil(0.8 * nm) AS BIGINT)
+         |       UNION ALL
+         |       SELECT piece, em1 AS freq FROM em1f WHERE len(piece) = 1),
+         |${unigramUsageCtes("2", "v2")}
+         |SELECT em1f.piece, em1f.em1,
+         |  (m.rk IS NULL OR m.rk <= CAST(ceil(0.8 * m.nm) AS BIGINT)) AS kept,
+         |  CAST(coalesce(em2.em_freq, 0) AS BIGINT) AS em2
+         |FROM em1f LEFT JOIN m USING (piece) LEFT JOIN em2 USING (piece)
+         |ORDER BY piece""".stripMargin,
 
     "q_unigram_encode" ->
       """WITH RECURSIVE

@@ -861,7 +861,10 @@ object TextAnalysis {
     * [[unigramEncode]]. */
   private def pieceFreqs(spark: SparkSession, dir: String,
                          maxLen: Int): DataFrame =
-    distinctWords(spark, dir)
+    pieceFreqsOf(distinctWords(spark, dir), maxLen)
+
+  private def pieceFreqsOf(words: DataFrame, maxLen: Int): DataFrame =
+    words
       .select(col("c"), explode(expr(
         s"""flatten(transform(sequence(1, length(tok)),
            |  i -> transform(sequence(i, least(i + ${maxLen - 1}, length(tok))),
@@ -952,13 +955,28 @@ object TextAnalysis {
     * bit for bit. */
   def unigramEmRound(spark: SparkSession, dir: String, maxLen: Int = 4,
                      vocabSize: Int = 64): DataFrame = {
-    val stride = 1L << 40
-    val big = Long.MaxValue / 4
     val freqs = pieceFreqs(spark, dir, maxLen)
     val vocab = freqs
       .orderBy(col("freq").desc, col("piece")).limit(vocabSize)
       .unionByName(freqs.filter(length(col("piece")) === 1))
       .dropDuplicates("piece")
+    val em = vocabUsage(distinctWords(spark, dir), vocab, maxLen)
+    vocab.join(em, Seq("piece"), "left")
+      .select(col("piece"), col("freq"),
+        coalesce(col("em_freq"), lit(0L)).as("em_freq"))
+      .orderBy(col("piece"))
+  }
+
+  /** The shared E-step of [[unigramEmRound]] and [[unigramPrune]]:
+    * corpus-weighted usage of each `vocab` piece (piece, freq) in the
+    * integer Viterbi segmentation of every distinct word — the forward DP
+    * keeps the full prefix-cost array, and a second fold traces back the
+    * winning pieces (shortest qualifying piece at each boundary — the
+    * deterministic tie rule the oracle replicates). */
+  private def vocabUsage(words: DataFrame, vocab: DataFrame,
+                         maxLen: Int): DataFrame = {
+    val stride = 1L << 40
+    val big = Long.MaxValue / 4
     val vmap = vocab.agg(
       map_from_entries(collect_list(struct(col("piece"), col("freq"))))
         .as("vmap"))
@@ -972,7 +990,7 @@ object TextAnalysis {
          |            element_at(costs, st.pos - l + 1) + ${stride}L
          |            - element_at(vmap, substring(tok, st.pos - l + 1, l))
          |       THEN l END), x -> x IS NOT NULL))""".stripMargin
-    val seg = distinctWords(spark, dir).crossJoin(broadcast(vmap))
+    val seg = words.crossJoin(broadcast(vmap))
       // forward DP: full prefix-cost array (costs[i+1] = best for the
       // first i chars), the [[unigramEncode]] fold minus its final cut
       .withColumn("costs", expr(
@@ -996,11 +1014,55 @@ object TextAnalysis {
            |      'pos', st.pos - ($lExpr),
            |      'ps', concat(st.ps, array(
            |        substring(tok, st.pos - ($lExpr) + 1, ($lExpr))))))).ps""".stripMargin))
-    val em = seg.select(col("c"), explode(col("pieces")).as("piece"))
+    seg.select(col("c"), explode(col("pieces")).as("piece"))
       .groupBy(col("piece")).agg(sum(col("c")).as("em_freq"))
-    vocab.join(em, Seq("piece"), "left")
-      .select(col("piece"), col("freq"),
-        coalesce(col("em_freq"), lit(0L)).as("em_freq"))
+  }
+
+  /** The SentencePiece PRUNE step (Kudo 2018 §3.2, the shrink phase run
+    * between EM rounds): rank the multi-character pieces by their
+    * re-estimated usage ([[unigramEmRound]]'s E-step), keep the top 80%
+    * (single characters always survive — they are the fallback that keeps
+    * every word encodable), re-weight the survivors with their EM counts,
+    * and re-segment the corpus under the pruned vocabulary. Output is the
+    * full seed vocabulary annotated with (em1, kept, em2): usage before
+    * the prune, the prune decision, and usage after — dropped pieces show
+    * how their mass redistributes onto survivors.
+    *
+    * Shape at scale: two E-steps (each a broadcast-vocabulary fold over
+    * DISTINCT words — the vocabulary inversion again) and O(vocab)
+    * plumbing between them; `words` is localCheckpointed because both
+    * E-steps and the seed inventory consume it (the AQE
+    * broadcast-boundary lesson). Everything stays integer, so the chained
+    * round is engine-exact end to end. */
+  def unigramPrune(spark: SparkSession, dir: String, maxLen: Int = 4,
+                   vocabSize: Int = 64): DataFrame = {
+    val words = distinctWords(spark, dir).localCheckpoint(true)
+    val freqs = pieceFreqsOf(words, maxLen)
+    val vocab = freqs
+      .orderBy(col("freq").desc, col("piece")).limit(vocabSize)
+      .unionByName(freqs.filter(length(col("piece")) === 1))
+      .dropDuplicates("piece")
+    val em1 = vocab.join(vocabUsage(words, vocab, maxLen), Seq("piece"), "left")
+      .select(col("piece"), coalesce(col("em_freq"), lit(0L)).as("em1"))
+      .localCheckpoint(true) // consumed by the rank, the re-weight, and the output
+    // keep ceil(0.8 * nMulti) multi-char pieces by (em1 DESC, piece); the
+    // count is an O(vocab) driver action, and 0.8 is a shared LITERAL so
+    // the oracle's double ceil matches bit for bit
+    val nMulti = em1.filter(length(col("piece")) > 1).count()
+    val keepN = math.ceil(0.8 * nMulti).toLong
+    val ranked = em1.filter(length(col("piece")) > 1)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("em1").desc, col("piece"))))
+    val vocab2 = ranked.filter(col("rk") <= keepN)
+      .select(col("piece"), col("em1").as("freq"))
+      .unionByName(em1.filter(length(col("piece")) === 1)
+        .select(col("piece"), col("em1").as("freq")))
+    val em2 = vocabUsage(words, vocab2, maxLen)
+    em1.join(ranked.select(col("piece"), col("rk")), Seq("piece"), "left")
+      .join(em2, Seq("piece"), "left")
+      .select(col("piece"), col("em1"),
+        (col("rk").isNull || col("rk") <= keepN).as("kept"),
+        coalesce(col("em_freq"), lit(0L)).as("em2"))
       .orderBy(col("piece"))
   }
 

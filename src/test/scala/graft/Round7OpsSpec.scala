@@ -77,6 +77,25 @@ class Round7OpsSpec extends SparkSpec {
       "the fixture vocabulary overlaps; at least one piece must re-estimate to 0")
   }
 
+  test("unigram prune: chars always survive, exactly the top-80% of " +
+    "multi-char pieces are kept, dropped pieces lose all usage, and " +
+    "segmentations can only lengthen") {
+    import graft.ops.TextAnalysis
+    val rows = TextAnalysis.unigramPrune(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2), r.getLong(3)))
+    val (chars, multi) = rows.partition(_._1.length == 1)
+    assert(chars.nonEmpty && chars.forall(_._3), "every char must survive")
+    val keptMulti = multi.count(_._3)
+    assert(keptMulti === math.ceil(0.8 * multi.length).toLong,
+      s"kept $keptMulti of ${multi.length} multi-char pieces")
+    rows.filterNot(_._3).foreach { case (p, _, _, em2) =>
+      assert(em2 === 0L, s"dropped piece '$p' still used $em2 times")
+    }
+    // fewer pieces available => each word needs at least as many pieces
+    assert(rows.map(_._4).sum >= rows.map(_._2).sum,
+      "pruning cannot shorten optimal segmentations")
+  }
+
   test("png decode fails loud on a corrupt payload") {
     import spark.implicits._
     val bad = Seq(Multimodal.PngRow(1L, Array[Byte](1, 2, 3, 4))).toDS()
