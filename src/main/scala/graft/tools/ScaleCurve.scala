@@ -263,6 +263,21 @@ object ScaleCurve {
           graft.ops.Multimodal.pngMetaQuery(spark, root).count())
         time("gapfill", fac)(
           graft.ops.Relational.gapFill(spark, root).count())
+        // the unigram trainer steps over DUPLICATE-text replicas (the bpe
+        // batch's axis): the corpus grows fac x while the vocabulary stays
+        // constant, so the E-step folds (distinct-word-bound) must stay
+        // FLAT and only the two corpus aggregates may grow
+        val ddup = s"/tmp/graft-scurve-r7dup-$fac"
+        if (fac != 1)
+          replicate(spark.read.parquet(s"$sf/documents.parquet"),
+            Set("doc_id"), fac, perturbText = false)
+            .repartition(64)
+            .write.mode("overwrite").parquet(s"$ddup/documents.parquet")
+        val uroot = if (fac == 1) sf else ddup
+        time("unigram_em", fac)(
+          graft.ops.TextAnalysis.unigramEmRound(spark, uroot).count())
+        time("unigram_prune", fac)(
+          graft.ops.TextAnalysis.unigramPrune(spark, uroot).count())
         ()
       }
 
