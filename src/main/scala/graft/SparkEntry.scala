@@ -93,6 +93,9 @@ object SparkEntry {
     "q_mix_deciles"    -> ((s, d) => TextAnalysis.mixDeciles(s, d)),
     "q_ann_ivf"        -> ((s, d) => Similarity.ivfTopK(s, d)),
     "q_decontaminate"  -> ((s, d) => Dedup.decontaminate(s, d)),
+    // the SEMANTIC screen over the same hash split: max train-cosine per
+    // test doc — catches the paraphrased leakage n-grams miss
+    "q_decontaminate_embed" -> ((s, d) => Similarity.decontaminateEmbed(s, d)),
     "q_pack_sequences" -> ((s, d) => TextAnalysis.packSequences(s, d)),
     "q_filter_funnel"  -> ((s, d) => TextAnalysis.filterFunnel(s, d)),
     "q_stats_agg"      -> ((s, d) => Relational.statsAgg(s, d)),
@@ -930,6 +933,21 @@ object SparkEntry {
         |      FROM s)
         |SELECT q_id, rank, n_id, round(cos, 4) AS cosine
         |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    // max over a group is order-independent, so the semantic screen is
+    // engine-exact before the 4-dp round; the flag compares the RAW max
+    // on both sides
+    "q_decontaminate_embed" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS norm FROM e),
+        |q AS (SELECT * FROM n WHERE (vec_id * 2654435761) % 100 >= 80),
+        |c AS (SELECT * FROM n WHERE (vec_id * 2654435761) % 100 < 80),
+        |s AS (SELECT q.vec_id AS doc_id,
+        |        max(list_dot_product(q.v, c.v) / (q.norm * c.norm)) AS mc
+        |      FROM q, c GROUP BY 1)
+        |SELECT doc_id, round(mc, 4) + 0.0 AS max_train_cos,
+        |  mc >= 0.5 AS contaminated
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     "q_ann_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -254,6 +254,36 @@ object Similarity {
     centroids
   }
 
+  /** Embedding-space decontamination — the SEMANTIC companion to the
+    * n-gram [[graft.ops.Dedup.decontaminate]]: an exact-substring check
+    * misses paraphrased or lightly-rewritten eval leakage, so the test
+    * split is also screened by maximum cosine against any train vector
+    * (the embedding-similarity contamination audit run before publishing
+    * eval numbers). Same deterministic hash split as the n-gram op, so
+    * the two screens audit the same partition.
+    *
+    * Scale shape: the test split broadcasts (it is the small side by
+    * construction) against ONE train-corpus scan; `max` is
+    * order-independent, so the score is engine-exact before rounding. At
+    * 100 TB the brute-force scan swaps for the IVF probe cut exactly as
+    * [[bitextMineIvf]] does for [[bitextMine]] — brute force stays the
+    * oracle baseline. */
+  def decontaminateEmbed(spark: SparkSession, dir: String,
+                         threshold: Double = 0.5): DataFrame = {
+    val e = withVec(spark, dir)
+    val split = pmod(col("vec_id") * lit(2654435761L), lit(100))
+    val test = e.filter(split >= 80).alias("q")
+    val train = e.filter(split < 80).alias("c")
+    train.join(broadcast(test))
+      .select(col("q.vec_id").as("doc_id"), cosine.as("cos"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("cos")).as("mc"))
+      .select(col("doc_id"),
+        (round(col("mc"), 4) + 0.0).as("max_train_cos"),
+        (col("mc") >= threshold).as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Quantization profile of the TRAINED quantizer ([[kmeansFit]]) — the
     * bench/driver surface for the k-means path. Oracle-exact since round 7:
     * integer micro-unit centroids unroll to chained DuckDB CTEs, so the

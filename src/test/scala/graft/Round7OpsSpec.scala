@@ -96,6 +96,32 @@ class Round7OpsSpec extends SparkSpec {
       "pruning cannot shorten optimal segmentations")
   }
 
+  test("embedding decontamination: every test-split doc is screened once " +
+    "and the flag matches a driver-side brute force") {
+    import graft.ops.Similarity
+    val rows = Similarity.decontaminateEmbed(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+    val emb = ops.Tables(spark, sf, "embeddings").collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).toArray.map(_.toDouble)))
+    val testIds = emb.map(_._1).filter(id => (id * 2654435761L) % 100 >= 80).toSet
+    assert(rows.map(_._1).toSet === testIds, "screen must cover the test split")
+    assert(rows.length === testIds.size)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val train = emb.filterNot(e => testIds(e._1))
+    val byId = emb.toMap
+    rows.take(5).foreach { case (id, mcRounded, flag) =>
+      val mc = train.map(t => cos(byId(id), t._2)).max
+      assert(math.abs(mcRounded - math.rint(mc * 10000) / 10000) < 1e-9,
+        s"doc $id: reported $mcRounded vs brute-force $mc")
+      assert(flag === (mc >= 0.5), s"doc $id: flag disagrees at mc=$mc")
+    }
+  }
+
   test("png decode fails loud on a corrupt payload") {
     import spark.implicits._
     val bad = Seq(Multimodal.PngRow(1L, Array[Byte](1, 2, 3, 4))).toDS()
