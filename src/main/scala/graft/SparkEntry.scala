@@ -161,6 +161,9 @@ object SparkEntry {
     "q_bitext_mine"    -> ((s, d) => Similarity.bitextMine(s, d)),
     "q_dq_checks"      -> ((s, d) => QualityChecks.dqChecks(s, d)),
     "q_drift"          -> ((s, d) => Drift.driftReport(s, d)),
+    // continuous-monitoring drift: day-over-day PSI of the event-value
+    // distribution on a fixed grid
+    "q_drift_windowed" -> ((s, d) => Drift.driftWindowed(s, d)),
     "q_bitext_mine_ivf" -> ((s, d) => Similarity.bitextMineIvf(s, d)),
     "q_stream_join"    -> ((s, d) =>
       graft.streaming.StreamJoin.streamedAttribution(s, d)),
@@ -2053,6 +2056,34 @@ object SparkEntry {
 
     // PSI drift between the two corpus halves: laplace-smoothed bucket
     // shares, one ln per bucket, per-feature sums.
+    // Day-over-day PSI, p = previous day / q = current on a dense 10-bin
+    // grid; integer counts in, one ln per bin out, 6-dp round + the
+    // negative-zero guard on both sides.
+    "q_drift_windowed" ->
+      """WITH e AS (SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+        |        CAST(least(floor(value / 50.0), 9) AS BIGINT) AS bucket
+        |      FROM events),
+        |c AS (SELECT day, bucket, CAST(count(*) AS BIGINT) AS n
+        |      FROM e GROUP BY 1, 2),
+        |d AS (SELECT day, lag(day) OVER (ORDER BY day) AS prev
+        |      FROM (SELECT DISTINCT day FROM e)),
+        |g AS (SELECT day, prev, unnest(range(0, 10)) AS bucket
+        |      FROM d WHERE prev IS NOT NULL),
+        |j AS (SELECT g.day, g.bucket,
+        |        coalesce(cc.n, 0) AS cn, coalesce(cp.n, 0) AS pn
+        |      FROM g LEFT JOIN c cc ON cc.day = g.day AND cc.bucket = g.bucket
+        |             LEFT JOIN c cp ON cp.day = g.prev AND cp.bucket = g.bucket),
+        |t AS (SELECT day, CAST(sum(cn) AS BIGINT) AS nc,
+        |        CAST(sum(pn) AS BIGINT) AS np FROM j GROUP BY 1),
+        |x AS (SELECT j.day,
+        |        (pn + 1) / CAST(np + 10 AS DOUBLE) AS p,
+        |        (cn + 1) / CAST(nc + 10 AS DOUBLE) AS q,
+        |        nc
+        |      FROM j JOIN t USING (day))
+        |SELECT day, CAST(max(nc) AS BIGINT) AS n_events,
+        |  round(sum((p - q) * ln(p / q)), 6) + 0.0 AS psi
+        |FROM x GROUP BY 1 ORDER BY day""".stripMargin,
+
     "q_drift" ->
       """WITH mm AS (SELECT (min(doc_id) + max(doc_id)) // 2 AS mid FROM documents),
         |fb AS (SELECT CASE WHEN doc_id <= mid THEN 'b' ELSE 'c' END AS side,

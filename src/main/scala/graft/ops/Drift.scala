@@ -64,4 +64,54 @@ object Drift {
       .withColumn("drifted", col("psi") >= 0.1)
       .orderBy(col("feature"))
   }
+
+  /** WINDOWED drift — PSI of each day's event-value distribution against
+    * the previous observed day: the continuous-monitoring form of
+    * [[driftReport]] (a crawl/ingest pipeline alarms on day-over-day
+    * shift, not on hand-picked snapshot pairs). Fixed value grid
+    * (`bins` buckets of `binWidth`), Laplace smoothing over the DENSE
+    * grid so both days share one bucket universe, p = previous day,
+    * q = current (the [[psiReport]] convention).
+    *
+    * Shape at scale: one (day, bucket)-keyed count over the events (the
+    * only corpus-sized step), then everything is days x bins: the
+    * previous-day pairing is a lag over the O(days) distinct-day table
+    * (bounded window), the dense grid an explode of a `bins`-element
+    * range, and the PSI one aggregate over 10 terms per day. */
+  def driftWindowed(spark: SparkSession, dir: String, bins: Int = 10,
+                    binWidth: Double = 50.0): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(expr("unix_micros(ts) div 86400000000").as("day"),
+        least(floor(col("value") / binWidth), lit(bins - 1))
+          .cast("long").as("bucket"))
+    val counts = ev.groupBy(col("day"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val days = counts.select(col("day")).distinct()
+      .withColumn("prev", lag(col("day"), 1).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("day"))))
+      .filter(col("prev").isNotNull)
+    val grid = days.select(col("day"), col("prev"),
+      explode(expr(s"sequence(cast(0 as bigint), cast(${bins - 1} as bigint))"))
+        .as("bucket"))
+    val cc = counts.select(col("day").as("cday"),
+      col("bucket").as("cbucket"), col("n").as("cn"))
+    val cp = counts.select(col("day").as("pday"),
+      col("bucket").as("pbucket"), col("n").as("pn"))
+    val j = grid
+      .join(cc, grid("day") === cc("cday") && grid("bucket") === cc("cbucket"), "left")
+      .join(cp, grid("prev") === cp("pday") && grid("bucket") === cp("pbucket"), "left")
+      .select(grid("day"), grid("bucket"),
+        coalesce(col("cn"), lit(0L)).as("cn"),
+        coalesce(col("pn"), lit(0L)).as("pn"))
+    val tot = j.groupBy(col("day"))
+      .agg(sum(col("cn")).as("nc"), sum(col("pn")).as("np"))
+    j.join(broadcast(tot), "day")
+      .withColumn("p", (col("pn") + 1) / (col("np") + bins))
+      .withColumn("q", (col("cn") + 1) / (col("nc") + bins))
+      .withColumn("term", (col("p") - col("q")) * log(col("p") / col("q")))
+      .groupBy(col("day"))
+      .agg(max(col("nc")).as("n_events"),
+        (round(sum(col("term")), 6) + 0.0).as("psi"))
+      .orderBy(col("day"))
+  }
 }

@@ -122,6 +122,23 @@ class Round7OpsSpec extends SparkSpec {
     }
   }
 
+  test("windowed drift: one row per day after the first, PSI non-negative " +
+    "(each term has matching signs), day totals exact") {
+    import graft.ops.Drift
+    val rows = Drift.driftWindowed(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val dayCounts = ops.Tables.events(spark, sf)
+      .select(expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy("day").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.length === dayCounts.size - 1,
+      "every day but the first must score against its predecessor")
+    rows.foreach { case (day, n, psi) =>
+      assert(psi >= 0.0, s"day $day: PSI $psi negative")
+      assert(n === dayCounts(day), s"day $day: n_events $n")
+    }
+  }
+
   test("png decode fails loud on a corrupt payload") {
     import spark.implicits._
     val bad = Seq(Multimodal.PngRow(1L, Array[Byte](1, 2, 3, 4))).toDS()
