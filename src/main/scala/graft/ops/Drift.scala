@@ -84,8 +84,13 @@ object Drift {
       .select(expr("unix_micros(ts) div 86400000000").as("day"),
         least(floor(col("value") / binWidth), lit(bins - 1))
           .cast("long").as("bucket"))
+    // localCheckpoint: the count table feeds the day list AND both join
+    // sides (current + previous), and AQE exchange reuse does not fire
+    // across broadcast boundaries — without it the event log is scanned
+    // four times. The materialized table is days x bins.
     val counts = ev.groupBy(col("day"), col("bucket"))
       .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
     val days = counts.select(col("day")).distinct()
       .withColumn("prev", lag(col("day"), 1).over(
         org.apache.spark.sql.expressions.Window.orderBy(col("day"))))

@@ -670,9 +670,18 @@ object Relational {
     val ev = Tables.events(spark, dir)
       .select(col("user_id"),
         expr("unix_micros(ts) div 86400000000").as("day"))
+    // localCheckpoint: the daily table feeds BOTH the span derivation and
+    // the join-back, and AQE exchange reuse does not fire across a
+    // broadcast boundary — without it the event log is scanned twice
+    // (the oovRate/bitextMine lesson). The materialized table is
+    // users x days, tiny at any corpus size.
     val daily = ev.groupBy(col("user_id"), col("day"))
       .agg(count(lit(1)).as("n_events"))
-    val spans = ev.groupBy(col("user_id"))
+      .localCheckpoint(true)
+    // spans derive from the DAILY table, not a second corpus pass: the
+    // per-user min/max day is an aggregate over users x days rows, so the
+    // event log is scanned exactly once
+    val spans = daily.groupBy(col("user_id"))
       .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
     spans.select(col("user_id"), explode(expr("sequence(d0, d1)")).as("day"))
       .join(daily, Seq("user_id", "day"), "left")
