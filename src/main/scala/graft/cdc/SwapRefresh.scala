@@ -34,10 +34,24 @@ object SinkTasks {
   private val ids = new java.util.concurrent.atomic.AtomicLong(0L)
   private val tasks =
     new java.util.concurrent.ConcurrentHashMap[Long, TaskInfo]()
+  // bounded retention: a long-running pipeline fires a task per refresh,
+  // and a registry that only grows is a slow leak — evict the OLDEST
+  // SETTLED tasks past the cap (pending ones are never evicted; the
+  // reference's task list is likewise finite, served with paging)
+  private val RetainSettled = 1024
+
+  private def evictSettled(): Unit =
+    if (tasks.size > 2 * RetainSettled) tasks.synchronized {
+      val settled = scala.jdk.CollectionConverters
+        .CollectionHasAsScala(tasks.values()).asScala
+        .filterNot(_.pending).toSeq.sortBy(_.id)
+      settled.dropRight(RetainSettled).foreach(t => tasks.remove(t.id))
+    }
 
   /** Run `work` on a daemon thread; returns the task id immediately (the
     * task_uid the reference's client hands back on every write). */
   def submit(name: String)(work: => Unit): Long = {
+    evictSettled()
     val id = ids.incrementAndGet()
     tasks.put(id, TaskInfo(id, name, "enqueued", None))
     val t = new Thread(() => {

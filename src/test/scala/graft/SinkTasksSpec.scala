@@ -34,6 +34,24 @@ class SinkTasksSpec extends SparkSpec {
     assert(SinkTasks.waitForTask(id, timeoutMs = 5000).status === "succeeded")
   }
 
+  test("the registry is bounded: settled tasks evict past the cap, " +
+    "recent ones stay queryable") {
+    val first = SinkTasks.submit("evict-probe") { () }
+    SinkTasks.waitForTask(first, timeoutMs = 5000)
+    // flood with tasks well past the 2x-cap eviction trigger, and SETTLE
+    // them all (eviction only ever touches settled tasks)
+    val ids = (1 to 2200).map(i => SinkTasks.submit(s"flood-$i") { () })
+    // an early flood task may itself be evicted mid-flood — eviction only
+    // ever removes SETTLED tasks, so a vanished id counts as settled
+    ids.foreach { id =>
+      try SinkTasks.waitForTask(id, timeoutMs = 10000)
+      catch { case _: NoSuchElementException => () }
+    }
+    SinkTasks.submit("trigger") { () } // eviction runs on submit
+    intercept[NoSuchElementException](SinkTasks.status(first))
+    SinkTasks.status(ids.last) // the RECENT settled task stays queryable
+  }
+
   test("a failed task returns its error through the await instead of " +
     "hanging or vanishing") {
     val id = SinkTasks.submit("boom") { sys.error("index exploded") }
