@@ -2061,7 +2061,7 @@ object SparkEntry {
     // negative-zero guard on both sides.
     "q_drift_windowed" ->
       """WITH e AS (SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
-        |        CAST(least(floor(value / 50.0), 9) AS BIGINT) AS bucket
+        |        CAST(greatest(least(floor(value / 50.0), 9), 0) AS BIGINT) AS bucket
         |      FROM events),
         |c AS (SELECT day, bucket, CAST(count(*) AS BIGINT) AS n
         |      FROM e GROUP BY 1, 2),

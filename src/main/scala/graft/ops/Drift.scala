@@ -80,9 +80,12 @@ object Drift {
     * range, and the PSI one aggregate over 10 terms per day. */
   def driftWindowed(spark: SparkSession, dir: String, bins: Int = 10,
                     binWidth: Double = 50.0): DataFrame = {
+    // clamp BOTH ends of the grid: a negative value must not mint a
+    // negative bucket outside the dense universe (silently breaking the
+    // shared-bucket premise of the PSI)
     val ev = Tables.events(spark, dir)
       .select(expr("unix_micros(ts) div 86400000000").as("day"),
-        least(floor(col("value") / binWidth), lit(bins - 1))
+        greatest(least(floor(col("value") / binWidth), lit(bins - 1)), lit(0))
           .cast("long").as("bucket"))
     // localCheckpoint: the count table feeds the day list AND both join
     // sides (current + previous), and AQE exchange reuse does not fire

@@ -115,6 +115,13 @@ object Maintenance {
       .join(broadcast(plan), Seq("shard"))
       .repartition(col("bin"))
       .write.mode("overwrite").partitionBy("bin").parquet(staging)
+    // write-ahead staleness marker around the data-swap -> manifest-swap
+    // window (the same protocol the pipeline uses): a crash between the
+    // two swaps leaves the OLD manifest pointing at bins that no longer
+    // exist, which a manifest-driven pruned read would silently turn into
+    // dropped rows; while the marker exists readers must fall back to the
+    // exact unpruned filter, and re-running compactApply heals it
+    markZoneMapPending(spark, livePath + ".zonemap", batchId = -1L)
     graft.cdc.UpsertSink.atomicSwapDirs(spark, staging, livePath)
     val manifest = spark.read.parquet(livePath)
       .groupBy(col("bin").cast("long").as("bin"))
@@ -125,6 +132,7 @@ object Maintenance {
     manifest.orderBy(col("bin")).coalesce(1)
       .write.mode("overwrite").parquet(zmTmp)
     graft.cdc.UpsertSink.atomicSwapDirs(spark, zmTmp, livePath + ".zonemap")
+    clearZoneMapPending(spark, livePath + ".zonemap")
     spark.read.parquet(livePath + ".zonemap").orderBy(col("bin"))
   }
 
