@@ -96,6 +96,9 @@ object SparkEntry {
     // the SEMANTIC screen over the same hash split: max train-cosine per
     // test doc — catches the paraphrased leakage n-grams miss
     "q_decontaminate_embed" -> ((s, d) => Similarity.decontaminateEmbed(s, d)),
+    // the production tier: same screen restricted to the IVF probe cut —
+    // the candidate join is keyed on the coarse cell, nothing broadcasts
+    "q_decontaminate_embed_ivf" -> ((s, d) => Similarity.decontaminateEmbedIvf(s, d)),
     "q_pack_sequences" -> ((s, d) => TextAnalysis.packSequences(s, d)),
     "q_filter_funnel"  -> ((s, d) => TextAnalysis.filterFunnel(s, d)),
     "q_stats_agg"      -> ((s, d) => Relational.statsAgg(s, d)),
@@ -948,6 +951,36 @@ object SparkEntry {
         |s AS (SELECT q.vec_id AS doc_id,
         |        max(list_dot_product(q.v, c.v) / (q.norm * c.norm)) AS mc
         |      FROM q, c GROUP BY 1)
+        |SELECT doc_id, round(mc, 4) + 0.0 AS max_train_cos,
+        |  mc >= 0.5 AS contaminated
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    // IVF probe-cut tier of the semantic screen: q_ann_ivf's deterministic
+    // coarse quantizer indexes both splits; max train-cosine within each
+    // test vector's nProbe=4 closest cells (of 8). Cell assignment and
+    // probing replay q_bitext_mine_ivf's row_number formulation.
+    "q_decontaminate_embed_ivf" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS norm FROM e),
+        |sd AS (SELECT vec_id AS seed_id, v AS sv, norm AS snorm FROM n
+        |       WHERE vec_id < 8),
+        |c AS (SELECT vec_id, v, norm, seed_id AS cell FROM (
+        |        SELECT t.vec_id, t.v, t.norm, sd.seed_id,
+        |          row_number() OVER (PARTITION BY t.vec_id
+        |            ORDER BY list_dot_product(t.v, sd.sv) / (t.norm * sd.snorm) DESC,
+        |                     sd.seed_id) AS r
+        |        FROM n t CROSS JOIN sd
+        |        WHERE (t.vec_id * 2654435761) % 100 < 80) WHERE r = 1),
+        |q AS (SELECT vec_id, v, norm, seed_id AS cell FROM (
+        |        SELECT t.vec_id, t.v, t.norm, sd.seed_id,
+        |          row_number() OVER (PARTITION BY t.vec_id
+        |            ORDER BY list_dot_product(t.v, sd.sv) / (t.norm * sd.snorm) DESC,
+        |                     sd.seed_id) AS r
+        |        FROM n t CROSS JOIN sd
+        |        WHERE (t.vec_id * 2654435761) % 100 >= 80) WHERE r <= 4),
+        |s AS (SELECT q.vec_id AS doc_id,
+        |        max(list_dot_product(q.v, c.v) / (q.norm * c.norm)) AS mc
+        |      FROM q JOIN c ON q.cell = c.cell GROUP BY 1)
         |SELECT doc_id, round(mc, 4) + 0.0 AS max_train_cos,
         |  mc >= 0.5 AS contaminated
         |FROM s ORDER BY doc_id""".stripMargin,

@@ -262,12 +262,16 @@ object Similarity {
     * eval numbers). Same deterministic hash split as the n-gram op, so
     * the two screens audit the same partition.
     *
-    * Scale shape: the test split broadcasts (it is the small side by
-    * construction) against ONE train-corpus scan; `max` is
-    * order-independent, so the score is engine-exact before rounding. At
-    * 100 TB the brute-force scan swaps for the IVF probe cut exactly as
-    * [[bitextMineIvf]] does for [[bitextMine]] — brute force stays the
-    * oracle baseline. */
+    * Scale shape — READ THE PREMISE: broadcasting the test side is right
+    * ONLY when the eval set is genuinely small (real decontamination runs
+    * screen eval suites of thousands of docs against the corpus — that is
+    * when one broadcast + one train scan is the optimal plan). THIS demo
+    * split makes the test side 20% OF THE CORPUS by construction, so the
+    * broadcast tier here is the oracle baseline, not the production plan:
+    * at scale use [[decontaminateEmbedIvf]], whose probe-cut candidate
+    * join is keyed on the coarse cell — both sides shuffle, nothing
+    * broadcasts, nothing is all-pairs. `max` is order-independent, so the
+    * score is engine-exact before rounding on both tiers. */
   def decontaminateEmbed(spark: SparkSession, dir: String,
                          threshold: Double = 0.5): DataFrame = {
     val e = withVec(spark, dir)
@@ -275,6 +279,43 @@ object Similarity {
     val test = e.filter(split >= 80).alias("q")
     val train = e.filter(split < 80).alias("c")
     train.join(broadcast(test))
+      .select(col("q.vec_id").as("doc_id"), cosine.as("cos"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("cos")).as("mc"))
+      .select(col("doc_id"),
+        (round(col("mc"), 4) + 0.0).as("max_train_cos"),
+        (col("mc") >= threshold).as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The production embedding-decontamination screen: [[decontaminateEmbed]]
+    * restricted to the IVF probe cut — the same swap [[bitextMineIvf]] makes
+    * for [[bitextMine]]. The shared deterministic coarse quantizer
+    * ([[ivfTopK]]'s seed cells) indexes BOTH splits: every train vector is
+    * assigned to its one nearest cell, every test vector probes its `nProbe`
+    * closest cells, and max train-cosine is taken within the probed cells
+    * only.
+    *
+    * Scale shape — and the fix for the brute tier's false premise: the
+    * candidate join is KEYED on the cell (an equi-join; no `broadcast`
+    * hint on either side), so it scales even when the test split is a
+    * constant fraction of the corpus: both sides shuffle once by cell, pair
+    * volume drops from O(|train|·|test|) to O(|train|·|test|·nProbe/nCells)
+    * and is spread across cells, and no executor ever holds a split in
+    * memory. nProbe is the recall dial; nProbe = nCells degenerates to the
+    * exact screen (every cell probed => every train candidate scored —
+    * the equality spec pins this bit-for-bit against the brute tier), so
+    * the probe cut is the ONLY approximation and the op stays
+    * DuckDB-oracle-checkable end to end. */
+  def decontaminateEmbedIvf(spark: SparkSession, dir: String,
+                            threshold: Double = 0.5, nCells: Int = 8,
+                            nProbe: Int = 4): DataFrame = {
+    val e = withVec(spark, dir)
+    val split = pmod(col("vec_id") * lit(2654435761L), lit(100))
+    val seeds = seedCells(e, nCells)
+    val train = cellAssign(e.filter(split < 80), seeds).alias("c")
+    val test = probesOf(e.filter(split >= 80), seeds, nProbe).alias("q")
+    train.join(test, col("q.cell") === col("c.cell"))
       .select(col("q.vec_id").as("doc_id"), cosine.as("cos"))
       .groupBy(col("doc_id"))
       .agg(max(col("cos")).as("mc"))
