@@ -190,6 +190,11 @@ object SparkEntry {
     // the OPTIMIZE rewrite the plan diagnoses: stage a sharded layout,
     // compact through staging+atomic-swap, report bins FROM the new files
     "q_compaction_apply" -> ((s, d) => Maintenance.compactionApplyQuery(s, d)),
+    // same rewrite with shards big enough to OVERFLOW the target at the
+    // gate scale (8 shards, 8 KiB target), so the oversized-shard split
+    // path is what the oracle grades
+    "q_compaction_split" -> ((s, d) =>
+      Maintenance.compactionApplyQuery(s, d, shards = 8, targetBytes = 8192)),
     "q_oov_rate"       -> ((s, d) => TextAnalysis.oovRate(s, d)),
     // an ACTUAL checkpointed transformWithState run (MapState counts),
     // graded by the batch GROUP BY/HAVING oracle — the q_dedup_stream
@@ -2530,23 +2535,55 @@ object SparkEntry {
         |SELECT shard, bytes, prefix // 32768 AS bin
         |FROM p ORDER BY shard""".stripMargin,
 
-    // The applied compaction's audit must equal the plan's binning re-run
-    // in pure SQL: the Spark side reads the POST-rewrite files, so a
-    // mis-executed bin (split, merged, or dropped rows) hash-mismatches.
+    // The applied compaction's audit must equal the rewrite's binning
+    // re-run in pure SQL: the Spark side reads the POST-rewrite files, so
+    // a mis-executed bin (split, merged, or dropped rows) hash-mismatches.
+    // Row bin = shard prefix-bin + within-shard offset bin (the oversized-
+    // shard split term; 0 for every shard that fits the target).
     "q_compaction_apply" ->
       """WITH d AS (SELECT doc_id % 64 AS shard, doc_id,
         |        CAST(length(text) AS BIGINT) AS b FROM documents),
         |s AS (SELECT shard, CAST(sum(b) AS BIGINT) AS bytes
         |      FROM d GROUP BY 1),
-        |p AS (SELECT shard, bytes,
+        |p AS (SELECT shard,
         |        CAST(coalesce(sum(bytes) OVER (ORDER BY shard
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
         |          AS BIGINT) AS prefix
         |      FROM s),
-        |bins AS (SELECT shard, prefix // 32768 AS bin FROM p)
+        |r AS (SELECT d.shard, d.b,
+        |        p.prefix // 32768
+        |          + CAST(coalesce(sum(d.b) OVER (PARTITION BY d.shard
+        |              ORDER BY d.doc_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |            AS BIGINT) // 32768 AS bin
+        |      FROM d JOIN p USING (shard))
         |SELECT bin, CAST(count(DISTINCT shard) AS BIGINT) AS n_shards,
         |  CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(b) AS BIGINT) AS bytes
-        |FROM d JOIN bins USING (shard) GROUP BY 1 ORDER BY bin""".stripMargin,
+        |FROM r GROUP BY 1 ORDER BY bin""".stripMargin,
+
+    // The split path under real pressure: 8 shards of ~18 KiB against an
+    // 8 KiB target — every shard is oversized, so bins ≈ total/target
+    // instead of saturating at the shard count.
+    "q_compaction_split" ->
+      """WITH d AS (SELECT doc_id % 8 AS shard, doc_id,
+        |        CAST(length(text) AS BIGINT) AS b FROM documents),
+        |s AS (SELECT shard, CAST(sum(b) AS BIGINT) AS bytes
+        |      FROM d GROUP BY 1),
+        |p AS (SELECT shard,
+        |        CAST(coalesce(sum(bytes) OVER (ORDER BY shard
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |          AS BIGINT) AS prefix
+        |      FROM s),
+        |r AS (SELECT d.shard, d.b,
+        |        p.prefix // 8192
+        |          + CAST(coalesce(sum(d.b) OVER (PARTITION BY d.shard
+        |              ORDER BY d.doc_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |            AS BIGINT) // 8192 AS bin
+        |      FROM d JOIN p USING (shard))
+        |SELECT bin, CAST(count(DISTINCT shard) AS BIGINT) AS n_shards,
+        |  CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(b) AS BIGINT) AS bytes
+        |FROM r GROUP BY 1 ORDER BY bin""".stripMargin,
 
     "q_oov_rate" ->
       """WITH t AS (SELECT lang, unnest(string_split(text, ' ')) AS tok

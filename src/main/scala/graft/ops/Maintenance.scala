@@ -86,15 +86,28 @@ object Maintenance {
     * the per-bin zone-map manifest (`livePath + ".zonemap"`: bin, files
     * become prunable by doc_id range again immediately after the swap).
     *
-    * Shape at scale: the plan is an O(shards) window; rows take ONE pass —
-    * a broadcast join of the O(shards) shard→bin map, then a bin-keyed
-    * repartition so each bin is written by exactly one task (a task may
-    * carry several bins; partitionBy still emits one file per bin). A
-    * crash between the two renames heals via [[graft.cdc.UpsertSink]]'s
-    * recoverSwap; a crash before the manifest write leaves the pre-swap
-    * manifest pointing at vanished bins, so the manifest is rewritten
-    * FROM the swapped data before anyone reads it (same call). Returns
-    * the manifest. */
+    * Unlike the shard-granular plan, the rewrite also SPLITS oversized
+    * shards — what a real OPTIMIZE does when an input file exceeds the
+    * target. Row bin = `shardPrefix div target + withinShardOffset div
+    * target`: the second term is 0 for every row of a shard that fits
+    * (offsets range over [0, bytes)), so binning is bit-identical to the
+    * shard-granular policy there, and an oversized shard's rows fan out
+    * over ~ceil(bytes/target) consecutive sub-bins (within-shard offsets
+    * by doc_id order — deterministic, so the DuckDB oracle reproduces the
+    * exact bins). Without this, first-fit degenerates to one-bin-per-shard
+    * the moment every shard outgrows the target (the x100 curve showed
+    * bins saturating at the shard count).
+    *
+    * Shape at scale: shard sizes are an O(shards) window; rows take ONE
+    * pass — a broadcast join of the O(shards) shard→prefix map, a
+    * per-shard (partitioned) running-sum window for the offsets, then a
+    * bin-keyed repartition so each bin is written by exactly one task (a
+    * task may carry several bins; partitionBy still emits one file per
+    * bin). A crash between the two renames heals via
+    * [[graft.cdc.UpsertSink]]'s recoverSwap; a crash before the manifest
+    * write leaves the pre-swap manifest pointing at vanished bins, so the
+    * manifest is rewritten FROM the swapped data before anyone reads it
+    * (same call). Returns the manifest. */
   def compactApply(spark: SparkSession, livePath: String,
                    targetBytes: Long = 32768): DataFrame = {
     val state = spark.read.parquet(livePath)
@@ -106,13 +119,21 @@ object Maintenance {
       .rowsBetween(Window.unboundedPreceding, -1)
     val plan = sizes
       .withColumn("prefix", coalesce(sum(col("bytes")).over(w), lit(0L)))
-      .withColumn("bin", expr(s"prefix div ${targetBytes}L"))
-      .select(col("shard"), col("bin"))
+      .select(col("shard"), col("prefix"))
+    // within-shard running byte offset (doc_id order): the split term.
+    // Partitioned by shard, so the window never funnels the corpus.
+    val wIn = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
     val staging = livePath + ".staging"
     // partition discovery reads the shard dir value back as INT; the plan
     // keys on LONG — normalize before the broadcast join
     state.withColumn("shard", col("shard").cast("long"))
       .join(broadcast(plan), Seq("shard"))
+      .withColumn("off",
+        coalesce(sum(length(col("text")).cast("long")).over(wIn), lit(0L)))
+      .withColumn("bin", expr(
+        s"(prefix div ${targetBytes}L) + (off div ${targetBytes}L)"))
+      .drop("prefix", "off")
       .repartition(col("bin"))
       .write.mode("overwrite").partitionBy("bin").parquet(staging)
     // write-ahead staleness marker around the data-swap -> manifest-swap
@@ -145,8 +166,10 @@ object Maintenance {
   def compactionApplyQuery(spark: SparkSession, dir: String,
                            shards: Int = 64,
                            targetBytes: Long = 32768): DataFrame = {
-    val root = s"${sys.props("java.io.tmpdir")}/graft_compact_" +
-      spark.sparkContext.applicationId
+    // scratch keyed by params: the apply and split driver queries stage
+    // independent layouts in one session
+    val root = s"${sys.props("java.io.tmpdir")}/graft_compact_${shards}_" +
+      s"${targetBytes}_" + spark.sparkContext.applicationId
     val rp = new org.apache.hadoop.fs.Path(root)
     val fs = rp.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(rp)) fs.delete(rp, true)

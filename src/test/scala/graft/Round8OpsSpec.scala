@@ -1,9 +1,68 @@
 package graft
 
-import graft.ops.Similarity
+import graft.ops.{Maintenance, Similarity}
+import org.apache.spark.sql.functions._
 
-/** Round-8 additions: the IVF probe-cut decontamination tier. */
+/** Round-8 additions: the IVF probe-cut decontamination tier and the
+  * oversized-shard compaction split. */
 class Round8OpsSpec extends SparkSpec {
+
+  test("compaction apply: an oversized shard SPLITS into ~ceil(bytes/target) " +
+    "bins instead of one giant file, and content survives the rewrite") {
+    import spark.implicits._
+    val root = tmpDir("graft-split")
+    val live = s"$root/docs"
+    val target = 1000L
+    // shard 0: tiny; shard 1: ~5x target across 50 rows; shard 2: tiny —
+    // the giant must fan out while the neighbors still pack
+    val docs = (Seq((0L, 0L, "x" * 100), (2L, 2L, "z" * 100)) ++
+      (0 until 50).map(i => (10L + i, 1L, "y" * 100)))
+      .toDF("doc_id", "shard", "text")
+    docs.repartition(col("shard")).write.partitionBy("shard").parquet(live)
+    val manifest = Maintenance.compactApply(spark, live, target).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val bins = manifest.map(_._1).sorted
+    // 5200 total bytes / 1000 target => 6 bins, NOT 3 (= shards)
+    assert(bins.length === 6, s"expected ~total/target bins, got: $manifest")
+    assert(bins.toSeq === (bins.head to bins.last), "bins are consecutive")
+    // no bin exceeds target + one row (the row-granular first-fit bound)
+    manifest.foreach { case (bin, _, bytes) =>
+      assert(bytes <= target + 100, s"bin $bin overflows: $bytes bytes")
+    }
+    // content identity through the split rewrite
+    val after = spark.read.parquet(live)
+    assert(after.count() === 52L)
+    assert(after.agg(sum(length(col("text")))).head().getLong(0) === 5200L)
+    // each bin is exactly one file
+    val binDirs = new java.io.File(live).listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("bin="))
+    assert(binDirs.length === 6)
+  }
+
+  test("compaction apply: binning is bit-identical to the shard-granular " +
+    "policy when every shard fits the target") {
+    import spark.implicits._
+    val root = tmpDir("graft-nosplit")
+    val live = s"$root/docs"
+    val target = 1000L
+    // 6 shards of 300 bytes: whole-shard first-fit packs 300|600|900 ->
+    // prefix bins 0,0,0,0(900<1000? prefix 900//1000=0),1,1
+    val docs = (0 until 6).map(i => (i.toLong, i.toLong, "a" * 300))
+      .toDF("doc_id", "shard", "text")
+    docs.repartition(col("shard")).write.partitionBy("shard").parquet(live)
+    val manifest = Maintenance.compactApply(spark, live, target).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // shard prefixes 0,300,600,900,1200,1500 -> bins 0,0,0,0,1,1
+    assert(manifest.map(_._1).sorted.toSeq === Seq(0L, 1L))
+    assert(manifest.toMap === Map(0L -> 4L, 1L -> 2L), "one row per shard")
+    val byBin = spark.read.parquet(live)
+      // partition discovery reads the bin dir value back as INT
+      .groupBy(col("bin").cast("long").as("bin"))
+      .agg(countDistinct("shard").as("ns")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(byBin === Map(0L -> 4L, 1L -> 2L),
+      s"whole-shard packing must be unchanged: $byBin")
+  }
 
   test("decontaminate ivf: probing ALL cells recovers the brute-force " +
     "screen exactly — the probe cut is the only approximation") {
