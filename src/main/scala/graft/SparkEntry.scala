@@ -82,10 +82,16 @@ object SparkEntry {
     "q_train_test_split" -> ((s, d) => TextAnalysis.trainTestSplit(s, d)),
     "q_fingerprint"    -> ((s, d) => TextAnalysis.fingerprint(s, d)),
     "q_winnow"         -> ((s, d) => TextAnalysis.winnow(s, d)),
+    // REAL container sniffing over a mixed corpus of genuine PNG/WAV/text
+    // payloads: magic-byte dispatch, graded against the id-derived modality
     "q_multimodal_meta" -> ((s, d) => Multimodal.metaQuery(s, d)),
     // REAL codec roundtrip: javax.imageio encodes deterministic PNGs and
     // decodes them back; width/height/pixel-checksum are oracle-graded
     "q_multimodal_decode" -> ((s, d) => Multimodal.pngMetaQuery(s, d)),
+    // REAL audio roundtrip: javax.sound.sampled encodes deterministic PCM
+    // WAVs and decodes them back; rate/channels/frames/sample-checksum are
+    // oracle-graded (PCM WAV is lossless)
+    "q_multimodal_audio" -> ((s, d) => Multimodal.wavMetaQuery(s, d)),
     "q_train_manifest" -> ((s, d) => TrainingPipeline.trainManifest(s, d)),
     "q_window_analytics" -> ((s, d) => Relational.windowAnalytics(s, d)),
     // time-series gap-fill (resample) over the events log
@@ -1053,12 +1059,17 @@ object SparkEntry {
       """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // The Spark side builds GENUINE containers (javax.imageio PNG,
+    // javax.sound.sampled WAV, raw text by doc_id % 3) and sniffs their
+    // magic bytes; the oracle pins that the sniff recovered the modality
+    // the id dictates for every row.
     "q_multimodal_meta" ->
-      """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS byte_len,
-        | ascii(substring(text, 1, 1)) % 64 + 1 AS width,
-        | ascii(substring(text, 2, 1)) % 64 + 1 AS height,
-        | CASE ascii(substring(text, 1, 1)) % 3
-        |   WHEN 0 THEN 'png' WHEN 1 THEN 'jpg' ELSE 'webp' END AS format
+      """SELECT doc_id,
+        | CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'wav'
+        |   ELSE 'txt' END AS format,
+        | CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'wav'
+        |   ELSE 'txt' END AS expected,
+        | TRUE AS container_ok
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // Real-codec PNG roundtrip: the Spark side ENCODES a deterministic
@@ -1074,6 +1085,24 @@ object SparkEntry {
         |       WHERE rx.x < d.width AND ry.y < d.height GROUP BY 1)
         |SELECT d.doc_id, TRUE AS is_png, width, height, px_sum
         |FROM d JOIN px USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // Real-codec WAV roundtrip: the Spark side ENCODES deterministic
+    // 16-bit PCM per doc and DECODES it with javax.sound.sampled; the
+    // oracle recomputes rate/channels/frames and the sample checksum
+    // analytically — PCM WAV is lossless, so any codec deviation
+    // hash-mismatches.
+    "q_multimodal_audio" ->
+      """WITH d AS (SELECT doc_id, CAST(doc_id % 50 + 10 AS BIGINT) AS nf,
+        |             CAST(doc_id % 2 + 1 AS INT) AS ch FROM documents),
+        |sm AS (SELECT d.doc_id,
+        |         CAST(sum((d.doc_id * 7 + 31 * t.i + 17 * u.c) % 65536
+        |           - 32768) AS BIGINT) AS sample_sum
+        |       FROM d, range(60) t(i), range(2) u(c)
+        |       WHERE t.i < d.nf AND u.c < d.ch GROUP BY 1)
+        |SELECT d.doc_id, TRUE AS is_wav,
+        |  CAST(8000 * (d.doc_id % 3 + 1) AS INT) AS sample_rate,
+        |  d.ch AS channels, d.nf AS n_frames, sm.sample_sum
+        |FROM d JOIN sm USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     // Capstone composition: exact dedup -> near-dup removal -> quality
     // filter -> decontamination -> packing, as one manifest. Each stage

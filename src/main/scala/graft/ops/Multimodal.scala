@@ -7,18 +7,21 @@ import org.apache.spark.sql.functions._
   * `binary` columns with typed metadata, processed by partition-parallel
   * decode functions.
   *
-  * Two tiers since round 7:
-  *  - a REAL image path ([[pngView]]/[[decodePng]]): deterministic real PNG
-  *    payloads encoded and decoded with `javax.imageio` (in the JDK, so no
-  *    external library) — width, height and the pixel checksum come from an
-  *    actual codec roundtrip and are oracle-graded;
-  *  - the original STUB tier (clearly marked below) for the modalities the
-  *    container has no codec for (audio/video): it derives "metadata" from
-  *    the first bytes of the payload. Everything around it is the real
-  *    Spark plumbing — binary column, schema, batch shape,
-  *    partition-parallel mapPartitions (the Scala analog of `mapInPandas`:
-  *    one iterator per partition, so a real decoder amortizes codec init
-  *    per partition, not per row).
+  * All decode tiers are REAL codecs since round 8 (JDK-only, so no
+  * external library):
+  *  - image ([[pngView]]/[[decodePng]]): deterministic real PNG payloads
+  *    encoded and decoded with `javax.imageio` — width, height and the
+  *    pixel checksum come from an actual codec roundtrip, oracle-graded;
+  *  - audio ([[wavView]]/[[decodeWav]]): deterministic real RIFF/WAVE PCM
+  *    payloads encoded and decoded with `javax.sound.sampled` — sample
+  *    rate, channels, frame count and the sample checksum come from the
+  *    decoded stream, oracle-graded (PCM WAV is lossless);
+  *  - container sniffing ([[sniffMeta]]): magic-byte format detection over
+  *    a MIXED corpus of genuine payloads (PNG / WAV / raw text), the
+  *    dispatch step a media ingest runs before choosing a decoder.
+  * The common shape is partition-parallel `mapPartitions` (the Scala
+  * analog of `mapInPandas`: one iterator per partition, so codec discovery
+  * and any model init amortize per partition, not per row).
   */
 object Multimodal {
 
@@ -33,30 +36,31 @@ object Multimodal {
     * DEFLATE). The formula-derived shape is what lets the DuckDB oracle
     * grade a real codec roundtrip: PNG is lossless, so the decoder must
     * reproduce these exact numbers or the gate hash-mismatches. */
+  /** Real PNG bytes for one doc id (the formula above). */
+  private def encodePng(id: Long): Array[Byte] = {
+    val w = (id % 13).toInt + 1
+    val h = (id % 7).toInt + 1
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        raster.setSample(x, y, 0, ((id + 31L * x + 17L * y) % 256L).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   def pngView(spark: SparkSession, dir: String): Dataset[PngRow] = {
     import spark.implicits._
     Tables(spark, dir, "documents").select(col("doc_id")).as[Long]
-      .mapPartitions { it =>
-        it.map { id =>
-          val w = (id % 13).toInt + 1
-          val h = (id % 7).toInt + 1
-          val img = new java.awt.image.BufferedImage(w, h,
-            java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-          val raster = img.getRaster
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              raster.setSample(x, y, 0, ((id + 31L * x + 17L * y) % 256L).toInt)
-              x += 1
-            }
-            y += 1
-          }
-          val bos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(img, "png", bos)
-          PngRow(id, bos.toByteArray)
-        }
-      }
+      .mapPartitions(_.map(id => PngRow(id, encodePng(id))))
   }
 
   private val PngSignature =
@@ -96,19 +100,95 @@ object Multimodal {
   def pngMetaQuery(spark: SparkSession, dir: String): DataFrame =
     decodePng(spark, dir).toDF().orderBy(col("doc_id"))
 
-  final case class MediaRow(doc_id: Long, payload: Array[Byte])
-  final case class MediaMeta(doc_id: Long, byte_len: Long, width: Int,
-                             height: Int, format: String)
+  final case class WavRow(doc_id: Long, payload: Array[Byte])
+  final case class WavMeta(doc_id: Long, is_wav: Boolean, sample_rate: Int,
+                           channels: Int, n_frames: Long, sample_sum: Long)
 
-  /** STUB DECODER — deterministic fake standing in for an image decode
-    * (e.g. JPEG header parse). A real implementation would replace only this
-    * function; the partitioning/schema/batch shape around it stay as-is. */
-  def fakeDecode(id: Long, payload: Array[Byte]): MediaMeta = {
-    val b0 = if (payload.nonEmpty) payload(0) & 0xff else 0
-    val b1 = if (payload.length > 1) payload(1) & 0xff else 0
-    MediaMeta(id, payload.length.toLong, b0 % 64 + 1, b1 % 64 + 1,
-      Seq("png", "jpg", "webp")(b0 % 3))
+  /** Real RIFF/WAVE bytes for one doc id: 16-bit signed little-endian PCM,
+    * sample rate `8000 * (doc_id % 3 + 1)`, `(doc_id % 2) + 1` channels,
+    * `(doc_id % 50) + 10` frames, sample
+    * `(frame i, channel c) = ((doc_id*7 + 31i + 17c) mod 65536) - 32768` —
+    * encoded by `javax.sound.sampled` into a genuine WAV container (RIFF
+    * header, fmt/data chunks). The formula-derived shape is what lets the
+    * DuckDB oracle grade a real codec roundtrip: PCM WAV is lossless, so
+    * the decoder must reproduce these exact numbers or the gate
+    * hash-mismatches. */
+  private def encodeWav(id: Long): Array[Byte] = {
+    val rate = 8000 * ((id % 3).toInt + 1)
+    val ch = (id % 2).toInt + 1
+    val nFrames = (id % 50).toInt + 10
+    val data = new Array[Byte](nFrames * ch * 2)
+    var off = 0
+    var i = 0
+    while (i < nFrames) {
+      var c = 0
+      while (c < ch) {
+        val s = (((id * 7 + 31L * i + 17L * c) % 65536L) - 32768L).toInt
+        data(off) = (s & 0xff).toByte
+        data(off + 1) = ((s >> 8) & 0xff).toByte
+        off += 2
+        c += 1
+      }
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, ch,
+      true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
   }
+
+  /** Deterministic REAL-WAV column — the audio analog of [[pngView]]. */
+  def wavView(spark: SparkSession, dir: String): Dataset[WavRow] = {
+    import spark.implicits._
+    Tables(spark, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => WavRow(id, encodeWav(id))))
+  }
+
+  /** REAL audio decode via `javax.sound.sampled`: container sniff (RIFF +
+    * WAVE magic), then a full codec roundtrip — sample rate, channel count
+    * and frame length from the decoded [[javax.sound.sampled.AudioFormat]],
+    * and a checksum over every decoded 16-bit sample. Fails loud on an
+    * undecodable payload (a corrupt file must not silently become
+    * metadata). */
+  def decodeWav(spark: SparkSession, dir: String): Dataset[WavMeta] = {
+    import spark.implicits._
+    wavView(spark, dir).mapPartitions { it =>
+      it.map { r =>
+        val p = r.payload
+        val isWav = p.length >= 12 &&
+          new String(p.slice(0, 4), "US-ASCII") == "RIFF" &&
+          new String(p.slice(8, 12), "US-ASCII") == "WAVE"
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(p))
+        val fmt = ais.getFormat
+        require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
+          s"doc ${r.doc_id}: unexpected decoded PCM layout $fmt")
+        val nFrames = ais.getFrameLength
+        val bytes = ais.readAllBytes()
+        var s = 0L
+        var i = 0
+        while (i + 1 < bytes.length) {
+          s += ((bytes(i) & 0xff) | (bytes(i + 1) << 8)).toShort
+          i += 2
+        }
+        WavMeta(r.doc_id, isWav, fmt.getSampleRate.toInt, fmt.getChannels,
+          nFrames, s)
+      }
+    }
+  }
+
+  /** The oracle-graded real-audio query: every reported number has passed
+    * through an actual WAV encode + decode. */
+  def wavMetaQuery(spark: SparkSession, dir: String): DataFrame =
+    decodeWav(spark, dir).toDF().orderBy(col("doc_id"))
+
+  final case class MediaRow(doc_id: Long, payload: Array[Byte])
+  final case class SniffMeta(doc_id: Long, format: String, expected: String,
+                             container_ok: Boolean)
 
   /** Binary-payload view of `documents` (payload = utf8 bytes — the fixture
     * has no real media; the binary column type and everything downstream is
@@ -117,39 +197,64 @@ object Multimodal {
     Tables(spark, dir, "documents")
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
 
-  /** Partition-parallel decode via mapPartitions — iterator-per-partition so
-    * per-partition init (codec/model load) happens once. */
-  def decodeMeta(spark: SparkSession, dir: String): Dataset[MediaMeta] = {
+  /** A MIXED media corpus of genuine containers — `doc_id % 3` selects a
+    * real PNG payload, a real WAV payload, or the raw UTF-8 text bytes.
+    * The heterogeneous-binary-column shape a multimodal ingest actually
+    * sees, and the fixture [[sniffMeta]] dispatches over. */
+  def mixedMediaView(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
-    binaryView(spark, dir).as[MediaRow]
-      .mapPartitions { it =>
-        // real decoder init would go here, once per partition
-        it.map(r => fakeDecode(r.doc_id, r.payload))
-      }
+    Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        MediaRow(id, (id % 3) match {
+          case 0 => encodePng(id)
+          case 1 => encodeWav(id)
+          case _ => text.getBytes("UTF-8")
+        })
+      })
   }
 
-  /** The oracle-checkable metadata query (column-expression form of the same
-    * stub semantics, so it stays inside whole-stage codegen). */
+  /** REAL container sniffing over the mixed corpus: magic-byte format
+    * detection (PNG signature; RIFF....WAVE), falling back to `txt` — the
+    * decoder-dispatch step of a media ingest. `expected` recomputes the
+    * modality from the id, so the oracle grades that sniffing a genuine
+    * container recovered the right format for every row. */
+  def sniffMeta(spark: SparkSession, dir: String): Dataset[SniffMeta] = {
+    import spark.implicits._
+    mixedMediaView(spark, dir).mapPartitions { it =>
+      it.map { r =>
+        val p = r.payload
+        val format =
+          if (p.length >= 8 && p.take(8).sameElements(PngSignature)) "png"
+          else if (p.length >= 12 &&
+            new String(p.slice(0, 4), "US-ASCII") == "RIFF" &&
+            new String(p.slice(8, 12), "US-ASCII") == "WAVE") "wav"
+          else "txt"
+        val expected = (r.doc_id % 3) match {
+          case 0 => "png"
+          case 1 => "wav"
+          case _ => "txt"
+        }
+        SniffMeta(r.doc_id, format, expected, format == expected)
+      }
+    }
+  }
+
+  /** The oracle-checkable sniff query (q_multimodal_meta): one row per doc
+    * with the sniffed and expected formats. */
   def metaQuery(spark: SparkSession, dir: String): DataFrame =
-    binaryView(spark, dir).select(
-      col("doc_id"),
-      octet_length(col("payload")).cast("long").as("byte_len"),
-      (expr("ascii(substring(decode(payload, 'UTF-8'), 1, 1))") % 64 + 1).as("width"),
-      (expr("ascii(substring(decode(payload, 'UTF-8'), 2, 1))") % 64 + 1).as("height"),
-      element_at(array(lit("png"), lit("jpg"), lit("webp")),
-        (expr("ascii(substring(decode(payload, 'UTF-8'), 1, 1))") % 3 + 1).cast("int"))
-        .as("format"))
-      .orderBy(col("doc_id"))
+    sniffMeta(spark, dir).toDF().orderBy(col("doc_id"))
 
   final case class MediaFeature(doc_id: Long, feature: Array[Float])
   final case class MediaThumb(doc_id: Long, thumb: Array[Byte])
 
   /** Feature extraction: payload -> fixed-length Float vector, the batch
-    * shape an embedding model produces. STUB COMPUTE (byte histogram over
-    * `dims` bins, L1-normalized) standing in for a model forward pass; the
-    * mapPartitions boundary is where a real model would load once per
-    * partition and run batched inference. Output plugs straight into the
-    * Similarity operators (Array[Float] embedding column). */
+    * shape an embedding model produces. The featurizer is a real (if
+    * simple) model-free one — an L1-normalized byte histogram over `dims`
+    * bins, the classic cheap content fingerprint; a learned model slots in
+    * at the same mapPartitions boundary, loading once per partition and
+    * running batched inference. Output plugs straight into the Similarity
+    * operators (Array[Float] embedding column). */
   def featureExtract(spark: SparkSession, dir: String,
                      dims: Int = 16): Dataset[MediaFeature] = {
     import spark.implicits._
@@ -170,10 +275,10 @@ object Multimodal {
       }
   }
 
-  /** Resize: payload -> fixed-size thumbnail bytes via stride sampling (the
-    * nearest-neighbor shape of an image downsample; STUB for a real scaler).
-    * Constant output size regardless of input — the contract a downstream
-    * fixed-shape tensor loader needs. */
+  /** Resize: payload -> fixed-size thumbnail bytes via nearest-neighbor
+    * stride sampling over the byte stream. Constant output size regardless
+    * of input — the contract a downstream fixed-shape tensor loader
+    * needs; an interpolating image scaler slots in at the same boundary. */
   def resize(spark: SparkSession, dir: String, outBytes: Int = 32): Dataset[MediaThumb] = {
     import spark.implicits._
     binaryView(spark, dir).as[MediaRow]

@@ -70,14 +70,14 @@ class OpsSpec extends SparkSpec {
       s"exact=${r.getAs[Long]("exact_cust")} estimate outside 5% bound")
   }
 
-  test("multimodal: mapPartitions decode agrees with the expression form") {
-    val viaDs = Multimodal.decodeMeta(spark, sf).toDF()
-      .orderBy("doc_id").collect().toSeq
-    val viaExpr = Multimodal.metaQuery(spark, sf)
-      .select(col("doc_id"), col("byte_len"), col("width"), col("height"), col("format"))
-      .collect().toSeq
-    assert(viaDs.map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getString(4))) ===
-      viaExpr.map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getString(4))))
+  test("multimodal: magic-byte sniffing identifies every genuine container " +
+    "in the mixed corpus — all three modalities present, zero misses") {
+    val rows = Multimodal.sniffMeta(spark, sf).collect()
+    assert(rows.length === ops.Tables(spark, sf, "documents").count())
+    rows.foreach(r => assert(r.container_ok,
+      s"doc ${r.doc_id}: sniffed ${r.format}, expected ${r.expected}"))
+    assert(rows.map(_.format).toSet === Set("png", "wav", "txt"),
+      "the mixed view must exercise all three container types")
   }
 
   test("multimodal: feature extraction yields normalized fixed-dim vectors that feed ANN") {

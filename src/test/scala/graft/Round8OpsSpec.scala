@@ -1,11 +1,55 @@
 package graft
 
-import graft.ops.{Maintenance, Similarity}
+import graft.ops.{Maintenance, Multimodal, Similarity}
 import org.apache.spark.sql.functions._
 
-/** Round-8 additions: the IVF probe-cut decontamination tier and the
-  * oversized-shard compaction split. */
+/** Round-8 additions: the IVF probe-cut decontamination tier, the
+  * oversized-shard compaction split, and the real-WAV audio tier. */
 class Round8OpsSpec extends SparkSpec {
+
+  test("wav view: payloads are genuine RIFF/WAVE containers, not " +
+    "repackaged PCM") {
+    val rows = Multimodal.wavView(spark, sf).take(20)
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val p = r.payload
+      assert(p.length > 44, s"doc ${r.doc_id}: payload too short for a WAV")
+      assert(new String(p.slice(0, 4), "US-ASCII") === "RIFF",
+        s"doc ${r.doc_id}: missing RIFF magic")
+      assert(new String(p.slice(8, 12), "US-ASCII") === "WAVE",
+        s"doc ${r.doc_id}: missing WAVE form type")
+      // a fmt chunk must exist in the header region
+      assert(new String(p.slice(12, 16), "US-ASCII") === "fmt ",
+        s"doc ${r.doc_id}: missing fmt chunk")
+    }
+  }
+
+  test("wav decode: javax.sound.sampled roundtrip reproduces the " +
+    "generator's rate/channels/frames and sample checksum exactly " +
+    "(PCM WAV is lossless)") {
+    val metas = Multimodal.decodeWav(spark, sf).collect()
+    val total = ops.Tables(spark, sf, "documents").count()
+    assert(metas.length.toLong === total)
+    metas.foreach { m =>
+      val id = m.doc_id
+      assert(m.is_wav, s"doc $id: sniff failed on a genuine container")
+      assert(m.sample_rate === 8000 * ((id % 3).toInt + 1))
+      assert(m.channels === (id % 2).toInt + 1)
+      assert(m.n_frames === (id % 50) + 10)
+      var expected = 0L
+      var i = 0
+      while (i < m.n_frames) {
+        var c = 0
+        while (c < m.channels) {
+          expected += ((id * 7 + 31L * i + 17L * c) % 65536L) - 32768L
+          c += 1
+        }
+        i += 1
+      }
+      assert(m.sample_sum === expected,
+        s"doc $id: decoded sample checksum drifted")
+    }
+  }
 
   test("compaction apply: an oversized shard SPLITS into ~ceil(bytes/target) " +
     "bins instead of one giant file, and content survives the rewrite") {
