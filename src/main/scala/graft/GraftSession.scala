@@ -38,6 +38,20 @@ object GraftSession {
   def get(master: String = "local[32]", shufflePartitions: Int = 32): SparkSession = {
     val spark = builder(master, shufflePartitions).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    quietBoundedWindowWarnings()
     spark
   }
+
+  /** Silence WindowExec's "No Partition Defined" warning. Every
+    * unpartitioned window in this engine runs over a DELIBERATELY bounded
+    * input — post-`limit(k)` ranks, vocabulary/shard/day tables — which
+    * PlanSpec pins mechanically ("unpartitioned windows ride bounded
+    * inputs"); the warning is therefore pure noise here, and at bench/
+    * verify time it floods the driver's bounded stdout-tail window and
+    * buries real warnings. Scoped to the window package only: every other
+    * Spark warning still surfaces. */
+  def quietBoundedWindowWarnings(): Unit =
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window",
+      org.apache.logging.log4j.Level.ERROR)
 }

@@ -57,6 +57,7 @@ object ScaleCurve {
     // where 256 fit in memory. AQE coalesces the small-factor runs back.
     val spark: SparkSession = graft.GraftSession.get("local[32]", 256)
     spark.sparkContext.setLogLevel("WARN")
+    graft.GraftSession.quietBoundedWindowWarnings()
     val sf = "/root/testdata/sf0.1"
     val shift = 10000000L
 

@@ -54,6 +54,7 @@ object Stress {
     def want(t: String): Boolean = tiers.isEmpty || tiers(t)
     val spark = graft.GraftSession.get()
     spark.sparkContext.setLogLevel("WARN")
+    graft.GraftSession.quietBoundedWindowWarnings()
     val dir = s"/tmp/graft-stress-${nOrig}"
     writeDocs(spark, dir, nOrig)
     println(s"STRESS corpus: ${nOrig * 10} docs at $dir")

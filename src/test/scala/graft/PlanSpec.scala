@@ -587,4 +587,41 @@ class PlanSpec extends SparkSpec {
       p.take(3000))
     assert(p.contains("Window"), p.take(3000))
   }
+
+  test("unpartitioned windows ride bounded inputs: below every global " +
+    "window sits a limit or an aggregate, never the raw corpus") {
+    import org.apache.spark.sql.catalyst.plans.logical
+    // Every query family that uses a global (unpartitioned) window — the
+    // single-partition funnel is only acceptable because its input is
+    // bounded first: a limit(k), or an aggregate that reduces the corpus
+    // to a vocabulary/shard/day/bucket table. This pin replaces the
+    // hand-audit of WindowExec warnings: ADD ANY NEW QUERY THAT USES
+    // Window.orderBy (no partitionBy) TO THIS LIST. Driver-loop trainers
+    // and streaming queries are covered by their own specs — constructing
+    // them here would execute training rounds / checkpointed streams.
+    val globalWindowQueries = Seq(
+      "q_stratified_sample", "q_corpus_sample", "q_source_cap",
+      "q_token_budget", "q_weighted_sample", "q_epoch_order",
+      "q_train_test_split", "q_mix_weights", "q_mix_deciles",
+      "q_vocab", "q_oov_rate", "q_pmi_collocations", "q_bpe_pairs",
+      "q_rrf_fusion", "q_drift_windowed", "q_skew_report",
+      "q_compaction_plan")
+    val offenders = globalWindowQueries.flatMap { name =>
+      val lp = SparkEntry.queries(name)(spark, sf).queryExecution.optimizedPlan
+      lp.collect {
+        case w: logical.Window if w.partitionSpec.isEmpty =>
+          val bounded = w.child.collectFirst {
+            case _: logical.GlobalLimit => ()
+            case _: logical.LocalLimit => ()
+            case _: logical.Aggregate => ()
+            // a checkpointed subtree is already a materialized bounded
+            // table (drift grids, oov vocab) — its logical node is a leaf
+            case l: logical.LeafNode if l.computeStats().rowCount.isDefined => ()
+          }.isDefined
+          if (bounded) None else Some(name)
+      }.flatten
+    }.distinct
+    assert(offenders.isEmpty,
+      s"global window over a potentially unbounded input in: $offenders")
+  }
 }
