@@ -109,8 +109,14 @@ object DedupStream {
     val feed = s"$root/feed"
     // 8 files per crawl batch: batch-input parallelism (see stageBatches)
     stageBatches(feed, corpusHalves(docs), filesPerPart = 8)
-    val q = start(spark, feed, s"$root/state", s"$root/pairs", s"$root/ckpt",
-      threshold, maxFilesPerTrigger = Some(8))
+    // partitions-only tuning: the foreachBatch batch jobs run in the
+    // cloned-at-start session, so 8 shuffle partitions right-size the
+    // per-micro-batch join/agg jobs for a half-corpus feed (no state-store
+    // operator here — the dedup state is explicit parquet)
+    val q = StreamTune.withStateConf(spark, rocksDb = false) {
+      start(spark, feed, s"$root/state", s"$root/pairs", s"$root/ckpt",
+        threshold, maxFilesPerTrigger = Some(8))
+    }
     // stop in finally: a failing micro-batch surfaces from
     // processAllAvailable as StreamingQueryException, and leaving the query
     // running would leak it (and its scratch state) into every later query

@@ -107,14 +107,11 @@ object StreamHeavyHitters {
             ckpt: String, threshold: Long = 75, shards: Int = 64,
             maxFilesPerTrigger: Int = 1): org.apache.spark.sql.streaming.StreamingQuery = {
     import spark.implicits._
-    // RocksDB store: required by transformWithState. The provider is
-    // captured into the checkpoint at creation; restore the session conf
-    // after start so co-resident queries keep their own store.
-    val prevProvider = spark.conf.getOption(
-      "spark.sql.streaming.stateStore.providerClass")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    // RocksDB store (required by transformWithState) + the shared
+    // fixed-overhead tuning; conf is captured into the checkpoint at
+    // creation and restored after start, so co-resident queries keep
+    // their own store.
+    StreamTune.withStateConf(spark) {
       spark.readStream
         .schema("user_id BIGINT")
         .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -130,13 +127,6 @@ object StreamHeavyHitters {
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
         .start()
-    } finally {
-      prevProvider match {
-        case Some(p) => spark.conf.set(
-          "spark.sql.streaming.stateStore.providerClass", p)
-        case None => spark.conf.unset(
-          "spark.sql.streaming.stateStore.providerClass")
-      }
     }
   }
 }
