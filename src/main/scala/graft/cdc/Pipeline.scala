@@ -303,6 +303,8 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
             trigger: Trigger = Trigger.AvailableNow(),
             monotonic: Boolean = false,
             progress: Option[ProgressStore] = None): StreamingQuery = {
+    // reference main.py:35-36: `if settings.debug: logger.debug(settings)`
+    if (config.debug) DebugLog.record(s"settings: $config")
     backfillIfNeeded()
     val changes =
       if (!monotonic) source.changes
@@ -325,8 +327,18 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val cached = batch.persist()
-        try config.syncs.foreach(applySync(cached, _, batchId))
-        finally { cached.unpersist(); () }
+        try {
+          // reference main.py:103-104: `if settings.debug:
+          // logger.debug(event)` per decoded event — here per micro-batch,
+          // with the event dump BOUNDED (a batch at scale carries millions
+          // of events; debug output must not grow with data volume)
+          if (config.debug) {
+            DebugLog.record(s"batch $batchId: ${cached.count()} events")
+            cached.toJSON.take(20).foreach(e =>
+              DebugLog.record(s"batch $batchId event: $e"))
+          }
+          config.syncs.foreach(applySync(cached, _, batchId))
+        } finally { cached.unpersist(); () }
       }
       .start()
     progress.foreach(ProgressPublisher.attach(spark, q.id, _))

@@ -37,6 +37,13 @@ import org.apache.spark.sql.types.StructType
   *                                  # incrementally per micro-batch;
   *                                  # columns missing from a sync's
   *                                  # payload are skipped for that sync
+  * debug=true                       # reference settings.debug: log parsed
+  *                                  # settings + a bounded per-batch event
+  *                                  # dump (main.py:35-36,103-104)
+  * error.listeners=com.example.Rep  # reflection-loaded GraftErrorReporter
+  *                                  # classes (the sentry-analog hook,
+  *                                  # main.py:37-44); error.* entries are
+  *                                  # passed to init (dsn/environment)
   * plugins=com.example.MyPlugin   # reflection-loaded GraftPlugin classes
   * sync.<table>.pk=id
   * sync.<table>.full=true
@@ -105,6 +112,7 @@ object Main {
         .map(new graft.cdc.FileProgressStore(_): graft.cdc.ProgressStore)
         .orElse(Option(props.getProperty("progress.addr"))
           .map(new graft.cdc.SocketProgressStore(_)))
+    val reporters = parseReporters(props)
     cmd match {
       case "start" =>
         val trigger = Option(props.getProperty("trigger.seconds"))
@@ -114,8 +122,12 @@ object Main {
         val q = pipe.start(props.getProperty("checkpoint.dir"), trigger,
           monotonic = props.getProperty("monotonic") == "true",
           progress = progress)
+        // sentry-analog: stream death with an error fires every configured
+        // reporter (a clean AvailableNow drain reports nothing)
+        if (reporters.nonEmpty)
+          graft.cdc.ErrorReporting.attach(spark, q.id, reporters)
         q.awaitTermination()
-      case "refresh" =>
+      case "refresh" => graft.cdc.ErrorReporting.reporting(reporters, "refresh") {
         // refresh.timeout.ms configured => the reference's async shape:
         // fire every table's rebuild as a task, then gather each with
         // wait_for_task_timeout (meili.py:28,56-63); a timeout fails loud
@@ -131,13 +143,15 @@ object Main {
             pipe.refresh(rest).foreach { case (t, n) =>
               println(s"refreshed $t: $n rows") }
         }
-      case "check" =>
+      }
+      case "check" => graft.cdc.ErrorReporting.reporting(reporters, "check") {
         var ok = true
         pipe.check().foreach { case (t, (src, sink)) =>
           val status = if (src == sink) "OK" else { ok = false; "MISMATCH" }
           println(s"$status $t: source=$src sink=$sink")
         }
         if (!ok) sys.exit(1)
+      }
     }
   }
 
@@ -168,6 +182,24 @@ object Main {
         Option(props.getProperty("insert.interval.seconds")).map(_.trim.toInt),
       stateBuckets = Option(props.getProperty("state.buckets")).map(_.trim.toInt),
       zoneMapCols = Option(props.getProperty("state.zonemap.cols")).toSeq
-        .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty))
+        .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty),
+      debug = props.getProperty("debug") == "true")
+  }
+
+  /** `error.listeners=<fqcn,...>` — reflection-loaded [[GraftErrorReporter]]
+    * classes (the sentry-analog hook, reference `main.py:37-44`); every
+    * `error.*` config entry is handed to `init` (the dsn/environment
+    * analog). */
+  private[graft] def parseReporters(
+      props: java.util.Properties): Seq[graft.cdc.GraftErrorReporter] = {
+    import scala.jdk.CollectionConverters._
+    Option(props.getProperty("error.listeners")) match {
+      case None => Seq.empty
+      case Some(names) =>
+        val conf = props.stringPropertyNames().asScala
+          .filter(k => k.startsWith("error.") && k != "error.listeners")
+          .map(k => k.stripPrefix("error.") -> props.getProperty(k)).toMap
+        graft.cdc.ErrorReporting.load(names.split(',').toSeq, conf)
+    }
   }
 }

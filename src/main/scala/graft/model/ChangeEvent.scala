@@ -87,7 +87,12 @@ final case class PipelineConfig(
     insertSize: Option[Int] = None,
     insertIntervalSecs: Option[Int] = None,
     stateBuckets: Option[Int] = None,
-    zoneMapCols: Seq[String] = Seq.empty
+    zoneMapCols: Seq[String] = Seq.empty,
+    /** The reference's `debug` settings flag (`settings.py:64`,
+      * `main.py:35-36,103-104`): log the parsed settings at startup and
+      * the decoded events per micro-batch (bounded sample — the row-at-a-
+      * time reference logs every event; a Spark batch logs its head). */
+    debug: Boolean = false
 ) {
   /** `settings.get_sync(table)` (reference `settings.py:78-82`). */
   def syncFor(table: String): Option[SyncConfig] = syncs.find(_.table == table)

@@ -102,6 +102,135 @@ class CliSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("com.example.Nope"))
   }
+
+  test("debug flag: parses from config, logs settings and a bounded " +
+    "per-batch event dump; silent when off") {
+    import graft.cdc._
+    import graft.model._
+    import org.apache.spark.sql.types._
+    val p = new java.util.Properties()
+    p.setProperty("sync.t.schema", "id INT")
+    p.setProperty("debug", "true")
+    assert(Main.parseConfig(p).debug)
+    val bare = new java.util.Properties()
+    bare.setProperty("sync.t.schema", "id INT")
+    assert(!Main.parseConfig(bare).debug)
+
+    val sync = SyncConfig("t", pk = "id", schema = Some(StructType(Seq(
+      StructField("id", IntegerType), StructField("name", StringType)))))
+    def drive(debug: Boolean): Unit = {
+      val src = new MemoryCdcSource(spark)
+      val pipe = new Pipeline(spark,
+        PipelineConfig(Seq(sync), debug = debug), src, tmpDir("sink"))
+      src.addEvents(ChangeEvent("create", "t", 1,
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+        """{"id": 1, "name": "ann"}"""))
+      val q = pipe.start(tmpDir("ckpt"))
+      q.processAllAvailable(); q.stop()
+    }
+    DebugLog.clear()
+    drive(debug = false)
+    assert(DebugLog.recent().isEmpty, "debug off must record nothing")
+    drive(debug = true)
+    val lines = DebugLog.recent()
+    assert(lines.exists(_.startsWith("settings:")),
+      s"missing settings line (main.py:35-36 parity): $lines")
+    assert(lines.exists(l => l.startsWith("batch ") && l.endsWith("events")),
+      s"missing per-batch count line: $lines")
+    val events = lines.filter(_.contains(" event: "))
+    assert(events.nonEmpty, s"missing decoded-event dump: $lines")
+    // the envelope's raw payload rides inside the JSON line (escaped)
+    assert(events.forall(e => e.contains("ann") && e.contains("\"op\":\"create\"")),
+      s"event dump must carry the decoded envelope + payload: $events")
+    assert(events.length <= 20, "event dump must stay bounded per batch")
+  }
+
+  test("error listener: config-loaded reporters get error.* init conf, " +
+    "fire on stream death with the error, stay silent on a clean run") {
+    import graft.cdc._
+    RecordingReporter.reports.clear()
+    val p = new java.util.Properties()
+    p.setProperty("error.listeners", "graft.RecordingReporter")
+    p.setProperty("error.dsn", "https://example/42")
+    p.setProperty("error.environment", "ci")
+    val reporters = Main.parseReporters(p)
+    assert(reporters.length === 1)
+    assert(RecordingReporter.conf.get() ===
+      Map("dsn" -> "https://example/42", "environment" -> "ci"),
+      "init must receive the error.* config (dsn/environment analog)")
+    // no listeners configured => empty
+    assert(Main.parseReporters(new java.util.Properties()).isEmpty)
+
+    // clean run: nothing reported
+    val ok = spark.readStream.format("rate")
+      .option("rowsPerSecond", "1").load()
+      .writeStream.format("noop")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    val lOk = ErrorReporting.attach(spark, ok.id, reporters)
+    try { ok.processAllAvailable(); ok.stop() }
+    finally spark.streams.removeListener(lOk)
+    spark.streams.resetTerminated()
+    assert(RecordingReporter.reports.isEmpty, "clean stop must not report")
+
+    // failing run: the listener forwards the death to every reporter.
+    // The foreachBatch blocks on a latch until the listener is attached,
+    // so the failure cannot race the attach.
+    val latch = new java.util.concurrent.CountDownLatch(1)
+    val q = spark.readStream.format("rate")
+      .option("rowsPerSecond", "1").load()
+      .writeStream
+      .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) =>
+        latch.await(30, java.util.concurrent.TimeUnit.SECONDS)
+        throw new RuntimeException("boom: sink exploded")
+      }
+      .start()
+    val l = ErrorReporting.attach(spark, q.id, reporters)
+    latch.countDown()
+    try {
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.awaitTermination()
+      }
+      // listener-bus delivery is async: poll briefly
+      val deadline = System.nanoTime() + 10e9.toLong
+      while (RecordingReporter.reports.isEmpty && System.nanoTime() < deadline)
+        Thread.sleep(50)
+    } finally spark.streams.removeListener(l)
+    val rep = RecordingReporter.reports.toArray(Array.empty[String])
+    assert(rep.nonEmpty, "stream death must fire the reporters")
+    assert(rep.head.startsWith(s"stream ${q.id}|"))
+    assert(rep.head.contains("boom: sink exploded"),
+      s"the error text must reach the reporter: ${rep.head}")
+  }
+
+  test("error listener: batch-command failures route through the same " +
+    "reporters and rethrow") {
+    import graft.cdc._
+    RecordingReporter.reports.clear()
+    val reporters = Seq(new RecordingReporter)
+    val e = intercept[IllegalStateException] {
+      ErrorReporting.reporting(reporters, "refresh") {
+        throw new IllegalStateException("rebuild failed")
+      }
+    }
+    assert(e.getMessage === "rebuild failed")
+    val rep = RecordingReporter.reports.toArray(Array.empty[String])
+    assert(rep.length === 1 && rep.head.startsWith("refresh|") &&
+      rep.head.contains("rebuild failed"))
+  }
+}
+
+/** Sentry-analog test fixture: records init conf and reports statically. */
+class RecordingReporter extends graft.cdc.GraftErrorReporter {
+  override def init(conf: Map[String, String]): Unit = {
+    RecordingReporter.conf.set(conf); ()
+  }
+  override def report(context: String, error: String): Unit = {
+    RecordingReporter.reports.add(s"$context|$error"); ()
+  }
+}
+object RecordingReporter {
+  val conf = new java.util.concurrent.atomic.AtomicReference[Map[String, String]](Map.empty)
+  val reports = new java.util.concurrent.ConcurrentLinkedQueue[String]()
 }
 
 /** Scoped plugin: must leave other tables' views untouched. */
