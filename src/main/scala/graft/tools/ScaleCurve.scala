@@ -48,6 +48,13 @@ object ScaleCurve {
     // encode+decode roundtrip (row-linear, partition-parallel), and the
     // time-series gap-fill (user x day frame, sub-linear in events).
     val r7 = args.length > 1 && args.drop(1).contains("r7")
+    // `r8` measures the round-8 ops: the IVF probe-cut decontamination
+    // (cells-scaled = the production posture, linear; the brute tier's
+    // quadratic bend measured beside it as the documented motivation),
+    // the oversized-shard compaction SPLIT (bins must track
+    // total-bytes/target, never saturate at the shard count), and the
+    // real-codec WAV roundtrip (row-linear, partition-parallel).
+    val r8 = args.length > 1 && args.drop(1).contains("r8")
     // keep: leave the replicated tables on disk for stage profiling
     // (graft.tools.Profile <dir> prefix) instead of the default cleanup
     val keep = args.length > 1 && args.drop(1).contains("keep")
@@ -280,6 +287,53 @@ object ScaleCurve {
         time("unigram_prune", fac)(
           graft.ops.TextAnalysis.unigramPrune(spark, uroot).count())
         ()
+      }
+
+      if (r8) {
+        // sign-reflected embedding replicas (the sem_dedup axis): the
+        // corpus grows in DISTINCT directions, so the screen measures
+        // scan/candidate scaling, not duplicate multiplicity
+        val edir = s"/tmp/graft-scalecurve-r8-$fac"
+        val eroot =
+          if (fac == 1) sf
+          else {
+            replicate(spark.read.parquet(s"$sf/embeddings.parquet"),
+              Set("vec_id"), fac, perturbText = false,
+              perturbEmbedding = true)
+              .repartition(64)
+              .write.mode("overwrite").parquet(s"$edir/embeddings.parquet")
+            edir
+          }
+        spark.read.parquet(s"$eroot/embeddings.parquet").count() // warm
+        // cells-scaled probe cut (the FAISS posture: nCells tracks the
+        // corpus, per-cell size constant): candidates per test vector are
+        // CONSTANT, so the screen is linear in the corpus. The per-row
+        // assignment fold is O(nCells) by construction (a real deployment
+        // runs a BLAS/SIMD coarse quantizer), which caps the local
+        // harness at x10 — the 1 -> 10 slope is the linearity evidence.
+        if (fac <= 10) {
+          time("decon_ivf_scl", fac)(
+            graft.ops.Similarity.decontaminateEmbedIvf(spark, eroot,
+              nCells = 8 * fac, nProbe = 4).count())
+          // the brute tier is QUADRATIC by design (0.2N x 0.8N broadcast
+          // cross) — measured beside the cut as its documented motivation,
+          // the knn_cells_fixed pattern
+          time("decon_brute", fac)(
+            graft.ops.Similarity.decontaminateEmbed(spark, eroot).count())
+        }
+        // compaction split under byte pressure: 8 shards vs an 8 KiB
+        // target — every shard oversized at every factor; the bin count
+        // (rows=) must grow ~fac x (total/target), never pin at 8 = shards
+        time("compact_split", fac)(
+          graft.ops.Maintenance.compactionApplyQuery(spark, root,
+            shards = 8, targetBytes = 8192).count())
+        time("wav_roundtrip", fac)(
+          graft.ops.Multimodal.wavMetaQuery(spark, root).count())
+        if (fac != 1 && !keep) {
+          val p = new org.apache.hadoop.fs.Path(edir)
+          p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+          ()
+        }
       }
 
       if (r6) {
