@@ -157,6 +157,19 @@ object SparkEntry {
     "q_outliers"       -> ((s, d) => Relational.outliers(s, d)),
     "q_approx_percentile" -> ((s, d) => Relational.approxPercentiles(s, d)),
     "q_rrf_fusion"     -> ((s, d) => Similarity.hybridRetrieve(s, d)),
+    // FAISS-SQ8 int8 scalar quantization audit: per-dim affine codes,
+    // midpoint reconstruction, integer-unit MSE — the float32→int8
+    // memory-reduction report for the ANN index
+    "q_embed_sq8"      -> ((s, d) => Similarity.embedSq8(s, d)),
+    // MMR diversified re-rank of the semantic top-N (the RAG context-
+    // window fix): greedy λ·relevance − (1−λ)·max-sim-to-selected in
+    // integer micro-units; the greedy ORDER is oracle-replayed
+    "q_mmr_rerank"     -> ((s, d) => Similarity.mmrRerank(s, d)),
+    // chunk-level language consistency (mixed-language detection): langId
+    // per 48-token chunk, per-doc majority/minority rollup; 0-row mixed
+    // set at fixture scale is NOT vacuous — Round8OpsSpec injects a
+    // code-switched fixture (the q_boilerplate pattern)
+    "q_lang_mix"       -> ((s, d) => TextAnalysis.langMix(s, d)),
     "q_hard_negatives" -> ((s, d) => Similarity.hardNegatives(s, d)),
     "q_pmi_collocations" -> ((s, d) => TextAnalysis.pmiCollocations(s, d)),
     "q_sem_dedup"      -> ((s, d) => Dedup.semDedup(s, d)),
@@ -996,6 +1009,69 @@ object SparkEntry {
         |  mc >= 0.5 AS contaminated
         |FROM s ORDER BY doc_id""".stripMargin,
 
+    // SQ8: codes are integers, per-element squared errors quantize to
+    // integer 1e-8 units before the sum, so no partial-agg float drift.
+    "q_embed_sq8" ->
+      """WITH e AS (SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
+        |             generate_subscripts(embedding, 1) - 1 AS dim
+        |           FROM embeddings),
+        |st AS (SELECT dim, min(x) AS dmin, max(x) AS dmax FROM e GROUP BY 1),
+        |c AS (SELECT e.dim, e.x, st.dmin, st.dmax,
+        |        CASE WHEN st.dmax = st.dmin THEN 0
+        |             ELSE least(CAST(floor((e.x - st.dmin) * 255.0
+        |               / (st.dmax - st.dmin)) AS BIGINT), 255) END AS code
+        |      FROM e JOIN st USING (dim)),
+        |r AS (SELECT dim, x, dmin, dmax, code,
+        |        dmin + (code + 0.5) * (dmax - dmin) / 255.0 AS recon FROM c),
+        |a AS (SELECT dim, count(*) AS n, CAST(sum(code) AS BIGINT) AS sc,
+        |        CAST(sum(CAST(round((x - recon) * (x - recon) * 1e8)
+        |          AS BIGINT)) AS BIGINT) AS se,
+        |        round(min(dmin), 4) + 0.0 AS dmin,
+        |        round(max(dmax), 4) + 0.0 AS dmax
+        |      FROM r GROUP BY 1)
+        |SELECT CAST(dim AS INT) AS dim, dmin, dmax,
+        |  round(CAST(sc AS DOUBLE) / n, 4) + 0.0 AS mean_code,
+        |  round(CAST(se AS DOUBLE) / n / 1e8, 10) + 0.0 AS mse
+        |FROM a ORDER BY dim""".stripMargin,
+
+    // MMR greedy selection replayed as a recursive CTE carrying the
+    // selected-id list; integer micro-unit scoring (7·cmq − 3·max cm)
+    // with lowest-id ties makes the order engine-exact. The first pick
+    // is the plain relevance argmax (empty selected set).
+    "q_mmr_rerank" ->
+      """WITH RECURSIVE
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS norm FROM e),
+        |q AS (SELECT * FROM n WHERE vec_id = 0),
+        |cq AS (SELECT c.vec_id AS id,
+        |         CAST(round(10000 * list_dot_product(q.v, c.v)
+        |           / (q.norm * c.norm)) AS BIGINT) AS cmq,
+        |         c.v AS v, c.norm AS norm
+        |       FROM n c, q WHERE c.vec_id <> 0
+        |       ORDER BY cmq DESC, id LIMIT 20),
+        |pw AS (SELECT a.id AS ida, b.id AS idb,
+        |         CAST(round(10000 * list_dot_product(a.v, b.v)
+        |           / (a.norm * b.norm)) AS BIGINT) AS cm
+        |       FROM cq a JOIN cq b ON a.id <> b.id),
+        |r AS (
+        |  SELECT 1 AS rank, f.id, f.cmq, [f.id] AS sel
+        |  FROM (SELECT id, cmq FROM cq ORDER BY cmq DESC, id LIMIT 1) f
+        |  UNION ALL
+        |  SELECT r.rank + 1, p.id, p.cmq, list_append(r.sel, p.id)
+        |  FROM r, LATERAL (
+        |    SELECT c.id, c.cmq
+        |    FROM cq c
+        |    WHERE NOT list_contains(r.sel, c.id)
+        |    ORDER BY 7 * c.cmq - 3 * (SELECT max(cm) FROM pw
+        |              WHERE pw.ida = c.id AND list_contains(r.sel, pw.idb))
+        |      DESC, c.id
+        |    LIMIT 1) p
+        |  WHERE r.rank < 5
+        |)
+        |SELECT CAST(rank AS INT) AS rank, id AS doc_id,
+        |  cmq / 10000.0 AS relevance
+        |FROM r ORDER BY rank""".stripMargin,
+
     "q_ann_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS norm FROM e),
@@ -1007,6 +1083,46 @@ object SparkEntry {
         |      FROM s)
         |SELECT q_id, rank, n_id, round(cos, 4) AS cosine
         |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    // chunk-level language consistency: q_lang_id's marker scoring per
+    // 48-token chunk, majority ties by count DESC then the fixed language
+    // priority — the same deterministic chain as the doc-level argmax.
+    "q_lang_mix" -> {
+      def occ(m: String) =
+        s"CAST((length(pt) - length(replace(pt, '$m', ''))) / ${m.length} AS BIGINT)"
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |ch AS (SELECT doc_id,
+        |         ' ' || array_to_string(toks[i * 48 + 1 : i * 48 + 48], ' ')
+        |           || ' ' AS pt
+        |       FROM (SELECT doc_id, toks,
+        |               unnest(generate_series(0, (len(toks) - 1) // 48)) AS i
+        |             FROM d)),
+        |sc AS (SELECT doc_id,
+        |  OCC_EN AS s_en, OCC_ES AS s_es, OCC_DE AS s_de, OCC_FR AS s_fr
+        |  FROM ch),
+        |p AS (SELECT doc_id,
+        |        CASE WHEN s_en >= greatest(s_es, s_de, s_fr) THEN 'en'
+        |             WHEN s_es >= greatest(s_de, s_fr) THEN 'es'
+        |             WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END AS lang
+        |      FROM sc),
+        |c AS (SELECT doc_id, lang, count(*) AS cnt,
+        |        CASE lang WHEN 'en' THEN 0 WHEN 'es' THEN 1 WHEN 'de' THEN 2
+        |          ELSE 3 END AS pri
+        |      FROM p GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY cnt DESC, pri) AS r FROM c)
+        |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_chunks,
+        |  CAST(count(*) AS BIGINT) AS n_langs,
+        |  max(CASE WHEN r = 1 THEN lang END) AS majority,
+        |  count(*) > 1 AS mixed,
+        |  round(1.0 - CAST(max(CASE WHEN r = 1 THEN cnt END) AS DOUBLE)
+        |    / sum(cnt), 4) + 0.0 AS minority_share
+        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        .replace("OCC_EN", s"${occ(" the ")} + ${occ(" and ")}")
+        .replace("OCC_ES", s"${occ(" el ")} + ${occ(" la ")}")
+        .replace("OCC_DE", s"${occ(" der ")} + ${occ(" und ")}")
+        .replace("OCC_FR", s"${occ(" le ")} + ${occ(" et ")}")
+    },
 
     "q_lang_id" -> {
       def occ(m: String) =

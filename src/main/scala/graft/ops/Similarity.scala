@@ -703,6 +703,110 @@ object Similarity {
       .orderBy(col("rank"))
   }
 
+  /** MMR-diversified retrieval (Carbonell & Goldstein 1998, the standard
+    * RAG re-rank): greedily select k of the query's top-N candidates,
+    * each pick maximizing `λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s)` — high
+    * relevance, low redundancy against what is already selected. The raw
+    * cosine top-k hands a RAG context window five near-copies of the same
+    * passage; MMR is the fix every retrieval stack ships.
+    *
+    * All scoring is integer micro-units on 4-dp cosines (λ = 7/10 becomes
+    * the integer form `7·cm(q,d) − 3·max cm(d,s)`), with ties to the
+    * lowest id — fully deterministic, so the greedy ORDER ITSELF is
+    * DuckDB-oracle-checked (a recursive CTE replays the selection).
+    * The first pick is the plain relevance argmax (empty selected set).
+    *
+    * Shape at scale: relevance scoring is the [[bruteForceTopK]] shape
+    * (query broadcast, one corpus scan — or the [[ivfTopK]] probe cut as
+    * the candidate generator at 100 TB), cut to top-N by the integer
+    * relevance BEFORE anything pairwise; the pairwise matrix and the
+    * greedy loop run over the BY-CONSTRUCTION bounded N-candidate set
+    * (N² = 400 rows at the default), driver-side like every other
+    * O(bounded) selection in the repo — never the corpus. */
+  def mmrRerank(spark: SparkSession, dir: String, queryVecId: Long = 0L,
+                topN: Int = 20, k: Int = 5): DataFrame = {
+    val e = withVec(spark, dir)
+    val q = e.filter(col("vec_id") === queryVecId).alias("q")
+    val c = e.filter(col("vec_id") =!= queryVecId).alias("c")
+    // integer micro-unit relevance BEFORE the cut: the top-N boundary must
+    // not depend on float ordering
+    val cand = c.join(broadcast(q))
+      .select(col("c.vec_id").as("id"),
+        round(cosine * 10000).cast("long").as("cmq"),
+        col("c.v").as("v"), col("c.norm").as("norm"))
+      .orderBy(col("cmq").desc, col("id")).limit(topN)
+      .localCheckpoint(true)
+    val pw = cand.alias("c").join(broadcast(cand.alias("q")),
+        col("q.id") =!= col("c.id"))
+      .select(col("q.id").as("ida"), col("c.id").as("idb"),
+        round(cosine * 10000).cast("long").as("cm"))
+    val rel = cand.select(col("id"), col("cmq")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val sim = pw.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    var selected = Vector.empty[Long]
+    val picks = (1 to math.min(k, rel.length)).map { rank =>
+      val (id, cmq) =
+        if (selected.isEmpty) rel.minBy { case (i, s) => (-s, i) }
+        else rel.filterNot(r => selected.contains(r._1)).minBy { case (i, s) =>
+          val maxSel = selected.map(sid => sim((i, sid))).max
+          (-(7L * s - 3L * maxSel), i)
+        }
+      selected :+= id
+      (rank, id, cmq / 10000.0)
+    }
+    import spark.implicits._
+    picks.toDF("rank", "doc_id", "relevance")
+      .select(col("rank").cast("int").as("rank"), col("doc_id"),
+        col("relevance"))
+      .orderBy(col("rank"))
+  }
+
+  /** Int8 scalar quantization of the embedding corpus (the FAISS
+    * `SQ8` codec): per-dimension min/max train the affine code
+    * `code = floor((x − min)·255/(max − min))` (clamped at 255 for the
+    * max-ulp edge), reconstruction decodes the bucket midpoint, and the
+    * report carries per-dimension code statistics + reconstruction MSE —
+    * the memory-4x-reduction audit run before switching an ANN index from
+    * float32 to int8 storage.
+    *
+    * Engine-exact: min/max are order-independent; codes are integers;
+    * per-element squared reconstruction errors are quantized to integer
+    * 1e-8 units before summation (both engines evaluate the identical
+    * per-row double expression, then sum integers — partial-aggregation
+    * order cannot drift the MSE).
+    *
+    * Shape at scale: one posexplode pass (× dim, linear), ONE (dim)-keyed
+    * two-phase aggregate for the stats, a 64-row broadcast back, and one
+    * more (dim)-keyed aggregate for the code/error report — nothing
+    * shuffles on a high-cardinality key, no driver state beyond dim
+    * rows. */
+  def embedSq8(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), posexplode(
+        expr("transform(embedding, x -> cast(x as double))")).as(Seq("dim", "x")))
+    val stats = e.groupBy(col("dim"))
+      .agg(min(col("x")).as("dmin"), max(col("x")).as("dmax"))
+    e.join(broadcast(stats), Seq("dim"))
+      .withColumn("code", when(col("dmax") === col("dmin"), lit(0L))
+        .otherwise(least(floor((col("x") - col("dmin")) * 255.0
+          / (col("dmax") - col("dmin"))).cast("long"), lit(255L))))
+      .withColumn("recon", col("dmin")
+        + (col("code") + 0.5) * (col("dmax") - col("dmin")) / 255.0)
+      .withColumn("em",
+        round((col("x") - col("recon")) * (col("x") - col("recon")) * 1e8)
+          .cast("long"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("code")).as("sc"),
+        sum(col("em")).as("se"),
+        (round(min(col("dmin")), 4) + 0.0).as("dmin"),
+        (round(max(col("dmax")), 4) + 0.0).as("dmax"))
+      .select(col("dim").cast("int").as("dim"), col("dmin"), col("dmax"),
+        (round(col("sc").cast("double") / col("n"), 4) + 0.0).as("mean_code"),
+        (round(col("se").cast("double") / col("n") / 1e8, 10) + 0.0).as("mse"))
+      .orderBy(col("dim"))
+  }
+
   /** Hard-negative mining for contrastive training (the DPR/Contriever
     * recipe): for each query vector, the top-k most-similar corpus vectors
     * with a DIFFERENT label — the near-miss negatives a bi-encoder learns

@@ -43,6 +43,60 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Mixed-language detection: [[langId]]'s marker scoring applied PER
+    * CHUNK (non-overlapping `chunkTokens`-token windows), rolled up to a
+    * per-document consistency report — majority language, distinct
+    * languages seen, and the minority share. A document whose chunks
+    * disagree is usually concatenated boilerplate, a bad extraction, or
+    * genuine code-switching; either way it pollutes per-language corpora,
+    * which is why curation pipelines screen chunk-level consistency, not
+    * just the doc-level argmax.
+    *
+    * Majority ties break by chunk count DESC then the fixed language
+    * priority (en, es, de, fr) — the same deterministic priority as the
+    * doc-level argmax chain, so the oracle replays it exactly.
+    *
+    * Shape at scale: chunking is per-row array work (no shuffle), the
+    * rollup is one (doc, lang)-keyed two-phase count, and the majority
+    * pick is a window PARTITIONED by doc over ≤4 rows each — linear,
+    * nothing global. */
+  def langMix(spark: SparkSession, dir: String,
+              chunkTokens: Int = 48): DataFrame = {
+    val chunks = Tables(spark, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, (size(toks) - 1) div $chunkTokens), " +
+          s"i -> concat_ws(' ', slice(toks, i * $chunkTokens + 1, " +
+          s"$chunkTokens)))")).as("ct"))
+    val padded = concat(lit(" "), col("ct"), lit(" "))
+    val scored = markers.foldLeft(chunks) { case (df, (lang, ms)) =>
+      df.withColumn(s"s_$lang", ms.map(occurrences(padded, _)).reduce(_ + _))
+    }
+    val pred = scored.withColumn("lang",
+      when(col("s_en") >= greatest(col("s_es"), col("s_de"), col("s_fr")), "en")
+        .when(col("s_es") >= greatest(col("s_de"), col("s_fr")), "es")
+        .when(col("s_de") >= col("s_fr"), "de")
+        .otherwise("fr"))
+    val counts = pred.groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("pri", expr(
+        "CASE lang WHEN 'en' THEN 0 WHEN 'es' THEN 1 WHEN 'de' THEN 2 " +
+          "ELSE 3 END"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("cnt").desc, col("pri"))
+    counts.withColumn("r", row_number().over(w))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_chunks"),
+        count(lit(1)).as("n_langs"),
+        max(when(col("r") === 1, col("lang"))).as("majority"),
+        max(when(col("r") === 1, col("cnt"))).as("maj_cnt"))
+      .select(col("doc_id"), col("n_chunks"), col("n_langs"),
+        col("majority"), (col("n_langs") > 1).as("mixed"),
+        (round(lit(1.0) - col("maj_cnt").cast("double") / col("n_chunks"), 4)
+          + 0.0).as("minority_share"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Quality scoring: token count, mean token length, punctuation ratio,
     * stopword ratio — the standard cheap quality filters. */
   def quality(spark: SparkSession, dir: String): DataFrame = {

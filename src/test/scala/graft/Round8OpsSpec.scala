@@ -108,6 +108,29 @@ class Round8OpsSpec extends SparkSpec {
       s"whole-shard packing must be unchanged: $byBin")
   }
 
+  test("lang mix: an injected code-switched doc is flagged with the right " +
+    "majority and minority share; single-language docs stay clean") {
+    import spark.implicits._
+    import graft.ops.TextAnalysis
+    val dir = tmpDir("langmix")
+    val en = ("the cat and the dog and the bird " * 6).trim   // 48 en tokens
+    val de = ("der hund und der vogel und die katze " * 6).trim // 48 de tokens
+    Seq(
+      (0L, s"$en $en $en"),      // 3 chunks en
+      (1L, s"$en $de $en"),      // mixed: 2 en + 1 de
+      (2L, de))                  // 1 chunk de
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = TextAnalysis.langMix(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getBoolean(4), r.getDouble(5))).sortBy(_._1)
+    assert(rows(0) === ((0L, 3L, 1L, "en", false, 0.0)))
+    assert(rows(1)._3 === 2L && rows(1)._4 === "en" && rows(1)._5,
+      s"code-switched doc must flag mixed: ${rows(1)}")
+    assert(math.abs(rows(1)._6 - 0.3333) < 1e-9, "minority share = 1/3")
+    assert(rows(2) === ((2L, 1L, 1L, "de", false, 0.0)))
+  }
+
   test("decontaminate ivf: probing ALL cells recovers the brute-force " +
     "screen exactly — the probe cut is the only approximation") {
     val brute = Similarity.decontaminateEmbed(spark, sf).collect().map(_.toSeq)
