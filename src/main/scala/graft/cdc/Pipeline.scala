@@ -202,6 +202,15 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
     // leaking table/offset/_ridx here would evolve them INTO the sink table
     val compacted = Transforms.lastWriteWins(view, col(pk), Seq(col("_ridx")))
       .drop("table", "offset", "_ridx")
+    writeCompacted(sync, compacted, batchId)
+    hooks.postBatch.foreach(_(sync.table, batchId))
+  }
+
+  /** Commit one compacted change set to the sync's sink — the shared write
+    * tail of the live micro-batch path and the dead-letter replay. */
+  private def writeCompacted(sync: SyncConfig, compacted: DataFrame,
+                             batchId: Long): Unit = {
+    val pk = pkOut(sync)
     config.stateBuckets match {
       case Some(n) =>
         // write-ahead staleness marker: the sink write and the zone-map
@@ -235,8 +244,52 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
         next.write.mode("overwrite").parquet(tmp)
         UpsertSink.atomicSwapDirs(spark, tmp, statePath(sync))
     }
-    hooks.postBatch.foreach(_(sync.table, batchId))
   }
+
+  /** Re-apply REPAIRED dead-letter rows (the operational close of the
+    * quarantine path [[deadLetterPath]] opens): rows whose pk is now
+    * non-null — the operator has edited the quarantined parquet, e.g.
+    * backfilled ids from the source of truth — run through the SAME
+    * offset-ordered compaction + upsert the live batch path uses, and the
+    * quarantine dir is rewritten (staging + atomic swap) to keep only the
+    * still-unrepaired rows. Crash-safe by idempotence, not atomicity: a
+    * crash between the sink apply and the quarantine rewrite re-replays
+    * the same rows next run, and last-write-wins on (pk, offset) makes
+    * the re-apply a no-op — the same at-least-once -> effectively-
+    * exactly-once argument as the micro-batch path itself.
+    *
+    * Returns per-table (replayed, still quarantined). The reference has
+    * no analog: it raises `KeyError` and dies on the first pk-less event
+    * (`event.py:11`). */
+  def replayDeadLetters(tables: Seq[String] = Seq.empty): Map[String, (Long, Long)] =
+    config.syncs
+      .filter(s => tables.isEmpty || tables.contains(s.table))
+      .map { s =>
+        val path = deadLetterPath(s)
+        val p = new org.apache.hadoop.fs.Path(path)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(p)) s.table -> ((0L, 0L))
+        else {
+          val pk = pkOut(s)
+          val dl = spark.read.parquet(path)
+          val ready = dl.filter(col(pk).isNotNull)
+          val nReady = ready.count()
+          if (nReady > 0) {
+            val compacted = Transforms
+              .lastWriteWins(ready, col(pk), Seq(col("_ridx")))
+              .drop("table", "offset", "_ridx")
+            writeCompacted(s, compacted, batchId = -2L)
+            // keep only the still-null rows; overwrite via staging + swap
+            // so a crash mid-rewrite never loses quarantined envelopes
+            val remaining = dl.filter(col(pk).isNull)
+            val tmp = path + ".next"
+            remaining.write.mode("overwrite").parquet(tmp)
+            UpsertSink.atomicSwapDirs(spark, tmp, path)
+          }
+          val left = spark.read.parquet(path).filter(col(pk).isNull).count()
+          s.table -> ((nReady, left))
+        }
+      }.toMap
 
   /** Zone-map manifest path for a sync's sink state. */
   def zoneMapPath(sync: SyncConfig): String = statePath(sync) + ".zonemap"

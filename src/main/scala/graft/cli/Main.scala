@@ -12,6 +12,7 @@ import org.apache.spark.sql.types.StructType
   * graft.cli.Main start   <config.properties>   # stream sync (with backfill)
   * graft.cli.Main refresh <config.properties> [table...]   # atomic rebuild
   * graft.cli.Main check   <config.properties>   # source/sink count check
+  * graft.cli.Main replay  <config.properties> [table...]  # re-apply repaired dead-letter rows
   * graft.cli.Main version
   * }}}
   *
@@ -56,7 +57,7 @@ object Main {
 
   def main(args: Array[String]): Unit = args.toList match {
     case "version" :: Nil => println("meilisyncspark 0.1.0")
-    case cmd :: cfgPath :: rest if Set("start", "refresh", "check")(cmd) =>
+    case cmd :: cfgPath :: rest if Set("start", "refresh", "check", "replay")(cmd) =>
       val props = new java.util.Properties()
       val in = new java.io.FileInputStream(cfgPath)
       try props.load(in) finally in.close()
@@ -64,7 +65,7 @@ object Main {
       try run(cmd, props, rest, spark)
       finally spark.stop()
     case _ =>
-      System.err.println("usage: start|refresh|check <config.properties> [tables...] | version")
+      System.err.println("usage: start|refresh|check|replay <config.properties> [tables...] | version")
       sys.exit(2)
   }
 
@@ -142,6 +143,13 @@ object Main {
           case None =>
             pipe.refresh(rest).foreach { case (t, n) =>
               println(s"refreshed $t: $n rows") }
+        }
+      }
+      case "replay" => graft.cdc.ErrorReporting.reporting(reporters, "replay") {
+        // re-apply repaired dead-letter rows through the live upsert path;
+        // still-unrepaired rows stay quarantined
+        pipe.replayDeadLetters(rest).foreach { case (t, (n, left)) =>
+          println(s"replayed $t: $n rows ($left still quarantined)")
         }
       }
       case "check" => graft.cdc.ErrorReporting.reporting(reporters, "check") {

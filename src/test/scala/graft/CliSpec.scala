@@ -103,6 +103,45 @@ class CliSpec extends SparkSpec {
     assert(err.getMessage.contains("com.example.Nope"))
   }
 
+  test("replay: repaired dead-letter rows re-enter the sink through the " +
+    "live upsert path, unrepaired rows stay quarantined, re-replay is a " +
+    "no-op") {
+    import graft.cdc._
+    import graft.model._
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.functions._
+    val sinkRoot = tmpDir("sink-replay")
+    val sync = SyncConfig("t", pk = "id", schema = Some(StructType(Seq(
+      StructField("id", IntegerType), StructField("name", StringType)))))
+    val src = new MemoryCdcSource(spark)
+    val pipe = new Pipeline(spark, PipelineConfig(Seq(sync)), src, sinkRoot)
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    src.addEvents(
+      ChangeEvent("create", "t", 1, ts, """{"id": 1, "name": "ann"}"""),
+      ChangeEvent("create", "t", 2, ts, """{"id": null, "name": "bob"}"""),
+      ChangeEvent("create", "t", 3, ts, """{"name": "eve"}"""))
+    val q = pipe.start(tmpDir("ckpt"))
+    q.processAllAvailable(); q.stop()
+    assert(pipe.sinkState(sync).collect().toSeq === Seq(Row(1, "ann")))
+    val dl = pipe.deadLetterPath(sync)
+    assert(spark.read.parquet(dl).count() === 2, "both pk-less rows quarantined")
+    // operator repair: backfill ONLY bob's id (eve stays broken)
+    val repaired = spark.read.parquet(dl)
+      .withColumn("id",
+        when(col("name") === "bob", lit(7)).otherwise(col("id")))
+      .localCheckpoint(true)
+    repaired.write.mode("overwrite").parquet(dl)
+    assert(pipe.replayDeadLetters() === Map("t" -> ((1L, 1L))))
+    val state = pipe.sinkState(sync).collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(state === Set((1, "ann"), (7, "bob")),
+      "the repaired row must land in the sink")
+    // eve is still quarantined; a second replay applies nothing
+    assert(pipe.replayDeadLetters() === Map("t" -> ((0L, 1L))))
+    assert(pipe.sinkState(sync).count() === 2L)
+  }
+
   test("debug flag: parses from config, logs settings and a bounded " +
     "per-batch event dump; silent when off") {
     import graft.cdc._
