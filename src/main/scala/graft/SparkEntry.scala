@@ -170,6 +170,13 @@ object SparkEntry {
     // set at fixture scale is NOT vacuous — Round8OpsSpec injects a
     // code-switched fixture (the q_boilerplate pattern)
     "q_lang_mix"       -> ((s, d) => TextAnalysis.langMix(s, d)),
+    // Unicode NFC normalization (codegen'd JDK Normalizer expression) —
+    // the pre-dedup canonicalization pass; DuckDB nfc_normalize is the
+    // identical form
+    "q_text_normalize" -> ((s, d) => TextAnalysis.textNormalize(s, d)),
+    // per-(source, lang) dataset card: volumes, dup rate, token spread in
+    // one fused scan
+    "q_data_card"      -> ((s, d) => TextAnalysis.dataCard(s, d)),
     "q_hard_negatives" -> ((s, d) => Similarity.hardNegatives(s, d)),
     "q_pmi_collocations" -> ((s, d) => TextAnalysis.pmiCollocations(s, d)),
     "q_sem_dedup"      -> ((s, d) => Dedup.semDedup(s, d)),
@@ -1083,6 +1090,26 @@ object SparkEntry {
         |      FROM s)
         |SELECT q_id, rank, n_id, round(cos, 4) AS cosine
         |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    "q_text_normalize" ->
+      """SELECT doc_id, nfc_normalize(text) <> text AS changed,
+        | CAST(length(nfc_normalize(text)) AS BIGINT) AS nfc_chars,
+        | md5(nfc_normalize(text)) AS nfc_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_data_card" ->
+      """WITH d AS (SELECT source, lang, md5(text) AS dg,
+        |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |        CAST(length(text) AS BIGINT) AS b FROM documents)
+        |SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |  CAST(sum(b) AS BIGINT) AS total_bytes,
+        |  round(1.0 - CAST(count(DISTINCT dg) AS DOUBLE) / count(*), 4)
+        |    + 0.0 AS dup_rate,
+        |  round(CAST(sum(n_tok) AS DOUBLE) / count(*), 4) + 0.0 AS avg_tokens,
+        |  CAST(min(n_tok) AS BIGINT) AS min_tokens,
+        |  CAST(max(n_tok) AS BIGINT) AS max_tokens
+        |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // chunk-level language consistency: q_lang_id's marker scoring per
     // 48-token chunk, majority ties by count DESC then the fixed language

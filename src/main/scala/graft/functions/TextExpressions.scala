@@ -648,6 +648,52 @@ case class WordBlocks(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Unicode NFC normalization — the canonical-composition pass every text
+  * curation pipeline runs before hashing or deduplicating (the same logical
+  * content arrives from different extractors as composed é vs e+combining
+  * accent; digests treat them as distinct documents unless normalized
+  * first). Codegen'd per-row JDK `java.text.Normalizer` call with an
+  * allocation-free fast path for already-normalized text (the overwhelming
+  * majority of real corpora), so the hot loop costs one `isNormalized`
+  * scan per row. DuckDB's `nfc_normalize` computes the identical form,
+  * which is what makes the operator oracle-checkable. */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.sql}")
+  }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_nfc"
+
+  override def nullSafeEval(a: Any): Any = {
+    val u = a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+    val s = u.toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) u
+    else org.apache.spark.unsafe.types.UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val s = ctx.freshName("s")
+      s"""
+         |String $s = $a.toString();
+         |if (java.text.Normalizer.isNormalized($s,
+         |    java.text.Normalizer.Form.NFC)) {
+         |  ${ev.value} = $a;
+         |} else {
+         |  ${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+         |    java.text.Normalizer.normalize($s, java.text.Normalizer.Form.NFC));
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
 object TextFunctions {
   /** Register `graft_simhash64` / `graft_sliding_min_distinct` / shingling. Idempotent. */
   def register(spark: SparkSession): Unit = {
@@ -664,6 +710,7 @@ object TextFunctions {
     reg1("graft_overlap_count", exprs => SortedOverlapCount(exprs(0), exprs(1)))
     reg1("graft_gram_pos_hashes", exprs => WordGramPosHashes(exprs(0), exprs(1)))
     reg1("graft_word_blocks", exprs => WordBlocks(exprs(0), exprs(1)))
+    reg1("graft_nfc", exprs => NfcNormalize(exprs.head))
     // Spark's own codegen'd bloom probe (the expression behind
     // InjectRuntimeFilter's semi-join blooms), surfaced under a graft name
     // so operators can prefilter with a serialized sketch without a scala

@@ -97,6 +97,54 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Unicode NFC normalization report ([[graft.functions.NfcNormalize]],
+    * a codegen'd JDK `java.text.Normalizer` call with an allocation-free
+    * already-normalized fast path): per doc, whether canonical
+    * composition changed the text, plus the normalized length and digest
+    * — the pass that runs BEFORE any hash-keyed dedup so composed é and
+    * e+combining-accent copies collapse. Pure per-row codegen work, no
+    * shuffle; the fixture is ASCII (nothing changes), so the changed
+    * branch is pinned by an injected-unicode spec, the q_boilerplate
+    * pattern. */
+  def textNormalize(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.TextFunctions.register(spark)
+    Tables(spark, dir, "documents")
+      .withColumn("nfc", expr("graft_nfc(text)"))
+      .select(col("doc_id"),
+        (col("nfc") =!= col("text")).as("changed"),
+        length(col("nfc")).cast("long").as("nfc_chars"),
+        md5(col("nfc")).as("nfc_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Dataset card: the per-(source, language) corpus profile every data
+    * release ships — document/token/byte volumes, exact-duplicate rate,
+    * and token-length spread — fused into ONE scan + one two-phase
+    * aggregate (plus the per-group distinct-digest count), instead of the
+    * five separate jobs the naive card generator runs. The integer-sum/
+    * double-divide recipe keeps the averages engine-exact. */
+  def dataCard(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("source"), col("lang"),
+        md5(col("text")).as("d"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"),
+        length(col("text")).cast("long").as("b"))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(col("b")).as("total_bytes"),
+        countDistinct(col("d")).as("n_distinct"),
+        min(col("n_tok")).as("min_tokens"),
+        max(col("n_tok")).as("max_tokens"))
+      .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
+        col("total_bytes"),
+        (round(lit(1.0) - col("n_distinct").cast("double") / col("n_docs"), 4)
+          + 0.0).as("dup_rate"),
+        (round(col("n_tokens").cast("double") / col("n_docs"), 4) + 0.0)
+          .as("avg_tokens"),
+        col("min_tokens"), col("max_tokens"))
+      .orderBy(col("source"), col("lang"))
+
   /** Quality scoring: token count, mean token length, punctuation ratio,
     * stopword ratio — the standard cheap quality filters. */
   def quality(spark: SparkSession, dir: String): DataFrame = {

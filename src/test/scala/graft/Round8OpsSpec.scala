@@ -108,6 +108,31 @@ class Round8OpsSpec extends SparkSpec {
       s"whole-shard packing must be unchanged: $byBin")
   }
 
+  test("nfc normalize: decomposed unicode collapses to the composed form, " +
+    "ASCII and already-composed text pass through unchanged (and the " +
+    "digests then agree across representations)") {
+    import spark.implicits._
+    import graft.ops.TextAnalysis
+    val dir = tmpDir("nfc")
+    val composed = "caf\u00e9 touch\u00e9"     // \u00e9 = composed e-acute
+    val decomposed = "cafe\u0301 touche\u0301" // e + combining acute
+    Seq((0L, "plain ascii"), (1L, composed), (2L, decomposed))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = TextAnalysis.textNormalize(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1)
+    assert(!rows(0)._2 && !rows(1)._2, "ascii/composed must be unchanged")
+    assert(rows(2)._2, "decomposed text must be rewritten")
+    assert(rows(1)._3 === rows(2)._3 && rows(1)._4 === rows(2)._4,
+      "both representations must normalize to the identical digest")
+    // the codegen'd expression agrees with the JDK reference directly
+    val viaExpr = spark.range(1).selectExpr(s"graft_nfc('$decomposed') AS n")
+      .head().getString(0)
+    assert(viaExpr === java.text.Normalizer.normalize(decomposed,
+      java.text.Normalizer.Form.NFC))
+  }
+
   test("lang mix: an injected code-switched doc is flagged with the right " +
     "majority and minority share; single-language docs stay clean") {
     import spark.implicits._
