@@ -177,6 +177,16 @@ object SparkEntry {
     // per-(source, lang) dataset card: volumes, dup rate, token spread in
     // one fused scan
     "q_data_card"      -> ((s, d) => TextAnalysis.dataCard(s, d)),
+    // k-core peel of the similarity graph (fixed rounds, kmeans-style
+    // early stop at the fixed point; oracle unrolls all rounds)
+    "q_kcore"          -> ((s, d) => Graph.kCore(s, d)),
+    // ANN index eval: recall@5 and top-1 reciprocal rank of the IVF probe
+    // cut vs the exact ranking — deterministic tiers make the metric
+    // itself oracle-exact
+    "q_ann_recall"     -> ((s, d) => Similarity.annRecall(s, d)),
+    // ICT adjacent-chunk contrastive pairs with md5-derived in-batch-
+    // negative shard keys (pure per-doc window work, no corpus shuffle)
+    "q_contrastive_pairs" -> ((s, d) => TextAnalysis.contrastivePairs(s, d)),
     "q_hard_negatives" -> ((s, d) => Similarity.hardNegatives(s, d)),
     "q_pmi_collocations" -> ((s, d) => TextAnalysis.pmiCollocations(s, d)),
     "q_sem_dedup"      -> ((s, d) => Dedup.semDedup(s, d)),
@@ -1016,6 +1026,53 @@ object SparkEntry {
         |  mc >= 0.5 AS contaminated
         |FROM s ORDER BY doc_id""".stripMargin,
 
+    // ANN eval: the exact and IVF rankings replayed side by side, joined
+    // on (q_id, n_id); recall@5 per query plus 1/rank of the true top-1
+    // in the approximate list (0 when missed).
+    "q_ann_recall" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS norm FROM e),
+        |ex AS (SELECT q_id, rank AS e_rank, n_id FROM (
+        |    SELECT q_id, n_id,
+        |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+        |    FROM (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        |            list_dot_product(q.v, c.v) / (q.norm * c.norm) AS cos
+        |          FROM n q JOIN n c ON c.vec_id <> q.vec_id
+        |          WHERE q.vec_id < 10))
+        |  WHERE rank <= 5),
+        |sd AS (SELECT vec_id AS seed_id, v AS sv, norm AS snorm FROM n
+        |       WHERE vec_id < 8),
+        |asn AS (SELECT vec_id, v, norm, seed_id AS cell FROM (
+        |          SELECT c.vec_id, c.v, c.norm, sd.seed_id,
+        |            row_number() OVER (PARTITION BY c.vec_id
+        |              ORDER BY list_dot_product(c.v, sd.sv) / (c.norm * sd.snorm) DESC,
+        |                       sd.seed_id) AS r
+        |          FROM n c CROSS JOIN sd) WHERE r = 1),
+        |pr AS (SELECT vec_id, v, norm, seed_id AS cell FROM (
+        |          SELECT q.vec_id, q.v, q.norm, sd.seed_id,
+        |            row_number() OVER (PARTITION BY q.vec_id
+        |              ORDER BY list_dot_product(q.v, sd.sv) / (q.norm * sd.snorm) DESC,
+        |                       sd.seed_id) AS r
+        |          FROM n q CROSS JOIN sd WHERE q.vec_id < 10) WHERE r <= 2),
+        |av AS (SELECT q_id, rank AS a_rank, n_id FROM (
+        |    SELECT q_id, n_id,
+        |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+        |    FROM (SELECT pr.vec_id AS q_id, c.vec_id AS n_id,
+        |            list_dot_product(pr.v, c.v) / (pr.norm * c.norm) AS cos
+        |          FROM pr JOIN asn c ON pr.cell = c.cell
+        |            AND c.vec_id <> pr.vec_id))
+        |  WHERE rank <= 5),
+        |h AS (SELECT av.q_id, av.a_rank, ex.e_rank
+        |      FROM av JOIN ex ON av.q_id = ex.q_id AND av.n_id = ex.n_id),
+        |p AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_hits,
+        |        min(CASE WHEN e_rank = 1 THEN a_rank END) AS t1
+        |      FROM h GROUP BY 1),
+        |qs AS (SELECT DISTINCT q_id FROM ex)
+        |SELECT qs.q_id, coalesce(n_hits, 0) AS n_hits,
+        |  round(coalesce(n_hits, 0) / 5.0, 4) + 0.0 AS recall,
+        |  round(coalesce(1.0 / t1, 0.0), 4) + 0.0 AS rr
+        |FROM qs LEFT JOIN p USING (q_id) ORDER BY q_id""".stripMargin,
+
     // SQ8: codes are integers, per-element squared errors quantize to
     // integer 1e-8 units before the sum, so no partial-agg float drift.
     "q_embed_sq8" ->
@@ -1090,6 +1147,24 @@ object SparkEntry {
         |      FROM s)
         |SELECT q_id, rank, n_id, round(cos, 4) AS cosine
         |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    "q_contrastive_pairs" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |ch AS (SELECT doc_id, i AS chunk_id,
+        |         array_to_string(toks[i * 48 + 1 : i * 48 + 48], ' ') AS ct
+        |       FROM (SELECT doc_id, toks,
+        |               unnest(generate_series(0, (len(toks) - 1) // 48)) AS i
+        |             FROM d)),
+        |p AS (SELECT doc_id, chunk_id, ct,
+        |        lead(ct) OVER (PARTITION BY doc_id ORDER BY chunk_id) AS pos
+        |      FROM ch)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS pair_id,
+        |  CAST(len(string_split(ct, ' ')) AS BIGINT) AS n_anchor_tokens,
+        |  md5(ct) AS anchor_md5, md5(pos) AS pos_md5,
+        |  CAST(CAST('0x' || substr(md5('graft_cp:' || CAST(doc_id AS VARCHAR)
+        |    || ':' || CAST(chunk_id AS VARCHAR)), 1, 8) AS BIGINT) % 8 AS INT)
+        |    AS batch_shard
+        |FROM p WHERE pos IS NOT NULL ORDER BY doc_id, pair_id""".stripMargin,
 
     "q_text_normalize" ->
       """SELECT doc_id, nfc_normalize(text) <> text AS changed,
@@ -2150,6 +2225,38 @@ object SparkEntry {
         |FROM r WHERE rank <= 40 ORDER BY lang, rank""".stripMargin,
 
     "q_pagerank" -> pageRankOracle,
+
+    // k-core peel over the triangles graph (threshold 0.15): 8 unrolled
+    // MATERIALIZED peel rounds (inlined CTEs would double the subtree per
+    // round — 2^8 scans); rounds past the fixed point are no-ops, so the
+    // unrolled chain equals Spark's early-stopped peel (the kmeans
+    // early-stop argument).
+    "q_kcore" -> {
+      val base =
+        """WITH e0 AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+          |nr AS (SELECT vec_id, label, v,
+          |        sqrt(list_sum(list_transform(v, x -> x * x))) AS norm,
+          |        CAST(v[1] > 0 AS INT) * 8 + CAST(v[2] > 0 AS INT) * 4 +
+          |        CAST(v[3] > 0 AS INT) * 2 + CAST(v[4] > 0 AS INT) AS cell
+          |      FROM e0),
+          |pr AS MATERIALIZED (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+          |       FROM nr a JOIN nr b ON a.label = b.label AND a.cell = b.cell
+          |         AND a.vec_id < b.vec_id
+          |       WHERE round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 4)
+          |         >= 0.15),
+          |g0 AS MATERIALIZED (SELECT vec_a AS src, vec_b AS dst FROM pr
+          |       UNION ALL SELECT vec_b, vec_a FROM pr)""".stripMargin
+      val rounds = (1 to 8).map { i =>
+        s"""k$i AS MATERIALIZED (SELECT src FROM g${i - 1} GROUP BY src
+           |  HAVING count(*) >= 2),
+           |g$i AS MATERIALIZED (SELECT e.src, e.dst FROM g${i - 1} e
+           |  JOIN k$i a ON a.src = e.src JOIN k$i b ON b.src = e.dst)"""
+          .stripMargin
+      }.mkString(",\n")
+      base + ",\n" + rounds +
+        "\nSELECT src AS node, CAST(count(*) AS BIGINT) AS core_degree " +
+        "FROM g8 GROUP BY 1 ORDER BY 1"
+    },
 
     // Degree-oriented triangle counting: each triangle produced once at
     // its lowest-(deg, id) vertex; integer counts, single-division

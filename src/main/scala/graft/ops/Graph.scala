@@ -126,4 +126,53 @@ object Graph {
           .otherwise(lit(0.0)).as("clustering"))
       .orderBy(col("vec_id"))
   }
+
+  /** k-core decomposition (Seidman 1983) of the similarity graph — the
+    * maximal subgraph where every node keeps >= k neighbors, the density
+    * screen that separates tight duplicate/spam communities (which
+    * survive the peel) from incidentally-similar stragglers (which
+    * don't). Same threshold-0.15 graph as [[triangles]], for the same
+    * reason: the density diagnostic needs a graph dense enough to have
+    * cores.
+    *
+    * Defined as `maxRounds` FIXED peel rounds (each round drops nodes
+    * with current degree < k, then edges touching them). A converged
+    * peel is a fixed point — further rounds are no-ops — so Spark stops
+    * early on an unchanged edge count while the oracle always unrolls
+    * all rounds (the [[Similarity.kmeansFit]] early-stop argument,
+    * verbatim); with or without convergence inside the bound, both
+    * engines land on the identical round-`maxRounds` state. The spec
+    * pins that the fixture converges well inside the bound.
+    *
+    * Shape at scale: each round is one two-phase degree count plus two
+    * keyed semi-join-shaped edge filters — linear in surviving edges,
+    * localCheckpoint per round (the iterative-op house rule), no driver
+    * state beyond the O(1) edge-count convergence probe. */
+  def kCore(spark: SparkSession, dir: String, k: Int = 2,
+            maxRounds: Int = 8, threshold: Double = 0.15): DataFrame = {
+    val pairs = Dedup.embedDup(spark, dir, threshold)
+      .select(col("vec_a"), col("vec_b"))
+    var edges = pairs.select(col("vec_a").as("src"), col("vec_b").as("dst"))
+      .unionByName(pairs.select(col("vec_b").as("src"), col("vec_a").as("dst")))
+      .localCheckpoint(true)
+    var prev = edges.count()
+    var r = 0
+    var converged = prev == 0
+    while (r < maxRounds && !converged) {
+      val keep = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select(col("src").as("node"))
+      edges = edges
+        .join(keep.select(col("node").as("src")), Seq("src"))
+        .join(keep.select(col("node").as("dst")), Seq("dst"))
+        .select(col("src"), col("dst"))
+        .localCheckpoint(true)
+      val n = edges.count()
+      converged = n == prev // no node dropped => fixed point
+      prev = n
+      r += 1
+    }
+    edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("core_degree"))
+      .orderBy(col("node"))
+  }
 }

@@ -141,6 +141,39 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** ANN index evaluation: recall@k and top-1 reciprocal rank of the IVF
+    * probe cut against the exact brute-force ranking — the retrieval-
+    * quality report every index deployment gates on before swapping the
+    * exact scan for the approximate one (FAISS's own benchmark metric).
+    * Both tiers are deterministic here, so the metric itself is
+    * oracle-exact — unusual for ANN eval, and exactly why the engine's
+    * deterministic-seed quantizer pays off. Per query: how many of the
+    * true top-k the index returned, the recall fraction, and 1/rank of
+    * the true nearest neighbor in the approximate list (0 when missed).
+    *
+    * Shape at scale: both sub-rankings are the broadcast-query/one-scan
+    * shape of their operators; the metric join runs over numQueries·k
+    * rows. */
+  def annRecall(spark: SparkSession, dir: String, numQueries: Int = 10,
+                k: Int = 5): DataFrame = {
+    val exact = bruteForceTopK(spark, dir, numQueries, k)
+      .select(col("q_id"), col("rank").as("e_rank"), col("n_id"))
+    val approx = ivfTopK(spark, dir, numQueries, k)
+      .select(col("q_id"), col("rank").as("a_rank"), col("n_id"))
+    val hits = approx.join(exact, Seq("q_id", "n_id"))
+    val perQ = hits.groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_hits"),
+        min(when(col("e_rank") === 1, col("a_rank"))).as("t1"))
+    exact.select(col("q_id")).distinct()
+      .join(perQ, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (round(coalesce(col("n_hits"), lit(0L)) / lit(k.toDouble), 4) + 0.0)
+          .as("recall"),
+        (round(coalesce(lit(1.0) / col("t1"), lit(0.0)), 4) + 0.0).as("rr"))
+      .orderBy(col("q_id"))
+  }
+
   /** Vector quantization profile: assign every embedding to its nearest of
     * `nCells` deterministic seed centroids (the [[ivfTopK]] coarse
     * quantizer) and report per-cell population and cosine-to-centroid

@@ -97,6 +97,39 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Contrastive training-pair assembly (the ICT / adjacent-chunk recipe
+    * behind unsupervised retrievers — Lee et al. 2019, Contriever):
+    * anchor = chunk i, positive = chunk i+1 of the SAME document (adjacent
+    * text is topically related by construction), plus a deterministic
+    * md5-derived batch shard — the key the trainer groups on so every
+    * other pair in the batch serves as an in-batch negative (the standard
+    * trick that makes explicit negative columns unnecessary). Only docs
+    * with >= 2 chunks emit pairs.
+    *
+    * Shape at scale: chunking is per-row array work; the anchor→positive
+    * pairing is a `lead` window PARTITIONED by doc (never global); the
+    * shard key is a pure hash — one linear pass, no joins, no corpus
+    * shuffle beyond the doc-keyed window sort. */
+  def contrastivePairs(spark: SparkSession, dir: String,
+                       chunkTokens: Int = 48, shards: Int = 8): DataFrame = {
+    val chunks = Tables(spark, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, (size(toks) - 1) div $chunkTokens), " +
+          s"i -> concat_ws(' ', slice(toks, i * $chunkTokens + 1, " +
+          s"$chunkTokens)))")).as(Seq("chunk_id", "ct")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("chunk_id"))
+    chunks.withColumn("pos", lead(col("ct"), 1).over(w))
+      .filter(col("pos").isNotNull)
+      .select(col("doc_id"), col("chunk_id").cast("long").as("pair_id"),
+        size(split(col("ct"), " ")).cast("long").as("n_anchor_tokens"),
+        md5(col("ct")).as("anchor_md5"), md5(col("pos")).as("pos_md5"),
+        expr("cast(cast(conv(substr(md5(concat('graft_cp:', doc_id, ':', " +
+          s"chunk_id)), 1, 8), 16, 10) as bigint) % $shards as int)")
+          .as("batch_shard"))
+      .orderBy(col("doc_id"), col("pair_id"))
+  }
+
   /** Unicode NFC normalization report ([[graft.functions.NfcNormalize]],
     * a codegen'd JDK `java.text.Normalizer` call with an allocation-free
     * already-normalized fast path): per doc, whether canonical

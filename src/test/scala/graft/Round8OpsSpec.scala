@@ -108,6 +108,26 @@ class Round8OpsSpec extends SparkSpec {
       s"whole-shard packing must be unchanged: $byBin")
   }
 
+  test("k-core: every survivor keeps >= k in-core neighbors, the peel " +
+    "actually drops nodes, and rounds past the fixed point change nothing") {
+    import graft.ops.{Dedup, Graph}
+    val core = Graph.kCore(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(core.nonEmpty, "the 0.15 graph must have a 2-core")
+    core.foreach { case (n, d) =>
+      assert(d >= 2L, s"node $n survives with in-core degree $d < k")
+    }
+    val allNodes = Dedup.embedDup(spark, sf, 0.15)
+      .select("vec_a").union(
+        Dedup.embedDup(spark, sf, 0.15).select("vec_b"))
+      .distinct().count()
+    assert(core.length < allNodes, "the peel must drop some nodes")
+    // fixed point: a deeper round bound yields the identical core
+    val deeper = Graph.kCore(spark, sf, maxRounds = 12).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(deeper.toSeq === core.toSeq)
+  }
+
   test("nfc normalize: decomposed unicode collapses to the composed form, " +
     "ASCII and already-composed text pass through unchanged (and the " +
     "digests then agree across representations)") {
