@@ -46,16 +46,16 @@ object StreamJoin {
     // a stream-stream join keeps FOUR state stores per shuffle partition;
     // at the session's 32 partitions that is 128 store lifecycles per
     // micro-batch of commit/snapshot IO — the dominant cost of a small
-    // drive (measured 12 s -> ~3 s at 8). The stateful-operator partition
-    // count is captured into the checkpoint at stream creation, so this
-    // is a per-query knob, set before start() and restored after; a real
-    // deployment sizes it to state volume, exactly like shuffle sizing.
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    val q =
-      try start(spark, feed, s"$root/out", s"$root/ckpt", horizon, lateness,
+    // drive (measured 12 s -> ~3 s at 8). Partitions-ONLY tuning here:
+    // RocksDB + changelog (the transformWithState band's win) was
+    // measured SLOWER for this op (floors 4.7 s vs 3.9 s) — four RocksDB
+    // instance lifecycles per partition cost more than the default
+    // in-memory HDFS store holds for join state this small, so each band
+    // keeps the provider its own measurements picked.
+    val q = StreamTune.withStateConf(spark, rocksDb = false) {
+      start(spark, feed, s"$root/out", s"$root/ckpt", horizon, lateness,
         maxFilesPerTrigger = Some(2))
-      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
     try q.processAllAvailable() finally q.stop()
     matches(spark, s"$root/out")
       .select(col("p_id"), col("s_id"), col("p_user").as("user_id"),

@@ -329,6 +329,22 @@ object ScaleCurve {
             shards = 8, targetBytes = 8192).count())
         time("wav_roundtrip", fac)(
           graft.ops.Multimodal.wavMetaQuery(spark, root).count())
+        // second-batch linear tiers: SQ8 (posexplode + two dim-keyed
+        // aggs), the fused dataset card, NFC normalization (per-row
+        // codegen), and the k-core peel (edges ~ fac x on dissimilar
+        // replicas, bounded rounds)
+        time("embed_sq8", fac)(
+          graft.ops.Similarity.embedSq8(spark, eroot).count())
+        time("data_card", fac)(
+          graft.ops.TextAnalysis.dataCard(spark, root).count())
+        time("nfc_normalize", fac)(
+          graft.ops.TextAnalysis.textNormalize(spark, root).count())
+        // frozen (label, sign-cell) blocks make the x100 edge build the
+        // knn_cells_fixed quadratic — measured information-free there; the
+        // production posture scales cells via kmeansFit like the KNN graph
+        if (fac <= 10)
+          time("kcore", fac)(
+            graft.ops.Graph.kCore(spark, eroot).count())
         if (fac != 1 && !keep) {
           val p = new org.apache.hadoop.fs.Path(edir)
           p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
