@@ -588,6 +588,42 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), p.take(3000))
   }
 
+  test("data card: the whole profile rides ONE documents scan") {
+    val p = plan("q_data_card")
+    assert("Scan parquet".r.findAllIn(p).size === 1, p.take(2000))
+    assert(p.contains("partial_"), p.take(2000))
+  }
+
+  test("sq8: per-dim stats aggregate two-phase and broadcast back; the " +
+    "corpus never shuffles on vec_id") {
+    val p = plan("q_embed_sq8")
+    assert(p.contains("partial_min") || p.contains("partial_"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("lang mix / contrastive pairs: per-doc windows stay PARTITIONED — " +
+    "no global window funnel anywhere in the chunk pipelines") {
+    Seq("q_lang_mix", "q_contrastive_pairs").foreach { q =>
+      val lp = SparkEntry.queries(q)(spark, sf).queryExecution.optimizedPlan
+      val unpartitioned = lp.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+      }
+      assert(unpartitioned.isEmpty, s"$q has a global window")
+    }
+  }
+
+  test("k-core: every peel round is keyed equi-joins — no cartesian, no " +
+    "nested loop against the edge list") {
+    val p = plan("q_kcore")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    // the only nested-loop join allowed is the 1-row seed-cells fold feeding
+    // the edge build, never an edge-list side
+    assert(!p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("LocalTableScan") || p.contains("Scan ExistingRDD"),
+      p.take(3000))
+  }
+
   test("unpartitioned windows ride bounded inputs: below every global " +
     "window sits a limit or an aggregate, never the raw corpus") {
     import org.apache.spark.sql.catalyst.plans.logical
