@@ -67,6 +67,9 @@ object SparkEntry {
     "q_dedup_apply"    -> ((s, d) => Dedup.dedupApply(s, d)),
     "q_dedup_ngram_prefix" -> ((s, d) => Dedup.ngramJaccardPrefix(s, d)),
     "q_dedup_minhash"  -> ((s, d) => Dedup.minhashLsh(s, d)),
+    // SymSpell deletion-neighborhood blocking over DISTINCT prefix keys,
+    // verified with real levenshtein — the character-level dedup tier
+    "q_edit_dedup"     -> ((s, d) => Dedup.editDedup(s, d)),
     "q_simhash"        -> ((s, d) => Dedup.simhash(s, d)),
     "q_simhash_pairs"  -> ((s, d) => Dedup.simhashPairs(s, d)),
     "q_embed_dup"      -> ((s, d) => Dedup.embedDup(s, d)),
@@ -180,6 +183,9 @@ object SparkEntry {
     // k-core peel of the similarity graph (fixed rounds, kmeans-style
     // early stop at the fixed point; oracle unrolls all rounds)
     "q_kcore"          -> ((s, d) => Graph.kCore(s, d)),
+    // LPA communities of the similarity graph (fixed synchronous rounds,
+    // most-frequent-neighbor label, ties toward the smallest label)
+    "q_label_prop"     -> ((s, d) => Graph.labelProp(s, d)),
     // ANN index eval: recall@5 and top-1 reciprocal rank of the IVF probe
     // cut vs the exact ranking — deterministic tiers make the metric
     // itself oracle-exact
@@ -858,6 +864,26 @@ object SparkEntry {
     // and the df-cap in the oracle's candidate join does not bind there,
     // so the closed-form exact-Jaccard SQL is the correct comparator.
     "q_dedup_minhash" -> ngramJaccardOracle,
+
+    // SymSpell deletion-neighborhood edit dedup: distinct 12-char prefix
+    // keys, each key emits itself + its single-deletion variants, the
+    // variant equi-join is the complete distance<=1 candidate set, and
+    // levenshtein verifies. Pairs across distinct keys are genuine 1-edit
+    // links (distance 0 impossible by construction).
+    "q_edit_dedup" ->
+      """WITH k AS (SELECT doc_id, substr(lower(text), 1, 12) AS k
+        |           FROM documents),
+        |cls AS (SELECT k, min(doc_id) AS rep FROM k GROUP BY 1),
+        |v AS (SELECT rep, k,
+        |        unnest(list_append(list_transform(range(1, length(k) + 1),
+        |          i -> substr(k, 1, i - 1) || substr(k, i + 1)), k)) AS vr
+        |      FROM cls),
+        |cand AS (SELECT DISTINCT a.rep AS doc_a, b.rep AS doc_b,
+        |           a.k AS key_a, b.k AS key_b
+        |         FROM v a JOIN v b ON a.vr = b.vr AND a.rep < b.rep)
+        |SELECT doc_a, doc_b, CAST(levenshtein(key_a, key_b) AS INT) AS dist
+        |FROM cand WHERE levenshtein(key_a, key_b) <= 1
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     // A checkpointed Structured Streaming ingest (two crawl-batch files ->
     // two micro-batches through the incremental LSH index) graded against
@@ -2256,6 +2282,43 @@ object SparkEntry {
       base + ",\n" + rounds +
         "\nSELECT src AS node, CAST(count(*) AS BIGINT) AS core_degree " +
         "FROM g8 GROUP BY 1 ORDER BY 1"
+    },
+
+    // Synchronous LPA, 4 unrolled rounds: per round, count neighbor
+    // labels, keep the most frequent with ties toward the smallest —
+    // the portable argmax (max-count join-back + min), no struct
+    // ordering. MATERIALIZED per round (the kcore inlining lesson).
+    "q_label_prop" -> {
+      val base =
+        """WITH e0 AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+          |nr AS (SELECT vec_id, label, v,
+          |        sqrt(list_sum(list_transform(v, x -> x * x))) AS norm,
+          |        CAST(v[1] > 0 AS INT) * 8 + CAST(v[2] > 0 AS INT) * 4 +
+          |        CAST(v[3] > 0 AS INT) * 2 + CAST(v[4] > 0 AS INT) AS cell
+          |      FROM e0),
+          |pr AS MATERIALIZED (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+          |       FROM nr a JOIN nr b ON a.label = b.label AND a.cell = b.cell
+          |         AND a.vec_id < b.vec_id
+          |       WHERE round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 4)
+          |         >= 0.15),
+          |g0 AS MATERIALIZED (SELECT vec_a AS src, vec_b AS dst FROM pr
+          |       UNION ALL SELECT vec_b, vec_a FROM pr),
+          |l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lbl FROM g0)"""
+          .stripMargin
+      val rounds = (1 to 4).map { i =>
+        s"""nc$i AS MATERIALIZED (SELECT e.dst, l.lbl, count(*) AS c
+           |  FROM g0 e JOIN l${i - 1} l ON l.node = e.src GROUP BY 1, 2),
+           |mx$i AS (SELECT dst, max(c) AS mc FROM nc$i GROUP BY 1),
+           |l$i AS MATERIALIZED (SELECT nc.dst AS node, min(nc.lbl) AS lbl
+           |  FROM nc$i nc JOIN mx$i m ON m.dst = nc.dst AND nc.c = m.mc
+           |  GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+      base + ",\n" + rounds +
+        """
+          |, sz AS (SELECT lbl, count(*) AS community_size FROM l4 GROUP BY 1)
+          |SELECT l.node, l.lbl AS community, sz.community_size
+          |FROM l4 l JOIN sz ON sz.lbl = l.lbl
+          |ORDER BY l.node""".stripMargin
     },
 
     // Degree-oriented triangle counting: each triangle produced once at

@@ -554,6 +554,49 @@ object Dedup {
     labels.orderBy(col("doc_id"))
   }
 
+  /** Edit-distance fuzzy dedup (SymSpell/FastSS deletion-neighborhood
+    * blocking): finds key classes whose normalized 12-char prefix keys are
+    * within Levenshtein distance 1 — the character-level tolerance tier
+    * (OCR glitches, typo'd titles, near-identical headers) that the
+    * token-level n-gram/MinHash family cannot see.
+    *
+    * Two-stage shape, both stages essential at 100 TB:
+    *  1. EXACT classes first — group identical keys to one representative
+    *     before any pair work, so N identical boilerplate prefixes cost
+    *     one class row instead of an N^2 pair blowup inside a bucket.
+    *  2. SymSpell candidate generation over DISTINCT keys only — each key
+    *     emits itself plus its len single-deletion variants (bounded
+    *     explode, <= keyLen+1 rows/class); two keys within edit distance
+    *     1 MUST share a variant (the FastSS exactness guarantee), so the
+    *     variant equi-join is a complete candidate set, never all-pairs.
+    *     Survivors are verified with the real `levenshtein` (codegen'd
+    *     built-in) — distance-0 pairs are impossible across distinct
+    *     keys, so every emitted pair is a genuine 1-edit link.
+    *
+    * The `sequence(1, 0)`-descends guard ([[TextAnalysis.lmScore]] lesson)
+    * covers empty keys. */
+  def editDedup(spark: SparkSession, dir: String, keyLen: Int = 12): DataFrame = {
+    val cls = Tables(spark, dir, "documents")
+      .select(col("doc_id"), expr(s"substring(lower(text), 1, $keyLen)").as("k"))
+      .groupBy(col("k")).agg(min(col("doc_id")).as("rep"))
+    val v = cls.select(col("rep"), col("k"), explode(expr(
+      s"""array_append(
+         |  CASE WHEN length(k) >= 1
+         |    THEN transform(sequence(1, length(k)),
+         |           i -> concat(substring(k, 1, i - 1), substring(k, i + 1, $keyLen)))
+         |    ELSE array() END, k)""".stripMargin)).as("vr"))
+    val a = v.alias("a")
+    val b = v.alias("b")
+    a.join(b, col("a.vr") === col("b.vr") && col("a.rep") < col("b.rep"))
+      .select(col("a.rep").as("doc_a"), col("b.rep").as("doc_b"),
+        col("a.k").as("key_a"), col("b.k").as("key_b"))
+      .distinct()
+      .filter(levenshtein(col("key_a"), col("key_b")) <= 1)
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("key_a"), col("key_b")).as("dist"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Embedding-cosine near-dup: pairs above a cosine threshold, blocked by
     * (`label`, sign pattern of the first 4 components) — the coarse-
     * quantization/IVF pattern: compare only within a partition cell instead

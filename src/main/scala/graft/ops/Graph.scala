@@ -127,6 +127,53 @@ object Graph {
       .orderBy(col("vec_id"))
   }
 
+  /** Label-propagation community detection (LPA, Raghavan et al. 2007)
+    * over the same threshold-0.15 eps-neighbor graph as [[triangles]] /
+    * [[kCore]] — the cheap communities pass a pipeline runs on a near-dup
+    * or citation graph to group *related* (not identical) documents for
+    * balanced sampling or leakage-aware splitting, one level softer than
+    * the connected-component dup clustering in [[Dedup]].
+    *
+    * Synchronous LPA with a fully deterministic update: every node starts
+    * as its own label, and each round adopts the label most frequent among
+    * its neighbors, ties broken toward the SMALLEST label. Rounds are
+    * fixed ([[rounds]] unrolled), so both engines land on the identical
+    * round-`rounds` state regardless of convergence — the
+    * [[Similarity]] kmeans fixed-iteration argument verbatim. (Plain LPA
+    * randomizes update order precisely to avoid bipartite oscillation;
+    * determinism matters more here than modularity polish, and the fixed
+    * round count makes oscillation harmless to the contract.)
+    *
+    * Shape at scale: each round is one keyed equi-join (edges x labels on
+    * src) feeding two map-side-combined hash aggregates plus one keyed
+    * argmax join-back — the portable most-frequent-with-tie-break (no
+    * struct-ordering or label-magnitude encoding tricks, so nothing
+    * assumes ids fit a digit budget). Per-round localCheckpoint, the
+    * iterative-op house rule; no driver-side state at all. */
+  def labelProp(spark: SparkSession, dir: String, rounds: Int = 4,
+                threshold: Double = 0.15): DataFrame = {
+    val pairs = Dedup.embedDup(spark, dir, threshold)
+      .select(col("vec_a"), col("vec_b"))
+    val edges = pairs.select(col("vec_a").as("src"), col("vec_b").as("dst"))
+      .unionByName(pairs.select(col("vec_b").as("src"), col("vec_a").as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+    for (_ <- 1 to rounds) {
+      val nc = edges.join(labels, edges("src") === labels("node"))
+        .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("c"))
+      val mx = nc.groupBy(col("dst")).agg(max(col("c")).as("mc"))
+      labels = nc.join(mx, Seq("dst")).filter(col("c") === col("mc"))
+        .groupBy(col("dst")).agg(min(col("lbl")).as("lbl"))
+        .select(col("dst").as("node"), col("lbl"))
+        .localCheckpoint(true)
+    }
+    val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("community_size"))
+    labels.join(sizes, Seq("lbl"))
+      .select(col("node"), col("lbl").as("community"), col("community_size"))
+      .orderBy(col("node"))
+  }
+
   /** k-core decomposition (Seidman 1983) of the similarity graph — the
     * maximal subgraph where every node keeps >= k neighbors, the density
     * screen that separates tight duplicate/spam communities (which
