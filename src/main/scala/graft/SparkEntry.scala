@@ -141,6 +141,9 @@ object SparkEntry {
     "q_quality_classify" -> ((s, d) => TextAnalysis.qualityClassify(s, d)),
     "q_stratified_sample" -> ((s, d) => Sampling.stratifiedSample(s, d)),
     "q_corpus_sample"  -> ((s, d) => Sampling.corpusSample(s, d)),
+    // histogram-ECDF per-lang quantile normalization: the cumulative
+    // window runs over the bounded (lang x bucket) table, never the corpus
+    "q_quantile_norm"  -> ((s, d) => Sampling.quantileNorm(s, d)),
     "q_source_cap"     -> ((s, d) => Sampling.sourceCap(s, d)),
     "q_token_budget"   -> ((s, d) => Sampling.tokenBudget(s, d)),
     "q_weighted_sample" -> ((s, d) => Sampling.weightedSample(s, d)),
@@ -180,6 +183,9 @@ object SparkEntry {
     // per-(source, lang) dataset card: volumes, dup rate, token spread in
     // one fused scan
     "q_data_card"      -> ((s, d) => TextAnalysis.dataCard(s, d)),
+    // ROUGE-2 multiset overlap between keyed candidate/reference pairs
+    // (doc vs doc_id+1 within source); F1 in the 2m/(nc+nr) integer form
+    "q_rouge"          -> ((s, d) => TextAnalysis.rouge(s, d)),
     // k-core peel of the similarity graph (fixed rounds, kmeans-style
     // early stop at the fixed point; oracle unrolls all rounds)
     "q_kcore"          -> ((s, d) => Graph.kCore(s, d)),
@@ -1197,6 +1203,48 @@ object SparkEntry {
         | CAST(length(nfc_normalize(text)) AS BIGINT) AS nfc_chars,
         | md5(nfc_normalize(text)) AS nfc_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // ROUGE-2: keyed candidate/reference pairing (doc_id+1 within
+    // source), multiset bigram min-overlap, F1 = 2m/(nc+nr). Left joins
+    // keep zero-overlap and sub-bigram docs (metrics 0, not dropped).
+    "q_rouge" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+        |           FROM documents),
+        |bg AS (SELECT doc_id,
+        |         unnest(CASE WHEN len(t) >= 2
+        |           THEN list_transform(range(1, len(t)),
+        |                  i -> t[i] || ' ' || t[i + 1])
+        |           ELSE [] END) AS big
+        |       FROM t),
+        |bc AS (SELECT doc_id, big, count(*) AS c FROM bg GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, sum(c) AS n FROM bc GROUP BY 1),
+        |pairs AS (SELECT c.doc_id AS cid, r.doc_id AS rid
+        |          FROM documents c JOIN documents r
+        |            ON r.doc_id = c.doc_id + 1 AND c.source = r.source),
+        |ov AS (SELECT p.cid, p.rid, sum(least(cb.c, rb.c)) AS m
+        |       FROM pairs p
+        |       JOIN bc cb ON cb.doc_id = p.cid
+        |       JOIN bc rb ON rb.doc_id = p.rid AND rb.big = cb.big
+        |       GROUP BY 1, 2)
+        |SELECT p.cid AS doc_cand, p.rid AS doc_ref,
+        |  CAST(coalesce(ov.m, 0) AS BIGINT) AS n_match,
+        |  CAST(coalesce(tc.n, 0) AS BIGINT) AS n_cand,
+        |  CAST(coalesce(tr.n, 0) AS BIGINT) AS n_ref,
+        |  CASE WHEN coalesce(tc.n, 0) > 0
+        |    THEN round(coalesce(ov.m, 0)::DOUBLE / tc.n, 4) ELSE 0.0 END
+        |    AS rouge2_p,
+        |  CASE WHEN coalesce(tr.n, 0) > 0
+        |    THEN round(coalesce(ov.m, 0)::DOUBLE / tr.n, 4) ELSE 0.0 END
+        |    AS rouge2_r,
+        |  CASE WHEN coalesce(tc.n, 0) + coalesce(tr.n, 0) > 0
+        |    THEN round(2.0 * coalesce(ov.m, 0) /
+        |           (coalesce(tc.n, 0) + coalesce(tr.n, 0)), 4)
+        |    ELSE 0.0 END AS rouge2_f
+        |FROM pairs p
+        |LEFT JOIN ov ON ov.cid = p.cid AND ov.rid = p.rid
+        |LEFT JOIN tot tc ON tc.doc_id = p.cid
+        |LEFT JOIN tot tr ON tr.doc_id = p.rid
+        |ORDER BY doc_cand""".stripMargin,
 
     "q_data_card" ->
       """WITH d AS (SELECT source, lang, md5(text) AS dg,
@@ -2622,6 +2670,28 @@ object SparkEntry {
         |r AS (SELECT *, row_number() OVER (ORDER BY key, doc_id) AS rank FROM k)
         |SELECT CAST(rank AS INT) AS rank, doc_id, n_tok, round(key, 6) AS key
         |FROM r WHERE rank <= 48 ORDER BY rank""".stripMargin,
+
+    // Histogram-ECDF quantile normalization: width-16 token-count buckets,
+    // cumulative window over the bounded (lang, bucket) histogram only,
+    // midpoint ECDF (2*cum_below + cnt) / (2*n_lang) joined back by bucket.
+    "q_quantile_norm" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |           FROM documents),
+        |db AS (SELECT doc_id, lang, n_tok, n_tok // 16 AS b FROM d),
+        |hist AS (SELECT lang, b, count(*) AS c FROM db GROUP BY 1, 2),
+        |nl AS (SELECT lang, count(*) AS n_lang FROM db GROUP BY 1),
+        |ecdf AS (SELECT lang, b,
+        |           coalesce(sum(c) OVER (PARTITION BY lang ORDER BY b
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |             AS cb, c
+        |         FROM hist)
+        |SELECT db.doc_id, db.lang, db.n_tok,
+        |  round((2 * ecdf.cb + ecdf.c)::DOUBLE / (2 * nl.n_lang), 4) AS pct
+        |FROM db
+        |JOIN ecdf ON ecdf.lang = db.lang AND ecdf.b = db.b
+        |JOIN nl ON nl.lang = db.lang
+        |ORDER BY db.doc_id""".stripMargin,
 
     "q_corpus_sample" ->
       """WITH h AS (SELECT doc_id, lang, source,

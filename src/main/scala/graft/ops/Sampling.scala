@@ -212,4 +212,41 @@ object Sampling {
       .select(col("rank"), col("doc_id"), col("lang"), col("source"))
       .orderBy(col("rank"))
   }
+
+  /** Histogram-ECDF quantile normalization of a per-doc quality signal
+    * (token count) WITHIN its language — the score-calibration step before
+    * cross-language mixing or thresholding (a 200-token Chinese doc and a
+    * 200-token English doc sit at very different quantiles; filters must
+    * compare percentiles, not raw scores).
+    *
+    * The exact form — `percent_rank()` over each language partition — is
+    * the window-skew regime (one reducer per language at 100 TB), so this
+    * uses the two-pass histogram ECDF instead: bucket scores at width
+    * `bucketW`, aggregate one bounded (lang x bucket) count table, run the
+    * cumulative window over THAT table only, and join the per-bucket
+    * percentile back to docs by (lang, bucket). Every doc in a bucket gets
+    * the bucket's midpoint ECDF value `(2*cum_below + cnt) / (2*n_lang)` —
+    * resolution is the bucket width, the documented trade that buys a plan
+    * with no corpus-sized window anywhere. Integer numerator/denominator,
+    * one final rounded division: engine-exact. */
+  def quantileNorm(spark: SparkSession, dir: String, bucketW: Int = 16): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("b", expr(s"n_tok div $bucketW"))
+      .localCheckpoint(true) // one text scan feeds hist, totals, and docs
+    val hist = d.groupBy(col("lang"), col("b")).agg(count(lit(1)).as("c"))
+    val nl = d.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+    val wCum = Window.partitionBy(col("lang")).orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ecdf = hist
+      .withColumn("cb", coalesce(sum(col("c")).over(wCum), lit(0L)))
+      .join(nl, Seq("lang"))
+      .select(col("lang"), col("b"),
+        round((lit(2L) * col("cb") + col("c")).cast("double") /
+          (lit(2L) * col("n_lang")), 4).as("pct"))
+    d.join(ecdf, Seq("lang", "b"))
+      .select(col("doc_id"), col("lang"), col("n_tok"), col("pct"))
+      .orderBy(col("doc_id"))
+  }
 }

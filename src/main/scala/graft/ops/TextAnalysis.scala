@@ -150,6 +150,70 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** ROUGE-2 (Lin 2004) between deterministic candidate/reference doc
+    * pairs — the n-gram overlap eval a pipeline runs at scale to score
+    * generated-vs-gold text (summarization eval, distillation QA) without
+    * shipping anything to a driver. The pairing contract is keyed, not
+    * windowed: each doc is the CANDIDATE against the doc at `doc_id + 1`
+    * within the same source (a pure equi-join — no per-source window
+    * partition, which would funnel a whole source through one task).
+    *
+    * Multiset overlap, the real ROUGE definition: per pair,
+    * `m = sum over bigrams of min(count_cand, count_ref)`, then
+    * P = m/n_cand, R = m/n_ref and the algebraic identity
+    * F1 = 2PR/(P+R) = 2m/(n_cand+n_ref) — the integer-ratio form, so the
+    * only float op per metric is one final rounded division (engine-exact
+    * by the micro-unit playbook).
+    *
+    * Shape at scale: one text scan builds the bigram-count table (explode
+    * + map-side-combined hash agg, localCheckpoint'd — three consumers:
+    * candidate side, reference side, totals); the id/source pairing scan
+    * is column-pruned to two cheap columns. Everything downstream is a
+    * keyed equi-join; zero-overlap and sub-bigram docs survive via left
+    * joins (F1 = 0, not dropped). */
+  def rouge(spark: SparkSession, dir: String): DataFrame = {
+    val bg = Tables(spark, dir, "documents")
+      .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
+      .select(col("doc_id"), explode(expr(
+        """CASE WHEN size(t) >= 2
+          |  THEN transform(sequence(1, size(t) - 1),
+          |         i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))
+          |  ELSE array() END""".stripMargin)).as("big"))
+    val bc = bg.groupBy(col("doc_id"), col("big"))
+      .agg(count(lit(1)).as("c")).localCheckpoint(true)
+    val tot = bc.groupBy(col("doc_id")).agg(sum(col("c")).as("n"))
+    val ids = Tables(spark, dir, "documents").select(col("doc_id"), col("source"))
+    val pairs = ids.select(col("doc_id").as("cid"), col("source").as("cs"))
+      .join(ids.select(col("doc_id").as("rid"), col("source").as("rs")),
+        col("rid") === col("cid") + 1 && col("cs") === col("rs"))
+      .select(col("cid"), col("rid"))
+    val ov = pairs
+      .join(bc.select(col("doc_id").as("cid"), col("big"), col("c").as("cc")), Seq("cid"))
+      .join(bc.select(col("doc_id").as("rid"), col("big"), col("c").as("rc")), Seq("rid", "big"))
+      .groupBy(col("cid"), col("rid"))
+      .agg(sum(least(col("cc"), col("rc"))).as("m"))
+    pairs
+      .join(ov, Seq("cid", "rid"), "left")
+      .join(tot.select(col("doc_id").as("cid"), col("n").as("nc")), Seq("cid"), "left")
+      .join(tot.select(col("doc_id").as("rid"), col("n").as("nr")), Seq("rid"), "left")
+      .select(col("cid").as("doc_cand"), col("rid").as("doc_ref"),
+        coalesce(col("m"), lit(0L)).as("n_match"),
+        coalesce(col("nc"), lit(0L)).as("n_cand"),
+        coalesce(col("nr"), lit(0L)).as("n_ref"))
+      .select(col("doc_cand"), col("doc_ref"), col("n_match"), col("n_cand"),
+        col("n_ref"),
+        when(col("n_cand") > 0,
+          round(col("n_match").cast("double") / col("n_cand"), 4))
+          .otherwise(lit(0.0)).as("rouge2_p"),
+        when(col("n_ref") > 0,
+          round(col("n_match").cast("double") / col("n_ref"), 4))
+          .otherwise(lit(0.0)).as("rouge2_r"),
+        when(col("n_cand") + col("n_ref") > 0,
+          round(lit(2.0) * col("n_match") / (col("n_cand") + col("n_ref")), 4))
+          .otherwise(lit(0.0)).as("rouge2_f"))
+      .orderBy(col("doc_cand"))
+  }
+
   /** Dataset card: the per-(source, language) corpus profile every data
     * release ships — document/token/byte volumes, exact-duplicate rate,
     * and token-length spread — fused into ONE scan + one two-phase
