@@ -205,6 +205,12 @@ object SparkEntry {
     "q_unigram_counts" -> ((s, d) => TextAnalysis.unigramCounts(s, d)),
     "q_unigram_encode" -> ((s, d) => TextAnalysis.unigramEncode(s, d)),
     "q_heavy_hitters"  -> ((s, d) => FrequentItems.heavyHitters(s, d)),
+    // Apriori pair rules over (user, day) event baskets: item support cut
+    // before the keyed pair self-join; support/confidence/lift
+    "q_assoc_rules"    -> ((s, d) => FrequentItems.assocRules(s, d)),
+    // k-anonymity audit over (lang, source, length-bucket) classes with
+    // per-language at-risk share
+    "q_kanon"          -> ((s, d) => QualityChecks.kAnonymity(s, d)),
     "q_wordpiece_encode" -> ((s, d) => TextAnalysis.wordpieceEncode(s, d)),
     "q_pagerank"       -> ((s, d) => Graph.pageRank(s, d)),
     "q_triangles"      -> ((s, d) => Graph.triangles(s, d)),
@@ -2433,6 +2439,54 @@ object SparkEntry {
 
     // Deequ-style constraint suite: every metric is exact SQL, so the
     // fused-aggregate engine path is graded against the naive form.
+    // k-anonymity audit: equivalence classes on (lang, source, 64-char
+    // length bucket), at_risk = size < 5, per-language at-risk doc share.
+    "q_kanon" ->
+      """WITH cls AS (SELECT lang, source, n_chars // 64 AS len_b,
+        |               count(*) AS n_docs
+        |             FROM documents GROUP BY 1, 2, 3),
+        |c2 AS (SELECT lang, source, len_b, n_docs,
+        |         CAST(n_docs < 5 AS INT) AS at_risk FROM cls),
+        |pl AS (SELECT lang, CAST(sum(n_docs) AS BIGINT) AS lang_docs,
+        |         CAST(sum(CASE WHEN at_risk = 1 THEN n_docs ELSE 0 END)
+        |           AS BIGINT) AS risk_docs
+        |       FROM c2 GROUP BY 1)
+        |SELECT c2.lang, c2.source, c2.len_b, c2.n_docs, c2.at_risk,
+        |  round(pl.risk_docs::DOUBLE / pl.lang_docs, 4) AS lang_risk_share
+        |FROM c2 JOIN pl ON pl.lang = c2.lang
+        |ORDER BY c2.lang, c2.source, c2.len_b""".stripMargin,
+
+    // Apriori pair-tier association rules over (user, day) event-type
+    // baskets: singleton support cut first, pair counts from the keyed
+    // basket self-join, confidence/lift joined back; both rule
+    // directions emitted.
+    "q_assoc_rules" ->
+      """WITH b AS (SELECT DISTINCT user_id,
+        |             CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+        |             event_type AS item
+        |           FROM events),
+        |nb AS (SELECT count(*) AS n_baskets
+        |       FROM (SELECT DISTINCT user_id, day FROM b)),
+        |items AS (SELECT item, count(*) AS ci FROM b GROUP BY 1),
+        |fi AS (SELECT item, ci FROM items, nb
+        |       WHERE ci >= n_baskets * 0.05),
+        |fb AS (SELECT b.* FROM b JOIN fi ON fi.item = b.item),
+        |p AS (SELECT a.item AS ia, c.item AS ib, count(*) AS cp
+        |      FROM fb a JOIN fb c ON a.user_id = c.user_id
+        |        AND a.day = c.day AND a.item < c.item
+        |      GROUP BY 1, 2),
+        |d AS (SELECT ia AS antecedent, ib AS consequent, cp FROM p
+        |      UNION ALL SELECT ib, ia, cp FROM p)
+        |SELECT d.antecedent, d.consequent, d.cp AS n_pair,
+        |  round(d.cp::DOUBLE / nb.n_baskets, 4) AS support,
+        |  round(d.cp::DOUBLE / fa.ci, 4) AS confidence,
+        |  round(d.cp::DOUBLE * nb.n_baskets / (fa.ci * fc.ci), 4) AS lift
+        |FROM d
+        |JOIN fi fa ON fa.item = d.antecedent
+        |JOIN fi fc ON fc.item = d.consequent
+        |CROSS JOIN nb
+        |ORDER BY d.antecedent, d.consequent""".stripMargin,
+
     "q_dq_checks" ->
       """WITH o AS (SELECT count(*) AS n,
         |    sum(CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END) AS ck,

@@ -101,4 +101,58 @@ object FrequentItems {
       .withColumn("share", round(col("cnt") / lit(total.toDouble), 6))
       .orderBy(col("cnt").desc, col("tok"))
   }
+
+  /** Association rules (Agrawal & Srikant 1994 Apriori, pair tier) over
+    * per-(user, day) event-type baskets — the co-occurrence miner behind
+    * "users who error also churn"-style diagnostics, and the same shape a
+    * pipeline uses for tag/domain co-occurrence. Baskets are (user, day)
+    * rather than whole users: at any realistic horizon every user touches
+    * every event type, so the day-scoped basket is what carries signal.
+    *
+    * Apriori downward closure does the scaling work: singleton supports
+    * are counted first (one hash aggregate over the deduped basket-item
+    * table), items below `minSupport` are dropped, and only the filtered
+    * baskets enter the pair self-join — keyed on the basket, with
+    * per-basket fanout bounded by the (post-filter) basket width, never a
+    * cross join. Confidence and lift come from joining pair counts back
+    * to the bounded item-count table; both directions of every surviving
+    * pair are emitted. Counts are integers; the three ratios are one
+    * rounded division each. */
+  def assocRules(spark: SparkSession, dir: String,
+                 minSupport: Double = 0.05): DataFrame = {
+    val b = Tables.events(spark, dir)
+      .select(col("user_id"),
+        floor(unix_timestamp(col("ts")) / 86400L).as("day"),
+        col("event_type").as("item"))
+      .distinct()
+      .localCheckpoint(true) // consumed by totals, item counts, both join sides
+    val nb = b.select(col("user_id"), col("day")).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val items = b.groupBy(col("item")).agg(count(lit(1)).as("ci"))
+      .crossJoin(broadcast(nb))
+      .filter(col("ci") >= col("n_baskets") * minSupport)
+    val fb = b.join(broadcast(items.select(col("item"))), Seq("item"))
+    val pairs = fb.alias("a")
+      .join(fb.alias("b"),
+        col("a.user_id") === col("b.user_id") && col("a.day") === col("b.day") &&
+          col("a.item") < col("b.item"))
+      .groupBy(col("a.item").as("ia"), col("b.item").as("ib"))
+      .agg(count(lit(1)).as("cp"))
+    val directed = pairs.select(col("ia").as("antecedent"),
+        col("ib").as("consequent"), col("cp"))
+      .unionByName(pairs.select(col("ib").as("antecedent"),
+        col("ia").as("consequent"), col("cp")))
+    directed
+      .join(broadcast(items.select(col("item").as("antecedent"),
+        col("ci").as("ca"))), Seq("antecedent"))
+      .join(broadcast(items.select(col("item").as("consequent"),
+        col("ci").as("cb"))), Seq("consequent"))
+      .crossJoin(broadcast(nb))
+      .select(col("antecedent"), col("consequent"), col("cp").as("n_pair"),
+        round(col("cp").cast("double") / col("n_baskets"), 4).as("support"),
+        round(col("cp").cast("double") / col("ca"), 4).as("confidence"),
+        round(col("cp").cast("double") * col("n_baskets") /
+          (col("ca") * col("cb")), 4).as("lift"))
+      .orderBy(col("antecedent"), col("consequent"))
+  }
 }

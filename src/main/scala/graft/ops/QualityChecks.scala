@@ -83,4 +83,38 @@ object QualityChecks {
         col("r.pass").as("pass"))
       .orderBy(col("check"), col("column"))
   }
+
+  /** k-anonymity audit (Sweeney 2002) over the release quasi-identifiers
+    * — the privacy gate a dataset card cites before publishing: any
+    * combination of externally-knowable attributes shared by fewer than
+    * `k` documents is a re-identification handle and its rows must be
+    * suppressed or generalized. Quasi-identifier here: (lang, source,
+    * width-`widthChars` length bucket) — attributes an adversary can
+    * observe without reading the text.
+    *
+    * Output is the per-equivalence-class audit table: class size, an
+    * `at_risk` flag (size < k), and the per-language share of documents
+    * sitting in at-risk classes (`lang_risk_share` — the number a release
+    * checklist actually quotes). One fused two-phase aggregate builds the
+    * class table; the risk share is a second aggregate over the BOUNDED
+    * class table joined back — no corpus-sized second pass, no windows. */
+  def kAnonymity(spark: SparkSession, dir: String, k: Int = 5,
+                 widthChars: Int = 64): DataFrame = {
+    val cls = Tables(spark, dir, "documents")
+      .select(col("lang"), col("source"),
+        expr(s"n_chars div $widthChars").as("len_b"))
+      .groupBy(col("lang"), col("source"), col("len_b"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("at_risk", (col("n_docs") < k).cast("int"))
+    val perLang = cls.groupBy(col("lang")).agg(
+      sum(col("n_docs")).as("lang_docs"),
+      sum(when(col("at_risk") === 1, col("n_docs")).otherwise(lit(0L)))
+        .as("risk_docs"))
+    cls.join(perLang, Seq("lang"))
+      .select(col("lang"), col("source"), col("len_b"), col("n_docs"),
+        col("at_risk"),
+        round(col("risk_docs").cast("double") / col("lang_docs"), 4)
+          .as("lang_risk_share"))
+      .orderBy(col("lang"), col("source"), col("len_b"))
+  }
 }
