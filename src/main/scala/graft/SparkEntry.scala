@@ -184,7 +184,7 @@ object SparkEntry {
     // one fused scan
     "q_data_card"      -> ((s, d) => TextAnalysis.dataCard(s, d)),
     // ROUGE-2 multiset overlap between keyed candidate/reference pairs
-    // (doc vs doc_id+1 within source); F1 in the 2m/(nc+nr) integer form
+    // (doc vs doc_id+1); F1 in the 2m/(nc+nr) integer form
     "q_rouge"          -> ((s, d) => TextAnalysis.rouge(s, d)),
     // k-core peel of the similarity graph (fixed rounds, kmeans-style
     // early stop at the fixed point; oracle unrolls all rounds)
@@ -1210,9 +1210,9 @@ object SparkEntry {
         | md5(nfc_normalize(text)) AS nfc_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
 
-    // ROUGE-2: keyed candidate/reference pairing (doc_id+1 within
-    // source), multiset bigram min-overlap, F1 = 2m/(nc+nr). Left joins
-    // keep zero-overlap and sub-bigram docs (metrics 0, not dropped).
+    // ROUGE-2: keyed candidate/reference pairing (doc_id vs doc_id+1),
+    // multiset bigram min-overlap, F1 = 2m/(nc+nr). Left joins keep
+    // zero-overlap and sub-bigram docs (metrics 0, not dropped).
     "q_rouge" ->
       """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS t
         |           FROM documents),
@@ -1226,7 +1226,7 @@ object SparkEntry {
         |tot AS (SELECT doc_id, sum(c) AS n FROM bc GROUP BY 1),
         |pairs AS (SELECT c.doc_id AS cid, r.doc_id AS rid
         |          FROM documents c JOIN documents r
-        |            ON r.doc_id = c.doc_id + 1 AND c.source = r.source),
+        |            ON r.doc_id = c.doc_id + 1),
         |ov AS (SELECT p.cid, p.rid, sum(least(cb.c, rb.c)) AS m
         |       FROM pairs p
         |       JOIN bc cb ON cb.doc_id = p.cid

@@ -128,9 +128,14 @@ object FrequentItems {
       .localCheckpoint(true) // consumed by totals, item counts, both join sides
     val nb = b.select(col("user_id"), col("day")).distinct()
       .agg(count(lit(1)).as("n_baskets"))
+    // checkpointed: three consumers (basket filter, antecedent counts,
+    // consequent counts) would otherwise each replay the 1-row support
+    // fold; the table is bounded by the item vocabulary
     val items = b.groupBy(col("item")).agg(count(lit(1)).as("ci"))
       .crossJoin(broadcast(nb))
       .filter(col("ci") >= col("n_baskets") * minSupport)
+      .select(col("item"), col("ci"))
+      .localCheckpoint(true)
     val fb = b.join(broadcast(items.select(col("item"))), Seq("item"))
     val pairs = fb.alias("a")
       .join(fb.alias("b"),

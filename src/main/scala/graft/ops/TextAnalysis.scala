@@ -155,8 +155,10 @@ object TextAnalysis {
     * generated-vs-gold text (summarization eval, distillation QA) without
     * shipping anything to a driver. The pairing contract is keyed, not
     * windowed: each doc is the CANDIDATE against the doc at `doc_id + 1`
-    * within the same source (a pure equi-join — no per-source window
-    * partition, which would funnel a whole source through one task).
+    * (a pure equi-join — a "next doc within my source" pairing would need
+    * a per-source window, funneling a whole source through one task; in a
+    * real eval run the candidate/reference id pairs arrive precomputed
+    * and this join IS the deployment shape).
     *
     * Multiset overlap, the real ROUGE definition: per pair,
     * `m = sum over bigrams of min(count_cand, count_ref)`, then
@@ -182,11 +184,15 @@ object TextAnalysis {
     val bc = bg.groupBy(col("doc_id"), col("big"))
       .agg(count(lit(1)).as("c")).localCheckpoint(true)
     val tot = bc.groupBy(col("doc_id")).agg(sum(col("c")).as("n"))
-    val ids = Tables(spark, dir, "documents").select(col("doc_id"), col("source"))
-    val pairs = ids.select(col("doc_id").as("cid"), col("source").as("cs"))
-      .join(ids.select(col("doc_id").as("rid"), col("source").as("rs")),
-        col("rid") === col("cid") + 1 && col("cs") === col("rs"))
-      .select(col("cid"), col("rid"))
+    // the pruned doc_id scan is checkpointed so the pair self-join reads
+    // it once, and the pair table is checkpointed so its two consumers
+    // (overlap build, final assembly) don't re-run the join
+    val ids = Tables(spark, dir, "documents")
+      .select(col("doc_id")).localCheckpoint(true)
+    val pairs = ids.select(col("doc_id").as("cid"))
+      .join(ids.select(col("doc_id").as("rid")),
+        col("rid") === col("cid") + 1)
+      .select(col("cid"), col("rid")).localCheckpoint(true)
     val ov = pairs
       .join(bc.select(col("doc_id").as("cid"), col("big"), col("c").as("cc")), Seq("cid"))
       .join(bc.select(col("doc_id").as("rid"), col("big"), col("c").as("rc")), Seq("rid", "big"))

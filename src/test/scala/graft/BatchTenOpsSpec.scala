@@ -1,0 +1,145 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.ops.{Dedup, FrequentItems, Graph, QualityChecks, Sampling, TextAnalysis}
+
+/** Semantics + edge posture of the round-8 third batch: LPA communities,
+  * SymSpell edit dedup, ROUGE-2 pairs, histogram-ECDF quantile norm,
+  * k-anonymity audit, Apriori association rules. Hand-built fixtures with
+  * closed-form expected outputs, staged as parquet so the real read paths
+  * run. */
+class BatchTenOpsSpec extends SparkSpec {
+
+  private def stage(dir: String, table: String)(df: org.apache.spark.sql.DataFrame): String = {
+    df.coalesce(1).write.mode("overwrite").parquet(s"$dir/$table.parquet")
+    dir
+  }
+
+  private def docs(dir: String, rows: Seq[(Long, String, String, String, Long)]): String = {
+    import spark.implicits._
+    stage(dir, "documents")(rows.toDF("doc_id", "text", "lang", "source", "n_chars"))
+  }
+
+  test("label propagation: two blocked cliques each converge to their " +
+    "minimum id; an isolated vector never enters the graph") {
+    import spark.implicits._
+    val dir = tmpDir("lpa")
+    // cliques blocked apart by `label`; all-positive components keep each
+    // clique in one sign cell, and near-parallel vectors clear cosine 0.15
+    stage(dir, "embeddings")(Seq(
+      (10L, Array(1.0f, 0.1f, 0.1f, 0.1f), 0),
+      (11L, Array(0.9f, 0.2f, 0.1f, 0.1f), 0),
+      (12L, Array(1.0f, 0.15f, 0.05f, 0.1f), 0),
+      (20L, Array(0.1f, 1.0f, 0.1f, 0.1f), 1),
+      (21L, Array(0.2f, 0.9f, 0.1f, 0.1f), 1),
+      (22L, Array(0.1f, 1.0f, 0.2f, 0.1f), 1),
+      (99L, Array(1.0f, 1.0f, 1.0f, 1.0f), 2)) // alone in its label: no edge
+      .toDF("vec_id", "embedding", "label"))
+    val rows = Graph.labelProp(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows.map(_._1).sorted === Seq(10L, 11L, 12L, 20L, 21L, 22L),
+      s"graph nodes only (no isolated 99): $rows")
+    assert(rows.filter(_._1 < 20).forall(r => r._2 === 10L && r._3 === 3L),
+      s"first clique converges to min id 10, size 3: $rows")
+    assert(rows.filter(_._1 >= 20).forall(r => r._2 === 20L && r._3 === 3L),
+      s"second clique converges to min id 20, size 3: $rows")
+  }
+
+  test("edit dedup: substitution, trailing-char and cross-variant links " +
+    "are found; exact duplicates collapse to one class representative") {
+    val dir = docs(tmpDir("editdd"), Seq(
+      (1L, "abcdefghijkl tail one", "en", "s1", 21L),
+      (2L, "abcdefghijkl tail one", "en", "s1", 21L), // exact dup of 1
+      (3L, "abcdefghijkX tail two", "en", "s1", 21L), // sub at key pos 12
+      (4L, "abcdefghijk tail three", "en", "s1", 22L), // key ends "k "
+      (5L, "zzzzzzzzzzzz other", "en", "s1", 18L)))
+    val rows = Dedup.editDedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(rows === Seq((1L, 3L, 1), (1L, 4L, 1), (3L, 4L, 1)),
+      s"three 1-edit class links, dup id 2 folded into rep 1: $rows")
+  }
+
+  test("rouge-2: multiset overlap counts repeats once per matched copy; " +
+    "sub-bigram docs score zero instead of dropping; identical pair " +
+    "scores exactly 1.0") {
+    val dir = docs(tmpDir("rouge"), Seq(
+      (1L, "a b c d", "en", "s1", 7L),
+      (2L, "a b c e", "en", "s1", 7L),
+      (10L, "x x x", "en", "s1", 5L),
+      (11L, "x x y", "en", "s1", 5L),
+      (20L, "one", "en", "s1", 3L),
+      (21L, "two words", "en", "s1", 9L),
+      (30L, "k l m", "en", "s1", 5L),
+      (31L, "k l m", "en", "s2", 5L)))
+    val rows = TextAnalysis.rouge(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6), r.getDouble(7))).toSeq
+    assert(rows.map(r => (r._1, r._2)) ===
+      Seq((1L, 2L), (10L, 11L), (20L, 21L), (30L, 31L)),
+      s"keyed doc_id+1 pairing, nothing else: $rows")
+    assert(rows(0) === ((1L, 2L, 2L, 3L, 3L, 0.6667, 0.6667, 0.6667)))
+    // "x x x" has bigram (x,x) twice; "x x y" has it once -> min = 1
+    assert(rows(1) === ((10L, 11L, 1L, 2L, 2L, 0.5, 0.5, 0.5)),
+      s"multiset min, not set intersection: ${rows(1)}")
+    assert(rows(2) === ((20L, 21L, 0L, 0L, 1L, 0.0, 0.0, 0.0)),
+      s"sub-bigram candidate scores zero, stays in output: ${rows(2)}")
+    assert(rows(3) === ((30L, 31L, 2L, 2L, 2L, 1.0, 1.0, 1.0)),
+      s"identical candidate/reference scores 1.0: ${rows(3)}")
+  }
+
+  test("quantile norm: bucket-mates share the midpoint ECDF value and " +
+    "buckets step through (2*below + count) / (2*n)") {
+    val dir = docs(tmpDir("qnorm"), Seq(
+      (1L, "w", "en", "s1", 1L),
+      (2L, Seq.fill(20)("t").mkString(" "), "en", "s1", 39L),
+      (3L, Seq.fill(20)("u").mkString(" "), "en", "s1", 39L),
+      (4L, Seq.fill(40)("v").mkString(" "), "en", "s1", 79L)))
+    val rows = Sampling.quantileNorm(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(3))).toMap
+    assert(rows === Map(1L -> 0.125, 2L -> 0.5, 3L -> 0.5, 4L -> 0.875),
+      s"b0: 1/8, b1 midpoint: (2+2)/8, b2: 7/8: $rows")
+  }
+
+  test("k-anonymity: a singleton quasi-identifier class is flagged and " +
+    "the language risk share counts its documents") {
+    val dir = docs(tmpDir("kanon"),
+      (1L to 6L).map(i => (i, s"doc $i", "en", "s1", 10L + i)) :+
+        ((7L, "outlier", "en", "s1", 100L)))
+    val rows = QualityChecks.kAnonymity(spark, dir).collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getInt(4), r.getDouble(5))).toSeq
+    assert(rows === Seq((0L, 6L, 0, 0.1429), (1L, 1L, 1, 0.1429)),
+      s"class of 6 safe, singleton at risk, share 1/7 on both rows: $rows")
+  }
+
+  test("association rules: supports, confidences and lifts are exact on a " +
+    "closed-form basket set; a higher support cut prunes the rare item " +
+    "before any pair work") {
+    import spark.implicits._
+    val dir = tmpDir("assoc")
+    val day = 86400L
+    def ev(id: Long, d: Long, u: Long, t: String) =
+      (id, Timestamp.from(java.time.Instant.ofEpochSecond(d * day + id)), u, t,
+        1.0, "{}")
+    // baskets: u1d1{A,B} u1d2{A,B} u2d1{A,B} u2d2{A} u3d1{B,C}
+    stage(dir, "events")(Seq(
+      ev(1, 1, 1, "A"), ev(2, 1, 1, "B"),
+      ev(3, 2, 1, "A"), ev(4, 2, 1, "B"),
+      ev(5, 1, 2, "A"), ev(6, 1, 2, "B"),
+      ev(7, 2, 2, "A"),
+      ev(8, 1, 3, "B"), ev(9, 1, 3, "C"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val rows = FrequentItems.assocRules(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5))).toSeq
+    assert(rows === Seq(
+      ("A", "B", 3L, 0.6, 0.75, 0.9375),
+      ("B", "A", 3L, 0.6, 0.75, 0.9375),
+      ("B", "C", 1L, 0.2, 0.25, 1.25),
+      ("C", "B", 1L, 0.2, 1.0, 1.25)), s"n=5 baskets: $rows")
+    val cut = FrequentItems.assocRules(spark, dir, minSupport = 0.3).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(cut === Seq(("A", "B"), ("B", "A")),
+      s"support 0.3 prunes item C (1/5) before pair generation: $cut")
+  }
+}

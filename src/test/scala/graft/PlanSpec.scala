@@ -624,6 +624,72 @@ class PlanSpec extends SparkSpec {
       p.take(3000))
   }
 
+  test("label prop: every round is keyed equi-joins over the checkpointed " +
+    "edge list — no cartesian, no nested loop") {
+    val p = plan("q_label_prop")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
+  test("edit dedup: the deletion-variant self-join is a keyed equi-join " +
+    "and the scan reads only (doc_id, text)") {
+    val p = plan("q_edit_dedup")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      p.take(3000))
+  }
+
+  test("rouge: bigram counts, the pruned id scan and the pair table all " +
+    "ride checkpoints — the final assembly re-reads no parquet and every " +
+    "join is keyed") {
+    val p = plan("q_rouge")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert("Scan parquet".r.findAllIn(p).isEmpty, p.take(3000))
+  }
+
+  test("quantile norm: the cumulative window is PARTITIONED (by lang) and " +
+    "runs over the bounded histogram aggregate, not the corpus; the " +
+    "checkpointed doc table is scanned from parquet once") {
+    import org.apache.spark.sql.catalyst.plans.logical
+    val qe = SparkEntry.queries("q_quantile_norm")(spark, sf).queryExecution
+    val unpart = qe.optimizedPlan.collect {
+      case w: logical.Window if w.partitionSpec.isEmpty => w
+    }
+    assert(unpart.isEmpty, "no unpartitioned window anywhere")
+    val windowsOverAgg = qe.optimizedPlan.collect {
+      case w: logical.Window =>
+        w.child.collectFirst { case _: logical.Aggregate => () }.isDefined ||
+          w.child.collectFirst {
+            case l: logical.LeafNode if l.computeStats().rowCount.isDefined => ()
+          }.isDefined
+    }
+    assert(windowsOverAgg.forall(identity), "window input must be bounded")
+    assert("Scan parquet".r.findAllIn(qe.executedPlan.toString).isEmpty,
+      "docs ride the checkpoint, no re-scan")
+  }
+
+  test("k-anonymity: the class aggregate is two-phase and the scan reads " +
+    "only the three quasi-identifier columns") {
+    val p = plan("q_kanon")
+    assert(p.contains("partial_"), p.take(3000))
+    assert(p.contains(
+      "ReadSchema: struct<lang:string,source:string,n_chars:bigint>"),
+      p.take(3000))
+  }
+
+  test("assoc rules: item/total sides broadcast back and the basket " +
+    "self-join is keyed — no cartesian against the basket table") {
+    val p = plan("q_assoc_rules")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(3000))
+    // the only nested-loop join is the final broadcast 1-row n_baskets fold
+    // (the item-support fold rides the items checkpoint)
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= 1, p.take(3000))
+  }
+
   test("unpartitioned windows ride bounded inputs: below every global " +
     "window sits a limit or an aggregate, never the raw corpus") {
     import org.apache.spark.sql.catalyst.plans.logical
