@@ -192,6 +192,18 @@ object SparkEntry {
     // LPA communities of the similarity graph (fixed synchronous rounds,
     // most-frequent-neighbor label, ties toward the smallest label)
     "q_label_prop"     -> ((s, d) => Graph.labelProp(s, d)),
+    // DBSCAN over the eps-graph: core by degree, clusters = CC of the
+    // core subgraph (unrolled min-label rounds), border to min core
+    // neighbor, noise = -1
+    "q_dbscan"         -> ((s, d) => Graph.dbscan(s, d)),
+    // interpolated Kneser-Ney bigram scoring (d=0.75): discounted ML +
+    // continuation-probability backoff, all-integer model statistics
+    "q_kn_lm"          -> ((s, d) => TextAnalysis.knLmScore(s, d)),
+    // Zipf rank-frequency least-squares fit over the top-100 vocab head
+    "q_zipf"           -> ((s, d) => TextAnalysis.zipfFit(s, d)),
+    // first-order Markov transition matrix of event types within
+    // (user, day) journeys, row-normalized
+    "q_markov_paths"   -> ((s, d) => Relational.markovPaths(s, d)),
     // ANN index eval: recall@5 and top-1 reciprocal rank of the IVF probe
     // cut vs the exact ranking — deterministic tiers make the metric
     // itself oracle-exact
@@ -1687,6 +1699,27 @@ object SparkEntry {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // First-order Markov transitions within (user, day): lead over the
+    // bounded journey partitions (event_id tiebreak), counts
+    // row-normalized against the per-source total.
+    "q_markov_paths" ->
+      """WITH e AS (SELECT user_id,
+        |             CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+        |             ts, event_id, event_type
+        |           FROM events),
+        |s AS (SELECT event_type AS src,
+        |        lead(event_type) OVER (PARTITION BY user_id, day
+        |          ORDER BY ts, event_id) AS dst
+        |      FROM e),
+        |tc AS (SELECT src, dst, count(*) AS n_trans FROM s
+        |       WHERE dst IS NOT NULL GROUP BY 1, 2),
+        |rs AS (SELECT src, CAST(sum(n_trans) AS BIGINT) AS rt
+        |       FROM tc GROUP BY 1)
+        |SELECT tc.src, tc.dst, tc.n_trans,
+        |  round(tc.n_trans::DOUBLE / rs.rt, 4) AS prob
+        |FROM tc JOIN rs ON rs.src = tc.src
+        |ORDER BY tc.src, tc.dst""".stripMargin,
+
     "q_funnel" ->
       """WITH u AS (SELECT user_id,
         |        min(CASE WHEN event_type = 'signup' THEN ts END) AS s_ts,
@@ -1701,6 +1734,55 @@ object SparkEntry {
         |  UNION ALL SELECT '2_purchased_after_signup', n2,
         |    round(CAST(n2 AS DOUBLE) / n0, 4) FROM a
         |) ORDER BY stage""".stripMargin,
+
+    // Interpolated Kneser-Ney bigram scoring: integer model statistics
+    // (bigram counts, context totals, forward/backward continuation type
+    // counts), the discount formula written with all-double literals
+    // identically to the Spark expression, one rounded avg(ln) per doc.
+    "q_kn_lm" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |bg AS (SELECT doc_id,
+        |         unnest(CASE WHEN len(t) >= 2
+        |           THEN list_transform(range(1, len(t)),
+        |                  i -> t[i] || ' ' || t[i + 1])
+        |           ELSE [] END) AS big
+        |       FROM t),
+        |sp AS (SELECT doc_id, string_split(big, ' ')[1] AS w1,
+        |         string_split(big, ' ')[2] AS w2 FROM bg),
+        |c2 AS (SELECT w1, w2, count(*) AS c2 FROM sp GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1,
+        |         count(*) AS n1fw FROM c2 GROUP BY 1),
+        |bw AS (SELECT w2, count(*) AS n1bw FROM c2 GROUP BY 1),
+        |tot AS (SELECT count(*) AS n1tot FROM c2)
+        |SELECT sp.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  round(avg(ln(
+        |    greatest(c2.c2 - 0.75::DOUBLE, 0.0::DOUBLE) / c1.c1 +
+        |    0.75::DOUBLE * c1.n1fw / c1.c1 * (bw.n1bw / (tot.n1tot::DOUBLE))
+        |  )), 4) AS avg_logp_kn
+        |FROM sp JOIN c2 ON c2.w1 = sp.w1 AND c2.w2 = sp.w2
+        |JOIN c1 ON c1.w1 = sp.w1 JOIN bw ON bw.w2 = sp.w2 CROSS JOIN tot
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Zipf head fit: top-100 tokens by (count desc, token), least-squares
+    // slope/intercept/R2 of (ln rank, ln count) from five raw moments.
+    "q_zipf" ->
+      """WITH v AS (SELECT tok, count(*) AS c FROM (
+        |       SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |     WHERE len(tok) > 0 GROUP BY 1),
+        |h AS (SELECT tok, c FROM v ORDER BY c DESC, tok LIMIT 100),
+        |r AS (SELECT CAST(row_number() OVER (ORDER BY c DESC, tok) AS BIGINT)
+        |        AS rnk, c FROM h),
+        |x AS (SELECT ln(rnk::DOUBLE) AS x, ln(c::DOUBLE) AS y FROM r),
+        |s AS (SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
+        |        sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+        |      FROM x)
+        |SELECT CAST(n AS BIGINT) AS n_head,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS slope,
+        |  round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 4)
+        |    AS intercept,
+        |  round(pow(n * sxy - sx * sy, 2) /
+        |    ((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) AS r2
+        |FROM s""".stripMargin,
 
     "q_lm_score" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -2373,6 +2455,50 @@ object SparkEntry {
           |SELECT l.node, l.lbl AS community, sz.community_size
           |FROM l4 l JOIN sz ON sz.lbl = l.lbl
           |ORDER BY l.node""".stripMargin
+    },
+
+    // DBSCAN: core = degree >= 3 on the eps-graph, clusters = min-label
+    // CC over the core-core subgraph (8 unrolled MATERIALIZED rounds),
+    // border attaches to its minimum core neighbor, noise = -1.
+    "q_dbscan" -> {
+      val base =
+        """WITH e0 AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+          |nr AS (SELECT vec_id, label, v,
+          |        sqrt(list_sum(list_transform(v, x -> x * x))) AS norm,
+          |        CAST(v[1] > 0 AS INT) * 8 + CAST(v[2] > 0 AS INT) * 4 +
+          |        CAST(v[3] > 0 AS INT) * 2 + CAST(v[4] > 0 AS INT) AS cell
+          |      FROM e0),
+          |pr AS MATERIALIZED (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+          |       FROM nr a JOIN nr b ON a.label = b.label AND a.cell = b.cell
+          |         AND a.vec_id < b.vec_id
+          |       WHERE round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 4)
+          |         >= 0.15),
+          |g0 AS MATERIALIZED (SELECT vec_a AS src, vec_b AS dst FROM pr
+          |       UNION ALL SELECT vec_b, vec_a FROM pr),
+          |deg AS (SELECT src AS node, count(*) AS d FROM g0 GROUP BY 1),
+          |core AS MATERIALIZED (SELECT node FROM deg WHERE d >= 3),
+          |gcc AS MATERIALIZED (SELECT e.src, e.dst FROM g0 e
+          |       JOIN core a ON a.node = e.src JOIN core b ON b.node = e.dst),
+          |l0 AS MATERIALIZED (SELECT node, node AS lbl FROM core)""".stripMargin
+      val rounds = (1 to 8).map { i =>
+        s"""l$i AS MATERIALIZED (SELECT node, min(lbl) AS lbl FROM (
+           |  SELECT node, lbl FROM l${i - 1}
+           |  UNION ALL SELECT e.dst AS node, l.lbl
+           |  FROM gcc e JOIN l${i - 1} l ON l.node = e.src) GROUP BY 1)"""
+          .stripMargin
+      }.mkString(",\n")
+      base + ",\n" + rounds +
+        """
+          |, border AS (SELECT e.src AS node, min(l.lbl) AS lbl
+          |    FROM g0 e JOIN l8 l ON l.node = e.dst
+          |    WHERE e.src NOT IN (SELECT node FROM core) GROUP BY 1),
+          |noise AS (SELECT DISTINCT src AS node FROM g0
+          |    WHERE src NOT IN (SELECT node FROM core)
+          |      AND src NOT IN (SELECT node FROM border))
+          |SELECT node AS vec_id, 'core' AS role, lbl AS cluster FROM l8
+          |UNION ALL SELECT node, 'border', lbl FROM border
+          |UNION ALL SELECT node, 'noise', CAST(-1 AS BIGINT) FROM noise
+          |ORDER BY vec_id""".stripMargin
     },
 
     // Degree-oriented triangle counting: each triangle produced once at

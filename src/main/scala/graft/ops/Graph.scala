@@ -174,6 +174,64 @@ object Graph {
       .orderBy(col("node"))
   }
 
+  /** DBSCAN (Ester et al. 1996) over the eps-neighbor similarity graph —
+    * density-based clustering with an explicit noise class, the disposition
+    * step a dedup/curation pipeline wants when similarity neighborhoods
+    * have uneven density (k-means forces every point somewhere; DBSCAN
+    * says "this one belongs to nothing"). eps is the cosine threshold the
+    * blocked pair join already applies; minPts is the core-degree cut.
+    *
+    * Decomposition into relational steps, all keyed:
+    *  - core points: one two-phase degree count over the symmetric edge
+    *    list, degree >= minPts;
+    *  - clusters: connected components of the core-core subgraph via
+    *    `rounds` unrolled min-label rounds (fixed unroll = the kCore
+    *    engine-equality argument; the spec pins fixture convergence well
+    *    inside the bound), labels = min core id per component;
+    *  - border points: non-core nodes adjacent to >= 1 core, attached to
+    *    their minimum core neighbor's cluster (deterministic tie-break);
+    *  - noise: graph nodes that are neither, cluster -1.
+    *
+    * Per-round localCheckpoint, the iterative house rule; nothing
+    * all-pairs beyond the blocked pair build every graph op shares. */
+  def dbscan(spark: SparkSession, dir: String, minPts: Int = 3,
+             rounds: Int = 8, threshold: Double = 0.15): DataFrame = {
+    val pairs = Dedup.embedDup(spark, dir, threshold)
+      .select(col("vec_a"), col("vec_b"))
+    val edges = pairs.select(col("vec_a").as("src"), col("vec_b").as("dst"))
+      .unionByName(pairs.select(col("vec_b").as("src"), col("vec_a").as("dst")))
+      .localCheckpoint(true)
+    val core = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .filter(col("d") >= minPts).select(col("src").as("node"))
+      .localCheckpoint(true)
+    val gcc = edges
+      .join(core.select(col("node").as("src")), Seq("src"))
+      .join(core.select(col("node").as("dst")), Seq("dst"))
+      .select(col("src"), col("dst"))
+      .localCheckpoint(true)
+    var lab = core.withColumn("lbl", col("node"))
+    for (_ <- 1 to rounds) {
+      lab = lab.unionByName(
+          gcc.join(lab, gcc("src") === lab("node"))
+            .select(col("dst").as("node"), col("lbl")))
+        .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint(true)
+    }
+    val border = edges
+      .join(lab.select(col("node").as("dst"), col("lbl")), Seq("dst"))
+      .join(core.select(col("node").as("src")), Seq("src"), "left_anti")
+      .groupBy(col("src").as("node")).agg(min(col("lbl")).as("lbl"))
+    val noise = edges.select(col("src").as("node")).distinct()
+      .join(core, Seq("node"), "left_anti")
+      .join(border.select(col("node")), Seq("node"), "left_anti")
+      .select(col("node"), lit(-1L).as("lbl"))
+    lab.select(col("node"), lit("core").as("role"), col("lbl"))
+      .unionByName(border.select(col("node"), lit("border").as("role"), col("lbl")))
+      .unionByName(noise.select(col("node"), lit("noise").as("role"), col("lbl")))
+      .select(col("node").as("vec_id"), col("role"), col("lbl").as("cluster"))
+      .orderBy(col("vec_id"))
+  }
+
   /** k-core decomposition (Seidman 1983) of the similarity graph — the
     * maximal subgraph where every node keeps >= k neighbors, the density
     * screen that separates tight duplicate/spam communities (which

@@ -488,6 +488,38 @@ object Relational {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** First-order Markov transition matrix of event types within a
+    * (user, day) journey — the behavioral fingerprint next to [[funnel]]'s
+    * single path: every adjacent event pair in time order becomes a
+    * transition, counted and row-normalized into P(next | current).
+    * Drift in this matrix is how a pipeline notices a client change or
+    * bot traffic without hand-written funnels.
+    *
+    * Shape at scale: the lead window partitions by (user, day) — bounded,
+    * high-cardinality, skew-free partitions (the session-window shape,
+    * never a per-type funnel); transition counts are one two-phase
+    * aggregate into the #types² matrix, and row totals join back from a
+    * broadcast-sized table. Ordering ties are impossible at microsecond
+    * resolution in the fixture but `event_id` breaks them anyway —
+    * determinism must not rest on data luck. */
+  def markovPaths(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"),
+        floor(unix_timestamp(col("ts")) / 86400L).as("day"),
+        col("ts"), col("event_id"), col("event_type"))
+    val w = Window.partitionBy(col("user_id"), col("day"))
+      .orderBy(col("ts"), col("event_id"))
+    val tc = e.withColumn("dst", lead(col("event_type"), 1).over(w))
+      .filter(col("dst").isNotNull)
+      .groupBy(col("event_type").as("src"), col("dst"))
+      .agg(count(lit(1)).as("n_trans"))
+    val rs = tc.groupBy(col("src")).agg(sum(col("n_trans")).cast("long").as("rt"))
+    tc.join(broadcast(rs), Seq("src"))
+      .select(col("src"), col("dst"), col("n_trans"),
+        round(col("n_trans").cast("double") / col("rt"), 4).as("prob"))
+      .orderBy(col("src"), col("dst"))
+  }
+
   /** Conversion funnel: of all users, how many ever signed up, and how many
     * purchased AFTER their first signup — the sequential-condition count a
     * product-analytics pipeline runs constantly. ONE scan: the per-user

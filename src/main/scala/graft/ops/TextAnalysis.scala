@@ -517,6 +517,90 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995; Chen &
+    * Goodman 1999's absolute-discount formulation, d = 0.75) — the
+    * smoothing upgrade over [[lmScore]]'s maximum-likelihood model: an
+    * unseen-in-context bigram backs off to the CONTINUATION probability
+    * (how many distinct contexts the word completes) instead of scoring
+    * -inf, which is what makes the perplexity filter usable on text the
+    * model hasn't memorized.
+    *
+    *   P(w2|w1) = max(c(w1w2) - d, 0)/c(w1·)
+    *            + (d·N1+(w1,·)/c(w1·)) · N1+(·,w2)/N1+(·,·)
+    *
+    * Every model statistic is an integer count over the bigram-type table
+    * (one explode + four hash aggregates); scoring is keyed joins back
+    * onto the bigram stream with the formula written identically in both
+    * engines (all-double literals, one rounded avg at the end). The
+    * bigram-type table is checkpointed — four consumers. */
+  def knLmScore(spark: SparkSession, dir: String,
+                discount: Double = 0.75): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+    val bg = d.select(col("doc_id"), explode(expr(
+      """CASE WHEN size(t) >= 2
+        |  THEN transform(sequence(1, size(t) - 1),
+        |         i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))
+        |  ELSE array() END""".stripMargin)).as("big"))
+    val sp = bg.select(col("doc_id"),
+        expr("split(big, ' ')[0]").as("w1"),
+        expr("split(big, ' ')[1]").as("w2"))
+      .localCheckpoint(true)
+    val c2 = sp.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+      .localCheckpoint(true)
+    val c1 = c2.groupBy(col("w1"))
+      .agg(sum(col("c2")).cast("long").as("c1"), count(lit(1)).as("n1fw"))
+    val bw = c2.groupBy(col("w2")).agg(count(lit(1)).as("n1bw"))
+    val tot = c2.agg(count(lit(1)).as("n1tot"))
+    sp.join(c2, Seq("w1", "w2")).join(c1, Seq("w1")).join(bw, Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .withColumn("p",
+        greatest(col("c2") - lit(discount), lit(0.0)) / col("c1") +
+          lit(discount) * col("n1fw") / col("c1") *
+            (col("n1bw") / col("n1tot")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log(col("p"))), 4).as("avg_logp_kn"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Zipf rank-frequency fit over the vocabulary head — the one-row
+    * corpus-health diagnostic (natural language sits near slope -1 on
+    * log-log rank/frequency; template-generated or scrambled corpora
+    * drift far off): least-squares slope, intercept and R² of
+    * (ln rank, ln count) over the top-`k` tokens.
+    *
+    * Shape at scale: the vocabulary aggregate is two-phase and the head
+    * cut is `orderBy.limit(k)` = TakeOrderedAndProject (per-partition
+    * heaps, no global sort); the rank window and the five-moment fit run
+    * over exactly `k` rows. */
+  def zipfFit(spark: SparkSession, dir: String, k: Int = 100): DataFrame = {
+    val v = Tables(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val r = v.orderBy(col("c").desc, col("tok")).limit(k)
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("c").desc, col("tok"))).cast("long"))
+    val x = r.select(log(col("rnk").cast("double")).as("x"),
+      log(col("c").cast("double")).as("y"))
+    x.agg(count(lit(1)).cast("double").as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("n").cast("long").as("n_head"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")), 4).as("slope"),
+        round((col("sy") - (col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")) * col("sx")) /
+          col("n"), 4).as("intercept"),
+        round(pow(col("n") * col("sxy") - col("sx") * col("sy"), 2) /
+          ((col("n") * col("sxx") - col("sx") * col("sx")) *
+            (col("n") * col("syy") - col("sy") * col("sy"))), 4).as("r2"))
+  }
+
   /** Domain-mixture weights: per source, token counts and a sub-linearly
     * scaled sampling weight (token_share^0.7, normalized — the standard
     * temperature-style reweighting that upsamples small domains without

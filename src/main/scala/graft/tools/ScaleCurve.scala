@@ -55,6 +55,15 @@ object ScaleCurve {
     // total-bytes/target, never saturate at the shard count), and the
     // real-codec WAV roundtrip (row-linear, partition-parallel).
     val r8 = args.length > 1 && args.drop(1).contains("r8")
+    // `r8c` measures the round-8 THIRD batch: LPA communities (edges
+    // linear on dissimilar replicas, 4 bounded rounds), SymSpell edit
+    // dedup (variant explode linear, pair tier tracks 1-edit density —
+    // flat on dissimilar replicas), ROUGE-2 (bigram build + keyed pair
+    // joins, linear), histogram-ECDF quantile norm (one scan + bounded
+    // window, linear), k-anonymity (one fused aggregate, linear), and
+    // Apriori rules (basket dedup + item-bounded pair join, linear in
+    // events).
+    val r8c = args.length > 1 && args.drop(1).contains("r8c")
     // keep: leave the replicated tables on disk for stage profiling
     // (graft.tools.Profile <dir> prefix) instead of the default cleanup
     val keep = args.length > 1 && args.drop(1).contains("keep")
@@ -347,6 +356,65 @@ object ScaleCurve {
             graft.ops.Graph.kCore(spark, eroot).count())
         if (fac != 1 && !keep) {
           val p = new org.apache.hadoop.fs.Path(edir)
+          p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+          ()
+        }
+      }
+
+      if (r8c) {
+        // text tiers ride the shared dissimilar-replica documents in
+        // `root`: replica-suffixed tokens make prefix keys distinct
+        // (edit dedup's pair tier must stay flat) and the doc_id shift
+        // preserves in-replica adjacency (rouge pairs grow linearly)
+        time("edit_dedup", fac)(
+          graft.ops.Dedup.editDedup(spark, root).count())
+        time("rouge2", fac)(
+          graft.ops.TextAnalysis.rouge(spark, root).count())
+        time("quantile_norm", fac)(
+          graft.ops.Sampling.quantileNorm(spark, root).count())
+        time("kanon", fac)(
+          graft.ops.QualityChecks.kAnonymity(spark, root).count())
+        // events replicated on (event_id, user_id): baskets grow fac x,
+        // the item vocabulary stays fixed — the Apriori posture
+        val avdir = s"/tmp/graft-scalecurve-r8c-ev-$fac"
+        val avroot =
+          if (fac == 1) sf
+          else {
+            replicate(spark.read.parquet(s"$sf/events.parquet"),
+              Set("event_id", "user_id"), fac, perturbText = false)
+              .repartition(64)
+              .write.mode("overwrite").parquet(s"$avdir/events.parquet")
+            avdir
+          }
+        spark.read.parquet(s"$avroot/events.parquet").count() // warm
+        time("assoc_rules", fac)(
+          graft.ops.FrequentItems.assocRules(spark, avroot).count())
+        if (fac != 1 && !keep) {
+          val p = new org.apache.hadoop.fs.Path(avdir)
+          p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+          ()
+        }
+        // sign-reflected embeddings (the kcore axis): edges linear in
+        // fac; frozen (label, sign-cell) blocks make x100 the
+        // knn_cells_fixed quadratic, so the LPA tier caps at x10 like
+        // kcore — the production posture scales cells via kmeansFit
+        val lpdir = s"/tmp/graft-scalecurve-r8c-emb-$fac"
+        val lproot =
+          if (fac == 1) sf
+          else {
+            replicate(spark.read.parquet(s"$sf/embeddings.parquet"),
+              Set("vec_id"), fac, perturbText = false,
+              perturbEmbedding = true)
+              .repartition(64)
+              .write.mode("overwrite").parquet(s"$lpdir/embeddings.parquet")
+            lpdir
+          }
+        spark.read.parquet(s"$lproot/embeddings.parquet").count() // warm
+        if (fac <= 10)
+          time("label_prop", fac)(
+            graft.ops.Graph.labelProp(spark, lproot).count())
+        if (fac != 1 && !keep) {
+          val p = new org.apache.hadoop.fs.Path(lpdir)
           p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
           ()
         }

@@ -112,6 +112,73 @@ class BatchTenOpsSpec extends SparkSpec {
       s"class of 6 safe, singleton at risk, share 1/7 on both rows: $rows")
   }
 
+  test("dbscan: cores by degree, border attaches to its only core " +
+    "neighbor, a mutually-similar isolated pair is noise") {
+    import spark.implicits._
+    val dir = tmpDir("dbscan")
+    // rotation lives in dims 5-6, outside the 4-dim sign-cell window, so
+    // one cell holds the whole label-0 family. a1..a4 within 15 degrees
+    // (all pairwise edges); x at -78 degrees reaches only a1
+    // (cos 78 = .21 >= .15, cos 83 = .12 < .15)
+    def v(deg: Double) = Array(0.01f, 0.01f, 0.01f, 0.01f,
+      math.cos(math.toRadians(deg)).toFloat, math.sin(math.toRadians(deg)).toFloat)
+    stage(dir, "embeddings")(Seq(
+      (1L, v(0), 0), (2L, v(5), 0), (3L, v(10), 0), (4L, v(15), 0),
+      (9L, v(-78), 0),
+      (20L, v(40), 1), (21L, v(42), 1)) // own label: one edge, both degree 1
+      .toDF("vec_id", "embedding", "label"))
+    val rows = Graph.dbscan(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(rows === Seq(
+      (1L, "core", 1L), (2L, "core", 1L), (3L, "core", 1L), (4L, "core", 1L),
+      (9L, "border", 1L), (20L, "noise", -1L), (21L, "noise", -1L)),
+      s"4 cores one cluster, single-edge border, isolated pair noise: $rows")
+  }
+
+  test("kneser-ney: a twice-seen bigram scores the discounted ML mass " +
+    "plus backoff, a once-seen one mostly backoff — hand-computed") {
+    val dir = docs(tmpDir("knlm"), Seq(
+      (1L, "a b", "en", "s1", 3L),
+      (2L, "a b", "en", "s1", 3L),
+      (3L, "a c", "en", "s1", 3L)))
+    val rows = TextAnalysis.knLmScore(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // P(b|a) = (2-.75)/3 + .75*(2/3)*(1/2) = 2/3; P(c|a) = .25/3 + .25 = 1/3
+    assert(rows === Seq((1L, 1L, -0.4055), (2L, 1L, -0.4055),
+      (3L, 1L, -1.0986)), s"ln(2/3), ln(1/3): $rows")
+  }
+
+  test("zipf: least-squares fit over the frequency head matches the " +
+    "closed-form moments") {
+    val dir = docs(tmpDir("zipf"),
+      Seq((1L, (Seq.fill(8)("aa") ++ Seq.fill(4)("bb") ++ Seq.fill(2)("cc") ++
+        Seq("dd")).mkString(" "), "en", "s1", 40L)))
+    val rows = TextAnalysis.zipfFit(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))).toSeq
+    assert(rows === Seq((4L, -1.459, 2.1989, 0.9608)),
+      s"n=4 head, slope/intercept/R2 from the raw moments: $rows")
+  }
+
+  test("markov paths: transitions stay inside a (user, day) journey and " +
+    "rows normalize per source state") {
+    import spark.implicits._
+    val dir = tmpDir("markov")
+    val day = 86400L
+    def ev(id: Long, d: Long, u: Long, t: String) =
+      (id, Timestamp.from(java.time.Instant.ofEpochSecond(d * day + id)), u, t,
+        1.0, "{}")
+    // u1 d1: A->B->A; u1 d2: B->A; u2 d1: A->C; day boundary never links
+    stage(dir, "events")(Seq(
+      ev(1, 1, 1, "A"), ev(2, 1, 1, "B"), ev(3, 1, 1, "A"),
+      ev(4, 2, 1, "B"), ev(5, 2, 1, "A"),
+      ev(6, 1, 2, "A"), ev(7, 1, 2, "C"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val rows = graft.ops.Relational.markovPaths(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(rows === Seq(("A", "B", 1L, 0.5), ("A", "C", 1L, 0.5),
+      ("B", "A", 2L, 1.0)), s"no cross-day transition, rows sum to 1: $rows")
+  }
+
   test("association rules: supports, confidences and lifts are exact on a " +
     "closed-form basket set; a higher support cut prunes the rare item " +
     "before any pair work") {

@@ -690,6 +690,36 @@ class PlanSpec extends SparkSpec {
     assert(bnlj <= 1, p.take(3000))
   }
 
+  test("dbscan: degree cut, core-subgraph rounds and border/noise " +
+    "attachment are all keyed — no cartesian, no nested loop") {
+    val p = plan("q_dbscan")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
+  test("kneser-ney: model statistics ride the checkpointed bigram-type " +
+    "table; the only nested loop is the 1-row type-total broadcast") {
+    val p = plan("q_kn_lm")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p.take(3000))
+  }
+
+  test("zipf: the vocabulary head is cut by TakeOrderedAndProject, never " +
+    "a global sort of the vocabulary") {
+    assert(plan("q_zipf").contains("TakeOrderedAndProject"))
+  }
+
+  test("markov paths: the lead window partitions by (user, day) and the " +
+    "row-total table is broadcast back") {
+    import org.apache.spark.sql.catalyst.plans.logical
+    val qe = SparkEntry.queries("q_markov_paths")(spark, sf).queryExecution
+    val unpart = qe.optimizedPlan.collect {
+      case w: logical.Window if w.partitionSpec.isEmpty => w
+    }
+    assert(unpart.isEmpty, "journey window must be partitioned")
+    assert(qe.executedPlan.toString.contains("BroadcastHashJoin"))
+  }
+
   test("unpartitioned windows ride bounded inputs: below every global " +
     "window sits a limit or an aggregate, never the raw corpus") {
     import org.apache.spark.sql.catalyst.plans.logical
@@ -707,7 +737,7 @@ class PlanSpec extends SparkSpec {
       "q_train_test_split", "q_mix_weights", "q_mix_deciles",
       "q_vocab", "q_oov_rate", "q_pmi_collocations", "q_bpe_pairs",
       "q_rrf_fusion", "q_drift_windowed", "q_skew_report",
-      "q_compaction_plan")
+      "q_compaction_plan", "q_zipf")
     val offenders = globalWindowQueries.flatMap { name =>
       val lp = SparkEntry.queries(name)(spark, sf).queryExecution.optimizedPlan
       lp.collect {
