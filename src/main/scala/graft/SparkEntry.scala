@@ -204,6 +204,14 @@ object SparkEntry {
     // first-order Markov transition matrix of event types within
     // (user, day) journeys, row-normalized
     "q_markov_paths"   -> ((s, d) => Relational.markovPaths(s, d)),
+    // nDCG@5 of the IVF cut vs the exact ranking (graded companion to
+    // q_ann_recall; both tiers deterministic, metric oracle-exact)
+    "q_ann_ndcg"       -> ((s, d) => Similarity.annNdcg(s, d)),
+    // Welch two-sample A/B readout per event type over md5-derived arms;
+    // integer centi-unit moments, one fused aggregate
+    "q_ab_test"        -> ((s, d) => Drift.abTest(s, d)),
+    // Benford first-digit screen with chi-square, exact integer digit path
+    "q_benford"        -> ((s, d) => Drift.benford(s, d)),
     // ANN index eval: recall@5 and top-1 reciprocal rank of the IVF probe
     // cut vs the exact ranking — deterministic tiers make the metric
     // itself oracle-exact
@@ -1122,6 +1130,56 @@ object SparkEntry {
         |  round(coalesce(n_hits, 0) / 5.0, 4) + 0.0 AS recall,
         |  round(coalesce(1.0 / t1, 0.0), 4) + 0.0 AS rr
         |FROM qs LEFT JOIN p USING (q_id) ORDER BY q_id""".stripMargin,
+
+    // nDCG@5: same exact/IVF ranking chain as q_ann_recall; graded
+    // relevance 6 - e_rank for hits (0 for misses), DCG over the approx
+    // ranks, normalized by the exact ranking's own DCG.
+    "q_ann_ndcg" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS norm FROM e),
+        |ex AS (SELECT q_id, rank AS e_rank, n_id FROM (
+        |    SELECT q_id, n_id,
+        |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+        |    FROM (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        |            list_dot_product(q.v, c.v) / (q.norm * c.norm) AS cos
+        |          FROM n q JOIN n c ON c.vec_id <> q.vec_id
+        |          WHERE q.vec_id < 10))
+        |  WHERE rank <= 5),
+        |sd AS (SELECT vec_id AS seed_id, v AS sv, norm AS snorm FROM n
+        |       WHERE vec_id < 8),
+        |asn AS (SELECT vec_id, v, norm, seed_id AS cell FROM (
+        |          SELECT c.vec_id, c.v, c.norm, sd.seed_id,
+        |            row_number() OVER (PARTITION BY c.vec_id
+        |              ORDER BY list_dot_product(c.v, sd.sv) / (c.norm * sd.snorm) DESC,
+        |                       sd.seed_id) AS r
+        |          FROM n c CROSS JOIN sd) WHERE r = 1),
+        |pr AS (SELECT vec_id, v, norm, seed_id AS cell FROM (
+        |          SELECT q.vec_id, q.v, q.norm, sd.seed_id,
+        |            row_number() OVER (PARTITION BY q.vec_id
+        |              ORDER BY list_dot_product(q.v, sd.sv) / (q.norm * sd.snorm) DESC,
+        |                       sd.seed_id) AS r
+        |          FROM n q CROSS JOIN sd WHERE q.vec_id < 10) WHERE r <= 2),
+        |av AS (SELECT q_id, rank AS a_rank, n_id FROM (
+        |    SELECT q_id, n_id,
+        |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+        |    FROM (SELECT pr.vec_id AS q_id, c.vec_id AS n_id,
+        |            list_dot_product(pr.v, c.v) / (pr.norm * c.norm) AS cos
+        |          FROM pr JOIN asn c ON pr.cell = c.cell
+        |            AND c.vec_id <> pr.vec_id))
+        |  WHERE rank <= 5),
+        |dg AS (SELECT av.q_id,
+        |         sum(CAST(coalesce(6 - ex.e_rank, 0) AS DOUBLE)
+        |           / (ln(av.a_rank + 1.0) / ln(2.0))) AS dcg
+        |       FROM av LEFT JOIN ex ON ex.q_id = av.q_id AND ex.n_id = av.n_id
+        |       GROUP BY 1),
+        |ig AS (SELECT q_id,
+        |         sum(CAST(6 - e_rank AS DOUBLE)
+        |           / (ln(e_rank + 1.0) / ln(2.0))) AS idcg
+        |       FROM ex GROUP BY 1),
+        |qs AS (SELECT DISTINCT q_id FROM ex)
+        |SELECT qs.q_id, round(coalesce(dg.dcg, 0.0) / ig.idcg, 4) AS ndcg
+        |FROM qs LEFT JOIN dg USING (q_id) JOIN ig USING (q_id)
+        |ORDER BY q_id""".stripMargin,
 
     // SQ8: codes are integers, per-element squared errors quantize to
     // integer 1e-8 units before the sum, so no partial-agg float drift.
@@ -2691,6 +2749,60 @@ object SparkEntry {
         |SELECT day, CAST(max(nc) AS BIGINT) AS n_events,
         |  round(sum((p - q) * ln(p / q)), 6) + 0.0 AS psi
         |FROM x GROUP BY 1 ORDER BY day""".stripMargin,
+
+    // Welch A/B: md5-derived arm, integer centi-unit moments (exact
+    // BIGINT sums), t from UNROUNDED means, means rounded for output.
+    "q_ab_test" ->
+      """WITH e AS (SELECT event_type,
+        |             CAST('0x' || substr(md5('graft_ab:' ||
+        |               CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) % 2 AS arm,
+        |             CAST(floor(value * 100) AS BIGINT) AS vc
+        |           FROM events),
+        |a AS (SELECT event_type,
+        |        CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |        CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+        |        CAST(sum(CASE WHEN arm = 0 THEN vc ELSE 0 END) AS BIGINT) AS sa,
+        |        CAST(sum(CASE WHEN arm = 1 THEN vc ELSE 0 END) AS BIGINT) AS sb,
+        |        CAST(sum(CASE WHEN arm = 0 THEN vc * vc ELSE 0 END) AS BIGINT) AS qa,
+        |        CAST(sum(CASE WHEN arm = 1 THEN vc * vc ELSE 0 END) AS BIGINT) AS qb
+        |      FROM e GROUP BY 1),
+        |m AS (SELECT event_type, na, nb,
+        |        sa::DOUBLE / na / 100.0 AS mean_a,
+        |        sb::DOUBLE / nb / 100.0 AS mean_b,
+        |        (qa::DOUBLE - sa::DOUBLE * sa / na) / (na - 1) / 10000.0 AS var_a,
+        |        (qb::DOUBLE - sb::DOUBLE * sb / nb) / (nb - 1) / 10000.0 AS var_b
+        |      FROM a),
+        |s AS (SELECT *, var_a / na + var_b / nb AS se2 FROM m)
+        |SELECT event_type, na, nb,
+        |  round(mean_a, 4) AS mean_a, round(mean_b, 4) AS mean_b,
+        |  round((mean_a - mean_b) / sqrt(se2), 4) + 0.0 AS t_stat,
+        |  round(se2 * se2 /
+        |    (var_a * var_a / (na * na) / (na - 1) +
+        |     var_b * var_b / (nb * nb) / (nb - 1)), 4) AS welch_df
+        |FROM s ORDER BY event_type""".stripMargin,
+
+    // Benford screen: first digit from the exact integer centi-unit
+    // string head (no float log10 boundary), chi2 carried on every row.
+    "q_benford" ->
+      """WITH d AS (SELECT CAST(substr(CAST(CAST(floor(value * 100) AS BIGINT)
+        |             AS VARCHAR), 1, 1) AS INT) AS digit
+        |           FROM events),
+        |o0 AS (SELECT digit, count(*) AS n_obs FROM d WHERE digit >= 1
+        |      GROUP BY 1),
+        |o AS (SELECT CAST(r.range AS INT) AS digit,
+        |        CAST(coalesce(o0.n_obs, 0) AS BIGINT) AS n_obs
+        |      FROM range(1, 10) r LEFT JOIN o0 ON o0.digit = r.range),
+        |t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM o),
+        |w AS (SELECT o.digit, o.n_obs, t.n,
+        |        ln(1.0 + 1.0 / o.digit) / ln(10.0) AS p_benford
+        |      FROM o CROSS JOIN t),
+        |x AS (SELECT *, (n_obs - p_benford * n) * (n_obs - p_benford * n)
+        |        / (p_benford * n) AS chi_term FROM w),
+        |c AS (SELECT round(sum(chi_term), 4) AS chi2 FROM x)
+        |SELECT x.digit, x.n_obs,
+        |  round(x.n_obs::DOUBLE / x.n, 4) AS share,
+        |  round(x.p_benford, 4) AS p_benford, c.chi2
+        |FROM x CROSS JOIN c ORDER BY x.digit""".stripMargin,
 
     "q_drift" ->
       """WITH mm AS (SELECT (min(doc_id) + max(doc_id)) // 2 AS mid FROM documents),

@@ -122,4 +122,92 @@ object Drift {
         (round(sum(col("term")), 6) + 0.0).as("psi"))
       .orderBy(col("day"))
   }
+
+  /** Welch two-sample test of the event value between deterministic
+    * experiment arms — the A/B readout a pipeline runs per event type:
+    * arm = md5-derived user split (the house cross-engine hash, so
+    * assignment is reproducible anywhere), then mean difference, Welch
+    * t-statistic and Welch–Satterthwaite degrees of freedom per type.
+    *
+    * Order-proof arithmetic: values quantize to integer centi-units
+    * (floor(value·100) — sums and sums-of-squares are exact BIGINTs, so
+    * partial-aggregation order cannot drift the moments; squares cap at
+    * ~2.4e9 per row, far from overflow at any realistic group size), and
+    * the t/df formulas are one identical double expression per engine.
+    * One fused two-phase aggregate over the events scan; the arm pivot
+    * happens inside the aggregate (conditional sums), no join at all. */
+  def abTest(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("cast(conv(substring(md5(concat('graft_ab:', " +
+          "cast(user_id as string))), 1, 15), 16, 10) as bigint) % 2")
+          .as("arm"),
+        floor(col("value") * 100).cast("long").as("vc"))
+    val a = e.groupBy(col("event_type")).agg(
+      sum(when(col("arm") === 0, 1L).otherwise(0L)).as("na"),
+      sum(when(col("arm") === 1, 1L).otherwise(0L)).as("nb"),
+      sum(when(col("arm") === 0, col("vc")).otherwise(0L)).as("sa"),
+      sum(when(col("arm") === 1, col("vc")).otherwise(0L)).as("sb"),
+      sum(when(col("arm") === 0, col("vc") * col("vc")).otherwise(0L)).as("qa"),
+      sum(when(col("arm") === 1, col("vc") * col("vc")).otherwise(0L)).as("qb"))
+    // sample variance in centi^2 units: (q - s^2/n) / (n - 1); the whole
+    // chain is written once and reused via columns so both engines see
+    // the same association order
+    a.select(col("event_type"), col("na"), col("nb"),
+        (col("sa").cast("double") / col("na") / 100.0).as("mean_a"),
+        (col("sb").cast("double") / col("nb") / 100.0).as("mean_b"),
+        ((col("qa").cast("double") - col("sa").cast("double") *
+          col("sa") / col("na")) / (col("na") - 1) / 10000.0).as("var_a"),
+        ((col("qb").cast("double") - col("sb").cast("double") *
+          col("sb") / col("nb")) / (col("nb") - 1) / 10000.0).as("var_b"))
+      .withColumn("se2", col("var_a") / col("na") + col("var_b") / col("nb"))
+      .select(col("event_type"), col("na"), col("nb"),
+        round(col("mean_a"), 4).as("mean_a"),
+        round(col("mean_b"), 4).as("mean_b"),
+        (round((col("mean_a") - col("mean_b")) / sqrt(col("se2")), 4) + 0.0)
+          .as("t_stat"),
+        round(col("se2") * col("se2") /
+          (col("var_a") * col("var_a") / (col("na") * col("na")) /
+            (col("na") - 1) +
+           col("var_b") * col("var_b") / (col("nb") * col("nb")) /
+            (col("nb") - 1)), 4).as("welch_df"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Benford first-digit screen over the event values — the forensic DQ
+    * check for fabricated or truncated numeric feeds: observed
+    * first-significant-digit shares against Benford's log10(1 + 1/d)
+    * expectation, with the chi-square statistic carried on every row.
+    * The first digit comes from the exact integer centi-unit path
+    * (string head of floor(value·100)), never from float log10 — no
+    * power-of-ten boundary hazard. One fused aggregate into 9 rows. */
+  def benford(spark: SparkSession, dir: String): DataFrame = {
+    val obs = Tables.events(spark, dir)
+      .select(expr(
+        "cast(substring(cast(cast(floor(value * 100) as bigint) as string), 1, 1) as int)")
+        .as("digit"))
+      .filter(col("digit") >= 1)
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+    // dense 1-9 frame: an unobserved digit still owes its expected mass
+    // to the chi-square (a feed that NEVER produces a digit is exactly
+    // the fabrication signal this screen exists for)
+    val d = spark.range(1, 10).select(col("id").cast("int").as("digit"))
+      .join(obs, Seq("digit"), "left")
+      .select(col("digit"), coalesce(col("n_obs"), lit(0L)).as("n_obs"))
+      .localCheckpoint(true) // consumed by totals and the chi2 fold
+    val tot = d.agg(sum(col("n_obs")).cast("long").as("n"))
+    val withExp = d.crossJoin(broadcast(tot))
+      .withColumn("p_benford",
+        log(lit(1.0) + lit(1.0) / col("digit")) / log(lit(10.0)))
+      .withColumn("chi_term",
+        (col("n_obs") - col("p_benford") * col("n")) *
+          (col("n_obs") - col("p_benford") * col("n")) /
+          (col("p_benford") * col("n")))
+    val chi2 = withExp.agg(round(sum(col("chi_term")), 4).as("chi2"))
+    withExp.crossJoin(broadcast(chi2))
+      .select(col("digit"), col("n_obs"),
+        round(col("n_obs").cast("double") / col("n"), 4).as("share"),
+        round(col("p_benford"), 4).as("p_benford"), col("chi2"))
+      .orderBy(col("digit"))
+  }
 }

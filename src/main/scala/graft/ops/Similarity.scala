@@ -174,6 +174,40 @@ object Similarity {
       .orderBy(col("q_id"))
   }
 
+  /** nDCG@k of the IVF probe cut against the exact ranking — the graded
+    * companion to [[annRecall]]: recall treats every exact-top-k hit
+    * equally, while nDCG (Järvelin & Kekäläinen 2002) credits retrieving
+    * the BEST neighbors early. Graded relevance of a retrieved item is
+    * its exact-ranking credit `k+1 - e_rank` (0 for misses);
+    * `DCG = Σ rel_i / log2(a_rank_i + 1)` over the approximate ranking,
+    * normalized by the exact ranking's own DCG. Both tiers are
+    * deterministic, so the eval metric is oracle-exact like the rest of
+    * the ANN family. Shape: two bounded rankings (numQueries × k rows)
+    * joined keyed — the corpus cost is the rankings themselves. */
+  def annNdcg(spark: SparkSession, dir: String, numQueries: Int = 10,
+              k: Int = 5): DataFrame = {
+    val exact = bruteForceTopK(spark, dir, numQueries, k)
+      .select(col("q_id"), col("rank").as("e_rank"), col("n_id"))
+      .localCheckpoint(true) // three consumers of a numQueries*k table
+    val approx = ivfTopK(spark, dir, numQueries, k)
+      .select(col("q_id"), col("rank").as("a_rank"), col("n_id"))
+    val dcg = approx.join(exact, Seq("q_id", "n_id"), "left")
+      .withColumn("rel",
+        coalesce(lit(k + 1) - col("e_rank"), lit(0)).cast("double"))
+      .groupBy(col("q_id"))
+      .agg(sum(col("rel") /
+        (log(col("a_rank") + lit(1.0)) / log(lit(2.0)))).as("dcg"))
+    val idcg = exact.groupBy(col("q_id"))
+      .agg(sum((lit(k + 1) - col("e_rank")).cast("double") /
+        (log(col("e_rank") + lit(1.0)) / log(lit(2.0)))).as("idcg"))
+    exact.select(col("q_id")).distinct()
+      .join(dcg, Seq("q_id"), "left")
+      .join(idcg, Seq("q_id"))
+      .select(col("q_id"),
+        round(coalesce(col("dcg"), lit(0.0)) / col("idcg"), 4).as("ndcg"))
+      .orderBy(col("q_id"))
+  }
+
   /** Vector quantization profile: assign every embedding to its nearest of
     * `nCells` deterministic seed centroids (the [[ivfTopK]] coarse
     * quantizer) and report per-cell population and cosine-to-centroid

@@ -374,6 +374,13 @@ object ScaleCurve {
           graft.ops.Sampling.quantileNorm(spark, root).count())
         time("kanon", fac)(
           graft.ops.QualityChecks.kAnonymity(spark, root).count())
+        // fourth-batch text tiers on the same replicas: KN model stats
+        // are vocabulary-bound aggregates + keyed scoring joins (linear
+        // scan); the zipf head cut is TakeOrderedAndProject (flat)
+        time("kn_lm", fac)(
+          graft.ops.TextAnalysis.knLmScore(spark, root).count())
+        time("zipf", fac)(
+          graft.ops.TextAnalysis.zipfFit(spark, root).count())
         // events replicated on (event_id, user_id): baskets grow fac x,
         // the item vocabulary stays fixed — the Apriori posture
         val avdir = s"/tmp/graft-scalecurve-r8c-ev-$fac"
@@ -389,6 +396,10 @@ object ScaleCurve {
         spark.read.parquet(s"$avroot/events.parquet").count() // warm
         time("assoc_rules", fac)(
           graft.ops.FrequentItems.assocRules(spark, avroot).count())
+        // transition matrix over the same replicated events: journeys
+        // grow fac x in count, not length — the bounded-window posture
+        time("markov_paths", fac)(
+          graft.ops.Relational.markovPaths(spark, avroot).count())
         if (fac != 1 && !keep) {
           val p = new org.apache.hadoop.fs.Path(avdir)
           p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
@@ -410,9 +421,12 @@ object ScaleCurve {
             lpdir
           }
         spark.read.parquet(s"$lproot/embeddings.parquet").count() // warm
-        if (fac <= 10)
+        if (fac <= 10) {
           time("label_prop", fac)(
             graft.ops.Graph.labelProp(spark, lproot).count())
+          time("dbscan", fac)(
+            graft.ops.Graph.dbscan(spark, lproot).count())
+        }
         if (fac != 1 && !keep) {
           val p = new org.apache.hadoop.fs.Path(lpdir)
           p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)

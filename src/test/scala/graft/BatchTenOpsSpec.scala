@@ -179,6 +179,100 @@ class BatchTenOpsSpec extends SparkSpec {
       ("B", "A", 2L, 1.0)), s"no cross-day transition, rows sum to 1: $rows")
   }
 
+  test("ann ndcg: matches a driver-side recomputation from the two " +
+    "rankings and stays in [0, 1]") {
+    import graft.ops.Similarity
+    val k = 5
+    val exact = Similarity.bruteForceTopK(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("n_id")))
+    val approx = Similarity.ivfTopK(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("n_id")))
+    val eByQ = exact.groupBy(_._1)
+    def log2(x: Double) = math.log(x) / math.log(2.0)
+    val expected = eByQ.map { case (q, ex) =>
+      val rankOf = ex.map(t => t._3 -> t._2).toMap
+      val dcg = approx.filter(_._1 == q).map { case (_, ar, nid) =>
+        rankOf.get(nid).map(er => (k + 1 - er).toDouble).getOrElse(0.0) /
+          log2(ar + 1.0)
+      }.sum
+      val idcg = ex.map(t => (k + 1 - t._2).toDouble / log2(t._2 + 1.0)).sum
+      q -> BigDecimal(dcg / idcg).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    }
+    val got = Similarity.annNdcg(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(got.keySet === expected.keySet)
+    got.foreach { case (q, v) =>
+      assert(v >= 0.0 && v <= 1.0, s"q=$q ndcg=$v out of range")
+      assert(math.abs(v - expected(q)) < 1e-9,
+        s"q=$q got $v expected ${expected(q)}")
+    }
+  }
+
+  test("ab test: welch moments match a driver-side recomputation over " +
+    "the same md5 arm split") {
+    import spark.implicits._
+    val dir = tmpDir("abtest")
+    val day = 86400L
+    val evs = (1L to 40L).map(i =>
+      (i, Timestamp.from(java.time.Instant.ofEpochSecond(day + i)), i % 20,
+        "A", i.toDouble / 3.0, "{}"))
+    stage(dir, "events")(
+      evs.toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    // recompute with the SAME arm expression the operator uses
+    val arms = spark.read.parquet(s"$dir/events.parquet")
+      .selectExpr("user_id",
+        "cast(conv(substring(md5(concat('graft_ab:', cast(user_id as string))), 1, 15), 16, 10) as bigint) % 2 as arm")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (a, b) = evs.map(e => (arms(e._3), math.floor(e._5 * 100).toLong))
+      .partition(_._1 == 0L)
+    def stats(xs: Seq[Long]) = {
+      val n = xs.length.toDouble
+      val s = xs.sum.toDouble
+      val q = xs.map(x => x * x).sum.toDouble
+      (n, s / n / 100.0, (q - s * s / n) / (n - 1) / 10000.0)
+    }
+    val (na, ma, va) = stats(a.map(_._2))
+    val (nb, mb, vb) = stats(b.map(_._2))
+    val se2 = va / na + vb / nb
+    val t = (ma - mb) / math.sqrt(se2)
+    val row = graft.ops.Drift.abTest(spark, dir).collect().head
+    assert(row.getLong(1) === na.toLong && row.getLong(2) === nb.toLong)
+    assert(math.abs(row.getDouble(5) -
+      (BigDecimal(t).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        + 0.0)) < 1e-9, s"t: ${row.getDouble(5)} vs $t")
+  }
+
+  test("benford: first digits come from the exact integer path (sub-cent " +
+    "values drop), shares and chi2 match hand computation") {
+    import spark.implicits._
+    val dir = tmpDir("benford")
+    val day = 86400L
+    val vals = Seq(1.00, 2.5, 19.99, 0.05, 0.004) // digits 1, 2, 1, 5, drop
+    stage(dir, "events")(vals.zipWithIndex.map { case (v, i) =>
+      (i.toLong, Timestamp.from(java.time.Instant.ofEpochSecond(day + i)),
+        1L, "A", v, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val rows = graft.ops.Drift.benford(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(4)))
+    val counts = Map(1 -> 2L, 2 -> 1L, 5 -> 1L).withDefaultValue(0L)
+    assert(rows.map(t => (t._1, t._2)).toSeq ===
+      (1 to 9).map(d => (d, counts(d))),
+      s"dense 1-9 frame, sub-cent value dropped: ${rows.toSeq}")
+    def pb(d: Int) = math.log(1.0 + 1.0 / d) / math.log(10.0)
+    val n = 4.0
+    // unobserved digits still owe their expected mass: term = e
+    val chi = (1 to 9).map { d =>
+      val e = pb(d) * n; val o = counts(d)
+      (o - e) * (o - e) / e
+    }.sum
+    assert(math.abs(rows.head._4 -
+      BigDecimal(chi).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9,
+      s"chi2 ${rows.head._4} vs $chi")
+  }
+
   test("association rules: supports, confidences and lifts are exact on a " +
     "closed-form basket set; a higher support cut prunes the rare item " +
     "before any pair work") {

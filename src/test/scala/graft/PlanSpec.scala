@@ -720,6 +720,27 @@ class PlanSpec extends SparkSpec {
     assert(qe.executedPlan.toString.contains("BroadcastHashJoin"))
   }
 
+  test("ann ndcg: the checkpointed bounded rankings join keyed — no " +
+    "cartesian in the metric assembly") {
+    val p = plan("q_ann_ndcg")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("ab test: ONE fused two-phase aggregate, no join anywhere (the " +
+    "arm pivot is conditional sums inside the aggregate)") {
+    val p = plan("q_ab_test")
+    assert(p.contains("partial_"), p.take(3000))
+    assert(!p.contains("Join"), p.take(3000))
+    assert("Scan parquet".r.findAllIn(p).size === 1, p.take(3000))
+  }
+
+  test("benford: digit counts are two-phase; the dense frame, total and " +
+    "chi2 folds are all O(9) broadcasts") {
+    val p = plan("q_benford")
+    assert(p.contains("partial_"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
   test("unpartitioned windows ride bounded inputs: below every global " +
     "window sits a limit or an aggregate, never the raw corpus") {
     import org.apache.spark.sql.catalyst.plans.logical
