@@ -212,6 +212,15 @@ object SparkEntry {
     "q_ab_test"        -> ((s, d) => Drift.abTest(s, d)),
     // Benford first-digit screen with chi-square, exact integer digit path
     "q_benford"        -> ((s, d) => Drift.benford(s, d)),
+    // code-vs-prose densities via the translate-difference path (no
+    // regex dialect hazard); integer-math is_code flag
+    "q_code_detect"    -> ((s, d) => TextAnalysis.codeDetect(s, d)),
+    // cross-source duplication matrix on 64-char prefix fingerprints
+    // (digest-keyed, overlap coefficient vs the smaller source)
+    "q_source_overlap" -> ((s, d) => Dedup.sourceOverlap(s, d)),
+    // zone-map pruning-rate eval: 16 deterministic narrow probes against
+    // the O(shards) manifest — the measured layout-quality number
+    "q_prune_rate"     -> ((s, d) => Layout.pruneRate(s, d)),
     // ANN index eval: recall@5 and top-1 reciprocal rank of the IVF probe
     // cut vs the exact ranking — deterministic tiers make the metric
     // itself oracle-exact
@@ -3182,6 +3191,73 @@ object SparkEntry {
          |      FROM sc)
          |SELECT o_orderkey, zval, CAST(zval >> 26 AS INT) AS zshard
          |FROM z ORDER BY o_orderkey""".stripMargin,
+
+    // Code-vs-prose screen: translate-difference char-class densities,
+    // integer is_code = sym_n*50 >= n_chars.
+    "q_code_detect" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(length(text) - length(translate(text, '{}();=<>[]', ''))
+        |    AS BIGINT) AS sym_n,
+        |  CAST(length(text) - length(translate(text, '0123456789', ''))
+        |    AS BIGINT) AS digit_n,
+        |  CASE WHEN length(text) > 0 THEN
+        |    round((length(text) - length(translate(text, '{}();=<>[]', '')))
+        |      ::DOUBLE / length(text), 4) ELSE 0.0 END AS sym_share,
+        |  CASE WHEN length(text) > 0 THEN
+        |    round((length(text) - length(translate(text, '0123456789', '')))
+        |      ::DOUBLE / length(text), 4) ELSE 0.0 END AS digit_share,
+        |  CAST((length(text) - length(translate(text, '{}();=<>[]', ''))) * 50
+        |    >= length(text) AND length(text) > 0 AS INT) AS is_code
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Cross-source duplication matrix: deduped (prefix-64 md5, source)
+    // table, digest-keyed pair join, overlap vs the smaller source.
+    "q_source_overlap" ->
+      """WITH dg AS (SELECT DISTINCT md5(substr(lower(text), 1, 64)) AS d,
+        |              source
+        |            FROM documents),
+        |tot AS (SELECT source, count(*) AS n FROM dg GROUP BY 1),
+        |sh AS (SELECT a.source AS source_a, b.source AS source_b,
+        |         count(*) AS n_shared
+        |       FROM dg a JOIN dg b ON a.d = b.d AND a.source < b.source
+        |       GROUP BY 1, 2)
+        |SELECT sh.source_a, sh.source_b, sh.n_shared,
+        |  round(sh.n_shared::DOUBLE / least(ta.n, tb.n), 4) AS overlap
+        |FROM sh JOIN tot ta ON ta.source = sh.source_a
+        |JOIN tot tb ON tb.source = sh.source_b
+        |ORDER BY sh.source_a, sh.source_b""".stripMargin,
+
+    // Zone-map pruning eval: the q_zone_map manifest CTE + 16 stripe
+    // probes (first quarter of each stripe); a shard is pruned when its
+    // custkey range misses the probe entirely.
+    "q_prune_rate" ->
+      s"""WITH o AS (SELECT CAST(o_custkey AS BIGINT) AS x,
+         |        CAST(date_diff('day', DATE '1992-01-01', o_orderdate::DATE)
+         |          AS BIGINT) AS y
+         |      FROM orders),
+         |st AS (SELECT max(x) AS mx0, max(y) AS my FROM o),
+         |sc AS (SELECT x, y, (x * 65536) // (mx0 + 1) AS xs,
+         |         (y * 65536) // (my + 1) AS ys FROM o CROSS JOIN st),
+         |z AS (SELECT x, y, ${graft.ops.Layout.zvalueSql("xs", "ys")} AS zval
+         |      FROM sc),
+         |zm AS (SELECT CAST(zval >> 26 AS INT) AS zshard,
+         |         min(x) AS min_custkey, max(x) AS max_custkey
+         |       FROM z GROUP BY 1),
+         |mx AS (SELECT max(max_custkey) AS mx FROM zm),
+         |pb AS (SELECT CAST(r.range AS BIGINT) AS probe_id,
+         |         r.range * ((mx + 1) // 16) AS lo,
+         |         r.range * ((mx + 1) // 16) + ((mx + 1) // 16) // 4 AS hi
+         |       FROM range(0, 16) r CROSS JOIN mx)
+         |SELECT pb.probe_id, pb.lo, pb.hi,
+         |  CAST(count(*) AS BIGINT) AS n_shards,
+         |  CAST(sum(CASE WHEN zm.max_custkey < pb.lo
+         |    OR zm.min_custkey > pb.hi THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_pruned,
+         |  round(sum(CASE WHEN zm.max_custkey < pb.lo
+         |    OR zm.min_custkey > pb.hi THEN 1 ELSE 0 END)::DOUBLE
+         |    / count(*), 4) AS prune_rate
+         |FROM pb CROSS JOIN zm GROUP BY 1, 2, 3
+         |ORDER BY probe_id""".stripMargin,
 
     "q_zone_map" ->
       s"""WITH o AS (SELECT CAST(o_custkey AS BIGINT) AS x,

@@ -554,6 +554,41 @@ object Dedup {
     labels.orderBy(col("doc_id"))
   }
 
+  /** Cross-source duplication matrix — the provenance diagnostic behind
+    * "which sources syndicate from which": documents sharing a 64-char
+    * normalized prefix fingerprint across DIFFERENT sources (shared
+    * openings = boilerplate/syndication; exact whole-text duplicates
+    * rarely cross source boundaries, prefixes do). Output per source
+    * pair: shared fingerprint count and the overlap coefficient
+    * `n_shared / min(|A|, |B|)`.
+    *
+    * Shape at scale: fingerprints shuffle as md5 digests (never text),
+    * the (digest, source) table is deduped first so a digest appearing
+    * thousands of times per source costs one row, the pair join is keyed
+    * on the digest, and the per-source totals join back from a
+    * sources-bounded broadcast. */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val dg = Tables(spark, dir, "documents")
+      .select(md5(expr("substring(lower(text), 1, 64)")).as("d"), col("source"))
+      .distinct()
+      .localCheckpoint(true) // consumed by the pair join (twice) + totals
+    val tot = dg.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val shared = dg.alias("a")
+      .join(dg.alias("b"),
+        col("a.d") === col("b.d") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(broadcast(tot.select(col("source").as("source_a"), col("n").as("na"))),
+        Seq("source_a"))
+      .join(broadcast(tot.select(col("source").as("source_b"), col("n").as("nb"))),
+        Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        round(col("n_shared").cast("double") / least(col("na"), col("nb")), 4)
+          .as("overlap"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   /** Edit-distance fuzzy dedup (SymSpell/FastSS deletion-neighborhood
     * blocking): finds key classes whose normalized 12-char prefix keys are
     * within Levenshtein distance 1 — the character-level tolerance tier

@@ -123,4 +123,37 @@ object Layout {
         min(col("y")).as("min_day"),
         max(col("y")).as("max_day"))
       .orderBy(col("zshard"))
+
+  /** Zone-map pruning-rate eval — the layout-quality number an OPTIMIZE
+    * decision actually consumes: for a deterministic battery of narrow
+    * custkey range probes (probe i covers the first quarter of stripe i
+    * of the key space), what share of shards does the [[zoneMap]]
+    * manifest let a reader SKIP? A well-clustered z-layout prunes most
+    * shards per narrow probe; a random layout prunes none — this query
+    * turns that claim into a measured rate.
+    *
+    * Everything after the manifest build is O(probes × shards): the
+    * manifest is checkpointed and bounded, the probe table derives from
+    * a broadcast 1-row max, and the probe×shard evaluation is the only
+    * (deliberate, 16×64-row) cross join. */
+  def pruneRate(spark: SparkSession, dir: String, nProbes: Int = 16): DataFrame = {
+    val m = zoneMap(spark, dir).localCheckpoint(true)
+    val mx = m.agg(max(col("max_custkey")).as("mx"))
+    val probes = spark.range(0, nProbes).select(col("id").as("probe_id"))
+      .crossJoin(broadcast(mx))
+      .select(col("probe_id"),
+        expr(s"probe_id * ((mx + 1) div $nProbes)").as("lo"),
+        expr(s"probe_id * ((mx + 1) div $nProbes) + " +
+          s"((mx + 1) div $nProbes) div 4").as("hi"))
+    probes.crossJoin(broadcast(m))
+      .groupBy(col("probe_id"), col("lo"), col("hi"))
+      .agg(count(lit(1)).as("n_shards"),
+        sum(when(col("max_custkey") < col("lo") ||
+          col("min_custkey") > col("hi"), 1L).otherwise(0L)).as("n_pruned"))
+      .select(col("probe_id"), col("lo"), col("hi"), col("n_shards"),
+        col("n_pruned"),
+        round(col("n_pruned").cast("double") / col("n_shards"), 4)
+          .as("prune_rate"))
+      .orderBy(col("probe_id"))
+  }
 }

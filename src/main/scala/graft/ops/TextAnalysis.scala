@@ -220,6 +220,32 @@ object TextAnalysis {
       .orderBy(col("doc_cand"))
   }
 
+  /** Code-vs-prose screen — the filter stage that routes source code out
+    * of a prose corpus (or into a code corpus): per-doc densities of code
+    * punctuation (`{}();=<>[]`) and digits, computed by the exact
+    * `translate`-difference path (remove the class, diff the lengths —
+    * no regex, so no engine-dialect hazard), plus a deterministic
+    * integer-math flag `sym_n * 50 >= n_chars` (symbol share >= 2%).
+    * One scan, one projection — flat at any corpus size. */
+  def codeDetect(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), length(col("text")).cast("long").as("n"),
+        (length(col("text")) -
+          length(translate(col("text"), "{}();=<>[]", ""))).cast("long")
+          .as("sym_n"),
+        (length(col("text")) -
+          length(translate(col("text"), "0123456789", ""))).cast("long")
+          .as("digit_n"))
+      .select(col("doc_id"), col("n").as("n_chars"), col("sym_n"),
+        col("digit_n"),
+        when(col("n") > 0, round(col("sym_n").cast("double") / col("n"), 4))
+          .otherwise(lit(0.0)).as("sym_share"),
+        when(col("n") > 0, round(col("digit_n").cast("double") / col("n"), 4))
+          .otherwise(lit(0.0)).as("digit_share"),
+        (col("sym_n") * 50 >= col("n") && col("n") > 0).cast("int")
+          .as("is_code"))
+      .orderBy(col("doc_id"))
+
   /** Dataset card: the per-(source, language) corpus profile every data
     * release ships — document/token/byte volumes, exact-duplicate rate,
     * and token-length spread — fused into ONE scan + one two-phase

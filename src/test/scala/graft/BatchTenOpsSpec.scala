@@ -273,6 +273,50 @@ class BatchTenOpsSpec extends SparkSpec {
       s"chi2 ${rows.head._4} vs $chi")
   }
 
+  test("code detect: punctuation/digit densities via translate-diff, " +
+    "integer is_code flag, zero-length guard") {
+    val code = "int main() { return 0; }"
+    val dir = docs(tmpDir("codedet"), Seq(
+      (1L, code, "en", "s1", code.length.toLong),
+      (2L, "hello world there", "en", "s1", 17L),
+      (3L, "", "en", "s1", 0L)))
+    val rows = TextAnalysis.codeDetect(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(6))).toSeq
+    assert(rows === Seq((1L, 24L, 5L, 1L, 1), (2L, 17L, 0L, 0L, 0),
+      (3L, 0L, 0L, 0L, 0)),
+      s"5 code symbols + 1 digit in the snippet, prose/empty clean: $rows")
+  }
+
+  test("source overlap: a shared 64-char prefix across sources makes one " +
+    "matrix row with the min-denominator overlap coefficient") {
+    val common = "x" * 70
+    val dir = docs(tmpDir("srcov"), Seq(
+      (1L, common + " tail a", "en", "s1", 77L),
+      (2L, common + " tail b", "en", "s2", 77L),
+      (3L, "unique one", "en", "s1", 10L),
+      (4L, "unique two", "en", "s2", 10L),
+      (5L, "other", "en", "s3", 5L)))
+    val rows = Dedup.sourceOverlap(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.toSeq === Seq(("s1", "s2", 1L, 0.5)),
+      s"one shared fingerprint over min(2, 2) digests: ${rows.toSeq}")
+  }
+
+  test("prune rate: narrow custkey probes against the z-layout manifest " +
+    "prune most shards (the layout does its job)") {
+    val rows = graft.ops.Layout.pruneRate(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(rows.length === 16)
+    val nShards = graft.ops.Layout.zoneMap(spark, sf).count()
+    assert(rows.forall(_._2 === nShards), "every probe sees the manifest")
+    assert(rows.forall(r => r._4 >= 0.0 && r._4 <= 1.0))
+    val mean = rows.map(_._4).sum / rows.length
+    assert(mean >= 0.7,
+      s"z-order top bits stripe custkey into 1/8 bands; a 1/64 probe " +
+        s"should prune >= ~7/8 of shards, got mean $mean")
+  }
+
   test("association rules: supports, confidences and lifts are exact on a " +
     "closed-form basket set; a higher support cut prunes the rare item " +
     "before any pair work") {

@@ -741,6 +741,28 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 
+  test("code detect: one scan, no join, only (doc_id, text) read") {
+    val p = plan("q_code_detect")
+    assert(!p.contains("Join"), p.take(3000))
+    assert("Scan parquet".r.findAllIn(p).size === 1, p.take(3000))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      p.take(3000))
+  }
+
+  test("source overlap: the pair join is keyed on the digest and the " +
+    "source totals broadcast — no cartesian") {
+    val p = plan("q_source_overlap")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(3000))
+  }
+
+  test("prune rate: everything after the checkpointed manifest is " +
+    "O(probes x shards) — the final plan re-reads no parquet") {
+    val p = plan("q_prune_rate")
+    assert("Scan parquet".r.findAllIn(p).isEmpty, p.take(3000))
+  }
+
   test("unpartitioned windows ride bounded inputs: below every global " +
     "window sits a limit or an aggregate, never the raw corpus") {
     import org.apache.spark.sql.catalyst.plans.logical
