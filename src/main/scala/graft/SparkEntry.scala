@@ -221,6 +221,14 @@ object SparkEntry {
     // zone-map pruning-rate eval: 16 deterministic narrow probes against
     // the O(shards) manifest — the measured layout-quality number
     "q_prune_rate"     -> ((s, d) => Layout.pruneRate(s, d)),
+    // FIM span corruption: md5-derived (start, len) per doc, pure per-row
+    // slicing — reproducible infilling data prep
+    "q_fim_split"      -> ((s, d) => TrainingPipeline.fimSplit(s, d)),
+    // RAG context packing: term-overlap-ranked chunks greedily packed
+    // under a token budget; windows only over the top-64 candidate cut
+    "q_context_pack"   -> ((s, d) => TrainingPipeline.contextPack(s, d)),
+    // right-to-be-forgotten audit: per-source before = erased + after
+    "q_erasure_audit"  -> ((s, d) => TrainingPipeline.erasureAudit(s, d)),
     // ANN index eval: recall@5 and top-1 reciprocal rank of the IVF probe
     // cut vs the exact ranking — deterministic tiers make the metric
     // itself oracle-exact
@@ -1482,6 +1490,70 @@ object SparkEntry {
         |FROM d JOIN sm USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     // Capstone composition: exact dedup -> near-dup removal -> quality
+    // FIM: md5-derived start in [2, n-1] and len in [1, n-start], list
+    // slicing mirrors Spark's slice() bounds exactly.
+    "q_fim_split" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |n AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n FROM t
+        |      WHERE len(t) >= 4),
+        |h AS (SELECT doc_id, t, n,
+        |        2 + (CAST('0x' || substr(md5('graft_fim:s:' ||
+        |          CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % (n - 2))
+        |          AS start
+        |      FROM n),
+        |l AS (SELECT *,
+        |        1 + (CAST('0x' || substr(md5('graft_fim:l:' ||
+        |          CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % (n - start))
+        |          AS len
+        |      FROM h)
+        |SELECT doc_id, n AS n_tokens, start, len,
+        |  array_to_string(t[1:CAST(start - 1 AS INT)], ' ') AS prefix,
+        |  array_to_string(t[CAST(start AS INT):CAST(start + len - 1 AS INT)],
+        |    ' ') AS middle,
+        |  array_to_string(t[CAST(start + len AS INT):CAST(n AS INT)], ' ')
+        |    AS suffix
+        |FROM l ORDER BY doc_id""".stripMargin,
+
+    // Context packing: 48-token/32-step chunks, integer term-overlap
+    // relevance, top-64 cut, greedy prefix pack under 256 tokens.
+    "q_context_pack" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |c AS (SELECT doc_id, CAST(r AS BIGINT) AS chunk_id,
+        |        toks[CAST(r * 32 + 1 AS INT):CAST(r * 32 + 48 AS INT)] AS chunk
+        |      FROM d, LATERAL (SELECT unnest(range(0,
+        |        (len(toks) - 1) // 32 + 1)) AS r) u),
+        |s AS (SELECT doc_id, chunk_id, CAST(len(chunk) AS BIGINT) AS n_tok,
+        |        CAST(len(list_filter(chunk, x -> x IN
+        |          ('data', 'model', 'system', 'result', 'analysis')))
+        |          AS BIGINT) AS overlap
+        |      FROM c),
+        |top AS (SELECT * FROM s WHERE overlap > 0
+        |        ORDER BY overlap DESC, doc_id, chunk_id LIMIT 64),
+        |r AS (SELECT *,
+        |        CAST(row_number() OVER (ORDER BY overlap DESC, doc_id,
+        |          chunk_id) AS BIGINT) AS rank,
+        |        sum(n_tok) OVER (ORDER BY overlap DESC, doc_id, chunk_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS cum_tok
+        |      FROM top)
+        |SELECT rank, doc_id, chunk_id, overlap, n_tok,
+        |  CAST(cum_tok AS BIGINT) AS cum_tok
+        |FROM r WHERE cum_tok <= 256 ORDER BY rank""".stripMargin,
+
+    // Erasure audit: per-source conservation proof over the 2% md5 split.
+    "q_erasure_audit" ->
+      """WITH d AS (SELECT source,
+        |  CAST(CAST('0x' || substr(md5('graft_erasure:' ||
+        |    CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 50 = 0 AS INT)
+        |    AS erase
+        |  FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_before,
+        |  CAST(sum(erase) AS BIGINT) AS n_erased,
+        |  CAST(sum(1 - erase) AS BIGINT) AS n_after,
+        |  CAST(count(*) = sum(erase) + sum(1 - erase) AS INT) AS balanced
+        |FROM d GROUP BY 1 ORDER BY source""".stripMargin,
+
     // filter -> decontamination -> packing, as one manifest. Each stage
     // reuses a formulation whose standalone oracle already matches.
     "q_train_manifest" ->

@@ -119,4 +119,93 @@ object TrainingPipeline {
         round(sum(col("lr")), 4).as("log_weight"))
       .orderBy(col("doc_id"))
   }
+
+  /** Fill-in-the-middle span corruption (Bavarian et al. 2022) — the data
+    * prep behind infilling-capable code/text models: each eligible doc
+    * (>= 4 tokens) is split into (prefix, middle, suffix) with the span
+    * start and length derived from md5 of the doc id — the house
+    * deterministic-randomness recipe, so the corruption is reproducible
+    * on any engine and any layout (seeded `rand()` is not). Start lands
+    * in [2, n-1] (prefix always non-empty), length in [1, n-start]
+    * (suffix never starts past the end). Pure per-row expression work:
+    * one scan, no shuffle, flat at any corpus size. */
+  def fimSplit(spark: SparkSession, dir: String): DataFrame = {
+    val h = (salt: String) =>
+      s"cast(conv(substring(md5(concat('graft_fim:$salt:', " +
+        s"cast(doc_id as string))), 1, 15), 16, 10) as bigint)"
+    Tables(spark, dir, "documents")
+      .withColumn("t", split(col("text"), " "))
+      .withColumn("n", size(col("t")).cast("long"))
+      .filter(col("n") >= 4)
+      .withColumn("start", expr(s"2 + pmod(${h("s")}, n - 2)"))
+      .withColumn("len", expr(s"1 + pmod(${h("l")}, n - start)"))
+      .select(col("doc_id"), col("n").as("n_tokens"), col("start"), col("len"),
+        expr("array_join(slice(t, 1, cast(start - 1 as int)), ' ')").as("prefix"),
+        expr("array_join(slice(t, cast(start as int), cast(len as int)), ' ')")
+          .as("middle"),
+        expr("array_join(slice(t, cast(start + len as int), " +
+          "cast(n - start - len + 1 as int)), ' ')").as("suffix"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** RAG context packing — the retrieval-side twin of [[trainManifest]]'s
+    * budget selection: score every 48-token chunk against a query term
+    * set (integer overlap counts — the BM25-lite relevance a first-stage
+    * retriever emits), cut to the top-`cand` candidates, then greedily
+    * pack ranked chunks into the context window until the token budget is
+    * spent. The running-sum window runs over the TakeOrderedAndProject-cut
+    * candidate set (<= `cand` rows), never the corpus — the same
+    * bounded-window discipline as [[Sampling.corpusSample]].
+    *
+    * Rank order is (overlap desc, doc, chunk) — fully deterministic; a
+    * chunk is kept iff the budget survives INCLUDING it, so the packed
+    * context is a prefix of the ranking (skip-ahead packing would fill
+    * tighter but breaks the ranking contract rerankers rely on). */
+  def contextPack(spark: SparkSession, dir: String, budget: Int = 256,
+                  cand: Int = 64): DataFrame = {
+    val terms = Seq("data", "model", "system", "result", "analysis")
+    val scored = Tables(spark, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, (size(toks) - 1) div 32), " +
+          "i -> slice(toks, i * 32 + 1, 48))")).as(Seq("chunk_id", "chunk")))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        size(col("chunk")).cast("long").as("n_tok"),
+        expr(s"size(filter(chunk, x -> x in (${terms.map("'" + _ + "'").mkString(", ")})))")
+          .cast("long").as("overlap"))
+      .filter(col("overlap") > 0)
+    val top = scored
+      .orderBy(col("overlap").desc, col("doc_id"), col("chunk_id")).limit(cand)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("overlap").desc, col("doc_id"), col("chunk_id"))
+    top
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum_tok", sum(col("n_tok")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .filter(col("cum_tok") <= budget)
+      .select(col("rank"), col("doc_id"), col("chunk_id"), col("overlap"),
+        col("n_tok"), col("cum_tok"))
+      .orderBy(col("rank"))
+  }
+
+  /** Right-to-be-forgotten erasure audit — the compliance readout a data
+    * steward signs: the erasure set (here the deterministic 2% md5 split
+    * standing in for a real deletion list) is anti-joined out and the
+    * audit proves, per source, that before = erased + after. One scan
+    * builds both sides of the proof; the erasure flag is a per-row
+    * expression, so the audit costs one two-phase aggregate. */
+  def erasureAudit(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .withColumn("erase", expr(
+        "cast(pmod(cast(conv(substring(md5(concat('graft_erasure:', " +
+          "cast(doc_id as string))), 1, 15), 16, 10) as bigint), 50) = 0 " +
+          "as int)"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_before"),
+        sum(col("erase")).cast("long").as("n_erased"),
+        sum(lit(1L) - col("erase")).cast("long").as("n_after"))
+      .select(col("source"), col("n_before"), col("n_erased"), col("n_after"),
+        (col("n_before") === col("n_erased") + col("n_after")).cast("int")
+          .as("balanced"))
+      .orderBy(col("source"))
 }

@@ -381,6 +381,36 @@ object ScaleCurve {
           graft.ops.TextAnalysis.knLmScore(spark, root).count())
         time("zipf", fac)(
           graft.ops.TextAnalysis.zipfFit(spark, root).count())
+        // seventh-batch tiers: FIM is per-row slicing (flat), context
+        // pack is chunk+filter linear with a bounded pack window,
+        // erasure is one fused aggregate (flat)
+        time("fim_split", fac)(
+          graft.ops.TrainingPipeline.fimSplit(spark, root).count())
+        time("erasure", fac)(
+          graft.ops.TrainingPipeline.erasureAudit(spark, root).count())
+        // context pack rides a DUPLICATE-text replica (the bpe_encode
+        // axis): the perturbed replicas rewrite every token, so the
+        // query terms would never match and the candidate set would be
+        // vacuously empty; duplicate text keeps candidates ~fac x while
+        // the pack stays budget-bounded
+        val cpdir = s"/tmp/graft-scalecurve-r8c-cp-$fac"
+        val cproot =
+          if (fac == 1) sf
+          else {
+            replicate(spark.read.parquet(s"$sf/documents.parquet"),
+              Set("doc_id"), fac, perturbText = false)
+              .repartition(64)
+              .write.mode("overwrite").parquet(s"$cpdir/documents.parquet")
+            cpdir
+          }
+        spark.read.parquet(s"$cproot/documents.parquet").count() // warm
+        time("context_pack", fac)(
+          graft.ops.TrainingPipeline.contextPack(spark, cproot).count())
+        if (fac != 1 && !keep) {
+          val p = new org.apache.hadoop.fs.Path(cpdir)
+          p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+          ()
+        }
         // events replicated on (event_id, user_id): baskets grow fac x,
         // the item vocabulary stays fixed — the Apriori posture
         val avdir = s"/tmp/graft-scalecurve-r8c-ev-$fac"

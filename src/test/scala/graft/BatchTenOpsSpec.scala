@@ -317,6 +317,52 @@ class BatchTenOpsSpec extends SparkSpec {
         s"should prune >= ~7/8 of shards, got mean $mean")
   }
 
+  test("fim split: parts reassemble to the original text and the span " +
+    "bounds hold on every document") {
+    import graft.ops.TrainingPipeline
+    val rows = TrainingPipeline.fimSplit(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    rows.foreach { r =>
+      val (id, n, start, len) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val (p, m, s) = (r.getString(4), r.getString(5), r.getString(6))
+      assert(start >= 2 && start <= n - 1, s"doc $id start $start out of [2, ${n - 1}]")
+      assert(len >= 1 && start + len <= n, s"doc $id len $len overruns")
+      assert(m.split(" ", -1).length.toLong === len, s"doc $id middle width")
+      assert(Seq(p, m, s).mkString(" ") === texts(id),
+        s"doc $id parts must reassemble losslessly")
+    }
+  }
+
+  test("context pack: ranked greedy prefix under the budget; zero-overlap " +
+    "chunks never enter the candidate set") {
+    import graft.ops.TrainingPipeline
+    val dir = docs(tmpDir("ctxpack"), Seq(
+      (1L, "data data data", "en", "s1", 14L),
+      (2L, "model x", "en", "s1", 7L),
+      (3L, "nothing here at all", "en", "s1", 19L)))
+    val tight = TrainingPipeline.contextPack(spark, dir, budget = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(5))).toSeq
+    assert(tight === Seq((1L, 1L, 3L, 3L)),
+      s"rank-2 chunk would overflow the 4-token budget: $tight")
+    val loose = TrainingPipeline.contextPack(spark, dir, budget = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(5))).toSeq
+    assert(loose === Seq((1L, 1L, 3L, 3L), (2L, 2L, 1L, 5L)),
+      s"overlap-desc order, cumulative tokens, doc 3 excluded: $loose")
+  }
+
+  test("erasure audit: every source balances (before = erased + after) " +
+    "and the deterministic split is ~2%") {
+    val rows = graft.ops.TrainingPipeline.erasureAudit(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+    assert(rows.forall(_._4 === 1), "conservation proof on every row")
+    assert(rows.forall(r => r._1 === r._2 + r._3))
+    val (tot, erased) = (rows.map(_._1).sum, rows.map(_._2).sum)
+    assert(erased > 0 && erased < tot / 10,
+      s"2% md5 split: $erased of $tot erased")
+  }
+
   test("association rules: supports, confidences and lifts are exact on a " +
     "closed-form basket set; a higher support cut prunes the rare item " +
     "before any pair work") {

@@ -763,6 +763,29 @@ class PlanSpec extends SparkSpec {
     assert("Scan parquet".r.findAllIn(p).isEmpty, p.take(3000))
   }
 
+  test("fim split: pure per-row slicing — one scan, no join, no exchange " +
+    "before the presentation sort") {
+    val p = plan("q_fim_split")
+    assert(!p.contains("Join"), p.take(3000))
+    assert("Scan parquet".r.findAllIn(p).size === 1, p.take(3000))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      p.take(3000))
+  }
+
+  test("context pack: the candidate cut is TakeOrderedAndProject; the " +
+    "pack windows run over that bounded cut only") {
+    val p = plan("q_context_pack")
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("erasure audit: one fused two-phase aggregate, no join") {
+    val p = plan("q_erasure_audit")
+    assert(p.contains("partial_"), p.take(3000))
+    assert(!p.contains("Join"), p.take(3000))
+    assert("Scan parquet".r.findAllIn(p).size === 1, p.take(3000))
+  }
+
   test("unpartitioned windows ride bounded inputs: below every global " +
     "window sits a limit or an aggregate, never the raw corpus") {
     import org.apache.spark.sql.catalyst.plans.logical
@@ -780,7 +803,7 @@ class PlanSpec extends SparkSpec {
       "q_train_test_split", "q_mix_weights", "q_mix_deciles",
       "q_vocab", "q_oov_rate", "q_pmi_collocations", "q_bpe_pairs",
       "q_rrf_fusion", "q_drift_windowed", "q_skew_report",
-      "q_compaction_plan", "q_zipf")
+      "q_compaction_plan", "q_zipf", "q_context_pack")
     val offenders = globalWindowQueries.flatMap { name =>
       val lp = SparkEntry.queries(name)(spark, sf).queryExecution.optimizedPlan
       lp.collect {
