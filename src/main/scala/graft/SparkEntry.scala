@@ -229,6 +229,12 @@ object SparkEntry {
     "q_context_pack"   -> ((s, d) => TrainingPipeline.contextPack(s, d)),
     // right-to-be-forgotten audit: per-source before = erased + after
     "q_erasure_audit"  -> ((s, d) => TrainingPipeline.erasureAudit(s, d)),
+    // hubness diagnostic: k-occurrence over the cell-blocked kNN graph,
+    // antihubs kept visible via the left join
+    "q_hubness"        -> ((s, d) => Similarity.hubness(s, d)),
+    // ordered 3-step funnel: earliest qualifying anchors, integer-epoch
+    // comparisons, fixed number of keyed passes
+    "q_funnel_steps"   -> ((s, d) => Relational.funnelSteps(s, d)),
     // ANN index eval: recall@5 and top-1 reciprocal rank of the IVF probe
     // cut vs the exact ranking — deterministic tiers make the metric
     // itself oracle-exact
@@ -3246,6 +3252,48 @@ object SparkEntry {
         |      FROM s)
         |SELECT src_id, rank, n_id, round(cos, 4) AS cosine
         |FROM r WHERE rank <= 3 ORDER BY src_id, rank""".stripMargin,
+
+    // Hubness: k-occurrence over the same label-blocked kNN ranking as
+    // q_knn_graph; antihubs (0 occurrences) kept by the left join.
+    "q_hubness" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, label, v,
+        |        sqrt(list_sum(list_transform(v, x -> x * x))) AS norm FROM e),
+        |s AS (SELECT q.vec_id AS src_id, c.vec_id AS n_id,
+        |        list_dot_product(q.v, c.v) / (q.norm * c.norm) AS cos
+        |      FROM n q JOIN n c ON c.label = q.label AND c.vec_id <> q.vec_id),
+        |r AS (SELECT src_id, n_id,
+        |        row_number() OVER (PARTITION BY src_id ORDER BY cos DESC, n_id)
+        |          AS rank
+        |      FROM s),
+        |occ AS (SELECT n_id AS vec_id, CAST(count(*) AS BIGINT) AS k_occ
+        |        FROM r WHERE rank <= 3 GROUP BY 1)
+        |SELECT e.vec_id, coalesce(occ.k_occ, 0) AS k_occ,
+        |  CAST(coalesce(occ.k_occ, 0) >= 6 AS INT) AS is_hub
+        |FROM e LEFT JOIN occ ON occ.vec_id = e.vec_id
+        |ORDER BY e.vec_id""".stripMargin,
+
+    // Ordered 3-step funnel: earliest qualifying anchor per step, integer
+    // epoch-microsecond comparisons, conversion vs the step-1 base.
+    "q_funnel_steps" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |             CAST(epoch_us(ts) AS BIGINT) AS us FROM events),
+        |s1 AS (SELECT user_id, min(us) AS t1 FROM e
+        |       WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.us) AS t2 FROM e
+        |       JOIN s1 ON s1.user_id = e.user_id
+        |       WHERE e.event_type = 'click' AND e.us > s1.t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.us) AS t3 FROM e
+        |       JOIN s2 ON s2.user_id = e.user_id
+        |       WHERE e.event_type = 'purchase' AND e.us > s2.t2 GROUP BY 1),
+        |st AS (SELECT '1_signup' AS step, CAST(count(*) AS BIGINT) AS n
+        |       FROM s1
+        |       UNION ALL SELECT '2_click_after', count(*) FROM s2
+        |       UNION ALL SELECT '3_purchase_after', count(*) FROM s3),
+        |b AS (SELECT CAST(count(*) AS BIGINT) AS base FROM s1)
+        |SELECT st.step, st.n AS n_users,
+        |  round(st.n::DOUBLE / b.base, 4) AS conv_rate
+        |FROM st CROSS JOIN b ORDER BY st.step""".stripMargin,
 
     // The identical range-scale + bit-interleave arithmetic as
     // graft.ops.Layout.{scaledDims,zvalue}, the interleave rendered by the

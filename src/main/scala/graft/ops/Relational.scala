@@ -520,6 +520,42 @@ object Relational {
       .orderBy(col("src"), col("dst"))
   }
 
+  /** Ordered multi-step funnel — the k-step sequential companion to
+    * [[funnel]]'s single condition: users who signed up, then CLICKED
+    * strictly after their first signup, then PURCHASED strictly after
+    * that first qualifying click. Each step's anchor is the EARLIEST
+    * qualifying event (the standard product-analytics semantics: a user
+    * converts on the first opportunity, later activity cannot resurrect
+    * an expired path).
+    *
+    * Shape at scale: timestamps compare as integer epoch microseconds
+    * (cross-engine exact); each step is one filtered two-phase min
+    * aggregate plus one user-keyed equi-join against the previous step's
+    * bounded (user, anchor) table — step count is fixed, so the whole
+    * funnel is a constant number of keyed passes however large the feed. */
+  def funnelSteps(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us"))
+      .localCheckpoint(true) // three step filters read the same projection
+    val s1 = e.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("us")).as("t1"))
+    val s2 = e.filter(col("event_type") === "click")
+      .join(s1, Seq("user_id")).filter(col("us") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("us")).as("t2"))
+    val s3 = e.filter(col("event_type") === "purchase")
+      .join(s2, Seq("user_id")).filter(col("us") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("us")).as("t3"))
+    val n1 = s1.agg(count(lit(1)).as("n")).withColumn("step", lit("1_signup"))
+    val n2 = s2.agg(count(lit(1)).as("n")).withColumn("step", lit("2_click_after"))
+    val n3 = s3.agg(count(lit(1)).as("n")).withColumn("step", lit("3_purchase_after"))
+    val steps = n1.unionByName(n2).unionByName(n3)
+    steps.crossJoin(broadcast(s1.agg(count(lit(1)).as("base"))))
+      .select(col("step"), col("n").as("n_users"),
+        round(col("n").cast("double") / col("base"), 4).as("conv_rate"))
+      .orderBy(col("step"))
+  }
+
   /** Conversion funnel: of all users, how many ever signed up, and how many
     * purchased AFTER their first signup — the sequential-condition count a
     * product-analytics pipeline runs constantly. ONE scan: the per-user

@@ -208,6 +208,28 @@ object Similarity {
       .orderBy(col("q_id"))
   }
 
+  /** Hubness diagnostic (Radovanović et al. 2010) of the embedding space —
+    * the k-occurrence count N_k(x): how many OTHER vectors list x among
+    * their k nearest neighbors. High-dimensional spaces concentrate
+    * neighbor lists onto a few hub vectors, which silently distorts every
+    * kNN-derived artifact (dup clusters, hard negatives, bitext margins);
+    * this is the report that catches it before they ship. `is_hub` flags
+    * vectors at ≥ 2k occurrences (the standard heavy-tail cut).
+    *
+    * Shape at scale: one aggregate over the already cell-blocked
+    * [[knnGraph]] edges (k rows per vector, never all-pairs), left-joined
+    * back to the pruned id column so antihubs (N_k = 0) stay visible —
+    * the hub/antihub asymmetry IS the diagnostic. */
+  def hubness(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val occ = knnGraph(spark, dir, k)
+      .groupBy(col("n_id").as("vec_id")).agg(count(lit(1)).as("k_occ"))
+    Tables(spark, dir, "embeddings").select(col("vec_id"))
+      .join(occ, Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("k_occ"), lit(0L)).as("k_occ"),
+        (coalesce(col("k_occ"), lit(0L)) >= 2L * k).cast("int").as("is_hub"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Vector quantization profile: assign every embedding to its nearest of
     * `nCells` deterministic seed centroids (the [[ivfTopK]] coarse
     * quantizer) and report per-cell population and cosine-to-centroid

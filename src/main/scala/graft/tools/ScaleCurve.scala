@@ -430,6 +430,10 @@ object ScaleCurve {
         // grow fac x in count, not length — the bounded-window posture
         time("markov_paths", fac)(
           graft.ops.Relational.markovPaths(spark, avroot).count())
+        // ordered funnel over the same replicated events: users grow
+        // fac x, step passes stay constant
+        time("funnel_steps", fac)(
+          graft.ops.Relational.funnelSteps(spark, avroot).count())
         if (fac != 1 && !keep) {
           val p = new org.apache.hadoop.fs.Path(avdir)
           p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
@@ -456,6 +460,9 @@ object ScaleCurve {
             graft.ops.Graph.labelProp(spark, lproot).count())
           time("dbscan", fac)(
             graft.ops.Graph.dbscan(spark, lproot).count())
+          // k-occurrence over the kNN graph: same frozen-block x10 cap
+          time("hubness", fac)(
+            graft.ops.Similarity.hubness(spark, lproot).count())
         }
         if (fac != 1 && !keep) {
           val p = new org.apache.hadoop.fs.Path(lpdir)

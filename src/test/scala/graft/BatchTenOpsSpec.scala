@@ -363,6 +363,49 @@ class BatchTenOpsSpec extends SparkSpec {
       s"2% md5 split: $erased of $tot erased")
   }
 
+  test("hubness: k-occurrences conserve the kNN edge count and an " +
+    "isolated vector stays visible as an antihub") {
+    import graft.ops.Similarity
+    import spark.implicits._
+    val rows = Similarity.hubness(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val edges = Similarity.knnGraph(spark, sf).count()
+    assert(rows.map(_._2).sum === edges,
+      "every kNN edge lands on exactly one k-occurrence")
+    assert(rows.forall(r => (r._3 === 1) === (r._2 >= 6)), "hub cut at 2k")
+    val dir = tmpDir("hub")
+    stage(dir, "embeddings")(Seq(
+      (1L, Array(1.0f, 0.1f), 0), (2L, Array(0.9f, 0.2f), 0),
+      (3L, Array(1.0f, 0.15f), 0),
+      (99L, Array(0.5f, 0.5f), 7)) // alone in its label: never a neighbor
+      .toDF("vec_id", "embedding", "label"))
+    val iso = Similarity.hubness(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(iso(99L) === 0L, s"antihub must appear with 0 occurrences: $iso")
+    assert(iso(1L) === 2L && iso(2L) === 2L && iso(3L) === 2L,
+      s"each of the 3-clique members is in both others' lists: $iso")
+  }
+
+  test("funnel steps: anchors are the earliest qualifying events and a " +
+    "step only counts activity strictly after the previous anchor") {
+    import spark.implicits._
+    val dir = tmpDir("fsteps")
+    def ev(id: Long, sec: Long, u: Long, t: String) =
+      (id, Timestamp.from(java.time.Instant.ofEpochSecond(86400 + sec)), u, t,
+        1.0, "{}")
+    stage(dir, "events")(Seq(
+      ev(1, 10, 1, "signup"), ev(2, 20, 1, "click"), ev(3, 30, 1, "purchase"),
+      ev(4, 10, 2, "signup"), ev(5, 5, 2, "click"), // click BEFORE signup
+      ev(6, 10, 3, "signup"), ev(7, 20, 3, "click"), ev(8, 15, 3, "purchase"),
+      ev(9, 1, 4, "click"), ev(10, 2, 4, "purchase")) // never signed up
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val rows = graft.ops.Relational.funnelSteps(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(rows === Seq(("1_signup", 3L, 1.0), ("2_click_after", 2L, 0.6667),
+      ("3_purchase_after", 1L, 0.3333)),
+      s"u2's early click and u3's early purchase must not count: $rows")
+  }
+
   test("association rules: supports, confidences and lifts are exact on a " +
     "closed-form basket set; a higher support cut prunes the rare item " +
     "before any pair work") {

@@ -786,6 +786,22 @@ class PlanSpec extends SparkSpec {
     assert("Scan parquet".r.findAllIn(p).size === 1, p.take(3000))
   }
 
+  test("hubness: the occurrence aggregate is two-phase over the keyed " +
+    "kNN ranking and the id join is keyed — no cartesian") {
+    val p = plan("q_hubness")
+    assert(p.contains("partial_"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("funnel steps: the checkpointed projection feeds three keyed " +
+    "step joins; only the 1-row base fold nested-loops") {
+    val p = plan("q_funnel_steps")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p.take(3000))
+    assert("Scan parquet".r.findAllIn(p).isEmpty,
+      "the events projection rides the checkpoint")
+  }
+
   test("unpartitioned windows ride bounded inputs: below every global " +
     "window sits a limit or an aggregate, never the raw corpus") {
     import org.apache.spark.sql.catalyst.plans.logical
