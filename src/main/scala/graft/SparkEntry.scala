@@ -1102,10 +1102,13 @@ object SparkEntry {
         |        WHERE (t.vec_id * 2654435761) % 100 >= 80) WHERE r <= 4),
         |s AS (SELECT q.vec_id AS doc_id,
         |        max(list_dot_product(q.v, c.v) / (q.norm * c.norm)) AS mc
-        |      FROM q JOIN c ON q.cell = c.cell GROUP BY 1)
-        |SELECT doc_id, round(mc, 4) + 0.0 AS max_train_cos,
-        |  mc >= 0.5 AS contaminated
-        |FROM s ORDER BY doc_id""".stripMargin,
+        |      FROM q JOIN c ON q.cell = c.cell GROUP BY 1),
+        |ids AS (SELECT vec_id AS doc_id FROM n
+        |        WHERE (vec_id * 2654435761) % 100 >= 80)
+        |SELECT ids.doc_id, round(s.mc, 4) + 0.0 AS max_train_cos,
+        |  coalesce(s.mc >= 0.5, false) AS contaminated
+        |FROM ids LEFT JOIN s ON s.doc_id = ids.doc_id
+        |ORDER BY ids.doc_id""".stripMargin,
 
     // ANN eval: the exact and IVF rankings replayed side by side, joined
     // on (q_id, n_id); recall@5 per query plus 1/rank of the true top-1
@@ -2854,10 +2857,12 @@ object SparkEntry {
         |        CAST(sum(CASE WHEN arm = 1 THEN vc * vc ELSE 0 END) AS BIGINT) AS qb
         |      FROM e GROUP BY 1),
         |m AS (SELECT event_type, na, nb,
-        |        sa::DOUBLE / na / 100.0 AS mean_a,
-        |        sb::DOUBLE / nb / 100.0 AS mean_b,
-        |        (qa::DOUBLE - sa::DOUBLE * sa / na) / (na - 1) / 10000.0 AS var_a,
-        |        (qb::DOUBLE - sb::DOUBLE * sb / nb) / (nb - 1) / 10000.0 AS var_b
+        |        sa::DOUBLE / NULLIF(na, 0) / 100.0 AS mean_a,
+        |        sb::DOUBLE / NULLIF(nb, 0) / 100.0 AS mean_b,
+        |        (qa::DOUBLE - sa::DOUBLE * sa / NULLIF(na, 0))
+        |          / NULLIF(na - 1, 0) / 10000.0 AS var_a,
+        |        (qb::DOUBLE - sb::DOUBLE * sb / NULLIF(nb, 0))
+        |          / NULLIF(nb - 1, 0) / 10000.0 AS var_b
         |      FROM a),
         |s AS (SELECT *, var_a / na + var_b / nb AS se2 FROM m)
         |SELECT event_type, na, nb,
@@ -2871,7 +2876,7 @@ object SparkEntry {
     // Benford screen: first digit from the exact integer centi-unit
     // string head (no float log10 boundary), chi2 carried on every row.
     "q_benford" ->
-      """WITH d AS (SELECT CAST(substr(CAST(CAST(floor(value * 100) AS BIGINT)
+      """WITH d AS (SELECT CAST(substr(CAST(CAST(floor(abs(value) * 100) AS BIGINT)
         |             AS VARCHAR), 1, 1) AS INT) AS digit
         |           FROM events),
         |o0 AS (SELECT digit, count(*) AS n_obs FROM d WHERE digit >= 1

@@ -203,6 +203,11 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
     val compacted = Transforms.lastWriteWins(view, col(pk), Seq(col("_ridx")))
       .drop("table", "offset", "_ridx")
     writeCompacted(sync, compacted, batchId)
+    // advance the per-pk applied-offset watermark so a later dead-letter
+    // replay can detect (and discard) quarantined payloads this batch — or
+    // any newer one — has superseded. Idempotent under checkpoint replay.
+    OffsetWatermark.advance(spark, statePath(sync),
+      view.select(col(pk), col("offset")), pk, config.stateBuckets)
     hooks.postBatch.foreach(_(sync.table, batchId))
   }
 
@@ -258,36 +263,56 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
     * the re-apply a no-op — the same at-least-once -> effectively-
     * exactly-once argument as the micro-batch path itself.
     *
-    * Returns per-table (replayed, still quarantined). The reference has
-    * no analog: it raises `KeyError` and dies on the first pk-less event
-    * (`event.py:11`). */
-  def replayDeadLetters(tables: Seq[String] = Seq.empty): Map[String, (Long, Long)] =
+    * Staleness guard (r8 ADVICE medium): a quarantined row carries the
+    * source offset it FAILED at, which may predate live batches that have
+    * since upserted the same pk — blindly re-applying it would overwrite
+    * newer sink state with the stale payload. Repaired rows are therefore
+    * screened against the sink's per-pk applied-offset watermark
+    * ([[OffsetWatermark]], maintained by every live batch): rows whose
+    * offset is strictly below the watermark for their pk are SUPERSEDED —
+    * dropped from the quarantine without applying (the live data is newer
+    * by construction). This also closes the crash-retry window: a replay
+    * retried after interleaved stream writes re-screens and discards what
+    * those writes superseded, instead of re-applying it.
+    *
+    * Returns per-table (replayed, superseded, still quarantined). The
+    * reference has no analog: it raises `KeyError` and dies on the first
+    * pk-less event (`event.py:11`). */
+  def replayDeadLetters(tables: Seq[String] = Seq.empty): Map[String, (Long, Long, Long)] =
     config.syncs
       .filter(s => tables.isEmpty || tables.contains(s.table))
       .map { s =>
         val path = deadLetterPath(s)
         val p = new org.apache.hadoop.fs.Path(path)
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (!fs.exists(p)) s.table -> ((0L, 0L))
+        if (!fs.exists(p)) s.table -> ((0L, 0L, 0L))
         else {
           val pk = pkOut(s)
           val dl = spark.read.parquet(path)
           val ready = dl.filter(col(pk).isNotNull)
-          val nReady = ready.count()
-          if (nReady > 0) {
+          val (fresh, stale) = OffsetWatermark.splitStale(
+            ready, OffsetWatermark.current(spark, statePath(s)), pk)
+          val nFresh = fresh.count()
+          val nStale = stale.count()
+          if (nFresh > 0) {
             val compacted = Transforms
-              .lastWriteWins(ready, col(pk), Seq(col("_ridx")))
+              .lastWriteWins(fresh, col(pk), Seq(col("_ridx")))
               .drop("table", "offset", "_ridx")
             writeCompacted(s, compacted, batchId = -2L)
-            // keep only the still-null rows; overwrite via staging + swap
-            // so a crash mid-rewrite never loses quarantined envelopes
+            OffsetWatermark.advance(spark, statePath(s),
+              fresh.select(col(pk), col("offset")), pk, config.stateBuckets)
+          }
+          if (nFresh > 0 || nStale > 0) {
+            // keep only the still-null rows (superseded rows are resolved —
+            // newer live data already holds their pk); overwrite via
+            // staging + swap so a crash mid-rewrite never loses envelopes
             val remaining = dl.filter(col(pk).isNull)
             val tmp = path + ".next"
             remaining.write.mode("overwrite").parquet(tmp)
             UpsertSink.atomicSwapDirs(spark, tmp, path)
           }
           val left = spark.read.parquet(path).filter(col(pk).isNull).count()
-          s.table -> ((nReady, left))
+          s.table -> ((nFresh, nStale, left))
         }
       }.toMap
 

@@ -148,8 +148,8 @@ object Main {
       case "replay" => graft.cdc.ErrorReporting.reporting(reporters, "replay") {
         // re-apply repaired dead-letter rows through the live upsert path;
         // still-unrepaired rows stay quarantined
-        pipe.replayDeadLetters(rest).foreach { case (t, (n, left)) =>
-          println(s"replayed $t: $n rows ($left still quarantined)")
+        pipe.replayDeadLetters(rest).foreach { case (t, (n, stale, left)) =>
+          println(s"replayed $t: $n rows ($stale superseded, $left still quarantined)")
         }
       }
       case "check" => graft.cdc.ErrorReporting.reporting(reporters, "check") {

@@ -152,14 +152,22 @@ object Drift {
       sum(when(col("arm") === 1, col("vc") * col("vc")).otherwise(0L)).as("qb"))
     // sample variance in centi^2 units: (q - s^2/n) / (n - 1); the whole
     // chain is written once and reused via columns so both engines see
-    // the same association order
+    // the same association order. Degenerate arms (every user hashed to
+    // one side, or a single-row arm) yield NULL moments on BOTH engines —
+    // the explicit when() guards here mirror NULLIF in the oracle, so a
+    // zero-division never throws under ANSI and never diverges cross-
+    // engine (r8 ADVICE).
     a.select(col("event_type"), col("na"), col("nb"),
-        (col("sa").cast("double") / col("na") / 100.0).as("mean_a"),
-        (col("sb").cast("double") / col("nb") / 100.0).as("mean_b"),
-        ((col("qa").cast("double") - col("sa").cast("double") *
-          col("sa") / col("na")) / (col("na") - 1) / 10000.0).as("var_a"),
-        ((col("qb").cast("double") - col("sb").cast("double") *
-          col("sb") / col("nb")) / (col("nb") - 1) / 10000.0).as("var_b"))
+        when(col("na") > 0,
+          col("sa").cast("double") / col("na") / 100.0).as("mean_a"),
+        when(col("nb") > 0,
+          col("sb").cast("double") / col("nb") / 100.0).as("mean_b"),
+        when(col("na") > 1,
+          (col("qa").cast("double") - col("sa").cast("double") *
+            col("sa") / col("na")) / (col("na") - 1) / 10000.0).as("var_a"),
+        when(col("nb") > 1,
+          (col("qb").cast("double") - col("sb").cast("double") *
+            col("sb") / col("nb")) / (col("nb") - 1) / 10000.0).as("var_b"))
       .withColumn("se2", col("var_a") / col("na") + col("var_b") / col("nb"))
       .select(col("event_type"), col("na"), col("nb"),
         round(col("mean_a"), 4).as("mean_a"),
@@ -179,12 +187,15 @@ object Drift {
     * first-significant-digit shares against Benford's log10(1 + 1/d)
     * expectation, with the chi-square statistic carried on every row.
     * The first digit comes from the exact integer centi-unit path
-    * (string head of floor(value·100)), never from float log10 — no
-    * power-of-ten boundary hazard. One fused aggregate into 9 rows. */
+    * (string head of floor(|value|·100)), never from float log10 — no
+    * power-of-ten boundary hazard; abs() first, because a negative value's
+    * string head is '-', which Spark's cast nulls but DuckDB's raises —
+    * Benford is sign-blind anyway (r8 ADVICE). One fused aggregate into
+    * 9 rows. */
   def benford(spark: SparkSession, dir: String): DataFrame = {
     val obs = Tables.events(spark, dir)
       .select(expr(
-        "cast(substring(cast(cast(floor(value * 100) as bigint) as string), 1, 1) as int)")
+        "cast(substring(cast(cast(floor(abs(value) * 100) as bigint) as string), 1, 1) as int)")
         .as("digit"))
       .filter(col("digit") >= 1)
       .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))

@@ -395,7 +395,15 @@ object Similarity {
     * exact screen (every cell probed => every train candidate scored —
     * the equality spec pins this bit-for-bit against the brute tier), so
     * the probe cut is the ONLY approximation and the op stays
-    * DuckDB-oracle-checkable end to end. */
+    * DuckDB-oracle-checkable end to end.
+    *
+    * Report totality (r8 ADVICE): the candidate join is inner on the cell,
+    * so a test doc whose nProbe probed cells hold no train vector would
+    * simply vanish from the report — indistinguishable from "screened
+    * clean". Every test id is therefore left-joined back in and emitted
+    * with a NULL max_train_cos and contaminated = false: the null score is
+    * the explicit "no candidate was scored" marker (visible to the
+    * auditor), distinct from a real low cosine. */
   def decontaminateEmbedIvf(spark: SparkSession, dir: String,
                             threshold: Double = 0.5, nCells: Int = 8,
                             nProbe: Int = 4): DataFrame = {
@@ -404,13 +412,15 @@ object Similarity {
     val seeds = seedCells(e, nCells)
     val train = cellAssign(e.filter(split < 80), seeds).alias("c")
     val test = probesOf(e.filter(split >= 80), seeds, nProbe).alias("q")
-    train.join(test, col("q.cell") === col("c.cell"))
+    val maxes = train.join(test, col("q.cell") === col("c.cell"))
       .select(col("q.vec_id").as("doc_id"), cosine.as("cos"))
       .groupBy(col("doc_id"))
       .agg(max(col("cos")).as("mc"))
+    e.filter(split >= 80).select(col("vec_id").as("doc_id"))
+      .join(maxes, Seq("doc_id"), "left")
       .select(col("doc_id"),
         (round(col("mc"), 4) + 0.0).as("max_train_cos"),
-        (col("mc") >= threshold).as("contaminated"))
+        coalesce(col("mc") >= threshold, lit(false)).as("contaminated"))
       .orderBy(col("doc_id"))
   }
 

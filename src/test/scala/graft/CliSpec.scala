@@ -132,14 +132,63 @@ class CliSpec extends SparkSpec {
         when(col("name") === "bob", lit(7)).otherwise(col("id")))
       .localCheckpoint(true)
     repaired.write.mode("overwrite").parquet(dl)
-    assert(pipe.replayDeadLetters() === Map("t" -> ((1L, 1L))))
+    assert(pipe.replayDeadLetters() === Map("t" -> ((1L, 0L, 1L))))
     val state = pipe.sinkState(sync).collect()
       .map(r => (r.getInt(0), r.getString(1))).toSet
     assert(state === Set((1, "ann"), (7, "bob")),
       "the repaired row must land in the sink")
     // eve is still quarantined; a second replay applies nothing
-    assert(pipe.replayDeadLetters() === Map("t" -> ((0L, 1L))))
+    assert(pipe.replayDeadLetters() === Map("t" -> ((0L, 0L, 1L))))
     assert(pipe.sinkState(sync).count() === 2L)
+  }
+
+  test("replay staleness guard: a repaired dead-letter row superseded by a " +
+    "newer live batch for the same pk is DISCARDED, never applied (r8 " +
+    "ADVICE medium — per-pk offset watermark)") {
+    import graft.cdc._
+    import graft.model._
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.functions._
+    val sinkRoot = tmpDir("sink-replay-wm")
+    val sync = SyncConfig("t", pk = "id", schema = Some(StructType(Seq(
+      StructField("id", IntegerType), StructField("name", StringType)))))
+    val src = new MemoryCdcSource(spark)
+    val pipe = new Pipeline(spark, PipelineConfig(Seq(sync)), src, sinkRoot)
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val ckpt = tmpDir("ckpt-wm")
+    src.addEvents(
+      ChangeEvent("create", "t", 1, ts, """{"id": 1, "name": "ann"}"""),
+      ChangeEvent("create", "t", 2, ts, """{"id": null, "name": "old-ann"}"""),
+      ChangeEvent("create", "t", 3, ts, """{"id": null, "name": "late"}"""))
+    val q1 = pipe.start(ckpt)
+    q1.processAllAvailable(); q1.stop()
+    // a NEWER live batch updates pk 1 after the quarantine happened
+    src.addEvents(
+      ChangeEvent("update", "t", 5, ts, """{"id": 1, "name": "zed"}"""))
+    val q2 = pipe.start(ckpt)
+    q2.processAllAvailable(); q2.stop()
+    assert(pipe.sinkState(sync).collect().toSeq === Seq(Row(1, "zed")))
+    // operator repair: old-ann (offset 2) gets pk 1 — STALE vs the sink's
+    // watermark (5); late (offset 3) gets pk 9 — fresh, no watermark entry
+    val dl = pipe.deadLetterPath(sync)
+    val repaired = spark.read.parquet(dl)
+      .withColumn("id",
+        when(col("name") === "old-ann", lit(1))
+          .when(col("name") === "late", lit(9))
+          .otherwise(col("id")))
+      .localCheckpoint(true)
+    repaired.write.mode("overwrite").parquet(dl)
+    assert(pipe.replayDeadLetters() === Map("t" -> ((1L, 1L, 0L))),
+      "one fresh row applied, one superseded row discarded, quarantine empty")
+    val state = pipe.sinkState(sync).collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(state === Set((1, "zed"), (9, "late")),
+      "the stale payload must NOT overwrite the newer live value")
+    // crash-retry shape: re-running the replay is a no-op either way
+    assert(pipe.replayDeadLetters() === Map("t" -> ((0L, 0L, 0L))))
+    assert(pipe.sinkState(sync).collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet === Set((1, "zed"), (9, "late")))
   }
 
   test("debug flag: parses from config, logs settings and a bounded " +
