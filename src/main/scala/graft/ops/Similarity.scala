@@ -824,6 +824,11 @@ object Similarity {
     * O(bounded) selection in the repo — never the corpus. */
   def mmrRerank(spark: SparkSession, dir: String, queryVecId: Long = 0L,
                 topN: Int = 20, k: Int = 5): DataFrame = {
+    // the pairwise matrix and greedy loop are driver-side O(topN^2) BY
+    // PREMISE; make the premise mechanical so a caller cannot silently
+    // turn the bounded collect into a corpus-sized one (lshTopK precedent)
+    require(topN >= 1 && topN <= 4096,
+      s"mmrRerank topN must be in [1, 4096] (driver holds topN^2 pair rows); got $topN")
     val e = withVec(spark, dir)
     val q = e.filter(col("vec_id") === queryVecId).alias("q")
     val c = e.filter(col("vec_id") =!= queryVecId).alias("c")

@@ -163,6 +163,11 @@ object TrainingPipeline {
     * tighter but breaks the ranking contract rerankers rely on). */
   def contextPack(spark: SparkSession, dir: String, budget: Int = 256,
                   cand: Int = 64): DataFrame = {
+    // the global rank window + cumulative pack run over the post-limit(cand)
+    // table BY PREMISE; bound the parameter so a caller cannot silently
+    // turn that into an unpartitioned corpus-wide window (lshTopK precedent)
+    require(cand >= 1 && cand <= 4096,
+      s"contextPack cand must be in [1, 4096] (single-task rank+pack window); got $cand")
     val terms = Seq("data", "model", "system", "result", "analysis")
     val scored = Tables(spark, dir, "documents")
       .withColumn("toks", split(col("text"), " "))

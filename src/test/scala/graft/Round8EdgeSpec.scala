@@ -38,6 +38,27 @@ class Round8EdgeSpec extends SparkSpec {
     assert(rows(2)._2 === 2L)
   }
 
+  test("bounded-driver-work guards: mmrRerank and contextPack refuse " +
+    "parameters that would unbound their documented driver-side work " +
+    "(r8 verdict #3 — the lshTopK require precedent)") {
+    val dir = "/root/testdata/sf0.001"
+    val eMmr = intercept[IllegalArgumentException] {
+      graft.ops.Similarity.mmrRerank(spark, dir, topN = 1000000)
+    }
+    assert(eMmr.getMessage.contains("topN"))
+    val ePack = intercept[IllegalArgumentException] {
+      graft.ops.TrainingPipeline.contextPack(spark, dir, cand = 1000000)
+    }
+    assert(ePack.getMessage.contains("cand"))
+    // zero/negative are rejected too, not silently empty
+    intercept[IllegalArgumentException] {
+      graft.ops.Similarity.mmrRerank(spark, dir, topN = 0)
+    }
+    intercept[IllegalArgumentException] {
+      graft.ops.TrainingPipeline.contextPack(spark, dir, cand = 0)
+    }
+  }
+
   test("sq8: a constant dimension codes to 0 with zero reconstruction " +
     "error instead of dividing by a zero range") {
     import spark.implicits._
