@@ -481,14 +481,27 @@ object Dedup {
     val parts = math.max(1, math.min((nEdges / 100000L).toInt + 1,
       spark.sparkContext.defaultParallelism))
     // canonical direction u > v; pairCounts guarantees doc_a < doc_b and
-    // one row per pair, so no distinct is needed here. localCheckpoint like
-    // every round's result (uniform lifecycle — see nearDupClusters' note
-    // on ContextCleaner freeing dropped rounds).
-    var edges = pairs
+    // one row per pair, so no distinct is needed here.
+    val edges = pairs
       .select(col("doc_b").as("u"), col("doc_a").as("v"))
       .repartition(parts, col("u"))
-      .localCheckpoint(true)
+    val labels = bigStarComponents(edges, maxIter, "nearDupClustersBigStar")
     pairs.unpersist()
+    labels.orderBy(col("doc_id"))
+  }
+
+  /** The alternating large-star/small-star CC loop itself, factored out so
+    * OTHER graph operators (the [[graft.ops.Graph.dbscan]] core-subgraph
+    * labeling, r8 verdict #2) reuse the O(log n) formulation instead of
+    * growing their own diameter-bounded unrolls. `edges0` must carry one
+    * row per undirected edge as (u, v) with u > v; returns (doc_id,
+    * cluster = min member id of its component) for every node that appears
+    * in an edge — isolated nodes are the caller's to attach. */
+  private[graft] def bigStarComponents(edges0: DataFrame, maxIter: Int,
+                                       what: String): DataFrame = {
+    // localCheckpoint like every round's result (uniform lifecycle — see
+    // nearDupClusters' note on ContextCleaner freeing dropped rounds).
+    var edges = edges0.localCheckpoint(true)
     // Order-insensitive set checksum: (count, xor of per-edge hashes).
     // XOR instead of sum — ANSI mode makes a sum of full-range longs an
     // overflow error, and xor is closed over Long with the same
@@ -545,13 +558,12 @@ object Dedup {
     }
     if (!converged)
       throw new IllegalStateException(
-        s"nearDupClustersBigStar did not converge in $maxIter rounds " +
+        s"$what did not converge in $maxIter rounds " +
           "(expected O(log n)); the edge set is pathological or maxIter is too low")
     // star forest: non-roots point at their root; roots label themselves
-    val labels = edges.select(col("u").as("doc_id"), col("v").as("cluster"))
+    edges.select(col("u").as("doc_id"), col("v").as("cluster"))
       .union(edges.select(col("v").as("doc_id"), col("v").as("cluster")))
       .groupBy(col("doc_id")).agg(min(col("cluster")).as("cluster"))
-    labels.orderBy(col("doc_id"))
   }
 
   /** Cross-source duplication matrix — the provenance diagnostic behind

