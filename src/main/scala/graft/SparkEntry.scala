@@ -91,6 +91,12 @@ object SparkEntry {
     // REAL codec roundtrip: javax.imageio encodes deterministic PNGs and
     // decodes them back; width/height/pixel-checksum are oracle-graded
     "q_multimodal_decode" -> ((s, d) => Multimodal.pngMetaQuery(s, d)),
+    // the binaryFile INGESTION variant: payloads staged as .png FILES,
+    // scanned via the binaryFile source, decoded by the same real codec
+    "q_png_binaryfile" -> ((s, d) => Multimodal.pngBinaryAudit(s, d)),
+    // text-format wal2json JSONL feed decoded end-to-end through the real
+    // envelope decoder (the on-disk replication-log ingestion path)
+    "q_jsonl_decode"   -> ((s, d) => IngestFormats.jsonlDecode(s, d)),
     // REAL audio roundtrip: javax.sound.sampled encodes deterministic PCM
     // WAVs and decodes them back; rate/channels/frames/sample-checksum are
     // oracle-graded (PCM WAV is lossless)
@@ -1479,6 +1485,32 @@ object SparkEntry {
         |       WHERE rx.x < d.width AND ry.y < d.height GROUP BY 1)
         |SELECT d.doc_id, TRUE AS is_png, width, height, px_sum
         |FROM d JOIN px USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // binaryFile ingestion audit: same lossless-roundtrip grading as
+    // q_multimodal_decode, restricted to the 64 staged files
+    "q_png_binaryfile" ->
+      """WITH d AS (SELECT doc_id, CAST(doc_id % 13 + 1 AS INT) AS width,
+        |             CAST(doc_id % 7 + 1 AS INT) AS height FROM documents
+        |           WHERE doc_id < 64),
+        |px AS (SELECT d.doc_id,
+        |         CAST(sum((d.doc_id + 31 * rx.x + 17 * ry.y) % 256) AS BIGINT) AS px_sum
+        |       FROM d, range(13) rx(x), range(7) ry(y)
+        |       WHERE rx.x < d.width AND ry.y < d.height GROUP BY 1)
+        |SELECT d.doc_id, TRUE AS is_png, width, height, px_sum
+        |FROM d JOIN px USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // wal2json-over-text decode: the oracle recomputes the expected decode
+    // output straight from orders — any row/field lost in the engine's
+    // build -> text write -> text scan -> envelope decode chain mismatches
+    "q_jsonl_decode" ->
+      """SELECT CASE o_orderkey % 3 WHEN 0 THEN 'create'
+        |         WHEN 1 THEN 'update' ELSE 'delete' END AS op,
+        |  'orders' AS table_name,
+        |  '0/' || CAST(o_orderkey // 8 AS VARCHAR) AS nextlsn,
+        |  o_orderkey,
+        |  CASE WHEN o_orderkey % 3 = 2 THEN NULL
+        |    ELSE round(o_totalprice, 2) END AS o_totalprice
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     // Real-codec WAV roundtrip: the Spark side ENCODES deterministic
     // 16-bit PCM per doc and DECODES it with javax.sound.sampled; the

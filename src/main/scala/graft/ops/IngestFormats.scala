@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-format replication-log ingestion promoted to the driver gate
+  * (r8 verdict #5): the on-disk wal2json JSONL path — the shape a Postgres
+  * logical-replication shipper leaves in a landing directory — staged,
+  * scanned with Spark's `text` source, and decoded end-to-end through the
+  * REAL [[graft.cdc.EnvelopeDecoders.decodeWal2json]] envelope decoder
+  * (reference `postgres.py:89-131`), so the correctness gate now exercises
+  * the text-scan → from_json envelope → per-change explode → payload
+  * re-projection chain, not just the parquet feeds.
+  */
+object IngestFormats {
+
+  /** Deterministic wal2json feed derived from `orders`, decoded back:
+    * each order becomes one change entry — kind by `o_orderkey % 3`
+    * (0 insert, 1 update, 2 delete; insert/update carry
+    * columnnames/columnvalues, delete carries only `oldkeys` — the
+    * wal2json contract) — and changes batch into transactions of up to 8
+    * (`o_orderkey div 8`), each transaction one JSONL line carrying its
+    * `nextlsn`. The oracle recomputes the expected decode output directly
+    * from `orders`, so any row or field lost anywhere in
+    * build → text write → text scan → decode hash-mismatches (the same
+    * lossless-roundtrip grading shape as the codec audits).
+    *
+    * Scale shape: the feed build is one projection + one keyed groupBy
+    * (the transaction batch); the text scan splits per file and the
+    * decode is a codegen'd from_json + posexplode per line — all
+    * corpus-linear, nothing driver-side. Multi-change transactions decode
+    * ALL entries (the reference drops a transaction's tail on the first
+    * non-synced table — `postgres.py:97-98` — which this engine
+    * deliberately does not copy). */
+  def jsonlDecode(spark: SparkSession, dir: String): DataFrame = {
+    val root = s"${sys.props("java.io.tmpdir")}/graft_jsonl_" +
+      spark.sparkContext.applicationId
+    val rp = new org.apache.hadoop.fs.Path(root)
+    val fs = rp.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(rp)) fs.delete(rp, true)
+    TwoBatchScratch.registerCleanup(root)
+    val feed = s"$root/feed"
+
+    val o = Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice"), 2).as("o_totalprice"))
+    val kind = element_at(
+      array(lit("insert"), lit("update"), lit("delete")),
+      (pmod(col("o_orderkey"), lit(3)) + 1).cast("int"))
+    val entry = when(pmod(col("o_orderkey"), lit(3)) === 2,
+        concat(lit("{\"kind\":\"delete\",\"schema\":\"public\"," +
+            "\"table\":\"orders\",\"oldkeys\":{\"keynames\":[\"o_orderkey\"]," +
+            "\"keyvalues\":["),
+          col("o_orderkey").cast("string"), lit("]}}")))
+      .otherwise(
+        concat(lit("{\"kind\":\""), kind,
+          lit("\",\"schema\":\"public\",\"table\":\"orders\"," +
+            "\"columnnames\":[\"o_orderkey\",\"o_custkey\",\"o_totalprice\"]," +
+            "\"columnvalues\":["),
+          col("o_orderkey").cast("string"), lit(","),
+          col("o_custkey").cast("string"), lit(","),
+          col("o_totalprice").cast("string"), lit("]}")))
+    val lines = o
+      .select(expr("o_orderkey div 8").as("txn"),
+        col("o_orderkey"), entry.as("entry"))
+      .groupBy(col("txn"))
+      .agg(expr(
+        "array_join(transform(sort_array(collect_list(struct(o_orderkey, entry))), p -> p.entry), ',')")
+        .as("body"))
+      .select(concat(lit("{\"change\":["), col("body"),
+        lit("],\"nextlsn\":\"0/"), col("txn").cast("string"),
+        lit("\"}")).as("value"))
+    lines.write.mode("overwrite").text(feed)
+
+    val raw = spark.read.format("text").load(feed)
+      .withColumn("offset", monotonically_increasing_id())
+      .withColumnRenamed("value", "data")
+    graft.cdc.EnvelopeDecoders.decodeWal2json(raw)
+      .select(col("op"), col("table").as("table_name"), col("nextlsn"),
+        get_json_object(col("data"), "$.o_orderkey").cast("long")
+          .as("o_orderkey"),
+        get_json_object(col("data"), "$.o_totalprice").cast("double")
+          .as("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+}

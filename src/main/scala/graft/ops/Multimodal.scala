@@ -70,9 +70,16 @@ object Multimodal {
     * bytes), then a full codec roundtrip — width/height from the decoded
     * image, px_sum over the decoded raster. Fails loud on an undecodable
     * payload (a corrupt image must not silently become metadata). */
-  def decodePng(spark: SparkSession, dir: String): Dataset[PngMeta] = {
+  def decodePng(spark: SparkSession, dir: String): Dataset[PngMeta] =
+    decodePngRows(pngView(spark, dir))
+
+  /** The codec tier itself, over ANY (doc_id, payload) source — shared by
+    * the in-plan [[pngView]] path and the [[pngBinaryAudit]] binaryFile
+    * ingestion path. */
+  private def decodePngRows(rows: Dataset[PngRow]): Dataset[PngMeta] = {
+    val spark = rows.sparkSession
     import spark.implicits._
-    pngView(spark, dir).mapPartitions { it =>
+    rows.mapPartitions { it =>
       // ImageIO scans for plugins lazily; touching it here keeps codec
       // discovery once per partition, not per row
       javax.imageio.ImageIO.getUseCache
@@ -99,6 +106,48 @@ object Multimodal {
     * passed through an actual PNG encode + decode. */
   def pngMetaQuery(spark: SparkSession, dir: String): DataFrame =
     decodePng(spark, dir).toDF().orderBy(col("doc_id"))
+
+  /** The binaryFile INGESTION variant of the PNG audit (r8 verdict #5 —
+    * promoting the FormatsSpec-only path into the driver's correctness
+    * gate): real PNG payloads are staged as individual `.png` FILES, read
+    * back through Spark's `binaryFile` source (path-derived doc id,
+    * pathGlobFilter — the media-lake directory-scan shape), and pushed
+    * through the same `javax.imageio` decode tier; the oracle recomputes
+    * the lossless roundtrip analytically, so a byte lost anywhere in
+    * stage → scan → decode hash-mismatches.
+    *
+    * The stage step collects `maxDocs` (default 64) payloads driver-side
+    * to write local files — bounded BY CONSTRUCTION and guarded, the demo
+    * stand-in for a media lake that already exists on shared storage; the
+    * scan+decode side is the real distributed path (binaryFile splits by
+    * file, decode is partition-parallel). */
+  def pngBinaryAudit(spark: SparkSession, dir: String,
+                     maxDocs: Int = 64): DataFrame = {
+    require(maxDocs >= 1 && maxDocs <= 4096,
+      s"pngBinaryAudit maxDocs must be in [1, 4096] (driver stages the files); got $maxDocs")
+    import spark.implicits._
+    val root = s"${sys.props("java.io.tmpdir")}/graft_binf_" +
+      spark.sparkContext.applicationId
+    val rp = new org.apache.hadoop.fs.Path(root)
+    val fs = rp.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(rp)) fs.delete(rp, true)
+    TwoBatchScratch.registerCleanup(root)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+    pngView(spark, dir).filter(col("doc_id") < maxDocs).collect()
+      .foreach { r =>
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$root/${r.doc_id}.png"), r.payload)
+      }
+    val files = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.png").load(root)
+      .select(
+        expr("cast(regexp_extract(path, '([0-9]+)\\\\.png$', 1) as long)")
+          .as("doc_id"),
+        col("content"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) => PngRow(id, bytes) }
+    decodePngRows(files).toDF().orderBy(col("doc_id"))
+  }
 
   final case class WavRow(doc_id: Long, payload: Array[Byte])
   final case class WavMeta(doc_id: Long, is_wav: Boolean, sample_rate: Int,
