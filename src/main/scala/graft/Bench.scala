@@ -1,6 +1,24 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** The governable headline tier (r8 verdict #6): the heavy tail plus one
+    * representative per operator family — a low-variance core whose total
+    * is comparable round over round without adjudicating drift across all
+    * 180 queries. Members chosen from the committed r8 per-query snapshot:
+    * everything >= ~2 s (the tail that dominates the total) plus one rep
+    * each for relational agg/join, CDC apply, ANN, k-means, simhash, text
+    * stats, layout pruning, and the r9 ingestion path. Both totals print:
+    * `value` (full surface) and `headline`. */
+  val Headline: Set[String] = Set(
+    "q_compaction_split", "q_dedup_incr", "q_stream_join",
+    "q_stream_traillog", "q_compaction_apply", "q_bpe_encode",
+    "q_stream_sessions", "q_cluster_bigstar", "q_dedup_pipeline",
+    "q_dedup_stream", "q_dedup_cluster", "q_train_manifest",
+    "q_dedup_apply", "q_stream_hh", "q_pagerank", "q_dbscan",
+    "q_dedup_ngram", "q_label_prop", "q_kcore", "q_kmeans_profile",
+    "q_simhash_pairs", "q_tfidf", "q_ann_ivfpq", "q_prune_rate",
+    "q5_multijoin", "q1_agg", "q_cdc_apply", "q_jsonl_decode")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -54,6 +72,8 @@ object Bench {
     def f(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f",
       Double.box(v))
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    val headlineHit = results.view.filterKeys(Headline).toMap
+    val headlineTotal = if (headlineHit.nonEmpty) headlineHit.values.sum else 0.0
     // The driver's output-tail window is a hard 2000 chars (BENCH_r03 and
     // r04 tails both captured exactly 2000, truncating the line's HEAD).
     // 92 query names alone exceed that at any decimal precision, so the
@@ -64,7 +84,7 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val fileJson =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${results.size},"queries":$perQuery,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${results.size},"headline":${f(headlineTotal)},"n_headline":${headlineHit.size},"queries":$perQuery,"sf":"$sfDir"}"""
     // Anchor at the launch directory (sbt runs from the repo root, and any
     // other checkout gets a path that exists there too — a hardcoded
     // absolute path broke outside this container); overridable for tests.
@@ -85,7 +105,7 @@ object Bench {
       }
     val perQueryRef = if (wrote) "\"" + outPath + "\"" else "null"
     val out =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${results.size},"sf":"$sfDir","per_query":$perQueryRef}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${results.size},"headline":${f(headlineTotal)},"n_headline":${headlineHit.size},"sf":"$sfDir","per_query":$perQueryRef}"""
     // Stop Spark BEFORE printing so no shutdown logging can land after the
     // JSON line: it must be the last line of stdout for the driver's parser.
     spark.stop()

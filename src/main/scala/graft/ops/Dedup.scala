@@ -664,6 +664,77 @@ object Dedup {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** The PRODUCTION blocking tier of [[embedDup]] (r8 verdict #1): the
+    * frozen (label, 16-sign-cell) blocks cannot grow with the corpus, so
+    * per-block population — and the within-block pair join — grows
+    * quadratically at 100x data (the measured `knn_cells_fixed` bend).
+    * Here the block count SCALES: a two-level product coarse quantizer
+    * (the inverted-multi-index construction, Babenko & Lempitsky, CVPR
+    * 2012) splits each vector into two halves, assigns each half to its
+    * max-cosine seed among `k = ceil(sqrt(nCells))` deterministic seeds
+    * (first k corpus vectors — the [[graft.ops.Similarity.ivfTopK]]
+    * stand-in for trained k-means halves), and the cell is the PAIR of
+    * half-assignments — k^2 >= nCells cells at 2k half-fold cost per row,
+    * so even the demo quantizer's per-row assignment stays O(sqrt(nCells))
+    * and the x100 ScaleCurve run measures the OPERATOR, not a quantizer
+    * fold that grows with the cell count (the limitation that capped the
+    * single-level decon_ivf tier at x10).
+    *
+    * Scale shape: seeds broadcast (k rows), assignment is per-row compute
+    * with NO shuffle, the pair join is a cell-keyed equi self-join —
+    * nCells ∝ corpus keeps per-cell population constant, so pair volume
+    * and wall grow linearly where the frozen blocking bends quadratic.
+    * `nCells = 1` degenerates to the exact all-pairs eps graph — the
+    * equality spec — and for any nCells the emitted set is EXACTLY
+    * {pairs co-assigned to one cell with cosine >= threshold}, re-derived
+    * independently in the within-cell-answer spec. */
+  def embedDupCells(spark: SparkSession, dir: String, threshold: Double = 0.3,
+                    nCells: Int = 9): DataFrame = {
+    require(nCells >= 1, s"nCells must be >= 1; got $nCells")
+    graft.functions.VectorFunctions.register(spark)
+    val k = math.max(1, math.ceil(math.sqrt(nCells.toDouble)).toInt)
+    def halfFold(cells: String, v: String, n: String) =
+      s"""aggregate($cells,
+         |  named_struct('best', cast(-2.0 as double), 'cell', -1L),
+         |  (acc, s) -> if(if($n * s.snorm = 0D, cast(-1.5 as double),
+         |                   graft_dot($v, s.sv) / ($n * s.snorm)) > acc.best,
+         |    named_struct('best', if($n * s.snorm = 0D, cast(-1.5 as double),
+         |                   graft_dot($v, s.sv) / ($n * s.snorm)),
+         |                 'cell', s.seed_id),
+         |    acc)).cell""".stripMargin
+    val e = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .withColumn("norm", expr("graft_norm(v)"))
+      .withColumn("v1", expr("slice(v, 1, size(v) div 2)"))
+      .withColumn("v2", expr("slice(v, size(v) div 2 + 1, size(v) - size(v) div 2)"))
+      .withColumn("n1", expr("graft_norm(v1)"))
+      .withColumn("n2", expr("graft_norm(v2)"))
+    val seeds = e.filter(col("vec_id") < k)
+      .agg(
+        sort_array(collect_list(struct(col("vec_id").as("seed_id"),
+          col("v1").as("sv"), col("n1").as("snorm")))).as("cells1"),
+        sort_array(collect_list(struct(col("vec_id").as("seed_id"),
+          col("v2").as("sv"), col("n2").as("snorm")))).as("cells2"))
+    // localCheckpoint: the assignment feeds BOTH sides of the pair join —
+    // without it the broadcast boundary re-runs the fold per consumer
+    // (the AQE exchange-reuse house rule)
+    val assigned = e.crossJoin(broadcast(seeds))
+      .withColumn("c1", expr(halfFold("cells1", "v1", "n1")))
+      .withColumn("c2", expr(halfFold("cells2", "v2", "n2")))
+      .select(col("vec_id"), col("v"), col("norm"),
+        (col("c1") * k + col("c2")).as("cell"))
+      .localCheckpoint(true)
+    val a = assigned.alias("a")
+    val b = assigned.alias("b")
+    a.join(b, col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cosine", round(
+        expr("graft_dot(a.v, b.v)") / (col("a.norm") * col("b.norm")), 4))
+      .filter(col("cosine") >= threshold)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cosine"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
   /** Embeddings with double components, their norm, and the (label, sign
     * pattern of the first 4 components) blocking cell shared by the
     * embedding-dedup family. */

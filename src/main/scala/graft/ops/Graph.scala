@@ -19,6 +19,22 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Eps-neighbor pair source shared by the graph family: the oracle-
+    * checkable frozen (label, sign-cell) blocking ("signcell", the gate
+    * default) or the production cells-SCALED two-level quantizer blocking
+    * ("cells", [[Dedup.embedDupCells]] — nCells tracks the corpus, the r8
+    * verdict #1 posture measured to x100 in ScaleCurve `r9`). */
+  private def blockedPairs(spark: SparkSession, dir: String,
+                           threshold: Double, blocking: String,
+                           nCells: Int): org.apache.spark.sql.DataFrame =
+    blocking match {
+      case "signcell" => Dedup.embedDup(spark, dir, threshold)
+      case "cells"    => Dedup.embedDupCells(spark, dir, threshold, nCells)
+      case other => throw new IllegalArgumentException(
+        s"blocking must be 'signcell' or 'cells'; got '$other'")
+    }
+
+
   private val Scale = 1000000000000L // 1e12 micro-units of rank mass
 
   /** PageRank (damping 0.85, `iters` fixed power iterations) over the
@@ -156,8 +172,9 @@ object Graph {
     * assumes ids fit a digit budget). Per-round localCheckpoint, the
     * iterative-op house rule; no driver-side state at all. */
   def labelProp(spark: SparkSession, dir: String, rounds: Int = 4,
-                threshold: Double = 0.15): DataFrame = {
-    val pairs = Dedup.embedDup(spark, dir, threshold)
+                threshold: Double = 0.15, blocking: String = "signcell",
+                nCells: Int = 9): DataFrame = {
+    val pairs = blockedPairs(spark, dir, threshold, blocking, nCells)
       .select(col("vec_a"), col("vec_b"))
     val edges = pairs.select(col("vec_a").as("src"), col("vec_b").as("dst"))
       .unionByName(pairs.select(col("vec_b").as("src"), col("vec_a").as("dst")))
@@ -210,8 +227,9 @@ object Graph {
     * all-pairs beyond the blocked pair build every graph op shares. */
   def dbscan(spark: SparkSession, dir: String, minPts: Int = 3,
              rounds: Int = 8, threshold: Double = 0.15,
-             ccTier: String = "bigstar"): DataFrame = {
-    val pairs = Dedup.embedDup(spark, dir, threshold)
+             ccTier: String = "bigstar", blocking: String = "signcell",
+             nCells: Int = 9): DataFrame = {
+    val pairs = blockedPairs(spark, dir, threshold, blocking, nCells)
       .select(col("vec_a"), col("vec_b"))
     val edges = pairs.select(col("vec_a").as("src"), col("vec_b").as("dst"))
       .unionByName(pairs.select(col("vec_b").as("src"), col("vec_a").as("dst")))
@@ -286,8 +304,9 @@ object Graph {
     * localCheckpoint per round (the iterative-op house rule), no driver
     * state beyond the O(1) edge-count convergence probe. */
   def kCore(spark: SparkSession, dir: String, k: Int = 2,
-            maxRounds: Int = 8, threshold: Double = 0.15): DataFrame = {
-    val pairs = Dedup.embedDup(spark, dir, threshold)
+            maxRounds: Int = 8, threshold: Double = 0.15,
+            blocking: String = "signcell", nCells: Int = 9): DataFrame = {
+    val pairs = blockedPairs(spark, dir, threshold, blocking, nCells)
       .select(col("vec_a"), col("vec_b"))
     var edges = pairs.select(col("vec_a").as("src"), col("vec_b").as("dst"))
       .unionByName(pairs.select(col("vec_b").as("src"), col("vec_a").as("dst")))

@@ -64,6 +64,22 @@ object ScaleCurve {
     // Apriori rules (basket dedup + item-bounded pair join, linear in
     // events).
     val r8c = args.length > 1 && args.drop(1).contains("r8c")
+    // `r9` measures the graph family on the PRODUCTION cells-scaled
+    // blocking (embedDupCells: two-level product quantizer, nCells =
+    // 8 x fac so per-cell population stays ~constant as the corpus
+    // grows) — the x100 run the frozen-block tiers could not give
+    // (r8 verdict #1). Expected: edge volume and wall linear in fac at
+    // x100 where the frozen blocking bends quadratic; the assignment
+    // fold is O(sqrt(nCells)) per row by construction, so the quantizer
+    // itself cannot be the bend.
+    val r9 = args.length > 1 && args.drop(1).contains("r9")
+    // `skew` measures salt-vs-plain under a DELIBERATE Zipf hot key
+    // (r8 verdict #8): the per-pk compaction window is the operator class
+    // AQE cannot re-split (a window partition is atomic, unlike a join),
+    // so a pk holding ~half the feed serializes the plain form onto one
+    // task while the salted two-stage form stays spread. Output equality
+    // is PropertySpec's contract; this tier measures the WALL divergence.
+    val skew = args.length > 1 && args.drop(1).contains("skew")
     // keep: leave the replicated tables on disk for stage profiling
     // (graft.tools.Profile <dir> prefix) instead of the default cleanup
     val keep = args.length > 1 && args.drop(1).contains("keep")
@@ -124,7 +140,11 @@ object ScaleCurve {
       // the x100 join). Splitting at the source is the fix SCALE.md's
       // negative-result note prescribes — ingest writes many files; an
       // engine-side blanket reshuffle was measured a loss.
-      if (fac != 1) {
+      // skew-only runs skip the shared fact staging entirely: the tier
+      // stages its own feed, and lineitem x200+ in /tmp is pure waste
+      val skewOnly = skew && !(nearDup || stream || bpe || r6 || b5 || b6 ||
+        b9 || tws || r7 || r8 || r8c || r9)
+      if (fac != 1 && !skewOnly) {
         replicate(spark.read.parquet(s"$sf/lineitem.parquet"),
           Set("l_orderkey"), fac, perturbText = false)
           .repartition(64)
@@ -139,9 +159,10 @@ object ScaleCurve {
           .write.mode("overwrite").parquet(s"$dir/documents.parquet")
       }
       val root = if (fac == 1) sf else dir
-      val lf = spark.read.parquet(s"$root/lineitem.parquet")
-      val of = spark.read.parquet(s"$root/orders.parquet")
-      val df2 = spark.read.parquet(s"$root/documents.parquet")
+      lazy val lf = spark.read.parquet(s"$root/lineitem.parquet")
+      lazy val of = spark.read.parquet(s"$root/orders.parquet")
+      lazy val df2 = spark.read.parquet(s"$root/documents.parquet")
+      if (!skewOnly) {
       lf.count(); of.count(); df2.count() // warm footers + JIT
 
       time("q1_agg_shape", fac)(
@@ -161,6 +182,7 @@ object ScaleCurve {
       time("dedup_exact", fac)(
         df2.groupBy(md5(col("text"))).agg(count(lit(1))).count())
       time("dedup_lsh", fac)(graft.ops.Dedup.minhashLsh(spark, root).count())
+      }
       if (nearDup) {
         // near-dup composite, two tiers with different expected slopes:
         // decontaminate (keyed shingle semi-join) and dup_spans (positional
@@ -469,6 +491,73 @@ object ScaleCurve {
           p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
           ()
         }
+      }
+
+      if (r9) {
+        // same sign-reflected embedding replicas as the r8c graph tiers —
+        // the corpus grows in distinct directions, edge structure linear
+        val gdir = s"/tmp/graft-scalecurve-r9-emb-$fac"
+        val groot =
+          if (fac == 1) sf
+          else {
+            replicate(spark.read.parquet(s"$sf/embeddings.parquet"),
+              Set("vec_id"), fac, perturbText = false,
+              perturbEmbedding = true)
+              .repartition(64)
+              .write.mode("overwrite").parquet(s"$gdir/embeddings.parquet")
+            gdir
+          }
+        spark.read.parquet(s"$groot/embeddings.parquet").count() // warm
+        val cells = 8 * fac
+        time("edges_cells", fac)(
+          graft.ops.Dedup.embedDupCells(spark, groot, 0.15, cells).count())
+        time("lpa_cells", fac)(
+          graft.ops.Graph.labelProp(spark, groot,
+            blocking = "cells", nCells = cells).count())
+        time("dbscan_cells", fac)(
+          graft.ops.Graph.dbscan(spark, groot,
+            blocking = "cells", nCells = cells).count())
+        time("kcore_cells", fac)(
+          graft.ops.Graph.kCore(spark, groot,
+            blocking = "cells", nCells = cells).count())
+        if (fac != 1 && !keep) {
+          val p = new org.apache.hadoop.fs.Path(gdir)
+          p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+          ()
+        }
+      }
+
+      if (skew) {
+        // deterministic Zipf(s=3) pk via inverse-CDF over an md5 uniform
+        // (pk = floor((1-u)^(-1/(s-1)))): P(pk = k) ~ 1/k^3, so pk 1
+        // alone holds ~75% of the feed — the
+        // pathological hot key, reproducible on both engines and at every
+        // factor. The feed replicates events fac x with distinct offsets.
+        val feed = replicate(
+            spark.read.parquet(s"$sf/events.parquet")
+              .select(col("event_id"), col("user_id")),
+            Set("event_id"), math.max(fac, 1), perturbText = false)
+          .select(col("event_id").as("offset"), lit("t").as("table"),
+            expr("""cast(floor(power(1.0 - (cast(conv(substring(md5(concat('graft_zipf:', cast(event_id as string))), 1, 15), 16, 10) as double) / 1152921504606846976.0), -0.5)) as bigint)""")
+              .as("pk"),
+            // a realistic CDC payload (~256 B): the skew pathology is a
+            // WIDE hot partition — narrow 8-byte keys sort too fast
+            // single-task to ever hurt (measured: 25M-row hot key, 4.5 s)
+            expr("repeat(md5(cast(event_id as string)), 8)").as("data"))
+          .repartition(64)
+          .localCheckpoint(true)
+        val hot = feed.groupBy(col("pk")).count()
+          .orderBy(col("count").desc).limit(1).head()
+        println(s"SKEWFEED x$fac rows=${feed.count()} hottest pk=${hot.getLong(0)} share=${hot.getLong(1)}")
+        // aggregate over the payload so column pruning cannot narrow the
+        // window's sort rows to bare keys (count() alone measures an
+        // 8-byte-row sort, which never hurts)
+        time("lww_plain", fac)(
+          graft.cdc.Transforms.lastWriteWins(feed, col("pk"))
+            .agg(sum(length(col("data")))).head().getLong(0))
+        time("lww_salted", fac)(
+          graft.cdc.Transforms.saltedLastWriteWins(feed, col("pk"), salt = 16)
+            .agg(sum(length(col("data")))).head().getLong(0))
       }
 
       if (r6) {
