@@ -690,6 +690,24 @@ object Dedup {
     * independently in the within-cell-answer spec. */
   def embedDupCells(spark: SparkSession, dir: String, threshold: Double = 0.3,
                     nCells: Int = 9): DataFrame = {
+    val assigned = productCellAssign(spark, dir, nCells)
+    val a = assigned.alias("a")
+    val b = assigned.alias("b")
+    a.join(b, col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cosine", round(
+        expr("graft_dot(a.v, b.v)") / (col("a.norm") * col("b.norm")), 4))
+      .filter(col("cosine") >= threshold)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cosine"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** The two-level product-quantizer cell ASSIGNMENT itself — (vec_id, v,
+    * norm, cell), localCheckpointed (it always feeds a self-join or a
+    * multi-consumer graph build; the AQE exchange-reuse house rule).
+    * Shared by [[embedDupCells]] and the kNN/hubness cells tier
+    * ([[graft.ops.Similarity.knnGraph]] with `blocking = "cells"`). */
+  private[graft] def productCellAssign(spark: SparkSession, dir: String,
+                                       nCells: Int): DataFrame = {
     require(nCells >= 1, s"nCells must be >= 1; got $nCells")
     graft.functions.VectorFunctions.register(spark)
     val k = math.max(1, math.ceil(math.sqrt(nCells.toDouble)).toInt)
@@ -716,23 +734,12 @@ object Dedup {
           col("v1").as("sv"), col("n1").as("snorm")))).as("cells1"),
         sort_array(collect_list(struct(col("vec_id").as("seed_id"),
           col("v2").as("sv"), col("n2").as("snorm")))).as("cells2"))
-    // localCheckpoint: the assignment feeds BOTH sides of the pair join —
-    // without it the broadcast boundary re-runs the fold per consumer
-    // (the AQE exchange-reuse house rule)
-    val assigned = e.crossJoin(broadcast(seeds))
+    e.crossJoin(broadcast(seeds))
       .withColumn("c1", expr(halfFold("cells1", "v1", "n1")))
       .withColumn("c2", expr(halfFold("cells2", "v2", "n2")))
       .select(col("vec_id"), col("v"), col("norm"),
         (col("c1") * k + col("c2")).as("cell"))
       .localCheckpoint(true)
-    val a = assigned.alias("a")
-    val b = assigned.alias("b")
-    a.join(b, col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cosine", round(
-        expr("graft_dot(a.v, b.v)") / (col("a.norm") * col("b.norm")), 4))
-      .filter(col("cosine") >= threshold)
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cosine"))
-      .orderBy(col("vec_a"), col("vec_b"))
   }
 
   /** Embeddings with double components, their norm, and the (label, sign

@@ -220,8 +220,9 @@ object Similarity {
     * [[knnGraph]] edges (k rows per vector, never all-pairs), left-joined
     * back to the pruned id column so antihubs (N_k = 0) stay visible —
     * the hub/antihub asymmetry IS the diagnostic. */
-  def hubness(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
-    val occ = knnGraph(spark, dir, k)
+  def hubness(spark: SparkSession, dir: String, k: Int = 3,
+              blocking: String = "label", nCells: Int = 9): DataFrame = {
+    val occ = knnGraph(spark, dir, k, blocking, nCells)
       .groupBy(col("n_id").as("vec_id")).agg(count(lit(1)).as("k_occ"))
     Tables(spark, dir, "embeddings").select(col("vec_id"))
       .join(occ, Seq("vec_id"), "left")
@@ -1067,8 +1068,9 @@ object Similarity {
     * candidate set (cell size per source). [[knnGraphWindow]] keeps the
     * window formulation as the semantic reference; a spec pins them
     * byte-identical. */
-  def knnGraph(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
-    val scored = knnCandidates(spark, dir)
+  def knnGraph(spark: SparkSession, dir: String, k: Int = 3,
+               blocking: String = "label", nCells: Int = 9): DataFrame = {
+    val scored = knnCandidates(spark, dir, blocking, nCells)
     scored.groupBy(col("src_id"))
       .agg(graft.functions.TopKAgg(k, col("cos"), col("n_id")).as("nn"))
       .select(col("src_id"), posexplode(col("nn")).as(Seq("pos", "s")))
@@ -1080,8 +1082,9 @@ object Similarity {
   /** The window-ranked formulation of [[knnGraph]] — same answer, but the
     * exchange carries every candidate pair; kept as the reference
     * semantics for the equality spec. */
-  def knnGraphWindow(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
-    val scored = knnCandidates(spark, dir)
+  def knnGraphWindow(spark: SparkSession, dir: String, k: Int = 3,
+                     blocking: String = "label", nCells: Int = 9): DataFrame = {
+    val scored = knnCandidates(spark, dir, blocking, nCells)
     val w = Window.partitionBy(col("src_id"))
       .orderBy(col("cos").desc, col("n_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -1091,13 +1094,31 @@ object Similarity {
       .orderBy(col("src_id"), col("rank"))
   }
 
-  private def knnCandidates(spark: SparkSession, dir: String): DataFrame = {
-    val e = withVec(spark, dir)
-    val a = e.alias("c")
-    val b = e.alias("q")
-    a.join(b,
-      col("q.label") === col("c.label") && col("q.vec_id") =!= col("c.vec_id"))
-      .select(col("q.vec_id").as("src_id"), col("c.vec_id").as("n_id"),
-        cosine.as("cos"))
+  /** Candidate pairs for the kNN graph: `blocking = "label"` is the
+    * gate/oracle form (frozen blocks — per-block quadratic at corpus
+    * scale); `"cells"` rides the cells-SCALED two-level product quantizer
+    * ([[graft.ops.Dedup.productCellAssign]], the r8 verdict #1 posture) —
+    * nCells tracks the corpus, per-cell candidate volume constant. */
+  private def knnCandidates(spark: SparkSession, dir: String,
+                            blocking: String = "label",
+                            nCells: Int = 9): DataFrame = blocking match {
+    case "label" =>
+      val e = withVec(spark, dir)
+      val a = e.alias("c")
+      val b = e.alias("q")
+      a.join(b,
+        col("q.label") === col("c.label") && col("q.vec_id") =!= col("c.vec_id"))
+        .select(col("q.vec_id").as("src_id"), col("c.vec_id").as("n_id"),
+          cosine.as("cos"))
+    case "cells" =>
+      val e = graft.ops.Dedup.productCellAssign(spark, dir, nCells)
+      val a = e.alias("c")
+      val b = e.alias("q")
+      a.join(b,
+        col("q.cell") === col("c.cell") && col("q.vec_id") =!= col("c.vec_id"))
+        .select(col("q.vec_id").as("src_id"), col("c.vec_id").as("n_id"),
+          cosine.as("cos"))
+    case other => throw new IllegalArgumentException(
+      s"knn blocking must be 'label' or 'cells'; got '$other'")
   }
 }

@@ -520,6 +520,12 @@ object ScaleCurve {
         time("kcore_cells", fac)(
           graft.ops.Graph.kCore(spark, groot,
             blocking = "cells", nCells = cells).count())
+        time("knn_cells_q", fac)(
+          graft.ops.Similarity.knnGraph(spark, groot,
+            blocking = "cells", nCells = cells).count())
+        time("hubness_cells", fac)(
+          graft.ops.Similarity.hubness(spark, groot,
+            blocking = "cells", nCells = cells).count())
         if (fac != 1 && !keep) {
           val p = new org.apache.hadoop.fs.Path(gdir)
           p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)

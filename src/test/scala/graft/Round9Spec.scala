@@ -107,4 +107,23 @@ class Round9Spec extends SparkSpec {
       .collect().map(r => r.getLong(1))
     assert(kc.forall(_ >= 2L), "every surviving node keeps >= k neighbors")
   }
+
+  test("knnGraph on the cells blocking: TopKAgg and window formulations " +
+    "stay byte-identical, <= k neighbors per source, hubness edges conserve") {
+    import graft.ops.Similarity
+    val nCells = 9
+    val agg = Similarity.knnGraph(spark, dir0, k = 3,
+      blocking = "cells", nCells = nCells)
+    val win = Similarity.knnGraphWindow(spark, dir0, k = 3,
+      blocking = "cells", nCells = nCells)
+    assert(agg.exceptAll(win).count() === 0L)
+    assert(win.exceptAll(agg).count() === 0L)
+    val perSrc = agg.groupBy(col("src_id")).count().collect().map(_.getLong(1))
+    assert(perSrc.nonEmpty && perSrc.forall(_ <= 3L))
+    val edges = agg.count()
+    val occSum = Similarity.hubness(spark, dir0, k = 3,
+        blocking = "cells", nCells = nCells)
+      .agg(sum(col("k_occ"))).head().getLong(0)
+    assert(occSum === edges, "k-occurrence totals must conserve the edge count")
+  }
 }
