@@ -27,75 +27,111 @@ import org.apache.spark.sql.functions._
   * longer re-apply payloads those writes superseded.
   *
   * Scale posture: one keyed merge + write per batch, the same bound as the
-  * sink apply it shadows. With `numBuckets` set the store is partitioned by
-  * the SAME pk-hash bucket as [[BucketedUpsertSink]] and a batch rewrites
-  * only the buckets it touches (dynamic partition overwrite, pruned read) —
-  * O(changed buckets), never the whole map. Entries are never deleted: a
-  * deleted pk's watermark still guards against a late stale replay
-  * resurrecting the row.
+  * sink apply it shadows — and an EMPTY batch (a multi-sync config where one
+  * table got no events, or a batch whose rows were all quarantined) returns
+  * before touching the store at all: no read, no rewrite, and crucially no
+  * initial empty dynamic-partitioned write, which would leave a file-less
+  * dir (only _SUCCESS) that `spark.read.parquet` cannot infer a schema from
+  * and that would crash every later batch. With `numBuckets` set the store
+  * is partitioned by the SAME pk-hash bucket as [[BucketedUpsertSink]] and a
+  * batch rewrites only the buckets it touches (dynamic partition overwrite,
+  * pruned read) — O(changed buckets), never the whole map. Entries are never
+  * deleted: a deleted pk's watermark still guards against a late stale
+  * replay resurrecting the row.
+  *
+  * The per-pk map guards rows the STREAM applied. Rows loaded by a full
+  * snapshot rebuild ([[Pipeline.refresh]]/backfill) never pass through
+  * `advance`, so they get a separate sync-LEVEL guard: the snapshot floor
+  * ([[recordSnapshotFloor]]) — the max source offset observed (applied or
+  * quarantined) when the snapshot was taken. A snapshot holds the source's
+  * then-current state, so it supersedes EVERY payload observed before it;
+  * [[splitStale]] discards repaired rows at or below the floor even when
+  * their pk has no per-pk entry.
   */
 object OffsetWatermark {
 
   /** Stored max-applied-offset column. */
   val OffsetCol = "_wm_offset"
 
+  /** Above this many distinct repaired pks, [[splitStale]] stops
+    * broadcasting the probe list and falls back to a shuffle join: a bulk
+    * repair after a systematic quarantine (e.g. a decoder regression) can
+    * hold millions of pks, and an unbounded broadcast of them would OOM the
+    * driver — the same mechanical bounded-driver-work premise as the
+    * mmrRerank/contextPack require guards. */
+  val MaxBroadcastProbes = 1000000L
+
   def path(statePath: String): String = statePath + ".wm"
+
+  /** Sidecar file holding the sync-level snapshot floor. */
+  def floorPath(statePath: String): String = statePath + ".wm.floor"
+
+  /** True iff the watermark dir holds actual DATA (bucket partition dirs or
+    * parquet part files) — `_SUCCESS` alone does not count, so a historical
+    * schema-less empty write reads as absent and the next real batch heals
+    * it via the initial-write path. Also heals an interrupted atomic swap
+    * first (the [[BucketedUpsertSink]] hasBuckets discipline). */
+  private def hasData(spark: SparkSession, dir: String): Boolean = {
+    UpsertSink.recoverSwap(spark, dir)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).exists { s =>
+      val n = s.getPath.getName
+      n.startsWith(BucketedUpsertSink.BucketCol + "=") || n.endsWith(".parquet")
+    }
+  }
 
   /** Current watermark table (pk, [[OffsetCol]]); None if never written. */
   def current(spark: SparkSession, statePath: String): Option[DataFrame] = {
     val dir = path(statePath)
-    UpsertSink.recoverSwap(spark, dir)
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p) && fs.listStatus(p).nonEmpty)
+    if (hasData(spark, dir))
       Some(spark.read.parquet(dir).drop(BucketedUpsertSink.BucketCol))
     else None
   }
 
   /** Advance the watermark with one batch's applied (pk, offset) rows.
     * Monotone: stored values only ever increase (greatest of old and new),
-    * so re-advancing with an already-applied batch is a no-op. */
+    * so re-advancing with an already-applied batch is a no-op. An empty
+    * batch is a full no-op (no store read or rewrite — see the scale notes
+    * above). */
   def advance(spark: SparkSession, statePath: String, applied: DataFrame,
               pk: String, numBuckets: Option[Int]): Unit = {
     val batch = applied.groupBy(col(pk)).agg(max(col("offset")).as(OffsetCol))
+    if (batch.isEmpty) return
     val dir = path(statePath)
-    current(spark, statePath) match {
-      case None =>
-        numBuckets match {
-          case Some(n) =>
-            batch.withColumn(BucketedUpsertSink.BucketCol,
-                BucketedUpsertSink.bucketOf(col(pk), n))
-              .write.mode("overwrite")
-              .partitionBy(BucketedUpsertSink.BucketCol).parquet(dir)
-          case None =>
-            batch.write.mode("overwrite").parquet(dir)
-        }
-      case Some(stored) =>
-        numBuckets match {
-          case Some(n) =>
-            // prune the stored read to the touched buckets; the distinct
-            // collect is O(buckets) (config-bounded), the house pattern
-            // from BucketedUpsertSink.applyBatch
-            val withBucket = batch.withColumn(BucketedUpsertSink.BucketCol,
+    val exists = hasData(spark, dir)
+    numBuckets match {
+      case Some(n) =>
+        val withBucket = batch.withColumn(BucketedUpsertSink.BucketCol,
+          BucketedUpsertSink.bucketOf(col(pk), n))
+        if (!exists) {
+          withBucket.write.mode("overwrite")
+            .partitionBy(BucketedUpsertSink.BucketCol).parquet(dir)
+        } else {
+          // prune the stored read to the touched buckets; the distinct
+          // collect is O(buckets) (config-bounded), the house pattern
+          // from BucketedUpsertSink.applyBatch
+          val touched = withBucket.select(BucketedUpsertSink.BucketCol)
+            .distinct().collect().map(_.getLong(0)).sorted
+          val slice = spark.read.parquet(dir)
+            .filter(col(BucketedUpsertSink.BucketCol).isin(touched: _*))
+            .drop(BucketedUpsertSink.BucketCol)
+          merge(slice, withBucket.drop(BucketedUpsertSink.BucketCol), pk)
+            .withColumn(BucketedUpsertSink.BucketCol,
               BucketedUpsertSink.bucketOf(col(pk), n))
-            val touched = withBucket.select(BucketedUpsertSink.BucketCol)
-              .distinct().collect().map(_.getLong(0)).sorted
-            if (touched.isEmpty) return
-            val slice = spark.read.parquet(dir)
-              .filter(col(BucketedUpsertSink.BucketCol).isin(touched: _*))
-              .drop(BucketedUpsertSink.BucketCol)
-            merge(slice, withBucket.drop(BucketedUpsertSink.BucketCol), pk)
-              .withColumn(BucketedUpsertSink.BucketCol,
-                BucketedUpsertSink.bucketOf(col(pk), n))
-              .write.mode("overwrite")
-              .option("partitionOverwriteMode", "dynamic")
-              .partitionBy(BucketedUpsertSink.BucketCol)
-              .parquet(dir)
-          case None =>
-            val next = merge(stored, batch, pk)
-            val tmp = dir + ".next"
-            next.write.mode("overwrite").parquet(tmp)
-            UpsertSink.atomicSwapDirs(spark, tmp, dir)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(BucketedUpsertSink.BucketCol)
+            .parquet(dir)
+        }
+      case None =>
+        if (!exists) {
+          batch.write.mode("overwrite").parquet(dir)
+        } else {
+          val next = merge(spark.read.parquet(dir), batch, pk)
+          val tmp = dir + ".next"
+          next.write.mode("overwrite").parquet(tmp)
+          UpsertSink.atomicSwapDirs(spark, tmp, dir)
         }
     }
   }
@@ -110,25 +146,71 @@ object OffsetWatermark {
                  coalesce(col("__b"), col("__s"))).as(OffsetCol))
   }
 
+  /** Record the sync-level snapshot floor after a full rebuild: every
+    * payload with offset <= `floor` was observed before the snapshot and is
+    * superseded by it. Written via temp-file + atomic rename; the caller
+    * writes it AFTER the sink swap commits, so a crash between the two
+    * leaves the floor conservatively LOW (stale replays stay possible in
+    * that window — the pre-snapshot semantics — and re-running the rebuild
+    * heals it) rather than dangerously high (which would silently discard
+    * repairs the sink never received). */
+  def recordSnapshotFloor(spark: SparkSession, statePath: String, floor: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(floorPath(statePath))
+    val tmp = new org.apache.hadoop.fs.Path(floorPath(statePath) + ".next")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(tmp, true)
+    try out.write(floor.toString.getBytes("UTF-8")) finally out.close()
+    if (fs.exists(p)) { fs.delete(p, false); () }
+    fs.rename(tmp, p); ()
+  }
+
+  /** The recorded snapshot floor; 0 if no snapshot rebuild ever ran (no
+    * source offset is ever <= 0, so 0 fences nothing). */
+  def snapshotFloor(spark: SparkSession, statePath: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(floorPath(statePath))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0L
+    else {
+      val in = fs.open(p)
+      try {
+        val bytes = new Array[Byte](32)
+        val n = in.read(bytes)
+        new String(bytes, 0, math.max(n, 0), "UTF-8").trim.toLong
+      } finally in.close()
+    }
+  }
+
   /** Split repaired dead-letter rows into (fresh, superseded) against the
-    * watermark: a row is superseded iff the sink has already applied a
-    * STRICTLY newer offset for its pk. Rows at the watermark exactly are
-    * fresh — re-applying them is the idempotent at-least-once case. The
-    * watermark side is pruned to the replay's pks via a broadcast of the
-    * (small, operator-repaired) probe list before the join, so the stored
-    * map is never shuffled wholesale for a replay. */
-  def splitStale(ready: DataFrame, wm: Option[DataFrame], pk: String)
-      : (DataFrame, DataFrame) = wm match {
-    case None => (ready, ready.limit(0))
-    case Some(w) =>
-      val probes = ready.select(col(pk)).distinct()
-      val slice = w.join(broadcast(probes), Seq(pk))
-        .withColumnRenamed(OffsetCol, "__wm")
-      val j = ready.join(slice, Seq(pk), "left").localCheckpoint()
-      val fresh = j.filter(col("__wm").isNull || col("offset") >= col("__wm"))
-        .drop("__wm")
-      val stale = j.filter(col("__wm").isNotNull && col("offset") < col("__wm"))
-        .drop("__wm")
-      (fresh, stale)
+    * watermark and the snapshot floor: a row is superseded iff the sink has
+    * already applied a STRICTLY newer offset for its pk, OR a snapshot
+    * rebuild observed the row's offset (offset <= floor — the snapshot holds
+    * the source's state from a later point, whether or not the pk has a
+    * per-pk entry). Rows at the per-pk watermark exactly are fresh —
+    * re-applying them is the idempotent at-least-once case. The watermark
+    * side is pruned to the replay's pks before the join — via broadcast when
+    * the probe list is small ([[MaxBroadcastProbes]]), via a shuffle join on
+    * a bulk repair — so the stored map is never shuffled wholesale for an
+    * ordinary replay and a huge one cannot OOM the driver. */
+  def splitStale(ready: DataFrame, wm: Option[DataFrame], pk: String,
+                 floor: Long = 0L,
+                 maxBroadcastProbes: Long = MaxBroadcastProbes)
+      : (DataFrame, DataFrame) = {
+    val j = wm match {
+      case None => ready.withColumn("__wm", lit(null).cast("long"))
+      case Some(w) =>
+        val probes = ready.select(col(pk)).distinct()
+        val wmNamed = w.withColumnRenamed(OffsetCol, "__wm")
+        val slice =
+          if (probes.count() <= maxBroadcastProbes)
+            wmNamed.join(broadcast(probes), Seq(pk))
+          else wmNamed.join(probes, Seq(pk))
+        ready.join(slice, Seq(pk), "left").localCheckpoint()
+    }
+    // floor == 0 means "no snapshot ever" and fences nothing, even for a
+    // source whose offsets happen to start at 0
+    val floorCond = if (floor > 0L) col("offset") <= lit(floor) else lit(false)
+    val staleCond = floorCond ||
+      (col("__wm").isNotNull && col("offset") < col("__wm"))
+    (j.filter(!staleCond).drop("__wm"), j.filter(staleCond).drop("__wm"))
   }
 }

@@ -275,6 +275,14 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
     * retried after interleaved stream writes re-screens and discards what
     * those writes superseded, instead of re-applying it.
     *
+    * Snapshot-loaded rows get the sync-LEVEL guard (r9 review): a full
+    * rebuild ([[refresh]]/[[backfillIfNeeded]]) loads the source's current
+    * state WITHOUT advancing the per-pk watermark, so a pk that only ever
+    * appeared in quarantine has no entry and a stale replay would overwrite
+    * its refreshed value. Those rebuilds record the snapshot floor — the
+    * max offset observed (applied or quarantined) at snapshot time — and
+    * replay discards every repaired row at or below it.
+    *
     * Returns per-table (replayed, superseded, still quarantined). The
     * reference has no analog: it raises `KeyError` and dies on the first
     * pk-less event (`event.py:11`). */
@@ -291,7 +299,8 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
           val dl = spark.read.parquet(path)
           val ready = dl.filter(col(pk).isNotNull)
           val (fresh, stale) = OffsetWatermark.splitStale(
-            ready, OffsetWatermark.current(spark, statePath(s)), pk)
+            ready, OffsetWatermark.current(spark, statePath(s)), pk,
+            OffsetWatermark.snapshotFloor(spark, statePath(s)))
           val nFresh = fresh.count()
           val nStale = stale.count()
           if (nFresh > 0) {
@@ -337,6 +346,33 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
       case _ => ()
     }
 
+  /** Max source offset this pipeline has OBSERVED for a sync — applied
+    * (per-pk watermark) or quarantined (dead-letter envelopes). A full
+    * rebuild records this as the snapshot floor: the snapshot's content is
+    * newer than everything observed up to it, so replay must not re-apply
+    * any of it. */
+  private def observedOffsetCeiling(sync: SyncConfig): Long = {
+    val wmMax = OffsetWatermark.current(spark, statePath(sync))
+      .flatMap(w => Option(
+        w.agg(max(col(OffsetWatermark.OffsetCol))).head.get(0)))
+      .fold(0L)(_.asInstanceOf[Long])
+    val dlPath = new org.apache.hadoop.fs.Path(deadLetterPath(sync))
+    val fs = dlPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dlMax =
+      if (!fs.exists(dlPath)) 0L
+      else Option(spark.read.parquet(deadLetterPath(sync))
+        .agg(max(col("offset"))).head.get(0)).fold(0L)(_.asInstanceOf[Long])
+    math.max(wmMax, dlMax)
+  }
+
+  /** Floor write shared by every snapshot path — AFTER the sink swap, so a
+    * crash between the two leaves the floor conservatively low (see
+    * [[OffsetWatermark.recordSnapshotFloor]]); re-running the rebuild
+    * heals the window. */
+  private def fenceReplays(sync: SyncConfig): Unit =
+    OffsetWatermark.recordSnapshotFloor(spark, statePath(sync),
+      observedOffsetCeiling(sync))
+
   /** K3 bootstrap backfill: if `sync.full` and the sink is absent, load the
     * full scan before tailing (`main.py:84-101`). */
   def backfillIfNeeded(): Unit = config.syncs.foreach { sync =>
@@ -348,6 +384,7 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
         case None =>
           SwapRefresh.refresh(source.fullScan(sync), statePath(sync)); ()
       }
+      fenceReplays(sync)
     }
   }
 
@@ -435,6 +472,7 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
           config.stateBuckets.map(nb => (pkOut(s), nb)))
         // every bucket may have changed under the swap — rebuild, don't splice
         rebuildZoneMap(s)
+        fenceReplays(s)
         s.table -> n
       }
       .toMap
@@ -453,6 +491,7 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
           SwapRefresh.refresh(source.fullScan(s), statePath(s),
             config.stateBuckets.map(nb => (pkOut(s), nb)))
           rebuildZoneMap(s)
+          fenceReplays(s)
         }
       }
       .toMap

@@ -711,14 +711,21 @@ object Dedup {
     require(nCells >= 1, s"nCells must be >= 1; got $nCells")
     graft.functions.VectorFunctions.register(spark)
     val k = math.max(1, math.ceil(math.sqrt(nCells.toDouble)).toInt)
+    // the transform scores each seed ONCE (the dot product is the whole
+    // per-row assignment cost); the fold then argmaxes over the small
+    // (score, cell) structs — strict >, first seed wins ties, same
+    // -2.0/-1.5 sentinels as before (r9 review: inlining the score into
+    // both branches of the fold lambda made Catalyst evaluate every dot
+    // product twice)
     def halfFold(cells: String, v: String, n: String) =
-      s"""aggregate($cells,
+      s"""aggregate(
+         |  transform($cells, s -> named_struct(
+         |    'score', if($n * s.snorm = 0D, cast(-1.5 as double),
+         |               graft_dot($v, s.sv) / ($n * s.snorm)),
+         |    'cell', s.seed_id)),
          |  named_struct('best', cast(-2.0 as double), 'cell', -1L),
-         |  (acc, s) -> if(if($n * s.snorm = 0D, cast(-1.5 as double),
-         |                   graft_dot($v, s.sv) / ($n * s.snorm)) > acc.best,
-         |    named_struct('best', if($n * s.snorm = 0D, cast(-1.5 as double),
-         |                   graft_dot($v, s.sv) / ($n * s.snorm)),
-         |                 'cell', s.seed_id),
+         |  (acc, s) -> if(s.score > acc.best,
+         |    named_struct('best', s.score, 'cell', s.cell),
          |    acc)).cell""".stripMargin
     val e = Tables(spark, dir, "embeddings")
       .select(col("vec_id"),

@@ -1101,24 +1101,18 @@ object Similarity {
     * nCells tracks the corpus, per-cell candidate volume constant. */
   private def knnCandidates(spark: SparkSession, dir: String,
                             blocking: String = "label",
-                            nCells: Int = 9): DataFrame = blocking match {
-    case "label" =>
-      val e = withVec(spark, dir)
-      val a = e.alias("c")
-      val b = e.alias("q")
-      a.join(b,
-        col("q.label") === col("c.label") && col("q.vec_id") =!= col("c.vec_id"))
-        .select(col("q.vec_id").as("src_id"), col("c.vec_id").as("n_id"),
-          cosine.as("cos"))
-    case "cells" =>
-      val e = graft.ops.Dedup.productCellAssign(spark, dir, nCells)
-      val a = e.alias("c")
-      val b = e.alias("q")
-      a.join(b,
-        col("q.cell") === col("c.cell") && col("q.vec_id") =!= col("c.vec_id"))
-        .select(col("q.vec_id").as("src_id"), col("c.vec_id").as("n_id"),
-          cosine.as("cos"))
-    case other => throw new IllegalArgumentException(
-      s"knn blocking must be 'label' or 'cells'; got '$other'")
+                            nCells: Int = 9): DataFrame = {
+    val (e, key) = blocking match {
+      case "label" => (withVec(spark, dir), "label")
+      case "cells" => (graft.ops.Dedup.productCellAssign(spark, dir, nCells), "cell")
+      case other => throw new IllegalArgumentException(
+        s"knn blocking must be 'label' or 'cells'; got '$other'")
+    }
+    val a = e.alias("c")
+    val b = e.alias("q")
+    a.join(b,
+      col(s"q.$key") === col(s"c.$key") && col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("src_id"), col("c.vec_id").as("n_id"),
+        cosine.as("cos"))
   }
 }

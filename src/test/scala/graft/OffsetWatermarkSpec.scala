@@ -1,0 +1,158 @@
+package graft
+
+import graft.cdc._
+import graft.model._
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The r9 review findings on the offset-watermark sidecar: empty-batch
+  * no-op (a first empty dynamic-partitioned write used to leave a
+  * schema-less dir that crashed every later batch), the snapshot floor
+  * (refresh/backfill never advance the per-pk map, so pre-snapshot
+  * quarantined rows used to replay over refreshed state), and the bounded
+  * probe broadcast in splitStale. */
+class OffsetWatermarkSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def wmOf(statePath: String): Map[Int, Long] =
+    OffsetWatermark.current(spark, statePath).map(
+      _.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap)
+      .getOrElse(Map.empty)
+
+  test("advance: an empty batch is a full no-op — no store created, no " +
+    "rewrite — in both the bucketed and flat layouts (r9 review: the empty " +
+    "bucketed first write seeded a schema-less dir that crashed current())") {
+    val empty = Seq.empty[(Int, Long)].toDF("id", "offset")
+    val some = Seq((1, 10L), (2, 20L)).toDF("id", "offset")
+    for (buckets <- Seq(Some(4), None)) {
+      val statePath = tmpDir("wm-empty") + "/state"
+      OffsetWatermark.advance(spark, statePath, empty, "id", buckets)
+      assert(OffsetWatermark.current(spark, statePath).isEmpty,
+        s"empty first batch must not create the store (buckets=$buckets)")
+      assert(!new java.io.File(OffsetWatermark.path(statePath)).exists(),
+        s"no dir at all should appear (buckets=$buckets)")
+      // the store must still bootstrap and read back fine afterwards
+      OffsetWatermark.advance(spark, statePath, some, "id", buckets)
+      assert(wmOf(statePath) === Map(1 -> 10L, 2 -> 20L))
+      // an empty batch against an EXISTING store: no rewrite (mtimes frozen)
+      val dir = new java.io.File(OffsetWatermark.path(statePath))
+      val before = dir.listFiles().map(f => f.getName -> f.lastModified).toMap
+      OffsetWatermark.advance(spark, statePath, empty, "id", buckets)
+      val after = dir.listFiles().map(f => f.getName -> f.lastModified).toMap
+      assert(after === before, s"empty batch must not rewrite (buckets=$buckets)")
+      assert(wmOf(statePath) === Map(1 -> 10L, 2 -> 20L))
+    }
+  }
+
+  test("current: a historical schema-less watermark dir (only _SUCCESS) " +
+    "reads as absent and the next real batch heals it") {
+    val statePath = tmpDir("wm-heal") + "/state"
+    val dir = new java.io.File(OffsetWatermark.path(statePath))
+    assert(dir.mkdirs())
+    assert(new java.io.File(dir, "_SUCCESS").createNewFile())
+    assert(OffsetWatermark.current(spark, statePath).isEmpty,
+      "_SUCCESS alone must not count as data")
+    OffsetWatermark.advance(spark, statePath,
+      Seq((5, 50L)).toDF("id", "offset"), "id", Some(4))
+    assert(wmOf(statePath) === Map(5 -> 50L))
+  }
+
+  test("splitStale: above the broadcast bound the shuffle path returns " +
+    "identical (fresh, stale) splits") {
+    val ready = Seq(
+      (1, 5L, "keep-at-wm"), (1, 3L, "stale"), (2, 9L, "newer"),
+      (3, 1L, "no-wm-entry")).toDF("id", "offset", "tag")
+    val wm = Seq((1, 5L), (2, 7L))
+      .toDF("id", OffsetWatermark.OffsetCol)
+    def run(maxBroadcast: Long): (Set[String], Set[String]) = {
+      val (f, s) = OffsetWatermark.splitStale(ready, Some(wm), "id",
+        floor = 0L, maxBroadcastProbes = maxBroadcast)
+      (f.select("tag").as[String].collect().toSet,
+        s.select("tag").as[String].collect().toSet)
+    }
+    val viaBroadcast = run(Long.MaxValue)
+    val viaShuffle = run(1L) // 3 distinct pks > 1 forces the shuffle join
+    assert(viaBroadcast ===
+      ((Set("keep-at-wm", "newer", "no-wm-entry"), Set("stale"))))
+    assert(viaShuffle === viaBroadcast)
+  }
+
+  test("splitStale: the snapshot floor supersedes rows with NO per-pk " +
+    "watermark entry; floor 0 fences nothing even at offset 0") {
+    val ready = Seq(
+      (7, 2L, "pre-snapshot"), (9, 5L, "post-snapshot"), (4, 0L, "offset-zero"))
+      .toDF("id", "offset", "tag")
+    val (f0, s0) = OffsetWatermark.splitStale(ready, None, "id", floor = 0L)
+    assert(f0.count() === 3L && s0.count() === 0L,
+      "no snapshot => nothing fenced, even offset 0")
+    val (f2, s2) = OffsetWatermark.splitStale(ready, None, "id", floor = 2L)
+    assert(f2.select("tag").as[String].collect().toSet === Set("post-snapshot"))
+    assert(s2.select("tag").as[String].collect().toSet ===
+      Set("pre-snapshot", "offset-zero"))
+  }
+
+  test("refresh fences replays: a pre-snapshot quarantined row repaired to " +
+    "a pk the stream never applied is DISCARDED, not replayed over the " +
+    "refreshed value; a post-refresh quarantine still replays (r9 review)") {
+    val sinkRoot = tmpDir("sink-fence")
+    val sync = SyncConfig("t", pk = "id", full = false,
+      schema = Some(StructType(Seq(
+        StructField("id", IntegerType), StructField("name", StringType)))))
+    // the source-of-truth current state refresh() will snapshot
+    val snapshot = Seq((1, "ann-live"), (7, "bob-current")).toDF("id", "name")
+    val src = new MemoryCdcSource(spark, Map("t" -> snapshot))
+    val pipe = new Pipeline(spark, PipelineConfig(Seq(sync)), src, sinkRoot)
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val ckpt = tmpDir("ckpt-fence")
+    src.addEvents(
+      ChangeEvent("create", "t", 1, ts, """{"id": 1, "name": "ann"}"""),
+      // bob's event is quarantined (null pk), so NO per-pk watermark entry
+      // will ever exist for the pk it is later repaired to
+      ChangeEvent("create", "t", 2, ts, """{"id": null, "name": "stale-bob"}"""))
+    val q1 = pipe.start(ckpt)
+    q1.processAllAvailable(); q1.stop()
+    assert(pipe.sinkState(sync).collect().toSeq === Seq(Row(1, "ann")))
+
+    // snapshot rebuild: the sink now holds the source's CURRENT truth, and
+    // the floor covers everything observed so far (wm max 1, quarantine
+    // max 2 => floor 2)
+    assert(pipe.refresh() === Map("t" -> 2L))
+    assert(OffsetWatermark.snapshotFloor(
+      spark, s"$sinkRoot/${sync.indexName}") === 2L)
+    assert(pipe.sinkState(sync).collect().map(r =>
+      (r.getInt(0), r.getString(1))).toSet ===
+      Set((1, "ann-live"), (7, "bob-current")))
+
+    // operator repairs the pre-snapshot row to pk 7 — before this fix the
+    // replay applied it (pk 7 has no per-pk entry) and clobbered bob-current
+    val dl = pipe.deadLetterPath(sync)
+    val repaired = spark.read.parquet(dl)
+      .withColumn("id",
+        when(col("name") === "stale-bob", lit(7)).otherwise(col("id")))
+      .localCheckpoint(true)
+    repaired.write.mode("overwrite").parquet(dl)
+    assert(pipe.replayDeadLetters() === Map("t" -> ((0L, 1L, 0L))),
+      "the pre-snapshot payload is superseded by the snapshot")
+    assert(pipe.sinkState(sync).collect().map(r =>
+      (r.getInt(0), r.getString(1))).toSet ===
+      Set((1, "ann-live"), (7, "bob-current")),
+      "the refreshed value must survive the replay")
+
+    // a quarantine that happens AFTER the snapshot replays normally
+    src.addEvents(
+      ChangeEvent("create", "t", 5, ts, """{"id": null, "name": "late"}"""))
+    val q2 = pipe.start(ckpt)
+    q2.processAllAvailable(); q2.stop()
+    val repaired2 = spark.read.parquet(dl)
+      .withColumn("id",
+        when(col("name") === "late", lit(9)).otherwise(col("id")))
+      .localCheckpoint(true)
+    repaired2.write.mode("overwrite").parquet(dl)
+    assert(pipe.replayDeadLetters() === Map("t" -> ((1L, 0L, 0L))),
+      "offset 5 > floor 2: fresh")
+    assert(pipe.sinkState(sync).collect().map(r =>
+      (r.getInt(0), r.getString(1))).toSet ===
+      Set((1, "ann-live"), (7, "bob-current"), (9, "late")))
+  }
+}
