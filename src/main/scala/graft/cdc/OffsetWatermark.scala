@@ -1,23 +1,31 @@
 package graft.cdc
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Per-pk applied-offset high-watermark sidecar for an upsert sink.
+/** Per-pk applied-position high-watermark sidecar for an upsert sink.
   *
   * Why it exists: the dead-letter replay path ([[Pipeline.replayDeadLetters]])
   * re-applies operator-repaired quarantined rows through the live upsert
-  * tail. Those rows carry the SOURCE offset they were quarantined at, which
-  * may be far in the past by replay time — live batches may have applied
-  * newer changes to the same pk since. Upserting a repaired row by pk alone
-  * would overwrite that newer state with the stale quarantined payload (the
-  * r8 ADVICE medium finding). The sink table itself deliberately carries no
-  * offset column (schema evolution in the merge would leak it into the
-  * index — see [[Pipeline.applySync]]), so the watermark lives in a sidecar
-  * keyed table: pk -> max source offset ever applied for that pk. Replay
-  * consults it and DISCARDS any repaired row whose offset is below the
-  * sink's watermark for its pk (superseded by live data); live batches and
-  * replays both advance it.
+  * tail. Those rows carry the SOURCE position they were quarantined at,
+  * which may be far in the past by replay time — live batches may have
+  * applied newer changes to the same pk since. Upserting a repaired row by
+  * pk alone would overwrite that newer state with the stale quarantined
+  * payload (the r8 ADVICE medium finding). The sink table itself
+  * deliberately carries no offset column (schema evolution in the merge
+  * would leak it into the index — see [[Pipeline.applySync]]), so the
+  * watermark lives in a sidecar keyed table: pk -> max source position ever
+  * applied for that pk. Replay consults it and DISCARDS any repaired row
+  * whose position is below the sink's watermark for its pk (superseded by
+  * live data); live batches and replays both advance it.
+  *
+  * Position = (offset, _ridx), compared lexicographically: one multi-row
+  * envelope expands to several changes at ONE offset, ordered by `_ridx`
+  * (last-write-wins ties break on it — [[Pipeline.applySync]]), so a
+  * repaired row from such an event must also lose to an applied
+  * same-offset sibling with a higher row index. Offset alone would read
+  * that repair as fresh and invert the tiebreak the live path enforced
+  * (r9 review).
   *
   * Crash-safety is the same at-least-once -> effectively-exactly-once
   * argument as the sink itself: `advance` is idempotent (greatest() of the
@@ -43,7 +51,9 @@ import org.apache.spark.sql.functions._
   * snapshot rebuild ([[Pipeline.refresh]]/backfill) never pass through
   * `advance`, so they get a separate sync-LEVEL guard: the snapshot floor
   * ([[recordSnapshotFloor]]) — the max source offset observed (applied or
-  * quarantined) when the snapshot was taken. A snapshot holds the source's
+  * quarantined) when the snapshot was taken, captured BEFORE the snapshot
+  * scan starts so concurrent stream progress can only leave it
+  * conservatively low, never high. A snapshot holds the source's
   * then-current state, so it supersedes EVERY payload observed before it;
   * [[splitStale]] discards repaired rows at or below the floor even when
   * their pk has no per-pk entry.
@@ -52,6 +62,10 @@ object OffsetWatermark {
 
   /** Stored max-applied-offset column. */
   val OffsetCol = "_wm_offset"
+
+  /** Row index within the offset's envelope at which [[OffsetCol]] was
+    * applied (multi-row events; 0 for single-row). */
+  val RidxCol = "_wm_ridx"
 
   /** Above this many distinct repaired pks, [[splitStale]] stops
     * broadcasting the probe list and falls back to a shuffle join: a bulk
@@ -81,7 +95,8 @@ object OffsetWatermark {
     }
   }
 
-  /** Current watermark table (pk, [[OffsetCol]]); None if never written. */
+  /** Current watermark table (pk, [[OffsetCol]], [[RidxCol]]); None if
+    * never written. */
   def current(spark: SparkSession, statePath: String): Option[DataFrame] = {
     val dir = path(statePath)
     if (hasData(spark, dir))
@@ -89,14 +104,18 @@ object OffsetWatermark {
     else None
   }
 
-  /** Advance the watermark with one batch's applied (pk, offset) rows.
-    * Monotone: stored values only ever increase (greatest of old and new),
-    * so re-advancing with an already-applied batch is a no-op. An empty
-    * batch is a full no-op (no store read or rewrite — see the scale notes
-    * above). */
+  /** Advance the watermark with one batch's applied (pk, offset, _ridx)
+    * rows. Monotone: stored positions only ever increase (greatest of old
+    * and new), so re-advancing with an already-applied batch is a no-op. An
+    * empty batch is a full no-op (no store read or rewrite — see the scale
+    * notes above). */
   def advance(spark: SparkSession, statePath: String, applied: DataFrame,
               pk: String, numBuckets: Option[Int]): Unit = {
-    val batch = applied.groupBy(col(pk)).agg(max(col("offset")).as(OffsetCol))
+    val batch = applied
+      .groupBy(col(pk))
+      .agg(max(struct(col("offset"), col("_ridx"))).as("__m"))
+      .select(col(pk), col("__m.offset").as(OffsetCol),
+        col("__m._ridx").cast("int").as(RidxCol))
     if (batch.isEmpty) return
     val dir = path(statePath)
     val exists = hasData(spark, dir)
@@ -136,24 +155,35 @@ object OffsetWatermark {
     }
   }
 
-  /** Keyed greatest-merge: one shuffle on the pk, streams both sides. */
+  /** Keyed greatest-merge on the (offset, _ridx) pair: one shuffle on the
+    * pk, streams both sides. Struct comparison is lexicographic, which is
+    * exactly the position order. */
   private def merge(stored: DataFrame, batch: DataFrame, pk: String): DataFrame = {
-    val s = stored.withColumnRenamed(OffsetCol, "__s")
-    val b = batch.withColumnRenamed(OffsetCol, "__b")
+    val s = stored.select(col(pk),
+      struct(col(OffsetCol), col(RidxCol)).as("__s"))
+    val b = batch.select(col(pk),
+      struct(col(OffsetCol), col(RidxCol)).as("__b"))
     s.join(b, Seq(pk), "full_outer")
       .select(col(pk),
         greatest(coalesce(col("__s"), col("__b")),
-                 coalesce(col("__b"), col("__s"))).as(OffsetCol))
+                 coalesce(col("__b"), col("__s"))).as("__m"))
+      .select(col(pk), col(s"__m.$OffsetCol").as(OffsetCol),
+        col(s"__m.$RidxCol").as(RidxCol))
   }
 
   /** Record the sync-level snapshot floor after a full rebuild: every
     * payload with offset <= `floor` was observed before the snapshot and is
-    * superseded by it. Written via temp-file + atomic rename; the caller
-    * writes it AFTER the sink swap commits, so a crash between the two
-    * leaves the floor conservatively LOW (stale replays stay possible in
-    * that window — the pre-snapshot semantics — and re-running the rebuild
-    * heals it) rather than dangerously high (which would silently discard
-    * repairs the sink never received). */
+    * superseded by it. Protocol: write the value to a temp file (closed
+    * before anything else moves), delete the old floor, rename the temp in
+    * — and [[snapshotFloor]] COMPLETES an interrupted swap (old deleted,
+    * temp not yet renamed) at read time, so a crash anywhere in the window
+    * never erases the fence; a failed rename raises instead of silently
+    * dropping it. The caller computes `floor` BEFORE the snapshot scan and
+    * writes it AFTER the sink swap commits, so every crash ordering leaves
+    * the floor conservatively LOW (stale replays stay possible in that
+    * window — the pre-snapshot semantics — and re-running the rebuild heals
+    * it) rather than dangerously high (which would silently discard repairs
+    * the sink never received). */
   def recordSnapshotFloor(spark: SparkSession, statePath: String, floor: Long): Unit = {
     val p = new org.apache.hadoop.fs.Path(floorPath(statePath))
     val tmp = new org.apache.hadoop.fs.Path(floorPath(statePath) + ".next")
@@ -161,56 +191,80 @@ object OffsetWatermark {
     val out = fs.create(tmp, true)
     try out.write(floor.toString.getBytes("UTF-8")) finally out.close()
     if (fs.exists(p)) { fs.delete(p, false); () }
-    fs.rename(tmp, p); ()
+    require(fs.rename(tmp, p),
+      s"cannot commit snapshot floor: rename $tmp -> $p failed")
   }
 
   /** The recorded snapshot floor; 0 if no snapshot rebuild ever ran (no
-    * source offset is ever <= 0, so 0 fences nothing). */
+    * fencing — see [[splitStale]]). Completes an interrupted
+    * [[recordSnapshotFloor]] swap first: the temp file is only ever left
+    * behind COMPLETE (it is closed before the old floor is deleted), so
+    * main-absent + temp-present means the new floor, never a torn write. */
   def snapshotFloor(spark: SparkSession, statePath: String): Long = {
     val p = new org.apache.hadoop.fs.Path(floorPath(statePath))
+    val tmp = new org.apache.hadoop.fs.Path(floorPath(statePath) + ".next")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p) && fs.exists(tmp)) {
+      require(fs.rename(tmp, p),
+        s"cannot complete interrupted snapshot-floor swap: $tmp -> $p")
+    }
     if (!fs.exists(p)) 0L
     else {
+      val len = fs.getFileStatus(p).getLen.toInt
+      val bytes = new Array[Byte](len)
       val in = fs.open(p)
-      try {
-        val bytes = new Array[Byte](32)
-        val n = in.read(bytes)
-        new String(bytes, 0, math.max(n, 0), "UTF-8").trim.toLong
-      } finally in.close()
+      try in.readFully(0, bytes) finally in.close()
+      val text = new String(bytes, "UTF-8").trim
+      // fail loudly rather than silently un-fence: the write protocol never
+      // leaves a torn file, so an unparseable one is outside-protocol
+      // corruption and the operator should re-run refresh
+      require(text.nonEmpty,
+        s"torn snapshot floor at $p — re-run refresh to restore the fence")
+      text.toLong
     }
   }
 
   /** Split repaired dead-letter rows into (fresh, superseded) against the
     * watermark and the snapshot floor: a row is superseded iff the sink has
-    * already applied a STRICTLY newer offset for its pk, OR a snapshot
-    * rebuild observed the row's offset (offset <= floor — the snapshot holds
-    * the source's state from a later point, whether or not the pk has a
-    * per-pk entry). Rows at the per-pk watermark exactly are fresh —
-    * re-applying them is the idempotent at-least-once case. The watermark
-    * side is pruned to the replay's pks before the join — via broadcast when
-    * the probe list is small ([[MaxBroadcastProbes]]), via a shuffle join on
-    * a bulk repair — so the stored map is never shuffled wholesale for an
-    * ordinary replay and a huge one cannot OOM the driver. */
+    * already applied a STRICTLY newer (offset, _ridx) position for its pk,
+    * OR a snapshot rebuild observed the row's offset (offset <= floor — the
+    * snapshot holds the source's state from a later point, whether or not
+    * the pk has a per-pk entry). Rows at the per-pk watermark position
+    * exactly are fresh — re-applying them is the idempotent at-least-once
+    * case. The watermark side is pruned to the replay's pks before the
+    * join — via broadcast when the probe list is small
+    * ([[MaxBroadcastProbes]], established by a LIMIT-bounded count, not a
+    * full aggregation), via a shuffle join on a bulk repair — so the stored
+    * map is never shuffled wholesale for an ordinary replay and a huge one
+    * cannot OOM the driver. */
   def splitStale(ready: DataFrame, wm: Option[DataFrame], pk: String,
                  floor: Long = 0L,
                  maxBroadcastProbes: Long = MaxBroadcastProbes)
       : (DataFrame, DataFrame) = {
     val j = wm match {
-      case None => ready.withColumn("__wm", lit(null).cast("long"))
+      case None => ready
+        .withColumn("__wmo", lit(null).cast("long"))
+        .withColumn("__wmr", lit(null).cast("int"))
       case Some(w) =>
         val probes = ready.select(col(pk)).distinct()
-        val wmNamed = w.withColumnRenamed(OffsetCol, "__wm")
+        val wmNamed = w.withColumnRenamed(OffsetCol, "__wmo")
+          .withColumnRenamed(RidxCol, "__wmr")
+        val probeLimit = math.min(maxBroadcastProbes + 1, Int.MaxValue.toLong).toInt
+        val small = probes.limit(probeLimit).count() <= maxBroadcastProbes
         val slice =
-          if (probes.count() <= maxBroadcastProbes)
-            wmNamed.join(broadcast(probes), Seq(pk))
+          if (small) wmNamed.join(broadcast(probes), Seq(pk))
           else wmNamed.join(probes, Seq(pk))
         ready.join(slice, Seq(pk), "left").localCheckpoint()
     }
     // floor == 0 means "no snapshot ever" and fences nothing, even for a
     // source whose offsets happen to start at 0
-    val floorCond = if (floor > 0L) col("offset") <= lit(floor) else lit(false)
+    val floorCond: Column =
+      if (floor > 0L) col("offset") <= lit(floor) else lit(false)
     val staleCond = floorCond ||
-      (col("__wm").isNotNull && col("offset") < col("__wm"))
-    (j.filter(!staleCond).drop("__wm"), j.filter(staleCond).drop("__wm"))
+      (col("__wmo").isNotNull &&
+        (col("offset") < col("__wmo") ||
+          (col("offset") === col("__wmo") && col("_ridx") < col("__wmr"))))
+    (j.filter(!staleCond).drop("__wmo", "__wmr"),
+      j.filter(staleCond).drop("__wmo", "__wmr"))
   }
 }

@@ -207,7 +207,7 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
     // replay can detect (and discard) quarantined payloads this batch — or
     // any newer one — has superseded. Idempotent under checkpoint replay.
     OffsetWatermark.advance(spark, statePath(sync),
-      view.select(col(pk), col("offset")), pk, config.stateBuckets)
+      view.select(col(pk), col("offset"), col("_ridx")), pk, config.stateBuckets)
     hooks.postBatch.foreach(_(sync.table, batchId))
   }
 
@@ -269,9 +269,11 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
     * newer sink state with the stale payload. Repaired rows are therefore
     * screened against the sink's per-pk applied-offset watermark
     * ([[OffsetWatermark]], maintained by every live batch): rows whose
-    * offset is strictly below the watermark for their pk are SUPERSEDED —
-    * dropped from the quarantine without applying (the live data is newer
-    * by construction). This also closes the crash-retry window: a replay
+    * (offset, _ridx) position is strictly below the watermark for their pk
+    * are SUPERSEDED — dropped from the quarantine without applying (the
+    * live data is newer by construction; the row index matters because a
+    * multi-row event's applied sibling at the SAME offset may have won
+    * last-write-wins on _ridx). This also closes the crash-retry window: a replay
     * retried after interleaved stream writes re-screens and discards what
     * those writes superseded, instead of re-applying it.
     *
@@ -309,7 +311,8 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
               .drop("table", "offset", "_ridx")
             writeCompacted(s, compacted, batchId = -2L)
             OffsetWatermark.advance(spark, statePath(s),
-              fresh.select(col(pk), col("offset")), pk, config.stateBuckets)
+              fresh.select(col(pk), col("offset"), col("_ridx")), pk,
+              config.stateBuckets)
           }
           if (nFresh > 0 || nStale > 0) {
             // keep only the still-null rows (superseded rows are resolved —
@@ -365,18 +368,13 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
     math.max(wmMax, dlMax)
   }
 
-  /** Floor write shared by every snapshot path — AFTER the sink swap, so a
-    * crash between the two leaves the floor conservatively low (see
-    * [[OffsetWatermark.recordSnapshotFloor]]); re-running the rebuild
-    * heals the window. */
-  private def fenceReplays(sync: SyncConfig): Unit =
-    OffsetWatermark.recordSnapshotFloor(spark, statePath(sync),
-      observedOffsetCeiling(sync))
-
   /** K3 bootstrap backfill: if `sync.full` and the sink is absent, load the
-    * full scan before tailing (`main.py:84-101`). */
+    * full scan before tailing (`main.py:84-101`). The snapshot floor is
+    * captured BEFORE the scan and recorded AFTER the sink lands — see
+    * [[refresh]] for the ordering argument. */
   def backfillIfNeeded(): Unit = config.syncs.foreach { sync =>
     if (sync.full && !UpsertSink.liveExists(spark, statePath(sync))) {
+      val floor = observedOffsetCeiling(sync)
       config.stateBuckets match {
         case Some(n) =>
           BucketedUpsertSink.init(source.fullScan(sync), statePath(sync), pkOut(sync), n)
@@ -384,7 +382,7 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
         case None =>
           SwapRefresh.refresh(source.fullScan(sync), statePath(sync)); ()
       }
-      fenceReplays(sync)
+      OffsetWatermark.recordSnapshotFloor(spark, statePath(sync), floor)
     }
   }
 
@@ -463,16 +461,25 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
   /** `refresh`: atomic rebuild of each sync from a full scan
     * (`main.py:143-176`; offset pinning is the caller's checkpoint). The
     * configured sink layout (state.buckets) carries onto the rebuilt copy —
-    * the reference's settings-copy-on-refresh (`meili.py:43-49`). */
+    * the reference's settings-copy-on-refresh (`meili.py:43-49`).
+    *
+    * Snapshot-floor ordering (r9 review): the observed-offset ceiling is
+    * captured BEFORE the full scan starts and recorded AFTER the swap
+    * commits. A live stream running concurrently (the refreshAsync shape)
+    * can therefore only push real observations ABOVE the recorded floor —
+    * their repairs stay replayable (conservative) — never trap a
+    * post-snapshot quarantine below it (which would silently discard a
+    * legitimate repair). */
   def refresh(tables: Seq[String] = Seq.empty): Map[String, Long] =
     config.syncs
       .filter(s => tables.isEmpty || tables.contains(s.table))
       .map { s =>
+        val floor = observedOffsetCeiling(s)
         val n = SwapRefresh.refresh(source.fullScan(s), statePath(s),
           config.stateBuckets.map(nb => (pkOut(s), nb)))
         // every bucket may have changed under the swap — rebuild, don't splice
         rebuildZoneMap(s)
-        fenceReplays(s)
+        OffsetWatermark.recordSnapshotFloor(spark, statePath(s), floor)
         s.table -> n
       }
       .toMap
@@ -488,10 +495,13 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
       .filter(s => tables.isEmpty || tables.contains(s.table))
       .map { s =>
         s.table -> SinkTasks.submit(s"refresh:${s.table}") {
+          // ceiling captured inside the task but BEFORE its scan — same
+          // conservative ordering as the synchronous refresh
+          val floor = observedOffsetCeiling(s)
           SwapRefresh.refresh(source.fullScan(s), statePath(s),
             config.stateBuckets.map(nb => (pkOut(s), nb)))
           rebuildZoneMap(s)
-          fenceReplays(s)
+          OffsetWatermark.recordSnapshotFloor(spark, statePath(s), floor)
         }
       }
       .toMap

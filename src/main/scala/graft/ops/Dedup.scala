@@ -485,8 +485,12 @@ object Dedup {
     val edges = pairs
       .select(col("doc_b").as("u"), col("doc_a").as("v"))
       .repartition(parts, col("u"))
-    val labels = bigStarComponents(edges, maxIter, "nearDupClustersBigStar")
-    pairs.unpersist()
+    // free the cached pair blocks as soon as the entry checkpoint has
+    // materialized from them — NOT after the convergence loop returns, or
+    // the largest intermediate of the whole operator sits in storage memory
+    // for O(log n) extra rounds (r9 review)
+    val labels = bigStarComponents(edges, maxIter, "nearDupClustersBigStar",
+      afterMaterialize = () => { pairs.unpersist(); () })
     labels.orderBy(col("doc_id"))
   }
 
@@ -498,10 +502,16 @@ object Dedup {
     * cluster = min member id of its component) for every node that appears
     * in an edge — isolated nodes are the caller's to attach. */
   private[graft] def bigStarComponents(edges0: DataFrame, maxIter: Int,
-                                       what: String): DataFrame = {
+                                       what: String,
+                                       afterMaterialize: () => Unit = () => ())
+      : DataFrame = {
     // localCheckpoint like every round's result (uniform lifecycle — see
     // nearDupClusters' note on ContextCleaner freeing dropped rounds).
     var edges = edges0.localCheckpoint(true)
+    // the entry checkpoint is eager, so the caller's upstream caches are no
+    // longer referenced past this point — give it the chance to free them
+    // before the convergence rounds run
+    afterMaterialize()
     // Order-insensitive set checksum: (count, xor of per-edge hashes).
     // XOR instead of sum — ANSI mode makes a sum of full-range longs an
     // overflow error, and xor is closed over Long with the same
@@ -651,12 +661,20 @@ object Dedup {
     * (near-identical vectors agree on coarse signs). Cosine is computed in
     * double precision with a sequential fold, matching the oracle
     * bit-for-bit before rounding. */
-  def embedDup(spark: SparkSession, dir: String, threshold: Double = 0.3): DataFrame = {
-    val e = signCelled(spark, dir)
-    val a = e.alias("a")
-    val b = e.alias("b")
-    a.join(b, col("a.label") === col("b.label") && col("a.cell") === col("b.cell") &&
-        col("a.vec_id") < col("b.vec_id"))
+  def embedDup(spark: SparkSession, dir: String, threshold: Double = 0.3): DataFrame =
+    epsPairs(signCelled(spark, dir), Seq("label", "cell"), threshold)
+
+  /** The shared eps-pair tail of [[embedDup]]/[[embedDupCells]]: block-keyed
+    * self-join (vec_id < vec_id dedup), round-4 cosine, threshold cut — ONE
+    * definition so the oracle-graded cosine/ordering contract cannot
+    * silently diverge between the gate and production blockings. */
+  private def epsPairs(blocked: DataFrame, keys: Seq[String],
+                       threshold: Double): DataFrame = {
+    val a = blocked.alias("a")
+    val b = blocked.alias("b")
+    val cond = keys.map(k => col(s"a.$k") === col(s"b.$k"))
+      .reduce(_ && _) && col("a.vec_id") < col("b.vec_id")
+    a.join(b, cond)
       .withColumn("cosine", round(
         expr("graft_dot(a.v, b.v)") / (col("a.norm") * col("b.norm")), 4))
       .filter(col("cosine") >= threshold)
@@ -689,17 +707,8 @@ object Dedup {
     * {pairs co-assigned to one cell with cosine >= threshold}, re-derived
     * independently in the within-cell-answer spec. */
   def embedDupCells(spark: SparkSession, dir: String, threshold: Double = 0.3,
-                    nCells: Int = 9): DataFrame = {
-    val assigned = productCellAssign(spark, dir, nCells)
-    val a = assigned.alias("a")
-    val b = assigned.alias("b")
-    a.join(b, col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cosine", round(
-        expr("graft_dot(a.v, b.v)") / (col("a.norm") * col("b.norm")), 4))
-      .filter(col("cosine") >= threshold)
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cosine"))
-      .orderBy(col("vec_a"), col("vec_b"))
-  }
+                    nCells: Int = 9): DataFrame =
+    epsPairs(productCellAssign(spark, dir, nCells), Seq("cell"), threshold)
 
   /** The two-level product-quantizer cell ASSIGNMENT itself — (vec_id, v,
     * norm, cell), localCheckpointed (it always feeds a self-join or a

@@ -10,21 +10,24 @@ import org.apache.spark.sql.types._
   * no-op (a first empty dynamic-partitioned write used to leave a
   * schema-less dir that crashed every later batch), the snapshot floor
   * (refresh/backfill never advance the per-pk map, so pre-snapshot
-  * quarantined rows used to replay over refreshed state), and the bounded
-  * probe broadcast in splitStale. */
+  * quarantined rows used to replay over refreshed state; the floor is
+  * captured BEFORE the scan and survives a torn write), the (offset, _ridx)
+  * position order (a repaired row must lose to an applied same-offset
+  * sibling with a higher row index), and the bounded probe broadcast in
+  * splitStale. */
 class OffsetWatermarkSpec extends SparkSpec {
   import spark.implicits._
 
-  private def wmOf(statePath: String): Map[Int, Long] =
+  private def wmOf(statePath: String): Map[Int, (Long, Int)] =
     OffsetWatermark.current(spark, statePath).map(
-      _.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap)
+      _.collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getInt(2)))).toMap)
       .getOrElse(Map.empty)
 
   test("advance: an empty batch is a full no-op — no store created, no " +
     "rewrite — in both the bucketed and flat layouts (r9 review: the empty " +
     "bucketed first write seeded a schema-less dir that crashed current())") {
-    val empty = Seq.empty[(Int, Long)].toDF("id", "offset")
-    val some = Seq((1, 10L), (2, 20L)).toDF("id", "offset")
+    val empty = Seq.empty[(Int, Long, Int)].toDF("id", "offset", "_ridx")
+    val some = Seq((1, 10L, 0), (2, 20L, 0)).toDF("id", "offset", "_ridx")
     for (buckets <- Seq(Some(4), None)) {
       val statePath = tmpDir("wm-empty") + "/state"
       OffsetWatermark.advance(spark, statePath, empty, "id", buckets)
@@ -34,14 +37,14 @@ class OffsetWatermarkSpec extends SparkSpec {
         s"no dir at all should appear (buckets=$buckets)")
       // the store must still bootstrap and read back fine afterwards
       OffsetWatermark.advance(spark, statePath, some, "id", buckets)
-      assert(wmOf(statePath) === Map(1 -> 10L, 2 -> 20L))
+      assert(wmOf(statePath) === Map(1 -> ((10L, 0)), 2 -> ((20L, 0))))
       // an empty batch against an EXISTING store: no rewrite (mtimes frozen)
       val dir = new java.io.File(OffsetWatermark.path(statePath))
       val before = dir.listFiles().map(f => f.getName -> f.lastModified).toMap
       OffsetWatermark.advance(spark, statePath, empty, "id", buckets)
       val after = dir.listFiles().map(f => f.getName -> f.lastModified).toMap
       assert(after === before, s"empty batch must not rewrite (buckets=$buckets)")
-      assert(wmOf(statePath) === Map(1 -> 10L, 2 -> 20L))
+      assert(wmOf(statePath) === Map(1 -> ((10L, 0)), 2 -> ((20L, 0))))
     }
   }
 
@@ -54,17 +57,47 @@ class OffsetWatermarkSpec extends SparkSpec {
     assert(OffsetWatermark.current(spark, statePath).isEmpty,
       "_SUCCESS alone must not count as data")
     OffsetWatermark.advance(spark, statePath,
-      Seq((5, 50L)).toDF("id", "offset"), "id", Some(4))
-    assert(wmOf(statePath) === Map(5 -> 50L))
+      Seq((5, 50L, 0)).toDF("id", "offset", "_ridx"), "id", Some(4))
+    assert(wmOf(statePath) === Map(5 -> ((50L, 0))))
+  }
+
+  test("advance: the watermark is the max (offset, _ridx) PAIR, not the " +
+    "max offset — a multi-row event's later row wins, and the merge is " +
+    "monotone on the pair") {
+    val statePath = tmpDir("wm-pair") + "/state"
+    OffsetWatermark.advance(spark, statePath,
+      Seq((1, 7L, 0), (1, 7L, 3), (2, 4L, 1)).toDF("id", "offset", "_ridx"),
+      "id", None)
+    assert(wmOf(statePath) === Map(1 -> ((7L, 3)), 2 -> ((4L, 1))))
+    // a later batch with the SAME offset but lower ridx must not regress
+    OffsetWatermark.advance(spark, statePath,
+      Seq((1, 7L, 1), (2, 9L, 0)).toDF("id", "offset", "_ridx"), "id", None)
+    assert(wmOf(statePath) === Map(1 -> ((7L, 3)), 2 -> ((9L, 0))))
+  }
+
+  test("splitStale: a repaired row at the SAME offset as its applied " +
+    "sibling is superseded iff its _ridx is lower (r9 review: offset-only " +
+    "compare inverted the live path's last-write-wins tiebreak)") {
+    val ready = Seq(
+      (1, 7L, 0, "lost-lww"), (1, 7L, 3, "is-the-applied-row"),
+      (1, 7L, 5, "later-row-of-same-event"))
+      .toDF("id", "offset", "_ridx", "tag")
+    val wm = Seq((1, 7L, 3))
+      .toDF("id", OffsetWatermark.OffsetCol, OffsetWatermark.RidxCol)
+    val (f, s) = OffsetWatermark.splitStale(ready, Some(wm), "id")
+    assert(f.select("tag").as[String].collect().toSet ===
+      Set("is-the-applied-row", "later-row-of-same-event"),
+      "at-watermark exactly = idempotent fresh; above = fresh")
+    assert(s.select("tag").as[String].collect().toSet === Set("lost-lww"))
   }
 
   test("splitStale: above the broadcast bound the shuffle path returns " +
     "identical (fresh, stale) splits") {
     val ready = Seq(
-      (1, 5L, "keep-at-wm"), (1, 3L, "stale"), (2, 9L, "newer"),
-      (3, 1L, "no-wm-entry")).toDF("id", "offset", "tag")
-    val wm = Seq((1, 5L), (2, 7L))
-      .toDF("id", OffsetWatermark.OffsetCol)
+      (1, 5L, 0, "keep-at-wm"), (1, 3L, 0, "stale"), (2, 9L, 0, "newer"),
+      (3, 1L, 0, "no-wm-entry")).toDF("id", "offset", "_ridx", "tag")
+    val wm = Seq((1, 5L, 0), (2, 7L, 0))
+      .toDF("id", OffsetWatermark.OffsetCol, OffsetWatermark.RidxCol)
     def run(maxBroadcast: Long): (Set[String], Set[String]) = {
       val (f, s) = OffsetWatermark.splitStale(ready, Some(wm), "id",
         floor = 0L, maxBroadcastProbes = maxBroadcast)
@@ -81,8 +114,9 @@ class OffsetWatermarkSpec extends SparkSpec {
   test("splitStale: the snapshot floor supersedes rows with NO per-pk " +
     "watermark entry; floor 0 fences nothing even at offset 0") {
     val ready = Seq(
-      (7, 2L, "pre-snapshot"), (9, 5L, "post-snapshot"), (4, 0L, "offset-zero"))
-      .toDF("id", "offset", "tag")
+      (7, 2L, 0, "pre-snapshot"), (9, 5L, 0, "post-snapshot"),
+      (4, 0L, 0, "offset-zero"))
+      .toDF("id", "offset", "_ridx", "tag")
     val (f0, s0) = OffsetWatermark.splitStale(ready, None, "id", floor = 0L)
     assert(f0.count() === 3L && s0.count() === 0L,
       "no snapshot => nothing fenced, even offset 0")
@@ -90,6 +124,26 @@ class OffsetWatermarkSpec extends SparkSpec {
     assert(f2.select("tag").as[String].collect().toSet === Set("post-snapshot"))
     assert(s2.select("tag").as[String].collect().toSet ===
       Set("pre-snapshot", "offset-zero"))
+  }
+
+  test("snapshot floor survives a torn swap: crash after the old floor is " +
+    "deleted but before the temp renames in is healed at read time") {
+    val statePath = tmpDir("wm-floor") + "/state"
+    assert(OffsetWatermark.snapshotFloor(spark, statePath) === 0L)
+    OffsetWatermark.recordSnapshotFloor(spark, statePath, 41L)
+    assert(OffsetWatermark.snapshotFloor(spark, statePath) === 41L)
+    // overwrite works (second refresh)
+    OffsetWatermark.recordSnapshotFloor(spark, statePath, 55L)
+    assert(OffsetWatermark.snapshotFloor(spark, statePath) === 55L)
+    // simulate the crash window: temp fully written, main deleted, rename
+    // never ran — the read must complete the swap, not report 0
+    val main = new java.io.File(OffsetWatermark.floorPath(statePath))
+    val tmp = new java.io.File(OffsetWatermark.floorPath(statePath) + ".next")
+    java.nio.file.Files.write(tmp.toPath, "77".getBytes("UTF-8"))
+    assert(main.delete())
+    assert(OffsetWatermark.snapshotFloor(spark, statePath) === 77L,
+      "an interrupted floor swap must heal to the NEW floor")
+    assert(main.exists() && !tmp.exists(), "the swap must be completed on disk")
   }
 
   test("refresh fences replays: a pre-snapshot quarantined row repaired to " +
@@ -154,5 +208,32 @@ class OffsetWatermarkSpec extends SparkSpec {
     assert(pipe.sinkState(sync).collect().map(r =>
       (r.getInt(0), r.getString(1))).toSet ===
       Set((1, "ann-live"), (7, "bob-current"), (9, "late")))
+  }
+
+  test("end-to-end _ridx fence: a repaired row from a multi-row event " +
+    "cannot clobber its applied same-offset sibling that won " +
+    "last-write-wins") {
+    val sinkRoot = tmpDir("sink-ridx")
+    val sync = SyncConfig("t", pk = "id", schema = Some(StructType(Seq(
+      StructField("id", IntegerType), StructField("name", StringType)))))
+    val src = new MemoryCdcSource(spark)
+    val pipe = new Pipeline(spark, PipelineConfig(Seq(sync)), src, sinkRoot)
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // ONE multi-row envelope at offset 7: row 0 has a null pk (quarantined),
+    // row 1 applies to pk 1 — the LWW winner for offset 7
+    src.addEvents(ChangeEvent("create", "t", 7, ts,
+      """[{"id": null, "name": "row-zero"}, {"id": 1, "name": "row-one"}]"""))
+    val q = pipe.start(tmpDir("ckpt-ridx"))
+    q.processAllAvailable(); q.stop()
+    assert(pipe.sinkState(sync).collect().toSeq === Seq(Row(1, "row-one")))
+    // operator repairs row 0 to pk 1 — same offset, LOWER _ridx: superseded
+    val dl = pipe.deadLetterPath(sync)
+    val repaired = spark.read.parquet(dl)
+      .withColumn("id", lit(1)).localCheckpoint(true)
+    repaired.write.mode("overwrite").parquet(dl)
+    assert(pipe.replayDeadLetters() === Map("t" -> ((0L, 1L, 0L))),
+      "the _ridx-0 repair must be discarded, not applied")
+    assert(pipe.sinkState(sync).collect().toSeq === Seq(Row(1, "row-one")),
+      "row-one (higher _ridx at the same offset) must survive")
   }
 }
