@@ -76,9 +76,15 @@ object SinkTasks {
     * pending states or the deadline passes; past the deadline, fail loud
     * with [[java.util.concurrent.TimeoutException]]. */
   def waitForTask(id: Long, timeoutMs: Long, pollMs: Long = 25L): TaskInfo = {
-    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    // clamp: timeoutMs near Long.MaxValue (a "no timeout" sentinel) would
+    // overflow the ns conversion into a past deadline and time out a
+    // healthy task immediately (r9 review)
+    val timeoutNanos =
+      if (timeoutMs > Long.MaxValue / 1000000L) Long.MaxValue
+      else timeoutMs * 1000000L
+    val start = System.nanoTime()
     var s = status(id)
-    while (s.pending && System.nanoTime() < deadline) {
+    while (s.pending && System.nanoTime() - start < timeoutNanos) {
       Thread.sleep(pollMs)
       s = status(id)
     }
@@ -102,7 +108,13 @@ object SwapRefresh {
     * every bucket it touches. */
   def refresh(fresh: DataFrame, livePath: String,
               buckets: Option[(String, Int)] = None): Long = {
-    val staging = livePath + ".staging"
+    // invocation-unique staging: two overlapping rebuilds of the same path
+    // (refreshAsync fired twice, or a CLI refresh racing a task) must not
+    // interleave writes in one shared dir and swap a corrupt mix live
+    // (r9 review). The swap MOVES the staging dir, so nothing lingers on
+    // success; a crashed rebuild strands only its own uniquely-named dir.
+    val staging = livePath + ".staging-" +
+      java.util.UUID.randomUUID().toString.take(8)
     buckets match {
       // init IS the layout-defining write — reusing it keeps refresh's
       // staging copy from drifting if the bucket layout ever changes

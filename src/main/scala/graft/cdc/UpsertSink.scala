@@ -72,8 +72,11 @@ object UpsertSink {
 
     // Row survives unless the change for its pk is a delete; column-wise:
     // a `create` replaces the whole document (reference add_documents,
-    // `meili.py:129`), an `update` overwrites exactly the fields the event
-    // carried (mask) / the non-null fields (no mask), keeping the rest.
+    // `meili.py:129`) — in BOTH branches: without the mask, letting a
+    // create coalesce with stored state would leak a deleted-then-recreated
+    // row's old fields into the new document (r9 review) — while an
+    // `update` overwrites exactly the fields the event carried (mask) /
+    // the non-null fields (no mask), keeping the rest.
     val merged = joined
       .filter(col("c.op").isNull || col("c.op") =!= Op.Delete)
       .select(payloadCols.map { name =>
@@ -82,7 +85,9 @@ object UpsertSink {
             when(col("c.op") === Op.Create, cCol(name))
               .otherwise(when(array_contains(col(s"c.$PresentCol"), name), cCol(name))
                 .otherwise(sCol(name)))
-          else coalesce(cCol(name), sCol(name))
+          else
+            when(col("c.op") === Op.Create, cCol(name))
+              .otherwise(coalesce(cCol(name), sCol(name)))
         when(col("c.op").isNull, sCol(name))                 // unchanged row
           .otherwise(applied)
           .as(name)
@@ -104,8 +109,15 @@ object UpsertSink {
     val state = currentState(spark, statePath, payloadSchema)
     // compact on the envelope, then drop its columns: with schema evolution
     // in the merge, leaking table/offset/ts/data here would evolve them
-    // INTO the state table (same hazard Pipeline.applySync guards)
-    val compacted = Transforms.lastWriteWins(batch, col(pk))
+    // INTO the state table (same hazard Pipeline.applySync guards).
+    // _ridx, when the batch carries it, joins the tiebreak: rows of one
+    // multi-row event share (pk, offset) and the LATER row must win
+    // deterministically — the same contract Pipeline.applySync enforces
+    // (r9 review: without it the winner was partition-order nondeterminism
+    // and a replay could flip it).
+    val tiebreak =
+      if (batch.columns.contains("_ridx")) Seq(col("_ridx")) else Seq.empty
+    val compacted = Transforms.lastWriteWins(batch, col(pk), tiebreak)
       .drop("table", "offset", "ts", "data", "_ridx")
     val next = applyBatch(state, compacted, pk)
     // two-phase write: next state to a versioned dir, then pointer swap —
@@ -145,21 +157,47 @@ object UpsertSink {
   private[graft] def recoverSwap(spark: SparkSession, live: String): Unit = {
     val (fs, p) = hfs(spark, live)
     val old = new org.apache.hadoop.fs.Path(live + ".old")
-    if (!fs.exists(p) && fs.exists(old)) { fs.rename(old, p); () }
+    if (!fs.exists(p) && fs.exists(old)) {
+      // a concurrent swapper can finish and DELETE `.old` between our
+      // exists probe and this rename — the vanished source means live is
+      // healthy again, so the failed heal is a no-op, not an error
+      // (caught by the r9 swap-race stress spec)
+      try { fs.rename(old, p); () }
+      catch { case _: java.io.FileNotFoundException => () }
+    }
   }
 
   /** Directory pointer swap (stand-in for Delta/Iceberg atomic commit in the
     * zero-dependency harness): move live aside, move next into place. Each
     * rename is atomic (same-volume dir rename); the window between them is
-    * recoverable — every read path calls [[recoverSwap]] first. */
+    * recoverable — every read path calls [[recoverSwap]] first.
+    *
+    * Concurrent-swap race (r9 review): a reader's [[recoverSwap]] firing
+    * INSIDE our two-rename window sees no live + a complete `.old` and
+    * resurrects the old copy — then our `next -> live` rename fails because
+    * live exists again. Whatever sits at `live` when that rename fails is
+    * a COMPLETE directory (the resurrected old copy, or — under two
+    * concurrent refreshes, each swapping its own invocation-unique staging
+    * dir — the other refresh's finished copy), so the swap RETRIES: move it
+    * aside and rename again. Retrying never installs a torn state, only
+    * decides which complete copy ends up live; bounded — each retry
+    * requires another racer in the exact window. */
   private[graft] def atomicSwapDirs(spark: SparkSession, next: String, live: String): Unit = {
     recoverSwap(spark, live) // heal any earlier interrupted swap first
     val (fs, livePath) = hfs(spark, live)
     val old = new org.apache.hadoop.fs.Path(live + ".old")
     if (fs.exists(old)) fs.delete(old, true)
     if (fs.exists(livePath)) require(fs.rename(livePath, old), s"rename $live -> $old failed")
-    require(fs.rename(new org.apache.hadoop.fs.Path(next), livePath),
-      s"rename $next -> $live failed")
+    val nextPath = new org.apache.hadoop.fs.Path(next)
+    var attempts = 0
+    while (!fs.rename(nextPath, livePath)) {
+      attempts += 1
+      require(attempts <= 8 && fs.exists(livePath),
+        s"rename $next -> $live failed ($attempts attempts)")
+      fs.delete(old, true)
+      require(fs.rename(livePath, old),
+        s"re-aside of reader-resurrected $live failed mid-swap")
+    }
     if (fs.exists(old)) fs.delete(old, true)
     ()
   }

@@ -433,7 +433,10 @@ object IncrementalDedup {
 
 /** JVM-exit cleanup of driver-query scratch dirs ([[IncrementalDedup
   * .twoBatchPairs]], [[graft.streaming.DedupStream.streamedPairs]]) —
-  * local-tmpdir paths, so plain java.io deletion suffices. */
+  * local-tmpdir paths, so plain java.io deletion suffices. Also owns the
+  * two shapes every streaming driver query shares (r9 review: five
+  * copy-pasted preambles and two copy-pasted batch-log readers had
+  * already started drifting): [[freshRoot]] and [[batchLog]]. */
 private[graft] object TwoBatchScratch {
   // newKeySet.add returns a primitive boolean (first-add = true); the
   // previous ConcurrentHashMap[String, Boolean].putIfAbsent == null check
@@ -452,4 +455,37 @@ private[graft] object TwoBatchScratch {
         rm(new java.io.File(path))
       }))
     }
+
+  /** One streaming driver query's scratch root —
+    * `java.io.tmpdir/<prefix>_<applicationId>` — wiped (every call is a
+    * fresh stream, not a resume) and registered for JVM-exit cleanup. */
+  def freshRoot(spark: org.apache.spark.sql.SparkSession, prefix: String): String = {
+    val root = s"${sys.props("java.io.tmpdir")}/${prefix}_" +
+      spark.sparkContext.applicationId
+    val rp = new org.apache.hadoop.fs.Path(root)
+    val fs = rp.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(rp)) fs.delete(rp, true)
+    registerCleanup(root)
+    root
+  }
+
+  /** A foreachBatch driver's emitted log so far: union over the
+    * replay-idempotent per-batch directories (`batch-<id>`), read with an
+    * EXPLICIT schema so the result is empty-but-typed before the first
+    * batch lands (schema inference over zero files throws). */
+  def batchLog(spark: org.apache.spark.sql.SparkSession, outPath: String,
+               ddl: String): org.apache.spark.sql.DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(outPath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+    val dirs =
+      if (fs.exists(p))
+        fs.listStatus(p).filter(_.isDirectory)
+          .filter(_.getPath.getName.startsWith("batch-"))
+          .map(_.getPath.toString).toSeq
+      else Seq.empty[String]
+    if (dirs.nonEmpty) spark.read.schema(schema).parquet(dirs: _*)
+    else spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+  }
 }

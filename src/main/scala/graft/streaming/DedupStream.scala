@@ -99,12 +99,7 @@ object DedupStream {
   def streamedPairs(spark: SparkSession, dir: String,
                     threshold: Double = 0.5): DataFrame = {
     import graft.ops.Tables
-    val root = s"${sys.props("java.io.tmpdir")}/graft_dedup_stream_" +
-      spark.sparkContext.applicationId
-    val rp = new org.apache.hadoop.fs.Path(root)
-    val fs = rp.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(rp)) fs.delete(rp, true)
-    graft.ops.TwoBatchScratch.registerCleanup(root)
+    val root = graft.ops.TwoBatchScratch.freshRoot(spark, "graft_dedup_stream")
     val docs = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
     val feed = s"$root/feed"
     // 8 files per crawl batch: batch-input parallelism (see stageBatches)
@@ -135,7 +130,11 @@ object DedupStream {
     val r = docs.agg(org.apache.spark.sql.functions.min(col("doc_id")),
       org.apache.spark.sql.functions.max(col("doc_id"))).head()
     require(!r.isNullAt(0), "corpusHalves: empty documents frame")
-    val split = r.getLong(1) / 2
+    // midpoint of the ACTUAL id range, not max/2: a corpus whose ids start
+    // away from zero (an offset shard) is perfectly splittable and must not
+    // trip the degenerate-split guard (r9 review) — the same (min+max)/2
+    // the time-based splits use
+    val split = (r.getLong(0) + r.getLong(1)) / 2
     require(r.getLong(0) <= split && r.getLong(1) > split,
       s"corpusHalves: doc_ids [${r.getLong(0)}, ${r.getLong(1)}] all on one " +
         "side of the midpoint; two-batch split would be degenerate")
@@ -188,19 +187,9 @@ object DedupStream {
   }
 
   /** The emitted pair log so far: union over per-batch directories;
-    * empty-but-typed before the first batch lands. */
-  def pairs(spark: SparkSession, outPath: String): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(outPath)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val schema = StructType.fromDDL("doc_a BIGINT, doc_b BIGINT, jaccard DOUBLE")
-    val dirs =
-      if (fs.exists(p))
-        fs.listStatus(p).filter(_.isDirectory)
-          .filter(_.getPath.getName.startsWith("batch-"))
-          .map(_.getPath.toString).toSeq
-      else Seq.empty[String]
-    if (dirs.nonEmpty) spark.read.schema(schema).parquet(dirs: _*)
-    else spark.createDataFrame(
-      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-  }
+    * empty-but-typed before the first batch lands (shared reader — r9
+    * review). */
+  def pairs(spark: SparkSession, outPath: String): DataFrame =
+    graft.ops.TwoBatchScratch.batchLog(spark, outPath,
+      "doc_a BIGINT, doc_b BIGINT, jaccard DOUBLE")
 }

@@ -114,7 +114,15 @@ object KeyedLastWrite {
               state.update(MaxOffset(top.offset))
               evictAfter.foreach(state.setTimeoutDuration) // bounded state
               Iterator.single(top)
-            } else Iterator.empty
+            } else {
+              // re-arm on stale-only traffic too (r9 review): a key kept
+              // "active" only by at-least-once redeliveries must not be
+              // evicted mid-stream — the next redelivery after eviction
+              // would pass as fresh and clobber the newer value, the one
+              // behavior this operator exists to prevent
+              if (state.exists) evictAfter.foreach(state.setTimeoutDuration)
+              Iterator.empty
+            }
           }
       }
   }
@@ -154,7 +162,13 @@ object KeyedLastWriteTws {
           val top = fresh.maxBy(_.offset)
           maxOffset.update(top.offset)
           Iterator.single(top)
-        } else Iterator.empty
+        } else {
+          // TTL is per-write: rewrite the unchanged value so stale-only
+          // traffic refreshes it (the FMGWS variant's re-arm, same r9
+          // review reasoning)
+          if (maxOffset.exists()) maxOffset.update(seen)
+          Iterator.empty
+        }
       }
   }
 

@@ -74,11 +74,7 @@ object StreamHeavyHitters {
   def streamedHeavyHitters(spark: SparkSession, dir: String,
                            threshold: Long = 75, shards: Int = 64): DataFrame = {
     import spark.implicits._
-    val root = scratchRoot(spark)
-    val rp = new org.apache.hadoop.fs.Path(root)
-    val fs = rp.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(rp)) fs.delete(rp, true)
-    graft.ops.TwoBatchScratch.registerCleanup(root)
+    val root = graft.ops.TwoBatchScratch.freshRoot(spark, "graft_stream_hh")
     val ev = graft.ops.Tables.events(spark, dir)
       .select(col("event_id"), unix_micros(col("ts")).as("tsu"), col("user_id"))
     val mid = ev.agg((min(col("tsu")) + max(col("tsu"))) / 2).head().getDouble(0).toLong
@@ -88,7 +84,14 @@ object StreamHeavyHitters {
     val q = start(spark, s"$root/feed", s"$root/alerts", s"$root/ckpt",
       threshold, shards)
     try q.processAllAvailable() finally q.stop()
-    val alerts = spark.read.parquet(s"$root/alerts")
+    // explicit schema: a threshold nobody crosses leaves the file sink with
+    // only _spark_metadata, and schema INFERENCE over zero data files
+    // throws instead of returning the empty alert set (r9 review — the
+    // empty-but-typed discipline the other drivers' batch logs follow)
+    val alerts = spark.read
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "key BIGINT, at_count BIGINT"))
+      .parquet(s"$root/alerts")
     val totals = graft.ops.Tables.events(spark, dir)
       .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
     alerts.select(col("key").as("user_id"))

@@ -35,12 +35,7 @@ object StreamJoin {
   def streamedAttribution(spark: SparkSession, dir: String,
                           horizon: String = "1 hour",
                           lateness: String = "10 minutes"): DataFrame = {
-    val root = s"${sys.props("java.io.tmpdir")}/graft_stream_join_" +
-      spark.sparkContext.applicationId
-    val rp = new org.apache.hadoop.fs.Path(root)
-    val fs = rp.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(rp)) fs.delete(rp, true)
-    graft.ops.TwoBatchScratch.registerCleanup(root)
+    val root = graft.ops.TwoBatchScratch.freshRoot(spark, "graft_stream_join")
     val feed = s"$root/feed"
     stageEventFeed(spark, dir, feed)
     // a stream-stream join keeps FOUR state stores per shuffle partition;
@@ -107,21 +102,9 @@ object StreamJoin {
   }
 
   /** The emitted match log: union over per-batch directories, empty-but-
-    * typed before the first batch lands. */
-  def matches(spark: SparkSession, outPath: String): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(outPath)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val schema = StructType.fromDDL(
+    * typed before the first batch lands (shared reader — r9 review). */
+  def matches(spark: SparkSession, outPath: String): DataFrame =
+    graft.ops.TwoBatchScratch.batchLog(spark, outPath,
       "p_id BIGINT, p_user BIGINT, p_ts TIMESTAMP, " +
         "s_id BIGINT, s_user BIGINT, s_ts TIMESTAMP")
-    val dirs =
-      if (fs.exists(p))
-        fs.listStatus(p).filter(_.isDirectory)
-          .filter(_.getPath.getName.startsWith("batch-"))
-          .map(_.getPath.toString).toSeq
-      else Seq.empty[String]
-    if (dirs.nonEmpty) spark.read.schema(schema).parquet(dirs: _*)
-    else spark.createDataFrame(
-      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-  }
 }

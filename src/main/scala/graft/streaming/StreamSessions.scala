@@ -124,12 +124,7 @@ object StreamSessions {
     * timers fire for quiet users between batches. */
   def streamedSessions(spark: SparkSession, dir: String,
                        gapSec: Long = 86400L): DataFrame = {
-    val root = s"${sys.props("java.io.tmpdir")}/graft_stream_sess_" +
-      spark.sparkContext.applicationId
-    val rp = new org.apache.hadoop.fs.Path(root)
-    val fs = rp.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(rp)) fs.delete(rp, true)
-    graft.ops.TwoBatchScratch.registerCleanup(root)
+    val root = graft.ops.TwoBatchScratch.freshRoot(spark, "graft_stream_sess")
     // one materialized scan feeds the split bounds, both halves and the
     // sentinel (5 consumers otherwise re-read the parquet each)
     val ev = graft.ops.Tables.events(spark, dir)

@@ -72,12 +72,7 @@ object StreamTrailLog {
     * trailing-k log — graded by the batch `row_number ... DESC` oracle. */
   def streamedTrailLog(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
     import spark.implicits._
-    val root = s"${sys.props("java.io.tmpdir")}/graft_stream_trail_" +
-      spark.sparkContext.applicationId
-    val rp = new org.apache.hadoop.fs.Path(root)
-    val fs = rp.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(rp)) fs.delete(rp, true)
-    graft.ops.TwoBatchScratch.registerCleanup(root)
+    val root = graft.ops.TwoBatchScratch.freshRoot(spark, "graft_stream_trail")
     // one materialized scan feeds the split bounds, both halves and the
     // sentinel (5 consumers otherwise re-read the parquet each)
     val ev = graft.ops.Tables.events(spark, dir)

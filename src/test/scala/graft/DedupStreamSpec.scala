@@ -119,4 +119,19 @@ class DedupStreamSpec extends SparkSpec {
     assert(log.count() === resumed.size.toLong,
       "duplicate rows in the replayed pair log")
   }
+
+  test("corpusHalves splits at the midpoint of the ACTUAL id range: a " +
+    "corpus whose ids start away from zero is splittable (r9 review: " +
+    "max/2 falsely rejected offset shards)") {
+    import spark.implicits._
+    val offsetDocs = Seq.range(5000L, 6001L).map(i => (i, s"d$i"))
+      .toDF("doc_id", "text")
+    val halves = DedupStream.corpusHalves(offsetDocs)
+    val (a, b) = (halves(0).count(), halves(1).count())
+    assert(a > 0 && b > 0 && a + b === 1001L,
+      s"both halves populated, nothing lost: $a + $b")
+    // the two halves partition the id range at (min+max)/2
+    assert(halves(0).agg(max(col("doc_id"))).head().getLong(0) === 5500L)
+    assert(halves(1).agg(min(col("doc_id"))).head().getLong(0) === 5501L)
+  }
 }

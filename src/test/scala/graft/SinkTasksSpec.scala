@@ -60,4 +60,38 @@ class SinkTasksSpec extends SparkSpec {
     assert(info.error.exists(_.contains("index exploded")))
     intercept[NoSuchElementException](SinkTasks.status(-1L))
   }
+
+  test("waitForTask with a no-timeout sentinel (Long.MaxValue) waits " +
+    "instead of overflowing into an instant TimeoutException (r9 review)") {
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val id = SinkTasks.submit("sentinel-wait") { gate.await() }
+    // release shortly after: if the ns conversion overflowed, the wait
+    // would throw BEFORE the release fires
+    new Thread(() => { Thread.sleep(300); gate.countDown() }).start()
+    assert(SinkTasks.waitForTask(id, timeoutMs = Long.MaxValue)
+      .status === "succeeded")
+  }
+
+  test("overlapping refreshes of one live path each stage in their own " +
+    "dir: the survivor is a COMPLETE copy, never an interleaved mix " +
+    "(r9 review)") {
+    import spark.implicits._
+    val live = s"${tmpDir("sinktasks-conc")}/t"
+    Seq((1, "seed")).toDF("id", "v").write.parquet(live)
+    // two rebuilds with DISTINGUISHABLE contents, fired back-to-back; with
+    // a shared .staging dir their writes interleaved and the swap could
+    // install a mix of the two
+    val freshA = (1 to 50).map(i => (i, "A")).toDF("id", "v")
+    val freshB = (1 to 80).map(i => (i, "B")).toDF("id", "v")
+    val ta = SwapRefresh.refreshAsync(freshA, live)
+    val tb = SwapRefresh.refreshAsync(freshB, live)
+    assert(SinkTasks.waitForTask(ta, timeoutMs = 120000).status === "succeeded")
+    assert(SinkTasks.waitForTask(tb, timeoutMs = 120000).status === "succeeded")
+    val vals = spark.read.parquet(live).select("v").as[String]
+      .collect().toSet
+    val n = spark.read.parquet(live).count()
+    assert(vals.size === 1, s"mixed copies swapped live: $vals")
+    assert((vals.head == "A" && n == 50L) || (vals.head == "B" && n == 80L),
+      s"live must be exactly one complete rebuild, got $vals with $n rows")
+  }
 }

@@ -73,4 +73,13 @@ class StreamHeavyHittersSpec extends SparkSpec {
     val b = batchHitters().keySet
     assert(a === b)
   }
+
+  test("a threshold nobody crosses returns the empty alert set instead of " +
+    "crashing on schema inference over a file-less sink dir (r9 review)") {
+    val got = StreamHeavyHitters.streamedHeavyHitters(spark, sf,
+      threshold = Long.MaxValue)
+    assert(got.count() === 0L)
+    assert(got.columns.toSeq === Seq("user_id", "n_events"),
+      "empty but fully typed")
+  }
 }

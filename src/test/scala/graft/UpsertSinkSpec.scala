@@ -223,4 +223,66 @@ class UpsertSinkSpec extends SparkSpec {
       compacted.select("op", "id", "name"), "id")
     assert(out.select("id").as[Int].collect().toSeq === Seq(2))
   }
+
+  test("no mask: create replaces the whole document too — a deleted-then-" +
+    "recreated row must not inherit the old document's fields (r9 review)") {
+    val s0 = state((1, "ann", "nyc"))
+    // delete + recreate compacts to the create; the re-created document
+    // carries no city, so the stored 'nyc' must NOT leak back in
+    val out = UpsertSink.applyBatch(s0, changes(("create", 1, "ann2", null)), "id")
+    assert(out.collect().toSeq === Seq(Row(1, "ann2", null)))
+    // update keeps the coalesce fallback (explicit-null unsupported w/o mask)
+    val out2 = UpsertSink.applyBatch(s0, changes(("update", 1, "ann2", null)), "id")
+    assert(out2.collect().toSeq === Seq(Row(1, "ann2", "nyc")))
+  }
+
+  test("foreachBatchApply: rows of one multi-row event (same pk, same " +
+    "offset) resolve deterministically by _ridx — the later row wins " +
+    "(r9 review: without the tiebreak the winner was partition order)") {
+    val statePath = tmpDir("fba-ridx") + "/state"
+    val schema = Seq((0, "x")).toDF("id", "name").schema
+    val apply = UpsertSink.foreachBatchApply(spark, statePath, "id", schema)
+    val batch = Seq(
+      ("create", 1, 7L, 0, "row-zero"),
+      ("create", 1, 7L, 1, "row-one"))
+      .toDF("op", "id", "offset", "_ridx", "name")
+      .withColumn("table", lit("t"))
+      // many partitions so partition order cannot mask a missing tiebreak
+      .repartition(8)
+    apply(batch, 0L)
+    val got = spark.read.parquet(statePath).collect().toSeq
+    assert(got === Seq(Row(1, "row-one")),
+      "the _ridx-1 row of the offset-7 envelope must win compaction")
+  }
+
+  test("atomicSwapDirs survives concurrent readers healing mid-swap: " +
+    "repeated swaps under a liveExists hammer never throw and always leave " +
+    "a complete copy live (r9 review)") {
+    val root = tmpDir("swaprace")
+    val live = s"$root/t"
+    state((1, "v0", "c")).write.parquet(live)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val readerFailed = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val reader = new Thread(() => {
+      // liveExists calls recoverSwap — the exact racer the fix addresses
+      while (!stop.get()) {
+        try { UpsertSink.liveExists(spark, live); () }
+        catch { case t: Throwable => readerFailed.set(t); stop.set(true) }
+      }
+    }, "swap-race-reader")
+    reader.setDaemon(true)
+    reader.start()
+    try {
+      (1 to 20).foreach { i =>
+        val next = s"$root/next-$i"
+        state((1, s"v$i", "c")).write.parquet(next)
+        graft.cdc.UpsertSink.atomicSwapDirs(spark, next, live)
+      }
+    } finally { stop.set(true); reader.join(5000) }
+    assert(readerFailed.get() === null,
+      s"reader must never crash: ${readerFailed.get()}")
+    val fin = spark.read.parquet(live).collect().toSeq
+    assert(fin === Seq(Row(1, "v20", "c")),
+      "the last swapped copy must be live and complete")
+  }
 }
