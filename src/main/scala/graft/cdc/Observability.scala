@@ -76,7 +76,10 @@ object ErrorReporting {
 
   /** Attach a listener that forwards THIS query's death-with-error to the
     * reporters (a clean stop reports nothing). Returns the listener so
-    * callers can detach it. */
+    * callers can detach it early; on the query's termination it detaches
+    * ITSELF (the [[ProgressPublisher]] discipline) — a checkpointed query
+    * restarted in one session keeps the same id, so a stale listener from
+    * a prior run would double-report every later death (r9 review). */
   def attach(spark: SparkSession, queryId: java.util.UUID,
              reporters: Seq[GraftErrorReporter]): StreamingQueryListener = {
     val l = new StreamingQueryListener {
@@ -86,9 +89,11 @@ object ErrorReporting {
           e: StreamingQueryListener.QueryProgressEvent): Unit = ()
       override def onQueryTerminated(
           e: StreamingQueryListener.QueryTerminatedEvent): Unit =
-        if (e.id == queryId)
+        if (e.id == queryId) {
           e.exception.foreach(err =>
             reporters.foreach(_.report(s"stream ${e.id}", err)))
+          spark.streams.removeListener(this)
+        }
     }
     spark.streams.addListener(l)
     l

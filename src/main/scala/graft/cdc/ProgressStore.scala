@@ -22,23 +22,44 @@ trait ProgressStore {
 }
 
 /** File-backed store (`progress/file.py`): one JSON object of string
-  * fields. Writes are read-merge-write through a temp file + atomic rename
-  * so a concurrent reader never sees a torn object. */
+  * fields. Writes are read-merge-write under an OS file lock (the class's
+  * stated purpose is one store shared ACROSS applications, so in-process
+  * `synchronized` alone would let two JVMs' merges lose each other's
+  * fields — r9 review) through a per-process temp file + atomic rename, so
+  * a concurrent reader never sees a torn object and a concurrent writer
+  * can never rename this writer's half-written temp live. Readers stay
+  * lock-free: the atomic rename guarantees they always see a complete
+  * object (possibly one merge old — the same freshness contract a redis
+  * HMSET reader has). */
 final class FileProgressStore(path: String) extends ProgressStore {
   private val p = java.nio.file.Paths.get(path)
 
-  def set(fields: Map[String, String]): Unit = synchronized {
-    val merged = get() ++ fields
-    val json = merged.toSeq.sortBy(_._1).map { case (k, v) =>
-      s"${quote(k)}: ${quote(v)}"
-    }.mkString("{", ", ", "}")
-    val tmp = java.nio.file.Paths.get(path + ".tmp")
-    java.nio.file.Files.write(tmp,
-      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    java.nio.file.Files.move(tmp, p,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-  }
+  // in-JVM exclusion must be PATH-keyed (not per-instance) and must wrap
+  // the OS lock: the JVM throws OverlappingFileLockException instead of
+  // blocking when two of its own threads contend for one file lock
+  def set(fields: Map[String, String]): Unit =
+    FileProgressStore.jvmLock(path).synchronized {
+      val lockCh = java.nio.channels.FileChannel.open(
+        java.nio.file.Paths.get(path + ".lock"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val lock = lockCh.lock() // cross-process exclusive
+        try {
+          val merged = get() ++ fields
+          val json = merged.toSeq.sortBy(_._1).map { case (k, v) =>
+            s"${quote(k)}: ${quote(v)}"
+          }.mkString("{", ", ", "}")
+          val tmp = java.nio.file.Paths.get(
+            path + ".tmp-" + ProcessHandle.current().pid())
+          java.nio.file.Files.write(tmp,
+            json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          java.nio.file.Files.move(tmp, p,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        } finally lock.release()
+      } finally lockCh.close()
+    }
 
   def get(): Map[String, String] =
     if (!java.nio.file.Files.exists(p)) Map.empty
@@ -53,6 +74,13 @@ final class FileProgressStore(path: String) extends ProgressStore {
 
   private def quote(s: String): String =
     new com.fasterxml.jackson.databind.ObjectMapper().writeValueAsString(s)
+}
+
+object FileProgressStore {
+  private val jvmLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def jvmLock(path: String): Object =
+    jvmLocks.computeIfAbsent(path, _ => new Object)
 }
 
 /** Socket-backed store — the redis analog over the same two-verb wire
@@ -95,6 +123,12 @@ final class SocketProgressStore(hostPort: String) extends ProgressStore {
         // split-array has one element, and values themselves never contain
         // raw tabs (URL-encoded on the wire)
         val i = line.indexOf('\t')
+        // a tab-less line is a protocol error (an ERR reply, or the addr
+        // pointing at a different server entirely) — name it instead of a
+        // bare StringIndexOutOfBounds (r9 review)
+        if (i < 0) throw new IllegalStateException(
+          s"progress HGETALL: unexpected reply '$line' from $hostPort — " +
+            "not a progress KV server?")
         b += dec(line.substring(0, i)) -> dec(line.substring(i + 1))
         line = in.readLine()
       }
@@ -118,6 +152,9 @@ final class ProgressKvServer {
       try {
         val sock = server.accept()
         try {
+          // liveness: same silent-client guard as CdcFeedServer — readLine
+          // with no timeout would park the accept loop forever (r9 review)
+          sock.setSoTimeout(10000)
           val in = new java.io.BufferedReader(
             new java.io.InputStreamReader(sock.getInputStream, "UTF-8"))
           val out = new java.io.PrintWriter(sock.getOutputStream, true)

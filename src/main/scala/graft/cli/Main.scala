@@ -115,7 +115,14 @@ object Main {
           .map(new graft.cdc.SocketProgressStore(_)))
     val reporters = parseReporters(props)
     cmd match {
-      case "start" =>
+      case "start" => graft.cdc.ErrorReporting.reporting(reporters, "start") {
+        // the reporting wrapper covers the WHOLE command — a synchronous
+        // startup failure (bad table.dir inside pipe.start/backfill) and
+        // the stream's own death rethrown by awaitTermination — with no
+        // attach-after-start race and no double report (r9 review: the
+        // listener-only shape missed startup failures entirely and could
+        // miss a death posted before the listener registered; library
+        // callers that hold a running query use ErrorReporting.attach)
         val trigger = Option(props.getProperty("trigger.seconds"))
           .map(s => Trigger.ProcessingTime(s.toLong * 1000))
           .orElse(cfg.insertIntervalSecs.map(_ => pipe.configTrigger))
@@ -123,11 +130,8 @@ object Main {
         val q = pipe.start(props.getProperty("checkpoint.dir"), trigger,
           monotonic = props.getProperty("monotonic") == "true",
           progress = progress)
-        // sentry-analog: stream death with an error fires every configured
-        // reporter (a clean AvailableNow drain reports nothing)
-        if (reporters.nonEmpty)
-          graft.cdc.ErrorReporting.attach(spark, q.id, reporters)
         q.awaitTermination()
+      }
       case "refresh" => graft.cdc.ErrorReporting.reporting(reporters, "refresh") {
         // refresh.timeout.ms configured => the reference's async shape:
         // fire every table's rebuild as a task, then gather each with
@@ -163,11 +167,21 @@ object Main {
     }
   }
 
-  /** Parse `sync.<table>.*` keys into [[SyncConfig]]s. */
+  /** Parse `sync.<table>.*` keys into [[SyncConfig]]s. The table name is
+    * everything between `sync.` and the LAST dot (the property suffix never
+    * contains one), so schema-qualified tables like `user.events` parse
+    * whole instead of silently truncating at the first dot, and a malformed
+    * key names itself instead of an index crash (r9 review). */
   private[graft] def parseConfig(props: java.util.Properties): PipelineConfig = {
     import scala.jdk.CollectionConverters._
     val tables = props.stringPropertyNames().asScala
-      .filter(_.startsWith("sync.")).map(_.split('.')(1)).toSeq.distinct.sorted
+      .filter(_.startsWith("sync.")).map { k =>
+        val rest = k.stripPrefix("sync.")
+        val cut = rest.lastIndexOf('.')
+        require(cut > 0 && cut < rest.length - 1,
+          s"malformed config key '$k' — expected sync.<table>.<property>")
+        rest.substring(0, cut)
+      }.toSeq.distinct.sorted
     val syncs = tables.map { t =>
       def p(k: String) = Option(props.getProperty(s"sync.$t.$k"))
       val fields = p("fields").map(_.split(',').toSeq.map { f =>

@@ -8,16 +8,20 @@ import org.apache.spark.sql.functions.udaf
   * weighted average as an `Aggregator`, the user-facing custom-aggregate
   * API. Partial aggregation (`reduce`) runs map-side, `merge` combines
   * partition buffers — the same two-phase shape Catalyst gives built-ins. */
-object WeightedAvg extends Aggregator[(Double, Double), (Double, Double), Double] {
+object WeightedAvg extends Aggregator[(Double, Double), (Double, Double), java.lang.Double] {
   def zero: (Double, Double) = (0.0, 0.0)
   def reduce(b: (Double, Double), in: (Double, Double)): (Double, Double) =
     (b._1 + in._1 * in._2, b._2 + in._2)
   def merge(a: (Double, Double), b: (Double, Double)): (Double, Double) =
     (a._1 + b._1, a._2 + b._2)
-  def finish(b: (Double, Double)): Double = b._1 / b._2
+  // null — not 0/0 = NaN — when the group's weight mass is zero (all-zero
+  // weights, or an empty global aggregate), matching built-in avg's
+  // empty-group contract so consumers never meet a silent NaN (r9 review)
+  def finish(b: (Double, Double)): java.lang.Double =
+    if (b._2 == 0.0) null else java.lang.Double.valueOf(b._1 / b._2)
   def bufferEncoder: Encoder[(Double, Double)] = Encoders.tuple(
     Encoders.scalaDouble, Encoders.scalaDouble)
-  def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  def outputEncoder: Encoder[java.lang.Double] = Encoders.DOUBLE
 
   /** `wavg(value, weight)` as a Column aggregate. */
   def apply(value: Column, weight: Column): Column =

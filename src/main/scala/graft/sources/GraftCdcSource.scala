@@ -175,8 +175,16 @@ private class CdcChunkReader(file: String, pushed: Array[Filter])
 
   override def next(): Boolean = {
     while (lines.hasNext) {
-      val parts = lines.next().split('\t')
-      if (parts.length >= 5 && keep(parts(0), parts(1))) {
+      val line = lines.next()
+      // limit -1 keeps a trailing EMPTY data field (a valid event); a line
+      // with genuinely fewer fields (torn tail of a partial write) fails
+      // LOUD at the checkpointed position instead of silently vanishing —
+      // a lost change surfaces much later as an undiagnosable check
+      // MISMATCH (r9 review)
+      val parts = line.split("\t", -1)
+      require(parts.length >= 5,
+        s"malformed chunk line (${parts.length} fields): $line")
+      if (keep(parts(0), parts(1))) {
         current = InternalRow(
           UTF8String.fromString(parts(0)),
           UTF8String.fromString(parts(1)),

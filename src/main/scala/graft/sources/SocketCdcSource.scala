@@ -138,7 +138,11 @@ private class SocketSpanReader(p: SocketSpanPartition)
 
   override def next(): Boolean = {
     if (!lines.hasNext) return false
-    val parts = lines.next().split('\t')
+    // limit -1: an empty data field in last position is a VALID wire line
+    // ('delete\tt\t0\t1\t'); the limit-0 split dropped it and the require
+    // then wedged the stream at that offset forever — every replayed span
+    // re-reads the same line (r9 review)
+    val parts = lines.next().split("\t", -1)
     require(parts.length >= 5, s"malformed wire line: ${parts.mkString("|")}")
     current = InternalRow(
       UTF8String.fromString(parts(0)),
@@ -264,6 +268,12 @@ final class CdcFeedServer(fixedPort: Int = 0, seed: Seq[String] = Nil) {
       try {
         val sock = server.accept()
         try {
+          // liveness: a connected-but-silent client (e.g. a task killed
+          // between connect and request) must not park the single-threaded
+          // accept loop in readLine forever and starve every later request;
+          // the timeout surfaces as an IOException the NonFatal arm eats,
+          // the connection closes, and serving resumes (r9 review)
+          sock.setSoTimeout(10000)
           val in = new java.io.BufferedReader(
             new java.io.InputStreamReader(sock.getInputStream, "UTF-8"))
           val out = new java.io.PrintWriter(sock.getOutputStream, true)

@@ -83,4 +83,41 @@ class CdcSourceV2Spec extends SparkSpec {
     // no .filter() in the query — selection happened in the partition reader
     assert(seen.map(_.getAs[Long]("offset")).toSeq === Seq(1L))
   }
+
+  test("an empty trailing data field is a VALID event; a torn line fails " +
+    "loud instead of silently vanishing (r9 review)") {
+    // empty payload survives the tab split
+    val feed = tmpDir("feed-empty")
+    writeChunk(feed, 0, Seq(("delete", "t", 1, 1000, "")))
+    val seen = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+    val q = spark.readStream.format("graft-cdc").load(feed)
+      .writeStream.option("checkpointLocation", tmpDir("ckpt-empty"))
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen ++= df.collect(); ()
+      }.start()
+    q.processAllAvailable(); q.stop()
+    assert(seen.map(r => (r.getAs[Long]("offset"), r.getAs[String]("data")))
+      .toSeq === Seq((1L, "")),
+      "the empty-payload event must be read, not dropped")
+
+    // a genuinely short line (torn tail of a partial write) kills the
+    // query at the checkpointed position — never a silent skip
+    val feed2 = tmpDir("feed-torn")
+    val f = new java.io.PrintWriter(s"$feed2/chunk-0.tsv", "UTF-8")
+    try f.println("create\tt\t7\t1000") finally f.close() // 4 fields
+    val q2 = spark.readStream.format("graft-cdc").load(feed2)
+      .writeStream.option("checkpointLocation", tmpDir("ckpt-torn"))
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.count(); () // force the scan — foreachBatch hands a lazy frame
+      }
+      .start()
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+    }
+    q2.stop()
+    assert(err.getMessage.contains("malformed chunk line") ||
+      Option(err.getCause).exists(_.toString.contains("malformed chunk line")) ||
+      err.toString.contains("malformed chunk line"),
+      s"torn line must name itself: $err")
+  }
 }

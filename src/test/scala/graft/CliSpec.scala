@@ -21,6 +21,22 @@ class CliSpec extends SparkSpec {
     assert(cfg.syncFor("orders").get.pk === "id")
   }
 
+  test("config: a dotted (schema-qualified) table name parses whole, and " +
+    "a malformed sync key names itself (r9 review: split('.')(1) silently " +
+    "truncated 'user.events' to 'user')") {
+    val p = new java.util.Properties()
+    p.setProperty("sync.user.events.pk", "uid")
+    p.setProperty("sync.user.events.schema", "uid INT")
+    val cfg = Main.parseConfig(p)
+    assert(cfg.tables === Seq("user.events"))
+    assert(cfg.syncFor("user.events").get.pk === "uid")
+    val bad = new java.util.Properties()
+    bad.setProperty("sync.", "x")
+    val err = intercept[IllegalArgumentException](Main.parseConfig(bad))
+    assert(err.getMessage.contains("sync."),
+      s"the malformed key must name itself: ${err.getMessage}")
+  }
+
   test("B2 flush knobs parse into PipelineConfig") {
     val p = new java.util.Properties()
     p.setProperty("sync.t.schema", "id INT")

@@ -76,4 +76,35 @@ class ProgressStoreSpec extends SparkSpec {
     assert(pipe.sinkState(sync).collect().toSeq ===
       Seq(org.apache.spark.sql.Row(1, 2)))
   }
+
+  test("SocketProgressStore.get names a protocol error on a tab-less reply " +
+    "(wrong server / ERR) instead of a StringIndexOutOfBounds (r9 review)") {
+    // point the KV client at a CDC feed server: its reply to HGETALL is an
+    // ERR line with no tab
+    val wrong = new graft.sources.CdcFeedServer
+    try {
+      val store = new SocketProgressStore(s"localhost:${wrong.port}")
+      val err = intercept[IllegalStateException](store.get())
+      assert(err.getMessage.contains("not a progress KV server"),
+        s"must name the protocol mismatch: ${err.getMessage}")
+    } finally wrong.close()
+  }
+
+  test("FileProgressStore.set merges under a cross-process file lock with " +
+    "per-process temp names; heavy concurrent merges lose no fields") {
+    val path = tmpDir("fps") + "/progress.json"
+    val store = new FileProgressStore(path)
+    // concurrent writers (threads stand in for processes; the lock file +
+    // unique tmp protocol is what the test pins on disk)
+    val threads = (1 to 8).map { t =>
+      new Thread(() => {
+        val s = new FileProgressStore(path) // independent instance per writer
+        (1 to 10).foreach(i => s.set(Map(s"k$t-$i" -> s"v$t-$i")))
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(30000))
+    val got = store.get()
+    assert(got.size === 80, s"all 80 fields must survive the merge: ${got.size}")
+    assert(new java.io.File(path + ".lock").exists(), "lock sidecar exists")
+  }
 }

@@ -136,4 +136,24 @@ class SocketCdcSpec extends SparkSpec {
         Seq(org.apache.spark.sql.Row(1, 11)))
     } finally server.close()
   }
+
+  test("an empty data field is a valid wire line — the span reader must " +
+    "parse it, not wedge the stream on a malformed-line require (r9 review)") {
+    val server = new CdcFeedServer
+    try {
+      server.append("create", "t", 1L, """{"id": 1}""")
+      server.append("delete", "t", 2L, "") // trailing empty payload
+      val seen = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+      val q = spark.readStream.format("graft-cdc-socket")
+        .load(s"localhost:${server.port}")
+        .writeStream.option("checkpointLocation", tmpDir("ckpt-emptywire"))
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          seen ++= df.collect(); ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      assert(seen.map(r => (r.getAs[String]("op"), r.getAs[String]("data")))
+        .toSet === Set(("create", """{"id": 1}"""), ("delete", "")),
+        "both lines must be read, the empty payload included")
+    } finally server.close()
+  }
 }

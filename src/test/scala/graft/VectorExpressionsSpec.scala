@@ -49,4 +49,34 @@ class VectorExpressionsSpec extends SparkSpec {
       .collect()
     assert(rows.head.isNullAt(0))
   }
+
+  test("graft_dot: mismatched dimensions yield NULL, never a truncated " +
+    "partial product (r9 review — parity with the zip_with formulation, " +
+    "which pads the shorter side with nulls)") {
+    VectorFunctions.register(spark)
+    val rows = Seq(
+      (Seq(1.0, 2.0, 3.0), Seq(1.0, 1.0)),      // mismatch -> null
+      (Seq(1.0, 2.0), Seq(3.0, 4.0)))           // match -> 11.0
+      .toDF("a", "b")
+      .select(expr("graft_dot(a, b)").as("d"),
+        expr("aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+          .as("hof"))
+      .collect()
+    assert(rows(0).isNullAt(0), "mismatch must be null")
+    assert(rows(0).isNullAt(1), "…exactly like the HOF formulation")
+    assert(rows(1).getDouble(0) === 11.0 && rows(1).getDouble(1) === 11.0)
+  }
+
+  test("WeightedAvg: a zero weight mass yields NULL (built-in avg's " +
+    "empty-group contract), not a silent NaN (r9 review)") {
+    val df = Seq(
+      ("a", 10.0, 0.0), ("a", 20.0, 0.0), // all-zero weights
+      ("b", 10.0, 1.0), ("b", 20.0, 3.0))
+      .toDF("g", "v", "w")
+    val out = df.groupBy(col("g"))
+      .agg(graft.functions.WeightedAvg(col("v"), col("w")).as("wavg"))
+      .orderBy(col("g")).collect()
+    assert(out(0).isNullAt(1), "zero-weight group must be null, not NaN")
+    assert(out(1).getDouble(1) === 17.5)
+  }
 }
