@@ -99,9 +99,28 @@ object OffsetWatermark {
     * never written. */
   def current(spark: SparkSession, statePath: String): Option[DataFrame] = {
     val dir = path(statePath)
+    // mergeSchema: a partially-migrated bucketed store (dynamic partition
+    // overwrite only rewrites touched buckets) holds pre- and post-_ridx
+    // files side by side; inference from one arbitrary footer would drop
+    // the column. File count is O(buckets), config-bounded.
     if (hasData(spark, dir))
-      Some(spark.read.parquet(dir).drop(BucketedUpsertSink.BucketCol))
+      Some(normalizeStored(spark.read.option("mergeSchema", "true")
+        .parquet(dir).drop(BucketedUpsertSink.BucketCol)))
     else None
+  }
+
+  /** Normalize a stored watermark read across schema generations: a
+    * pre-`_ridx` sidecar (written before the r9 position upgrade) gains
+    * [[RidxCol]] = 0, and a null stored row index reads as 0 — both mean
+    * "first row of the envelope", so an upgraded deployment's first batch
+    * merges instead of failing column resolution, and null positions can
+    * never poison the three-valued comparisons in [[splitStale]]
+    * (r9 review). */
+  private def normalizeStored(df: DataFrame): DataFrame = {
+    val withCol =
+      if (df.columns.contains(RidxCol)) df
+      else df.withColumn(RidxCol, lit(0))
+    withCol.withColumn(RidxCol, coalesce(col(RidxCol).cast("int"), lit(0)))
   }
 
   /** Advance the watermark with one batch's applied (pk, offset, _ridx)
@@ -111,11 +130,16 @@ object OffsetWatermark {
     * notes above). */
   def advance(spark: SparkSession, statePath: String, applied: DataFrame,
               pk: String, numBuckets: Option[Int]): Unit = {
+    // a null _ridx (an unparseable-array envelope kept by posexplode_outer,
+    // later repaired and replayed) is position 0 — coalesce BEFORE the
+    // struct max so the null can't skew the lexicographic ordering, and
+    // the stored column is never null (r9 review)
     val batch = applied
       .groupBy(col(pk))
-      .agg(max(struct(col("offset"), col("_ridx"))).as("__m"))
+      .agg(max(struct(col("offset"),
+        coalesce(col("_ridx").cast("int"), lit(0)).as("_ridx"))).as("__m"))
       .select(col(pk), col("__m.offset").as(OffsetCol),
-        col("__m._ridx").cast("int").as(RidxCol))
+        col("__m._ridx").as(RidxCol))
     if (batch.isEmpty) return
     val dir = path(statePath)
     val exists = hasData(spark, dir)
@@ -132,9 +156,10 @@ object OffsetWatermark {
           // from BucketedUpsertSink.applyBatch
           val touched = withBucket.select(BucketedUpsertSink.BucketCol)
             .distinct().collect().map(_.getLong(0)).sorted
-          val slice = spark.read.parquet(dir)
-            .filter(col(BucketedUpsertSink.BucketCol).isin(touched: _*))
-            .drop(BucketedUpsertSink.BucketCol)
+          val slice = normalizeStored(
+            spark.read.option("mergeSchema", "true").parquet(dir)
+              .filter(col(BucketedUpsertSink.BucketCol).isin(touched: _*))
+              .drop(BucketedUpsertSink.BucketCol))
           merge(slice, withBucket.drop(BucketedUpsertSink.BucketCol), pk)
             .withColumn(BucketedUpsertSink.BucketCol,
               BucketedUpsertSink.bucketOf(col(pk), n))
@@ -147,7 +172,8 @@ object OffsetWatermark {
         if (!exists) {
           batch.write.mode("overwrite").parquet(dir)
         } else {
-          val next = merge(spark.read.parquet(dir), batch, pk)
+          val next = merge(normalizeStored(
+            spark.read.option("mergeSchema", "true").parquet(dir)), batch, pk)
           val tmp = dir + ".next"
           next.write.mode("overwrite").parquet(tmp)
           UpsertSink.atomicSwapDirs(spark, tmp, dir)
@@ -171,57 +197,134 @@ object OffsetWatermark {
         col(s"__m.$RidxCol").as(RidxCol))
   }
 
+  // same-JVM writer exclusion for the floor's read-max-write, path-keyed
+  // like FileProgressStore.jvmLock: the advertised concurrent shape is
+  // refreshAsync tasks inside ONE driver JVM -- the sink dirs are
+  // single-pipeline-owned, the same premise the swap protocol runs on
+  private val floorLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def floorLock(statePath: String): Object =
+    floorLocks.computeIfAbsent(statePath, _ => new Object)
+
   /** Record the sync-level snapshot floor after a full rebuild: every
     * payload with offset <= `floor` was observed before the snapshot and is
-    * superseded by it. Protocol: write the value to a temp file (closed
-    * before anything else moves), delete the old floor, rename the temp in
-    * — and [[snapshotFloor]] COMPLETES an interrupted swap (old deleted,
-    * temp not yet renamed) at read time, so a crash anywhere in the window
-    * never erases the fence; a failed rename raises instead of silently
-    * dropping it. The caller computes `floor` BEFORE the snapshot scan and
-    * writes it AFTER the sink swap commits, so every crash ordering leaves
-    * the floor conservatively LOW (stale replays stay possible in that
-    * window — the pre-snapshot semantics — and re-running the rebuild heals
-    * it) rather than dangerously high (which would silently discard repairs
-    * the sink never received). */
-  def recordSnapshotFloor(spark: SparkSession, statePath: String, floor: Long): Unit = {
+    * superseded by it. MONOTONE: the committed value is max(existing,
+    * floor) -- a floor asserts "a snapshot at least this new exists", which
+    * later rebuilds can only strengthen; a rebuild whose recomputed ceiling
+    * is LOWER (a replay purged the quarantine since) must not re-open the
+    * fence for re-quarantined redeliveries (r9 review). Writers serialize
+    * on a per-path JVM monitor and each writes a process-unique temp
+    * (closed before the old floor is deleted and the temp renamed in), so
+    * two overlapping refreshAsync tasks can neither interleave the
+    * read-max-write nor rename each other's half-written temp live; a
+    * failed rename (a reader's heal raced us) drops our temp and
+    * re-evaluates against whatever won. A crash anywhere leaves either the
+    * old complete floor or a COMPLETE temp that [[snapshotFloor]] heals
+    * forward -- never a torn or erased fence.
+    *
+    * The caller computes `floor` BEFORE the snapshot scan and records it
+    * AFTER the sink swap commits, so every crash ordering leaves the floor
+    * conservatively LOW (stale replays stay possible in that window -- the
+    * pre-snapshot semantics -- and re-running the rebuild heals it) rather
+    * than dangerously high (which would silently discard repairs the sink
+    * never received). */
+  def recordSnapshotFloor(spark: SparkSession, statePath: String, floor: Long): Unit =
+    floorLock(statePath).synchronized {
+      val p = new org.apache.hadoop.fs.Path(floorPath(statePath))
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      var attempts = 0
+      var done = false
+      while (!done) {
+        attempts += 1
+        healFloor(fs, statePath)
+        val existing = readFloorFile(fs, p)
+        val target = math.max(existing.getOrElse(0L), floor)
+        if (existing.exists(_ >= target)) done = true
+        else {
+          val tmp = new org.apache.hadoop.fs.Path(
+            floorPath(statePath) + ".next." +
+              ProcessHandle.current().pid() + "-" + java.util.UUID.randomUUID())
+          val out = fs.create(tmp, true)
+          try out.write(target.toString.getBytes("UTF-8")) finally out.close()
+          if (existing.isDefined) { fs.delete(p, false); () }
+          if (fs.rename(tmp, p)) done = true
+          else {
+            // a reader's heal renamed a complete temp into place between
+            // our delete and rename; ours lost -- discard it and re-check
+            // what won (each retry needs another racer in that window)
+            fs.delete(tmp, false)
+            require(attempts <= 8,
+              s"cannot commit snapshot floor at $p after $attempts attempts")
+          }
+        }
+      }
+    }
+
+  /** Complete an interrupted [[recordSnapshotFloor]] commit: main absent
+    * with complete temp(s) present means a writer crashed between the old
+    * floor's delete and its rename -- rename the max-valued COMPLETE temp
+    * in (an empty or torn temp is an in-flight writer's, skipped; a rename
+    * that fails because the temp vanished means its owner or another healer
+    * moved it, which is success). Leftover temps belong to live writers
+    * (they self-delete on a failed rename) or to crashed ones (a few bytes
+    * of garbage, superseded by any later commit). */
+  private def healFloor(fs: org.apache.hadoop.fs.FileSystem, statePath: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(floorPath(statePath))
-    val tmp = new org.apache.hadoop.fs.Path(floorPath(statePath) + ".next")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(tmp, true)
-    try out.write(floor.toString.getBytes("UTF-8")) finally out.close()
-    if (fs.exists(p)) { fs.delete(p, false); () }
-    require(fs.rename(tmp, p),
-      s"cannot commit snapshot floor: rename $tmp -> $p failed")
+    if (fs.exists(p)) return
+    val parent = p.getParent
+    if (parent == null || !fs.exists(parent)) return
+    val prefix = p.getName + ".next"
+    val candidates = fs.listStatus(parent).map(_.getPath).filter { t =>
+      val n = t.getName
+      n == prefix || n.startsWith(prefix + ".")
+    }
+    val complete = candidates.flatMap { t =>
+      try readFloorRaw(fs, t).map(v => (t, v))
+      catch { case _: java.io.IOException => None }
+    }
+    if (complete.nonEmpty) {
+      val (best, _) = complete.maxBy(_._2)
+      try { fs.rename(best, p); () }
+      catch { case _: java.io.FileNotFoundException => () }
+    }
   }
 
+  /** Parse a floor file; None if absent, empty, or non-numeric (a torn or
+    * in-flight temp). */
+  private def readFloorRaw(fs: org.apache.hadoop.fs.FileSystem,
+                           p: org.apache.hadoop.fs.Path): Option[Long] = {
+    if (!fs.exists(p)) return None
+    val len = fs.getFileStatus(p).getLen.toInt
+    if (len == 0) return None
+    val bytes = new Array[Byte](len)
+    val in = fs.open(p)
+    try in.readFully(0, bytes) finally in.close()
+    val text = new String(bytes, "UTF-8").trim
+    scala.util.Try(text.toLong).toOption
+  }
+
+  /** The committed main floor; fail-loud on out-of-protocol corruption
+    * (main is only ever renamed in COMPLETE, so unparseable content means
+    * something outside the protocol edited it -- re-run refresh to restore
+    * the fence rather than silently un-fencing). */
+  private def readFloorFile(fs: org.apache.hadoop.fs.FileSystem,
+                            p: org.apache.hadoop.fs.Path): Option[Long] =
+    if (!fs.exists(p)) None
+    else {
+      val v = readFloorRaw(fs, p)
+      require(v.isDefined,
+        s"torn snapshot floor at $p -- re-run refresh to restore the fence")
+      v
+    }
+
   /** The recorded snapshot floor; 0 if no snapshot rebuild ever ran (no
-    * fencing — see [[splitStale]]). Completes an interrupted
-    * [[recordSnapshotFloor]] swap first: the temp file is only ever left
-    * behind COMPLETE (it is closed before the old floor is deleted), so
-    * main-absent + temp-present means the new floor, never a torn write. */
+    * fencing -- see [[splitStale]]). Heals an interrupted
+    * [[recordSnapshotFloor]] commit first. */
   def snapshotFloor(spark: SparkSession, statePath: String): Long = {
     val p = new org.apache.hadoop.fs.Path(floorPath(statePath))
-    val tmp = new org.apache.hadoop.fs.Path(floorPath(statePath) + ".next")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p) && fs.exists(tmp)) {
-      require(fs.rename(tmp, p),
-        s"cannot complete interrupted snapshot-floor swap: $tmp -> $p")
-    }
-    if (!fs.exists(p)) 0L
-    else {
-      val len = fs.getFileStatus(p).getLen.toInt
-      val bytes = new Array[Byte](len)
-      val in = fs.open(p)
-      try in.readFully(0, bytes) finally in.close()
-      val text = new String(bytes, "UTF-8").trim
-      // fail loudly rather than silently un-fence: the write protocol never
-      // leaves a torn file, so an unparseable one is outside-protocol
-      // corruption and the operator should re-run refresh
-      require(text.nonEmpty,
-        s"torn snapshot floor at $p — re-run refresh to restore the fence")
-      text.toLong
-    }
+    healFloor(fs, statePath)
+    readFloorFile(fs, p).getOrElse(0L)
   }
 
   /** Split repaired dead-letter rows into (fresh, superseded) against the
@@ -260,10 +363,17 @@ object OffsetWatermark {
     // source whose offsets happen to start at 0
     val floorCond: Column =
       if (floor > 0L) col("offset") <= lit(floor) else lit(false)
+    // coalesce both row indexes: a repaired row from an unparseable-array
+    // envelope carries _ridx = NULL (posexplode_outer), and NULL < NULL is
+    // NULL — a three-valued staleCond would drop the row from BOTH the
+    // fresh and stale splits, stranding it in quarantine forever on a
+    // crash-retry (r9 review). NULL reads as position 0, matching advance.
     val staleCond = floorCond ||
       (col("__wmo").isNotNull &&
         (col("offset") < col("__wmo") ||
-          (col("offset") === col("__wmo") && col("_ridx") < col("__wmr"))))
+          (col("offset") === col("__wmo") &&
+            coalesce(col("_ridx").cast("int"), lit(0)) <
+              coalesce(col("__wmr"), lit(0)))))
     (j.filter(!staleCond).drop("__wmo", "__wmr"),
       j.filter(staleCond).drop("__wmo", "__wmr"))
   }

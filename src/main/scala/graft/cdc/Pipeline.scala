@@ -293,6 +293,11 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
       .filter(s => tables.isEmpty || tables.contains(s.table))
       .map { s =>
         val path = deadLetterPath(s)
+        // heal an interrupted quarantine rewrite first: a crash between
+        // atomicSwapDirs' two renames leaves the quarantine only at
+        // `.old`, and probing the main path alone would read every
+        // envelope as gone (r9 review)
+        UpsertSink.recoverSwap(spark, path)
         val p = new org.apache.hadoop.fs.Path(path)
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
         if (!fs.exists(p)) s.table -> ((0L, 0L, 0L))
@@ -359,6 +364,9 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
       .flatMap(w => Option(
         w.agg(max(col(OffsetWatermark.OffsetCol))).head.get(0)))
       .fold(0L)(_.asInstanceOf[Long])
+    // same heal as replayDeadLetters: an interrupted quarantine rewrite
+    // must not read as an empty dead-letter dir and record a too-low floor
+    UpsertSink.recoverSwap(spark, deadLetterPath(sync))
     val dlPath = new org.apache.hadoop.fs.Path(deadLetterPath(sync))
     val fs = dlPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dlMax =

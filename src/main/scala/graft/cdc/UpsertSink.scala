@@ -187,7 +187,18 @@ object UpsertSink {
     val (fs, livePath) = hfs(spark, live)
     val old = new org.apache.hadoop.fs.Path(live + ".old")
     if (fs.exists(old)) fs.delete(old, true)
-    if (fs.exists(livePath)) require(fs.rename(livePath, old), s"rename $live -> $old failed")
+    // the aside itself can race a concurrent swapper: both pass the exists
+    // probe, the loser's rename finds the source vanished (the winner took
+    // it) — live is then in the winner's hands, so just proceed; a rename
+    // blocked by a racer-recreated `.old` re-deletes and retries (r9 review)
+    var asideTries = 0
+    while (fs.exists(livePath) &&
+           !(try fs.rename(livePath, old)
+             catch { case _: java.io.FileNotFoundException => false })) {
+      asideTries += 1
+      require(asideTries <= 8, s"rename $live -> $old failed ($asideTries attempts)")
+      fs.delete(old, true)
+    }
     val nextPath = new org.apache.hadoop.fs.Path(next)
     var attempts = 0
     while (!fs.rename(nextPath, livePath)) {

@@ -180,18 +180,23 @@ private class CdcChunkReader(file: String, pushed: Array[Filter])
       // with genuinely fewer fields (torn tail of a partial write) fails
       // LOUD at the checkpointed position instead of silently vanishing —
       // a lost change surfaces much later as an undiagnosable check
-      // MISMATCH (r9 review)
-      val parts = line.split("\t", -1)
-      require(parts.length >= 5,
-        s"malformed chunk line (${parts.length} fields): $line")
-      if (keep(parts(0), parts(1))) {
-        current = InternalRow(
-          UTF8String.fromString(parts(0)),
-          UTF8String.fromString(parts(1)),
-          parts(2).toLong,
-          parts(3).toLong * 1000L, // epochMillis -> micros (TimestampType)
-          UTF8String.fromString(parts(4)))
-        return true
+      // MISMATCH (r9 review). A fully BLANK line (trailing newline, an
+      // operator's editor pass) is not a torn tail: skipping it is the
+      // old tolerant behavior; wedging the stream on it is unrecoverable
+      // because every restart re-reads the same checkpointed chunk.
+      if (line.nonEmpty) {
+        val parts = line.split("\t", -1)
+        require(parts.length >= 5,
+          s"malformed chunk line (${parts.length} fields): $line")
+        if (keep(parts(0), parts(1))) {
+          current = InternalRow(
+            UTF8String.fromString(parts(0)),
+            UTF8String.fromString(parts(1)),
+            parts(2).toLong,
+            parts(3).toLong * 1000L, // epochMillis -> micros (TimestampType)
+            UTF8String.fromString(parts(4)))
+          return true
+        }
       }
     }
     false

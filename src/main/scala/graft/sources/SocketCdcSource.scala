@@ -141,7 +141,11 @@ private class SocketSpanReader(p: SocketSpanPartition)
     // limit -1: an empty data field in last position is a VALID wire line
     // ('delete\tt\t0\t1\t'); the limit-0 split dropped it and the require
     // then wedged the stream at that offset forever — every replayed span
-    // re-reads the same line (r9 review)
+    // re-reads the same line (r9 review). Unlike the FILE feed (operator-
+    // editable, where a blank line is benign and skipped), every line of a
+    // span response is machine-generated and counted by fetch's span-length
+    // contract — a blank here IS corruption, and skipping it would silently
+    // lose an event, so it stays fail-loud.
     val parts = lines.next().split("\t", -1)
     require(parts.length >= 5, s"malformed wire line: ${parts.mkString("|")}")
     current = InternalRow(

@@ -66,15 +66,19 @@ object StreamHeavyHitters {
     * whose event count reaches `threshold` — deterministic, so the
     * streaming run itself is graded by the batch GROUP BY/HAVING oracle. */
   /** Scratch root for one application's heavy-hitter run (specs read the
-    * raw alert log from `<root>/alerts` for the exactly-once check). */
+    * raw alert log from `<root>/alerts` for the exactly-once check). The
+    * prefix exists ONCE: [[streamedHeavyHitters]] passes the same constant
+    * to TwoBatchScratch.freshRoot, so the two derivations can never drift
+    * apart and leave the spec reading a stale dir (r9 review). */
+  private[graft] val ScratchPrefix = "graft_stream_hh"
   private[graft] def scratchRoot(spark: SparkSession): String =
-    s"${sys.props("java.io.tmpdir")}/graft_stream_hh_" +
+    s"${sys.props("java.io.tmpdir")}/${ScratchPrefix}_" +
       spark.sparkContext.applicationId
 
   def streamedHeavyHitters(spark: SparkSession, dir: String,
                            threshold: Long = 75, shards: Int = 64): DataFrame = {
     import spark.implicits._
-    val root = graft.ops.TwoBatchScratch.freshRoot(spark, "graft_stream_hh")
+    val root = graft.ops.TwoBatchScratch.freshRoot(spark, ScratchPrefix)
     val ev = graft.ops.Tables.events(spark, dir)
       .select(col("event_id"), unix_micros(col("ts")).as("tsu"), col("user_id"))
     val mid = ev.agg((min(col("tsu")) + max(col("tsu"))) / 2).head().getDouble(0).toLong

@@ -120,4 +120,26 @@ class CdcSourceV2Spec extends SparkSpec {
       err.toString.contains("malformed chunk line"),
       s"torn line must name itself: $err")
   }
+
+  test("a fully BLANK line (trailing newline, operator edit) is skipped, " +
+    "not treated as a torn tail — wedging there is unrecoverable because " +
+    "every restart re-reads the same checkpointed chunk (r9 review)") {
+    val feed = tmpDir("feed-blank")
+    val f = new java.io.PrintWriter(s"$feed/chunk-0.tsv", "UTF-8")
+    try {
+      f.println("create\tt\t1\t1000\t{\"id\":1}")
+      f.println() // interior blank line
+      f.println("create\tt\t2\t2000\t{\"id\":2}")
+      f.println() // trailing blank line
+    } finally f.close()
+    val seen = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+    val q = spark.readStream.format("graft-cdc").load(feed)
+      .writeStream.option("checkpointLocation", tmpDir("ckpt-blank"))
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen ++= df.collect(); ()
+      }.start()
+    q.processAllAvailable(); q.stop()
+    assert(seen.map(_.getAs[Long]("offset")).sorted === Seq(1L, 2L),
+      "both real events must be read; blank lines must not wedge the stream")
+  }
 }

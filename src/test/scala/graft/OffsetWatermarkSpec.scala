@@ -236,4 +236,165 @@ class OffsetWatermarkSpec extends SparkSpec {
     assert(pipe.sinkState(sync).collect().toSeq === Seq(Row(1, "row-one")),
       "row-one (higher _ridx at the same offset) must survive")
   }
+
+  test("a NULL _ridx (unparseable-array envelope kept by posexplode_outer) " +
+    "is position 0: advance stores 0 and a crash-retried splitStale reads " +
+    "the row as FRESH instead of dropping it from BOTH splits (r9 review)") {
+    val statePath = tmpDir("wm-nullridx") + "/state"
+    val schema = StructType(Seq(StructField("id", IntegerType),
+      StructField("offset", LongType), StructField("_ridx", IntegerType)))
+    val row = spark.createDataFrame(
+      java.util.Arrays.asList(Row(3, 11L, null)), schema)
+    OffsetWatermark.advance(spark, statePath, row, "id", None)
+    assert(wmOf(statePath) === Map(3 -> ((11L, 0))),
+      "null _ridx must be stored as position 0, never as null")
+    // crash-retry: the same row re-screened against the watermark it itself
+    // advanced — the idempotent fresh case, NOT a three-valued vanish
+    val (fresh, stale) = OffsetWatermark.splitStale(
+      row, OffsetWatermark.current(spark, statePath), "id")
+    assert(fresh.count() === 1L && stale.count() === 0L,
+      "equal position (11, null==0) must re-read as fresh")
+    // a same-offset sibling applied at a HIGHER _ridx supersedes it
+    OffsetWatermark.advance(spark, statePath,
+      Seq((3, 11L, 2)).toDF("id", "offset", "_ridx"), "id", None)
+    val (f2, s2) = OffsetWatermark.splitStale(
+      row, OffsetWatermark.current(spark, statePath), "id")
+    assert(f2.count() === 0L && s2.count() === 1L,
+      "null==0 must lose to the applied _ridx-2 sibling")
+  }
+
+  test("a pre-_ridx watermark store (r9 schema upgrade) reads and merges: " +
+    "the first post-upgrade batch neither wedges on column resolution nor " +
+    "poisons the position compares, in both layouts (r9 review)") {
+    for (buckets <- Seq(None, Some(4))) {
+      val statePath = tmpDir(s"wm-migrate-${buckets.isDefined}") + "/state"
+      val dir = OffsetWatermark.path(statePath)
+      val legacy = Seq((1, 10L), (2, 20L)).toDF("id", OffsetWatermark.OffsetCol)
+      buckets match {
+        case Some(n) => legacy
+          .withColumn(BucketedUpsertSink.BucketCol,
+            BucketedUpsertSink.bucketOf(col("id"), n))
+          .write.partitionBy(BucketedUpsertSink.BucketCol).parquet(dir)
+        case None => legacy.write.parquet(dir)
+      }
+      assert(wmOf(statePath) === Map(1 -> ((10L, 0)), 2 -> ((20L, 0))),
+        s"legacy rows read as position (offset, 0) (buckets=$buckets)")
+      // the merge leaves the store PARTIALLY migrated in the bucketed
+      // layout (untouched buckets keep the old schema) — reads must still
+      // see every row's position
+      OffsetWatermark.advance(spark, statePath,
+        Seq((1, 10L, 2), (3, 30L, 0)).toDF("id", "offset", "_ridx"),
+        "id", buckets)
+      assert(wmOf(statePath) ===
+        Map(1 -> ((10L, 2)), 2 -> ((20L, 0)), 3 -> ((30L, 0))),
+        s"post-upgrade merge over a legacy store (buckets=$buckets)")
+    }
+  }
+
+  test("snapshot floor is MONOTONE: a later rebuild with a lower " +
+    "recomputed ceiling (a replay purged the quarantine since) cannot " +
+    "re-open the fence (r9 review)") {
+    val statePath = tmpDir("wm-floormax") + "/state"
+    OffsetWatermark.recordSnapshotFloor(spark, statePath, 70L)
+    OffsetWatermark.recordSnapshotFloor(spark, statePath, 50L)
+    assert(OffsetWatermark.snapshotFloor(spark, statePath) === 70L,
+      "a lower floor must not regress the committed one")
+    OffsetWatermark.recordSnapshotFloor(spark, statePath, 90L)
+    assert(OffsetWatermark.snapshotFloor(spark, statePath) === 90L)
+  }
+
+  test("floor heal: main absent with several crash temps installs the " +
+    "max-valued COMPLETE temp; an empty in-flight temp is skipped, not " +
+    "resurrected (r9 review: a reader renaming a writer's visible empty " +
+    "temp live crashed both sides)") {
+    val statePath = tmpDir("wm-floorheal") + "/state"
+    val base = OffsetWatermark.floorPath(statePath)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(base + ".next.111-aaaa"), "60".getBytes("UTF-8"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(base + ".next.222-bbbb"), "75".getBytes("UTF-8"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(base + ".next.333-cccc"), Array.empty[Byte])
+    assert(OffsetWatermark.snapshotFloor(spark, statePath) === 75L,
+      "heal must install the max-valued complete temp")
+    assert(new java.io.File(base).exists(), "main must exist after the heal")
+    assert(new java.io.File(base + ".next.333-cccc").exists(),
+      "an in-flight empty temp belongs to its writer and is left alone")
+  }
+
+  test("concurrent floor writers (the refreshAsync overlap) serialize: " +
+    "interleaved recordSnapshotFloor calls never tear, erase, or regress " +
+    "the fence — the committed floor is the max of all writers") {
+    val statePath = tmpDir("wm-floorrace") + "/state"
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    val floors = scala.util.Random.shuffle((1 to 40).map(_ * 10L).toList)
+    val futures = floors.map { f =>
+      pool.submit(new Runnable {
+        def run(): Unit = OffsetWatermark.recordSnapshotFloor(spark, statePath, f)
+      })
+    }
+    pool.shutdown()
+    futures.foreach(_.get()) // surface any writer exception
+    assert(pool.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS))
+    assert(OffsetWatermark.snapshotFloor(spark, statePath) === 400L)
+  }
+
+  test("a repaired UNPARSEABLE-payload row replays as fresh and a " +
+    "crash-retry re-screens it idempotently instead of reporting (0,0) " +
+    "while it sits invisible in quarantine (r9 review)") {
+    val sinkRoot = tmpDir("sink-nullridx")
+    val sync = SyncConfig("t", pk = "id", schema = Some(StructType(Seq(
+      StructField("id", IntegerType), StructField("name", StringType)))))
+    val src = new MemoryCdcSource(spark)
+    val pipe = new Pipeline(spark, PipelineConfig(Seq(sync)), src, sinkRoot)
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    src.addEvents(
+      ChangeEvent("create", "t", 1, ts, """{"id": 1, "name": "ann"}"""),
+      // array-SHAPED but unparseable: from_json yields a null __rows array,
+      // and posexplode_outer keeps it as a (_ridx NULL, row NULL) row — the
+      // only decode shape that quarantines with a null position
+      ChangeEvent("create", "t", 3, ts, """[ totally not json"""))
+    val q = pipe.start(tmpDir("ckpt-nullridx"))
+    q.processAllAvailable(); q.stop()
+    assert(pipe.sinkState(sync).collect().toSeq === Seq(Row(1, "ann")))
+    val dl = pipe.deadLetterPath(sync)
+    assert(spark.read.parquet(dl).select("_ridx").collect().head.isNullAt(0),
+      "precondition: the unparseable envelope quarantines with NULL _ridx")
+    val repaired = spark.read.parquet(dl)
+      .withColumn("id", lit(5)).localCheckpoint(true)
+    repaired.write.mode("overwrite").parquet(dl)
+    assert(pipe.replayDeadLetters() === Map("t" -> ((1L, 0L, 0L))),
+      "the repaired null-_ridx row must replay as fresh")
+    // crash-retry: the same repaired rows land back in quarantine (crash
+    // after writeCompacted, before the rewrite swap) — the re-screen is the
+    // idempotent equal-position fresh case, never a silent (0,0) strand
+    repaired.write.mode("overwrite").parquet(dl)
+    assert(pipe.replayDeadLetters() === Map("t" -> ((1L, 0L, 0L))),
+      "equal-position re-apply is the idempotent fresh case")
+  }
+
+  test("replayDeadLetters heals an interrupted quarantine rewrite: a crash " +
+    "between the swap's two renames must not make every envelope silently " +
+    "invisible (r9 review)") {
+    val sinkRoot = tmpDir("sink-dlheal")
+    val sync = SyncConfig("t", pk = "id", schema = Some(StructType(Seq(
+      StructField("id", IntegerType), StructField("name", StringType)))))
+    val src = new MemoryCdcSource(spark)
+    val pipe = new Pipeline(spark, PipelineConfig(Seq(sync)), src, sinkRoot)
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    src.addEvents(
+      ChangeEvent("create", "t", 2, ts, """{"id": null, "name": "lost"}"""))
+    val q = pipe.start(tmpDir("ckpt-dlheal"))
+    q.processAllAvailable(); q.stop()
+    val dl = pipe.deadLetterPath(sync)
+    assert(pipe.replayDeadLetters() === Map("t" -> ((0L, 0L, 1L))),
+      "precondition: one unrepaired envelope")
+    // simulate the crash window: quarantine sits only at `.old`
+    assert(new java.io.File(dl).renameTo(new java.io.File(dl + ".old")))
+    assert(pipe.replayDeadLetters() === Map("t" -> ((0L, 0L, 1L))),
+      "the probe must heal the swap and still see the envelope")
+    assert(new java.io.File(dl).exists() &&
+      !new java.io.File(dl + ".old").exists(),
+      "the heal must restore the quarantine dir on disk")
+  }
 }

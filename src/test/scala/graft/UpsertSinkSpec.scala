@@ -285,4 +285,34 @@ class UpsertSinkSpec extends SparkSpec {
     assert(fin === Seq(Row(1, "v20", "c")),
       "the last swapped copy must be live and complete")
   }
+
+  test("atomicSwapDirs survives concurrent SWAPPERS: two threads swapping " +
+    "their own staged copies into one live path both succeed — the loser " +
+    "of the aside rename proceeds instead of failing a require (r9 review)") {
+    val root = tmpDir("swapswap")
+    val live = s"$root/t"
+    state((1, "v0", "c")).write.parquet(live)
+    val failed = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    (1 to 10).foreach { round =>
+      // stage both copies BEFORE the race so the threads spend their whole
+      // lives inside atomicSwapDirs
+      val nextA = s"$root/next-a-$round"
+      val nextB = s"$root/next-b-$round"
+      state((1, s"a$round", "c")).write.parquet(nextA)
+      state((1, s"b$round", "c")).write.parquet(nextB)
+      val threads = Seq(nextA, nextB).map { next =>
+        new Thread(() => {
+          try UpsertSink.atomicSwapDirs(spark, next, live)
+          catch { case t: Throwable => failed.compareAndSet(null, t); () }
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join(30000))
+      assert(failed.get() === null,
+        s"no swapper may fail spuriously (round $round): ${failed.get()}")
+      val v = spark.read.parquet(live).collect().toSeq
+      assert(v === Seq(Row(1, s"a$round", "c")) ||
+        v === Seq(Row(1, s"b$round", "c")),
+        s"one COMPLETE staged copy must win round $round, saw $v")
+    }
+  }
 }
