@@ -2921,10 +2921,10 @@ object SparkEntry {
         |        ln(1.0 + 1.0 / o.digit) / ln(10.0) AS p_benford
         |      FROM o CROSS JOIN t),
         |x AS (SELECT *, (n_obs - p_benford * n) * (n_obs - p_benford * n)
-        |        / (p_benford * n) AS chi_term FROM w),
+        |        / (p_benford * NULLIF(n, 0)) AS chi_term FROM w),
         |c AS (SELECT round(sum(chi_term), 4) AS chi2 FROM x)
         |SELECT x.digit, x.n_obs,
-        |  round(x.n_obs::DOUBLE / x.n, 4) AS share,
+        |  round(x.n_obs::DOUBLE / NULLIF(x.n, 0), 4) AS share,
         |  round(x.p_benford, 4) AS p_benford, c.chi2
         |FROM x CROSS JOIN c ORDER BY x.digit""".stripMargin,
 

@@ -19,7 +19,10 @@ object Drift {
   def driftReport(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
     val mm = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
-    val mid = (mm.getLong(0) + mm.getLong(1)) / 2
+    // an empty corpus aggregates to (null, null) — getLong would NPE; any
+    // midpoint splits the empty frame into two empty snapshots (PSI of
+    // nothing vs nothing = the empty report, not a crash)
+    val mid = if (mm.isNullAt(0)) 0L else (mm.getLong(0) + mm.getLong(1)) / 2
     psiReport(docs.filter(col("doc_id") <= mid),
       docs.filter(col("doc_id") > mid))
   }
@@ -207,17 +210,23 @@ object Drift {
       .select(col("digit"), coalesce(col("n_obs"), lit(0L)).as("n_obs"))
       .localCheckpoint(true) // consumed by totals and the chi2 fold
     val tot = d.agg(sum(col("n_obs")).cast("long").as("n"))
+    // n > 0 guards: a feed whose every |value| < 0.01 observes NO digit at
+    // all (n = 0) — Spark's x/0 is null but DuckDB raises, so the shares
+    // and chi-square go explicitly null on both engines (NULLIF in the
+    // oracle) instead of diverging — the abTest degenerate-arm discipline
     val withExp = d.crossJoin(broadcast(tot))
       .withColumn("p_benford",
         log(lit(1.0) + lit(1.0) / col("digit")) / log(lit(10.0)))
       .withColumn("chi_term",
-        (col("n_obs") - col("p_benford") * col("n")) *
-          (col("n_obs") - col("p_benford") * col("n")) /
-          (col("p_benford") * col("n")))
+        when(col("n") > 0,
+          (col("n_obs") - col("p_benford") * col("n")) *
+            (col("n_obs") - col("p_benford") * col("n")) /
+            (col("p_benford") * col("n"))))
     val chi2 = withExp.agg(round(sum(col("chi_term")), 4).as("chi2"))
     withExp.crossJoin(broadcast(chi2))
       .select(col("digit"), col("n_obs"),
-        round(col("n_obs").cast("double") / col("n"), 4).as("share"),
+        when(col("n") > 0,
+          round(col("n_obs").cast("double") / col("n"), 4)).as("share"),
         round(col("p_benford"), 4).as("p_benford"), col("chi2"))
       .orderBy(col("digit"))
   }

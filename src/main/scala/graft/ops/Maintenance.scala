@@ -124,7 +124,13 @@ object Maintenance {
     // Partitioned by shard, so the window never funnels the corpus.
     val wIn = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val staging = livePath + ".staging"
+    // invocation-unique staging (the SwapRefresh discipline, r9 review):
+    // two overlapping rewrites of one live path must not interleave writes
+    // in a shared dir and swap a torn mix live. The swap MOVES the dir, so
+    // nothing lingers on success; a crashed rewrite strands only its own
+    // uniquely-named dir.
+    val staging = livePath + ".staging-" +
+      java.util.UUID.randomUUID().toString.take(8)
     // partition discovery reads the shard dir value back as INT; the plan
     // keys on LONG — normalize before the broadcast join
     state.withColumn("shard", col("shard").cast("long"))
@@ -149,7 +155,8 @@ object Maintenance {
       .agg(count(lit(1)).as("n_rows"),
         sum(length(col("text")).cast("long")).as("bytes"),
         min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
-    val zmTmp = livePath + ".zonemap.next"
+    val zmTmp = livePath + ".zonemap.next-" +
+      java.util.UUID.randomUUID().toString.take(8)
     manifest.orderBy(col("bin")).coalesce(1)
       .write.mode("overwrite").parquet(zmTmp)
     graft.cdc.UpsertSink.atomicSwapDirs(spark, zmTmp, livePath + ".zonemap")
@@ -232,7 +239,12 @@ object Maintenance {
       case Some(p) => p.filter(!col("bucket").isin(touched: _*)).unionByName(fresh)
       case None => fresh
     }
-    val tmp = zmPath + ".next"
+    // invocation-unique temp: overlapping refreshAsync tasks for ONE table
+    // both rebuild this manifest (Pipeline.rebuildZoneMap) — a shared
+    // `.next` dir would let one task's mode-overwrite delete the other's
+    // half-written copy and swap a torn manifest live (r9 review; the
+    // atomicSwapDirs retry then arbitrates which COMPLETE copy wins)
+    val tmp = zmPath + ".next-" + java.util.UUID.randomUUID().toString.take(8)
     next.orderBy(col("bucket")).coalesce(1).write.mode("overwrite").parquet(tmp)
     graft.cdc.UpsertSink.atomicSwapDirs(spark, tmp, zmPath)
   }

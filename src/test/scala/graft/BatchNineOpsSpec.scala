@@ -425,4 +425,34 @@ class BatchNineOpsSpec extends SparkSpec {
     assert(plan.contains("partial_corr") || plan.contains("HashAggregate"),
       "moments must aggregate two-phase")
   }
+
+  test("zone map: two concurrent full refreshes of ONE manifest (the " +
+    "overlapping refreshAsync shape) both succeed and a complete copy " +
+    "wins — invocation-unique staging, no shared .next dir (r9 review)") {
+    import graft.cdc.BucketedUpsertSink
+    import spark.implicits._
+    val root = tmpDir("graft-zmrace")
+    val statePath = s"$root/state"
+    val zmPath = s"$root/state.zonemap"
+    val nb = 8
+    BucketedUpsertSink.init(
+      (0L until 200L).map(i => (i, i * 10, s"v$i"))
+        .toDF("id", "score", "payload"), statePath, "id", nb)
+    val failed = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val threads = (1 to 2).map { _ =>
+      new Thread(() => {
+        try Maintenance.refreshZoneMap(spark, statePath, zmPath,
+          (0L until nb.toLong).toSeq, Seq("score"))
+        catch { case t: Throwable => failed.compareAndSet(null, t); () }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(60000))
+    assert(failed.get() === null, s"no refresh may fail: ${failed.get()}")
+    val full = Maintenance.bucketZoneMap(spark, statePath, Seq("score"))
+      .collect().map(_.toSeq).toSeq
+    val manifest = spark.read.parquet(zmPath).orderBy("bucket")
+      .collect().map(_.toSeq).toSeq
+    assert(manifest === full,
+      "whichever complete copy won must equal the full recompute")
+  }
 }

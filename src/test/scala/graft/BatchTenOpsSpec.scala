@@ -436,4 +436,34 @@ class BatchTenOpsSpec extends SparkSpec {
     assert(cut === Seq(("A", "B"), ("B", "A")),
       s"support 0.3 prunes item C (1/5) before pair generation: $cut")
   }
+
+  test("benford: a feed whose every |value| < 0.01 observes NO digit — " +
+    "the dense frame still emits 9 rows with null share/chi2 instead of " +
+    "dividing by the zero total (r9 review)") {
+    import spark.implicits._
+    val dir = tmpDir("benford0")
+    val day = 86400L
+    stage(dir, "events")(Seq(0.004, -0.009, 0.0).zipWithIndex.map {
+      case (v, i) =>
+        (i.toLong, Timestamp.from(java.time.Instant.ofEpochSecond(day + i)),
+          1L, "A", v, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val rows = graft.ops.Drift.benford(spark, dir).collect()
+    assert(rows.length === 9, "the dense 1-9 frame survives an empty feed")
+    assert(rows.forall(_.getLong(1) === 0L), "no digit observed")
+    assert(rows.forall(r => r.isNullAt(2) && r.isNullAt(4)),
+      "share and chi2 must be null, not a zero-division artifact")
+    assert(rows.forall(r => !r.isNullAt(3)),
+      "the Benford expectation itself is total-free and stays present")
+  }
+
+  test("driftReport: an empty documents table yields the empty report, " +
+    "not an NPE on the null min/max midpoint (r9 review)") {
+    val dir = tmpDir("driftempty")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+    stage(dir, "documents")(spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), schema))
+    assert(graft.ops.Drift.driftReport(spark, dir).collect().isEmpty)
+  }
 }
