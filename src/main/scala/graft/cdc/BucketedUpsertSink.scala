@@ -93,7 +93,7 @@ object BucketedUpsertSink {
       if (evolved) {
         val merged = UpsertSink.applyBatch(full.drop(BucketCol), changes, pk)
           .withColumn(BucketCol, bucketOf(col(pk), numBuckets))
-        val tmp = statePath + ".next"
+        val tmp = UpsertSink.stagingDir(statePath)
         merged.write.mode("overwrite").partitionBy(BucketCol).parquet(tmp)
         UpsertSink.atomicSwapDirs(spark, tmp, statePath)
         return

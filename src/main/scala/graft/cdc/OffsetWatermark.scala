@@ -174,7 +174,9 @@ object OffsetWatermark {
         } else {
           val next = merge(normalizeStored(
             spark.read.option("mergeSchema", "true").parquet(dir)), batch, pk)
-          val tmp = dir + ".next"
+          // invocation-unique: a live batch's advance and a replay's can
+          // overlap on one sidecar (r9 review)
+          val tmp = UpsertSink.stagingDir(dir)
           next.write.mode("overwrite").parquet(tmp)
           UpsertSink.atomicSwapDirs(spark, tmp, dir)
         }

@@ -190,7 +190,8 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
     * then K1 upsert, committed via atomic directory swap. Idempotent —
     * replaying a batch yields the same state (at-least-once -> effectively
     * exactly-once; dead-letter rows carry `offset` so replays dedupe there). */
-  private def applySync(batch: DataFrame, sync: SyncConfig, batchId: Long): Unit = {
+  private def applySync(batch: DataFrame, sync: SyncConfig, batchId: Long): Unit =
+    Pipeline.stateLock(statePath(sync)).synchronized {
     val pk = pkOut(sync)
     val full = hooks.preEvent.foldLeft(syncView(batch, sync))((df, h) => h(sync.table, df))
     val dead = full.filter(col(pk).isNull)
@@ -245,7 +246,9 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
       case None =>
         val state = UpsertSink.currentState(spark, statePath(sync), sinkSchema(sync))
         val next = UpsertSink.applyBatch(state, compacted, pk)
-        val tmp = statePath(sync) + ".next"
+        // invocation-unique: a live batch and a dead-letter replay can
+        // stage for the same sync concurrently (r9 review)
+        val tmp = UpsertSink.stagingDir(statePath(sync))
         next.write.mode("overwrite").parquet(tmp)
         UpsertSink.atomicSwapDirs(spark, tmp, statePath(sync))
     }
@@ -291,7 +294,7 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
   def replayDeadLetters(tables: Seq[String] = Seq.empty): Map[String, (Long, Long, Long)] =
     config.syncs
       .filter(s => tables.isEmpty || tables.contains(s.table))
-      .map { s =>
+      .map { s => Pipeline.stateLock(statePath(s)).synchronized {
         val path = deadLetterPath(s)
         // heal an interrupted quarantine rewrite first: a crash between
         // atomicSwapDirs' two renames leaves the quarantine only at
@@ -324,14 +327,14 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
             // newer live data already holds their pk); overwrite via
             // staging + swap so a crash mid-rewrite never loses envelopes
             val remaining = dl.filter(col(pk).isNull)
-            val tmp = path + ".next"
+            val tmp = UpsertSink.stagingDir(path)
             remaining.write.mode("overwrite").parquet(tmp)
             UpsertSink.atomicSwapDirs(spark, tmp, path)
           }
           val left = spark.read.parquet(path).filter(col(pk).isNull).count()
           s.table -> ((nFresh, nStale, left))
         }
-      }.toMap
+      }}.toMap
 
   /** Zone-map manifest path for a sync's sink state. */
   def zoneMapPath(sync: SyncConfig): String = statePath(sync) + ".zonemap"
@@ -530,6 +533,23 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
 }
 
 object Pipeline {
+  // Per-state-path mutation lock: a live micro-batch and a dead-letter
+  // replay both read-merge-write the same sink state and watermark sidecar.
+  // Within one JVM (the embedded deployment, and every spec) this
+  // serializes them — closing the lost-update window where two concurrent
+  // read-merge-writes each swap a COMPLETE copy and the winner silently
+  // drops the loser's just-applied rows or watermark entries, re-opening
+  // the stale-replay hole for those pks (r9 review). Cross-process (a CLI
+  // replay against a stream running in another JVM) the swap machinery
+  // still guarantees a complete copy wins, but simultaneous writers are
+  // last-copy-wins — pause the stream for out-of-process replays (the
+  // documented premise; the watermark fence covers every NON-simultaneous
+  // ordering).
+  private val stateLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private[cdc] def stateLock(statePath: String): Object =
+    stateLocks.computeIfAbsent(statePath, _ => new Object)
+
   /** Extract a top-level field from a JSON object string as a stable string
     * key (executor-side; uses Spark's shaded-in Jackson). */
   private[cdc] def jsonField(json: String, field: String): Option[String] = {

@@ -120,7 +120,7 @@ object Scd2Sink {
           .as("__first"),
           min(unix_timestamp(col(tsCol))).as("__first_s"))
 
-      val next = statePath + ".next"
+      val next = UpsertSink.stagingDir(statePath)
       stored match {
         case Some(state) =>
           // fail-stop on history interleave: the batch's first event must

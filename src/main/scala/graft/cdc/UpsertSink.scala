@@ -122,10 +122,20 @@ object UpsertSink {
     val next = applyBatch(state, compacted, pk)
     // two-phase write: next state to a versioned dir, then pointer swap —
     // keeps the apply atomic without a table format in the offline harness
-    val tmp = statePath + ".next"
+    val tmp = stagingDir(statePath)
     next.write.mode("overwrite").parquet(tmp)
     atomicSwapDirs(spark, tmp, statePath)
   }
+
+  /** Invocation-unique staging dir for a swap into `live`: a shared fixed
+    * `.next` name lets two concurrent writers — a live micro-batch racing
+    * a dead-letter replay on the same sync, or overlapping refresh tasks —
+    * interleave writes in ONE staging dir and swap a torn mix live
+    * (r9 review; the SwapRefresh discipline). The swap MOVES the dir, so
+    * success leaves nothing behind; a crashed writer strands only its own
+    * uniquely-named dir, never corrupts a peer's. */
+  private[graft] def stagingDir(live: String): String =
+    live + ".next-" + java.util.UUID.randomUUID().toString.take(8)
 
   def currentState(
       spark: SparkSession,

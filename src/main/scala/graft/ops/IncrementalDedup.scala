@@ -141,7 +141,7 @@ object IncrementalDedup {
                    numFiles: Int = 8, excludeBatch: Option[Long] = None): Unit = {
     val cur = snapshotRead(spark, path, ddl, excludeBatch)
     if (!cur.isEmpty) {
-      val tmp = path + ".next"
+      val tmp = graft.cdc.UpsertSink.stagingDir(path)
       val marker = new org.apache.hadoop.fs.Path(path, "_buckets")
       val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
       val stored: Option[Int] =

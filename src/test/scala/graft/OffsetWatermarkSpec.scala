@@ -373,6 +373,60 @@ class OffsetWatermarkSpec extends SparkSpec {
       "equal-position re-apply is the idempotent fresh case")
   }
 
+  test("a replay hammering a LIVE stream serializes on the state lock: no " +
+    "live update and no repaired row is lost to a concurrent " +
+    "read-merge-write (r9 review: two complete copies racing a swap meant " +
+    "last-copy-wins silently dropped the loser's rows)") {
+    val sinkRoot = tmpDir("sink-racelock")
+    val sync = SyncConfig("t", pk = "id", schema = Some(StructType(Seq(
+      StructField("id", IntegerType), StructField("name", StringType)))))
+    val src = new MemoryCdcSource(spark)
+    val pipe = new Pipeline(spark, PipelineConfig(Seq(sync)), src, sinkRoot)
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // wave 1: creates for pks 1..20 + 10 quarantined (null pk) envelopes
+    (1 to 20).foreach(i => src.addEvents(
+      ChangeEvent("create", "t", i.toLong, ts, s"""{"id": $i, "name": "v0"}""")))
+    (1 to 10).foreach(i => src.addEvents(
+      ChangeEvent("create", "t", 20L + i, ts,
+        s"""{"id": null, "name": "q$i"}""")))
+    val ckpt = tmpDir("ckpt-racelock")
+    val q1 = pipe.start(ckpt)
+    q1.processAllAvailable(); q1.stop()
+    // operator repairs the quarantine to fresh pks 101..110
+    val dl = pipe.deadLetterPath(sync)
+    val repaired = spark.read.parquet(dl)
+      .withColumn("id",
+        (lit(100) + regexp_extract(col("name"), "q(\\d+)", 1).cast("int"))
+          .cast("int"))
+      .localCheckpoint(true)
+    repaired.write.mode("overwrite").parquet(dl)
+    // hammer: replays loop in one thread while the stream applies updates
+    val freshTotal = new java.util.concurrent.atomic.AtomicLong()
+    val failed = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val replayer = new Thread(() => {
+      try (1 to 5).foreach { _ =>
+        freshTotal.addAndGet(pipe.replayDeadLetters()("t")._1); ()
+      } catch { case t: Throwable => failed.set(t) }
+    }, "replay-hammer")
+    (1 to 20).foreach(i => src.addEvents(
+      ChangeEvent("update", "t", 30L + i, ts,
+        s"""{"id": $i, "name": "v1"}""")))
+    val q2 = pipe.start(ckpt)
+    replayer.start()
+    q2.processAllAvailable()
+    replayer.join(120000)
+    q2.stop()
+    assert(failed.get() === null, s"replay must never throw: ${failed.get()}")
+    assert(freshTotal.get() === 10L,
+      "each repaired row replays fresh exactly once across the loop")
+    val state = pipe.sinkState(sync).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert((1 to 20).forall(i => state.get(i).contains("v1")),
+      s"every live update must survive the replay race: $state")
+    assert((1 to 10).forall(i => state.get(100 + i).contains(s"q$i")),
+      s"every repaired row must survive the live-update race: $state")
+  }
+
   test("replayDeadLetters heals an interrupted quarantine rewrite: a crash " +
     "between the swap's two renames must not make every envelope silently " +
     "invisible (r9 review)") {
