@@ -393,7 +393,11 @@ object Dedup {
       .localCheckpoint(true)
     var converged = false
     var iter = 0
-    var checksum = labels.agg(sum(col("cluster"))).head().getLong(0)
+    // coalesce: a corpus with ZERO near-dup pairs aggregates sum(empty) to
+    // null — getLong would NPE on the cleanest possible input (r9 review);
+    // 0 == 0 then converges on the first confirming pass with empty labels
+    var checksum = labels.agg(coalesce(sum(col("cluster")), lit(0L)))
+      .head().getLong(0)
     pairs.unpersist()
     while (!converged && iter < maxIter) {
       // neighbor-min pass: label(x) <- min(label(x), min over nbrs label(n))
@@ -411,7 +415,8 @@ object Dedup {
         .select(col("doc"),
           least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"))
         .localCheckpoint(true)
-      val nextSum = next.agg(sum(col("cluster"))).head().getLong(0)
+      val nextSum = next.agg(coalesce(sum(col("cluster")), lit(0L)))
+        .head().getLong(0)
       labels = next // previous round's blocks are freed by ContextCleaner
       converged = nextSum == checksum // labels only decrease; equal sum = fixpoint
       checksum = nextSum

@@ -691,9 +691,12 @@ object Relational {
     * read once with no join — a per-row interval test. */
   def scd2AsOf(spark: SparkSession, dir: String): DataFrame = {
     val hist = scd2(spark, dir)
-    val mid = Tables.events(spark, dir)
+    // an empty event log has a null midpoint (getLong would NPE); any T
+    // works — the history is empty too, so the snapshot read is empty
+    val midRow = Tables.events(spark, dir)
       .agg(((min(unix_timestamp(col("ts"))) +
-        max(unix_timestamp(col("ts")))) / 2).cast("long")).head().getLong(0)
+        max(unix_timestamp(col("ts")))) / 2).cast("long")).head()
+    val mid = if (midRow.isNullAt(0)) 0L else midRow.getLong(0)
     hist.filter(col("valid_from") <= mid &&
         (col("valid_to").isNull || col("valid_to") > mid))
       .select(col("user_id"), col("version_id"), col("valid_from"),

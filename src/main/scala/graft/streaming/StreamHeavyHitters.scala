@@ -81,7 +81,10 @@ object StreamHeavyHitters {
     val root = graft.ops.TwoBatchScratch.freshRoot(spark, ScratchPrefix)
     val ev = graft.ops.Tables.events(spark, dir)
       .select(col("event_id"), unix_micros(col("ts")).as("tsu"), col("user_id"))
-    val mid = ev.agg((min(col("tsu")) + max(col("tsu"))) / 2).head().getDouble(0).toLong
+    // empty feed: null midpoint would NPE on getDouble; 0 splits the empty
+    // frame into two empty batches and the run reports the empty alert set
+    val midRow = ev.agg((min(col("tsu")) + max(col("tsu"))) / 2).head()
+    val mid = if (midRow.isNullAt(0)) 0L else midRow.getDouble(0).toLong
     DedupStream.stageBatches(s"$root/feed",
       Seq(ev.filter(col("tsu") <= mid).select(col("user_id")),
         ev.filter(col("tsu") > mid).select(col("user_id"))))

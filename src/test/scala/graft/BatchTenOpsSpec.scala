@@ -457,6 +457,16 @@ class BatchTenOpsSpec extends SparkSpec {
       "the Benford expectation itself is total-free and stays present")
   }
 
+  test("nearDupClusters: a corpus with ZERO near-dup pairs converges to " +
+    "the empty labeling instead of NPEing on the null checksum (r9 review)") {
+    val dir = docs(tmpDir("nodups"), Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "en", "s1", 36L),
+      (2L, "one two three four five six seven", "en", "s1", 33L),
+      (3L, "red orange yellow green blue indigo", "en", "s2", 35L)))
+    assert(Dedup.nearDupClusters(spark, dir).collect().isEmpty,
+      "no pairs => no labeled docs, and no crash")
+  }
+
   test("driftReport: an empty documents table yields the empty report, " +
     "not an NPE on the null min/max midpoint (r9 review)") {
     val dir = tmpDir("driftempty")
