@@ -1433,7 +1433,7 @@ object SparkEntry {
         |   + (length(text) - length(replace(text, ',', '')))
         |   + (length(text) - length(replace(text, '!', '')))
         |   + (length(text) - length(replace(text, '?', ''))) AS DOUBLE)
-        |   / length(text), 4) AS punct_ratio,
+        |   / greatest(length(text), 1), 4) AS punct_ratio,
         | round(CAST(len(list_filter(toks,
         |     t -> t IN ('the', 'a', 'and', 'of', 'to', 'in'))) AS DOUBLE)
         |   / len(toks), 4) AS stop_ratio

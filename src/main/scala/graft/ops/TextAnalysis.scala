@@ -288,7 +288,11 @@ object TextAnalysis {
       size(col("toks")).cast("long").as("n_tokens"),
       round(length(replace(col("text"), lit(" "), lit(""))).cast("double") / size(col("toks")), 4)
         .as("avg_tok_len"),
-      round(punct.cast("double") / length(col("text")), 4).as("punct_ratio"),
+      // greatest(len, 1): an empty-string document divides by zero, which
+      // ANSI mode raises (not nulls) — 0 punct over an empty text reads as
+      // ratio 0.0 on both engines (r9 review)
+      round(punct.cast("double") / greatest(length(col("text")), lit(1)), 4)
+        .as("punct_ratio"),
       round(size(filter(col("toks"), t => t.isin(stop: _*))).cast("double") / size(col("toks")), 4)
         .as("stop_ratio"))
       .orderBy(col("doc_id"))

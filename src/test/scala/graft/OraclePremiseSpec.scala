@@ -89,5 +89,19 @@ class OraclePremiseSpec extends SparkSpec {
           "exact-Jaccard oracle premise for q_dedup_minhash/q_dedup_stream " +
           "is stale")
     }
+
+    test(s"premise 5 ($scale): no zero-norm embedding — every cosine in " +
+      "the ANN/dedup family divides by norm products, and ANSI mode " +
+      "raises on a zero divisor instead of nulling; a fixture or encoder " +
+      "change that mints an all-zeros vector must fail HERE, naming the " +
+      "premise, not in an arbitrary downstream query (r9 review)") {
+      graft.functions.VectorFunctions.register(spark)
+      val zeroNorm = Tables(spark, dir, "embeddings")
+        .filter(expr("graft_norm(cast(embedding as array<double>))") === 0.0)
+        .count()
+      assert(zeroNorm === 0L,
+        s"$zeroNorm zero-norm embeddings at $scale: cosine is undefined " +
+          "for them — screen them upstream or null-guard the cosine sites")
+    }
   }
 }
