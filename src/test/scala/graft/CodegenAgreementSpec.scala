@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types.StructType
+
+/** Interpreted-vs-codegen agreement battery over every custom expression.
+  *
+  * Each expression hand-writes its result twice — `nullSafeEval` (the
+  * interpreted path Spark takes under constant folding, NO_CODEGEN, and
+  * codegen compile-failure fallback) and `doGenCode` (the whole-stage
+  * path every production plan takes). A divergence between them is silent
+  * corruption in whichever path a given plan happens to pick — exactly the
+  * class of the r9 graft_dot dimension-mismatch finding (codegen truncated
+  * where eval nulled). This spec forces BOTH paths over one edge-input
+  * battery per function — empty / whitespace-only / single-token /
+  * repeated / unicode / tab-newline text, null rows, empty / zero /
+  * mismatched-dimension vectors — and asserts byte-identical results, so
+  * the next hand-written pair cannot drift unnoticed. */
+class CodegenAgreementSpec extends SparkSpec {
+
+  graft.functions.TextFunctions.register(spark)
+  graft.functions.VectorFunctions.register(spark)
+
+  private def bothModes(view: String, exprSql: String): Unit = {
+    def run(factory: String, wholeStage: String): Seq[String] = {
+      spark.conf.set("spark.sql.codegen.factoryMode", factory)
+      spark.conf.set("spark.sql.codegen.wholeStage", wholeStage)
+      try spark.sql(s"SELECT $exprSql FROM $view ORDER BY id")
+        .collect().map(r => String.valueOf(r.get(0))).toSeq
+      finally {
+        spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+        spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      }
+    }
+    val interp = run("NO_CODEGEN", "false")
+    val gen = run("CODEGEN_ONLY", "true")
+    assert(interp === gen,
+      s"$exprSql: interpreted != codegen\n  interp: $interp\n  gen:    $gen")
+  }
+
+  private val textRows = Seq(
+    "", " ", "   ", "a", "a b", "a a a a a",
+    "the quick brown fox jumps over the lazy dog",
+    "café ñoño 中文 中文 café",
+    "tab\tsep and\nnewline mixed  double  space",
+    null)
+
+  {
+    val rows = new java.util.ArrayList[Row]()
+    textRows.zipWithIndex.foreach { case (s, i) => rows.add(Row(i, s)) }
+    spark.createDataFrame(rows, StructType.fromDDL("id INT, s STRING"))
+      .createOrReplaceTempView("cg_text")
+  }
+
+  {
+    val rows = new java.util.ArrayList[Row]()
+    val vecs: Seq[(Seq[Double], Seq[Double])] = Seq(
+      (Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)),
+      (Seq(0.0, 0.0), Seq(0.0, 0.0)),          // zero vectors
+      (Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0)),     // mismatched dims
+      (Seq.empty, Seq.empty),                  // empty
+      (Seq(-1.5, 2.25, -3.125), Seq(7.0, -8.0, 9.5)),
+      (null, Seq(1.0)))                        // null side
+    vecs.zipWithIndex.foreach { case ((a, b), i) => rows.add(Row(i, a, b)) }
+    spark.createDataFrame(rows,
+      StructType.fromDDL("id INT, v ARRAY<DOUBLE>, w ARRAY<DOUBLE>"))
+      .createOrReplaceTempView("cg_vec")
+  }
+
+  private val textExprs = Seq(
+    "graft_nfc(s)",
+    "graft_shingles(s, 3)",
+    "graft_shingle_hashes(s, 3)",
+    "graft_chargram_hashes(s, 4)",
+    "graft_shingle_md5_hashes(s, 5)",
+    "graft_chargram_md5_hashes(s, 4)",
+    "graft_gram_pos_hashes(s, 3)",
+    "graft_word_blocks(s, 2)",
+    "graft_simhash64(graft_shingle_hashes(s, 2))",
+    "graft_minhash_sig(graft_shingle_hashes(s, 2), 16)",
+    "graft_sliding_min_distinct(graft_gram_pos_hashes(s, 2), 4)",
+    "graft_overlap_count(graft_shingle_hashes(s, 2), graft_chargram_hashes(s, 4))")
+
+  for (e <- textExprs)
+    test(s"text battery: $e agrees interpreted vs codegen")(
+      bothModes("cg_text", e))
+
+  private val vecExprs = Seq(
+    "graft_dot(v, w)",
+    "graft_norm(v)",
+    // literal ±1 hyperplane matrix; rows whose v has fewer dims than the
+    // planes exercise the truncated-iteration edge in both paths
+    "graft_srp_code_signs(v, array(array(true, false, true), " +
+      "array(false, true, true), array(true, true, false)))")
+
+  for (e <- vecExprs)
+    test(s"vector battery: $e agrees interpreted vs codegen")(
+      bothModes("cg_vec", e))
+}
