@@ -321,13 +321,19 @@ object OffsetWatermark {
 
   /** The recorded snapshot floor; 0 if no snapshot rebuild ever ran (no
     * fencing -- see [[splitStale]]). Heals an interrupted
-    * [[recordSnapshotFloor]] commit first. */
-  def snapshotFloor(spark: SparkSession, statePath: String): Long = {
-    val p = new org.apache.hadoop.fs.Path(floorPath(statePath))
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    healFloor(fs, statePath)
-    readFloorFile(fs, p).getOrElse(0L)
-  }
+    * [[recordSnapshotFloor]] commit first. Takes the same per-path lock as
+    * the writer: an unlocked read landing inside a writer's delete-then-
+    * rename window would see main absent, heal nothing (the writer's temp
+    * is mid-protocol), and return 0 -- silently UN-fencing stale replays
+    * for that call (r9 review). Readers and writers share the same-JVM
+    * premise the lock documents. */
+  def snapshotFloor(spark: SparkSession, statePath: String): Long =
+    floorLock(statePath).synchronized {
+      val p = new org.apache.hadoop.fs.Path(floorPath(statePath))
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      healFloor(fs, statePath)
+      readFloorFile(fs, p).getOrElse(0L)
+    }
 
   /** Split repaired dead-letter rows into (fresh, superseded) against the
     * watermark and the snapshot floor: a row is superseded iff the sink has

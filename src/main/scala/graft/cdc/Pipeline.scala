@@ -384,16 +384,22 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
     * captured BEFORE the scan and recorded AFTER the sink lands — see
     * [[refresh]] for the ordering argument. */
   def backfillIfNeeded(): Unit = config.syncs.foreach { sync =>
-    if (sync.full && !UpsertSink.liveExists(spark, statePath(sync))) {
-      val floor = observedOffsetCeiling(sync)
-      config.stateBuckets match {
-        case Some(n) =>
-          BucketedUpsertSink.init(source.fullScan(sync), statePath(sync), pkOut(sync), n)
-          rebuildZoneMap(sync)
-        case None =>
-          SwapRefresh.refresh(source.fullScan(sync), statePath(sync)); ()
+    // under the state lock end-to-end: backfill runs at bootstrap (no
+    // stream racing the liveExists probe in the normal ordering), but a
+    // caller starting the stream first loses nothing to the same
+    // probe-vs-apply window the refresh commit closes
+    Pipeline.stateLock(statePath(sync)).synchronized {
+      if (sync.full && !UpsertSink.liveExists(spark, statePath(sync))) {
+        val floor = observedOffsetCeiling(sync)
+        config.stateBuckets match {
+          case Some(n) =>
+            BucketedUpsertSink.init(source.fullScan(sync), statePath(sync), pkOut(sync), n)
+            rebuildZoneMap(sync)
+          case None =>
+            SwapRefresh.refresh(source.fullScan(sync), statePath(sync)); ()
+        }
+        OffsetWatermark.recordSnapshotFloor(spark, statePath(sync), floor)
       }
-      OffsetWatermark.recordSnapshotFloor(spark, statePath(sync), floor)
     }
   }
 
@@ -486,11 +492,23 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
       .filter(s => tables.isEmpty || tables.contains(s.table))
       .map { s =>
         val floor = observedOffsetCeiling(s)
-        val n = SwapRefresh.refresh(source.fullScan(s), statePath(s),
+        // stage (the full-scan materialization) runs OUTSIDE the state
+        // lock so a live stream keeps flowing through the long scan; only
+        // the commit — swap + floor record — serializes with applySync.
+        // Unlocked, a batch's read-merge-write racing the swap silently
+        // dropped whichever complete copy lost while the floor still
+        // asserted the snapshot superseded everything below it (r9 review)
+        val (staging, n) = SwapRefresh.stage(source.fullScan(s), statePath(s),
           config.stateBuckets.map(nb => (pkOut(s), nb)))
-        // every bucket may have changed under the swap — rebuild, don't splice
+        Pipeline.stateLock(statePath(s)).synchronized {
+          UpsertSink.atomicSwapDirs(spark, staging, statePath(s))
+          OffsetWatermark.recordSnapshotFloor(spark, statePath(s), floor)
+        }
+        // every bucket may have changed under the swap — rebuild, don't
+        // splice. Outside the lock: the manifest scan reads live state at
+        // scan time (still correct after interleaved batches) and the
+        // pending-marker protocol covers staleness
         rebuildZoneMap(s)
-        OffsetWatermark.recordSnapshotFloor(spark, statePath(s), floor)
         s.table -> n
       }
       .toMap
@@ -507,12 +525,16 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
       .map { s =>
         s.table -> SinkTasks.submit(s"refresh:${s.table}") {
           // ceiling captured inside the task but BEFORE its scan — same
-          // conservative ordering as the synchronous refresh
+          // conservative ordering as the synchronous refresh; commit
+          // (swap + floor) under the state lock, scan outside it
           val floor = observedOffsetCeiling(s)
-          SwapRefresh.refresh(source.fullScan(s), statePath(s),
-            config.stateBuckets.map(nb => (pkOut(s), nb)))
+          val (staging, _) = SwapRefresh.stage(source.fullScan(s),
+            statePath(s), config.stateBuckets.map(nb => (pkOut(s), nb)))
+          Pipeline.stateLock(statePath(s)).synchronized {
+            UpsertSink.atomicSwapDirs(spark, staging, statePath(s))
+            OffsetWatermark.recordSnapshotFloor(spark, statePath(s), floor)
+          }
           rebuildZoneMap(s)
-          OffsetWatermark.recordSnapshotFloor(spark, statePath(s), floor)
         }
       }
       .toMap

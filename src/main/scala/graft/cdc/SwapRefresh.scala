@@ -108,22 +108,34 @@ object SwapRefresh {
     * every bucket it touches. */
   def refresh(fresh: DataFrame, livePath: String,
               buckets: Option[(String, Int)] = None): Long = {
-    // invocation-unique staging: two overlapping rebuilds of the same path
-    // (refreshAsync fired twice, or a CLI refresh racing a task) must not
-    // interleave writes in one shared dir and swap a corrupt mix live
-    // (r9 review). The swap MOVES the staging dir, so nothing lingers on
-    // success; a crashed rebuild strands only its own uniquely-named dir.
-    val staging = livePath + ".staging-" +
-      java.util.UUID.randomUUID().toString.take(8)
+    val (staging, n) = stage(fresh, livePath, buckets)
+    UpsertSink.atomicSwapDirs(fresh.sparkSession, staging, livePath)
+    n
+  }
+
+  /** The EXPENSIVE half of [[refresh]] split out: write the snapshot to an
+    * invocation-unique staging dir and count it, WITHOUT swapping. Lets a
+    * caller run the full-scan materialization outside any state lock and
+    * hold the lock only around the cheap commit (swap + floor record) — a
+    * live micro-batch's read-merge-write racing the swap could otherwise
+    * silently drop whichever complete copy lost (r9 review).
+    *
+    * Invocation-unique staging: two overlapping rebuilds of the same path
+    * (refreshAsync fired twice, or a CLI refresh racing a task) must not
+    * interleave writes in one shared dir and swap a corrupt mix live
+    * (r9 review). The swap MOVES the staging dir, so nothing lingers on
+    * success; a crashed rebuild strands only its own uniquely-named dir
+    * (reaped by the swap janitor after an hour). */
+  def stage(fresh: DataFrame, livePath: String,
+            buckets: Option[(String, Int)] = None): (String, Long) = {
+    val staging = UpsertSink.stagingDir(livePath)
     buckets match {
       // init IS the layout-defining write — reusing it keeps refresh's
       // staging copy from drifting if the bucket layout ever changes
       case Some((pk, n)) => BucketedUpsertSink.init(fresh, staging, pk, n)
       case None          => fresh.write.mode("overwrite").parquet(staging)
     }
-    val n = fresh.sparkSession.read.parquet(staging).count()
-    UpsertSink.atomicSwapDirs(fresh.sparkSession, staging, livePath)
-    n
+    (staging, fresh.sparkSession.read.parquet(staging).count())
   }
 
   /** Async [[refresh]]: returns a [[SinkTasks]] id immediately — the shape

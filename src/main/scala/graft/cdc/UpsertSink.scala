@@ -160,17 +160,31 @@ object UpsertSink {
     fs.exists(p)
   }
 
+  // Per-live-path monitor serializing same-JVM swappers and healers: the
+  // rename-retry machinery below tolerates cross-process racers, but two
+  // in-process swappers (overlapping refreshAsync tasks; a replay racing a
+  // batch on a sidecar) interleaving exists-probes with deletes left narrow
+  // TOCTOU windows where a crash could strand a path with NEITHER live nor
+  // `.old` (r9 review). Every advertised concurrent shape is in-JVM, so the
+  // monitor closes those windows outright; the retries remain for readers
+  // in other processes.
+  private val swapLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private[graft] def swapLock(live: String): Object =
+    swapLocks.computeIfAbsent(live, _ => new Object)
+
   /** Heal [[atomicSwapDirs]]'s crash window: a crash between the two renames
     * leaves no live dir but a complete `.old` — restore it. The state then
     * reflects the pre-batch version; the streaming checkpoint replays the
     * un-committed batch and the idempotent apply makes the replay safe. */
-  private[graft] def recoverSwap(spark: SparkSession, live: String): Unit = {
+  private[graft] def recoverSwap(spark: SparkSession, live: String): Unit =
+    swapLock(live).synchronized {
     val (fs, p) = hfs(spark, live)
     val old = new org.apache.hadoop.fs.Path(live + ".old")
     if (!fs.exists(p) && fs.exists(old)) {
-      // a concurrent swapper can finish and DELETE `.old` between our
-      // exists probe and this rename — the vanished source means live is
-      // healthy again, so the failed heal is a no-op, not an error
+      // a swapper in ANOTHER process can finish and DELETE `.old` between
+      // our exists probe and this rename — the vanished source means live
+      // is healthy again, so the failed heal is a no-op, not an error
       // (caught by the r9 swap-race stress spec)
       try { fs.rename(old, p); () }
       catch { case _: java.io.FileNotFoundException => () }
@@ -192,34 +206,72 @@ object UpsertSink {
     * aside and rename again. Retrying never installs a torn state, only
     * decides which complete copy ends up live; bounded — each retry
     * requires another racer in the exact window. */
-  private[graft] def atomicSwapDirs(spark: SparkSession, next: String, live: String): Unit = {
+  private[graft] def atomicSwapDirs(spark: SparkSession, next: String, live: String): Unit =
+    swapLock(live).synchronized {
     recoverSwap(spark, live) // heal any earlier interrupted swap first
     val (fs, livePath) = hfs(spark, live)
     val old = new org.apache.hadoop.fs.Path(live + ".old")
-    if (fs.exists(old)) fs.delete(old, true)
-    // the aside itself can race a concurrent swapper: both pass the exists
-    // probe, the loser's rename finds the source vanished (the winner took
-    // it) — live is then in the winner's hands, so just proceed; a rename
-    // blocked by a racer-recreated `.old` re-deletes and retries (r9 review)
+    // only clear `.old` while a live copy exists: if live is absent, `.old`
+    // may be the ONLY complete copy (a cross-process swapper mid-window) and
+    // deleting it would let a crash strand the path with neither (r9 review)
+    if (fs.exists(livePath) && fs.exists(old)) fs.delete(old, true)
+    // the aside itself can race a swapper in another process: both pass the
+    // exists probe, the loser's rename finds the source vanished (the winner
+    // took it) — live is then in the winner's hands, so just proceed; a
+    // rename blocked by a racer-recreated `.old` re-clears it (under the
+    // same live-exists guard) and retries (r9 review)
     var asideTries = 0
     while (fs.exists(livePath) &&
            !(try fs.rename(livePath, old)
              catch { case _: java.io.FileNotFoundException => false })) {
       asideTries += 1
       require(asideTries <= 8, s"rename $live -> $old failed ($asideTries attempts)")
-      fs.delete(old, true)
+      if (fs.exists(livePath)) fs.delete(old, true)
     }
     val nextPath = new org.apache.hadoop.fs.Path(next)
     var attempts = 0
     while (!fs.rename(nextPath, livePath)) {
       attempts += 1
-      require(attempts <= 8 && fs.exists(livePath),
-        s"rename $next -> $live failed ($attempts attempts)")
-      fs.delete(old, true)
-      require(fs.rename(livePath, old),
-        s"re-aside of reader-resurrected $live failed mid-swap")
+      require(attempts <= 8, s"rename $next -> $live failed ($attempts attempts)")
+      if (fs.exists(livePath)) {
+        // a complete copy got (re)installed at live (a reader's heal, or a
+        // cross-process racer's finished swap): move it aside and retry.
+        // TOLERANT, not a bare require — the copy can vanish again mid-move
+        // (another racer took it), which just means the retry probe re-runs
+        // (r9 review: the single-attempt require aborted swaps spuriously)
+        fs.delete(old, true)
+        try { fs.rename(livePath, old); () }
+        catch { case _: java.io.FileNotFoundException => () }
+      }
     }
     if (fs.exists(old)) fs.delete(old, true)
+    sweepStaleStaging(fs, livePath)
     ()
+  }
+
+  /** Janitor for crash-stranded staging dirs: invocation-unique staging
+    * (`<live>.next-*` / `<live>.staging-*`) self-cleans on success (the
+    * swap MOVES it) but a crashed writer strands its copy forever — the
+    * fixed-name scheme it replaced was at least reclaimed by the next
+    * run's overwrite (r9 review). After each successful swap, siblings
+    * matching the staging patterns whose modification time is over an hour
+    * old are deleted: genuine in-flight writers are seconds-to-minutes old,
+    * and a cross-process writer stalled past the horizon loses only its
+    * staging copy — its own rename then fails LOUDLY and the rebuild
+    * re-runs, never silent corruption. */
+  private def sweepStaleStaging(fs: org.apache.hadoop.fs.FileSystem,
+                                livePath: org.apache.hadoop.fs.Path): Unit = {
+    val parent = livePath.getParent
+    if (parent == null || !fs.exists(parent)) return
+    val name = livePath.getName
+    val horizon = System.currentTimeMillis() - 3600L * 1000L
+    fs.listStatus(parent).foreach { st =>
+      val n = st.getPath.getName
+      if ((n.startsWith(name + ".next-") || n.startsWith(name + ".staging-")) &&
+          st.getModificationTime < horizon) {
+        try { fs.delete(st.getPath, true); () }
+        catch { case _: java.io.IOException => () }
+      }
+    }
   }
 }

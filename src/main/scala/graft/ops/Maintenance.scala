@@ -124,13 +124,12 @@ object Maintenance {
     // Partitioned by shard, so the window never funnels the corpus.
     val wIn = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    // invocation-unique staging (the SwapRefresh discipline, r9 review):
-    // two overlapping rewrites of one live path must not interleave writes
-    // in a shared dir and swap a torn mix live. The swap MOVES the dir, so
-    // nothing lingers on success; a crashed rewrite strands only its own
-    // uniquely-named dir.
-    val staging = livePath + ".staging-" +
-      java.util.UUID.randomUUID().toString.take(8)
+    // invocation-unique staging (the shared stagingDir authority, r9
+    // review): two overlapping rewrites of one live path must not
+    // interleave writes in a shared dir and swap a torn mix live. The
+    // swap MOVES the dir on success; a crashed rewrite strands only its
+    // own dir, reaped by the swap janitor after an hour.
+    val staging = graft.cdc.UpsertSink.stagingDir(livePath)
     // partition discovery reads the shard dir value back as INT; the plan
     // keys on LONG — normalize before the broadcast join
     state.withColumn("shard", col("shard").cast("long"))
@@ -155,8 +154,7 @@ object Maintenance {
       .agg(count(lit(1)).as("n_rows"),
         sum(length(col("text")).cast("long")).as("bytes"),
         min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
-    val zmTmp = livePath + ".zonemap.next-" +
-      java.util.UUID.randomUUID().toString.take(8)
+    val zmTmp = graft.cdc.UpsertSink.stagingDir(livePath + ".zonemap")
     manifest.orderBy(col("bin")).coalesce(1)
       .write.mode("overwrite").parquet(zmTmp)
     graft.cdc.UpsertSink.atomicSwapDirs(spark, zmTmp, livePath + ".zonemap")
@@ -227,27 +225,32 @@ object Maintenance {
     * from the manifest. The manifest is O(buckets) rows — its rewrite is
     * free; the point is never rescanning the untouched state. */
   def refreshZoneMap(spark: SparkSession, statePath: String, zmPath: String,
-                     touched: Seq[Long], statCols: Seq[String]): Unit = {
-    val fresh = bucketZoneMap(spark, statePath, statCols, Some(touched))
-    val fs = new org.apache.hadoop.fs.Path(zmPath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val prior =
-      if (fs.exists(new org.apache.hadoop.fs.Path(zmPath)))
-        Some(spark.read.parquet(zmPath))
-      else None
-    val next = prior match {
-      case Some(p) => p.filter(!col("bucket").isin(touched: _*)).unionByName(fresh)
-      case None => fresh
+                     touched: Seq[Long], statCols: Seq[String]): Unit =
+    // under the manifest's swap lock (reentrant for the inner swap):
+    // overlapping refreshAsync tasks for ONE table both rebuild this
+    // manifest (Pipeline.rebuildZoneMap), and an unserialized peer's swap
+    // could rename the prior manifest's files out from under this task's
+    // LAZY read mid-write (spurious FileNotFoundException). The prior is
+    // additionally MATERIALIZED (localCheckpoint — O(buckets) rows) so no
+    // consumer re-reads the swapped-away files after the lock releases
+    // (r9 review). Invocation-unique temp via stagingDir, the shared
+    // staging-name authority.
+    graft.cdc.UpsertSink.swapLock(zmPath).synchronized {
+      val fresh = bucketZoneMap(spark, statePath, statCols, Some(touched))
+      val fs = new org.apache.hadoop.fs.Path(zmPath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val prior =
+        if (fs.exists(new org.apache.hadoop.fs.Path(zmPath)))
+          Some(spark.read.parquet(zmPath).localCheckpoint(true))
+        else None
+      val next = prior match {
+        case Some(p) => p.filter(!col("bucket").isin(touched: _*)).unionByName(fresh)
+        case None => fresh
+      }
+      val tmp = graft.cdc.UpsertSink.stagingDir(zmPath)
+      next.orderBy(col("bucket")).coalesce(1).write.mode("overwrite").parquet(tmp)
+      graft.cdc.UpsertSink.atomicSwapDirs(spark, tmp, zmPath)
     }
-    // invocation-unique temp: overlapping refreshAsync tasks for ONE table
-    // both rebuild this manifest (Pipeline.rebuildZoneMap) — a shared
-    // `.next` dir would let one task's mode-overwrite delete the other's
-    // half-written copy and swap a torn manifest live (r9 review; the
-    // atomicSwapDirs retry then arbitrates which COMPLETE copy wins)
-    val tmp = zmPath + ".next-" + java.util.UUID.randomUUID().toString.take(8)
-    next.orderBy(col("bucket")).coalesce(1).write.mode("overwrite").parquet(tmp)
-    graft.cdc.UpsertSink.atomicSwapDirs(spark, tmp, zmPath)
-  }
 
   /** Path of the staleness marker guarding `zmPath`: present while a sink
     * write has committed whose zone-map refresh has not. */

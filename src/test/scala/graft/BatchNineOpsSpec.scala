@@ -438,6 +438,11 @@ class BatchNineOpsSpec extends SparkSpec {
     BucketedUpsertSink.init(
       (0L until 200L).map(i => (i, i * 10, s"v$i"))
         .toDF("id", "score", "payload"), statePath, "id", nb)
+    // seed a PRIOR manifest first: the racing refreshes must then read it
+    // while the peer swaps it — the lazy-prior FileNotFound race hides
+    // exactly here, never on a first-ever refresh (r9 review)
+    Maintenance.refreshZoneMap(spark, statePath, zmPath,
+      (0L until nb.toLong).toSeq, Seq("score"))
     val failed = new java.util.concurrent.atomic.AtomicReference[Throwable]()
     val threads = (1 to 2).map { _ =>
       new Thread(() => {
