@@ -113,9 +113,10 @@ final class WireCdcSource(spark: SparkSession, feedDir: String, tableDir: String
     // last-write-wins order): assert_true raises, the stream stops at the
     // checkpointed position, and the operator widens the encoding.
     decoded
-      .filter(assert_true(col("_ridx") < (1 << 20) && col("offset") < (1L << 43),
-        concat(lit(s"wire message exceeds offset encoding (rows >= 2^20 or " +
-          s"message offset >= 2^43): offset="), col("offset"),
+      .filter(assert_true(
+        col("offset") >= 0 && col("_ridx") < (1 << 20) && col("offset") < (1L << 43),
+        concat(lit(s"wire message exceeds offset encoding (negative offset, " +
+          s"rows >= 2^20, or message offset >= 2^43): offset="), col("offset"),
           lit(" _ridx="), col("_ridx"))).isNull)
       .select(col("op"), col("table"),
         (shiftleft(col("offset"), 20) + col("_ridx")).as("offset"),

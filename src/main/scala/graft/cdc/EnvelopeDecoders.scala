@@ -90,6 +90,11 @@ object EnvelopeDecoders {
       // non-nullity alone never fires
       .filter(undecodableGuard(col("__e.type").isNotNull, "mysql binlog", col(dataCol)))
       .filter(col("__e.type").isin("write", "update", "delete"))
+      // rows[] is mandatory on every row event: a message whose rows field
+      // failed to decode would posexplode ZERO rows and vanish silently —
+      // the exact loss undecodableGuard exists to stop (r9 review)
+      .filter(undecodableGuard(col("__e.rows").isNotNull,
+        "mysql binlog (row event without rows)", col(dataCol)))
       .select(col(offsetCol).as("offset"),
         opFrom(col("__e.type"), "write").as("op"),
         col("__e.table").as("table"),

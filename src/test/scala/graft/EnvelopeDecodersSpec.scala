@@ -154,6 +154,17 @@ class EnvelopeDecodersSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("undecodable") ||
       Option(e2.getCause).exists(_.getMessage.contains("undecodable")))
+    // a row event whose rows[] failed to decode would posexplode ZERO rows
+    // and vanish without this guard (r9 review) — type parses, rows missing
+    val rowless = Seq((
+      """{"schema": "s", "table": "t", "type": "write"}""", 2L))
+      .toDF("data", "offset")
+    val e3 = intercept[Exception] {
+      EnvelopeDecoders.decodeMysqlBinlog(rowless).collect()
+    }
+    assert(e3.getMessage.contains("undecodable") ||
+      Option(e3.getCause).exists(_.getMessage.contains("undecodable")),
+      s"row event without rows must fail loudly: $e3")
   }
 
   test("wire source: an out-of-range message offset fails loudly, not silently") {
