@@ -567,6 +567,11 @@ object Pipeline {
   // last-copy-wins — pause the stream for out-of-process replays (the
   // documented premise; the watermark fence covers every NON-simultaneous
   // ordering).
+  //
+  // LOCK ORDER (deadlock discipline): stateLock is the OUTERMOST — holders
+  // may take UpsertSink.swapLock (via atomicSwapDirs/recoverSwap) and
+  // OffsetWatermark's floorLock; neither of those ever takes stateLock or
+  // each other. Keep any new lock acquisition consistent with that order.
   private val stateLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private[cdc] def stateLock(statePath: String): Object =
