@@ -226,7 +226,12 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
         // silently-stale manifest, and the at-least-once batch replay
         // re-runs the refresh and clears it (r6 ADVICE fix).
         val zoneMapActive = config.zoneMapCols.nonEmpty
-        if (zoneMapActive)
+        // ownership-aware (r9 review): if a refresh's full rebuild already
+        // holds the marker, this batch must not clear it below — its
+        // incremental splice rides a prior manifest that rebuild has yet
+        // to fix. Same-id re-marking (the at-least-once batch replay)
+        // still owns and still clears.
+        val ownsMarker = zoneMapActive &&
           graft.ops.Maintenance.markZoneMapPending(spark, zoneMapPath(sync), batchId)
         BucketedUpsertSink.applyBatch(spark, statePath(sync), compacted, pk, n,
           schema = Some(sinkSchema(sync)))
@@ -241,7 +246,9 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
           if (touched.nonEmpty)
             graft.ops.Maintenance.refreshZoneMap(spark, statePath(sync),
               zoneMapPath(sync), touched, zoneMapColsFor(sync))
-          graft.ops.Maintenance.clearZoneMapPending(spark, zoneMapPath(sync))
+          if (ownsMarker)
+            graft.ops.Maintenance.clearZoneMapPending(spark, zoneMapPath(sync),
+              batchId)
         }
       case None =>
         val state = UpsertSink.currentState(spark, statePath(sync), sinkSchema(sync))
@@ -346,14 +353,38 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
     config.zoneMapCols.filter(have)
   }
 
+  /** True iff this pipeline maintains a zone-map manifest for `sync`. */
+  private def zoneMapActiveFor(sync: SyncConfig): Boolean =
+    config.stateBuckets.isDefined && zoneMapColsFor(sync).nonEmpty
+
   /** Full zone-map rebuild for one sync — the non-incremental path used
     * after [[refresh]]/backfill rebuilds where every bucket may have
-    * changed. */
-  private def rebuildZoneMap(sync: SyncConfig): Unit =
+    * changed. `ownerId` is the caller's pending-marker claim, cleared on
+    * success (conditional — a live batch cannot have stolen it, see
+    * [[graft.ops.Maintenance.markZoneMapPending]]). RETRIES a scan that a
+    * concurrent batch's state swap broke mid-read (the full-state scan
+    * deliberately runs outside the state lock so the stream keeps
+    * flowing): correctness is covered by the pending marker either way —
+    * reads stay on the exact-filter fallback until some rebuild lands —
+    * the retry is for availability (r9 review). */
+  private def rebuildZoneMap(sync: SyncConfig,
+                             ownerId: Option[Long] = None): Unit =
     (config.stateBuckets, zoneMapColsFor(sync)) match {
       case (Some(n), cols) if cols.nonEmpty =>
-        graft.ops.Maintenance.refreshZoneMap(spark, statePath(sync),
-          zoneMapPath(sync), (0L until n.toLong).toSeq, cols)
+        var attempts = 0
+        var done = false
+        while (!done) {
+          attempts += 1
+          try {
+            graft.ops.Maintenance.refreshZoneMap(spark, statePath(sync),
+              zoneMapPath(sync), (0L until n.toLong).toSeq, cols)
+            ownerId.foreach(id => graft.ops.Maintenance
+              .clearZoneMapPending(spark, zoneMapPath(sync), id))
+            done = true
+          } catch {
+            case e: Throwable if attempts < 3 && Pipeline.causedByVanishedFile(e) => ()
+          }
+        }
       case _ => ()
     }
 
@@ -384,22 +415,32 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
     * captured BEFORE the scan and recorded AFTER the sink lands — see
     * [[refresh]] for the ordering argument. */
   def backfillIfNeeded(): Unit = config.syncs.foreach { sync =>
-    // under the state lock end-to-end: backfill runs at bootstrap (no
-    // stream racing the liveExists probe in the normal ordering), but a
-    // caller starting the stream first loses nothing to the same
-    // probe-vs-apply window the refresh commit closes
-    Pipeline.stateLock(statePath(sync)).synchronized {
-      if (sync.full && !UpsertSink.liveExists(spark, statePath(sync))) {
-        val floor = observedOffsetCeiling(sync)
-        config.stateBuckets match {
-          case Some(n) =>
-            BucketedUpsertSink.init(source.fullScan(sync), statePath(sync), pkOut(sync), n)
-            rebuildZoneMap(sync)
-          case None =>
-            SwapRefresh.refresh(source.fullScan(sync), statePath(sync)); ()
+    if (sync.full && !UpsertSink.liveExists(spark, statePath(sync))) {
+      // same stage-outside / commit-inside split as [[refresh]]: the full
+      // scan must not hold the state lock (a caller that started the
+      // stream first would stall every micro-batch for the whole
+      // bootstrap scan — r9 review)
+      val floor = observedOffsetCeiling(sync)
+      val (staging, _) = SwapRefresh.stage(source.fullScan(sync),
+        statePath(sync), config.stateBuckets.map(nb => (pkOut(sync), nb)))
+      val ownerId = Pipeline.freshOwnerId()
+      val committed = Pipeline.stateLock(statePath(sync)).synchronized {
+        // re-probe under the lock: a live batch may have bootstrapped the
+        // sink during our scan; K3 is bootstrap-only, and the stream is
+        // already building on ITS copy — drop our staging, don't clobber
+        if (UpsertSink.liveExists(spark, statePath(sync))) {
+          UpsertSink.dropStaging(spark, staging)
+          false
+        } else {
+          if (zoneMapActiveFor(sync))
+            graft.ops.Maintenance.markZoneMapPending(spark, zoneMapPath(sync),
+              ownerId)
+          UpsertSink.atomicSwapDirs(spark, staging, statePath(sync))
+          OffsetWatermark.recordSnapshotFloor(spark, statePath(sync), floor)
+          true
         }
-        OffsetWatermark.recordSnapshotFloor(spark, statePath(sync), floor)
       }
+      if (committed) rebuildZoneMap(sync, Some(ownerId))
     }
   }
 
@@ -500,15 +541,24 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
         // asserted the snapshot superseded everything below it (r9 review)
         val (staging, n) = SwapRefresh.stage(source.fullScan(s), statePath(s),
           config.stateBuckets.map(nb => (pkOut(s), nb)))
+        val ownerId = Pipeline.freshOwnerId()
         Pipeline.stateLock(statePath(s)).synchronized {
+          // write-ahead marker INSIDE the commit: every bucket's stats are
+          // stale the instant the swap lands, and a crash (or just the
+          // window) before the rebuild below must leave pruned reads on
+          // the exact-filter fallback, never trusting a manifest that
+          // describes pre-refresh buckets (r9 review)
+          if (zoneMapActiveFor(s))
+            graft.ops.Maintenance.markZoneMapPending(spark, zoneMapPath(s),
+              ownerId)
           UpsertSink.atomicSwapDirs(spark, staging, statePath(s))
           OffsetWatermark.recordSnapshotFloor(spark, statePath(s), floor)
         }
         // every bucket may have changed under the swap — rebuild, don't
-        // splice. Outside the lock: the manifest scan reads live state at
-        // scan time (still correct after interleaved batches) and the
-        // pending-marker protocol covers staleness
-        rebuildZoneMap(s)
+        // splice. Outside the lock (the manifest scan reads live state at
+        // scan time, still correct after interleaved batches); clears the
+        // marker on success, retries a swap-broken scan
+        rebuildZoneMap(s, Some(ownerId))
         s.table -> n
       }
       .toMap
@@ -526,15 +576,19 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
         s.table -> SinkTasks.submit(s"refresh:${s.table}") {
           // ceiling captured inside the task but BEFORE its scan — same
           // conservative ordering as the synchronous refresh; commit
-          // (swap + floor) under the state lock, scan outside it
+          // (marker + swap + floor) under the state lock, scans outside it
           val floor = observedOffsetCeiling(s)
           val (staging, _) = SwapRefresh.stage(source.fullScan(s),
             statePath(s), config.stateBuckets.map(nb => (pkOut(s), nb)))
+          val ownerId = Pipeline.freshOwnerId()
           Pipeline.stateLock(statePath(s)).synchronized {
+            if (zoneMapActiveFor(s))
+              graft.ops.Maintenance.markZoneMapPending(spark, zoneMapPath(s),
+                ownerId)
             UpsertSink.atomicSwapDirs(spark, staging, statePath(s))
             OffsetWatermark.recordSnapshotFloor(spark, statePath(s), floor)
           }
-          rebuildZoneMap(s)
+          rebuildZoneMap(s, Some(ownerId))
         }
       }
       .toMap
@@ -576,6 +630,31 @@ object Pipeline {
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private[cdc] def stateLock(statePath: String): Object =
     stateLocks.computeIfAbsent(statePath, _ => new Object)
+
+  // zone-map marker owner ids for refresh/backfill rebuilds: strictly
+  // negative (never colliding with micro-batch ids >= 0 or the replay's
+  // -2) and unique per invocation
+  private val ownerSeq = new java.util.concurrent.atomic.AtomicLong(-100L)
+  private[cdc] def freshOwnerId(): Long = ownerSeq.decrementAndGet()
+
+  /** True iff the failure chain bottoms out in a vanished file — the
+    * signature of a scan racing a concurrent directory swap. */
+  private[cdc] def causedByVanishedFile(t: Throwable): Boolean = {
+    var c: Throwable = t
+    var depth = 0
+    while (c != null && depth < 12) {
+      c match {
+        case _: java.io.FileNotFoundException => return true
+        case _ => ()
+      }
+      if (Option(c.getMessage).exists(m =>
+        m.contains("FileNotFoundException") || m.contains("does not exist")))
+        return true
+      c = c.getCause
+      depth += 1
+    }
+    false
+  }
 
   /** Extract a top-level field from a JSON object string as a stable string
     * key (executor-side; uses Spark's shaded-in Jackson). */

@@ -134,8 +134,33 @@ object UpsertSink {
     * (r9 review; the SwapRefresh discipline). The swap MOVES the dir, so
     * success leaves nothing behind; a crashed writer strands only its own
     * uniquely-named dir, never corrupts a peer's. */
-  private[graft] def stagingDir(live: String): String =
-    live + ".next-" + java.util.UUID.randomUUID().toString.take(8)
+  private[graft] def stagingDir(live: String): String = {
+    val d = live + ".next-" + java.util.UUID.randomUUID().toString.take(8)
+    // register with the janitor BEFORE any file exists: a staging dir's
+    // mtime freezes at job start (all write activity happens under
+    // _temporary), so age alone cannot distinguish a long-running write
+    // from a crash leftover — the registry is what protects an in-JVM
+    // writer however long its job runs (r9 review)
+    activeStaging.add(new org.apache.hadoop.fs.Path(d).getName)
+    d
+  }
+
+  /** Abandon a staged dir without swapping it (e.g. a backfill that lost
+    * the bootstrap race): delete it and release its janitor registration. */
+  private[graft] def dropStaging(spark: SparkSession, staging: String): Unit = {
+    val (fs, p) = hfs(spark, staging)
+    try { fs.delete(p, true); () }
+    catch { case _: java.io.IOException => () }
+    activeStaging.remove(p.getName)
+    ()
+  }
+
+  // staging dirs currently owned by a writer in THIS JVM — never reaped
+  private val activeStaging =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  // amortizes the janitor's listStatus to every 32nd swap per live path
+  private val sweepTick = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.atomic.AtomicLong]()
 
   def currentState(
       spark: SparkSession,
@@ -245,6 +270,7 @@ object UpsertSink {
       }
     }
     if (fs.exists(old)) fs.delete(old, true)
+    activeStaging.remove(nextPath.getName)
     sweepStaleStaging(fs, livePath)
     ()
   }
@@ -253,25 +279,35 @@ object UpsertSink {
     * (`<live>.next-*` / `<live>.staging-*`) self-cleans on success (the
     * swap MOVES it) but a crashed writer strands its copy forever — the
     * fixed-name scheme it replaced was at least reclaimed by the next
-    * run's overwrite (r9 review). After each successful swap, siblings
-    * matching the staging patterns whose modification time is over an hour
-    * old are deleted: genuine in-flight writers are seconds-to-minutes old,
-    * and a cross-process writer stalled past the horizon loses only its
-    * staging copy — its own rename then fails LOUDLY and the rebuild
-    * re-runs, never silent corruption. */
+    * run's overwrite (r9 review). Reaps siblings matching the staging
+    * patterns that are (a) NOT registered to a live writer in this JVM —
+    * the authoritative liveness signal, since a dir's mtime freezes at job
+    * start and a long scan would otherwise look stale mid-write — AND
+    * (b) older than an hour by a TRUSTED mtime (zero/unknown mtimes, e.g.
+    * object-store fake directories, are never reaped). A cross-process
+    * writer stalled past the horizon loses only its staging copy — its own
+    * swap then fails LOUDLY and the rebuild re-runs, never silent
+    * corruption. Runs after every 32nd successful swap per path (one
+    * listStatus RPC amortized across micro-batch commits) and NEVER fails
+    * the already-committed swap it rides on. */
   private def sweepStaleStaging(fs: org.apache.hadoop.fs.FileSystem,
-                                livePath: org.apache.hadoop.fs.Path): Unit = {
-    val parent = livePath.getParent
-    if (parent == null || !fs.exists(parent)) return
-    val name = livePath.getName
-    val horizon = System.currentTimeMillis() - 3600L * 1000L
-    fs.listStatus(parent).foreach { st =>
-      val n = st.getPath.getName
-      if ((n.startsWith(name + ".next-") || n.startsWith(name + ".staging-")) &&
-          st.getModificationTime < horizon) {
-        try { fs.delete(st.getPath, true); () }
-        catch { case _: java.io.IOException => () }
+                                livePath: org.apache.hadoop.fs.Path): Unit =
+    try {
+      val tick = sweepTick.computeIfAbsent(livePath.toString,
+        _ => new java.util.concurrent.atomic.AtomicLong())
+      if (tick.incrementAndGet() % 32L != 1L) return
+      val parent = livePath.getParent
+      if (parent == null || !fs.exists(parent)) return
+      val name = livePath.getName
+      val horizon = System.currentTimeMillis() - 3600L * 1000L
+      fs.listStatus(parent).foreach { st =>
+        val n = st.getPath.getName
+        if ((n.startsWith(name + ".next-") || n.startsWith(name + ".staging-")) &&
+            !activeStaging.contains(n) &&
+            st.getModificationTime > 0 && st.getModificationTime < horizon) {
+          try { fs.delete(st.getPath, true); () }
+          catch { case _: java.io.IOException => () }
+        }
       }
-    }
-  }
+    } catch { case scala.util.control.NonFatal(_) => () }
 }

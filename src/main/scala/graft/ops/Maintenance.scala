@@ -147,7 +147,7 @@ object Maintenance {
     // exist, which a manifest-driven pruned read would silently turn into
     // dropped rows; while the marker exists readers must fall back to the
     // exact unpruned filter, and re-running compactApply heals it
-    markZoneMapPending(spark, livePath + ".zonemap", batchId = -1L)
+    markZoneMapPending(spark, livePath + ".zonemap", ownerId = -1L)
     graft.cdc.UpsertSink.atomicSwapDirs(spark, staging, livePath)
     val manifest = spark.read.parquet(livePath)
       .groupBy(col("bin").cast("long").as("bin"))
@@ -225,18 +225,20 @@ object Maintenance {
     * from the manifest. The manifest is O(buckets) rows — its rewrite is
     * free; the point is never rescanning the untouched state. */
   def refreshZoneMap(spark: SparkSession, statePath: String, zmPath: String,
-                     touched: Seq[Long], statCols: Seq[String]): Unit =
+                     touched: Seq[Long], statCols: Seq[String]): Unit = {
+    // the fresh stats scan runs OUTSIDE the manifest lock — on a full
+    // rebuild it is an O(state) scan, and holding the lock through it
+    // would stall a live batch's incremental refresh (which arrives
+    // already holding the state lock) for the whole scan (r9 review) —
+    // and is MATERIALIZED so the splice below re-reads blocks, not files
+    val fresh = bucketZoneMap(spark, statePath, statCols, Some(touched))
+      .localCheckpoint(true)
     // under the manifest's swap lock (reentrant for the inner swap):
-    // overlapping refreshAsync tasks for ONE table both rebuild this
-    // manifest (Pipeline.rebuildZoneMap), and an unserialized peer's swap
-    // could rename the prior manifest's files out from under this task's
-    // LAZY read mid-write (spurious FileNotFoundException). The prior is
-    // additionally MATERIALIZED (localCheckpoint — O(buckets) rows) so no
-    // consumer re-reads the swapped-away files after the lock releases
-    // (r9 review). Invocation-unique temp via stagingDir, the shared
-    // staging-name authority.
+    // overlapping rebuilds for ONE table (Pipeline.rebuildZoneMap) must
+    // not let a peer's swap rename the prior manifest's files out from
+    // under this task's LAZY read mid-write; the prior is materialized
+    // for the same reason (r9 review). The locked section is O(buckets).
     graft.cdc.UpsertSink.swapLock(zmPath).synchronized {
-      val fresh = bucketZoneMap(spark, statePath, statCols, Some(touched))
       val fs = new org.apache.hadoop.fs.Path(zmPath)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       val prior =
@@ -251,27 +253,73 @@ object Maintenance {
       next.orderBy(col("bucket")).coalesce(1).write.mode("overwrite").parquet(tmp)
       graft.cdc.UpsertSink.atomicSwapDirs(spark, tmp, zmPath)
     }
+  }
 
   /** Path of the staleness marker guarding `zmPath`: present while a sink
     * write has committed whose zone-map refresh has not. */
   def zoneMapPendingPath(zmPath: String): String = zmPath + ".pending"
 
-  /** Mark the manifest potentially stale BEFORE the sink write of `batchId`
-    * lands (write-ahead: a crash anywhere in the sink-write → refresh
-    * window leaves the marker, never a silently-stale manifest). */
+  /** Mark the manifest potentially stale BEFORE the write of `ownerId`
+    * lands (write-ahead: a crash anywhere in the write → refresh window
+    * leaves the marker, never a silently-stale manifest). OWNERSHIP-aware
+    * (r9 review): returns true iff this caller owns the marker — it wrote
+    * it, or an earlier attempt with the SAME id did (the at-least-once
+    * batch replay). If a DIFFERENT owner's marker is already up (a live
+    * batch arriving while a refresh's full rebuild is still pending), the
+    * existing marker wins and this caller must NOT clear: its incremental
+    * splice rides a prior manifest the pending full rebuild has yet to
+    * fix, so clearing would let pruned reads trust part-stale stats. */
   def markZoneMapPending(spark: SparkSession, zmPath: String,
-                         batchId: Long): Unit = {
-    val p = new org.apache.hadoop.fs.Path(zoneMapPendingPath(zmPath))
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
-    try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
-  }
+                         ownerId: Long): Boolean =
+    graft.cdc.UpsertSink.swapLock(zmPath).synchronized {
+      val p = new org.apache.hadoop.fs.Path(zoneMapPendingPath(zmPath))
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      readPendingOwner(fs, p) match {
+        case Some(v) if v == ownerId => true
+        // a TORN marker (crash mid-create) is owned by nobody; the next
+        // marker claims it so the clear-on-success path can heal it —
+        // leaving it unclaimed would pin reads unpruned forever
+        case Some(v) if v == Long.MinValue =>
+          val out = fs.create(p, true)
+          try out.write(ownerId.toString.getBytes("UTF-8")) finally out.close()
+          true
+        case Some(_) => false
+        case None =>
+          val out = fs.create(p, true)
+          try out.write(ownerId.toString.getBytes("UTF-8")) finally out.close()
+          true
+      }
+    }
 
-  /** Clear the staleness marker AFTER a successful refresh. */
-  def clearZoneMapPending(spark: SparkSession, zmPath: String): Unit = {
-    val p = new org.apache.hadoop.fs.Path(zoneMapPendingPath(zmPath))
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) fs.delete(p, false)
+  /** Clear the staleness marker AFTER a successful refresh — only if this
+    * caller still owns it (see [[markZoneMapPending]]). */
+  def clearZoneMapPending(spark: SparkSession, zmPath: String,
+                          ownerId: Long): Unit =
+    graft.cdc.UpsertSink.swapLock(zmPath).synchronized {
+      val p = new org.apache.hadoop.fs.Path(zoneMapPendingPath(zmPath))
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (readPendingOwner(fs, p).contains(ownerId)) { fs.delete(p, false); () }
+    }
+
+  /** Unconditional clear — for single-writer contexts that own the whole
+    * rewrite (compactApply). */
+  def clearZoneMapPending(spark: SparkSession, zmPath: String): Unit =
+    graft.cdc.UpsertSink.swapLock(zmPath).synchronized {
+      val p = new org.apache.hadoop.fs.Path(zoneMapPendingPath(zmPath))
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) { fs.delete(p, false); () }
+    }
+
+  private def readPendingOwner(fs: org.apache.hadoop.fs.FileSystem,
+                               p: org.apache.hadoop.fs.Path): Option[Long] = {
+    if (!fs.exists(p)) return None
+    val len = fs.getFileStatus(p).getLen.toInt
+    if (len == 0) return Some(Long.MinValue) // torn marker: owned by nobody
+    val bytes = new Array[Byte](len)
+    val in = fs.open(p)
+    try in.readFully(0, bytes) finally in.close()
+    scala.util.Try(new String(bytes, "UTF-8").trim.toLong).toOption
+      .orElse(Some(Long.MinValue))
   }
 
   private def zoneMapPendingExists(spark: SparkSession, zmPath: String): Boolean = {

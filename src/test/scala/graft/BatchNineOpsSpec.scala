@@ -300,7 +300,7 @@ class BatchNineOpsSpec extends SparkSpec {
       Seq("score"))
     // simulate the crash window: mark pending (the pipeline's write-ahead
     // step), apply the sink write, and CRASH before the refresh
-    Maintenance.markZoneMapPending(spark, zmPath, batchId = 42L)
+    Maintenance.markZoneMapPending(spark, zmPath, ownerId = 42L)
     val batch = Seq(("update", 5L, 99999L, "v5b"))
       .toDF("op", "id", "score", "payload")
     BucketedUpsertSink.applyBatch(spark, statePath, batch, "id", nb)
@@ -424,6 +424,31 @@ class BatchNineOpsSpec extends SparkSpec {
     assert(scans === 1, s"expected a single lineitem scan, got $scans:\n$plan")
     assert(plan.contains("partial_corr") || plan.contains("HashAggregate"),
       "moments must aggregate two-phase")
+  }
+
+  test("zone-map pending marker is ownership-aware: a live batch cannot " +
+    "clear a refresh's marker while the full rebuild is pending, a same-id " +
+    "replay still owns, and a torn marker is claimable (r9 review)") {
+    val zmPath = tmpDir("zm-owner") + "/state.zonemap"
+    val pend = new java.io.File(Maintenance.zoneMapPendingPath(zmPath))
+    // refresh claims first
+    assert(Maintenance.markZoneMapPending(spark, zmPath, -101L))
+    // a live batch arriving mid-rebuild does NOT own it...
+    assert(!Maintenance.markZoneMapPending(spark, zmPath, 7L))
+    // ...so its conditional clear must leave the marker up
+    Maintenance.clearZoneMapPending(spark, zmPath, 7L)
+    assert(pend.exists(), "a non-owner's clear must not un-mark the manifest")
+    // the same batch id re-marking (at-least-once replay) still owns
+    assert(Maintenance.markZoneMapPending(spark, zmPath, -101L))
+    Maintenance.clearZoneMapPending(spark, zmPath, -101L)
+    assert(!pend.exists(), "the owner's clear removes the marker")
+    // a torn marker (crash mid-create) is owned by nobody and claimable
+    assert(pend.getParentFile.mkdirs() || pend.getParentFile.exists())
+    java.nio.file.Files.write(pend.toPath, Array.empty[Byte])
+    assert(Maintenance.markZoneMapPending(spark, zmPath, 9L),
+      "a torn marker must be claimable so it can ever be healed")
+    Maintenance.clearZoneMapPending(spark, zmPath, 9L)
+    assert(!pend.exists())
   }
 
   test("zone map: two concurrent full refreshes of ONE manifest (the " +

@@ -286,6 +286,37 @@ class UpsertSinkSpec extends SparkSpec {
       "the last swapped copy must be live and complete")
   }
 
+  test("staging janitor: an hour-old crash leftover is reaped after a " +
+    "swap, while a REGISTERED in-JVM writer's dir survives however old " +
+    "its frozen mtime looks (r9 review: dir mtime freezes at job start, " +
+    "so age alone would reap a long-running writer mid-job)") {
+    val root = tmpDir("janitor")
+    val live = s"$root/t"
+    state((1, "v0", "c")).write.parquet(live)
+    val oldMs = System.currentTimeMillis() - 2L * 3600L * 1000L
+    // crash leftover: staging-patterned sibling, old mtime, NOT registered
+    val stranded = new java.io.File(s"$live.next-deadbeef")
+    assert(stranded.mkdirs() && stranded.setLastModified(oldMs))
+    // live writer: registered via stagingDir, mtime forced equally old
+    val owned = graft.cdc.UpsertSink.stagingDir(live)
+    val ownedDir = new java.io.File(owned)
+    assert(ownedDir.mkdirs() && ownedDir.setLastModified(oldMs))
+    // an unrelated sibling must never match the pattern
+    val bystander = new java.io.File(s"$root/t2")
+    assert(bystander.mkdirs() && bystander.setLastModified(oldMs))
+    // one real swap triggers the sweep (first tick on this path)
+    val next = s"$root/staged"
+    state((1, "v1", "c")).write.parquet(next)
+    graft.cdc.UpsertSink.atomicSwapDirs(spark, next, live)
+    assert(!stranded.exists(), "the unregistered hour-old leftover is reaped")
+    assert(ownedDir.exists(), "a registered writer's staging must survive")
+    assert(bystander.exists(), "non-staging siblings are untouched")
+    assert(spark.read.parquet(live).collect().toSeq ===
+      Seq(Row(1, "v1", "c")))
+    graft.cdc.UpsertSink.dropStaging(spark, owned)
+    assert(!ownedDir.exists(), "dropStaging releases and removes the dir")
+  }
+
   test("atomicSwapDirs survives concurrent SWAPPERS: two threads swapping " +
     "their own staged copies into one live path both succeed — the loser " +
     "of the aside rename proceeds instead of failing a require (r9 review)") {
