@@ -93,9 +93,8 @@ object BucketedUpsertSink {
       if (evolved) {
         val merged = UpsertSink.applyBatch(full.drop(BucketCol), changes, pk)
           .withColumn(BucketCol, bucketOf(col(pk), numBuckets))
-        val tmp = UpsertSink.stagingDir(statePath)
-        merged.write.mode("overwrite").partitionBy(BucketCol).parquet(tmp)
-        UpsertSink.atomicSwapDirs(spark, tmp, statePath)
+        UpsertSink.stageSwap(spark, statePath)(tmp =>
+          merged.write.mode("overwrite").partitionBy(BucketCol).parquet(tmp))
         return
       }
     }

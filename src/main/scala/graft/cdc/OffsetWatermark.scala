@@ -174,11 +174,10 @@ object OffsetWatermark {
         } else {
           val next = merge(normalizeStored(
             spark.read.option("mergeSchema", "true").parquet(dir)), batch, pk)
-          // invocation-unique: a live batch's advance and a replay's can
-          // overlap on one sidecar (r9 review)
-          val tmp = UpsertSink.stagingDir(dir)
-          next.write.mode("overwrite").parquet(tmp)
-          UpsertSink.atomicSwapDirs(spark, tmp, dir)
+          // invocation-unique staging with failure cleanup: a live batch's
+          // advance and a replay's can overlap on one sidecar (r9 review)
+          UpsertSink.stageSwap(spark, dir)(tmp =>
+            next.write.mode("overwrite").parquet(tmp))
         }
     }
   }

@@ -209,6 +209,7 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
     // any newer one — has superseded. Idempotent under checkpoint replay.
     OffsetWatermark.advance(spark, statePath(sync),
       view.select(col(pk), col("offset"), col("_ridx")), pk, config.stateBuckets)
+    Pipeline.mutationStamp(statePath(sync)).incrementAndGet()
     hooks.postBatch.foreach(_(sync.table, batchId))
   }
 
@@ -225,12 +226,19 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
         // reads fall back to the exact unpruned filter) rather than a
         // silently-stale manifest, and the at-least-once batch replay
         // re-runs the refresh and clears it (r6 ADVICE fix).
-        val zoneMapActive = config.zoneMapCols.nonEmpty
+        // zoneMapActiveFor, not raw config.zoneMapCols: a sync whose
+        // schema carries none of the stat columns maintains no manifest,
+        // so it must not pay marker round-trips and empty-stats splices
+        // per batch (r9 review)
+        val zoneMapActive = zoneMapActiveFor(sync)
         // ownership-aware (r9 review): if a refresh's full rebuild already
-        // holds the marker, this batch must not clear it below — its
-        // incremental splice rides a prior manifest that rebuild has yet
-        // to fix. Same-id re-marking (the at-least-once batch replay)
-        // still owns and still clears.
+        // holds the marker, this batch SKIPS the manifest work below
+        // entirely — reads ignore the manifest while marked, a splice
+        // could be overwritten by the rebuild's already-materialized
+        // stats, and the batch's own crash window is covered because the
+        // rebuild's quiesce check (the mutation stamp this batch bumps)
+        // forces a re-scan that includes this batch before any clear.
+        // Same-id re-marking (the at-least-once replay) still owns.
         val ownsMarker = zoneMapActive &&
           graft.ops.Maintenance.markZoneMapPending(spark, zoneMapPath(sync), batchId)
         BucketedUpsertSink.applyBatch(spark, statePath(sync), compacted, pk, n,
@@ -239,25 +247,23 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
         // buckets this batch touched — same O(changed data) bound as the
         // sink write itself. The touched-set collect is O(buckets) (the
         // same bounded collect applyBatch does).
-        if (zoneMapActive) {
+        if (ownsMarker) {
           val touched = compacted
             .select(BucketedUpsertSink.bucketOf(col(pk), n)).distinct()
             .collect().map(_.getLong(0)).toSeq
           if (touched.nonEmpty)
             graft.ops.Maintenance.refreshZoneMap(spark, statePath(sync),
               zoneMapPath(sync), touched, zoneMapColsFor(sync))
-          if (ownsMarker)
-            graft.ops.Maintenance.clearZoneMapPending(spark, zoneMapPath(sync),
-              batchId)
+          graft.ops.Maintenance.clearZoneMapPending(spark, zoneMapPath(sync),
+            batchId)
         }
       case None =>
         val state = UpsertSink.currentState(spark, statePath(sync), sinkSchema(sync))
         val next = UpsertSink.applyBatch(state, compacted, pk)
-        // invocation-unique: a live batch and a dead-letter replay can
-        // stage for the same sync concurrently (r9 review)
-        val tmp = UpsertSink.stagingDir(statePath(sync))
-        next.write.mode("overwrite").parquet(tmp)
-        UpsertSink.atomicSwapDirs(spark, tmp, statePath(sync))
+        // invocation-unique staging with failure cleanup: a live batch and
+        // a dead-letter replay can stage for the same sync concurrently
+        UpsertSink.stageSwap(spark, statePath(sync))(tmp =>
+          next.write.mode("overwrite").parquet(tmp))
     }
   }
 
@@ -328,15 +334,15 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
             OffsetWatermark.advance(spark, statePath(s),
               fresh.select(col(pk), col("offset"), col("_ridx")), pk,
               config.stateBuckets)
+            Pipeline.mutationStamp(statePath(s)).incrementAndGet()
           }
           if (nFresh > 0 || nStale > 0) {
             // keep only the still-null rows (superseded rows are resolved —
             // newer live data already holds their pk); overwrite via
             // staging + swap so a crash mid-rewrite never loses envelopes
             val remaining = dl.filter(col(pk).isNull)
-            val tmp = UpsertSink.stagingDir(path)
-            remaining.write.mode("overwrite").parquet(tmp)
-            UpsertSink.atomicSwapDirs(spark, tmp, path)
+            UpsertSink.stageSwap(spark, path)(tmp =>
+              remaining.write.mode("overwrite").parquet(tmp))
           }
           val left = spark.read.parquet(path).filter(col(pk).isNull).count()
           s.table -> ((nFresh, nStale, left))
@@ -359,32 +365,47 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
 
   /** Full zone-map rebuild for one sync — the non-incremental path used
     * after [[refresh]]/backfill rebuilds where every bucket may have
-    * changed. `ownerId` is the caller's pending-marker claim, cleared on
-    * success (conditional — a live batch cannot have stolen it, see
-    * [[graft.ops.Maintenance.markZoneMapPending]]). RETRIES a scan that a
-    * concurrent batch's state swap broke mid-read (the full-state scan
-    * deliberately runs outside the state lock so the stream keeps
-    * flowing): correctness is covered by the pending marker either way —
-    * reads stay on the exact-filter fallback until some rebuild lands —
-    * the retry is for availability (r9 review). */
-  private def rebuildZoneMap(sync: SyncConfig,
-                             ownerId: Option[Long] = None): Unit =
+    * changed. The scan runs OUTSIDE the state lock (the stream keeps
+    * flowing), so the clear is gated on a QUIESCE check: the state's
+    * mutation stamp must be unchanged across the scan, verified atomically
+    * with the clear under stateLock. A batch that lands mid-scan or
+    * between scan and clear bumps the stamp and forces a re-scan; a batch
+    * that starts after the clear marks (and owns) fresh. The clear is
+    * UNCONDITIONAL on ownership: a quiesced full rebuild recomputed every
+    * bucket from live state, so whatever marker is up — this refresh's, a
+    * crashed batch's, an earlier refresh's orphan — the manifest it
+    * guards is now accurate (this is also what heals orphaned markers —
+    * r9 review). Scans broken by a concurrent swap (vanished files) retry;
+    * correctness never depends on the retry, only availability. */
+  private def rebuildZoneMap(sync: SyncConfig): Unit =
     (config.stateBuckets, zoneMapColsFor(sync)) match {
       case (Some(n), cols) if cols.nonEmpty =>
-        var attempts = 0
+        val stamp = Pipeline.mutationStamp(statePath(sync))
+        var fnfRetries = 0
+        var quiesceTries = 0
         var done = false
-        while (!done) {
-          attempts += 1
+        while (!done && quiesceTries < 10) {
+          quiesceTries += 1
+          val s1 = stamp.get()
           try {
             graft.ops.Maintenance.refreshZoneMap(spark, statePath(sync),
               zoneMapPath(sync), (0L until n.toLong).toSeq, cols)
-            ownerId.foreach(id => graft.ops.Maintenance
-              .clearZoneMapPending(spark, zoneMapPath(sync), id))
-            done = true
+            done = Pipeline.stateLock(statePath(sync)).synchronized {
+              // no locked writer is mid-flight here; a stamp match means
+              // the scan saw every committed mutation
+              if (stamp.get() == s1) {
+                graft.ops.Maintenance.clearZoneMapPending(spark, zoneMapPath(sync))
+                true
+              } else false
+            }
           } catch {
-            case e: Throwable if attempts < 3 && Pipeline.causedByVanishedFile(e) => ()
+            case e: Throwable if fnfRetries < 3 && Pipeline.causedByVanishedFile(e) =>
+              fnfRetries += 1
           }
         }
+        // a stream hot enough to bump the stamp through 10 consecutive
+        // rebuild scans starves the quiesce; leave the marker UP (reads
+        // stay on the exact unpruned filter — safe) for the next refresh
       case _ => ()
     }
 
@@ -423,7 +444,6 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
       val floor = observedOffsetCeiling(sync)
       val (staging, _) = SwapRefresh.stage(source.fullScan(sync),
         statePath(sync), config.stateBuckets.map(nb => (pkOut(sync), nb)))
-      val ownerId = Pipeline.freshOwnerId()
       val committed = Pipeline.stateLock(statePath(sync)).synchronized {
         // re-probe under the lock: a live batch may have bootstrapped the
         // sink during our scan; K3 is bootstrap-only, and the stream is
@@ -432,15 +452,18 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
           UpsertSink.dropStaging(spark, staging)
           false
         } else {
-          if (zoneMapActiveFor(sync))
+          if (zoneMapActiveFor(sync)) {
             graft.ops.Maintenance.markZoneMapPending(spark, zoneMapPath(sync),
-              ownerId)
+              Pipeline.freshOwnerId())
+            ()
+          }
           UpsertSink.atomicSwapDirs(spark, staging, statePath(sync))
           OffsetWatermark.recordSnapshotFloor(spark, statePath(sync), floor)
+          Pipeline.mutationStamp(statePath(sync)).incrementAndGet()
           true
         }
       }
-      if (committed) rebuildZoneMap(sync, Some(ownerId))
+      if (committed) rebuildZoneMap(sync)
     }
   }
 
@@ -541,24 +564,28 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
         // asserted the snapshot superseded everything below it (r9 review)
         val (staging, n) = SwapRefresh.stage(source.fullScan(s), statePath(s),
           config.stateBuckets.map(nb => (pkOut(s), nb)))
-        val ownerId = Pipeline.freshOwnerId()
         Pipeline.stateLock(statePath(s)).synchronized {
           // write-ahead marker INSIDE the commit: every bucket's stats are
           // stale the instant the swap lands, and a crash (or just the
           // window) before the rebuild below must leave pruned reads on
           // the exact-filter fallback, never trusting a manifest that
-          // describes pre-refresh buckets (r9 review)
-          if (zoneMapActiveFor(s))
+          // describes pre-refresh buckets (r9 review). The Boolean is
+          // deliberately unused: whoever's marker is up, the rebuild below
+          // clears after a QUIESCED full recompute — which also heals
+          // markers orphaned by crashed earlier owners.
+          if (zoneMapActiveFor(s)) {
             graft.ops.Maintenance.markZoneMapPending(spark, zoneMapPath(s),
-              ownerId)
+              Pipeline.freshOwnerId())
+            ()
+          }
           UpsertSink.atomicSwapDirs(spark, staging, statePath(s))
           OffsetWatermark.recordSnapshotFloor(spark, statePath(s), floor)
+          Pipeline.mutationStamp(statePath(s)).incrementAndGet()
         }
         // every bucket may have changed under the swap — rebuild, don't
-        // splice. Outside the lock (the manifest scan reads live state at
-        // scan time, still correct after interleaved batches); clears the
-        // marker on success, retries a swap-broken scan
-        rebuildZoneMap(s, Some(ownerId))
+        // splice. Outside the lock (the stream keeps flowing); clears the
+        // marker only after a quiesced scan, retries a swap-broken one
+        rebuildZoneMap(s)
         s.table -> n
       }
       .toMap
@@ -580,15 +607,17 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
           val floor = observedOffsetCeiling(s)
           val (staging, _) = SwapRefresh.stage(source.fullScan(s),
             statePath(s), config.stateBuckets.map(nb => (pkOut(s), nb)))
-          val ownerId = Pipeline.freshOwnerId()
           Pipeline.stateLock(statePath(s)).synchronized {
-            if (zoneMapActiveFor(s))
+            if (zoneMapActiveFor(s)) {
               graft.ops.Maintenance.markZoneMapPending(spark, zoneMapPath(s),
-                ownerId)
+                Pipeline.freshOwnerId())
+              ()
+            }
             UpsertSink.atomicSwapDirs(spark, staging, statePath(s))
             OffsetWatermark.recordSnapshotFloor(spark, statePath(s), floor)
+            Pipeline.mutationStamp(statePath(s)).incrementAndGet()
           }
-          rebuildZoneMap(s, Some(ownerId))
+          rebuildZoneMap(s)
         }
       }
       .toMap
@@ -637,8 +666,24 @@ object Pipeline {
   private val ownerSeq = new java.util.concurrent.atomic.AtomicLong(-100L)
   private[cdc] def freshOwnerId(): Long = ownerSeq.decrementAndGet()
 
-  /** True iff the failure chain bottoms out in a vanished file — the
-    * signature of a scan racing a concurrent directory swap. */
+  // Per-state-path MUTATION STAMP, bumped (under stateLock) by every
+  // committed state mutation — batch apply, replay apply, refresh/backfill
+  // swap. A full zone-map rebuild clears the pending marker only after a
+  // QUIESCED scan: stamp unchanged across the scan, checked atomically
+  // with the clear under stateLock. Without it, a batch landing between a
+  // rebuild's scan and its clear (or mid-scan) would leave a cleared-but-
+  // stale manifest — the splice-lost-to-stale-rebuild race (r9 review).
+  private val mutationStamps = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.atomic.AtomicLong]()
+  private[cdc] def mutationStamp(statePath: String): java.util.concurrent.atomic.AtomicLong =
+    mutationStamps.computeIfAbsent(statePath,
+      _ => new java.util.concurrent.atomic.AtomicLong())
+
+  /** True iff the failure chain bottoms out in a vanished FILE — the
+    * signature of a scan racing a concurrent directory swap. Deliberately
+    * narrow (FileNotFoundException in the cause chain only): a "Path does
+    * not exist" AnalysisException is a deterministic misconfiguration that
+    * retrying would only re-scan pointlessly (r9 review). */
   private[cdc] def causedByVanishedFile(t: Throwable): Boolean = {
     var c: Throwable = t
     var depth = 0
@@ -647,9 +692,6 @@ object Pipeline {
         case _: java.io.FileNotFoundException => return true
         case _ => ()
       }
-      if (Option(c.getMessage).exists(m =>
-        m.contains("FileNotFoundException") || m.contains("does not exist")))
-        return true
       c = c.getCause
       depth += 1
     }

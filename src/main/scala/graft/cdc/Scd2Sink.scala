@@ -120,7 +120,7 @@ object Scd2Sink {
           .as("__first"),
           min(unix_timestamp(col(tsCol))).as("__first_s"))
 
-      val next = UpsertSink.stagingDir(statePath)
+      UpsertSink.stageSwap(spark, statePath) { next =>
       stored match {
         case Some(state) =>
           // fail-stop on history interleave: the batch's first event must
@@ -144,7 +144,7 @@ object Scd2Sink {
         case None =>
           newVers.write.mode("overwrite").parquet(next)
       }
-      UpsertSink.atomicSwapDirs(spark, next, statePath)
+      }
     } finally fresh.unpersist()
   }
 

@@ -129,13 +129,20 @@ object SwapRefresh {
   def stage(fresh: DataFrame, livePath: String,
             buckets: Option[(String, Int)] = None): (String, Long) = {
     val staging = UpsertSink.stagingDir(livePath)
-    buckets match {
-      // init IS the layout-defining write — reusing it keeps refresh's
-      // staging copy from drifting if the bucket layout ever changes
-      case Some((pk, n)) => BucketedUpsertSink.init(fresh, staging, pk, n)
-      case None          => fresh.write.mode("overwrite").parquet(staging)
+    // failure cleanup: a throwing scan/write must drop (and unregister)
+    // its partial staging, or it stays janitor-protected forever
+    try {
+      buckets match {
+        // init IS the layout-defining write — reusing it keeps refresh's
+        // staging copy from drifting if the bucket layout ever changes
+        case Some((pk, n)) => BucketedUpsertSink.init(fresh, staging, pk, n)
+        case None          => fresh.write.mode("overwrite").parquet(staging)
+      }
+      (staging, fresh.sparkSession.read.parquet(staging).count())
+    } catch {
+      case t: Throwable =>
+        UpsertSink.dropStaging(fresh.sparkSession, staging); throw t
     }
-    (staging, fresh.sparkSession.read.parquet(staging).count())
   }
 
   /** Async [[refresh]]: returns a [[SinkTasks]] id immediately — the shape

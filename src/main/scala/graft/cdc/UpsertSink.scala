@@ -122,9 +122,8 @@ object UpsertSink {
     val next = applyBatch(state, compacted, pk)
     // two-phase write: next state to a versioned dir, then pointer swap —
     // keeps the apply atomic without a table format in the offline harness
-    val tmp = stagingDir(statePath)
-    next.write.mode("overwrite").parquet(tmp)
-    atomicSwapDirs(spark, tmp, statePath)
+    stageSwap(spark, statePath)(tmp =>
+      next.write.mode("overwrite").parquet(tmp))
   }
 
   /** Invocation-unique staging dir for a swap into `live`: a shared fixed
@@ -143,6 +142,23 @@ object UpsertSink {
     // writer however long its job runs (r9 review)
     activeStaging.add(new org.apache.hadoop.fs.Path(d).getName)
     d
+  }
+
+  /** The staged-write-then-swap pattern with failure cleanup: a staged
+    * write that THROWS (task failure, disk full) used to leave its partial
+    * dir on disk AND registered with the janitor — protected from reaping
+    * forever, the exact leak the janitor exists to fix (r9 review). The
+    * dir is dropped (and unregistered) on any failure; the caller's retry
+    * stages fresh. */
+  private[graft] def stageSwap(spark: SparkSession, live: String)
+                              (write: String => Unit): Unit = {
+    val tmp = stagingDir(live)
+    try {
+      write(tmp)
+      atomicSwapDirs(spark, tmp, live)
+    } catch {
+      case t: Throwable => dropStaging(spark, tmp); throw t
+    }
   }
 
   /** Abandon a staged dir without swapping it (e.g. a backfill that lost

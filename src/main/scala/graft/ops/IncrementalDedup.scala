@@ -141,7 +141,6 @@ object IncrementalDedup {
                    numFiles: Int = 8, excludeBatch: Option[Long] = None): Unit = {
     val cur = snapshotRead(spark, path, ddl, excludeBatch)
     if (!cur.isEmpty) {
-      val tmp = graft.cdc.UpsertSink.stagingDir(path)
       val marker = new org.apache.hadoop.fs.Path(path, "_buckets")
       val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
       val stored: Option[Int] =
@@ -150,17 +149,18 @@ object IncrementalDedup {
           try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt)
           finally in.close()
         } else None
-      stored match {
-        case Some(m) =>
-          cur.withColumn("bucket", pmod(col("doc_id"), lit(m.toLong)))
-            .repartition(col("bucket"))
-            .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(tmp)
-          val out = fs.create(new org.apache.hadoop.fs.Path(tmp, "_buckets"), true)
-          try out.write(s"$m\n".getBytes("UTF-8")) finally out.close()
-        case None =>
-          cur.repartition(numFiles).write.mode(SaveMode.Overwrite).parquet(tmp)
+      graft.cdc.UpsertSink.stageSwap(spark, path) { tmp =>
+        stored match {
+          case Some(m) =>
+            cur.withColumn("bucket", pmod(col("doc_id"), lit(m.toLong)))
+              .repartition(col("bucket"))
+              .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(tmp)
+            val out = fs.create(new org.apache.hadoop.fs.Path(tmp, "_buckets"), true)
+            try out.write(s"$m\n".getBytes("UTF-8")) finally out.close()
+          case None =>
+            cur.repartition(numFiles).write.mode(SaveMode.Overwrite).parquet(tmp)
+        }
       }
-      graft.cdc.UpsertSink.atomicSwapDirs(spark, tmp, path)
     }
   }
 

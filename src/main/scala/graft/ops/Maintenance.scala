@@ -124,40 +124,37 @@ object Maintenance {
     // Partitioned by shard, so the window never funnels the corpus.
     val wIn = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    // invocation-unique staging (the shared stagingDir authority, r9
-    // review): two overlapping rewrites of one live path must not
-    // interleave writes in a shared dir and swap a torn mix live. The
-    // swap MOVES the dir on success; a crashed rewrite strands only its
-    // own dir, reaped by the swap janitor after an hour.
-    val staging = graft.cdc.UpsertSink.stagingDir(livePath)
-    // partition discovery reads the shard dir value back as INT; the plan
-    // keys on LONG — normalize before the broadcast join
-    state.withColumn("shard", col("shard").cast("long"))
-      .join(broadcast(plan), Seq("shard"))
-      .withColumn("off",
-        coalesce(sum(length(col("text")).cast("long")).over(wIn), lit(0L)))
-      .withColumn("bin", expr(
-        s"(prefix div ${targetBytes}L) + (off div ${targetBytes}L)"))
-      .drop("prefix", "off")
-      .repartition(col("bin"))
-      .write.mode("overwrite").partitionBy("bin").parquet(staging)
-    // write-ahead staleness marker around the data-swap -> manifest-swap
-    // window (the same protocol the pipeline uses): a crash between the
-    // two swaps leaves the OLD manifest pointing at bins that no longer
-    // exist, which a manifest-driven pruned read would silently turn into
-    // dropped rows; while the marker exists readers must fall back to the
-    // exact unpruned filter, and re-running compactApply heals it
+    // write-ahead staleness marker ahead of the whole rewrite (the same
+    // protocol the pipeline uses): a crash anywhere between the data swap
+    // and the manifest swap leaves the OLD manifest pointing at bins that
+    // no longer exist, which a manifest-driven pruned read would silently
+    // turn into dropped rows; while the marker exists readers fall back to
+    // the exact unpruned filter, and re-running compactApply heals it
     markZoneMapPending(spark, livePath + ".zonemap", ownerId = -1L)
-    graft.cdc.UpsertSink.atomicSwapDirs(spark, staging, livePath)
+    // invocation-unique staging with failure cleanup (stageSwap): two
+    // overlapping rewrites of one live path must not interleave writes in
+    // a shared dir and swap a torn mix live
+    graft.cdc.UpsertSink.stageSwap(spark, livePath) { staging =>
+      // partition discovery reads the shard dir value back as INT; the
+      // plan keys on LONG — normalize before the broadcast join
+      state.withColumn("shard", col("shard").cast("long"))
+        .join(broadcast(plan), Seq("shard"))
+        .withColumn("off",
+          coalesce(sum(length(col("text")).cast("long")).over(wIn), lit(0L)))
+        .withColumn("bin", expr(
+          s"(prefix div ${targetBytes}L) + (off div ${targetBytes}L)"))
+        .drop("prefix", "off")
+        .repartition(col("bin"))
+        .write.mode("overwrite").partitionBy("bin").parquet(staging)
+    }
     val manifest = spark.read.parquet(livePath)
       .groupBy(col("bin").cast("long").as("bin"))
       .agg(count(lit(1)).as("n_rows"),
         sum(length(col("text")).cast("long")).as("bytes"),
         min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
-    val zmTmp = graft.cdc.UpsertSink.stagingDir(livePath + ".zonemap")
-    manifest.orderBy(col("bin")).coalesce(1)
-      .write.mode("overwrite").parquet(zmTmp)
-    graft.cdc.UpsertSink.atomicSwapDirs(spark, zmTmp, livePath + ".zonemap")
+    graft.cdc.UpsertSink.stageSwap(spark, livePath + ".zonemap")(zmTmp =>
+      manifest.orderBy(col("bin")).coalesce(1)
+        .write.mode("overwrite").parquet(zmTmp))
     clearZoneMapPending(spark, livePath + ".zonemap")
     spark.read.parquet(livePath + ".zonemap").orderBy(col("bin"))
   }
@@ -249,9 +246,9 @@ object Maintenance {
         case Some(p) => p.filter(!col("bucket").isin(touched: _*)).unionByName(fresh)
         case None => fresh
       }
-      val tmp = graft.cdc.UpsertSink.stagingDir(zmPath)
-      next.orderBy(col("bucket")).coalesce(1).write.mode("overwrite").parquet(tmp)
-      graft.cdc.UpsertSink.atomicSwapDirs(spark, tmp, zmPath)
+      graft.cdc.UpsertSink.stageSwap(spark, zmPath)(tmp =>
+        next.orderBy(col("bucket")).coalesce(1)
+          .write.mode("overwrite").parquet(tmp))
     }
   }
 
@@ -276,15 +273,11 @@ object Maintenance {
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       readPendingOwner(fs, p) match {
         case Some(v) if v == ownerId => true
-        // a TORN marker (crash mid-create) is owned by nobody; the next
-        // marker claims it so the clear-on-success path can heal it —
-        // leaving it unclaimed would pin reads unpruned forever
-        case Some(v) if v == Long.MinValue =>
-          val out = fs.create(p, true)
-          try out.write(ownerId.toString.getBytes("UTF-8")) finally out.close()
-          true
-        case Some(_) => false
-        case None =>
+        // a DIFFERENT live owner keeps the marker; anything else — absent,
+        // or a TORN marker (crash mid-create, owned by nobody) — is
+        // claimable, so the clear-on-success path can always heal it
+        case Some(v) if v != Long.MinValue => false
+        case _ =>
           val out = fs.create(p, true)
           try out.write(ownerId.toString.getBytes("UTF-8")) finally out.close()
           true

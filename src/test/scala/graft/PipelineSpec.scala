@@ -276,6 +276,55 @@ class PipelineSpec extends SparkSpec {
     assert(got.map(_.getLong(1)).toSeq === Seq(9999L))
   }
 
+  test("zone-map marker lifecycle under a foreign owner: a live batch " +
+    "never clears it (its window rides the pending rebuild's quiesce " +
+    "check), reads stay exact on the unpruned fallback, and the next " +
+    "refresh's quiesced full rebuild heals even an ORPHANED marker " +
+    "(r9 review)") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val sinkRoot = tmpDir("sink")
+    val ckpt = tmpDir("ckpt")
+    val sync = SyncConfig("t", pk = "id", schema = Some(StructType(Seq(
+      StructField("id", IntegerType), StructField("score", LongType)))))
+    val snapshot = Map("t" ->
+      Seq((1, 10L), (2, 20L)).toDF("id", "score"))
+    val src = new MemoryCdcSource(spark, snapshot)
+    val pipe = new Pipeline(spark,
+      PipelineConfig(Seq(sync), stateBuckets = Some(4),
+        zoneMapCols = Seq("score")), src, sinkRoot)
+    src.addEvents(
+      ChangeEvent("create", "t", 1, ts("2024-01-01 00:00:00"),
+        """{"id": 1, "score": 10}"""))
+    val q1 = pipe.start(ckpt); q1.processAllAvailable(); q1.stop()
+    val zm = pipe.zoneMapPath(sync)
+    val pend = new java.io.File(ops.Maintenance.zoneMapPendingPath(zm))
+    // orphan a marker under a crashed foreign owner
+    assert(ops.Maintenance.markZoneMapPending(spark, zm, -999L))
+    // a live batch applies fine but must NOT clear the foreign marker
+    src.addEvents(
+      ChangeEvent("create", "t", 2, ts("2024-01-01 00:00:01"),
+        """{"id": 2, "score": 20}"""))
+    val q2 = pipe.start(ckpt); q2.processAllAvailable(); q2.stop()
+    assert(pend.exists(), "a batch never clears a foreign marker")
+    // marked => prunedRead takes the exact unpruned path: the new row is
+    // visible even though no splice described its bucket
+    val got = ops.Maintenance.prunedRead(spark, s"$sinkRoot/t", zm,
+      "score", 15L, 25L).collect()
+    assert(got.map(_.getLong(1)).toSeq === Seq(20L),
+      "reads stay exact while the manifest is marked stale")
+    // the next refresh's quiesced full rebuild clears ANY marker
+    pipe.refresh()
+    assert(!pend.exists(),
+      "a quiesced full rebuild heals the orphaned marker")
+    val manifest = spark.read.parquet(zm).orderBy("bucket")
+      .collect().map(_.toSeq).toSeq
+    val full = ops.Maintenance
+      .bucketZoneMap(spark, s"$sinkRoot/t", Seq("score"))
+      .collect().map(_.toSeq).toSeq
+    assert(manifest === full, "the healed manifest equals a full recompute")
+  }
+
   test("refresh of a bucketed sink keeps the bucket layout (settings copy on swap)") {
     // the reference copies the live index's settings onto the tmp index
     // before the swap (meili.py:43-49); the layout analog here is the
