@@ -203,13 +203,22 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
     // leaking table/offset/_ridx here would evolve them INTO the sink table
     val compacted = Transforms.lastWriteWins(view, col(pk), Seq(col("_ridx")))
       .drop("table", "offset", "_ridx")
-    writeCompacted(sync, compacted, batchId)
-    // advance the per-pk applied-offset watermark so a later dead-letter
-    // replay can detect (and discard) quarantined payloads this batch — or
-    // any newer one — has superseded. Idempotent under checkpoint replay.
-    OffsetWatermark.advance(spark, statePath(sync),
-      view.select(col(pk), col("offset"), col("_ridx")), pk, config.stateBuckets)
-    Pipeline.mutationStamp(statePath(sync)).incrementAndGet()
+    try {
+      writeCompacted(sync, compacted, batchId)
+      // advance the per-pk applied-offset watermark so a later dead-letter
+      // replay can detect (and discard) quarantined payloads this batch —
+      // or any newer one — has superseded. Idempotent under checkpoint
+      // replay.
+      OffsetWatermark.advance(spark, statePath(sync),
+        view.select(col(pk), col("offset"), col("_ridx")), pk, config.stateBuckets)
+    } finally {
+      // in a FINALLY: a failure after the sink write landed (splice,
+      // marker clear, watermark advance) must still bump, or a concurrent
+      // rebuild's quiesce check would miss the committed mutation and
+      // clear over a stale scan; over-bumping on a pre-commit failure
+      // only forces a harmless re-scan (r9 review)
+      Pipeline.mutationStamp(statePath(sync)).incrementAndGet(); ()
+    }
     hooks.postBatch.foreach(_(sync.table, batchId))
   }
 
@@ -330,11 +339,15 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
             val compacted = Transforms
               .lastWriteWins(fresh, col(pk), Seq(col("_ridx")))
               .drop("table", "offset", "_ridx")
-            writeCompacted(s, compacted, batchId = -2L)
-            OffsetWatermark.advance(spark, statePath(s),
-              fresh.select(col(pk), col("offset"), col("_ridx")), pk,
-              config.stateBuckets)
-            Pipeline.mutationStamp(statePath(s)).incrementAndGet()
+            try {
+              writeCompacted(s, compacted, batchId = -2L)
+              OffsetWatermark.advance(spark, statePath(s),
+                fresh.select(col(pk), col("offset"), col("_ridx")), pk,
+                config.stateBuckets)
+            } finally {
+              // see applySync: the bump must survive a post-commit failure
+              Pipeline.mutationStamp(statePath(s)).incrementAndGet(); ()
+            }
           }
           if (nFresh > 0 || nStale > 0) {
             // keep only the still-null rows (superseded rows are resolved —
@@ -363,6 +376,32 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
   private def zoneMapActiveFor(sync: SyncConfig): Boolean =
     config.stateBuckets.isDefined && zoneMapColsFor(sync).nonEmpty
 
+  /** The shared locked COMMIT of every snapshot-rebuild path (refresh,
+    * refreshAsync, backfill): force-own the zone-map marker (stealing an
+    * orphan so a crashed batch's replay cannot re-own and clear it
+    * mid-rebuild — r9 review), swap the staged snapshot live, record the
+    * floor, bump the mutation stamp. One definition so the three paths
+    * cannot drift. */
+  private def commitRefreshSwap(sync: SyncConfig, staging: String,
+                                floor: Long,
+                                precondition: () => Boolean = () => true): Boolean =
+    Pipeline.stateLock(statePath(sync)).synchronized {
+      // evaluated under the lock (backfill's bootstrap-only re-probe);
+      // losing it drops the staged copy instead of clobbering
+      if (!precondition()) {
+        UpsertSink.dropStaging(spark, staging)
+        false
+      } else {
+        if (zoneMapActiveFor(sync))
+          graft.ops.Maintenance.forceZoneMapPending(spark, zoneMapPath(sync),
+            Pipeline.freshOwnerId())
+        UpsertSink.atomicSwapDirs(spark, staging, statePath(sync))
+        OffsetWatermark.recordSnapshotFloor(spark, statePath(sync), floor)
+        Pipeline.mutationStamp(statePath(sync)).incrementAndGet()
+        true
+      }
+    }
+
   /** Full zone-map rebuild for one sync — the non-incremental path used
     * after [[refresh]]/backfill rebuilds where every bucket may have
     * changed. The scan runs OUTSIDE the state lock (the stream keeps
@@ -381,15 +420,16 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
     (config.stateBuckets, zoneMapColsFor(sync)) match {
       case (Some(n), cols) if cols.nonEmpty =>
         val stamp = Pipeline.mutationStamp(statePath(sync))
+        val buckets = (0L until n.toLong).toSeq
         var fnfRetries = 0
         var quiesceTries = 0
         var done = false
-        while (!done && quiesceTries < 10) {
+        while (!done && quiesceTries < 3) {
           quiesceTries += 1
           val s1 = stamp.get()
           try {
             graft.ops.Maintenance.refreshZoneMap(spark, statePath(sync),
-              zoneMapPath(sync), (0L until n.toLong).toSeq, cols)
+              zoneMapPath(sync), buckets, cols)
             done = Pipeline.stateLock(statePath(sync)).synchronized {
               // no locked writer is mid-flight here; a stamp match means
               // the scan saw every committed mutation
@@ -403,9 +443,17 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
               fnfRetries += 1
           }
         }
-        // a stream hot enough to bump the stamp through 10 consecutive
-        // rebuild scans starves the quiesce; leave the marker UP (reads
-        // stay on the exact unpruned filter — safe) for the next refresh
+        // quiesce starved (a stream hot enough to land a batch during
+        // every lock-free scan): one FINAL attempt under the state lock —
+        // the stream stalls for exactly one manifest scan, bounded and
+        // deterministic, instead of pruning staying disabled indefinitely
+        // with batches unable to splice under the foreign marker
+        // (r9 review)
+        if (!done) Pipeline.stateLock(statePath(sync)).synchronized {
+          graft.ops.Maintenance.refreshZoneMap(spark, statePath(sync),
+            zoneMapPath(sync), buckets, cols)
+          graft.ops.Maintenance.clearZoneMapPending(spark, zoneMapPath(sync))
+        }
       case _ => ()
     }
 
@@ -444,25 +492,11 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
       val floor = observedOffsetCeiling(sync)
       val (staging, _) = SwapRefresh.stage(source.fullScan(sync),
         statePath(sync), config.stateBuckets.map(nb => (pkOut(sync), nb)))
-      val committed = Pipeline.stateLock(statePath(sync)).synchronized {
-        // re-probe under the lock: a live batch may have bootstrapped the
-        // sink during our scan; K3 is bootstrap-only, and the stream is
-        // already building on ITS copy — drop our staging, don't clobber
-        if (UpsertSink.liveExists(spark, statePath(sync))) {
-          UpsertSink.dropStaging(spark, staging)
-          false
-        } else {
-          if (zoneMapActiveFor(sync)) {
-            graft.ops.Maintenance.markZoneMapPending(spark, zoneMapPath(sync),
-              Pipeline.freshOwnerId())
-            ()
-          }
-          UpsertSink.atomicSwapDirs(spark, staging, statePath(sync))
-          OffsetWatermark.recordSnapshotFloor(spark, statePath(sync), floor)
-          Pipeline.mutationStamp(statePath(sync)).incrementAndGet()
-          true
-        }
-      }
+      // re-probe under the lock: a live batch may have bootstrapped the
+      // sink during our scan; K3 is bootstrap-only, and the stream is
+      // already building on ITS copy — drop our staging, don't clobber
+      val committed = commitRefreshSwap(sync, staging, floor,
+        precondition = () => !UpsertSink.liveExists(spark, statePath(sync)))
       if (committed) rebuildZoneMap(sync)
     }
   }
@@ -564,24 +598,7 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
         // asserted the snapshot superseded everything below it (r9 review)
         val (staging, n) = SwapRefresh.stage(source.fullScan(s), statePath(s),
           config.stateBuckets.map(nb => (pkOut(s), nb)))
-        Pipeline.stateLock(statePath(s)).synchronized {
-          // write-ahead marker INSIDE the commit: every bucket's stats are
-          // stale the instant the swap lands, and a crash (or just the
-          // window) before the rebuild below must leave pruned reads on
-          // the exact-filter fallback, never trusting a manifest that
-          // describes pre-refresh buckets (r9 review). The Boolean is
-          // deliberately unused: whoever's marker is up, the rebuild below
-          // clears after a QUIESCED full recompute — which also heals
-          // markers orphaned by crashed earlier owners.
-          if (zoneMapActiveFor(s)) {
-            graft.ops.Maintenance.markZoneMapPending(spark, zoneMapPath(s),
-              Pipeline.freshOwnerId())
-            ()
-          }
-          UpsertSink.atomicSwapDirs(spark, staging, statePath(s))
-          OffsetWatermark.recordSnapshotFloor(spark, statePath(s), floor)
-          Pipeline.mutationStamp(statePath(s)).incrementAndGet()
-        }
+        commitRefreshSwap(s, staging, floor)
         // every bucket may have changed under the swap — rebuild, don't
         // splice. Outside the lock (the stream keeps flowing); clears the
         // marker only after a quiesced scan, retries a swap-broken one
@@ -607,16 +624,7 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
           val floor = observedOffsetCeiling(s)
           val (staging, _) = SwapRefresh.stage(source.fullScan(s),
             statePath(s), config.stateBuckets.map(nb => (pkOut(s), nb)))
-          Pipeline.stateLock(statePath(s)).synchronized {
-            if (zoneMapActiveFor(s)) {
-              graft.ops.Maintenance.markZoneMapPending(spark, zoneMapPath(s),
-                Pipeline.freshOwnerId())
-              ()
-            }
-            UpsertSink.atomicSwapDirs(spark, staging, statePath(s))
-            OffsetWatermark.recordSnapshotFloor(spark, statePath(s), floor)
-            Pipeline.mutationStamp(statePath(s)).incrementAndGet()
-          }
+          commitRefreshSwap(s, staging, floor)
           rebuildZoneMap(s)
         }
       }
@@ -673,23 +681,32 @@ object Pipeline {
   // with the clear under stateLock. Without it, a batch landing between a
   // rebuild's scan and its clear (or mid-scan) would leave a cleared-but-
   // stale manifest — the splice-lost-to-stale-rebuild race (r9 review).
+  // The stamp is JVM-local, so it inherits stateLock's documented premise:
+  // a refresh run in a DIFFERENT process from the live stream cannot
+  // observe the stream's mutations — pause the stream for out-of-process
+  // refreshes, exactly as for out-of-process replays.
   private val mutationStamps = new java.util.concurrent.ConcurrentHashMap[
     String, java.util.concurrent.atomic.AtomicLong]()
   private[cdc] def mutationStamp(statePath: String): java.util.concurrent.atomic.AtomicLong =
     mutationStamps.computeIfAbsent(statePath,
       _ => new java.util.concurrent.atomic.AtomicLong())
 
-  /** True iff the failure chain bottoms out in a vanished FILE — the
-    * signature of a scan racing a concurrent directory swap. Deliberately
-    * narrow (FileNotFoundException in the cause chain only): a "Path does
-    * not exist" AnalysisException is a deterministic misconfiguration that
-    * retrying would only re-scan pointlessly (r9 review). */
+  /** True iff the failure chain bottoms out in a vanished file OR path —
+    * the signatures of a scan racing a concurrent directory swap:
+    * FileNotFoundException (a listed file renamed away mid-job) and
+    * AnalysisException PATH_NOT_FOUND (the whole dir resolved inside the
+    * swap's two-rename window). Bounded retries make a genuinely
+    * misconfigured path still fail, just not on the first scan
+    * (r9 review, both directions). */
   private[cdc] def causedByVanishedFile(t: Throwable): Boolean = {
     var c: Throwable = t
     var depth = 0
     while (c != null && depth < 12) {
       c match {
         case _: java.io.FileNotFoundException => return true
+        case a: org.apache.spark.sql.AnalysisException
+            if Option(a.getCondition).exists(_.startsWith("PATH_NOT_FOUND")) =>
+          return true
         case _ => ()
       }
       c = c.getCause

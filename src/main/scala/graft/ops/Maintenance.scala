@@ -124,17 +124,19 @@ object Maintenance {
     // Partitioned by shard, so the window never funnels the corpus.
     val wIn = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    // write-ahead staleness marker ahead of the whole rewrite (the same
+    // write-ahead staleness marker ahead of the data swap (the same
     // protocol the pipeline uses): a crash anywhere between the data swap
     // and the manifest swap leaves the OLD manifest pointing at bins that
     // no longer exist, which a manifest-driven pruned read would silently
     // turn into dropped rows; while the marker exists readers fall back to
-    // the exact unpruned filter, and re-running compactApply heals it
+    // the exact unpruned filter, and re-running compactApply heals it.
+    // A STAGED-WRITE failure (data untouched, old manifest still exact)
+    // un-marks again — a failed rewrite must not degrade reads to
+    // unpruned scans until some later rewrite succeeds (r9 review); a
+    // swap failure keeps the marker (the data may have moved).
     markZoneMapPending(spark, livePath + ".zonemap", ownerId = -1L)
-    // invocation-unique staging with failure cleanup (stageSwap): two
-    // overlapping rewrites of one live path must not interleave writes in
-    // a shared dir and swap a torn mix live
-    graft.cdc.UpsertSink.stageSwap(spark, livePath) { staging =>
+    val staging = graft.cdc.UpsertSink.stagingDir(livePath)
+    try {
       // partition discovery reads the shard dir value back as INT; the
       // plan keys on LONG — normalize before the broadcast join
       state.withColumn("shard", col("shard").cast("long"))
@@ -146,7 +148,13 @@ object Maintenance {
         .drop("prefix", "off")
         .repartition(col("bin"))
         .write.mode("overwrite").partitionBy("bin").parquet(staging)
+    } catch {
+      case t: Throwable =>
+        graft.cdc.UpsertSink.dropStaging(spark, staging)
+        clearZoneMapPending(spark, livePath + ".zonemap")
+        throw t
     }
+    graft.cdc.UpsertSink.atomicSwapDirs(spark, staging, livePath)
     val manifest = spark.read.parquet(livePath)
       .groupBy(col("bin").cast("long").as("bin"))
       .agg(count(lit(1)).as("n_rows"),
@@ -282,6 +290,22 @@ object Maintenance {
           try out.write(ownerId.toString.getBytes("UTF-8")) finally out.close()
           true
       }
+    }
+
+  /** FORCE ownership of the marker (unconditional overwrite) — the
+    * refresh-commit path: a marker orphaned by a crashed batch must not be
+    * re-ownable by that batch's checkpoint replay mid-rebuild (the replay
+    * would splice its buckets and CLEAR while every other bucket's stats
+    * still describe pre-refresh data — r9 review). Stealing under the
+    * state lock makes the replay's mark return false, so it skips and the
+    * rebuild's quiesced clear is the only way down. */
+  def forceZoneMapPending(spark: SparkSession, zmPath: String,
+                          ownerId: Long): Unit =
+    graft.cdc.UpsertSink.swapLock(zmPath).synchronized {
+      val p = new org.apache.hadoop.fs.Path(zoneMapPendingPath(zmPath))
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out = fs.create(p, true)
+      try out.write(ownerId.toString.getBytes("UTF-8")) finally out.close()
     }
 
   /** Clear the staleness marker AFTER a successful refresh — only if this
