@@ -395,9 +395,16 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
         if (zoneMapActiveFor(sync))
           graft.ops.Maintenance.forceZoneMapPending(spark, zoneMapPath(sync),
             Pipeline.freshOwnerId())
-        UpsertSink.atomicSwapDirs(spark, staging, statePath(sync))
-        OffsetWatermark.recordSnapshotFloor(spark, statePath(sync), floor)
-        Pipeline.mutationStamp(statePath(sync)).incrementAndGet()
+        try {
+          UpsertSink.atomicSwapDirs(spark, staging, statePath(sync))
+          OffsetWatermark.recordSnapshotFloor(spark, statePath(sync), floor)
+        } finally {
+          // in a FINALLY, like applySync: a floor-record failure after the
+          // swap landed must still stamp the committed mutation, or a
+          // concurrent rebuild's quiesce check would clear over a scan
+          // that missed the new snapshot (r9 review)
+          Pipeline.mutationStamp(statePath(sync)).incrementAndGet(); ()
+        }
         true
       }
     }
@@ -425,7 +432,6 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
         var quiesceTries = 0
         var done = false
         while (!done && quiesceTries < 3) {
-          quiesceTries += 1
           val s1 = stamp.get()
           try {
             graft.ops.Maintenance.refreshZoneMap(spark, statePath(sync),
@@ -438,6 +444,10 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
                 true
               } else false
             }
+            // only a FAILED quiesce consumes the budget: a transient
+            // vanished-file race below gets its own separately-bounded
+            // retries instead of eating quiesce tries (r9 review)
+            if (!done) quiesceTries += 1
           } catch {
             case e: Throwable if fnfRetries < 3 && Pipeline.causedByVanishedFile(e) =>
               fnfRetries += 1

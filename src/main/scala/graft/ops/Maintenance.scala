@@ -134,6 +134,15 @@ object Maintenance {
     // un-marks again — a failed rewrite must not degrade reads to
     // unpruned scans until some later rewrite succeeds (r9 review); a
     // swap failure keeps the marker (the data may have moved).
+    // a PRE-EXISTING marker means a crashed earlier rewrite whose data
+    // swap may have landed (the documented heal-by-rerun) — the
+    // write-failure path below must then KEEP it: the old manifest may
+    // describe vanished bins, and clearing would hand pruned reads a
+    // stale map (r9 review)
+    val zmPend = new org.apache.hadoop.fs.Path(
+      zoneMapPendingPath(livePath + ".zonemap"))
+    val markerPreExisting = zmPend
+      .getFileSystem(spark.sparkContext.hadoopConfiguration).exists(zmPend)
     markZoneMapPending(spark, livePath + ".zonemap", ownerId = -1L)
     val staging = graft.cdc.UpsertSink.stagingDir(livePath)
     try {
@@ -151,10 +160,19 @@ object Maintenance {
     } catch {
       case t: Throwable =>
         graft.cdc.UpsertSink.dropStaging(spark, staging)
-        clearZoneMapPending(spark, livePath + ".zonemap")
+        // un-mark only a marker THIS run minted over untouched data
+        if (!markerPreExisting)
+          clearZoneMapPending(spark, livePath + ".zonemap")
         throw t
     }
-    graft.cdc.UpsertSink.atomicSwapDirs(spark, staging, livePath)
+    try graft.cdc.UpsertSink.atomicSwapDirs(spark, staging, livePath)
+    catch {
+      // swap failure: the data may have moved mid-protocol — keep the
+      // marker, but release the staging dir (and its janitor
+      // registration, which would otherwise protect the leak forever)
+      case t: Throwable =>
+        graft.cdc.UpsertSink.dropStaging(spark, staging); throw t
+    }
     val manifest = spark.read.parquet(livePath)
       .groupBy(col("bin").cast("long").as("bin"))
       .agg(count(lit(1)).as("n_rows"),
@@ -285,10 +303,7 @@ object Maintenance {
         // or a TORN marker (crash mid-create, owned by nobody) — is
         // claimable, so the clear-on-success path can always heal it
         case Some(v) if v != Long.MinValue => false
-        case _ =>
-          val out = fs.create(p, true)
-          try out.write(ownerId.toString.getBytes("UTF-8")) finally out.close()
-          true
+        case _ => writeOwner(fs, p, ownerId); true
       }
     }
 
@@ -304,9 +319,15 @@ object Maintenance {
     graft.cdc.UpsertSink.swapLock(zmPath).synchronized {
       val p = new org.apache.hadoop.fs.Path(zoneMapPendingPath(zmPath))
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val out = fs.create(p, true)
-      try out.write(ownerId.toString.getBytes("UTF-8")) finally out.close()
+      writeOwner(fs, p, ownerId)
     }
+
+  /** The one marker-file serialization, shared by claim and force. */
+  private def writeOwner(fs: org.apache.hadoop.fs.FileSystem,
+                         p: org.apache.hadoop.fs.Path, ownerId: Long): Unit = {
+    val out = fs.create(p, true)
+    try out.write(ownerId.toString.getBytes("UTF-8")) finally out.close()
+  }
 
   /** Clear the staleness marker AFTER a successful refresh — only if this
     * caller still owns it (see [[markZoneMapPending]]). */
