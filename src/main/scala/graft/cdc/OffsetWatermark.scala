@@ -95,6 +95,21 @@ object OffsetWatermark {
     }
   }
 
+  /** True iff the stored sidecar was written in the BUCKETED layout
+    * (`_bucket=` partition dirs). A deployment that flips `state.buckets`
+    * on (or off) after the sidecar exists would otherwise hit an
+    * unresolved-`_bucket` filter (bucketed advance over a flat store) or
+    * silently mix layouts — [[advance]] detects the disagreement and
+    * rewrites the store into the configured layout ONCE (the sidecar is
+    * O(live pks), the same bound as a full-map merge, so a one-time
+    * rewrite is the cheap honest migration; ADVICE r9). */
+  private def storedLayoutBucketed(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).exists(
+      _.getPath.getName.startsWith(BucketedUpsertSink.BucketCol + "="))
+  }
+
   /** Current watermark table (pk, [[OffsetCol]], [[RidxCol]]); None if
     * never written. */
   def current(spark: SparkSession, statePath: String): Option[DataFrame] = {
@@ -150,6 +165,19 @@ object OffsetWatermark {
         if (!exists) {
           withBucket.write.mode("overwrite")
             .partitionBy(BucketedUpsertSink.BucketCol).parquet(dir)
+        } else if (!storedLayoutBucketed(spark, dir)) {
+          // layout migration (ADVICE r9): the sidecar was written FLAT
+          // (state.buckets was off when it was created) — the touched-bucket
+          // pruned read below would filter on a nonexistent _bucket column
+          // and wedge every batch. Merge against the whole flat store once
+          // and rewrite it bucketed; next batch takes the pruned path.
+          val next = merge(normalizeStored(
+            spark.read.option("mergeSchema", "true").parquet(dir)), batch, pk)
+            .withColumn(BucketedUpsertSink.BucketCol,
+              BucketedUpsertSink.bucketOf(col(pk), n))
+          UpsertSink.stageSwap(spark, dir)(tmp =>
+            next.write.mode("overwrite")
+              .partitionBy(BucketedUpsertSink.BucketCol).parquet(tmp))
         } else {
           // prune the stored read to the touched buckets; the distinct
           // collect is O(buckets) (config-bounded), the house pattern
@@ -172,8 +200,13 @@ object OffsetWatermark {
         if (!exists) {
           batch.write.mode("overwrite").parquet(dir)
         } else {
+          // the reverse layout migration is this same path (ADVICE r9): a
+          // BUCKETED store read here carries _bucket as a partition column,
+          // merge() projects it away, and the flat rewrite below replaces
+          // the whole dir — one-time, explicit drop for clarity
           val next = merge(normalizeStored(
-            spark.read.option("mergeSchema", "true").parquet(dir)), batch, pk)
+            spark.read.option("mergeSchema", "true").parquet(dir)
+              .drop(BucketedUpsertSink.BucketCol)), batch, pk)
           // invocation-unique staging with failure cleanup: a live batch's
           // advance and a replay's can overlap on one sidecar (r9 review)
           UpsertSink.stageSwap(spark, dir)(tmp =>

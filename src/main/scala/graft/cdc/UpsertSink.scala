@@ -174,6 +174,24 @@ object UpsertSink {
   // staging dirs currently owned by a writer in THIS JVM — never reaped
   private val activeStaging =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Janitor reap horizon: an UNREGISTERED staging dir (no live writer in
+    * this JVM) older than this is presumed crash-stranded and reaped. The
+    * default (1 h) covers every in-repo rebuild with two orders of margin;
+    * a deployment staging multi-hour cross-process full scans (a CLI
+    * refresh in one JVM while a stream commits swaps in another — outside
+    * the registry's visibility) must RAISE it past its longest stage
+    * duration, or the scan loses its staging copy mid-write and fails at
+    * swap time — safe (the rebuild re-runs) but expensive (ADVICE r9).
+    * Reaped dirs are WARN-logged so that later swap failure is diagnosable
+    * back to the reap. */
+  @volatile private[graft] var stagingReapHorizonMs: Long = 3600L * 1000L
+  /** Configure the janitor horizon (see [[stagingReapHorizonMs]]). */
+  def setStagingReapHorizonMs(ms: Long): Unit = {
+    require(ms > 0, s"staging reap horizon must be positive, got $ms")
+    stagingReapHorizonMs = ms
+  }
+  private val sweepLog = org.slf4j.LoggerFactory.getLogger("graft.janitor")
   // amortizes the janitor's listStatus to every 32nd swap per live path
   private val sweepTick = new java.util.concurrent.ConcurrentHashMap[
     String, java.util.concurrent.atomic.AtomicLong]()
@@ -299,13 +317,15 @@ object UpsertSink {
     * patterns that are (a) NOT registered to a live writer in this JVM —
     * the authoritative liveness signal, since a dir's mtime freezes at job
     * start and a long scan would otherwise look stale mid-write — AND
-    * (b) older than an hour by a TRUSTED mtime (zero/unknown mtimes, e.g.
-    * object-store fake directories, are never reaped). A cross-process
-    * writer stalled past the horizon loses only its staging copy — its own
-    * swap then fails LOUDLY and the rebuild re-runs, never silent
-    * corruption. Runs after every 32nd successful swap per path (one
-    * listStatus RPC amortized across micro-batch commits) and NEVER fails
-    * the already-committed swap it rides on. */
+    * (b) older than [[stagingReapHorizonMs]] by a TRUSTED mtime
+    * (zero/unknown mtimes, e.g. object-store fake directories, are never
+    * reaped). A cross-process writer stalled past the horizon loses only
+    * its staging copy — its own swap then fails LOUDLY and the rebuild
+    * re-runs, never silent corruption — and each reap is WARN-logged with
+    * the dir name and age so that swap failure traces back here. Runs
+    * after every 32nd successful swap per path (one listStatus RPC
+    * amortized across micro-batch commits) and NEVER fails the
+    * already-committed swap it rides on. */
   private def sweepStaleStaging(fs: org.apache.hadoop.fs.FileSystem,
                                 livePath: org.apache.hadoop.fs.Path): Unit =
     try {
@@ -315,13 +335,24 @@ object UpsertSink {
       val parent = livePath.getParent
       if (parent == null || !fs.exists(parent)) return
       val name = livePath.getName
-      val horizon = System.currentTimeMillis() - 3600L * 1000L
+      val now = System.currentTimeMillis()
+      val horizon = now - stagingReapHorizonMs
       fs.listStatus(parent).foreach { st =>
         val n = st.getPath.getName
         if ((n.startsWith(name + ".next-") || n.startsWith(name + ".staging-")) &&
             !activeStaging.contains(n) &&
             st.getModificationTime > 0 && st.getModificationTime < horizon) {
-          try { fs.delete(st.getPath, true); () }
+          try {
+            if (fs.delete(st.getPath, true))
+              sweepLog.warn(
+                s"reaped stale staging dir ${st.getPath} (age " +
+                  s"${(now - st.getModificationTime) / 1000}s > horizon " +
+                  s"${stagingReapHorizonMs / 1000}s, no registered writer " +
+                  "in this JVM); if a cross-process rebuild owned it, its " +
+                  "swap will fail and must re-run — raise " +
+                  "UpsertSink.setStagingReapHorizonMs for long rebuilds")
+            ()
+          }
           catch { case _: java.io.IOException => () }
         }
       }

@@ -348,6 +348,19 @@ object Maintenance {
       if (fs.exists(p)) { fs.delete(p, false); () }
     }
 
+  /** Owner id of the pending marker, if one is up: `Some(id)` for a live
+    * owner, `Some(Long.MinValue)` for a torn marker (owned by nobody),
+    * `None` when the manifest is clean. The operational status probe —
+    * `check` surfaces it so an orphaned refresh marker (negative id, its
+    * minter crashed before the rebuild's clear) is visible to the operator
+    * instead of silently disabling pruned reads (ADVICE r9). */
+  def zoneMapPendingOwner(spark: SparkSession, zmPath: String): Option[Long] =
+    graft.cdc.UpsertSink.swapLock(zmPath).synchronized {
+      val p = new org.apache.hadoop.fs.Path(zoneMapPendingPath(zmPath))
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      readPendingOwner(fs, p)
+    }
+
   private def readPendingOwner(fs: org.apache.hadoop.fs.FileSystem,
                                p: org.apache.hadoop.fs.Path): Option[Long] = {
     if (!fs.exists(p)) return None

@@ -451,4 +451,39 @@ class OffsetWatermarkSpec extends SparkSpec {
       !new java.io.File(dl + ".old").exists(),
       "the heal must restore the quarantine dir on disk")
   }
+
+  test("advance: layout migration — a FLAT sidecar under a newly-bucketed " +
+    "config is rewritten bucketed once instead of wedging on the missing " +
+    "_bucket column, and vice versa (ADVICE r9)") {
+    // flat -> bucketed
+    val s1 = tmpDir("wm-mig-fb") + "/state"
+    OffsetWatermark.advance(spark, s1,
+      Seq((1, 10L, 0), (2, 20L, 0)).toDF("id", "offset", "_ridx"), "id", None)
+    OffsetWatermark.advance(spark, s1,
+      Seq((2, 25L, 0), (3, 30L, 0)).toDF("id", "offset", "_ridx"), "id", Some(4))
+    assert(wmOf(s1) === Map(1 -> ((10L, 0)), 2 -> ((25L, 0)), 3 -> ((30L, 0))),
+      "the migrated store must merge old flat entries with the new batch")
+    val dir1 = new java.io.File(OffsetWatermark.path(s1))
+    assert(dir1.listFiles().exists(_.getName.startsWith(
+      BucketedUpsertSink.BucketCol + "=")),
+      "after migration the store must be laid out bucketed")
+    // and the NEXT bucketed batch takes the normal pruned path
+    OffsetWatermark.advance(spark, s1,
+      Seq((1, 40L, 0)).toDF("id", "offset", "_ridx"), "id", Some(4))
+    assert(wmOf(s1) === Map(1 -> ((40L, 0)), 2 -> ((25L, 0)), 3 -> ((30L, 0))))
+
+    // bucketed -> flat
+    val s2 = tmpDir("wm-mig-bf") + "/state"
+    OffsetWatermark.advance(spark, s2,
+      Seq((1, 10L, 0), (2, 20L, 0)).toDF("id", "offset", "_ridx"), "id", Some(4))
+    OffsetWatermark.advance(spark, s2,
+      Seq((2, 25L, 0), (3, 30L, 0)).toDF("id", "offset", "_ridx"), "id", None)
+    assert(wmOf(s2) === Map(1 -> ((10L, 0)), 2 -> ((25L, 0)), 3 -> ((30L, 0))))
+    val dir2 = new java.io.File(OffsetWatermark.path(s2))
+    assert(!dir2.listFiles().exists(_.getName.startsWith(
+      BucketedUpsertSink.BucketCol + "=")),
+      "after migration the store must be laid out flat")
+    assert(OffsetWatermark.current(spark, s2).get.columns.toSet ===
+      Set("id", OffsetWatermark.OffsetCol, OffsetWatermark.RidxCol))
+  }
 }

@@ -317,6 +317,33 @@ class UpsertSinkSpec extends SparkSpec {
     assert(!ownedDir.exists(), "dropStaging releases and removes the dir")
   }
 
+  test("staging janitor: the reap horizon is configurable — a deployment " +
+    "staging multi-hour cross-process rebuilds can raise it; lowering it " +
+    "reaps younger leftovers (ADVICE r10)") {
+    val default = graft.cdc.UpsertSink.stagingReapHorizonMs
+    try {
+      graft.cdc.UpsertSink.setStagingReapHorizonMs(10L * 1000L)
+      val root = tmpDir("janitor-h")
+      val live = s"$root/t"
+      state((1, "v0", "c")).write.parquet(live)
+      // 30s old: younger than the 1h default, older than the 10s horizon
+      val stranded = new java.io.File(s"$live.next-cafebabe")
+      assert(stranded.mkdirs() &&
+        stranded.setLastModified(System.currentTimeMillis() - 30L * 1000L))
+      // fresher than even the lowered horizon: must survive
+      val fresh = new java.io.File(s"$live.next-00f4e54e")
+      assert(fresh.mkdirs())
+      val next = s"$root/staged"
+      state((1, "v1", "c")).write.parquet(next)
+      graft.cdc.UpsertSink.atomicSwapDirs(spark, next, live)
+      assert(!stranded.exists(), "past the lowered horizon: reaped")
+      assert(fresh.exists(), "inside the horizon: kept")
+      intercept[IllegalArgumentException] {
+        graft.cdc.UpsertSink.setStagingReapHorizonMs(0L)
+      }
+    } finally graft.cdc.UpsertSink.setStagingReapHorizonMs(default)
+  }
+
   test("atomicSwapDirs survives concurrent SWAPPERS: two threads swapping " +
     "their own staged copies into one live path both succeed — the loser " +
     "of the aside rename proceeds instead of failing a require (r9 review)") {
