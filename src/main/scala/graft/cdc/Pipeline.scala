@@ -94,6 +94,25 @@ object PluginHooks {
   * stranded-tail hazard of the reference (size-only trigger leaves a partial
   * buffer unflushed forever — SURVEY.md §2.3) cannot occur: every micro-batch
   * flushes.
+  *
+  * ==Deployment contract: one driver process per sink state path==
+  *
+  * Every concurrency protocol below — the per-path state lock, the mutation
+  * stamp, the swap monitor, the zone-map marker ownership — serializes
+  * writers within ONE driver JVM (refreshAsync tasks, a replay racing a
+  * micro-batch). A SECOND driver process mutating the same state path is
+  * outside the contract: the swap machinery would still only ever install
+  * complete copies, but simultaneous cross-process read-merge-writes are
+  * last-copy-wins and silently drop the loser's rows. That premise is
+  * ENFORCED fail-loud by [[DriverLease]]: every mutating entry point
+  * (applySync, refresh/backfill commit, replayDeadLetters) acquires a
+  * heartbeat lease on the state path and a second process fails with a
+  * clear message instead of interleaving; a crashed holder's lease is
+  * reclaimed after [[graft.model.PipelineConfig.leaseStaleMs]]. For
+  * OUT-OF-PROCESS operational commands against a live stream (a CLI
+  * `replay`/`refresh` in another JVM), stop or pause the stream first —
+  * the lease will otherwise refuse them, by design, until the stream's
+  * heartbeat goes stale.
   */
 final class Pipeline(spark: SparkSession, config: PipelineConfig,
                      source: CdcSource, sinkRoot: String,
@@ -190,8 +209,33 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
     * then K1 upsert, committed via atomic directory swap. Idempotent —
     * replaying a batch yields the same state (at-least-once -> effectively
     * exactly-once; dead-letter rows carry `offset` so replays dedupe there). */
-  private def applySync(batch: DataFrame, sync: SyncConfig, batchId: Long): Unit =
+  private def applySync(batch: DataFrame, sync: SyncConfig, batchId: Long): Unit = {
+    applySyncLocked(batch, sync, batchId)
+    // orphaned-marker self-heal (ADVICE r9), OUTSIDE the state lock: after
+    // enough consecutive batches observed a foreign negative-owner marker
+    // (a crashed refresh's orphan — see writeCompacted), run the quiesced
+    // full rebuild. Its clear is quiesce-gated, so racing a genuinely live
+    // refresh is safe (the refresh's commit bumps the stamp and forces a
+    // re-scan); the cost of a false positive is one manifest scan. The
+    // stream pays the scan inline — bounded, and strictly better than
+    // pruning staying disabled forever.
+    if (Pipeline.foreignMarkerStreak(statePath(sync)).get() >=
+          Pipeline.OrphanMarkerHealStreak) {
+      Pipeline.foreignMarkerStreak(statePath(sync)).set(0L)
+      Pipeline.log.warn(
+        s"zone-map marker for ${statePath(sync)} held by a foreign " +
+          s"refresh owner for ${Pipeline.OrphanMarkerHealStreak}+ batches " +
+          "— presumed orphaned by a crashed refresh; running a quiesced " +
+          "full zone-map rebuild to restore pruned reads")
+      rebuildZoneMap(sync)
+    }
+  }
+
+  private def applySyncLocked(batch: DataFrame, sync: SyncConfig, batchId: Long): Unit =
     Pipeline.stateLock(statePath(sync)).synchronized {
+    // fail-loud single-driver fence (see the class scaladoc); also the
+    // per-batch heartbeat refresh
+    DriverLease.acquire(spark, statePath(sync), staleMs = config.leaseStaleMs)
     val pk = pkOut(sync)
     val full = hooks.preEvent.foldLeft(syncView(batch, sync))((df, h) => h(sync.table, df))
     val dead = full.filter(col(pk).isNull)
@@ -250,6 +294,28 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
         // Same-id re-marking (the at-least-once replay) still owns.
         val ownsMarker = zoneMapActive &&
           graft.ops.Maintenance.markZoneMapPending(spark, zoneMapPath(sync), batchId)
+        // orphan-marker detection (ADVICE r9): a refresh that crashed
+        // between its commit (which force-owns the marker with a fresh
+        // NEGATIVE id) and its rebuild's clear leaves a marker no batch can
+        // ever re-own — freshOwnerId never repeats — so pruned reads stay
+        // disabled and splices stay skipped indefinitely, with no
+        // checkpoint-replay self-heal (a crashed BATCH's marker, by
+        // contrast, is re-owned by its replay under the same id). Count
+        // consecutive foreign-NEGATIVE-owner observations; applySync
+        // escalates to a quiesced full rebuild after the streak threshold.
+        // A live refresh briefly holds the marker too — the threshold keeps
+        // a healthy rebuild window from triggering a spurious second scan,
+        // and a spurious heal racing a live rebuild is still CORRECT (both
+        // clears are quiesce-gated), just wasted work.
+        if (zoneMapActive) {
+          val streak = Pipeline.foreignMarkerStreak(statePath(sync))
+          if (ownsMarker) streak.set(0L)
+          else graft.ops.Maintenance.zoneMapPendingOwner(spark, zoneMapPath(sync)) match {
+            case Some(owner) if owner < 0L && owner != Long.MinValue =>
+              streak.incrementAndGet(); ()
+            case _ => streak.set(0L)
+          }
+        }
         BucketedUpsertSink.applyBatch(spark, statePath(sync), compacted, pk, n,
           schema = Some(sinkSchema(sync)))
         // incremental zone-map maintenance: stats recompute only for the
@@ -317,6 +383,9 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
     config.syncs
       .filter(s => tables.isEmpty || tables.contains(s.table))
       .map { s => Pipeline.stateLock(statePath(s)).synchronized {
+        // single-driver fence: a CLI replay in a second JVM against a live
+        // stream fails loud here instead of racing its swaps
+        DriverLease.acquire(spark, statePath(s), staleMs = config.leaseStaleMs)
         val path = deadLetterPath(s)
         // heal an interrupted quarantine rewrite first: a crash between
         // atomicSwapDirs' two renames leaves the quarantine only at
@@ -386,6 +455,13 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
                                 floor: Long,
                                 precondition: () => Boolean = () => true): Boolean =
     Pipeline.stateLock(statePath(sync)).synchronized {
+      // single-driver fence BEFORE any mutation of the live path (the
+      // staged scan needed no lease — it wrote only its own unique dir);
+      // a refusal drops the staged copy rather than stranding it on the
+      // janitor's horizon
+      try DriverLease.acquire(spark, statePath(sync), staleMs = config.leaseStaleMs)
+      catch { case t: Throwable =>
+        UpsertSink.dropStaging(spark, staging); throw t }
       // evaluated under the lock (backfill's bootstrap-only re-probe);
       // losing it drops the staged copy instead of clobbering
       if (!precondition()) {
@@ -640,6 +716,19 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
       }
       .toMap
 
+  /** Zone-map marker status per table: `Some(ownerId)` when a pending
+    * marker is up (pruned reads are falling back to exact unpruned
+    * filters), `None` when the manifest is clean or the sync maintains no
+    * zone map. A NEGATIVE owner that persists across `check` runs with no
+    * refresh in flight is a crashed refresh's orphan — the live stream
+    * self-heals it after [[Pipeline.OrphanMarkerHealStreak]] batches, or
+    * re-running `refresh` clears it immediately (ADVICE r9). */
+  def zoneMapStatus(): Map[String, Option[Long]] = config.syncs.map { s =>
+    s.table -> (if (zoneMapActiveFor(s))
+      graft.ops.Maintenance.zoneMapPendingOwner(spark, zoneMapPath(s))
+    else None)
+  }.toMap
+
   /** `check`: source count vs sink count per sync (`main.py:179-208`). */
   def check(): Map[String, (Long, Long)] = config.syncs.map { s =>
     val sinkCount =
@@ -683,6 +772,24 @@ object Pipeline {
   // -2) and unique per invocation
   private val ownerSeq = new java.util.concurrent.atomic.AtomicLong(-100L)
   private[cdc] def freshOwnerId(): Long = ownerSeq.decrementAndGet()
+
+  private[cdc] val log = org.slf4j.LoggerFactory.getLogger("graft.pipeline")
+
+  /** Consecutive foreign-negative-owner marker observations before a live
+    * batch escalates to the quiesced full zone-map rebuild (the
+    * orphaned-refresh-marker self-heal — ADVICE r9). Three batches is past
+    * any healthy refresh's commit→clear window in practice, and a false
+    * positive costs one manifest scan, never correctness. */
+  val OrphanMarkerHealStreak = 3L
+
+  // Per-state-path count of consecutive batches that observed a marker
+  // owned by a foreign NEGATIVE id (see writeCompacted). JVM-local, same
+  // premise as mutationStamp.
+  private val foreignMarkerStreaks = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.atomic.AtomicLong]()
+  private[cdc] def foreignMarkerStreak(statePath: String): java.util.concurrent.atomic.AtomicLong =
+    foreignMarkerStreaks.computeIfAbsent(statePath,
+      _ => new java.util.concurrent.atomic.AtomicLong())
 
   // Per-state-path MUTATION STAMP, bumped (under stateLock) by every
   // committed state mutation — batch apply, replay apply, refresh/backfill

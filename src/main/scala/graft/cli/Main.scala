@@ -38,6 +38,10 @@ import org.apache.spark.sql.types.StructType
   *                                  # incrementally per micro-batch;
   *                                  # columns missing from a sync's
   *                                  # payload are skipped for that sync
+  * lease.stale.ms=60000             # single-driver lease heartbeat horizon
+  *                                  # (DriverLease): a second driver process
+  *                                  # on the same sink.root fails loud while
+  *                                  # the holder's heartbeat is fresher
   * debug=true                       # reference settings.debug: log parsed
   *                                  # settings + a bounded per-batch event
   *                                  # dump (main.py:35-36,103-104)
@@ -158,9 +162,19 @@ object Main {
       }
       case "check" => graft.cdc.ErrorReporting.reporting(reporters, "check") {
         var ok = true
+        val zm = pipe.zoneMapStatus()
         pipe.check().foreach { case (t, (src, sink)) =>
           val status = if (src == sink) "OK" else { ok = false; "MISMATCH" }
           println(s"$status $t: source=$src sink=$sink")
+          // operational note, not a failure: pruned reads are falling back
+          // to exact unpruned filters until the marker clears. A negative
+          // owner that persists with no refresh in flight is a crashed
+          // refresh's orphan — the stream self-heals it, or re-run refresh
+          // (ADVICE r9).
+          zm.getOrElse(t, None).foreach(owner =>
+            println(s"NOTE $t: zone-map pending, owner $owner — pruned " +
+              "reads unpruned until a rebuild clears it (self-heals after " +
+              s"${Pipeline.OrphanMarkerHealStreak} live batches; or re-run refresh)"))
         }
         if (!ok) sys.exit(1)
       }
@@ -205,7 +219,10 @@ object Main {
       stateBuckets = Option(props.getProperty("state.buckets")).map(_.trim.toInt),
       zoneMapCols = Option(props.getProperty("state.zonemap.cols")).toSeq
         .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty),
-      debug = props.getProperty("debug") == "true")
+      debug = props.getProperty("debug") == "true",
+      leaseStaleMs = Option(props.getProperty("lease.stale.ms"))
+        .map(_.trim.toLong)
+        .getOrElse(graft.cdc.DriverLease.DefaultStaleMs))
   }
 
   /** `error.listeners=<fqcn,...>` — reflection-loaded [[GraftErrorReporter]]

@@ -92,7 +92,12 @@ final case class PipelineConfig(
       * `main.py:35-36,103-104`): log the parsed settings at startup and
       * the decoded events per micro-batch (bounded sample — the row-at-a-
       * time reference logs every event; a Spark batch logs its head). */
-    debug: Boolean = false
+    debug: Boolean = false,
+    /** Heartbeat staleness horizon for the single-driver lease
+      * ([[graft.cdc.DriverLease]]): a foreign lease whose heartbeat is
+      * older than this is presumed dead and taken over; fresher, the
+      * mutating call fails loud. Must exceed the trigger interval. */
+    leaseStaleMs: Long = graft.cdc.DriverLease.DefaultStaleMs
 ) {
   /** `settings.get_sync(table)` (reference `settings.py:78-82`). */
   def syncFor(table: String): Option[SyncConfig] = syncs.find(_.table == table)

@@ -325,6 +325,60 @@ class PipelineSpec extends SparkSpec {
     assert(manifest === full, "the healed manifest equals a full recompute")
   }
 
+  test("orphaned refresh marker self-heals: after 3 consecutive batches " +
+    "under a foreign NEGATIVE owner the stream runs a quiesced full " +
+    "rebuild, restoring pruned reads; zoneMapStatus surfaces the owner " +
+    "(ADVICE r10)") {
+    import spark.implicits._
+    val sinkRoot = tmpDir("sink-orphan")
+    val ckpt = tmpDir("ckpt-orphan")
+    val sync = SyncConfig("t", pk = "id", schema = Some(StructType(Seq(
+      StructField("id", IntegerType), StructField("score", LongType)))))
+    val src = new MemoryCdcSource(spark,
+      Map("t" -> Seq((1, 10L)).toDF("id", "score")))
+    val pipe = new Pipeline(spark,
+      PipelineConfig(Seq(sync), stateBuckets = Some(4),
+        zoneMapCols = Seq("score")), src, sinkRoot)
+    src.addEvents(ChangeEvent("create", "t", 1, ts("2024-01-01 00:00:00"),
+      """{"id": 1, "score": 10}"""))
+    val q0 = pipe.start(ckpt); q0.processAllAvailable(); q0.stop()
+    val zm = pipe.zoneMapPath(sync)
+    val pend = new java.io.File(ops.Maintenance.zoneMapPendingPath(zm))
+    // simulate a refresh that crashed between commitRefreshSwap (which
+    // force-owns the marker with a fresh negative id) and rebuildZoneMap:
+    // the orphan is owned by an id freshOwnerId will never mint again
+    ops.Maintenance.forceZoneMapPending(spark, zm, -99999L)
+    assert(pipe.zoneMapStatus() === Map("t" -> Some(-99999L)),
+      "check surfaces the pending owner while the marker is up")
+    // two batches observe the foreign marker: no clear yet
+    for (i <- 2 to 3) {
+      src.addEvents(ChangeEvent("create", "t", i.toLong,
+        ts(s"2024-01-01 00:00:0$i"), s"""{"id": $i, "score": ${i * 10}}"""))
+      val q = pipe.start(ckpt); q.processAllAvailable(); q.stop()
+    }
+    assert(pend.exists(),
+      s"below the ${Pipeline.OrphanMarkerHealStreak}-batch streak the " +
+        "foreign marker must stand")
+    // third consecutive observation: the batch escalates to the quiesced
+    // full rebuild and the orphan clears
+    src.addEvents(ChangeEvent("create", "t", 4, ts("2024-01-01 00:00:04"),
+      """{"id": 4, "score": 40}"""))
+    val q3 = pipe.start(ckpt); q3.processAllAvailable(); q3.stop()
+    assert(!pend.exists(),
+      "the orphaned marker must self-heal after the streak threshold")
+    assert(pipe.zoneMapStatus() === Map("t" -> None))
+    val manifest = spark.read.parquet(zm).orderBy("bucket")
+      .collect().map(_.toSeq).toSeq
+    val full = ops.Maintenance
+      .bucketZoneMap(spark, s"$sinkRoot/t", Seq("score"))
+      .collect().map(_.toSeq).toSeq
+    assert(manifest === full, "the healed manifest equals a full recompute")
+    // and pruned reads are pruned again AND exact
+    val got = ops.Maintenance.prunedRead(spark, s"$sinkRoot/t", zm,
+      "score", 25L, 45L).collect().map(_.getLong(1)).sorted.toSeq
+    assert(got === Seq(30L, 40L))
+  }
+
   test("refresh of a bucketed sink keeps the bucket layout (settings copy on swap)") {
     // the reference copies the live index's settings onto the tmp index
     // before the swap (meili.py:43-49); the layout analog here is the
