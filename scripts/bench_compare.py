@@ -1,0 +1,73 @@
+#!/usr/bin/env python3
+"""Headline-first bench gate (r9 verdict #3).
+
+Compares a fresh BENCH_QUERIES.json against a reference snapshot
+(default: the committed copy via `git show`), leading with the 28-query
+headline tier and flagging headline movers >1.3x round-over-round --
+the queries worth a Profile floor check before calling them regressions
+(host drift routinely swings individual queries; the headline tier is
+the low-variance core the round-over-round comparison is anchored on).
+
+Usage:
+  python3 scripts/bench_compare.py [NEW.json] [REF.json]
+  # defaults: NEW = ./BENCH_QUERIES.json, REF = git show HEAD:BENCH_QUERIES.json
+"""
+import json
+import subprocess
+import sys
+
+HEADLINE_THRESHOLD = 1.3
+
+def load(path):
+    with open(path) as f:
+        return json.load(f)
+
+def load_ref(argv):
+    if len(argv) > 2:
+        return load(argv[2])
+    out = subprocess.run(
+        ["git", "show", "HEAD:BENCH_QUERIES.json"],
+        capture_output=True, text=True, check=True).stdout
+    return json.loads(out)
+
+def headline_set():
+    # keep in sync with graft.Bench.Headline
+    src = open("src/main/scala/graft/Bench.scala").read()
+    start = src.index("val Headline")
+    end = src.index(")", src.index("Set(", start))
+    names = [t.strip().strip('"') for t in
+             src[src.index("(", start) + 1:end].replace("\n", "").split(",")]
+    return {n for n in names if n.startswith("q")}
+
+def tier(queries, names):
+    hit = {k: v for k, v in queries.items() if k in names}
+    return sum(hit.values()), hit
+
+def main():
+    new = load(sys.argv[1] if len(sys.argv) > 1 else "BENCH_QUERIES.json")
+    ref = load_ref(sys.argv)
+    nq, rq = new["queries"], ref["queries"]
+    hl = headline_set()
+    n_hl, n_hit = tier(nq, hl)
+    r_hl, r_hit = tier(rq, hl)
+    shared = sorted(set(nq) & set(rq))
+    n_sh = sum(nq[k] for k in shared)
+    r_sh = sum(rq[k] for k in shared)
+    print(f"HEADLINE  {n_hl:8.1f} s vs {r_hl:8.1f} s  "
+          f"({n_hl / r_hl:.3f}x, {len(n_hit)}/{len(hl)} queries)")
+    print(f"full      {new['value']:8.1f} s ({new['n']} q) vs "
+          f"{ref['value']:8.1f} s ({ref['n']} q); shared {len(shared)} q: "
+          f"{n_sh / r_sh:.3f}x")
+    movers = [(k, nq[k] / rq[k], rq[k], nq[k])
+              for k in sorted(hl & set(shared))
+              if nq[k] / rq[k] > HEADLINE_THRESHOLD and nq[k] - rq[k] > 0.3]
+    if movers:
+        print(f"\nheadline movers > {HEADLINE_THRESHOLD}x "
+              "(run Profile floors before calling these regressions):")
+        for k, ratio, old, newv in sorted(movers, key=lambda m: -m[1]):
+            print(f"  {k:24s} {old:6.2f} -> {newv:6.2f}  ({ratio:.2f}x)")
+        sys.exit(1)
+    print("\nno headline mover exceeds the gate")
+
+if __name__ == "__main__":
+    main()

@@ -19,6 +19,19 @@ object Bench {
     "q_simhash_pairs", "q_tfidf", "q_ann_ivfpq", "q_prune_rate",
     "q5_multijoin", "q1_agg", "q_cdc_apply", "q_jsonl_decode")
 
+  /** Checkpointed-streaming lifecycle ops whose wall time is a MEASURED
+    * fixed floor (SCALE.md: start/stop + checkpoint + state-store setup
+    * dominates; e.g. q_stream_join's 3.9 s two-trigger lifecycle floor),
+    * not data-scale throughput. Re-running them buys no precision — their
+    * variance is the lifecycle's, and drift on them is adjudicated by
+    * Profile floors, not the sweep (r9 verdict #6) — so the bench runs
+    * each ONCE: no codegen warmup rep (the floor isn't codegen) and no
+    * second timed pass. This trims ~35 s of fixed cost from the sweep
+    * without losing per-query coverage. */
+  val FloorBound: Set[String] = Set(
+    "q_stream_join", "q_stream_sessions", "q_stream_traillog",
+    "q_dedup_stream", "q_stream_hh", "q_dedup_incr")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -41,9 +54,13 @@ object Bench {
     // that says nothing about data-scale throughput, which is what the
     // numbers are for. A representative-subset warmup (rounds 2-3) still
     // left first-run spikes on whichever heavy queries it skipped.
-    SparkEntry.queries.foreach { case (_, fn) =>
-      try { fn(spark, sfDir).count(); () }
-      catch { case _: Throwable => () }
+    SparkEntry.queries.foreach { case (name, fn) =>
+      // FloorBound ops skip the warmup rep: their cost is the checkpoint
+      // lifecycle, not codegen, and each rep pays the full floor
+      if (!FloorBound(name)) {
+        try { fn(spark, sfDir).count(); () }
+        catch { case _: Throwable => () }
+      }
     }
     // Drop the warmup pass's leftovers before timing: cached plans via the
     // CacheManager, and localCheckpoint blocks via ContextCleaner (which
@@ -59,13 +76,18 @@ object Bench {
     // swinging 2.5 s <-> 30 s between runs with an idle JVM); the min is
     // the standard noise-robust throughput estimator and both passes run
     // against identical warm state.
-    def timedPass(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    val (p1, p2) = (timedPass(), timedPass())
-    val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
+    def timedPass(skip: Set[String]): Map[String, Double] =
+      SparkEntry.queries.flatMap { case (name, fn) =>
+        if (skip(name)) None
+        else {
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+          Some(name -> (System.nanoTime() - t0) / 1e9)
+        }
+      }
+    // FloorBound ops run once (in p1); everything else takes min-of-two
+    val (p1, p2) = (timedPass(Set.empty), timedPass(FloorBound))
+    val results = p1.map { case (k, v) => k -> math.min(v, p2.getOrElse(k, v)) }
     // Locale.ROOT: the default-locale format would print "0,123" on
     // comma-decimal locales — invalid JSON, the parsed:null failure all
     // over again.

@@ -487,59 +487,17 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
 
   /** Full zone-map rebuild for one sync — the non-incremental path used
     * after [[refresh]]/backfill rebuilds where every bucket may have
-    * changed. The scan runs OUTSIDE the state lock (the stream keeps
-    * flowing), so the clear is gated on a QUIESCE check: the state's
-    * mutation stamp must be unchanged across the scan, verified atomically
-    * with the clear under stateLock. A batch that lands mid-scan or
-    * between scan and clear bumps the stamp and forces a re-scan; a batch
-    * that starts after the clear marks (and owns) fresh. The clear is
-    * UNCONDITIONAL on ownership: a quiesced full rebuild recomputed every
-    * bucket from live state, so whatever marker is up — this refresh's, a
-    * crashed batch's, an earlier refresh's orphan — the manifest it
-    * guards is now accurate (this is also what heals orphaned markers —
-    * r9 review). Scans broken by a concurrent swap (vanished files) retry;
-    * correctness never depends on the retry, only availability. */
+    * changed: a full manifest scan whose marker clear is gated on the
+    * mutation-stamp quiesce check, with starvation escalation —
+    * [[StateCommit.quiescedClear]] (the state table and the full argument
+    * live there). */
   private def rebuildZoneMap(sync: SyncConfig): Unit =
     (config.stateBuckets, zoneMapColsFor(sync)) match {
       case (Some(n), cols) if cols.nonEmpty =>
-        val stamp = Pipeline.mutationStamp(statePath(sync))
         val buckets = (0L until n.toLong).toSeq
-        var fnfRetries = 0
-        var quiesceTries = 0
-        var done = false
-        while (!done && quiesceTries < 3) {
-          val s1 = stamp.get()
-          try {
-            graft.ops.Maintenance.refreshZoneMap(spark, statePath(sync),
-              zoneMapPath(sync), buckets, cols)
-            done = Pipeline.stateLock(statePath(sync)).synchronized {
-              // no locked writer is mid-flight here; a stamp match means
-              // the scan saw every committed mutation
-              if (stamp.get() == s1) {
-                graft.ops.Maintenance.clearZoneMapPending(spark, zoneMapPath(sync))
-                true
-              } else false
-            }
-            // only a FAILED quiesce consumes the budget: a transient
-            // vanished-file race below gets its own separately-bounded
-            // retries instead of eating quiesce tries (r9 review)
-            if (!done) quiesceTries += 1
-          } catch {
-            case e: Throwable if fnfRetries < 3 && Pipeline.causedByVanishedFile(e) =>
-              fnfRetries += 1
-          }
-        }
-        // quiesce starved (a stream hot enough to land a batch during
-        // every lock-free scan): one FINAL attempt under the state lock —
-        // the stream stalls for exactly one manifest scan, bounded and
-        // deterministic, instead of pruning staying disabled indefinitely
-        // with batches unable to splice under the foreign marker
-        // (r9 review)
-        if (!done) Pipeline.stateLock(statePath(sync)).synchronized {
-          graft.ops.Maintenance.refreshZoneMap(spark, statePath(sync),
-            zoneMapPath(sync), buckets, cols)
-          graft.ops.Maintenance.clearZoneMapPending(spark, zoneMapPath(sync))
-        }
+        StateCommit.quiescedClear(spark, statePath(sync), zoneMapPath(sync))(
+          () => graft.ops.Maintenance.refreshZoneMap(spark, statePath(sync),
+            zoneMapPath(sync), buckets, cols))
       case _ => ()
     }
 
@@ -745,27 +703,12 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
 }
 
 object Pipeline {
-  // Per-state-path mutation lock: a live micro-batch and a dead-letter
-  // replay both read-merge-write the same sink state and watermark sidecar.
-  // Within one JVM (the embedded deployment, and every spec) this
-  // serializes them — closing the lost-update window where two concurrent
-  // read-merge-writes each swap a COMPLETE copy and the winner silently
-  // drops the loser's just-applied rows or watermark entries, re-opening
-  // the stale-replay hole for those pks (r9 review). Cross-process (a CLI
-  // replay against a stream running in another JVM) the swap machinery
-  // still guarantees a complete copy wins, but simultaneous writers are
-  // last-copy-wins — pause the stream for out-of-process replays (the
-  // documented premise; the watermark fence covers every NON-simultaneous
-  // ordering).
-  //
-  // LOCK ORDER (deadlock discipline): stateLock is the OUTERMOST — holders
-  // may take UpsertSink.swapLock (via atomicSwapDirs/recoverSwap) and
-  // OffsetWatermark's floorLock; neither of those ever takes stateLock or
-  // each other. Keep any new lock acquisition consistent with that order.
-  private val stateLocks =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  /** Per-state-path mutation lock — [[StateCommit.stateLock]] (the
+    * serialization rationale, the cross-process premise now enforced by
+    * [[DriverLease]], and the LOCK ORDER discipline all live with the
+    * protocol in StateCommit's scaladoc). */
   private[cdc] def stateLock(statePath: String): Object =
-    stateLocks.computeIfAbsent(statePath, _ => new Object)
+    StateCommit.stateLock(statePath)
 
   // zone-map marker owner ids for refresh/backfill rebuilds: strictly
   // negative (never colliding with micro-batch ids >= 0 or the replay's
@@ -791,46 +734,15 @@ object Pipeline {
     foreignMarkerStreaks.computeIfAbsent(statePath,
       _ => new java.util.concurrent.atomic.AtomicLong())
 
-  // Per-state-path MUTATION STAMP, bumped (under stateLock) by every
-  // committed state mutation — batch apply, replay apply, refresh/backfill
-  // swap. A full zone-map rebuild clears the pending marker only after a
-  // QUIESCED scan: stamp unchanged across the scan, checked atomically
-  // with the clear under stateLock. Without it, a batch landing between a
-  // rebuild's scan and its clear (or mid-scan) would leave a cleared-but-
-  // stale manifest — the splice-lost-to-stale-rebuild race (r9 review).
-  // The stamp is JVM-local, so it inherits stateLock's documented premise:
-  // a refresh run in a DIFFERENT process from the live stream cannot
-  // observe the stream's mutations — pause the stream for out-of-process
-  // refreshes, exactly as for out-of-process replays.
-  private val mutationStamps = new java.util.concurrent.ConcurrentHashMap[
-    String, java.util.concurrent.atomic.AtomicLong]()
+  /** Per-state-path mutation stamp — [[StateCommit.mutationStamp]] (the
+    * quiesced-clear consumer and the FINALLY-adjacent bump discipline are
+    * documented with the protocol). */
   private[cdc] def mutationStamp(statePath: String): java.util.concurrent.atomic.AtomicLong =
-    mutationStamps.computeIfAbsent(statePath,
-      _ => new java.util.concurrent.atomic.AtomicLong())
+    StateCommit.mutationStamp(statePath)
 
-  /** True iff the failure chain bottoms out in a vanished file OR path —
-    * the signatures of a scan racing a concurrent directory swap:
-    * FileNotFoundException (a listed file renamed away mid-job) and
-    * AnalysisException PATH_NOT_FOUND (the whole dir resolved inside the
-    * swap's two-rename window). Bounded retries make a genuinely
-    * misconfigured path still fail, just not on the first scan
-    * (r9 review, both directions). */
-  private[cdc] def causedByVanishedFile(t: Throwable): Boolean = {
-    var c: Throwable = t
-    var depth = 0
-    while (c != null && depth < 12) {
-      c match {
-        case _: java.io.FileNotFoundException => return true
-        case a: org.apache.spark.sql.AnalysisException
-            if Option(a.getCondition).exists(_.startsWith("PATH_NOT_FOUND")) =>
-          return true
-        case _ => ()
-      }
-      c = c.getCause
-      depth += 1
-    }
-    false
-  }
+  /** Vanished-file failure signature — [[StateCommit.causedByVanishedFile]]. */
+  private[cdc] def causedByVanishedFile(t: Throwable): Boolean =
+    StateCommit.causedByVanishedFile(t)
 
   /** Extract a top-level field from a JSON object string as a stable string
     * key (executor-side; uses Spark's shaded-in Jackson). */

@@ -1,0 +1,442 @@
+package graft.cdc
+
+import org.apache.spark.sql.SparkSession
+
+/** THE state-commit protocol: every primitive that decides how a sink
+  * state path and its zone-map manifest move between consistent states —
+  * the per-path mutation locks and stamps, the staged-write/atomic-swap
+  * machinery with its crash healing and staging janitor, and the
+  * staleness-marker (ownership) discipline with the quiesced clear. One
+  * module (r9 verdict #2): the protocol converged over ~20 review commits
+  * while spread across `UpsertSink`/`Pipeline`/`Maintenance`, and the
+  * conclusion was that concurrency protocols must be read — and changed —
+  * in one place. The old entry points (`UpsertSink.atomicSwapDirs`,
+  * `Maintenance.markZoneMapPending`, `Pipeline.stateLock`, …) remain as
+  * thin forwarders so call sites and their scaladoc stay put; the LOGIC
+  * lives here.
+  *
+  * ==Protocol state machine==
+  *
+  * Per state path, the protocol-visible state is (marker, manifest, stamp)
+  * where marker ∈ {ABSENT, OWNED(id)} guards the manifest's accuracy and
+  * stamp is a JVM-local monotone counter of committed mutations. Writers:
+  * a micro-BATCH (id ≥ 0, at-least-once replayable), a dead-letter REPLAY
+  * (id = −2), a REBUILD (refresh/backfill commit, fresh id < −100, never
+  * reused). All writer sequences below run under [[stateLock]] except the
+  * rebuild's scan.
+  *
+  * {{{
+  * state          | event                        | action / next state
+  * ---------------+------------------------------+------------------------------------
+  * marker ABSENT  | batch/replay starts          | claim(id) -> OWNED(id); sink write;
+  *                |                              | splice touched buckets; release(id)
+  *                |                              | -> ABSENT; stamp++ (in FINALLY)
+  * OWNED(same id) | batch replay (crash retry)   | claim(id) re-owns (idempotent);
+  *                |                              | completes as above -> ABSENT
+  * OWNED(foreign) | batch/replay starts          | claim fails -> SKIP all manifest
+  *                |                              | work (safety rides the pending
+  *                |                              | guard: reads are unpruned while
+  *                |                              | marked); sink write + stamp++ only
+  * any            | rebuild commit               | force(freshId) -> OWNED(freshId);
+  *                |                              | swap snapshot live; floor; stamp++
+  * OWNED(any)     | rebuild scan + quiesce clear | s1 = stamp; full manifest scan
+  *                |                              | (UNLOCKED); then under stateLock:
+  *                |                              | stamp == s1 ? clear -> ABSENT
+  *                |                              | : re-scan (≤ 3), then ONE final
+  *                |                              | LOCKED scan+clear (starvation cap)
+  * OWNED(any)     | crash before clear           | marker survives (write-ahead);
+  *                |                              | reads stay exact via the unpruned
+  *                |                              | fallback; healed by: the owner's
+  *                |                              | replay (same id), the next rebuild
+  *                |                              | (force + quiesced clear), or the
+  *                |                              | orphan streak heal (3 consecutive
+  *                |                              | foreign-NEGATIVE-owner batches ->
+  *                |                              | quiesced full rebuild)
+  * mid-swap crash | any reader                   | recoverSwap: live absent + .old
+  *                |                              | complete -> rename .old back
+  * }}}
+  *
+  * Invariant the table preserves: ''marker ABSENT ⇒ manifest describes the
+  * live state exactly''; while OWNED, readers use the exact unpruned
+  * filter, so pruned reads NEVER return wrong rows — only slower ones.
+  * Clears happen exactly twice in the codebase: the owner's release after
+  * its own splice, and the quiesced clear after a full rebuild scan — and
+  * both verify their premise (ownership; stamp quiescence) atomically with
+  * the clear. [[StateCommitScheduleSpec]] enumerates the schedule space of
+  * these atoms exhaustively and checks the invariant at every step.
+  *
+  * LOCK ORDER (deadlock discipline): [[stateLock]] is the OUTERMOST —
+  * holders may take [[swapLock]] (via swap/heal/marker ops) and
+  * OffsetWatermark's floorLock; neither of those ever takes stateLock or
+  * each other. Keep any new acquisition consistent with that order.
+  *
+  * Same-JVM premise: locks and stamps are JVM-local. Every advertised
+  * concurrent shape is in-JVM (refreshAsync tasks, replay vs batch);
+  * cross-PROCESS exclusion is [[DriverLease]]'s job — the rename-retry
+  * tolerance below is a last line of defense, not a serialization.
+  */
+object StateCommit {
+
+  // ---------------------------------------------------------------- locks
+
+  // Per-state-path mutation lock: a live micro-batch and a dead-letter
+  // replay both read-merge-write the same sink state and watermark sidecar;
+  // unserialized, two concurrent read-merge-writes each swap a COMPLETE
+  // copy and the winner silently drops the loser's rows (r9 review).
+  private val stateLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  def stateLock(statePath: String): Object =
+    stateLocks.computeIfAbsent(statePath, _ => new Object)
+
+  // Per-live-path monitor serializing same-JVM swappers and healers: the
+  // rename-retry machinery tolerates cross-process racers, but two
+  // in-process swappers interleaving exists-probes with deletes left narrow
+  // TOCTOU windows where a crash could strand a path with NEITHER live nor
+  // `.old` (r9 review).
+  private val swapLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  def swapLock(live: String): Object =
+    swapLocks.computeIfAbsent(live, _ => new Object)
+
+  // --------------------------------------------------------------- stamps
+
+  // Per-state-path MUTATION STAMP, bumped (under stateLock, in a FINALLY
+  // adjacent to each commit — post-commit failures must still stamp) by
+  // every committed state mutation. The quiesced clear below is the only
+  // consumer. JVM-local: a refresh run in a DIFFERENT process from the
+  // live stream cannot observe the stream's mutations — DriverLease is
+  // what excludes that shape.
+  private val mutationStamps = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.atomic.AtomicLong]()
+  def mutationStamp(statePath: String): java.util.concurrent.atomic.AtomicLong =
+    mutationStamps.computeIfAbsent(statePath,
+      _ => new java.util.concurrent.atomic.AtomicLong())
+
+  // ------------------------------------------------------- staged swaps
+
+  private def hfs(spark: SparkSession, p: String) = {
+    val path = new org.apache.hadoop.fs.Path(p)
+    (path.getFileSystem(spark.sparkContext.hadoopConfiguration), path)
+  }
+
+  // staging dirs currently owned by a writer in THIS JVM — never reaped
+  private val activeStaging =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  // amortizes the janitor's listStatus to every 32nd swap per live path
+  private val sweepTick = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.atomic.AtomicLong]()
+
+  /** Janitor reap horizon — see [[UpsertSink.setStagingReapHorizonMs]]'s
+    * forwarding scaladoc for the operational contract (ADVICE r9/r10). */
+  @volatile private[graft] var stagingReapHorizonMs: Long = 3600L * 1000L
+  private val sweepLog = org.slf4j.LoggerFactory.getLogger("graft.janitor")
+
+  /** Invocation-unique staging dir for a swap into `live`: a shared fixed
+    * `.next` name lets two concurrent writers interleave writes in ONE
+    * staging dir and swap a torn mix live (r9 review). The swap MOVES the
+    * dir, so success leaves nothing behind; a crashed writer strands only
+    * its own uniquely-named dir. Registered with the janitor BEFORE any
+    * file exists: a staging dir's mtime freezes at job start, so age alone
+    * cannot distinguish a long-running write from a crash leftover. */
+  def stagingDir(live: String): String = {
+    val d = live + ".next-" + java.util.UUID.randomUUID().toString.take(8)
+    activeStaging.add(new org.apache.hadoop.fs.Path(d).getName)
+    d
+  }
+
+  /** Staged-write-then-swap with failure cleanup: a staged write that
+    * THROWS (task failure, disk full) must not leave its partial dir
+    * registered with the janitor — protected from reaping forever, the
+    * exact leak the janitor exists to fix (r9 review). */
+  def stageSwap(spark: SparkSession, live: String)(write: String => Unit): Unit = {
+    val tmp = stagingDir(live)
+    try {
+      write(tmp)
+      atomicSwapDirs(spark, tmp, live)
+    } catch {
+      case t: Throwable => dropStaging(spark, tmp); throw t
+    }
+  }
+
+  /** Abandon a staged dir without swapping it (e.g. a backfill that lost
+    * the bootstrap race): delete it and release its janitor registration. */
+  def dropStaging(spark: SparkSession, staging: String): Unit = {
+    val (fs, p) = hfs(spark, staging)
+    try { fs.delete(p, true); () }
+    catch { case _: java.io.IOException => () }
+    activeStaging.remove(p.getName)
+    ()
+  }
+
+  /** Heal [[atomicSwapDirs]]'s crash window: a crash between the two renames
+    * leaves no live dir but a complete `.old` — restore it. The state then
+    * reflects the pre-batch version; the streaming checkpoint replays the
+    * un-committed batch and the idempotent apply makes the replay safe. */
+  def recoverSwap(spark: SparkSession, live: String): Unit =
+    swapLock(live).synchronized {
+      val (fs, p) = hfs(spark, live)
+      val old = new org.apache.hadoop.fs.Path(live + ".old")
+      if (!fs.exists(p) && fs.exists(old)) {
+        // a swapper in ANOTHER process can finish and DELETE `.old` between
+        // our exists probe and this rename — the vanished source means live
+        // is healthy again, so the failed heal is a no-op, not an error
+        // (caught by the r9 swap-race stress spec)
+        try { fs.rename(old, p); () }
+        catch { case _: java.io.FileNotFoundException => () }
+      }
+    }
+
+  /** Directory pointer swap (stand-in for Delta/Iceberg atomic commit in the
+    * zero-dependency harness): move live aside, move next into place. Each
+    * rename is atomic (same-volume dir rename); the window between them is
+    * recoverable — every read path calls [[recoverSwap]] first.
+    *
+    * Concurrent-swap race (r9 review): a reader's [[recoverSwap]] firing
+    * INSIDE our two-rename window sees no live + a complete `.old` and
+    * resurrects the old copy — then our `next -> live` rename fails because
+    * live exists again. Whatever sits at `live` when that rename fails is a
+    * COMPLETE directory, so the swap RETRIES: move it aside and rename
+    * again. Retrying never installs a torn state, only decides which
+    * complete copy ends up live; bounded — each retry requires another
+    * racer in the exact window. */
+  def atomicSwapDirs(spark: SparkSession, next: String, live: String): Unit =
+    swapLock(live).synchronized {
+      recoverSwap(spark, live) // heal any earlier interrupted swap first
+      val (fs, livePath) = hfs(spark, live)
+      val old = new org.apache.hadoop.fs.Path(live + ".old")
+      // only clear `.old` while a live copy exists: if live is absent,
+      // `.old` may be the ONLY complete copy (a cross-process swapper
+      // mid-window) and deleting it would let a crash strand the path with
+      // neither (r9 review)
+      if (fs.exists(livePath) && fs.exists(old)) fs.delete(old, true)
+      // the aside itself can race a swapper in another process: both pass
+      // the exists probe, the loser's rename finds the source vanished (the
+      // winner took it) — live is then in the winner's hands, so just
+      // proceed; a rename blocked by a racer-recreated `.old` re-clears it
+      // (under the same live-exists guard) and retries (r9 review)
+      var asideTries = 0
+      while (fs.exists(livePath) &&
+             !(try fs.rename(livePath, old)
+               catch { case _: java.io.FileNotFoundException => false })) {
+        asideTries += 1
+        require(asideTries <= 8, s"rename $live -> $old failed ($asideTries attempts)")
+        if (fs.exists(livePath)) fs.delete(old, true)
+      }
+      val nextPath = new org.apache.hadoop.fs.Path(next)
+      var attempts = 0
+      while (!fs.rename(nextPath, livePath)) {
+        attempts += 1
+        require(attempts <= 8, s"rename $next -> $live failed ($attempts attempts)")
+        if (fs.exists(livePath)) {
+          // a complete copy got (re)installed at live (a reader's heal, or
+          // a cross-process racer's finished swap): move it aside and
+          // retry. TOLERANT, not a bare require — the copy can vanish again
+          // mid-move (another racer took it), which just means the retry
+          // probe re-runs (r9 review)
+          fs.delete(old, true)
+          try { fs.rename(livePath, old); () }
+          catch { case _: java.io.FileNotFoundException => () }
+        }
+      }
+      if (fs.exists(old)) fs.delete(old, true)
+      activeStaging.remove(nextPath.getName)
+      sweepStaleStaging(fs, livePath)
+      ()
+    }
+
+  /** Janitor for crash-stranded staging dirs — contract in
+    * [[UpsertSink]]'s forwarding scaladoc: reaps unregistered
+    * staging-patterned siblings older than [[stagingReapHorizonMs]] by a
+    * TRUSTED mtime, WARN-logging each reap; never fails the committed swap
+    * it rides on. */
+  private def sweepStaleStaging(fs: org.apache.hadoop.fs.FileSystem,
+                                livePath: org.apache.hadoop.fs.Path): Unit =
+    try {
+      val tick = sweepTick.computeIfAbsent(livePath.toString,
+        _ => new java.util.concurrent.atomic.AtomicLong())
+      if (tick.incrementAndGet() % 32L != 1L) return
+      val parent = livePath.getParent
+      if (parent == null || !fs.exists(parent)) return
+      val name = livePath.getName
+      val now = System.currentTimeMillis()
+      val horizon = now - stagingReapHorizonMs
+      fs.listStatus(parent).foreach { st =>
+        val n = st.getPath.getName
+        if ((n.startsWith(name + ".next-") || n.startsWith(name + ".staging-")) &&
+            !activeStaging.contains(n) &&
+            st.getModificationTime > 0 && st.getModificationTime < horizon) {
+          try {
+            if (fs.delete(st.getPath, true))
+              sweepLog.warn(
+                s"reaped stale staging dir ${st.getPath} (age " +
+                  s"${(now - st.getModificationTime) / 1000}s > horizon " +
+                  s"${stagingReapHorizonMs / 1000}s, no registered writer " +
+                  "in this JVM); if a cross-process rebuild owned it, its " +
+                  "swap will fail and must re-run — raise " +
+                  "UpsertSink.setStagingReapHorizonMs for long rebuilds")
+            ()
+          }
+          catch { case _: java.io.IOException => () }
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
+
+  // ------------------------------------------------- staleness marker
+
+  /** Path of the staleness marker guarding `zmPath`: present while a sink
+    * write has committed whose zone-map refresh has not. */
+  def markerPath(zmPath: String): String = zmPath + ".pending"
+
+  /** Claim the marker write-ahead of `ownerId`'s sink write. Returns true
+    * iff this caller OWNS it — it wrote it, or an earlier attempt with the
+    * SAME id did (the at-least-once batch replay). A DIFFERENT live
+    * owner's marker wins and the caller must skip all manifest work (see
+    * the state table). A TORN marker (crash mid-create, owned by nobody)
+    * is claimable. */
+  def claimMarker(spark: SparkSession, zmPath: String, ownerId: Long): Boolean =
+    swapLock(zmPath).synchronized {
+      val p = new org.apache.hadoop.fs.Path(markerPath(zmPath))
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      readMarkerOwner(fs, p) match {
+        case Some(v) if v == ownerId => true
+        case Some(v) if v != Long.MinValue => false
+        case _ => writeMarkerOwner(fs, p, ownerId); true
+      }
+    }
+
+  /** FORCE ownership of the marker (unconditional overwrite) — the
+    * rebuild-commit path: a marker orphaned by a crashed batch must not be
+    * re-ownable by that batch's checkpoint replay mid-rebuild (the replay
+    * would splice its buckets and CLEAR while every other bucket's stats
+    * still describe pre-rebuild data — r9 review). */
+  def forceMarker(spark: SparkSession, zmPath: String, ownerId: Long): Unit =
+    swapLock(zmPath).synchronized {
+      val p = new org.apache.hadoop.fs.Path(markerPath(zmPath))
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      writeMarkerOwner(fs, p, ownerId)
+    }
+
+  private def writeMarkerOwner(fs: org.apache.hadoop.fs.FileSystem,
+                               p: org.apache.hadoop.fs.Path, ownerId: Long): Unit = {
+    val out = fs.create(p, true)
+    try out.write(ownerId.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Clear the marker iff `ownerId` still owns it (the owner's release
+    * after its own splice — see the state table). */
+  def releaseMarker(spark: SparkSession, zmPath: String, ownerId: Long): Unit =
+    swapLock(zmPath).synchronized {
+      val p = new org.apache.hadoop.fs.Path(markerPath(zmPath))
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (readMarkerOwner(fs, p).contains(ownerId)) { fs.delete(p, false); () }
+    }
+
+  /** Unconditional clear — ONLY for callers that just recomputed the whole
+    * manifest from live state (the quiesced clear; compactApply's
+    * single-writer rewrite). */
+  def clearMarker(spark: SparkSession, zmPath: String): Unit =
+    swapLock(zmPath).synchronized {
+      val p = new org.apache.hadoop.fs.Path(markerPath(zmPath))
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) { fs.delete(p, false); () }
+    }
+
+  /** Owner id of the marker, if up: `Some(id)` live, `Some(Long.MinValue)`
+    * torn (owned by nobody), `None` clean. */
+  def markerOwner(spark: SparkSession, zmPath: String): Option[Long] =
+    swapLock(zmPath).synchronized {
+      val p = new org.apache.hadoop.fs.Path(markerPath(zmPath))
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      readMarkerOwner(fs, p)
+    }
+
+  def markerExists(spark: SparkSession, zmPath: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(markerPath(zmPath))
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  private def readMarkerOwner(fs: org.apache.hadoop.fs.FileSystem,
+                              p: org.apache.hadoop.fs.Path): Option[Long] = {
+    if (!fs.exists(p)) return None
+    val len = fs.getFileStatus(p).getLen.toInt
+    if (len == 0) return Some(Long.MinValue) // torn marker: owned by nobody
+    val bytes = new Array[Byte](len)
+    val in = fs.open(p)
+    try in.readFully(0, bytes) finally in.close()
+    scala.util.Try(new String(bytes, "UTF-8").trim.toLong).toOption
+      .orElse(Some(Long.MinValue))
+  }
+
+  // --------------------------------------------------- quiesced clear
+
+  /** The quiesced full-rebuild clear (the state table's rebuild-scan row):
+    * run `scan` (a full manifest recompute from live state) OUTSIDE the
+    * state lock — the stream keeps flowing — then clear the marker only if
+    * the path's mutation stamp is UNCHANGED across the scan, verified
+    * atomically with the clear under [[stateLock]]. A mutation landing
+    * mid-scan or between scan and clear bumps the stamp and forces a
+    * re-scan. The clear is UNCONDITIONAL on ownership: a quiesced scan
+    * recomputed every bucket from live state, so whatever marker is up —
+    * this rebuild's, a crashed batch's, an earlier rebuild's orphan — the
+    * manifest it guards is now accurate (this is also what heals orphaned
+    * markers). Scans broken by a concurrent swap (vanished files) retry on
+    * their own bounded budget; correctness never depends on the retry,
+    * only availability. A starved quiesce (a stream hot enough to land a
+    * mutation during every lock-free scan) escalates to ONE final scan
+    * UNDER the state lock — the stream stalls for exactly one manifest
+    * scan, bounded and deterministic, instead of pruning staying disabled
+    * indefinitely (r9 review). */
+  def quiescedClear(spark: SparkSession, statePath: String, zmPath: String)
+                   (scan: () => Unit): Unit = {
+    val stamp = mutationStamp(statePath)
+    var fnfRetries = 0
+    var quiesceTries = 0
+    var done = false
+    while (!done && quiesceTries < 3) {
+      val s1 = stamp.get()
+      try {
+        scan()
+        done = stateLock(statePath).synchronized {
+          // no locked writer is mid-flight here; a stamp match means the
+          // scan saw every committed mutation
+          if (stamp.get() == s1) { clearMarker(spark, zmPath); true }
+          else false
+        }
+        // only a FAILED quiesce consumes the budget: a transient
+        // vanished-file race gets its own separately-bounded retries
+        // instead of eating quiesce tries (r9 review)
+        if (!done) quiesceTries += 1
+      } catch {
+        case e: Throwable if fnfRetries < 3 && causedByVanishedFile(e) =>
+          fnfRetries += 1
+      }
+    }
+    if (!done) stateLock(statePath).synchronized {
+      scan()
+      clearMarker(spark, zmPath)
+    }
+  }
+
+  /** True iff the failure chain bottoms out in a vanished file OR path —
+    * the signatures of a scan racing a concurrent directory swap:
+    * FileNotFoundException (a listed file renamed away mid-job) and
+    * AnalysisException PATH_NOT_FOUND (the whole dir resolved inside the
+    * swap's two-rename window). Bounded retries make a genuinely
+    * misconfigured path still fail, just not on the first scan. */
+  def causedByVanishedFile(t: Throwable): Boolean = {
+    var c: Throwable = t
+    var depth = 0
+    while (c != null && depth < 12) {
+      c match {
+        case _: java.io.FileNotFoundException => return true
+        case a: org.apache.spark.sql.AnalysisException
+            if Option(a.getCondition).exists(_.startsWith("PATH_NOT_FOUND")) =>
+          return true
+        case _ => ()
+      }
+      c = c.getCause
+      depth += 1
+    }
+    false
+  }
+}

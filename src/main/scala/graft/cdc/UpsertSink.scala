@@ -126,54 +126,23 @@ object UpsertSink {
       next.write.mode("overwrite").parquet(tmp))
   }
 
-  /** Invocation-unique staging dir for a swap into `live`: a shared fixed
-    * `.next` name lets two concurrent writers — a live micro-batch racing
-    * a dead-letter replay on the same sync, or overlapping refresh tasks —
-    * interleave writes in ONE staging dir and swap a torn mix live
-    * (r9 review; the SwapRefresh discipline). The swap MOVES the dir, so
-    * success leaves nothing behind; a crashed writer strands only its own
-    * uniquely-named dir, never corrupts a peer's. */
-  private[graft] def stagingDir(live: String): String = {
-    val d = live + ".next-" + java.util.UUID.randomUUID().toString.take(8)
-    // register with the janitor BEFORE any file exists: a staging dir's
-    // mtime freezes at job start (all write activity happens under
-    // _temporary), so age alone cannot distinguish a long-running write
-    // from a crash leftover — the registry is what protects an in-JVM
-    // writer however long its job runs (r9 review)
-    activeStaging.add(new org.apache.hadoop.fs.Path(d).getName)
-    d
-  }
+  // -------------------------------------------------------------------
+  // Staged-swap machinery — LOGIC LIVES IN [[StateCommit]] (r9 verdict #2:
+  // the whole commit protocol reads in one module); these forwarders keep
+  // the historical call sites and spec references stable.
+  // -------------------------------------------------------------------
 
-  /** The staged-write-then-swap pattern with failure cleanup: a staged
-    * write that THROWS (task failure, disk full) used to leave its partial
-    * dir on disk AND registered with the janitor — protected from reaping
-    * forever, the exact leak the janitor exists to fix (r9 review). The
-    * dir is dropped (and unregistered) on any failure; the caller's retry
-    * stages fresh. */
+  /** Invocation-unique janitor-registered staging dir — [[StateCommit.stagingDir]]. */
+  private[graft] def stagingDir(live: String): String = StateCommit.stagingDir(live)
+
+  /** Staged-write-then-swap with failure cleanup — [[StateCommit.stageSwap]]. */
   private[graft] def stageSwap(spark: SparkSession, live: String)
-                              (write: String => Unit): Unit = {
-    val tmp = stagingDir(live)
-    try {
-      write(tmp)
-      atomicSwapDirs(spark, tmp, live)
-    } catch {
-      case t: Throwable => dropStaging(spark, tmp); throw t
-    }
-  }
+                              (write: String => Unit): Unit =
+    StateCommit.stageSwap(spark, live)(write)
 
-  /** Abandon a staged dir without swapping it (e.g. a backfill that lost
-    * the bootstrap race): delete it and release its janitor registration. */
-  private[graft] def dropStaging(spark: SparkSession, staging: String): Unit = {
-    val (fs, p) = hfs(spark, staging)
-    try { fs.delete(p, true); () }
-    catch { case _: java.io.IOException => () }
-    activeStaging.remove(p.getName)
-    ()
-  }
-
-  // staging dirs currently owned by a writer in THIS JVM — never reaped
-  private val activeStaging =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  /** Abandon a staged dir without swapping — [[StateCommit.dropStaging]]. */
+  private[graft] def dropStaging(spark: SparkSession, staging: String): Unit =
+    StateCommit.dropStaging(spark, staging)
 
   /** Janitor reap horizon: an UNREGISTERED staging dir (no live writer in
     * this JVM) older than this is presumed crash-stranded and reaped. The
@@ -185,16 +154,12 @@ object UpsertSink {
     * swap time — safe (the rebuild re-runs) but expensive (ADVICE r9).
     * Reaped dirs are WARN-logged so that later swap failure is diagnosable
     * back to the reap. */
-  @volatile private[graft] var stagingReapHorizonMs: Long = 3600L * 1000L
+  private[graft] def stagingReapHorizonMs: Long = StateCommit.stagingReapHorizonMs
   /** Configure the janitor horizon (see [[stagingReapHorizonMs]]). */
   def setStagingReapHorizonMs(ms: Long): Unit = {
     require(ms > 0, s"staging reap horizon must be positive, got $ms")
-    stagingReapHorizonMs = ms
+    StateCommit.stagingReapHorizonMs = ms
   }
-  private val sweepLog = org.slf4j.LoggerFactory.getLogger("graft.janitor")
-  // amortizes the janitor's listStatus to every 32nd swap per live path
-  private val sweepTick = new java.util.concurrent.ConcurrentHashMap[
-    String, java.util.concurrent.atomic.AtomicLong]()
 
   def currentState(
       spark: SparkSession,
@@ -219,142 +184,21 @@ object UpsertSink {
     fs.exists(p)
   }
 
-  // Per-live-path monitor serializing same-JVM swappers and healers: the
-  // rename-retry machinery below tolerates cross-process racers, but two
-  // in-process swappers (overlapping refreshAsync tasks; a replay racing a
-  // batch on a sidecar) interleaving exists-probes with deletes left narrow
-  // TOCTOU windows where a crash could strand a path with NEITHER live nor
-  // `.old` (r9 review). Every advertised concurrent shape is in-JVM, so the
-  // monitor closes those windows outright; the retries remain for readers
-  // in other processes.
-  private val swapLocks =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]()
-  private[graft] def swapLock(live: String): Object =
-    swapLocks.computeIfAbsent(live, _ => new Object)
+  /** Per-live-path monitor serializing same-JVM swappers and healers —
+    * [[StateCommit.swapLock]] (every advertised concurrent shape is
+    * in-JVM; rename-retries remain for readers in other processes). */
+  private[graft] def swapLock(live: String): Object = StateCommit.swapLock(live)
 
-  /** Heal [[atomicSwapDirs]]'s crash window: a crash between the two renames
-    * leaves no live dir but a complete `.old` — restore it. The state then
-    * reflects the pre-batch version; the streaming checkpoint replays the
-    * un-committed batch and the idempotent apply makes the replay safe. */
+  /** Heal an interrupted swap's crash window — [[StateCommit.recoverSwap]]:
+    * live absent + complete `.old` present means a crash between the two
+    * renames; restore `.old`, and the checkpoint replay of the
+    * un-committed batch makes the state catch up idempotently. */
   private[graft] def recoverSwap(spark: SparkSession, live: String): Unit =
-    swapLock(live).synchronized {
-    val (fs, p) = hfs(spark, live)
-    val old = new org.apache.hadoop.fs.Path(live + ".old")
-    if (!fs.exists(p) && fs.exists(old)) {
-      // a swapper in ANOTHER process can finish and DELETE `.old` between
-      // our exists probe and this rename — the vanished source means live
-      // is healthy again, so the failed heal is a no-op, not an error
-      // (caught by the r9 swap-race stress spec)
-      try { fs.rename(old, p); () }
-      catch { case _: java.io.FileNotFoundException => () }
-    }
-  }
+    StateCommit.recoverSwap(spark, live)
 
-  /** Directory pointer swap (stand-in for Delta/Iceberg atomic commit in the
-    * zero-dependency harness): move live aside, move next into place. Each
-    * rename is atomic (same-volume dir rename); the window between them is
-    * recoverable — every read path calls [[recoverSwap]] first.
-    *
-    * Concurrent-swap race (r9 review): a reader's [[recoverSwap]] firing
-    * INSIDE our two-rename window sees no live + a complete `.old` and
-    * resurrects the old copy — then our `next -> live` rename fails because
-    * live exists again. Whatever sits at `live` when that rename fails is
-    * a COMPLETE directory (the resurrected old copy, or — under two
-    * concurrent refreshes, each swapping its own invocation-unique staging
-    * dir — the other refresh's finished copy), so the swap RETRIES: move it
-    * aside and rename again. Retrying never installs a torn state, only
-    * decides which complete copy ends up live; bounded — each retry
-    * requires another racer in the exact window. */
+  /** Directory pointer swap with crash healing, retry-tolerant against
+    * concurrent swappers/healers, riding the staging janitor —
+    * [[StateCommit.atomicSwapDirs]] (the full race analysis lives there). */
   private[graft] def atomicSwapDirs(spark: SparkSession, next: String, live: String): Unit =
-    swapLock(live).synchronized {
-    recoverSwap(spark, live) // heal any earlier interrupted swap first
-    val (fs, livePath) = hfs(spark, live)
-    val old = new org.apache.hadoop.fs.Path(live + ".old")
-    // only clear `.old` while a live copy exists: if live is absent, `.old`
-    // may be the ONLY complete copy (a cross-process swapper mid-window) and
-    // deleting it would let a crash strand the path with neither (r9 review)
-    if (fs.exists(livePath) && fs.exists(old)) fs.delete(old, true)
-    // the aside itself can race a swapper in another process: both pass the
-    // exists probe, the loser's rename finds the source vanished (the winner
-    // took it) — live is then in the winner's hands, so just proceed; a
-    // rename blocked by a racer-recreated `.old` re-clears it (under the
-    // same live-exists guard) and retries (r9 review)
-    var asideTries = 0
-    while (fs.exists(livePath) &&
-           !(try fs.rename(livePath, old)
-             catch { case _: java.io.FileNotFoundException => false })) {
-      asideTries += 1
-      require(asideTries <= 8, s"rename $live -> $old failed ($asideTries attempts)")
-      if (fs.exists(livePath)) fs.delete(old, true)
-    }
-    val nextPath = new org.apache.hadoop.fs.Path(next)
-    var attempts = 0
-    while (!fs.rename(nextPath, livePath)) {
-      attempts += 1
-      require(attempts <= 8, s"rename $next -> $live failed ($attempts attempts)")
-      if (fs.exists(livePath)) {
-        // a complete copy got (re)installed at live (a reader's heal, or a
-        // cross-process racer's finished swap): move it aside and retry.
-        // TOLERANT, not a bare require — the copy can vanish again mid-move
-        // (another racer took it), which just means the retry probe re-runs
-        // (r9 review: the single-attempt require aborted swaps spuriously)
-        fs.delete(old, true)
-        try { fs.rename(livePath, old); () }
-        catch { case _: java.io.FileNotFoundException => () }
-      }
-    }
-    if (fs.exists(old)) fs.delete(old, true)
-    activeStaging.remove(nextPath.getName)
-    sweepStaleStaging(fs, livePath)
-    ()
-  }
-
-  /** Janitor for crash-stranded staging dirs: invocation-unique staging
-    * (`<live>.next-*` / `<live>.staging-*`) self-cleans on success (the
-    * swap MOVES it) but a crashed writer strands its copy forever — the
-    * fixed-name scheme it replaced was at least reclaimed by the next
-    * run's overwrite (r9 review). Reaps siblings matching the staging
-    * patterns that are (a) NOT registered to a live writer in this JVM —
-    * the authoritative liveness signal, since a dir's mtime freezes at job
-    * start and a long scan would otherwise look stale mid-write — AND
-    * (b) older than [[stagingReapHorizonMs]] by a TRUSTED mtime
-    * (zero/unknown mtimes, e.g. object-store fake directories, are never
-    * reaped). A cross-process writer stalled past the horizon loses only
-    * its staging copy — its own swap then fails LOUDLY and the rebuild
-    * re-runs, never silent corruption — and each reap is WARN-logged with
-    * the dir name and age so that swap failure traces back here. Runs
-    * after every 32nd successful swap per path (one listStatus RPC
-    * amortized across micro-batch commits) and NEVER fails the
-    * already-committed swap it rides on. */
-  private def sweepStaleStaging(fs: org.apache.hadoop.fs.FileSystem,
-                                livePath: org.apache.hadoop.fs.Path): Unit =
-    try {
-      val tick = sweepTick.computeIfAbsent(livePath.toString,
-        _ => new java.util.concurrent.atomic.AtomicLong())
-      if (tick.incrementAndGet() % 32L != 1L) return
-      val parent = livePath.getParent
-      if (parent == null || !fs.exists(parent)) return
-      val name = livePath.getName
-      val now = System.currentTimeMillis()
-      val horizon = now - stagingReapHorizonMs
-      fs.listStatus(parent).foreach { st =>
-        val n = st.getPath.getName
-        if ((n.startsWith(name + ".next-") || n.startsWith(name + ".staging-")) &&
-            !activeStaging.contains(n) &&
-            st.getModificationTime > 0 && st.getModificationTime < horizon) {
-          try {
-            if (fs.delete(st.getPath, true))
-              sweepLog.warn(
-                s"reaped stale staging dir ${st.getPath} (age " +
-                  s"${(now - st.getModificationTime) / 1000}s > horizon " +
-                  s"${stagingReapHorizonMs / 1000}s, no registered writer " +
-                  "in this JVM); if a cross-process rebuild owned it, its " +
-                  "swap will fail and must re-run — raise " +
-                  "UpsertSink.setStagingReapHorizonMs for long rebuilds")
-            ()
-          }
-          catch { case _: java.io.IOException => () }
-        }
-      }
-    } catch { case scala.util.control.NonFatal(_) => () }
+    StateCommit.atomicSwapDirs(spark, next, live)
 }

@@ -278,105 +278,49 @@ object Maintenance {
     }
   }
 
-  /** Path of the staleness marker guarding `zmPath`: present while a sink
-    * write has committed whose zone-map refresh has not. */
-  def zoneMapPendingPath(zmPath: String): String = zmPath + ".pending"
+  // -------------------------------------------------------------------
+  // Staleness-marker discipline — LOGIC LIVES IN [[graft.cdc.StateCommit]]
+  // (r9 verdict #2: the whole commit protocol, with its states×events
+  // table, reads in one module); forwarders keep the historical names.
+  // -------------------------------------------------------------------
 
-  /** Mark the manifest potentially stale BEFORE the write of `ownerId`
-    * lands (write-ahead: a crash anywhere in the write → refresh window
-    * leaves the marker, never a silently-stale manifest). OWNERSHIP-aware
-    * (r9 review): returns true iff this caller owns the marker — it wrote
-    * it, or an earlier attempt with the SAME id did (the at-least-once
-    * batch replay). If a DIFFERENT owner's marker is already up (a live
-    * batch arriving while a refresh's full rebuild is still pending), the
-    * existing marker wins and this caller must NOT clear: its incremental
-    * splice rides a prior manifest the pending full rebuild has yet to
-    * fix, so clearing would let pruned reads trust part-stale stats. */
+  /** Marker path guarding `zmPath` — [[graft.cdc.StateCommit.markerPath]]. */
+  def zoneMapPendingPath(zmPath: String): String =
+    graft.cdc.StateCommit.markerPath(zmPath)
+
+  /** Write-ahead ownership claim; true iff the caller owns the marker —
+    * [[graft.cdc.StateCommit.claimMarker]] (a foreign owner's marker wins
+    * and the caller must skip all manifest work). */
   def markZoneMapPending(spark: SparkSession, zmPath: String,
                          ownerId: Long): Boolean =
-    graft.cdc.UpsertSink.swapLock(zmPath).synchronized {
-      val p = new org.apache.hadoop.fs.Path(zoneMapPendingPath(zmPath))
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      readPendingOwner(fs, p) match {
-        case Some(v) if v == ownerId => true
-        // a DIFFERENT live owner keeps the marker; anything else — absent,
-        // or a TORN marker (crash mid-create, owned by nobody) — is
-        // claimable, so the clear-on-success path can always heal it
-        case Some(v) if v != Long.MinValue => false
-        case _ => writeOwner(fs, p, ownerId); true
-      }
-    }
+    graft.cdc.StateCommit.claimMarker(spark, zmPath, ownerId)
 
-  /** FORCE ownership of the marker (unconditional overwrite) — the
-    * refresh-commit path: a marker orphaned by a crashed batch must not be
-    * re-ownable by that batch's checkpoint replay mid-rebuild (the replay
-    * would splice its buckets and CLEAR while every other bucket's stats
-    * still describe pre-refresh data — r9 review). Stealing under the
-    * state lock makes the replay's mark return false, so it skips and the
-    * rebuild's quiesced clear is the only way down. */
+  /** Force ownership (the rebuild-commit steal) —
+    * [[graft.cdc.StateCommit.forceMarker]]. */
   def forceZoneMapPending(spark: SparkSession, zmPath: String,
                           ownerId: Long): Unit =
-    graft.cdc.UpsertSink.swapLock(zmPath).synchronized {
-      val p = new org.apache.hadoop.fs.Path(zoneMapPendingPath(zmPath))
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      writeOwner(fs, p, ownerId)
-    }
+    graft.cdc.StateCommit.forceMarker(spark, zmPath, ownerId)
 
-  /** The one marker-file serialization, shared by claim and force. */
-  private def writeOwner(fs: org.apache.hadoop.fs.FileSystem,
-                         p: org.apache.hadoop.fs.Path, ownerId: Long): Unit = {
-    val out = fs.create(p, true)
-    try out.write(ownerId.toString.getBytes("UTF-8")) finally out.close()
-  }
-
-  /** Clear the staleness marker AFTER a successful refresh — only if this
-    * caller still owns it (see [[markZoneMapPending]]). */
+  /** Owned clear (the owner's release after its own splice) —
+    * [[graft.cdc.StateCommit.releaseMarker]]. */
   def clearZoneMapPending(spark: SparkSession, zmPath: String,
                           ownerId: Long): Unit =
-    graft.cdc.UpsertSink.swapLock(zmPath).synchronized {
-      val p = new org.apache.hadoop.fs.Path(zoneMapPendingPath(zmPath))
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (readPendingOwner(fs, p).contains(ownerId)) { fs.delete(p, false); () }
-    }
+    graft.cdc.StateCommit.releaseMarker(spark, zmPath, ownerId)
 
-  /** Unconditional clear — for single-writer contexts that own the whole
-    * rewrite (compactApply). */
+  /** Unconditional clear — only for callers that just recomputed the whole
+    * manifest (quiesced clears; compactApply's single-writer rewrite) —
+    * [[graft.cdc.StateCommit.clearMarker]]. */
   def clearZoneMapPending(spark: SparkSession, zmPath: String): Unit =
-    graft.cdc.UpsertSink.swapLock(zmPath).synchronized {
-      val p = new org.apache.hadoop.fs.Path(zoneMapPendingPath(zmPath))
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(p)) { fs.delete(p, false); () }
-    }
+    graft.cdc.StateCommit.clearMarker(spark, zmPath)
 
-  /** Owner id of the pending marker, if one is up: `Some(id)` for a live
-    * owner, `Some(Long.MinValue)` for a torn marker (owned by nobody),
-    * `None` when the manifest is clean. The operational status probe —
-    * `check` surfaces it so an orphaned refresh marker (negative id, its
-    * minter crashed before the rebuild's clear) is visible to the operator
-    * instead of silently disabling pruned reads (ADVICE r9). */
+  /** Owner id of the pending marker, if one is up — the operational status
+    * probe `check` surfaces (ADVICE r9) —
+    * [[graft.cdc.StateCommit.markerOwner]]. */
   def zoneMapPendingOwner(spark: SparkSession, zmPath: String): Option[Long] =
-    graft.cdc.UpsertSink.swapLock(zmPath).synchronized {
-      val p = new org.apache.hadoop.fs.Path(zoneMapPendingPath(zmPath))
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      readPendingOwner(fs, p)
-    }
+    graft.cdc.StateCommit.markerOwner(spark, zmPath)
 
-  private def readPendingOwner(fs: org.apache.hadoop.fs.FileSystem,
-                               p: org.apache.hadoop.fs.Path): Option[Long] = {
-    if (!fs.exists(p)) return None
-    val len = fs.getFileStatus(p).getLen.toInt
-    if (len == 0) return Some(Long.MinValue) // torn marker: owned by nobody
-    val bytes = new Array[Byte](len)
-    val in = fs.open(p)
-    try in.readFully(0, bytes) finally in.close()
-    scala.util.Try(new String(bytes, "UTF-8").trim.toLong).toOption
-      .orElse(Some(Long.MinValue))
-  }
-
-  private def zoneMapPendingExists(spark: SparkSession, zmPath: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(zoneMapPendingPath(zmPath))
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-  }
+  private def zoneMapPendingExists(spark: SparkSession, zmPath: String): Boolean =
+    graft.cdc.StateCommit.markerExists(spark, zmPath)
 
   /** Manifest-driven pruned read: consult the O(buckets) zone map for the
     * buckets whose [min,max] window on `statCol` intersects
