@@ -24,10 +24,11 @@ object Bench {
     * dominates; e.g. q_stream_join's 3.9 s two-trigger lifecycle floor),
     * not data-scale throughput. Re-running them buys no precision — their
     * variance is the lifecycle's, and drift on them is adjudicated by
-    * Profile floors, not the sweep (r9 verdict #6) — so the bench runs
-    * each ONCE: no codegen warmup rep (the floor isn't codegen) and no
-    * second timed pass. This trims ~35 s of fixed cost from the sweep
-    * without losing per-query coverage. */
+    * Profile floors, not the sweep (r9 verdict #6) — so each gets ONE
+    * timed rep (warm: the warmup pass still covers them, since a cold
+    * first run pays codegen/JIT ON TOP of the floor) and skips the second
+    * timed pass, trimming ~17 s of fixed cost from the sweep without
+    * losing per-query coverage. */
   val FloorBound: Set[String] = Set(
     "q_stream_join", "q_stream_sessions", "q_stream_traillog",
     "q_dedup_stream", "q_stream_hh", "q_dedup_incr")
@@ -54,13 +55,13 @@ object Bench {
     // that says nothing about data-scale throughput, which is what the
     // numbers are for. A representative-subset warmup (rounds 2-3) still
     // left first-run spikes on whichever heavy queries it skipped.
-    SparkEntry.queries.foreach { case (name, fn) =>
-      // FloorBound ops skip the warmup rep: their cost is the checkpoint
-      // lifecycle, not codegen, and each rep pays the full floor
-      if (!FloorBound(name)) {
-        try { fn(spark, sfDir).count(); () }
-        catch { case _: Throwable => () }
-      }
+    // FloorBound ops warm up too: their plans still pay first-run
+    // codegen/JIT on top of the lifecycle floor (measured: a cold
+    // q_stream_traillog ran 5.8 s where its warm same-day Profile floor
+    // was 3.4 s — skipping the warmup biased the single timed rep high)
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try { fn(spark, sfDir).count(); () }
+      catch { case _: Throwable => () }
     }
     // Drop the warmup pass's leftovers before timing: cached plans via the
     // CacheManager, and localCheckpoint blocks via ContextCleaner (which

@@ -143,6 +143,12 @@ object DriverLease {
               // else: lost the takeover race — loop re-reads what won
             }
           case None =>
+            // a TORN lease (empty/oversized/unreadable — a crash mid-create
+            // or out-of-protocol edit) is owned by nobody: reclaim it, or
+            // the no-overwrite create below would fail against the garbage
+            // file until the retry budget died with a misleading message
+            if (fs.exists(p)) { try fs.delete(p, false)
+              catch { case _: java.io.IOException => () } }
             if (writeLease(fs, p, identity, overwrite = false)) done = true
           // else: lost the initial claim race — loop re-reads what won
         }
