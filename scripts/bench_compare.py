@@ -48,13 +48,19 @@ def main():
     ref = load_ref(sys.argv)
     nq, rq = new["queries"], ref["queries"]
     hl = headline_set()
-    n_hl, n_hit = tier(nq, hl)
-    r_hl, r_hit = tier(rq, hl)
     shared = sorted(set(nq) & set(rq))
+    # headline sums restricted to hl & shared: summing each file's own
+    # hits would silently skew the ratio by any added/renamed member's
+    # whole runtime (and divide by zero on no ref-side overlap)
+    hl_shared = hl & set(shared)
+    n_hl, n_hit = tier(nq, hl_shared)
+    r_hl, _ = tier(rq, hl_shared)
     n_sh = sum(nq[k] for k in shared)
     r_sh = sum(rq[k] for k in shared)
+    if not hl_shared or r_hl == 0 or r_sh == 0:
+        print("no shared headline surface to compare"); sys.exit(2)
     print(f"HEADLINE  {n_hl:8.1f} s vs {r_hl:8.1f} s  "
-          f"({n_hl / r_hl:.3f}x, {len(n_hit)}/{len(hl)} queries)")
+          f"({n_hl / r_hl:.3f}x, {len(n_hit)}/{len(hl)} shared headline queries)")
     print(f"full      {new['value']:8.1f} s ({new['n']} q) vs "
           f"{ref['value']:8.1f} s ({ref['n']} q); shared {len(shared)} q: "
           f"{n_sh / r_sh:.3f}x")

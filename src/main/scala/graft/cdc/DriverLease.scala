@@ -69,10 +69,9 @@ object DriverLease {
   private def lock(statePath: String): Object =
     locks.computeIfAbsent(statePath, _ => new Object)
 
-  private def hfs(spark: SparkSession, p: String) = {
-    val path = new org.apache.hadoop.fs.Path(p)
-    (path.getFileSystem(spark.sparkContext.hadoopConfiguration), path)
-  }
+  // the shared cdc (FileSystem, Path) resolver — one discipline with the
+  // swap/marker file protocols (review r10)
+  private def hfs(spark: SparkSession, p: String) = StateCommit.hfs(spark, p)
 
   private def readIdentity(fs: org.apache.hadoop.fs.FileSystem,
                            p: org.apache.hadoop.fs.Path): Option[(String, Long)] =
@@ -111,6 +110,12 @@ object DriverLease {
               identity: String = processIdentity,
               staleMs: Long = DefaultStaleMs): Unit =
     lock(statePath).synchronized {
+      // a zero/negative horizon reads EVERY foreign lease as stale — two
+      // drivers would each take over per batch, silently restoring the
+      // exact last-copy-wins interleaving the lease exists to make loud
+      // (review r10); same guard class as setStagingReapHorizonMs
+      require(staleMs > 0,
+        s"lease.stale.ms must be positive, got $staleMs")
       val (fs, p) = hfs(spark, leasePath(statePath))
       var attempts = 0
       var done = false

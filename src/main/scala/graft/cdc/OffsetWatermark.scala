@@ -80,19 +80,26 @@ object OffsetWatermark {
   /** Sidecar file holding the sync-level snapshot floor. */
   def floorPath(statePath: String): String = statePath + ".wm.floor"
 
-  /** True iff the watermark dir holds actual DATA (bucket partition dirs or
-    * parquet part files) — `_SUCCESS` alone does not count, so a historical
-    * schema-less empty write reads as absent and the next real batch heals
-    * it via the initial-write path. Also heals an interrupted atomic swap
-    * first (the [[BucketedUpsertSink]] hasBuckets discipline). */
-  private def hasData(spark: SparkSession, dir: String): Boolean = {
+  /** One healed listing of the watermark dir's entry names, shared by the
+    * data probe and the layout probe so an advance pays a single
+    * listStatus RPC (review r10: a separate layout listing per batch paid
+    * a second RPC forever to detect a once-per-deployment config flip).
+    * Heals an interrupted atomic swap first (the [[BucketedUpsertSink]]
+    * hasBuckets discipline). */
+  private def entryNames(spark: SparkSession, dir: String): Array[String] = {
     UpsertSink.recoverSwap(spark, dir)
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(p) && fs.listStatus(p).exists { s =>
-      val n = s.getPath.getName
-      n.startsWith(BucketedUpsertSink.BucketCol + "=") || n.endsWith(".parquet")
-    }
+    if (!fs.exists(p)) Array.empty
+    else fs.listStatus(p).map(_.getPath.getName)
+  }
+
+  /** True iff the listing holds actual DATA (bucket partition dirs or
+    * parquet part files) — `_SUCCESS` alone does not count, so a historical
+    * schema-less empty write reads as absent and the next real batch heals
+    * it via the initial-write path. */
+  private def hasData(names: Array[String]): Boolean = names.exists { n =>
+    n.startsWith(BucketedUpsertSink.BucketCol + "=") || n.endsWith(".parquet")
   }
 
   /** True iff the stored sidecar was written in the BUCKETED layout
@@ -103,12 +110,8 @@ object OffsetWatermark {
     * rewrites the store into the configured layout ONCE (the sidecar is
     * O(live pks), the same bound as a full-map merge, so a one-time
     * rewrite is the cheap honest migration; ADVICE r9). */
-  private def storedLayoutBucketed(spark: SparkSession, dir: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(p) && fs.listStatus(p).exists(
-      _.getPath.getName.startsWith(BucketedUpsertSink.BucketCol + "="))
-  }
+  private def layoutBucketed(names: Array[String]): Boolean =
+    names.exists(_.startsWith(BucketedUpsertSink.BucketCol + "="))
 
   /** Current watermark table (pk, [[OffsetCol]], [[RidxCol]]); None if
     * never written. */
@@ -118,7 +121,7 @@ object OffsetWatermark {
     // overwrite only rewrites touched buckets) holds pre- and post-_ridx
     // files side by side; inference from one arbitrary footer would drop
     // the column. File count is O(buckets), config-bounded.
-    if (hasData(spark, dir))
+    if (hasData(entryNames(spark, dir)))
       Some(normalizeStored(spark.read.option("mergeSchema", "true")
         .parquet(dir).drop(BucketedUpsertSink.BucketCol)))
     else None
@@ -157,7 +160,8 @@ object OffsetWatermark {
         col("__m._ridx").as(RidxCol))
     if (batch.isEmpty) return
     val dir = path(statePath)
-    val exists = hasData(spark, dir)
+    val names = entryNames(spark, dir)
+    val exists = hasData(names)
     numBuckets match {
       case Some(n) =>
         val withBucket = batch.withColumn(BucketedUpsertSink.BucketCol,
@@ -165,7 +169,7 @@ object OffsetWatermark {
         if (!exists) {
           withBucket.write.mode("overwrite")
             .partitionBy(BucketedUpsertSink.BucketCol).parquet(dir)
-        } else if (!storedLayoutBucketed(spark, dir)) {
+        } else if (!layoutBucketed(names)) {
           // layout migration (ADVICE r9): the sidecar was written FLAT
           // (state.buckets was off when it was created) — the touched-bucket
           // pruned read below would filter on a nonexistent _bucket column

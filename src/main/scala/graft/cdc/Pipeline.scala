@@ -110,9 +110,11 @@ object PluginHooks {
   * clear message instead of interleaving; a crashed holder's lease is
   * reclaimed after [[graft.model.PipelineConfig.leaseStaleMs]]. For
   * OUT-OF-PROCESS operational commands against a live stream (a CLI
-  * `replay`/`refresh` in another JVM), stop or pause the stream first —
-  * the lease will otherwise refuse them, by design, until the stream's
-  * heartbeat goes stale.
+  * `replay`/`refresh` in another JVM), stop the stream first — its
+  * shutdown RELEASES the lease immediately (the heartbeat thread's
+  * finally), so a planned handoff is instant; only a crashed holder costs
+  * the staleness window. A live stream's lease stays fresh even while
+  * idle (the heartbeat thread, not just data-bearing batches).
   */
 final class Pipeline(spark: SparkSession, config: PipelineConfig,
                      source: CdcSource, sinkRoot: String,
@@ -219,14 +221,17 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
     // re-scan); the cost of a false positive is one manifest scan. The
     // stream pays the scan inline — bounded, and strictly better than
     // pruning staying disabled forever.
-    if (Pipeline.foreignMarkerStreak(statePath(sync)).get() >=
-          Pipeline.OrphanMarkerHealStreak) {
-      Pipeline.foreignMarkerStreak(statePath(sync)).set(0L)
+    val streak = Pipeline.foreignMarkerStreak(statePath(sync))
+    val since = Pipeline.foreignMarkerSince.get(statePath(sync))
+    if (streak.get() >= Pipeline.OrphanMarkerHealStreak && since != null &&
+        System.currentTimeMillis() - since >= Pipeline.orphanMarkerHealMinMs) {
+      Pipeline.resetForeignMarker(statePath(sync), streak)
       Pipeline.log.warn(
         s"zone-map marker for ${statePath(sync)} held by a foreign " +
           s"refresh owner for ${Pipeline.OrphanMarkerHealStreak}+ batches " +
-          "— presumed orphaned by a crashed refresh; running a quiesced " +
-          "full zone-map rebuild to restore pruned reads")
+          s"over ${Pipeline.orphanMarkerHealMinMs / 1000}+ s — presumed " +
+          "orphaned by a crashed refresh; running a quiesced full " +
+          "zone-map rebuild to restore pruned reads")
       rebuildZoneMap(sync)
     }
   }
@@ -309,11 +314,14 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
         // clears are quiesce-gated), just wasted work.
         if (zoneMapActive) {
           val streak = Pipeline.foreignMarkerStreak(statePath(sync))
-          if (ownsMarker) streak.set(0L)
+          if (ownsMarker) Pipeline.resetForeignMarker(statePath(sync), streak)
           else graft.ops.Maintenance.zoneMapPendingOwner(spark, zoneMapPath(sync)) match {
             case Some(owner) if owner < 0L && owner != Long.MinValue =>
-              streak.incrementAndGet(); ()
-            case _ => streak.set(0L)
+              streak.incrementAndGet()
+              Pipeline.foreignMarkerSince.putIfAbsent(statePath(sync),
+                java.lang.Long.valueOf(System.currentTimeMillis()))
+              ()
+            case _ => Pipeline.resetForeignMarker(statePath(sync), streak)
           }
         }
         BucketedUpsertSink.applyBatch(spark, statePath(sync), compacted, pk, n,
@@ -614,7 +622,50 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
       }
       .start()
     progress.foreach(ProgressPublisher.attach(spark, q.id, _))
+    // Lease heartbeat + shutdown release (review r10): batches only
+    // heartbeat when data flows, so an IDLE-but-live stream's lease would
+    // go stale and a second driver's takeover would then crash THIS stream
+    // at its next data-bearing batch — the fence evicting the wrong party.
+    // A daemon thread touches every sync's lease at a third of the
+    // staleness horizon while the query is active, and RELEASES the leases
+    // when it terminates, so a graceful stop hands the path over
+    // immediately instead of costing the next driver a full staleness
+    // window. An acquire refusal here (a foreign takeover already
+    // happened) is WARN-logged, not thrown — the batch path is the
+    // fail-loud surface.
+    val hb = new Thread(() => {
+      try {
+        val interval = math.max(1000L, config.leaseStaleMs / 3)
+        var sinceTouch = interval // touch immediately on start
+        while (q.isActive) {
+          if (sinceTouch >= interval) {
+            sinceTouch = 0L
+            config.syncs.foreach { s =>
+              try DriverLease.acquire(spark, statePath(s), staleMs = config.leaseStaleMs)
+              catch {
+                case e: IllegalStateException =>
+                  Pipeline.log.warn(s"lease heartbeat for ${statePath(s)}: ${e.getMessage}")
+                case scala.util.control.NonFatal(_) => ()
+              }
+            }
+          }
+          Thread.sleep(200L); sinceTouch += 200L
+        }
+      } catch { case _: InterruptedException => () }
+      finally releaseLeases()
+    }, "graft-lease-heartbeat")
+    hb.setDaemon(true)
+    hb.start()
     q
+  }
+
+  /** Release every sync's driver lease held by THIS process identity —
+    * shutdown hygiene: called by the stream's heartbeat thread on
+    * termination and by the CLI after one-shot verbs, so a planned
+    * same-path handoff does not pay the staleness window (review r10). */
+  def releaseLeases(): Unit = config.syncs.foreach { s =>
+    try DriverLease.release(spark, statePath(s))
+    catch { case scala.util.control.NonFatal(_) => () }
   }
 
   /** `refresh`: atomic rebuild of each sync from a full scan
@@ -719,20 +770,37 @@ object Pipeline {
   private[cdc] val log = org.slf4j.LoggerFactory.getLogger("graft.pipeline")
 
   /** Consecutive foreign-negative-owner marker observations before a live
-    * batch escalates to the quiesced full zone-map rebuild (the
-    * orphaned-refresh-marker self-heal — ADVICE r9). Three batches is past
-    * any healthy refresh's commit→clear window in practice, and a false
-    * positive costs one manifest scan, never correctness. */
+    * batch MAY escalate to the quiesced full zone-map rebuild (the
+    * orphaned-refresh-marker self-heal — ADVICE r9). Batch count alone is
+    * cadence-dependent (sub-second triggers would reach any count during a
+    * healthy refresh's scan — review r10), so the heal additionally
+    * requires the marker to have been foreign CONTINUOUSLY for
+    * [[orphanMarkerHealMinMs]]. A false positive still costs only one
+    * manifest scan (both clears are quiesce-gated), never correctness. */
   val OrphanMarkerHealStreak = 3L
 
+  /** Minimum continuous foreign-observation age before the streak heal
+    * fires — comfortably past any healthy refresh's commit→clear window
+    * (its full manifest scan); spec-settable. */
+  @volatile private[graft] var orphanMarkerHealMinMs: Long = 60L * 1000L
+
   // Per-state-path count of consecutive batches that observed a marker
-  // owned by a foreign NEGATIVE id (see writeCompacted). JVM-local, same
-  // premise as mutationStamp.
+  // owned by a foreign NEGATIVE id, and the wall time of the streak's
+  // first observation (see writeCompacted). JVM-local, same premise as
+  // mutationStamp.
   private val foreignMarkerStreaks = new java.util.concurrent.ConcurrentHashMap[
     String, java.util.concurrent.atomic.AtomicLong]()
+  private[cdc] val foreignMarkerSince =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
   private[cdc] def foreignMarkerStreak(statePath: String): java.util.concurrent.atomic.AtomicLong =
     foreignMarkerStreaks.computeIfAbsent(statePath,
       _ => new java.util.concurrent.atomic.AtomicLong())
+  private[cdc] def resetForeignMarker(statePath: String,
+      streak: java.util.concurrent.atomic.AtomicLong): Unit = {
+    streak.set(0L)
+    foreignMarkerSince.remove(statePath)
+    ()
+  }
 
   /** Per-state-path mutation stamp — [[StateCommit.mutationStamp]] (the
     * quiesced-clear consumer and the FINALLY-adjacent bump discipline are

@@ -114,7 +114,10 @@ object StateCommit {
 
   // ------------------------------------------------------- staged swaps
 
-  private def hfs(spark: SparkSession, p: String) = {
+  /** (FileSystem, Path) resolution against the session's Hadoop conf —
+    * shared by the cdc file protocols (swap, marker, lease) so remote
+    * filesystems resolve one way everywhere. */
+  private[cdc] def hfs(spark: SparkSession, p: String): (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
     val path = new org.apache.hadoop.fs.Path(p)
     (path.getFileSystem(spark.sparkContext.hadoopConfiguration), path)
   }

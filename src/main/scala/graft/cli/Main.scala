@@ -152,6 +152,9 @@ object Main {
             pipe.refresh(rest).foreach { case (t, n) =>
               println(s"refreshed $t: $n rows") }
         }
+        // one-shot verb: hand the path back immediately instead of making
+        // the next process wait out the staleness window (review r10)
+        pipe.releaseLeases()
       }
       case "replay" => graft.cdc.ErrorReporting.reporting(reporters, "replay") {
         // re-apply repaired dead-letter rows through the live upsert path;
@@ -159,6 +162,7 @@ object Main {
         pipe.replayDeadLetters(rest).foreach { case (t, (n, stale, left)) =>
           println(s"replayed $t: $n rows ($stale superseded, $left still quarantined)")
         }
+        pipe.releaseLeases()
       }
       case "check" => graft.cdc.ErrorReporting.reporting(reporters, "check") {
         var ok = true
@@ -173,8 +177,9 @@ object Main {
           // (ADVICE r9).
           zm.getOrElse(t, None).foreach(owner =>
             println(s"NOTE $t: zone-map pending, owner $owner — pruned " +
-              "reads unpruned until a rebuild clears it (self-heals after " +
-              s"${Pipeline.OrphanMarkerHealStreak} live batches; or re-run refresh)"))
+              "reads unpruned until a rebuild clears it (an orphan " +
+              s"self-heals after ${Pipeline.OrphanMarkerHealStreak} live " +
+              "batches over a minute; or re-run refresh)"))
         }
         if (!ok) sys.exit(1)
       }

@@ -65,16 +65,27 @@ class DriverLeaseSpec extends SparkSpec {
     src.addEvents(ChangeEvent("create", "t", 1, ts("2024-01-01 00:00:00"),
       """{"id": 1, "name": "a"}"""))
     val q = pipe.start(tmpDir("lease-ckpt"))
-    q.processAllAvailable(); q.stop()
+    q.processAllAvailable()
     val statePath = s"$sinkRoot/t"
+    // while the query is ACTIVE (even drained/idle — the heartbeat thread,
+    // not just data-bearing batches, keeps the lease fresh), a second
+    // driver's claim is refused
     assert(DriverLease.holder(spark, statePath).map(_._1) ===
       Some(DriverLease.processIdentity),
-      "the stream's batches must hold the lease under this JVM's identity")
-    // simulate a SECOND driver: its identity differs, so from its view the
-    // live stream's lease is foreign and fresh — both mutating verbs refuse
+      "the stream must hold the lease under this JVM's identity")
     intercept[IllegalStateException] {
       DriverLease.acquire(spark, statePath, identity = "other-driver")
     }
+    // a graceful stop RELEASES the lease (the heartbeat thread's finally):
+    // a planned handoff is instant, no staleness window
+    q.stop()
+    val deadline = System.currentTimeMillis() + 10000
+    while (DriverLease.holder(spark, statePath).isDefined &&
+           System.currentTimeMillis() < deadline) Thread.sleep(50)
+    assert(DriverLease.holder(spark, statePath).isEmpty,
+      "stopping the stream must release the lease promptly")
+    DriverLease.acquire(spark, statePath, identity = "other-driver")
+    DriverLease.release(spark, statePath, identity = "other-driver")
     // and from THIS process's view, a foreign fresh lease (the second
     // driver won a claim) makes our own mutating verbs fail loud too
     // write through the Hadoop FS (a raw java.io overwrite invalidates the

@@ -339,6 +339,11 @@ class PipelineSpec extends SparkSpec {
     val pipe = new Pipeline(spark,
       PipelineConfig(Seq(sync), stateBuckets = Some(4),
         zoneMapCols = Seq("score")), src, sinkRoot)
+    // the heal is gated on batch count AND continuous foreign age (a
+    // cadence-independent guard); zero the age gate for the spec
+    val prevHealMs = Pipeline.orphanMarkerHealMinMs
+    Pipeline.orphanMarkerHealMinMs = 0L
+    try {
     src.addEvents(ChangeEvent("create", "t", 1, ts("2024-01-01 00:00:00"),
       """{"id": 1, "score": 10}"""))
     val q0 = pipe.start(ckpt); q0.processAllAvailable(); q0.stop()
@@ -377,6 +382,7 @@ class PipelineSpec extends SparkSpec {
     val got = ops.Maintenance.prunedRead(spark, s"$sinkRoot/t", zm,
       "score", 25L, 45L).collect().map(_.getLong(1)).sorted.toSeq
     assert(got === Seq(30L, 40L))
+    } finally Pipeline.orphanMarkerHealMinMs = prevHealMs
   }
 
   test("refresh of a bucketed sink keeps the bucket layout (settings copy on swap)") {
