@@ -64,9 +64,12 @@ def main():
     print(f"full      {new['value']:8.1f} s ({new['n']} q) vs "
           f"{ref['value']:8.1f} s ({ref['n']} q); shared {len(shared)} q: "
           f"{n_sh / r_sh:.3f}x")
-    movers = [(k, nq[k] / rq[k], rq[k], nq[k])
-              for k in sorted(hl & set(shared))
-              if nq[k] / rq[k] > HEADLINE_THRESHOLD and nq[k] - rq[k] > 0.3]
+    # rq[k] can be 0.000 (a sub-ms query at %.3f precision) — treat any
+    # growth from ~0 past the absolute floor as a mover, never divide
+    movers = [(k, nq[k] / max(rq[k], 1e-3), rq[k], nq[k])
+              for k in sorted(hl_shared)
+              if nq[k] / max(rq[k], 1e-3) > HEADLINE_THRESHOLD
+              and nq[k] - rq[k] > 0.3]
     if movers:
         print(f"\nheadline movers > {HEADLINE_THRESHOLD}x "
               "(run Profile floors before calling these regressions):")

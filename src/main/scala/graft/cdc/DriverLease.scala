@@ -60,6 +60,18 @@ object DriverLease {
 
   def leasePath(statePath: String): String = statePath + ".lease"
 
+  /** Grace before a torn (unreadable) lease file may be reclaimed: long
+    * enough that a healthy in-flight create (transiently length 0) is
+    * never deleted from under its writer, short enough that a
+    * crash-stranded torn file never wedges acquires. */
+  val TornGraceMs: Long = 5000L
+
+  /** Floor on the staleness horizon: the heartbeat cadence is
+    * max(1 s, staleMs/3) plus RPC time, so horizons much below this are
+    * unsustainable even for a healthy live stream — the fence would evict
+    * the wrong party (review r10). */
+  val MinStaleMs: Long = 5000L
+
   private val log = org.slf4j.LoggerFactory.getLogger("graft.lease")
 
   // same-JVM acquire serialization per path (two refreshAsync tasks must
@@ -110,12 +122,14 @@ object DriverLease {
               identity: String = processIdentity,
               staleMs: Long = DefaultStaleMs): Unit =
     lock(statePath).synchronized {
-      // a zero/negative horizon reads EVERY foreign lease as stale — two
-      // drivers would each take over per batch, silently restoring the
-      // exact last-copy-wins interleaving the lease exists to make loud
-      // (review r10); same guard class as setStagingReapHorizonMs
-      require(staleMs > 0,
-        s"lease.stale.ms must be positive, got $staleMs")
+      // a zero/negative/tiny horizon reads every (or even a healthy
+      // heartbeating) foreign lease as stale — two drivers would each take
+      // over per batch, silently restoring the exact last-copy-wins
+      // interleaving the lease exists to make loud (review r10); same
+      // guard class as setStagingReapHorizonMs
+      require(staleMs >= MinStaleMs,
+        s"lease.stale.ms must be >= $MinStaleMs (the heartbeat cadence " +
+          s"cannot sustain shorter horizons), got $staleMs")
       val (fs, p) = hfs(spark, leasePath(statePath))
       var attempts = 0
       var done = false
@@ -148,14 +162,24 @@ object DriverLease {
               // else: lost the takeover race — loop re-reads what won
             }
           case None =>
-            // a TORN lease (empty/oversized/unreadable — a crash mid-create
-            // or out-of-protocol edit) is owned by nobody: reclaim it, or
-            // the no-overwrite create below would fail against the garbage
-            // file until the retry budget died with a misleading message
-            if (fs.exists(p)) { try fs.delete(p, false)
-              catch { case _: java.io.IOException => () } }
+            // a TORN lease (empty/oversized/unreadable) is owned by nobody
+            // — but a JUST-CREATED lease is also transiently length 0
+            // (create-then-write), so reclaim only past a short grace on
+            // the mtime: an in-flight writer completes in ms and the next
+            // loop iteration reads its identity; a crash-stranded torn file
+            // has a stale mtime and is deleted so the no-overwrite create
+            // can proceed (review r10: an ungated delete here raced a
+            // healthy create and let BOTH drivers believe they owned it)
+            if (fs.exists(p) &&
+                System.currentTimeMillis() - fs.getFileStatus(p).getModificationTime
+                  > TornGraceMs) {
+              try fs.delete(p, false)
+              catch { case _: java.io.IOException => () }
+            }
             if (writeLease(fs, p, identity, overwrite = false)) done = true
-          // else: lost the initial claim race — loop re-reads what won
+            // else: lost the claim race or an in-flight create holds the
+            // file — brief pause, then re-read what won
+            else Thread.sleep(50L)
         }
       }
     }

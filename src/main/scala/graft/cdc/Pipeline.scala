@@ -633,6 +633,12 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
     // window. An acquire refusal here (a foreign takeover already
     // happened) is WARN-logged, not thrown — the batch path is the
     // fail-loud surface.
+    // refcounted per path (review r10): a RESTARTED stream on the same
+    // paths registers before the old query's lingering heartbeat thread
+    // wakes, so the old thread's shutdown release must not delete the
+    // lease the new stream just re-acquired — only the LAST active stream
+    // on a path releases it
+    config.syncs.foreach(s => Pipeline.streamRefCount(statePath(s)).incrementAndGet())
     val hb = new Thread(() => {
       try {
         val interval = math.max(1000L, config.leaseStaleMs / 3)
@@ -652,7 +658,12 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
           Thread.sleep(200L); sinceTouch += 200L
         }
       } catch { case _: InterruptedException => () }
-      finally releaseLeases()
+      finally config.syncs.foreach { s =>
+        if (Pipeline.streamRefCount(statePath(s)).decrementAndGet() == 0L) {
+          try DriverLease.release(spark, statePath(s))
+          catch { case scala.util.control.NonFatal(_) => () }
+        }
+      }
     }, "graft-lease-heartbeat")
     hb.setDaemon(true)
     hb.start()
@@ -801,6 +812,16 @@ object Pipeline {
     foreignMarkerSince.remove(statePath)
     ()
   }
+
+  // Active streaming queries per state path (this JVM): the lease
+  // heartbeat's shutdown release is gated on being the LAST one, so a
+  // restarted stream's freshly re-acquired lease survives the old query's
+  // lingering heartbeat thread (review r10).
+  private val streamRefCounts = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.atomic.AtomicLong]()
+  private[cdc] def streamRefCount(statePath: String): java.util.concurrent.atomic.AtomicLong =
+    streamRefCounts.computeIfAbsent(statePath,
+      _ => new java.util.concurrent.atomic.AtomicLong())
 
   /** Per-state-path mutation stamp — [[StateCommit.mutationStamp]] (the
     * quiesced-clear consumer and the FINALLY-adjacent bump discipline are

@@ -134,13 +134,18 @@ object Main {
         val q = pipe.start(props.getProperty("checkpoint.dir"), trigger,
           monotonic = props.getProperty("monotonic") == "true",
           progress = progress)
-        q.awaitTermination()
+        try q.awaitTermination()
+        // explicit release: the heartbeat daemon's own finally races JVM
+        // exit (spark.stop + main return can kill it mid-poll), which
+        // would strand the lease for the full staleness window on a CLEAN
+        // shutdown (review r10)
+        finally pipe.releaseLeases()
       }
       case "refresh" => graft.cdc.ErrorReporting.reporting(reporters, "refresh") {
         // refresh.timeout.ms configured => the reference's async shape:
         // fire every table's rebuild as a task, then gather each with
         // wait_for_task_timeout (meili.py:28,56-63); a timeout fails loud
-        Option(props.getProperty("refresh.timeout.ms")) match {
+        try Option(props.getProperty("refresh.timeout.ms")) match {
           case Some(ms) =>
             pipe.refreshAsync(rest).foreach { case (t, taskId) =>
               val info = graft.cdc.SinkTasks.waitForTask(taskId, ms.toLong)
@@ -152,17 +157,19 @@ object Main {
             pipe.refresh(rest).foreach { case (t, n) =>
               println(s"refreshed $t: $n rows") }
         }
-        // one-shot verb: hand the path back immediately instead of making
-        // the next process wait out the staleness window (review r10)
-        pipe.releaseLeases()
+        // one-shot verb, in a FINALLY: a failed verb must also hand the
+        // path back — an operator's immediate retry (possibly a new JVM)
+        // would otherwise read a misleading second-driver refusal for the
+        // whole staleness window (review r10)
+        finally pipe.releaseLeases()
       }
       case "replay" => graft.cdc.ErrorReporting.reporting(reporters, "replay") {
         // re-apply repaired dead-letter rows through the live upsert path;
         // still-unrepaired rows stay quarantined
-        pipe.replayDeadLetters(rest).foreach { case (t, (n, stale, left)) =>
+        try pipe.replayDeadLetters(rest).foreach { case (t, (n, stale, left)) =>
           println(s"replayed $t: $n rows ($stale superseded, $left still quarantined)")
         }
-        pipe.releaseLeases()
+        finally pipe.releaseLeases()
       }
       case "check" => graft.cdc.ErrorReporting.reporting(reporters, "check") {
         var ok = true

@@ -64,8 +64,14 @@ class DriverLeaseSpec extends SparkSpec {
     val pipe = new Pipeline(spark, PipelineConfig(Seq(sync)), src, sinkRoot)
     src.addEvents(ChangeEvent("create", "t", 1, ts("2024-01-01 00:00:00"),
       """{"id": 1, "name": "a"}"""))
-    val q = pipe.start(tmpDir("lease-ckpt"))
+    // ProcessingTime, NOT the default AvailableNow: the active-phase
+    // asserts below need a query that stays alive after draining (an
+    // AvailableNow query self-terminates and its heartbeat thread could
+    // release the lease under the asserts — review r10)
+    val q = pipe.start(tmpDir("lease-ckpt"),
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime(100L))
     q.processAllAvailable()
+    assert(q.isActive, "precondition: the drained query must still be live")
     val statePath = s"$sinkRoot/t"
     // while the query is ACTIVE (even drained/idle — the heartbeat thread,
     // not just data-bearing batches, keeps the lease fresh), a second
