@@ -85,22 +85,40 @@ object DriverLease {
   // swap/marker file protocols (review r10)
   private def hfs(spark: SparkSession, p: String) = StateCommit.hfs(spark, p)
 
+  /** The lease file's protocol-visible state, from ONE stat (review r10:
+    * separate exists/stat/read probes opened FileNotFound races between
+    * them and paid duplicate RPCs on the per-batch hot path). */
+  private sealed trait LeaseState
+  private case object Absent extends LeaseState
+  private final case class Held(identity: String, mtime: Long) extends LeaseState
+  private final case class Torn(mtime: Long) extends LeaseState
+
+  private def readState(fs: org.apache.hadoop.fs.FileSystem,
+                        p: org.apache.hadoop.fs.Path): LeaseState =
+    try {
+      val st = fs.getFileStatus(p)
+      val len = st.getLen.toInt
+      if (len == 0 || len > 256) Torn(st.getModificationTime)
+      else {
+        val bytes = new Array[Byte](len)
+        val in = fs.open(p)
+        try in.readFully(0, bytes) finally in.close()
+        val id = new String(bytes, "UTF-8").trim
+        if (id.isEmpty) Torn(st.getModificationTime)
+        else Held(id, st.getModificationTime)
+      }
+    } catch {
+      // vanished between stat and read = a racer's delete landed: absent
+      case _: java.io.FileNotFoundException => Absent
+      case _: java.io.IOException => Torn(System.currentTimeMillis())
+    }
+
   private def readIdentity(fs: org.apache.hadoop.fs.FileSystem,
                            p: org.apache.hadoop.fs.Path): Option[(String, Long)] =
-    try {
-      if (!fs.exists(p)) None
-      else {
-        val st = fs.getFileStatus(p)
-        val len = st.getLen.toInt
-        if (len == 0 || len > 256) None // torn or out-of-protocol: claimable
-        else {
-          val bytes = new Array[Byte](len)
-          val in = fs.open(p)
-          try in.readFully(0, bytes) finally in.close()
-          Some((new String(bytes, "UTF-8").trim, st.getModificationTime))
-        }
-      }
-    } catch { case _: java.io.FileNotFoundException => None }
+    readState(fs, p) match {
+      case Held(id, mtime) => Some((id, mtime))
+      case _ => None
+    }
 
   private def writeLease(fs: org.apache.hadoop.fs.FileSystem,
                          p: org.apache.hadoop.fs.Path, identity: String,
@@ -131,20 +149,34 @@ object DriverLease {
         s"lease.stale.ms must be >= $MinStaleMs (the heartbeat cadence " +
           s"cannot sustain shorter horizons), got $staleMs")
       val (fs, p) = hfs(spark, leasePath(statePath))
-      var attempts = 0
+      // time-bounded, not attempt-bounded (review r10): a crash-torn lease
+      // younger than TornGraceMs must be WAITED OUT (it is
+      // indistinguishable from a healthy in-flight create), so the loop
+      // budget spans the grace; anything still unresolvable past it is a
+      // genuinely wedged path and fails loud
+      val deadline = System.currentTimeMillis() + TornGraceMs + 5000L
+      // claim + VERIFY: the no-overwrite create is atomic where the
+      // filesystem provides it, but a takeover's delete+create is not — a
+      // racer acting on the same stale read can delete our fresh lease and
+      // install its own. The re-read confirms our identity actually
+      // survived; losing just loops (the winner's lease is fresh, so the
+      // next iteration fails loud — the detection contract).
+      def claim(): Boolean =
+        writeLease(fs, p, identity, overwrite = false) &&
+          (readState(fs, p) match {
+            case Held(h, _) => h == identity
+            case _ => false
+          })
       var done = false
       while (!done) {
-        attempts += 1
-        require(attempts <= 4,
-          s"cannot acquire driver lease at $p after $attempts attempts")
-        readIdentity(fs, p) match {
-          case Some((held, _)) if held == identity =>
+        readState(fs, p) match {
+          case Held(h, _) if h == identity =>
             // ours: refresh the heartbeat without rewriting (a rewrite's
             // torn-read window would make a concurrent reader see garbage)
             try fs.setTimes(p, System.currentTimeMillis(), -1)
             catch { case _: java.io.IOException => () }
             done = true
-          case Some((held, mtime)) =>
+          case Held(held, mtime) =>
             val age = System.currentTimeMillis() - mtime
             if (age <= staleMs)
               throw new IllegalStateException(
@@ -158,28 +190,29 @@ object DriverLease {
                 s"(heartbeat ${age / 1000}s ago > ${staleMs / 1000}s horizon)")
               try { fs.delete(p, false); () }
               catch { case _: java.io.IOException => () }
-              if (writeLease(fs, p, identity, overwrite = false)) done = true
-              // else: lost the takeover race — loop re-reads what won
+              done = claim()
             }
-          case None =>
-            // a TORN lease (empty/oversized/unreadable) is owned by nobody
-            // — but a JUST-CREATED lease is also transiently length 0
-            // (create-then-write), so reclaim only past a short grace on
-            // the mtime: an in-flight writer completes in ms and the next
-            // loop iteration reads its identity; a crash-stranded torn file
-            // has a stale mtime and is deleted so the no-overwrite create
-            // can proceed (review r10: an ungated delete here raced a
-            // healthy create and let BOTH drivers believe they owned it)
-            if (fs.exists(p) &&
-                System.currentTimeMillis() - fs.getFileStatus(p).getModificationTime
-                  > TornGraceMs) {
-              try fs.delete(p, false)
+          case Torn(mtime) =>
+            // a JUST-CREATED lease is transiently length 0
+            // (create-then-write): inside the grace, wait — the writer
+            // completes in ms and the next read sees its identity; past
+            // the grace it is crash garbage, reclaimed so the create can
+            // proceed (review r10: an ungated delete here raced a healthy
+            // create and let BOTH drivers believe they owned it)
+            if (System.currentTimeMillis() - mtime > TornGraceMs) {
+              try { fs.delete(p, false); () }
               catch { case _: java.io.IOException => () }
+              done = claim()
             }
-            if (writeLease(fs, p, identity, overwrite = false)) done = true
-            // else: lost the claim race or an in-flight create holds the
-            // file — brief pause, then re-read what won
-            else Thread.sleep(50L)
+          case Absent =>
+            done = claim()
+        }
+        if (!done) {
+          if (System.currentTimeMillis() >= deadline)
+            throw new IllegalStateException(
+              s"cannot acquire driver lease at $p within " +
+                s"${TornGraceMs + 5000L} ms (torn or heavily contended)")
+          Thread.sleep(100L)
         }
       }
     }

@@ -585,6 +585,22 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
             progress: Option[ProgressStore] = None): StreamingQuery = {
     // reference main.py:35-36: `if settings.debug: logger.debug(settings)`
     if (config.debug) DebugLog.record(s"settings: $config")
+    // register BEFORE any lease acquisition (backfill's commit, the first
+    // batch): a restarted stream must be counted before the OLD query's
+    // lingering heartbeat thread runs its shutdown release, or that
+    // release deletes the lease this start just re-acquired (review r10);
+    // a failed start deregisters in the catch
+    config.syncs.foreach(s => Pipeline.streamRefCount(statePath(s)).incrementAndGet())
+    try startRegistered(checkpointDir, trigger, monotonic, progress)
+    catch { case t: Throwable =>
+      config.syncs.foreach(s => Pipeline.streamRefCount(statePath(s)).decrementAndGet())
+      throw t
+    }
+  }
+
+  private def startRegistered(checkpointDir: String, trigger: Trigger,
+                              monotonic: Boolean,
+                              progress: Option[ProgressStore]): StreamingQuery = {
     backfillIfNeeded()
     val changes =
       if (!monotonic) source.changes
@@ -633,23 +649,20 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
     // window. An acquire refusal here (a foreign takeover already
     // happened) is WARN-logged, not thrown — the batch path is the
     // fail-loud surface.
-    // refcounted per path (review r10): a RESTARTED stream on the same
-    // paths registers before the old query's lingering heartbeat thread
-    // wakes, so the old thread's shutdown release must not delete the
-    // lease the new stream just re-acquired — only the LAST active stream
-    // on a path releases it
-    config.syncs.foreach(s => Pipeline.streamRefCount(statePath(s)).incrementAndGet())
     val hb = new Thread(() => {
       try {
         val interval = math.max(1000L, config.leaseStaleMs / 3)
         var sinceTouch = interval // touch immediately on start
-        while (q.isActive) {
+        while (q.isActive && !Thread.currentThread().isInterrupted) {
           if (sinceTouch >= interval) {
             sinceTouch = 0L
             config.syncs.foreach { s =>
               try DriverLease.acquire(spark, statePath(s), staleMs = config.leaseStaleMs)
               catch {
-                case e: IllegalStateException =>
+                case e @ (_: IllegalStateException | _: IllegalArgumentException) =>
+                  // IAE (a bad lease.stale.ms) must be LOUD here too: the
+                  // stream would otherwise run unfenced until its first
+                  // data batch throws it (review r10)
                   Pipeline.log.warn(s"lease heartbeat for ${statePath(s)}: ${e.getMessage}")
                 case scala.util.control.NonFatal(_) => ()
               }
@@ -658,25 +671,50 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
           Thread.sleep(200L); sinceTouch += 200L
         }
       } catch { case _: InterruptedException => () }
-      finally config.syncs.foreach { s =>
-        if (Pipeline.streamRefCount(statePath(s)).decrementAndGet() == 0L) {
-          try DriverLease.release(spark, statePath(s))
-          catch { case scala.util.control.NonFatal(_) => () }
+      finally {
+        heartbeats.remove(Thread.currentThread())
+        // refcount-gated (review r10): only the LAST active stream on a
+        // path releases, so a restarted stream's re-acquired lease
+        // survives this (the old query's) thread's shutdown
+        config.syncs.foreach { s =>
+          if (Pipeline.streamRefCount(statePath(s)).decrementAndGet() == 0L) {
+            try DriverLease.release(spark, statePath(s))
+            catch { case scala.util.control.NonFatal(_) => () }
+          }
         }
       }
     }, "graft-lease-heartbeat")
+    heartbeats.add(hb)
     hb.setDaemon(true)
     hb.start()
     q
   }
 
+  // this pipeline's live heartbeat threads — releaseLeases stops them
+  // first so an in-flight interval touch cannot recreate a lease it just
+  // released (review r10)
+  private val heartbeats = new java.util.concurrent.ConcurrentLinkedQueue[Thread]()
+
   /** Release every sync's driver lease held by THIS process identity —
-    * shutdown hygiene: called by the stream's heartbeat thread on
-    * termination and by the CLI after one-shot verbs, so a planned
-    * same-path handoff does not pay the staleness window (review r10). */
-  def releaseLeases(): Unit = config.syncs.foreach { s =>
-    try DriverLease.release(spark, statePath(s))
-    catch { case scala.util.control.NonFatal(_) => () }
+    * shutdown hygiene after this pipeline's streams have TERMINATED (the
+    * CLI calls it after `awaitTermination` and after one-shot verbs), so a
+    * planned same-path handoff does not pay the staleness window. Stops
+    * this pipeline's heartbeat threads first and joins them — an in-flight
+    * interval touch could otherwise recreate the lease just released and
+    * strand it past JVM exit (review r10). Do NOT call while a stream of
+    * this pipeline is still meant to run: its lease would stop being
+    * refreshed. */
+  def releaseLeases(): Unit = {
+    var t = heartbeats.poll()
+    while (t != null) {
+      t.interrupt()
+      try t.join(3000L) catch { case _: InterruptedException => () }
+      t = heartbeats.poll()
+    }
+    config.syncs.foreach { s =>
+      try DriverLease.release(spark, statePath(s))
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
   }
 
   /** `refresh`: atomic rebuild of each sync from a full scan

@@ -233,7 +233,15 @@ object Main {
         .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty),
       debug = props.getProperty("debug") == "true",
       leaseStaleMs = Option(props.getProperty("lease.stale.ms"))
-        .map(_.trim.toLong)
+        .map { v =>
+          val ms = v.trim.toLong
+          // validated at PARSE time (review r10): a too-small horizon
+          // would otherwise surface as a swallowed heartbeat error (the
+          // stream runs unfenced) and then kill the first data batch
+          require(ms >= graft.cdc.DriverLease.MinStaleMs,
+            s"lease.stale.ms must be >= ${graft.cdc.DriverLease.MinStaleMs}, got $ms")
+          ms
+        }
         .getOrElse(graft.cdc.DriverLease.DefaultStaleMs))
   }
 

@@ -73,6 +73,15 @@ object ScaleCurve {
     // fold is O(sqrt(nCells)) per row by construction, so the quantizer
     // itself cannot be the bend.
     val r9 = args.length > 1 && args.drop(1).contains("r9")
+    // `r10auto` measures the AUTO-derived cells tier (r9 verdict #7): the
+    // DEFAULT nCells (ceil(corpus / 240), Dedup.autoCells) on the same
+    // sign-reflected replicas as r9 — the prior batch pinned a
+    // caller-chosen 8 x fac; this one proves the defaulted derivation
+    // lands at the same operating point (cells ∝ corpus, per-cell
+    // population in the ~240 band, wall linear) with NOBODY passing a
+    // cell count. AUTO lines print the derived count + realized mean
+    // nonempty-cell population per factor.
+    val r10auto = args.length > 1 && args.drop(1).contains("r10auto")
     // `skew` measures salt-vs-plain under a DELIBERATE Zipf hot key
     // (r8 verdict #8): the per-pk compaction window is the operator class
     // AQE cannot re-split (a window partition is atomic, unlike a join),
@@ -526,6 +535,38 @@ object ScaleCurve {
         time("hubness_cells", fac)(
           graft.ops.Similarity.hubness(spark, groot,
             blocking = "cells", nCells = cells).count())
+        if (fac != 1 && !keep) {
+          val p = new org.apache.hadoop.fs.Path(gdir)
+          p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+          ()
+        }
+      }
+
+      if (r10auto) {
+        // same staging as r9 (sign-reflected distinct replicas)
+        val gdir = s"/tmp/graft-scalecurve-r10a-emb-$fac"
+        val groot =
+          if (fac == 1) sf
+          else {
+            replicate(spark.read.parquet(s"$sf/embeddings.parquet"),
+              Set("vec_id"), fac, perturbText = false,
+              perturbEmbedding = true)
+              .repartition(64)
+              .write.mode("overwrite").parquet(s"$gdir/embeddings.parquet")
+            gdir
+          }
+        val n = spark.read.parquet(s"$groot/embeddings.parquet").count() // warm
+        val derived = graft.ops.Dedup.autoCells(n)
+        // DEFAULTED call: no caller-pinned cell count anywhere
+        time("edges_cells_auto", fac)(
+          graft.ops.Dedup.embedDupCells(spark, groot, 0.15).count())
+        val nonempty = graft.ops.Dedup.productCellAssign(spark, groot, derived)
+          .select("cell").distinct().count()
+        println(f"AUTO fac=x$fac%-4d corpus=$n%-9d derived_cells=$derived%-7d " +
+          f"nonempty=$nonempty%-7d mean_pop=${n.toDouble / math.max(1L, nonempty)}%.1f")
+        time("knn_cells_auto", fac)(
+          graft.ops.Similarity.knnGraph(spark, groot,
+            blocking = "cells").count())
         if (fac != 1 && !keep) {
           val p = new org.apache.hadoop.fs.Path(gdir)
           p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
