@@ -110,6 +110,17 @@ object DriverLease {
     } catch {
       // vanished between stat and read = a racer's delete landed: absent
       case _: java.io.FileNotFoundException => Absent
+      // an interrupt surfaced as an IO failure (Hadoop wraps thread
+      // interrupts this way) must PROPAGATE, not read as Torn — a
+      // heartbeat being stopped by releaseLeases would otherwise keep
+      // looping in acquire past the join timeout and recreate the lease
+      // it was being stopped to release (review r10)
+      case e: java.io.InterruptedIOException =>
+        Thread.currentThread().interrupt()
+        throw new IllegalStateException("interrupted while reading lease", e)
+      case e: java.nio.channels.ClosedByInterruptException =>
+        Thread.currentThread().interrupt()
+        throw new IllegalStateException("interrupted while reading lease", e)
       case _: java.io.IOException => Torn(System.currentTimeMillis())
     }
 
@@ -172,9 +183,17 @@ object DriverLease {
         readState(fs, p) match {
           case Held(h, _) if h == identity =>
             // ours: refresh the heartbeat without rewriting (a rewrite's
-            // torn-read window would make a concurrent reader see garbage)
+            // torn-read window would make a concurrent reader see garbage).
+            // A failing setTimes must be VISIBLE (review r10): silently
+            // frozen mtimes read as success here while the lease decays
+            // toward a legitimate-looking foreign takeover — the
+            // wrong-party eviction.
             try fs.setTimes(p, System.currentTimeMillis(), -1)
-            catch { case _: java.io.IOException => () }
+            catch { case e: java.io.IOException =>
+              log.warn(s"lease heartbeat setTimes failed at $p — the " +
+                s"lease mtime is NOT refreshing and will look stale after " +
+                s"${staleMs / 1000}s: ${e.getMessage}")
+            }
             done = true
           case Held(held, mtime) =>
             val age = System.currentTimeMillis() - mtime

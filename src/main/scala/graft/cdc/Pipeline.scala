@@ -672,7 +672,7 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
         }
       } catch { case _: InterruptedException => () }
       finally {
-        heartbeats.remove(Thread.currentThread())
+        heartbeats.removeIf(_._1 eq Thread.currentThread())
         // refcount-gated (review r10): only the LAST active stream on a
         // path releases, so a restarted stream's re-acquired lease
         // survives this (the old query's) thread's shutdown
@@ -684,36 +684,51 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
         }
       }
     }, "graft-lease-heartbeat")
-    heartbeats.add(hb)
+    heartbeats.add((hb, q))
     hb.setDaemon(true)
     hb.start()
     q
   }
 
-  // this pipeline's live heartbeat threads — releaseLeases stops them
-  // first so an in-flight interval touch cannot recreate a lease it just
-  // released (review r10)
-  private val heartbeats = new java.util.concurrent.ConcurrentLinkedQueue[Thread]()
+  // this pipeline's heartbeat threads WITH their queries — releaseLeases
+  // stops only those whose query has terminated, so shutdown hygiene on a
+  // finished query can never kill a still-active restarted stream's
+  // heartbeat (review r10)
+  private val heartbeats =
+    new java.util.concurrent.ConcurrentLinkedQueue[(Thread, StreamingQuery)]()
 
-  /** Release every sync's driver lease held by THIS process identity —
-    * shutdown hygiene after this pipeline's streams have TERMINATED (the
-    * CLI calls it after `awaitTermination` and after one-shot verbs), so a
-    * planned same-path handoff does not pay the staleness window. Stops
-    * this pipeline's heartbeat threads first and joins them — an in-flight
-    * interval touch could otherwise recreate the lease just released and
-    * strand it past JVM exit (review r10). Do NOT call while a stream of
-    * this pipeline is still meant to run: its lease would stop being
-    * refreshed. */
+  /** Shutdown hygiene: stop-and-join the heartbeat threads of TERMINATED
+    * queries (an in-flight interval touch could otherwise recreate a lease
+    * just released and strand it past JVM exit) and release each sync's
+    * lease — but only where NO stream is still active on the path, so the
+    * call is safe at any time: a live (possibly restarted) stream keeps
+    * both its heartbeat and its lease (review r10). The CLI calls it after
+    * `awaitTermination` and in the one-shot verbs' finally, so a planned
+    * same-path handoff never pays the staleness window. */
   def releaseLeases(): Unit = {
-    var t = heartbeats.poll()
-    while (t != null) {
-      t.interrupt()
-      try t.join(3000L) catch { case _: InterruptedException => () }
-      t = heartbeats.poll()
+    // stop only heartbeats whose query has TERMINATED (review r10: an
+    // unconditional interrupt loop would kill a still-active restarted
+    // stream's heartbeat and leave it running unfenced)
+    val it = heartbeats.iterator()
+    while (it.hasNext) {
+      val (t, query) = it.next()
+      if (!query.isActive) {
+        heartbeats.removeIf(_._1 eq t)
+        t.interrupt()
+        try t.join(3000L) catch { case _: InterruptedException => () }
+        if (t.isAlive)
+          Pipeline.log.warn(s"lease heartbeat thread did not stop within 3s " +
+            "(wedged in a filesystem call?) — its next touch may recreate a " +
+            "lease released below")
+      }
     }
+    // release only paths with NO remaining active stream (review r10: the
+    // unconditional release deleted a live restarted stream's lease)
     config.syncs.foreach { s =>
-      try DriverLease.release(spark, statePath(s))
-      catch { case scala.util.control.NonFatal(_) => () }
+      if (Pipeline.streamRefCount(statePath(s)).get() == 0L) {
+        try DriverLease.release(spark, statePath(s))
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
     }
   }
 

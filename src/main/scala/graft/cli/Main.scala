@@ -131,15 +131,18 @@ object Main {
           .map(s => Trigger.ProcessingTime(s.toLong * 1000))
           .orElse(cfg.insertIntervalSecs.map(_ => pipe.configTrigger))
           .getOrElse(Trigger.AvailableNow())
-        val q = pipe.start(props.getProperty("checkpoint.dir"), trigger,
-          monotonic = props.getProperty("monotonic") == "true",
-          progress = progress)
-        try q.awaitTermination()
-        // explicit release: the heartbeat daemon's own finally races JVM
-        // exit (spark.stop + main return can kill it mid-poll), which
-        // would strand the lease for the full staleness window on a CLEAN
-        // shutdown (review r10)
-        finally pipe.releaseLeases()
+        // pipe.start INSIDE the try (review r10): backfill acquires the
+        // lease before the query exists, so a startup failure after it
+        // (bad checkpoint dir) must still release — and the explicit
+        // release also covers the heartbeat daemon's own finally racing
+        // JVM exit, which would strand the lease for the full staleness
+        // window on a CLEAN shutdown
+        try {
+          val q = pipe.start(props.getProperty("checkpoint.dir"), trigger,
+            monotonic = props.getProperty("monotonic") == "true",
+            progress = progress)
+          q.awaitTermination()
+        } finally pipe.releaseLeases()
       }
       case "refresh" => graft.cdc.ErrorReporting.reporting(reporters, "refresh") {
         // refresh.timeout.ms configured => the reference's async shape:

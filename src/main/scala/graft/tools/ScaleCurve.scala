@@ -560,6 +560,8 @@ object ScaleCurve {
         // DEFAULTED call: no caller-pinned cell count anywhere
         time("edges_cells_auto", fac)(
           graft.ops.Dedup.embedDupCells(spark, groot, 0.15).count())
+        // untimed diagnostic: re-runs the assignment (the timed calls stay
+        // pure measurements of the defaulted public entry points)
         val nonempty = graft.ops.Dedup.productCellAssign(spark, groot, derived)
           .select("cell").distinct().count()
         println(f"AUTO fac=x$fac%-4d corpus=$n%-9d derived_cells=$derived%-7d " +
