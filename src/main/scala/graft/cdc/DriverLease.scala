@@ -81,6 +81,30 @@ object DriverLease {
   private def lock(statePath: String): Object =
     locks.computeIfAbsent(statePath, _ => new Object)
 
+  /** The per-path monitor, exposed so Pipeline's stream-refcount
+    * transitions can be ATOMIC with the release decision (review r10: a
+    * check-then-release in separate lock sections raced a concurrent
+    * start()'s register-then-acquire and deleted the live stream's fresh
+    * lease). Reentrant with [[acquire]]/[[release]], which synchronize on
+    * the same monitor. */
+  private[cdc] def pathLock(statePath: String): Object = lock(statePath)
+
+  /** Rethrow an IO failure that is actually a THREAD INTERRUPT (Hadoop
+    * wraps interrupts as InterruptedIOException / ClosedByInterrupt, often
+    * CLEARING the flag): every lease I/O catch routes through this first,
+    * or a heartbeat being stopped by releaseLeases could swallow its own
+    * interrupt inside writeLease/delete/setTimes, outlive the join, and
+    * recreate the lease it was being stopped to release (review r10). */
+  private def rethrowIfInterrupt(e: java.io.IOException): Unit = e match {
+    case ie: java.io.InterruptedIOException =>
+      Thread.currentThread().interrupt()
+      throw new IllegalStateException("interrupted during lease I/O", ie)
+    case ce: java.nio.channels.ClosedByInterruptException =>
+      Thread.currentThread().interrupt()
+      throw new IllegalStateException("interrupted during lease I/O", ce)
+    case _ => ()
+  }
+
   // the shared cdc (FileSystem, Path) resolver — one discipline with the
   // swap/marker file protocols (review r10)
   private def hfs(spark: SparkSession, p: String) = StateCommit.hfs(spark, p)
@@ -110,18 +134,9 @@ object DriverLease {
     } catch {
       // vanished between stat and read = a racer's delete landed: absent
       case _: java.io.FileNotFoundException => Absent
-      // an interrupt surfaced as an IO failure (Hadoop wraps thread
-      // interrupts this way) must PROPAGATE, not read as Torn — a
-      // heartbeat being stopped by releaseLeases would otherwise keep
-      // looping in acquire past the join timeout and recreate the lease
-      // it was being stopped to release (review r10)
-      case e: java.io.InterruptedIOException =>
-        Thread.currentThread().interrupt()
-        throw new IllegalStateException("interrupted while reading lease", e)
-      case e: java.nio.channels.ClosedByInterruptException =>
-        Thread.currentThread().interrupt()
-        throw new IllegalStateException("interrupted while reading lease", e)
-      case _: java.io.IOException => Torn(System.currentTimeMillis())
+      case e: java.io.IOException =>
+        rethrowIfInterrupt(e) // an interrupt must propagate, not read as Torn
+        Torn(System.currentTimeMillis())
     }
 
   private def readIdentity(fs: org.apache.hadoop.fs.FileSystem,
@@ -141,7 +156,9 @@ object DriverLease {
       try out.write(identity.getBytes("UTF-8")) finally out.close()
       true
     } catch {
-      case _: java.io.IOException => false // lost an atomic-create race
+      case e: java.io.IOException =>
+        rethrowIfInterrupt(e)
+        false // lost an atomic-create race
     }
 
   /** Acquire (or re-confirm) the lease for `identity`; throws
@@ -190,6 +207,7 @@ object DriverLease {
             // wrong-party eviction.
             try fs.setTimes(p, System.currentTimeMillis(), -1)
             catch { case e: java.io.IOException =>
+              rethrowIfInterrupt(e)
               log.warn(s"lease heartbeat setTimes failed at $p — the " +
                 s"lease mtime is NOT refreshing and will look stale after " +
                 s"${staleMs / 1000}s: ${e.getMessage}")
@@ -208,7 +226,7 @@ object DriverLease {
               log.warn(s"taking over stale driver lease at $p from '$held' " +
                 s"(heartbeat ${age / 1000}s ago > ${staleMs / 1000}s horizon)")
               try { fs.delete(p, false); () }
-              catch { case _: java.io.IOException => () }
+              catch { case e: java.io.IOException => rethrowIfInterrupt(e) }
               done = claim()
             }
           case Torn(mtime) =>
@@ -220,7 +238,7 @@ object DriverLease {
             // create and let BOTH drivers believe they owned it)
             if (System.currentTimeMillis() - mtime > TornGraceMs) {
               try { fs.delete(p, false); () }
-              catch { case _: java.io.IOException => () }
+              catch { case e: java.io.IOException => rethrowIfInterrupt(e) }
               done = claim()
             }
           case Absent =>
@@ -245,7 +263,7 @@ object DriverLease {
       readIdentity(fs, p) match {
         case Some((held, _)) if held == identity =>
           try { fs.delete(p, false); () }
-          catch { case _: java.io.IOException => () }
+          catch { case e: java.io.IOException => rethrowIfInterrupt(e) }
         case _ => ()
       }
     }

@@ -588,12 +588,18 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
     // register BEFORE any lease acquisition (backfill's commit, the first
     // batch): a restarted stream must be counted before the OLD query's
     // lingering heartbeat thread runs its shutdown release, or that
-    // release deletes the lease this start just re-acquired (review r10);
-    // a failed start deregisters in the catch
-    config.syncs.foreach(s => Pipeline.streamRefCount(statePath(s)).incrementAndGet())
+    // release deletes the lease this start just re-acquired. The increment
+    // runs under the lease's per-path monitor so it is atomic with any
+    // concurrent releaseLeases' {count == 0 -> release} decision — without
+    // it, a release decided on the old count could land between this
+    // increment and the first acquire and delete the fresh lease
+    // (review r10, twice). A failed start deregisters in the catch.
+    config.syncs.foreach(s => DriverLease.pathLock(statePath(s)).synchronized {
+      Pipeline.streamRefCount(statePath(s)).incrementAndGet(); ()
+    })
     try startRegistered(checkpointDir, trigger, monotonic, progress)
     catch { case t: Throwable =>
-      config.syncs.foreach(s => Pipeline.streamRefCount(statePath(s)).decrementAndGet())
+      config.syncs.foreach(s => Pipeline.deregisterStream(spark, statePath(s)))
       throw t
     }
   }
@@ -672,16 +678,14 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
         }
       } catch { case _: InterruptedException => () }
       finally {
+        // deregister (decrement + maybe-release, atomic per path) FIRST,
+        // self-remove from the registry LAST: the other order let a
+        // releaseLeases find the queue empty, read the not-yet-decremented
+        // count, skip the release, and strand the lease past JVM exit on a
+        // clean shutdown (review r10)
+        config.syncs.foreach(s => Pipeline.deregisterStream(spark, statePath(s)))
         heartbeats.removeIf(_._1 eq Thread.currentThread())
-        // refcount-gated (review r10): only the LAST active stream on a
-        // path releases, so a restarted stream's re-acquired lease
-        // survives this (the old query's) thread's shutdown
-        config.syncs.foreach { s =>
-          if (Pipeline.streamRefCount(statePath(s)).decrementAndGet() == 0L) {
-            try DriverLease.release(spark, statePath(s))
-            catch { case scala.util.control.NonFatal(_) => () }
-          }
-        }
+        ()
       }
     }, "graft-lease-heartbeat")
     heartbeats.add((hb, q))
@@ -713,21 +717,26 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
     while (it.hasNext) {
       val (t, query) = it.next()
       if (!query.isActive) {
-        heartbeats.removeIf(_._1 eq t)
+        it.remove()
         t.interrupt()
         try t.join(3000L) catch { case _: InterruptedException => () }
         if (t.isAlive)
-          Pipeline.log.warn(s"lease heartbeat thread did not stop within 3s " +
-            "(wedged in a filesystem call?) — its next touch may recreate a " +
-            "lease released below")
+          Pipeline.log.warn("lease heartbeat thread did not stop within 3s " +
+            "(wedged in a filesystem call?) — it still counts as an active " +
+            "stream, so its paths' leases are NOT released below and the " +
+            "next driver may pay the staleness window")
       }
     }
-    // release only paths with NO remaining active stream (review r10: the
-    // unconditional release deleted a live restarted stream's lease)
+    // release only paths with NO remaining active stream, atomically with
+    // the count read (review r10, twice: an unconditional release deleted
+    // a live restarted stream's lease; a check in a separate lock section
+    // raced a concurrent start()'s register+acquire)
     config.syncs.foreach { s =>
-      if (Pipeline.streamRefCount(statePath(s)).get() == 0L) {
-        try DriverLease.release(spark, statePath(s))
-        catch { case scala.util.control.NonFatal(_) => () }
+      DriverLease.pathLock(statePath(s)).synchronized {
+        if (Pipeline.streamRefCount(statePath(s)).get() == 0L) {
+          try DriverLease.release(spark, statePath(s))
+          catch { case scala.util.control.NonFatal(_) => () }
+        }
       }
     }
   }
@@ -869,12 +878,25 @@ object Pipeline {
   // Active streaming queries per state path (this JVM): the lease
   // heartbeat's shutdown release is gated on being the LAST one, so a
   // restarted stream's freshly re-acquired lease survives the old query's
-  // lingering heartbeat thread (review r10).
+  // lingering heartbeat thread (review r10). EVERY transition that can
+  // decide a release runs under DriverLease.pathLock so register/acquire
+  // and count-check/release cannot interleave.
   private val streamRefCounts = new java.util.concurrent.ConcurrentHashMap[
     String, java.util.concurrent.atomic.AtomicLong]()
   private[cdc] def streamRefCount(statePath: String): java.util.concurrent.atomic.AtomicLong =
     streamRefCounts.computeIfAbsent(statePath,
       _ => new java.util.concurrent.atomic.AtomicLong())
+
+  /** Atomic {decrement; if last -> release} for one stream on one path —
+    * the single deregistration used by the heartbeat's finally and a
+    * failed start's unwinding. */
+  private[cdc] def deregisterStream(spark: SparkSession, statePath: String): Unit =
+    DriverLease.pathLock(statePath).synchronized {
+      if (streamRefCount(statePath).decrementAndGet() == 0L) {
+        try DriverLease.release(spark, statePath)
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
+    }
 
   /** Per-state-path mutation stamp — [[StateCommit.mutationStamp]] (the
     * quiesced-clear consumer and the FINALLY-adjacent bump discipline are

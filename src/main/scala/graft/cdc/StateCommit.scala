@@ -66,9 +66,10 @@ import org.apache.spark.sql.SparkSession
   * these atoms exhaustively and checks the invariant at every step.
   *
   * LOCK ORDER (deadlock discipline): [[stateLock]] is the OUTERMOST —
-  * holders may take [[swapLock]] (via swap/heal/marker ops) and
-  * OffsetWatermark's floorLock; neither of those ever takes stateLock or
-  * each other. Keep any new acquisition consistent with that order.
+  * holders may take [[swapLock]] (via swap/heal/marker ops),
+  * OffsetWatermark's floorLock, and [[DriverLease]]'s per-path lock (via
+  * acquire); none of those ever takes stateLock or each other. Keep any
+  * new acquisition consistent with that order.
   *
   * Same-JVM premise: locks and stamps are JVM-local. Every advertised
   * concurrent shape is in-JVM (refreshAsync tasks, replay vs batch);
