@@ -95,7 +95,13 @@ object DriverLease {
     * or a heartbeat being stopped by releaseLeases could swallow its own
     * interrupt inside writeLease/delete/setTimes, outlive the join, and
     * recreate the lease it was being stopped to release (review r10). */
-  private def rethrowIfInterrupt(e: java.io.IOException): Unit = e match {
+  private[cdc] def rethrowIfInterrupt(e: java.io.IOException): Unit = e match {
+    // SocketTimeoutException (and Hadoop's ConnectTimeoutException under
+    // it) EXTENDS InterruptedIOException but signals an I/O timeout, not a
+    // thread interrupt — classifying it as one would let a single
+    // transient network timeout kill the heartbeat and release a live
+    // stream's lease (review r10)
+    case _: java.net.SocketTimeoutException => ()
     case ie: java.io.InterruptedIOException =>
       Thread.currentThread().interrupt()
       throw new IllegalStateException("interrupted during lease I/O", ie)

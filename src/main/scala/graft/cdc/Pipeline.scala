@@ -730,14 +730,19 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
     // release only paths with NO remaining active stream, atomically with
     // the count read (review r10, twice: an unconditional release deleted
     // a live restarted stream's lease; a check in a separate lock section
-    // raced a concurrent start()'s register+acquire)
+    // raced a concurrent start()'s register+acquire). DOUBLE-CHECKED: the
+    // lock-free pre-check skips nonzero paths without touching the
+    // monitor — a heartbeat wedged in an FS call holds its path's monitor
+    // AND still counts (its deregister never ran), so locking first would
+    // hang this shutdown call on the wedged RPC (review r10)
     config.syncs.foreach { s =>
-      DriverLease.pathLock(statePath(s)).synchronized {
-        if (Pipeline.streamRefCount(statePath(s)).get() == 0L) {
-          try DriverLease.release(spark, statePath(s))
-          catch { case scala.util.control.NonFatal(_) => () }
+      if (Pipeline.streamRefCount(statePath(s)).get() == 0L)
+        DriverLease.pathLock(statePath(s)).synchronized {
+          if (Pipeline.streamRefCount(statePath(s)).get() == 0L) {
+            try DriverLease.release(spark, statePath(s))
+            catch { case scala.util.control.NonFatal(_) => () }
+          }
         }
-      }
     }
   }
 
