@@ -76,18 +76,29 @@ object DriverLease {
 
   // same-JVM acquire serialization per path (two refreshAsync tasks must
   // not interleave the read-evaluate-write); cross-process exclusion is the
-  // file content itself
-  private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
-  private def lock(statePath: String): Object =
-    locks.computeIfAbsent(statePath, _ => new Object)
+  // file content itself. A ReentrantLock, NOT a monitor (review r10): the
+  // shutdown release must be able to tryLock-and-skip a path whose lock a
+  // heartbeat wedged in an interrupt-deaf filesystem RPC still holds — a
+  // synchronized block would park the CLI's shutdown finally on that RPC's
+  // retry budget.
+  private val locks = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.locks.ReentrantLock]()
 
-  /** The per-path monitor, exposed so Pipeline's stream-refcount
-    * transitions can be ATOMIC with the release decision (review r10: a
+  /** The per-path lock, exposed so Pipeline's stream-refcount transitions
+    * can be ATOMIC with the release decision (review r10: a
     * check-then-release in separate lock sections raced a concurrent
     * start()'s register-then-acquire and deleted the live stream's fresh
-    * lease). Reentrant with [[acquire]]/[[release]], which synchronize on
-    * the same monitor. */
-  private[cdc] def pathLock(statePath: String): Object = lock(statePath)
+    * lease). Reentrant with [[acquire]]/[[release]], which take the same
+    * lock. */
+  private[cdc] def pathLock(statePath: String): java.util.concurrent.locks.ReentrantLock =
+    locks.computeIfAbsent(statePath,
+      _ => new java.util.concurrent.locks.ReentrantLock())
+
+  private def locked[T](statePath: String)(body: => T): T = {
+    val l = pathLock(statePath)
+    l.lock()
+    try body finally l.unlock()
+  }
 
   /** Rethrow an IO failure that is actually a THREAD INTERRUPT (Hadoop
     * wraps interrupts as InterruptedIOException / ClosedByInterrupt, often
@@ -173,7 +184,7 @@ object DriverLease {
   def acquire(spark: SparkSession, statePath: String,
               identity: String = processIdentity,
               staleMs: Long = DefaultStaleMs): Unit =
-    lock(statePath).synchronized {
+    locked(statePath) {
       // a zero/negative/tiny horizon reads every (or even a healthy
       // heartbeating) foreign lease as stale — two drivers would each take
       // over per batch, silently restoring the exact last-copy-wins
@@ -264,7 +275,7 @@ object DriverLease {
     * a crashed driver's lease is reclaimed by staleness instead). */
   def release(spark: SparkSession, statePath: String,
               identity: String = processIdentity): Unit =
-    lock(statePath).synchronized {
+    locked(statePath) {
       val (fs, p) = hfs(spark, leasePath(statePath))
       readIdentity(fs, p) match {
         case Some((held, _)) if held == identity =>
@@ -276,7 +287,7 @@ object DriverLease {
 
   /** Current holder and heartbeat age in ms, if any (status surface). */
   def holder(spark: SparkSession, statePath: String): Option[(String, Long)] =
-    lock(statePath).synchronized {
+    locked(statePath) {
       val (fs, p) = hfs(spark, leasePath(statePath))
       readIdentity(fs, p).map { case (id, mtime) =>
         (id, System.currentTimeMillis() - mtime)

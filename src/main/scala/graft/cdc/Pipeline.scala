@@ -594,9 +594,12 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
     // it, a release decided on the old count could land between this
     // increment and the first acquire and delete the fresh lease
     // (review r10, twice). A failed start deregisters in the catch.
-    config.syncs.foreach(s => DriverLease.pathLock(statePath(s)).synchronized {
-      Pipeline.streamRefCount(statePath(s)).incrementAndGet(); ()
-    })
+    config.syncs.foreach { s =>
+      val l = DriverLease.pathLock(statePath(s))
+      l.lock()
+      try { Pipeline.streamRefCount(statePath(s)).incrementAndGet(); () }
+      finally l.unlock()
+    }
     try startRegistered(checkpointDir, trigger, monotonic, progress)
     catch { case t: Throwable =>
       config.syncs.foreach(s => Pipeline.deregisterStream(spark, statePath(s)))
@@ -722,28 +725,13 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
         try t.join(3000L) catch { case _: InterruptedException => () }
         if (t.isAlive)
           Pipeline.log.warn("lease heartbeat thread did not stop within 3s " +
-            "(wedged in a filesystem call?) — it still counts as an active " +
-            "stream, so its paths' leases are NOT released below and the " +
-            "next driver may pay the staleness window")
+            "(wedged in a filesystem call?) — the gated release below " +
+            "skips any path it still counts on or whose lock it holds")
       }
     }
-    // release only paths with NO remaining active stream, atomically with
-    // the count read (review r10, twice: an unconditional release deleted
-    // a live restarted stream's lease; a check in a separate lock section
-    // raced a concurrent start()'s register+acquire). DOUBLE-CHECKED: the
-    // lock-free pre-check skips nonzero paths without touching the
-    // monitor — a heartbeat wedged in an FS call holds its path's monitor
-    // AND still counts (its deregister never ran), so locking first would
-    // hang this shutdown call on the wedged RPC (review r10)
-    config.syncs.foreach { s =>
-      if (Pipeline.streamRefCount(statePath(s)).get() == 0L)
-        DriverLease.pathLock(statePath(s)).synchronized {
-          if (Pipeline.streamRefCount(statePath(s)).get() == 0L) {
-            try DriverLease.release(spark, statePath(s))
-            catch { case scala.util.control.NonFatal(_) => () }
-          }
-        }
-    }
+    // the gated, bounded-tryLock release per path — see releasePathIfUnused
+    config.syncs.foreach(s => Pipeline.releasePathIfUnused(spark, statePath(s)))
+    ()
   }
 
   /** `refresh`: atomic rebuild of each sync from a full scan
@@ -894,14 +882,50 @@ object Pipeline {
 
   /** Atomic {decrement; if last -> release} for one stream on one path —
     * the single deregistration used by the heartbeat's finally and a
-    * failed start's unwinding. */
-  private[cdc] def deregisterStream(spark: SparkSession, statePath: String): Unit =
-    DriverLease.pathLock(statePath).synchronized {
+    * failed start's unwinding. BLOCKING lock: the deregistering thread
+    * must complete its own transition. */
+  private[cdc] def deregisterStream(spark: SparkSession, statePath: String): Unit = {
+    val l = DriverLease.pathLock(statePath)
+    l.lock()
+    try {
       if (streamRefCount(statePath).decrementAndGet() == 0L) {
         try DriverLease.release(spark, statePath)
         catch { case scala.util.control.NonFatal(_) => () }
       }
+    } finally l.unlock()
+  }
+
+  /** The gated shutdown release for one path: release iff NO stream is
+    * registered, with the count re-checked under the path lock (a
+    * concurrent start's register+acquire cannot interleave), and the lock
+    * taken with a BOUNDED tryLock — a heartbeat wedged in an
+    * interrupt-deaf filesystem RPC can hold this lock indefinitely
+    * (possibly with the count already 0, mid-release), and shutdown must
+    * skip such a path instead of hanging on the RPC's retry budget
+    * (review r10). Returns true iff the lease was released. Shared by
+    * [[Pipeline.releaseLeases]] and the lifecycle spec so the gating logic
+    * cannot drift from what is tested. */
+  private[cdc] def releasePathIfUnused(spark: SparkSession, statePath: String,
+                                       tryMs: Long = 2000L): Boolean = {
+    if (streamRefCount(statePath).get() != 0L) return false
+    val l = DriverLease.pathLock(statePath)
+    val got =
+      try l.tryLock(tryMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+      catch { case _: InterruptedException =>
+        Thread.currentThread().interrupt(); false }
+    if (!got) {
+      log.warn(s"lease lock for $statePath is held (a wedged heartbeat?) — " +
+        "skipping its shutdown release; the holder finishes it, or the " +
+        "next driver pays the staleness window")
+      return false
     }
+    try {
+      if (streamRefCount(statePath).get() == 0L) {
+        try { DriverLease.release(spark, statePath); true }
+        catch { case scala.util.control.NonFatal(_) => false }
+      } else false
+    } finally l.unlock()
+  }
 
   /** Per-state-path mutation stamp — [[StateCommit.mutationStamp]] (the
     * quiesced-clear consumer and the FINALLY-adjacent bump discipline are

@@ -16,9 +16,10 @@ class LeaseLifecycleSpec extends SparkSpec {
 
   /** What Pipeline.start does per path: register, then acquire. */
   private def startAtom(path: String): Unit = {
-    DriverLease.pathLock(path).synchronized {
-      Pipeline.streamRefCount(path).incrementAndGet(); ()
-    }
+    val l = DriverLease.pathLock(path)
+    l.lock()
+    try { Pipeline.streamRefCount(path).incrementAndGet(); () }
+    finally l.unlock()
     DriverLease.acquire(spark, path)
   }
 
@@ -26,13 +27,11 @@ class LeaseLifecycleSpec extends SparkSpec {
   private def stopAtom(path: String): Unit =
     Pipeline.deregisterStream(spark, path)
 
-  /** What releaseLeases does per path (the double-checked gated release). */
-  private def releaseAtom(path: String): Unit =
-    if (Pipeline.streamRefCount(path).get() == 0L)
-      DriverLease.pathLock(path).synchronized {
-        if (Pipeline.streamRefCount(path).get() == 0L)
-          DriverLease.release(spark, path)
-      }
+  /** What releaseLeases does per path — the REAL shared gating logic
+    * (review r10: a hand-copied gate would drift from production). */
+  private def releaseAtom(path: String): Unit = {
+    Pipeline.releasePathIfUnused(spark, path); ()
+  }
 
   private def held(path: String): Boolean =
     DriverLease.holder(spark, path).isDefined
@@ -70,6 +69,59 @@ class LeaseLifecycleSpec extends SparkSpec {
         s"$tag: the registered stream must end up leased")
       stopAtom(p)
     }
+  }
+
+  test("gated release re-checks the count UNDER the lock: a registration " +
+    "landing between the lock-free pre-check and the lock acquisition is " +
+    "honored, not raced (the deleted-live-lease regression guard)") {
+    val p = freshPath("recheck")
+    startAtom(p); stopAtom(p) // lease released, count 0
+    DriverLease.acquire(spark, p) // a stray lease with count 0
+    val l = DriverLease.pathLock(p)
+    l.lock() // play the concurrent holder
+    val releaser = new Thread(() => { Pipeline.releasePathIfUnused(spark, p); () })
+    try {
+      releaser.start()
+      Thread.sleep(300) // let it pass the pre-check and park on tryLock
+      // a start registers while the releaser waits (we hold the lock, so
+      // the register is safe to do directly on the count)
+      Pipeline.streamRefCount(p).incrementAndGet()
+    } finally l.unlock()
+    releaser.join(5000)
+    assert(!releaser.isAlive)
+    assert(held(p),
+      "the in-lock re-check must see the new registration and skip the release")
+    assert(Pipeline.streamRefCount(p).get() === 1L)
+    stopAtom(p)
+  }
+
+  test("gated release SKIPS (never hangs on) a path whose lock a wedged " +
+    "holder keeps, and reports false") {
+    val p = freshPath("wedged")
+    DriverLease.acquire(spark, p) // lease present, count 0
+    val l = DriverLease.pathLock(p)
+    // the wedged holder must be a DIFFERENT thread: the lock is reentrant,
+    // so holding it on this thread would let tryLock succeed immediately
+    val holding = new java.util.concurrent.CountDownLatch(1)
+    val free = new java.util.concurrent.CountDownLatch(1)
+    val wedger = new Thread(() => {
+      l.lock()
+      try { holding.countDown(); free.await() } finally l.unlock()
+    })
+    wedger.start()
+    assert(holding.await(5, java.util.concurrent.TimeUnit.SECONDS))
+    try {
+      val t0 = System.currentTimeMillis()
+      val released = Pipeline.releasePathIfUnused(spark, p, tryMs = 200L)
+      val took = System.currentTimeMillis() - t0
+      assert(!released, "a held lock must be skipped, not waited out")
+      assert(took < 3000, s"the tryLock bound must hold (took ${took}ms)")
+    } finally free.countDown()
+    wedger.join(5000)
+    // asserted only after the wedger released: held() itself takes the
+    // path lock, so probing it mid-wedge would deadlock the test
+    assert(held(p), "the lease stays for the wedged holder to finish with")
+    DriverLease.release(spark, p)
   }
 
   test("interrupt classification: a socket TIMEOUT passes through as a " +
