@@ -94,7 +94,9 @@ object DriverLease {
     locks.computeIfAbsent(statePath,
       _ => new java.util.concurrent.locks.ReentrantLock())
 
-  private def locked[T](statePath: String)(body: => T): T = {
+  /** lock/try/finally-unlock on the path lock — shared with Pipeline's
+    * refcount transitions so the locking discipline lives in one place. */
+  private[cdc] def locked[T](statePath: String)(body: => T): T = {
     val l = pathLock(statePath)
     l.lock()
     try body finally l.unlock()

@@ -589,17 +589,14 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
     // batch): a restarted stream must be counted before the OLD query's
     // lingering heartbeat thread runs its shutdown release, or that
     // release deletes the lease this start just re-acquired. The increment
-    // runs under the lease's per-path monitor so it is atomic with any
+    // runs under the lease's per-path lock so it is atomic with any
     // concurrent releaseLeases' {count == 0 -> release} decision — without
     // it, a release decided on the old count could land between this
     // increment and the first acquire and delete the fresh lease
     // (review r10, twice). A failed start deregisters in the catch.
-    config.syncs.foreach { s =>
-      val l = DriverLease.pathLock(statePath(s))
-      l.lock()
-      try { Pipeline.streamRefCount(statePath(s)).incrementAndGet(); () }
-      finally l.unlock()
-    }
+    config.syncs.foreach(s => DriverLease.locked(statePath(s)) {
+      Pipeline.streamRefCount(statePath(s)).incrementAndGet(); ()
+    })
     try startRegistered(checkpointDir, trigger, monotonic, progress)
     catch { case t: Throwable =>
       config.syncs.foreach(s => Pipeline.deregisterStream(spark, statePath(s)))
@@ -884,16 +881,13 @@ object Pipeline {
     * the single deregistration used by the heartbeat's finally and a
     * failed start's unwinding. BLOCKING lock: the deregistering thread
     * must complete its own transition. */
-  private[cdc] def deregisterStream(spark: SparkSession, statePath: String): Unit = {
-    val l = DriverLease.pathLock(statePath)
-    l.lock()
-    try {
+  private[cdc] def deregisterStream(spark: SparkSession, statePath: String): Unit =
+    DriverLease.locked(statePath) {
       if (streamRefCount(statePath).decrementAndGet() == 0L) {
         try DriverLease.release(spark, statePath)
         catch { case scala.util.control.NonFatal(_) => () }
       }
-    } finally l.unlock()
-  }
+    }
 
   /** The gated shutdown release for one path: release iff NO stream is
     * registered, with the count re-checked under the path lock (a
@@ -906,13 +900,21 @@ object Pipeline {
     * [[Pipeline.releaseLeases]] and the lifecycle spec so the gating logic
     * cannot drift from what is tested. */
   private[cdc] def releasePathIfUnused(spark: SparkSession, statePath: String,
-                                       tryMs: Long = 2000L): Boolean = {
+                                       tryMs: Long = DriverLease.TornGraceMs + 10000L): Boolean = {
     if (streamRefCount(statePath).get() != 0L) return false
     val l = DriverLease.pathLock(statePath)
-    val got =
-      try l.tryLock(tryMs, java.util.concurrent.TimeUnit.MILLISECONDS)
-      catch { case _: InterruptedException =>
-        Thread.currentThread().interrupt(); false }
+    // untimed tryLock FIRST: it ignores a pending interrupt status, which
+    // the timed form throws on instantly even for a FREE lock — and an
+    // interrupt-driven shutdown (rethrowIfInterrupt restores the flag) is
+    // exactly when this runs (review r10). The timed fallback bounds the
+    // contended case; its default exceeds acquire's worst in-lock budget
+    // (TornGraceMs + 5 s of deadline + retry sleeps), so a HEALTHY holder
+    // — e.g. a background task's acquire waiting out a torn lease — is
+    // waited for, not misclassified as wedged (review r10).
+    val got = l.tryLock() ||
+      (try l.tryLock(tryMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+       catch { case _: InterruptedException =>
+         Thread.currentThread().interrupt(); false })
     if (!got) {
       log.warn(s"lease lock for $statePath is held (a wedged heartbeat?) — " +
         "skipping its shutdown release; the holder finishes it, or the " +

@@ -16,10 +16,9 @@ class LeaseLifecycleSpec extends SparkSpec {
 
   /** What Pipeline.start does per path: register, then acquire. */
   private def startAtom(path: String): Unit = {
-    val l = DriverLease.pathLock(path)
-    l.lock()
-    try { Pipeline.streamRefCount(path).incrementAndGet(); () }
-    finally l.unlock()
+    DriverLease.locked(path) {
+      Pipeline.streamRefCount(path).incrementAndGet(); ()
+    }
     DriverLease.acquire(spark, path)
   }
 
@@ -82,7 +81,14 @@ class LeaseLifecycleSpec extends SparkSpec {
     val releaser = new Thread(() => { Pipeline.releasePathIfUnused(spark, p); () })
     try {
       releaser.start()
-      Thread.sleep(300) // let it pass the pre-check and park on tryLock
+      // DETERMINISTIC sync (review r10: a fixed sleep degraded to testing
+      // only the pre-check on a loaded host): wait until the releaser is
+      // provably parked on the lock queue — past its pre-check
+      val deadline = System.currentTimeMillis() + 10000
+      while (!l.hasQueuedThread(releaser) &&
+             System.currentTimeMillis() < deadline) Thread.sleep(10)
+      assert(l.hasQueuedThread(releaser),
+        "the releaser must be parked on the lock, past its pre-check")
       // a start registers while the releaser waits (we hold the lock, so
       // the register is safe to do directly on the count)
       Pipeline.streamRefCount(p).incrementAndGet()
