@@ -710,6 +710,19 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
     * `awaitTermination` and in the one-shot verbs' finally, so a planned
     * same-path handoff never pays the staleness window. */
   def releaseLeases(): Unit = {
+    // save-and-CLEAR a pending interrupt for the whole hygiene pass
+    // (review r10, the right depth): an interrupt-driven shutdown arrives
+    // here with the flag restored by rethrowIfInterrupt, and EVERY
+    // blocking step below — join, the timed tryLock, Hadoop's fs.delete —
+    // aborts instantly on a pending flag, silently stranding the lease.
+    // The flag is restored on exit so the caller's interrupt semantics
+    // survive.
+    val wasInterrupted = Thread.interrupted()
+    try releaseLeasesCleanFlag()
+    finally if (wasInterrupted) Thread.currentThread().interrupt()
+  }
+
+  private def releaseLeasesCleanFlag(): Unit = {
     // stop only heartbeats whose query has TERMINATED (review r10: an
     // unconditional interrupt loop would kill a still-active restarted
     // stream's heartbeat and leave it running unfenced)
@@ -881,13 +894,19 @@ object Pipeline {
     * the single deregistration used by the heartbeat's finally and a
     * failed start's unwinding. BLOCKING lock: the deregistering thread
     * must complete its own transition. */
-  private[cdc] def deregisterStream(spark: SparkSession, statePath: String): Unit =
-    DriverLease.locked(statePath) {
+  private[cdc] def deregisterStream(spark: SparkSession, statePath: String): Unit = {
+    // the caller is typically a JUST-INTERRUPTED heartbeat running its
+    // finally: clear the flag for the release's filesystem I/O (Hadoop
+    // RPC aborts instantly on a pending interrupt) and restore it after
+    // (review r10)
+    val wasInterrupted = Thread.interrupted()
+    try DriverLease.locked(statePath) {
       if (streamRefCount(statePath).decrementAndGet() == 0L) {
         try DriverLease.release(spark, statePath)
         catch { case scala.util.control.NonFatal(_) => () }
       }
-    }
+    } finally if (wasInterrupted) Thread.currentThread().interrupt()
+  }
 
   /** The gated shutdown release for one path: release iff NO stream is
     * registered, with the count re-checked under the path lock (a

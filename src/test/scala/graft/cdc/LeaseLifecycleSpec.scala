@@ -130,6 +130,22 @@ class LeaseLifecycleSpec extends SparkSpec {
     DriverLease.release(spark, p)
   }
 
+  test("deregistration under a PENDING interrupt still releases (the flag " +
+    "is cleared for the I/O and restored after) — the interrupt-driven " +
+    "shutdown path cannot silently strand a lease") {
+    val p = freshPath("interrupted")
+    startAtom(p)
+    assert(held(p))
+    Thread.currentThread().interrupt() // the rethrowIfInterrupt aftermath
+    try {
+      stopAtom(p)
+      assert(Thread.currentThread().isInterrupted,
+        "the caller's interrupt flag must be restored after deregistration")
+    } finally { Thread.interrupted(); () } // clear for the next test
+    assert(!held(p),
+      "the release I/O must run with a clean flag and actually delete the lease")
+  }
+
   test("interrupt classification: a socket TIMEOUT passes through as a " +
     "plain IO failure; real interrupts restore the flag and throw") {
     // timeout: no throw, no interrupt flag
