@@ -731,9 +731,13 @@ object Dedup {
   /** Corpus-derived cell count: `ceil(corpusRows / TargetCellPopulation)`,
     * floor 1 — per-cell population stays ~constant as the corpus grows, so
     * within-cell pair volume (and wall) grows linearly. */
-  def autoCells(corpusRows: Long): Int =
-    math.min(Int.MaxValue.toLong, math.max(1L,
-      (corpusRows + TargetCellPopulation - 1) / TargetCellPopulation)).toInt
+  def autoCells(corpusRows: Long): Int = {
+    // ceil without the +(target-1) addition, which overflows Long at the
+    // extreme top of the range and would wrap to 1 cell
+    val ceil = corpusRows / TargetCellPopulation +
+      (if (corpusRows % TargetCellPopulation == 0L) 0L else 1L)
+    math.min(Int.MaxValue.toLong, math.max(1L, ceil)).toInt
+  }
 
   /** Resolve [[AutoCells]] against the actual corpus count (one cheap
     * parquet-metadata count); an explicit nCells passes through. */

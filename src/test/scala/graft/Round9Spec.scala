@@ -135,9 +135,10 @@ class Round9Spec extends SparkSpec {
     assert(Dedup.autoCells(2000L) === 9)    // sf0.1 embeddings
     assert(Dedup.autoCells(0L) === 1 && Dedup.autoCells(1L) === 1)
     assert(Dedup.autoCells(240L) === 1 && Dedup.autoCells(241L) === 2)
-    // 100 TB arithmetic: 1e12 rows -> ~4.2e9 cells, still an Int
-    assert(Dedup.autoCells(1000000000000L) === 4166666667L.toInt.max(1)
-      || Dedup.autoCells(1000000000000L) > 0)
+    // 100 TB arithmetic: 1e12 rows derive ~4.2e9 cells, above Int range —
+    // clamped to Int.MaxValue, never overflow-negative
+    assert(Dedup.autoCells(1000000000000L) === Int.MaxValue)
+    assert(Dedup.autoCells(Long.MaxValue) === Int.MaxValue)
     // end-to-end: the default (AutoCells) resolves against the real corpus
     // and the realized mean population of NONEMPTY cells stays inside a
     // [target/8, target*8] band at both scales — the demo quantizer skews,
