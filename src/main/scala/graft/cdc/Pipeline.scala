@@ -214,24 +214,24 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
   private def applySync(batch: DataFrame, sync: SyncConfig, batchId: Long): Unit = {
     applySyncLocked(batch, sync, batchId)
     // orphaned-marker self-heal (ADVICE r9), OUTSIDE the state lock: after
-    // enough consecutive batches observed a foreign negative-owner marker
-    // (a crashed refresh's orphan — see writeCompacted), run the quiesced
-    // full rebuild. Its clear is quiesce-gated, so racing a genuinely live
-    // refresh is safe (the refresh's commit bumps the stamp and forces a
-    // re-scan); the cost of a false positive is one manifest scan. The
-    // stream pays the scan inline — bounded, and strictly better than
-    // pruning staying disabled forever.
+    // enough consecutive batches could not claim the marker FRESH (a
+    // crashed refresh/batch/replay's orphan — see writeCompacted), run the
+    // quiesced full rebuild. Its clear is quiesce-gated, so racing a
+    // genuinely live refresh is safe (the refresh's commit bumps the stamp
+    // and forces a re-scan); the cost of a false positive is one manifest
+    // scan. The stream pays the scan inline — bounded, and strictly better
+    // than pruning staying disabled forever.
     val streak = Pipeline.foreignMarkerStreak(statePath(sync))
     val since = Pipeline.foreignMarkerSince.get(statePath(sync))
     if (streak.get() >= Pipeline.OrphanMarkerHealStreak && since != null &&
         System.currentTimeMillis() - since >= Pipeline.orphanMarkerHealMinMs) {
       Pipeline.resetForeignMarker(statePath(sync), streak)
       Pipeline.log.warn(
-        s"zone-map marker for ${statePath(sync)} held by a foreign " +
-          s"refresh owner for ${Pipeline.OrphanMarkerHealStreak}+ batches " +
-          s"over ${Pipeline.orphanMarkerHealMinMs / 1000}+ s — presumed " +
-          "orphaned by a crashed refresh; running a quiesced full " +
-          "zone-map rebuild to restore pruned reads")
+        s"zone-map marker for ${statePath(sync)} not claimable fresh for " +
+          s"${Pipeline.OrphanMarkerHealStreak}+ batches over " +
+          s"${Pipeline.orphanMarkerHealMinMs / 1000}+ s — an orphan from a " +
+          "crashed refresh/batch/replay; running a quiesced full zone-map " +
+          "rebuild to restore pruned reads")
       rebuildZoneMap(sync)
     }
   }
@@ -297,31 +297,38 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
         // rebuild's quiesce check (the mutation stamp this batch bumps)
         // forces a re-scan that includes this batch before any clear.
         // Same-id re-marking (the at-least-once replay) still owns.
-        val ownsMarker = zoneMapActive &&
-          graft.ops.Maintenance.markZoneMapPending(spark, zoneMapPath(sync), batchId)
-        // orphan-marker detection (ADVICE r9): a refresh that crashed
-        // between its commit (which force-owns the marker with a fresh
-        // NEGATIVE id) and its rebuild's clear leaves a marker no batch can
-        // ever re-own — freshOwnerId never repeats — so pruned reads stay
-        // disabled and splices stay skipped indefinitely, with no
-        // checkpoint-replay self-heal (a crashed BATCH's marker, by
-        // contrast, is re-owned by its replay under the same id). Count
-        // consecutive foreign-NEGATIVE-owner observations; applySync
-        // escalates to a quiesced full rebuild after the streak threshold.
-        // A live refresh briefly holds the marker too — the threshold keeps
-        // a healthy rebuild window from triggering a spurious second scan,
-        // and a spurious heal racing a live rebuild is still CORRECT (both
-        // clears are quiesce-gated), just wasted work.
+        // FRESH claims only get the splice-and-release fast path below
+        // (StateCommit.MarkerClaim, review r10): a RE-OWNED marker lay
+        // orphaned by a crash, and a foreign writer (a dead-letter replay
+        // under a batch's orphan) may have written buckets and skipped its
+        // splice in that window — a re-owner that spliced only its own
+        // buckets and released would leave those buckets stale under NO
+        // marker, the silent-row-loss case. The re-owner writes, keeps the
+        // marker, and the quiesced heal below is the only way down.
+        val claim =
+          if (zoneMapActive)
+            StateCommit.claimMarkerDetailed(spark, zoneMapPath(sync), batchId)
+          else StateCommit.ForeignClaim
+        val ownsMarker = zoneMapActive && claim == StateCommit.FreshClaim
+        // orphan-marker detection (ADVICE r9): ANY marker a batch cannot
+        // claim fresh is an orphan or a live rebuild's — crashed refreshes
+        // mint never-reused negative ids, crashed batches/replays now KEEP
+        // their re-owned markers (above), and live same-JVM writers are
+        // serialized by the state lock while cross-process ones are fenced
+        // by the lease, so no healthy foreign marker can persist. Count
+        // consecutive non-fresh observations; applySync escalates to a
+        // quiesced full rebuild after the streak threshold AND a 60 s
+        // continuous-observation age (a healthy refresh's brief window
+        // never trips it; a spurious heal racing a live rebuild is still
+        // CORRECT — both clears are quiesce-gated — just wasted work).
         if (zoneMapActive) {
           val streak = Pipeline.foreignMarkerStreak(statePath(sync))
           if (ownsMarker) Pipeline.resetForeignMarker(statePath(sync), streak)
-          else graft.ops.Maintenance.zoneMapPendingOwner(spark, zoneMapPath(sync)) match {
-            case Some(owner) if owner < 0L && owner != Long.MinValue =>
-              streak.incrementAndGet()
-              Pipeline.foreignMarkerSince.putIfAbsent(statePath(sync),
-                java.lang.Long.valueOf(System.currentTimeMillis()))
-              ()
-            case _ => Pipeline.resetForeignMarker(statePath(sync), streak)
+          else {
+            streak.incrementAndGet()
+            Pipeline.foreignMarkerSince.putIfAbsent(statePath(sync),
+              java.lang.Long.valueOf(System.currentTimeMillis()))
+            ()
           }
         }
         BucketedUpsertSink.applyBatch(spark, statePath(sync), compacted, pk, n,
@@ -480,7 +487,13 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
           graft.ops.Maintenance.forceZoneMapPending(spark, zoneMapPath(sync),
             Pipeline.freshOwnerId())
         try {
-          UpsertSink.atomicSwapDirs(spark, staging, statePath(sync))
+          // a FAILED swap must drop (and deregister) the staged copy: it
+          // was registered with the janitor at stage time, and a leaked
+          // registration protects a full-snapshot-sized dir from reaping
+          // for the JVM's lifetime (review r10; compactApply's precedent)
+          try UpsertSink.atomicSwapDirs(spark, staging, statePath(sync))
+          catch { case t: Throwable =>
+            UpsertSink.dropStaging(spark, staging); throw t }
           OffsetWatermark.recordSnapshotFloor(spark, statePath(sync), floor)
         } finally {
           // in a FINALLY, like applySync: a floor-record failure after the
@@ -804,10 +817,11 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
   /** Zone-map marker status per table: `Some(ownerId)` when a pending
     * marker is up (pruned reads are falling back to exact unpruned
     * filters), `None` when the manifest is clean or the sync maintains no
-    * zone map. A NEGATIVE owner that persists across `check` runs with no
-    * refresh in flight is a crashed refresh's orphan — the live stream
-    * self-heals it after [[Pipeline.OrphanMarkerHealStreak]] batches, or
-    * re-running `refresh` clears it immediately (ADVICE r9). */
+    * zone map. An owner that persists across `check` runs with no refresh
+    * in flight is an orphan from a crashed refresh/batch/replay — the
+    * live stream self-heals it after [[Pipeline.OrphanMarkerHealStreak]]
+    * batches over [[Pipeline.orphanMarkerHealMinMs]], or re-running
+    * `refresh` clears it immediately (ADVICE r9). */
   def zoneMapStatus(): Map[String, Option[Long]] = config.syncs.map { s =>
     s.table -> (if (zoneMapActiveFor(s))
       graft.ops.Maintenance.zoneMapPendingOwner(spark, zoneMapPath(s))
@@ -845,14 +859,16 @@ object Pipeline {
 
   private[cdc] val log = org.slf4j.LoggerFactory.getLogger("graft.pipeline")
 
-  /** Consecutive foreign-negative-owner marker observations before a live
+  /** Consecutive not-claimable-FRESH marker observations before a live
     * batch MAY escalate to the quiesced full zone-map rebuild (the
-    * orphaned-refresh-marker self-heal — ADVICE r9). Batch count alone is
-    * cadence-dependent (sub-second triggers would reach any count during a
-    * healthy refresh's scan — review r10), so the heal additionally
-    * requires the marker to have been foreign CONTINUOUSLY for
-    * [[orphanMarkerHealMinMs]]. A false positive still costs only one
-    * manifest scan (both clears are quiesce-gated), never correctness. */
+    * orphaned-marker self-heal — ADVICE r9; widened to any orphan in r10,
+    * since re-owned crash markers are now KEPT rather than released).
+    * Batch count alone is cadence-dependent (sub-second triggers would
+    * reach any count during a healthy refresh's scan — review r10), so
+    * the heal additionally requires the marker to have been unclaimable
+    * CONTINUOUSLY for [[orphanMarkerHealMinMs]]. A false positive still
+    * costs only one manifest scan (both clears are quiesce-gated), never
+    * correctness. */
   val OrphanMarkerHealStreak = 3L
 
   /** Minimum continuous foreign-observation age before the streak heal

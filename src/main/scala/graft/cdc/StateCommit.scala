@@ -31,8 +31,16 @@ import org.apache.spark.sql.SparkSession
   * marker ABSENT  | batch/replay starts          | claim(id) -> OWNED(id); sink write;
   *                |                              | splice touched buckets; release(id)
   *                |                              | -> ABSENT; stamp++ (in FINALLY)
-  * OWNED(same id) | batch replay (crash retry)   | claim(id) re-owns (idempotent);
-  *                |                              | completes as above -> ABSENT
+  * OWNED(same id) | batch replay (crash retry)   | claim RE-OWNS but the fast path is
+  *                |                              | FORFEIT (review r10): while the
+  *                |                              | marker lay orphaned a FOREIGN
+  *                |                              | writer may have written buckets and
+  *                |                              | skipped its splice, so the re-owner
+  *                |                              | sink-writes + stamp++ and KEEPS the
+  *                |                              | marker; only a quiesced full scan
+  *                |                              | clears it (splice-and-release here
+  *                |                              | would leave those foreign buckets
+  *                |                              | stale under NO marker)
   * OWNED(foreign) | batch/replay starts          | claim fails -> SKIP all manifest
   *                |                              | work (safety rides the pending
   *                |                              | guard: reads are unpruned while
@@ -46,12 +54,12 @@ import org.apache.spark.sql.SparkSession
   *                |                              | LOCKED scan+clear (starvation cap)
   * OWNED(any)     | crash before clear           | marker survives (write-ahead);
   *                |                              | reads stay exact via the unpruned
-  *                |                              | fallback; healed by: the owner's
-  *                |                              | replay (same id), the next rebuild
-  *                |                              | (force + quiesced clear), or the
-  *                |                              | orphan streak heal (3 consecutive
-  *                |                              | foreign-NEGATIVE-owner batches ->
-  *                |                              | quiesced full rebuild)
+  *                |                              | fallback; healed by the next
+  *                |                              | rebuild (force + quiesced clear) or
+  *                |                              | the orphan streak heal (3
+  *                |                              | consecutive foreign-marker batches
+  *                |                              | over 60+ s -> quiesced full
+  *                |                              | rebuild)
   * mid-swap crash | any reader                   | recoverSwap: live absent + .old
   *                |                              | complete -> rename .old back
   * }}}
@@ -59,11 +67,15 @@ import org.apache.spark.sql.SparkSession
   * Invariant the table preserves: ''marker ABSENT ⇒ manifest describes the
   * live state exactly''; while OWNED, readers use the exact unpruned
   * filter, so pruned reads NEVER return wrong rows — only slower ones.
-  * Clears happen exactly twice in the codebase: the owner's release after
-  * its own splice, and the quiesced clear after a full rebuild scan — and
-  * both verify their premise (ownership; stamp quiescence) atomically with
-  * the clear. [[StateCommitScheduleSpec]] enumerates the schedule space of
-  * these atoms exhaustively and checks the invariant at every step.
+  * Clears happen exactly twice in the codebase: a FRESH claimer's release
+  * after its own splice (sound because the state lock is held from claim
+  * to release and the marker did not pre-exist, so nothing else can have
+  * written under it), and the quiesced clear after a full rebuild scan —
+  * and both verify their premise (fresh ownership; stamp quiescence)
+  * atomically with the clear. [[StateCommitScheduleSpec]] enumerates the
+  * schedule space of these atoms exhaustively and checks the invariant at
+  * every step, including the foreign-write-under-orphan family that
+  * forced the re-own rule.
   *
   * LOCK ORDER (deadlock discipline): [[stateLock]] is the OUTERMOST —
   * holders may take [[swapLock]] (via swap/heal/marker ops),
@@ -202,7 +214,18 @@ object StateCommit {
     * COMPLETE directory, so the swap RETRIES: move it aside and rename
     * again. Retrying never installs a torn state, only decides which
     * complete copy ends up live; bounded — each retry requires another
-    * racer in the exact window. */
+    * racer in the exact window.
+    *
+    * Filesystem-semantics premise (review r10): the cross-process retry
+    * tolerance assumes `FileSystem.rename` FAILS when the destination
+    * exists (local-FS semantics, which this zero-dependency harness runs
+    * on). On HDFS-like filesystems rename moves the source INTO an
+    * existing destination directory instead, so a cross-process racer in
+    * the exact window could nest a copy rather than trip the retry — on
+    * such deployments [[DriverLease]] is the exclusion that prevents
+    * cross-process swappers from existing at all, and a production
+    * deployment would replace this directory-swap stand-in with a table
+    * format's atomic commit (Delta/Iceberg) anyway. */
   def atomicSwapDirs(spark: SparkSession, next: String, live: String): Unit =
     swapLock(live).synchronized {
       recoverSwap(spark, live) // heal any earlier interrupted swap first
@@ -291,22 +314,47 @@ object StateCommit {
     * write has committed whose zone-map refresh has not. */
   def markerPath(zmPath: String): String = zmPath + ".pending"
 
-  /** Claim the marker write-ahead of `ownerId`'s sink write. Returns true
-    * iff this caller OWNS it — it wrote it, or an earlier attempt with the
-    * SAME id did (the at-least-once batch replay). A DIFFERENT live
-    * owner's marker wins and the caller must skip all manifest work (see
-    * the state table). A TORN marker (crash mid-create, owned by nobody)
-    * is claimable. */
-  def claimMarker(spark: SparkSession, zmPath: String, ownerId: Long): Boolean =
+  /** Result of a write-ahead marker claim — the distinction matters
+    * (review r10): only a FRESH claim proves nothing else wrote under the
+    * marker, because the claimer holds the state lock from claim to
+    * release and the marker did not pre-exist. A RE-OWNED claim means the
+    * marker survived a CRASH of an earlier attempt with the same id — and
+    * while it lay orphaned, OTHER writers (a dead-letter replay under a
+    * batch's orphan; a later replay under a crashed replay's constant -2)
+    * may have written buckets and skipped their splice per the
+    * OWNED(foreign) rule. A re-owner that spliced only its own buckets and
+    * released would leave those foreign buckets stale with NO marker —
+    * pruned reads silently dropping rows — so a re-owner must NOT take the
+    * splice-and-release fast path; it keeps the marker up and the quiesced
+    * full rebuild (the orphan streak heal, or the next refresh) is the
+    * only way down. */
+  sealed trait MarkerClaim
+  /** Created the marker now — the fast splice-and-release path is sound. */
+  case object FreshClaim extends MarkerClaim
+  /** Re-owned an orphaned marker from a crashed same-id attempt — write,
+    * but leave the marker for a quiesced rebuild. */
+  case object ReOwnedClaim extends MarkerClaim
+  /** A different owner holds it — skip all manifest work. */
+  case object ForeignClaim extends MarkerClaim
+
+  /** Claim the marker write-ahead of `ownerId`'s sink write — see
+    * [[MarkerClaim]] for what each outcome licenses. A TORN marker (crash
+    * mid-create, owned by nobody) is claimable fresh. */
+  def claimMarkerDetailed(spark: SparkSession, zmPath: String,
+                          ownerId: Long): MarkerClaim =
     swapLock(zmPath).synchronized {
-      val p = new org.apache.hadoop.fs.Path(markerPath(zmPath))
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val (fs, p) = hfs(spark, markerPath(zmPath))
       readMarkerOwner(fs, p) match {
-        case Some(v) if v == ownerId => true
-        case Some(v) if v != Long.MinValue => false
-        case _ => writeMarkerOwner(fs, p, ownerId); true
+        case Some(v) if v == ownerId => ReOwnedClaim
+        case Some(v) if v != Long.MinValue => ForeignClaim
+        case _ => writeMarkerOwner(fs, p, ownerId); FreshClaim
       }
     }
+
+  /** Boolean form (owns at all — fresh or re-owned); kept for callers that
+    * only orphan/probe markers in tests and for Maintenance's forwarder. */
+  def claimMarker(spark: SparkSession, zmPath: String, ownerId: Long): Boolean =
+    claimMarkerDetailed(spark, zmPath, ownerId) != ForeignClaim
 
   /** FORCE ownership of the marker (unconditional overwrite) — the
     * rebuild-commit path: a marker orphaned by a crashed batch must not be
@@ -315,8 +363,7 @@ object StateCommit {
     * still describe pre-rebuild data — r9 review). */
   def forceMarker(spark: SparkSession, zmPath: String, ownerId: Long): Unit =
     swapLock(zmPath).synchronized {
-      val p = new org.apache.hadoop.fs.Path(markerPath(zmPath))
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val (fs, p) = hfs(spark, markerPath(zmPath))
       writeMarkerOwner(fs, p, ownerId)
     }
 
@@ -330,8 +377,7 @@ object StateCommit {
     * after its own splice — see the state table). */
   def releaseMarker(spark: SparkSession, zmPath: String, ownerId: Long): Unit =
     swapLock(zmPath).synchronized {
-      val p = new org.apache.hadoop.fs.Path(markerPath(zmPath))
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val (fs, p) = hfs(spark, markerPath(zmPath))
       if (readMarkerOwner(fs, p).contains(ownerId)) { fs.delete(p, false); () }
     }
 
@@ -340,8 +386,7 @@ object StateCommit {
     * single-writer rewrite). */
   def clearMarker(spark: SparkSession, zmPath: String): Unit =
     swapLock(zmPath).synchronized {
-      val p = new org.apache.hadoop.fs.Path(markerPath(zmPath))
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val (fs, p) = hfs(spark, markerPath(zmPath))
       if (fs.exists(p)) { fs.delete(p, false); () }
     }
 
@@ -349,14 +394,13 @@ object StateCommit {
     * torn (owned by nobody), `None` clean. */
   def markerOwner(spark: SparkSession, zmPath: String): Option[Long] =
     swapLock(zmPath).synchronized {
-      val p = new org.apache.hadoop.fs.Path(markerPath(zmPath))
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val (fs, p) = hfs(spark, markerPath(zmPath))
       readMarkerOwner(fs, p)
     }
 
   def markerExists(spark: SparkSession, zmPath: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(markerPath(zmPath))
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    val (fs, p) = hfs(spark, markerPath(zmPath))
+    fs.exists(p)
   }
 
   private def readMarkerOwner(fs: org.apache.hadoop.fs.FileSystem,

@@ -69,15 +69,18 @@ class StateCommitScheduleSpec extends SparkSpec {
 
   // ----- batch atoms (the applySync/writeCompacted sequence) -----
 
-  /** One COMPLETE batch: claim -> write -> (owned ? splice + release) ->
-    * stamp — indivisible in production (stateLock). */
+  /** One COMPLETE batch: claim -> write -> (claimed FRESH ? splice +
+    * release) -> stamp — indivisible in production (stateLock). Only a
+    * FRESH claim licenses the fast path: a RE-OWNED orphan may have
+    * guarded foreign writes, so the re-owner keeps the marker (the
+    * writeCompacted rule — review r10). */
   private def batch(f: Fx, i: Int): Unit =
     StateCommit.stateLock(f.statePath).synchronized {
-      val owned = StateCommit.claimMarker(spark, f.zm, i.toLong)
+      val claim = StateCommit.claimMarkerDetailed(spark, f.zm, i.toLong)
       try {
         val b = (i % 4).toLong
         batchWrite(f, i)
-        if (owned) {
+        if (claim == StateCommit.FreshClaim) {
           graft.ops.Maintenance.refreshZoneMap(spark, f.statePath, f.zm, Seq(b), Cols)
           StateCommit.releaseMarker(spark, f.zm, i.toLong)
         }
@@ -202,7 +205,9 @@ class StateCommitScheduleSpec extends SparkSpec {
   test("family C: batches crashing at each sub-atom boundary, replayed " +
     "at-least-once, with and without an interleaved rebuild — the marker " +
     "discipline heals every ordering") {
-    // c1: crash after claim; replay completes under the SAME id (re-own)
+    // c1: crash after claim; the replay RE-OWNS — and must NOT release
+    // (review r10: while the marker lay orphaned a foreign writer may have
+    // written; only a quiesced full scan may clear a re-owned marker)
     locally {
       val f = mkFixture("c1")
       StateCommit.stateLock(f.statePath).synchronized {
@@ -210,12 +215,18 @@ class StateCommitScheduleSpec extends SparkSpec {
         StateCommit.mutationStamp(f.statePath).incrementAndGet()
       }
       checkInvariants(f, "c1 post-crash (marker up, no write)")
-      batch(f, 7) // the checkpoint replay
-      assert(!StateCommit.markerExists(spark, f.zm),
-        "c1: the replay re-owns its own marker and clears it")
+      batch(f, 7) // the checkpoint replay: re-owns, writes, KEEPS the marker
+      assert(StateCommit.markerExists(spark, f.zm),
+        "c1: a re-owned orphan is kept for the quiesced heal, never released")
+      checkInvariants(f, "c1 post-replay (reads exact via the fallback)")
+      StateCommit.quiescedClear(spark, f.statePath, f.zm)(() =>
+        graft.ops.Maintenance.refreshZoneMap(spark, f.statePath, f.zm,
+          AllBuckets, Cols))
+      assert(!StateCommit.markerExists(spark, f.zm))
       checkInvariants(f, "c1 final")
     }
-    // c2: crash after claim + sink write (no splice, no clear); replay heals
+    // c2: crash after claim + sink write (no splice, no clear); the replay
+    // re-owns and keeps; the quiesced heal restores pruning
     locally {
       val f = mkFixture("c2")
       StateCommit.stateLock(f.statePath).synchronized {
@@ -225,6 +236,11 @@ class StateCommitScheduleSpec extends SparkSpec {
       }
       checkInvariants(f, "c2 post-crash (marker up, write landed)")
       batch(f, 8)
+      assert(StateCommit.markerExists(spark, f.zm),
+        "c2: the re-owned orphan is kept")
+      StateCommit.quiescedClear(spark, f.statePath, f.zm)(() =>
+        graft.ops.Maintenance.refreshZoneMap(spark, f.statePath, f.zm,
+          AllBuckets, Cols))
       assert(!StateCommit.markerExists(spark, f.zm))
       checkInvariants(f, "c2 final")
     }
@@ -265,5 +281,40 @@ class StateCommitScheduleSpec extends SparkSpec {
       assert(!StateCommit.markerExists(spark, f.zm))
       checkInvariants(f, "c4 final")
     }
+  }
+
+  test("family D: a FOREIGN write lands under a batch's orphaned marker, " +
+    "then the owner's replay completes — the re-own rule keeps the marker " +
+    "over the foreign buckets' stale stats, and the quiesced heal closes " +
+    "it (the review-r10 silent-row-loss hole, pinned)") {
+    val f = mkFixture("d0")
+    // batch 50 claims + writes bucket 2, then CRASHES before its splice
+    StateCommit.stateLock(f.statePath).synchronized {
+      assert(StateCommit.claimMarkerDetailed(spark, f.zm, 50L) ===
+        StateCommit.FreshClaim)
+      batchWrite(f, 50) // bucket 50 % 4 = 2
+      StateCommit.mutationStamp(f.statePath).incrementAndGet()
+    }
+    checkInvariants(f, "D post-crash")
+    // a foreign writer (a dead-letter replay in production) writes a
+    // DIFFERENT bucket under the orphan: its claim fails against the
+    // stored owner 50, so sink write only, splice skipped
+    batch(f, 1) // bucket 1; claim(1) vs stored 50 = foreign
+    checkInvariants(f, "D post-foreign-write")
+    assert(StateCommit.markerExists(spark, f.zm))
+    // the owner's checkpoint replay completes: RE-OWNS, writes, KEEPS —
+    // with the pre-r10 release rule this cleared the marker while bucket
+    // 1's stats were stale, and the "marker absent => manifest accurate"
+    // invariant (hence pruned-read exactness) broke
+    batch(f, 50)
+    assert(StateCommit.markerExists(spark, f.zm),
+      "D: the re-owner must keep the marker — bucket 1's stats are stale " +
+        "under it and only a full scan may clear")
+    checkInvariants(f, "D post-replay")
+    StateCommit.quiescedClear(spark, f.statePath, f.zm)(() =>
+      graft.ops.Maintenance.refreshZoneMap(spark, f.statePath, f.zm,
+        AllBuckets, Cols))
+    assert(!StateCommit.markerExists(spark, f.zm))
+    checkInvariants(f, "D healed")
   }
 }
