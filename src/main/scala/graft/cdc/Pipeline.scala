@@ -297,19 +297,28 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
         // rebuild's quiesce check (the mutation stamp this batch bumps)
         // forces a re-scan that includes this batch before any clear.
         // Same-id re-marking (the at-least-once replay) still owns.
-        // FRESH claims only get the splice-and-release fast path below
-        // (StateCommit.MarkerClaim, review r10): a RE-OWNED marker lay
-        // orphaned by a crash, and a foreign writer (a dead-letter replay
-        // under a batch's orphan) may have written buckets and skipped its
-        // splice in that window — a re-owner that spliced only its own
-        // buckets and released would leave those buckets stale under NO
-        // marker, the silent-row-loss case. The re-owner writes, keeps the
-        // marker, and the quiesced heal below is the only way down.
+        // The splice-and-release fast path below is licensed by a FRESH
+        // claim, or a RE-OWNED one whose orphan window provably guarded no
+        // foreign write (StateCommit.MarkerClaim + the foreign-write
+        // sidecar, review r10): a marker orphaned by a crash can guard a
+        // foreign writer (a dead-letter replay under a batch's orphan)
+        // that wrote buckets and skipped its splice — a re-owner that
+        // spliced only its own buckets and released would leave those
+        // buckets stale under NO marker, the silent-row-loss case. Foreign
+        // writers therefore mark the sidecar WRITE-AHEAD; a re-owner that
+        // finds it keeps the marker and the quiesced heal below is the
+        // only way down, while the common transient-crash replay (sidecar
+        // absent) still heals instantly.
         val claim =
           if (zoneMapActive)
             StateCommit.claimMarkerDetailed(spark, zoneMapPath(sync), batchId)
           else StateCommit.ForeignClaim
-        val ownsMarker = zoneMapActive && claim == StateCommit.FreshClaim
+        if (zoneMapActive && claim == StateCommit.ForeignClaim)
+          StateCommit.markForeignWrite(spark, zoneMapPath(sync))
+        val ownsMarker = zoneMapActive &&
+          (claim == StateCommit.FreshClaim ||
+            (claim == StateCommit.ReOwnedClaim &&
+              !StateCommit.hasForeignWrite(spark, zoneMapPath(sync))))
         // orphan-marker detection (ADVICE r9): ANY marker a batch cannot
         // claim fresh is an orphan or a live rebuild's — crashed refreshes
         // mint never-reused negative ids, crashed batches/replays now KEEP
@@ -494,7 +503,22 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
           try UpsertSink.atomicSwapDirs(spark, staging, statePath(sync))
           catch { case t: Throwable =>
             UpsertSink.dropStaging(spark, staging); throw t }
-          OffsetWatermark.recordSnapshotFloor(spark, statePath(sync), floor)
+          // a floor-record failure AFTER the swap landed leaves the
+          // snapshot live but unfenced: a stale dead-letter replay for a
+          // snapshot-only pk could then apply over the refreshed value
+          // (the r9 hazard the floor exists for). The failure is loud and
+          // names the heal — re-running refresh records the floor — but
+          // it cannot be made atomic with the dir swap in this harness
+          // (review r10; a table format's single commit would carry both).
+          try OffsetWatermark.recordSnapshotFloor(spark, statePath(sync), floor)
+          catch { case t: Throwable =>
+            Pipeline.log.error(
+              s"snapshot floor for ${statePath(sync)} FAILED to record " +
+                s"after the swap committed: stale dead-letter replays are " +
+                s"not fenced for snapshot-only pks until a refresh " +
+                s"succeeds — re-run refresh before replaying (${t.getMessage})")
+            throw t
+          }
         } finally {
           // in a FINALLY, like applySync: a floor-record failure after the
           // swap landed must still stamp the committed mutation, or a
@@ -514,11 +538,12 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
     * live there). */
   private def rebuildZoneMap(sync: SyncConfig): Unit =
     (config.stateBuckets, zoneMapColsFor(sync)) match {
-      case (Some(n), cols) if cols.nonEmpty =>
-        val buckets = (0L until n.toLong).toSeq
+      case (Some(_), cols) if cols.nonEmpty =>
         StateCommit.quiescedClear(spark, statePath(sync), zoneMapPath(sync))(
-          () => graft.ops.Maintenance.refreshZoneMap(spark, statePath(sync),
-            zoneMapPath(sync), buckets, cols))
+          () => graft.ops.Maintenance.computeFullZoneMap(
+            spark, statePath(sync), cols))(
+          m => graft.ops.Maintenance.publishZoneMap(
+            spark, zoneMapPath(sync), m))
       case _ => ()
     }
 
@@ -876,10 +901,10 @@ object Pipeline {
     * (its full manifest scan); spec-settable. */
   @volatile private[graft] var orphanMarkerHealMinMs: Long = 60L * 1000L
 
-  // Per-state-path count of consecutive batches that observed a marker
-  // owned by a foreign NEGATIVE id, and the wall time of the streak's
-  // first observation (see writeCompacted). JVM-local, same premise as
-  // mutationStamp.
+  // Per-state-path count of consecutive batches that could not take the
+  // marker fast path (foreign owner of ANY sign, or a re-own over a
+  // foreign-write sidecar — see writeCompacted), and the wall time of the
+  // streak's first observation. JVM-local, same premise as mutationStamp.
   private val foreignMarkerStreaks = new java.util.concurrent.ConcurrentHashMap[
     String, java.util.concurrent.atomic.AtomicLong]()
   private[cdc] val foreignMarkerSince =

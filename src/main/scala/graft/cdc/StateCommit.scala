@@ -31,20 +31,25 @@ import org.apache.spark.sql.SparkSession
   * marker ABSENT  | batch/replay starts          | claim(id) -> OWNED(id); sink write;
   *                |                              | splice touched buckets; release(id)
   *                |                              | -> ABSENT; stamp++ (in FINALLY)
-  * OWNED(same id) | batch replay (crash retry)   | claim RE-OWNS but the fast path is
-  *                |                              | FORFEIT (review r10): while the
-  *                |                              | marker lay orphaned a FOREIGN
-  *                |                              | writer may have written buckets and
-  *                |                              | skipped its splice, so the re-owner
+  * OWNED(same id) | batch replay (crash retry)   | claim RE-OWNS; the fast path is
+  *                |                              | kept ONLY if the foreign-write
+  *                |                              | sidecar is ABSENT (review r10):
+  *                |                              | while the marker lay orphaned a
+  *                |                              | FOREIGN writer may have written
+  *                |                              | buckets and skipped its splice —
+  *                |                              | sidecar present, the re-owner
   *                |                              | sink-writes + stamp++ and KEEPS the
-  *                |                              | marker; only a quiesced full scan
-  *                |                              | clears it (splice-and-release here
-  *                |                              | would leave those foreign buckets
-  *                |                              | stale under NO marker)
-  * OWNED(foreign) | batch/replay starts          | claim fails -> SKIP all manifest
-  *                |                              | work (safety rides the pending
-  *                |                              | guard: reads are unpruned while
-  *                |                              | marked); sink write + stamp++ only
+  *                |                              | marker (splice-and-release would
+  *                |                              | leave those foreign buckets stale
+  *                |                              | under NO marker); sidecar absent,
+  *                |                              | the orphan window provably guarded
+  *                |                              | nothing foreign and the replay
+  *                |                              | heals instantly as before
+  * OWNED(foreign) | batch/replay starts          | markForeignWrite (write-ahead) ->
+  *                |                              | SKIP all manifest work (safety
+  *                |                              | rides the pending guard: reads are
+  *                |                              | unpruned while marked); sink write
+  *                |                              | + stamp++ only
   * any            | rebuild commit               | force(freshId) -> OWNED(freshId);
   *                |                              | swap snapshot live; floor; stamp++
   * OWNED(any)     | rebuild scan + quiesce clear | s1 = stamp; full manifest scan
@@ -373,20 +378,61 @@ object StateCommit {
     try out.write(ownerId.toString.getBytes("UTF-8")) finally out.close()
   }
 
+  /** Sidecar recording that a FOREIGN writer wrote under the current
+    * marker (write-ahead, before its sink write): a later RE-OWNER of the
+    * orphaned marker consults it — absent, the orphan window provably
+    * guarded no foreign splice-skipped buckets and the fast
+    * splice-and-release path stays sound (the common transient-crash
+    * replay heals instantly); present, the re-owner must keep the marker
+    * for the quiesced heal (review r10: unconditional pessimism cost
+    * every routine crash 3 batches + 60 s of unpruned reads plus an
+    * inline full scan). Cleared — sidecar FIRST, so a crash between the
+    * two deletes errs pessimistic — by every path that clears the
+    * marker. */
+  def foreignWritePath(zmPath: String): String = zmPath + ".pending.foreign"
+
+  def markForeignWrite(spark: SparkSession, zmPath: String): Unit =
+    swapLock(zmPath).synchronized {
+      val (fs, p) = hfs(spark, foreignWritePath(zmPath))
+      if (!fs.exists(p)) {
+        val out = fs.create(p, true)
+        out.close()
+      }
+    }
+
+  def hasForeignWrite(spark: SparkSession, zmPath: String): Boolean =
+    swapLock(zmPath).synchronized {
+      val (fs, p) = hfs(spark, foreignWritePath(zmPath))
+      fs.exists(p)
+    }
+
+  private def dropForeignWrite(fs: org.apache.hadoop.fs.FileSystem,
+                               zmPath: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(foreignWritePath(zmPath))
+    try { if (fs.exists(p)) { fs.delete(p, false); () } }
+    catch { case _: java.io.IOException => () }
+  }
+
   /** Clear the marker iff `ownerId` still owns it (the owner's release
-    * after its own splice — see the state table). */
+    * after its own splice — see the state table). The foreign-write
+    * sidecar goes first: release only happens when no foreign write can
+    * be outstanding (fresh claim, or re-own with the sidecar absent), so
+    * any sidecar here is a stale leftover. */
   def releaseMarker(spark: SparkSession, zmPath: String, ownerId: Long): Unit =
     swapLock(zmPath).synchronized {
       val (fs, p) = hfs(spark, markerPath(zmPath))
+      dropForeignWrite(fs, zmPath)
       if (readMarkerOwner(fs, p).contains(ownerId)) { fs.delete(p, false); () }
     }
 
   /** Unconditional clear — ONLY for callers that just recomputed the whole
     * manifest from live state (the quiesced clear; compactApply's
-    * single-writer rewrite). */
+    * single-writer rewrite). Sidecar first: a crash between the deletes
+    * leaves marker + sidecar, which reads pessimistic, never unsound. */
   def clearMarker(spark: SparkSession, zmPath: String): Unit =
     swapLock(zmPath).synchronized {
       val (fs, p) = hfs(spark, markerPath(zmPath))
+      dropForeignWrite(fs, zmPath)
       if (fs.exists(p)) { fs.delete(p, false); () }
     }
 
@@ -418,24 +464,33 @@ object StateCommit {
   // --------------------------------------------------- quiesced clear
 
   /** The quiesced full-rebuild clear (the state table's rebuild-scan row):
-    * run `scan` (a full manifest recompute from live state) OUTSIDE the
-    * state lock — the stream keeps flowing — then clear the marker only if
-    * the path's mutation stamp is UNCHANGED across the scan, verified
-    * atomically with the clear under [[stateLock]]. A mutation landing
-    * mid-scan or between scan and clear bumps the stamp and forces a
-    * re-scan. The clear is UNCONDITIONAL on ownership: a quiesced scan
-    * recomputed every bucket from live state, so whatever marker is up —
-    * this rebuild's, a crashed batch's, an earlier rebuild's orphan — the
-    * manifest it guards is now accurate (this is also what heals orphaned
-    * markers). Scans broken by a concurrent swap (vanished files) retry on
-    * their own bounded budget; correctness never depends on the retry,
-    * only availability. A starved quiesce (a stream hot enough to land a
-    * mutation during every lock-free scan) escalates to ONE final scan
-    * UNDER the state lock — the stream stalls for exactly one manifest
-    * scan, bounded and deterministic, instead of pruning staying disabled
-    * indefinitely (r9 review). */
+    * run `compute` (a full manifest recompute from live state, returning a
+    * MATERIALIZED but UNPUBLISHED manifest) OUTSIDE the state lock — the
+    * stream keeps flowing — then, under [[stateLock]] and only if the
+    * path's mutation stamp is UNCHANGED across the compute, PUBLISH the
+    * manifest and clear the marker atomically. Publishing only on a
+    * quiesced compute matters as much as clearing on one (review r10):
+    * two concurrent rebuilds — the stream's orphan heal racing a
+    * refresh's — used to each publish their scan's manifest BEFORE the
+    * quiesce check, so the slower, staler scan could land its manifest
+    * after the faster one had already cleared the marker, leaving a stale
+    * manifest live with NO marker up. With publish inside the quiesce
+    * gate, a stale compute is simply discarded and re-run.
+    *
+    * The clear is UNCONDITIONAL on ownership: a quiesced compute covered
+    * every bucket of live state, so whatever marker is up — this
+    * rebuild's, a crashed batch's, an earlier rebuild's orphan — the
+    * published manifest is accurate (this is what heals orphaned
+    * markers). Computes broken by a concurrent swap (vanished files)
+    * retry on their own bounded budget; correctness never depends on the
+    * retry, only availability. A starved quiesce (a stream hot enough to
+    * land a mutation during every lock-free compute) escalates to ONE
+    * final compute+publish UNDER the state lock — bounded and
+    * deterministic, instead of pruning staying disabled indefinitely
+    * (r9 review). */
   def quiescedClear(spark: SparkSession, statePath: String, zmPath: String)
-                   (scan: () => Unit): Unit = {
+                   (compute: () => org.apache.spark.sql.DataFrame)
+                   (publish: org.apache.spark.sql.DataFrame => Unit): Unit = {
     val stamp = mutationStamp(statePath)
     var fnfRetries = 0
     var quiesceTries = 0
@@ -443,12 +498,15 @@ object StateCommit {
     while (!done && quiesceTries < 3) {
       val s1 = stamp.get()
       try {
-        scan()
+        val manifest = compute()
         done = stateLock(statePath).synchronized {
           // no locked writer is mid-flight here; a stamp match means the
-          // scan saw every committed mutation
-          if (stamp.get() == s1) { clearMarker(spark, zmPath); true }
-          else false
+          // compute saw every committed mutation
+          if (stamp.get() == s1) {
+            publish(manifest)
+            clearMarker(spark, zmPath)
+            true
+          } else false
         }
         // only a FAILED quiesce consumes the budget: a transient
         // vanished-file race gets its own separately-bounded retries
@@ -460,7 +518,7 @@ object StateCommit {
       }
     }
     if (!done) stateLock(statePath).synchronized {
-      scan()
+      publish(compute())
       clearMarker(spark, zmPath)
     }
   }

@@ -284,6 +284,24 @@ object Maintenance {
   // table, reads in one module); forwarders keep the historical names.
   // -------------------------------------------------------------------
 
+  /** The COMPUTE half of a quiesced full rebuild: materialize the whole
+    * manifest from live state WITHOUT publishing it — the publish happens
+    * under [[graft.cdc.StateCommit.quiescedClear]]'s quiesce gate, so a
+    * stale concurrent scan can never land its manifest after a faster
+    * rebuild already cleared the marker (review r10). */
+  def computeFullZoneMap(spark: SparkSession, statePath: String,
+                         statCols: Seq[String]): DataFrame =
+    bucketZoneMap(spark, statePath, statCols).localCheckpoint(true)
+
+  /** The PUBLISH half: atomically swap a materialized manifest live. */
+  def publishZoneMap(spark: SparkSession, zmPath: String,
+                     manifest: DataFrame): Unit =
+    graft.cdc.UpsertSink.swapLock(zmPath).synchronized {
+      graft.cdc.UpsertSink.stageSwap(spark, zmPath)(tmp =>
+        manifest.orderBy(col("bucket")).coalesce(1)
+          .write.mode("overwrite").parquet(tmp))
+    }
+
   /** Marker path guarding `zmPath` — [[graft.cdc.StateCommit.markerPath]]. */
   def zoneMapPendingPath(zmPath: String): String =
     graft.cdc.StateCommit.markerPath(zmPath)

@@ -385,6 +385,48 @@ class PipelineSpec extends SparkSpec {
     } finally Pipeline.orphanMarkerHealMinMs = prevHealMs
   }
 
+  test("a POSITIVE-id orphan (an abandoned batch marker whose owner never " +
+    "replays) also trips the streak heal through the real pipeline path " +
+    "(r10: the heal was widened beyond negative refresh ids)") {
+    import spark.implicits._
+    val sinkRoot = tmpDir("sink-posorphan")
+    val ckpt = tmpDir("ckpt-posorphan")
+    val sync = SyncConfig("t", pk = "id", schema = Some(StructType(Seq(
+      StructField("id", IntegerType), StructField("score", LongType)))))
+    val src = new MemoryCdcSource(spark,
+      Map("t" -> Seq((1, 10L)).toDF("id", "score")))
+    val pipe = new Pipeline(spark,
+      PipelineConfig(Seq(sync), stateBuckets = Some(4),
+        zoneMapCols = Seq("score")), src, sinkRoot)
+    val prevHealMs = Pipeline.orphanMarkerHealMinMs
+    Pipeline.orphanMarkerHealMinMs = 0L
+    try {
+      src.addEvents(ChangeEvent("create", "t", 1, ts("2024-01-01 00:00:00"),
+        """{"id": 1, "score": 10}"""))
+      val q0 = pipe.start(ckpt); q0.processAllAvailable(); q0.stop()
+      val zm = pipe.zoneMapPath(sync)
+      val pend = new java.io.File(ops.Maintenance.zoneMapPendingPath(zm))
+      // an abandoned-checkpoint batch's marker: POSITIVE id no future
+      // batch of THIS stream will mint (batch ids restart from the
+      // checkpoint, but this simulates a marker from a discarded
+      // checkpoint's high batch id)
+      ops.Maintenance.forceZoneMapPending(spark, zm, 987654L)
+      for (i <- 2 to 4) {
+        src.addEvents(ChangeEvent("create", "t", i.toLong,
+          ts(s"2024-01-01 00:00:0$i"), s"""{"id": $i, "score": ${i * 10}}"""))
+        val q = pipe.start(ckpt); q.processAllAvailable(); q.stop()
+      }
+      assert(!pend.exists(),
+        "a positive-id orphan must self-heal via the widened streak")
+      val manifest = spark.read.parquet(zm).orderBy("bucket")
+        .collect().map(_.toSeq).toSeq
+      val full = ops.Maintenance
+        .bucketZoneMap(spark, s"$sinkRoot/t", Seq("score"))
+        .collect().map(_.toSeq).toSeq
+      assert(manifest === full)
+    } finally Pipeline.orphanMarkerHealMinMs = prevHealMs
+  }
+
   test("refresh of a bucketed sink keeps the bucket layout (settings copy on swap)") {
     // the reference copies the live index's settings onto the tmp index
     // before the swap (meili.py:43-49); the layout analog here is the

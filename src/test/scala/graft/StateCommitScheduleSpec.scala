@@ -69,18 +69,24 @@ class StateCommitScheduleSpec extends SparkSpec {
 
   // ----- batch atoms (the applySync/writeCompacted sequence) -----
 
-  /** One COMPLETE batch: claim -> write -> (claimed FRESH ? splice +
-    * release) -> stamp — indivisible in production (stateLock). Only a
-    * FRESH claim licenses the fast path: a RE-OWNED orphan may have
-    * guarded foreign writes, so the re-owner keeps the marker (the
-    * writeCompacted rule — review r10). */
+  /** One COMPLETE batch: claim -> (foreign ? mark sidecar) -> write ->
+    * (fast path ? splice + release) -> stamp — indivisible in production
+    * (stateLock). The fast path is licensed by a FRESH claim or a RE-OWNED
+    * one with the foreign-write sidecar absent: a re-owned orphan whose
+    * window saw a foreign write keeps the marker for the quiesced heal
+    * (the writeCompacted rule — review r10). */
   private def batch(f: Fx, i: Int): Unit =
     StateCommit.stateLock(f.statePath).synchronized {
       val claim = StateCommit.claimMarkerDetailed(spark, f.zm, i.toLong)
+      if (claim == StateCommit.ForeignClaim)
+        StateCommit.markForeignWrite(spark, f.zm) // write-ahead, like production
       try {
         val b = (i % 4).toLong
         batchWrite(f, i)
-        if (claim == StateCommit.FreshClaim) {
+        val fastPath = claim == StateCommit.FreshClaim ||
+          (claim == StateCommit.ReOwnedClaim &&
+            !StateCommit.hasForeignWrite(spark, f.zm))
+        if (fastPath) {
           graft.ops.Maintenance.refreshZoneMap(spark, f.statePath, f.zm, Seq(b), Cols)
           StateCommit.releaseMarker(spark, f.zm, i.toLong)
         }
@@ -108,31 +114,42 @@ class StateCommitScheduleSpec extends SparkSpec {
       } finally { StateCommit.mutationStamp(f.statePath).incrementAndGet(); () }
     }
 
-    /** Atom 2 — the LOCK-FREE full manifest scan (stamp snapshot first). */
+    private var pending: Option[org.apache.spark.sql.DataFrame] = None
+
+    /** Atom 2 — the LOCK-FREE full manifest COMPUTE (stamp snapshot
+      * first); nothing publishes yet — a stale compute must be discardable
+      * (review r10: publishing before the quiesce check let a slower
+      * stale scan land after a faster rebuild's clear). */
     def scan(): Unit = {
       s1 = StateCommit.mutationStamp(f.statePath).get()
-      graft.ops.Maintenance.refreshZoneMap(spark, f.statePath, f.zm, AllBuckets, Cols)
+      pending = Some(graft.ops.Maintenance.computeFullZoneMap(
+        spark, f.statePath, Cols))
     }
 
-    /** Atom 3 — the locked quiesce check: clear iff no mutation landed
-      * since the scan's stamp snapshot. */
+    /** Atom 3 — the locked quiesce check: publish + clear iff no mutation
+      * landed since the compute's stamp snapshot. */
     def clearCheck(): Unit =
       cleared = StateCommit.stateLock(f.statePath).synchronized {
         if (StateCommit.mutationStamp(f.statePath).get() == s1) {
+          graft.ops.Maintenance.publishZoneMap(spark, f.zm, pending.get)
           StateCommit.clearMarker(spark, f.zm); true
         } else false
       }
 
-    /** Completion — the REAL production loop: re-scan until quiesced (in a
-      * sequential schedule the first re-scan quiesces; schedules where a
-      * batch landed between scan and clearCheck exercise exactly the retry
-      * this models). */
+    /** Completion — the REAL production loop: re-compute until quiesced
+      * (in a sequential schedule the first re-compute quiesces; schedules
+      * where a batch landed between scan and clearCheck exercise exactly
+      * the retry this models). */
     def finish(): Unit =
       if (!cleared || StateCommit.markerExists(spark, f.zm))
-        StateCommit.quiescedClear(spark, f.statePath, f.zm)(() =>
-          graft.ops.Maintenance.refreshZoneMap(spark, f.statePath, f.zm,
-            AllBuckets, Cols))
+        healQuiesced(f)
   }
+
+  /** The real quiesced heal, shared by every family's completion. */
+  private def healQuiesced(f: Fx): Unit =
+    StateCommit.quiescedClear(spark, f.statePath, f.zm)(() =>
+      graft.ops.Maintenance.computeFullZoneMap(spark, f.statePath, Cols))(
+      m => graft.ops.Maintenance.publishZoneMap(spark, f.zm, m))
 
   private def interleavings[A](xs: List[A], ys: List[A]): List[List[A]] =
     (xs, ys) match {
@@ -194,9 +211,7 @@ class StateCommitScheduleSpec extends SparkSpec {
       assert(StateCommit.markerExists(spark, f.zm),
         s"B schedule $si: the orphan must survive every batch (no foreign clear)")
       // the heal (what the orphan-streak escalation and the next refresh run)
-      StateCommit.quiescedClear(spark, f.statePath, f.zm)(() =>
-        graft.ops.Maintenance.refreshZoneMap(spark, f.statePath, f.zm,
-          AllBuckets, Cols))
+      healQuiesced(f)
       assert(!StateCommit.markerExists(spark, f.zm))
       checkInvariants(f, s"B schedule $si healed")
     }
@@ -205,9 +220,10 @@ class StateCommitScheduleSpec extends SparkSpec {
   test("family C: batches crashing at each sub-atom boundary, replayed " +
     "at-least-once, with and without an interleaved rebuild — the marker " +
     "discipline heals every ordering") {
-    // c1: crash after claim; the replay RE-OWNS — and must NOT release
-    // (review r10: while the marker lay orphaned a foreign writer may have
-    // written; only a quiesced full scan may clear a re-owned marker)
+    // c1: crash after claim, NO foreign write in the orphan window — the
+    // replay re-owns, finds the foreign-write sidecar absent, and heals
+    // instantly on the fast path (review r10: unconditional pessimism
+    // would cost every transient crash a full-scan heal)
     locally {
       val f = mkFixture("c1")
       StateCommit.stateLock(f.statePath).synchronized {
@@ -215,18 +231,13 @@ class StateCommitScheduleSpec extends SparkSpec {
         StateCommit.mutationStamp(f.statePath).incrementAndGet()
       }
       checkInvariants(f, "c1 post-crash (marker up, no write)")
-      batch(f, 7) // the checkpoint replay: re-owns, writes, KEEPS the marker
-      assert(StateCommit.markerExists(spark, f.zm),
-        "c1: a re-owned orphan is kept for the quiesced heal, never released")
-      checkInvariants(f, "c1 post-replay (reads exact via the fallback)")
-      StateCommit.quiescedClear(spark, f.statePath, f.zm)(() =>
-        graft.ops.Maintenance.refreshZoneMap(spark, f.statePath, f.zm,
-          AllBuckets, Cols))
-      assert(!StateCommit.markerExists(spark, f.zm))
+      batch(f, 7) // the checkpoint replay
+      assert(!StateCommit.markerExists(spark, f.zm),
+        "c1: sidecar absent -> the replay re-owns, splices, and releases")
       checkInvariants(f, "c1 final")
     }
-    // c2: crash after claim + sink write (no splice, no clear); the replay
-    // re-owns and keeps; the quiesced heal restores pruning
+    // c2: crash after claim + sink write (no splice, no clear); replay
+    // heals instantly for the same reason
     locally {
       val f = mkFixture("c2")
       StateCommit.stateLock(f.statePath).synchronized {
@@ -236,12 +247,8 @@ class StateCommitScheduleSpec extends SparkSpec {
       }
       checkInvariants(f, "c2 post-crash (marker up, write landed)")
       batch(f, 8)
-      assert(StateCommit.markerExists(spark, f.zm),
-        "c2: the re-owned orphan is kept")
-      StateCommit.quiescedClear(spark, f.statePath, f.zm)(() =>
-        graft.ops.Maintenance.refreshZoneMap(spark, f.statePath, f.zm,
-          AllBuckets, Cols))
-      assert(!StateCommit.markerExists(spark, f.zm))
+      assert(!StateCommit.markerExists(spark, f.zm),
+        "c2: sidecar absent -> instant heal")
       checkInvariants(f, "c2 final")
     }
     // c3: crash after claim; a rebuild force-steals and completes BEFORE
@@ -302,6 +309,8 @@ class StateCommitScheduleSpec extends SparkSpec {
     batch(f, 1) // bucket 1; claim(1) vs stored 50 = foreign
     checkInvariants(f, "D post-foreign-write")
     assert(StateCommit.markerExists(spark, f.zm))
+    assert(StateCommit.hasForeignWrite(spark, f.zm),
+      "D: the foreign writer must have marked the sidecar write-ahead")
     // the owner's checkpoint replay completes: RE-OWNS, writes, KEEPS —
     // with the pre-r10 release rule this cleared the marker while bucket
     // 1's stats were stale, and the "marker absent => manifest accurate"
@@ -311,10 +320,10 @@ class StateCommitScheduleSpec extends SparkSpec {
       "D: the re-owner must keep the marker — bucket 1's stats are stale " +
         "under it and only a full scan may clear")
     checkInvariants(f, "D post-replay")
-    StateCommit.quiescedClear(spark, f.statePath, f.zm)(() =>
-      graft.ops.Maintenance.refreshZoneMap(spark, f.statePath, f.zm,
-        AllBuckets, Cols))
+    healQuiesced(f)
     assert(!StateCommit.markerExists(spark, f.zm))
+    assert(!StateCommit.hasForeignWrite(spark, f.zm),
+      "D: the heal clears the sidecar with the marker")
     checkInvariants(f, "D healed")
   }
 }
