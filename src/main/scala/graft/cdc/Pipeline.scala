@@ -315,9 +315,21 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
           else StateCommit.ForeignClaim
         if (zoneMapActive && claim == StateCommit.ForeignClaim)
           StateCommit.markForeignWrite(spark, zoneMapPath(sync))
+        // the re-own fast path additionally requires batchId >= 0 (a
+        // checkpoint-replayed micro-batch): the checkpoint contract makes
+        // a batch retry's write set IDENTICAL to its crashed attempt's, so
+        // splicing the retry's buckets covers the orphan window. A
+        // dead-letter replay (-2) has NO such contract — the operator can
+        // edit the quarantine between attempts, so a retried replay's set
+        // can be SMALLER than its crashed predecessor's and the
+        // predecessor's extra buckets would go unspliced under no marker
+        // (review r10). Re-owned replay markers always defer to the
+        // quiesced heal. (A DISCARDED checkpoint also reuses batch ids
+        // against old orphans — run `refresh` after resetting a
+        // checkpoint, which force-owns and quiesce-heals everything.)
         val ownsMarker = zoneMapActive &&
           (claim == StateCommit.FreshClaim ||
-            (claim == StateCommit.ReOwnedClaim &&
+            (claim == StateCommit.ReOwnedClaim && batchId >= 0L &&
               !StateCommit.hasForeignWrite(spark, zoneMapPath(sync))))
         // orphan-marker detection (ADVICE r9): ANY marker a batch cannot
         // claim fresh is an orphan or a live rebuild's — crashed refreshes
@@ -492,9 +504,16 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
         UpsertSink.dropStaging(spark, staging)
         false
       } else {
-        if (zoneMapActiveFor(sync))
-          graft.ops.Maintenance.forceZoneMapPending(spark, zoneMapPath(sync),
+        // the marker force-own shares the staged copy's failure cleanup
+        // (review r10): a marker-write IOException here would otherwise
+        // strand the janitor-registered full-snapshot staging dir for the
+        // JVM's lifetime, exactly like a failed swap
+        if (zoneMapActiveFor(sync)) {
+          try graft.ops.Maintenance.forceZoneMapPending(spark, zoneMapPath(sync),
             Pipeline.freshOwnerId())
+          catch { case t: Throwable =>
+            UpsertSink.dropStaging(spark, staging); throw t }
+        }
         try {
           // a FAILED swap must drop (and deregister) the staged copy: it
           // was registered with the janitor at stage time, and a leaked

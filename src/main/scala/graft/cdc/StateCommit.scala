@@ -32,19 +32,22 @@ import org.apache.spark.sql.SparkSession
   *                |                              | splice touched buckets; release(id)
   *                |                              | -> ABSENT; stamp++ (in FINALLY)
   * OWNED(same id) | batch replay (crash retry)   | claim RE-OWNS; the fast path is
-  *                |                              | kept ONLY if the foreign-write
-  *                |                              | sidecar is ABSENT (review r10):
-  *                |                              | while the marker lay orphaned a
+  *                |                              | kept ONLY for a MICRO-BATCH retry
+  *                |                              | (id >= 0 — the checkpoint contract
+  *                |                              | makes its write set identical to
+  *                |                              | the crashed attempt's) with the
+  *                |                              | foreign-write sidecar ABSENT
+  *                |                              | (review r10): while orphaned, a
   *                |                              | FOREIGN writer may have written
-  *                |                              | buckets and skipped its splice —
-  *                |                              | sidecar present, the re-owner
-  *                |                              | sink-writes + stamp++ and KEEPS the
-  *                |                              | marker (splice-and-release would
-  *                |                              | leave those foreign buckets stale
-  *                |                              | under NO marker); sidecar absent,
-  *                |                              | the orphan window provably guarded
-  *                |                              | nothing foreign and the replay
-  *                |                              | heals instantly as before
+  *                |                              | buckets and skipped its splice, and
+  *                |                              | a DEAD-LETTER replay retry (-2) may
+  *                |                              | carry a SMALLER write set than its
+  *                |                              | crashed predecessor (the quarantine
+  *                |                              | is operator-editable) — either way
+  *                |                              | splice-and-release would leave
+  *                |                              | unspliced buckets stale under NO
+  *                |                              | marker, so those re-owners KEEP the
+  *                |                              | marker for the quiesced heal
   * OWNED(foreign) | batch/replay starts          | markForeignWrite (write-ahead) ->
   *                |                              | SKIP all manifest work (safety
   *                |                              | rides the pending guard: reads are
@@ -413,22 +416,33 @@ object StateCommit {
     catch { case _: java.io.IOException => () }
   }
 
-  /** Clear the marker iff `ownerId` still owns it (the owner's release
-    * after its own splice — see the state table). The foreign-write
-    * sidecar goes first: release only happens when no foreign write can
-    * be outstanding (fresh claim, or re-own with the sidecar absent), so
-    * any sidecar here is a stale leftover. */
+  /** Clear the marker iff `ownerId` still owns it AND no foreign-write
+    * sidecar is present (the owner's release after its own splice — see
+    * the state table). A sidecar here means a foreign write landed under
+    * OUR marker — impossible within the advertised premises (the state
+    * lock serializes in-JVM writers; the lease fences processes) but
+    * cheap to survive their violation (review r10: a GC-paused holder
+    * whose lease was usurped must not destroy the usurper's sidecar
+    * evidence and release over its unspliced buckets). The refusal keeps
+    * BOTH files; the streak heal or the next rebuild's quiesced clear
+    * takes it down — one wasted scan, never a silent stale manifest. */
   def releaseMarker(spark: SparkSession, zmPath: String, ownerId: Long): Unit =
     swapLock(zmPath).synchronized {
       val (fs, p) = hfs(spark, markerPath(zmPath))
-      dropForeignWrite(fs, zmPath)
-      if (readMarkerOwner(fs, p).contains(ownerId)) { fs.delete(p, false); () }
+      val sidecar = new org.apache.hadoop.fs.Path(foreignWritePath(zmPath))
+      if (!fs.exists(sidecar) &&
+          readMarkerOwner(fs, p).contains(ownerId)) { fs.delete(p, false); () }
     }
 
-  /** Unconditional clear — ONLY for callers that just recomputed the whole
-    * manifest from live state (the quiesced clear; compactApply's
-    * single-writer rewrite). Sidecar first: a crash between the deletes
-    * leaves marker + sidecar, which reads pessimistic, never unsound. */
+  /** Unconditional clear — ONLY for callers that just recomputed and
+    * published the whole manifest from live state (the quiesced clear;
+    * compactApply's single-writer rewrite): THAT full publish is what
+    * makes removing both files sound. Sidecar first — a crash between
+    * the deletes leaves the MARKER standing (sidecar gone), which still
+    * reads safe because any reader falls back to exact unpruned filters
+    * while a marker is up, and the marker's eventual clear again requires
+    * a full publish. (A marker-first order would instead leave a
+    * sidecar-without-marker leftover that wedges later releases.) */
   def clearMarker(spark: SparkSession, zmPath: String): Unit =
     swapLock(zmPath).synchronized {
       val (fs, p) = hfs(spark, markerPath(zmPath))

@@ -84,7 +84,7 @@ class StateCommitScheduleSpec extends SparkSpec {
         val b = (i % 4).toLong
         batchWrite(f, i)
         val fastPath = claim == StateCommit.FreshClaim ||
-          (claim == StateCommit.ReOwnedClaim &&
+          (claim == StateCommit.ReOwnedClaim && i >= 0 &&
             !StateCommit.hasForeignWrite(spark, f.zm))
         if (fastPath) {
           graft.ops.Maintenance.refreshZoneMap(spark, f.statePath, f.zm, Seq(b), Cols)
@@ -266,6 +266,50 @@ class StateCommitScheduleSpec extends SparkSpec {
       checkInvariants(f, "c3 after rebuild")
       batch(f, 9)
       checkInvariants(f, "c3 final")
+    }
+    // c5: a dead-letter replay (constant id -2) crashes post-write; a
+    // RETRY with an operator-EDITED (different-bucket) write set re-owns —
+    // it must NOT fast-path (no checkpoint determinism contract), or the
+    // predecessor's bucket would go unspliced under no marker (review r10)
+    locally {
+      val f = mkFixture("c5")
+      StateCommit.stateLock(f.statePath).synchronized {
+        assert(StateCommit.claimMarkerDetailed(spark, f.zm, -2L) ===
+          StateCommit.FreshClaim)
+        batchWrite(f, 20) // bucket 0; then: crash before splice
+        StateCommit.mutationStamp(f.statePath).incrementAndGet()
+      }
+      checkInvariants(f, "c5 post-crash")
+      // the retry: same id, different bucket (quarantine edited)
+      StateCommit.stateLock(f.statePath).synchronized {
+        val claim = StateCommit.claimMarkerDetailed(spark, f.zm, -2L)
+        assert(claim === StateCommit.ReOwnedClaim)
+        batchWrite(f, 21) // bucket 1 — predecessor's bucket 0 NOT revisited
+        // the production rule: re-owned replays never splice-and-release
+        StateCommit.mutationStamp(f.statePath).incrementAndGet()
+      }
+      assert(StateCommit.markerExists(spark, f.zm),
+        "c5: a re-owned replay marker must be kept for the quiesced heal")
+      checkInvariants(f, "c5 post-retry")
+      healQuiesced(f)
+      assert(!StateCommit.markerExists(spark, f.zm))
+      checkInvariants(f, "c5 final")
+    }
+    // c6: releaseMarker REFUSES while the foreign-write sidecar stands (a
+    // premise-violation defense: a usurped-lease writer's evidence must
+    // survive the stalled owner's release)
+    locally {
+      val f = mkFixture("c6")
+      assert(StateCommit.claimMarkerDetailed(spark, f.zm, 99L) ===
+        StateCommit.FreshClaim)
+      StateCommit.markForeignWrite(spark, f.zm)
+      StateCommit.releaseMarker(spark, f.zm, 99L)
+      assert(StateCommit.markerExists(spark, f.zm),
+        "c6: release over a standing sidecar must refuse")
+      healQuiesced(f)
+      assert(!StateCommit.markerExists(spark, f.zm) &&
+        !StateCommit.hasForeignWrite(spark, f.zm))
+      checkInvariants(f, "c6 final")
     }
     // c4: crash after claim + write; a rebuild commits (steal) but has NOT
     // cleared when the replay arrives — the replay's claim fails (foreign)
