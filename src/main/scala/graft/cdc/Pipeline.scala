@@ -313,8 +313,6 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
           if (zoneMapActive)
             StateCommit.claimMarkerDetailed(spark, zoneMapPath(sync), batchId)
           else StateCommit.ForeignClaim
-        if (zoneMapActive && claim == StateCommit.ForeignClaim)
-          StateCommit.markForeignWrite(spark, zoneMapPath(sync))
         // the re-own fast path additionally requires batchId >= 0 (a
         // checkpoint-replayed micro-batch): the checkpoint contract makes
         // a batch retry's write set IDENTICAL to its crashed attempt's, so
@@ -331,6 +329,14 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
           (claim == StateCommit.FreshClaim ||
             (claim == StateCommit.ReOwnedClaim && batchId >= 0L &&
               !StateCommit.hasForeignWrite(spark, zoneMapPath(sync))))
+        // EVERY write that will not splice-and-release leaves sidecar
+        // evidence WRITE-AHEAD — foreign claimers AND deferring re-owners
+        // (review r10): the kept marker is otherwise the only record of
+        // the unspliced buckets, and a marker torn or lost out-of-protocol
+        // would let a later fresh claimer release over them; the sidecar
+        // makes releaseMarker refuse regardless.
+        if (zoneMapActive && !ownsMarker)
+          StateCommit.markForeignWrite(spark, zoneMapPath(sync))
         // orphan-marker detection (ADVICE r9): ANY marker a batch cannot
         // claim fresh is an orphan or a live rebuild's — crashed refreshes
         // mint never-reused negative ids, crashed batches/replays now KEEP
@@ -491,62 +497,56 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
                                 floor: Long,
                                 precondition: () => Boolean = () => true): Boolean =
     Pipeline.stateLock(statePath(sync)).synchronized {
-      // single-driver fence BEFORE any mutation of the live path (the
-      // staged scan needed no lease — it wrote only its own unique dir);
-      // a refusal drops the staged copy rather than stranding it on the
-      // janitor's horizon
-      try DriverLease.acquire(spark, statePath(sync), staleMs = config.leaseStaleMs)
-      catch { case t: Throwable =>
-        UpsertSink.dropStaging(spark, staging); throw t }
-      // evaluated under the lock (backfill's bootstrap-only re-probe);
-      // losing it drops the staged copy instead of clobbering
-      if (!precondition()) {
-        UpsertSink.dropStaging(spark, staging)
-        false
-      } else {
-        // the marker force-own shares the staged copy's failure cleanup
-        // (review r10): a marker-write IOException here would otherwise
-        // strand the janitor-registered full-snapshot staging dir for the
-        // JVM's lifetime, exactly like a failed swap
-        if (zoneMapActiveFor(sync)) {
-          try graft.ops.Maintenance.forceZoneMapPending(spark, zoneMapPath(sync),
-            Pipeline.freshOwnerId())
-          catch { case t: Throwable =>
-            UpsertSink.dropStaging(spark, staging); throw t }
-        }
-        try {
-          // a FAILED swap must drop (and deregister) the staged copy: it
-          // was registered with the janitor at stage time, and a leaked
-          // registration protects a full-snapshot-sized dir from reaping
-          // for the JVM's lifetime (review r10; compactApply's precedent)
-          try UpsertSink.atomicSwapDirs(spark, staging, statePath(sync))
-          catch { case t: Throwable =>
-            UpsertSink.dropStaging(spark, staging); throw t }
-          // a floor-record failure AFTER the swap landed leaves the
-          // snapshot live but unfenced: a stale dead-letter replay for a
-          // snapshot-only pk could then apply over the refreshed value
-          // (the r9 hazard the floor exists for). The failure is loud and
-          // names the heal — re-running refresh records the floor — but
-          // it cannot be made atomic with the dir swap in this harness
-          // (review r10; a table format's single commit would carry both).
-          try OffsetWatermark.recordSnapshotFloor(spark, statePath(sync), floor)
-          catch { case t: Throwable =>
-            Pipeline.log.error(
-              s"snapshot floor for ${statePath(sync)} FAILED to record " +
-                s"after the swap committed: stale dead-letter replays are " +
-                s"not fenced for snapshot-only pks until a refresh " +
-                s"succeeds — re-run refresh before replaying (${t.getMessage})")
-            throw t
+      // ONE failure-cleanup scope (review r10: three copy-pasted
+      // drop-and-rethrow catches invited the next pre-swap step to forget
+      // its fourth): ANY throw out of the commit drops the staged copy —
+      // the staging dir is janitor-REGISTERED, and a leaked registration
+      // protects a full-snapshot-sized dir from reaping for the JVM's
+      // lifetime. After a successful swap the drop is a harmless no-op
+      // (the swap MOVED the dir and deregistered it), so the catch need
+      // not distinguish pre- from post-swap failures.
+      try {
+        // single-driver fence BEFORE any mutation of the live path (the
+        // staged scan needed no lease — it wrote only its own unique dir)
+        DriverLease.acquire(spark, statePath(sync), staleMs = config.leaseStaleMs)
+        // evaluated under the lock (backfill's bootstrap-only re-probe);
+        // losing it drops the staged copy instead of clobbering
+        if (!precondition()) {
+          UpsertSink.dropStaging(spark, staging)
+          false
+        } else {
+          if (zoneMapActiveFor(sync))
+            graft.ops.Maintenance.forceZoneMapPending(spark, zoneMapPath(sync),
+              Pipeline.freshOwnerId())
+          try {
+            UpsertSink.atomicSwapDirs(spark, staging, statePath(sync))
+            // a floor-record failure AFTER the swap landed leaves the
+            // snapshot live but unfenced: a stale dead-letter replay for a
+            // snapshot-only pk could then apply over the refreshed value
+            // (the r9 hazard the floor exists for). The failure is loud
+            // and names the heal — re-running refresh records the floor —
+            // but it cannot be made atomic with the dir swap in this
+            // harness (a table format's single commit would carry both).
+            try OffsetWatermark.recordSnapshotFloor(spark, statePath(sync), floor)
+            catch { case t: Throwable =>
+              Pipeline.log.error(
+                s"snapshot floor for ${statePath(sync)} FAILED to record " +
+                  s"after the swap committed: stale dead-letter replays " +
+                  s"are not fenced for snapshot-only pks until a refresh " +
+                  s"succeeds — re-run refresh before replaying (${t.getMessage})")
+              throw t
+            }
+          } finally {
+            // in a FINALLY, like applySync: a floor-record failure after
+            // the swap landed must still stamp the committed mutation, or
+            // a concurrent rebuild's quiesce check would clear over a
+            // scan that missed the new snapshot (r9 review)
+            Pipeline.mutationStamp(statePath(sync)).incrementAndGet(); ()
           }
-        } finally {
-          // in a FINALLY, like applySync: a floor-record failure after the
-          // swap landed must still stamp the committed mutation, or a
-          // concurrent rebuild's quiesce check would clear over a scan
-          // that missed the new snapshot (r9 review)
-          Pipeline.mutationStamp(statePath(sync)).incrementAndGet(); ()
+          true
         }
-        true
-      }
+      } catch { case t: Throwable =>
+        UpsertSink.dropStaging(spark, staging); throw t }
     }
 
   /** Full zone-map rebuild for one sync — the non-incremental path used

@@ -339,23 +339,34 @@ object StateCommit {
   sealed trait MarkerClaim
   /** Created the marker now — the fast splice-and-release path is sound. */
   case object FreshClaim extends MarkerClaim
-  /** Re-owned an orphaned marker from a crashed same-id attempt — write,
-    * but leave the marker for a quiesced rebuild. */
+  /** Re-owned an orphaned marker from a crashed same-id attempt. The fast
+    * path survives ONLY for a checkpoint-replayed micro-batch (id ≥ 0,
+    * identical write set by the checkpoint contract) with the
+    * foreign-write sidecar absent — the caller enforces both (see the
+    * state table); every other re-owner writes and LEAVES the marker for
+    * the quiesced heal. */
   case object ReOwnedClaim extends MarkerClaim
-  /** A different owner holds it — skip all manifest work. */
+  /** A different owner holds it (or the marker is TORN — see below) —
+    * skip all manifest work. */
   case object ForeignClaim extends MarkerClaim
 
   /** Claim the marker write-ahead of `ownerId`'s sink write — see
-    * [[MarkerClaim]] for what each outcome licenses. A TORN marker (crash
-    * mid-create, owned by nobody) is claimable fresh. */
+    * [[MarkerClaim]] for what each outcome licenses. A TORN marker (a
+    * crash inside [[forceMarker]]'s overwrite, or out-of-protocol damage)
+    * reads as FOREIGN, not claimable (review r10): the torn file may be
+    * the remains of an orphan that GUARDED real unspliced writes — a
+    * rebuild crashing mid-force truncates the previous owner's marker —
+    * and letting the next batch claim it fresh would launder that guard
+    * into a splice-and-release over stale buckets. Torn markers come down
+    * only via the quiesced heal's full publish. */
   def claimMarkerDetailed(spark: SparkSession, zmPath: String,
                           ownerId: Long): MarkerClaim =
     swapLock(zmPath).synchronized {
       val (fs, p) = hfs(spark, markerPath(zmPath))
       readMarkerOwner(fs, p) match {
         case Some(v) if v == ownerId => ReOwnedClaim
-        case Some(v) if v != Long.MinValue => ForeignClaim
-        case _ => writeMarkerOwner(fs, p, ownerId); FreshClaim
+        case Some(_) => ForeignClaim
+        case None => writeMarkerOwner(fs, p, ownerId); FreshClaim
       }
     }
 

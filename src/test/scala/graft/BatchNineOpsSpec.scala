@@ -442,13 +442,17 @@ class BatchNineOpsSpec extends SparkSpec {
     assert(Maintenance.markZoneMapPending(spark, zmPath, -101L))
     Maintenance.clearZoneMapPending(spark, zmPath, -101L)
     assert(!pend.exists(), "the owner's clear removes the marker")
-    // a torn marker (crash mid-create) is owned by nobody and claimable
+    // a TORN marker reads as FOREIGN, never fresh-claimable (r10 review:
+    // a crash inside forceMarker's overwrite can TRUNCATE an orphan that
+    // guarded real unspliced writes — claiming the remains fresh would
+    // launder that guard into a splice-and-release over stale buckets);
+    // it comes down only via the quiesced heal's unconditional clear
     assert(pend.getParentFile.mkdirs() || pend.getParentFile.exists())
     java.nio.file.Files.write(pend.toPath, Array.empty[Byte])
-    assert(Maintenance.markZoneMapPending(spark, zmPath, 9L),
-      "a torn marker must be claimable so it can ever be healed")
-    Maintenance.clearZoneMapPending(spark, zmPath, 9L)
-    assert(!pend.exists())
+    assert(!Maintenance.markZoneMapPending(spark, zmPath, 9L),
+      "a torn marker must not be fresh-claimable")
+    Maintenance.clearZoneMapPending(spark, zmPath)
+    assert(!pend.exists(), "the full-publish clear heals a torn marker")
   }
 
   test("zone map: two concurrent full refreshes of ONE manifest (the " +
