@@ -46,7 +46,8 @@ import org.apache.spark.sql.SparkSession
   *                |                              | is operator-editable) — either way
   *                |                              | splice-and-release would leave
   *                |                              | unspliced buckets stale under NO
-  *                |                              | marker, so those re-owners KEEP the
+  *                |                              | marker, so those re-owners mark the
+  *                |                              | sidecar write-ahead and KEEP the
   *                |                              | marker for the quiesced heal
   * OWNED(foreign) | batch/replay starts          | markForeignWrite (write-ahead) ->
   *                |                              | SKIP all manifest work (safety
@@ -75,12 +76,14 @@ import org.apache.spark.sql.SparkSession
   * Invariant the table preserves: ''marker ABSENT ⇒ manifest describes the
   * live state exactly''; while OWNED, readers use the exact unpruned
   * filter, so pruned reads NEVER return wrong rows — only slower ones.
-  * Clears happen exactly twice in the codebase: a FRESH claimer's release
-  * after its own splice (sound because the state lock is held from claim
-  * to release and the marker did not pre-exist, so nothing else can have
-  * written under it), and the quiesced clear after a full rebuild scan —
-  * and both verify their premise (fresh ownership; stamp quiescence)
-  * atomically with the clear. [[StateCommitScheduleSpec]] enumerates the
+  * Clears happen exactly twice in the codebase: the fast-path owner's
+  * release after its own splice (a FRESH claim — the state lock is held
+  * from claim to release and the marker did not pre-exist, so nothing
+  * else can have written under it — or a deterministic micro-batch
+  * re-own with the sidecar absent, whose write set equals its crashed
+  * attempt's), and the quiesced clear after a full rebuild scan — and
+  * both verify their premise (ownership + sidecar absence; stamp
+  * quiescence) atomically with the clear. [[StateCommitScheduleSpec]] enumerates the
   * schedule space of these atoms exhaustively and checks the invariant at
   * every step, including the foreign-write-under-orphan family that
   * forced the re-own rule.
@@ -392,17 +395,19 @@ object StateCommit {
     try out.write(ownerId.toString.getBytes("UTF-8")) finally out.close()
   }
 
-  /** Sidecar recording that a FOREIGN writer wrote under the current
-    * marker (write-ahead, before its sink write): a later RE-OWNER of the
-    * orphaned marker consults it — absent, the orphan window provably
-    * guarded no foreign splice-skipped buckets and the fast
-    * splice-and-release path stays sound (the common transient-crash
-    * replay heals instantly); present, the re-owner must keep the marker
-    * for the quiesced heal (review r10: unconditional pessimism cost
-    * every routine crash 3 batches + 60 s of unpruned reads plus an
-    * inline full scan). Cleared — sidecar FIRST, so a crash between the
-    * two deletes errs pessimistic — by every path that clears the
-    * marker. */
+  /** Sidecar recording that ANY NON-OWNING writer wrote under the current
+    * marker (write-ahead, before its sink write) — a foreign claimer, or
+    * a deferring re-owner whose own write set carries no determinism
+    * contract (the -2 replay): a later RE-OWNER consults it — absent, the
+    * orphan window provably guarded no splice-skipped buckets and the
+    * fast splice-and-release path stays sound (the common transient-crash
+    * batch replay heals instantly); present, the re-owner must keep the
+    * marker for the quiesced heal (review r10: unconditional pessimism
+    * cost every routine crash 3 batches + 60 s of unpruned reads plus an
+    * inline full scan). The sidecar also makes [[releaseMarker]] REFUSE,
+    * so unspliced buckets stay guarded even if the marker itself is torn
+    * or lost out-of-protocol. Removed only by [[clearMarker]] after a
+    * full recompute-and-publish. */
   def foreignWritePath(zmPath: String): String = zmPath + ".pending.foreign"
 
   def markForeignWrite(spark: SparkSession, zmPath: String): Unit =
@@ -462,7 +467,8 @@ object StateCommit {
     }
 
   /** Owner id of the marker, if up: `Some(id)` live, `Some(Long.MinValue)`
-    * torn (owned by nobody), `None` clean. */
+    * torn (unreadable — reads FOREIGN to claimers, heal-only), `None`
+    * clean. */
   def markerOwner(spark: SparkSession, zmPath: String): Option[Long] =
     swapLock(zmPath).synchronized {
       val (fs, p) = hfs(spark, markerPath(zmPath))
@@ -478,7 +484,7 @@ object StateCommit {
                               p: org.apache.hadoop.fs.Path): Option[Long] = {
     if (!fs.exists(p)) return None
     val len = fs.getFileStatus(p).getLen.toInt
-    if (len == 0) return Some(Long.MinValue) // torn marker: owned by nobody
+    if (len == 0) return Some(Long.MinValue) // torn marker: heal-only
     val bytes = new Array[Byte](len)
     val in = fs.open(p)
     try in.readFully(0, bytes) finally in.close()

@@ -428,7 +428,8 @@ class BatchNineOpsSpec extends SparkSpec {
 
   test("zone-map pending marker is ownership-aware: a live batch cannot " +
     "clear a refresh's marker while the full rebuild is pending, a same-id " +
-    "replay still owns, and a torn marker is claimable (r9 review)") {
+    "replay still owns, and a torn marker reads FOREIGN — heal-only, " +
+    "never fresh-claimable (r10 review)") {
     val zmPath = tmpDir("zm-owner") + "/state.zonemap"
     val pend = new java.io.File(Maintenance.zoneMapPendingPath(zmPath))
     // refresh claims first

@@ -78,14 +78,15 @@ class StateCommitScheduleSpec extends SparkSpec {
   private def batch(f: Fx, i: Int): Unit =
     StateCommit.stateLock(f.statePath).synchronized {
       val claim = StateCommit.claimMarkerDetailed(spark, f.zm, i.toLong)
-      if (claim == StateCommit.ForeignClaim)
-        StateCommit.markForeignWrite(spark, f.zm) // write-ahead, like production
+      val fastPath = claim == StateCommit.FreshClaim ||
+        (claim == StateCommit.ReOwnedClaim && i >= 0 &&
+          !StateCommit.hasForeignWrite(spark, f.zm))
+      // EVERY non-owning write leaves sidecar evidence write-ahead —
+      // foreign claimers AND deferring re-owners (the writeCompacted rule)
+      if (!fastPath) StateCommit.markForeignWrite(spark, f.zm)
       try {
         val b = (i % 4).toLong
         batchWrite(f, i)
-        val fastPath = claim == StateCommit.FreshClaim ||
-          (claim == StateCommit.ReOwnedClaim && i >= 0 &&
-            !StateCommit.hasForeignWrite(spark, f.zm))
         if (fastPath) {
           graft.ops.Maintenance.refreshZoneMap(spark, f.statePath, f.zm, Seq(b), Cols)
           StateCommit.releaseMarker(spark, f.zm, i.toLong)
@@ -280,16 +281,15 @@ class StateCommitScheduleSpec extends SparkSpec {
         StateCommit.mutationStamp(f.statePath).incrementAndGet()
       }
       checkInvariants(f, "c5 post-crash")
-      // the retry: same id, different bucket (quarantine edited)
-      StateCommit.stateLock(f.statePath).synchronized {
-        val claim = StateCommit.claimMarkerDetailed(spark, f.zm, -2L)
-        assert(claim === StateCommit.ReOwnedClaim)
-        batchWrite(f, 21) // bucket 1 — predecessor's bucket 0 NOT revisited
-        // the production rule: re-owned replays never splice-and-release
-        StateCommit.mutationStamp(f.statePath).incrementAndGet()
-      }
+      // the retry: same id, different bucket (quarantine edited) — runs
+      // through the shared atom, which defers (id < 0) and marks the
+      // sidecar write-ahead like production
+      batch(f, -2)
       assert(StateCommit.markerExists(spark, f.zm),
         "c5: a re-owned replay marker must be kept for the quiesced heal")
+      assert(StateCommit.hasForeignWrite(spark, f.zm),
+        "c5: the deferring re-owner must leave sidecar evidence — the " +
+          "marker alone is launderable (r10 review)")
       checkInvariants(f, "c5 post-retry")
       healQuiesced(f)
       assert(!StateCommit.markerExists(spark, f.zm))
