@@ -71,11 +71,25 @@ def main():
               if nq[k] / max(rq[k], 1e-3) > HEADLINE_THRESHOLD
               and nq[k] - rq[k] > 0.3]
     if movers:
-        print(f"\nheadline movers > {HEADLINE_THRESHOLD}x "
-              "(run Profile floors before calling these regressions):")
+        # r10 verdict #3: Bench adjudicates its own movers inline (3-rep
+        # Profile floors vs the prior snapshot) and ships the verdicts as
+        # movers_adjudicated — surface them here; only movers WITHOUT a
+        # "drift" verdict still demand a manual floor check (exit 1).
+        adjudicated = {m["query"]: m
+                       for m in new.get("movers_adjudicated", [])}
+        print(f"\nheadline movers > {HEADLINE_THRESHOLD}x:")
+        unresolved = []
         for k, ratio, old, newv in sorted(movers, key=lambda m: -m[1]):
-            print(f"  {k:24s} {old:6.2f} -> {newv:6.2f}  ({ratio:.2f}x)")
-        sys.exit(1)
+            a = adjudicated.get(k)
+            note = (f"  floor {a['floor']:.2f} => {a['verdict']}"
+                    if a else "  (no inline adjudication — run Profile)")
+            print(f"  {k:24s} {old:6.2f} -> {newv:6.2f}  ({ratio:.2f}x){note}")
+            if not a or a["verdict"] != "drift":
+                unresolved.append(k)
+        if unresolved:
+            sys.exit(1)
+        print("all movers adjudicated as host drift (floors at/below prior)")
+        return
     print("\nno headline mover exceeds the gate")
 
 if __name__ == "__main__":

@@ -94,6 +94,58 @@ object Bench {
     // over again.
     def f(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f",
       Double.box(v))
+    // ---- automated headline-drift adjudication (r10 verdict #3) ----
+    // The r9 gate (scripts/bench_compare.py) flags headline movers >1.3x
+    // vs the committed per-query snapshot, but the Profile-floor check on
+    // each mover was a manual step. Here the sweep adjudicates inline:
+    // for every flagged mover it re-runs the query 3 more times against
+    // the same warm state and takes the MIN (the Profile floor — the
+    // noise-free estimator on a shared host); a floor at or below the
+    // prior snapshot (10% tolerance for sub-second jitter) means the
+    // capacity is unchanged and the sweep number was host drift, anything
+    // above is a genuine suspect. The verdicts ship in the JSON as
+    // `movers_adjudicated`, so the round verdict cites measured floors
+    // instead of hand-run ones. Prior = the BENCH_QUERIES.json on disk
+    // BEFORE this run overwrites it (the protocol keeps the fastest
+    // committed snapshot there).
+    val MoverRatio = 1.3
+    val MoverAbsSecs = 0.3
+    val DriftTolerance = 1.10
+    def priorQueries(path: String): Map[String, Double] =
+      try {
+        val node = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(new java.io.File(path)).get("queries")
+        if (node == null) Map.empty
+        else {
+          val it = node.fields()
+          val b = Map.newBuilder[String, Double]
+          while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asDouble() }
+          b.result()
+        }
+      } catch { case scala.util.control.NonFatal(_) => Map.empty }
+    def floorOf(name: String, reps: Int = 3): Double =
+      (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try { SparkEntry.queries(name)(spark, sfDir).count(); () }
+        catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    def adjudicateMovers(prior: Map[String, Double]): String = {
+      val movers = results.keys.toSeq.sorted
+        .filter(Headline)
+        .flatMap { k =>
+          prior.get(k).collect {
+            case p if p > 0 && results(k) / math.max(p, 1e-3) > MoverRatio &&
+              results(k) - p > MoverAbsSecs => (k, p)
+          }
+        }
+        .take(8) // bounded: the stdout line must stay inside the 2000-char window
+      movers.map { case (k, p) =>
+        val fl = floorOf(k)
+        val verdict = if (fl <= p * DriftTolerance) "drift" else "regression_suspect"
+        s"""{"query":"$k","prior":${f(p)},"swept":${f(results(k))},"floor":${f(fl)},"verdict":"$verdict"}"""
+      }.mkString("[", ",", "]")
+    }
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val headlineHit = results.view.filterKeys(Headline).toMap
     val headlineTotal = if (headlineHit.nonEmpty) headlineHit.values.sum else 0.0
@@ -106,13 +158,15 @@ object Bench {
     val perQuery = results.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
-    val fileJson =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${results.size},"headline":${f(headlineTotal)},"n_headline":${headlineHit.size},"queries":$perQuery,"sf":"$sfDir"}"""
     // Anchor at the launch directory (sbt runs from the repo root, and any
     // other checkout gets a path that exists there too — a hardcoded
     // absolute path broke outside this container); overridable for tests.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERIES",
       new java.io.File(sys.props("user.dir"), "BENCH_QUERIES.json").getPath)
+    // the prior snapshot must be read BEFORE the overwrite below
+    val movers = adjudicateMovers(priorQueries(outPath))
+    val fileJson =
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${results.size},"headline":${f(headlineTotal)},"n_headline":${headlineHit.size},"movers_adjudicated":$movers,"queries":$perQuery,"sf":"$sfDir"}"""
     // per_query advertises the path actually WRITTEN, and null if the write
     // failed — a fixed pointer would present a stale committed file as this
     // run's timings.
@@ -128,7 +182,7 @@ object Bench {
       }
     val perQueryRef = if (wrote) "\"" + outPath + "\"" else "null"
     val out =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${results.size},"headline":${f(headlineTotal)},"n_headline":${headlineHit.size},"sf":"$sfDir","per_query":$perQueryRef}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${results.size},"headline":${f(headlineTotal)},"n_headline":${headlineHit.size},"movers_adjudicated":$movers,"sf":"$sfDir","per_query":$perQueryRef}"""
     // Stop Spark BEFORE printing so no shutdown logging can land after the
     // JSON line: it must be the last line of stdout for the driver's parser.
     spark.stop()

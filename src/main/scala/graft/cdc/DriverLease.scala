@@ -217,20 +217,8 @@ object DriverLease {
       var done = false
       while (!done) {
         readState(fs, p) match {
-          case Held(h, _) if h == identity =>
-            // ours: refresh the heartbeat without rewriting (a rewrite's
-            // torn-read window would make a concurrent reader see garbage).
-            // A failing setTimes must be VISIBLE (review r10): silently
-            // frozen mtimes read as success here while the lease decays
-            // toward a legitimate-looking foreign takeover — the
-            // wrong-party eviction.
-            try fs.setTimes(p, System.currentTimeMillis(), -1)
-            catch { case e: java.io.IOException =>
-              rethrowIfInterrupt(e)
-              log.warn(s"lease heartbeat setTimes failed at $p — the " +
-                s"lease mtime is NOT refreshing and will look stale after " +
-                s"${staleMs / 1000}s: ${e.getMessage}")
-            }
+          case Held(h, prevMtime) if h == identity =>
+            heartbeat(fs, p, statePath, identity, prevMtime, staleMs)
             done = true
           case Held(held, mtime) =>
             val age = System.currentTimeMillis() - mtime
@@ -272,6 +260,68 @@ object DriverLease {
         }
       }
     }
+
+  // Per-path heartbeat mode (ADVICE r10): the preferred heartbeat is one
+  // setTimes RPC (no rewrite, no torn-read window), but setTimes can (a)
+  // THROW UnsupportedOperationException on filesystems that don't expose
+  // mtime mutation — previously uncaught, it propagated and failed every
+  // batch — or (b) be a SILENT NO-OP (some object stores), freezing a
+  // healthy holder's mtime until a second driver "legitimately" takes over
+  // a live stream. Both degrade to REWRITING the lease file as the
+  // heartbeat (the create refreshes mtime by construction; concurrent
+  // readers tolerate the create window via TornGraceMs). (b) is caught by
+  // verifying ONCE per path, on the first refresh old enough to be
+  // measurable, that the mtime actually advanced.
+  private object HbMode extends Enumeration { val Unverified, SetTimes, Rewrite = Value }
+  private val hbModes =
+    new java.util.concurrent.ConcurrentHashMap[String, HbMode.Value]()
+  /** mtime gaps below this cannot distinguish a frozen mtime from
+    * coarse-granularity rounding — verification waits for a bigger gap. */
+  private val HbVerifyMinGapMs = 2000L
+
+  private def heartbeat(fs: org.apache.hadoop.fs.FileSystem,
+                        p: org.apache.hadoop.fs.Path, statePath: String,
+                        identity: String, prevMtime: Long,
+                        staleMs: Long): Unit = {
+    val mode = hbModes.getOrDefault(statePath, HbMode.Unverified)
+    val now = System.currentTimeMillis()
+    def fallbackRewrite(reason: String): Unit = {
+      if (mode != HbMode.Rewrite) {
+        hbModes.put(statePath, HbMode.Rewrite)
+        log.warn(s"lease heartbeat at $p: $reason — falling back to " +
+          "rewriting the lease file as the heartbeat")
+      }
+      if (!writeLease(fs, p, identity, overwrite = true))
+        log.warn(s"lease heartbeat rewrite failed at $p — the lease is NOT " +
+          s"refreshing and will look stale after ${staleMs / 1000}s")
+    }
+    if (mode == HbMode.Rewrite) { fallbackRewrite("rewrite mode"); return }
+    try {
+      fs.setTimes(p, now, -1)
+      if (mode == HbMode.Unverified && now - prevMtime > HbVerifyMinGapMs) {
+        // one verification stat per path lifetime — off the steady-state
+        // hot path once the mode settles
+        val after =
+          try fs.getFileStatus(p).getModificationTime
+          catch { case _: java.io.FileNotFoundException => now }
+        if (after <= prevMtime)
+          fallbackRewrite("setTimes is a silent no-op (mtime did not advance)")
+        else hbModes.put(statePath, HbMode.SetTimes)
+        ()
+      }
+    } catch {
+      case _: UnsupportedOperationException =>
+        fallbackRewrite("setTimes unsupported on this filesystem")
+      case e: java.io.IOException =>
+        rethrowIfInterrupt(e)
+        // transient I/O failure: stay in the current mode, but be VISIBLE
+        // (review r10) — silently frozen mtimes decay toward a
+        // legitimate-looking foreign takeover, the wrong-party eviction
+        log.warn(s"lease heartbeat setTimes failed at $p — the " +
+          s"lease mtime is NOT refreshing and will look stale after " +
+          s"${staleMs / 1000}s: ${e.getMessage}")
+    }
+  }
 
   /** Release the lease if `identity` holds it (shutdown hygiene and specs;
     * a crashed driver's lease is reclaimed by staleness instead). */

@@ -211,8 +211,9 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
     * then K1 upsert, committed via atomic directory swap. Idempotent —
     * replaying a batch yields the same state (at-least-once -> effectively
     * exactly-once; dead-letter rows carry `offset` so replays dedupe there). */
-  private def applySync(batch: DataFrame, sync: SyncConfig, batchId: Long): Unit = {
-    applySyncLocked(batch, sync, batchId)
+  private def applySync(batch: DataFrame, sync: SyncConfig, batchId: Long,
+                        lineage: String): Unit = {
+    applySyncLocked(batch, sync, batchId, lineage)
     // orphaned-marker self-heal (ADVICE r9), OUTSIDE the state lock: after
     // enough consecutive batches could not claim the marker FRESH (a
     // crashed refresh/batch/replay's orphan — see writeCompacted), run the
@@ -236,7 +237,8 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
     }
   }
 
-  private def applySyncLocked(batch: DataFrame, sync: SyncConfig, batchId: Long): Unit =
+  private def applySyncLocked(batch: DataFrame, sync: SyncConfig, batchId: Long,
+                              lineage: String): Unit =
     Pipeline.stateLock(statePath(sync)).synchronized {
     // fail-loud single-driver fence (see the class scaladoc); also the
     // per-batch heartbeat refresh
@@ -253,7 +255,7 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
     val compacted = Transforms.lastWriteWins(view, col(pk), Seq(col("_ridx")))
       .drop("table", "offset", "_ridx")
     try {
-      writeCompacted(sync, compacted, batchId)
+      writeCompacted(sync, compacted, batchId, lineage)
       // advance the per-pk applied-offset watermark so a later dead-letter
       // replay can detect (and discard) quarantined payloads this batch —
       // or any newer one — has superseded. Idempotent under checkpoint
@@ -274,7 +276,7 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
   /** Commit one compacted change set to the sync's sink — the shared write
     * tail of the live micro-batch path and the dead-letter replay. */
   private def writeCompacted(sync: SyncConfig, compacted: DataFrame,
-                             batchId: Long): Unit = {
+                             batchId: Long, lineage: String): Unit = {
     val pk = pkOut(sync)
     config.stateBuckets match {
       case Some(n) =>
@@ -311,7 +313,8 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
         // absent) still heals instantly.
         val claim =
           if (zoneMapActive)
-            StateCommit.claimMarkerDetailed(spark, zoneMapPath(sync), batchId)
+            StateCommit.claimMarkerDetailed(spark, zoneMapPath(sync), batchId,
+              lineage)
           else StateCommit.ForeignClaim
         // the re-own fast path additionally requires batchId >= 0 (a
         // checkpoint-replayed micro-batch): the checkpoint contract makes
@@ -321,10 +324,12 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
         // edit the quarantine between attempts, so a retried replay's set
         // can be SMALLER than its crashed predecessor's and the
         // predecessor's extra buckets would go unspliced under no marker
-        // (review r10). Re-owned replay markers always defer to the
-        // quiesced heal. (A DISCARDED checkpoint also reuses batch ids
-        // against old orphans — run `refresh` after resetting a
-        // checkpoint, which force-owns and quiesce-heals everything.)
+        // (review r10). A DISCARDED/reset checkpoint reuses batch ids too,
+        // against orphans whose write sets were entirely different — the
+        // claim itself closes that (ADVICE r10): the marker records the
+        // checkpoint LINEAGE (the checkpoint's persistent query id)
+        // alongside the batch id, and a same-id claim from a different
+        // lineage reads FOREIGN, deferring to the quiesced heal.
         val ownsMarker = zoneMapActive &&
           (claim == StateCommit.FreshClaim ||
             (claim == StateCommit.ReOwnedClaim && batchId >= 0L &&
@@ -451,7 +456,10 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
               .lastWriteWins(fresh, col(pk), Seq(col("_ridx")))
               .drop("table", "offset", "_ridx")
             try {
-              writeCompacted(s, compacted, batchId = -2L)
+              // lineage: a fixed label — replays have no checkpoint; the
+              // -2 id never takes the fast path anyway (see writeCompacted)
+              writeCompacted(s, compacted, batchId = -2L,
+                lineage = Pipeline.ReplayLineage)
               OffsetWatermark.advance(spark, statePath(s),
                 fresh.select(col(pk), col("offset"), col("_ridx")), pk,
                 config.stateBuckets)
@@ -656,6 +664,9 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
     })
     try startRegistered(checkpointDir, trigger, monotonic, progress)
     catch { case t: Throwable =>
+      // startRegistered stops any query it started before throwing (ADVICE
+      // r10) — by here no stream is running, so deregister-and-release is
+      // sound, not a live query left unfenced
       config.syncs.foreach(s => Pipeline.deregisterStream(spark, statePath(s)))
       throw t
     }
@@ -681,10 +692,21 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
         graft.streaming.KeyedLastWrite
           .latestPerKey(source.changes.as[ChangeEvent], pkOfEvent).toDF()
       }
+    // checkpoint lineage for the zone-map marker (ADVICE r10): resolved
+    // LAZILY on the first batch — the checkpoint's metadata file (holding
+    // the persistent query id) is written by StreamExecution at start,
+    // before any batch runs, but AFTER this closure is built. One value
+    // per query run; stable across restarts of the same checkpoint;
+    // fresh after a checkpoint reset — exactly the re-own scope.
+    val lineageRef = new java.util.concurrent.atomic.AtomicReference[String]()
     val q = changes.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (lineageRef.get() == null)
+          lineageRef.compareAndSet(null,
+            Pipeline.checkpointLineage(spark, checkpointDir))
+        val lineage = lineageRef.get()
         val cached = batch.persist()
         try {
           // reference main.py:103-104: `if settings.debug:
@@ -696,11 +718,34 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
             cached.toJSON.take(20).foreach(e =>
               DebugLog.record(s"batch $batchId event: $e"))
           }
-          config.syncs.foreach(applySync(cached, _, batchId))
+          config.syncs.foreach(applySync(cached, _, batchId, lineage))
         } finally { cached.unpersist(); () }
       }
       .start()
+    // everything between the query starting and this method returning runs
+    // under an unwinding guard (ADVICE r10): a throw here (a failing
+    // ProgressPublisher.attach, a heartbeat-thread construction failure)
+    // would otherwise propagate to start()'s catch, which deregisters the
+    // refcount and releases the lease while the query keeps RUNNING —
+    // a leaked active stream the caller has no handle to stop, mutating
+    // the state path without an idle heartbeat fence. Stop it first.
+    try startWired(q, progress)
+    catch { case t: Throwable =>
+      try q.stop()
+      catch { case scala.util.control.NonFatal(s) => t.addSuppressed(s) }
+      throw t
+    }
+  }
+
+  // test seam: runs inside startWired right after the listener attach, so a
+  // spec can inject the post-start failure the unwinding guard exists for
+  // (a throwing attach is not constructible from the public surface)
+  private[cdc] var onStartWired: StreamingQuery => Unit = _ => ()
+
+  private def startWired(q: StreamingQuery,
+                         progress: Option[ProgressStore]): StreamingQuery = {
     progress.foreach(ProgressPublisher.attach(spark, q.id, _))
+    onStartWired(q)
     // Lease heartbeat + shutdown release (review r10): batches only
     // heartbeat when data flows, so an IDLE-but-live stream's lease would
     // go stale and a second driver's takeover would then crash THIS stream
@@ -1017,6 +1062,39 @@ object Pipeline {
   /** Vanished-file failure signature — [[StateCommit.causedByVanishedFile]]. */
   private[cdc] def causedByVanishedFile(t: Throwable): Boolean =
     StateCommit.causedByVanishedFile(t)
+
+  /** Lineage label for dead-letter replays (no checkpoint — the constant
+    * -2 owner id never takes the re-own fast path regardless). */
+  private[cdc] val ReplayLineage = "replay"
+
+  /** The checkpoint LINEAGE token recorded in zone-map markers (ADVICE
+    * r10): the persistent streaming-query id from the checkpoint's
+    * `metadata` file — stable across restarts of the SAME checkpoint
+    * (where the batch-id write-set contract holds) and fresh after a
+    * checkpoint discard/reset (where replayed ids 0,1,2,… carry no
+    * relation to an old orphan's write set). Unreadable metadata falls
+    * back to a fresh UUID — conservative: same-id re-owns then read
+    * foreign and defer to the quiesced heal, never splice-and-release. */
+  private[graft] def checkpointLineage(spark: SparkSession,
+                                       checkpointDir: String): String =
+    try {
+      val p = new org.apache.hadoop.fs.Path(checkpointDir, "metadata")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val in = fs.open(p)
+      val body = try {
+        val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+        in.readFully(0, bytes); new String(bytes, "UTF-8")
+      } finally in.close()
+      val id = JsonMapper.mapper.readTree(body).get("id")
+      require(id != null && !id.isNull && id.asText().nonEmpty)
+      id.asText()
+    } catch { case scala.util.control.NonFatal(e) =>
+      val fallback = java.util.UUID.randomUUID().toString
+      log.warn(s"cannot read streaming-query id from $checkpointDir/metadata " +
+        s"(${e.getMessage}) — using a fresh lineage token; crashed-batch " +
+        "markers will heal via the quiesced rebuild instead of the fast path")
+      fallback
+    }
 
   /** Extract a top-level field from a JSON object string as a stable string
     * key (executor-side; uses Spark's shaded-in Jackson). */

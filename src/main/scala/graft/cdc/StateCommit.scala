@@ -31,11 +31,16 @@ import org.apache.spark.sql.SparkSession
   * marker ABSENT  | batch/replay starts          | claim(id) -> OWNED(id); sink write;
   *                |                              | splice touched buckets; release(id)
   *                |                              | -> ABSENT; stamp++ (in FINALLY)
-  * OWNED(same id) | batch replay (crash retry)   | claim RE-OWNS; the fast path is
-  *                |                              | kept ONLY for a MICRO-BATCH retry
-  *                |                              | (id >= 0 — the checkpoint contract
-  *                |                              | makes its write set identical to
-  *                |                              | the crashed attempt's) with the
+  * OWNED(same id, | batch replay (crash retry)   | claim RE-OWNS; the fast path is
+  * same lineage)  |                              | kept ONLY for a MICRO-BATCH retry
+  *                |                              | (id >= 0 AND the marker's lineage
+  *                |                              | equals the claimer's checkpoint
+  *                |                              | lineage — only then does the
+  *                |                              | checkpoint contract make its
+  *                |                              | write set identical to the
+  *                |                              | crashed attempt's; a same id from
+  *                |                              | a RESET checkpoint's new lineage
+  *                |                              | reads FOREIGN — ADVICE r10) with the
   *                |                              | foreign-write sidecar ABSENT
   *                |                              | (review r10): while orphaned, a
   *                |                              | FOREIGN writer may have written
@@ -342,12 +347,14 @@ object StateCommit {
   sealed trait MarkerClaim
   /** Created the marker now — the fast splice-and-release path is sound. */
   case object FreshClaim extends MarkerClaim
-  /** Re-owned an orphaned marker from a crashed same-id attempt. The fast
-    * path survives ONLY for a checkpoint-replayed micro-batch (id ≥ 0,
-    * identical write set by the checkpoint contract) with the
-    * foreign-write sidecar absent — the caller enforces both (see the
-    * state table); every other re-owner writes and LEAVES the marker for
-    * the quiesced heal. */
+  /** Re-owned an orphaned marker from a crashed same-id, SAME-LINEAGE
+    * attempt (the claim itself verifies the lineage — a matching id from a
+    * reset checkpoint's new lineage reads [[ForeignClaim]], ADVICE r10).
+    * The fast path survives ONLY for a checkpoint-replayed micro-batch
+    * (id ≥ 0, identical write set by the checkpoint contract within one
+    * lineage) with the foreign-write sidecar absent — the caller enforces
+    * both (see the state table); every other re-owner writes and LEAVES
+    * the marker for the quiesced heal. */
   case object ReOwnedClaim extends MarkerClaim
   /** A different owner holds it (or the marker is TORN — see below) —
     * skip all manifest work. */
@@ -361,22 +368,35 @@ object StateCommit {
     * rebuild crashing mid-force truncates the previous owner's marker —
     * and letting the next batch claim it fresh would launder that guard
     * into a splice-and-release over stale buckets. Torn markers come down
-    * only via the quiesced heal's full publish. */
+    * only via the quiesced heal's full publish.
+    *
+    * `lineage` scopes re-ownership to a CHECKPOINT LINEAGE (ADVICE r10):
+    * the numeric batch id alone identifies a write set only within one
+    * checkpoint's life — after an operator discards/resets the checkpoint,
+    * the replayed ids (0, 1, 2, …) restart and would match a stale orphan
+    * from the OLD lineage whose write set was entirely different; a
+    * splice-and-release on that false match leaves the old orphan's
+    * buckets stale under no marker. A claimer with a checkpoint therefore
+    * passes its lineage (the checkpoint's persistent query id —
+    * [[Pipeline.checkpointLineage]]) and re-owns ONLY a marker recording
+    * the SAME id and the SAME lineage; a same-id marker from another
+    * lineage reads FOREIGN and comes down via the quiesced heal. */
   def claimMarkerDetailed(spark: SparkSession, zmPath: String,
-                          ownerId: Long): MarkerClaim =
+                          ownerId: Long, lineage: String = ""): MarkerClaim =
     swapLock(zmPath).synchronized {
       val (fs, p) = hfs(spark, markerPath(zmPath))
-      readMarkerOwner(fs, p) match {
-        case Some(v) if v == ownerId => ReOwnedClaim
+      readMarkerRaw(fs, p) match {
+        case Some((v, l)) if v == ownerId && l == lineage => ReOwnedClaim
         case Some(_) => ForeignClaim
-        case None => writeMarkerOwner(fs, p, ownerId); FreshClaim
+        case None => writeMarkerOwner(fs, p, ownerId, lineage); FreshClaim
       }
     }
 
   /** Boolean form (owns at all — fresh or re-owned); kept for callers that
     * only orphan/probe markers in tests and for Maintenance's forwarder. */
-  def claimMarker(spark: SparkSession, zmPath: String, ownerId: Long): Boolean =
-    claimMarkerDetailed(spark, zmPath, ownerId) != ForeignClaim
+  def claimMarker(spark: SparkSession, zmPath: String, ownerId: Long,
+                  lineage: String = ""): Boolean =
+    claimMarkerDetailed(spark, zmPath, ownerId, lineage) != ForeignClaim
 
   /** FORCE ownership of the marker (unconditional overwrite) — the
     * rebuild-commit path: a marker orphaned by a crashed batch must not be
@@ -389,10 +409,15 @@ object StateCommit {
       writeMarkerOwner(fs, p, ownerId)
     }
 
+  /** Marker file format: `<ownerId>` (no lineage — rebuild force-markers,
+    * legacy) or `<ownerId>:<lineage>`. The lineage token never contains
+    * ':' (it is a UUID or a fixed label), so the FIRST ':' splits. */
   private def writeMarkerOwner(fs: org.apache.hadoop.fs.FileSystem,
-                               p: org.apache.hadoop.fs.Path, ownerId: Long): Unit = {
+                               p: org.apache.hadoop.fs.Path, ownerId: Long,
+                               lineage: String = ""): Unit = {
+    val body = if (lineage.isEmpty) ownerId.toString else s"$ownerId:$lineage"
     val out = fs.create(p, true)
-    try out.write(ownerId.toString.getBytes("UTF-8")) finally out.close()
+    try out.write(body.getBytes("UTF-8")) finally out.close()
   }
 
   /** Sidecar recording that ANY NON-OWNING writer wrote under the current
@@ -481,15 +506,28 @@ object StateCommit {
   }
 
   private def readMarkerOwner(fs: org.apache.hadoop.fs.FileSystem,
-                              p: org.apache.hadoop.fs.Path): Option[Long] = {
+                              p: org.apache.hadoop.fs.Path): Option[Long] =
+    readMarkerRaw(fs, p).map(_._1)
+
+  /** (ownerId, lineage) of the marker; lineage "" when the marker carries
+    * none. Torn (empty/unparseable) reads as (Long.MinValue, "") —
+    * matching no claimer, heal-only. */
+  private def readMarkerRaw(fs: org.apache.hadoop.fs.FileSystem,
+                            p: org.apache.hadoop.fs.Path): Option[(Long, String)] = {
     if (!fs.exists(p)) return None
     val len = fs.getFileStatus(p).getLen.toInt
-    if (len == 0) return Some(Long.MinValue) // torn marker: heal-only
+    if (len == 0) return Some((Long.MinValue, "")) // torn marker: heal-only
     val bytes = new Array[Byte](len)
     val in = fs.open(p)
     try in.readFully(0, bytes) finally in.close()
-    scala.util.Try(new String(bytes, "UTF-8").trim.toLong).toOption
-      .orElse(Some(Long.MinValue))
+    val body = new String(bytes, "UTF-8").trim
+    val cut = body.indexOf(':')
+    val (idPart, lineage) =
+      if (cut < 0) (body, "") else (body.substring(0, cut), body.substring(cut + 1))
+    scala.util.Try(idPart.toLong).toOption match {
+      case Some(id) => Some((id, lineage))
+      case None => Some((Long.MinValue, "")) // torn: heal-only
+    }
   }
 
   // --------------------------------------------------- quiesced clear

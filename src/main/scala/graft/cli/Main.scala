@@ -185,11 +185,17 @@ object Main {
           // owner that persists with no refresh in flight is a crashed
           // refresh's orphan — the stream self-heals it, or re-run refresh
           // (ADVICE r9).
-          zm.getOrElse(t, None).foreach(owner =>
-            println(s"NOTE $t: zone-map pending, owner $owner — pruned " +
+          zm.getOrElse(t, None).foreach { owner =>
+            // Long.MinValue is the TORN sentinel (unreadable marker file,
+            // heal-only), not a real owner id — print it as what it means
+            // instead of a confusing -9223372036854775808 (ADVICE r10)
+            val who =
+              if (owner == Long.MinValue) "torn (heal-only)" else s"owner $owner"
+            println(s"NOTE $t: zone-map pending, $who — pruned " +
               "reads unpruned until a rebuild clears it (an orphan " +
               s"self-heals after ${Pipeline.OrphanMarkerHealStreak} live " +
-              "batches over a minute; or re-run refresh)"))
+              "batches over a minute; or re-run refresh)")
+          }
         }
         if (!ok) sys.exit(1)
       }

@@ -476,4 +476,63 @@ class PipelineSpec extends SparkSpec {
     val chk = ConsistencyCheck.check(snapshot("region"), pipe.sinkState(sync))
     assert(chk.ok)
   }
+
+  test("checkpoint-reset lineage fence (ADVICE r10): a batch id reused " +
+    "against an OLD lineage's orphaned marker reads FOREIGN end-to-end — " +
+    "no splice-and-release over the orphan — while a SAME-lineage crash " +
+    "replay still re-owns and heals instantly") {
+    import spark.implicits._
+    val sinkRoot = tmpDir("sink-lineage")
+    val ckpt = tmpDir("ckpt-lineage")
+    val sync = SyncConfig("t", pk = "id", schema = Some(StructType(Seq(
+      StructField("id", IntegerType), StructField("score", LongType)))))
+    val src = new MemoryCdcSource(spark)
+    val pipe = new Pipeline(spark,
+      PipelineConfig(Seq(sync), stateBuckets = Some(4),
+        zoneMapCols = Seq("score")), src, sinkRoot)
+    val zm = pipe.zoneMapPath(sync)
+    val pend = new java.io.File(ops.Maintenance.zoneMapPendingPath(zm))
+    // an orphan from a DISCARDED checkpoint's crashed batch 0: its marker
+    // records the old lineage. Pre-fix, the fresh checkpoint's batch 0
+    // matched it by id alone, spliced ITS buckets, and released — the old
+    // orphan's unspliced buckets went stale under no marker.
+    assert(StateCommit.claimMarkerDetailed(spark, zm, 0L, "discarded-lineage")
+      === StateCommit.FreshClaim)
+    src.addEvents(ChangeEvent("create", "t", 1, ts("2024-01-01 00:00:00"),
+      """{"id": 1, "score": 10}"""))
+    val q1 = pipe.start(ckpt); q1.processAllAvailable(); q1.stop()
+    assert(pend.exists(),
+      "the new lineage's batch 0 must NOT release the old lineage's orphan")
+    assert(StateCommit.hasForeignWrite(spark, zm),
+      "the denied batch must leave write-ahead sidecar evidence")
+    assert(ops.Maintenance.zoneMapPendingOwner(spark, zm) === Some(0L))
+    // the row itself applied; reads stay exact on the unpruned fallback
+    assert(pipe.sinkState(sync).collect().toSeq === Seq(Row(1, 10L)))
+    assert(ops.Maintenance.prunedRead(spark, s"$sinkRoot/t", zm,
+      "score", 5L, 15L).collect().map(_.getLong(1)).toSeq === Seq(10L))
+    // the quiesced full rebuild (refresh) heals marker + sidecar
+    val snapshotSrc = new MemoryCdcSource(spark,
+      Map("t" -> Seq((1, 10L)).toDF("id", "score")))
+    val pipe2 = new Pipeline(spark,
+      PipelineConfig(Seq(sync), stateBuckets = Some(4),
+        zoneMapCols = Seq("score")), snapshotSrc, sinkRoot)
+    pipe2.refresh()
+    assert(!pend.exists() && !StateCommit.hasForeignWrite(spark, zm))
+    // SAME-lineage crash replay keeps the instant fast path: orphan a
+    // marker carrying THIS checkpoint's lineage and the NEXT batch id (1),
+    // as a crash between that batch's claim and its splice would
+    val lineage = Pipeline.checkpointLineage(spark, ckpt)
+    assert(StateCommit.claimMarkerDetailed(spark, zm, 1L, lineage)
+      === StateCommit.FreshClaim)
+    src.addEvents(ChangeEvent("create", "t", 2, ts("2024-01-01 00:00:01"),
+      """{"id": 2, "score": 20}"""))
+    val q2 = pipe.start(ckpt); q2.processAllAvailable(); q2.stop()
+    assert(!pend.exists(),
+      "a same-id, same-lineage replay must re-own, splice, and release")
+    val manifest = spark.read.parquet(zm).orderBy("bucket")
+      .collect().map(_.toSeq).toSeq
+    val full = ops.Maintenance.bucketZoneMap(spark, s"$sinkRoot/t",
+      Seq("score")).collect().map(_.toSeq).toSeq
+    assert(manifest === full, "the fast-path splice left an exact manifest")
+  }
 }

@@ -75,9 +75,9 @@ class StateCommitScheduleSpec extends SparkSpec {
     * one with the foreign-write sidecar absent: a re-owned orphan whose
     * window saw a foreign write keeps the marker for the quiesced heal
     * (the writeCompacted rule — review r10). */
-  private def batch(f: Fx, i: Int): Unit =
+  private def batch(f: Fx, i: Int, lineage: String = ""): Unit =
     StateCommit.stateLock(f.statePath).synchronized {
-      val claim = StateCommit.claimMarkerDetailed(spark, f.zm, i.toLong)
+      val claim = StateCommit.claimMarkerDetailed(spark, f.zm, i.toLong, lineage)
       val fastPath = claim == StateCommit.FreshClaim ||
         (claim == StateCommit.ReOwnedClaim && i >= 0 &&
           !StateCommit.hasForeignWrite(spark, f.zm))
@@ -369,5 +369,62 @@ class StateCommitScheduleSpec extends SparkSpec {
     assert(!StateCommit.hasForeignWrite(spark, f.zm),
       "D: the heal clears the sidecar with the marker")
     checkInvariants(f, "D healed")
+  }
+
+  test("family E: a checkpoint RESET reuses batch ids against an old " +
+    "lineage's orphan — the lineage-scoped claim reads it FOREIGN, the " +
+    "reset replay's different write set never splice-and-releases over the " +
+    "orphan's unspliced bucket, and the quiesced heal closes it; a " +
+    "SAME-lineage replay still fast-paths (ADVICE r10)") {
+    val f = mkFixture("e0")
+    // lineage L1's batch 0 claims + writes bucket 0, then CRASHES before
+    // its splice — the marker records (0, L1)
+    StateCommit.stateLock(f.statePath).synchronized {
+      assert(StateCommit.claimMarkerDetailed(spark, f.zm, 0L, "L1") ===
+        StateCommit.FreshClaim)
+      batchWrite(f, 0) // bucket 0
+      StateCommit.mutationStamp(f.statePath).incrementAndGet()
+    }
+    checkInvariants(f, "E post-crash")
+    // the operator DISCARDS the checkpoint: a new lineage L2 replays batch
+    // id 0 carrying a DIFFERENT write set (bucket 1). Pre-fix, the id-only
+    // claim read ReOwned with the sidecar absent, spliced only bucket 1,
+    // and RELEASED — leaving bucket 0's stats stale under no marker (the
+    // silent wrong-pruned-reads case). The lineage-scoped claim reads it
+    // FOREIGN instead.
+    StateCommit.stateLock(f.statePath).synchronized {
+      val claim = StateCommit.claimMarkerDetailed(spark, f.zm, 0L, "L2")
+      assert(claim === StateCommit.ForeignClaim,
+        "E: a same-id claim from a different lineage must read FOREIGN")
+      StateCommit.markForeignWrite(spark, f.zm) // the production write-ahead
+      try Seq((200, 5200L, 1L)).toDF("id", "score", B)
+        .write.mode("append").partitionBy(B).parquet(f.statePath)
+      finally { StateCommit.mutationStamp(f.statePath).incrementAndGet(); () }
+    }
+    assert(StateCommit.markerExists(spark, f.zm),
+      "E: the old lineage's orphan must survive the reset replay")
+    assert(StateCommit.hasForeignWrite(spark, f.zm))
+    checkInvariants(f, "E post-reset-replay")
+    healQuiesced(f)
+    assert(!StateCommit.markerExists(spark, f.zm) &&
+      !StateCommit.hasForeignWrite(spark, f.zm))
+    checkInvariants(f, "E healed")
+    // the common transient crash within ONE lineage still heals instantly:
+    // same id AND same lineage re-owns, sidecar absent -> fast path
+    locally {
+      val g = mkFixture("e1")
+      StateCommit.stateLock(g.statePath).synchronized {
+        assert(StateCommit.claimMarkerDetailed(spark, g.zm, 3L, "L1") ===
+          StateCommit.FreshClaim)
+        batchWrite(g, 3)
+        StateCommit.mutationStamp(g.statePath).incrementAndGet()
+      }
+      checkInvariants(g, "E same-lineage post-crash")
+      batch(g, 3, lineage = "L1") // the checkpoint replay, same lineage
+      assert(!StateCommit.markerExists(spark, g.zm),
+        "E: a same-lineage re-own with the sidecar absent keeps the " +
+          "instant fast-path heal")
+      checkInvariants(g, "E same-lineage final")
+    }
   }
 }
