@@ -21,7 +21,8 @@ def norm(rows, cols):
     out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
     return [cols[i] for i in order], out
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, json_out=None):
+    results = {}
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
@@ -37,6 +38,7 @@ def main(sf_dir, out_dir):
             erows = exp.fetchall()
         except Exception as e:
             fails.append(name)
+            results[name] = {"status": "error", "detail": str(e)[:200]}
             print(f"FAIL {name}: error {e}")
             continue
         # dtype parity: the driver's hash is type-sensitive beyond the
@@ -51,6 +53,7 @@ def main(sf_dir, out_dir):
                      and etypes[c] != gtypes.get(c)]
         if bad_types:
             fails.append(name)
+            results[name] = {"status": "fail", "detail": "dtype mismatch"}
             print(f"FAIL {name}: oracle dtype not hashable-equal: " +
                   ", ".join(f"{c} oracle={etypes[c]} spark={gtypes.get(c)}" for c in bad_types))
             continue
@@ -58,9 +61,12 @@ def main(sf_dir, out_dir):
         ec, er = norm(erows, ecols)
         if gc != ec:
             fails.append(name)
+            results[name] = {"status": "fail", "detail": "column mismatch"}
             print(f"FAIL {name}: columns spark={gc} oracle={ec}")
         elif gr != er:
             fails.append(name)
+            results[name] = {"status": "fail",
+                             "detail": f"value mismatch (spark {len(gr)} vs oracle {len(er)} rows)"}
             print(f"FAIL {name}: rows spark={len(gr)} oracle={len(er)}")
             for i, (a, b) in enumerate(zip(gr, er)):
                 if a != b:
@@ -69,6 +75,9 @@ def main(sf_dir, out_dir):
             else:
                 print(f"  (prefix equal; length differs)")
         else:
+            results[name] = {"status": "ok", "rows": len(gr),
+                             "rows_match": True, "schema_match": True,
+                             "values_match": True}
             print(f"ok   {name} ({len(gr)} rows)")
     # rows-only queries (no oracle): check non-empty
     import os
@@ -79,9 +88,17 @@ def main(sf_dir, out_dir):
             status = "ok  " if n > 0 else "FAIL"
             if n == 0:
                 fails.append(name)
+            results[name] = {"status": "ok" if n > 0 else "fail",
+                             "rows": n, "rows_only": True}
             print(f"{status} {name} (rows-only, {n} rows)")
     print(f"\n{len(fails)} failures" + (f": {fails}" if fails else ""))
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump({"sf_dir": sf_dir, "n": len(results),
+                       "failures": fails, "queries": results}, f, indent=1,
+                      sort_keys=True)
+        print(f"wrote {json_out}")
     sys.exit(1 if fails else 0)
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2])
+    main(sys.argv[1], sys.argv[2], sys.argv[3] if len(sys.argv) > 3 else None)

@@ -45,7 +45,7 @@ object BucketedUpsertSink {
     // look absent, the next batch bootstraps an empty table, and once a new
     // live dir exists the '.old' full state is stranded forever — silent
     // loss. The flat sink heals through liveExists; this is its equivalent.
-    UpsertSink.recoverSwap(spark, statePath)
+    StateCommit.recoverSwap(spark, statePath)
     val p = new org.apache.hadoop.fs.Path(statePath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.exists(p) &&
@@ -93,7 +93,7 @@ object BucketedUpsertSink {
       if (evolved) {
         val merged = UpsertSink.applyBatch(full.drop(BucketCol), changes, pk)
           .withColumn(BucketCol, bucketOf(col(pk), numBuckets))
-        UpsertSink.stageSwap(spark, statePath)(tmp =>
+        StateCommit.stageSwap(spark, statePath)(tmp =>
           merged.write.mode("overwrite").partitionBy(BucketCol).parquet(tmp))
         return
       }

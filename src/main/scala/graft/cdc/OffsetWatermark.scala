@@ -87,7 +87,7 @@ object OffsetWatermark {
     * Heals an interrupted atomic swap first (the [[BucketedUpsertSink]]
     * hasBuckets discipline). */
   private def entryNames(spark: SparkSession, dir: String): Array[String] = {
-    UpsertSink.recoverSwap(spark, dir)
+    StateCommit.recoverSwap(spark, dir)
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) Array.empty
@@ -179,7 +179,7 @@ object OffsetWatermark {
             spark.read.option("mergeSchema", "true").parquet(dir)), batch, pk)
             .withColumn(BucketedUpsertSink.BucketCol,
               BucketedUpsertSink.bucketOf(col(pk), n))
-          UpsertSink.stageSwap(spark, dir)(tmp =>
+          StateCommit.stageSwap(spark, dir)(tmp =>
             next.write.mode("overwrite")
               .partitionBy(BucketedUpsertSink.BucketCol).parquet(tmp))
         } else {
@@ -213,7 +213,7 @@ object OffsetWatermark {
               .drop(BucketedUpsertSink.BucketCol)), batch, pk)
           // invocation-unique staging with failure cleanup: a live batch's
           // advance and a replay's can overlap on one sidecar (r9 review)
-          UpsertSink.stageSwap(spark, dir)(tmp =>
+          StateCommit.stageSwap(spark, dir)(tmp =>
             next.write.mode("overwrite").parquet(tmp))
         }
     }

@@ -222,16 +222,12 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
     // and forces a re-scan); the cost of a false positive is one manifest
     // scan. The stream pays the scan inline — bounded, and strictly better
     // than pruning staying disabled forever.
-    val streak = Pipeline.foreignMarkerStreak(statePath(sync))
-    val since = Pipeline.foreignMarkerSince.get(statePath(sync))
-    if (streak.get() >= Pipeline.OrphanMarkerHealStreak && since != null &&
-        System.currentTimeMillis() - since >= Pipeline.orphanMarkerHealMinMs) {
-      Pipeline.resetForeignMarker(statePath(sync), streak)
+    if (StateCommit.orphanHealDue(statePath(sync))) {
       Pipeline.log.warn(
         s"zone-map marker for ${statePath(sync)} not claimable fresh for " +
-          s"${Pipeline.OrphanMarkerHealStreak}+ batches over " +
-          s"${Pipeline.orphanMarkerHealMinMs / 1000}+ s — an orphan from a " +
-          "crashed refresh/batch/replay; running a quiesced full zone-map " +
+          s"${StateCommit.OrphanMarkerHealStreak}+ batches over " +
+          s"${StateCommit.orphanMarkerHealMinMs / 1000}+ s — an orphan from " +
+          "a crashed refresh/batch/replay; running a quiesced full zone-map " +
           "rebuild to restore pruned reads")
       rebuildZoneMap(sync)
     }
@@ -239,7 +235,7 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
 
   private def applySyncLocked(batch: DataFrame, sync: SyncConfig, batchId: Long,
                               lineage: String): Unit =
-    Pipeline.stateLock(statePath(sync)).synchronized {
+    StateCommit.stateLock(statePath(sync)).synchronized {
     // fail-loud single-driver fence (see the class scaladoc); also the
     // per-batch heartbeat refresh
     DriverLease.acquire(spark, statePath(sync), staleMs = config.leaseStaleMs)
@@ -268,7 +264,7 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
       // rebuild's quiesce check would miss the committed mutation and
       // clear over a stale scan; over-bumping on a pre-commit failure
       // only forces a harmless re-scan (r9 review)
-      Pipeline.mutationStamp(statePath(sync)).incrementAndGet(); ()
+      StateCommit.mutationStamp(statePath(sync)).incrementAndGet(); ()
     }
     hooks.postBatch.foreach(_(sync.table, batchId))
   }
@@ -353,16 +349,8 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
         // continuous-observation age (a healthy refresh's brief window
         // never trips it; a spurious heal racing a live rebuild is still
         // CORRECT — both clears are quiesce-gated — just wasted work).
-        if (zoneMapActive) {
-          val streak = Pipeline.foreignMarkerStreak(statePath(sync))
-          if (ownsMarker) Pipeline.resetForeignMarker(statePath(sync), streak)
-          else {
-            streak.incrementAndGet()
-            Pipeline.foreignMarkerSince.putIfAbsent(statePath(sync),
-              java.lang.Long.valueOf(System.currentTimeMillis()))
-            ()
-          }
-        }
+        if (zoneMapActive)
+          StateCommit.observeMarkerClaim(statePath(sync), ownsMarker)
         BucketedUpsertSink.applyBatch(spark, statePath(sync), compacted, pk, n,
           schema = Some(sinkSchema(sync)))
         // incremental zone-map maintenance: stats recompute only for the
@@ -376,15 +364,14 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
           if (touched.nonEmpty)
             graft.ops.Maintenance.refreshZoneMap(spark, statePath(sync),
               zoneMapPath(sync), touched, zoneMapColsFor(sync))
-          graft.ops.Maintenance.clearZoneMapPending(spark, zoneMapPath(sync),
-            batchId)
+          StateCommit.releaseMarker(spark, zoneMapPath(sync), batchId)
         }
       case None =>
         val state = UpsertSink.currentState(spark, statePath(sync), sinkSchema(sync))
         val next = UpsertSink.applyBatch(state, compacted, pk)
         // invocation-unique staging with failure cleanup: a live batch and
         // a dead-letter replay can stage for the same sync concurrently
-        UpsertSink.stageSwap(spark, statePath(sync))(tmp =>
+        StateCommit.stageSwap(spark, statePath(sync))(tmp =>
           next.write.mode("overwrite").parquet(tmp))
     }
   }
@@ -429,7 +416,7 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
   def replayDeadLetters(tables: Seq[String] = Seq.empty): Map[String, (Long, Long, Long)] =
     config.syncs
       .filter(s => tables.isEmpty || tables.contains(s.table))
-      .map { s => Pipeline.stateLock(statePath(s)).synchronized {
+      .map { s => StateCommit.stateLock(statePath(s)).synchronized {
         // single-driver fence: a CLI replay in a second JVM against a live
         // stream fails loud here instead of racing its swaps
         DriverLease.acquire(spark, statePath(s), staleMs = config.leaseStaleMs)
@@ -438,7 +425,7 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
         // atomicSwapDirs' two renames leaves the quarantine only at
         // `.old`, and probing the main path alone would read every
         // envelope as gone (r9 review)
-        UpsertSink.recoverSwap(spark, path)
+        StateCommit.recoverSwap(spark, path)
         val p = new org.apache.hadoop.fs.Path(path)
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
         if (!fs.exists(p)) s.table -> ((0L, 0L, 0L))
@@ -465,7 +452,7 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
                 config.stateBuckets)
             } finally {
               // see applySync: the bump must survive a post-commit failure
-              Pipeline.mutationStamp(statePath(s)).incrementAndGet(); ()
+              StateCommit.mutationStamp(statePath(s)).incrementAndGet(); ()
             }
           }
           if (nFresh > 0 || nStale > 0) {
@@ -473,7 +460,7 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
             // newer live data already holds their pk); overwrite via
             // staging + swap so a crash mid-rewrite never loses envelopes
             val remaining = dl.filter(col(pk).isNull)
-            UpsertSink.stageSwap(spark, path)(tmp =>
+            StateCommit.stageSwap(spark, path)(tmp =>
               remaining.write.mode("overwrite").parquet(tmp))
           }
           val left = spark.read.parquet(path).filter(col(pk).isNull).count()
@@ -504,7 +491,7 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
   private def commitRefreshSwap(sync: SyncConfig, staging: String,
                                 floor: Long,
                                 precondition: () => Boolean = () => true): Boolean =
-    Pipeline.stateLock(statePath(sync)).synchronized {
+    StateCommit.stateLock(statePath(sync)).synchronized {
       // ONE failure-cleanup scope (review r10: three copy-pasted
       // drop-and-rethrow catches invited the next pre-swap step to forget
       // its fourth): ANY throw out of the commit drops the staged copy —
@@ -520,14 +507,14 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
         // evaluated under the lock (backfill's bootstrap-only re-probe);
         // losing it drops the staged copy instead of clobbering
         if (!precondition()) {
-          UpsertSink.dropStaging(spark, staging)
+          StateCommit.dropStaging(spark, staging)
           false
         } else {
           if (zoneMapActiveFor(sync))
-            graft.ops.Maintenance.forceZoneMapPending(spark, zoneMapPath(sync),
+            StateCommit.forceMarker(spark, zoneMapPath(sync),
               Pipeline.freshOwnerId())
           try {
-            UpsertSink.atomicSwapDirs(spark, staging, statePath(sync))
+            StateCommit.atomicSwapDirs(spark, staging, statePath(sync))
             // a floor-record failure AFTER the swap landed leaves the
             // snapshot live but unfenced: a stale dead-letter replay for a
             // snapshot-only pk could then apply over the refreshed value
@@ -549,12 +536,12 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
             // the swap landed must still stamp the committed mutation, or
             // a concurrent rebuild's quiesce check would clear over a
             // scan that missed the new snapshot (r9 review)
-            Pipeline.mutationStamp(statePath(sync)).incrementAndGet(); ()
+            StateCommit.mutationStamp(statePath(sync)).incrementAndGet(); ()
           }
           true
         }
       } catch { case t: Throwable =>
-        UpsertSink.dropStaging(spark, staging); throw t }
+        StateCommit.dropStaging(spark, staging); throw t }
     }
 
   /** Full zone-map rebuild for one sync — the non-incremental path used
@@ -586,7 +573,7 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
       .fold(0L)(_.asInstanceOf[Long])
     // same heal as replayDeadLetters: an interrupted quarantine rewrite
     // must not read as an empty dead-letter dir and record a too-low floor
-    UpsertSink.recoverSwap(spark, deadLetterPath(sync))
+    StateCommit.recoverSwap(spark, deadLetterPath(sync))
     val dlPath = new org.apache.hadoop.fs.Path(deadLetterPath(sync))
     val fs = dlPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dlMax =
@@ -908,14 +895,24 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
     * filters), `None` when the manifest is clean or the sync maintains no
     * zone map. An owner that persists across `check` runs with no refresh
     * in flight is an orphan from a crashed refresh/batch/replay — the
-    * live stream self-heals it after [[Pipeline.OrphanMarkerHealStreak]]
-    * batches over [[Pipeline.orphanMarkerHealMinMs]], or re-running
+    * live stream self-heals it after [[StateCommit.OrphanMarkerHealStreak]]
+    * batches over [[StateCommit.orphanMarkerHealMinMs]], or re-running
     * `refresh` clears it immediately (ADVICE r9). */
   def zoneMapStatus(): Map[String, Option[Long]] = config.syncs.map { s =>
     s.table -> (if (zoneMapActiveFor(s))
-      graft.ops.Maintenance.zoneMapPendingOwner(spark, zoneMapPath(s))
+      StateCommit.markerOwner(spark, zoneMapPath(s))
     else None)
   }.toMap
+
+  /** Lease status per sync (the `check` surface — r10 verdict #7): the
+    * lease path, and the holder's identity + heartbeat age (ms) if held.
+    * An operator diagnosing a refused second driver sees who holds what
+    * without reading `<statePath>.lease` by hand. */
+  def leaseStatus(): Map[String, (String, Option[(String, Long)])] =
+    config.syncs.map { s =>
+      s.table -> ((DriverLease.leasePath(statePath(s)),
+        DriverLease.holder(spark, statePath(s))))
+    }.toMap
 
   /** `check`: source count vs sink count per sync (`main.py:179-208`). */
   def check(): Map[String, (Long, Long)] = config.syncs.map { s =>
@@ -933,13 +930,6 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
 }
 
 object Pipeline {
-  /** Per-state-path mutation lock — [[StateCommit.stateLock]] (the
-    * serialization rationale, the cross-process premise now enforced by
-    * [[DriverLease]], and the LOCK ORDER discipline all live with the
-    * protocol in StateCommit's scaladoc). */
-  private[cdc] def stateLock(statePath: String): Object =
-    StateCommit.stateLock(statePath)
-
   // zone-map marker owner ids for refresh/backfill rebuilds: strictly
   // negative (never colliding with micro-batch ids >= 0 or the replay's
   // -2) and unique per invocation
@@ -947,41 +937,6 @@ object Pipeline {
   private[cdc] def freshOwnerId(): Long = ownerSeq.decrementAndGet()
 
   private[cdc] val log = org.slf4j.LoggerFactory.getLogger("graft.pipeline")
-
-  /** Consecutive not-claimable-FRESH marker observations before a live
-    * batch MAY escalate to the quiesced full zone-map rebuild (the
-    * orphaned-marker self-heal — ADVICE r9; widened to any orphan in r10,
-    * since re-owned crash markers are now KEPT rather than released).
-    * Batch count alone is cadence-dependent (sub-second triggers would
-    * reach any count during a healthy refresh's scan — review r10), so
-    * the heal additionally requires the marker to have been unclaimable
-    * CONTINUOUSLY for [[orphanMarkerHealMinMs]]. A false positive still
-    * costs only one manifest scan (both clears are quiesce-gated), never
-    * correctness. */
-  val OrphanMarkerHealStreak = 3L
-
-  /** Minimum continuous foreign-observation age before the streak heal
-    * fires — comfortably past any healthy refresh's commit→clear window
-    * (its full manifest scan); spec-settable. */
-  @volatile private[graft] var orphanMarkerHealMinMs: Long = 60L * 1000L
-
-  // Per-state-path count of consecutive batches that could not take the
-  // marker fast path (foreign owner of ANY sign, or a re-own over a
-  // foreign-write sidecar — see writeCompacted), and the wall time of the
-  // streak's first observation. JVM-local, same premise as mutationStamp.
-  private val foreignMarkerStreaks = new java.util.concurrent.ConcurrentHashMap[
-    String, java.util.concurrent.atomic.AtomicLong]()
-  private[cdc] val foreignMarkerSince =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
-  private[cdc] def foreignMarkerStreak(statePath: String): java.util.concurrent.atomic.AtomicLong =
-    foreignMarkerStreaks.computeIfAbsent(statePath,
-      _ => new java.util.concurrent.atomic.AtomicLong())
-  private[cdc] def resetForeignMarker(statePath: String,
-      streak: java.util.concurrent.atomic.AtomicLong): Unit = {
-    streak.set(0L)
-    foreignMarkerSince.remove(statePath)
-    ()
-  }
 
   // Active streaming queries per state path (this JVM): the lease
   // heartbeat's shutdown release is gated on being the LAST one, so a
@@ -1052,16 +1007,6 @@ object Pipeline {
       } else false
     } finally l.unlock()
   }
-
-  /** Per-state-path mutation stamp — [[StateCommit.mutationStamp]] (the
-    * quiesced-clear consumer and the FINALLY-adjacent bump discipline are
-    * documented with the protocol). */
-  private[cdc] def mutationStamp(statePath: String): java.util.concurrent.atomic.AtomicLong =
-    StateCommit.mutationStamp(statePath)
-
-  /** Vanished-file failure signature — [[StateCommit.causedByVanishedFile]]. */
-  private[cdc] def causedByVanishedFile(t: Throwable): Boolean =
-    StateCommit.causedByVanishedFile(t)
 
   /** Lineage label for dead-letter replays (no checkpoint — the constant
     * -2 owner id never takes the re-own fast path regardless). */

@@ -49,7 +49,7 @@ object Scd2Sink {
     * seconds (the sink coercion rule, reference schemas.py:21-22). */
   def applyBatch(spark: SparkSession, statePath: String, batch: DataFrame,
                  key: String, version: String, tsCol: String): Unit = {
-    UpsertSink.recoverSwap(spark, statePath)
+    StateCommit.recoverSwap(spark, statePath)
     val stored = readRaw(spark, statePath)
     stored.foreach { state =>
       // clear upgrade error instead of UNRESOLVED_COLUMN mid-plan: state
@@ -120,7 +120,7 @@ object Scd2Sink {
           .as("__first"),
           min(unix_timestamp(col(tsCol))).as("__first_s"))
 
-      UpsertSink.stageSwap(spark, statePath) { next =>
+      StateCommit.stageSwap(spark, statePath) { next =>
       stored match {
         case Some(state) =>
           // fail-stop on history interleave: the batch's first event must
@@ -157,7 +157,7 @@ object Scd2Sink {
   /** The history table with `is_current` derived from the open interval;
     * the internal ordering column stays internal. */
   def read(spark: SparkSession, statePath: String): DataFrame = {
-    UpsertSink.recoverSwap(spark, statePath)
+    StateCommit.recoverSwap(spark, statePath)
     spark.read.parquet(statePath)
       .withColumn("is_current", col("valid_to").isNull)
       .drop("__ts_us")

@@ -10,10 +10,11 @@ import org.apache.spark.sql.SparkSession
   * module (r9 verdict #2): the protocol converged over ~20 review commits
   * while spread across `UpsertSink`/`Pipeline`/`Maintenance`, and the
   * conclusion was that concurrency protocols must be read — and changed —
-  * in one place. The old entry points (`UpsertSink.atomicSwapDirs`,
-  * `Maintenance.markZoneMapPending`, `Pipeline.stateLock`, …) remain as
-  * thin forwarders so call sites and their scaladoc stay put; the LOGIC
-  * lives here.
+  * in one place. The transitional thin forwarders at the old names
+  * (`UpsertSink.atomicSwapDirs`, `Maintenance.markZoneMapPending`,
+  * `Pipeline.stateLock`, …) were retired in r11 (verdict #5): every call
+  * site names StateCommit directly, so the protocol has ONE name in the
+  * codebase and grep finds every caller.
   *
   * ==Protocol state machine==
   *
@@ -158,9 +159,23 @@ object StateCommit {
   private val sweepTick = new java.util.concurrent.ConcurrentHashMap[
     String, java.util.concurrent.atomic.AtomicLong]()
 
-  /** Janitor reap horizon — see [[UpsertSink.setStagingReapHorizonMs]]'s
-    * forwarding scaladoc for the operational contract (ADVICE r9/r10). */
+  /** Janitor reap horizon: an UNREGISTERED staging dir (no live writer in
+    * this JVM) older than this is presumed crash-stranded and reaped. The
+    * default (1 h) covers every in-repo rebuild with two orders of margin;
+    * a deployment staging multi-hour cross-process full scans (a CLI
+    * refresh in one JVM while a stream commits swaps in another — outside
+    * the registry's visibility) must RAISE it past its longest stage
+    * duration, or the scan loses its staging copy mid-write and fails at
+    * swap time — safe (the rebuild re-runs) but expensive (ADVICE r9).
+    * Reaped dirs are WARN-logged so that later swap failure is diagnosable
+    * back to the reap. Configure via [[setStagingReapHorizonMs]]. */
   @volatile private[graft] var stagingReapHorizonMs: Long = 3600L * 1000L
+
+  /** Configure the janitor horizon (see [[stagingReapHorizonMs]]). */
+  def setStagingReapHorizonMs(ms: Long): Unit = {
+    require(ms > 0, s"staging reap horizon must be positive, got $ms")
+    stagingReapHorizonMs = ms
+  }
   private val sweepLog = org.slf4j.LoggerFactory.getLogger("graft.janitor")
 
   /** Invocation-unique staging dir for a swap into `live`: a shared fixed
@@ -287,8 +302,8 @@ object StateCommit {
       ()
     }
 
-  /** Janitor for crash-stranded staging dirs — contract in
-    * [[UpsertSink]]'s forwarding scaladoc: reaps unregistered
+  /** Janitor for crash-stranded staging dirs — contract at
+    * [[stagingReapHorizonMs]]: reaps unregistered
     * staging-patterned siblings older than [[stagingReapHorizonMs]] by a
     * TRUSTED mtime, WARN-logging each reap; never fails the committed swap
     * it rides on. */
@@ -316,7 +331,7 @@ object StateCommit {
                   s"${stagingReapHorizonMs / 1000}s, no registered writer " +
                   "in this JVM); if a cross-process rebuild owned it, its " +
                   "swap will fail and must re-run — raise " +
-                  "UpsertSink.setStagingReapHorizonMs for long rebuilds")
+                  "StateCommit.setStagingReapHorizonMs for long rebuilds")
             ()
           }
           catch { case _: java.io.IOException => () }
@@ -528,6 +543,69 @@ object StateCommit {
       case Some(id) => Some((id, lineage))
       case None => Some((Long.MinValue, "")) // torn: heal-only
     }
+  }
+
+  // ------------------------------------------------ orphan-heal streak
+
+  /** Consecutive not-claimable-FRESH marker observations before a live
+    * batch MAY escalate to the quiesced full zone-map rebuild (the
+    * orphaned-marker self-heal — ADVICE r9; widened to any orphan in r10,
+    * since re-owned crash markers are now KEPT rather than released).
+    * Batch count alone is cadence-dependent (sub-second triggers would
+    * reach any count during a healthy refresh's scan — review r10), so
+    * the heal additionally requires the marker to have been unclaimable
+    * CONTINUOUSLY for [[orphanMarkerHealMinMs]]. A false positive still
+    * costs only one manifest scan (both clears are quiesce-gated), never
+    * correctness. Moved here from Pipeline in r11 (verdict #6): the
+    * streak is marker lifecycle, and the marker lives in this module. */
+  val OrphanMarkerHealStreak = 3L
+
+  /** Minimum continuous foreign-observation age before the streak heal
+    * fires — comfortably past any healthy refresh's commit→clear window
+    * (its full manifest scan); spec-settable. */
+  @volatile private[graft] var orphanMarkerHealMinMs: Long = 60L * 1000L
+
+  // Per-state-path count of consecutive batches that could not take the
+  // marker fast path (foreign owner of ANY sign or lineage, or a re-own
+  // over a foreign-write sidecar), and the wall time of the streak's
+  // first observation. JVM-local, same premise as mutationStamp.
+  private val foreignMarkerStreaks = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.atomic.AtomicLong]()
+  private val foreignMarkerSince =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Record one writer's marker-claim outcome: `owned` resets the streak
+    * (the marker discipline is healthy); a denied fast path extends it and
+    * pins the streak's first-observation time. */
+  def observeMarkerClaim(statePath: String, owned: Boolean): Unit =
+    if (owned) resetOrphanStreak(statePath)
+    else {
+      foreignMarkerStreaks.computeIfAbsent(statePath,
+        _ => new java.util.concurrent.atomic.AtomicLong()).incrementAndGet()
+      foreignMarkerSince.putIfAbsent(statePath,
+        java.lang.Long.valueOf(System.currentTimeMillis()))
+      ()
+    }
+
+  /** True iff the streak AND continuous-age thresholds both fire — and
+    * then resets the streak, so the caller runs exactly one quiesced heal
+    * per escalation instead of one per subsequent batch. */
+  def orphanHealDue(statePath: String): Boolean = {
+    val streak = foreignMarkerStreaks.get(statePath)
+    val since = foreignMarkerSince.get(statePath)
+    if (streak != null && streak.get() >= OrphanMarkerHealStreak &&
+        since != null &&
+        System.currentTimeMillis() - since >= orphanMarkerHealMinMs) {
+      resetOrphanStreak(statePath)
+      true
+    } else false
+  }
+
+  private def resetOrphanStreak(statePath: String): Unit = {
+    val streak = foreignMarkerStreaks.get(statePath)
+    if (streak != null) streak.set(0L)
+    foreignMarkerSince.remove(statePath)
+    ()
   }
 
   // --------------------------------------------------- quiesced clear

@@ -109,7 +109,7 @@ object SwapRefresh {
   def refresh(fresh: DataFrame, livePath: String,
               buckets: Option[(String, Int)] = None): Long = {
     val (staging, n) = stage(fresh, livePath, buckets)
-    UpsertSink.atomicSwapDirs(fresh.sparkSession, staging, livePath)
+    StateCommit.atomicSwapDirs(fresh.sparkSession, staging, livePath)
     n
   }
 
@@ -128,7 +128,7 @@ object SwapRefresh {
     * (reaped by the swap janitor after an hour). */
   def stage(fresh: DataFrame, livePath: String,
             buckets: Option[(String, Int)] = None): (String, Long) = {
-    val staging = UpsertSink.stagingDir(livePath)
+    val staging = StateCommit.stagingDir(livePath)
     // failure cleanup: a throwing scan/write must drop (and unregister)
     // its partial staging, or it stays janitor-protected forever
     try {
@@ -141,7 +141,7 @@ object SwapRefresh {
       (staging, fresh.sparkSession.read.parquet(staging).count())
     } catch {
       case t: Throwable =>
-        UpsertSink.dropStaging(fresh.sparkSession, staging); throw t
+        StateCommit.dropStaging(fresh.sparkSession, staging); throw t
     }
   }
 

@@ -122,43 +122,8 @@ object UpsertSink {
     val next = applyBatch(state, compacted, pk)
     // two-phase write: next state to a versioned dir, then pointer swap —
     // keeps the apply atomic without a table format in the offline harness
-    stageSwap(spark, statePath)(tmp =>
+    StateCommit.stageSwap(spark, statePath)(tmp =>
       next.write.mode("overwrite").parquet(tmp))
-  }
-
-  // -------------------------------------------------------------------
-  // Staged-swap machinery — LOGIC LIVES IN [[StateCommit]] (r9 verdict #2:
-  // the whole commit protocol reads in one module); these forwarders keep
-  // the historical call sites and spec references stable.
-  // -------------------------------------------------------------------
-
-  /** Invocation-unique janitor-registered staging dir — [[StateCommit.stagingDir]]. */
-  private[graft] def stagingDir(live: String): String = StateCommit.stagingDir(live)
-
-  /** Staged-write-then-swap with failure cleanup — [[StateCommit.stageSwap]]. */
-  private[graft] def stageSwap(spark: SparkSession, live: String)
-                              (write: String => Unit): Unit =
-    StateCommit.stageSwap(spark, live)(write)
-
-  /** Abandon a staged dir without swapping — [[StateCommit.dropStaging]]. */
-  private[graft] def dropStaging(spark: SparkSession, staging: String): Unit =
-    StateCommit.dropStaging(spark, staging)
-
-  /** Janitor reap horizon: an UNREGISTERED staging dir (no live writer in
-    * this JVM) older than this is presumed crash-stranded and reaped. The
-    * default (1 h) covers every in-repo rebuild with two orders of margin;
-    * a deployment staging multi-hour cross-process full scans (a CLI
-    * refresh in one JVM while a stream commits swaps in another — outside
-    * the registry's visibility) must RAISE it past its longest stage
-    * duration, or the scan loses its staging copy mid-write and fails at
-    * swap time — safe (the rebuild re-runs) but expensive (ADVICE r9).
-    * Reaped dirs are WARN-logged so that later swap failure is diagnosable
-    * back to the reap. */
-  private[graft] def stagingReapHorizonMs: Long = StateCommit.stagingReapHorizonMs
-  /** Configure the janitor horizon (see [[stagingReapHorizonMs]]). */
-  def setStagingReapHorizonMs(ms: Long): Unit = {
-    require(ms > 0, s"staging reap horizon must be positive, got $ms")
-    StateCommit.stagingReapHorizonMs = ms
   }
 
   def currentState(
@@ -179,26 +144,9 @@ object UpsertSink {
 
   /** True iff the live state dir exists, after healing any interrupted swap. */
   def liveExists(spark: SparkSession, live: String): Boolean = {
-    recoverSwap(spark, live)
+    StateCommit.recoverSwap(spark, live)
     val (fs, p) = hfs(spark, live)
     fs.exists(p)
   }
 
-  /** Per-live-path monitor serializing same-JVM swappers and healers —
-    * [[StateCommit.swapLock]] (every advertised concurrent shape is
-    * in-JVM; rename-retries remain for readers in other processes). */
-  private[graft] def swapLock(live: String): Object = StateCommit.swapLock(live)
-
-  /** Heal an interrupted swap's crash window — [[StateCommit.recoverSwap]]:
-    * live absent + complete `.old` present means a crash between the two
-    * renames; restore `.old`, and the checkpoint replay of the
-    * un-committed batch makes the state catch up idempotently. */
-  private[graft] def recoverSwap(spark: SparkSession, live: String): Unit =
-    StateCommit.recoverSwap(spark, live)
-
-  /** Directory pointer swap with crash healing, retry-tolerant against
-    * concurrent swappers/healers, riding the staging janitor —
-    * [[StateCommit.atomicSwapDirs]] (the full race analysis lives there). */
-  private[graft] def atomicSwapDirs(spark: SparkSession, next: String, live: String): Unit =
-    StateCommit.atomicSwapDirs(spark, next, live)
 }

@@ -1,7 +1,7 @@
 package graft.cli
 
 import graft.GraftSession
-import graft.cdc.{ParquetCdcSource, Pipeline}
+import graft.cdc.{ParquetCdcSource, Pipeline, StateCommit}
 import graft.model._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.StructType
@@ -177,6 +177,7 @@ object Main {
       case "check" => graft.cdc.ErrorReporting.reporting(reporters, "check") {
         var ok = true
         val zm = pipe.zoneMapStatus()
+        val leases = pipe.leaseStatus()
         pipe.check().foreach { case (t, (src, sink)) =>
           val status = if (src == sink) "OK" else { ok = false; "MISMATCH" }
           println(s"$status $t: source=$src sink=$sink")
@@ -193,14 +194,31 @@ object Main {
               if (owner == Long.MinValue) "torn (heal-only)" else s"owner $owner"
             println(s"NOTE $t: zone-map pending, $who — pruned " +
               "reads unpruned until a rebuild clears it (an orphan " +
-              s"self-heals after ${Pipeline.OrphanMarkerHealStreak} live " +
+              s"self-heals after ${StateCommit.OrphanMarkerHealStreak} live " +
               "batches over a minute; or re-run refresh)")
+          }
+          // lease observability (r10 verdict #7): who holds this sync's
+          // state path — the first thing to read when a second driver was
+          // just refused
+          leases.get(t).foreach { case (path, holder) =>
+            println(Main.leaseLine(t, path, holder))
           }
         }
         if (!ok) sys.exit(1)
       }
     }
   }
+
+  /** One `check` output line per sync naming the lease path, holder
+    * identity and heartbeat age — or `free` (r10 verdict #7). */
+  private[graft] def leaseLine(table: String,
+                               path: String,
+                               holder: Option[(String, Long)]): String =
+    holder match {
+      case Some((id, ageMs)) =>
+        s"LEASE $table: held by driver '$id' (heartbeat ${ageMs / 1000}s ago, $path)"
+      case None => s"LEASE $table: free ($path)"
+    }
 
   /** Parse `sync.<table>.*` keys into [[SyncConfig]]s. The table name is
     * everything between `sync.` and the LAST dot (the property suffix never

@@ -72,7 +72,7 @@ object IncrementalDedup {
     // complete copy parked at <path>.old) — reading without this would see
     // an empty index, silently emit nothing, and the subsequent append
     // would re-create the live dir so the .old copy could never restore
-    graft.cdc.UpsertSink.recoverSwap(spark, path)
+    graft.cdc.StateCommit.recoverSwap(spark, path)
     // Hadoop FileSystem, not java.io: the state dir may be HDFS/S3.
     // Recursive: idempotent per-batch appends live in batch-<id> subdirs.
     val p = new org.apache.hadoop.fs.Path(path)
@@ -149,7 +149,7 @@ object IncrementalDedup {
           try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt)
           finally in.close()
         } else None
-      graft.cdc.UpsertSink.stageSwap(spark, path) { tmp =>
+      graft.cdc.StateCommit.stageSwap(spark, path) { tmp =>
         stored match {
           case Some(m) =>
             cur.withColumn("bucket", pmod(col("doc_id"), lit(m.toLong)))

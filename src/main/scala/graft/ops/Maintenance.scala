@@ -140,11 +140,11 @@ object Maintenance {
     // describe vanished bins, and clearing would hand pruned reads a
     // stale map (r9 review)
     val zmPend = new org.apache.hadoop.fs.Path(
-      zoneMapPendingPath(livePath + ".zonemap"))
+      graft.cdc.StateCommit.markerPath(livePath + ".zonemap"))
     val markerPreExisting = zmPend
       .getFileSystem(spark.sparkContext.hadoopConfiguration).exists(zmPend)
-    markZoneMapPending(spark, livePath + ".zonemap", ownerId = -1L)
-    val staging = graft.cdc.UpsertSink.stagingDir(livePath)
+    graft.cdc.StateCommit.claimMarker(spark, livePath + ".zonemap", ownerId = -1L)
+    val staging = graft.cdc.StateCommit.stagingDir(livePath)
     try {
       // partition discovery reads the shard dir value back as INT; the
       // plan keys on LONG — normalize before the broadcast join
@@ -159,29 +159,29 @@ object Maintenance {
         .write.mode("overwrite").partitionBy("bin").parquet(staging)
     } catch {
       case t: Throwable =>
-        graft.cdc.UpsertSink.dropStaging(spark, staging)
+        graft.cdc.StateCommit.dropStaging(spark, staging)
         // un-mark only a marker THIS run minted over untouched data
         if (!markerPreExisting)
-          clearZoneMapPending(spark, livePath + ".zonemap")
+          graft.cdc.StateCommit.clearMarker(spark, livePath + ".zonemap")
         throw t
     }
-    try graft.cdc.UpsertSink.atomicSwapDirs(spark, staging, livePath)
+    try graft.cdc.StateCommit.atomicSwapDirs(spark, staging, livePath)
     catch {
       // swap failure: the data may have moved mid-protocol — keep the
       // marker, but release the staging dir (and its janitor
       // registration, which would otherwise protect the leak forever)
       case t: Throwable =>
-        graft.cdc.UpsertSink.dropStaging(spark, staging); throw t
+        graft.cdc.StateCommit.dropStaging(spark, staging); throw t
     }
     val manifest = spark.read.parquet(livePath)
       .groupBy(col("bin").cast("long").as("bin"))
       .agg(count(lit(1)).as("n_rows"),
         sum(length(col("text")).cast("long")).as("bytes"),
         min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
-    graft.cdc.UpsertSink.stageSwap(spark, livePath + ".zonemap")(zmTmp =>
+    graft.cdc.StateCommit.stageSwap(spark, livePath + ".zonemap")(zmTmp =>
       manifest.orderBy(col("bin")).coalesce(1)
         .write.mode("overwrite").parquet(zmTmp))
-    clearZoneMapPending(spark, livePath + ".zonemap")
+    graft.cdc.StateCommit.clearMarker(spark, livePath + ".zonemap")
     spark.read.parquet(livePath + ".zonemap").orderBy(col("bin"))
   }
 
@@ -261,7 +261,7 @@ object Maintenance {
     // not let a peer's swap rename the prior manifest's files out from
     // under this task's LAZY read mid-write; the prior is materialized
     // for the same reason (r9 review). The locked section is O(buckets).
-    graft.cdc.UpsertSink.swapLock(zmPath).synchronized {
+    graft.cdc.StateCommit.swapLock(zmPath).synchronized {
       val fs = new org.apache.hadoop.fs.Path(zmPath)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       val prior =
@@ -272,16 +272,18 @@ object Maintenance {
         case Some(p) => p.filter(!col("bucket").isin(touched: _*)).unionByName(fresh)
         case None => fresh
       }
-      graft.cdc.UpsertSink.stageSwap(spark, zmPath)(tmp =>
+      graft.cdc.StateCommit.stageSwap(spark, zmPath)(tmp =>
         next.orderBy(col("bucket")).coalesce(1)
           .write.mode("overwrite").parquet(tmp))
     }
   }
 
   // -------------------------------------------------------------------
-  // Staleness-marker discipline — LOGIC LIVES IN [[graft.cdc.StateCommit]]
-  // (r9 verdict #2: the whole commit protocol, with its states×events
-  // table, reads in one module); forwarders keep the historical names.
+  // Staleness-marker discipline lives in [[graft.cdc.StateCommit]] (r9
+  // verdict #2: the whole commit protocol, with its states×events table,
+  // reads in one module; the historical forwarder names here were retired
+  // in r11 so the protocol has ONE name and grep finds every caller).
+  // Below: the zone-map compute/publish halves the quiesced clear drives.
   // -------------------------------------------------------------------
 
   /** The COMPUTE half of a quiesced full rebuild: materialize the whole
@@ -296,49 +298,11 @@ object Maintenance {
   /** The PUBLISH half: atomically swap a materialized manifest live. */
   def publishZoneMap(spark: SparkSession, zmPath: String,
                      manifest: DataFrame): Unit =
-    graft.cdc.UpsertSink.swapLock(zmPath).synchronized {
-      graft.cdc.UpsertSink.stageSwap(spark, zmPath)(tmp =>
+    graft.cdc.StateCommit.swapLock(zmPath).synchronized {
+      graft.cdc.StateCommit.stageSwap(spark, zmPath)(tmp =>
         manifest.orderBy(col("bucket")).coalesce(1)
           .write.mode("overwrite").parquet(tmp))
     }
-
-  /** Marker path guarding `zmPath` — [[graft.cdc.StateCommit.markerPath]]. */
-  def zoneMapPendingPath(zmPath: String): String =
-    graft.cdc.StateCommit.markerPath(zmPath)
-
-  /** Write-ahead ownership claim; true iff the caller owns the marker —
-    * [[graft.cdc.StateCommit.claimMarker]] (a foreign owner's marker wins
-    * and the caller must skip all manifest work). */
-  def markZoneMapPending(spark: SparkSession, zmPath: String,
-                         ownerId: Long): Boolean =
-    graft.cdc.StateCommit.claimMarker(spark, zmPath, ownerId)
-
-  /** Force ownership (the rebuild-commit steal) —
-    * [[graft.cdc.StateCommit.forceMarker]]. */
-  def forceZoneMapPending(spark: SparkSession, zmPath: String,
-                          ownerId: Long): Unit =
-    graft.cdc.StateCommit.forceMarker(spark, zmPath, ownerId)
-
-  /** Owned clear (the owner's release after its own splice) —
-    * [[graft.cdc.StateCommit.releaseMarker]]. */
-  def clearZoneMapPending(spark: SparkSession, zmPath: String,
-                          ownerId: Long): Unit =
-    graft.cdc.StateCommit.releaseMarker(spark, zmPath, ownerId)
-
-  /** Unconditional clear — only for callers that just recomputed the whole
-    * manifest (quiesced clears; compactApply's single-writer rewrite) —
-    * [[graft.cdc.StateCommit.clearMarker]]. */
-  def clearZoneMapPending(spark: SparkSession, zmPath: String): Unit =
-    graft.cdc.StateCommit.clearMarker(spark, zmPath)
-
-  /** Owner id of the pending marker, if one is up — the operational status
-    * probe `check` surfaces (ADVICE r9) —
-    * [[graft.cdc.StateCommit.markerOwner]]. */
-  def zoneMapPendingOwner(spark: SparkSession, zmPath: String): Option[Long] =
-    graft.cdc.StateCommit.markerOwner(spark, zmPath)
-
-  private def zoneMapPendingExists(spark: SparkSession, zmPath: String): Boolean =
-    graft.cdc.StateCommit.markerExists(spark, zmPath)
 
   /** Manifest-driven pruned read: consult the O(buckets) zone map for the
     * buckets whose [min,max] window on `statCol` intersects
@@ -360,7 +324,7 @@ object Maintenance {
     val b = graft.cdc.BucketedUpsertSink.BucketCol
     val state = spark.read.parquet(statePath)
     val exact = col(statCol) >= lo && col(statCol) <= hi
-    if (zoneMapPendingExists(spark, zmPath))
+    if (graft.cdc.StateCommit.markerExists(spark, zmPath))
       return state.filter(exact).drop(b)
     val candidates = spark.read.parquet(zmPath)
       .filter(col(s"max_$statCol") >= lo && col(s"min_$statCol") <= hi)

@@ -300,7 +300,7 @@ class BatchNineOpsSpec extends SparkSpec {
       Seq("score"))
     // simulate the crash window: mark pending (the pipeline's write-ahead
     // step), apply the sink write, and CRASH before the refresh
-    Maintenance.markZoneMapPending(spark, zmPath, ownerId = 42L)
+    graft.cdc.StateCommit.claimMarker(spark, zmPath, ownerId = 42L)
     val batch = Seq(("update", 5L, 99999L, "v5b"))
       .toDF("op", "id", "score", "payload")
     BucketedUpsertSink.applyBatch(spark, statePath, batch, "id", nb)
@@ -319,7 +319,7 @@ class BatchNineOpsSpec extends SparkSpec {
     Maintenance.refreshZoneMap(spark, statePath, zmPath, Seq(
       batch.select(BucketedUpsertSink.bucketOf(col("id"), nb))
         .head().getLong(0)), Seq("score"))
-    Maintenance.clearZoneMapPending(spark, zmPath)
+    graft.cdc.StateCommit.clearMarker(spark, zmPath)
     val healed = Maintenance.prunedRead(spark, statePath, zmPath,
       "score", 99000L, 200000L).collect()
     assert(healed.map(_.getLong(0)).toSet === Set(5L))
@@ -431,17 +431,17 @@ class BatchNineOpsSpec extends SparkSpec {
     "replay still owns, and a torn marker reads FOREIGN — heal-only, " +
     "never fresh-claimable (r10 review)") {
     val zmPath = tmpDir("zm-owner") + "/state.zonemap"
-    val pend = new java.io.File(Maintenance.zoneMapPendingPath(zmPath))
+    val pend = new java.io.File(graft.cdc.StateCommit.markerPath(zmPath))
     // refresh claims first
-    assert(Maintenance.markZoneMapPending(spark, zmPath, -101L))
+    assert(graft.cdc.StateCommit.claimMarker(spark, zmPath, -101L))
     // a live batch arriving mid-rebuild does NOT own it...
-    assert(!Maintenance.markZoneMapPending(spark, zmPath, 7L))
+    assert(!graft.cdc.StateCommit.claimMarker(spark, zmPath, 7L))
     // ...so its conditional clear must leave the marker up
-    Maintenance.clearZoneMapPending(spark, zmPath, 7L)
+    graft.cdc.StateCommit.releaseMarker(spark, zmPath, 7L)
     assert(pend.exists(), "a non-owner's clear must not un-mark the manifest")
     // the same batch id re-marking (at-least-once replay) still owns
-    assert(Maintenance.markZoneMapPending(spark, zmPath, -101L))
-    Maintenance.clearZoneMapPending(spark, zmPath, -101L)
+    assert(graft.cdc.StateCommit.claimMarker(spark, zmPath, -101L))
+    graft.cdc.StateCommit.releaseMarker(spark, zmPath, -101L)
     assert(!pend.exists(), "the owner's clear removes the marker")
     // a TORN marker reads as FOREIGN, never fresh-claimable (r10 review:
     // a crash inside forceMarker's overwrite can TRUNCATE an orphan that
@@ -450,9 +450,9 @@ class BatchNineOpsSpec extends SparkSpec {
     // it comes down only via the quiesced heal's unconditional clear
     assert(pend.getParentFile.mkdirs() || pend.getParentFile.exists())
     java.nio.file.Files.write(pend.toPath, Array.empty[Byte])
-    assert(!Maintenance.markZoneMapPending(spark, zmPath, 9L),
+    assert(!graft.cdc.StateCommit.claimMarker(spark, zmPath, 9L),
       "a torn marker must not be fresh-claimable")
-    Maintenance.clearZoneMapPending(spark, zmPath)
+    graft.cdc.StateCommit.clearMarker(spark, zmPath)
     assert(!pend.exists(), "the full-publish clear heals a torn marker")
   }
 

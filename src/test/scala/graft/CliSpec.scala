@@ -306,6 +306,33 @@ class CliSpec extends SparkSpec {
       s"the error text must reach the reporter: ${rep.head}")
   }
 
+  test("check surfaces the lease holder per sync (r10 verdict #7): path, " +
+    "identity and heartbeat age while held; free after release") {
+    import graft.cdc._
+    import graft.model._
+    import org.apache.spark.sql.types._
+    val sinkRoot = tmpDir("sink-leaseline")
+    val statePath = s"$sinkRoot/t"
+    val sync = SyncConfig("t", pk = "id",
+      schema = Some(StructType(Seq(StructField("id", IntegerType)))))
+    val pipe = new Pipeline(spark, PipelineConfig(Seq(sync)),
+      new MemoryCdcSource(spark), sinkRoot)
+    DriverLease.acquire(spark, statePath, identity = "diag-holder")
+    try {
+      val (path, holder) = pipe.leaseStatus()("t")
+      assert(path === DriverLease.leasePath(statePath))
+      assert(holder.map(_._1) === Some("diag-holder"))
+      assert(holder.exists(_._2 >= 0L), "heartbeat age must be reported")
+      val line = Main.leaseLine("t", path, holder)
+      assert(line.contains("LEASE t: held by driver 'diag-holder'") &&
+        line.contains("heartbeat") && line.contains(path),
+        s"the check line must name path, identity and age: $line")
+    } finally DriverLease.release(spark, statePath, identity = "diag-holder")
+    val (path2, holder2) = pipe.leaseStatus()("t")
+    assert(holder2.isEmpty)
+    assert(Main.leaseLine("t", path2, holder2) === s"LEASE t: free ($path2)")
+  }
+
   test("error listener: batch-command failures route through the same " +
     "reporters and rethrow") {
     import graft.cdc._

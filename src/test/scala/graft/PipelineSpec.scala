@@ -298,9 +298,9 @@ class PipelineSpec extends SparkSpec {
         """{"id": 1, "score": 10}"""))
     val q1 = pipe.start(ckpt); q1.processAllAvailable(); q1.stop()
     val zm = pipe.zoneMapPath(sync)
-    val pend = new java.io.File(ops.Maintenance.zoneMapPendingPath(zm))
+    val pend = new java.io.File(StateCommit.markerPath(zm))
     // orphan a marker under a crashed foreign owner
-    assert(ops.Maintenance.markZoneMapPending(spark, zm, -999L))
+    assert(StateCommit.claimMarker(spark, zm, -999L))
     // a live batch applies fine but must NOT clear the foreign marker
     src.addEvents(
       ChangeEvent("create", "t", 2, ts("2024-01-01 00:00:01"),
@@ -341,18 +341,18 @@ class PipelineSpec extends SparkSpec {
         zoneMapCols = Seq("score")), src, sinkRoot)
     // the heal is gated on batch count AND continuous foreign age (a
     // cadence-independent guard); zero the age gate for the spec
-    val prevHealMs = Pipeline.orphanMarkerHealMinMs
-    Pipeline.orphanMarkerHealMinMs = 0L
+    val prevHealMs = StateCommit.orphanMarkerHealMinMs
+    StateCommit.orphanMarkerHealMinMs = 0L
     try {
     src.addEvents(ChangeEvent("create", "t", 1, ts("2024-01-01 00:00:00"),
       """{"id": 1, "score": 10}"""))
     val q0 = pipe.start(ckpt); q0.processAllAvailable(); q0.stop()
     val zm = pipe.zoneMapPath(sync)
-    val pend = new java.io.File(ops.Maintenance.zoneMapPendingPath(zm))
+    val pend = new java.io.File(StateCommit.markerPath(zm))
     // simulate a refresh that crashed between commitRefreshSwap (which
     // force-owns the marker with a fresh negative id) and rebuildZoneMap:
     // the orphan is owned by an id freshOwnerId will never mint again
-    ops.Maintenance.forceZoneMapPending(spark, zm, -99999L)
+    StateCommit.forceMarker(spark, zm, -99999L)
     assert(pipe.zoneMapStatus() === Map("t" -> Some(-99999L)),
       "check surfaces the pending owner while the marker is up")
     // two batches observe the foreign marker: no clear yet
@@ -362,7 +362,7 @@ class PipelineSpec extends SparkSpec {
       val q = pipe.start(ckpt); q.processAllAvailable(); q.stop()
     }
     assert(pend.exists(),
-      s"below the ${Pipeline.OrphanMarkerHealStreak}-batch streak the " +
+      s"below the ${StateCommit.OrphanMarkerHealStreak}-batch streak the " +
         "foreign marker must stand")
     // third consecutive observation: the batch escalates to the quiesced
     // full rebuild and the orphan clears
@@ -382,7 +382,7 @@ class PipelineSpec extends SparkSpec {
     val got = ops.Maintenance.prunedRead(spark, s"$sinkRoot/t", zm,
       "score", 25L, 45L).collect().map(_.getLong(1)).sorted.toSeq
     assert(got === Seq(30L, 40L))
-    } finally Pipeline.orphanMarkerHealMinMs = prevHealMs
+    } finally StateCommit.orphanMarkerHealMinMs = prevHealMs
   }
 
   test("a POSITIVE-id orphan (an abandoned batch marker whose owner never " +
@@ -398,19 +398,19 @@ class PipelineSpec extends SparkSpec {
     val pipe = new Pipeline(spark,
       PipelineConfig(Seq(sync), stateBuckets = Some(4),
         zoneMapCols = Seq("score")), src, sinkRoot)
-    val prevHealMs = Pipeline.orphanMarkerHealMinMs
-    Pipeline.orphanMarkerHealMinMs = 0L
+    val prevHealMs = StateCommit.orphanMarkerHealMinMs
+    StateCommit.orphanMarkerHealMinMs = 0L
     try {
       src.addEvents(ChangeEvent("create", "t", 1, ts("2024-01-01 00:00:00"),
         """{"id": 1, "score": 10}"""))
       val q0 = pipe.start(ckpt); q0.processAllAvailable(); q0.stop()
       val zm = pipe.zoneMapPath(sync)
-      val pend = new java.io.File(ops.Maintenance.zoneMapPendingPath(zm))
+      val pend = new java.io.File(StateCommit.markerPath(zm))
       // an abandoned-checkpoint batch's marker: POSITIVE id no future
       // batch of THIS stream will mint (batch ids restart from the
       // checkpoint, but this simulates a marker from a discarded
       // checkpoint's high batch id)
-      ops.Maintenance.forceZoneMapPending(spark, zm, 987654L)
+      StateCommit.forceMarker(spark, zm, 987654L)
       for (i <- 2 to 4) {
         src.addEvents(ChangeEvent("create", "t", i.toLong,
           ts(s"2024-01-01 00:00:0$i"), s"""{"id": $i, "score": ${i * 10}}"""))
@@ -424,7 +424,7 @@ class PipelineSpec extends SparkSpec {
         .bucketZoneMap(spark, s"$sinkRoot/t", Seq("score"))
         .collect().map(_.toSeq).toSeq
       assert(manifest === full)
-    } finally Pipeline.orphanMarkerHealMinMs = prevHealMs
+    } finally StateCommit.orphanMarkerHealMinMs = prevHealMs
   }
 
   test("refresh of a bucketed sink keeps the bucket layout (settings copy on swap)") {
@@ -491,7 +491,7 @@ class PipelineSpec extends SparkSpec {
       PipelineConfig(Seq(sync), stateBuckets = Some(4),
         zoneMapCols = Seq("score")), src, sinkRoot)
     val zm = pipe.zoneMapPath(sync)
-    val pend = new java.io.File(ops.Maintenance.zoneMapPendingPath(zm))
+    val pend = new java.io.File(StateCommit.markerPath(zm))
     // an orphan from a DISCARDED checkpoint's crashed batch 0: its marker
     // records the old lineage. Pre-fix, the fresh checkpoint's batch 0
     // matched it by id alone, spliced ITS buckets, and released — the old
@@ -505,7 +505,7 @@ class PipelineSpec extends SparkSpec {
       "the new lineage's batch 0 must NOT release the old lineage's orphan")
     assert(StateCommit.hasForeignWrite(spark, zm),
       "the denied batch must leave write-ahead sidecar evidence")
-    assert(ops.Maintenance.zoneMapPendingOwner(spark, zm) === Some(0L))
+    assert(StateCommit.markerOwner(spark, zm) === Some(0L))
     // the row itself applied; reads stay exact on the unpruned fallback
     assert(pipe.sinkState(sync).collect().toSeq === Seq(Row(1, 10L)))
     assert(ops.Maintenance.prunedRead(spark, s"$sinkRoot/t", zm,

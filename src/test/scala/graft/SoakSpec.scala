@@ -104,7 +104,7 @@ class SoakSpec extends SparkSpec {
           .when(col("offset") === 202L, lit(5))
           .otherwise(col("id")))
       .localCheckpoint(true)
-    UpsertSink.stageSwap(spark, dlPath)(tmp =>
+    StateCommit.stageSwap(spark, dlPath)(tmp =>
       repaired.write.mode(SaveMode.Overwrite).parquet(tmp))
     assert(pipe.replayDeadLetters() === Map("t" -> ((1L, 1L, 0L))),
       "stage 3: one repaired row applies, one is superseded by the watermark")
@@ -137,7 +137,7 @@ class SoakSpec extends SparkSpec {
       .withColumn("id", when(col("offset") === 150L, lit(1))
         .otherwise(col("id")))
       .localCheckpoint(true)
-    UpsertSink.stageSwap(spark, dlPath)(tmp =>
+    StateCommit.stageSwap(spark, dlPath)(tmp =>
       repaired2.write.mode(SaveMode.Overwrite).parquet(tmp))
     assert(pipe.replayDeadLetters() === Map("t" -> ((0L, 1L, 0L))),
       "stage 5: a repair below the snapshot floor is superseded, not applied")

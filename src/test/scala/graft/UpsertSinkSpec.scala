@@ -1,6 +1,6 @@
 package graft
 
-import graft.cdc.{Transforms, UpsertSink}
+import graft.cdc.{StateCommit, Transforms, UpsertSink}
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 
@@ -276,7 +276,7 @@ class UpsertSinkSpec extends SparkSpec {
       (1 to 20).foreach { i =>
         val next = s"$root/next-$i"
         state((1, s"v$i", "c")).write.parquet(next)
-        graft.cdc.UpsertSink.atomicSwapDirs(spark, next, live)
+        graft.cdc.StateCommit.atomicSwapDirs(spark, next, live)
       }
     } finally { stop.set(true); reader.join(5000) }
     assert(readerFailed.get() === null,
@@ -298,7 +298,7 @@ class UpsertSinkSpec extends SparkSpec {
     val stranded = new java.io.File(s"$live.next-deadbeef")
     assert(stranded.mkdirs() && stranded.setLastModified(oldMs))
     // live writer: registered via stagingDir, mtime forced equally old
-    val owned = graft.cdc.UpsertSink.stagingDir(live)
+    val owned = graft.cdc.StateCommit.stagingDir(live)
     val ownedDir = new java.io.File(owned)
     assert(ownedDir.mkdirs() && ownedDir.setLastModified(oldMs))
     // an unrelated sibling must never match the pattern
@@ -307,22 +307,22 @@ class UpsertSinkSpec extends SparkSpec {
     // one real swap triggers the sweep (first tick on this path)
     val next = s"$root/staged"
     state((1, "v1", "c")).write.parquet(next)
-    graft.cdc.UpsertSink.atomicSwapDirs(spark, next, live)
+    graft.cdc.StateCommit.atomicSwapDirs(spark, next, live)
     assert(!stranded.exists(), "the unregistered hour-old leftover is reaped")
     assert(ownedDir.exists(), "a registered writer's staging must survive")
     assert(bystander.exists(), "non-staging siblings are untouched")
     assert(spark.read.parquet(live).collect().toSeq ===
       Seq(Row(1, "v1", "c")))
-    graft.cdc.UpsertSink.dropStaging(spark, owned)
+    graft.cdc.StateCommit.dropStaging(spark, owned)
     assert(!ownedDir.exists(), "dropStaging releases and removes the dir")
   }
 
   test("staging janitor: the reap horizon is configurable — a deployment " +
     "staging multi-hour cross-process rebuilds can raise it; lowering it " +
     "reaps younger leftovers (ADVICE r10)") {
-    val default = graft.cdc.UpsertSink.stagingReapHorizonMs
+    val default = graft.cdc.StateCommit.stagingReapHorizonMs
     try {
-      graft.cdc.UpsertSink.setStagingReapHorizonMs(10L * 1000L)
+      graft.cdc.StateCommit.setStagingReapHorizonMs(10L * 1000L)
       val root = tmpDir("janitor-h")
       val live = s"$root/t"
       state((1, "v0", "c")).write.parquet(live)
@@ -335,13 +335,13 @@ class UpsertSinkSpec extends SparkSpec {
       assert(fresh.mkdirs())
       val next = s"$root/staged"
       state((1, "v1", "c")).write.parquet(next)
-      graft.cdc.UpsertSink.atomicSwapDirs(spark, next, live)
+      graft.cdc.StateCommit.atomicSwapDirs(spark, next, live)
       assert(!stranded.exists(), "past the lowered horizon: reaped")
       assert(fresh.exists(), "inside the horizon: kept")
       intercept[IllegalArgumentException] {
-        graft.cdc.UpsertSink.setStagingReapHorizonMs(0L)
+        graft.cdc.StateCommit.setStagingReapHorizonMs(0L)
       }
-    } finally graft.cdc.UpsertSink.setStagingReapHorizonMs(default)
+    } finally graft.cdc.StateCommit.setStagingReapHorizonMs(default)
   }
 
   test("atomicSwapDirs survives concurrent SWAPPERS: two threads swapping " +
@@ -360,7 +360,7 @@ class UpsertSinkSpec extends SparkSpec {
       state((1, s"b$round", "c")).write.parquet(nextB)
       val threads = Seq(nextA, nextB).map { next =>
         new Thread(() => {
-          try UpsertSink.atomicSwapDirs(spark, next, live)
+          try StateCommit.atomicSwapDirs(spark, next, live)
           catch { case t: Throwable => failed.compareAndSet(null, t); () }
         })
       }
