@@ -13,10 +13,9 @@ Usage:
   # defaults: NEW = ./BENCH_QUERIES.json, REF = git show HEAD:BENCH_QUERIES.json
 """
 import json
+import re
 import subprocess
 import sys
-
-HEADLINE_THRESHOLD = 1.3
 
 def load(path):
     with open(path) as f:
@@ -30,14 +29,26 @@ def load_ref(argv):
         capture_output=True, text=True, check=True).stdout
     return json.loads(out)
 
+def bench_source():
+    return open("src/main/scala/graft/Bench.scala").read()
+
 def headline_set():
-    # keep in sync with graft.Bench.Headline
-    src = open("src/main/scala/graft/Bench.scala").read()
+    # parsed from graft.Bench so the two tools cannot drift
+    src = bench_source()
     start = src.index("val Headline")
     end = src.index(")", src.index("Set(", start))
     names = [t.strip().strip('"') for t in
              src[src.index("(", start) + 1:end].replace("\n", "").split(",")]
     return {n for n in names if n.startswith("q")}
+
+def mover_gate():
+    # the ratio/abs gate lives in Bench (it adjudicates inline); parse it
+    # from the same source as the headline set so a threshold change in
+    # either place cannot silently open a band the other doesn't cover
+    src = bench_source()
+    ratio = float(re.search(r"val MoverRatio = ([0-9.]+)", src).group(1))
+    abs_s = float(re.search(r"val MoverAbsSecs = ([0-9.]+)", src).group(1))
+    return ratio, abs_s
 
 def tier(queries, names):
     hit = {k: v for k, v in queries.items() if k in names}
@@ -66,10 +77,11 @@ def main():
           f"{n_sh / r_sh:.3f}x")
     # rq[k] can be 0.000 (a sub-ms query at %.3f precision) — treat any
     # growth from ~0 past the absolute floor as a mover, never divide
+    threshold, abs_floor = mover_gate()
     movers = [(k, nq[k] / max(rq[k], 1e-3), rq[k], nq[k])
               for k in sorted(hl_shared)
-              if nq[k] / max(rq[k], 1e-3) > HEADLINE_THRESHOLD
-              and nq[k] - rq[k] > 0.3]
+              if nq[k] / max(rq[k], 1e-3) > threshold
+              and nq[k] - rq[k] > abs_floor]
     if movers:
         # r10 verdict #3: Bench adjudicates its own movers inline (3-rep
         # Profile floors vs the prior snapshot) and ships the verdicts as
@@ -77,14 +89,27 @@ def main():
         # "drift" verdict still demand a manual floor check (exit 1).
         adjudicated = {m["query"]: m
                        for m in new.get("movers_adjudicated", [])}
-        print(f"\nheadline movers > {HEADLINE_THRESHOLD}x:")
+        print(f"\nheadline movers > {threshold}x:")
         unresolved = []
         for k, ratio, old, newv in sorted(movers, key=lambda m: -m[1]):
             a = adjudicated.get(k)
-            note = (f"  floor {a['floor']:.2f} => {a['verdict']}"
-                    if a else "  (no inline adjudication — run Profile)")
+            # trust a drift verdict ONLY when Bench adjudicated against the
+            # SAME prior this comparison uses (review r11: Bench's prior is
+            # the pre-run on-disk snapshot; ours is the committed one — a
+            # stale/inflated working-tree snapshot would otherwise launder
+            # a real regression into "drift")
+            same_baseline = a is not None and abs(a["prior"] - old) <= 0.005
+            if a and not same_baseline:
+                note = (f"  (adjudicated vs a DIFFERENT prior {a['prior']:.2f}"
+                        f" — run Profile vs the committed {old:.2f})")
+            elif a:
+                fl = a.get("floor")
+                fls = f"{fl:.2f}" if fl is not None else "error"
+                note = f"  floor {fls} => {a['verdict']}"
+            else:
+                note = "  (no inline adjudication — run Profile)"
             print(f"  {k:24s} {old:6.2f} -> {newv:6.2f}  ({ratio:.2f}x){note}")
-            if not a or a["verdict"] != "drift":
+            if not a or not same_baseline or a["verdict"] != "drift":
                 unresolved.append(k)
         if unresolved:
             sys.exit(1)

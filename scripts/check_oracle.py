@@ -38,7 +38,7 @@ def main(sf_dir, out_dir, json_out=None):
             erows = exp.fetchall()
         except Exception as e:
             fails.append(name)
-            results[name] = {"status": "error", "detail": str(e)[:200]}
+            results[name] = {"status": "fail", "detail": f"error: {e}"[:200]}
             print(f"FAIL {name}: error {e}")
             continue
         # dtype parity: the driver's hash is type-sensitive beyond the

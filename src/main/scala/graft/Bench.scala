@@ -123,15 +123,22 @@ object Bench {
           b.result()
         }
       } catch { case scala.util.control.NonFatal(_) => Map.empty }
-    def floorOf(name: String, reps: Int = 3): Double =
-      (1 to reps).map { _ =>
+    // a rep that THROWS is excluded, never timed (review r11): a failed
+    // run completes in ~ms, and min() over it would mint a near-zero
+    // "floor" that adjudicates any regression as drift — an erroring
+    // query is the opposite of exonerated
+    def floorOf(name: String, reps: Int = 3): Option[Double] = {
+      val ok = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { SparkEntry.queries(name)(spark, sfDir).count(); () }
-        catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
-      }.min
+        val succeeded =
+          try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+          catch { case _: Throwable => false }
+        if (succeeded) Some((System.nanoTime() - t0) / 1e9) else None
+      }
+      ok.minOption
+    }
     def adjudicateMovers(prior: Map[String, Double]): String = {
-      val movers = results.keys.toSeq.sorted
+      val movers = results.keys.toSeq
         .filter(Headline)
         .flatMap { k =>
           prior.get(k).collect {
@@ -139,11 +146,21 @@ object Bench {
               results(k) - p > MoverAbsSecs => (k, p)
           }
         }
-        .take(8) // bounded: the stdout line must stay inside the 2000-char window
+        // WORST movers first (review r11: an alphabetical cut could leave
+        // the largest regression unadjudicated), then bounded so the
+        // stdout line stays inside the driver's 2000-char window
+        .sortBy { case (k, p) => -(results(k) / math.max(p, 1e-3)) }
+        .take(8)
       movers.map { case (k, p) =>
         val fl = floorOf(k)
-        val verdict = if (fl <= p * DriftTolerance) "drift" else "regression_suspect"
-        s"""{"query":"$k","prior":${f(p)},"swept":${f(results(k))},"floor":${f(fl)},"verdict":"$verdict"}"""
+        // no successful rep => the query now ERRORS at floor time: that is
+        // a regression suspect by definition, never drift
+        val verdict = fl match {
+          case Some(v) if v <= p * DriftTolerance => "drift"
+          case _ => "regression_suspect"
+        }
+        val flJson = fl.map(f).getOrElse("null")
+        s"""{"query":"$k","prior":${f(p)},"swept":${f(results(k))},"floor":$flJson,"verdict":"$verdict"}"""
       }.mkString("[", ",", "]")
     }
     val total = if (results.nonEmpty) results.values.sum else 0.0

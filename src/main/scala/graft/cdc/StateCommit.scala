@@ -407,8 +407,9 @@ object StateCommit {
       }
     }
 
-  /** Boolean form (owns at all — fresh or re-owned); kept for callers that
-    * only orphan/probe markers in tests and for Maintenance's forwarder. */
+  /** Boolean form (owns at all — fresh or re-owned), for callers with no
+    * fast-path decision to make: [[graft.ops.Maintenance.compactApply]]'s
+    * single-writer claim and the specs that orphan/probe markers. */
   def claimMarker(spark: SparkSession, zmPath: String, ownerId: Long,
                   lineage: String = ""): Boolean =
     claimMarkerDetailed(spark, zmPath, ownerId, lineage) != ForeignClaim
