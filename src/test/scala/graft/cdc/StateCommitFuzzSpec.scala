@@ -113,24 +113,16 @@ class StateCommitFuzzSpec extends SparkSpec {
     }
   }
 
-  /** The quiesced heal (the streak escalation / next-refresh close). In a
-    * sequential schedule the second pass always quiesces. */
+  /** The quiesced heal (the streak escalation / next-refresh close) — the
+    * REAL [[StateCommit.quiescedClear]] drives the retry/starvation logic;
+    * only the data plane rides the model (compute stashes a recomputed
+    * manifest and returns an empty frame; publish installs the stash). */
   private def healAtom(m: Model): Unit = {
-    var done = false
-    var tries = 0
-    while (!done && tries < 4) {
-      tries += 1
-      val s1 = StateCommit.mutationStamp(m.statePath).get()
-      val full = m.recompute()
-      done = StateCommit.stateLock(m.statePath).synchronized {
-        if (StateCommit.mutationStamp(m.statePath).get() == s1) {
-          m.manifest = full
-          StateCommit.clearMarker(spark, m.zm)
-          true
-        } else false
-      }
-    }
-    assert(done, "heal failed to quiesce in a sequential schedule")
+    var pending: Map[Long, (Int, Long, Long)] = Map.empty
+    StateCommit.quiescedClear(spark, m.statePath, m.zm) { () =>
+      pending = m.recompute()
+      spark.emptyDataFrame
+    } { _ => m.manifest = pending }
   }
 
   // ---- schedule composition ------------------------------------------

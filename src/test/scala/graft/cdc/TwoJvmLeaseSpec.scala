@@ -106,14 +106,18 @@ class TwoJvmLeaseSpec extends SparkSpec {
       p.destroyForcibly()
       assert(p.waitFor(30, java.util.concurrent.TimeUnit.SECONDS))
       // inside the horizon the dead holder's heartbeat still reads fresh:
-      // the fence refuses (nothing yet distinguishes a crash from a pause)
+      // the fence refuses (nothing yet distinguishes a crash from a pause).
+      // Probed with a GENEROUS horizon so a slow parent (GC, loaded host)
+      // between the kill and this call can't accidentally cross it.
+      val killedAt = System.currentTimeMillis()
       val e = intercept[IllegalStateException] {
-        DriverLease.acquire(spark, statePath,
-          staleMs = DriverLease.MinStaleMs)
+        DriverLease.acquire(spark, statePath, staleMs = 120000L)
       }
       assert(e.getMessage.contains(heldBy.get))
-      // past the horizon the takeover reclaims it
-      Thread.sleep(DriverLease.MinStaleMs + 1500L)
+      // past the horizon the takeover reclaims it: sleep until the dead
+      // heartbeat is provably older than the probe horizon
+      val wait = killedAt + DriverLease.MinStaleMs + 1500L - System.currentTimeMillis()
+      if (wait > 0) Thread.sleep(wait)
       DriverLease.acquire(spark, statePath, staleMs = DriverLease.MinStaleMs)
       assert(DriverLease.holder(spark, statePath).map(_._1) ===
         Some(DriverLease.processIdentity),
