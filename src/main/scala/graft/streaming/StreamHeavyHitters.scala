@@ -79,8 +79,12 @@ object StreamHeavyHitters {
                            threshold: Long = 75, shards: Int = 64): DataFrame = {
     import spark.implicits._
     val root = graft.ops.TwoBatchScratch.freshRoot(spark, ScratchPrefix)
+    // one materialized scan feeds the split bound, both halves AND the
+    // totals join below (4 parquet scans otherwise — review r11; the
+    // sibling drivers' localCheckpoint discipline)
     val ev = graft.ops.Tables.events(spark, dir)
       .select(col("event_id"), unix_micros(col("ts")).as("tsu"), col("user_id"))
+      .localCheckpoint(true)
     // empty feed: null midpoint would NPE on getDouble; 0 splits the empty
     // frame into two empty batches and the run reports the empty alert set
     val midRow = ev.agg((min(col("tsu")) + max(col("tsu"))) / 2).head()
@@ -99,7 +103,7 @@ object StreamHeavyHitters {
       .schema(org.apache.spark.sql.types.StructType.fromDDL(
         "key BIGINT, at_count BIGINT"))
       .parquet(s"$root/alerts")
-    val totals = graft.ops.Tables.events(spark, dir)
+    val totals = ev
       .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
     alerts.select(col("key").as("user_id"))
       .join(totals, "user_id")

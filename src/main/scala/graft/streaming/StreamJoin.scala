@@ -69,6 +69,11 @@ object StreamJoin {
       .filter(col("event_type").isin("purchase", "signup"))
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
     val mm = ev.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+    // loud, not an NPE from unboxing a null aggregate (review r11 — the
+    // defect class the heavy-hitter driver's empty-feed guard fixed)
+    require(!mm.isNullAt(0),
+      s"events at $dir carry no purchase/signup rows — the attribution " +
+        "driver needs both")
     val mid = (mm.getLong(0) + mm.getLong(1)) / 2
     DedupStream.stageBatches(feedDir,
       Seq(ev.filter(unix_micros(col("ts")) <= mid),

@@ -27,10 +27,14 @@ object StreamLatency {
   def stats(q: StreamingQuery): Seq[BatchStat] =
     q.recentProgress.toSeq
       .filter(_.numInputRows > 0)
-      .map { p =>
-        val ms = Option(p.durationMs.get("triggerExecution"))
-          .map(_.longValue).getOrElse(0L)
-        BatchStat(p.batchId, ms / 1000.0, p.numInputRows)
+      .flatMap { p =>
+        // a progress entry with no triggerExecution carries no latency
+        // fact — skip it rather than reporting 0 s; one that ROUNDED to
+        // 0 ms floors at 1 ms so rowsPerSec never degrades to 0.0, the
+        // most-wrong value for the fastest batch (review r11)
+        Option(p.durationMs.get("triggerExecution")).map(_.longValue).map {
+          ms => BatchStat(p.batchId, math.max(ms, 1L) / 1000.0, p.numInputRows)
+        }
       }
 
   def median(xs: Seq[Double]): Double = {

@@ -79,17 +79,12 @@ object StreamTrailLog {
       .select(col("event_id"), col("ts"), col("user_id"), col("value"),
         lit(false).as("sentinel"))
       .localCheckpoint(true)
-    val b = ev.select(unix_micros(col("ts")).as("u"))
-      .agg(expr("percentile(u, 0.5)"), max(col("u"))).head()
-    val (t1, tmax) = (b.getDouble(0).toLong, b.getLong(1))
-    val sentinel = ev.select(col("user_id")).distinct()
-      .select(lit(-1L).as("event_id"),
-        timestamp_micros(lit(tmax + 1000000L)).as("ts"),
-        col("user_id"), lit(0.0).as("value"), lit(true).as("sentinel"))
-    DedupStream.stageBatches(s"$root/feed", Seq(
-      ev.filter(unix_micros(col("ts")) <= t1),
-      ev.filter(unix_micros(col("ts")) > t1),
-      sentinel))
+    DedupStream.stageHalvesWithSentinel(s"$root/feed", ev, "ts") { tmax =>
+      ev.select(col("user_id")).distinct()
+        .select(lit(-1L).as("event_id"),
+          timestamp_micros(lit(tmax + 1000000L)).as("ts"),
+          col("user_id"), lit(0.0).as("value"), lit(true).as("sentinel"))
+    }
     val q = start(spark, s"$root/feed", s"$root/out", s"$root/ckpt", k)
     try q.processAllAvailable() finally q.stop()
     spark.read.parquet(s"$root/out")

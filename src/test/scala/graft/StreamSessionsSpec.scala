@@ -70,12 +70,45 @@ class StreamSessionsSpec extends SparkSpec {
     val gotSet = got.toSet
     mustClose.foreach(s => assert(gotSet.contains(s),
       s"session $s ended ${maxSec - s._3} s before the end and must have closed"))
-    // at most one missing (open tail) session per key
-    want.groupBy(_._1).foreach { case (u, ss) =>
-      val missing = ss.filterNot(gotSet.contains)
-      assert(missing.length <= 1, s"user $u left ${missing.length} sessions open")
-      missing.foreach(m => assert(m._3 === ss.map(_._3).max,
-        s"user $u: only the LAST session may stay open, not $m"))
+    // only sessions the FINAL watermark never finalized may be missing
+    // (end + gap >= wm) — the exact tail the built-in session window
+    // leaves open; 2 s of slack absorbs the seconds-truncated bounds
+    val wmSec = maxSec - latenessSec
+    want.foreach { sess =>
+      if (!gotSet.contains(sess))
+        assert(sess._3 + gapSec + 2 >= wmSec,
+          s"session $sess was finalizable (end+gap < final watermark " +
+            s"$wmSec) but missing")
     }
+  }
+
+  test("a late BRIDGE row arriving a batch after the closing row merges " +
+    "the run the batch oracle merges — watermark-gated finalization never " +
+    "emits a splittable session early (review r11)") {
+    import spark.implicits._
+    val root = tmpDir("sessions-bridge")
+    val gapSec = 60L
+    def ev(u: Long, t: String) = (u, java.sql.Timestamp.valueOf(t))
+    // user 1: 10:00:00 then (next batch) 10:02:00 — 120 s apart, beyond
+    // the 60 s gap, so the pre-fix row-driven close emitted [10:00,10:00]
+    // immediately; then (a batch later, above the 1 h-lateness watermark)
+    // the BRIDGE at 10:01:00 — within the gap of BOTH. Batch gap-grouping
+    // = ONE session [10:00:00, 10:02:00] of 3 events. A final far-future
+    // sentinel (user 99) advances the watermark past end+gap so the
+    // merged run finalizes.
+    DedupStream.stageBatches(s"$root/feed", Seq(
+      Seq(ev(1, "2024-01-01 10:00:00")).toDF("user_id", "ts"),
+      Seq(ev(1, "2024-01-01 10:02:00")).toDF("user_id", "ts"),
+      Seq(ev(1, "2024-01-01 10:01:00")).toDF("user_id", "ts"),
+      Seq(ev(99, "2024-01-01 14:00:00")).toDF("user_id", "ts")))
+    val q = StreamSessions.start(spark, s"$root/feed", s"$root/out",
+      s"$root/ckpt", java.time.Duration.ofSeconds(gapSec))
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.read.parquet(s"$root/out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq.sorted
+    val startSec = java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime / 1000
+    assert(got === Seq((1L, startSec, startSec + 120, 3L)),
+      s"the bridged run must emit as ONE 3-event session, got $got")
   }
 }
