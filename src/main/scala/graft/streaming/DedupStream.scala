@@ -154,29 +154,6 @@ object DedupStream {
     * `maxPartitionBytes`. Multi-file parts restore the batch-input
     * parallelism deployment has (measured at x100: the single-file feed
     * serialized ~30 s of per-row compute onto one core). */
-  /** Shared staging scaffold for the sentinel-closed drivers
-    * ([[StreamSessions.streamedSessions]],
-    * [[StreamTrailLog.streamedTrailLog]]): split `ev` at its median event
-    * time into two event-time halves and stage them plus a caller-built
-    * sentinel batch derived from the max event time. One definition so
-    * the split/sentinel discipline (and the loud empty-feed guard — an
-    * empty fixture's null percentile would otherwise NPE on getDouble)
-    * cannot drift between drivers (review r11). */
-  def stageHalvesWithSentinel(feedDir: String, ev: DataFrame, tsCol: String)
-                             (sentinel: Long => DataFrame): Unit = {
-    import org.apache.spark.sql.functions._
-    val b = ev.select(unix_micros(col(tsCol)).as("u"))
-      .agg(expr("percentile(u, 0.5)"), max(col("u"))).head()
-    require(!b.isNullAt(0),
-      "stageHalvesWithSentinel: the event feed is empty — the streaming " +
-        "drivers need at least one event")
-    val (t1, tmax) = (b.getDouble(0).toLong, b.getLong(1))
-    stageBatches(feedDir, Seq(
-      ev.filter(unix_micros(col(tsCol)) <= t1),
-      ev.filter(unix_micros(col(tsCol)) > t1),
-      sentinel(tmax)))
-  }
-
   def stageBatches(feedDir: String, parts: Seq[DataFrame],
                    filesPerPart: Int = 1): Unit = {
     require(filesPerPart >= 1 && filesPerPart < 1000,
@@ -208,6 +185,30 @@ object DedupStream {
       ()
     }
   }
+
+  /** Shared staging scaffold for the sentinel-closed drivers
+    * ([[StreamSessions.streamedSessions]],
+    * [[StreamTrailLog.streamedTrailLog]]): split `ev` at its median event
+    * time into two event-time halves and stage them plus a caller-built
+    * sentinel batch derived from the max event time. One definition so
+    * the split/sentinel discipline (and the loud empty-feed guard — an
+    * empty fixture's null percentile would otherwise NPE on getDouble)
+    * cannot drift between drivers (review r11). */
+  def stageHalvesWithSentinel(feedDir: String, ev: DataFrame, tsCol: String)
+                             (sentinel: Long => DataFrame): Unit = {
+    import org.apache.spark.sql.functions._
+    val b = ev.select(unix_micros(col(tsCol)).as("u"))
+      .agg(expr("percentile(u, 0.5)"), max(col("u"))).head()
+    require(!b.isNullAt(0),
+      "stageHalvesWithSentinel: the event feed is empty — the streaming " +
+        "drivers need at least one event")
+    val (t1, tmax) = (b.getDouble(0).toLong, b.getLong(1))
+    stageBatches(feedDir, Seq(
+      ev.filter(unix_micros(col(tsCol)) <= t1),
+      ev.filter(unix_micros(col(tsCol)) > t1),
+      sentinel(tmax)))
+  }
+
 
   /** The emitted pair log so far: union over per-batch directories;
     * empty-but-typed before the first batch lands (shared reader — r9

@@ -45,6 +45,11 @@ import org.apache.spark.sql.Encoders
   */
 object StreamSessions {
 
+  /** The driver query's watermark delay (start()'s "1 hour" default, in
+    * seconds) — named so [[streamedSessions]]'s completeness require and
+    * the lateness it passes cannot drift apart. */
+  private val DriverLatenessSec = 3600L
+
   final case class SessionOut(user_id: Long, start_sec: Long, end_sec: Long,
                               n_events: Long)
 
@@ -69,11 +74,21 @@ object StreamSessions {
 
     /** One timer at the EARLIEST candidate's close point; firing re-arms
       * for the next. A timer landing on a candidate the watermark has not
-      * strictly passed just re-arms — never an early emit. */
-    private def rearm(kept: List[(Long, Long, Long)]): Unit = {
+      * strictly passed just re-arms — never an early emit. `floorExpiry`
+      * matters on the expired-timer path (review r11): Spark fires timers
+      * INCLUSIVELY (expiry <= watermark) and auto-deletes the fired
+      * (key, expiry) pair AFTER the handler returns — so when the
+      * watermark lands exactly on end+gap (strict emit rule not met), a
+      * re-arm at the SAME expiry would be destroyed by that auto-delete
+      * and a quiet key's finalizable session would never emit. Re-arming
+      * at least one ms past the fired expiry both survives the
+      * auto-delete and guarantees the next fire satisfies wm > end+gap. */
+    private def rearm(kept: List[(Long, Long, Long)],
+                      floorExpiry: Long = Long.MinValue): Unit = {
       val h = getHandle
       h.listTimers().foreach(t => h.deleteTimer(t.asInstanceOf[Long]))
-      if (kept.nonEmpty) h.registerTimer(kept.map(_._2).min + gapMs)
+      if (kept.nonEmpty)
+        h.registerTimer(math.max(kept.map(_._2).min + gapMs, floorExpiry))
     }
 
     /** Gap-merge stored candidates with the batch's rows (each a 1-event
@@ -98,32 +113,27 @@ object StreamSessions {
       * (t >= wm) can merge with it (t - end <= gap would need t <= end +
       * gap < wm). Anything earlier could still be bridged by a late row in
       * a LATER batch, the split-vs-oracle hazard (review r11). */
-    private def drain(all: List[(Long, Long, Long)], wmMs: Long,
-                      key: Long): (Iterator[SessionOut], List[(Long, Long, Long)]) = {
+    private def drain(all: List[(Long, Long, Long)], wmMs: Long, key: Long,
+                      floorExpiry: Long = Long.MinValue): Iterator[SessionOut] = {
       val (closed, kept) = all.partition(s => s._2 + gapMs < wmMs)
       store(kept)
-      rearm(kept)
-      (closed.iterator.map(s => SessionOut(key, s._1 / 1000, s._2 / 1000, s._3)),
-        kept)
+      rearm(kept, floorExpiry)
+      closed.iterator.map(s => SessionOut(key, s._1 / 1000, s._2 / 1000, s._3))
     }
 
     override def handleInputRows(key: Long, rows: Iterator[(Long, java.sql.Timestamp)],
                                  timerValues: TimerValues): Iterator[SessionOut] = {
       val ts = rows.map(_._2.getTime).toArray.sorted
       if (ts.isEmpty) return Iterator.empty
-      val (out, _) = drain(merged(candidates(), ts),
-        timerValues.getCurrentWatermarkInMs(), key)
-      out
+      drain(merged(candidates(), ts), timerValues.getCurrentWatermarkInMs(), key)
     }
 
     override def handleExpiredTimer(key: Long, timerValues: TimerValues,
                                     expired: ExpiredTimerInfo): Iterator[SessionOut] = {
       val all = candidates()
       if (all.isEmpty) Iterator.empty
-      else {
-        val (out, _) = drain(all, timerValues.getCurrentWatermarkInMs(), key)
-        out
-      }
+      else drain(all, timerValues.getCurrentWatermarkInMs(), key,
+        floorExpiry = expired.getExpiryTimeInMs + 1L)
     }
   }
 
@@ -141,6 +151,14 @@ object StreamSessions {
     * users' rows drain finalized candidates inline. */
   def streamedSessions(spark: SparkSession, dir: String,
                        gapSec: Long = 86400L): DataFrame = {
+    // the completeness argument above needs the sentinel-driven final
+    // watermark (max + 3·gap − lateness) strictly past every real
+    // session's end + gap, i.e. 2·gap > lateness — enforced, not assumed
+    // (review r11): a smaller gap would silently drop every user's last
+    // session versus the oracle instead of failing loud
+    require(2 * gapSec > DriverLatenessSec,
+      s"streamedSessions needs 2*gap > lateness ($DriverLatenessSec s) " +
+        s"for oracle-complete finalization, got gap=$gapSec s")
     val root = graft.ops.TwoBatchScratch.freshRoot(spark, "graft_stream_sess")
     // one materialized scan feeds the split bounds, both halves and the
     // sentinel (5 consumers otherwise re-read the parquet each)
@@ -159,7 +177,8 @@ object StreamSessions {
           timestamp_micros(lit(tmax + 3 * gapSec * 1000000L)))
     }
     val q = start(spark, s"$root/feed", s"$root/out", s"$root/ckpt",
-      java.time.Duration.ofSeconds(gapSec))
+      java.time.Duration.ofSeconds(gapSec),
+      lateness = s"$DriverLatenessSec seconds")
     try q.processAllAvailable() finally q.stop()
     spark.read.parquet(s"$root/out")
       .orderBy(col("user_id"), col("start_sec"))

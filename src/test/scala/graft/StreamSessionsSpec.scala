@@ -111,4 +111,35 @@ class StreamSessionsSpec extends SparkSpec {
     assert(got === Seq((1L, startSec, startSec + 120, 3L)),
       s"the bridged run must emit as ONE 3-event session, got $got")
   }
+
+  test("watermark landing EXACTLY on end+gap: the fired timer re-arms past " +
+    "the fired expiry (Spark auto-deletes the fired pair after the " +
+    "handler), so the quiet key's session still emits on the next advance " +
+    "(review r11 boundary)") {
+    import spark.implicits._
+    val root = tmpDir("sessions-boundary")
+    val gapSec = 60L
+    def ev(u: Long, t: String) = (u, java.sql.Timestamp.valueOf(t))
+    // user 1 ends at 10:00:00 (close point 10:01:00). Batch 2's max
+    // (11:01:00) sets the NEXT batch's watermark to exactly 10:01:00 with
+    // the 1 h lateness — the timer fires inclusively there but the strict
+    // emit rule holds the session; a same-expiry re-arm would then be
+    // destroyed by the post-handler auto-delete and the session lost.
+    // Batch 3 advances the watermark past the boundary and the re-armed
+    // (+1 ms) timer must close it.
+    DedupStream.stageBatches(s"$root/feed", Seq(
+      Seq(ev(1, "2024-01-01 10:00:00")).toDF("user_id", "ts"),
+      Seq(ev(99, "2024-01-01 11:01:00")).toDF("user_id", "ts"),
+      Seq(ev(99, "2024-01-01 12:00:00")).toDF("user_id", "ts")))
+    val q = StreamSessions.start(spark, s"$root/feed", s"$root/out",
+      s"$root/ckpt", java.time.Duration.ofSeconds(gapSec))
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.read.parquet(s"$root/out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq.sorted
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime / 1000
+    assert(got.contains((1L, t0, t0, 1L)),
+      s"user 1's boundary session must finalize once the watermark " +
+        s"strictly passes end+gap, got $got")
+  }
 }
