@@ -141,14 +141,9 @@ object IncrementalDedup {
                    numFiles: Int = 8, excludeBatch: Option[Long] = None): Unit = {
     val cur = snapshotRead(spark, path, ddl, excludeBatch)
     if (!cur.isEmpty) {
-      val marker = new org.apache.hadoop.fs.Path(path, "_buckets")
-      val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
-      val stored: Option[Int] =
-        if (fs.exists(marker)) {
-          val in = fs.open(marker)
-          try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt)
-          finally in.close()
-        } else None
+      val stored: Option[Int] = readBucketsMarker(spark, path)
+      val fs = new org.apache.hadoop.fs.Path(path, "_buckets")
+        .getFileSystem(spark.sessionState.newHadoopConf())
       graft.cdc.StateCommit.stageSwap(spark, path) { tmp =>
         stored match {
           case Some(m) =>
@@ -177,22 +172,71 @@ object IncrementalDedup {
     * pre-marker stores were only ever written with one modulus. The marker
     * is not a `.parquet` file, so [[snapshotRead]] never scans it. */
   private def resolveBuckets(spark: SparkSession, setsPath: String,
-                             requested: Int): Int = {
+                             requested: Int): Int =
+    readBucketsMarker(spark, setsPath) match {
+      case Some(stored) =>
+        if (stored != requested)
+          System.err.println(s"graft: bucketed sets store at $setsPath has " +
+            s"modulus $stored; ignoring requested $requested")
+        stored
+      case None =>
+        // temp-then-rename (review r11): a bare create-then-write crashing
+        // mid-write stranded a TORN marker at the final name, and every
+        // later read threw NumberFormatException forever — the store
+        // bricked until an operator deleted the file by hand
+        val marker = new org.apache.hadoop.fs.Path(setsPath, "_buckets")
+        val tmp = new org.apache.hadoop.fs.Path(setsPath,
+          s"_buckets.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+        val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+        val out = fs.create(tmp, true)
+        try out.write(s"$requested\n".getBytes("UTF-8")) finally out.close()
+        if (!fs.rename(tmp, marker)) {
+          // lost a create race: adopt the winner's modulus
+          try { fs.delete(tmp, false); () }
+          catch { case _: java.io.IOException => () }
+          return readBucketsMarker(spark, setsPath).getOrElse(requested)
+        }
+        requested
+    }
+
+  /** The `_buckets` marker's stored modulus, shared by [[resolveBuckets]]
+    * and [[compactState]] (review r11: two hand-rolled readers could
+    * drift). Torn handling: an unparseable marker over an EMPTY layout is
+    * crash garbage from an interrupted first write — healed (deleted,
+    * read as absent); one over an existing `bucket=` layout fails LOUD
+    * with the repair instruction, because silently adopting a new modulus
+    * would prune the store wrong and drop near-dup pairs. */
+  private def readBucketsMarker(spark: SparkSession,
+                                setsPath: String): Option[Int] = {
     val marker = new org.apache.hadoop.fs.Path(setsPath, "_buckets")
     val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(marker)) {
-      val in = fs.open(marker)
-      val stored =
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+    if (!fs.exists(marker)) return None
+    // a checksum/EOF failure reading the tiny marker IS torn crash garbage
+    // (a write died before its .crc landed) — route it to the same torn
+    // handling as an unparseable body; other IO failures propagate
+    val body =
+      try {
+        val in = fs.open(marker)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
         finally in.close()
-      if (stored != requested)
-        System.err.println(s"graft: bucketed sets store at $setsPath has " +
-          s"modulus $stored; ignoring requested $requested")
-      stored
-    } else {
-      val out = fs.create(marker, true)
-      try out.write(s"$requested\n".getBytes("UTF-8")) finally out.close()
-      requested
+      } catch {
+        case _: org.apache.hadoop.fs.ChecksumException | _: java.io.EOFException =>
+          "\u0000torn"
+      }
+    body.toIntOption match {
+      case some @ Some(_) => some
+      case None =>
+        val bucketed = fs.exists(new org.apache.hadoop.fs.Path(setsPath)) &&
+          fs.listStatus(new org.apache.hadoop.fs.Path(setsPath))
+            .exists(_.getPath.getName.startsWith("bucket="))
+        if (bucketed)
+          throw new IllegalStateException(
+            s"torn _buckets marker at $setsPath over an existing bucketed " +
+              "layout — restore the file to the layout's modulus (the " +
+              "bucket= dirs were written with it) before writing again")
+        try { fs.delete(marker, false); () }
+        catch { case _: java.io.IOException => () }
+        None
     }
   }
 
@@ -209,11 +253,14 @@ object IncrementalDedup {
              threshold: Double = 0.5, dfCap: Int = Int.MaxValue,
              batchId: Option[Long] = None): DataFrame = {
     graft.functions.TextFunctions.register(spark)
+    // no persist (review r11): the only action before the caller executes
+    // the returned pairs frame is writeState's append, so a cache here was
+    // materialized once and unpersisted before any reuse — recomputing the
+    // batch's shingling at pair time costs O(batch), the cache cost more
     val newPosts = newDocs
       .select(col("doc_id"), expr("graft_shingle_hashes(text, 3)").as("hs"))
       .withColumn("n_sh", size(col("hs")))
       .select(col("doc_id"), explode(col("hs")).as("shingle"), col("n_sh"))
-      .persist()
     val oldPosts = postings(spark, statePath, excludeBatch = batchId)
     val allPosts = oldPosts.unionByName(newPosts)
 
@@ -262,7 +309,6 @@ object IncrementalDedup {
     // and no cache for refreshByPath to eagerly recompute.
     writeState(newPosts.select(col("shingle"), col("doc_id"), col("n_sh")),
       statePath, batchId)
-    newPosts.unpersist()
     pairs
   }
 
@@ -417,12 +463,7 @@ object IncrementalDedup {
     // and each consumer's action completes before the next call wipes —
     // the returned frame reads a pinned file snapshot of THIS call's dirs.
     // One bounded dir per app; a JVM shutdown hook removes it.
-    val state = s"${sys.props("java.io.tmpdir")}/graft_incr_twobatch_" +
-      spark.sparkContext.applicationId
-    val sp = new org.apache.hadoop.fs.Path(state)
-    val sfs = sp.getFileSystem(spark.sessionState.newHadoopConf())
-    if (sfs.exists(sp)) sfs.delete(sp, true)
-    TwoBatchScratch.registerCleanup(state)
+    val state = TwoBatchScratch.freshRoot(spark, "graft_incr_twobatch")
     // update() appends state eagerly (the write is an action); batch 1's
     // pair frame is discarded unexecuted — only its postings matter here.
     update(spark, state, docs.filter(col("doc_id") <= split), threshold)

@@ -110,6 +110,12 @@ object Maintenance {
     * (same call). Returns the manifest. */
   def compactApply(spark: SparkSession, livePath: String,
                    targetBytes: Long = 32768): DataFrame = {
+    // the documented heal-by-rerun contract (a crash between the two
+    // renames heals via recoverSwap) needs the re-run to actually CALL
+    // recoverSwap before reading — an eager parquet read of the absent
+    // live path throws PATH_NOT_FOUND instead of healing (review r11)
+    graft.cdc.StateCommit.recoverSwap(spark, livePath)
+    graft.cdc.StateCommit.recoverSwap(spark, livePath + ".zonemap")
     val state = spark.read.parquet(livePath)
     val sizes = state
       .select(col("shard").cast("long").as("shard"),
@@ -196,12 +202,8 @@ object Maintenance {
                            targetBytes: Long = 32768): DataFrame = {
     // scratch keyed by params: the apply and split driver queries stage
     // independent layouts in one session
-    val root = s"${sys.props("java.io.tmpdir")}/graft_compact_${shards}_" +
-      s"${targetBytes}_" + spark.sparkContext.applicationId
-    val rp = new org.apache.hadoop.fs.Path(root)
-    val fs = rp.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(rp)) fs.delete(rp, true)
-    TwoBatchScratch.registerCleanup(root)
+    val root = TwoBatchScratch.freshRoot(spark,
+      s"graft_compact_${shards}_$targetBytes")
     val live = s"$root/docs"
     Tables(spark, dir, "documents")
       .withColumn("shard", pmod(col("doc_id"), lit(shards)))
@@ -262,6 +264,13 @@ object Maintenance {
     // under this task's LAZY read mid-write; the prior is materialized
     // for the same reason (r9 review). The locked section is O(buckets).
     graft.cdc.StateCommit.swapLock(zmPath).synchronized {
+      // heal a crash INSIDE a previous manifest swap first (review r11):
+      // live absent + complete `.old` would otherwise read as "no prior
+      // manifest", and the replayed batch would publish a touched-buckets-
+      // only manifest and RELEASE the marker — a stale manifest live under
+      // no marker, the exact invariant violation the protocol exists to
+      // prevent (pruned reads silently dropping every untouched bucket)
+      graft.cdc.StateCommit.recoverSwap(spark, zmPath)
       val fs = new org.apache.hadoop.fs.Path(zmPath)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       val prior =
@@ -322,16 +331,44 @@ object Maintenance {
   def prunedRead(spark: SparkSession, statePath: String, zmPath: String,
                  statCol: String, lo: Long, hi: Long): DataFrame = {
     val b = graft.cdc.BucketedUpsertSink.BucketCol
-    val state = spark.read.parquet(statePath)
+    // any-reader heal first (the StateCommit state table's mid-swap-crash
+    // row): an eager read of a mid-swap-absent path would otherwise throw
+    // PATH_NOT_FOUND before even the unpruned fallback (review r11)
+    graft.cdc.StateCommit.recoverSwap(spark, statePath)
+    graft.cdc.StateCommit.recoverSwap(spark, zmPath)
     val exact = col(statCol) >= lo && col(statCol) <= hi
     if (graft.cdc.StateCommit.markerExists(spark, zmPath))
-      return state.filter(exact).drop(b)
+      return spark.read.parquet(statePath).filter(exact).drop(b)
     val candidates = spark.read.parquet(zmPath)
       .filter(col(s"max_$statCol") >= lo && col(s"min_$statCol") <= hi)
       .select(col("bucket")).collect().map(_.getLong(0))
-    val pruned =
-      if (candidates.isEmpty) state.filter(lit(false))
-      else state.filter(col(b).isin(candidates: _*))
-    pruned.filter(exact).drop(b)
+    if (candidates.isEmpty)
+      return spark.read.parquet(statePath).filter(lit(false))
+        .filter(exact).drop(b)
+    // PIN the candidate buckets' file lists NOW, consistent with the
+    // marker probe and manifest snapshot above (review r11): an isin
+    // filter over a lazy directory scan re-lists at EXECUTION time, so a
+    // sink write committing between this probe and the consumer's action
+    // surfaces new rows to the scan while the stale candidate list
+    // excludes their bucket — silently dropped rows. With pinned files
+    // the result is a consistent snapshot at probe time, and a
+    // concurrent compaction that renames them away fails LOUD (vanished
+    // file) instead of returning wrong rows. O(candidates) listStatus
+    // calls — the same bound as the candidate collect itself.
+    val fs = new org.apache.hadoop.fs.Path(statePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = candidates.flatMap { c =>
+      val dir = new org.apache.hadoop.fs.Path(s"$statePath/$b=$c")
+      if (fs.exists(dir))
+        fs.listStatus(dir).map(_.getPath.toString)
+          .filter(_.endsWith(".parquet"))
+      else Array.empty[String]
+    }
+    if (files.isEmpty)
+      return spark.read.parquet(statePath).filter(lit(false))
+        .filter(exact).drop(b)
+    spark.read.option("basePath", statePath)
+      .parquet(scala.collection.immutable.ArraySeq.unsafeWrapArray(files): _*)
+      .filter(exact).drop(b)
   }
 }

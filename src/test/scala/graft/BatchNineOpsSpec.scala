@@ -490,4 +490,62 @@ class BatchNineOpsSpec extends SparkSpec {
     assert(manifest === full,
       "whichever complete copy won must equal the full recompute")
   }
+
+  test("mid-swap crash healing across the maintenance readers (review " +
+    "r11): a manifest stranded at .old is restored before refreshZoneMap's " +
+    "prior probe (no touched-only manifest under a released marker), and " +
+    "prunedRead heals a mid-swap state path instead of throwing") {
+    import graft.cdc.{BucketedUpsertSink, StateCommit}
+    import spark.implicits._
+    val root = tmpDir("graft-zm-heal")
+    val statePath = s"$root/state"
+    val zmPath = s"$root/state.zonemap"
+    val nb = 8
+    val s0 = (0L until 200L).map(i => (i, i * 10, s"v$i"))
+      .toDF("id", "score", "payload")
+    BucketedUpsertSink.init(s0, statePath, "id", nb)
+    Maintenance.refreshZoneMap(spark, statePath, zmPath, (0L until nb).toSeq,
+      Seq("score"))
+    // simulate the crash INSIDE a previous manifest swap: live absent,
+    // the complete prior at .old, the writer's marker still up
+    assert(new java.io.File(zmPath).renameTo(new java.io.File(zmPath + ".old")))
+    assert(StateCommit.claimMarker(spark, zmPath, 5L, "L"))
+    // the replayed batch's incremental refresh: pre-fix the exists probe
+    // read "no prior manifest" and published ONLY the touched bucket
+    val batch = Seq(("update", 5L, 99999L, "v5b")).toDF("op", "id", "score", "payload")
+    val touched = batch.select(BucketedUpsertSink.bucketOf(col("id"), nb))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    BucketedUpsertSink.applyBatch(spark, statePath, batch, "id", nb)
+    Maintenance.refreshZoneMap(spark, statePath, zmPath, touched, Seq("score"))
+    StateCommit.releaseMarker(spark, zmPath, 5L)
+    assert(!StateCommit.markerExists(spark, zmPath))
+    val manifest = spark.read.parquet(zmPath).orderBy("bucket")
+      .collect().map(_.toSeq).toSeq
+    val full = Maintenance.bucketZoneMap(spark, statePath, Seq("score"))
+      .collect().map(_.toSeq).toSeq
+    assert(manifest === full,
+      "the healed prior must carry the untouched buckets through the splice")
+    // prunedRead heals a mid-swap STATE path (live absent + complete .old)
+    assert(new java.io.File(statePath).renameTo(new java.io.File(statePath + ".old")))
+    val got = Maintenance.prunedRead(spark, statePath, zmPath,
+      "score", 99000L, 200000L).collect().map(_.getLong(0)).toSet
+    assert(got === Set(5L), s"prunedRead must heal and answer, got $got")
+  }
+
+  test("compactApply heals its own interrupted swap on re-run (review " +
+    "r11): live stranded at .old no longer throws PATH_NOT_FOUND") {
+    import spark.implicits._
+    val root = tmpDir("graft-compact-heal")
+    val live = s"$root/docs"
+    (0L until 50L).map(i => (i, "x" * 64, i % 4))
+      .toDF("doc_id", "text", "shard")
+      .repartition(col("shard"))
+      .write.partitionBy("shard").parquet(live)
+    // first apply succeeds; then simulate the crash window
+    Maintenance.compactApply(spark, live, targetBytes = 1024)
+    assert(new java.io.File(live).renameTo(new java.io.File(live + ".old")))
+    val manifest = Maintenance.compactApply(spark, live, targetBytes = 1024)
+    assert(manifest.count() > 0, "the documented heal-by-rerun must work")
+    assert(spark.read.parquet(live).count() === 50L)
+  }
 }

@@ -152,4 +152,48 @@ class IncrementalDedupSpec extends SparkSpec {
     val p3 = pairSet(IncrementalDedup.update(spark, state, b3))
     assert(p3 === Set((1L, 4L, 1.0), (2L, 4L, 1.0))) // new side pairs only
   }
+
+  test("torn _buckets marker (review r11): crash garbage over an EMPTY " +
+    "layout heals (read as absent, re-minted atomically); over an " +
+    "existing bucketed layout it fails LOUD naming the repair instead of " +
+    "silently adopting a new modulus") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // empty layout: a torn (empty) marker from an interrupted first write
+    val state1 = tmpDir("incr-torn-empty") + "/lsh"
+    val sets1 = new java.io.File(s"$state1/sets")
+    assert(sets1.mkdirs())
+    locally {
+      val m1 = new org.apache.hadoop.fs.Path(s"$state1/sets/_buckets")
+      val fs1 = m1.getFileSystem(spark.sessionState.newHadoopConf())
+      fs1.create(m1, true).close() // length 0: interrupted first write
+    }
+    val docs = Seq((1L, "the quick brown fox jumps over the lazy dog again"),
+      (2L, "the quick brown fox jumps over the lazy dog again"))
+      .toDF("doc_id", "text")
+    // pre-fix: NumberFormatException forever; now the garbage heals and the
+    // bucketed write proceeds with the requested modulus
+    IncrementalDedup.updateLsh(spark, state1, docs, buckets = 4).count()
+    val stored = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(sets1, "_buckets").toPath), "UTF-8").trim
+    assert(stored === "4", s"the healed marker must carry the modulus: $stored")
+
+    // bucketed layout already on disk: a torn marker must not be silently
+    // re-minted with a possibly different modulus
+    val state2 = tmpDir("incr-torn-layout") + "/lsh"
+    IncrementalDedup.updateLsh(spark, state2, docs, buckets = 4).count()
+    // torn via the Hadoop fs (a raw java.io overwrite would instead trip
+    // the .crc sidecar — also handled, but this pins the parse path)
+    val m2 = new org.apache.hadoop.fs.Path(s"$state2/sets/_buckets")
+    val fs2 = m2.getFileSystem(spark.sessionState.newHadoopConf())
+    val o2 = fs2.create(m2, true)
+    try o2.write("garbage".getBytes("UTF-8")) finally o2.close()
+    val e = intercept[IllegalStateException] {
+      IncrementalDedup.updateLsh(spark, state2,
+        Seq((3L, "more text for the third document in the torn store"))
+          .toDF("doc_id", "text"), buckets = 8).count()
+    }
+    assert(e.getMessage.contains("torn _buckets marker") &&
+      e.getMessage.contains("modulus"), e.getMessage)
+  }
 }
