@@ -721,7 +721,7 @@ object SparkEntry {
         |ORDER BY doc_id, rank""".stripMargin,
 
     "q_train_test_split" ->
-      """SELECT CASE WHEN (doc_id * 2654435761) % 100 < 80
+      """SELECT CASE WHEN ((doc_id % 2147483647) * 2654435761) % 100 < 80
         |            THEN 'train' ELSE 'test' END AS split,
         | count(*) AS n_docs,
         | round(avg(length(text)), 4) AS avg_chars,
@@ -1074,8 +1074,8 @@ object SparkEntry {
     "q_decontaminate_embed" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS norm FROM e),
-        |q AS (SELECT * FROM n WHERE (vec_id * 2654435761) % 100 >= 80),
-        |c AS (SELECT * FROM n WHERE (vec_id * 2654435761) % 100 < 80),
+        |q AS (SELECT * FROM n WHERE ((vec_id % 2147483647) * 2654435761) % 100 >= 80),
+        |c AS (SELECT * FROM n WHERE ((vec_id % 2147483647) * 2654435761) % 100 < 80),
         |s AS (SELECT q.vec_id AS doc_id,
         |        max(list_dot_product(q.v, c.v) / (q.norm * c.norm)) AS mc
         |      FROM q, c GROUP BY 1)
@@ -1098,19 +1098,19 @@ object SparkEntry {
         |            ORDER BY list_dot_product(t.v, sd.sv) / (t.norm * sd.snorm) DESC,
         |                     sd.seed_id) AS r
         |        FROM n t CROSS JOIN sd
-        |        WHERE (t.vec_id * 2654435761) % 100 < 80) WHERE r = 1),
+        |        WHERE ((t.vec_id % 2147483647) * 2654435761) % 100 < 80) WHERE r = 1),
         |q AS (SELECT vec_id, v, norm, seed_id AS cell FROM (
         |        SELECT t.vec_id, t.v, t.norm, sd.seed_id,
         |          row_number() OVER (PARTITION BY t.vec_id
         |            ORDER BY list_dot_product(t.v, sd.sv) / (t.norm * sd.snorm) DESC,
         |                     sd.seed_id) AS r
         |        FROM n t CROSS JOIN sd
-        |        WHERE (t.vec_id * 2654435761) % 100 >= 80) WHERE r <= 4),
+        |        WHERE ((t.vec_id % 2147483647) * 2654435761) % 100 >= 80) WHERE r <= 4),
         |s AS (SELECT q.vec_id AS doc_id,
         |        max(list_dot_product(q.v, c.v) / (q.norm * c.norm)) AS mc
         |      FROM q JOIN c ON q.cell = c.cell GROUP BY 1),
         |ids AS (SELECT vec_id AS doc_id FROM n
-        |        WHERE (vec_id * 2654435761) % 100 >= 80)
+        |        WHERE ((vec_id % 2147483647) * 2654435761) % 100 >= 80)
         |SELECT ids.doc_id, round(s.mc, 4) + 0.0 AS max_train_cos,
         |  coalesce(s.mc >= 0.5, false) AS contaminated
         |FROM ids LEFT JOIN s ON s.doc_id = ids.doc_id
@@ -1599,7 +1599,7 @@ object SparkEntry {
     // reuses a formulation whose standalone oracle already matches.
     "q_train_manifest" ->
       """WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS t,
-        |             (doc_id * 2654435761) % 100 < 80 AS tr FROM documents),
+        |             ((doc_id % 2147483647) * 2654435761) % 100 < 80 AS tr FROM documents),
         |k1 AS (SELECT min(doc_id) AS doc_id FROM d WHERE tr GROUP BY text),
         |d1 AS (SELECT d.* FROM d JOIN k1 USING (doc_id)),
         |s AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - 2),
@@ -1652,7 +1652,7 @@ object SparkEntry {
 
     "q_mix_deciles" ->
       """WITH d AS (SELECT doc_id,
-        |             CASE WHEN (doc_id * 2654435761) % 100 < 80
+        |             CASE WHEN ((doc_id % 2147483647) * 2654435761) % 100 < 80
         |               THEN 'train' ELSE 'test' END AS split,
         |             CAST(doc_id % 8 AS INT) AS shard,
         |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
@@ -1660,7 +1660,7 @@ object SparkEntry {
         |r AS (SELECT *, ntile(10) OVER (PARTITION BY split, shard
         |        ORDER BY n_tok, doc_id) AS decile FROM d)
         |SELECT split, decile, count(*) AS n_docs,
-        |  CAST(count_if((doc_id * 40503) % 100 < decile * 10) AS BIGINT) AS n_sampled,
+        |  CAST(count_if(((doc_id % 2147483647) * 40503) % 100 < decile * 10) AS BIGINT) AS n_sampled,
         |  round(avg(n_tok), 4) AS avg_tok
         |FROM r GROUP BY 1, 2 ORDER BY split, decile""".stripMargin,
 
@@ -1696,7 +1696,7 @@ object SparkEntry {
     // equal modulo 64-bit collisions, like the Jaccard family.
     "q_decontaminate" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t,
-        |             (doc_id * 2654435761) % 100 < 80 AS tr FROM documents),
+        |             ((doc_id % 2147483647) * 2654435761) % 100 < 80 AS tr FROM documents),
         |s AS (SELECT doc_id, tr, list_distinct(list_transform(generate_series(1, len(t) - 4),
         |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])) AS sh
         |      FROM d),
@@ -1712,7 +1712,7 @@ object SparkEntry {
 
     "q_pack_sequences" ->
       """WITH d AS (SELECT doc_id,
-        |             CASE WHEN (doc_id * 2654435761) % 100 < 80
+        |             CASE WHEN ((doc_id % 2147483647) * 2654435761) % 100 < 80
         |               THEN 'train' ELSE 'test' END AS split,
         |             CAST(doc_id % 8 AS INT) AS shard,
         |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
@@ -1775,7 +1775,7 @@ object SparkEntry {
     "q_lang_balance" ->
       """SELECT lang, doc_id FROM (
         |  SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
-        |    ORDER BY (doc_id * 40503) % 997, doc_id) AS rn FROM documents)
+        |    ORDER BY ((doc_id % 2147483647) * 40503) % 997, doc_id) AS rn FROM documents)
         |WHERE rn <= 100 ORDER BY lang, doc_id""".stripMargin,
 
     "q_pii_scrub" ->
@@ -2002,7 +2002,7 @@ object SparkEntry {
         |FROM s ORDER BY doc_id""".stripMargin,
 
     "q_reshard" ->
-      """SELECT CAST(((doc_id * 2654435761) % 1000003) % 16 AS INT) AS shard,
+      """SELECT CAST((((doc_id % 2147483647) * 2654435761) % 1000003) % 16 AS INT) AS shard,
         |  count(*) AS n_docs,
         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
         |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
@@ -2293,7 +2293,8 @@ object SparkEntry {
         |bm AS (SELECT doc_id, round(sum(sco), 4) AS bm25 FROM sc GROUP BY 1),
         |lex AS (SELECT id, lex_rank FROM
         |          (SELECT doc_id AS id, CAST(row_number() OVER
-        |             (ORDER BY bm25 DESC, doc_id) AS INT) AS lex_rank FROM bm)
+        |             (ORDER BY bm25 DESC, doc_id) AS INT) AS lex_rank
+        |           FROM bm WHERE doc_id <> 0)
         |        WHERE lex_rank <= 50),
         |ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS norm FROM ev),
@@ -2947,7 +2948,7 @@ object SparkEntry {
         |        CAST(cc + 1 AS DOUBLE) / (nc + nbkt) AS q
         |      FROM ct JOIN st USING (feature))
         |SELECT feature, CAST(nbkt AS INT) AS n_buckets,
-        |  round(sum((p - q) * ln(p / q)), 4) AS psi,
+        |  round(sum((p - q) * ln(p / q)), 4) + 0.0 AS psi,
         |  round(sum((p - q) * ln(p / q)), 4) >= 0.1 AS drifted
         |FROM t GROUP BY 1, 2 ORDER BY 1""".stripMargin,
 

@@ -31,15 +31,39 @@ object BucketedUpsertSink {
   def bucketOf(pk: Column, numBuckets: Int): Column =
     pmod(xxhash64(pk), lit(numBuckets.toLong))
 
+  /** Layout-marker file name encoding the store's bucket MODULUS (review
+    * r11): `pmod(hash, n)` decides which dir a pk lives in, so pruning an
+    * n'-bucketed store with a different configured n would miss existing
+    * rows in the merge and write DUPLICATE pk rows into new buckets. The
+    * modulus is a property of the STORE; the underscore prefix keeps the
+    * marker out of parquet reads and partition discovery (the _SUCCESS
+    * discipline), and encoding the value in the NAME makes detection ride
+    * the directory listing the layout probe already pays. */
+  private[cdc] def layoutMarkerName(n: Int): String = s"_nbuckets-$n"
+
+  private[cdc] def storedBuckets(names: Array[String]): Option[Int] =
+    names.collectFirst {
+      case m if m.startsWith("_nbuckets-") => m.stripPrefix("_nbuckets-")
+    }.flatMap(_.toIntOption)
+
+  private[cdc] def writeLayoutMarker(spark: SparkSession, dir: String,
+                                     n: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir, layoutMarkerName(n))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(p, true).close() // empty file: the NAME is the payload
+  }
+
   /** Materialize an initial state table partitioned by pk-hash bucket. */
-  def init(state: DataFrame, statePath: String, pk: String, numBuckets: Int): Unit =
+  def init(state: DataFrame, statePath: String, pk: String, numBuckets: Int): Unit = {
     state
       .withColumn(BucketCol, bucketOf(col(pk), numBuckets))
       .write.mode("overwrite")
       .partitionBy(BucketCol)
       .parquet(statePath)
+    writeLayoutMarker(state.sparkSession, statePath, numBuckets)
+  }
 
-  private def hasBuckets(spark: SparkSession, statePath: String): Boolean = {
+  private def listNames(spark: SparkSession, statePath: String): Array[String] = {
     // Heal an interrupted evolution swap FIRST (live moved to '.old', next
     // never moved in): without this, a crash in that window makes the state
     // look absent, the next batch bootstraps an empty table, and once a new
@@ -48,16 +72,31 @@ object BucketedUpsertSink {
     StateCommit.recoverSwap(spark, statePath)
     val p = new org.apache.hadoop.fs.Path(statePath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(p) &&
-      fs.listStatus(p).exists(_.getPath.getName.startsWith(BucketCol + "="))
+    if (!fs.exists(p)) Array.empty
+    else fs.listStatus(p).map(_.getPath.getName)
   }
 
+  private def bucketed(names: Array[String]): Boolean =
+    names.exists(_.startsWith(BucketCol + "="))
+  private def flatFiles(names: Array[String]): Boolean =
+    names.exists(_.endsWith(".parquet"))
+
+  private def hasBuckets(spark: SparkSession, statePath: String): Boolean =
+    bucketed(listNames(spark, statePath))
+
   /** Current state (without the bucket column). The payload schema makes a
-    * fully-emptied or not-yet-created state readable. */
+    * fully-emptied or not-yet-created state readable. A FLAT store under a
+    * bucketed config (state.buckets flipped on — review r11) reads as the
+    * full flat state, never as absent: the pre-fix empty-read silently
+    * dropped every pre-flip row from the next merge. */
   def currentState(spark: SparkSession, statePath: String,
-                   schema: org.apache.spark.sql.types.StructType): DataFrame =
-    if (hasBuckets(spark, statePath)) spark.read.parquet(statePath).drop(BucketCol)
-    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+                   schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val names = listNames(spark, statePath)
+    if (bucketed(names)) spark.read.parquet(statePath).drop(BucketCol)
+    else if (flatFiles(names)) spark.read.parquet(statePath)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
 
   /** Apply one compacted micro-batch: read ONLY the buckets the batch
     * touches, merge with [[UpsertSink.applyBatch]] semantics (presence
@@ -73,28 +112,64 @@ object BucketedUpsertSink {
                  pk: String, numBuckets: Int,
                  schema: Option[org.apache.spark.sql.types.StructType]): Unit = {
     val withBucket = changes.withColumn(BucketCol, bucketOf(col(pk), numBuckets))
+    val names = listNames(spark, statePath)
+    // Bucket-modulus fence (review r11): a store laid out with a different
+    // modulus must not be pruned with this one — existing pk rows would be
+    // missed by the merge and duplicated into new buckets. Marker-less
+    // bucketed stores predate the marker and were only ever written with
+    // one modulus; they adopt the configured one and gain the marker.
+    if (bucketed(names)) storedBuckets(names) match {
+      case Some(m) if m != numBuckets =>
+        throw new IllegalStateException(
+          s"bucketed state at $statePath was laid out with $m buckets; " +
+            s"the configuration now says $numBuckets — run `refresh` to " +
+            "re-bucket (the rebuild carries the configured layout)")
+      case Some(_) => ()
+      case None => writeLayoutMarker(spark, statePath, numBuckets)
+    }
+    // Flat store under a bucketed config (state.buckets flipped on —
+    // review r11): one-time full merge + bucketed rewrite through the
+    // atomic swap, the watermark sidecar's ADVICE-r9 migration discipline.
+    // Pre-fix the flat rows read as "no state": the merge ran against
+    // empty and the bucketed write landed BESIDE the stranded flat files —
+    // silent loss, then a mixed-depth read error.
+    if (!bucketed(names) && flatFiles(names)) {
+      val merged = UpsertSink
+        .applyBatch(spark.read.parquet(statePath), changes, pk)
+        .withColumn(BucketCol, bucketOf(col(pk), numBuckets))
+      StateCommit.stageSwap(spark, statePath) { tmp =>
+        merged.write.mode("overwrite").partitionBy(BucketCol).parquet(tmp)
+        writeLayoutMarker(spark, tmp, numBuckets)
+      }
+      return
+    }
     // Schema evolution guard: a batch carrying a column the stored state
-    // lacks cannot use the per-bucket path — untouched bucket dirs would
-    // keep the old parquet schema and later unpruned reads would see an
-    // inconsistent table. Evolution is rare, so pay a one-time full-state
-    // merge + rewrite through the atomic dir swap; afterwards every bucket
-    // carries the new schema and the incremental path resumes.
+    // lacks — or an existing column under a CHANGED TYPE (review r11: the
+    // name-only check let a widened column write mixed physical types
+    // across bucket dirs, the exact inconsistent-table state this guard
+    // exists to prevent) — cannot use the per-bucket path. Evolution is
+    // rare, so pay a one-time full-state merge + rewrite through the
+    // atomic dir swap; afterwards every bucket carries the new schema and
+    // the incremental path resumes.
     // One reader serves the evolution check (schema only — a footer read,
     // no data scan) and, if evolution fires, the full-state merge; the
     // exists/bucket-dir probe runs once per batch.
     val stored =
-      if (hasBuckets(spark, statePath)) Some(spark.read.parquet(statePath))
+      if (bucketed(names)) Some(spark.read.parquet(statePath))
       else None
     stored.foreach { full =>
-      val storedCols = full.columns.filterNot(_ == BucketCol)
-      val evolved = changes.columns
-        .filterNot(n => n == "op" || n == UpsertSink.PresentCol)
-        .exists(n => !storedCols.contains(n))
+      val storedTypes = full.schema.filterNot(_.name == BucketCol)
+        .map(f => f.name -> f.dataType).toMap
+      val evolved = changes.schema
+        .filterNot(f => f.name == "op" || f.name == UpsertSink.PresentCol)
+        .exists(f => !storedTypes.get(f.name).contains(f.dataType))
       if (evolved) {
         val merged = UpsertSink.applyBatch(full.drop(BucketCol), changes, pk)
           .withColumn(BucketCol, bucketOf(col(pk), numBuckets))
-        StateCommit.stageSwap(spark, statePath)(tmp =>
-          merged.write.mode("overwrite").partitionBy(BucketCol).parquet(tmp))
+        StateCommit.stageSwap(spark, statePath) { tmp =>
+          merged.write.mode("overwrite").partitionBy(BucketCol).parquet(tmp)
+          writeLayoutMarker(spark, tmp, numBuckets)
+        }
         return
       }
     }

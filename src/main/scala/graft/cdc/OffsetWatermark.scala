@@ -169,19 +169,29 @@ object OffsetWatermark {
         if (!exists) {
           withBucket.write.mode("overwrite")
             .partitionBy(BucketedUpsertSink.BucketCol).parquet(dir)
-        } else if (!layoutBucketed(names)) {
-          // layout migration (ADVICE r9): the sidecar was written FLAT
-          // (state.buckets was off when it was created) — the touched-bucket
-          // pruned read below would filter on a nonexistent _bucket column
-          // and wedge every batch. Merge against the whole flat store once
-          // and rewrite it bucketed; next batch takes the pruned path.
+          BucketedUpsertSink.writeLayoutMarker(spark, dir, n)
+        } else if (!layoutBucketed(names) ||
+          !BucketedUpsertSink.storedBuckets(names).contains(n)) {
+          // layout migration (ADVICE r9; modulus-aware since review r11):
+          // the sidecar was written FLAT (state.buckets was off when it
+          // was created), with a DIFFERENT modulus (state.buckets changed
+          // and a refresh re-bucketed the sink), or before the modulus
+          // marker existed — in every case the touched-bucket pruned read
+          // below would be wrong (a flat store has no _bucket column; a
+          // re-moduled one keeps each pk in a dir the new ids never probe,
+          // minting DUPLICATE watermark entries that poison splitStale).
+          // Merge against the whole store once and rewrite it in the
+          // configured layout; next batch takes the pruned path.
           val next = merge(normalizeStored(
-            spark.read.option("mergeSchema", "true").parquet(dir)), batch, pk)
+            spark.read.option("mergeSchema", "true").parquet(dir)
+              .drop(BucketedUpsertSink.BucketCol)), batch, pk)
             .withColumn(BucketedUpsertSink.BucketCol,
               BucketedUpsertSink.bucketOf(col(pk), n))
-          StateCommit.stageSwap(spark, dir)(tmp =>
+          StateCommit.stageSwap(spark, dir) { tmp =>
             next.write.mode("overwrite")
-              .partitionBy(BucketedUpsertSink.BucketCol).parquet(tmp))
+              .partitionBy(BucketedUpsertSink.BucketCol).parquet(tmp)
+            BucketedUpsertSink.writeLayoutMarker(spark, tmp, n)
+          }
         } else {
           // prune the stored read to the touched buckets; the distinct
           // collect is O(buckets) (config-bounded), the house pattern

@@ -433,6 +433,15 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
           val pk = pkOut(s)
           val dl = spark.read.parquet(path)
           val ready = dl.filter(col(pk).isNotNull)
+          // a repaired row with a NULL offset cannot be ordered against the
+          // watermark: the three-valued staleness comparison would place it
+          // in NEITHER split and the quarantine rewrite below would DELETE
+          // it unapplied — silent loss. Fail loud instead (review r11).
+          val nullOffset = ready.filter(col("offset").isNull).count()
+          require(nullOffset == 0L,
+            s"$nullOffset repaired dead-letter row(s) for '${s.table}' have " +
+              "a NULL offset — restore the source offset in the quarantine " +
+              "before replaying (the staleness screen cannot order them)")
           val (fresh, stale) = OffsetWatermark.splitStale(
             ready, OffsetWatermark.current(spark, statePath(s)), pk,
             OffsetWatermark.snapshotFloor(spark, statePath(s)))

@@ -135,7 +135,10 @@ object Scd2Sink {
           require(bad == 0L,
             s"$bad key(s) received events at or before their open version; " +
               "SCD2 history cannot interleave — replay in replication order")
-          val closed = state.join(broadcast(firstPerKey), Seq(key), "left")
+          // no broadcast HINT (review r11): firstPerKey is O(distinct
+          // batch keys) — a bulk backfill batch makes a forced broadcast a
+          // driver OOM; AQE still auto-broadcasts it when genuinely small
+          val closed = state.join(firstPerKey, Seq(key), "left")
             .withColumn("valid_to",
               when(col("valid_to").isNull && col("__first_s").isNotNull,
                 col("__first_s")).otherwise(col("valid_to")))

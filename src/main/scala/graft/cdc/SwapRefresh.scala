@@ -40,12 +40,21 @@ object SinkTasks {
   // reference's task list is likewise finite, served with paging)
   private val RetainSettled = 1024
 
+  // highest task id ever evicted: status() distinguishes "settled and
+  // evicted from the bounded registry" from "never existed" (review r11 —
+  // a caller polling a long-settled refresh got an unexplained
+  // no-such-task instead of the actionable message)
+  @volatile private var evictedMax = 0L
+
   private def evictSettled(): Unit =
     if (tasks.size > 2 * RetainSettled) tasks.synchronized {
       val settled = scala.jdk.CollectionConverters
         .CollectionHasAsScala(tasks.values()).asScala
         .filterNot(_.pending).toSeq.sortBy(_.id)
-      settled.dropRight(RetainSettled).foreach(t => tasks.remove(t.id))
+      settled.dropRight(RetainSettled).foreach { t =>
+        evictedMax = math.max(evictedMax, t.id)
+        tasks.remove(t.id)
+      }
     }
 
   /** Run `work` on a daemon thread; returns the task id immediately (the
@@ -69,8 +78,13 @@ object SinkTasks {
     id
   }
 
-  def status(id: Long): TaskInfo = Option(tasks.get(id)).getOrElse(
-    throw new NoSuchElementException(s"no sink task $id"))
+  def status(id: Long): TaskInfo = Option(tasks.get(id)).getOrElse {
+    if (id <= evictedMax && id > 0)
+      throw new NoSuchElementException(
+        s"sink task $id settled and was evicted from the bounded registry " +
+          s"(RetainSettled=$RetainSettled) — poll sooner, or raise the cap")
+    throw new NoSuchElementException(s"no sink task $id")
+  }
 
   /** `wait_for_task(timeout_in_ms)`: poll until the task leaves the
     * pending states or the deadline passes; past the deadline, fail loud
@@ -109,7 +123,15 @@ object SwapRefresh {
   def refresh(fresh: DataFrame, livePath: String,
               buckets: Option[(String, Int)] = None): Long = {
     val (staging, n) = stage(fresh, livePath, buckets)
-    StateCommit.atomicSwapDirs(fresh.sparkSession, staging, livePath)
+    // the swap commits under the state lock (review r11): unlocked, a
+    // live writer's read-merge-swap racing this swap silently drops
+    // whichever complete copy loses — the r9 hazard stage()'s own doc
+    // describes. (Pipeline's commitRefreshSwap additionally force-owns
+    // the zone-map marker and records the snapshot floor; this entry
+    // point is the bare data swap for sinks without those sidecars.)
+    StateCommit.stateLock(livePath).synchronized {
+      StateCommit.atomicSwapDirs(fresh.sparkSession, staging, livePath)
+    }
     n
   }
 
@@ -138,7 +160,21 @@ object SwapRefresh {
         case Some((pk, n)) => BucketedUpsertSink.init(fresh, staging, pk, n)
         case None          => fresh.write.mode("overwrite").parquet(staging)
       }
-      (staging, fresh.sparkSession.read.parquet(staging).count())
+      // count back from the staged files with an EXPLICIT schema (review
+      // r11): an empty snapshot's partitioned write emits no data files
+      // (only _SUCCESS), and inference over zero files throws — an empty
+      // source table must refresh to an empty sink, not crash the rebuild
+      val readBack = buckets match {
+        case Some(_) =>
+          fresh.sparkSession.read
+            .schema(org.apache.spark.sql.types.StructType(
+              fresh.schema.fields :+ org.apache.spark.sql.types.StructField(
+                BucketedUpsertSink.BucketCol,
+                org.apache.spark.sql.types.LongType)))
+            .parquet(staging)
+        case None => fresh.sparkSession.read.parquet(staging)
+      }
+      (staging, readBack.count())
     } catch {
       case t: Throwable =>
         StateCommit.dropStaging(fresh.sparkSession, staging); throw t

@@ -240,6 +240,13 @@ object Dedup {
     * r) for the target threshold ~ (1/bands)^(1/r). */
   def minhashLsh(spark: SparkSession, dir: String, threshold: Double = 0.5,
                  numHashes: Int = 16, bands: Int = 8): DataFrame = {
+    // bands > numHashes gave r = 0: every band slice empty, every doc a
+    // candidate of every other — a silent ALL-PAIRS blowup at crawl
+    // scale; a non-dividing bands silently dropped trailing signature
+    // entries and miscalibrated the (1/bands)^(1/r) threshold (review
+    // r11; the lshTopK/mmrRerank guard class)
+    require(bands >= 1 && numHashes % bands == 0,
+      s"minhashLsh: bands must divide numHashes, got $numHashes/$bands")
     val r = numHashes / bands
     // zero-shingle docs (< 3 tokens) have no near-dup signal and an
     // all-MaxValue signature that would make them all mutual candidates
@@ -393,11 +400,17 @@ object Dedup {
       .localCheckpoint(true)
     var converged = false
     var iter = 0
-    // coalesce: a corpus with ZERO near-dup pairs aggregates sum(empty) to
-    // null — getLong would NPE on the cleanest possible input (r9 review);
-    // 0 == 0 then converges on the first confirming pass with empty labels
-    var checksum = labels.agg(coalesce(sum(col("cluster")), lit(0L)))
-      .head().getLong(0)
+    // Order-insensitive (count, xor) label checksum — the bigStar
+    // checksum (review r11): sum(cluster) overflows Long under ANSI mode
+    // (the Spark 4 default) on full-range ids; xor is closed over Long.
+    // coalesce: a dup-free corpus aggregates over zero labels (r9 review),
+    // and (0, 0) == (0, 0) then converges on the first confirming pass.
+    def labelChecksum(l: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val r = l.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(doc, cluster))"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var checksum = labelChecksum(labels)
     pairs.unpersist()
     while (!converged && iter < maxIter) {
       // neighbor-min pass: label(x) <- min(label(x), min over nbrs label(n))
@@ -415,10 +428,11 @@ object Dedup {
         .select(col("doc"),
           least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"))
         .localCheckpoint(true)
-      val nextSum = next.agg(coalesce(sum(col("cluster")), lit(0L)))
-        .head().getLong(0)
+      val nextSum = labelChecksum(next)
       labels = next // previous round's blocks are freed by ContextCleaner
-      converged = nextSum == checksum // labels only decrease; equal sum = fixpoint
+      // labels only decrease; an (count, xor)-equal label multiset means
+      // no label moved this round = fixpoint (w.h.p., the bigStar argument)
+      converged = nextSum == checksum
       checksum = nextSum
       iter += 1
     }
@@ -888,7 +902,7 @@ object Dedup {
   def decontaminate(spark: SparkSession, dir: String, n: Int = 5): DataFrame = {
     graft.functions.TextFunctions.register(spark)
     val d = Tables(spark, dir, "documents")
-      .withColumn("is_train", (col("doc_id") * lit(2654435761L)) % 100 < 80)
+      .withColumn("is_train", TextAnalysis.splitHash(col("doc_id")) < 80)
       .select(col("doc_id"), col("is_train"),
         expr(s"graft_shingle_hashes(text, $n)").as("hs"))
       .withColumn("n_sh", size(col("hs")))
@@ -929,7 +943,7 @@ object Dedup {
                          fpp: Double = 0.01): DataFrame = {
     graft.functions.TextFunctions.register(spark)
     val d = Tables(spark, dir, "documents")
-      .withColumn("is_train", (col("doc_id") * lit(2654435761L)) % 100 < 80)
+      .withColumn("is_train", TextAnalysis.splitHash(col("doc_id")) < 80)
       .select(col("doc_id"), col("is_train"),
         expr(s"graft_shingle_hashes(text, $n)").as("hs"))
       .withColumn("n_sh", size(col("hs")))

@@ -62,8 +62,10 @@ object Drift {
       .withColumn("q", (col("cc") + 1) / (col("nc") + col("nbkt")))
       .withColumn("term", (col("p") - col("q")) * log(col("p") / col("q")))
       .groupBy(col("feature"))
+      // + 0.0 collapses IEEE negative zero before the hash gate (the
+      // driftWindowed/abTest discipline — review r11)
       .agg(max(col("nbkt")).cast("int").as("n_buckets"),
-        round(sum(col("term")), 4).as("psi"))
+        (round(sum(col("term")), 4) + 0.0).as("psi"))
       .withColumn("drifted", col("psi") >= 0.1)
       .orderBy(col("feature"))
   }
@@ -175,13 +177,18 @@ object Drift {
       .select(col("event_type"), col("na"), col("nb"),
         round(col("mean_a"), 4).as("mean_a"),
         round(col("mean_b"), 4).as("mean_b"),
-        (round((col("mean_a") - col("mean_b")) / sqrt(col("se2")), 4) + 0.0)
+        // se2 = 0 (both arms zero-variance — e.g. a constant-valued event
+        // type) would divide by zero, an ANSI crash: the test statistic is
+        // undefined there, so emit null (review r11)
+        when(col("se2") > 0,
+          round((col("mean_a") - col("mean_b")) / sqrt(col("se2")), 4) + 0.0)
           .as("t_stat"),
-        round(col("se2") * col("se2") /
-          (col("var_a") * col("var_a") / (col("na") * col("na")) /
-            (col("na") - 1) +
-           col("var_b") * col("var_b") / (col("nb") * col("nb")) /
-            (col("nb") - 1)), 4).as("welch_df"))
+        when(col("se2") > 0,
+          round(col("se2") * col("se2") /
+            (col("var_a") * col("var_a") / (col("na") * col("na")) /
+              (col("na") - 1) +
+             col("var_b") * col("var_b") / (col("nb") * col("nb")) /
+              (col("nb") - 1)), 4)).as("welch_df"))
       .orderBy(col("event_type"))
   }
 

@@ -57,14 +57,26 @@ object Multimodal {
     bos.toByteArray
   }
 
-  def pngView(spark: SparkSession, dir: String): Dataset[PngRow] = {
+  def pngView(spark: SparkSession, dir: String,
+              maxId: Option[Long] = None): Dataset[PngRow] = {
     import spark.implicits._
-    Tables(spark, dir, "documents").select(col("doc_id")).as[Long]
+    val ids = Tables(spark, dir, "documents").select(col("doc_id"))
+    maxId.fold(ids)(m => ids.filter(col("doc_id") < m)).as[Long]
       .mapPartitions(_.map(id => PngRow(id, encodePng(id))))
   }
 
   private val PngSignature =
     Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+
+  // ONE definition of each container check (review r11: the PNG/RIFF
+  // magic-byte comparisons were hand-rolled at three sites — the sniff
+  // dispatch and both decoders — and had to stay byte-identical)
+  private def isPng(p: Array[Byte]): Boolean =
+    p.length >= 8 && p.take(8).sameElements(PngSignature)
+  private def isWav(p: Array[Byte]): Boolean =
+    p.length >= 12 &&
+      new String(p.slice(0, 4), "US-ASCII") == "RIFF" &&
+      new String(p.slice(8, 12), "US-ASCII") == "WAVE"
 
   /** REAL decode via `javax.imageio`: container sniff (PNG signature
     * bytes), then a full codec roundtrip — width/height from the decoded
@@ -84,8 +96,7 @@ object Multimodal {
       // discovery once per partition, not per row
       javax.imageio.ImageIO.getUseCache
       it.map { r =>
-        val isPng = r.payload.length >= 8 &&
-          r.payload.take(8).sameElements(PngSignature)
+        val pngOk = isPng(r.payload)
         val img = javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(r.payload))
         require(img != null, s"doc ${r.doc_id}: payload is not a decodable image")
@@ -97,7 +108,7 @@ object Multimodal {
           while (x < img.getWidth) { s += raster.getSample(x, y, 0); x += 1 }
           y += 1
         }
-        PngMeta(r.doc_id, isPng, img.getWidth, img.getHeight, s)
+        PngMeta(r.doc_id, pngOk, img.getWidth, img.getHeight, s)
       }
     }
   }
@@ -133,7 +144,10 @@ object Multimodal {
     if (fs.exists(rp)) fs.delete(rp, true)
     TwoBatchScratch.registerCleanup(root)
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
-    pngView(spark, dir).filter(col("doc_id") < maxDocs).collect()
+    // filter doc_id BEFORE the typed encode map: the filter cannot push
+    // through mapPartitions, so the post-map form encoded a PNG for every
+    // document in the corpus just to stage maxDocs files (review r11)
+    pngView(spark, dir, maxId = Some(maxDocs.toLong)).collect()
       .foreach { r =>
         java.nio.file.Files.write(
           java.nio.file.Paths.get(s"$root/${r.doc_id}.png"), r.payload)
@@ -208,9 +222,7 @@ object Multimodal {
     wavView(spark, dir).mapPartitions { it =>
       it.map { r =>
         val p = r.payload
-        val isWav = p.length >= 12 &&
-          new String(p.slice(0, 4), "US-ASCII") == "RIFF" &&
-          new String(p.slice(8, 12), "US-ASCII") == "WAVE"
+        val wavOk = isWav(p)
         val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
           new java.io.ByteArrayInputStream(p))
         val fmt = ais.getFormat
@@ -224,7 +236,7 @@ object Multimodal {
           s += ((bytes(i) & 0xff) | (bytes(i + 1) << 8)).toShort
           i += 2
         }
-        WavMeta(r.doc_id, isWav, fmt.getSampleRate.toInt, fmt.getChannels,
+        WavMeta(r.doc_id, wavOk, fmt.getSampleRate.toInt, fmt.getChannels,
           nFrames, s)
       }
     }
@@ -274,10 +286,8 @@ object Multimodal {
       it.map { r =>
         val p = r.payload
         val format =
-          if (p.length >= 8 && p.take(8).sameElements(PngSignature)) "png"
-          else if (p.length >= 12 &&
-            new String(p.slice(0, 4), "US-ASCII") == "RIFF" &&
-            new String(p.slice(8, 12), "US-ASCII") == "WAVE") "wav"
+          if (isPng(p)) "png"
+          else if (isWav(p)) "wav"
           else "txt"
         val expected = (r.doc_id % 3) match {
           case 0 => "png"
@@ -350,8 +360,15 @@ object Multimodal {
   def frameSample(spark: SparkSession, dir: String, frameSize: Int = 64,
                   every: Int = 4): DataFrame =
     binaryView(spark, dir)
+      // empty payloads emit NO frames: Spark's sequence(0, -1) DESCENDS
+      // ([0, -1], not empty) so the unguarded form emitted a phantom
+      // frame_no=0 (and, with every=1, frame_no=-1) for a zero-byte
+      // payload (review r11); slice(sequence(0,0),1,0) is the typed
+      // empty-int-array literal
       .withColumn("frame_no", explode(expr(
-        s"filter(sequence(0, int(floor((octet_length(payload) - 1) / $frameSize))), " +
+        s"filter(CASE WHEN octet_length(payload) = 0 " +
+          s"THEN slice(sequence(0, 0), 1, 0) " +
+          s"ELSE sequence(0, int(floor((octet_length(payload) - 1) / $frameSize))) END, " +
           s"i -> i % $every = 0)")))
       .select(col("doc_id"), col("frame_no"),
         expr(s"substring(payload, frame_no * $frameSize + 1, $frameSize)").as("frame"))

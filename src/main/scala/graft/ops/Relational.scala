@@ -214,8 +214,12 @@ object Relational {
       approx_count_distinct(col("o_custkey"), 0.02).as("approx_cust"),
       countDistinct(col("o_custkey")).as("exact_cust"))
       .select(col("exact_cust"),
-        (abs(col("approx_cust") - col("exact_cust")).cast("double") /
-          col("exact_cust") <= 0.05).as("within_5pct"))
+        // exact_cust = 0 (empty table) divides by zero — an ANSI crash;
+        // the error bound is vacuously met on an empty table (review r11)
+        when(col("exact_cust") =!= 0,
+          abs(col("approx_cust") - col("exact_cust")).cast("double") /
+            col("exact_cust") <= 0.05)
+          .otherwise(lit(true)).as("within_5pct"))
 
   /** Exact distinct aggregation (expand + two-phase agg under the hood). */
   def distinctAgg(spark: SparkSession, dir: String): DataFrame =
@@ -534,15 +538,21 @@ object Relational {
     * bounded (user, anchor) table — step count is fixed, so the whole
     * funnel is a constant number of keyed passes however large the feed. */
   def funnelSteps(spark: SparkSession, dir: String): DataFrame = {
+    // checkpoint the BOUNDED per-step (user, anchor) tables, not the
+    // corpus-sized event projection (review r11): materializing every
+    // event into executor storage to save two column-pruned scans is the
+    // wrong trade at the 100 TB posture — the three filters re-scan three
+    // pruned columns; s1/s2 (O(users)) are the multi-consumer subtrees
     val e = Tables.events(spark, dir)
       .select(col("user_id"), col("event_type"),
         expr("unix_micros(ts)").as("us"))
-      .localCheckpoint(true) // three step filters read the same projection
     val s1 = e.filter(col("event_type") === "signup")
       .groupBy(col("user_id")).agg(min(col("us")).as("t1"))
+      .localCheckpoint(true) // consumed by s2's join, n1 and the base
     val s2 = e.filter(col("event_type") === "click")
       .join(s1, Seq("user_id")).filter(col("us") > col("t1"))
       .groupBy(col("user_id")).agg(min(col("us")).as("t2"))
+      .localCheckpoint(true) // consumed by s3's join and n2
     val s3 = e.filter(col("event_type") === "purchase")
       .join(s2, Seq("user_id")).filter(col("us") > col("t2"))
       .groupBy(col("user_id")).agg(min(col("us")).as("t3"))
@@ -552,7 +562,10 @@ object Relational {
     val steps = n1.unionByName(n2).unionByName(n3)
     steps.crossJoin(broadcast(s1.agg(count(lit(1)).as("base"))))
       .select(col("step"), col("n").as("n_users"),
-        round(col("n").cast("double") / col("base"), 4).as("conv_rate"))
+        // base = 0 (no signup events at all) is an ANSI divide-by-zero:
+        // the rate is undefined, emit null (review r11)
+        when(col("base") > 0,
+          round(col("n").cast("double") / col("base"), 4)).as("conv_rate"))
       .orderBy(col("step"))
   }
 
@@ -578,7 +591,9 @@ object Relational {
         struct(lit("2_purchased_after_signup").as("stage"), col("n2").as("n_users"))))
         .as("s"), col("n0"))
       .select(col("s.stage").as("stage"), col("s.n_users").as("n_users"),
-        round(col("s.n_users").cast("double") / col("n0"), 4).as("pct_of_all"))
+        // n0 = 0 (empty events) is an ANSI divide-by-zero (review r11)
+        when(col("n0") > 0,
+          round(col("s.n_users").cast("double") / col("n0"), 4)).as("pct_of_all"))
       .orderBy(col("stage"))
   }
 

@@ -109,12 +109,18 @@ object Sampling {
     * does to the product. */
   def tokenBudget(spark: SparkSession, dir: String,
                   budget: Long = 15000L): DataFrame = {
+    // materialized: the bucket aggregate AND the three union branches of
+    // the broadcast join-back all consume the scored table — without the
+    // checkpoint the text scan + per-doc array_distinct (the operator's
+    // dominant cost) ran four times (review r11; the quantileNorm
+    // one-scan discipline)
     val s = Tables(spark, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .select(col("doc_id"), size(col("t")).cast("long").as("n_tok"),
         round(size(array_distinct(col("t"))).cast("double") / size(col("t")), 4)
           .as("score"))
       .withColumn("bucket", floor(col("score") * 100).cast("int"))
+      .localCheckpoint(true)
     val wb = Window.orderBy(col("bucket").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val buckets = s.groupBy(col("bucket")).agg(sum(col("n_tok")).as("btok"))

@@ -64,13 +64,31 @@ object Similarity {
     * join row amplification; cosine via the same sequential-fold dot as the
     * oracle. Yields `(best: max cosine, cell: argmax seed_id)`; strict `>`
     * keeps the lowest seed_id on ties (seeds sorted by id). */
+  /** m must partition the fixture's 64-dim embeddings exactly (review
+    * r11): a non-dividing m silently excluded trailing dimensions from
+    * every ADC distance, and m > 64 made every subvector empty (all
+    * distances 0 — "top-k" degenerating to lowest ids). */
+  private def requirePqM(m: Int): Unit =
+    require(m >= 1 && 64 % m == 0,
+      s"pq: m must divide the embedding dim 64 exactly, got m=$m")
+
   private val assignStruct =
-    """aggregate(cells,
+    """aggregate(
+      |  transform(cells, s -> named_struct(
+      |    'score', if(norm * s.snorm = 0D, cast(-1.5 as double),
+      |               graft_dot(v, s.sv) / (norm * s.snorm)),
+      |    'cell', s.seed_id)),
       |  named_struct('best', cast(-2.0 as double), 'cell', -1L),
-      |  (acc, s) -> if(graft_dot(v, s.sv) / (norm * s.snorm) > acc.best,
-      |    named_struct('best', graft_dot(v, s.sv) / (norm * s.snorm),
-      |                 'cell', s.seed_id),
+      |  (acc, s) -> if(s.score > acc.best,
+      |    named_struct('best', s.score, 'cell', s.cell),
       |    acc))""".stripMargin
+  // transform-then-fold, not dots inlined into both fold branches:
+  // Catalyst does not CSE across lambda branches, so the inlined form
+  // evaluated every seed's dot product twice (the halfFold lesson, r9).
+  // The 0-norm guard (review r11, mirroring Dedup.productCellAssign): a
+  // zero-norm seed or centroid otherwise yields NaN cosine, and Spark
+  // orders NaN above every double — one zero vector in the seed set would
+  // capture EVERY row's assignment (one giant cell, quadratic probe).
 
   /** IVF-style ANN (the FAISS coarse-quantizer pattern): the corpus is
     * partitioned into `nCells` cells by max-cosine against a deterministic
@@ -156,8 +174,13 @@ object Similarity {
     * rows. */
   def annRecall(spark: SparkSession, dir: String, numQueries: Int = 10,
                 k: Int = 5): DataFrame = {
+    // materialized: the hits join AND the distinct q_id base both consume
+    // the brute-force ranking — without the checkpoint the corpus scan
+    // (the operator's dominant cost) executes twice (review r11; the
+    // annNdcg pattern)
     val exact = bruteForceTopK(spark, dir, numQueries, k)
       .select(col("q_id"), col("rank").as("e_rank"), col("n_id"))
+      .localCheckpoint(true)
     val approx = ivfTopK(spark, dir, numQueries, k)
       .select(col("q_id"), col("rank").as("a_rank"), col("n_id"))
     val hits = approx.join(exact, Seq("q_id", "n_id"))
@@ -365,7 +388,7 @@ object Similarity {
   def decontaminateEmbed(spark: SparkSession, dir: String,
                          threshold: Double = 0.5): DataFrame = {
     val e = withVec(spark, dir)
-    val split = pmod(col("vec_id") * lit(2654435761L), lit(100))
+    val split = TextAnalysis.splitHash(col("vec_id"))
     val test = e.filter(split >= 80).alias("q")
     val train = e.filter(split < 80).alias("c")
     train.join(broadcast(test))
@@ -409,7 +432,7 @@ object Similarity {
                             threshold: Double = 0.5, nCells: Int = 8,
                             nProbe: Int = 4): DataFrame = {
     val e = withVec(spark, dir)
-    val split = pmod(col("vec_id") * lit(2654435761L), lit(100))
+    val split = TextAnalysis.splitHash(col("vec_id"))
     val seeds = seedCells(e, nCells)
     val train = cellAssign(e.filter(split < 80), seeds).alias("c")
     val test = probesOf(e.filter(split >= 80), seeds, nProbe).alias("q")
@@ -564,6 +587,7 @@ object Similarity {
   def pqTopK(spark: SparkSession, dir: String, numQueries: Int = 10, k: Int = 5,
              m: Int = 8, ks: Int = 16): DataFrame = {
     val e = withVec(spark, dir)
+    requirePqM(m)
     val sub = 64 / m // fixture embedding dim
     val cb = subspacesOf(e.filter(col("vec_id") < ks), "j", m, sub)
       .select(col("j"), col("s"), col("sv").as("cv"), col("nn").as("cnn"))
@@ -582,6 +606,7 @@ object Similarity {
   def pqTrainCodebooks(spark: SparkSession, dir: String, m: Int = 8,
                        ks: Int = 16, maxIter: Int = 4): DataFrame = {
     val e = withVec(spark, dir)
+    requirePqM(m)
     val sub = 64 / m
     val corpusSub = subspacesOf(e, "vec_id", m, sub)
     var cb = subspacesOf(e.filter(col("vec_id") < ks), "j", m, sub)
@@ -620,6 +645,7 @@ object Similarity {
                     k: Int = 5, m: Int = 8, ks: Int = 16,
                     maxIter: Int = 4): DataFrame = {
     val e = withVec(spark, dir)
+    requirePqM(m)
     val sub = 64 / m
     val cb = pqTrainCodebooks(spark, dir, m, ks, maxIter)
     pqAdcTopK(subspacesOf(e, "vec_id", m, sub),
@@ -653,6 +679,7 @@ object Similarity {
                 k: Int = 5, nCells: Int = 8, nProbe: Int = 2,
                 m: Int = 8, ks: Int = 16): DataFrame = {
     val e = withVec(spark, dir)
+    requirePqM(m)
     val sub = 64 / m
     val seeds = seedCells(e, nCells)
     val assigned = cellAssign(e, seeds).select(col("vec_id"), col("cell"))
@@ -770,7 +797,11 @@ object Similarity {
                      queryVecId: Long = 0L, topN: Int = 50, k: Int = 20,
                      rrfK: Int = 60): DataFrame = {
     val wLex = Window.orderBy(col("bm25").desc, col("doc_id"))
+    // the query's own document is excluded from BOTH legs (review r11):
+    // excluding it only from the semantic leg let it re-enter the fusion
+    // through BM25 with sem_rank 0 — a retrieval hit that IS the query
     val lex = TextAnalysis.bm25(spark, dir, query)
+      .filter(col("doc_id") =!= queryVecId)
       .orderBy(col("bm25").desc, col("doc_id")).limit(topN)
       .select(col("doc_id").as("id"), row_number().over(wLex).as("lex_rank"))
     val e = withVec(spark, dir)

@@ -12,6 +12,18 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** THE train/test split hash — one definition for every screen (review
+    * r11: it was hand-copied at 9 call sites across 4 files and an edit
+    * missed one): `pmod((id % 2147483647) * 2654435761, 100)`. The inner
+    * mod keeps the product inside Long (ANSI mode, the Spark 4 default,
+    * makes the bare multiply an overflow ERROR at ids >= ~3.5e9) while
+    * leaving every id below 2^31-1 with its historical bucket; pmod
+    * normalizes the (non-schema) negative-id case — ids are nonnegative
+    * by schema, where pmod and the DuckDB oracle's `%` agree. */
+  private[graft] def splitHash(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod((id % lit(2147483647L)) * lit(2654435761L), lit(100))
+
+
   /** Occurrences of `marker` in text, via the length/replace identity —
     * chosen because it is exactly replicable in ANSI SQL for the oracle. */
   private def occurrences(text: Column, marker: String): Column =
@@ -323,6 +335,12 @@ object TextAnalysis {
     * itself is `concat_ws` of the same slice). Pure per-row HOF work. */
   def chunk(spark: SparkSession, dir: String, chunkSize: Int = 64,
             overlap: Int = 16): DataFrame = {
+    // overlap >= chunkSize gave step <= 0: a NULL/crashing div in the
+    // chunk-count expression (every doc silently vanishing in non-ANSI),
+    // or a DESCENDING sequence whose negative slice starts read from the
+    // END of the token array (review r11; the minhashLsh guard class)
+    require(overlap >= 0 && overlap < chunkSize,
+      s"chunk: need 0 <= overlap < chunkSize, got overlap=$overlap size=$chunkSize")
     val step = chunkSize - overlap
     Tables(spark, dir, "documents")
       .withColumn("toks", split(col("text"), " "))
@@ -399,7 +417,7 @@ object TextAnalysis {
   def trainTestSplit(spark: SparkSession, dir: String, trainPct: Int = 80): DataFrame =
     Tables(spark, dir, "documents")
       .withColumn("split",
-        when((col("doc_id") * lit(2654435761L)) % 100 < trainPct, "train")
+        when(splitHash(col("doc_id")) < trainPct, "train")
           .otherwise("test"))
       .groupBy(col("split"))
       .agg(count(lit(1)).as("n_docs"),
@@ -422,7 +440,7 @@ object TextAnalysis {
                     shards: Int = 8): DataFrame = {
     val d = Tables(spark, dir, "documents")
       .withColumn("split",
-        when((col("doc_id") * lit(2654435761L)) % 100 < 80, "train").otherwise("test"))
+        when(splitHash(col("doc_id")) < 80, "train").otherwise("test"))
       .withColumn("shard", (col("doc_id") % shards).cast("int"))
       .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
     val w = org.apache.spark.sql.expressions.Window
@@ -479,14 +497,14 @@ object TextAnalysis {
   def mixDeciles(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables(spark, dir, "documents")
       .withColumn("split",
-        when((col("doc_id") * lit(2654435761L)) % 100 < 80, "train").otherwise("test"))
+        when(splitHash(col("doc_id")) < 80, "train").otherwise("test"))
       .withColumn("shard", (col("doc_id") % 8).cast("int"))
       .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("split"), col("shard")).orderBy(col("n_tok"), col("doc_id"))
     d.withColumn("decile", ntile(10).over(w))
       .withColumn("sampled",
-        (col("doc_id") * lit(40503L)) % 100 < col("decile") * 10)
+        ((col("doc_id") % lit(2147483647L)) * lit(40503L)) % 100 < col("decile") * 10)
       .groupBy(col("split"), col("decile"))
       .agg(count(lit(1)).as("n_docs"),
         count(when(col("sampled"), 1)).as("n_sampled"),
@@ -530,11 +548,15 @@ object TextAnalysis {
     val d = Tables(spark, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("t"))
     // guard: Spark's sequence(1, 0) DESCENDS, so short docs need the CASE
+    // materialized: cb, cu AND the join-back all consume the bigram
+    // stream — without the checkpoint the corpus scan + explode runs
+    // three times (review r11; the knLmScore four-consumer pattern)
     val bg = d.select(col("doc_id"), explode(expr(
       """CASE WHEN size(t) >= 2
         |  THEN transform(sequence(1, size(t) - 1),
         |         i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))
         |  ELSE array() END""".stripMargin)).as("big"))
+      .localCheckpoint(true)
     val cb = bg.groupBy(col("big")).agg(count(lit(1)).as("c2"))
     val cu = bg.select(expr("split(big, ' ')[0]").as("w1"))
       .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
@@ -567,11 +589,15 @@ object TextAnalysis {
                 discount: Double = 0.75): DataFrame = {
     val d = Tables(spark, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("t"))
+    // materialized: cb, cu AND the join-back all consume the bigram
+    // stream — without the checkpoint the corpus scan + explode runs
+    // three times (review r11; the knLmScore four-consumer pattern)
     val bg = d.select(col("doc_id"), explode(expr(
       """CASE WHEN size(t) >= 2
         |  THEN transform(sequence(1, size(t) - 1),
         |         i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))
         |  ELSE array() END""".stripMargin)).as("big"))
+      .localCheckpoint(true)
     val sp = bg.select(col("doc_id"),
         expr("split(big, ' ')[0]").as("w1"),
         expr("split(big, ' ')[1]").as("w2"))
@@ -620,15 +646,24 @@ object TextAnalysis {
         sum(col("x") * col("y")).as("sxy"),
         sum(col("x") * col("x")).as("sxx"),
         sum(col("y") * col("y")).as("syy"))
+      // nullif-style guard (review r11): a 1-row head (or a single
+      // distinct token) zeroes the variance denominators — null results
+      // beat an ANSI DIVIDE_BY_ZERO crash; values are unchanged whenever
+      // the fit is defined (the oracle divides the same way)
+      .withColumn("dxx",
+        when(col("n") * col("sxx") - col("sx") * col("sx") =!= 0.0,
+          col("n") * col("sxx") - col("sx") * col("sx")))
+      .withColumn("dyy",
+        when(col("n") * col("syy") - col("sy") * col("sy") =!= 0.0,
+          col("n") * col("syy") - col("sy") * col("sy")))
       .select(col("n").cast("long").as("n_head"),
         round((col("n") * col("sxy") - col("sx") * col("sy")) /
-          (col("n") * col("sxx") - col("sx") * col("sx")), 4).as("slope"),
+          col("dxx"), 4).as("slope"),
         round((col("sy") - (col("n") * col("sxy") - col("sx") * col("sy")) /
-          (col("n") * col("sxx") - col("sx") * col("sx")) * col("sx")) /
+          col("dxx") * col("sx")) /
           col("n"), 4).as("intercept"),
         round(pow(col("n") * col("sxy") - col("sx") * col("sy"), 2) /
-          ((col("n") * col("sxx") - col("sx") * col("sx")) *
-            (col("n") * col("syy") - col("sy") * col("sy"))), 4).as("r2"))
+          (col("dxx") * col("dyy")), 4).as("r2"))
   }
 
   /** Domain-mixture weights: per source, token counts and a sub-linearly
@@ -661,7 +696,7 @@ object TextAnalysis {
   def langBalance(spark: SparkSession, dir: String, cap: Int = 100): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("lang"))
-      .orderBy((col("doc_id") * lit(40503L)) % 997, col("doc_id"))
+      .orderBy(((col("doc_id") % lit(2147483647L)) * lit(40503L)) % 997, col("doc_id"))
     Tables(spark, dir, "documents")
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= cap)
@@ -726,7 +761,7 @@ object TextAnalysis {
   def reshard(spark: SparkSession, dir: String, shards: Int = 16): DataFrame =
     Tables(spark, dir, "documents")
       .withColumn("shard",
-        (((col("doc_id") * lit(2654435761L)) % 1000003L) % shards).cast("int"))
+        ((((col("doc_id") % lit(2147483647L)) * lit(2654435761L)) % 1000003L) % shards).cast("int"))
       .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"),
@@ -1421,11 +1456,19 @@ object TextAnalysis {
        |  l -> CASE WHEN element_at(vmap, substring(tok, i, l)) IS NOT NULL
        |    THEN l ELSE 0 END))""".stripMargin
     distinctWords(spark, dir).crossJoin(broadcast(vmap))
+      // longest-match per position PRECOMPUTED once into an array: the
+      // fold's two references ($longest in both the stride term and the
+      // unk test) are lambda branches Catalyst does not CSE, so inlining
+      // ran the maxLen-way substring/vocab probe twice per character
+      // (review r11 — the assignStruct/halfFold lesson); element_at over
+      // the precomputed array is O(1) per reference
+      .withColumn("lmatch", expr(
+        s"""transform(sequence(1, length(tok)), i -> $longest)"""))
       .withColumn("packed", expr(
         s"""aggregate(sequence(1, length(tok)), cast(${sPos}L as bigint),
            |  (acc, i) -> CASE WHEN i < acc div ${sPos}L THEN acc
-           |    ELSE acc + greatest($longest, 1) * ${sPos}L + ${sPc}L
-           |         + CASE WHEN $longest = 0 THEN 1L ELSE 0L END END)""".stripMargin))
+           |    ELSE acc + greatest(element_at(lmatch, i), 1) * ${sPos}L + ${sPc}L
+           |         + CASE WHEN element_at(lmatch, i) = 0 THEN 1L ELSE 0L END END)""".stripMargin))
       .select(col("tok"), col("c").as("n_occ"),
         length(col("tok")).as("n_chars"),
         (expr(s"packed div ${sPc}L") % sPc).cast("int").as("n_pieces"),

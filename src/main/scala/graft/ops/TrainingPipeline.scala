@@ -29,7 +29,7 @@ object TrainingPipeline {
                     dfCap: Int = 128): DataFrame = {
     graft.functions.TextFunctions.register(spark)
     val d = Tables(spark, dir, "documents")
-      .withColumn("tr", (col("doc_id") * lit(2654435761L)) % 100 < 80)
+      .withColumn("tr", TextAnalysis.splitHash(col("doc_id")) < 80)
 
     // 1. exact tier among train docs — digest-keyed like dedupPipeline:
     // the shuffle key is the 16-byte md5, never the document body

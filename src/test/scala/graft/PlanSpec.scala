@@ -793,13 +793,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 
-  test("funnel steps: the checkpointed projection feeds three keyed " +
-    "step joins; only the 1-row base fold nested-loops") {
+  test("funnel steps: three column-pruned event scans feed the keyed step " +
+    "joins (the bounded per-step tables ride checkpoints, never a " +
+    "corpus-sized cache — review r11); only the 1-row base fold " +
+    "nested-loops") {
     val p = plan("q_funnel_steps")
     assert(!p.contains("CartesianProduct"), p.take(3000))
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p.take(3000))
-    assert("Scan parquet".r.findAllIn(p).isEmpty,
-      "the events projection rides the checkpoint")
+    // re-scanning three pruned columns beats materializing every event
+    // into executor storage at the 100 TB posture; the O(users) s1/s2
+    // tables ride eager checkpoints (their scans run at construction), so
+    // the RETURNED plan carries exactly the third step's pruned scan
+    assert("Scan parquet".r.findAllIn(p).size === 1,
+      s"expected exactly the purchase step's pruned scan:\n${p.take(3000)}")
   }
 
   test("unpartitioned windows ride bounded inputs: below every global " +

@@ -104,7 +104,11 @@ class Round7OpsSpec extends SparkSpec {
     val emb = ops.Tables(spark, sf, "embeddings").collect()
       .map(r => (r.getLong(0),
         r.getSeq[Float](1).toArray.map(_.toDouble)))
-    val testIds = emb.map(_._1).filter(id => (id * 2654435761L) % 100 >= 80).toSet
+    // mirrors TextAnalysis.splitHash (review r11: the spec replication
+    // was missed when the production hash gained its overflow wrap)
+    val testIds = emb.map(_._1)
+      .filter(id => Math.floorMod((id % 2147483647L) * 2654435761L, 100L) >= 80)
+      .toSet
     assert(rows.map(_._1).toSet === testIds, "screen must cover the test split")
     assert(rows.length === testIds.size)
     def cos(a: Array[Double], b: Array[Double]): Double = {
