@@ -155,11 +155,14 @@ final class SocketTailCdcSource(spark: SparkSession, hostPort: String,
   }
   def count(sync: SyncConfig): Long =
     spark.read.parquet(s"$tableDir/${sync.table}.parquet").count()
-  def ping(): Boolean = {
-    val Array(host, port) = hostPort.split(':')
-    try { graft.sources.SocketCdc.latest(host, port.toInt); true }
-    catch { case _: Exception => false }
-  }
+  def ping(): Boolean =
+    // the parse lives INSIDE the try (review r11): a malformed hostPort
+    // (no colon, non-numeric port, IPv6 literal) threw MatchError out of
+    // a liveness probe whose O1 contract is a Boolean
+    try {
+      val Array(host, port) = hostPort.split(':')
+      graft.sources.SocketCdc.latest(host, port.toInt); true
+    } catch { case _: Exception => false }
 }
 
 /** In-memory CDC feed for tests (the reference's integration harness shape:

@@ -59,6 +59,14 @@ object EnvelopeDecoders {
       // reference's F2 filter — but only the ENTRY, never the rest of the
       // transaction
       .filter(col("c.kind").isin("insert", "update", "delete"))
+      // a delete without oldkeys (REPLICA IDENTITY NOTHING / no PK) has no
+      // key to delete by: the pre-fix null payload flowed downstream and
+      // the delete silently no-opped at the sink — the exact loss class
+      // the guard exists to stop (review r11)
+      .filter(undecodableGuard(
+        col("c.kind") =!= "delete" || col("c.oldkeys.keynames").isNotNull,
+        "wal2json (delete without oldkeys — set REPLICA IDENTITY on the table)",
+        to_json(col("c"))))
       .select(
         opFrom(col("c.kind"), "insert").as("op"),
         col("c.table").as("table"),
@@ -122,7 +130,12 @@ object EnvelopeDecoders {
       // mandatory-field guard — see the binlog note on PERMISSIVE structs
       .filter(undecodableGuard(col("__m.operationType").isNotNull,
         "mongo change stream", col(dataCol)))
-      .filter(col("__m.operationType").isin("insert", "update", "delete"))
+      // 'replace' (replaceOne/save/findOneAndReplace) is a routine
+      // row-changing op: a full-document overwrite, i.e. the sink's CREATE
+      // semantics (fields absent from the new document are removed) —
+      // pre-fix it was silently dropped and the sink kept the old document
+      // forever (review r11)
+      .filter(col("__m.operationType").isin("insert", "update", "delete", "replace"))
     val uf = to_json(col("__m.updateDescription.updatedFields"))
     val dk = to_json(col("__m.documentKey"))
     // update payload = updatedFields ∪ documentKey (reference mongo.py:64-68
@@ -133,11 +146,15 @@ object EnvelopeDecoders {
       .otherwise(concat(uf.substr(lit(1), length(uf) - 1),
         lit(","), dk.substr(lit(2), length(dk))))
     d.select(
-      opFrom(col("__m.operationType"), "insert").as("op"),
+      when(col("__m.operationType").isin("insert", "replace"),
+        graft.model.Op.Create)
+        .when(col("__m.operationType") === "update", graft.model.Op.Update)
+        .otherwise(graft.model.Op.Delete).as("op"),
       col("__m.ns.coll").as("table"),
       col(offsetCol).as("offset"),
       lit(0).as("_ridx"), // change streams deliver one document per event
-      when(col("__m.operationType") === "insert", to_json(col("__m.fullDocument")))
+      when(col("__m.operationType").isin("insert", "replace"),
+        to_json(col("__m.fullDocument")))
         .when(col("__m.operationType") === "update", merged)
         .otherwise(dk)
         .as("data"))
@@ -157,7 +174,12 @@ object EnvelopeDecoders {
     val inner = """op: STRING, before: VARIANT, after: VARIANT,
       |source: STRUCT<table: STRING>, ts_ms: LONG""".stripMargin
     val schema = ddl(s"STRUCT<payload: STRUCT<$inner>, $inner>")
-    val d = raw.withColumn("__z", from_json(col(dataCol), schema))
+    // Kafka DELETE TOMBSTONES (null-valued records Debezium emits after
+    // every delete for log compaction) are routine, not corruption —
+    // pre-fix the mandatory-op guard fail-stopped the stream on the first
+    // ordinary delete in the feed (review r11)
+    val d = raw.filter(col(dataCol).isNotNull)
+      .withColumn("__z", from_json(col(dataCol), schema))
     // the wrapped and flat forms are distinguished per record: schema
     // envelopes are a connector-level setting but a feed can mix producers
     def f(field: String): Column =

@@ -155,6 +155,9 @@ case class MinHashSig(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val xs = a.asInstanceOf[ArrayData]
     val k = b.asInstanceOf[Int]
+    // k < 1 threw an opaque NegativeArraySizeException in the executor
+    // (review r11; the WordBlocks require discipline)
+    require(k >= 1, s"$prettyName: signature length must be >= 1, got $k")
     val n = xs.numElements()
     val out = Array.fill(k)(Long.MaxValue)
     var i = 0
@@ -177,6 +180,8 @@ case class MinHashSig(left: Expression, right: Expression)
       val s = ctx.freshName("s"); val h = ctx.freshName("h")
       val z = ctx.freshName("z"); val out = ctx.freshName("out")
       s"""
+         |if ($b < 1) throw new IllegalArgumentException(
+         |  "graft_minhash_sig: signature length must be >= 1, got " + $b);
          |int $n = $a.numElements();
          |long[] $out = new long[$b];
          |java.util.Arrays.fill($out, Long.MAX_VALUE);
@@ -251,6 +256,9 @@ object WordShingles {
     * `array_distinct`). Tokenization matches `split(text, ' ', -1)`: single
     * spaces, empty tokens preserved. */
   private[functions] def distinctGrams(t: Any, n: Int): java.util.LinkedHashSet[String] = {
+    // n < 1 would overrun the token array with an opaque executor AIOOBE
+    // (review r11; the WordBlocks require discipline)
+    require(n >= 1, s"graft shingling: gram size must be >= 1, got $n")
     val toks = t.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
       .toString.split(" ", -1)
     val seen = new java.util.LinkedHashSet[String]()
@@ -571,6 +579,9 @@ case class WordGramPosHashes(left: Expression, right: Expression)
     val toks = t.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
       .toString.split(" ", -1)
     val n = nAny.asInstanceOf[Int]
+    // n < 1 made count = len+1 and overran toks with an opaque AIOOBE
+    // (review r11; the WordBlocks require discipline)
+    require(n >= 1, s"$prettyName: gram size must be >= 1, got $n")
     val count = math.max(toks.length - n + 1, 0)
     val out = new Array[Long](count)
     var i = 0

@@ -37,6 +37,12 @@ case class DotProduct(left: Expression, right: Expression)
   // shorter side with nulls, so the fold yields null): a mixed-dimension
   // corpus row must surface as a detectable null, never as a
   // plausible-but-truncated similarity (r9 review).
+  // A NULL element => NULL result (review r11): the claimed-bit-identical
+  // aggregate(zip_with(...)) yields null there, while ArrayData.getDouble
+  // reads a null slot as 0.0 — a plausible-but-wrong similarity, the exact
+  // class the r9 dimension-mismatch rule exists to surface. Inputs built
+  // by transform(embedding, x -> cast(x as double)) are containsNull=true,
+  // so this path is reachable from every IVF/dedup caller.
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -44,7 +50,10 @@ case class DotProduct(left: Expression, right: Expression)
     if (y.numElements() != n) return null
     var s = 0.0
     var i = 0
-    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += x.getDouble(i) * y.getDouble(i); i += 1
+    }
     s
   }
 
@@ -60,9 +69,10 @@ case class DotProduct(left: Expression, right: Expression)
          |} else {
          |  double $s = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    $s += $a.getDouble($i) * $b.getDouble($i);
          |  }
-         |  ${ev.value} = $s;
+         |  if (!${ev.isNull}) { ${ev.value} = $s; }
          |}
        """.stripMargin
     })
@@ -86,13 +96,18 @@ case class VecNorm(child: Expression)
     }
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_norm"
+  // null on a null ELEMENT (the DotProduct rule — review r11)
+  override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     var s = 0.0
     var i = 0
     val n = x.numElements()
-    while (i < n) { val v = x.getDouble(i); s += v * v; i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i)) return null
+      val v = x.getDouble(i); s += v * v; i += 1
+    }
     math.sqrt(s)
   }
 
@@ -106,10 +121,11 @@ case class VecNorm(child: Expression)
          |int $n = $a.numElements();
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  double $v = $a.getDouble($i);
          |  $s += $v * $v;
          |}
-         |${ev.value} = java.lang.Math.sqrt($s);
+         |if (!${ev.isNull}) { ${ev.value} = java.lang.Math.sqrt($s); }
        """.stripMargin
     })
 
@@ -143,6 +159,11 @@ case class SrpCodeSigns(left: Expression, right: Expression)
     }
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_srp_code_signs"
+  // null on a vector/plane dimension mismatch or a null element — NOT a
+  // silent prefix truncation (review r11): a code computed from a prefix
+  // is a plausible-but-wrong LSH bucket that silently loses near-dup
+  // candidates; the DotProduct rule applies here identically.
+  override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val v = a.asInstanceOf[ArrayData]
@@ -151,11 +172,14 @@ case class SrpCodeSigns(left: Expression, right: Expression)
     var code = 0L
     var p = 0
     while (p < bits) {
+      if (planes.isNullAt(p)) return null
       val row = planes.getArray(p)
-      val n = math.min(v.numElements(), row.numElements())
+      val n = v.numElements()
+      if (row.numElements() != n) return null
       var s = 0L
       var i = 0
       while (i < n) {
+        if (v.isNullAt(i)) return null
         val q = math.floor(v.getDouble(i) * 1e6).toLong
         s += (if (row.getBoolean(i)) q else -q)
         i += 1
@@ -175,17 +199,20 @@ case class SrpCodeSigns(left: Expression, right: Expression)
       s"""
          |int $bits = java.lang.Math.min($b.numElements(), 64);
          |long $code = 0L;
-         |for (int $p = 0; $p < $bits; $p++) {
+         |for (int $p = 0; $p < $bits && !${ev.isNull}; $p++) {
+         |  if ($b.isNullAt($p)) { ${ev.isNull} = true; break; }
          |  org.apache.spark.sql.catalyst.util.ArrayData $row = $b.getArray($p);
-         |  int $n = java.lang.Math.min($a.numElements(), $row.numElements());
+         |  int $n = $a.numElements();
+         |  if ($row.numElements() != $n) { ${ev.isNull} = true; break; }
          |  long $s = 0L;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    long $q = (long) java.lang.Math.floor($a.getDouble($i) * 1e6);
          |    $s += $row.getBoolean($i) ? $q : -$q;
          |  }
-         |  if ($s > 0L) $code |= (1L << $p);
+         |  if (!${ev.isNull} && $s > 0L) $code |= (1L << $p);
          |}
-         |${ev.value} = $code;
+         |if (!${ev.isNull}) { ${ev.value} = $code; }
        """.stripMargin
     })
 

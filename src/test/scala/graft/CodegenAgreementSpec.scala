@@ -62,6 +62,10 @@ class CodegenAgreementSpec extends SparkSpec {
       (Seq(-1.5, 2.25, -3.125), Seq(7.0, -8.0, 9.5)),
       (null, Seq(1.0)))                        // null side
     vecs.zipWithIndex.foreach { case ((a, b), i) => rows.add(Row(i, a, b)) }
+    // null ELEMENT rows (review r11: ArrayData reads a null slot as 0.0 —
+    // both paths must yield NULL, never a plausible-but-wrong similarity)
+    rows.add(Row(vecs.size, Seq[Any](1.0, null, 3.0), Seq[Any](4.0, 5.0, 6.0)))
+    rows.add(Row(vecs.size + 1, Seq[Any](1.0, 2.0, 3.0), Seq[Any](4.0, null, 6.0)))
     spark.createDataFrame(rows,
       StructType.fromDDL("id INT, v ARRAY<DOUBLE>, w ARRAY<DOUBLE>"))
       .createOrReplaceTempView("cg_vec")

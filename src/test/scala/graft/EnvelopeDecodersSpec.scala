@@ -223,4 +223,42 @@ class EnvelopeDecodersSpec extends SparkSpec {
     assert(pipe.sinkState(sync).orderBy("id").collect().toSeq ===
       Seq(org.apache.spark.sql.Row(1, 47), org.apache.spark.sql.Row(3, 25)))
   }
+
+  test("mongo change stream: 'replace' is a full-document overwrite — " +
+    "CREATE semantics, never silently dropped (review r11)") {
+    val rep = """{"operationType":"replace","ns":{"db":"d","coll":"c"},"fullDocument":{"_id":"a1","name":"z"},"documentKey":{"_id":"a1"}}"""
+    val out = EnvelopeDecoders.decodeMongoChangeStream(
+      Seq((rep, 1L)).toDF("data", "offset")).collect()
+    assert(out.length === 1, "a replaceOne must not vanish from the feed")
+    assert(out.head.getAs[String]("op") === "create",
+      "replace = full-document overwrite = the sink's create semantics")
+    assert(out.head.getAs[String]("data") === """{"_id":"a1","name":"z"}""")
+  }
+
+  test("wal2json: a delete without oldkeys (REPLICA IDENTITY NOTHING) " +
+    "fails LOUD instead of flowing a null payload that silently no-ops " +
+    "at the sink (review r11)") {
+    val msg = """{"change":[{"kind":"delete","schema":"public","table":"t"}],"nextlsn":"0/1"}"""
+    val e = intercept[Exception] {
+      EnvelopeDecoders.decodeWal2json(Seq((msg, 1L)).toDF("data", "offset")).collect()
+    }
+    def msgOf(t: Throwable): String =
+      Option(t.getMessage).getOrElse("") +
+        Option(t.getCause).map(c => Option(c.getMessage).getOrElse("")).getOrElse("")
+    assert(msgOf(e).contains("REPLICA IDENTITY") || msgOf(e).contains("undecodable"),
+      s"the failure must name the repair: ${msgOf(e)}")
+  }
+
+  test("debezium: Kafka delete TOMBSTONES (null-valued records) are " +
+    "routine log-compaction markers, filtered — not corruption that " +
+    "fail-stops the stream (review r11)") {
+    val feed = Seq(
+      ("""{"op":"d","before":{"id":2},"after":null,"source":{"table":"test"},"ts_ms":1}""", 1L),
+      (null.asInstanceOf[String], 2L), // the tombstone Debezium emits after the delete
+      ("""{"op":"c","before":null,"after":{"id":3},"source":{"table":"test"},"ts_ms":3}""", 3L))
+    val out = EnvelopeDecoders.decodeDebezium(feed.toDF("data", "offset"))
+      .orderBy("offset").collect()
+    assert(out.map(_.getAs[String]("op")).toSeq === Seq("delete", "create"),
+      "the tombstone must drop; the real events must survive")
+  }
 }
