@@ -21,13 +21,26 @@ def norm(rows, cols):
     out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
     return [cols[i] for i in order], out
 
-def main(sf_dir, out_dir, json_out=None):
+def main(sf_dir, out_dir, json_out=None, only=None):
     results = {}
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     fails = []
+    if only:
+        # a filter name matching neither an oracle entry nor a dump dir is
+        # a FAILURE, not a silent '0 failures' (review r11: a typo'd name
+        # would otherwise read as the query passing when it never ran)
+        import os as _os
+        for n in sorted(only):
+            if n not in oracle and not _os.path.isdir(_os.path.join(out_dir, n)):
+                fails.append(n)
+                results[n] = {"status": "fail",
+                              "detail": "unknown query: no oracle entry and "
+                                        "no dump dir"}
+                print(f"FAIL {n}: unknown query (no oracle entry, no dump)")
+        oracle = {k: v for k, v in oracle.items() if k in only}
     for name, sql in sorted(oracle.items()):
         try:
             got = con.execute(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
@@ -83,8 +96,20 @@ def main(sf_dir, out_dir, json_out=None):
     import os
     for name in sorted(os.listdir(out_dir)):
         p = os.path.join(out_dir, name)
+        if only is not None and name not in only:
+            continue
         if os.path.isdir(p) and name not in oracle:
-            n = con.execute(f"SELECT count(*) FROM '{p}/*.parquet'").fetchone()[0]
+            # per-dir try (review r11): one unreadable dir (a stray
+            # _temporary from a killed write) must not crash the gate and
+            # discard every already-computed result
+            try:
+                n = con.execute(f"SELECT count(*) FROM '{p}/*.parquet'").fetchone()[0]
+            except Exception as e:
+                fails.append(name)
+                results[name] = {"status": "fail",
+                                 "detail": f"rows-only read: {e}"[:200]}
+                print(f"FAIL {name} (rows-only, unreadable: {e})")
+                continue
             status = "ok  " if n > 0 else "FAIL"
             if n == 0:
                 fails.append(name)
@@ -101,4 +126,6 @@ def main(sf_dir, out_dir, json_out=None):
     sys.exit(1 if fails else 0)
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2], sys.argv[3] if len(sys.argv) > 3 else None)
+    main(sys.argv[1], sys.argv[2],
+         sys.argv[3] if len(sys.argv) > 3 else None,
+         set(sys.argv[4:]) if len(sys.argv) > 4 else None)

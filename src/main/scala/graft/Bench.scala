@@ -36,9 +36,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    GraftSession.quietBoundedWindowWarnings()
+    val spark = GraftSession.get(s"local[$cpus]", cpus.toInt)
     // Warmup (untimed): touch every table once so parquet footer reads, JVM
     // JIT and codegen paths don't land on whichever query happens to run
     // first.
@@ -77,23 +75,45 @@ object Bench {
     // swinging 2.5 s <-> 30 s between runs with an idle JVM); the min is
     // the standard noise-robust throughput estimator and both passes run
     // against identical warm state.
-    def timedPass(skip: Set[String]): Map[String, Double] =
-      SparkEntry.queries.flatMap { case (name, fn) =>
-        if (skip(name)) None
-        else {
+    // A rep that THROWS is never timed (review r11): an erroring query
+    // completes in ~ms, so recording its elapsed time would report a
+    // regression-into-error as a SPEEDUP and the mover gate could never
+    // fire on it. Failed reps land in `errs`; a query with no successful
+    // rep in any pass it ran is reported in the JSON `errors` list.
+    def timedPass(skip: Set[String]): (Map[String, Double], Set[String]) = {
+      val times = Map.newBuilder[String, Double]
+      val errs = Set.newBuilder[String]
+      SparkEntry.queries.foreach { case (name, fn) =>
+        if (!skip(name)) {
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-          Some(name -> (System.nanoTime() - t0) / 1e9)
+          val ok = try { fn(spark, sfDir).count(); true }
+                   catch { case e: Throwable =>
+                     System.err.println(s"bench: $name failed: $e"); false }
+          if (ok) times += name -> (System.nanoTime() - t0) / 1e9
+          else errs += name
         }
       }
+      (times.result(), errs.result())
+    }
     // FloorBound ops run once (in p1); everything else takes min-of-two
-    val (p1, p2) = (timedPass(Set.empty), timedPass(FloorBound))
+    val (p1, e1) = timedPass(Set.empty)
+    val (p2, e2) = timedPass(FloorBound ++ e1)
     val results = p1.map { case (k, v) => k -> math.min(v, p2.getOrElse(k, v)) }
+    val errors = (e1 ++ e2).toSeq.sorted
     // Locale.ROOT: the default-locale format would print "0,123" on
     // comma-decimal locales — invalid JSON, the parsed:null failure all
     // over again.
     def f(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f",
       Double.box(v))
+    // JSON string escape for interpolated paths (review r11): a quote or
+    // backslash in SPARK_GRAFT_SF_DIR / user.dir would otherwise emit
+    // malformed JSON and zero the round's bench parse.
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     // ---- automated headline-drift adjudication (r10 verdict #3) ----
     // The r9 gate (scripts/bench_compare.py) flags headline movers >1.3x
     // vs the committed per-query snapshot, but the Profile-floor check on
@@ -182,8 +202,9 @@ object Bench {
       new java.io.File(sys.props("user.dir"), "BENCH_QUERIES.json").getPath)
     // the prior snapshot must be read BEFORE the overwrite below
     val movers = adjudicateMovers(priorQueries(outPath))
+    val errorsJson = errors.map(jstr).mkString("[", ",", "]")
     val fileJson =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${results.size},"headline":${f(headlineTotal)},"n_headline":${headlineHit.size},"movers_adjudicated":$movers,"queries":$perQuery,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${results.size},"headline":${f(headlineTotal)},"n_headline":${headlineHit.size},"errors":$errorsJson,"movers_adjudicated":$movers,"queries":$perQuery,"sf":${jstr(sfDir)}}"""
     // per_query advertises the path actually WRITTEN, and null if the write
     // failed — a fixed pointer would present a stale committed file as this
     // run's timings.
@@ -197,9 +218,9 @@ object Bench {
         case e: Throwable =>
           System.err.println(s"bench: could not write $outPath: $e"); false
       }
-    val perQueryRef = if (wrote) "\"" + outPath + "\"" else "null"
+    val perQueryRef = if (wrote) jstr(outPath) else "null"
     val out =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${results.size},"headline":${f(headlineTotal)},"n_headline":${headlineHit.size},"movers_adjudicated":$movers,"sf":"$sfDir","per_query":$perQueryRef}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${results.size},"headline":${f(headlineTotal)},"n_headline":${headlineHit.size},"errors":$errorsJson,"movers_adjudicated":$movers,"sf":${jstr(sfDir)},"per_query":$perQueryRef}"""
     // Stop Spark BEFORE printing so no shutdown logging can land after the
     // JSON line: it must be the last line of stdout for the driver's parser.
     spark.stop()

@@ -66,16 +66,18 @@ object Main {
       val in = new java.io.FileInputStream(cfgPath)
       try props.load(in) finally in.close()
       val spark = GraftSession.get()
-      try run(cmd, props, rest, spark)
-      finally spark.stop()
+      val rc = try run(cmd, props, rest, spark)
+               finally spark.stop()
+      if (rc != 0) sys.exit(rc)
     case _ =>
       System.err.println("usage: start|refresh|check|replay <config.properties> [tables...] | version")
       sys.exit(2)
   }
 
   private def run(cmd: String, props: java.util.Properties, rest: List[String],
-                  spark: org.apache.spark.sql.SparkSession): Unit = {
+                  spark: org.apache.spark.sql.SparkSession): Int = {
     val cfg = parseConfig(props)
+    requireKnownTables(cfg, rest)
     // feed.format selects the source:
     //   graft-cdc                       -> V2 MicroBatchStream (chunked tsv
     //                                      feed, offsets in the checkpoint)
@@ -143,6 +145,7 @@ object Main {
             progress = progress)
           q.awaitTermination()
         } finally pipe.releaseLeases()
+        0
       }
       case "refresh" => graft.cdc.ErrorReporting.reporting(reporters, "refresh") {
         // refresh.timeout.ms configured => the reference's async shape:
@@ -165,6 +168,7 @@ object Main {
         // would otherwise read a misleading second-driver refusal for the
         // whole staleness window (review r10)
         finally pipe.releaseLeases()
+        0
       }
       case "replay" => graft.cdc.ErrorReporting.reporting(reporters, "replay") {
         // re-apply repaired dead-letter rows through the live upsert path;
@@ -173,6 +177,7 @@ object Main {
           println(s"replayed $t: $n rows ($stale superseded, $left still quarantined)")
         }
         finally pipe.releaseLeases()
+        0
       }
       case "check" => graft.cdc.ErrorReporting.reporting(reporters, "check") {
         var ok = true
@@ -204,7 +209,10 @@ object Main {
             println(Main.leaseLine(t, path, holder))
           }
         }
-        if (!ok) sys.exit(1)
+        // return the exit code instead of sys.exit here (review r11):
+        // System.exit skips main's `finally spark.stop()`, leaving session
+        // teardown to the JVM shutdown hook
+        if (ok) 0 else 1
       }
     }
   }
@@ -218,6 +226,19 @@ object Main {
       case Some((id, ageMs)) =>
         s"LEASE $table: held by driver '$id' (heartbeat ${ageMs / 1000}s ago, $path)"
       case None => s"LEASE $table: free ($path)"
+    }
+
+  /** A typo'd table name on refresh/replay would otherwise filter to
+    * NOTHING and exit 0 — the operator believes the rebuild happened
+    * (review r11). Fail loud at dispatch, naming the configured tables. */
+  private[graft] def requireKnownTables(cfg: PipelineConfig,
+                                        rest: Seq[String]): Unit =
+    if (rest.nonEmpty) {
+      val known = cfg.syncs.map(_.table).toSet
+      val unknown = rest.filterNot(known)
+      require(unknown.isEmpty,
+        s"unknown table(s) ${unknown.mkString(", ")} — configured: " +
+          cfg.syncs.map(_.table).mkString(", "))
     }
 
   /** Parse `sync.<table>.*` keys into [[SyncConfig]]s. The table name is
@@ -238,9 +259,14 @@ object Main {
     val syncs = tables.map { t =>
       def p(k: String) = Option(props.getProperty(s"sync.$t.$k"))
       val fields = p("fields").map(_.split(',').toSeq.map { f =>
+        // named failure, not a bare MatchError (review r11): a stray
+        // second colon or an empty entry (`a,,b`) must name the key
         f.split(':') match {
-          case Array(src, dst) => FieldMapping(src.trim, Some(dst.trim))
-          case Array(src)      => FieldMapping(src.trim)
+          case Array(src, dst) if src.trim.nonEmpty =>
+            FieldMapping(src.trim, Some(dst.trim))
+          case Array(src) if src.trim.nonEmpty => FieldMapping(src.trim)
+          case _ => throw new IllegalArgumentException(
+            s"malformed sync.$t.fields entry '$f' — expected src or src:dst")
         }
       }).getOrElse(Seq.empty)
       SyncConfig(
@@ -255,7 +281,15 @@ object Main {
       insertSize = Option(props.getProperty("insert.size")).map(_.trim.toInt),
       insertIntervalSecs =
         Option(props.getProperty("insert.interval.seconds")).map(_.trim.toInt),
-      stateBuckets = Option(props.getProperty("state.buckets")).map(_.trim.toInt),
+      stateBuckets = Option(props.getProperty("state.buckets")).map { v =>
+        val n = v.trim.toInt
+        // validated at PARSE time (review r11): buckets <= 0 would reach
+        // pmod(hash, 0) = null at the first data batch, landing every row
+        // in the default-partition dir — silent state corruption, not a
+        // config error
+        require(n > 0, s"state.buckets must be > 0, got $n")
+        n
+      },
       zoneMapCols = Option(props.getProperty("state.zonemap.cols")).toSeq
         .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty),
       debug = props.getProperty("debug") == "true",

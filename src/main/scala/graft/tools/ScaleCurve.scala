@@ -100,38 +100,14 @@ object ScaleCurve {
     spark.sparkContext.setLogLevel("WARN")
     graft.GraftSession.quietBoundedWindowWarnings()
     val sf = "/root/testdata/sf0.1"
-    val shift = 10000000L
+    val shift = Replica.Shift
 
+    // the recipe lives in [[Replica]] (shared with StageFixture); the
+    // why-distinct-content rationale is documented there
     def replicate(df: DataFrame, keyCols: Set[String], fac: Int,
                   perturbText: Boolean,
                   perturbEmbedding: Boolean = false): DataFrame =
-      df.crossJoin(spark.range(fac).select(col("id").as("__r")))
-        .select(df.columns.map {
-          case k if keyCols(k) => (col(k) + col("__r") * shift).as(k)
-          case "embedding" if perturbEmbedding =>
-            // deterministic per-replica sign REFLECTION, pattern keyed on
-            // (__r, dim): within a replica every vector gets the same
-            // flips, so within-replica cosines — including the fixture's
-            // real dup structure — are preserved exactly, while cross-
-            // replica cosines collapse toward 0 (uncorrelated half-flips
-            // over 64 dims). The corpus therefore grows in DISTINCT
-            // directions and the eps-pair graph linearly in fac, not
-            // quadratically in duplicate multiplicity. Replica 0 is the
-            // untouched base.
-            expr("""transform(embedding, (x, i) ->
-                   CASE WHEN __r = 0L OR pmod(hash(__r, i), 2) = 0 THEN x
-                        ELSE -x END)""").as("embedding")
-          case "text" if perturbText =>
-            // rewrite EVERY token with the replica id: replicas must be
-            // DISSIMILAR so the corpus grows in distinct content — an
-            // appended-word perturbation leaves replicas ~98% similar and
-            // the near-dup tier then correctly finds fac^2/2 REAL pairs
-            // per original (measured: 27.3M pairs at x100), which measures
-            // the duplicate pathology, not scan scaling
-            regexp_replace(col("text"), lit("(\\S+)"),
-              concat(lit("$1r"), col("__r"))).as("text")
-          case c => col(c)
-        }.toSeq: _*)
+      Replica(spark, df, keyCols, fac, perturbText, perturbEmbedding)
 
     def time(name: String, fac: Int)(f: => Long): Unit = {
       val t0 = System.nanoTime()
@@ -326,6 +302,14 @@ object ScaleCurve {
           graft.ops.TextAnalysis.unigramEmRound(spark, uroot).count())
         time("unigram_prune", fac)(
           graft.ops.TextAnalysis.unigramPrune(spark, uroot).count())
+        // same cleanup discipline as every other per-tier staging dir
+        // (review r11): the x100 duplicate-text replica is multi-GB and
+        // was the one dir left to fill /tmp across repeated runs
+        if (fac != 1 && !keep) {
+          val p = new org.apache.hadoop.fs.Path(ddup)
+          p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+          ()
+        }
         ()
       }
 

@@ -23,23 +23,14 @@ object StageFixture {
     val fac = if (args.length > 2) args(2).toInt else 10
     val spark = graft.GraftSession.get()
     spark.sparkContext.setLogLevel("WARN")
-    val shift = 10000000L
 
+    // the recipe is the shared [[Replica]] (review r11: this was a
+    // verbatim copy of ScaleCurve's — one drifting would silently break
+    // cross-tool comparability of Profile numbers)
     def replicate(table: String, keyCols: Set[String],
                   perturbText: Boolean, perturbEmbedding: Boolean): Unit = {
       val df = spark.read.parquet(s"$src/$table.parquet")
-      df.crossJoin(spark.range(fac).select(col("id").as("__r")))
-        .select(df.columns.map {
-          case k if keyCols(k) => (col(k) + col("__r") * shift).as(k)
-          case "embedding" if perturbEmbedding =>
-            expr("""transform(embedding, (x, i) ->
-                   CASE WHEN __r = 0L OR pmod(hash(__r, i), 2) = 0 THEN x
-                        ELSE -x END)""").as("embedding")
-          case "text" if perturbText =>
-            regexp_replace(col("text"), lit("(\\S+)"),
-              concat(lit("$1r"), col("__r"))).as("text")
-          case c => col(c)
-        }.toSeq: _*)
+      Replica(spark, df, keyCols, fac, perturbText, perturbEmbedding)
         .repartition(64)
         .write.mode("overwrite").parquet(s"$dst/$table.parquet")
       println(s"STAGED $table x$fac")

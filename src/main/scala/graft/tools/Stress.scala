@@ -78,10 +78,19 @@ object Stress {
     if (want("incremental")) {
       // the operational claim: a FIXED-SIZE arrival batch (5k docs) against
       // a growing corpus costs ~the batch, while the one-shot recompute
-      // grows with the corpus — run at several nOrig to see the asymptote
+      // grows with the corpus — run at several nOrig to see the asymptote.
+      // The batch must stay FIXED across nOrig for the numbers to form a
+      // curve, so small corpora fail loud instead of silently measuring a
+      // full one-shot build as "inc-batch-5k" (review r11: at nOrig=100
+      // every doc_id is < 5000, "inc-index-rest" indexed nothing).
+      val batchDocs = 5000L
+      require(nOrig.toLong * 10 > batchDocs * 2,
+        s"incremental tier needs > ${batchDocs * 2} docs for a meaningful " +
+          s"resident-corpus/arrival-batch split, got ${nOrig * 10} — run " +
+          "with nOrig >= 1001")
       val docs = spark.read.parquet(s"$dir/documents.parquet")
-      val old = docs.filter(col("doc_id") >= 5000)
-      val batch = docs.filter(col("doc_id") < 5000)
+      val old = docs.filter(col("doc_id") >= batchDocs)
+      val batch = docs.filter(col("doc_id") < batchDocs)
       val st = s"$dir/lsh-state"
       org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
         .delete(new org.apache.hadoop.fs.Path(st), true)
@@ -93,7 +102,7 @@ object Stress {
       graft.ops.Dedup.minhashLsh(spark, dir).count() // JIT/codegen warmup
       t2("inc-index-rest")(
         graft.ops.IncrementalDedup.updateLsh(spark, st, old).count())
-      t2("inc-batch-5k")(
+      t2(s"inc-batch-${batchDocs / 1000}k")(
         graft.ops.IncrementalDedup.updateLsh(spark, st, batch).count())
       t2("oneshot-lsh-full")(graft.ops.Dedup.minhashLsh(spark, dir).count())
     }

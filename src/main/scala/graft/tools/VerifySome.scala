@@ -29,12 +29,25 @@ object VerifySome {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c    => c.toString
     } + "\""
-    val sqls = names.flatMap(n => graft.SparkEntry.oracleSql.get(n).map(n -> _))
-    val json = sqls.map { case (n, s) => s"${q(n)}: ${q(s)}" }
+    // MERGE into any existing oracle_sql.json (review r11): overwriting
+    // with only this run's names would downgrade an earlier dump in the
+    // same outDir from value-checked to rows-only — a wrong-valued query
+    // from a prior VerifySome would then pass check_oracle green.
+    val jsonPath = java.nio.file.Paths.get(s"$outDir/oracle_sql.json")
+    val prior: Map[String, String] =
+      if (java.nio.file.Files.exists(jsonPath)) {
+        val node = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(jsonPath.toFile)
+        val it = node.fields()
+        val b = Map.newBuilder[String, String]
+        while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asText() }
+        b.result()
+      } else Map.empty
+    val sqls = prior ++
+      names.flatMap(n => graft.SparkEntry.oracleSql.get(n).map(n -> _))
+    val json = sqls.toSeq.sortBy(_._1).map { case (n, s) => s"${q(n)}: ${q(s)}" }
       .mkString("{", ", ", "}")
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(s"$outDir/oracle_sql.json"),
-      json.getBytes("UTF-8"))
+    java.nio.file.Files.write(jsonPath, json.getBytes("UTF-8"))
     spark.stop()
   }
 }

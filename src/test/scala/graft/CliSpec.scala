@@ -333,6 +333,49 @@ class CliSpec extends SparkSpec {
     assert(Main.leaseLine("t", path2, holder2) === s"LEASE t: free ($path2)")
   }
 
+  test("config guards fail at PARSE time, naming themselves (review r11): " +
+    "state.buckets <= 0, a two-colon fields entry, an empty fields entry") {
+    def props(k: String, v: String) = {
+      val p = new java.util.Properties()
+      p.setProperty("sync.t.schema", "id INT")
+      p.setProperty(k, v)
+      p
+    }
+    val b = intercept[IllegalArgumentException](
+      Main.parseConfig(props("state.buckets", "0")))
+    assert(b.getMessage.contains("state.buckets"), b.getMessage)
+    val neg = intercept[IllegalArgumentException](
+      Main.parseConfig(props("state.buckets", "-4")))
+    assert(neg.getMessage.contains("state.buckets"), neg.getMessage)
+    val twoColon = intercept[IllegalArgumentException](
+      Main.parseConfig(props("sync.t.fields", "a:b:c")))
+    assert(twoColon.getMessage.contains("sync.t.fields") &&
+      twoColon.getMessage.contains("a:b:c"), twoColon.getMessage)
+    val empty = intercept[IllegalArgumentException](
+      Main.parseConfig(props("sync.t.fields", "a,,b")))
+    assert(empty.getMessage.contains("sync.t.fields"), empty.getMessage)
+    // the happy shapes still parse
+    val ok = Main.parseConfig(props("sync.t.fields", "a:b, c"))
+    assert(ok.syncFor("t").get.fields ===
+      Seq(FieldMapping("a", Some("b")), FieldMapping("c")))
+    assert(Main.parseConfig(props("state.buckets", "8")).stateBuckets ===
+      Some(8))
+  }
+
+  test("a typo'd table on refresh/replay fails loud naming the configured " +
+    "tables instead of filtering to a silent no-op (review r11)") {
+    val p = new java.util.Properties()
+    p.setProperty("sync.users.schema", "id INT")
+    p.setProperty("sync.orders.schema", "id INT")
+    val cfg = Main.parseConfig(p)
+    Main.requireKnownTables(cfg, Nil)              // no filter: fine
+    Main.requireKnownTables(cfg, Seq("users"))     // known: fine
+    val e = intercept[IllegalArgumentException](
+      Main.requireKnownTables(cfg, Seq("userz", "orders")))
+    assert(e.getMessage.contains("userz") && e.getMessage.contains("users") &&
+      !e.getMessage.contains("unknown table(s) orders"), e.getMessage)
+  }
+
   test("error listener: batch-command failures route through the same " +
     "reporters and rethrow") {
     import graft.cdc._
