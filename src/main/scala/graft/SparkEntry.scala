@@ -1634,7 +1634,7 @@ object SparkEntry {
         |         sum(CAST(n_tok AS BIGINT)) OVER (PARTITION BY doc_id % 8
         |           ORDER BY doc_id) - n_tok AS start_tok
         |       FROM d4)
-        |SELECT shard, CAST(floor(start_tok / 512) AS BIGINT) AS bin,
+        |SELECT shard, CAST(start_tok // 512 AS BIGINT) AS bin,
         |  count(*) AS n_docs, CAST(sum(n_tok2) AS BIGINT) AS n_tokens
         |FROM c5 GROUP BY 1, 2 ORDER BY shard, bin""".stripMargin,
 
@@ -2543,7 +2543,8 @@ object SparkEntry {
     // DSIR unigram importance weights: target = lang 'en', add-0.5
     // smoothing over the joint vocabulary.
     "q_dsir_weights" ->
-      """WITH e AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents),
+      """WITH e0 AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents),
+        |e AS (SELECT * FROM e0 WHERE len(w) > 0),
         |raw AS (SELECT w, count(*) AS c_raw FROM e GROUP BY 1),
         |tgt AS (SELECT w, count(*) AS c_tgt FROM e WHERE lang = 'en' GROUP BY 1),
         |lp AS (SELECT raw.w, c_raw, coalesce(c_tgt, 0) AS c_tgt
@@ -2778,10 +2779,12 @@ object SparkEntry {
         |fi AS (SELECT item, ci FROM items, nb
         |       WHERE ci >= n_baskets * 0.05),
         |fb AS (SELECT b.* FROM b JOIN fi ON fi.item = b.item),
-        |p AS (SELECT a.item AS ia, c.item AS ib, count(*) AS cp
+        |p0 AS (SELECT a.item AS ia, c.item AS ib, count(*) AS cp
         |      FROM fb a JOIN fb c ON a.user_id = c.user_id
         |        AND a.day = c.day AND a.item < c.item
         |      GROUP BY 1, 2),
+        |p AS (SELECT ia, ib, cp FROM p0, nb
+        |      WHERE cp >= n_baskets * 0.05),
         |d AS (SELECT ia AS antecedent, ib AS consequent, cp FROM p
         |      UNION ALL SELECT ib, ia, cp FROM p)
         |SELECT d.antecedent, d.consequent, d.cp AS n_pair,
@@ -2807,24 +2810,26 @@ object SparkEntry {
         |ri AS (SELECT count(*) AS orphans FROM orders
         |       WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)),
         |u AS (
+        |  -- the verdict compares the UNROUNDED metric (raw); round() is
+        |  -- display-only — same rule as the engine (review r11)
         |  SELECT 'completeness' AS "check", 'orders.o_custkey' AS "column",
-        |    round(CAST(ck AS DOUBLE) / n, 6) AS metric, 1.0 AS threshold FROM o
+        |    CAST(ck AS DOUBLE) / n AS raw, 1.0 AS threshold FROM o
         |  UNION ALL SELECT 'uniqueness', 'orders.o_orderkey',
-        |    round(CAST(od AS DOUBLE) / n, 6), 1.0 FROM o
+        |    CAST(od AS DOUBLE) / n, 1.0 FROM o
         |  UNION ALL SELECT 'non_negative', 'orders.o_totalprice',
-        |    round(CAST(pok AS DOUBLE) / n, 6), 1.0 FROM o
+        |    CAST(pok AS DOUBLE) / n, 1.0 FROM o
         |  UNION ALL SELECT 'min_size', 'orders',
-        |    round(CAST(n AS DOUBLE), 6), 1.0 FROM o
+        |    CAST(n AS DOUBLE), 1.0 FROM o
         |  UNION ALL SELECT 'accepted_values', 'lineitem.l_returnflag',
-        |    round(CAST(fok AS DOUBLE) / n, 6), 1.0 FROM l
+        |    CAST(fok AS DOUBLE) / n, 1.0 FROM l
         |  UNION ALL SELECT 'in_range', 'lineitem.l_quantity',
-        |    round(CAST(qok AS DOUBLE) / n, 6), 1.0 FROM l
+        |    CAST(qok AS DOUBLE) / n, 1.0 FROM l
         |  UNION ALL SELECT 'referential_integrity', 'orders.o_custkey->customer',
-        |    round(1.0 - CAST(orphans AS DOUBLE) / (SELECT n FROM o), 6), 1.0
+        |    1.0 - CAST(orphans AS DOUBLE) / (SELECT n FROM o), 1.0
         |  FROM ri)
-        |SELECT "check", "column", metric,
+        |SELECT "check", "column", round(raw, 6) AS metric,
         |  CAST(threshold AS DOUBLE) AS threshold,
-        |  metric >= threshold AS pass
+        |  raw >= threshold AS pass
         |FROM u ORDER BY "check", "column"""".stripMargin,
 
     // The stream-stream join graded as an ACTUAL checkpointed streaming

@@ -17,8 +17,14 @@ import org.apache.spark.sql.functions._
   */
 object AsOf {
 
-  /** @param left       probe side
-    * @param right      build side (its columns are prefixed `r_` on output)
+  /** @param left       probe side (must not already contain `r_`-prefixed
+    *                    names that collide with the renamed right columns)
+    * @param right      build side — EVERY right column is renamed `r_<name>`
+    *                    on output, so key/time name collisions with the
+    *                    left are impossible (review r11: the doc promised
+    *                    this prefixing but the old body never did it, so
+    *                    any caller got duplicate column names and
+    *                    AMBIGUOUS_REFERENCE on select-by-name)
     * @param key        join key column name (same name both sides)
     * @param leftTime   left event-time column name
     * @param rightTime  right event-time column name
@@ -28,36 +34,34 @@ object AsOf {
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
                leftTime: String, rightTime: String,
                leftId: String, rightId: String): DataFrame = {
-    val l = left.alias("l")
-    val r = right.alias("r")
-    val joined = l.join(r,
-      col(s"l.$key") === col(s"r.$key") && col(s"r.$rightTime") <= col(s"l.$leftTime"),
+    val r0 = right.select(right.columns.map(c => col(c).as(s"r_$c"))
+      .toIndexedSeq: _*)
+    val joined = left.join(r0,
+      col(key) === col(s"r_$key") && col(s"r_$rightTime") <= col(leftTime),
       "left_outer")
-    val w = Window.partitionBy(col(s"l.$leftId"))
-      .orderBy(col(s"r.$rightTime").desc_nulls_last, col(s"r.$rightId").desc_nulls_last)
+    val w = Window.partitionBy(col(leftId))
+      .orderBy(col(s"r_$rightTime").desc_nulls_last,
+        col(s"r_$rightId").desc_nulls_last)
     joined.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")
   }
 
   /** Fixture query: each purchase event as-of-joined to the user's most
-    * recent signup at-or-before it. */
+    * recent signup at-or-before it — routed through [[asofJoin]] (review
+    * r11: this used to re-implement the generic join inline line-for-line,
+    * so a fix to one silently missed the other). */
   def purchaseToSignup(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), col("ts"))
     val signups = ev.filter(col("event_type") === "signup")
-      .select(col("event_id").as("s_event_id"), col("user_id").as("s_user_id"),
-        col("ts").as("s_ts"))
-    val joined = purchases.join(signups,
-      purchases("user_id") === signups("s_user_id") && signups("s_ts") <= purchases("ts"),
-      "left_outer")
-    val w = Window.partitionBy(col("event_id"))
-      .orderBy(col("s_ts").desc_nulls_last, col("s_event_id").desc_nulls_last)
-    joined.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    asofJoin(purchases, signups, key = "user_id",
+        leftTime = "ts", rightTime = "ts",
+        leftId = "event_id", rightId = "event_id")
       .select(col("event_id").as("purchase_id"), col("user_id"),
-        col("s_event_id").as("signup_id"))
+        col("r_event_id").as("signup_id"))
       .orderBy(col("purchase_id"))
   }
 }

@@ -153,6 +153,12 @@ object FrequentItems {
       .join(broadcast(items.select(col("item").as("consequent"),
         col("ci").as("cb"))), Seq("consequent"))
       .crossJoin(broadcast(nb))
+      // pair support is ALSO cut at minSupport (review r11): the Apriori
+      // contract promises every emitted rule meets the support threshold —
+      // two individually-frequent items co-occurring once must not ship.
+      // Applied at the existing nb cross join (the plan contract allows
+      // exactly one broadcast-nested-loop join in this query).
+      .filter(col("cp") >= col("n_baskets") * minSupport)
       .select(col("antecedent"), col("consequent"), col("cp").as("n_pair"),
         round(col("cp").cast("double") / col("n_baskets"), 4).as("support"),
         round(col("cp").cast("double") / col("ca"), 4).as("confidence"),

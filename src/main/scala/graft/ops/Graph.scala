@@ -53,20 +53,25 @@ object Graph {
     * plan; the node count rides along as a carried column off a broadcast
     * 1-row aggregate rather than a driver collect. */
   def pageRank(spark: SparkSession, dir: String, iters: Int = 6,
-               threshold: Double = 0.3): DataFrame = {
-    val pairs = Dedup.embedDup(spark, dir, threshold)
+               threshold: Double = 0.3, blocking: String = "signcell",
+               nCells: Int = Dedup.AutoCells): DataFrame = {
+    val pairs = blockedPairs(spark, dir, threshold, blocking, nCells)
       .select(col("vec_a"), col("vec_b"))
     val e = pairs.select(col("vec_a").as("src"), col("vec_b").as("dst"))
       .unionByName(pairs.select(col("vec_b").as("src"), col("vec_a").as("dst")))
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val nTotal = deg.agg(count(lit(1)).as("n"))
     // eager localCheckpoint, the iterative-op house rule (see
     // Dedup.nearDupClusters): caches the edge list all six iterations
     // reuse AND leaves no session-lifetime cache entry behind — the
     // blocks are freed when the reference is GC'd, unlike an unreleased
     // persist() which would pin executor memory across later queries
     val edges = e.join(deg, "src").localCheckpoint(true)
-    var ranks = deg.crossJoin(broadcast(nTotal))
+    // the rank seed derives from the CHECKPOINTED edges (review r11):
+    // seeding off deg/nTotal's original lineage re-executed the blocked
+    // pair join twice more AFTER the checkpoint already paid for it
+    val nodes = edges.select(col("src"), col("outdeg")).distinct()
+    val nFromEdges = nodes.agg(count(lit(1)).as("n"))
+    var ranks = nodes.crossJoin(broadcast(nFromEdges))
       .select(col("src").as("node"), expr(s"${Scale}L div n").as("r"), col("n"))
     for (_ <- 1 to iters) {
       ranks = edges.join(ranks, edges("src") === ranks("node"))
@@ -105,9 +110,14 @@ object Graph {
     * needs a graph dense enough to close wedges — at the dup threshold
     * the eps-graph is near-forest and every coefficient is 0. */
   def triangles(spark: SparkSession, dir: String,
-                threshold: Double = 0.15): DataFrame = {
-    val pairs = Dedup.embedDup(spark, dir, threshold)
+                threshold: Double = 0.15, blocking: String = "signcell",
+                nCells: Int = Dedup.AutoCells): DataFrame = {
+    // checkpointed (review r11): pairs feeds deg AND withDeg, and oriented
+    // below feeds both wedge sides plus the closing join — without the
+    // materialization the blocked eps-pair join re-executed ~4x per run
+    val pairs = blockedPairs(spark, dir, threshold, blocking, nCells)
       .select(col("vec_a"), col("vec_b"))
+      .localCheckpoint(true)
     val e = pairs.select(col("vec_a").as("src"), col("vec_b").as("dst"))
       .unionByName(pairs.select(col("vec_b").as("src"), col("vec_a").as("dst")))
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
@@ -122,6 +132,7 @@ object Graph {
       when(lowFirst, col("vec_a")).otherwise(col("vec_b")).as("u"),
       when(lowFirst, col("vec_b")).otherwise(col("vec_a")).as("v"),
       when(lowFirst, col("db")).otherwise(col("da")).as("dv"))
+      .localCheckpoint(true)
     val o1 = oriented.alias("o1")
     val o2 = oriented.alias("o2")
     val wedges = o1.join(o2, col("o1.u") === col("o2.u") &&
@@ -220,7 +231,9 @@ object Graph {
     *    gate stays hash-checkable while the shipped plan has no diameter
     *    cliff;
     *  - border points: non-core nodes adjacent to >= 1 core, attached to
-    *    their minimum core neighbor's cluster (deterministic tie-break);
+    *    the MINIMUM CLUSTER LABEL among their core neighbors (the
+    *    deterministic tie-break the oracle hashes — min over labels, not
+    *    over neighbor ids; review r11 fixed this doc, not the code);
     *  - noise: graph nodes that are neither, cluster -1.
     *
     * Per-round localCheckpoint, the iterative house rule; nothing

@@ -71,8 +71,11 @@ object TrainingPipeline {
       .select(col("doc_id"), (col("doc_id") % shards).cast("int").as("shard"),
         col("n_tok").cast("long").as("n_tok"))
       .withColumn("start_tok", sum(col("n_tok")).over(w) - col("n_tok"))
+      // integer div, not floor(double /): exact at any magnitude, where a
+      // double round-trip could land cumulative token counts past 2^53 in
+      // the adjacent bin (the Layout.scala rule; review r11)
       .groupBy(col("shard"),
-        floor(col("start_tok") / budget).cast("long").as("bin"))
+        expr(s"start_tok div $budget").cast("long").as("bin"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
       .orderBy(col("shard"), col("bin"))
   }
@@ -97,8 +100,13 @@ object TrainingPipeline {
     * in corpus tokens, nothing collected. */
   def dsirWeights(spark: SparkSession, dir: String,
                   targetLang: String = "en", alpha: Double = 0.5): DataFrame = {
+    // empty tokens dropped (review r11): consecutive/leading whitespace
+    // would otherwise mint a "" vocabulary row that skews n_tok, the
+    // totals, and every affected doc's weight — formatting noise, not
+    // content; heavyHitters applies the same filter
     val d = Tables(spark, dir, "documents")
       .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
     val raw = d.groupBy(col("w")).agg(count(lit(1)).as("c_raw"))
     val tgt = d.filter(col("lang") === targetLang)
       .groupBy(col("w")).agg(count(lit(1)).as("c_tgt"))

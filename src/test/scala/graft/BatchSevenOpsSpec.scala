@@ -63,6 +63,56 @@ class BatchSevenOpsSpec extends SparkSpec {
     assert(got("min_size") === ((nb, true)), "size check unaffected")
   }
 
+  test("dq checks: a violation rate below the 6-dp display precision " +
+    "still FAILS the gate — the verdict compares the unrounded metric " +
+    "(review r11: round-then-compare waved through <5e-7 rates)") {
+    import spark.implicits._
+    // 2,000,001 orders, ONE null custkey: raw completeness 0.9999995...
+    // rounds HALF_UP to exactly 1.000000 at 6 dp
+    val orders = spark.range(2000001L).select(
+      col("id").as("o_orderkey"),
+      when(col("id") === 0L, lit(null)).otherwise(lit(7L)).as("o_custkey"),
+      lit(1.0).as("o_totalprice"))
+    val lineitem = Seq(("A", 1.0)).toDF("l_returnflag", "l_quantity")
+    val customer = Seq(7L).toDF("c_custkey")
+    val got = QualityChecks.suite(orders, lineitem, customer).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getBoolean(4))).toMap
+    assert(got("completeness") === ((1.0, false)),
+      "metric displays 1.000000 but the gate must still fail: " +
+        got("completeness"))
+    assert(got("uniqueness") === ((1.0, true)))
+    assert(got("referential_integrity") === ((1.0, true)))
+  }
+
+  test("asofJoin: every right column lands r_-prefixed (no ambiguous " +
+    "names), the latest at-or-before row wins with the id tie-break, and " +
+    "purchaseToSignup equals the generic operator (review r11)") {
+    import spark.implicits._
+    val left = Seq((10L, 1L, 100L), (11L, 1L, 50L), (12L, 2L, 100L))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (20L, 1L, 40L),  // older
+      (21L, 1L, 100L), // exactly at left ts 100 — eligible, ties on ts...
+      (22L, 1L, 100L), // ...broken by the HIGHER right id
+      (23L, 2L, 150L)) // after every left row for user 2 — no match
+      .toDF("event_id", "user_id", "ts")
+    val got = graft.ops.AsOf.asofJoin(left, right, key = "user_id",
+        leftTime = "ts", rightTime = "ts",
+        leftId = "event_id", rightId = "event_id")
+    assert(got.columns.count(_ == "user_id") === 1 &&
+      got.columns.toSet === Set("event_id", "user_id", "ts",
+        "r_event_id", "r_user_id", "r_ts"),
+      s"right columns must be r_-prefixed: ${got.columns.toSeq}")
+    val rows = got.select(col("event_id"), col("r_event_id"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(rows === Map(10L -> Some(22L), 11L -> Some(20L), 12L -> None),
+      s"latest-at-or-before with max-id tie-break: $rows")
+    // the fixture query is the generic operator, not a divergent copy
+    val viaOp = graft.ops.AsOf.purchaseToSignup(spark, sf).collect()
+    assert(viaOp.nonEmpty && viaOp.head.schema.fieldNames.toSeq ===
+      Seq("purchase_id", "user_id", "signup_id"))
+  }
+
   // ---------------------------------------------------------- stream join
 
   private def batchJoin() = {

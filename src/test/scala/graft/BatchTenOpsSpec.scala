@@ -435,6 +435,13 @@ class BatchTenOpsSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(1))).toSeq
     assert(cut === Seq(("A", "B"), ("B", "A")),
       s"support 0.3 prunes item C (1/5) before pair generation: $cut")
+    // both items frequent but the PAIR below threshold: A 0.8, B 1.0,
+    // pair (A,B) 0.6 < 0.7 — the Apriori contract cuts the rule too
+    // (review r11: only singletons were filtered)
+    val pairCut = FrequentItems.assocRules(spark, dir, minSupport = 0.7)
+    assert(pairCut.isEmpty,
+      s"a sub-support pair of frequent items must not ship: " +
+        pairCut.collect().toSeq)
   }
 
   test("benford: a feed whose every |value| < 0.01 observes NO digit — " +
