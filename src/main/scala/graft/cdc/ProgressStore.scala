@@ -33,6 +33,10 @@ trait ProgressStore {
   * HMSET reader has). */
 final class FileProgressStore(path: String) extends ProgressStore {
   private val p = java.nio.file.Paths.get(path)
+  // one shared mapper (review r11): construction is Jackson's most
+  // expensive operation and set() ran one per field per micro-batch;
+  // ObjectMapper is thread-safe for reuse
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
   // in-JVM exclusion must be PATH-keyed (not per-instance) and must wrap
   // the OS lock: the JVM throws OverlappingFileLockException instead of
@@ -47,9 +51,9 @@ final class FileProgressStore(path: String) extends ProgressStore {
         val lock = lockCh.lock() // cross-process exclusive
         try {
           val merged = get() ++ fields
-          val json = merged.toSeq.sortBy(_._1).map { case (k, v) =>
-            s"${quote(k)}: ${quote(v)}"
-          }.mkString("{", ", ", "}")
+          val node = mapper.createObjectNode()
+          merged.toSeq.sortBy(_._1).foreach { case (k, v) => node.put(k, v) }
+          val json = mapper.writeValueAsString(node)
           val tmp = java.nio.file.Paths.get(
             path + ".tmp-" + ProcessHandle.current().pid())
           java.nio.file.Files.write(tmp,
@@ -64,16 +68,12 @@ final class FileProgressStore(path: String) extends ProgressStore {
   def get(): Map[String, String] =
     if (!java.nio.file.Files.exists(p)) Map.empty
     else {
-      val node = new com.fasterxml.jackson.databind.ObjectMapper()
-        .readTree(java.nio.file.Files.readAllBytes(p))
+      val node = mapper.readTree(java.nio.file.Files.readAllBytes(p))
       val it = node.fields()
       val b = Map.newBuilder[String, String]
       while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asText() }
       b.result()
     }
-
-  private def quote(s: String): String =
-    new com.fasterxml.jackson.databind.ObjectMapper().writeValueAsString(s)
 }
 
 object FileProgressStore {
@@ -87,19 +87,19 @@ object FileProgressStore {
   * discipline as the CDC socket transport: `HSET k v [k v ...]` merges
   * fields, `HGETALL` returns `k\tv` lines. Values are URL-encoded on the
   * wire so fields may contain whitespace/newlines (offset JSON does). */
-final class SocketProgressStore(hostPort: String) extends ProgressStore {
+final class SocketProgressStore(hostPort: String,
+                                retry: graft.sources.Retry =
+                                  graft.sources.Retry(3, 200L))
+    extends ProgressStore {
   private val Array(host, port) = hostPort.split(':')
 
-  private def roundTrip[A](request: String)(read: java.io.BufferedReader => A): A = {
-    val sock = new java.net.Socket(host, port.toInt)
-    try {
-      val out = new java.io.PrintWriter(sock.getOutputStream, true)
-      val in = new java.io.BufferedReader(
-        new java.io.InputStreamReader(sock.getInputStream, "UTF-8"))
-      out.println(request)
-      read(in)
-    } finally sock.close()
-  }
+  // THE wire plumbing is SocketCdc's (review r11: this class carried a
+  // line-for-line copy of roundTrip that silently lacked the reconnect
+  // hardening) — each attempt a fresh connection, retried with doubling
+  // backoff, then failed loud
+  private def roundTrip[A](request: String)(read: java.io.BufferedReader => A): A =
+    graft.sources.SocketCdc.withReconnect(s"$request @ $hostPort", retry)(
+      graft.sources.SocketCdc.roundTrip(host, port.toInt, request)(read))
 
   private def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
   private def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
@@ -200,24 +200,52 @@ final class ProgressKvServer {
   * Fields mirror the reference's hash: the batch id, the source's end
   * offset (the replication position), and the trigger timestamp. */
 object ProgressPublisher {
+
+  /** The attached listener, with its failure state readable: Spark's
+    * listener bus catches and merely logs every throwable a listener
+    * raises, so a store.set failure can never fail anything by throwing
+    * (review r11 — the 'fail loud' HSET rejection was being silently
+    * swallowed here, producing exactly the frozen-external-position stall
+    * the store exists to prevent). The publisher therefore (a) logs each
+    * failure at ERROR with the position that could not be published, and
+    * (b) keeps the latest failure in [[lastFailure]] — cleared by the next
+    * successful publish — so a library caller holding the listener can
+    * poll/alert on a persistently failing visibility channel. */
+  final class Publisher(spark: SparkSession, queryId: java.util.UUID,
+                        store: ProgressStore) extends StreamingQueryListener {
+    @volatile var lastFailure: Option[String] = None
+
+    override def onQueryStarted(
+        e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+    override def onQueryProgress(
+        e: StreamingQueryListener.QueryProgressEvent): Unit =
+      if (e.progress.id == queryId && e.progress.numInputRows > 0) {
+        val fields = Map(
+          "batchId" -> e.progress.batchId.toString,
+          "endOffset" -> e.progress.sources.map(_.endOffset).mkString(","),
+          "timestamp" -> e.progress.timestamp)
+        try { store.set(fields); lastFailure = None }
+        catch { case scala.util.control.NonFatal(t) =>
+          val msg = s"progress publish failed at batch " +
+            s"${e.progress.batchId} (external readers see a stale " +
+            s"position until a later batch succeeds): $t"
+          lastFailure = Some(msg)
+          ProgressPublisher.log.error(msg)
+        }
+      }
+    override def onQueryTerminated(
+        e: StreamingQueryListener.QueryTerminatedEvent): Unit =
+      // self-detach so per-run listeners don't accumulate across the
+      // restart cycles a checkpointed pipeline goes through in one session
+      if (e.id == queryId) spark.streams.removeListener(this)
+  }
+
+  private val log =
+    org.apache.logging.log4j.LogManager.getLogger("graft.ProgressPublisher")
+
   def attach(spark: SparkSession, queryId: java.util.UUID,
-             store: ProgressStore): StreamingQueryListener = {
-    val l = new StreamingQueryListener {
-      override def onQueryStarted(
-          e: StreamingQueryListener.QueryStartedEvent): Unit = ()
-      override def onQueryProgress(
-          e: StreamingQueryListener.QueryProgressEvent): Unit =
-        if (e.progress.id == queryId && e.progress.numInputRows > 0)
-          store.set(Map(
-            "batchId" -> e.progress.batchId.toString,
-            "endOffset" -> e.progress.sources.map(_.endOffset).mkString(","),
-            "timestamp" -> e.progress.timestamp))
-      override def onQueryTerminated(
-          e: StreamingQueryListener.QueryTerminatedEvent): Unit =
-        // self-detach so per-run listeners don't accumulate across the
-        // restart cycles a checkpointed pipeline goes through in one session
-        if (e.id == queryId) spark.streams.removeListener(this)
-    }
+             store: ProgressStore): Publisher = {
+    val l = new Publisher(spark, queryId, store)
     spark.streams.addListener(l)
     l
   }

@@ -129,6 +129,14 @@ private class CdcMicroBatchStream(path: String, pushed: Array[Filter],
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val avail = availableAtStart.getOrElse(maxChunk())
     val s = start.asInstanceOf[ChunkOffset].chunk
+    // a feed behind the checkpoint fails LOUD (review r11): silently
+    // returning an end < start would regress the checkpoint and re-serve
+    // already-applied chunks as fresh data (duplicate application, and
+    // reused offsets poisoning the per-pk watermark downstream)
+    require(avail >= s,
+      s"feed regressed: latest available chunk $avail is behind the " +
+        s"checkpointed position $s at $path — the feed dir was truncated " +
+        "or replaced; restore it or reset the checkpoint deliberately")
     ChunkOffset(maxChunks.fold(avail)(m => math.min(avail, s + m)))
   }
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
@@ -160,8 +168,12 @@ private class CdcChunkReader(file: String, pushed: Array[Filter])
     extends PartitionReader[InternalRow] {
 
   private val lines: Iterator[String] = {
+    // eager drain + immediate close (review r11): leaving the Source open
+    // leaked one file descriptor per chunk partition per trigger until
+    // finalization happened to run. Small chunks; a real connector streams.
     val src = scala.io.Source.fromFile(file, "UTF-8")
-    src.getLines().toList.iterator // small chunks; a real connector streams
+    try src.getLines().toList.iterator
+    finally src.close()
   }
   private var current: InternalRow = _
 
@@ -185,8 +197,13 @@ private class CdcChunkReader(file: String, pushed: Array[Filter])
       // old tolerant behavior; wedging the stream on it is unrecoverable
       // because every restart re-reads the same checkpointed chunk.
       if (line.nonEmpty) {
-        val parts = line.split("\t", -1)
-        require(parts.length >= 5,
+        // limit 5, not -1 (review r11): a payload containing a raw tab
+        // must stay WHOLE in the data field — an unbounded split admitted
+        // the line via the >= check and silently truncated the payload at
+        // its first tab. A trailing empty data field still parses (limit-N
+        // keeps trailing empties inside the first N).
+        val parts = line.split("\t", 5)
+        require(parts.length == 5,
           s"malformed chunk line (${parts.length} fields): $line")
         if (keep(parts(0), parts(1))) {
           current = InternalRow(

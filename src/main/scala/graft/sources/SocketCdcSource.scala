@@ -99,6 +99,15 @@ private class SocketMicroBatchStream(hostPort: String, maxEvents: Option[Long],
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val avail = availableAtStart.getOrElse(SocketCdc.latest(host, port.toInt, retry))
     val s = start.asInstanceOf[EventOffset].last
+    // a server behind the checkpoint fails LOUD (review r11): a restarted
+    // server with an empty log would otherwise regress the checkpoint,
+    // re-serve consumed offsets as fresh data, and let reused offset
+    // values poison the per-pk watermark downstream
+    require(avail >= s,
+      s"feed regressed: server's latest offset $avail is behind the " +
+        s"checkpointed position $s at $hostPort — the server log was " +
+        "truncated or replaced; restore it or reset the checkpoint " +
+        "deliberately")
     EventOffset(maxEvents.fold(avail)(m => math.min(avail, s + m)))
   }
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
@@ -138,16 +147,18 @@ private class SocketSpanReader(p: SocketSpanPartition)
 
   override def next(): Boolean = {
     if (!lines.hasNext) return false
-    // limit -1: an empty data field in last position is a VALID wire line
-    // ('delete\tt\t0\t1\t'); the limit-0 split dropped it and the require
-    // then wedged the stream at that offset forever — every replayed span
-    // re-reads the same line (r9 review). Unlike the FILE feed (operator-
-    // editable, where a blank line is benign and skipped), every line of a
-    // span response is machine-generated and counted by fetch's span-length
-    // contract — a blank here IS corruption, and skipping it would silently
-    // lose an event, so it stays fail-loud.
-    val parts = lines.next().split("\t", -1)
-    require(parts.length >= 5, s"malformed wire line: ${parts.mkString("|")}")
+    // limit 5 (review r11; supersedes the r9 limit -1): an empty data
+    // field in last position is a VALID wire line ('delete\tt\t0\t1\t') —
+    // positive-limit split keeps trailing empties inside the first 5 — and
+    // a payload containing a raw tab stays WHOLE in the data field instead
+    // of being silently truncated at its first tab (the unbounded split
+    // passed the >= check with 6+ parts and kept only parts(4)). Unlike
+    // the FILE feed (operator-editable, where a blank line is benign and
+    // skipped), every line of a span response is machine-generated and
+    // counted by fetch's span-length contract — a short line here IS
+    // corruption and stays fail-loud.
+    val parts = lines.next().split("\t", 5)
+    require(parts.length == 5, s"malformed wire line: ${parts.mkString("|")}")
     current = InternalRow(
       UTF8String.fromString(parts(0)),
       UTF8String.fromString(parts(1)),
@@ -162,7 +173,10 @@ private class SocketSpanReader(p: SocketSpanPartition)
 
 /** Client side of the two-verb wire protocol. */
 private[graft] object SocketCdc {
-  private def roundTrip[A](host: String, port: Int, request: String)(
+  // private[graft]: SocketProgressStore shares this exact wire discipline
+  // (review r11: it used to carry a line-for-line copy that silently
+  // lacked the reconnect hardening added here)
+  private[graft] def roundTrip[A](host: String, port: Int, request: String)(
       read: java.io.BufferedReader => A): A = {
     val sock = new java.net.Socket(host, port)
     try {
@@ -178,7 +192,7 @@ private[graft] object SocketCdc {
     * (roundTrip never reuses sockets), retried on connection/read failure
     * with doubling backoff, then failed LOUD — a down server is still an
     * error, just not a 2-second-blip-sized one. */
-  private def withReconnect[A](what: String, retry: Retry)(op: => A): A = {
+  private[graft] def withReconnect[A](what: String, retry: Retry)(op: => A): A = {
     var attempt = 0
     var delay = math.max(retry.backoffMs, 1L)
     while (attempt < retry.retries) {

@@ -121,6 +121,52 @@ class CdcSourceV2Spec extends SparkSpec {
       s"torn line must name itself: $err")
   }
 
+  test("a payload containing a raw tab stays WHOLE in the data field " +
+    "(review r11: the unbounded split admitted the line and silently " +
+    "truncated the payload at its first tab)") {
+    val feed = tmpDir("feed-tabpayload")
+    val payload = "{\"k\": \"a\tb\tc\"}"
+    writeChunk(feed, 0, Seq(("create", "t", 1, 1000, payload)))
+    val seen = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+    val q = spark.readStream.format("graft-cdc").load(feed)
+      .writeStream.option("checkpointLocation", tmpDir("ckpt-tabpayload"))
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen ++= df.collect(); ()
+      }.start()
+    q.processAllAvailable(); q.stop()
+    assert(seen.map(_.getAs[String]("data")).toSeq === Seq(payload),
+      "the tab-bearing payload must arrive uncut")
+  }
+
+  test("a feed behind the checkpoint fails loud instead of regressing " +
+    "(review r11: a truncated/replaced feed dir would re-serve applied " +
+    "chunks as fresh data)") {
+    val feed = tmpDir("feed-regress")
+    writeChunk(feed, 0, Seq(("create", "t", 1, 1000, "{}")))
+    writeChunk(feed, 1, Seq(("create", "t", 2, 2000, "{}")))
+    val ckpt = tmpDir("ckpt-regress")
+    val q = spark.readStream.format("graft-cdc").load(feed)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.count(); ()
+      }.start()
+    q.processAllAvailable(); q.stop()
+    // the feed regresses: chunk-1 vanishes (dir truncated/replaced)
+    assert(new java.io.File(s"$feed/chunk-1.tsv").delete())
+    val q2 = spark.readStream.format("graft-cdc").load(feed)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.count(); ()
+      }.start()
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+    }
+    q2.stop()
+    assert(err.toString.contains("feed regressed") ||
+      Option(err.getCause).exists(_.toString.contains("feed regressed")),
+      s"the regression must name itself: $err")
+  }
+
   test("a fully BLANK line (trailing newline, operator edit) is skipped, " +
     "not treated as a torn tail — wedging there is unrecoverable because " +
     "every restart re-reads the same checkpointed chunk (r9 review)") {

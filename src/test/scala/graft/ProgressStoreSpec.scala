@@ -77,6 +77,100 @@ class ProgressStoreSpec extends SparkSpec {
       Seq(org.apache.spark.sql.Row(1, 2)))
   }
 
+  test("a failing progress store never kills or stalls the stream, but is " +
+    "NOT silent either: the publisher logs and records lastFailure, and " +
+    "clears it on the next successful publish (review r11: the listener " +
+    "bus swallows listener throws, so the store's fail-loud HSET rejection " +
+    "was vanishing here)") {
+    val root = tmpDir("progfail")
+    val sync = SyncConfig("t", pk = "id", schema = Some(StructType(Seq(
+      StructField("id", IntegerType), StructField("v", IntegerType)))))
+    val src = new MemoryCdcSource(spark)
+    val pipe = new Pipeline(spark, PipelineConfig(Seq(sync)), src, s"$root/sink")
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    @volatile var broken = true
+    val flaky = new ProgressStore {
+      val inner = new FileProgressStore(s"$root/progress.json")
+      override def set(fields: Map[String, String]): Unit = {
+        if (broken) throw new IllegalStateException("progress HSET rejected: ERR")
+        inner.set(fields)
+      }
+      override def get(): Map[String, String] = inner.get()
+    }
+    src.addEvents(ChangeEvent("create", "t", 1,
+      ts("2024-01-01 00:00:00"), """{"id": 1, "v": 1}"""))
+    // ProcessingTime keeps ONE query alive across both phases (the default
+    // AvailableNow trigger terminates after draining the first batch)
+    val q = pipe.start(s"$root/ckpt",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(200L),
+      progress = Some(flaky))
+    try {
+      q.processAllAvailable()
+      // the stream survived the failing store and committed its batch
+      assert(pipe.sinkState(sync).collect().toSeq ===
+        Seq(org.apache.spark.sql.Row(1, 1)))
+      assert(flaky.get().isEmpty, "nothing was published while broken")
+      // heal the store; the next committed batch publishes and clears
+      broken = false
+      src.addEvents(ChangeEvent("update", "t", 2,
+        ts("2024-01-01 00:00:01"), """{"id": 1, "v": 2}"""))
+      q.processAllAvailable()
+      val deadline = System.currentTimeMillis() + 30000
+      var m = flaky.get()
+      while (!m.get("batchId").contains("1") &&
+             System.currentTimeMillis() < deadline) {
+        Thread.sleep(50); m = flaky.get()
+      }
+      assert(m.get("batchId").contains("1"),
+        s"the healed store must receive the next committed position: $m")
+    } finally q.stop()
+  }
+
+  test("ProgressPublisher records lastFailure on a store error and clears " +
+    "it on the next success (direct listener contract, review r11)") {
+    val root = tmpDir("progfail2")
+    @volatile var broken = true
+    val store = new ProgressStore {
+      val inner = new FileProgressStore(s"$root/p.json")
+      override def set(fields: Map[String, String]): Unit = {
+        if (broken) throw new IllegalStateException("boom")
+        inner.set(fields)
+      }
+      override def get(): Map[String, String] = inner.get()
+    }
+    val sync = SyncConfig("t", pk = "id", schema = Some(StructType(Seq(
+      StructField("id", IntegerType), StructField("v", IntegerType)))))
+    val src = new MemoryCdcSource(spark)
+    val pipe = new Pipeline(spark, PipelineConfig(Seq(sync)),
+      src, s"$root/sink")
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    src.addEvents(ChangeEvent("create", "t", 1,
+      ts("2024-01-01 00:00:00"), """{"id": 1, "v": 1}"""))
+    val q = pipe.start(s"$root/ckpt",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(200L))
+    val publisher = ProgressPublisher.attach(spark, q.id, store)
+    try {
+      q.processAllAvailable()
+      val deadline = System.currentTimeMillis() + 30000
+      while (publisher.lastFailure.isEmpty &&
+             System.currentTimeMillis() < deadline) Thread.sleep(50)
+      assert(publisher.lastFailure.exists(_.contains("boom")),
+        s"the failure must be recorded: ${publisher.lastFailure}")
+      broken = false
+      src.addEvents(ChangeEvent("update", "t", 2,
+        ts("2024-01-01 00:00:01"), """{"id": 1, "v": 2}"""))
+      q.processAllAvailable()
+      val d2 = System.currentTimeMillis() + 30000
+      while (publisher.lastFailure.nonEmpty &&
+             System.currentTimeMillis() < d2) Thread.sleep(50)
+      assert(publisher.lastFailure.isEmpty,
+        "a successful publish must clear the recorded failure")
+    } finally {
+      q.stop()
+      ProgressPublisher.detach(spark, publisher)
+    }
+  }
+
   test("SocketProgressStore.get names a protocol error on a tab-less reply " +
     "(wrong server / ERR) instead of a StringIndexOutOfBounds (r9 review)") {
     // point the KV client at a CDC feed server: its reply to HGETALL is an

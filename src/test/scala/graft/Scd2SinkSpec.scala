@@ -41,6 +41,25 @@ class Scd2SinkSpec extends SparkSpec {
     assert(twice === once)
   }
 
+  test("a NULL event time is rejected up front, naming the column " +
+    "(review r11: a committed null-ts row's replay was never recognized " +
+    "by the null-unsafe anti-join and wedged the stream permanently)") {
+    import spark.implicits._
+    val dir = tmpDir("scd2nullts") + "/state"
+    val ok = Seq((1L, 10L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.0))
+      .toDF("user_id", "event_id", "ts", "value")
+    Scd2Sink.applyBatch(spark, dir, ok, "user_id", "event_id", "ts")
+    val withNull = Seq(
+      (1L, 11L, Some(java.sql.Timestamp.valueOf("2024-01-01 00:00:01")), 2.0),
+      (2L, 20L, None, 3.0))
+      .toDF("user_id", "event_id", "ts", "value")
+    val err = intercept[IllegalArgumentException](
+      Scd2Sink.applyBatch(spark, dir, withNull, "user_id", "event_id", "ts"))
+    assert(err.getMessage.contains("NULL ts"), err.getMessage)
+    // state intact: the poisoned batch wrote nothing
+    assert(Scd2Sink.read(spark, dir).count() === 1L)
+  }
+
   test("version-id reuse with a different timestamp is a conflict, not a replay") {
     val dir = tmpDir("scd2conflict") + "/state"
     val ev = Tables.events(spark, sf)
