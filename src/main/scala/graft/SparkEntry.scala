@@ -1509,6 +1509,8 @@ object SparkEntry {
         |  '0/' || CAST(o_orderkey // 8 AS VARCHAR) AS nextlsn,
         |  o_orderkey,
         |  CASE WHEN o_orderkey % 3 = 2 THEN NULL
+        |    ELSE o_custkey END AS o_custkey,
+        |  CASE WHEN o_orderkey % 3 = 2 THEN NULL
         |    ELSE round(o_totalprice, 2) END AS o_totalprice
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 

@@ -17,9 +17,19 @@ import org.apache.spark.sql.functions.udaf
   */
 class TopKAgg(k: Int)
   extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
+  require(k > 0, s"TopKAgg needs k > 0, got $k") // else buf.last on Nil
+  // throws an opaque executor-side error on the first input row
 
-  private def order(a: (Double, Long), b: (Double, Long)): Boolean =
-    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+  // NaN-aware via Double.compare — NaN ranks ABOVE every double, the same
+  // rule Spark's sort applies (nanSafeCompareDoubles), so the aggregator
+  // stays byte-identical to the window formulation even when a zero-norm
+  // vector mints a NaN cosine (review r11: primitive > and == are both
+  // false on NaN, so a NaN candidate was dropped by the full-buffer fast
+  // path while the window ranked it first)
+  private def order(a: (Double, Long), b: (Double, Long)): Boolean = {
+    val c = java.lang.Double.compare(a._1, b._1)
+    c > 0 || (c == 0 && a._2 < b._2)
+  }
 
   def zero: Seq[(Double, Long)] = Nil
 

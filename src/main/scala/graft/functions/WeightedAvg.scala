@@ -8,10 +8,16 @@ import org.apache.spark.sql.functions.udaf
   * weighted average as an `Aggregator`, the user-facing custom-aggregate
   * API. Partial aggregation (`reduce`) runs map-side, `merge` combines
   * partition buffers — the same two-phase shape Catalyst gives built-ins. */
-object WeightedAvg extends Aggregator[(Double, Double), (Double, Double), java.lang.Double] {
+object WeightedAvg extends Aggregator[
+    (java.lang.Double, java.lang.Double), (Double, Double), java.lang.Double] {
   def zero: (Double, Double) = (0.0, 0.0)
-  def reduce(b: (Double, Double), in: (Double, Double)): (Double, Double) =
-    (b._1 + in._1 * in._2, b._2 + in._2)
+  // boxed input + null skip (review r11): the primitive-tuple encoder
+  // wrapped inputs in AssertNotNull, so ONE null value or weight crashed
+  // the whole query — built-in avg (the stated contract) skips nulls
+  def reduce(b: (Double, Double),
+             in: (java.lang.Double, java.lang.Double)): (Double, Double) =
+    if (in._1 == null || in._2 == null) b
+    else (b._1 + in._1 * in._2, b._2 + in._2)
   def merge(a: (Double, Double), b: (Double, Double)): (Double, Double) =
     (a._1 + b._1, a._2 + b._2)
   // null — not 0/0 = NaN — when the group's weight mass is zero (all-zero

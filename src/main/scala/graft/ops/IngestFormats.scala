@@ -33,12 +33,9 @@ object IngestFormats {
     * non-synced table — `postgres.py:97-98` — which this engine
     * deliberately does not copy). */
   def jsonlDecode(spark: SparkSession, dir: String): DataFrame = {
-    val root = s"${sys.props("java.io.tmpdir")}/graft_jsonl_" +
-      spark.sparkContext.applicationId
-    val rp = new org.apache.hadoop.fs.Path(root)
-    val fs = rp.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(rp)) fs.delete(rp, true)
-    TwoBatchScratch.registerCleanup(root)
+    // the shared scratch helper, not an inline copy of it (review r11):
+    // freshRoot exists precisely because copy-pasted preambles drifted
+    val root = TwoBatchScratch.freshRoot(spark, "graft_jsonl")
     val feed = s"$root/feed"
 
     val o = Tables(spark, dir, "orders")
@@ -75,12 +72,18 @@ object IngestFormats {
     val raw = spark.read.format("text").load(feed)
       .withColumn("offset", monotonically_increasing_id())
       .withColumnRenamed("value", "data")
+    // json_tuple: ONE parse of the payload per row (review r11 — two
+    // get_json_object calls parsed the same string twice), and o_custkey
+    // IS graded now, so a decode defect corrupting an interior
+    // columnvalues element hash-mismatches as the scaladoc promises
+    // (previously only the first and last fields were projected)
     graft.cdc.EnvelopeDecoders.decodeWal2json(raw)
       .select(col("op"), col("table").as("table_name"), col("nextlsn"),
-        get_json_object(col("data"), "$.o_orderkey").cast("long")
-          .as("o_orderkey"),
-        get_json_object(col("data"), "$.o_totalprice").cast("double")
-          .as("o_totalprice"))
+        json_tuple(col("data"), "o_orderkey", "o_custkey", "o_totalprice"))
+      .select(col("op"), col("table_name"), col("nextlsn"),
+        col("c0").cast("long").as("o_orderkey"),
+        col("c1").cast("long").as("o_custkey"),
+        col("c2").cast("double").as("o_totalprice"))
       .orderBy(col("o_orderkey"))
   }
 }

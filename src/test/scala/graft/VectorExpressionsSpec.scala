@@ -79,4 +79,37 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(out(0).isNullAt(1), "zero-weight group must be null, not NaN")
     assert(out(1).getDouble(1) === 17.5)
   }
+
+  test("WeightedAvg: null values/weights are SKIPPED like built-in avg, " +
+    "not a query-killing AssertNotNull (review r11)") {
+    val df = Seq(
+      ("a", Some(10.0), Some(1.0)),
+      ("a", None, Some(9.0)),        // null value: skipped
+      ("a", Some(99.0), None),       // null weight: skipped
+      ("a", Some(30.0), Some(3.0)))
+      .toDF("g", "v", "w")
+    val out = df.groupBy(col("g"))
+      .agg(graft.functions.WeightedAvg(col("v"), col("w")).as("wavg"))
+      .collect()
+    assert(out(0).getDouble(1) === 25.0, // (10*1 + 30*3) / 4
+      s"null pairs must be skipped: ${out.toSeq}")
+  }
+
+  test("TopKAgg: NaN scores rank FIRST (Spark's sort rule) so the bounded " +
+    "aggregate stays byte-identical to the window formulation, and k <= 0 " +
+    "is rejected at construction (review r11)") {
+    import graft.functions.TopKAgg
+    val agg = new TopKAgg(2)
+    val fed = Seq((1.0, 10L), (Double.NaN, 20L), (2.0, 30L), (Double.NaN, 5L))
+      .foldLeft(agg.zero)(agg.reduce)
+    // compare ids + NaN-ness (tuple == on NaN is always false)
+    def shape(s: Seq[(Double, Long)]) = s.map(p => (p._1.isNaN, p._2))
+    assert(shape(agg.finish(fed)) === Seq((true, 5L), (true, 20L)),
+      "NaN candidates must displace finite scores, id-ascending on ties")
+    // merge path agrees
+    val m = agg.merge(Seq((2.0, 30L), (1.0, 10L)), Seq((Double.NaN, 7L)))
+    assert(shape(m) === Seq((true, 7L), (false, 30L)))
+    val err = intercept[IllegalArgumentException](new TopKAgg(0))
+    assert(err.getMessage.contains("k > 0"), err.getMessage)
+  }
 }
