@@ -519,6 +519,15 @@ object ScaleCurve {
         time("hubness_cells", fac)(
           graft.ops.Similarity.hubness(spark, groot,
             blocking = "cells", nCells = cells).count())
+        // r11: pageRank and triangles gained the cells tier (review r11
+        // closed the last two signcell-pinned graph ops) — measured on the
+        // same replicas so the whole family shares one curve
+        time("pagerank_cells", fac)(
+          graft.ops.Graph.pageRank(spark, groot,
+            blocking = "cells", nCells = cells).count())
+        time("triangles_cells", fac)(
+          graft.ops.Graph.triangles(spark, groot, threshold = 0.15,
+            blocking = "cells", nCells = cells).count())
         if (fac != 1 && !keep) {
           val p = new org.apache.hadoop.fs.Path(gdir)
           p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
