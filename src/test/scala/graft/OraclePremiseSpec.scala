@@ -26,8 +26,11 @@ class OraclePremiseSpec extends SparkSpec {
         .select(explode(expr("graft_shingle_hashes(text, 3)")).as("h"))
         .groupBy(col("h")).agg(count(lit(1)).as("df"))
         .agg(max(col("df"))).head().getLong(0)
-      assert(maxDf < 128,
-        s"max shingle df $maxDf >= 128 at $scale: the closed-form oracle's " +
+      // <= 128, not < (review r11): production's filter is the INCLUSIVE
+      // between(2, 128), so df exactly 128 is still kept and the capped
+      // closed form still equals the uncapped answer — only df > 128 binds
+      assert(maxDf <= 128,
+        s"max shingle df $maxDf > 128 at $scale: the closed-form oracle's " +
           "df cap now BINDS — q_dedup_minhash/q_dedup_stream need the capped " +
           "oracle split from the LSH queries")
     }

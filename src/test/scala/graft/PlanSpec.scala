@@ -437,10 +437,17 @@ class PlanSpec extends SparkSpec {
     "candidate filter, so only candidate tokens reach the exchange") {
     val p = plan("q_heavy_hitters")
     assert(p.contains("partial_count") || p.contains("partial_"), p.take(3000))
-    // the isin(candidates) filter sits below the aggregation exchange
-    val filterIdx = p.indexOf("tok#")
-    assert(p.contains(" IN ") || p.contains("INSET"), p.take(3000))
-    assert(filterIdx >= 0 && !p.contains("CartesianProduct"), p.take(3000))
+    // the isin(candidates) filter sits BELOW the recount exchange —
+    // formatted plans print children after parents, so the filter must
+    // appear AFTER the exchange line (review r11: the old check only
+    // asserted existence, so a hoisted filter shuffling every token —
+    // exactly the 100 TB mistake — passed green)
+    val exIdx = p.indexOf("Exchange hashpartitioning(tok")
+    val inIdx = math.max(p.indexOf("INSET"), p.indexOf(" IN ("))
+    assert(exIdx >= 0, "recount exchange missing: " + p.take(3000))
+    assert(inIdx > exIdx,
+      "candidate filter must sit below the recount exchange: " + p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 
   test("wordpiece encode: same shape contract as the unigram DP — " +
@@ -540,8 +547,10 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       "1-row stats must broadcast: " + p.take(3000))
     assert(!p.contains("CartesianProduct"), p.take(3000))
-    assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint,o_orderdate"),
-      p.take(3000))
+    // CLOSED struct (review r11): an unclosed prefix passed even when the
+    // scan widened to extra columns after o_orderdate
+    assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint," +
+      "o_orderdate:timestamp_ntz>"), p.take(3000))
     // the interleave is pure codegen'd integer arithmetic — no udf calls
     assert(!p.toLowerCase.contains("batchevalpython") && !p.contains("UDF"),
       p.take(3000))
@@ -617,11 +626,12 @@ class PlanSpec extends SparkSpec {
     "nested loop against the edge list") {
     val p = plan("q_kcore")
     assert(!p.contains("CartesianProduct"), p.take(3000))
-    // the only nested-loop join allowed is the 1-row seed-cells fold feeding
-    // the edge build, never an edge-list side
-    assert(!p.contains("BroadcastNestedLoopJoin") ||
-      p.contains("LocalTableScan") || p.contains("Scan ExistingRDD"),
-      p.take(3000))
+    // review r11: the old escape clause ("…|| Scan ExistingRDD") was
+    // vacuously true — kCore localCheckpoints every round, so the plan
+    // ALWAYS contains Scan ExistingRDD and a nested-loop regression could
+    // never trip it. The executed plan has no BNLJ at all; pin that flat,
+    // like the label-prop test below.
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
   }
 
   test("label prop: every round is keyed equi-joins over the checkpointed " +

@@ -58,10 +58,16 @@ class TwoJvmLeaseSpec extends SparkSpec {
     DriverLease.acquire(spark, statePath)
     try {
       val cfg = new java.io.File(scratch, "graft.properties")
+      // a GENEROUS staleness horizon in the child config (review r11):
+      // with the 60 s default, a slow child start (JVM spawn + Spark init
+      // on a loaded host — the test budgets 180 s) would read the parent's
+      // unrefreshed lease as stale and LEGALLY take it over, flipping the
+      // expected refusal into a spurious red
       java.nio.file.Files.write(cfg.toPath,
         s"""feed.dir=$scratch/feed
            |table.dir=$scratch/tables
            |sink.root=$sinkRoot
+           |lease.stale.ms=600000
            |sync.t.pk=id
            |sync.t.schema=id INT, score BIGINT
            |""".stripMargin.getBytes("UTF-8"))
@@ -101,6 +107,12 @@ class TwoJvmLeaseSpec extends SparkSpec {
         s"child never acquired the lease; output:\n${slurp(out)}")
       assert(heldBy.get != DriverLease.processIdentity,
         "the lease must carry the CHILD's identity")
+      // poll for the HELD confirmation (review r11): the lease file is
+      // visible INSIDE acquire(), before the child prints and flushes —
+      // a single slurp raced that window
+      val heldDeadline = System.currentTimeMillis() + 30000L
+      while (!slurp(out).contains("HELD") &&
+             System.currentTimeMillis() < heldDeadline) Thread.sleep(100L)
       assert(slurp(out).contains("HELD"), s"child did not confirm:\n${slurp(out)}")
       // kill -9: no shutdown hook, no release — the crash shape
       p.destroyForcibly()
