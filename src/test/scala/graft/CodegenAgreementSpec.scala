@@ -22,18 +22,30 @@ class CodegenAgreementSpec extends SparkSpec {
   graft.functions.VectorFunctions.register(spark)
 
   private def bothModes(view: String, exprSql: String): Unit = {
-    def run(factory: String, wholeStage: String): Seq[String] = {
+    // review r11: (a) the gen leg pins spark.sql.codegen.fallback=false —
+    // the default-true fallback silently re-ran a compile-failing
+    // expression on the interpreted path in BOTH legs, making agreement
+    // vacuous for exactly the divergence class this suite exists to
+    // catch; (b) the finally restores the CAPTURED prior conf values, not
+    // hard-coded defaults, so a session that pins its own codegen confs
+    // is not silently reset for every later suite in the shared JVM.
+    def run(factory: String, wholeStage: String,
+            fallback: String): Seq[String] = {
+      val prior = Seq("spark.sql.codegen.factoryMode",
+        "spark.sql.codegen.wholeStage", "spark.sql.codegen.fallback")
+        .map(k => k -> spark.conf.getOption(k))
       spark.conf.set("spark.sql.codegen.factoryMode", factory)
       spark.conf.set("spark.sql.codegen.wholeStage", wholeStage)
+      spark.conf.set("spark.sql.codegen.fallback", fallback)
       try spark.sql(s"SELECT $exprSql FROM $view ORDER BY id")
         .collect().map(r => String.valueOf(r.get(0))).toSeq
-      finally {
-        spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
-        spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      finally prior.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
       }
     }
-    val interp = run("NO_CODEGEN", "false")
-    val gen = run("CODEGEN_ONLY", "true")
+    val interp = run("NO_CODEGEN", "false", "true")
+    val gen = run("CODEGEN_ONLY", "true", "false")
     assert(interp === gen,
       s"$exprSql: interpreted != codegen\n  interp: $interp\n  gen:    $gen")
   }

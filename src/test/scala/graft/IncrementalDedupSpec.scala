@@ -6,8 +6,18 @@ import org.apache.spark.sql.functions._
 class IncrementalDedupSpec extends SparkSpec {
   import spark.implicits._
 
+  // select-by-NAME like DedupStreamSpec's sibling (review r11: positional
+  // gets silently compare the wrong columns if update() ever reorders)
   private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
-    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    df.select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  // null-guarded dir listing (review r11: a renamed layout dir made
+  // listFiles() return null and the test die with a bare NPE instead of
+  // the prepared diagnostic)
+  private def filesIn(path: String): Array[java.io.File] =
+    Option(new java.io.File(path).listFiles())
+      .getOrElse(fail(s"missing dir: $path"))
 
   test("incremental batches union to exactly the one-shot answer (uncapped)") {
     val state = tmpDir("incstate") + "/postings"
@@ -86,8 +96,7 @@ class IncrementalDedupSpec extends SparkSpec {
     }.toSet
     assert(bucketed === oneShot)
     // and the layout really is bucketed: sets files live under bucket= dirs
-    val setsDir = new java.io.File(s"$bstate/sets/batch-2")
-    assert(setsDir.listFiles().exists(_.getName.startsWith("bucket=")),
+    assert(filesIn(s"$bstate/sets/batch-2").exists(_.getName.startsWith("bucket=")),
       "bucketed layout missing bucket= partition dirs")
   }
 
@@ -108,7 +117,7 @@ class IncrementalDedupSpec extends SparkSpec {
     try assert(marker.mkString.trim === "16") finally marker.close()
     // ...and batch 2 was WRITTEN under it too: modulus 7 could only produce
     // bucket dirs 0..6, so a dir >= 7 proves the stored 16 was used
-    val b2 = new java.io.File(s"$state/sets/batch-2").listFiles()
+    val b2 = filesIn(s"$state/sets/batch-2")
       .filter(_.getName.startsWith("bucket=")).map(_.getName.stripPrefix("bucket=").toInt)
     assert(b2.exists(_ >= 7), s"batch-2 buckets ${b2.mkString(",")} all < 7")
   }
@@ -120,12 +129,10 @@ class IncrementalDedupSpec extends SparkSpec {
       pairSet(IncrementalDedup.update(spark, state,
         docs.filter(col("doc_id") % 3 === b))).toSeq
     }
-    val filesBefore = new java.io.File(state).listFiles()
-      .count(_.getName.endsWith(".parquet"))
+    val filesBefore = filesIn(state).count(_.getName.endsWith(".parquet"))
     IncrementalDedup.compactState(spark, state,
       IncrementalDedup.postingsDdl, numFiles = 1)
-    val filesAfter = new java.io.File(state).listFiles()
-      .count(_.getName.endsWith(".parquet"))
+    val filesAfter = filesIn(state).count(_.getName.endsWith(".parquet"))
     assert(filesAfter === 1 && filesAfter < filesBefore)
     // the third batch over compacted state completes the exact one-shot set
     val after = pairSet(IncrementalDedup.update(spark, state,

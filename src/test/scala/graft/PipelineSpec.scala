@@ -12,6 +12,17 @@ class PipelineSpec extends SparkSpec {
 
   private def ts(s: String) = java.sql.Timestamp.valueOf(s)
 
+  // ONE comparison discipline for "the manifest equals a full recompute"
+  // (review r11: five inlined copies had already started varying)
+  private def assertManifestMatchesFull(zm: String, statePath: String,
+                                        clue: String): Unit = {
+    val manifest = spark.read.parquet(zm).orderBy("bucket")
+      .collect().map(_.toSeq).toSeq
+    val full = ops.Maintenance.bucketZoneMap(spark, statePath, Seq("score"))
+      .collect().map(_.toSeq).toSeq
+    assert(manifest === full, clue)
+  }
+
   test("A1 mysql scenario: insert syncs with datetime->epoch coercion") {
     val sinkRoot = tmpDir("sink")
     val ckpt = tmpDir("ckpt")
@@ -317,12 +328,8 @@ class PipelineSpec extends SparkSpec {
     pipe.refresh()
     assert(!pend.exists(),
       "a quiesced full rebuild heals the orphaned marker")
-    val manifest = spark.read.parquet(zm).orderBy("bucket")
-      .collect().map(_.toSeq).toSeq
-    val full = ops.Maintenance
-      .bucketZoneMap(spark, s"$sinkRoot/t", Seq("score"))
-      .collect().map(_.toSeq).toSeq
-    assert(manifest === full, "the healed manifest equals a full recompute")
+    assertManifestMatchesFull(zm, s"$sinkRoot/t",
+      "the healed manifest equals a full recompute")
   }
 
   test("orphaned refresh marker self-heals: after 3 consecutive batches " +
@@ -372,12 +379,8 @@ class PipelineSpec extends SparkSpec {
     assert(!pend.exists(),
       "the orphaned marker must self-heal after the streak threshold")
     assert(pipe.zoneMapStatus() === Map("t" -> None))
-    val manifest = spark.read.parquet(zm).orderBy("bucket")
-      .collect().map(_.toSeq).toSeq
-    val full = ops.Maintenance
-      .bucketZoneMap(spark, s"$sinkRoot/t", Seq("score"))
-      .collect().map(_.toSeq).toSeq
-    assert(manifest === full, "the healed manifest equals a full recompute")
+    assertManifestMatchesFull(zm, s"$sinkRoot/t",
+      "the healed manifest equals a full recompute")
     // and pruned reads are pruned again AND exact
     val got = ops.Maintenance.prunedRead(spark, s"$sinkRoot/t", zm,
       "score", 25L, 45L).collect().map(_.getLong(1)).sorted.toSeq
@@ -418,12 +421,8 @@ class PipelineSpec extends SparkSpec {
       }
       assert(!pend.exists(),
         "a positive-id orphan must self-heal via the widened streak")
-      val manifest = spark.read.parquet(zm).orderBy("bucket")
-        .collect().map(_.toSeq).toSeq
-      val full = ops.Maintenance
-        .bucketZoneMap(spark, s"$sinkRoot/t", Seq("score"))
-        .collect().map(_.toSeq).toSeq
-      assert(manifest === full)
+      assertManifestMatchesFull(zm, s"$sinkRoot/t",
+        "the healed manifest equals a full recompute")
     } finally StateCommit.orphanMarkerHealMinMs = prevHealMs
   }
 
@@ -529,10 +528,7 @@ class PipelineSpec extends SparkSpec {
     val q2 = pipe.start(ckpt); q2.processAllAvailable(); q2.stop()
     assert(!pend.exists(),
       "a same-id, same-lineage replay must re-own, splice, and release")
-    val manifest = spark.read.parquet(zm).orderBy("bucket")
-      .collect().map(_.toSeq).toSeq
-    val full = ops.Maintenance.bucketZoneMap(spark, s"$sinkRoot/t",
-      Seq("score")).collect().map(_.toSeq).toSeq
-    assert(manifest === full, "the fast-path splice left an exact manifest")
+    assertManifestMatchesFull(zm, s"$sinkRoot/t",
+      "the fast-path splice left an exact manifest")
   }
 }

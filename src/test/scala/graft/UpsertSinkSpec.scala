@@ -166,6 +166,20 @@ class UpsertSinkSpec extends SparkSpec {
     // every row (every bucket dir) now carries the evolved schema
     assert(got.filter(col("id") =!= 3)
       .filter(col("segment").isNotNull).count() === 0)
+    // per-DIR footer check (review r11): the null-count assertion above is
+    // vacuous under the touched-bucket-only regression — parquet reads a
+    // MISSING column as null too. Each bucket dir's own footer must carry
+    // the evolved column.
+    val bucketDirs = new java.io.File(path).listFiles()
+      .filter(f => f.isDirectory &&
+        f.getName.startsWith(BucketedUpsertSink.BucketCol + "="))
+    assert(bucketDirs.length === 4, bucketDirs.map(_.getName).toSeq)
+    bucketDirs.foreach { d =>
+      val cols = spark.read.parquet(d.getPath).columns.toSet
+      assert(cols.contains("segment"),
+        s"bucket dir ${d.getName} was not rewritten onto the evolved " +
+          s"schema (footer columns: $cols)")
+    }
     // and the incremental per-bucket path resumes on the new schema
     BucketedUpsertSink.applyBatch(spark, path,
       Seq(("update", 7, "seven", "silver")).toDF("op", "id", "name", "segment"),
@@ -365,6 +379,11 @@ class UpsertSinkSpec extends SparkSpec {
         })
       }
       threads.foreach(_.start()); threads.foreach(_.join(30000))
+      // a join timeout is a DEADLOCK diagnosis, not a later wrong-value
+      // surprise (review r11): a still-running swapper would race the next
+      // round's staging and report confusingly
+      threads.foreach(t => assert(!t.isAlive,
+        s"swapper deadlocked in atomicSwapDirs (round $round)"))
       assert(failed.get() === null,
         s"no swapper may fail spuriously (round $round): ${failed.get()}")
       val v = spark.read.parquet(live).collect().toSeq
