@@ -55,9 +55,18 @@ object EnvelopeDecoders {
         "wal2json", col(dataCol)))
       .select(col(offsetCol).as("offset"), col("__w.nextlsn").as("nextlsn"),
         posexplode(col("__w.change")).as(Seq("_ridx", "c")))
-      // unknown kinds (truncate, message, ...) are dropped like the
-      // reference's F2 filter — but only the ENTRY, never the rest of the
-      // transaction
+      // TRUNCATE is a DATA change this envelope cannot apply (review r11,
+      // matching the debezium decoder's posture): silently dropping it
+      // would leave the sink holding every truncated row forever — the
+      // stale-sink loss class the guard exists to stop. Fail loud naming
+      // the repair (refresh the table, restart past this position).
+      .filter(undecodableGuard(col("c.kind") =!= "truncate",
+        "wal2json (TRUNCATE — the sink would keep every truncated row; " +
+          "run refresh on the table, then restart past this position)",
+        to_json(col("c"))))
+      // genuinely informational kinds (logical-decoding "message", ...)
+      // drop like the reference's F2 filter — but only the ENTRY, never
+      // the rest of the transaction
       .filter(col("c.kind").isin("insert", "update", "delete"))
       // a delete without oldkeys (REPLICA IDENTITY NOTHING / no PK) has no
       // key to delete by: the pre-fix null payload flowed downstream and

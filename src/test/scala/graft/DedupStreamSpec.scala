@@ -11,6 +11,11 @@ import org.apache.spark.sql.streaming.Trigger
   * batch window (commit erased) and resumed from its checkpoint. */
 class DedupStreamSpec extends SparkSpec {
 
+  // ONE one-shot oracle for the whole suite (review r11: three tests
+  // re-ran the full MinHash+LSH pipeline to rebuild an identical set)
+  private lazy val oneShotLsh: Set[(Long, Long, Double)] =
+    pairSet(Dedup.minhashLsh(spark, sf))
+
   private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
     df.select(col("doc_a"), col("doc_b"), col("jaccard"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
@@ -35,9 +40,9 @@ class DedupStreamSpec extends SparkSpec {
     val feed = writeFeed(root)
     val q = DedupStream.start(spark, feed, s"$root/state", s"$root/pairs",
       s"$root/ckpt", maxFilesPerTrigger = Some(1))
-    q.processAllAvailable(); q.stop()
+    try q.processAllAvailable() finally q.stop()
     val streamed = pairSet(DedupStream.pairs(spark, s"$root/pairs"))
-    val oneShot = pairSet(Dedup.minhashLsh(spark, sf))
+    val oneShot = oneShotLsh
     assert(streamed.nonEmpty)
     assert(streamed === oneShot)
   }
@@ -52,7 +57,7 @@ class DedupStreamSpec extends SparkSpec {
     try q.processAllAvailable() finally q.stop()
     val log = DedupStream.pairs(spark, s"$root/pairs")
     val compacted = pairSet(log)
-    assert(compacted === pairSet(Dedup.minhashLsh(spark, sf)))
+    assert(compacted === oneShotLsh)
     assert(log.count() === compacted.size.toLong, "duplicate rows after compaction")
     // and the state really was folded: batches 0..2 have no subdirs left
     // (batch 3 appended after the last compaction, so its subdir remains)
@@ -85,7 +90,7 @@ class DedupStreamSpec extends SparkSpec {
     try q2.processAllAvailable() finally q2.stop()
     val log = DedupStream.pairs(spark, s"$root/pairs")
     val resumed = pairSet(log)
-    assert(resumed === pairSet(Dedup.minhashLsh(spark, sf)))
+    assert(resumed === oneShotLsh)
     assert(log.count() === resumed.size.toLong,
       "duplicate rows in the replayed pair log")
   }
@@ -98,8 +103,8 @@ class DedupStreamSpec extends SparkSpec {
     // phase 1: continuous trigger, one file per batch; kill after >= 2 commits
     val q1 = DedupStream.start(spark, feed, s"$root/state", s"$root/pairs",
       ckpt, maxFilesPerTrigger = Some(1), trigger = Trigger.ProcessingTime(0L))
-    CkptCrash.awaitCommits(ckpt, 2)
-    q1.stop()
+    try CkptCrash.awaitCommits(ckpt, 2)
+    finally q1.stop()
     // crash window: state subdirs and pair dirs for batch k AND any batch
     // the stop() interrupted beyond it may exist, but the checkpoint says
     // none of them committed — resume must replay batch k against the
@@ -108,10 +113,10 @@ class DedupStreamSpec extends SparkSpec {
     CkptCrash.simulateCrashAtLastCommit(spark, ckpt)
     val q2 = DedupStream.start(spark, feed, s"$root/state", s"$root/pairs",
       ckpt, maxFilesPerTrigger = Some(1))
-    q2.processAllAvailable(); q2.stop()
+    try q2.processAllAvailable() finally q2.stop()
     val log = DedupStream.pairs(spark, s"$root/pairs")
     val resumed = pairSet(log)
-    val oneShot = pairSet(Dedup.minhashLsh(spark, sf))
+    val oneShot = oneShotLsh
     assert(resumed === oneShot)
     // the replayed batch must not pair against its own crashed copy: that
     // bug emits each of its pairs 4x (2 state copies per side), which a

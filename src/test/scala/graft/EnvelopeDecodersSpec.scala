@@ -10,6 +10,20 @@ import org.apache.spark.sql.functions._
   * including the malformed corners the reference mishandles (SURVEY §2.3).
   */
 class EnvelopeDecodersSpec extends SparkSpec {
+
+  /** Exception text across the FULL cause chain (review r11: Spark wraps
+    * task-side guard failures in a varying number of layers across
+    * execution paths; one-level walks failed spuriously). */
+  private def msgOf(t: Throwable): String = {
+    val b = new StringBuilder
+    var cur: Throwable = t
+    val seen = scala.collection.mutable.Set.empty[Throwable]
+    while (cur != null && seen.add(cur)) {
+      b.append(Option(cur.getMessage).getOrElse("")).append('|')
+      cur = cur.getCause
+    }
+    b.toString
+  }
   import spark.implicits._
 
   test("wal2json: a multi-table transaction decodes every change (no truncation)") {
@@ -37,16 +51,26 @@ class EnvelopeDecodersSpec extends SparkSpec {
     assert(out.forall(_.getAs[Long]("offset") === 7L))
   }
 
-  test("wal2json: unknown kinds drop without killing the rest of the message") {
+  test("wal2json: informational kinds drop without killing the rest of " +
+    "the message; TRUNCATE fails loudly naming the repair (review r11: " +
+    "silently dropping a data-affecting truncate left the sink holding " +
+    "every truncated row — the posture the debezium decoder already had)") {
     val msg =
       """{"change":[
-        |{"kind":"truncate","schema":"public","table":"test"},
+        |{"kind":"message","schema":"public","table":"test"},
         |{"kind":"update","schema":"public","table":"test","columnnames":["id","v"],"columnvalues":[3,4.5]}
         |],"nextlsn":"0/1"}""".stripMargin.replace("\n", "")
     val out = EnvelopeDecoders.decodeWal2json(Seq((msg, 1L)).toDF("data", "offset")).collect()
     assert(out.length === 1)
     assert(out.head.getAs[String]("op") === "update")
     assert(out.head.getAs[String]("data") === """{"id":3,"v":4.5}""")
+    val trunc =
+      """{"change":[{"kind":"truncate","schema":"public","table":"test"}],"nextlsn":"0/1"}"""
+    val e = intercept[Exception] {
+      EnvelopeDecoders.decodeWal2json(Seq((trunc, 2L)).toDF("data", "offset")).collect()
+    }
+    assert(msgOf(e).contains("TRUNCATE") || msgOf(e).contains("undecodable"),
+      s"truncate must fail loud naming the repair: ${msgOf(e)}")
   }
 
   test("mysql binlog: a multi-row write expands to every row, later rows win ties") {
@@ -136,8 +160,7 @@ class EnvelopeDecodersSpec extends SparkSpec {
     val trunc = Seq(("""{"op":"t","source":{"table":"test"}}""", 6L))
       .toDF("data", "offset")
     val et = intercept[Exception] { EnvelopeDecoders.decodeDebezium(trunc).collect() }
-    assert(et.getMessage.contains("undecodable") ||
-      Option(et.getCause).exists(_.getMessage.contains("undecodable")))
+    assert(msgOf(et).contains("undecodable"), msgOf(et))
   }
 
   test("undecodable messages fail loudly instead of vanishing") {
@@ -147,13 +170,11 @@ class EnvelopeDecodersSpec extends SparkSpec {
     val e1 = intercept[Exception] {
       EnvelopeDecoders.decodeWal2json(garbage).collect()
     }
-    assert(e1.getMessage.contains("undecodable") ||
-      Option(e1.getCause).exists(_.getMessage.contains("undecodable")))
+    assert(msgOf(e1).contains("undecodable"), msgOf(e1))
     val e2 = intercept[Exception] {
       EnvelopeDecoders.decodeMysqlBinlog(garbage).collect()
     }
-    assert(e2.getMessage.contains("undecodable") ||
-      Option(e2.getCause).exists(_.getMessage.contains("undecodable")))
+    assert(msgOf(e2).contains("undecodable"), msgOf(e2))
     // a row event whose rows[] failed to decode would posexplode ZERO rows
     // and vanish without this guard (r9 review) — type parses, rows missing
     val rowless = Seq((
@@ -162,8 +183,7 @@ class EnvelopeDecodersSpec extends SparkSpec {
     val e3 = intercept[Exception] {
       EnvelopeDecoders.decodeMysqlBinlog(rowless).collect()
     }
-    assert(e3.getMessage.contains("undecodable") ||
-      Option(e3.getCause).exists(_.getMessage.contains("undecodable")),
+    assert(msgOf(e3).contains("undecodable"),
       s"row event without rows must fail loudly: $e3")
   }
 
@@ -242,9 +262,6 @@ class EnvelopeDecodersSpec extends SparkSpec {
     val e = intercept[Exception] {
       EnvelopeDecoders.decodeWal2json(Seq((msg, 1L)).toDF("data", "offset")).collect()
     }
-    def msgOf(t: Throwable): String =
-      Option(t.getMessage).getOrElse("") +
-        Option(t.getCause).map(c => Option(c.getMessage).getOrElse("")).getOrElse("")
     assert(msgOf(e).contains("REPLICA IDENTITY") || msgOf(e).contains("undecodable"),
       s"the failure must name the repair: ${msgOf(e)}")
   }

@@ -70,17 +70,30 @@ class FormatsSpec extends SparkSpec {
       .write.mode("overwrite")
       .bucketBy(8, "c_custkey").sortBy("c_custkey")
       .saveAsTable("state_bucketed")
-    val state = spark.table("state_bucketed")
-    val batch = ops.Tables(spark, sf, "orders")
-      .select(col("o_custkey"), col("o_totalprice"))
-      .repartition(8, col("o_custkey"))
-    val joined = state.join(batch, state("c_custkey") === batch("o_custkey"))
-    val plan = joined.queryExecution.executedPlan.toString
-    // exactly one shuffle: the batch side; the bucketed scan feeds the join
-    // directly (bucket layout == join partitioning)
-    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
-    assert(exchanges === 1, plan.take(3000))
-    assert(joined.count() > 0)
+    // force the sort-merge path (review r11): at fixture scale the planner
+    // broadcast the batch side and DISABLED the bucketed scan ('Bucketed:
+    // false (disabled by query planner)'), so the old exchange count was
+    // the test's own repartition — the bucketing property was never
+    // exercised. With broadcast off, the join must be SMJ, the state-side
+    // bucketed scan must be ENABLED, and the only hash exchange is the
+    // batch side's.
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val state = spark.table("state_bucketed")
+      val batch = ops.Tables(spark, sf, "orders")
+        .select(col("o_custkey"), col("o_totalprice"))
+      val joined = state.join(batch, state("c_custkey") === batch("o_custkey"))
+      assert(joined.count() > 0)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(3000))
+      assert(plan.contains("Bucketed: true"),
+        "the state-side scan must USE the bucket layout: " + plan.take(3000))
+      // exactly one shuffle: the batch side; the bucketed scan feeds the
+      // join directly (bucket layout == join partitioning)
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(exchanges === 1, plan.take(3000))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
   }
 
   test("jsonl feed via the text format decodes end-to-end through the " +

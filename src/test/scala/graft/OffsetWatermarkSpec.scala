@@ -18,6 +18,19 @@ import org.apache.spark.sql.types._
 class OffsetWatermarkSpec extends SparkSpec {
   import spark.implicits._
 
+
+  /** The quarantine-repair ritual: read -> transform -> EAGER checkpoint ->
+    * overwrite the SAME path. The localCheckpoint(true) is what makes
+    * overwriting the file being read safe — one helper so no copy can
+    * drop it (review r11: five inlined copies). */
+  private def repairQuarantine(dl: String)(
+      f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val repaired = f(spark.read.parquet(dl)).localCheckpoint(true)
+    repaired.write.mode("overwrite").parquet(dl)
+    repaired // still materialized — callers may re-stage it (crash-retry)
+  }
+
   private def wmOf(statePath: String): Map[Int, (Long, Int)] =
     OffsetWatermark.current(spark, statePath).map(
       _.collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getInt(2)))).toMap)
@@ -181,11 +194,8 @@ class OffsetWatermarkSpec extends SparkSpec {
     // operator repairs the pre-snapshot row to pk 7 — before this fix the
     // replay applied it (pk 7 has no per-pk entry) and clobbered bob-current
     val dl = pipe.deadLetterPath(sync)
-    val repaired = spark.read.parquet(dl)
-      .withColumn("id",
-        when(col("name") === "stale-bob", lit(7)).otherwise(col("id")))
-      .localCheckpoint(true)
-    repaired.write.mode("overwrite").parquet(dl)
+    repairQuarantine(dl)(_.withColumn("id",
+      when(col("name") === "stale-bob", lit(7)).otherwise(col("id"))))
     assert(pipe.replayDeadLetters() === Map("t" -> ((0L, 1L, 0L))),
       "the pre-snapshot payload is superseded by the snapshot")
     assert(pipe.sinkState(sync).collect().map(r =>
@@ -198,11 +208,8 @@ class OffsetWatermarkSpec extends SparkSpec {
       ChangeEvent("create", "t", 5, ts, """{"id": null, "name": "late"}"""))
     val q2 = pipe.start(ckpt)
     q2.processAllAvailable(); q2.stop()
-    val repaired2 = spark.read.parquet(dl)
-      .withColumn("id",
-        when(col("name") === "late", lit(9)).otherwise(col("id")))
-      .localCheckpoint(true)
-    repaired2.write.mode("overwrite").parquet(dl)
+    repairQuarantine(dl)(_.withColumn("id",
+      when(col("name") === "late", lit(9)).otherwise(col("id"))))
     assert(pipe.replayDeadLetters() === Map("t" -> ((1L, 0L, 0L))),
       "offset 5 > floor 2: fresh")
     assert(pipe.sinkState(sync).collect().map(r =>
@@ -228,9 +235,7 @@ class OffsetWatermarkSpec extends SparkSpec {
     assert(pipe.sinkState(sync).collect().toSeq === Seq(Row(1, "row-one")))
     // operator repairs row 0 to pk 1 — same offset, LOWER _ridx: superseded
     val dl = pipe.deadLetterPath(sync)
-    val repaired = spark.read.parquet(dl)
-      .withColumn("id", lit(1)).localCheckpoint(true)
-    repaired.write.mode("overwrite").parquet(dl)
+    repairQuarantine(dl)(_.withColumn("id", lit(1)))
     assert(pipe.replayDeadLetters() === Map("t" -> ((0L, 1L, 0L))),
       "the _ridx-0 repair must be discarded, not applied")
     assert(pipe.sinkState(sync).collect().toSeq === Seq(Row(1, "row-one")),
@@ -360,9 +365,7 @@ class OffsetWatermarkSpec extends SparkSpec {
     val dl = pipe.deadLetterPath(sync)
     assert(spark.read.parquet(dl).select("_ridx").collect().head.isNullAt(0),
       "precondition: the unparseable envelope quarantines with NULL _ridx")
-    val repaired = spark.read.parquet(dl)
-      .withColumn("id", lit(5)).localCheckpoint(true)
-    repaired.write.mode("overwrite").parquet(dl)
+    val repaired = repairQuarantine(dl)(_.withColumn("id", lit(5)))
     assert(pipe.replayDeadLetters() === Map("t" -> ((1L, 0L, 0L))),
       "the repaired null-_ridx row must replay as fresh")
     // crash-retry: the same repaired rows land back in quarantine (crash
@@ -394,12 +397,9 @@ class OffsetWatermarkSpec extends SparkSpec {
     q1.processAllAvailable(); q1.stop()
     // operator repairs the quarantine to fresh pks 101..110
     val dl = pipe.deadLetterPath(sync)
-    val repaired = spark.read.parquet(dl)
-      .withColumn("id",
-        (lit(100) + regexp_extract(col("name"), "q(\\d+)", 1).cast("int"))
-          .cast("int"))
-      .localCheckpoint(true)
-    repaired.write.mode("overwrite").parquet(dl)
+    repairQuarantine(dl)(_.withColumn("id",
+      (lit(100) + regexp_extract(col("name"), "q(\\d+)", 1).cast("int"))
+        .cast("int")))
     // hammer: replays loop in one thread while the stream applies updates
     val freshTotal = new java.util.concurrent.atomic.AtomicLong()
     val failed = new java.util.concurrent.atomic.AtomicReference[Throwable]()
@@ -415,6 +415,11 @@ class OffsetWatermarkSpec extends SparkSpec {
     replayer.start()
     q2.processAllAvailable()
     replayer.join(120000)
+    // a join timeout is a DEADLOCK diagnosis (review r11): proceeding
+    // with a live replayer would race the assertions below on freshTotal
+    // and the sink state
+    assert(!replayer.isAlive,
+      "replay hammer did not finish — replayDeadLetters wedged on the state lock")
     q2.stop()
     assert(failed.get() === null, s"replay must never throw: ${failed.get()}")
     assert(freshTotal.get() === 10L,

@@ -41,12 +41,19 @@ class SinkTasksSpec extends SparkSpec {
     // flood with tasks well past the 2x-cap eviction trigger, and SETTLE
     // them all (eviction only ever touches settled tasks)
     val ids = (1 to 2200).map(i => SinkTasks.submit(s"flood-$i") { () })
-    // an early flood task may itself be evicted mid-flood — eviction only
-    // ever removes SETTLED tasks, so a vanished id counts as settled
-    ids.foreach { id =>
-      try SinkTasks.waitForTask(id, timeoutMs = 10000)
-      catch { case _: NoSuchElementException => () }
+    // an EARLY flood task may itself be evicted mid-flood — eviction only
+    // ever removes SETTLED tasks. Record which ids vanished and assert
+    // they are all from the OLD half (review r11: a blanket catch assumed
+    // the invariant under test — a regression evicting PENDING tasks
+    // would vanish the most RECENT ids and be silently absorbed).
+    val vanished = scala.collection.mutable.ArrayBuffer.empty[Int]
+    ids.zipWithIndex.foreach { case (id, i) =>
+      try { SinkTasks.waitForTask(id, timeoutMs = 10000); () }
+      catch { case _: NoSuchElementException => vanished += i }
     }
+    assert(vanished.forall(_ < ids.length / 2),
+      s"evicted ids must be OLD (settled long ago), but recent indices " +
+        s"vanished: ${vanished.filter(_ >= ids.length / 2).take(5)}")
     SinkTasks.submit("trigger") { () } // eviction runs on submit
     intercept[NoSuchElementException](SinkTasks.status(first))
     SinkTasks.status(ids.last) // the RECENT settled task stays queryable

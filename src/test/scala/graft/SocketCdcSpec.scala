@@ -33,8 +33,14 @@ class SocketCdcSpec extends SparkSpec {
   private def awaitRows(out: String, n: Long): Unit = {
     val deadline = System.currentTimeMillis() + 120000
     def count() = try readOut(out).count() catch { case _: Exception => -1L }
-    while (count() < n && System.currentTimeMillis() < deadline) Thread.sleep(50)
-    assert(count() >= n, s"tail never reached $n events in $out")
+    // assert on the LAST OBSERVED value (review r11): a fresh count() in
+    // the assert could race a new batch dir mid-commit and spuriously
+    // fail a condition the loop already saw satisfied
+    var seen = count()
+    while (seen < n && System.currentTimeMillis() < deadline) {
+      Thread.sleep(50); seen = count()
+    }
+    assert(seen >= n, s"tail never reached $n events in $out (saw $seen)")
   }
 
   test("live tail + mid-stream kill: resumed query replays the crashed " +
@@ -46,12 +52,15 @@ class SocketCdcSpec extends SparkSpec {
       val root = tmpDir("socketcdc")
       val ckpt = s"$root/ckpt"
       val out = s"$root/out"
+      // try/finally (review r11): an awaitCommits/awaitRows timeout must
+      // not leak a busy-triggering query into the shared-session suite
       val q1 = startTail(server, ckpt, out)
-      CkptCrash.awaitCommits(ckpt, 2)
-      // live tail: append WHILE the query runs; later triggers must see it
-      for (i <- 21 to 30) server.append("create", "t", 1000L + i, s"""{"id": $i}""")
-      awaitRows(out, 30)
-      q1.stop()
+      try {
+        CkptCrash.awaitCommits(ckpt, 2)
+        // live tail: append WHILE the query runs; later triggers must see it
+        for (i <- 21 to 30) server.append("create", "t", 1000L + i, s"""{"id": $i}""")
+        awaitRows(out, 30)
+      } finally q1.stop()
       // kill inside a batch window: last commit erased, its output dir and
       // the server's log both survive — the resume must re-request that
       // span from the server and overwrite the dir, not double it
@@ -59,7 +68,7 @@ class SocketCdcSpec extends SparkSpec {
       // events that arrive while the consumer is down join the backlog
       for (i <- 31 to 35) server.append("update", "t", 1000L + i, s"""{"id": $i}""")
       val q2 = startTail(server, ckpt, out)
-      q2.processAllAvailable(); q2.stop()
+      try q2.processAllAvailable() finally q2.stop()
       val rows = readOut(out).select(col("op"), col("offset"), col("data")).collect()
       // exactly-once: 35 events, offsets 0..34, each ONCE (a replay that
       // appended instead of overwriting would double the crashed span)

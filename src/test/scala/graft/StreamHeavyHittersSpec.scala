@@ -58,7 +58,11 @@ class StreamHeavyHittersSpec extends SparkSpec {
     val q2 = StreamHeavyHitters.start(spark, s"$root/feed", s"$root/alerts",
       s"$root/ckpt", threshold)
     try q2.processAllAvailable() finally q2.stop()
-    val raw = spark.read.parquet(s"$root/alerts").collect()
+    // explicit schema (review r11): the implementation reads this sink the
+    // same way for exactly this reason — a no-alert run leaves only
+    // _spark_metadata and schema inference would throw opaquely
+    val raw = spark.read.schema("key BIGINT, at_count BIGINT")
+      .parquet(s"$root/alerts").collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     assert(raw.map(_._1).distinct.length === raw.length,
       "a replayed batch must not duplicate its alerts")

@@ -40,7 +40,11 @@ class StreamScaleSpec extends SparkSpec {
     // batch 0 pays JIT/codegen on both sides; compare steady state
     val med1 = StreamLatency.median(s1.drop(1).map(_.seconds))
     val med10 = StreamLatency.median(s10.drop(1).map(_.seconds))
-    assert(med10 <= 3.0 * med1 + 2.0,
+    // 0.5 s additive, not 2.0 (review r11): with sub-second medians the
+    // old slack dominated the bound — an 8x super-linear blowup passed.
+    // 3x multiplicative is the claim; the small additive absorbs timer
+    // granularity only.
+    assert(med10 <= 3.0 * med1 + 0.5,
       f"x10 steady median $med10%.2f s vs x1 $med1%.2f s — per-batch cost " +
         "is tracking data volume super-linearly, the fixed-overhead claim broke")
   }

@@ -16,24 +16,24 @@ class StreamingSpec extends SparkSpec {
   import spark.implicits._
 
   private def ts(s: String) = java.sql.Timestamp.valueOf(s)
-  private type Ev = StreamEv
-  private def Ev(ts: java.sql.Timestamp, event_type: String, value: Double,
-                 user_id: Long): StreamEv = StreamEv(ts, event_type, value, user_id)
+  // review r11: the former `type Ev` + forwarding factory was dead
+  // indirection left from hoisting the case class to top level
+
 
   test("tumbling window with watermark drops late data past the bound") {
-    val mem = MemoryStream[Ev](spark)
+    val mem = MemoryStream[StreamEv](spark)
     val q = EventTime.tumblingCounts(mem.toDF(), lateness = "10 minutes")
       .writeStream.outputMode("append").format("memory").queryName("tumb").start()
     mem.addData(
-      Ev(ts("2024-01-01 10:05:00"), "click", 1.0, 1),
-      Ev(ts("2024-01-01 10:55:00"), "click", 2.0, 1))
+      StreamEv(ts("2024-01-01 10:05:00"), "click", 1.0, 1),
+      StreamEv(ts("2024-01-01 10:55:00"), "click", 2.0, 1))
     q.processAllAvailable()
     // advance watermark far past the 10:00 window...
-    mem.addData(Ev(ts("2024-01-01 13:00:00"), "click", 4.0, 1))
+    mem.addData(StreamEv(ts("2024-01-01 13:00:00"), "click", 4.0, 1))
     q.processAllAvailable()
     // ...then send an event for the closed 10:00 window: must be dropped
-    mem.addData(Ev(ts("2024-01-01 10:30:00"), "click", 8.0, 1))
-    mem.addData(Ev(ts("2024-01-01 13:10:00"), "flush", 0.0, 1))
+    mem.addData(StreamEv(ts("2024-01-01 10:30:00"), "click", 8.0, 1))
+    mem.addData(StreamEv(ts("2024-01-01 13:10:00"), "flush", 0.0, 1))
     q.processAllAvailable(); q.stop()
     val rows = spark.table("tumb")
       .filter(col("win_start") === ts("2024-01-01 10:00:00")).collect()
@@ -43,15 +43,15 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("session window groups events by gap") {
-    val mem = MemoryStream[Ev](spark)
+    val mem = MemoryStream[StreamEv](spark)
     val q = EventTime.sessionCounts(mem.toDF(), gap = "30 minutes")
       .writeStream.outputMode("append").format("memory").queryName("sess").start()
     mem.addData(
-      Ev(ts("2024-01-01 10:00:00"), "a", 1.0, 7),
-      Ev(ts("2024-01-01 10:10:00"), "a", 1.0, 7),  // same session
-      Ev(ts("2024-01-01 12:00:00"), "a", 1.0, 7))  // new session
+      StreamEv(ts("2024-01-01 10:00:00"), "a", 1.0, 7),
+      StreamEv(ts("2024-01-01 10:10:00"), "a", 1.0, 7),  // same session
+      StreamEv(ts("2024-01-01 12:00:00"), "a", 1.0, 7))  // new session
     q.processAllAvailable()
-    mem.addData(Ev(ts("2024-01-02 00:00:00"), "a", 1.0, 8)) // advance watermark
+    mem.addData(StreamEv(ts("2024-01-02 00:00:00"), "a", 1.0, 8)) // advance watermark
     q.processAllAvailable(); q.stop()
     val sessions = spark.table("sess").filter(col("user_id") === 7)
       .orderBy("win_start").collect()
@@ -59,18 +59,18 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("stream-stream join attributes purchases to signups within the horizon") {
-    val purchases = MemoryStream[Ev](spark)
-    val signups = MemoryStream[Ev](spark)
+    val purchases = MemoryStream[StreamEv](spark)
+    val signups = MemoryStream[StreamEv](spark)
     // Ev lacks event_id; reuse user_id-bearing frame with an id column
     val p = purchases.toDF().withColumn("event_id", (col("value") * 100).cast("long"))
     val s = signups.toDF().withColumn("event_id", (col("value") * 100).cast("long"))
     val q = EventTime.purchaseAttribution(p, s, horizon = "1 hour")
       .writeStream.outputMode("append").format("memory").queryName("attr").start()
-    signups.addData(Ev(ts("2024-01-01 10:00:00"), "signup", 1.0, 7))
+    signups.addData(StreamEv(ts("2024-01-01 10:00:00"), "signup", 1.0, 7))
     purchases.addData(
-      Ev(ts("2024-01-01 10:30:00"), "purchase", 2.0, 7),  // within horizon
-      Ev(ts("2024-01-01 12:30:00"), "purchase", 3.0, 7),  // past horizon
-      Ev(ts("2024-01-01 10:30:00"), "purchase", 4.0, 8))  // other user
+      StreamEv(ts("2024-01-01 10:30:00"), "purchase", 2.0, 7),  // within horizon
+      StreamEv(ts("2024-01-01 12:30:00"), "purchase", 3.0, 7),  // past horizon
+      StreamEv(ts("2024-01-01 10:30:00"), "purchase", 4.0, 8))  // other user
     q.processAllAvailable(); q.stop()
     val rows = spark.table("attr").collect()
     assert(rows.length === 1)

@@ -104,18 +104,22 @@ class WireReplaySpec extends SparkSpec {
       new WireCdcSource(spark, feed, root, format), s"$root/sink_crash")
     // phase 1: continuous trigger, one file per micro-batch; kill once at
     // least two batches committed (and ideally before all six land)
+    // try/finally on BOTH phases (review r11): an awaitCommits timeout or
+    // a failed drain would otherwise leak a busy-triggering query into
+    // the rest of the shared-session suite run
     val q1 = mkPipe().start(ckpt, Trigger.ProcessingTime(0L), monotonic = monotonic)
-    CkptCrash.awaitCommits(ckpt, 2)
-    q1.stop()
+    try CkptCrash.awaitCommits(ckpt, 2)
+    finally q1.stop()
     // crash window: rewind to mid-batch-k — batch k's sink effects may
     // already be applied, but as far as the checkpoint knows it never
     // committed. Resume must replay it idempotently.
     CkptCrash.simulateCrashAtLastCommit(spark, ckpt)
     // phase 2: resume from the same checkpoint and drain what's left
-    val q2 = mkPipe().start(ckpt, Trigger.AvailableNow(), monotonic = monotonic)
-    q2.processAllAvailable(); q2.stop()
-    val pipe = mkPipe()
-    pipe.sinkState(sync).orderBy("id").collect().toSeq
+    val p2 = mkPipe()
+    val q2 = p2.start(ckpt, Trigger.AvailableNow(), monotonic = monotonic)
+    try q2.processAllAvailable()
+    finally q2.stop()
+    p2.sinkState(sync).orderBy("id").collect().toSeq
   }
 
   for ((format, feedMsgs, want) <- Seq(
