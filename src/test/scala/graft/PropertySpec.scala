@@ -61,7 +61,6 @@ class PropertySpec extends SparkSpec {
   }
 
   test("projection/rename round-trip: renaming out and back is identity") {
-    import graft.cdc.Transforms
     import graft.model.{FieldMapping, SyncConfig}
     val base = Seq((1, "a", 2.0), (2, "b", 3.5)).toDF("id", "name", "score")
     val out = Transforms.projectAndCoerce(base, SyncConfig("t", pk = "id",

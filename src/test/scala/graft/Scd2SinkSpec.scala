@@ -6,37 +6,48 @@ import org.apache.spark.sql.functions._
 
 class Scd2SinkSpec extends SparkSpec {
 
-  test("incremental SCD2 over two batches equals the one-shot materialization") {
-    val dir = tmpDir("scd2sink") + "/state"
+
+  /** The shared two-batch percentile split of the events feed (review
+    * r11: two tests carried byte-identical copies of this block). */
+  private def splitBatches(): (org.apache.spark.sql.DataFrame,
+                               org.apache.spark.sql.DataFrame) = {
     val ev = Tables.events(spark, sf)
       .select(col("user_id"), col("event_id"), col("ts"), col("value"))
-    val cut = ev.agg(expr("percentile(unix_timestamp(ts), 0.5)")).head().getDouble(0).toLong
-    val b1 = ev.filter(unix_timestamp(col("ts")) <= cut)
-    val b2 = ev.filter(unix_timestamp(col("ts")) > cut)
+    val cut = ev.agg(expr("percentile(unix_timestamp(ts), 0.5)"))
+      .head().getDouble(0).toLong
+    (ev.filter(unix_timestamp(col("ts")) <= cut),
+      ev.filter(unix_timestamp(col("ts")) > cut))
+  }
+
+  test("incremental SCD2 over two batches equals the one-shot materialization") {
+    val dir = tmpDir("scd2sink") + "/state"
+    val (b1, b2) = splitBatches()
     Scd2Sink.applyBatch(spark, dir, b1, "user_id", "event_id", "ts")
     Scd2Sink.applyBatch(spark, dir, b2, "user_id", "event_id", "ts")
-    val got = Scd2Sink.read(spark, dir)
+    val gotRows = Scd2Sink.read(spark, dir)
       .select(col("user_id"), col("event_id").as("version_id"),
         col("valid_from"), col("valid_to"), col("is_current"),
         round(col("value"), 2).as("value"))
-      .collect().map(_.toSeq).toSet
+      .collect().map(_.toSeq)
     val want = Relational.scd2(spark, sf).collect().map(_.toSeq).toSet
-    assert(got === want)
+    // count first: Set comparison alone would hide duplicated history rows
+    assert(gotRows.length === want.size, "no duplicate history rows")
+    assert(gotRows.toSet === want)
   }
 
   test("at-least-once replay of an applied batch is a no-op") {
     val dir = tmpDir("scd2replay") + "/state"
-    val ev = Tables.events(spark, sf)
-      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
-    val cut = ev.agg(expr("percentile(unix_timestamp(ts), 0.5)")).head().getDouble(0).toLong
-    val b1 = ev.filter(unix_timestamp(col("ts")) <= cut)
-    val b2 = ev.filter(unix_timestamp(col("ts")) > cut)
+    val (b1, b2) = splitBatches()
     Scd2Sink.applyBatch(spark, dir, b1, "user_id", "event_id", "ts")
     Scd2Sink.applyBatch(spark, dir, b2, "user_id", "event_id", "ts")
     val once = Scd2Sink.read(spark, dir).collect().map(_.toSeq).toSet
     // crash-after-swap-before-checkpoint: the sink sees the batch again —
     // must neither fail the order guard nor duplicate/zero-length anything
     Scd2Sink.applyBatch(spark, dir, b2, "user_id", "event_id", "ts")
+    // Set equality hides duplicates — also pin the ROW COUNT (review r11:
+    // a replay that appended every b2 history row a second time would
+    // collapse to the same Set)
+    assert(Scd2Sink.read(spark, dir).count() === once.size.toLong)
     val twice = Scd2Sink.read(spark, dir).collect().map(_.toSeq).toSet
     assert(twice === once)
   }
