@@ -177,7 +177,10 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(trained.map(_.getLong(1)).sum === total) // partition totality
     // the spherical k-means objective (mean cosine to assigned centroid)
     // must not regress versus the untrained seed cells
-    assert(weightedAvg(trained) >= weightedAvg(seeds) - 1e-6,
+    // 2e-4 slack, not 1e-6 (review r11): avg_cos is rounded to 4 dp PER
+    // CELL before this weighted mean, so partition-boundary rounding alone
+    // contributes up to ~1e-4 either way
+    assert(weightedAvg(trained) >= weightedAvg(seeds) - 2e-4,
       s"trained=${weightedAvg(trained)} seeds=${weightedAvg(seeds)}")
     // (bit-exact rerun determinism is NOT asserted: the mean update's
     // floating-point reduction order varies with task scheduling)

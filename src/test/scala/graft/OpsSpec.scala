@@ -15,18 +15,30 @@ class OpsSpec extends SparkSpec {
   test("entry works on a driver-shaped session without graft configs") {
     // the driver smoke-checks entry() with ITS session, which won't carry
     // nanosAsLong etc. — entry must not depend on GraftSession settings
+    // reset EVERY graft-specific conf the clone inherits, not just
+    // nanosAsLong (review r11: UTC/excluded-rules/shuffle-partitions rode
+    // along, so the independence claim was mostly unverified)
     val plain = spark.newSession()
     plain.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    plain.conf.set("spark.sql.session.timeZone",
+      java.util.TimeZone.getDefault.getID)
+    plain.conf.set("spark.sql.optimizer.excludedRules", "")
+    plain.conf.set("spark.sql.shuffle.partitions", "200")
     assert(SparkEntry.entry(plain).count() > 0)
   }
 
-  test("every declared query runs and every oracle key has a query") {
+  test("every oracle key has a declared query (the 'every query RUNS' " +
+    "half is the Verify gate's job — many builders are effectful " +
+    "streaming/maintenance lifecycles, so constructing all 180 here would " +
+    "re-run the gate; review r11 retitled this from an overclaim)") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
   test("minhash LSH recovers the exact n-gram near-dup pairs at sf0.001") {
     val exact = Dedup.ngramJaccard(spark, sf).select("doc_a", "doc_b")
       .as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, // review r11: empty==vacuous subset+recall pass
+      "the fixture must plant near-dup pairs for this test to mean anything")
     val lsh = Dedup.minhashLsh(spark, sf).select("doc_a", "doc_b")
       .as[(Long, Long)].collect().toSet
     // verification step makes LSH precise; recall should be high (>=90%)

@@ -49,30 +49,35 @@ class TrainingOpsSpec extends SparkSpec {
     val bins = TextAnalysis.packSequences(spark, sf).collect()
     assert(bins.map(_.getLong(4)).sum === totTok) // every token lands in a bin
     assert(bins.map(_.getLong(3)).sum === nDocs)  // every doc lands in a bin
-    // per (split, shard): bin ids are contiguous from 0
+    // per (split, shard): bin ids start at 0, strictly increasing; a doc
+    // longer than the budget legitimately STRADDLES and skips ids (review
+    // r11: exact contiguity contradicted the operator's documented
+    // straddling contract)
     bins.groupBy(r => (r.getString(0), r.getInt(1))).foreach { case (_, rs) =>
       val ids = rs.map(_.getLong(2)).sorted
-      assert(ids.head === 0L && ids.toSeq === (0L until ids.length).toSeq)
+      assert(ids.head === 0L && ids.distinct.length === ids.length &&
+        ids.toSeq === ids.sorted.toSeq)
     }
   }
 
   test("train manifest: the composition is consistent with its stage operators") {
-    val manifest = TextAnalysis.packSequences(spark, sf) // full-corpus packing
     val bins = graft.ops.TrainingPipeline.trainManifest(spark, sf).collect()
     assert(bins.nonEmpty)
-    // the manifest's doc count can never exceed the train-split funnel
-    // survivors (stages 1-2-4 only remove more)
+    // upper bound: the FULL-corpus funnel survivors (the funnel runs over
+    // train+test, so this is a weaker bound than train-only survivors —
+    // review r11 corrected the comment; the manifest's own stages 1/2/4
+    // only remove more)
     val funnelFinal = TextAnalysis.filterFunnel(spark, sf).collect()
       .find(_.getString(0) == "3_rep_le_0.01").get.getLong(1)
     val manifestDocs = bins.map(_.getLong(2)).sum
     assert(manifestDocs <= funnelFinal)
     assert(manifestDocs > 0)
-    // packing invariant holds post-filtering: contiguous bins from 0/shard
+    // packing invariant post-filtering: ids start at 0, distinct (straddle
+    // gaps legal — review r11)
     bins.groupBy(_.getInt(0)).foreach { case (_, rs) =>
       val ids = rs.map(_.getLong(1)).sorted
-      assert(ids.head === 0L && ids.toSeq === (0L until ids.length).toSeq)
+      assert(ids.head === 0L && ids.distinct.length === ids.length)
     }
-    assert(manifest.count() > 0) // stage operator itself still healthy
   }
 
   test("filter funnel: cumulative stages only ever shrink, yields match counts") {
@@ -83,8 +88,11 @@ class TrainingOpsSpec extends SparkSpec {
     assert(n(0) === ops.Tables(spark, sf, "documents").count())
     assert(n.zip(n.tail).forall { case (a, b) => a >= b })
     rows.foreach { r =>
+      // HALF_UP like Spark's round(), not math.rint's HALF_EVEN (review
+      // r11: an exact .5-tie ratio would diverge spuriously)
       assert(r.getDouble(2) ===
-        math.rint(r.getLong(1).toDouble / n(0) * 10000) / 10000)
+        BigDecimal(r.getLong(1).toDouble / n(0))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
     }
   }
 
