@@ -69,16 +69,6 @@ object Scd2Sink {
     // nondeterministic winner from.
     val batchTs = batch.withColumn("__ts_us", unix_micros(col(tsCol)))
       .dropDuplicates()
-    // NULL event times are rejected UP FRONT (review r11): a null __ts_us
-    // breaks replay idempotence — the (key, version, __ts_us) anti-join
-    // below is null-unsafe, so a committed null-ts row replayed after a
-    // crash is never recognized as a replay, trips the version-reuse
-    // guard, and wedges the stream permanently (the checkpoint replays the
-    // same batch forever). A null event time also has no interval bounds.
-    val nullTs = batchTs.filter(col("__ts_us").isNull).count()
-    require(nullTs == 0L,
-      s"$nullTs row(s) carry a NULL $tsCol — SCD2 intervals need an event " +
-        "time; repair the rows upstream and re-deliver")
     // replay idempotence: (key, version, ts) already in state == the same
     // event delivered again — drop silently. One cached frame: the guard
     // count, the emptiness check and the final write all reuse it instead
@@ -91,6 +81,20 @@ object Scd2Sink {
     }).persist()
     try {
       if (fresh.isEmpty) return
+      // NULL event times are rejected before any write (review r11): a
+      // null __ts_us breaks replay idempotence — the (key, version,
+      // __ts_us) anti-join above is null-unsafe, so a committed null-ts
+      // row replayed after a crash is never recognized as a replay, trips
+      // the version-reuse guard, and wedges the stream permanently. The
+      // guard reads the CACHED post-anti-join frame (r12 ADVICE: the
+      // pre-persist count paid one extra full evaluation of the deduped
+      // batch); that is equivalent — state never holds a null __ts_us
+      // (this guard has always preceded every write), so the null-unsafe
+      // anti-join can never absorb a null-ts row.
+      val nullTs = fresh.filter(col("__ts_us").isNull).count()
+      require(nullTs == 0L,
+        s"$nullTs row(s) carry a NULL $tsCol — SCD2 intervals need an " +
+          "event time; repair the rows upstream and re-deliver")
 
       // version-id reuse WITHIN the batch: after the exact-replay collapse
       // above, two surviving rows sharing (key, version) — differing ts OR

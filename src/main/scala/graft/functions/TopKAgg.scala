@@ -26,8 +26,13 @@ class TopKAgg(k: Int)
   // vector mints a NaN cosine (review r11: primitive > and == are both
   // false on NaN, so a NaN candidate was dropped by the full-buffer fast
   // path while the window ranked it first)
+  // `+ 0.0` collapses -0.0 to 0.0 (NaN is unaffected): Double.compare
+  // orders -0.0 below 0.0 while Spark's sort (SQLOrderingUtil, x == y
+  // short-circuit) treats them equal and falls to the id tie-break — on a
+  // +0.0/-0.0 tie at the k boundary the two formulations would keep
+  // different ids (cosine of opposed vectors can mint -0.0)
   private def order(a: (Double, Long), b: (Double, Long)): Boolean = {
-    val c = java.lang.Double.compare(a._1, b._1)
+    val c = java.lang.Double.compare(a._1 + 0.0, b._1 + 0.0)
     c > 0 || (c == 0 && a._2 < b._2)
   }
 
