@@ -78,6 +78,35 @@ def main():
     # rq[k] can be 0.000 (a sub-ms query at %.3f precision) — treat any
     # growth from ~0 past the absolute floor as a mover, never divide
     threshold, abs_floor = mover_gate()
+    # ---- floor-vs-floor gate (r11 verdict #2) ----
+    # Both snapshots carry 3-rep Profile floors for the headline tier:
+    # gate on THOSE. A floor is the estimator every r11 "drift"
+    # adjudication ended at anyway — comparing floors directly removes
+    # the sweep's 121-146 s same-code host-drift band from the gate, so
+    # a floor mover is a genuine suspect with no further laundering step.
+    # Sweep comparison above stays as context.
+    nf = {k: v for k, v in (new.get("floors") or {}).items() if k in hl}
+    rf = {k: v for k, v in (ref.get("floors") or {}).items() if k in hl}
+    shared_f = sorted(set(nf) & set(rf))
+    if shared_f:
+        n_fl = sum(nf[k] for k in shared_f)
+        r_fl = sum(rf[k] for k in shared_f)
+        print(f"FLOORS    {n_fl:8.1f} s vs {r_fl:8.1f} s  "
+              f"({n_fl / r_fl:.3f}x, {len(shared_f)} shared floors)")
+        fl_movers = [(k, nf[k] / max(rf[k], 1e-3), rf[k], nf[k])
+                     for k in shared_f
+                     if nf[k] / max(rf[k], 1e-3) > threshold
+                     and nf[k] - rf[k] > abs_floor]
+        if fl_movers:
+            print(f"\nfloor movers > {threshold}x "
+                  "(floors are noise-adjudicated: genuine suspects):")
+            for k, ratio, old, newv in sorted(fl_movers, key=lambda m: -m[1]):
+                print(f"  {k:24s} {old:6.2f} -> {newv:6.2f}  ({ratio:.2f}x)")
+            sys.exit(1)
+        print("no floor mover exceeds the gate")
+        return
+    print("(no shared floors — ref snapshot predates r12; "
+          "falling back to the sweep mover gate)")
     movers = [(k, nq[k] / max(rq[k], 1e-3), rq[k], nq[k])
               for k in sorted(hl_shared)
               if nq[k] / max(rq[k], 1e-3) > threshold
