@@ -223,23 +223,47 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** MinHash signatures: for each of `numHashes` seeded hash functions, the
-    * min over shingle hashes — estimates Jaccard. Two codegen'd passes per
-    * row (hash shingling, then [[graft.functions.MinHashSig]]'s O(n*k)
-    * fold); the k interpreted `transform` passes they replace dominated the
-    * whole LSH pipeline. */
-  private def minhashed(spark: SparkSession, dir: String, numHashes: Int): DataFrame =
-    hashShingledOf(Tables(spark, dir, "documents"))
-      .withColumn("sig", expr(s"graft_minhash_sig(hs, $numHashes)"))
+  /** Per-doc shingle-hash sets with the stop-shingle cap applied: shingles
+    * whose document frequency exceeds `dfCap` are removed from every doc's
+    * set (they carry no near-dup signal and mint O(df²) candidate rows),
+    * while `n_sh` keeps the FULL pre-cap set size — the [[ngramJaccard]]
+    * contract: capped overlap over full-size denominators. Docs left with
+    * an empty capped set drop out. Sets come back SORTED (one merge-pass
+    * overlap downstream). Cost: two shuffles over the posting volume (df
+    * count + per-doc regroup); the stop list itself is bounded by
+    * total-postings / dfCap rows, so AQE broadcasts the anti-join. */
+  private def cappedShingled(spark: SparkSession, dir: String,
+                             dfCap: Int): DataFrame = {
+    val posts = shingled(spark, dir)
+      .select(col("doc_id"), col("n_sh"), explode(col("hs")).as("h"))
+    val stop = posts.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap).select(col("h"))
+    posts.join(stop, Seq("h"), "left_anti")
+      .groupBy(col("doc_id"), col("n_sh"))
+      .agg(array_sort(collect_list(col("h"))).as("hs"))
+      .select(col("doc_id"), col("hs"), col("n_sh"))
+  }
 
   /** MinHash + LSH banding near-dup: split the signature into `bands` bands
     * of r rows; docs agreeing on any whole band become candidates (one
     * equi-join on the band hash — sub-quadratic); candidates are verified
     * with EXACT Jaccard so the output has no false positives. This is the
     * operator that survives 100 TB: candidate volume is tunable via (bands,
-    * r) for the target threshold ~ (1/bands)^(1/r). */
+    * r) for the target threshold ~ (1/bands)^(1/r).
+    *
+    * `dfCap` applies the SAME stop-shingle refinement as [[ngramJaccard]]
+    * (shingles in more than `dfCap` docs are dropped before signatures and
+    * excluded from overlap counting; denominators stay full-set sizes) —
+    * r12 adversarial-fixture finding: without it, an ALL-DUPLICATE corpus
+    * put every doc in one LSH bucket and emitted every O(N²) pair, the
+    * exact quadratic dup-cluster blowup the tier exists to avoid (and a
+    * silent divergence from the capped exact tier it claims to mirror).
+    * Docs whose every shingle is capped carry no near-dup signal (they
+    * are an exact-dup cluster — [[dedupPipeline]]'s exact tier owns them)
+    * and drop out of candidate generation entirely. */
   def minhashLsh(spark: SparkSession, dir: String, threshold: Double = 0.5,
-                 numHashes: Int = 16, bands: Int = 8): DataFrame = {
+                 numHashes: Int = 16, bands: Int = 8,
+                 dfCap: Int = 128): DataFrame = {
     // bands > numHashes gave r = 0: every band slice empty, every doc a
     // candidate of every other — a silent ALL-PAIRS blowup at crawl
     // scale; a non-dividing bands silently dropped trailing signature
@@ -250,8 +274,10 @@ object Dedup {
     val r = numHashes / bands
     // zero-shingle docs (< 3 tokens) have no near-dup signal and an
     // all-MaxValue signature that would make them all mutual candidates
-    // (and a 0/0 Jaccard under ANSI) — exclude them up front
-    val docs = minhashed(spark, dir, numHashes).filter(col("n_sh") > 0)
+    // (and a 0/0 Jaccard under ANSI) — exclude them up front; after the
+    // cap the same exclusion covers all-stop-shingle docs
+    val docs = cappedShingled(spark, dir, dfCap)
+      .withColumn("sig", expr(s"graft_minhash_sig(hs, $numHashes)"))
     // Band join on (doc_id, band_hash) ONLY — a pair matching several bands
     // must not ship its shingle arrays once per match; ids dedupe first and
     // the shingle sets join back exactly once per verified pair side.
@@ -270,9 +296,11 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
     // join-back side only needs the shingle sets, not the signatures; sorted
-    // hashed sets make the exact-verify intersection one merge pass
-    val sets = hashShingledOf(Tables(spark, dir, "documents"))
-      .select(col("doc_id"), array_sort(col("hs")).as("hs"), col("n_sh"))
+    // hashed sets make the exact-verify intersection one merge pass. The
+    // CAPPED sets: overlap counts only sub-cap shingles (the ngramJaccard
+    // contract), while n_sh stays the full pre-cap size for the
+    // denominator.
+    val sets = cappedShingled(spark, dir, dfCap)
     candidates
       .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("sha"),
         col("n_sh").as("na")), Seq("doc_a"))
@@ -758,7 +786,10 @@ object Dedup {
   private[graft] def resolveCells(spark: SparkSession, dir: String,
                                   nCells: Int): Int =
     if (nCells == AutoCells)
-      autoCells(Tables(spark, dir, "embeddings").count())
+      // filtered count: cells size to the INDEX MEMBERS (null-vector rows
+      // are excluded everywhere in this family — Similarity.withVec)
+      autoCells(Tables(spark, dir, "embeddings")
+        .filter(col("embedding").isNotNull).count())
     else nCells
 
   /** The two-level product-quantizer cell ASSIGNMENT itself — (vec_id, v,
@@ -788,6 +819,8 @@ object Dedup {
          |    named_struct('best', s.score, 'cell', s.cell),
          |    acc)).cell""".stripMargin
     val e = Tables(spark, dir, "embeddings")
+      // null-vector rows are not index members (Similarity.withVec policy)
+      .filter(col("embedding").isNotNull)
       .select(col("vec_id"),
         expr("transform(embedding, x -> cast(x as double))").as("v"))
       .withColumn("norm", expr("graft_norm(v)"))
@@ -815,6 +848,8 @@ object Dedup {
   private def signCelled(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
     Tables(spark, dir, "embeddings")
+      // null-vector rows are not index members (Similarity.withVec policy)
+      .filter(col("embedding").isNotNull)
       .select(col("vec_id"), col("label"),
         expr("transform(embedding, x -> cast(x as double))").as("v"))
       .withColumn("norm", expr("graft_norm(v)"))
@@ -955,19 +990,31 @@ object Dedup {
     // Net: two computations instead of the unpersisted three.
     val trainSh = d.filter(col("is_train"))
       .select(explode(col("hs")).as("h")).distinct().persist()
-    val bloom =
-      try trainSh.stat.bloomFilter("h", math.max(trainSh.count(), 64L), fpp)
-      finally trainSh.unpersist()
-    // the probe is Spark's own codegen'd BloomFilterMightContain (the
-    // expression behind InjectRuntimeFilter's semi-join blooms) over the
-    // serialized bitset — not a scala UDF, so the filter stays inside the
-    // scan stage's WholeStageCodegen span and deserializes once per task,
-    // exactly how Spark ships its runtime-filter blooms to executors
-    val bos = new java.io.ByteArrayOutputStream()
-    bloom.writeTo(bos)
+    // an EMPTY train set yields an UNINITIALIZED BloomFilterImpl whose
+    // writeTo NPEs (r12 fuzz); an empty benchmark contaminates nothing,
+    // so the probe filter is simply `false`
+    val trainCount = trainSh.count()
+    val bloomBytes: Option[Array[Byte]] =
+      if (trainCount == 0L) { trainSh.unpersist(); None }
+      else {
+        val bloom =
+          try trainSh.stat.bloomFilter("h", math.max(trainCount, 64L), fpp)
+          finally trainSh.unpersist()
+        // the probe is Spark's own codegen'd BloomFilterMightContain (the
+        // expression behind InjectRuntimeFilter's semi-join blooms) over
+        // the serialized bitset — not a scala UDF, so the filter stays
+        // inside the scan stage's WholeStageCodegen span and deserializes
+        // once per task, exactly how Spark ships its runtime-filter blooms
+        val bos = new java.io.ByteArrayOutputStream()
+        bloom.writeTo(bos)
+        Some(bos.toByteArray)
+      }
+    val probeCond = bloomBytes
+      .map(b => call_function("graft_might_contain", lit(b), col("h")))
+      .getOrElse(lit(false))
     val hits = d.filter(!col("is_train"))
       .select(col("doc_id"), explode(col("hs")).as("h"))
-      .filter(call_function("graft_might_contain", lit(bos.toByteArray), col("h")))
+      .filter(probeCond)
       .join(trainSh.withColumn("hit", lit(1)), Seq("h"), "left")
       .groupBy(col("doc_id"))
       .agg(count(col("hit")).as("n_hit"))

@@ -335,9 +335,11 @@ object IncrementalDedup {
     * plus the sorted shingle-hash set per doc for exact verification. New
     * docs' bands probe the band index; candidates verify with one
     * merge-pass intersection against the sets store. Per-batch cost is
-    * O(batch bands × bucket occupancy) — df-cap-free, so incremental
-    * emission is EXACTLY append-only (no cap drift at all; union over
-    * batches == one-shot [[Dedup.minhashLsh]], spec-asserted).
+    * O(batch bands × capped bucket occupancy). Union over batches equals
+    * the one-shot [[Dedup.minhashLsh]] whenever no degenerate cluster
+    * crosses `maxBucketWidth` mid-stream (spec-asserted on the fixtures;
+    * the caps agree exactly on pure identical clusters, where bucket
+    * width == shingle df).
     *
     * `buckets > 0` stores the sets under `bucket=pmod(doc_id, buckets)`
     * partition dirs and PRUNES the verify read to the buckets the batch's
@@ -354,7 +356,7 @@ object IncrementalDedup {
   def updateLsh(spark: SparkSession, statePath: String, newDocs: DataFrame,
                 threshold: Double = 0.5, numHashes: Int = 16,
                 bands: Int = 8, batchId: Option[Long] = None,
-                buckets: Int = 0): DataFrame = {
+                buckets: Int = 0, maxBucketWidth: Int = 128): DataFrame = {
     graft.functions.TextFunctions.register(spark)
     val r = numHashes / bands
     val bandsPath = s"$statePath/bands"
@@ -382,9 +384,35 @@ object IncrementalDedup {
     val oldBands = snapshotRead(spark, bandsPath, bandsDdl, batchId)
     val allBands = oldBands.unionByName(newBands)
 
+    // Degenerate-bucket cap (r12 adversarial-fixture finding): a band
+    // bucket holding more than `maxBucketWidth` docs of the CURRENT
+    // corpus is an exact-dup cluster in disguise — probing it emits
+    // O(width²) pairs per batch, the quadratic blowup this tier exists to
+    // avoid (an all-duplicate corpus put EVERY doc in one bucket). Such
+    // buckets are excluded from candidate generation — the streaming
+    // analog of the batch tier's stop-shingle dfCap ([[Dedup.minhashLsh]]),
+    // with the same ownership story: identical clusters belong to the
+    // exact-dedup tier, not near-dup pair emission. Width is counted only
+    // for buckets the batch TOUCHES (semi-join first), so the aggregate is
+    // O(touched-bucket occupancy), not O(index) — the same pruning shape
+    // as [[update]]'s df aggregate. Like update's dfCap, the cap reads
+    // the corpus-so-far: pairs emitted before a bucket crossed the cap
+    // are not retracted (append-only emission; a periodic one-shot
+    // [[Dedup.minhashLsh]] compaction re-derives the capped answer).
+    val touchedBuckets = newBands.select(col("band_id"), col("band_h")).distinct()
+    val narrow = allBands
+      .join(touchedBuckets, Seq("band_id", "band_h"), "left_semi")
+      .groupBy(col("band_id"), col("band_h"))
+      .agg(count(lit(1)).as("__w"))
+      .filter(col("__w") <= maxBucketWidth)
+      .select(col("band_id"), col("band_h"))
+
     // probe: new bands x all bands; (a < b) ordering makes new x new pairs
-    // single after the distinct
-    val candidates = newBands.alias("a").join(allBands.alias("b"),
+    // single after the distinct. Only the probe side needs the narrow
+    // semi-join: pairs form exclusively through new-side probes, so
+    // filtering the probe removes a wide bucket's pairs entirely.
+    val candidates = newBands.join(narrow, Seq("band_id", "band_h"), "left_semi")
+      .alias("a").join(allBands.alias("b"),
         col("a.band_id") === col("b.band_id") && col("a.band_h") === col("b.band_h") &&
           col("a.doc_id") =!= col("b.doc_id"))
       .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),

@@ -110,24 +110,50 @@ object Relational {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** ANSI grouping semantics on EMPTY input: ROLLUP/CUBE include the `()`
+    * grouping set, which aggregates an empty relation to ONE grand-total
+    * row (count 0, null sums) — DuckDB and Postgres emit it; Spark's
+    * Expand-based implementation emits zero rows (r12 adversarial-fixture
+    * fuzz finding: the `single`/`empty` variants diverged on exactly
+    * this). The repair reuses the rollup's OWN output: its `()` row
+    * exists iff the input was non-empty, so the constant grand-total row
+    * enters via a left-anti probe against the (checkpointed,
+    * aggregate-sized) result — never a second scan of the input, at any
+    * scale. */
+  private def withEmptyGrandTotal(rolled: DataFrame, grand: DataFrame): DataFrame = {
+    val ck = rolled.localCheckpoint()
+    ck.union(grand.join(
+      broadcast(ck.limit(1).select(lit(1).as("__probe"))), lit(true), "left_anti"))
+  }
+
   /** Grouping sets via ROLLUP(region, nation) over the customer dimension. */
   def rollupAgg(spark: SparkSession, dir: String): DataFrame = {
     val r = t(spark, dir, "region")
     val n = t(spark, dir, "nation")
     val c = t(spark, dir, "customer")
-    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+    val rolled = c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .rollup(col("r_name"), col("n_name"))
       .agg(count(lit(1)).as("n_cust"), round(sum(col("c_acctbal")), 2).as("acctbal"))
+    val grand = spark.range(1).select(
+      lit(null).cast("string").as("r_name"), lit(null).cast("string").as("n_name"),
+      lit(0L).as("n_cust"), lit(null).cast("double").as("acctbal"))
+    withEmptyGrandTotal(rolled, grand)
       .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
   }
 
   /** Grouping sets via CUBE over order status x priority. */
-  def cubeAgg(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "orders")
+  def cubeAgg(spark: SparkSession, dir: String): DataFrame = {
+    val cubed = t(spark, dir, "orders")
       .cube(col("o_orderstatus"), col("o_orderpriority"))
       .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+    val grand = spark.range(1).select(
+      lit(null).cast("string").as("o_orderstatus"),
+      lit(null).cast("string").as("o_orderpriority"),
+      lit(0L).as("n"), lit(null).cast("double").as("total"))
+    withEmptyGrandTotal(cubed, grand)
       .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+  }
 
   /** GROUPING SETS proper (neither rollup nor cube): independent per-region
     * and per-nation aggregates in ONE pass over the join — Catalyst expands

@@ -33,9 +33,11 @@ object DedupStream {
   /** Start the ingest stream over parquet crawl batches in `docsDir`.
     *
     * `useLsh` picks the sub-quadratic MinHash+LSH tier (the 100 TB path;
-    * df-cap-free, so the union over batches is EXACTLY the one-shot
-    * [[graft.ops.Dedup.minhashLsh]] answer) over the exact inverted-index
-    * tier. `maxFilesPerTrigger` bounds a micro-batch for steady state.
+    * the union over batches equals the one-shot
+    * [[graft.ops.Dedup.minhashLsh]] answer whenever no degenerate dup
+    * cluster crosses the bucket-width cap mid-stream — see
+    * [[graft.ops.IncrementalDedup.updateLsh]]) over the exact
+    * inverted-index tier. `maxFilesPerTrigger` bounds a micro-batch.
     *
     * `compactEvery`: every N batches, fold the accumulated per-batch state
     * subdirs into flat files from the HEAD of the batch window (safe by
@@ -88,10 +90,11 @@ object DedupStream {
   /** Driver-checked streaming contract: stage the `documents` table as two
     * single-file crawl batches, drive them through a checkpointed
     * [[start]] run (one file per micro-batch), and return the union pair
-    * log. The LSH tier is df-cap-free, so the streamed union is EXACTLY
-    * the one-shot [[graft.ops.Dedup.minhashLsh]] answer — which carries
-    * the exact-Jaccard closed form: the oracle grades an actual
-    * checkpointed Structured Streaming run against DuckDB.
+    * log. The streamed union equals the one-shot
+    * [[graft.ops.Dedup.minhashLsh]] answer (caps agreeing — see
+    * [[graft.ops.IncrementalDedup.updateLsh]]) — which carries the
+    * exact-Jaccard closed form: the oracle grades an actual checkpointed
+    * Structured Streaming run against DuckDB.
     *
     * Scratch discipline is [[graft.ops.IncrementalDedup.twoBatchPairs]]'s:
     * one per-application tmp dir, wiped at each call (checkpoint included,
