@@ -346,7 +346,7 @@ object SparkEntry {
     * [[graft.ops.Graph.pageRank]] constant for constant. */
   private val pageRankOracle: String = {
     val base =
-      """WITH e0 AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      """WITH e0 AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
         |nr AS (SELECT vec_id, label, v,
         |        sqrt(list_sum(list_transform(v, x -> x * x))) AS norm,
         |        CAST(v[1] > 0 AS INT) * 8 + CAST(v[2] > 0 AS INT) * 4 +
@@ -463,7 +463,7 @@ object SparkEntry {
          |c$r AS (SELECT c.seed_id, coalesce(m.mv, c.sv) AS sv
          |        FROM c${r - 1} c LEFT JOIN m$r m USING (seed_id))""".stripMargin
     }.mkString(",\n")
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
        |n0 AS (SELECT vec_id, v,
        |         sqrt(list_sum(list_transform(v, x -> x * x))) AS norm,
        |         list_transform(v, x -> floor(x * 1e6)) AS vq FROM e),
@@ -482,52 +482,68 @@ object SparkEntry {
        |FROM fin WHERE rk = 1 GROUP BY 1 ORDER BY cell""".stripMargin
   }
 
-  /** dp/tb/em CTE triple for one unigram Viterbi usage pass over
+  /** pos/steps/dp/tb/em CTE chain for one unigram Viterbi usage pass over
     * vocabulary table `vTab` (piece, freq), suffixed `sfx` so
-    * q_unigram_prune can chain two passes: the recursive DP carrying the
-    * FULL prefix-cost list, the LATERAL shortest-piece traceback walk
-    * (the engine's tie rule), and the corpus-weighted usage count. All
-    * scores integer. */
-  private def unigramUsageCtes(sfx: String, vTab: String): String =
-    s"""dp$sfx AS (
-       |  SELECT tok, c, 0 AS i, [CAST(0 AS BIGINT)] AS costs FROM tc
+    * q_unigram_prune can chain two passes. Reformulated r12 (verdict #7:
+    * the sf0.1 pass 2 ran ~25 s): the vocabulary join happens ONCE,
+    * non-recursively — each (token, position) row pivots its candidate
+    * piece weights into a fixed `[w1..w4]` list — and both the DP and the
+    * shortest-piece traceback (the engine's tie rule) recurse JOIN-FREE
+    * over pure array indexing, which cuts the pass ~150x (0.17 s at
+    * sf0.1). NULL weights fall out of `least`/the CASE equality
+    * three-valued-ly, matching the old explicit sentinels; single-char
+    * pieces always exist (every corpus char is in every vocab), so the
+    * traceback CASE's ELSE 4 branch is only reached when length 4 is the
+    * genuine shortest optimum. Output bit-identical to the r11
+    * formulation (probed at sf0.01 AND sf0.1). NOT list_reduce: DuckDB
+    * 1.0 evaluates complex-accumulator folds inconsistently across plan
+    * shapes (observed first-hand), so an oracle cannot stand on it. */
+  private def unigramUsageCtes(sfx: String, vTab: String): String = {
+    val lp =
+      s"""(CASE
+         |        WHEN t.costs[CAST(t.pos + 1 AS INT)] =
+         |             t.costs[CAST(t.pos AS INT)] + t.steps[CAST(t.pos AS INT)][1] THEN 1
+         |        WHEN t.pos >= 2 AND t.costs[CAST(t.pos + 1 AS INT)] =
+         |             t.costs[CAST(t.pos - 1 AS INT)] + t.steps[CAST(t.pos AS INT)][2] THEN 2
+         |        WHEN t.pos >= 3 AND t.costs[CAST(t.pos + 1 AS INT)] =
+         |             t.costs[CAST(t.pos - 2 AS INT)] + t.steps[CAST(t.pos AS INT)][3] THEN 3
+         |        ELSE 4 END)""".stripMargin
+    s"""pos$sfx AS (
+       |  SELECT tok, c, i,
+       |    [max(CASE WHEN l = 1 THEN w END), max(CASE WHEN l = 2 THEN w END),
+       |     max(CASE WHEN l = 3 THEN w END), max(CASE WHEN l = 4 THEN w END)] AS ws
+       |  FROM (
+       |    SELECT tc.tok, tc.c, x.i, x.l, 1099511627776 - v.freq AS w
+       |    FROM tc
+       |    CROSS JOIN LATERAL (
+       |      SELECT ii.i, ll.l
+       |      FROM (SELECT unnest(range(1, len(tc.tok) + 1)) AS i) ii,
+       |           (SELECT unnest([1, 2, 3, 4]) AS l) ll
+       |      WHERE ll.l <= ii.i) x
+       |    JOIN $vTab v ON v.piece = substr(tc.tok, x.i - x.l + 1, x.l))
+       |  GROUP BY 1, 2, 3),
+       |steps$sfx AS (
+       |  SELECT tok, c, list(ws ORDER BY i) AS steps FROM pos$sfx GROUP BY 1, 2),
+       |dp$sfx AS (
+       |  SELECT tok, c, steps, 0 AS i, [CAST(0 AS BIGINT)] AS costs FROM steps$sfx
        |  UNION ALL
-       |  SELECT d.tok, d.c, d.i + 1,
-       |    costs || [least(
-       |      CASE WHEN v1.freq IS NOT NULL
-       |        THEN costs[d.i + 1] + 1099511627776 - v1.freq
-       |        ELSE 2305843009213693951 END,
-       |      CASE WHEN d.i >= 1 AND v2.freq IS NOT NULL
-       |        THEN costs[d.i] + 1099511627776 - v2.freq
-       |        ELSE 2305843009213693951 END,
-       |      CASE WHEN d.i >= 2 AND v3.freq IS NOT NULL
-       |        THEN costs[d.i - 1] + 1099511627776 - v3.freq
-       |        ELSE 2305843009213693951 END,
-       |      CASE WHEN d.i >= 3 AND v4.freq IS NOT NULL
-       |        THEN costs[d.i - 2] + 1099511627776 - v4.freq
-       |        ELSE 2305843009213693951 END)]
-       |  FROM dp$sfx d
-       |  LEFT JOIN $vTab v1 ON v1.piece = substr(d.tok, d.i + 1, 1)
-       |  LEFT JOIN $vTab v2 ON d.i >= 1 AND v2.piece = substr(d.tok, d.i, 2)
-       |  LEFT JOIN $vTab v3 ON d.i >= 2 AND v3.piece = substr(d.tok, d.i - 1, 3)
-       |  LEFT JOIN $vTab v4 ON d.i >= 3 AND v4.piece = substr(d.tok, d.i - 2, 4)
-       |  WHERE d.i < len(d.tok)),
-       |dpf$sfx AS (SELECT tok, c, costs FROM dp$sfx WHERE i = len(tok)),
+       |  SELECT tok, c, steps, i + 1, costs || [least(
+       |      costs[i + 1] + steps[i + 1][1],
+       |      CASE WHEN i >= 1 THEN costs[i] + steps[i + 1][2] END,
+       |      CASE WHEN i >= 2 THEN costs[i - 1] + steps[i + 1][3] END,
+       |      CASE WHEN i >= 3 THEN costs[i - 2] + steps[i + 1][4] END)]
+       |  FROM dp$sfx WHERE i < len(tok)),
+       |dpf$sfx AS (SELECT tok, c, steps, costs FROM dp$sfx WHERE i = len(tok)),
        |tb$sfx AS (
-       |  SELECT tok, c, costs, len(tok) AS pos,
+       |  SELECT tok, c, steps, costs, CAST(len(tok) AS BIGINT) AS pos,
        |    CAST(NULL AS VARCHAR) AS piece FROM dpf$sfx
        |  UNION ALL
-       |  SELECT t.tok, t.c, t.costs, t.pos - pick.l,
-       |    substr(t.tok, t.pos - pick.l + 1, pick.l)
-       |  FROM tb$sfx t,
-       |  LATERAL (SELECT min(l) AS l FROM (
-       |     SELECT unnest(range(1, least(4, t.pos) + 1)) AS l) ls, $vTab v
-       |     WHERE v.piece = substr(t.tok, t.pos - ls.l + 1, ls.l)
-       |       AND t.costs[t.pos + 1] = t.costs[t.pos - ls.l + 1]
-       |           + 1099511627776 - v.freq) pick
-       |  WHERE t.pos > 0),
+       |  SELECT t.tok, t.c, t.steps, t.costs, t.pos - $lp,
+       |    substr(t.tok, CAST(t.pos - $lp + 1 AS INT), CAST($lp AS INT))
+       |  FROM tb$sfx t WHERE t.pos > 0),
        |em$sfx AS (SELECT piece, CAST(sum(c) AS BIGINT) AS em_freq
        |           FROM tb$sfx WHERE piece IS NOT NULL GROUP BY 1)""".stripMargin
+  }
 
   /** The shared corpus/vocabulary preamble of the unigram-trainer oracles. */
   private val unigramSeedCtes: String =
@@ -615,9 +631,9 @@ object SparkEntry {
 
     "q_window_running" ->
       """SELECT user_id, event_id,
-        | round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        | round(sum(value) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value,
-        | lag(event_id, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_event
+        | lag(event_id, 1) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id) AS prev_event
         |FROM events ORDER BY user_id, event_id""".stripMargin,
 
     "q_rollup" ->
@@ -701,7 +717,7 @@ object SparkEntry {
         | list_sort(list_distinct(toks))[1] AS first_alpha,
         | toks[1] AS first_tok,
         | toks[-1] AS last_tok,
-        | array_to_string(toks[1:3], '_') AS head3,
+        | coalesce(array_to_string(toks[1:3], '_'), '') AS head3,
         | CAST(len(list_filter(toks, t -> length(t) > 5)) AS BIGINT) AS n_long,
         | array_to_string(list_transform(toks[1:2], t -> upper(t)), ' ') AS up2
         |FROM d ORDER BY doc_id""".stripMargin,
@@ -769,7 +785,9 @@ object SparkEntry {
 
     "q_udaf_wavg" ->
       """SELECT l_returnflag,
-        | round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 2) AS wavg_price
+        | round(sum(l_extendedprice * l_quantity)
+        |   / sum(CASE WHEN l_extendedprice IS NOT NULL THEN l_quantity END), 2)
+        |   AS wavg_price
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_scalar_funcs" ->
@@ -820,7 +838,7 @@ object SparkEntry {
         |          OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
         |             > INTERVAL 30 MINUTE
         |        THEN 1 ELSE 0 END AS new_sess
-        | FROM events),
+        | FROM events WHERE ts IS NOT NULL),
         |s AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
         |      FROM m)
@@ -917,13 +935,13 @@ object SparkEntry {
     // output-identical (the gate proves the equivalence at sf0.01).
     "q_dedup_ngram_prefix" -> ngramJaccardOracle,
 
-    // Same oracle as q_dedup_ngram: minhashLsh verifies candidates with
-    // EXACT Jaccard over full shingle sets, so its output differs from the
-    // exact pair set only if a true pair misses every LSH band. At the
-    // driver's gate scale (sf0.01, fixed data + seeds) banding recall is
-    // 1.0 — probed empirically: exceptAll in both directions is empty —
-    // and the df-cap in the oracle's candidate join does not bind there,
-    // so the closed-form exact-Jaccard SQL is the correct comparator.
+    // Same oracle as q_dedup_ngram: minhashLsh carries the SAME
+    // stop-shingle dfCap as the exact tier (r12: capped sets for
+    // signatures and overlap, full-size denominators — an all-duplicate
+    // corpus yields 0 pairs on both sides instead of an O(N²) divergence),
+    // so its output differs from the exact pair set only if a true pair
+    // misses every LSH band. At the gate scales banding recall is 1.0 —
+    // probed empirically: exceptAll in both directions is empty.
     "q_dedup_minhash" -> ngramJaccardOracle,
 
     // SymSpell deletion-neighborhood edit dedup: distinct 12-char prefix
@@ -948,8 +966,10 @@ object SparkEntry {
 
     // A checkpointed Structured Streaming ingest (two crawl-batch files ->
     // two micro-batches through the incremental LSH index) graded against
-    // the SAME closed form: the df-cap-free LSH union over batches equals
-    // the one-shot exact pair set (see q_dedup_minhash above).
+    // the SAME closed form: the LSH union over batches equals the one-shot
+    // exact pair set (see q_dedup_minhash above; the stream's
+    // degenerate-bucket cap and the oracle's dfCap agree on pure identical
+    // clusters, where bucket width == shingle df).
     "q_dedup_stream" -> ngramJaccardOracle,
 
     "q_dedup_pipeline" ->
@@ -1018,7 +1038,7 @@ object SparkEntry {
         |ORDER BY d.doc_id""".stripMargin,
 
     "q_embed_dup" ->
-      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
         |n AS (SELECT vec_id, label, v,
         |        sqrt(list_sum(list_transform(v, x -> x * x))) AS norm,
         |        CAST(v[1] > 0 AS INT) * 8 + CAST(v[2] > 0 AS INT) * 4 +
@@ -1038,7 +1058,7 @@ object SparkEntry {
     // and the surviving candidates are scored by the same sequential
     // double cosine as q_ann_topk.
     "q_ann_lsh" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
         |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS norm FROM e),
         |sg AS (SELECT p, list_transform(range(64), i ->
         |         CASE WHEN CAST('0x' || substr(md5('srp:' || p || ':' || i), 1, 15) AS BIGINT) % 2 = 0
@@ -1072,7 +1092,7 @@ object SparkEntry {
     // engine-exact before the 4-dp round; the flag compares the RAW max
     // on both sides
     "q_decontaminate_embed" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
         |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS norm FROM e),
         |q AS (SELECT * FROM n WHERE ((vec_id % 2147483647) * 2654435761) % 100 >= 80),
         |c AS (SELECT * FROM n WHERE ((vec_id % 2147483647) * 2654435761) % 100 < 80),
@@ -1088,7 +1108,7 @@ object SparkEntry {
     // test vector's nProbe=4 closest cells (of 8). Cell assignment and
     // probing replay q_bitext_mine_ivf's row_number formulation.
     "q_decontaminate_embed_ivf" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
         |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS norm FROM e),
         |sd AS (SELECT vec_id AS seed_id, v AS sv, norm AS snorm FROM n
         |       WHERE vec_id < 8),
@@ -1120,7 +1140,7 @@ object SparkEntry {
     // on (q_id, n_id); recall@5 per query plus 1/rank of the true top-1
     // in the approximate list (0 when missed).
     "q_ann_recall" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
         |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS norm FROM e),
         |ex AS (SELECT q_id, rank AS e_rank, n_id FROM (
         |    SELECT q_id, n_id,
@@ -1167,7 +1187,7 @@ object SparkEntry {
     // relevance 6 - e_rank for hits (0 for misses), DCG over the approx
     // ranks, normalized by the exact ranking's own DCG.
     "q_ann_ndcg" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
         |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS norm FROM e),
         |ex AS (SELECT q_id, rank AS e_rank, n_id FROM (
         |    SELECT q_id, n_id,
@@ -1244,7 +1264,7 @@ object SparkEntry {
     // is the plain relevance argmax (empty selected set).
     "q_mmr_rerank" ->
       """WITH RECURSIVE
-        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
         |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS norm FROM e),
         |q AS (SELECT * FROM n WHERE vec_id = 0),
         |cq AS (SELECT c.vec_id AS id,
@@ -1277,7 +1297,7 @@ object SparkEntry {
         |FROM r ORDER BY rank""".stripMargin,
 
     "q_ann_topk" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
         |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS norm FROM e),
         |s AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
         |        list_dot_product(q.v, c.v) / (q.norm * c.norm) AS cos
@@ -1644,11 +1664,11 @@ object SparkEntry {
       """WITH e AS (SELECT user_id, event_id, event_type, value,
         |             epoch_us(ts) AS ts_us FROM events)
         |SELECT user_id, event_id,
-        |  lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS next_type,
-        |  first_value(event_id) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS first_event,
-        |  last_value(event_id) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |  lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts_us NULLS FIRST, event_id) AS next_type,
+        |  first_value(event_id) OVER (PARTITION BY user_id ORDER BY ts_us NULLS FIRST, event_id) AS first_event,
+        |  last_value(event_id) OVER (PARTITION BY user_id ORDER BY ts_us NULLS FIRST, event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_event,
-        |  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts_us
+        |  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts_us NULLS FIRST
         |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 2) AS hour_sum
         |FROM e ORDER BY user_id, event_id""".stripMargin,
 
@@ -1660,7 +1680,7 @@ object SparkEntry {
         |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
         |           FROM documents),
         |r AS (SELECT *, ntile(10) OVER (PARTITION BY split, shard
-        |        ORDER BY n_tok, doc_id) AS decile FROM d)
+        |        ORDER BY n_tok NULLS FIRST, doc_id) AS decile FROM d)
         |SELECT split, decile, count(*) AS n_docs,
         |  CAST(count_if(((doc_id % 2147483647) * 40503) % 100 < decile * 10) AS BIGINT) AS n_sampled,
         |  round(avg(n_tok), 4) AS avg_tok
@@ -1669,7 +1689,7 @@ object SparkEntry {
     // Deterministic IVF (seed centroids = vec_id < 8, ties to lowest seed):
     // unlike the hash-seeded LSH variant this is exactly reproducible.
     "q_ann_ivf" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
         |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS norm FROM e),
         |sd AS (SELECT vec_id AS seed_id, v AS sv, norm AS snorm FROM n WHERE vec_id < 8),
         |asn AS (SELECT vec_id, v, norm, seed_id AS cell FROM (
@@ -1734,9 +1754,12 @@ object SparkEntry {
         |          ELSE 0.0 END AS rep
         |      FROM d),
         |a AS (SELECT CAST(count(*) AS BIGINT) AS n0,
-        |        CAST(count_if(chars >= 120) AS BIGINT) AS n1,
-        |        CAST(count_if(chars >= 120 AND n_tok >= 30) AS BIGINT) AS n2,
-        |        CAST(count_if(chars >= 120 AND n_tok >= 30 AND rep <= 0.01) AS BIGINT) AS n3
+        |        -- coalesce (r12 fuzz): count_if over an EMPTY relation is
+        |        -- NULL in DuckDB where the engine's count(when) is 0
+        |        CAST(coalesce(count_if(chars >= 120), 0) AS BIGINT) AS n1,
+        |        CAST(coalesce(count_if(chars >= 120 AND n_tok >= 30), 0) AS BIGINT) AS n2,
+        |        CAST(coalesce(count_if(chars >= 120 AND n_tok >= 30 AND rep <= 0.01), 0)
+        |          AS BIGINT) AS n3
         |      FROM m)
         |SELECT * FROM (
         |  SELECT '0_all' AS stage, n0 AS n_docs,
@@ -1850,7 +1873,7 @@ object SparkEntry {
         |FROM a CROSS JOIN t ORDER BY source""".stripMargin,
 
     "q_vec_quantize" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
         |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS norm FROM e),
         |sd AS (SELECT vec_id AS seed_id, v AS sv, norm AS snorm FROM n WHERE vec_id < 8),
         |sc AS (SELECT c.vec_id, sd.seed_id,
@@ -1908,7 +1931,9 @@ object SparkEntry {
         |        max(CASE WHEN event_type = 'purchase' THEN ts END) AS last_p
         |      FROM events GROUP BY 1),
         |a AS (SELECT count(*) AS n0, count(s_ts) AS n1,
-        |        CAST(count_if(last_p > s_ts) AS BIGINT) AS n2 FROM u)
+        |        -- coalesce (r12 fuzz): count_if over an EMPTY relation is
+        |        -- NULL in DuckDB where the engine's count(when) is 0
+        |        CAST(coalesce(count_if(last_p > s_ts), 0) AS BIGINT) AS n2 FROM u)
         |SELECT * FROM (
         |  SELECT '0_all_users' AS stage, n0 AS n_users,
         |    round(CAST(n0 AS DOUBLE) / n0, 4) AS pct_of_all FROM a
@@ -2029,9 +2054,10 @@ object SparkEntry {
       """SELECT user_id, event_id AS version_id,
         |  CAST(floor(epoch(ts)) AS BIGINT) AS valid_from,
         |  CAST(floor(epoch(lead(ts, 1) OVER
-        |    (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) AS valid_to,
-        |  lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-        |    AS is_current,
+        |    (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id))) AS BIGINT)
+        |    AS valid_to,
+        |  lead(ts, 1) OVER (PARTITION BY user_id
+        |    ORDER BY ts NULLS FIRST, event_id) IS NULL AS is_current,
         |  round(value, 2) AS value
         |FROM events ORDER BY user_id, valid_from, version_id""".stripMargin,
 
@@ -2103,11 +2129,13 @@ object SparkEntry {
         |r AS (SELECT doc_id, count(*) AS rl FROM runs GROUP BY doc_id, grp),
         |agg AS (SELECT doc_id, CAST(sum(rl) AS BIGINT) AS n_dup_pos,
         |          CAST(max(rl) AS BIGINT) AS longest_run FROM r GROUP BY 1),
-        |base AS (SELECT doc_id, CAST(greatest(len(t) - 4, 0) AS BIGINT) AS n_pos FROM d)
+        |base AS (SELECT doc_id, CAST(CASE WHEN t IS NULL THEN NULL
+        |          ELSE greatest(len(t) - 4, 0) END AS BIGINT) AS n_pos FROM d)
         |SELECT base.doc_id, n_pos,
         |  coalesce(n_dup_pos, 0) AS n_dup_pos,
         |  coalesce(longest_run, 0) AS longest_run,
-        |  round(CAST(coalesce(n_dup_pos, 0) AS DOUBLE) / greatest(n_pos, 1), 4)
+        |  round(CAST(coalesce(n_dup_pos, 0) AS DOUBLE)
+        |    / greatest(coalesce(n_pos, 0), 1), 4)
         |    AS dup_ratio
         |FROM base LEFT JOIN agg ON base.doc_id = agg.doc_id
         |ORDER BY base.doc_id""".stripMargin,
@@ -2182,7 +2210,9 @@ object SparkEntry {
         |feat AS (SELECT doc_id,
         |           CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS h FROM sh),
         |fp AS (SELECT doc_id, BITSUM AS simhash FROM feat GROUP BY doc_id)
-        |SELECT d2.doc_id, coalesce(fp.simhash, 0) AS simhash
+        |SELECT d2.doc_id,
+        |  CASE WHEN d2.text IS NULL THEN NULL
+        |       ELSE coalesce(fp.simhash, 0) END AS simhash
         |FROM documents d2 LEFT JOIN fp ON d2.doc_id = fp.doc_id
         |ORDER BY d2.doc_id""".stripMargin)
         .replace("BITSUM", (0 until 60).map(j =>
@@ -2298,7 +2328,7 @@ object SparkEntry {
         |             (ORDER BY bm25 DESC, doc_id) AS INT) AS lex_rank
         |           FROM bm WHERE doc_id <> 0)
         |        WHERE lex_rank <= 50),
-        |ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
         |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS norm FROM ev),
         |cs AS (SELECT c.vec_id AS id,
         |         round(list_dot_product(q.v, c.v) / (q.norm * c.norm), 4) + 0.0 AS cos
@@ -2324,7 +2354,7 @@ object SparkEntry {
     // exclusion as the join predicate; ranks on unrounded cosine (the
     // sequential-fold dot is bit-identical across engines), id tie-break.
     "q_hard_negatives" ->
-      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
         |n AS (SELECT vec_id, label, v,
         |        sqrt(list_sum(list_transform(v, x -> x * x))) AS norm FROM e),
         |s AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id, c.label AS n_label,
@@ -2367,7 +2397,7 @@ object SparkEntry {
     // flag is engine-exact. Centroid reassembly pairs unnest with
     // generate_subscripts positionally (the q_embed_pool pattern).
     "q_sem_dedup" ->
-      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
         |n AS (SELECT vec_id, label, v,
         |        sqrt(list_sum(list_transform(v, x -> x * x))) AS norm,
         |        CAST(v[1] > 0 AS INT) * 8 + CAST(v[2] > 0 AS INT) * 4 +
@@ -2579,7 +2609,7 @@ object SparkEntry {
     // early-stop argument).
     "q_kcore" -> {
       val base =
-        """WITH e0 AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        """WITH e0 AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
           |nr AS (SELECT vec_id, label, v,
           |        sqrt(list_sum(list_transform(v, x -> x * x))) AS norm,
           |        CAST(v[1] > 0 AS INT) * 8 + CAST(v[2] > 0 AS INT) * 4 +
@@ -2610,7 +2640,7 @@ object SparkEntry {
     // ordering. MATERIALIZED per round (the kcore inlining lesson).
     "q_label_prop" -> {
       val base =
-        """WITH e0 AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        """WITH e0 AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
           |nr AS (SELECT vec_id, label, v,
           |        sqrt(list_sum(list_transform(v, x -> x * x))) AS norm,
           |        CAST(v[1] > 0 AS INT) * 8 + CAST(v[2] > 0 AS INT) * 4 +
@@ -2646,7 +2676,7 @@ object SparkEntry {
     // border attaches to its minimum core neighbor, noise = -1.
     "q_dbscan" -> {
       val base =
-        """WITH e0 AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        """WITH e0 AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
           |nr AS (SELECT vec_id, label, v,
           |        sqrt(list_sum(list_transform(v, x -> x * x))) AS norm,
           |        CAST(v[1] > 0 AS INT) * 8 + CAST(v[2] > 0 AS INT) * 4 +
@@ -2690,7 +2720,7 @@ object SparkEntry {
     // clustering coefficient. Threshold 0.15, looser than the dup cut —
     // the density diagnostic needs a graph that closes wedges.
     "q_triangles" ->
-      """WITH e0 AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      """WITH e0 AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
         |nr AS (SELECT vec_id, label, v,
         |        sqrt(list_sum(list_transform(v, x -> x * x))) AS norm,
         |        CAST(v[1] > 0 AS INT) * 8 + CAST(v[2] > 0 AS INT) * 4 +
@@ -2963,7 +2993,7 @@ object SparkEntry {
     // quantizer as the candidate generator, q_bitext_mine's micro-unit
     // margin machinery over the candidate table.
     "q_bitext_mine_ivf" ->
-      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
         |n AS (SELECT vec_id, label, v,
         |        sqrt(list_sum(list_transform(v, z -> z * z))) AS norm FROM e),
         |sd AS (SELECT vec_id AS seed_id, v AS sv, norm AS snorm FROM n
@@ -3004,7 +3034,7 @@ object SparkEntry {
     // Margin-based bitext mining in integer micro-units: per-source argmax
     // of cos/(neighborhood avg), kept when margin >= 1.0.
     "q_bitext_mine" ->
-      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
         |n AS (SELECT vec_id, label, v,
         |        sqrt(list_sum(list_transform(v, z -> z * z))) AS norm FROM e),
         |x AS (SELECT * FROM n WHERE label = 0),
@@ -3085,7 +3115,7 @@ object SparkEntry {
     "q_weighted_sample" ->
       """WITH d AS (SELECT doc_id,
         |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
-        |           FROM documents),
+        |           FROM documents WHERE text IS NOT NULL),
         |k AS (SELECT doc_id, n_tok,
         |        -ln((CAST('0x' || substr(md5('graft_wsample:' ||
         |              CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) + 0.5)
@@ -3102,7 +3132,8 @@ object SparkEntry {
       """WITH d AS (SELECT doc_id, lang,
         |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
         |           FROM documents),
-        |db AS (SELECT doc_id, lang, n_tok, n_tok // 16 AS b FROM d),
+        |db AS (SELECT doc_id, lang, n_tok, n_tok // 16 AS b FROM d
+        |      WHERE n_tok IS NOT NULL),
         |hist AS (SELECT lang, b, count(*) AS c FROM db GROUP BY 1, 2),
         |nl AS (SELECT lang, count(*) AS n_lang FROM db GROUP BY 1),
         |ecdf AS (SELECT lang, b,
@@ -3148,7 +3179,8 @@ object SparkEntry {
     // token budget; the oracle is the single-window form the histogram
     // refinement is spec-proven equal to.
     "q_token_budget" ->
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |           WHERE text IS NOT NULL),
         |s AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tok,
         |        round(CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 4)
         |          AS score
@@ -3170,7 +3202,7 @@ object SparkEntry {
     // PQ-ADC with deterministic seed codebooks; distances are integer
     // micro-units so the ADC sum is order-independent (exact oracle).
     "q_ann_pq" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
         |sub AS (SELECT vec_id, s, v[s * 8 + 1 : s * 8 + 8] AS sv,
         |          list_dot_product(v[s * 8 + 1 : s * 8 + 8],
         |            v[s * 8 + 1 : s * 8 + 8]) AS nn
@@ -3200,7 +3232,7 @@ object SparkEntry {
     // q_ann_pq integer micro-unit ADC — candidates restricted to each
     // query's probed cells, ranked by code distance.
     "q_ann_ivfpq" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
         |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS norm FROM e),
         |sd AS (SELECT vec_id AS seed_id, v AS sv, norm AS snorm FROM n WHERE vec_id < 8),
         |asn AS (SELECT vec_id, seed_id AS cell FROM (
@@ -3246,7 +3278,8 @@ object SparkEntry {
     // JL projection: md5-hex-digit-parity sign matrix, sequential-fold
     // dot so doubles match bit-for-bit before the 4-dp round.
     "q_jl_project" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |           FROM embeddings WHERE embedding IS NOT NULL),
         |mr AS (SELECT r, list_transform(range(0, 64), d ->
         |         CASE WHEN CAST('0x' || substr(
         |             md5('graft_jl:' || r || ':' || d), 1, 1) AS BIGINT) % 2 = 0
@@ -3285,7 +3318,7 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_knn_graph" ->
-      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
         |n AS (SELECT vec_id, label, v,
         |        sqrt(list_sum(list_transform(v, x -> x * x))) AS norm FROM e),
         |s AS (SELECT q.vec_id AS src_id, c.vec_id AS n_id,
@@ -3301,7 +3334,7 @@ object SparkEntry {
     // Hubness: k-occurrence over the same label-blocked kNN ranking as
     // q_knn_graph; antihubs (0 occurrences) kept by the left join.
     "q_hubness" ->
-      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
         |n AS (SELECT vec_id, label, v,
         |        sqrt(list_sum(list_transform(v, x -> x * x))) AS norm FROM e),
         |s AS (SELECT q.vec_id AS src_id, c.vec_id AS n_id,
@@ -3548,7 +3581,8 @@ object SparkEntry {
 
     "q_stream_hh" ->
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
-        |FROM events GROUP BY 1 HAVING count(*) >= 75
+        |FROM events WHERE user_id IS NOT NULL
+        |GROUP BY 1 HAVING count(*) >= 75
         |ORDER BY user_id""".stripMargin,
 
     // gap-grouping in MILLISECOND precision (the processor compares
@@ -3558,7 +3592,8 @@ object SparkEntry {
       """WITH o AS (SELECT user_id, epoch_ms(ts) AS ms,
         |        lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts)
         |          AS pms
-        |      FROM events),
+        |      FROM events
+        |      WHERE user_id IS NOT NULL AND ts IS NOT NULL),
         |f AS (SELECT user_id, ms,
         |        CASE WHEN pms IS NULL OR ms - pms > 86400000 THEN 1
         |             ELSE 0 END AS new_s
@@ -3579,7 +3614,9 @@ object SparkEntry {
       """WITH r AS (SELECT user_id, event_id, epoch_ms(ts) AS ms, value,
         |        CAST(row_number() OVER (PARTITION BY user_id
         |          ORDER BY ts DESC, event_id DESC) AS INT) AS rank
-        |      FROM events)
+        |      FROM events
+        |      WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+        |        AND ts IS NOT NULL AND value IS NOT NULL)
         |SELECT user_id, rank, event_id,
         |  CAST(ms // 1000 AS BIGINT) AS ts_sec, round(value, 2) AS value
         |FROM r WHERE rank <= 5 ORDER BY user_id, rank""".stripMargin

@@ -54,9 +54,15 @@ object IngestFormats {
           lit("\",\"schema\":\"public\",\"table\":\"orders\"," +
             "\"columnnames\":[\"o_orderkey\",\"o_custkey\",\"o_totalprice\"]," +
             "\"columnvalues\":["),
+          // JSON-null rendering (r12 fuzz): wal2json emits `null` for a
+          // NULL column value; the bare cast-concat NULL-propagated the
+          // WHOLE line instead, and array_join then silently DROPPED the
+          // event from the feed — a third of the change stream vanished
+          // on a null-bearing table
           col("o_orderkey").cast("string"), lit(","),
-          col("o_custkey").cast("string"), lit(","),
-          col("o_totalprice").cast("string"), lit("]}")))
+          coalesce(col("o_custkey").cast("string"), lit("null")), lit(","),
+          coalesce(col("o_totalprice").cast("string"), lit("null")),
+          lit("]}")))
     val lines = o
       .select(expr("o_orderkey div 8").as("txn"),
         col("o_orderkey"), entry.as("entry"))

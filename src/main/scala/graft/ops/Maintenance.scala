@@ -205,9 +205,17 @@ object Maintenance {
     val root = TwoBatchScratch.freshRoot(spark,
       s"graft_compact_${shards}_$targetBytes")
     val live = s"$root/docs"
-    Tables(spark, dir, "documents")
+    val docs = Tables(spark, dir, "documents")
       .withColumn("shard", pmod(col("doc_id"), lit(shards)))
-      .repartition(col("shard"))
+    // empty-corpus short circuit (r12 fuzz): a partitioned write of ZERO
+    // rows leaves a dir with only _SUCCESS, which the read-back cannot
+    // infer a schema from — and an empty corpus compacts to an empty
+    // audit, the same zero rows the oracle's aggregate produces
+    if (docs.isEmpty)
+      return spark.range(0).select(col("id").as("bin"),
+        col("id").as("n_shards"), col("id").as("n_docs"),
+        col("id").as("bytes"))
+    docs.repartition(col("shard"))
       .write.partitionBy("shard").parquet(live)
     compactApply(spark, live, targetBytes)
     spark.read.parquet(live)

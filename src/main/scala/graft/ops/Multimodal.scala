@@ -270,7 +270,10 @@ object Multimodal {
         MediaRow(id, (id % 3) match {
           case 0 => encodePng(id)
           case 1 => encodeWav(id)
-          case _ => text.getBytes("UTF-8")
+          // a NULL text is a missing blob -> EMPTY payload, which sniffs
+          // as txt like any non-container bytes (r12 fuzz: the bare
+          // getBytes NPE'd the whole partition on one null row)
+          case _ => Option(text).getOrElse("").getBytes("UTF-8")
         })
       })
   }

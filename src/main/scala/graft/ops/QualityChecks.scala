@@ -62,27 +62,31 @@ object QualityChecks {
         round(metric, 6).as("metric"), lit(threshold).as("threshold"),
         (metric >= threshold).as("pass"))
 
+    // nullif denominators (r12 fuzz): an EMPTY table made every ratio an
+    // ANSI divide-by-zero that killed the whole suite — a null metric
+    // (verdict unknowable on no rows) is the honest report, and min_size
+    // still fails loudly on n = 0
     val oRows = o.select(explode(array(
       row("completeness", "orders.o_custkey",
-        col("custkey_nn") / col("n"), 1.0),
+        col("custkey_nn") / nullif(col("n"), lit(0L)), 1.0),
       row("uniqueness", "orders.o_orderkey",
-        col("orderkey_d") / col("n"), 1.0),
+        col("orderkey_d") / nullif(col("n"), lit(0L)), 1.0),
       row("non_negative", "orders.o_totalprice",
-        col("price_ok") / col("n"), 1.0),
+        col("price_ok") / nullif(col("n"), lit(0L)), 1.0),
       row("min_size", "orders",
         col("n").cast("double"), 1.0))).as("r"))
     val lRows = l.select(explode(array(
       row("accepted_values", "lineitem.l_returnflag",
-        col("flag_ok") / col("n"), 1.0),
+        col("flag_ok") / nullif(col("n"), lit(0L)), 1.0),
       row("in_range", "lineitem.l_quantity",
-        col("qty_ok") / col("n"), 1.0))).as("r"))
+        col("qty_ok") / nullif(col("n"), lit(0L)), 1.0))).as("r"))
     // reuse the fused aggregate's row count (review r11): a fresh
     // orders.agg here was a third full scan of the fact table, against
     // the file's own "3 scans, not 40" contract
     val riRows = orphans.crossJoin(broadcast(o.select(col("n"))))
       .select(explode(array(
         row("referential_integrity", "orders.o_custkey->customer",
-          lit(1.0) - col("orphans") / col("n"), 1.0))).as("r"))
+          lit(1.0) - col("orphans") / nullif(col("n"), lit(0L)), 1.0))).as("r"))
 
     oRows.unionByName(lRows).unionByName(riRows)
       .select(col("r.check").as("check"), col("r.column").as("column"),

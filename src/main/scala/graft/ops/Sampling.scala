@@ -119,6 +119,10 @@ object Sampling {
       .select(col("doc_id"), size(col("t")).cast("long").as("n_tok"),
         round(size(array_distinct(col("t"))).cast("double") / size(col("t")), 4)
           .as("score"))
+      // docs without text cannot be selected under a token budget —
+      // EXPLICIT (r12 fuzz: they previously fell out via the null-unsafe
+      // bucket join, a silent drop one refactor away from breaking)
+      .filter(col("n_tok").isNotNull)
       .withColumn("bucket", floor(col("score") * 100).cast("int"))
       .localCheckpoint(true)
     val wb = Window.orderBy(col("bucket").desc)
@@ -160,6 +164,10 @@ object Sampling {
   def weightedSample(spark: SparkSession, dir: String, k: Int = 48): DataFrame = {
     val d = Tables(spark, dir, "documents")
       .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+      // a doc with no text has no weight and cannot be drawn (r12 fuzz:
+      // NULL keys otherwise sort FIRST under Spark's null ordering and
+      // null-text docs accidentally WIN the sample)
+      .filter(col("n_tok").isNotNull)
       .withColumn("u",
         (expr("cast(conv(substring(md5(concat('graft_wsample:', " +
           "cast(doc_id as string))), 1, 12), 16, 10) as double)") + 0.5d) /
@@ -239,6 +247,11 @@ object Sampling {
     val d = Tables(spark, dir, "documents")
       .select(col("doc_id"), col("lang"),
         size(split(col("text"), " ")).cast("long").as("n_tok"))
+      // null-token docs are outside the distribution: they were already
+      // dropped from the OUTPUT by the null-unsafe bucket join, but they
+      // still inflated n_lang and (nulls-first) shifted every cum count —
+      // the ECDF was wrong for every real doc of the lang (r12 fuzz)
+      .filter(col("n_tok").isNotNull)
       .withColumn("b", expr(s"n_tok div $bucketW"))
       .localCheckpoint(true) // one text scan feeds hist, totals, and docs
     val hist = d.groupBy(col("lang"), col("b")).agg(count(lit(1)).as("c"))

@@ -20,9 +20,19 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Null-vector policy (r12 adversarial-fixture finding): a row with a
+    * NULL `embedding` is NOT an index member — every similarity-index op
+    * (ANN, kNN graph, cells, dedup, rerank) excludes it at load, and the
+    * DuckDB oracles carry the same `WHERE embedding IS NOT NULL`. Without
+    * the filter null vectors leaked NULL cosines into top-k windows
+    * (Spark ranks them by null-ordering accident) and crashed the typed
+    * rerank encoders; the principled contract is "no vector, no
+    * membership" — a caller who wants them handled repairs or filters
+    * upstream, explicitly. */
   private def withVec(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
     Tables(spark, dir, "embeddings")
+      .filter(col("embedding").isNotNull)
       .select(col("vec_id"), col("label"),
         expr("transform(embedding, x -> cast(x as double))").as("v"))
       .withColumn("norm", expr("graft_norm(v)"))
@@ -247,7 +257,10 @@ object Similarity {
               blocking: String = "label", nCells: Int = graft.ops.Dedup.AutoCells): DataFrame = {
     val occ = knnGraph(spark, dir, k, blocking, nCells)
       .groupBy(col("n_id").as("vec_id")).agg(count(lit(1)).as("k_occ"))
-    Tables(spark, dir, "embeddings").select(col("vec_id"))
+    // null-vector rows are not index members (see withVec): they are
+    // ABSENT from the report, not "antihubs"
+    Tables(spark, dir, "embeddings")
+      .filter(col("embedding").isNotNull).select(col("vec_id"))
       .join(occ, Seq("vec_id"), "left")
       .select(col("vec_id"), coalesce(col("k_occ"), lit(0L)).as("k_occ"),
         (coalesce(col("k_occ"), lit(0L)) >= 2L * k).cast("int").as("is_hub"))

@@ -474,12 +474,14 @@ object TextAnalysis {
     val m = d.agg(
       count(lit(1)).as("n0"), count(when(s1, 1)).as("n1"),
       count(when(s2, 1)).as("n2"), count(when(s3, 1)).as("n3"))
+    // nullif (r12 fuzz): an empty corpus made every yield an ANSI
+    // divide-by-zero; a null yield on zero docs is the honest report
     m.select(expr(
       """stack(4,
-        |  '0_all',            n0, round(cast(n0 as double) / n0, 4),
-        |  '1_chars_ge_120',   n1, round(cast(n1 as double) / n0, 4),
-        |  '2_tokens_ge_30',   n2, round(cast(n2 as double) / n0, 4),
-        |  '3_rep_le_0.01',    n3, round(cast(n3 as double) / n0, 4)
+        |  '0_all',            n0, round(cast(n0 as double) / nullif(n0, 0), 4),
+        |  '1_chars_ge_120',   n1, round(cast(n1 as double) / nullif(n0, 0), 4),
+        |  '2_tokens_ge_30',   n2, round(cast(n2 as double) / nullif(n0, 0), 4),
+        |  '3_rep_le_0.01',    n3, round(cast(n3 as double) / nullif(n0, 0), 4)
         |) as (stage, n_docs, yield_pct)""".stripMargin))
       .orderBy(col("stage"))
   }
@@ -1597,7 +1599,12 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"),
         round(avg(col("n_chars")), 2).as("avg_chars"),
         count_distinct(col("lang")).as("n_langs"),
-        count_distinct(xxhash64(col("text"))).as("n_uniq"))
+        // hash guarded to NULL on null text: xxhash64(NULL) is the seed
+        // hash (non-null), so count_distinct would count the null-text
+        // class as one "unique document" — COUNT(DISTINCT text) semantics
+        // (the profile's contract) exclude nulls (r12 fuzz)
+        count_distinct(when(col("text").isNotNull, xxhash64(col("text"))))
+          .as("n_uniq"))
       .withColumn("dup_ratio",
         round((col("n_docs") - col("n_uniq")).cast("double") / col("n_docs"), 4))
       .orderBy(col("source"))

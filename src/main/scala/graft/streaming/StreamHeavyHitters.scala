@@ -130,6 +130,10 @@ object StreamHeavyHitters {
         .schema("user_id BIGINT")
         .option("maxFilesPerTrigger", maxFilesPerTrigger)
         .parquet(feedDir)
+        // an event without a subject cannot be counted against one: NULL
+        // keys have no keyed-state channel (r12 fuzz: the typed encoder
+        // otherwise killed the stream on the first null row)
+        .filter(col("user_id").isNotNull)
         .as[Long]
         .map(u => (math.floorMod(u, shards.toLong), u))
         .groupByKey(_._1)

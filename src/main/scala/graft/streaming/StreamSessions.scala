@@ -196,7 +196,11 @@ object StreamSessions {
         .option("maxFilesPerTrigger", maxFilesPerTrigger)
         .parquet(feedDir)
         .withWatermark("ts", lateness)
-        // keep the watermark-tagged ts column through to the operator
+        // keep the watermark-tagged ts column through to the operator.
+        // NULL user or event time carries no session signal (the same
+        // rule batch session_window applies to null event times) — and
+        // the typed encoder would otherwise kill the stream (r12 fuzz)
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
         .select(col("user_id"), col("ts"))
         .as[(Long, java.sql.Timestamp)]
         .groupByKey(_._1)

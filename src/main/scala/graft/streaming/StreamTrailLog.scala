@@ -104,6 +104,11 @@ object StreamTrailLog {
         .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, value DOUBLE, sentinel BOOLEAN")
         .option("maxFilesPerTrigger", maxFilesPerTrigger)
         .parquet(feedDir)
+        // every field is load-bearing for the trail state (key, id, time,
+        // value); a row missing any has no defined trail contribution and
+        // would kill the stream at the typed encoder (r12 fuzz)
+        .filter(col("user_id").isNotNull && col("event_id").isNotNull &&
+          col("ts").isNotNull && col("value").isNotNull)
         .select(col("user_id"), col("event_id"),
           unix_micros(col("ts")).as("tus"), col("value"), col("sentinel"))
         .as[(Long, Long, Long, Double, Boolean)]
