@@ -1,0 +1,178 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Adversarial-fixture differential fuzz of the oracle gate (r11 verdict
+  * #1). Every round's gate runs the 180-query surface against the SAME
+  * fixed fixtures — so a data-dependent edge case (an empty group meeting
+  * a HOF range, a null join key, an all-duplicate corpus collapsing a
+  * banding premise) only surfaces if the fixed data happens to contain it.
+  * This tool stages seeded fixture VARIANTS at sf0.01 shape and re-runs
+  * the exact Verify dump path per variant; `scripts/fuzz_gate.py` then
+  * runs the DuckDB oracle over each dump — a full three-way differential
+  * check per variant. Spark-side failures land in `errors.json` so the
+  * gate can distinguish a DECLARED contract refusal (a loud `require`
+  * naming the repair) from a silent divergence.
+  *
+  * Variants (all deterministic — seeded column hashes, no RNG state):
+  *  - `empty`     every table zero rows, schema intact
+  *  - `single`    every table cut to its first row by primary key
+  *  - `alldup`    all-duplicate corpus: every document carries doc 1's
+  *                text, every embedding carries vec 1's vector
+  *  - `nulls_a/b` 25% of every non-key cell nulled, per-cell xxhash64
+  *                selection (two seeds — null placement is the variable)
+  *  - `unicode`   documents.text stressed with combining marks, emoji,
+  *                CJK, RTL overrides, zero-width chars, and ~7 KB
+  *                max-length rows; n_chars kept consistent
+  *
+  * Dev tool, not part of the engine surface.
+  * Usage: runMain graft.tools.FuzzGate [srcDir] [outRoot] [variant...]
+  */
+object FuzzGate {
+  val TableNames: Seq[String] = Seq("region", "nation", "customer",
+    "supplier", "part", "orders", "lineitem", "events", "documents",
+    "embeddings")
+
+  /** Primary-key columns kept non-null and used as the per-row hash
+    * identity for deterministic cell selection. */
+  val Pk: Map[String, Seq[String]] = Map(
+    "region" -> Seq("r_regionkey"), "nation" -> Seq("n_nationkey"),
+    "customer" -> Seq("c_custkey"), "supplier" -> Seq("s_suppkey"),
+    "part" -> Seq("p_partkey"), "orders" -> Seq("o_orderkey"),
+    "lineitem" -> Seq("l_orderkey", "l_linenumber"),
+    "events" -> Seq("event_id"), "documents" -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id"))
+
+  val Variants: Seq[String] =
+    Seq("empty", "single", "alldup", "nulls_a", "nulls_b", "unicode")
+
+  def transform(df: DataFrame, table: String, variant: String): DataFrame =
+    variant match {
+      case "empty" => df.where(lit(false))
+      case "single" => df.orderBy(Pk(table).map(col): _*).limit(1)
+      case "alldup" => table match {
+        case "documents" =>
+          val one = df.orderBy("doc_id").limit(1)
+            .select(col("text").as("__dup_text"))
+          df.crossJoin(broadcast(one))
+            .withColumn("text", col("__dup_text"))
+            .withColumn("n_chars", length(col("text")).cast("long"))
+            .select(df.columns.map(col): _*)
+        case "embeddings" =>
+          val one = df.orderBy("vec_id").limit(1)
+            .select(col("embedding").as("__dup_vec"))
+          df.crossJoin(broadcast(one))
+            .withColumn("embedding", col("__dup_vec"))
+            .select(df.columns.map(col): _*)
+        case _ => df
+      }
+      case v if v.startsWith("nulls") =>
+        val seed = if (v == "nulls_a") 101 else 202
+        val pk = Pk(table)
+        df.select(df.columns.map { c =>
+          if (pk.contains(c)) col(c)
+          else {
+            // per-cell deterministic coin: seed + table + column + pk
+            val h = pmod(xxhash64(
+              lit(seed) +: lit(table) +: lit(c) +: pk.map(col): _*), lit(100))
+            when(h < 25, lit(null).cast(df.schema(c).dataType))
+              .otherwise(col(c)).as(c)
+          }
+        }: _*)
+      case "unicode" =>
+        if (table != "documents") df
+        else {
+          val m = pmod(col("doc_id"), lit(7))
+          // invisible / combining codepoints spelled as \\u escapes --
+          // literal zero-width or bidi-override chars in source are
+          // unreviewable and trip editors
+          val mixedScripts =
+            " caf\u00e9 e\u0301 \u6f22\u5b57\u3067\u3059 " +
+            "\u0645\u0631\u062d\u0628\u0627 \ud83c\udf0d\ud83d\ude80"
+          val nfdDecomposed =
+            "cafe\u0301 nai\u0308ve A\u030arhus "
+          val zeroWidthRtl =
+            "a\u200bb\u200dc \u202e12345\u202c "
+          val longRow =
+            "h\u00e9llo w\u00f6rld \u4f60\u597d \ud83d\ude80 "
+          val stressed =
+            when(m === 0, concat(col("text"), lit(mixedScripts)))
+            // max-length row: ~7.2 KB of repeated multi-script text
+            .when(m === 1, concat_ws("", array_repeat(lit(longRow), 400)))
+            // decomposed (NFD-style) combining sequences ahead of the body
+            .when(m === 2, concat(lit(nfdDecomposed), col("text")))
+            // zero-width chars + an RTL override span
+            .when(m === 3, concat(lit(zeroWidthRtl), col("text")))
+            .otherwise(col("text"))
+          df.withColumn("text", stressed)
+            .withColumn("n_chars", length(col("text")).cast("long"))
+            .select(df.columns.map(col): _*)
+        }
+      case other => sys.error(s"unknown variant: $other")
+    }
+
+  /** Write as a SINGLE parquet FILE at `$dst/$table.parquet`, matching the
+    * testdata layout — `check_oracle.py` builds its DuckDB views from that
+    * exact path shape (no glob), so a Spark part-file directory would
+    * break the oracle side of the differential. */
+  private def writeSingle(df: DataFrame, dst: String, table: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val tmp = s"$dst/.stage_$table"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = Option(new java.io.File(tmp).listFiles())
+      .getOrElse(Array.empty)
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .getOrElse(sys.error(s"no part file written for $table under $tmp"))
+    Files.move(part.toPath, Paths.get(s"$dst/$table.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    deleteRecursively(new java.io.File(tmp))
+  }
+
+  def stage(spark: SparkSession, src: String, dst: String,
+            variant: String): Unit = {
+    new java.io.File(dst).mkdirs()
+    TableNames.foreach { t =>
+      val df = spark.read.parquet(s"$src/$t.parquet")
+      writeSingle(transform(df, t, variant), dst, t)
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val src = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
+    val outRoot = if (args.length > 1) args(1) else "/tmp/graft-fuzz"
+    val which = if (args.length > 2) args.drop(2).toSeq else Variants
+    which.foreach(v => require(Variants.contains(v), s"unknown variant: $v"))
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = graft.GraftSession.get(s"local[$cpus]", cpus.toInt)
+    which.foreach { v =>
+      val dataDir = s"$outRoot/$v/data"
+      val outDir = s"$outRoot/$v/out"
+      println(s"== [$v] staging -> $dataDir")
+      stage(spark, src, dataDir, v)
+      println(s"== [$v] dumping 180 queries -> $outDir")
+      val errs = graft.Verify.dump(spark, dataDir, outDir)
+      // per-variant Spark-side failure messages for the python gate's
+      // declared-contract cross-reference (truncated: a require message
+      // names its repair in the first lines)
+      val json = errs.toSeq.sortBy(_._1)
+        .map { case (k, m) =>
+          s"${graft.Verify.q(k)}: ${graft.Verify.q(m.take(400))}" }
+        .mkString("{", ",", "}")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$outDir/errors.json"), json)
+      println(s"== [$v] done: ${errs.size} spark-side failures")
+      // drop inter-variant leftovers (cached plans, checkpoint blocks) so
+      // variant N+1 doesn't run under variant N's storage pressure
+      spark.catalog.clearCache()
+      System.gc()
+    }
+    spark.stop()
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(); ()
+  }
+}

@@ -17,10 +17,23 @@ object VerifySome {
     spark.sparkContext.setLogLevel("WARN")
     graft.GraftSession.quietBoundedWindowWarnings()
     new java.io.File(outDir).mkdirs()
+    // Verify.dump's exact failure semantics (r12): a throwing query is
+    // recorded and its stale dump removed, instead of aborting the whole
+    // subset run mid-way — which left oracle_sql.json unmerged and
+    // earlier dumps in this run ungradable (bit the fuzz-variant
+    // iteration, where loud contract refusals are an EXPECTED outcome).
+    val failed = scala.collection.mutable.Map[String, String]()
     names.foreach { name =>
-      graft.SparkEntry.queries(name)(spark, sfDir)
-        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
-      println(s"[verify-some] wrote $name")
+      try {
+        graft.SparkEntry.queries(name)(spark, sfDir)
+          .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        println(s"[verify-some] wrote $name")
+      } catch { case e: Throwable =>
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        System.err.println(s"[verify-some] $name failed: $msg")
+        failed += name -> msg
+        deleteRecursively(new java.io.File(s"$outDir/$name"))
+      }
     }
     def q(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
@@ -48,6 +61,33 @@ object VerifySome {
     val json = sqls.toSeq.sortBy(_._1).map { case (n, s) => s"${q(n)}: ${q(s)}" }
       .mkString("{", ", ", "}")
     java.nio.file.Files.write(jsonPath, json.getBytes("UTF-8"))
+    // maintain errors.json the same way (FuzzGate's layout): re-run names
+    // drop their stale entry; failures (re)register with the live message
+    val errPath = java.nio.file.Paths.get(s"$outDir/errors.json")
+    val priorErrs: Map[String, String] =
+      if (java.nio.file.Files.exists(errPath)) {
+        val node = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(errPath.toFile)
+        val it = node.fields()
+        val b = Map.newBuilder[String, String]
+        while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asText() }
+        b.result()
+      } else Map.empty
+    val errs = (priorErrs -- names) ++ failed.view.mapValues(_.take(400))
+    java.nio.file.Files.write(errPath,
+      errs.toSeq.sortBy(_._1).map { case (n, m) => s"${q(n)}: ${q(m)}" }
+        .mkString("{", ", ", "}").getBytes("UTF-8"))
     spark.stop()
+    // no sys.exit: under a non-forked sbt multi-command run it would kill
+    // the whole sbt session and every queued command after this one
+    if (failed.nonEmpty)
+      println(s"[verify-some] ${failed.size} failed: " +
+        failed.keys.toSeq.sorted.mkString(", "))
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(); ()
   }
 }
