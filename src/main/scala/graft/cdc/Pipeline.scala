@@ -122,6 +122,13 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
 
   private def statePath(sync: SyncConfig): String = s"$sinkRoot/${sync.indexName}"
 
+  /** Syncs whose NEXT micro-batch must be fenced against the per-pk
+    * watermark + snapshot floor: exactly the first batch of each query
+    * run — the only batch that can be a checkpoint REPLAY. Re-armed by
+    * every [[start]]. See the fence in [[applySyncLocked]]. */
+  private val replayFencePending =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   /** pk column name after rename (the sink is keyed by the OUTPUT name). */
   private def pkOut(sync: SyncConfig): String =
     sync.fields.find(_.src == sync.pk).map(_.out).getOrElse(sync.pk)
@@ -245,10 +252,30 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
     if (!dead.isEmpty)
       dead.write.mode("append").parquet(deadLetterPath(sync))
     val view = full.filter(col(pk).isNotNull)
+    // The FIRST micro-batch of a query run may be a checkpoint REPLAY of a
+    // batch whose effects a dead-letter replay or a snapshot refresh
+    // superseded while the stream was down (r12 OffsetWatermarkFuzzSpec
+    // finding: crash -> operator repairs + runs `replay` (or `refresh`) ->
+    // stream restarts -> the replayed batch blindly re-upserts the OLD
+    // payload over the newer state, and the already-advanced watermark
+    // then fences the repair from ever being re-applied — a silent
+    // permanent regression). Fence it through the replay path's own
+    // splitStale: rows strictly below their pk's applied watermark, or at
+    // or below the snapshot floor, are superseded and drop; rows AT the
+    // watermark stay (the idempotent re-apply). Later batches of a run
+    // cannot be replays (Spark runs each batchId once per query run), so
+    // steady state pays no watermark read.
+    val fenced =
+      if (replayFencePending.remove(sync.table)) {
+        val sp = statePath(sync)
+        OffsetWatermark.splitStale(view,
+          OffsetWatermark.current(spark, sp), pk,
+          OffsetWatermark.snapshotFloor(spark, sp))._1
+      } else view
     // compact on the envelope, then hand the sink ONLY op + payload (+ mask):
     // the merge treats every unknown change column as schema evolution, so
     // leaking table/offset/_ridx here would evolve them INTO the sink table
-    val compacted = Transforms.lastWriteWins(view, col(pk), Seq(col("_ridx")))
+    val compacted = Transforms.lastWriteWins(fenced, col(pk), Seq(col("_ridx")))
       .drop("table", "offset", "_ridx")
     try {
       writeCompacted(sync, compacted, batchId, lineage)
@@ -257,7 +284,7 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
       // or any newer one — has superseded. Idempotent under checkpoint
       // replay.
       OffsetWatermark.advance(spark, statePath(sync),
-        view.select(col(pk), col("offset"), col("_ridx")), pk, config.stateBuckets)
+        fenced.select(col(pk), col("offset"), col("_ridx")), pk, config.stateBuckets)
     } finally {
       // in a FINALLY: a failure after the sink write landed (splice,
       // marker clear, watermark advance) must still bump, or a concurrent
@@ -672,6 +699,8 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
                               monotonic: Boolean,
                               progress: Option[ProgressStore]): StreamingQuery = {
     backfillIfNeeded()
+    // arm the first-batch replay fence for every sync (see applySyncLocked)
+    config.syncs.foreach(s => replayFencePending.add(s.table))
     val changes =
       if (!monotonic) source.changes
       else {
