@@ -74,9 +74,15 @@ object Main {
       sys.exit(2)
   }
 
-  private def run(cmd: String, props: java.util.Properties, rest: List[String],
+  private def run(cmd: String, props: java.util.Properties, rawRest: List[String],
                   spark: org.apache.spark.sql.SparkSession): Int = {
     val cfg = parseConfig(props)
+    // `--json` (check): machine-readable output — one JSON object per sync
+    // (r11 verdict #6: operator tooling needs counts/lease/marker state
+    // parseable, not screen-scraped). Stripped before table-name
+    // validation so the flag is never mistaken for a table.
+    val jsonMode = rawRest.contains("--json")
+    val rest = rawRest.filterNot(_ == "--json")
     requireKnownTables(cfg, rest)
     // feed.format selects the source:
     //   graft-cdc                       -> V2 MicroBatchStream (chunked tsv
@@ -184,7 +190,12 @@ object Main {
         val zm = pipe.zoneMapStatus()
         val leases = pipe.leaseStatus()
         pipe.check().foreach { case (t, (src, sink)) =>
-          val status = if (src == sink) "OK" else { ok = false; "MISMATCH" }
+          if (src != sink) ok = false
+          if (jsonMode) {
+            println(checkJsonLine(t, src, sink, zm.getOrElse(t, None),
+              leases.get(t)))
+          } else {
+          val status = if (src == sink) "OK" else "MISMATCH"
           println(s"$status $t: source=$src sink=$sink")
           // operational note, not a failure: pruned reads are falling back
           // to exact unpruned filters until the marker clears. A negative
@@ -208,6 +219,7 @@ object Main {
           leases.get(t).foreach { case (path, holder) =>
             println(Main.leaseLine(t, path, holder))
           }
+          }
         }
         // return the exit code instead of sys.exit here (review r11):
         // System.exit skips main's `finally spark.stop()`, leaving session
@@ -215,6 +227,37 @@ object Main {
         if (ok) 0 else 1
       }
     }
+  }
+
+  /** One machine-readable `check --json` object per sync (r11 verdict
+    * #6): counts + match verdict, zone-map marker state (pending/torn/
+    * owner), and lease identity + heartbeat age. The torn sentinel
+    * (Long.MinValue) maps to `"torn":true,"owner":null` — the JSON never
+    * leaks the sentinel value a parser would mistake for a real owner. */
+  private[graft] def checkJsonLine(
+      table: String, src: Long, sink: Long, zmOwner: Option[Long],
+      lease: Option[(String, Option[(String, Long)])]): String = {
+    def js(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val zm = zmOwner match {
+      case None => """{"pending":false}"""
+      case Some(o) if o == Long.MinValue =>
+        """{"pending":true,"torn":true,"owner":null}"""
+      case Some(o) => s"""{"pending":true,"torn":false,"owner":$o}"""
+    }
+    val ls = lease match {
+      case Some((path, Some((id, age)))) =>
+        s"""{"path":${js(path)},"holder":${js(id)},"heartbeat_age_ms":$age}"""
+      case Some((path, None)) =>
+        s"""{"path":${js(path)},"holder":null,"heartbeat_age_ms":null}"""
+      case None => "null"
+    }
+    s"""{"table":${js(table)},"source":$src,"sink":$sink,""" +
+      s""""match":${src == sink},"zone_map":$zm,"lease":$ls}"""
   }
 
   /** One `check` output line per sync naming the lease path, holder
