@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   * super-linear term (pair blowup, driver state) bends the curve long
   * before 100 TB does. Dev tool; results recorded in SCALE.md.
   *
-  * Usage: runMain graft.tools.ScaleCurve [factors csv, default 1,10,100] [neardup] [stream] [bpe] [r6] [b5] [b6] [b9] [tws] [r7]
+  * Usage: runMain graft.tools.ScaleCurve [factors csv, default 1,10,100] [neardup] [stream] [bpe] [r6] [b5] [b6] [b9] [tws] [twsstate] [r7]
   *   `neardup` adds the near-dup composite (decontaminate + dup-span) at
   *   each factor — the standing per-round stress entry for the near-dup
   *   tier's scale curve (VERDICT r4 item 7). `stream` adds the
@@ -43,6 +43,16 @@ object ScaleCurve {
     // flat TWSBATCH times across batch index and ~constant rows/s across
     // factors.
     val tws = args.length > 1 && args.drop(1).contains("tws")
+    // `twsstate` isolates the STATE-CARDINALITY axis the `tws` batch ties
+    // to volume (r11 verdict #5): keys HELD in the state store grow fac x
+    // (populate batch: one event per key), then three steady batches of
+    // FIXED volume touch only the base key set. The 100x hazard for the
+    // transformWithState band is per-trigger cost tracking total state
+    // (an HDFS-backed store snapshots the whole map per commit); the ops
+    // run RocksDB + changelog checkpointing (StreamTune), so the claim
+    // under test is steady-batch TWSBATCH times FLAT across factors while
+    // stateRows grows fac x. Bytes print per trigger.
+    val twsState = args.length > 1 && args.drop(1).contains("twsstate")
     // `r7` measures the round-7 batch ops: the compaction APPLY rewrite
     // (expected: I/O-linear in corpus bytes), the real-codec PNG
     // encode+decode roundtrip (row-linear, partition-parallel), and the
@@ -125,10 +135,10 @@ object ScaleCurve {
       // the x100 join). Splitting at the source is the fix SCALE.md's
       // negative-result note prescribes — ingest writes many files; an
       // engine-side blanket reshuffle was measured a loss.
-      // skew-only runs skip the shared fact staging entirely: the tier
-      // stages its own feed, and lineitem x200+ in /tmp is pure waste
-      val skewOnly = skew && !(nearDup || stream || bpe || r6 || b5 || b6 ||
-        b9 || tws || r7 || r8 || r8c || r9)
+      // skew/twsstate-only runs skip the shared fact staging entirely: those
+      // tiers stage their own feeds, and lineitem x200+ in /tmp is pure waste
+      val skewOnly = (skew || twsState) && !(nearDup || stream || bpe || r6 ||
+        b5 || b6 || b9 || tws || r7 || r8 || r8c || r9)
       if (fac != 1 && !skewOnly) {
         replicate(spark.read.parquet(s"$sf/lineitem.parquet"),
           Set("l_orderkey"), fac, perturbText = false)
@@ -271,6 +281,78 @@ object ScaleCurve {
         drain("traillog")(graft.streaming.StreamTrailLog.start(
           spark, s"$sroot/trail/feed", s"$sroot/trail/out", s"$sroot/trail/ckpt"))
         ev.unpersist()
+        sfs2.delete(spth, true)
+        ()
+      }
+
+      if (twsState) {
+        // synthetic feeds: key cardinality is the ONLY thing that grows
+        // with fac; steady-batch volume is pinned. No fixture staging.
+        val baseKeys = 2000L
+        val steadyRows = 20000L
+        val u = baseKeys * fac
+        val t0us = 1700000000L * 1000000L
+        val sroot = s"/tmp/graft-scurve-twsstate-$fac"
+        val spth = new org.apache.hadoop.fs.Path(sroot)
+        val sfs2 = spth.getFileSystem(spark.sessionState.newHadoopConf())
+        sfs2.delete(spth, true)
+        // populate: ONE event per key — every key enters the state store
+        // and (sessions gap >> feed span) stays held for the whole run
+        val populate = spark.range(u).select(
+          col("id").as("event_id"),
+          timestamp_micros(lit(t0us) + (col("id") % 997L) * 100000L).as("ts"),
+          col("id").as("user_id"),
+          (col("id") % 100L).cast("double").as("value"))
+        // steady batches: fixed rows, only the base key set touched; event
+        // time advances one hour per batch so watermarks/timers move
+        def steady(b: Int): DataFrame = spark.range(steadyRows).select(
+          (lit(1000000L) * b + col("id")).as("event_id"),
+          timestamp_micros(lit(t0us) + lit(b * 3600L * 1000000L) +
+            (col("id") % 997L) * 100000L).as("ts"),
+          pmod(col("id"), lit(baseKeys)).as("user_id"),
+          (col("id") % 100L).cast("double").as("value"))
+        val batches = populate +: (1 to 3).map(steady)
+        def drainS(name: String)(
+            startQ: => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+          val t0 = System.nanoTime()
+          val q = startQ
+          try q.processAllAvailable() finally q.stop()
+          val wall = (System.nanoTime() - t0) / 1e9
+          val progress = q.recentProgress
+          val stateRows = progress
+            .flatMap(_.stateOperators.map(_.numRowsTotal))
+            .foldLeft(0L)(math.max)
+          println(f"SCALECURVE twsstate_$name%-9s x$fac%-4d $wall%8.3f s  " +
+            s"keys=$u stateRows=$stateRows")
+          progress.filter(_.numInputRows > 0).foreach { p =>
+            val bytes = p.stateOperators.map(_.memoryUsedBytes).sum
+            println(f"TWSBATCH twsstate_$name x$fac batch=${p.batchId} " +
+              f"${p.batchDuration / 1000.0}%6.3f s in=${p.numInputRows} " +
+              s"stateBytes=$bytes")
+          }
+        }
+        graft.streaming.DedupStream.stageBatches(s"$sroot/hh/feed",
+          batches.map(_.select(col("user_id"))))
+        drainS("hh")(graft.streaming.StreamHeavyHitters.start(
+          spark, s"$sroot/hh/feed", s"$sroot/hh/alerts", s"$sroot/hh/ckpt"))
+        graft.streaming.DedupStream.stageBatches(s"$sroot/sess/feed",
+          batches.map(_.select(col("user_id"), col("ts"))))
+        drainS("sessions")(graft.streaming.StreamSessions.start(
+          spark, s"$sroot/sess/feed", s"$sroot/sess/out", s"$sroot/sess/ckpt",
+          java.time.Duration.ofSeconds(86400L)))
+        // traillog closes on a sentinel batch over every key (the tws
+        // convention) — its cost legitimately tracks key count and is
+        // reported as its own trigger line, separate from the steady band
+        val sentinelT = spark.range(u).select(
+          lit(-1L).as("event_id"),
+          timestamp_micros(lit(t0us) + lit(5L * 3600L * 1000000L)).as("ts"),
+          col("id").as("user_id"), lit(0.0).as("value"),
+          lit(true).as("sentinel"))
+        graft.streaming.DedupStream.stageBatches(s"$sroot/trail/feed",
+          batches.map(_.select(col("event_id"), col("ts"), col("user_id"),
+            col("value"), lit(false).as("sentinel"))) :+ sentinelT)
+        drainS("traillog")(graft.streaming.StreamTrailLog.start(
+          spark, s"$sroot/trail/feed", s"$sroot/trail/out", s"$sroot/trail/ckpt"))
         sfs2.delete(spth, true)
         ()
       }
