@@ -85,6 +85,14 @@ def main():
     # the sweep's 121-146 s same-code host-drift band from the gate, so
     # a floor mover is a genuine suspect with no further laundering step.
     # Sweep comparison above stays as context.
+    # errored queries fail the gate outright — an error is never drift
+    # (review r12: the floor branch used to be the only exit and a
+    # regression-into-error had no floor to compare)
+    new_errors = [e for e in (new.get("errors") or [])
+                  if not str(e).startswith("+")]
+    if new_errors:
+        print(f"\nERRORED queries (always a gate failure): {new_errors}")
+        sys.exit(1)
     nf = {k: v for k, v in (new.get("floors") or {}).items() if k in hl}
     rf = {k: v for k, v in (ref.get("floors") or {}).items() if k in hl}
     shared_f = sorted(set(nf) & set(rf))
@@ -103,10 +111,19 @@ def main():
             for k, ratio, old, newv in sorted(fl_movers, key=lambda m: -m[1]):
                 print(f"  {k:24s} {old:6.2f} -> {newv:6.2f}  ({ratio:.2f}x)")
             sys.exit(1)
-        print("no floor mover exceeds the gate")
-        return
-    print("(no shared floors — ref snapshot predates r12; "
-          "falling back to the sweep mover gate)")
+        # a timed headline query MISSING a floor on either side is not
+        # exempt (review r12: all its dedicated reps failing mints no
+        # floor — the exact regression shape); route it through the sweep
+        # mover gate below instead of silently passing
+        floorless = sorted((hl & set(shared)) - set(shared_f))
+        if not floorless:
+            print("no floor mover exceeds the gate")
+            return
+        print(f"(no floors for {floorless} — checking their sweep numbers)")
+        hl_shared = set(floorless)
+    else:
+        print("(no shared floors — ref snapshot predates r12; "
+              "falling back to the sweep mover gate)")
     movers = [(k, nq[k] / max(rq[k], 1e-3), rq[k], nq[k])
               for k in sorted(hl_shared)
               if nq[k] / max(rq[k], 1e-3) > threshold

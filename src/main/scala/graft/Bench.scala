@@ -227,6 +227,16 @@ object Bench {
     // the prior snapshot must be read BEFORE the overwrite below
     val movers = adjudicateMovers(priorQueries(outPath))
     val errorsJson = errors.map(jstr).mkString("[", ",", "]")
+    // stdout carries at most 10 error names (review r12): with the r12
+    // floors dict (~765 chars) sharing the driver's hard 2000-char output
+    // window, an error STORM (20+ failing queries) would push the line's
+    // HEAD out of the captured tail and zero the whole bench parse —
+    // exactly when the errors matter most. The full list lives in the
+    // per_query file; stdout keeps the count and the first names.
+    val errorsStdout =
+      (errors.take(10).map(jstr) ++
+        (if (errors.size > 10) Seq(jstr(s"+${errors.size - 10} more")) else Nil))
+        .mkString("[", ",", "]")
     val floorsJson = floors.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
@@ -247,7 +257,7 @@ object Bench {
       }
     val perQueryRef = if (wrote) jstr(outPath) else "null"
     val out =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${results.size},"headline":${f(headlineTotal)},"n_headline":${headlineHit.size},"errors":$errorsJson,"movers_adjudicated":$movers,"floors":$floorsJson,"sf":${jstr(sfDir)},"per_query":$perQueryRef}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${results.size},"headline":${f(headlineTotal)},"n_headline":${headlineHit.size},"errors":$errorsStdout,"movers_adjudicated":$movers,"floors":$floorsJson,"sf":${jstr(sfDir)},"per_query":$perQueryRef}"""
     // Stop Spark BEFORE printing so no shutdown logging can land after the
     // JSON line: it must be the last line of stdout for the driver's parser.
     spark.stop()

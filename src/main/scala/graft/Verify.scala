@@ -59,7 +59,9 @@ object Verify {
     case c => c.toString
   } + "\""
 
-  private def deleteRecursively(f: java.io.File): Unit = {
+  /** Shared by the dump tools (VerifySome, FuzzGate) — one copy, so the
+    * stale-dump removal discipline cannot drift between them. */
+  private[graft] def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
     f.delete(); ()
   }

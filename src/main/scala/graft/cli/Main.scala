@@ -77,12 +77,15 @@ object Main {
   private def run(cmd: String, props: java.util.Properties, rawRest: List[String],
                   spark: org.apache.spark.sql.SparkSession): Int = {
     val cfg = parseConfig(props)
-    // `--json` (check): machine-readable output — one JSON object per sync
-    // (r11 verdict #6: operator tooling needs counts/lease/marker state
-    // parseable, not screen-scraped). Stripped before table-name
-    // validation so the flag is never mistaken for a table.
-    val jsonMode = rawRest.contains("--json")
-    val rest = rawRest.filterNot(_ == "--json")
+    // `--json` (check ONLY): machine-readable output — one JSON object per
+    // sync (r11 verdict #6: operator tooling needs counts/lease/marker
+    // state parseable, not screen-scraped). Stripped before table-name
+    // validation so the flag is never mistaken for a table — but only for
+    // check: on any other verb the token still fails loudly as an unknown
+    // table instead of being silently swallowed (review r12).
+    val jsonMode = cmd == "check" && rawRest.contains("--json")
+    val rest =
+      if (cmd == "check") rawRest.filterNot(_ == "--json") else rawRest
     requireKnownTables(cfg, rest)
     // feed.format selects the source:
     //   graft-cdc                       -> V2 MicroBatchStream (chunked tsv

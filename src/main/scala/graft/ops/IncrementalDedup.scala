@@ -336,10 +336,16 @@ object IncrementalDedup {
     * docs' bands probe the band index; candidates verify with one
     * merge-pass intersection against the sets store. Per-batch cost is
     * O(batch bands × capped bucket occupancy). Union over batches equals
-    * the one-shot [[Dedup.minhashLsh]] whenever no degenerate cluster
-    * crosses `maxBucketWidth` mid-stream (spec-asserted on the fixtures;
-    * the caps agree exactly on pure identical clusters, where bucket
-    * width == shingle df).
+    * the one-shot [[Dedup.minhashLsh]] whenever the corpus holds NO
+    * stop-shingle (a shingle in more than dfCap docs — this tier stores
+    * no postings index, so it cannot evaluate per-shingle df; the
+    * one-shot tier's cap would change signatures/overlap where this one
+    * keeps them) AND no band bucket crosses `maxBucketWidth` mid-stream.
+    * On pure identical clusters the two caps agree exactly (bucket width
+    * == shingle df); for mixed stop-shingle corpora the periodic
+    * one-shot compaction re-derives the capped answer (spec-asserted on
+    * the fixtures, where neither cap binds; review r12 spelled out the
+    * precise equality condition).
     *
     * `buckets > 0` stores the sets under `bucket=pmod(doc_id, buckets)`
     * partition dirs and PRUNES the verify read to the buckets the batch's

@@ -34,10 +34,11 @@ object DedupStream {
     *
     * `useLsh` picks the sub-quadratic MinHash+LSH tier (the 100 TB path;
     * the union over batches equals the one-shot
-    * [[graft.ops.Dedup.minhashLsh]] answer whenever no degenerate dup
-    * cluster crosses the bucket-width cap mid-stream — see
-    * [[graft.ops.IncrementalDedup.updateLsh]]) over the exact
-    * inverted-index tier. `maxFilesPerTrigger` bounds a micro-batch.
+    * [[graft.ops.Dedup.minhashLsh]] answer whenever the corpus holds no
+    * stop-shingle and no band bucket crosses the width cap mid-stream —
+    * the precise condition is on [[graft.ops.IncrementalDedup.updateLsh]])
+    * over the exact inverted-index tier. `maxFilesPerTrigger` bounds a
+    * micro-batch.
     *
     * `compactEvery`: every N batches, fold the accumulated per-batch state
     * subdirs into flat files from the HEAD of the batch window (safe by

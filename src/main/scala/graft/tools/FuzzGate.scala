@@ -170,9 +170,6 @@ object FuzzGate {
     spark.stop()
   }
 
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory)
-      Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
-    f.delete(); ()
-  }
+  private def deleteRecursively(f: java.io.File): Unit =
+    graft.Verify.deleteRecursively(f)
 }

@@ -35,13 +35,9 @@ object VerifySome {
         deleteRecursively(new java.io.File(s"$outDir/$name"))
       }
     }
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c    => c.toString
-    } + "\""
+    // one escaper for every dump tool (review r12: a local copy here would
+    // drift from the shared one on the next escaping fix)
+    def q(x: String): String = graft.Verify.q(x)
     // MERGE into any existing oracle_sql.json (review r11): overwriting
     // with only this run's names would downgrade an earlier dump in the
     // same outDir from value-checked to rows-only — a wrong-valued query
@@ -85,9 +81,6 @@ object VerifySome {
         failed.keys.toSeq.sorted.mkString(", "))
   }
 
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory)
-      Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
-    f.delete(); ()
-  }
+  private def deleteRecursively(f: java.io.File): Unit =
+    graft.Verify.deleteRecursively(f)
 }
