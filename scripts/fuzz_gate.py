@@ -45,7 +45,8 @@ DECLARED = {
     ("empty", "q_stream_traillog"): "the event feed is empty",
 }
 
-VARIANTS = ["empty", "single", "alldup", "nulls_a", "nulls_b", "unicode"]
+VARIANTS = ["empty", "single", "alldup", "nulls_a", "nulls_b", "unicode",
+            "extremes"]
 
 
 def run_variant(here, root, variant, timeout_s=2400):

@@ -2921,10 +2921,14 @@ object SparkEntry {
         |a AS (SELECT event_type,
         |        CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
         |        CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
-        |        CAST(sum(CASE WHEN arm = 0 THEN vc ELSE 0 END) AS BIGINT) AS sa,
-        |        CAST(sum(CASE WHEN arm = 1 THEN vc ELSE 0 END) AS BIGINT) AS sb,
-        |        CAST(sum(CASE WHEN arm = 0 THEN vc * vc ELSE 0 END) AS BIGINT) AS qa,
-        |        CAST(sum(CASE WHEN arm = 1 THEN vc * vc ELSE 0 END) AS BIGINT) AS qb
+        |        -- HUGEINT moments (r12 extremes fuzz): DuckDB's BIGINT
+        |        -- multiply is CHECKED, so vc*vc must widen explicitly —
+        |        -- the engine accumulates DECIMAL(38,0); both exact; these
+        |        -- are intermediates, the outputs below are doubles
+        |        sum(CASE WHEN arm = 0 THEN vc::HUGEINT ELSE 0 END) AS sa,
+        |        sum(CASE WHEN arm = 1 THEN vc::HUGEINT ELSE 0 END) AS sb,
+        |        sum(CASE WHEN arm = 0 THEN vc::HUGEINT * vc ELSE 0 END) AS qa,
+        |        sum(CASE WHEN arm = 1 THEN vc::HUGEINT * vc ELSE 0 END) AS qb
         |      FROM e GROUP BY 1),
         |m AS (SELECT event_type, na, nb,
         |        sa::DOUBLE / NULLIF(na, 0) / 100.0 AS mean_a,

@@ -148,13 +148,23 @@ object Drift {
           "cast(user_id as string))), 1, 15), 16, 10) as bigint) % 2")
           .as("arm"),
         floor(col("value") * 100).cast("long").as("vc"))
+    // moments accumulate in DECIMAL(38,0) (r12 extremes fuzz): vc is
+    // centi-units, so vc*vc overflows a LONG at values past ~$96M —
+    // reachable on real money columns at scale, and an ANSI crash killed
+    // the whole report. Decimal sums stay EXACT to 1e38 (the oracle's
+    // DuckDB side promotes BIGINT products to HUGEINT natively), and the
+    // downstream double casts are unchanged, so cross-engine association
+    // order still matches bit for bit.
+    val dec = "decimal(38,0)"
     val a = e.groupBy(col("event_type")).agg(
       sum(when(col("arm") === 0, 1L).otherwise(0L)).as("na"),
       sum(when(col("arm") === 1, 1L).otherwise(0L)).as("nb"),
-      sum(when(col("arm") === 0, col("vc")).otherwise(0L)).as("sa"),
-      sum(when(col("arm") === 1, col("vc")).otherwise(0L)).as("sb"),
-      sum(when(col("arm") === 0, col("vc") * col("vc")).otherwise(0L)).as("qa"),
-      sum(when(col("arm") === 1, col("vc") * col("vc")).otherwise(0L)).as("qb"))
+      sum(when(col("arm") === 0, col("vc")).otherwise(0L).cast(dec)).as("sa"),
+      sum(when(col("arm") === 1, col("vc")).otherwise(0L).cast(dec)).as("sb"),
+      sum(when(col("arm") === 0, col("vc").cast(dec) * col("vc"))
+        .otherwise(lit(0)).cast(dec)).as("qa"),
+      sum(when(col("arm") === 1, col("vc").cast(dec) * col("vc"))
+        .otherwise(lit(0)).cast(dec)).as("qb"))
     // sample variance in centi^2 units: (q - s^2/n) / (n - 1); the whole
     // chain is written once and reused via columns so both engines see
     // the same association order. Degenerate arms (every user hashed to

@@ -25,6 +25,9 @@ import org.apache.spark.sql.functions._
   *  - `unicode`   documents.text stressed with combining marks, emoji,
   *                CJK, RTL overrides, zero-width chars, and ~7 KB
   *                max-length rows; n_chars kept consistent
+  *  - `extremes`  numeric stress on the fact columns: x1e6 magnitudes,
+  *                negated amounts, zero quantities, an out-of-range
+  *                discount
   *
   * Dev tool, not part of the engine surface.
   * Usage: runMain graft.tools.FuzzGate [srcDir] [outRoot] [variant...]
@@ -45,7 +48,8 @@ object FuzzGate {
     "embeddings" -> Seq("vec_id"))
 
   val Variants: Seq[String] =
-    Seq("empty", "single", "alldup", "nulls_a", "nulls_b", "unicode")
+    Seq("empty", "single", "alldup", "nulls_a", "nulls_b", "unicode",
+      "extremes")
 
   def transform(df: DataFrame, table: String, variant: String): DataFrame =
     variant match {
@@ -108,6 +112,46 @@ object FuzzGate {
           df.withColumn("text", stressed)
             .withColumn("n_chars", length(col("text")).cast("long"))
             .select(df.columns.map(col): _*)
+        }
+      case "extremes" =>
+        // numeric-extremes stress on the FACT columns: huge magnitudes
+        // (x1e6), negated amounts, zero quantities, and an out-of-range
+        // rate — the inputs that expose overflow, abs/sign and
+        // division-by-zero assumptions. Deterministic per-pk modulus.
+        def mod(c: String, m: Int) = pmod(col(c), lit(m))
+        table match {
+          case "orders" => df
+            .withColumn("o_totalprice",
+              when(mod("o_orderkey", 5) === 0, col("o_totalprice") * 1e6)
+                .when(mod("o_orderkey", 5) === 1, -col("o_totalprice"))
+                .otherwise(col("o_totalprice")))
+          case "lineitem" => df
+            .withColumn("l_quantity",
+              when(mod("l_orderkey", 7) === 0, lit(0.0))
+                .otherwise(col("l_quantity")))
+            .withColumn("l_extendedprice",
+              when(mod("l_orderkey", 11) === 0, -col("l_extendedprice"))
+                .otherwise(col("l_extendedprice")))
+            .withColumn("l_discount",
+              when(mod("l_orderkey", 13) === 0, lit(1.5))
+                .otherwise(col("l_discount")))
+          case "events" => df
+            .withColumn("value",
+              when(mod("event_id", 9) === 0, col("value") * 1e9)
+                .when(mod("event_id", 9) === 1, -col("value"))
+                .otherwise(col("value")))
+          case "customer" => df
+            .withColumn("c_acctbal",
+              when(mod("c_custkey", 3) === 0, -col("c_acctbal"))
+                .otherwise(col("c_acctbal")))
+          case "part" => df
+            .withColumn("p_size",
+              when(mod("p_partkey", 17) === 0, lit(0))
+                .otherwise(col("p_size")))
+            .withColumn("p_retailprice",
+              when(mod("p_partkey", 19) === 0, col("p_retailprice") * 1e7)
+                .otherwise(col("p_retailprice")))
+          case _ => df
         }
       case other => sys.error(s"unknown variant: $other")
     }
