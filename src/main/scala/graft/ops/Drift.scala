@@ -135,10 +135,11 @@ object Drift {
     * t-statistic and Welch–Satterthwaite degrees of freedom per type.
     *
     * Order-proof arithmetic: values quantize to integer centi-units
-    * (floor(value·100) — sums and sums-of-squares are exact BIGINTs, so
-    * partial-aggregation order cannot drift the moments; squares cap at
-    * ~2.4e9 per row, far from overflow at any realistic group size), and
-    * the t/df formulas are one identical double expression per engine.
+    * (floor(value·100)) and the moments accumulate EXACTLY in
+    * DECIMAL(38,0) (DuckDB side: HUGEINT) — partial-aggregation order
+    * cannot drift them, and a LONG square would overflow past ~$30M
+    * per-row values (r12 extremes fuzz caught exactly that crash). The
+    * t/df formulas are one identical double expression per engine.
     * One fused two-phase aggregate over the events scan; the arm pivot
     * happens inside the aggregate (conditional sums), no join at all. */
   def abTest(spark: SparkSession, dir: String): DataFrame = {
@@ -149,9 +150,10 @@ object Drift {
           .as("arm"),
         floor(col("value") * 100).cast("long").as("vc"))
     // moments accumulate in DECIMAL(38,0) (r12 extremes fuzz): vc is
-    // centi-units, so vc*vc overflows a LONG at values past ~$96M —
-    // reachable on real money columns at scale, and an ANSI crash killed
-    // the whole report. Decimal sums stay EXACT to 1e38 (the oracle's
+    // centi-units, so vc*vc overflows a LONG at values past ~$30.4M
+    // (sqrt(2^63) ≈ 3.04e9 centi-units) — reachable on real money columns,
+    // and an ANSI crash killed the whole report. Decimal sums stay EXACT
+    // to 1e38 (the oracle's
     // DuckDB side promotes BIGINT products to HUGEINT natively), and the
     // downstream double casts are unchanged, so cross-engine association
     // order still matches bit for bit.

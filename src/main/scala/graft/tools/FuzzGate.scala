@@ -25,7 +25,8 @@ import org.apache.spark.sql.functions._
   *  - `unicode`   documents.text stressed with combining marks, emoji,
   *                CJK, RTL overrides, zero-width chars, and ~7 KB
   *                max-length rows; n_chars kept consistent
-  *  - `extremes`  numeric stress on the fact columns: x1e6 magnitudes,
+  *  - `extremes`  numeric stress on the fact columns: x1e6..x1e9
+  *                magnitudes (orders x1e6, part x1e7, events x1e9),
   *                negated amounts, zero quantities, an out-of-range
   *                discount
   *
