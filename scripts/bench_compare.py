@@ -88,8 +88,14 @@ def main():
     # errored queries fail the gate outright — an error is never drift
     # (review r12: the floor branch used to be the only exit and a
     # regression-into-error had no floor to compare)
+    # the '+N more' filter survives only for pre-r13 stdout snapshots;
+    # current Bench signals truncation via the numeric errors_truncated
+    # field and keeps the array pure query names (ADVICE r12)
     new_errors = [e for e in (new.get("errors") or [])
                   if not str(e).startswith("+")]
+    if new.get("errors_truncated"):
+        print(f"(errors list truncated by {new['errors_truncated']} — "
+              "full list in the per_query file)")
     if new_errors:
         print(f"\nERRORED queries (always a gate failure): {new_errors}")
         sys.exit(1)

@@ -233,10 +233,12 @@ object Bench {
     // HEAD out of the captured tail and zero the whole bench parse —
     // exactly when the errors matter most. The full list lives in the
     // per_query file; stdout keeps the count and the first names.
-    val errorsStdout =
-      (errors.take(10).map(jstr) ++
-        (if (errors.size > 10) Seq(jstr(s"+${errors.size - 10} more")) else Nil))
-        .mkString("[", ",", "]")
+    // truncation is signalled by the SEPARATE numeric errors_truncated
+    // field, never by a sentinel element inside the array — any consumer
+    // of the stdout JSON may treat every element as a query name
+    // (ADVICE r12)
+    val errorsStdout = errors.take(10).map(jstr).mkString("[", ",", "]")
+    val errorsTruncated = math.max(0, errors.size - 10)
     val floorsJson = floors.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
@@ -257,7 +259,7 @@ object Bench {
       }
     val perQueryRef = if (wrote) jstr(outPath) else "null"
     val out =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${results.size},"headline":${f(headlineTotal)},"n_headline":${headlineHit.size},"errors":$errorsStdout,"movers_adjudicated":$movers,"floors":$floorsJson,"sf":${jstr(sfDir)},"per_query":$perQueryRef}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${results.size},"headline":${f(headlineTotal)},"n_headline":${headlineHit.size},"errors":$errorsStdout,"errors_truncated":$errorsTruncated,"movers_adjudicated":$movers,"floors":$floorsJson,"sf":${jstr(sfDir)},"per_query":$perQueryRef}"""
     // Stop Spark BEFORE printing so no shutdown logging can land after the
     // JSON line: it must be the last line of stdout for the driver's parser.
     spark.stop()

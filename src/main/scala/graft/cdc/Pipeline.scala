@@ -265,8 +265,13 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
     // watermark stay (the idempotent re-apply). Later batches of a run
     // cannot be replays (Spark runs each batchId once per query run), so
     // steady state pays no watermark read.
+    // Fence identity is sync.indexName — the SAME identity statePath uses —
+    // not sync.table: two syncs may share one source table with different
+    // target indexes, and a table-keyed fence would be consumed by the first
+    // sync's batch, leaving every other sync's first batch unfenced (ADVICE
+    // r12).
     val fenced =
-      if (replayFencePending.remove(sync.table)) {
+      if (replayFencePending.remove(sync.indexName)) {
         val sp = statePath(sync)
         OffsetWatermark.splitStale(view,
           OffsetWatermark.current(spark, sp), pk,
@@ -700,7 +705,7 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
                               progress: Option[ProgressStore]): StreamingQuery = {
     backfillIfNeeded()
     // arm the first-batch replay fence for every sync (see applySyncLocked)
-    config.syncs.foreach(s => replayFencePending.add(s.table))
+    config.syncs.foreach(s => replayFencePending.add(s.indexName))
     val changes =
       if (!monotonic) source.changes
       else {

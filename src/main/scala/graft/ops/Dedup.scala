@@ -276,7 +276,13 @@ object Dedup {
     // all-MaxValue signature that would make them all mutual candidates
     // (and a 0/0 Jaccard under ANSI) — exclude them up front; after the
     // cap the same exclusion covers all-stop-shingle docs
-    val docs = cappedShingled(spark, dir, dfCap)
+    // cappedShingled costs two posting-volume shuffles and feeds THREE
+    // consumers (the signature side + both sides of the verify join);
+    // materialize it once — exchange reuse is not guaranteed across the
+    // band-join boundary, so without this the stop-list aggregate and
+    // per-doc regroup can run multiple times per query (ADVICE r12)
+    val capped = cappedShingled(spark, dir, dfCap).localCheckpoint(true)
+    val docs = capped
       .withColumn("sig", expr(s"graft_minhash_sig(hs, $numHashes)"))
     // Band join on (doc_id, band_hash) ONLY — a pair matching several bands
     // must not ship its shingle arrays once per match; ids dedupe first and
@@ -300,7 +306,7 @@ object Dedup {
     // CAPPED sets: overlap counts only sub-cap shingles (the ngramJaccard
     // contract), while n_sh stays the full pre-cap size for the
     // denominator.
-    val sets = cappedShingled(spark, dir, dfCap)
+    val sets = capped
     candidates
       .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("sha"),
         col("n_sh").as("na")), Seq("doc_a"))

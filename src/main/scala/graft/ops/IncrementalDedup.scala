@@ -340,7 +340,9 @@ object IncrementalDedup {
     * stop-shingle (a shingle in more than dfCap docs — this tier stores
     * no postings index, so it cannot evaluate per-shingle df; the
     * one-shot tier's cap would change signatures/overlap where this one
-    * keeps them) AND no band bucket crosses `maxBucketWidth` mid-stream.
+    * keeps them) AND no band bucket crosses `maxBucketWidth` mid-stream —
+    * a crossing now fails LOUD per batch (see the parity-window require
+    * below) instead of surfacing as a silent oracle divergence.
     * On pure identical clusters the two caps agree exactly (bucket width
     * == shingle df); for mixed stop-shingle corpora the periodic
     * one-shot compaction re-derives the capped answer (spec-asserted on
@@ -406,10 +408,32 @@ object IncrementalDedup {
     // are not retracted (append-only emission; a periodic one-shot
     // [[Dedup.minhashLsh]] compaction re-derives the capped answer).
     val touchedBuckets = newBands.select(col("band_id"), col("band_h")).distinct()
-    val narrow = allBands
+    // Width per touched bucket, split old/new so the PARITY WINDOW is
+    // checkable (ADVICE r12): a bucket whose pre-batch width was in
+    // (0, maxBucketWidth] but whose total now EXCEEDS the cap crossed it
+    // mid-stream — pairs emitted through it in earlier batches are never
+    // retracted (append-only emission), so the stream's union silently
+    // stops equalling the one-shot capped answer. That precondition break
+    // must fail LOUD here, not surface as a confusing oracle mismatch.
+    // (A cluster arriving in ONE batch has old width 0 — under the cap it
+    // emits like the one-shot, over it both caps suppress — no window.)
+    val widths = oldBands.withColumn("__old", lit(1L))
+      .unionByName(newBands.select(col("doc_id"), col("band_id"), col("band_h"))
+        .withColumn("__old", lit(0L)))
       .join(touchedBuckets, Seq("band_id", "band_h"), "left_semi")
       .groupBy(col("band_id"), col("band_h"))
-      .agg(count(lit(1)).as("__w"))
+      .agg(count(lit(1)).as("__w"), sum(col("__old")).as("__wOld"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val crossed = widths.filter(col("__w") > maxBucketWidth &&
+      col("__wOld") > 0 && col("__wOld") <= maxBucketWidth).count()
+    require(crossed == 0L,
+      s"updateLsh: $crossed touched band bucket(s) crossed " +
+        s"maxBucketWidth=$maxBucketWidth mid-stream — pairs already emitted " +
+        "through them in earlier batches are not retracted, so the " +
+        "incremental union no longer equals the one-shot capped " +
+        "Dedup.minhashLsh answer; run a one-shot compaction to re-derive " +
+        "the capped pairs (or raise maxBucketWidth)")
+    val narrow = widths
       .filter(col("__w") <= maxBucketWidth)
       .select(col("band_id"), col("band_h"))
 
@@ -467,7 +491,7 @@ object IncrementalDedup {
           .repartition(col("bucket")),
         setsPath, batchId, partitionCols = Seq("bucket"))
     else writeState(newSets, setsPath, batchId)
-    newBands.unpersist(); newSets.unpersist()
+    newBands.unpersist(); newSets.unpersist(); widths.unpersist()
     if (eb > 0) { candidates.unpersist(); () }
     verified
   }

@@ -100,6 +100,36 @@ class IncrementalDedupSpec extends SparkSpec {
       "bucketed layout missing bucket= partition dirs")
   }
 
+  test("ADVICE r12: a band bucket crossing maxBucketWidth MID-STREAM fails " +
+    "loud (pairs already emitted are not retractable); a cluster arriving " +
+    "over-cap in ONE batch is capped silently like the one-shot") {
+    def cluster(ids: Range): org.apache.spark.sql.DataFrame =
+      ids.map(i => (i.toLong, "alpha beta gamma delta epsilon zeta"))
+        .toDF("doc_id", "text")
+    // single-batch over-cap cluster: old width 0 -> no parity window; the
+    // cap suppresses the quadratic emission (one-shot dfCap agrees: all
+    // shingles have df 6 > 4 -> capped overlap 0 -> no pairs)
+    val state1 = tmpDir("lshcap_onebatch")
+    val out1 = IncrementalDedup.updateLsh(spark, state1, cluster(1 to 6),
+      maxBucketWidth = 4)
+    assert(out1.count() === 0L, "over-cap single-batch cluster must emit 0")
+    // mid-stream crossing: batch 1 is UNDER the cap (width 3, pairs emitted
+    // like the one-shot), batch 2 pushes the same buckets to width 6 > 4 —
+    // those batch-1 pairs can never be retracted, so the union-equals-
+    // one-shot contract is broken and the call must say so loudly
+    val state2 = tmpDir("lshcap_crossing")
+    val under = IncrementalDedup.updateLsh(spark, state2, cluster(1 to 3),
+      maxBucketWidth = 4)
+    assert(under.count() === 3L, "under-cap batch emits its C(3,2) pairs")
+    val e = intercept[IllegalArgumentException] {
+      IncrementalDedup.updateLsh(spark, state2, cluster(4 to 6),
+        maxBucketWidth = 4).count()
+    }
+    assert(e.getMessage.contains("crossed") &&
+      e.getMessage.contains("maxBucketWidth"),
+      s"parity-window failure must name the contract, got: ${e.getMessage}")
+  }
+
   test("bucketed sets store pins its modulus against mismatched callers") {
     val state = tmpDir("inclsh_modulus")
     val docs = ops.Tables(spark, sf, "documents")
