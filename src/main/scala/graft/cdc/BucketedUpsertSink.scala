@@ -88,9 +88,13 @@ object BucketedUpsertSink {
     * fully-emptied or not-yet-created state readable. A FLAT store under a
     * bucketed config (state.buckets flipped on — review r11) reads as the
     * full flat state, never as absent: the pre-fix empty-read silently
-    * dropped every pre-flip row from the next merge. */
+    * dropped every pre-flip row from the next merge. A manifest-layout
+    * store ([[ManifestStore]]) resolves its current version — the layout is
+    * a property of the store, honored regardless of caller config. */
   def currentState(spark: SparkSession, statePath: String,
                    schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    if (ManifestStore.isManifestStore(spark, statePath))
+      return ManifestStore.readState(spark, statePath, schema).drop(BucketCol)
     val names = listNames(spark, statePath)
     if (bucketed(names)) spark.read.parquet(statePath).drop(BucketCol)
     else if (flatFiles(names)) spark.read.parquet(statePath)
@@ -110,7 +114,26 @@ object BucketedUpsertSink {
     * not-yet-created state (bootstrap without a separate [[init]]). */
   def applyBatch(spark: SparkSession, statePath: String, changes: DataFrame,
                  pk: String, numBuckets: Int,
-                 schema: Option[org.apache.spark.sql.types.StructType]): Unit = {
+                 schema: Option[org.apache.spark.sql.types.StructType]): Unit =
+    applyBatch(spark, statePath, changes, pk, numBuckets, schema,
+      manifest = false, statCols = Seq.empty)
+
+  /** As [[applyBatch]]; `manifest = true` selects the manifest-versioned
+    * immutable-file layout ([[ManifestStore]]) for new stores, and a store
+    * that already IS manifest-layout uses it regardless (layout is a
+    * property of the store, like the bucket modulus). `statCols` are the
+    * zone-map stat columns the manifest carries per bucket — published
+    * atomically with the data, so manifest mode needs none of the
+    * [[StateCommit]] marker protocol. */
+  def applyBatch(spark: SparkSession, statePath: String, changes: DataFrame,
+                 pk: String, numBuckets: Int,
+                 schema: Option[org.apache.spark.sql.types.StructType],
+                 manifest: Boolean, statCols: Seq[String]): Unit = {
+    if (manifest || ManifestStore.isManifestStore(spark, statePath)) {
+      applyBatchManifest(spark, statePath, changes, pk, numBuckets, schema,
+        statCols)
+      return
+    }
     val withBucket = changes.withColumn(BucketCol, bucketOf(col(pk), numBuckets))
     val names = listNames(spark, statePath)
     // Bucket-modulus fence (review r11): a store laid out with a different
@@ -208,5 +231,109 @@ object BucketedUpsertSink {
     touched.filterNot(written).foreach { b =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$statePath/$BucketCol=$b"), true); ()
     }
+  }
+
+  /** The manifest-layout batch apply: identical MERGE semantics to the
+    * bucket-dir path above, different physics — touched buckets' new
+    * content lands in a fresh immutable commit dir and ONE atomic manifest
+    * rename publishes data + zone-map stats together. No file a concurrent
+    * reader pinned is ever deleted inside the vacuum retention window, so
+    * the bucket-dir layout's one retryable read class (FAILED_READ_FILE on
+    * an overwritten pinned part file — r12 TwoJvmConcurrencySpec) cannot
+    * occur. */
+  private def applyBatchManifest(spark: SparkSession, statePath: String,
+                                 changes: DataFrame, pk: String,
+                                 numBuckets: Int,
+                                 schema: Option[org.apache.spark.sql.types.StructType],
+                                 statCols: Seq[String]): Unit = {
+    val m = ManifestStore.currentManifest(spark, statePath)
+    // same modulus fence as the bucket-dir layout: the store's layout wins
+    m.foreach { mm =>
+      if (mm.nbuckets != numBuckets)
+        throw new IllegalStateException(
+          s"manifest state at $statePath was laid out with ${mm.nbuckets} " +
+            s"buckets; the configuration now says $numBuckets — run " +
+            "`refresh` to re-bucket (the rebuild carries the configured layout)")
+    }
+    // stat columns are a property of the STORE like the modulus: a caller
+    // that passes none (the layout-honoring legacy signature) adopts the
+    // store's; a caller that passes DIFFERENT ones has changed config and
+    // must refresh (the rebuild re-lays the stats out)
+    val effStatCols = m match {
+      case Some(mm) =>
+        if (statCols.nonEmpty && statCols != mm.statCols)
+          throw new IllegalStateException(
+            s"manifest state at $statePath carries stats ${mm.statCols}; " +
+              s"the configuration now says $statCols — run `refresh` to " +
+              "re-lay the store out with the configured stat columns")
+        mm.statCols
+      case None => statCols
+    }
+    val payloadSchema = schema.getOrElse(
+      org.apache.spark.sql.types.StructType(changes.schema.fields
+        .filterNot(f => f.name == "op" || f.name == UpsertSink.PresentCol)))
+    def fullRewrite(priorState: DataFrame): Unit = {
+      val mergedFull = UpsertSink.applyBatch(priorState, changes, pk)
+      val staged = ManifestStore.stageFull(spark, statePath, mergedFull, pk,
+        numBuckets, effStatCols)
+      ManifestStore.publishFull(spark, statePath, staged)
+    }
+    // one-time migration from a legacy layout (bucket-dir or flat store,
+    // no manifest yet): full merge + full publish, then drop the legacy
+    // files — superseded and invisible to manifest readers, they would
+    // only leak disk (the migration is the documented cutover point; a
+    // reader pinned to the legacy layout across it retries, once)
+    if (m.isEmpty) {
+      val names = listNames(spark, statePath)
+      if (bucketed(names) || flatFiles(names)) {
+        val legacy =
+          if (bucketed(names)) spark.read.parquet(statePath).drop(BucketCol)
+          else spark.read.parquet(statePath)
+        fullRewrite(legacy)
+        val p = new org.apache.hadoop.fs.Path(statePath)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        names.filter(n => n.startsWith(BucketCol + "=") ||
+            n.endsWith(".parquet") || n.startsWith("_nbuckets-") ||
+            n == "_SUCCESS")
+          .foreach { n =>
+            try { fs.delete(new org.apache.hadoop.fs.Path(statePath, n), true); () }
+            catch { case _: java.io.IOException => () }
+          }
+        return
+      }
+    }
+    // schema-evolution guard — same contract as the bucket-dir path: a new
+    // column or a changed type pays a one-time full merge + full publish so
+    // no two live bucket dirs ever disagree on physical types
+    m.foreach { _ =>
+      val full = ManifestStore.readState(spark, statePath, payloadSchema)
+      val storedTypes = full.schema.filterNot(_.name == BucketCol)
+        .map(f => f.name -> f.dataType).toMap
+      val evolved = changes.schema
+        .filterNot(f => f.name == "op" || f.name == UpsertSink.PresentCol)
+        .exists(f => !storedTypes.get(f.name).contains(f.dataType))
+      if (evolved) {
+        fullRewrite(full.drop(BucketCol))
+        return
+      }
+    }
+    val withBucket = changes.withColumn(BucketCol, bucketOf(col(pk), numBuckets))
+    val touched = withBucket.select(BucketCol).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    if (touched.isEmpty) return
+    val state = m match {
+      case Some(_) =>
+        ManifestStore.readState(spark, statePath, payloadSchema, Some(touched))
+          .drop(BucketCol)
+      case None =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], payloadSchema)
+    }
+    val merged = UpsertSink.applyBatch(state, withBucket.drop(BucketCol), pk)
+      .withColumn(BucketCol, bucketOf(col(pk), numBuckets))
+      .persist()
+    try ManifestStore.commitBatch(spark, statePath, merged, touched,
+      numBuckets, effStatCols)
+    finally { merged.unpersist(); () }
   }
 }

@@ -1,0 +1,390 @@
+package graft.cdc
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Manifest-versioned IMMUTABLE-FILE layout for the bucketed upsert sink —
+  * the at-scale close of the one retryable read class the r12 two-JVM
+  * concurrency spec surfaced (r12 verdict #1): under the bucket-dir layout
+  * a live writer's dynamic-partition overwrite DELETES the replaced part
+  * files, so a concurrent reader that pinned them at scan planning dies
+  * with a loud retryable FAILED_READ_FILE. Loud-never-wrong, but at 100 TB
+  * with many readers that is constant operational pain.
+  *
+  * This layout is the lakehouse shape (the commit protocol Delta/Iceberg
+  * give you, reduced to what the sink needs — no library, zero new deps):
+  *
+  *  - data files are written ONCE under per-commit directories and never
+  *    renamed, rewritten, or deleted at commit time:
+  *    `statePath/data/c-<millis>-<uuid>/bucket-<id>/part-*.parquet`
+  *  - a tiny versioned TEXT manifest lists the live bucket directories:
+  *    `statePath/manifest-v<000000000042>.txt`. Publish = write to a
+  *    hidden tmp name + one atomic rename. Versions are never reused; a
+  *    reader resolves the HIGHEST version once per scan and then touches
+  *    only files that manifest references — files a later commit can
+  *    supersede but never remove from under the pinned scan (vacuum
+  *    deletes only what the last `keepVersions` manifests no longer
+  *    reference AND is older than `minAgeMs`).
+  *  - the manifest ALSO carries the per-bucket zone-map stats (row count,
+  *    min/max per stat column). Under the bucket-dir layout the sink write
+  *    and the zone-map refresh are two non-atomic steps guarded by the
+  *    whole write-ahead-marker / claim / quiesced-clear protocol
+  *    ([[StateCommit]]); here data and stats publish in ONE atomic rename,
+  *    so that crash window — and the marker dance — does not exist.
+  *
+  * Crash windows, all self-healing with no recoverSwap analog:
+  * a crash before the manifest rename leaves an orphan commit dir (never
+  * referenced, reaped by [[vacuum]] once old enough); the rename itself is
+  * atomic; a crash after publish before vacuum leaves garbage the next
+  * vacuum collects. Concurrent publishes of the same version (two writers —
+  * outside the single-driver contract [[DriverLease]] enforces) fail LOUD
+  * on the rename instead of last-write-wins.
+  *
+  * 100 TB posture: the manifest is O(buckets) text resolved once per scan
+  * (the Delta `_last_checkpoint` shape); per-commit work is one bounded
+  * stats aggregate plus O(touched buckets) renames; vacuum listing is
+  * bounded by the retention window and runs driver-side — at production
+  * scale it is the periodic OPTIMIZE/VACUUM job, and running it per commit
+  * here only because the retained set stays small.
+  */
+object ManifestStore {
+
+  import BucketedUpsertSink.BucketCol
+
+  /** Retention: a reader that resolved a manifest keeps every file it
+    * references until the manifest ages out of the last `KeepVersions`
+    * publishes AND `MinAgeMs` passes — the reader-scan-duration contract
+    * every lakehouse vacuum has. */
+  val KeepVersions = 8
+  val MinAgeMs: Long = 10L * 60L * 1000L
+
+  val DataDir = "data"
+  private val FormatLine = "graft-manifest\t1"
+  private val ManifestRe = """manifest-v(\d{12})\.txt""".r
+
+  /** One bucket's live directory + its zone-map stats. Stats are stored as
+    * LONG bounds (integral stat columns — the pruned-read API contract);
+    * None = the bucket's column is all-null (conservatively non-matching,
+    * exactly like the parquet zone map: null rows fail any range predicate). */
+  final case class BucketEntry(relDir: String, nRows: Long,
+                               stats: Map[String, (Option[Long], Option[Long])])
+
+  final case class Manifest(version: Long, nbuckets: Int,
+                            statCols: Seq[String],
+                            buckets: Map[Long, BucketEntry]) {
+    def rowCount: Long = buckets.valuesIterator.map(_.nRows).sum
+  }
+
+  /** A staged-but-unpublished full snapshot (refresh/backfill): the data
+    * commit dir is written OUTSIDE the state lock (unpublished = invisible),
+    * publish is the cheap locked step. `commitDirAbs` doubles as the abort
+    * path (dropping an unpublished commit dir is always safe). */
+  final case class StagedCommit(commitDirAbs: String,
+                                buckets: Map[Long, BucketEntry],
+                                nbuckets: Int, statCols: Seq[String]) {
+    def count: Long = buckets.valuesIterator.map(_.nRows).sum
+  }
+
+  private def hfs(spark: SparkSession, p: String) = {
+    val path = new org.apache.hadoop.fs.Path(p)
+    (path.getFileSystem(spark.sparkContext.hadoopConfiguration), path)
+  }
+
+  private def manifestName(v: Long): String = f"manifest-v$v%012d.txt"
+
+  /** True iff `statePath` is a manifest-layout store (any published
+    * manifest version exists). The layout is a property of the STORE, like
+    * the bucket modulus: once a store is manifest-versioned, every writer
+    * uses this protocol regardless of its own configuration. */
+  def isManifestStore(spark: SparkSession, statePath: String): Boolean =
+    latestVersion(spark, statePath).isDefined
+
+  def liveExists(spark: SparkSession, statePath: String): Boolean =
+    isManifestStore(spark, statePath)
+
+  private def latestVersion(spark: SparkSession, statePath: String): Option[Long] = {
+    val (fs, p) = hfs(spark, statePath)
+    if (!fs.exists(p)) None
+    else {
+      val vs = fs.listStatus(p).iterator.map(_.getPath.getName).collect {
+        case ManifestRe(v) => v.toLong
+      }.toSeq
+      if (vs.isEmpty) None else Some(vs.max)
+    }
+  }
+
+  def currentManifest(spark: SparkSession, statePath: String): Option[Manifest] =
+    latestVersion(spark, statePath).map(v => readManifest(spark, statePath, v))
+
+  private[cdc] def readManifest(spark: SparkSession, statePath: String,
+                                version: Long): Manifest = {
+    val (fs, _) = hfs(spark, statePath)
+    val mp = new org.apache.hadoop.fs.Path(statePath, manifestName(version))
+    val in = fs.open(mp)
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    parseManifest(text, mp.toString)
+  }
+
+  private[cdc] def parseManifest(text: String, where: String): Manifest = {
+    val lines = text.split("\n", -1).iterator.filter(_.nonEmpty).toVector
+    require(lines.headOption.contains(FormatLine),
+      s"$where: not a graft manifest (bad format line)")
+    val kv = lines.drop(1).map(_.split("\t", -1))
+    def field(k: String): String = kv.find(_.head == k).map(_(1)).getOrElse(
+      throw new IllegalStateException(s"$where: missing manifest field '$k'"))
+    val statCols = field("statcols").split(",", -1).filter(_.nonEmpty).toSeq
+    def bound(s: String): Option[Long] = if (s == "-") None else Some(s.toLong)
+    val buckets = kv.filter(_.head == "bucket").map { f =>
+      // bucket <id> <relDir> <nrows> then (min max) per stat col
+      require(f.length == 4 + 2 * statCols.size,
+        s"$where: bucket line arity ${f.length} != ${4 + 2 * statCols.size}")
+      val stats = statCols.zipWithIndex.map { case (c, i) =>
+        c -> ((bound(f(4 + 2 * i)), bound(f(5 + 2 * i))))
+      }.toMap
+      f(1).toLong -> BucketEntry(f(2), f(3).toLong, stats)
+    }.toMap
+    Manifest(field("version").toLong, field("nbuckets").toInt, statCols, buckets)
+  }
+
+  private def renderManifest(m: Manifest): String = {
+    def bound(b: Option[Long]): String = b.fold("-")(_.toString)
+    val header = Seq(FormatLine,
+      s"version\t${m.version}", s"nbuckets\t${m.nbuckets}",
+      s"statcols\t${m.statCols.mkString(",")}")
+    val rows = m.buckets.toSeq.sortBy(_._1).map { case (b, e) =>
+      (Seq("bucket", b.toString, e.relDir, e.nRows.toString) ++
+        m.statCols.flatMap(c => Seq(bound(e.stats(c)._1), bound(e.stats(c)._2))))
+        .mkString("\t")
+    }
+    (header ++ rows).mkString("", "\n", "\n")
+  }
+
+  /** Publish a manifest version: hidden tmp + ONE atomic rename. A failed
+    * rename (destination exists — a concurrent publish of the same version,
+    * outside the single-writer contract) fails loud rather than
+    * last-write-wins. */
+  private def writeManifest(spark: SparkSession, statePath: String,
+                            m: Manifest): Unit = {
+    val (fs, root) = hfs(spark, statePath)
+    fs.mkdirs(root)
+    val tmp = new org.apache.hadoop.fs.Path(statePath,
+      s".manifest-tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, false)
+    try out.write(renderManifest(m).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val dst = new org.apache.hadoop.fs.Path(statePath, manifestName(m.version))
+    if (!fs.rename(tmp, dst)) {
+      try { fs.delete(tmp, false); () } catch { case _: java.io.IOException => () }
+      throw new IllegalStateException(
+        s"manifest publish lost a rename race for $dst — two writers on one " +
+          "state path violates the single-driver contract (DriverLease)")
+    }
+  }
+
+  /** Read the state a manifest describes, optionally only a bucket subset.
+    * Data files carry the bucket id as a NORMAL long column ([[BucketCol]]),
+    * so no partition-directory inference is ever involved; an empty
+    * selection (or no manifest yet) returns an empty frame with
+    * payload-schema + bucket column. Every file this touches is immutable —
+    * a concurrent commit can supersede them in a NEWER manifest but never
+    * delete them inside the retention window, so the read cannot hit a
+    * vanished file. */
+  def readState(spark: SparkSession, statePath: String, schema: StructType,
+                onlyBuckets: Option[Seq[Long]] = None): DataFrame = {
+    val dirs = currentManifest(spark, statePath).toSeq.flatMap { m =>
+      val sel = onlyBuckets.map(_.toSet)
+      m.buckets.toSeq.sortBy(_._1)
+        .filter { case (b, _) => sel.forall(_.contains(b)) }
+        .map { case (_, e) => s"$statePath/${e.relDir}" }
+    }
+    if (dirs.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(schema.fields.filterNot(_.name == BucketCol) :+
+          StructField(BucketCol, LongType)))
+    else spark.read.parquet(dirs: _*)
+  }
+
+  /** Write one commit's data dir from a bucket-columned frame and return
+    * the per-bucket entries (dir + stats, one bounded aggregate). An empty
+    * frame writes nothing and returns no entries. The input should be
+    * persisted by the caller (it is consumed twice: stats + files). */
+  private def writeCommit(spark: SparkSession, statePath: String,
+                          withBucket: DataFrame,
+                          statCols: Seq[String]): Map[Long, BucketEntry] = {
+    val statAggs = count(lit(1)).as("__n") +: statCols.flatMap(c => Seq(
+      min(col(c).cast("long")).as(s"__min_$c"),
+      max(col(c).cast("long")).as(s"__max_$c")))
+    val stats = withBucket.groupBy(col(BucketCol))
+      .agg(statAggs.head, statAggs.tail: _*)
+      .collect()
+      .map { r =>
+        val b = r.getLong(r.fieldIndex(BucketCol))
+        val st = statCols.map { c =>
+          def opt(i: Int) = if (r.isNullAt(i)) None else Some(r.getLong(i))
+          c -> ((opt(r.fieldIndex(s"__min_$c")), opt(r.fieldIndex(s"__max_$c"))))
+        }.toMap
+        b -> ((r.getLong(r.fieldIndex("__n")), st))
+      }.toMap
+    if (stats.isEmpty) return Map.empty
+    val rel = s"$DataDir/c-${System.currentTimeMillis()}-" +
+      java.util.UUID.randomUUID().toString.take(8)
+    val abs = s"$statePath/$rel"
+    // partitionBy gives one dir per bucket but strips the column and names
+    // dirs `_bpart=<id>` — hidden to any Spark listing. Duplicate the
+    // bucket id into a partition-only column, write, then rename each dir
+    // to the plain `bucket-<id>` the manifest references (O(touched
+    // buckets) driver renames; the files inside keep the real BucketCol).
+    withBucket.withColumn("_bpart", col(BucketCol))
+      .repartition(col("_bpart"))
+      .write.mode("overwrite").partitionBy("_bpart").parquet(abs)
+    val (fs, absP) = hfs(spark, abs)
+    val entries = stats.map { case (b, (n, st)) =>
+      val src = new org.apache.hadoop.fs.Path(abs, s"_bpart=$b")
+      val dst = new org.apache.hadoop.fs.Path(abs, f"bucket-$b%05d")
+      if (!fs.rename(src, dst))
+        throw new IllegalStateException(s"commit rename failed: $src -> $dst")
+      b -> BucketEntry(f"$rel%s/bucket-$b%05d", n, st)
+    }
+    // drop the _SUCCESS marker so only bucket dirs remain (cosmetic)
+    try { fs.delete(new org.apache.hadoop.fs.Path(absP, "_SUCCESS"), false); () }
+    catch { case _: java.io.IOException => () }
+    entries
+  }
+
+  /** Apply one micro-batch commit: `merged` is the NEW full content of the
+    * `touched` buckets (bucket-columned, caller-persisted); untouched
+    * buckets carry their prior manifest entries forward unchanged — their
+    * files are not read, moved, or rewritten. A touched bucket absent from
+    * `merged` (its last row deleted) leaves the manifest. */
+  def commitBatch(spark: SparkSession, statePath: String, merged: DataFrame,
+                  touched: Seq[Long], nbuckets: Int,
+                  statCols: Seq[String]): Unit = {
+    val prev = currentManifest(spark, statePath)
+    prev.foreach(m => require(m.nbuckets == nbuckets && m.statCols == statCols,
+      s"manifest store at $statePath has (nbuckets=${m.nbuckets}, " +
+        s"statCols=${m.statCols}); the writer was configured " +
+        s"($nbuckets, $statCols) — run `refresh` to re-lay the store out"))
+    val written = writeCommit(spark, statePath, merged, statCols)
+    val next = Manifest(
+      version = prev.fold(1L)(_.version + 1L),
+      nbuckets = nbuckets, statCols = statCols,
+      buckets = prev.fold(Map.empty[Long, BucketEntry])(_.buckets)
+        .removedAll(touched) ++ written)
+    writeManifest(spark, statePath, next)
+    vacuum(spark, statePath)
+  }
+
+  /** Stage a FULL snapshot (refresh/backfill) as an unpublished commit dir:
+    * runs outside any lock — unpublished data is invisible to every reader.
+    * [[publishFull]] is the cheap locked half. */
+  def stageFull(spark: SparkSession, statePath: String, fresh: DataFrame,
+                pk: String, nbuckets: Int,
+                statCols: Seq[String]): StagedCommit = {
+    val withBucket = fresh
+      .withColumn(BucketCol, BucketedUpsertSink.bucketOf(col(pk), nbuckets))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    try {
+      val entries = writeCommit(spark, statePath, withBucket, statCols)
+      // an EMPTY snapshot stages no files; its abort path must be a unique
+      // no-op target, never the shared data root (aborting it would delete
+      // every commit)
+      val rel = entries.values.headOption
+        .map(e => e.relDir.substring(0, e.relDir.lastIndexOf('/')))
+        .getOrElse(s"$DataDir/empty-${java.util.UUID.randomUUID().toString.take(8)}")
+      StagedCommit(s"$statePath/$rel", entries, nbuckets, statCols)
+    } finally { withBucket.unpersist(); () }
+  }
+
+  /** Publish a staged full snapshot: the next manifest references EXACTLY
+    * the staged buckets (a refresh replaces the whole logical table — but
+    * the superseded files stay readable to concurrent pinned scans until
+    * vacuum retention expires, which is the entire point). */
+  def publishFull(spark: SparkSession, statePath: String,
+                  staged: StagedCommit): Unit = {
+    val prev = currentManifest(spark, statePath)
+    writeManifest(spark, statePath, Manifest(
+      version = prev.fold(1L)(_.version + 1L),
+      nbuckets = staged.nbuckets, statCols = staged.statCols,
+      buckets = staged.buckets))
+    vacuum(spark, statePath)
+  }
+
+  /** Delete data no retained manifest references. Dual condition: a bucket
+    * dir dies only when (a) none of the last `keepVersions` manifests
+    * reference it AND (b) its commit dir is older than `minAgeMs` — (b)
+    * both protects a concurrent reader's pinned resolve of a
+    * just-superseded manifest and keeps an in-flight UNPUBLISHED staging
+    * commit (refresh writing outside the lock) safe. Manifest files age
+    * out under the same dual rule. */
+  def vacuum(spark: SparkSession, statePath: String,
+             keepVersions: Int = KeepVersions,
+             minAgeMs: Long = MinAgeMs): Unit = {
+    val (fs, root) = hfs(spark, statePath)
+    if (!fs.exists(root)) return
+    val versions = fs.listStatus(root).iterator.map(_.getPath.getName).collect {
+      case ManifestRe(v) => v.toLong
+    }.toSeq.sorted
+    if (versions.isEmpty) return
+    val cutoff = System.currentTimeMillis() - minAgeMs
+    val kept = versions.takeRight(keepVersions)
+    val referenced = kept.flatMap(v =>
+      readManifest(spark, statePath, v).buckets.values.map(_.relDir)).toSet
+    versions.dropRight(keepVersions).foreach { v =>
+      val p = new org.apache.hadoop.fs.Path(statePath, manifestName(v))
+      if (fs.getFileStatus(p).getModificationTime < cutoff) {
+        try { fs.delete(p, false); () } catch { case _: java.io.IOException => () }
+      }
+    }
+    val dataRoot = new org.apache.hadoop.fs.Path(statePath, DataDir)
+    if (!fs.exists(dataRoot)) return
+    fs.listStatus(dataRoot).foreach { commit =>
+      if (commit.getModificationTime < cutoff) {
+        val cname = commit.getPath.getName
+        fs.listStatus(commit.getPath).foreach { bucketDir =>
+          val rel = s"$DataDir/$cname/${bucketDir.getPath.getName}"
+          if (!referenced.contains(rel)) {
+            try { fs.delete(bucketDir.getPath, true); () }
+            catch { case _: java.io.IOException => () }
+          }
+        }
+        if (fs.listStatus(commit.getPath).isEmpty) {
+          try { fs.delete(commit.getPath, true); () }
+          catch { case _: java.io.IOException => () }
+        }
+      }
+    }
+  }
+
+  /** Manifest-resolved pruned read — [[graft.ops.Maintenance.prunedRead]]'s
+    * shape with the stats coming from the SAME atomic publish as the data:
+    * no marker to probe, no fallback mode, no mutable file anywhere in the
+    * plan. Returns exactly what the unpruned exact filter would. A stat
+    * column the manifest does not carry falls back to the exact filter
+    * over the full (still immutable) current state. */
+  def prunedRead(spark: SparkSession, statePath: String, schema: StructType,
+                 statCol: String, lo: Long, hi: Long): DataFrame = {
+    val exact = col(statCol) >= lo && col(statCol) <= hi
+    // empty selections return an empty FRAME — the exact filter must still
+    // resolve statCol on it even when the caller passed no schema
+    val empSchema =
+      if (schema.fieldNames.contains(statCol)) schema
+      else StructType(schema.fields :+ StructField(statCol, LongType))
+    currentManifest(spark, statePath) match {
+      case None =>
+        readState(spark, statePath, empSchema).filter(exact).drop(BucketCol)
+      case Some(m) if !m.statCols.contains(statCol) =>
+        readState(spark, statePath, empSchema).filter(exact).drop(BucketCol)
+      case Some(m) =>
+        // all-null stat column (None bounds) cannot match a range
+        val candidates = m.buckets.toSeq.collect {
+          case (b, e) if e.stats(statCol)._1.exists(_ <= hi) &&
+            e.stats(statCol)._2.exists(_ >= lo) => b
+        }
+        readState(spark, statePath, empSchema, Some(candidates))
+          .filter(exact).drop(BucketCol)
+    }
+  }
+}

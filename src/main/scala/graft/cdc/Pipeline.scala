@@ -303,10 +303,27 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
 
   /** Commit one compacted change set to the sync's sink — the shared write
     * tail of the live micro-batch path and the dead-letter replay. */
+  /** True iff `sync`'s sink uses the manifest-versioned immutable layout —
+    * configured on, or the store already IS one (layout is a property of
+    * the store; a restarted driver with a stale config must keep the
+    * store's protocol, exactly like the bucket modulus). */
+  private def manifestModeFor(sync: SyncConfig): Boolean =
+    config.stateBuckets.isDefined &&
+      (config.manifestSink || ManifestStore.isManifestStore(spark, statePath(sync)))
+
   private def writeCompacted(sync: SyncConfig, compacted: DataFrame,
                              batchId: Long, lineage: String): Unit = {
     val pk = pkOut(sync)
     config.stateBuckets match {
+      case Some(n) if manifestModeFor(sync) =>
+        // manifest layout: data and per-bucket zone-map stats publish in
+        // ONE atomic manifest rename, so the whole write-ahead-marker /
+        // claim / quiesced-clear protocol of the branch below has no crash
+        // window to guard — a batch is either fully visible (data + stats)
+        // or not at all
+        BucketedUpsertSink.applyBatch(spark, statePath(sync), compacted, pk,
+          n, schema = Some(sinkSchema(sync)), manifest = true,
+          statCols = zoneMapColsFor(sync))
       case Some(n) =>
         // write-ahead staleness marker: the sink write and the zone-map
         // refresh are two non-atomic steps; marking BEFORE the write means
@@ -523,13 +540,42 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
   private def zoneMapActiveFor(sync: SyncConfig): Boolean =
     config.stateBuckets.isDefined && zoneMapColsFor(sync).nonEmpty
 
+  /** A staged-but-uncommitted full snapshot: the swap layout stages a
+    * sibling dir the commit atomically renames live; the manifest layout
+    * stages an UNPUBLISHED commit dir the commit publishes with one
+    * manifest rename. `abortPath` is what a losing/failing commit drops. */
+  private sealed trait StagedSnapshot { def abortPath: String }
+  private final case class StagedSwapDir(dir: String) extends StagedSnapshot {
+    def abortPath: String = dir
+  }
+  private final case class StagedManifest(sc: ManifestStore.StagedCommit)
+      extends StagedSnapshot {
+    def abortPath: String = sc.commitDirAbs
+  }
+
+  /** The EXPENSIVE half of refresh/backfill, outside any lock: materialize
+    * the full scan into the layout-appropriate staging form. */
+  private def stageSnapshot(sync: SyncConfig): (StagedSnapshot, Long) =
+    if (manifestModeFor(sync)) {
+      val sc = ManifestStore.stageFull(spark, statePath(sync),
+        source.fullScan(sync), pkOut(sync), config.stateBuckets.get,
+        zoneMapColsFor(sync))
+      (StagedManifest(sc), sc.count)
+    } else {
+      val (st, n) = SwapRefresh.stage(source.fullScan(sync), statePath(sync),
+        config.stateBuckets.map(nb => (pkOut(sync), nb)))
+      (StagedSwapDir(st), n)
+    }
+
   /** The shared locked COMMIT of every snapshot-rebuild path (refresh,
     * refreshAsync, backfill): force-own the zone-map marker (stealing an
     * orphan so a crashed batch's replay cannot re-own and clear it
     * mid-rebuild — r9 review), swap the staged snapshot live, record the
     * floor, bump the mutation stamp. One definition so the three paths
-    * cannot drift. */
-  private def commitRefreshSwap(sync: SyncConfig, staging: String,
+    * cannot drift. The manifest layout commits by PUBLISHING the staged
+    * manifest instead of a dir swap — no marker to own (stats ride the
+    * same atomic rename as the data). */
+  private def commitRefreshSwap(sync: SyncConfig, staged: StagedSnapshot,
                                 floor: Long,
                                 precondition: () => Boolean = () => true): Boolean =
     StateCommit.stateLock(statePath(sync)).synchronized {
@@ -548,14 +594,22 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
         // evaluated under the lock (backfill's bootstrap-only re-probe);
         // losing it drops the staged copy instead of clobbering
         if (!precondition()) {
-          StateCommit.dropStaging(spark, staging)
+          StateCommit.dropStaging(spark, staged.abortPath)
           false
         } else {
-          if (zoneMapActiveFor(sync))
-            StateCommit.forceMarker(spark, zoneMapPath(sync),
-              Pipeline.freshOwnerId())
+          staged match {
+            case StagedSwapDir(_) if zoneMapActiveFor(sync) =>
+              StateCommit.forceMarker(spark, zoneMapPath(sync),
+                Pipeline.freshOwnerId())
+            case _ => () // manifest layout: stats ride the publish itself
+          }
           try {
-            StateCommit.atomicSwapDirs(spark, staging, statePath(sync))
+            staged match {
+              case StagedSwapDir(dir) =>
+                StateCommit.atomicSwapDirs(spark, dir, statePath(sync))
+              case StagedManifest(sc) =>
+                ManifestStore.publishFull(spark, statePath(sync), sc)
+            }
             // a floor-record failure AFTER the swap landed leaves the
             // snapshot live but unfenced: a stale dead-letter replay for a
             // snapshot-only pk could then apply over the refreshed value
@@ -582,7 +636,7 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
           true
         }
       } catch { case t: Throwable =>
-        StateCommit.dropStaging(spark, staging); throw t }
+        StateCommit.dropStaging(spark, staged.abortPath); throw t }
     }
 
   /** Full zone-map rebuild for one sync — the non-incremental path used
@@ -591,8 +645,19 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
     * mutation-stamp quiesce check, with starvation escalation —
     * [[StateCommit.quiescedClear]] (the state table and the full argument
     * live there). */
+  /** Layout-aware sink liveness: in manifest mode the state dir EXISTS as
+    * soon as an (unpublished, invisible) staging commit is written, so
+    * "live" must mean "a manifest version is published" — a dir-existence
+    * probe would make the backfill's own staging defeat its bootstrap
+    * re-probe. */
+  private def sinkLive(sync: SyncConfig): Boolean =
+    if (manifestModeFor(sync))
+      ManifestStore.liveExists(spark, statePath(sync))
+    else UpsertSink.liveExists(spark, statePath(sync))
+
   private def rebuildZoneMap(sync: SyncConfig): Unit =
-    (config.stateBuckets, zoneMapColsFor(sync)) match {
+    if (manifestModeFor(sync)) () // stats ride every manifest commit itself
+    else (config.stateBuckets, zoneMapColsFor(sync)) match {
       case (Some(_), cols) if cols.nonEmpty =>
         StateCommit.quiescedClear(spark, statePath(sync), zoneMapPath(sync))(
           () => graft.ops.Maintenance.computeFullZoneMap(
@@ -629,19 +694,18 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
     * captured BEFORE the scan and recorded AFTER the sink lands — see
     * [[refresh]] for the ordering argument. */
   def backfillIfNeeded(): Unit = config.syncs.foreach { sync =>
-    if (sync.full && !UpsertSink.liveExists(spark, statePath(sync))) {
+    if (sync.full && !sinkLive(sync)) {
       // same stage-outside / commit-inside split as [[refresh]]: the full
       // scan must not hold the state lock (a caller that started the
       // stream first would stall every micro-batch for the whole
       // bootstrap scan — r9 review)
       val floor = observedOffsetCeiling(sync)
-      val (staging, _) = SwapRefresh.stage(source.fullScan(sync),
-        statePath(sync), config.stateBuckets.map(nb => (pkOut(sync), nb)))
+      val (staging, _) = stageSnapshot(sync)
       // re-probe under the lock: a live batch may have bootstrapped the
       // sink during our scan; K3 is bootstrap-only, and the stream is
       // already building on ITS copy — drop our staging, don't clobber
       val committed = commitRefreshSwap(sync, staging, floor,
-        precondition = () => !UpsertSink.liveExists(spark, statePath(sync)))
+        precondition = () => !sinkLive(sync))
       if (committed) rebuildZoneMap(sync)
     }
   }
@@ -899,8 +963,7 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
         // Unlocked, a batch's read-merge-write racing the swap silently
         // dropped whichever complete copy lost while the floor still
         // asserted the snapshot superseded everything below it (r9 review)
-        val (staging, n) = SwapRefresh.stage(source.fullScan(s), statePath(s),
-          config.stateBuckets.map(nb => (pkOut(s), nb)))
+        val (staging, n) = stageSnapshot(s)
         commitRefreshSwap(s, staging, floor)
         // every bucket may have changed under the swap — rebuild, don't
         // splice. Outside the lock (the stream keeps flowing); clears the
@@ -925,8 +988,7 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
           // conservative ordering as the synchronous refresh; commit
           // (marker + swap + floor) under the state lock, scans outside it
           val floor = observedOffsetCeiling(s)
-          val (staging, _) = SwapRefresh.stage(source.fullScan(s),
-            statePath(s), config.stateBuckets.map(nb => (pkOut(s), nb)))
+          val (staging, _) = stageSnapshot(s)
           commitRefreshSwap(s, staging, floor)
           rebuildZoneMap(s)
         }
@@ -960,7 +1022,11 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
   /** `check`: source count vs sink count per sync (`main.py:179-208`). */
   def check(): Map[String, (Long, Long)] = config.syncs.map { s =>
     val sinkCount =
-      if (UpsertSink.liveExists(spark, statePath(s)))
+      if (manifestModeFor(s))
+        // the manifest carries per-bucket row counts published atomically
+        // with the data — the count is O(buckets) text, no scan at all
+        ManifestStore.currentManifest(spark, statePath(s)).fold(0L)(_.rowCount)
+      else if (UpsertSink.liveExists(spark, statePath(s)))
         spark.read.parquet(statePath(s)).count()
       else 0L
     s.table -> (source.count(s), sinkCount)
@@ -969,7 +1035,11 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
   /** Read one sync's current sink state (test/inspection helper); the
     * bucketed layout's partition column is internal and dropped. */
   def sinkState(sync: SyncConfig): DataFrame =
-    spark.read.parquet(statePath(sync)).drop(BucketedUpsertSink.BucketCol)
+    if (manifestModeFor(sync))
+      ManifestStore.readState(spark, statePath(sync), sinkSchema(sync))
+        .drop(BucketedUpsertSink.BucketCol)
+    else
+      spark.read.parquet(statePath(sync)).drop(BucketedUpsertSink.BucketCol)
 }
 
 object Pipeline {

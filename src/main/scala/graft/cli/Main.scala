@@ -338,6 +338,7 @@ object Main {
       },
       zoneMapCols = Option(props.getProperty("state.zonemap.cols")).toSeq
         .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty),
+      manifestSink = props.getProperty("state.manifest") == "true",
       debug = props.getProperty("debug") == "true",
       leaseStaleMs = Option(props.getProperty("lease.stale.ms"))
         .map { v =>

@@ -88,6 +88,14 @@ final case class PipelineConfig(
     insertIntervalSecs: Option[Int] = None,
     stateBuckets: Option[Int] = None,
     zoneMapCols: Seq[String] = Seq.empty,
+    /** Bucketed-sink physical layout: false (default) = in-place bucket
+      * partition dirs with dynamic overwrite; true = the manifest-versioned
+      * immutable-file layout ([[graft.cdc.ManifestStore]]) — data files are
+      * never deleted inside the vacuum retention window and each commit
+      * publishes data + per-bucket zone-map stats in ONE atomic manifest
+      * rename, so concurrent readers never hit a vanished pinned file and
+      * no staleness-marker protocol is needed. Requires `stateBuckets`. */
+    manifestSink: Boolean = false,
     /** The reference's `debug` settings flag (`settings.py:64`,
       * `main.py:35-36,103-104`): log the parsed settings at startup and
       * the decoded events per micro-batch (bounded sample — the row-at-a-
@@ -99,6 +107,9 @@ final case class PipelineConfig(
       * mutating call fails loud. Must exceed the trigger interval. */
     leaseStaleMs: Long = graft.cdc.DriverLease.DefaultStaleMs
 ) {
+  require(!manifestSink || stateBuckets.isDefined,
+    "manifestSink (state.manifest=true) requires stateBuckets (state.buckets)")
+
   /** `settings.get_sync(table)` (reference `settings.py:78-82`). */
   def syncFor(table: String): Option[SyncConfig] = syncs.find(_.table == table)
   def tables: Seq[String] = syncs.map(_.table)

@@ -339,6 +339,14 @@ object Maintenance {
   def prunedRead(spark: SparkSession, statePath: String, zmPath: String,
                  statCol: String, lo: Long, hi: Long): DataFrame = {
     val b = graft.cdc.BucketedUpsertSink.BucketCol
+    // manifest-layout store: stats and data resolve from ONE immutable
+    // versioned manifest — no marker to probe, no swap to heal, and no
+    // file in the plan a concurrent writer can delete inside the vacuum
+    // retention window (the r12 FAILED_READ_FILE retryable class does not
+    // exist here). zmPath is not consulted: the manifest IS the zone map.
+    if (graft.cdc.ManifestStore.isManifestStore(spark, statePath))
+      return graft.cdc.ManifestStore.prunedRead(spark, statePath,
+        org.apache.spark.sql.types.StructType(Nil), statCol, lo, hi)
     // any-reader heal first (the StateCommit state table's mid-swap-crash
     // row): an eager read of a mid-swap-absent path would otherwise throw
     // PATH_NOT_FOUND before even the unpruned fallback (review r11)

@@ -54,7 +54,18 @@ class TwoJvmConcurrencySpec extends SparkSpec {
   test("a reader JVM loops check-shaped diagnostics (heal + pruned reads + " +
     "marker state) for 30+ s of live load — streamed batches plus two " +
     "mid-stream refresh swaps — without a crash or a row-count regression") {
-    val scratch = tmpDir("twojvm-live")
+    runLiveConcurrency(manifest = false)
+  }
+
+  test("manifest layout (r12 verdict #1): the same 30+ s live-load run — " +
+    "streamed batches plus two mid-stream refresh publishes — completes " +
+    "with ZERO retryable read failures: immutable files + versioned " +
+    "manifest close the FAILED_READ_FILE class entirely") {
+    runLiveConcurrency(manifest = true)
+  }
+
+  private def runLiveConcurrency(manifest: Boolean): Unit = {
+    val scratch = tmpDir(if (manifest) "twojvm-manifest" else "twojvm-live")
     val sinkRoot = s"$scratch/sink"
     // full = false: a backfill would load the whole snapshot up front and
     // flatten the "reader sees the load advancing" assertion
@@ -62,7 +73,7 @@ class TwoJvmConcurrencySpec extends SparkSpec {
       schema = Some(StructType(Seq(
         StructField("id", IntegerType), StructField("score", LongType)))))
     val cfg = PipelineConfig(Seq(sync), stateBuckets = Some(8),
-      zoneMapCols = Seq("score"))
+      zoneMapCols = Seq("score"), manifestSink = manifest)
     // the refresh source of truth: the FULL id set — a mid-run rebuild
     // loads a superset of whatever the stream has applied, so counts stay
     // monotone under any interleaving
@@ -84,13 +95,17 @@ class TwoJvmConcurrencySpec extends SparkSpec {
 
     val q = pipe.start(s"$scratch/ckpt", Trigger.ProcessingTime(200L))
     try {
-      // bootstrap: first batch through, zone map manifest on disk
+      // bootstrap: first batch through; stats visible (zone-map file for
+      // the bucket-dir layout, the first published manifest version for
+      // the manifest layout — where stats ride the data commit itself)
       source.addEvents(events(0, 500): _*)
+      def statsLive(): Boolean =
+        if (manifest) ManifestStore.liveExists(spark, statePath)
+        else new java.io.File(zm).exists()
       val bootDeadline = System.currentTimeMillis() + 120000L
-      while ((!new java.io.File(zm).exists() ||
-          pipe.sinkState(sync).isEmpty) &&
+      while ((!statsLive() || pipe.sinkState(sync).isEmpty) &&
           System.currentTimeMillis() < bootDeadline) Thread.sleep(200L)
-      assert(new java.io.File(zm).exists(), "bootstrap zone map never appeared")
+      assert(statsLive(), "bootstrap stats never appeared")
 
       val out = new java.io.File(scratch, "reader.out")
       val reader = spawn("graft.cdc.ConcurrentReaderMain",
@@ -135,9 +150,21 @@ class TwoJvmConcurrencySpec extends SparkSpec {
         assert(counts.last > counts.head,
           "the reader never observed the live load advancing")
         // ≥30 s of genuinely concurrent load (child-reported span)
-        val span = log.linesIterator.find(_.startsWith("DONE "))
-          .map(_.split(' ')(1).toLong).getOrElse(0L)
-        assert(span >= 30000L, s"concurrent window only $span ms:\n$log")
+        val done = log.linesIterator.find(_.startsWith("DONE "))
+          .getOrElse(fail(s"no DONE line:\n$log")).split(' ')
+        assert(done(1).toLong >= 30000L,
+          s"concurrent window only ${done(1)} ms:\n$log")
+        if (manifest) {
+          // THE r13 contract: immutable files + versioned manifest mean a
+          // live writer can never delete a file a reader pinned — the one
+          // retryable class of the bucket-dir layout must not occur at all
+          assert(done(3).toLong === 0L,
+            s"manifest layout must produce ZERO vanished-file retries:\n" +
+              log.linesIterator.filter(_.startsWith("RETRY"))
+                .mkString("\n"))
+          assert(!log.contains("RETRY"),
+            "manifest layout must produce zero RETRY lines")
+        }
       } finally { reader.destroyForcibly(); () }
     } finally {
       try q.stop() finally pipe.releaseLeases()
