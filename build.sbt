@@ -35,6 +35,15 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Java 17 derives the default charset from the locale (JEP 400 made
+  // UTF-8 the default only in 18+): under a POSIX locale file.encoding
+  // becomes US-ASCII and Spark's variant-to-JSON path — which consults the
+  // default charset — mangles every non-ASCII character into U+FFFD
+  // (found by WireDecoderFuzzSpec; plain string/parquet paths use explicit
+  // UTF-8 and were unaffected). Pin the charset the way any production
+  // spark-submit environment has it.
+  "-Dfile.encoding=UTF-8",
+  "-Dsun.jnu.encoding=UTF-8",
   // 16g default: the bench JVM executes every query twice (warmup + timed)
   // at local[32]; at 8g the timed pass ran under GC pressure from warmup
   // leftovers and iterative-query times swung 2-4x run to run.

@@ -97,6 +97,11 @@ object SparkEntry {
     // text-format wal2json JSONL feed decoded end-to-end through the real
     // envelope decoder (the on-disk replication-log ingestion path)
     "q_jsonl_decode"   -> ((s, d) => IngestFormats.jsonlDecode(s, d)),
+    // end-to-end CDC schema evolution: a wal2json feed gains a column
+    // mid-stream; the REAL pipeline (decode -> typed view -> LWW -> bucketed
+    // manifest-layout sink) evolves across a restart and the final sink
+    // state is graded
+    "q_cdc_evolve"     -> ((s, d) => IngestFormats.cdcEvolve(s, d)),
     // REAL audio roundtrip: javax.sound.sampled encodes deterministic PCM
     // WAVs and decodes them back; rate/channels/frames/sample-checksum are
     // oracle-graded (PCM WAV is lossless)
@@ -1533,6 +1538,18 @@ object SparkEntry {
         |  CASE WHEN o_orderkey % 3 = 2 THEN NULL
         |    ELSE round(o_totalprice, 2) END AS o_totalprice
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    // End-to-end CDC schema evolution through the real pipeline: phase 1
+    // inserts (o_orderkey, o_totalprice); phase 2 — after the sync schema
+    // gains o_custkey and the stream restarts on the same checkpoint —
+    // updates keys %3==1 with ONLY (o_orderkey, o_custkey) (presence mask
+    // keeps phase-1 o_totalprice) and deletes keys %3==2. The sink's
+    // evolution rewrite runs inside the graded query; untouched keys must
+    // read NULL for the new column.
+    "q_cdc_evolve" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+        |  CASE WHEN o_orderkey % 3 = 1 THEN o_custkey END AS o_custkey
+        |FROM orders WHERE o_orderkey % 3 <> 2 ORDER BY o_orderkey""".stripMargin,
 
     // Real-codec WAV roundtrip: the Spark side ENCODES deterministic
     // 16-bit PCM per doc and DECODES it with javax.sound.sampled; the

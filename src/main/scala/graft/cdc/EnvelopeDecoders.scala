@@ -29,7 +29,27 @@ import org.apache.spark.sql.types.DataType
   */
 object EnvelopeDecoders {
 
+  /** Corrupt-record sentinel field appended to every wire schema: Spark
+    * 3.4+ keeps PARTIAL results for malformed records by default
+    * (`spark.sql.json.enablePartialResults`) — a TRUNCATED wire line whose
+    * mandatory fields happen to precede the cut would otherwise pass every
+    * guard and decode with a silently truncated payload (r13 wire fuzz
+    * finding — the exact loss class undecodableGuard exists to stop). The
+    * parser fills this column with the raw malformed text, so guarding on
+    * its nullity turns every partial parse into a loud stop. */
+  private val CorruptCol = "_graft_corrupt"
+
   private def ddl(s: String): DataType = DataType.fromDDL(s)
+
+  private def withCorrupt(dt: DataType): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(
+      dt.asInstanceOf[org.apache.spark.sql.types.StructType].fields :+
+        org.apache.spark.sql.types.StructField(CorruptCol,
+          org.apache.spark.sql.types.StringType))
+
+  private def parseWire(data: Column, dt: DataType): Column =
+    from_json(data, withCorrupt(dt),
+      Map("columnNameOfCorruptRecord" -> CorruptCol))
 
   /** wal2json logical-replication messages (reference `postgres.py:89-131`):
     * `{"change": [{"kind", "schema", "table", "columnnames", "columnvalues",
@@ -46,12 +66,15 @@ object EnvelopeDecoders {
         |  oldkeys: STRUCT<keynames: ARRAY<STRING>, keyvalues: ARRAY<VARIANT>>>>,
         |nextlsn: STRING>""".stripMargin)
     raw
-      .withColumn("__w", from_json(col(dataCol), schema))
+      .withColumn("__w", parseWire(col(dataCol), schema))
       // fail-stop on undecodable messages rather than vanishing them:
       // posexplode of a null array emits zero rows, which would silently
       // lose the message's changes — upstream of the pipeline's per-sync
-      // dead-letter protection. The stream stops at the checkpoint.
-      .filter(undecodableGuard(col("__w").isNotNull && col("__w.change").isNotNull,
+      // dead-letter protection. The stream stops at the checkpoint. The
+      // corrupt-sentinel leg additionally stops PARTIAL parses (see
+      // [[CorruptCol]]) that a mandatory-field probe alone would pass.
+      .filter(undecodableGuard(col(s"__w.$CorruptCol").isNull &&
+        col("__w").isNotNull && col("__w.change").isNotNull,
         "wal2json", col(dataCol)))
       .select(col(offsetCol).as("offset"), col("__w.nextlsn").as("nextlsn"),
         posexplode(col("__w.change")).as(Seq("_ridx", "c")))
@@ -101,11 +124,13 @@ object EnvelopeDecoders {
         |rows: ARRAY<STRUCT<values: VARIANT, before_values: VARIANT,
         |                   after_values: VARIANT>>>""".stripMargin)
     raw
-      .withColumn("__e", from_json(col(dataCol), schema))
+      .withColumn("__e", parseWire(col(dataCol), schema))
       // guard on the mandatory `type` field: PERMISSIVE from_json returns an
       // all-null STRUCT (not a null struct) for corrupt records, so struct
-      // non-nullity alone never fires
-      .filter(undecodableGuard(col("__e.type").isNotNull, "mysql binlog", col(dataCol)))
+      // non-nullity alone never fires — and on the corrupt sentinel, which
+      // also stops PARTIAL parses of truncated lines (see [[CorruptCol]])
+      .filter(undecodableGuard(col(s"__e.$CorruptCol").isNull &&
+        col("__e.type").isNotNull, "mysql binlog", col(dataCol)))
       .filter(col("__e.type").isin("write", "update", "delete"))
       // rows[] is mandatory on every row event: a message whose rows field
       // failed to decode would posexplode ZERO rows and vanish silently —
@@ -135,23 +160,43 @@ object EnvelopeDecoders {
         |updateDescription: STRUCT<updatedFields: VARIANT>,
         |documentKey: VARIANT>""".stripMargin)
     val d = raw
-      .withColumn("__m", from_json(col(dataCol), schema))
-      // mandatory-field guard — see the binlog note on PERMISSIVE structs
-      .filter(undecodableGuard(col("__m.operationType").isNotNull,
+      .withColumn("__m", parseWire(col(dataCol), schema))
+      // mandatory-field + corrupt-sentinel guard — see the binlog note on
+      // PERMISSIVE structs and [[CorruptCol]] on partial parses
+      .filter(undecodableGuard(col(s"__m.$CorruptCol").isNull &&
+        col("__m.operationType").isNotNull,
         "mongo change stream", col(dataCol)))
+      // collection-level DESTRUCTIVE/stream-breaking events are DATA
+      // changes this envelope cannot apply (r13 wire fuzz, the TRUNCATE
+      // posture): drop/dropDatabase remove every document, rename moves
+      // them, invalidate means the change stream itself must be resumed —
+      // silently dropping any of them leaves the sink holding stale rows
+      // forever. Fail loud naming the repair.
+      .filter(undecodableGuard(
+        !col("__m.operationType").isin("drop", "dropDatabase", "rename",
+          "invalidate"),
+        "mongo change stream (collection drop/dropDatabase/rename/" +
+          "invalidate — the sink would keep stale rows; run refresh on the " +
+          "table, then restart past this position)", col(dataCol)))
       // 'replace' (replaceOne/save/findOneAndReplace) is a routine
       // row-changing op: a full-document overwrite, i.e. the sink's CREATE
       // semantics (fields absent from the new document are removed) —
       // pre-fix it was silently dropped and the sink kept the old document
-      // forever (review r11)
+      // forever (review r11). Remaining kinds (create, createIndexes,
+      // modify, shardCollection, ...) are DDL/informational — no document
+      // changes — and drop like the reference's F2 filter.
       .filter(col("__m.operationType").isin("insert", "update", "delete", "replace"))
     val uf = to_json(col("__m.updateDescription.updatedFields"))
     val dk = to_json(col("__m.documentKey"))
     // update payload = updatedFields ∪ documentKey (reference mongo.py:64-68
     // merges the key into the partial row). Both are JSON objects; the
     // splice drops updatedFields' closing '}' and documentKey's opening '{'.
-    // An empty updatedFields ('{}') degenerates to the key alone.
+    // An empty updatedFields ('{}') degenerates to the key alone — and an
+    // empty/absent documentKey to updatedFields alone (r13 wire fuzz: the
+    // unguarded splice emitted `{"x":1,}` — a trailing comma, malformed
+    // JSON that downstream from_json nulls into a dead-lettered row).
     val merged = when(uf.isNull || uf === "{}", dk)
+      .when(dk.isNull || dk === "{}", uf)
       .otherwise(concat(uf.substr(lit(1), length(uf) - 1),
         lit(","), dk.substr(lit(2), length(dk))))
     d.select(
@@ -188,14 +233,16 @@ object EnvelopeDecoders {
     // pre-fix the mandatory-op guard fail-stopped the stream on the first
     // ordinary delete in the feed (review r11)
     val d = raw.filter(col(dataCol).isNotNull)
-      .withColumn("__z", from_json(col(dataCol), schema))
+      .withColumn("__z", parseWire(col(dataCol), schema))
     // the wrapped and flat forms are distinguished per record: schema
     // envelopes are a connector-level setting but a feed can mix producers
     def f(field: String): Column =
       coalesce(col(s"__z.payload.$field"), col(s"__z.$field"))
     d
-      // mandatory-field guard — see the binlog note on PERMISSIVE structs
-      .filter(undecodableGuard(f("op").isNotNull, "debezium", col(dataCol)))
+      // mandatory-field + corrupt-sentinel guard — see the binlog note on
+      // PERMISSIVE structs and [[CorruptCol]] on partial parses
+      .filter(undecodableGuard(col(s"__z.$CorruptCol").isNull &&
+        f("op").isNotNull, "debezium", col(dataCol)))
       // 'm' (logical-decoding message) carries no row change — dropping it
       // is safe and explicit here. Anything else is fail-loud: Debezium also
       // emits 't' (truncate), and silently ignoring a truncate would leave

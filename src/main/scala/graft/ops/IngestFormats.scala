@@ -92,4 +92,94 @@ object IngestFormats {
         col("c2").cast("double").as("o_totalprice"))
       .orderBy(col("o_orderkey"))
   }
+
+  /** End-to-end CDC SCHEMA EVOLUTION, oracle-graded (r12 verdict #6): a
+    * wal2json wire feed whose payload gains a column MID-STREAM, driven
+    * through the REAL pipeline — wire decode → typed sync view →
+    * last-write-wins compaction → bucketed upsert sink on the
+    * manifest-versioned immutable layout — across the operational flow a
+    * real deployment takes (source DDL adds the column → the operator
+    * widens the sync schema → restart on the same checkpoint). The final
+    * sink state is what the gate grades, so a defect anywhere in the
+    * decode/evolution/merge chain hash-mismatches.
+    *
+    * Feed, derived from `orders` (one change per wire message):
+    *  - phase 1: INSERT (o_orderkey, o_totalprice=round(p,2)) for every key
+    *  - phase 2 (restart, schema + o_custkey): for keys %3==1 an UPDATE
+    *    carrying ONLY (o_orderkey, o_custkey) — the new column arrives and
+    *    the presence-mask must keep phase-1's o_totalprice; for keys
+    *    %3==2 a DELETE. Keys %3==0 are never touched again — after the
+    *    sink's evolution rewrite they must read NULL for the new column.
+    *
+    * The phase-2 first batch carries a column the stored state lacks, so
+    * the sink's evolution path (one-time full merge + full manifest
+    * publish) runs inside the graded query — the claim the spec-level
+    * footer checks could not grade end-to-end before. */
+  def cdcEvolve(spark: SparkSession, dir: String): DataFrame = {
+    import graft.cdc._
+    import graft.model._
+    import org.apache.spark.sql.types._
+    val root = TwoBatchScratch.freshRoot(spark, "graft_cdc_evolve")
+    val feed = s"$root/feed"
+    val sinkRoot = s"$root/sink"
+    val ckpt = s"$root/ckpt"
+    new java.io.File(feed).mkdirs()
+
+    val o = Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice"), 2).as("p2"))
+    // wire lines are {"offset": N, "data": "<wal2json txn>"}; to_json
+    // escapes the nested JSON payload correctly
+    def writePhase(lines: DataFrame, first: Boolean): Unit =
+      lines.select(to_json(struct(col("offset"), col("data"))).as("value"))
+        .coalesce(1).write.mode(if (first) "overwrite" else "append").text(feed)
+    def txn(entry: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      concat(lit("{\"change\":["), entry, lit("],\"nextlsn\":\"0/1\"}"))
+    val insert = txn(concat(
+      lit("{\"kind\":\"insert\",\"schema\":\"public\",\"table\":\"orders\"," +
+        "\"columnnames\":[\"o_orderkey\",\"o_totalprice\"],\"columnvalues\":["),
+      col("o_orderkey").cast("string"), lit(","),
+      coalesce(col("p2").cast("string"), lit("null")), lit("]}")))
+    val phase1 = o.select(col("o_orderkey").as("offset"), insert.as("data"))
+    val update = txn(concat(
+      lit("{\"kind\":\"update\",\"schema\":\"public\",\"table\":\"orders\"," +
+        "\"columnnames\":[\"o_orderkey\",\"o_custkey\"],\"columnvalues\":["),
+      col("o_orderkey").cast("string"), lit(","),
+      coalesce(col("o_custkey").cast("string"), lit("null")), lit("]}")))
+    val del = txn(concat(
+      lit("{\"kind\":\"delete\",\"schema\":\"public\",\"table\":\"orders\"," +
+        "\"oldkeys\":{\"keynames\":[\"o_orderkey\"],\"keyvalues\":["),
+      col("o_orderkey").cast("string"), lit("]}}")))
+    // phase-2 offsets sit strictly above every phase-1 offset (the wire
+    // offsets are the LWW order) and far under the 2^43 encoding bound
+    val phase2 = o.filter(pmod(col("o_orderkey"), lit(3)) =!= 0)
+      .select((col("o_orderkey") + lit(1L << 34)).as("offset"),
+        when(pmod(col("o_orderkey"), lit(3)) === 1, update)
+          .otherwise(del).as("data"))
+
+    val schemaV1 = StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("o_totalprice", DoubleType)))
+    val schemaV2 = StructType(schemaV1.fields :+ StructField("o_custkey", LongType))
+    def run(schema: StructType): Unit = {
+      val sync = SyncConfig("orders", pk = "o_orderkey", schema = Some(schema))
+      val cfg = PipelineConfig(Seq(sync), stateBuckets = Some(8),
+        manifestSink = true)
+      val src = new WireCdcSource(spark, feed, s"$root/tables", "wal2json",
+        maxFilesPerTrigger = 64)
+      val pipe = new Pipeline(spark, cfg, src, sinkRoot)
+      val q = pipe.start(ckpt)
+      try { q.processAllAvailable() } finally {
+        try q.stop() finally pipe.releaseLeases()
+      }
+    }
+    writePhase(phase1, first = true)
+    run(schemaV1)
+    writePhase(phase2, first = false)
+    run(schemaV2)
+    ManifestStore.readState(spark, sinkRoot + "/orders",
+        StructType(schemaV2.fields))
+      .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("o_totalprice"),
+        col("o_custkey"))
+      .orderBy(col("o_orderkey"))
+  }
 }
