@@ -36,6 +36,10 @@ DECLARED = {
     # the single surviving event row carries at most one event_type; the
     # stream-stream attribution join needs both legs and says so
     ("single", "q_stream_join"): "needs both",
+    # nulls_single composes onto the single-row corpus: the same one-row
+    # contracts refuse for the same reasons
+    ("nulls_single", "q_dedup_stream"): "two-batch split would be degenerate",
+    ("nulls_single", "q_stream_join"): "needs both",
     # zero-input refusals on the EMPTY variant: each op's contract needs at
     # least one row to define the split/feed it is specified over, and each
     # names that in its `require`
@@ -44,10 +48,21 @@ DECLARED = {
     ("empty", "q_stream_join"): "needs both",
     ("empty", "q_stream_sessions"): "the event feed is empty",
     ("empty", "q_stream_traillog"): "the event feed is empty",
+    # unicode_keys rewrites every event_type value, so the type-filtered
+    # attribution legs are empty and the driver refuses loudly
+    ("unicode_keys", "q_stream_join"): "needs both",
+    # extremes_time spans 1970..2255: one extreme timestamp would advance
+    # the event-time watermark past every later normal event and drop it
+    # SILENTLY as late — the r13 sanity-horizon guard refuses instead
+    ("extremes_time", "q_stream_join"): "watermark sanity horizon",
+    ("extremes_time", "q_stream_sessions"): "watermark sanity horizon",
 }
 
 VARIANTS = ["empty", "single", "alldup", "nulls_a", "nulls_b", "unicode",
-            "extremes"]
+            "extremes",
+            # r13: composed + widened variants (graft.tools.FuzzGate doc)
+            "nulls_extremes", "unicode_alldup", "nulls_single",
+            "unicode_keys", "extremes_time"]
 
 
 def run_variant(here, root, variant, timeout_s=2400):

@@ -636,8 +636,8 @@ object SparkEntry {
 
     "q_window_running" ->
       """SELECT user_id, event_id,
-        | round(sum(value) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value,
+        | CAST(round(sum(CAST(value AS DECIMAL(38,6))) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 100, 0) AS BIGINT) AS running_cents,
         | lag(event_id, 1) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id) AS prev_event
         |FROM events ORDER BY user_id, event_id""".stripMargin,
 
@@ -650,7 +650,7 @@ object SparkEntry {
 
     "q_cube" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-        | round(sum(o_totalprice), 2) AS total
+        | CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,6))) * 100, 0) AS BIGINT) AS total_cents
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
 
@@ -699,7 +699,8 @@ object SparkEntry {
       """SELECT EXTRACT(year FROM o_orderdate) AS yr,
         | EXTRACT(month FROM o_orderdate) AS mon,
         | EXTRACT(quarter FROM o_orderdate) AS qtr,
-        | count(*) AS n, round(sum(o_totalprice), 2) AS revenue
+        | count(*) AS n,
+        | CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,6))) * 100, 0) AS BIGINT) AS revenue_cents
         |FROM orders GROUP BY 1, 2, 3 ORDER BY yr, mon""".stripMargin,
 
     "q_repetition" ->
@@ -869,7 +870,8 @@ object SparkEntry {
       """SELECT o_orderpriority,
         | round(quantile_cont(o_totalprice, 0.5), 2) AS median_exact,
         | round(quantile_cont(o_totalprice, 0.9), 2) AS p90_exact,
-        | TRUE AS median_ok, TRUE AS p90_ok
+        | CASE WHEN quantile_cont(o_totalprice, 0.5) IS NOT NULL THEN TRUE END AS median_ok,
+        | CASE WHEN quantile_cont(o_totalprice, 0.9) IS NOT NULL THEN TRUE END AS p90_ok
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_check_counts" ->
@@ -1685,8 +1687,8 @@ object SparkEntry {
         |  first_value(event_id) OVER (PARTITION BY user_id ORDER BY ts_us NULLS FIRST, event_id) AS first_event,
         |  last_value(event_id) OVER (PARTITION BY user_id ORDER BY ts_us NULLS FIRST, event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_event,
-        |  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts_us NULLS FIRST
-        |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 2) AS hour_sum
+        |  CAST(round(sum(CAST(value AS DECIMAL(38,6))) OVER (PARTITION BY user_id ORDER BY ts_us NULLS FIRST
+        |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) * 100, 0) AS BIGINT) AS hour_cents
         |FROM e ORDER BY user_id, event_id""".stripMargin,
 
     "q_mix_deciles" ->
@@ -1917,7 +1919,7 @@ object SparkEntry {
     // the gate proves the salted formulation output-identical.
     "q_salted_join" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
-        | round(sum(o_totalprice), 2) AS revenue
+        | CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,6))) * 100, 0) AS BIGINT) AS revenue_cents
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 

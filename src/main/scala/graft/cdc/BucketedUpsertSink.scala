@@ -282,7 +282,12 @@ object BucketedUpsertSink {
     // no manifest yet): full merge + full publish, then drop the legacy
     // files — superseded and invisible to manifest readers, they would
     // only leak disk (the migration is the documented cutover point; a
-    // reader pinned to the legacy layout across it retries, once)
+    // reader pinned to the legacy layout across it retries, once). A
+    // crash between the publish and the legacy deletes leaves the stale
+    // legacy files behind harmlessly (manifest readers never touch them);
+    // re-running the migration is not possible (a manifest now exists), so
+    // that rare window costs disk until an operator removes them — never
+    // correctness.
     if (m.isEmpty) {
       val names = listNames(spark, statePath)
       if (bucketed(names) || flatFiles(names)) {

@@ -82,10 +82,19 @@ object Relational {
   def windowRunning(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     Tables.events(spark, dir)
-      .withColumn("running_value",
-        round(sum(col("value")).over(w.rowsBetween(Window.unboundedPreceding, 0)), 2))
+      // INTEGER-CENTS cumulative sum (r13 composed fuzz): at extremes
+      // magnitudes (value x1e9) a double running sum's last bits depend on
+      // the engine's frame-evaluation association (Spark sequential vs
+      // DuckDB segment tree), and even a DECIMAL sum diverges at the final
+      // decimal->double cast once cents are sub-ulp (~1e14) — DuckDB's
+      // conversion is not correctly rounded. BIGINT cents are exact in
+      // both engines at any reachable magnitude.
+      .withColumn("running_cents",
+        round(sum(col("value").cast("decimal(38,6)"))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)) * 100, 0)
+          .cast("long"))
       .withColumn("prev_event", lag(col("event_id"), 1).over(w))
-      .select(col("user_id"), col("event_id"), col("running_value"), col("prev_event"))
+      .select(col("user_id"), col("event_id"), col("running_cents"), col("prev_event"))
       .orderBy(col("user_id"), col("event_id"))
   }
 
@@ -106,7 +115,9 @@ object Relational {
         lead(col("event_type"), 1).over(w).as("next_type"),
         first(col("event_id")).over(w).as("first_event"),
         last(col("event_id")).over(wFull).as("last_event"),
-        round(sum(col("value")).over(wHour), 2).as("hour_sum"))
+        // INTEGER-CENTS for the same reason as windowRunning (r13 fuzz)
+        round(sum(col("value").cast("decimal(38,6)")).over(wHour) * 100, 0)
+          .cast("long").as("hour_cents"))
       .orderBy(col("user_id"), col("event_id"))
   }
 
@@ -146,11 +157,17 @@ object Relational {
   def cubeAgg(spark: SparkSession, dir: String): DataFrame = {
     val cubed = t(spark, dir, "orders")
       .cube(col("o_orderstatus"), col("o_orderpriority"))
-      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+      // INTEGER-CENTS sum (r13 composed fuzz): 15k-row groups of x1e6
+      // magnitudes put a double sum's association-order noise ABOVE the
+      // cent, and a DECIMAL sum still diverges at the decimal->double cast
+      // once cents are sub-ulp — BIGINT cents are exact in both engines
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice").cast("decimal(38,6)")) * 100, 0)
+          .cast("long").as("total_cents"))
     val grand = spark.range(1).select(
       lit(null).cast("string").as("o_orderstatus"),
       lit(null).cast("string").as("o_orderpriority"),
-      lit(0L).as("n"), lit(null).cast("double").as("total"))
+      lit(0L).as("n"), lit(null).cast("long").as("total_cents"))
     withEmptyGrandTotal(cubed, grand)
       .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
   }
@@ -226,7 +243,10 @@ object Relational {
     t(spark, dir, "orders")
       .groupBy(year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mon"),
         quarter(col("o_orderdate")).as("qtr"))
-      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("revenue"))
+      // INTEGER-CENTS revenue — same extremes-magnitude class as cubeAgg
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice").cast("decimal(38,6)")) * 100, 0)
+          .cast("long").as("revenue_cents"))
       .orderBy(col("yr"), col("mon"))
 
   /** Approximate distinct (HyperLogLog++). The sketch estimate itself is
@@ -392,18 +412,30 @@ object Relational {
     * oracle emits literal TRUE — an estimate past the bound flips the
     * boolean and fails the hash gate. */
   def approxPercentiles(spark: SparkSession, dir: String): DataFrame =
+    // Verdicts are RANK-based, not value-relative (r13 composed fuzz): the
+    // sketch's guarantee is rank error <= 1/accuracy, and on a heavy-tailed
+    // column (extremes: 1e5 and 2.6e11 clusters) a within-bound rank slip
+    // crosses a 1e6x value gap — the old 2%-of-value check failed a
+    // CORRECT sketch. ok := estimate lands between the exact 48th/52nd
+    // (88th/92nd) percentiles — 20x the sketch's rank bound, distribution-
+    // free. An all-null group has no percentiles: verdicts are NULL and
+    // the oracle mirrors that (never a vacuous TRUE).
     t(spark, dir, "orders")
       .groupBy(col("o_orderpriority"))
       .agg(expr("approx_percentile(o_totalprice, array(0.5, 0.9), 1000)").as("ap"),
         expr("percentile(o_totalprice, 0.5)").as("ex_med"),
-        expr("percentile(o_totalprice, 0.9)").as("ex_p90"))
+        expr("percentile(o_totalprice, 0.9)").as("ex_p90"),
+        expr("percentile(o_totalprice, 0.48)").as("lo_med"),
+        expr("percentile(o_totalprice, 0.52)").as("hi_med"),
+        expr("percentile(o_totalprice, 0.88)").as("lo_p90"),
+        expr("percentile(o_totalprice, 0.92)").as("hi_p90"))
       .select(col("o_orderpriority"),
         round(col("ex_med"), 2).as("median_exact"),
         round(col("ex_p90"), 2).as("p90_exact"),
-        (abs(col("ap").getItem(0) - col("ex_med")) / col("ex_med") <= 0.02)
-          .as("median_ok"),
-        (abs(col("ap").getItem(1) - col("ex_p90")) / col("ex_p90") <= 0.02)
-          .as("p90_ok"))
+        (col("ap").getItem(0) >= col("lo_med") &&
+          col("ap").getItem(0) <= col("hi_med")).as("median_ok"),
+        (col("ap").getItem(1) >= col("lo_p90") &&
+          col("ap").getItem(1) <= col("hi_p90")).as("p90_ok"))
       .orderBy(col("o_orderpriority"))
 
   /** Session windows in batch mode (gap-based, 30 min): Spark's
@@ -513,8 +545,10 @@ object Relational {
       .withColumn("__salt", explode(sequence(lit(0), lit(salt - 1))))
     o.join(c, o("o_custkey") === c("c_custkey") && o("__salt") === c("__salt"))
       .groupBy(col("c_mktsegment"))
+      // INTEGER-CENTS revenue — same extremes-magnitude class as cubeAgg
       .agg(count(lit(1)).as("n_orders"),
-        round(sum(col("o_totalprice")), 2).as("revenue"))
+        round(sum(col("o_totalprice").cast("decimal(38,6)")) * 100, 0)
+          .cast("long").as("revenue_cents"))
       .orderBy(col("c_mktsegment"))
   }
 

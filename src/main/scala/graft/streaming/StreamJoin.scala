@@ -25,6 +25,10 @@ import org.apache.spark.sql.types.StructType
   */
 object StreamJoin {
 
+  /** Max sane event-time span for a streamed feed (see the guard in
+    * [[stageEventFeed]]; shared by the session driver). */
+  val SanityHorizonDays: Long = 365L * 50L
+
   val eventsSchema: StructType =
     StructType.fromDDL("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING")
 
@@ -74,6 +78,18 @@ object StreamJoin {
     require(!mm.isNullAt(0),
       s"events at $dir carry no purchase/signup rows — the attribution " +
         "driver needs both")
+    // Watermark sanity horizon (r13 extremes_time fuzz): one corrupt
+    // far-future (or epoch-zero) timestamp advances the stream's
+    // event-time watermark past every later NORMAL event, which is then
+    // dropped SILENTLY as late — the silent-loss class this engine always
+    // refuses loudly. A real feed never spans half a century.
+    val spanDays = (mm.getLong(1) - mm.getLong(0)) / 86400000000L
+    require(spanDays <= StreamJoin.SanityHorizonDays,
+      s"events at $dir span $spanDays days of event time (> " +
+        s"${StreamJoin.SanityHorizonDays}-day watermark sanity horizon): " +
+        "an extreme timestamp would advance the watermark past every " +
+        "later normal event and drop it silently — repair the feed's " +
+        "timestamps before streaming")
     val mid = (mm.getLong(0) + mm.getLong(1)) / 2
     DedupStream.stageBatches(feedDir,
       Seq(ev.filter(unix_micros(col("ts")) <= mid),

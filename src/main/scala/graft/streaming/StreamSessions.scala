@@ -165,6 +165,20 @@ object StreamSessions {
     val ev = graft.ops.Tables.events(spark, dir)
       .select(col("user_id"), col("ts"))
       .localCheckpoint(true)
+    // watermark sanity horizon — same guard and rationale as
+    // [[StreamJoin.stageEventFeed]] (r13 extremes_time fuzz): one corrupt
+    // far-future timestamp would silently drop every later normal event
+    val mm = ev.filter(col("ts").isNotNull)
+      .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+    if (!mm.isNullAt(0)) {
+      val spanDays = (mm.getLong(1) - mm.getLong(0)) / 86400000000L
+      require(spanDays <= StreamJoin.SanityHorizonDays,
+        s"events at $dir span $spanDays days of event time (> " +
+          s"${StreamJoin.SanityHorizonDays}-day watermark sanity horizon): " +
+          "an extreme timestamp would advance the watermark past every " +
+          "later normal event and drop it silently — repair the feed's " +
+          "timestamps before streaming")
+    }
     // two event-time halves + the sentinel: the halves span many gaps, so
     // quiet users' timer closes still fire BETWEEN batches (both close
     // paths exercised), while the drain pays 3 micro-batch lifecycles

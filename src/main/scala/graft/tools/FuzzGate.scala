@@ -50,12 +50,100 @@ object FuzzGate {
 
   val Variants: Seq[String] =
     Seq("empty", "single", "alldup", "nulls_a", "nulls_b", "unicode",
-      "extremes")
+      "extremes",
+      // r12 verdict #2 — COMPOSED variants (real corrupt shards combine
+      // failure modes; each base variant alone had been probed green):
+      //   nulls_extremes  numeric extremes, then 25% cells nulled (seed 303)
+      //   unicode_alldup  unicode-stressed docs collapsed to ONE text —
+      //                   doc 1's stressed row is the 7.2 KB repeated form,
+      //                   so the dup tiers chew identical multi-KB unicode
+      //   nulls_single    one row per table, 25% of its cells nulled (404)
+      // and WIDENED single-axis variants:
+      //   unicode_keys    unicode pushed into JOIN/GROUP keys — a
+      //                   value-keyed suffix on events.event_type and the
+      //                   customer/nation strings (consistent per value, so
+      //                   groups/joins survive; engine-vs-oracle collation
+      //                   of the keys is what is under test)
+      //   extremes_time   timestamp extremes — epoch 0, a far-future 2255
+      //                   (near the TIMESTAMP(NANOS) long ceiling),
+      //                   whole-second TIES (sub-second order erased), and
+      //                   epoch/9999-12-31 order dates
+      "nulls_extremes", "unicode_alldup", "nulls_single", "unicode_keys",
+      "extremes_time")
+
+  /** Per-cell deterministic nulling of every non-pk column (the nulls_*
+    * base transform, seed-parameterized for composition). */
+  private def nullCells(df: DataFrame, table: String, seed: Int): DataFrame = {
+    val pk = Pk(table)
+    df.select(df.columns.map { c =>
+      if (pk.contains(c)) col(c)
+      else {
+        val h = pmod(xxhash64(
+          lit(seed) +: lit(table) +: lit(c) +: pk.map(col): _*), lit(100))
+        when(h < 25, lit(null).cast(df.schema(c).dataType))
+          .otherwise(col(c)).as(c)
+      }
+    }: _*)
+  }
+
+  /** Value-keyed unicode suffix: the SAME input value always gains the
+    * same suffix, so equality joins and group keys stay consistent while
+    * every key carries combining marks / bidi overrides / astral chars. */
+  private def uniKey(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(c.isNull, c).otherwise(concat(c, element_at(
+      array(lit("e\u0301"), lit("\ud83d\ude80"),
+        lit("\u202e21\u202c"), lit("\u6f22\u200b")),
+      (pmod(xxhash64(c), lit(4)) + 1).cast("int"))))
 
   def transform(df: DataFrame, table: String, variant: String): DataFrame =
     variant match {
       case "empty" => df.where(lit(false))
       case "single" => df.orderBy(Pk(table).map(col): _*).limit(1)
+      case "nulls_extremes" =>
+        nullCells(transform(df, table, "extremes"), table, 303)
+      case "unicode_alldup" =>
+        transform(transform(df, table, "unicode"), table, "alldup")
+      case "nulls_single" =>
+        nullCells(transform(df, table, "single"), table, 404)
+      case "unicode_keys" => table match {
+        case "events" =>
+          df.withColumn("event_type", uniKey(col("event_type")))
+        case "customer" =>
+          df.withColumn("c_mktsegment", uniKey(col("c_mktsegment")))
+            .withColumn("c_name", uniKey(col("c_name")))
+        case "nation" => df.withColumn("n_name", uniKey(col("n_name")))
+        case _ => df
+      }
+      case "extremes_time" => table match {
+        case "events" =>
+          //   %23==0 -> epoch 0; ==1 -> far-future year 2255 (near the
+          //   TIMESTAMP(NANOS) int64 ceiling); ==2/3/4 -> truncated to the
+          //   WHOLE second (sub-second order erased -> forced ties for
+          //   every window tie-break); others unchanged. Type-adaptive:
+          //   ts arrives as LONG nanos under nanosAsLong or as a real
+          //   timestamp type depending on the fixture's physical type.
+          val m = pmod(col("event_id"), lit(23))
+          val (epoch0, far, wholeSec) = df.schema("ts").dataType match {
+            case org.apache.spark.sql.types.LongType =>
+              (lit(0L), lit(9000000000L * 1000000000L),
+                expr("(ts div 1000000000) * 1000000000"))
+            case tt =>
+              (lit("1970-01-01 00:00:00").cast(tt),
+                lit("2255-01-01 00:00:00").cast(tt),
+                date_trunc("second", col("ts")).cast(tt))
+          }
+          df.withColumn("ts",
+            when(m === 0, epoch0).when(m === 1, far)
+              .when(m.isin(2, 3, 4), wholeSec)
+              .otherwise(col("ts")))
+        case "orders" =>
+          val m = pmod(col("o_orderkey"), lit(29))
+          df.withColumn("o_orderdate",
+            when(m === 0, to_date(lit("1970-01-01")))
+              .when(m === 1, to_date(lit("9999-12-31")))
+              .otherwise(col("o_orderdate")))
+        case _ => df
+      }
       case "alldup" => table match {
         case "documents" =>
           val one = df.orderBy("doc_id").limit(1)
@@ -72,19 +160,8 @@ object FuzzGate {
             .select(df.columns.map(col): _*)
         case _ => df
       }
-      case v if v.startsWith("nulls") =>
-        val seed = if (v == "nulls_a") 101 else 202
-        val pk = Pk(table)
-        df.select(df.columns.map { c =>
-          if (pk.contains(c)) col(c)
-          else {
-            // per-cell deterministic coin: seed + table + column + pk
-            val h = pmod(xxhash64(
-              lit(seed) +: lit(table) +: lit(c) +: pk.map(col): _*), lit(100))
-            when(h < 25, lit(null).cast(df.schema(c).dataType))
-              .otherwise(col(c)).as(c)
-          }
-        }: _*)
+      case "nulls_a" => nullCells(df, table, 101)
+      case "nulls_b" => nullCells(df, table, 202)
       case "unicode" =>
         if (table != "documents") df
         else {
@@ -161,7 +238,7 @@ object FuzzGate {
     * testdata layout — `check_oracle.py` builds its DuckDB views from that
     * exact path shape (no glob), so a Spark part-file directory would
     * break the oracle side of the differential. */
-  private def writeSingle(df: DataFrame, dst: String, table: String): Unit = {
+  private[tools] def writeSingle(df: DataFrame, dst: String, table: String): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val tmp = s"$dst/.stage_$table"
     df.coalesce(1).write.mode("overwrite").parquet(tmp)

@@ -130,8 +130,10 @@ class AnalyticsOpsSpec extends SparkSpec {
       .join(ops.Tables(spark, sf, "customer"),
         col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment"))
+      // integer-cents form, matching saltedJoin's r13 exact-sum output
       .agg(count(lit(1)).as("n_orders"),
-        round(sum(col("o_totalprice")), 2).as("revenue"))
+        round(sum(col("o_totalprice").cast("decimal(38,6)")) * 100, 0)
+          .cast("long").as("revenue_cents"))
       .orderBy(col("c_mktsegment")).collect().toSeq
     assert(salted === plain)
     // the join condition includes the salt column on both sides
