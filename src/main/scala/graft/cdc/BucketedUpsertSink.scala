@@ -309,9 +309,12 @@ object BucketedUpsertSink {
     }
     // schema-evolution guard — same contract as the bucket-dir path: a new
     // column or a changed type pays a one-time full merge + full publish so
-    // no two live bucket dirs ever disagree on physical types
-    m.foreach { _ =>
-      val full = ManifestStore.readState(spark, statePath, payloadSchema)
+    // no two live bucket dirs ever disagree on physical types. The resolved
+    // manifest `m` is threaded through every read and the commit — ONE
+    // manifest parse per batch (review r13 #6).
+    m.foreach { mm =>
+      val full = ManifestStore.readStateOf(spark, statePath, Some(mm),
+        payloadSchema)
       val storedTypes = full.schema.filterNot(_.name == BucketCol)
         .map(f => f.name -> f.dataType).toMap
       val evolved = changes.schema
@@ -327,9 +330,9 @@ object BucketedUpsertSink {
       .collect().map(_.getLong(0)).sorted.toSeq
     if (touched.isEmpty) return
     val state = m match {
-      case Some(_) =>
-        ManifestStore.readState(spark, statePath, payloadSchema, Some(touched))
-          .drop(BucketCol)
+      case Some(mm) =>
+        ManifestStore.readStateOf(spark, statePath, Some(mm), payloadSchema,
+          Some(touched)).drop(BucketCol)
       case None =>
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], payloadSchema)
@@ -338,7 +341,7 @@ object BucketedUpsertSink {
       .withColumn(BucketCol, bucketOf(col(pk), numBuckets))
       .persist()
     try ManifestStore.commitBatch(spark, statePath, merged, touched,
-      numBuckets, effStatCols)
+      numBuckets, effStatCols, prev = m)
     finally { merged.unpersist(); () }
   }
 }

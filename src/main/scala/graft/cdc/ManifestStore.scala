@@ -86,6 +86,26 @@ object ManifestStore {
     def count: Long = buckets.valuesIterator.map(_.nRows).sum
   }
 
+  /** Published manifests are IMMUTABLE (versions never reused), so parses
+    * memoize safely — a bounded LRU keeps the hot path (one resolve per
+    * scan, up to keepVersions parses per vacuum) from re-reading the same
+    * text files every micro-batch (review r13 #6). */
+  private val manifestCache =
+    new java.util.LinkedHashMap[(String, Long), Manifest](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long), Manifest]): Boolean =
+        size() > 64
+    }
+
+  /** In-flight commit dirs of THIS driver (absolute paths): a refresh
+    * stages its full snapshot OUTSIDE the state lock, and a slow stage can
+    * outlive the vacuum age floor — the live stream's per-batch vacuums
+    * must never reap a sibling thread's unpublished staging commit
+    * (review r13 #2). Single-driver contract: cross-process writers are
+    * already excluded by [[DriverLease]]. */
+  private val activeStaging =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   private def hfs(spark: SparkSession, p: String) = {
     val path = new org.apache.hadoop.fs.Path(p)
     (path.getFileSystem(spark.sparkContext.hadoopConfiguration), path)
@@ -98,7 +118,17 @@ object ManifestStore {
     * the bucket modulus: once a store is manifest-versioned, every writer
     * uses this protocol regardless of its own configuration. */
   def isManifestStore(spark: SparkSession, statePath: String): Boolean =
-    latestVersion(spark, statePath).isDefined
+    // positive detection is STICKY (a published store always retains at
+    // least the kept manifest versions), so the per-batch/per-check
+    // listings collapse to one set probe after the first hit (review r13 #6)
+    knownStores.contains(statePath) || {
+      val r = latestVersion(spark, statePath).isDefined
+      if (r) { knownStores.add(statePath); () }
+      r
+    }
+
+  private val knownStores =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   def liveExists(spark: SparkSession, statePath: String): Boolean =
     isManifestStore(spark, statePath)
@@ -119,13 +149,20 @@ object ManifestStore {
 
   private[cdc] def readManifest(spark: SparkSession, statePath: String,
                                 version: Long): Manifest = {
+    val key = (statePath, version)
+    manifestCache.synchronized {
+      val hit = manifestCache.get(key)
+      if (hit != null) return hit
+    }
     val (fs, _) = hfs(spark, statePath)
     val mp = new org.apache.hadoop.fs.Path(statePath, manifestName(version))
     val in = fs.open(mp)
     val text =
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
-    parseManifest(text, mp.toString)
+    val m = parseManifest(text, mp.toString)
+    manifestCache.synchronized { manifestCache.put(key, m); () }
+    m
   }
 
   private[cdc] def parseManifest(text: String, where: String): Manifest = {
@@ -193,8 +230,16 @@ object ManifestStore {
     * delete them inside the retention window, so the read cannot hit a
     * vanished file. */
   def readState(spark: SparkSession, statePath: String, schema: StructType,
-                onlyBuckets: Option[Seq[Long]] = None): DataFrame = {
-    val dirs = currentManifest(spark, statePath).toSeq.flatMap { m =>
+                onlyBuckets: Option[Seq[Long]] = None): DataFrame =
+    readStateOf(spark, statePath, currentManifest(spark, statePath), schema,
+      onlyBuckets)
+
+  /** As [[readState]] over an ALREADY-resolved manifest — the hot batch
+    * path resolves once and threads it (review r13 #6). */
+  def readStateOf(spark: SparkSession, statePath: String,
+                  manifest: Option[Manifest], schema: StructType,
+                  onlyBuckets: Option[Seq[Long]] = None): DataFrame = {
+    val dirs = manifest.toSeq.flatMap { m =>
       val sel = onlyBuckets.map(_.toSet)
       m.buckets.toSeq.sortBy(_._1)
         .filter { case (b, _) => sel.forall(_.contains(b)) }
@@ -232,6 +277,9 @@ object ManifestStore {
     val rel = s"$DataDir/c-${System.currentTimeMillis()}-" +
       java.util.UUID.randomUUID().toString.take(8)
     val abs = s"$statePath/$rel"
+    // registered BEFORE any file exists: vacuum must skip this dir for as
+    // long as this driver is still staging/publishing it, however slow
+    activeStaging.add(abs)
     // partitionBy gives one dir per bucket but strips the column and names
     // dirs `_bpart=<id>` — hidden to any Spark listing. Duplicate the
     // bucket id into a partition-only column, write, then rename each dir
@@ -261,21 +309,39 @@ object ManifestStore {
     * `merged` (its last row deleted) leaves the manifest. */
   def commitBatch(spark: SparkSession, statePath: String, merged: DataFrame,
                   touched: Seq[Long], nbuckets: Int,
-                  statCols: Seq[String]): Unit = {
-    val prev = currentManifest(spark, statePath)
+                  statCols: Seq[String]): Unit =
+    commitBatch(spark, statePath, merged, touched, nbuckets, statCols,
+      currentManifest(spark, statePath))
+
+  /** As above with the prior manifest ALREADY resolved (review r13 #6 —
+    * the batch path resolves once for the modulus fence, evolution check,
+    * state read, and this commit). */
+  def commitBatch(spark: SparkSession, statePath: String, merged: DataFrame,
+                  touched: Seq[Long], nbuckets: Int, statCols: Seq[String],
+                  prev: Option[Manifest]): Unit = {
     prev.foreach(m => require(m.nbuckets == nbuckets && m.statCols == statCols,
       s"manifest store at $statePath has (nbuckets=${m.nbuckets}, " +
         s"statCols=${m.statCols}); the writer was configured " +
         s"($nbuckets, $statCols) — run `refresh` to re-lay the store out"))
     val written = writeCommit(spark, statePath, merged, statCols)
-    val next = Manifest(
-      version = prev.fold(1L)(_.version + 1L),
-      nbuckets = nbuckets, statCols = statCols,
-      buckets = prev.fold(Map.empty[Long, BucketEntry])(_.buckets)
-        .removedAll(touched) ++ written)
-    writeManifest(spark, statePath, next)
+    try {
+      val next = Manifest(
+        version = prev.fold(1L)(_.version + 1L),
+        nbuckets = nbuckets, statCols = statCols,
+        buckets = prev.fold(Map.empty[Long, BucketEntry])(_.buckets)
+          .removedAll(touched) ++ written)
+      writeManifest(spark, statePath, next)
+    } finally releaseStaging(statePath, written)
     vacuum(spark, statePath)
   }
+
+  private def releaseStaging(statePath: String,
+                             written: Map[Long, BucketEntry]): Unit =
+    written.values.headOption.foreach { e =>
+      activeStaging.remove(
+        s"$statePath/${e.relDir.substring(0, e.relDir.lastIndexOf('/'))}")
+      ()
+    }
 
   /** Stage a FULL snapshot (refresh/backfill) as an unpublished commit dir:
     * runs outside any lock — unpublished data is invisible to every reader.
@@ -305,20 +371,26 @@ object ManifestStore {
   def publishFull(spark: SparkSession, statePath: String,
                   staged: StagedCommit): Unit = {
     val prev = currentManifest(spark, statePath)
-    writeManifest(spark, statePath, Manifest(
+    try writeManifest(spark, statePath, Manifest(
       version = prev.fold(1L)(_.version + 1L),
       nbuckets = staged.nbuckets, statCols = staged.statCols,
       buckets = staged.buckets))
+    finally { activeStaging.remove(staged.commitDirAbs); () }
     vacuum(spark, statePath)
   }
 
-  /** Delete data no retained manifest references. Dual condition: a bucket
-    * dir dies only when (a) none of the last `keepVersions` manifests
-    * reference it AND (b) its commit dir is older than `minAgeMs` — (b)
-    * both protects a concurrent reader's pinned resolve of a
-    * just-superseded manifest and keeps an in-flight UNPUBLISHED staging
-    * commit (refresh writing outside the lock) safe. Manifest files age
-    * out under the same dual rule. */
+  /** Delete data no retained manifest references. The reader-safety rule
+    * is SUPERSESSION-time, not creation-time (review r13 #1): nothing is
+    * deleted unless the OLDEST KEPT manifest is itself older than
+    * `minAgeMs`. Versions are monotone in publish time, so any reader that
+    * resolved the then-latest manifest within the last `minAgeMs` is
+    * holding a KEPT version — every file it references survives. (A
+    * creation-age rule would delete a long-carried-forward bucket dir the
+    * moment `keepVersions` rapid commits superseded it.) On top of that:
+    * a commit dir younger than `minAgeMs`, or registered by a live
+    * in-flight stage of this driver ([[activeStaging]], review r13 #2),
+    * is never touched — crash-orphaned unpublished stages are reaped by
+    * age alone once their writer is gone. */
   def vacuum(spark: SparkSession, statePath: String,
              keepVersions: Int = KeepVersions,
              minAgeMs: Long = MinAgeMs): Unit = {
@@ -330,6 +402,12 @@ object ManifestStore {
     if (versions.isEmpty) return
     val cutoff = System.currentTimeMillis() - minAgeMs
     val kept = versions.takeRight(keepVersions)
+    // supersession gate: deletion of ANYTHING requires the oldest kept
+    // manifest to predate the age floor — see the scaladoc argument
+    val keptOldestMtime = kept.map(v => fs.getFileStatus(
+      new org.apache.hadoop.fs.Path(statePath, manifestName(v)))
+      .getModificationTime).min
+    if (keptOldestMtime >= cutoff) return
     val referenced = kept.flatMap(v =>
       readManifest(spark, statePath, v).buckets.values.map(_.relDir)).toSet
     versions.dropRight(keepVersions).foreach { v =>
@@ -341,7 +419,9 @@ object ManifestStore {
     val dataRoot = new org.apache.hadoop.fs.Path(statePath, DataDir)
     if (!fs.exists(dataRoot)) return
     fs.listStatus(dataRoot).foreach { commit =>
-      if (commit.getModificationTime < cutoff) {
+      if (commit.getModificationTime < cutoff &&
+          !activeStaging.contains(commit.getPath.toUri.getPath) &&
+          !activeStaging.contains(commit.getPath.toString)) {
         val cname = commit.getPath.getName
         fs.listStatus(commit.getPath).foreach { bucketDir =>
           val rel = s"$DataDir/$cname/${bucketDir.getPath.getName}"
@@ -383,8 +463,15 @@ object ManifestStore {
           case (b, e) if e.stats(statCol)._1.exists(_ <= hi) &&
             e.stats(statCol)._2.exists(_ >= lo) => b
         }
-        readState(spark, statePath, empSchema, Some(candidates))
-          .filter(exact).drop(BucketCol)
+        if (candidates.isEmpty && m.buckets.nonEmpty)
+          // an everything-pruned read must still carry the STORE's schema,
+          // exactly like the unpruned filter would (review r13 #3): plan
+          // over the real files, empty at planning time via lit(false)
+          readStateOf(spark, statePath, Some(m), empSchema)
+            .filter(lit(false)).filter(exact).drop(BucketCol)
+        else
+          readStateOf(spark, statePath, Some(m), empSchema, Some(candidates))
+            .filter(exact).drop(BucketCol)
     }
   }
 }

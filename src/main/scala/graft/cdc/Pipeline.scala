@@ -308,22 +308,34 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
     * the store; a restarted driver with a stale config must keep the
     * store's protocol, exactly like the bucket modulus). */
   private def manifestModeFor(sync: SyncConfig): Boolean =
-    config.stateBuckets.isDefined &&
-      (config.manifestSink || ManifestStore.isManifestStore(spark, statePath(sync)))
+    config.manifestSink ||
+      ManifestStore.isManifestStore(spark, statePath(sync))
+
+  /** Loud config-drift fence (review r13 #5): a manifest-layout store
+    * under a config whose `state.buckets` was removed must fail with the
+    * named repair, not fall through to the flat sink path and die on a
+    * parquet-footer read of manifest text files. */
+  private def requireBucketsFor(sync: SyncConfig): Int =
+    config.stateBuckets.getOrElse(throw new IllegalStateException(
+      s"state at ${statePath(sync)} is manifest-layout (state.manifest) " +
+        "but state.buckets is unset — restore state.buckets (the layout " +
+        "requires a bucket modulus; run refresh to re-lay the store out " +
+        "under a different one)"))
 
   private def writeCompacted(sync: SyncConfig, compacted: DataFrame,
                              batchId: Long, lineage: String): Unit = {
     val pk = pkOut(sync)
     config.stateBuckets match {
-      case Some(n) if manifestModeFor(sync) =>
+      case _ if manifestModeFor(sync) =>
         // manifest layout: data and per-bucket zone-map stats publish in
         // ONE atomic manifest rename, so the whole write-ahead-marker /
         // claim / quiesced-clear protocol of the branch below has no crash
         // window to guard — a batch is either fully visible (data + stats)
-        // or not at all
+        // or not at all. requireBucketsFor fails LOUD if the store is
+        // manifest-layout but state.buckets was dropped from the config.
         BucketedUpsertSink.applyBatch(spark, statePath(sync), compacted, pk,
-          n, schema = Some(sinkSchema(sync)), manifest = true,
-          statCols = zoneMapColsFor(sync))
+          requireBucketsFor(sync), schema = Some(sinkSchema(sync)),
+          manifest = true, statCols = zoneMapColsFor(sync))
       case Some(n) =>
         // write-ahead staleness marker: the sink write and the zone-map
         // refresh are two non-atomic steps; marking BEFORE the write means
@@ -558,7 +570,7 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
   private def stageSnapshot(sync: SyncConfig): (StagedSnapshot, Long) =
     if (manifestModeFor(sync)) {
       val sc = ManifestStore.stageFull(spark, statePath(sync),
-        source.fullScan(sync), pkOut(sync), config.stateBuckets.get,
+        source.fullScan(sync), pkOut(sync), requireBucketsFor(sync),
         zoneMapColsFor(sync))
       (StagedManifest(sc), sc.count)
     } else {

@@ -424,8 +424,12 @@ object IncrementalDedup {
       .groupBy(col("band_id"), col("band_h"))
       .agg(count(lit(1)).as("__w"), sum(col("__old")).as("__wOld"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    // __wOld >= 2, not > 0 (review r13): a pre-batch width of 1 can never
+    // have emitted a pair (pairs need two members), so a single-old-member
+    // bucket crossing the cap matches the one-shot exactly — zero pairs
+    // from both — and must not kill a healthy stream
     val crossed = widths.filter(col("__w") > maxBucketWidth &&
-      col("__wOld") > 0 && col("__wOld") <= maxBucketWidth).count()
+      col("__wOld") >= 2 && col("__wOld") <= maxBucketWidth).count()
     require(crossed == 0L,
       s"updateLsh: $crossed touched band bucket(s) crossed " +
         s"maxBucketWidth=$maxBucketWidth mid-stream — pairs already emitted " +

@@ -128,6 +128,15 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(e.getMessage.contains("crossed") &&
       e.getMessage.contains("maxBucketWidth"),
       s"parity-window failure must name the contract, got: ${e.getMessage}")
+    // width-1 pre-batch bucket crossing the cap is NOT a parity window
+    // (review r13): one old member can never have emitted a pair, so both
+    // tiers agree on zero pairs — the guard must not kill a healthy stream
+    val state3 = tmpDir("lshcap_width1")
+    assert(IncrementalDedup.updateLsh(spark, state3, cluster(1 to 1),
+      maxBucketWidth = 4).count() === 0L)
+    assert(IncrementalDedup.updateLsh(spark, state3, cluster(2 to 7),
+      maxBucketWidth = 4).count() === 0L,
+      "single-old-member cap crossing must suppress silently, not raise")
   }
 
   test("bucketed sets store pins its modulus against mismatched callers") {

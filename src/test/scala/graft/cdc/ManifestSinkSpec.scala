@@ -181,6 +181,63 @@ class ManifestSinkSpec extends SparkSpec {
     assert(manifests.length === 1, manifests.mkString(","))
   }
 
+  test("review r13: vacuum is supersession-timed — a long-carried bucket " +
+    "dir outlasts K rapid supersessions until the oldest KEPT manifest " +
+    "passes the age floor; an everything-pruned read keeps the store schema") {
+    val path = tmpDir("mvac2") + "/t"
+    applyM(path, batchDf(("create", 1, 10L), ("create", 2, 20L)))
+    val oldDirs = dataFiles(path)
+    // K+2 rapid commits all touching pk 1: the ORIGINAL commit's bucket
+    // dirs are unreferenced by every kept manifest almost immediately —
+    // but the oldest kept manifest is seconds old, so a reader that
+    // resolved within the age floor may still hold a version referencing
+    // them. A creation-age rule would delete them here (the dir itself is
+    // older than a 0ms floor); the supersession rule must NOT.
+    (1 to 4).foreach(i => applyM(path, batchDf(("update", 1, 100L + i))))
+    ManifestStore.vacuum(spark, path, keepVersions = 2, minAgeMs = 60000L)
+    assert(oldDirs.subsetOf(dataFiles(path)),
+      "files superseded less than minAge ago must survive (supersession " +
+        "time, not creation time, is the reader-safety clock)")
+    // with the floor at 0 the oldest kept manifest qualifies and the
+    // unreferenced dirs go
+    ManifestStore.vacuum(spark, path, keepVersions = 2, minAgeMs = 0L)
+    assert(stateRows(path) === Set((1, 104L), (2, 20L)))
+    // everything-pruned read: schema must equal the store's, not collapse
+    // to just the stat column (review r13 #3)
+    val pruned = graft.ops.Maintenance
+      .prunedRead(spark, path, path + ".zm", "score", -500L, -400L)
+    assert(pruned.count() === 0L)
+    assert(pruned.schema.fieldNames.toSet === Set("id", "score"),
+      s"pruned-to-zero read lost the store schema: ${pruned.schema}")
+  }
+
+  test("review r13: a manifest-layout store under a config that DROPPED " +
+    "state.buckets fails loud naming the repair, not a parquet-footer read") {
+    val root = tmpDir("mdrift")
+    val path = s"$root/sink/t"
+    applyM(path, batchDf(("create", 1, 10L)))
+    val sync = SyncConfig("t", pk = "id", schema = Some(payload))
+    val cfg = PipelineConfig(Seq(sync)) // no stateBuckets, no manifestSink
+    val src = new ParquetCdcSource(spark, s"$root/feed", s"$root/tables")
+    new java.io.File(s"$root/feed").mkdirs()
+    val pipe = new Pipeline(spark, cfg, src, s"$root/sink")
+    Seq(ChangeEvent("update", "t", 100,
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+      """{"id": 1, "score": 11}""")).toDS().toDF()
+      .repartition(1).write.mode("append").parquet(s"$root/feed")
+    val q = pipe.start(s"$root/ckpt")
+    val e = intercept[Exception] {
+      try q.processAllAvailable() finally { q.stop(); pipe.releaseLeases() }
+    }
+    def chain(t: Throwable): String = {
+      val sb = new StringBuilder; var c: Throwable = t
+      while (c != null) { sb.append(c.getMessage).append('\n'); c = c.getCause }
+      sb.toString
+    }
+    assert(chain(e).contains("state.buckets is unset"),
+      s"config drift must name the repair, got: ${chain(e).take(800)}")
+  }
+
   test("schema evolution (new column) pays a one-time full rewrite and " +
     "keeps one physical schema across every live bucket dir") {
     val path = tmpDir("mevo") + "/t"
