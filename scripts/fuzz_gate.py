@@ -1,9 +1,10 @@
 #!/usr/bin/env python3
 """Adversarial-fixture differential fuzz gate (r11 verdict #1; dev tool).
 
-`graft.tools.FuzzGate` stages seeded fixture variants (empty / single /
-alldup / nulls_a / nulls_b / unicode / extremes) under
-<fuzz_root>/<variant>/data and
+`graft.tools.FuzzGate` stages seeded fixture variants (the 7 singles
+empty / single / alldup / nulls_a / nulls_b / unicode / extremes plus the
+r13 composed/widened nulls_extremes / unicode_alldup / nulls_single /
+unicode_keys / extremes_time) under <fuzz_root>/<variant>/data and
 dumps the full 180-query surface to <fuzz_root>/<variant>/out, recording
 Spark-side failures in errors.json. This script runs the DuckDB oracle
 over every variant dump (check_oracle.py, one subprocess per variant) and

@@ -22,9 +22,9 @@ cd "$(dirname "$0")/.."
 ROUND="${1:?round number, e.g. 13}"
 MODE="${2:-full}"
 HEAD_SHA=$(git rev-parse HEAD)
-if ! git diff --quiet || ! git diff --cached --quiet; then
-  echo "round_close: tree is DIRTY — commit first; artifacts must record" \
-       "the exact HEAD they ran on" >&2
+if [ -n "$(git status --porcelain)" ]; then
+  echo "round_close: tree is DIRTY (including untracked files) — commit" \
+       "first; artifacts must record the exact HEAD they ran on" >&2
   exit 1
 fi
 echo "== round_close r$ROUND on $HEAD_SHA (mode: $MODE)"
@@ -70,12 +70,20 @@ SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
   SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
   sbt -batch "runMain graft.Bench"
 STAMP BENCH_QUERIES.json
+BENCH_FLAGGED=0
 python3 scripts/bench_compare.py || {
+  BENCH_FLAGGED=1
   echo "round_close: bench gate FLAGGED movers — adjudicate before" \
        "committing the snapshot (SCALE.md protocol)" >&2; }
 
 echo "== 6/6 PLANS.md"
 sbt -batch "runMain graft.tools.PlanDump"
 
+if [ "$BENCH_FLAGGED" = "1" ]; then
+  echo "== round_close r$ROUND ran on $HEAD_SHA but the BENCH GATE" \
+       "FLAGGED MOVERS — adjudicate (SCALE.md protocol) BEFORE committing" \
+       "BENCH_QUERIES.json" >&2
+  exit 2
+fi
 echo "== round_close r$ROUND complete on $HEAD_SHA — review artifacts," \
      "then commit them as the round's LAST commits"

@@ -29,6 +29,13 @@ import org.apache.spark.sql.functions._
   *                magnitudes (orders x1e6, part x1e7, events x1e9),
   *                negated amounts, zero quantities, an out-of-range
   *                discount
+  *  - r13 composed/widened: `nulls_extremes`, `unicode_alldup` (every doc
+  *                carries the 7.2 KB stressed row), `nulls_single`,
+  *                `unicode_keys` (value-keyed unicode suffix on
+  *                events.event_type + customer/nation strings),
+  *                `extremes_time` (epoch-0 / year-2255 / whole-second-tie
+  *                timestamps, epoch + 9999-12-31 order dates) — see the
+  *                Variants val for the rationale per variant
   *
   * Dev tool, not part of the engine surface.
   * Usage: runMain graft.tools.FuzzGate [srcDir] [outRoot] [variant...]
@@ -102,7 +109,25 @@ object FuzzGate {
       case "nulls_extremes" =>
         nullCells(transform(df, table, "extremes"), table, 303)
       case "unicode_alldup" =>
-        transform(transform(df, table, "unicode"), table, "alldup")
+        // compose so the duplicated text is the 7.2 KB repeated unicode
+        // row (the m==1 stress form), NOT doc 0's short suffix form —
+        // plain alldup picks min(doc_id)=0 and the advertised
+        // identical-multi-KB-unicode hazard would never stage (review r13)
+        if (table != "documents")
+          transform(transform(df, table, "unicode"), table, "alldup")
+        else {
+          val uni = transform(df, table, "unicode")
+          val one = uni.filter(pmod(col("doc_id"), lit(7)) === 1)
+            .orderBy("doc_id").limit(1)
+            .select(col("text").as("__dup_text"))
+          require(one.count() == 1L,
+            "unicode_alldup needs a doc with doc_id % 7 == 1 (the 7.2 KB " +
+              "stressed row) — stage from a corpus with >= 2 documents")
+          uni.crossJoin(broadcast(one))
+            .withColumn("text", col("__dup_text"))
+            .withColumn("n_chars", length(col("text")).cast("long"))
+            .select(df.columns.map(col): _*)
+        }
       case "nulls_single" =>
         nullCells(transform(df, table, "single"), table, 404)
       case "unicode_keys" => table match {

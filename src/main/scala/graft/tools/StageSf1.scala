@@ -42,9 +42,25 @@ object StageSf1 {
     FuzzGate.TableNames.foreach { t =>
       val df = spark.read.parquet(s"$src/$t.parquet")
       val out = keyCols.get(t) match {
-        case Some(keys) => Replica(spark, df, keys, fac,
-          perturbText = t == "documents",
-          perturbEmbedding = t == "embeddings")
+        case Some(keys) =>
+          // replicas occupy disjoint key ranges ONLY while every source
+          // key is under Replica.Shift — restaging an already-staged
+          // output would silently mint duplicate pks and broken FK joins
+          // (review r13); one bounded max() per key column fails loud
+          import org.apache.spark.sql.functions.{col, max}
+          val row = df.agg(max(keys.head), keys.tail.toSeq.map(max(_)): _*).head()
+          keys.toSeq.zipWithIndex.foreach { case (k, i) =>
+            if (!row.isNullAt(i)) {
+              val m = row.get(i).toString.toLong
+              require(m < Replica.Shift,
+                s"$t.$k max $m >= Replica.Shift ${Replica.Shift}: replica " +
+                  "key ranges would overlap — stage from an ORIGINAL " +
+                  "fixture, never from replicated output")
+            }
+          }
+          Replica(spark, df, keys, fac,
+            perturbText = t == "documents",
+            perturbEmbedding = t == "embeddings")
         case None => df // nation/region: small dims, FKs into them unshifted
       }
       FuzzGate.writeSingle(out, dst, t)

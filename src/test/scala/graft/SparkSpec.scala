@@ -10,4 +10,14 @@ trait SparkSpec extends AnyFunSuite {
 
   def tmpDir(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString
+
+  /** Flatten a throwable's cause chain into one searchable diagnostic —
+    * the shared failure-text walker (review r13: two specs grew private
+    * near-copies that had already drifted). */
+  def causeChain(t: Throwable): String = {
+    val sb = new StringBuilder
+    var c: Throwable = t
+    while (c != null) { sb.append(c.toString).append('\n'); c = c.getCause }
+    sb.toString
+  }
 }

@@ -229,13 +229,8 @@ class ManifestSinkSpec extends SparkSpec {
     val e = intercept[Exception] {
       try q.processAllAvailable() finally { q.stop(); pipe.releaseLeases() }
     }
-    def chain(t: Throwable): String = {
-      val sb = new StringBuilder; var c: Throwable = t
-      while (c != null) { sb.append(c.getMessage).append('\n'); c = c.getCause }
-      sb.toString
-    }
-    assert(chain(e).contains("state.buckets is unset"),
-      s"config drift must name the repair, got: ${chain(e).take(800)}")
+    assert(causeChain(e).contains("state.buckets is unset"),
+      s"config drift must name the repair, got: ${causeChain(e).take(800)}")
   }
 
   test("schema evolution (new column) pays a one-time full rewrite and " +

@@ -257,9 +257,14 @@ class WireDecoderFuzzSpec extends SparkSpec {
         msg.set[JsonNode]("fullDocument", doc)
         Wire(msg.toString,
           Decodes(Seq(Exp("create", coll, 0, Some(doc)))), "valid")
-      case 2 => // update: updatedFields ∪ documentKey (key wins on clash)
+      case 2 => // update: updatedFields ∪ documentKey — and when the two
+        // CLASH on _id (half the seeds plant one), the documentKey's value
+        // must win (the splice emits uf first, dk last; last-wins is the
+        // JSON-object merge both the model and readTree apply)
         msg.put("operationType", "update")
-        val uf = objOf(genCols(r).filterNot(_._1 == "_id"))
+        val ufCols = genCols(r) ++
+          (if (r.nextBoolean()) Seq("_id" -> genValue(r)) else Nil)
+        val uf = objOf(ufCols)
         val ud = mapper.createObjectNode()
         ud.set[JsonNode]("updatedFields", uf)
         msg.set[JsonNode]("updateDescription", ud)
@@ -352,21 +357,19 @@ class WireDecoderFuzzSpec extends SparkSpec {
     cases.toDF("offset", "data")
 
   private def collectDecoded(fmt: String, df: DataFrame)
-      : Seq[(String, String, Long, Int, Option[JsonNode])] =
+      : Seq[(String, String, Long, Int, Option[JsonNode], Option[String])] =
     decodeFmt(fmt, df).collect().toSeq.map { row =>
       (row.getString(row.fieldIndex("op")),
         row.getString(row.fieldIndex("table")),
         row.getLong(row.fieldIndex("offset")),
         row.getInt(row.fieldIndex("_ridx")),
-        parsedOrNull(row.getString(row.fieldIndex("data"))))
+        parsedOrNull(row.getString(row.fieldIndex("data"))),
+        // only wal2json exposes the replication position; graded in the
+        // SAME pass as everything else (review r13 — no second decode job)
+        if (fmt == "wal2json")
+          Option(row.getString(row.fieldIndex("nextlsn")))
+        else None)
     }
-
-  private def chain(t: Throwable): String = {
-    val sb = new StringBuilder
-    var c: Throwable = t
-    while (c != null) { sb.append(c.toString).append('\n'); c = c.getCause }
-    sb.toString
-  }
 
   private def runFormat(fmt: String, gen: Random => Wire,
                         seedBase: Long): Unit = {
@@ -389,27 +392,16 @@ class WireDecoderFuzzSpec extends SparkSpec {
       rawDf(decs.map { case (w, i) => (i.toLong, w.line) }))
     val expected = decs.flatMap { case (w, i) =>
       w.out.asInstanceOf[Decodes].rows.map(e =>
-        (e.op, e.table, i.toLong, e.ridx, e.data))
+        (e.op, e.table, i.toLong, e.ridx, e.data, e.nextlsn))
     }
-    def sortKey(t: (String, String, Long, Int, Option[JsonNode])) = (t._3, t._4)
+    def sortKey(t: (String, String, Long, Int, Option[JsonNode],
+        Option[String])) = (t._3, t._4)
     val got = decoded.sortBy(sortKey)
     val want = expected.sortBy(sortKey)
     assert(got.size === want.size,
       s"$fmt: decoded ${got.size} rows, model says ${want.size}")
     got.zip(want).foreach { case (g, w) =>
       assert(g === w, s"$fmt divergence:\n  got  $g\n  want $w")
-    }
-    // wal2json additionally exposes nextlsn — spot-check it rides through
-    if (fmt == "wal2json") {
-      val lsns = decodeFmt(fmt, rawDf(decs.take(40).zipWithIndex
-          .map { case ((w, _), j) => (j.toLong, w.line) }))
-        .select("offset", "nextlsn").collect()
-        .map(r => r.getLong(0) -> r.getString(1)).toMap
-      decs.take(40).zipWithIndex.foreach { case ((w, _), j) =>
-        w.out.asInstanceOf[Decodes].rows.headOption.flatMap(_.nextlsn)
-          .foreach(l => assert(lsns.get(j.toLong).contains(l),
-            s"nextlsn lost for case $j"))
-      }
     }
 
     // loud cases: each must RAISE (concurrently — Spark jobs are
@@ -421,7 +413,7 @@ class WireDecoderFuzzSpec extends SparkSpec {
       val t = intercept[Throwable] {
         collectDecoded(fmt, rawDf(Seq((i.toLong, w.line))))
       }
-      val msg = chain(t)
+      val msg = causeChain(t)
       val sub = w.out.asInstanceOf[Loud].substr
       assert(sub.isEmpty || msg.contains(sub),
         s"$fmt [${w.tag}] raised without the named message " +
