@@ -87,13 +87,18 @@ object ManifestStore {
   }
 
   /** Published manifests are IMMUTABLE (versions never reused), so parses
-    * memoize safely — a bounded LRU keeps the hot path (one resolve per
-    * scan, up to keepVersions parses per vacuum) from re-reading the same
-    * text files every micro-batch (review r13 #6). */
+    * memoize safely — but ONLY when keyed by the manifest FILE's identity
+    * (mtime + length), not by (path, version) alone: a state dir wiped and
+    * recreated in one JVM (dev scratch roots, tests) restarts versions at
+    * 1, and a path-keyed cache then serves the OLD store's manifest whose
+    * files are gone (r13 fuzz-gate finding — PATH_NOT_FOUND mid-stream).
+    * The getFileStatus probe the key needs is paid anyway to read. */
+  private final case class MKey(path: String, version: Long,
+                                mtime: Long, len: Long)
   private val manifestCache =
-    new java.util.LinkedHashMap[(String, Long), Manifest](64, 0.75f, true) {
+    new java.util.LinkedHashMap[MKey, Manifest](64, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, Long), Manifest]): Boolean =
+          e: java.util.Map.Entry[MKey, Manifest]): Boolean =
         size() > 64
     }
 
@@ -118,17 +123,10 @@ object ManifestStore {
     * the bucket modulus: once a store is manifest-versioned, every writer
     * uses this protocol regardless of its own configuration. */
   def isManifestStore(spark: SparkSession, statePath: String): Boolean =
-    // positive detection is STICKY (a published store always retains at
-    // least the kept manifest versions), so the per-batch/per-check
-    // listings collapse to one set probe after the first hit (review r13 #6)
-    knownStores.contains(statePath) || {
-      val r = latestVersion(spark, statePath).isDefined
-      if (r) { knownStores.add(statePath); () }
-      r
-    }
-
-  private val knownStores =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    // NOT cached (r13 fuzz-gate finding): a sticky positive poisoned any
+    // path that is wiped and recreated in one JVM (dev scratch roots,
+    // tests) — one listStatus per probe is the honest cost
+    latestVersion(spark, statePath).isDefined
 
   def liveExists(spark: SparkSession, statePath: String): Boolean =
     isManifestStore(spark, statePath)
@@ -149,13 +147,14 @@ object ManifestStore {
 
   private[cdc] def readManifest(spark: SparkSession, statePath: String,
                                 version: Long): Manifest = {
-    val key = (statePath, version)
+    val (fs, _) = hfs(spark, statePath)
+    val mp = new org.apache.hadoop.fs.Path(statePath, manifestName(version))
+    val st = fs.getFileStatus(mp)
+    val key = MKey(statePath, version, st.getModificationTime, st.getLen)
     manifestCache.synchronized {
       val hit = manifestCache.get(key)
       if (hit != null) return hit
     }
-    val (fs, _) = hfs(spark, statePath)
-    val mp = new org.apache.hadoop.fs.Path(statePath, manifestName(version))
     val in = fs.open(mp)
     val text =
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString

@@ -211,6 +211,27 @@ class ManifestSinkSpec extends SparkSpec {
       s"pruned-to-zero read lost the store schema: ${pruned.schema}")
   }
 
+  test("r13 fuzz-gate finding: a state path WIPED and recreated in one JVM " +
+    "must not resolve the old store's cached manifest (versions restart at " +
+    "1, so the cache must key on file identity, not path+version)") {
+    val path = tmpDir("mwipe") + "/t"
+    applyM(path, batchDf(("create", 1, 10L)))
+    assert(stateRows(path) === Set((1, 10L)))
+    // wipe the whole store (the dev scratch-root reset shape) ...
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(); ()
+    }
+    rm(new java.io.File(path))
+    assert(!ManifestStore.isManifestStore(spark, path),
+      "a wiped path must read as non-manifest again (no sticky detection)")
+    // ... and rebuild: version 1 again, DIFFERENT content — a
+    // (path, version)-keyed cache would serve the OLD manifest here and
+    // the read would die on its deleted bucket dirs
+    applyM(path, batchDf(("create", 7, 70L)))
+    assert(stateRows(path) === Set((7, 70L)),
+      "the recreated store must resolve its OWN version-1 manifest")
+  }
+
   test("review r13: a manifest-layout store under a config that DROPPED " +
     "state.buckets fails loud naming the repair, not a parquet-footer read") {
     val root = tmpDir("mdrift")
