@@ -102,6 +102,10 @@ object SparkEntry {
     // manifest-layout sink) evolves across a restart and the final sink
     // state is graded
     "q_cdc_evolve"     -> ((s, d) => IngestFormats.cdcEvolve(s, d)),
+    // manifest TIME TRAVEL: version-1 snapshot pinned and re-read after a
+    // version-2 update/delete commit; as-of-timestamp resolution asserted
+    // inline; v1-vs-current full-outer compared per key and oracle-graded
+    "q_manifest_timetravel" -> ((s, d) => Maintenance.timeTravelQuery(s, d)),
     // REAL audio roundtrip: javax.sound.sampled encodes deterministic PCM
     // WAVs and decodes them back; rate/channels/frames/sample-checksum are
     // oracle-graded (PCM WAV is lossless)
@@ -1552,6 +1556,23 @@ object SparkEntry {
       """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice,
         |  CASE WHEN o_orderkey % 3 = 1 THEN o_custkey END AS o_custkey
         |FROM orders WHERE o_orderkey % 3 <> 2 ORDER BY o_orderkey""".stripMargin,
+
+    // Manifest time travel: version 1 is the key-grouped snapshot of
+    // orders; version 2 updates keys %3==1 to CAST(max custkey AS DOUBLE)
+    // and deletes keys %3==2. val_v1 must be the PINNED v1 value for every
+    // key; val_now mirrors v2 (NULL where deleted). ((k%3)+3)%3 keeps the
+    // branch well-defined if a fixture ever mints negative keys (DuckDB's
+    // % keeps the dividend's sign; Spark-side uses pmod).
+    "q_manifest_timetravel" ->
+      """WITH b AS (SELECT o_orderkey,
+        |             max(round(o_totalprice, 2)) AS val,
+        |             max(o_custkey) AS ck
+        |           FROM orders GROUP BY o_orderkey)
+        |SELECT o_orderkey, val AS val_v1,
+        |  CASE WHEN ((o_orderkey % 3) + 3) % 3 = 1 THEN CAST(ck AS DOUBLE)
+        |       WHEN ((o_orderkey % 3) + 3) % 3 = 2 THEN NULL
+        |       ELSE val END AS val_now
+        |FROM b ORDER BY o_orderkey""".stripMargin,
 
     // Real-codec WAV roundtrip: the Spark side ENCODES deterministic
     // 16-bit PCM per doc and DECODES it with javax.sound.sampled; the

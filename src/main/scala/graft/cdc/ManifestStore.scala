@@ -145,6 +145,76 @@ object ManifestStore {
   def currentManifest(spark: SparkSession, statePath: String): Option[Manifest] =
     latestVersion(spark, statePath).map(v => readManifest(spark, statePath, v))
 
+  /** Retained manifest history, oldest first: (version, publish mtime).
+    * Bounded by vacuum retention — at most ~[[KeepVersions]] entries plus
+    * whatever the age floor is still holding. */
+  def history(spark: SparkSession, statePath: String): Seq[(Long, Long)] = {
+    val (fs, p) = hfs(spark, statePath)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).iterator.flatMap { st =>
+      st.getPath.getName match {
+        case ManifestRe(v) => Some((v.toLong, st.getModificationTime))
+        case _ => None
+      }
+    }.toSeq.sortBy(_._1)
+  }
+
+  /** The manifest of a SPECIFIC retained version — the time-travel anchor.
+    * A version outside retention (vacuumed, or never published) fails LOUD
+    * naming the retained range; it is never silently substituted with a
+    * neighbor. */
+  def manifestAt(spark: SparkSession, statePath: String,
+                 version: Long): Manifest = {
+    val (fs, _) = hfs(spark, statePath)
+    val mp = new org.apache.hadoop.fs.Path(statePath, manifestName(version))
+    if (!fs.exists(mp)) {
+      val h = history(spark, statePath).map(_._1)
+      throw new IllegalStateException(
+        s"manifest version $version is not retained at $statePath — " +
+          (if (h.isEmpty) "no manifest has ever been published here"
+           else s"retained versions are [${h.head}..${h.last}]; versions " +
+             s"that aged out of the last keepVersions=$KeepVersions " +
+             "publishes were vacuumed"))
+    }
+    readManifest(spark, statePath, version)
+  }
+
+  /** TIME-TRAVEL read: the state exactly as manifest `version` published
+    * it. Every file a retained manifest references is immutable and
+    * vacuum-protected, so this is a plain pruned-listing read — the
+    * snapshot-reproducibility primitive a training pipeline needs (pin the
+    * corpus version a run trained on; re-read it byte-identical later,
+    * within retention). */
+  def readStateAt(spark: SparkSession, statePath: String, schema: StructType,
+                  version: Long,
+                  onlyBuckets: Option[Seq[Long]] = None): DataFrame =
+    readStateOf(spark, statePath,
+      Some(manifestAt(spark, statePath, version)), schema, onlyBuckets)
+
+  /** Highest retained version published at-or-before `tsMillis` (AS OF
+    * TIMESTAMP). Publish mtimes are monotone in version (single-driver
+    * publishes, one rename each), so this is well-defined; a timestamp
+    * older than the retained history fails LOUD — answering it with the
+    * oldest survivor would silently misdate the snapshot. */
+  def versionAsOf(spark: SparkSession, statePath: String,
+                  tsMillis: Long): Long = {
+    val h = history(spark, statePath)
+    require(h.nonEmpty, s"no manifest has ever been published at $statePath")
+    val at = h.filter(_._2 <= tsMillis)
+    if (at.isEmpty) throw new IllegalStateException(
+      s"as-of $tsMillis predates the oldest retained manifest at " +
+        s"$statePath (version ${h.head._1}, published ${h.head._2}) — " +
+        "earlier history has been vacuumed; an exact as-of read older " +
+        "than retention cannot be answered")
+    at.last._1
+  }
+
+  /** [[readStateAt]] resolved by publish time instead of version. */
+  def readStateAsOf(spark: SparkSession, statePath: String,
+                    schema: StructType, tsMillis: Long): DataFrame =
+    readStateAt(spark, statePath, schema,
+      versionAsOf(spark, statePath, tsMillis))
+
   private[cdc] def readManifest(spark: SparkSession, statePath: String,
                                 version: Long): Manifest = {
     val (fs, _) = hfs(spark, statePath)

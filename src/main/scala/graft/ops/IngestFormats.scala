@@ -115,7 +115,14 @@ object IngestFormats {
     * the sink's evolution path (one-time full merge + full manifest
     * publish) runs inside the graded query — the claim the spec-level
     * footer checks could not grade end-to-end before. */
-  def cdcEvolve(spark: SparkSession, dir: String): DataFrame = {
+  def cdcEvolve(spark: SparkSession, dir: String): DataFrame =
+    cdcEvolveStaged(spark, dir, (_, f) => f())
+
+  /** [[cdcEvolve]] with a stage hook so the dev profiler can time each
+    * lifecycle phase without a drift-prone copy of the query; `stage`
+    * MUST invoke its thunk exactly once. */
+  private[graft] def cdcEvolveStaged(spark: SparkSession, dir: String,
+      stage: (String, () => Unit) => Unit): DataFrame = {
     import graft.cdc._
     import graft.model._
     import org.apache.spark.sql.types._
@@ -172,10 +179,10 @@ object IngestFormats {
         try q.stop() finally pipe.releaseLeases()
       }
     }
-    writePhase(phase1, first = true)
-    run(schemaV1)
-    writePhase(phase2, first = false)
-    run(schemaV2)
+    stage("feed-phase1", () => writePhase(phase1, first = true))
+    stage("run-v1", () => run(schemaV1))
+    stage("feed-phase2", () => writePhase(phase2, first = false))
+    stage("run-v2-evolve", () => run(schemaV2))
     ManifestStore.readState(spark, sinkRoot + "/orders",
         StructType(schemaV2.fields))
       .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("o_totalprice"),

@@ -387,4 +387,66 @@ object Maintenance {
       .parquet(scala.collection.immutable.ArraySeq.unsafeWrapArray(files): _*)
       .filter(exact).drop(b)
   }
+
+  /** Driver query for manifest TIME TRAVEL (snapshot reproducibility — the
+    * primitive a training pipeline pins a corpus version with): publish
+    * version 1 as a full snapshot of orders (one row per key:
+    * `val = max(round(o_totalprice,2))`, key-grouped so duplicate-pk
+    * fixtures stay well-defined), then commit a version-2 batch that
+    * UPDATES keys %3==1 to `CAST(max(o_custkey) AS DOUBLE)` and DELETES
+    * keys %3==2 (the new full content of exactly the touched buckets),
+    * then read BOTH the pinned version-1 snapshot
+    * ([[graft.cdc.ManifestStore.readStateAt]]) and the current state,
+    * full-outer-joined per key. The publish-time resolution is asserted
+    * inline: a timestamp captured between the publishes must resolve AS OF
+    * to version 1. Any snapshot-isolation failure — the v1 read seeing
+    * v2's update or delete, the as-of misresolving, a vacuumed v1 —
+    * hash-mismatches (or fails loud) against the analytic oracle. */
+  def timeTravelQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.cdc.{BucketedUpsertSink, ManifestStore}
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+    val b = BucketedUpsertSink.BucketCol
+    val root = TwoBatchScratch.freshRoot(spark, "graft_timetravel")
+    val path = s"$root/state"
+    val n = 8
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("val", DoubleType)))
+    val base = Tables(spark, dir, "orders")
+      .groupBy(col("o_orderkey"))
+      .agg(max(round(col("o_totalprice"), 2)).as("val"),
+        max(col("o_custkey")).as("ck"))
+    val staged = ManifestStore.stageFull(spark, path,
+      base.select(col("o_orderkey"), col("val")), "o_orderkey", n,
+      Seq("o_orderkey"))
+    ManifestStore.publishFull(spark, path, staged)
+    val tsAfterV1 = System.currentTimeMillis()
+    Thread.sleep(5) // v2's publish mtime must sit strictly after the anchor
+    val bucketed = base
+      .withColumn(b, BucketedUpsertSink.bucketOf(col("o_orderkey"), n))
+    // bounded collect: at most n=8 bucket ids
+    val touched = bucketed.filter(pmod(col("o_orderkey"), lit(3)) =!= 0)
+      .select(col(b)).distinct().collect().map(_.getLong(0)).toSeq
+    val merged = bucketed
+      .filter(col(b).isin(touched: _*) &&
+        pmod(col("o_orderkey"), lit(3)) =!= 2)
+      .select(col("o_orderkey"),
+        when(pmod(col("o_orderkey"), lit(3)) === 1,
+          col("ck").cast("double")).otherwise(col("val")).as("val"),
+        col(b))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    try ManifestStore.commitBatch(spark, path, merged, touched, n,
+      Seq("o_orderkey"))
+    finally { merged.unpersist(); () }
+    val asOf = ManifestStore.versionAsOf(spark, path, tsAfterV1)
+    require(asOf == 1L,
+      s"as-of resolution drifted: the anchor between the publishes must " +
+        s"resolve to version 1, got $asOf")
+    val v1 = ManifestStore.readStateAt(spark, path, schema, 1L)
+      .select(col("o_orderkey"), col("val").as("val_v1"))
+    val now = ManifestStore.readState(spark, path, schema)
+      .select(col("o_orderkey"), col("val").as("val_now"))
+    v1.join(now, Seq("o_orderkey"), "full_outer")
+      .select(col("o_orderkey"), col("val_v1"), col("val_now"))
+      .orderBy(col("o_orderkey"))
+  }
 }

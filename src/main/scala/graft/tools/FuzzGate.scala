@@ -39,6 +39,9 @@ import org.apache.spark.sql.functions._
   *
   * Dev tool, not part of the engine surface.
   * Usage: runMain graft.tools.FuzzGate [srcDir] [outRoot] [variant...]
+  *   `--stage-only` among the variants stages the listed fixtures and
+  *   skips the dump — iterate one query over them with VerifySome +
+  *   check_oracle.py instead of paying the full sweep per variant.
   */
 object FuzzGate {
   val TableNames: Seq[String] = Seq("region", "nation", "customer",
@@ -288,7 +291,12 @@ object FuzzGate {
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
     val outRoot = if (args.length > 1) args(1) else "/tmp/graft-fuzz"
-    val which = if (args.length > 2) args.drop(2).toSeq else Variants
+    val rest = if (args.length > 2) args.drop(2).toSeq else Variants
+    val stageOnly = rest.contains("--stage-only")
+    val which = rest.filterNot(_ == "--stage-only") match {
+      case Seq() => Variants
+      case vs => vs
+    }
     which.foreach(v => require(Variants.contains(v), s"unknown variant: $v"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = graft.GraftSession.get(s"local[$cpus]", cpus.toInt)
@@ -297,18 +305,22 @@ object FuzzGate {
       val outDir = s"$outRoot/$v/out"
       println(s"== [$v] staging -> $dataDir")
       stage(spark, src, dataDir, v)
-      println(s"== [$v] dumping 180 queries -> $outDir")
-      val errs = graft.Verify.dump(spark, dataDir, outDir)
-      // per-variant Spark-side failure messages for the python gate's
-      // declared-contract cross-reference (truncated: a require message
-      // names its repair in the first lines)
-      val json = errs.toSeq.sortBy(_._1)
-        .map { case (k, m) =>
-          s"${graft.Verify.q(k)}: ${graft.Verify.q(m.take(400))}" }
-        .mkString("{", ",", "}")
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(s"$outDir/errors.json"), json)
-      println(s"== [$v] done: ${errs.size} spark-side failures")
+      if (stageOnly) {
+        println(s"== [$v] staged (--stage-only)")
+      } else {
+        println(s"== [$v] dumping 180 queries -> $outDir")
+        val errs = graft.Verify.dump(spark, dataDir, outDir)
+        // per-variant Spark-side failure messages for the python gate's
+        // declared-contract cross-reference (truncated: a require message
+        // names its repair in the first lines)
+        val json = errs.toSeq.sortBy(_._1)
+          .map { case (k, m) =>
+            s"${graft.Verify.q(k)}: ${graft.Verify.q(m.take(400))}" }
+          .mkString("{", ",", "}")
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$outDir/errors.json"), json)
+        println(s"== [$v] done: ${errs.size} spark-side failures")
+      }
       // drop inter-variant leftovers (cached plans, checkpoint blocks) so
       // variant N+1 doesn't run under variant N's storage pressure
       spark.catalog.clearCache()

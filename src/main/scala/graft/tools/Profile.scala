@@ -240,6 +240,14 @@ object Profile {
           time(s"batch-$frac-$tag")(graft.ops.IncrementalDedup.updateLsh(
             spark, st, batch, batchId = Some(1L), buckets = buckets).count())
         }
+      case "cdcevolve" =>
+        // per-lifecycle-stage breakdown of the r13 evolution query; run
+        // twice so the cold-JVM share is visible per stage
+        (1 to 2).foreach { rep =>
+          val out = graft.ops.IngestFormats.cdcEvolveStaged(spark, sfDir,
+            (name, f) => time(s"evolve-$rep-$name") { f(); 0L })
+          time(s"evolve-$rep-final-read")(out.count())
+        }
       case "pipeline" =>
         time("pipeline")(graft.SparkEntry.queries("q_dedup_pipeline")(spark, sfDir).count())
       case "streamlat" =>

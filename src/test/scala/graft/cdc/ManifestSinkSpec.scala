@@ -181,6 +181,68 @@ class ManifestSinkSpec extends SparkSpec {
     assert(manifests.length === 1, manifests.mkString(","))
   }
 
+  test("time travel: readStateAt pins a version's exact content across " +
+    "later updates/deletes; history and as-of resolve publishes in order") {
+    val path = tmpDir("mtt") + "/t"
+    applyM(path, batchDf(("create", 1, 10L), ("create", 2, 20L), ("create", 3, 30L)))
+    Thread.sleep(5) // publish mtimes must be distinguishable for as-of
+    applyM(path, batchDf(("update", 1, 11L), ("delete", 2, null)))
+    Thread.sleep(5)
+    applyM(path, batchDf(("create", 4, 40L)))
+
+    def rowsAt(v: Long): Set[(Int, Long)] =
+      ManifestStore.readStateAt(spark, path, payload, v)
+        .drop(BucketedUpsertSink.BucketCol)
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(rowsAt(1L) === Set((1, 10L), (2, 20L), (3, 30L)),
+      "v1 must read exactly what v1 published, after two later commits")
+    assert(rowsAt(2L) === Set((1, 11L), (3, 30L)))
+    assert(rowsAt(3L) === stateRows(path),
+      "the latest version must equal the current read")
+
+    val h = ManifestStore.history(spark, path)
+    assert(h.map(_._1) === Seq(1L, 2L, 3L))
+    assert(h.map(_._2) === h.map(_._2).sorted,
+      "publish mtimes must be monotone in version")
+    assert(ManifestStore.versionAsOf(spark, path, h(1)._2) === 2L,
+      "as-of at exactly v2's publish time resolves to v2 (at-or-before)")
+    assert(ManifestStore.versionAsOf(spark, path,
+      System.currentTimeMillis()) === 3L)
+    val asOfRows = ManifestStore.readStateAsOf(spark, path, payload, h(1)._2)
+      .drop(BucketedUpsertSink.BucketCol)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(asOfRows === rowsAt(2L))
+  }
+
+  test("time travel fails LOUD outside retention: a vacuumed version " +
+    "names the retained range; an as-of older than history refuses") {
+    val path = tmpDir("mttvac") + "/t"
+    applyM(path, batchDf(("create", 1, 10L)))
+    Thread.sleep(5)
+    applyM(path, batchDf(("update", 1, 11L)))
+    Thread.sleep(5)
+    applyM(path, batchDf(("update", 1, 12L)))
+    ManifestStore.vacuum(spark, path, keepVersions = 1, minAgeMs = 0L)
+    val gone = intercept[IllegalStateException] {
+      ManifestStore.manifestAt(spark, path, 1L)
+    }
+    assert(gone.getMessage.contains("not retained") &&
+      gone.getMessage.contains("[3..3]"), gone.getMessage)
+    val never = intercept[IllegalStateException] {
+      ManifestStore.manifestAt(spark, path, 99L)
+    }
+    assert(never.getMessage.contains("not retained"), never.getMessage)
+    val early = intercept[IllegalStateException] {
+      ManifestStore.versionAsOf(spark, path, 1L)
+    }
+    assert(early.getMessage.contains("predates"), early.getMessage)
+    // the retained version still time-travels fine
+    assert(ManifestStore.readStateAt(spark, path, payload, 3L)
+      .drop(BucketedUpsertSink.BucketCol)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet ===
+      Set((1, 12L)))
+  }
+
   test("review r13: vacuum is supersession-timed — a long-carried bucket " +
     "dir outlasts K rapid supersessions until the oldest KEPT manifest " +
     "passes the age floor; an everything-pruned read keeps the store schema") {
