@@ -311,18 +311,29 @@ object BucketedUpsertSink {
     // column or a changed type pays a one-time full merge + full publish so
     // no two live bucket dirs ever disagree on physical types. The resolved
     // manifest `m` is threaded through every read and the commit — ONE
-    // manifest parse per batch (review r13 #6).
+    // manifest parse per batch (review r13 #6). The check itself probes ONE
+    // bucket dir's footer: the invariant this guard enforces is that every
+    // live dir carries the same physical schema, so one dir answers for the
+    // store — a frame over every live dir here cost an O(total buckets)
+    // file listing per batch (the r13 `ScaleCurve manifest` batch measured
+    // it as the only per-commit term that grew with store size; at
+    // object-store scale it is a per-batch LIST storm). An empty manifest
+    // has no stored schema to disagree with — nothing to check.
     m.foreach { mm =>
-      val full = ManifestStore.readStateOf(spark, statePath, Some(mm),
-        payloadSchema)
-      val storedTypes = full.schema.filterNot(_.name == BucketCol)
-        .map(f => f.name -> f.dataType).toMap
-      val evolved = changes.schema
-        .filterNot(f => f.name == "op" || f.name == UpsertSink.PresentCol)
-        .exists(f => !storedTypes.get(f.name).contains(f.dataType))
-      if (evolved) {
-        fullRewrite(full.drop(BucketCol))
-        return
+      if (mm.buckets.nonEmpty) {
+        val refDir = s"$statePath/${mm.buckets.minBy(_._1)._2.relDir}"
+        val storedTypes = spark.read.parquet(refDir).schema
+          .filterNot(_.name == BucketCol)
+          .map(f => f.name -> f.dataType).toMap
+        val evolved = changes.schema
+          .filterNot(f => f.name == "op" || f.name == UpsertSink.PresentCol)
+          .exists(f => !storedTypes.get(f.name).contains(f.dataType))
+        if (evolved) {
+          val full = ManifestStore.readStateOf(spark, statePath, Some(mm),
+            payloadSchema)
+          fullRewrite(full.drop(BucketCol))
+          return
+        }
       }
     }
     val withBucket = changes.withColumn(BucketCol, bucketOf(col(pk), numBuckets))

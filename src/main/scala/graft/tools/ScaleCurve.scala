@@ -53,6 +53,10 @@ object ScaleCurve {
     // under test is steady-batch TWSBATCH times FLAT across factors while
     // stateRows grows fac x. Bytes print per trigger.
     val twsState = args.length > 1 && args.drop(1).contains("twsstate")
+    // `manifest` measures the manifest-layout sink's commit/resolve/
+    // time-travel/vacuum costs with nbuckets scaled to held rows and the
+    // batch pinned — the O(touched buckets) posture, measured (r13).
+    val manifestCurve = args.length > 1 && args.drop(1).contains("manifest")
     // `r7` measures the round-7 batch ops: the compaction APPLY rewrite
     // (expected: I/O-linear in corpus bytes), the real-codec PNG
     // encode+decode roundtrip (row-linear, partition-parallel), and the
@@ -137,7 +141,7 @@ object ScaleCurve {
       // engine-side blanket reshuffle was measured a loss.
       // skew/twsstate-only runs skip the shared fact staging entirely: those
       // tiers stage their own feeds, and lineitem x200+ in /tmp is pure waste
-      val skewOnly = (skew || twsState) && !(nearDup || stream || bpe || r6 ||
+      val skewOnly = (skew || twsState || manifestCurve) && !(nearDup || stream || bpe || r6 ||
         b5 || b6 || b9 || tws || r7 || r8 || r8c || r9)
       if (fac != 1 && !skewOnly) {
         replicate(spark.read.parquet(s"$sf/lineitem.parquet"),
@@ -354,6 +358,63 @@ object ScaleCurve {
         drainS("traillog")(graft.streaming.StreamTrailLog.start(
           spark, s"$sroot/trail/feed", s"$sroot/trail/out", s"$sroot/trail/ckpt"))
         sfs2.delete(spth, true)
+        ()
+      }
+
+      if (manifestCurve) {
+        // the manifest-layout commit-cost axes (r13): with the bucket
+        // modulus scaled to the data (constant ~1.5k rows/bucket — the
+        // production layout rule), a micro-batch confined to a BOUNDED
+        // bucket set must cost the same no matter how many rows the store
+        // HOLDS, and the per-scan manifest resolve must stay a
+        // few-millisecond text parse as the bucket count grows. fac scales
+        // held rows and nbuckets TOGETHER; batch volume and the touched
+        // bucket set are pinned. No fixture staging (synthetic keys).
+        import graft.cdc.{BucketedUpsertSink, ManifestStore}
+        import org.apache.spark.sql.types.{LongType, StructField, StructType}
+        val held = 100000L * fac
+        val nb = 64 * fac
+        val mroot = s"/tmp/graft-scurve-manifest-$fac"
+        val mpth = new org.apache.hadoop.fs.Path(mroot)
+        val mfs = mpth.getFileSystem(spark.sessionState.newHadoopConf())
+        mfs.delete(mpth, true)
+        val mpath = s"$mroot/state"
+        val payload = StructType(Seq(
+          StructField("id", LongType), StructField("score", LongType)))
+        val freshM = spark.range(held).select(col("id"), col("id").as("score"))
+        time("manifest_publish", fac) {
+          val st = ManifestStore.stageFull(spark, mpath, freshM, "id", nb,
+            Seq("score"))
+          ManifestStore.publishFull(spark, mpath, st); held
+        }
+        // pinned batch: 10k updates confined to the first 8 buckets — the
+        // clustered-batch shape the layout's O(touched buckets) claim is
+        // about (each bucket holds ~1.5k rows at every fac, so the batch
+        // rewrites ~12k rows regardless of held volume)
+        val batchIds = spark.range(held)
+          .filter(BucketedUpsertSink.bucketOf(col("id"), nb) < 8)
+          .limit(10000).select(col("id")).localCheckpoint(true)
+        (1 to 5).foreach { i =>
+          val changes = batchIds.select(lit("update").as("op"), col("id"),
+            (col("id") + i).as("score"))
+          val t0 = System.nanoTime()
+          BucketedUpsertSink.applyBatch(spark, mpath, changes, "id", nb,
+            Some(payload), manifest = true, statCols = Seq("score"))
+          println(f"MANIFESTBATCH x$fac commit=$i " +
+            f"${(System.nanoTime() - t0) / 1e9}%6.3f s in=10000 touched<=8")
+        }
+        time("manifest_resolve", fac) {
+          ManifestStore.currentManifest(spark, mpath).get.buckets.size.toLong
+        }
+        time("manifest_timetravel", fac)(
+          ManifestStore.readStateAt(spark, mpath, payload, 1L).count())
+        time("manifest_read_now", fac)(
+          ManifestStore.readState(spark, mpath, payload).count())
+        time("manifest_vacuum", fac) {
+          ManifestStore.vacuum(spark, mpath, keepVersions = 2, minAgeMs = 0L)
+          0L
+        }
+        mfs.delete(mpth, true)
         ()
       }
 
