@@ -106,6 +106,9 @@ object SparkEntry {
     // version-2 update/delete commit; as-of-timestamp resolution asserted
     // inline; v1-vs-current full-outer compared per key and oracle-graded
     "q_manifest_timetravel" -> ((s, d) => Maintenance.timeTravelQuery(s, d)),
+    // manifest CHANGE DATA FEED: the row-level v1->v2 delta (insert/delete,
+    // update = delete+insert) read from ONLY the changed buckets
+    "q_manifest_cdf" -> ((s, d) => Maintenance.cdfQuery(s, d)),
     // REAL audio roundtrip: javax.sound.sampled encodes deterministic PCM
     // WAVs and decodes them back; rate/channels/frames/sample-checksum are
     // oracle-graded (PCM WAV is lossless)
@@ -1573,6 +1576,27 @@ object SparkEntry {
         |       WHEN ((o_orderkey % 3) + 3) % 3 = 2 THEN NULL
         |       ELSE val END AS val_now
         |FROM b ORDER BY o_orderkey""".stripMargin,
+
+    // Manifest change data feed over the same two-version store: deletes
+    // carry the v1 value (updated keys' old rows, removed keys' rows),
+    // inserts the v2 value; an "update" that wrote the identical value
+    // cancels in the engine's null-safe set difference — IS DISTINCT FROM
+    // mirrors that. Untouched keys (%3==0) never appear.
+    "q_manifest_cdf" ->
+      """WITH b AS (SELECT o_orderkey,
+        |             max(round(o_totalprice, 2)) AS val,
+        |             max(o_custkey) AS ck
+        |           FROM orders GROUP BY o_orderkey),
+        |m AS (SELECT o_orderkey, val, CAST(ck AS DOUBLE) AS nv,
+        |        ((o_orderkey % 3) + 3) % 3 AS r FROM b)
+        |SELECT o_orderkey, val, 'delete' AS _change FROM m WHERE r = 2
+        |UNION ALL
+        |SELECT o_orderkey, val, 'delete' FROM m
+        |WHERE r = 1 AND val IS DISTINCT FROM nv
+        |UNION ALL
+        |SELECT o_orderkey, nv AS val, 'insert' FROM m
+        |WHERE r = 1 AND val IS DISTINCT FROM nv
+        |ORDER BY o_orderkey, _change""".stripMargin,
 
     // Real-codec WAV roundtrip: the Spark side ENCODES deterministic
     // 16-bit PCM per doc and DECODES it with javax.sound.sampled; the

@@ -215,6 +215,50 @@ object ManifestStore {
     readStateAt(spark, statePath, schema,
       versionAsOf(spark, statePath, tsMillis))
 
+  /** CHANGE DATA FEED between two retained versions: the row-level delta a
+    * downstream consumer applies to move a copy from `fromVersion`'s state
+    * to `toVersion`'s without rescanning the store — payload columns plus
+    * `_change` ('insert' | 'delete'; an updated key emits delete(old) +
+    * insert(new)). Only buckets whose manifest entries DIFFER between the
+    * two versions are read (an untouched bucket's entry is carried forward
+    * byte-identical, so entry inequality is exactly the touched set);
+    * within them, unchanged rows cancel in the null-safe set difference.
+    * Cost: O(changed-bucket content) read + one except shuffle — never a
+    * full-store diff. Both versions must be inside vacuum retention
+    * ([[manifestAt]] fails loud otherwise). */
+  def changesBetween(spark: SparkSession, statePath: String,
+                     schema: StructType, fromVersion: Long,
+                     toVersion: Long): DataFrame = {
+    require(fromVersion < toVersion,
+      s"changesBetween needs fromVersion < toVersion, got " +
+        s"$fromVersion >= $toVersion")
+    val a = manifestAt(spark, statePath, fromVersion)
+    val b = manifestAt(spark, statePath, toVersion)
+    val changed = (a.buckets.keySet ++ b.buckets.keySet).toSeq.sorted
+      .filter(k => a.buckets.get(k).map(_.relDir) !=
+        b.buckets.get(k).map(_.relDir))
+    val oldDf = readStateOf(spark, statePath, Some(a), schema,
+      Some(changed.filter(a.buckets.contains))).drop(BucketedUpsertSink.BucketCol)
+    val newDf = readStateOf(spark, statePath, Some(b), schema,
+      Some(changed.filter(b.buckets.contains))).drop(BucketedUpsertSink.BucketCol)
+    oldDf.except(newDf).withColumn("_change", lit("delete"))
+      .unionByName(newDf.except(oldDf).withColumn("_change", lit("insert")))
+  }
+
+  /** [[changesBetween]] from `fromVersion` to the current version; empty
+    * (same schema) when the store is already at `fromVersion`. */
+  def changesSince(spark: SparkSession, statePath: String,
+                   schema: StructType, fromVersion: Long): DataFrame = {
+    val cur = currentManifest(spark, statePath).getOrElse(throw
+      new IllegalStateException(
+        s"no manifest has ever been published at $statePath")).version
+    if (cur == fromVersion)
+      readStateAt(spark, statePath, schema, fromVersion)
+        .drop(BucketedUpsertSink.BucketCol)
+        .filter(lit(false)).withColumn("_change", lit(""))
+    else changesBetween(spark, statePath, schema, fromVersion, cur)
+  }
+
   private[cdc] def readManifest(spark: SparkSession, statePath: String,
                                 version: Long): Manifest = {
     val (fs, _) = hfs(spark, statePath)

@@ -403,10 +403,46 @@ object Maintenance {
     * v2's update or delete, the as-of misresolving, a vacuumed v1 —
     * hash-mismatches (or fails loud) against the analytic oracle. */
   def timeTravelQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.cdc.ManifestStore
+    val (path, schema) = twoVersionOrdersStore(spark, dir, "graft_timetravel")
+    val v1 = ManifestStore.readStateAt(spark, path, schema, 1L)
+      .select(col("o_orderkey"), col("val").as("val_v1"))
+    val now = ManifestStore.readState(spark, path, schema)
+      .select(col("o_orderkey"), col("val").as("val_now"))
+    v1.join(now, Seq("o_orderkey"), "full_outer")
+      .select(col("o_orderkey"), col("val_v1"), col("val_now"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Driver query for the manifest CHANGE DATA FEED: over the same
+    * two-version store as [[timeTravelQuery]], emit
+    * [[graft.cdc.ManifestStore.changesBetween]](v1 -> v2) — the row-level
+    * delta a downstream consumer applies to catch up. DELETEs carry the v1
+    * value (updated keys' old rows and removed keys' rows), INSERTs the v2
+    * value; a key whose "update" coincidentally wrote the identical value
+    * cancels in the null-safe set difference and emits nothing — the
+    * oracle mirrors that with IS DISTINCT FROM. */
+  def cdfQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.cdc.ManifestStore
+    val (path, schema) = twoVersionOrdersStore(spark, dir, "graft_cdf")
+    ManifestStore.changesBetween(spark, path, schema, 1L, 2L)
+      .orderBy(col("o_orderkey"), col("_change"))
+  }
+
+  /** The shared two-version manifest store the time-travel and CDF driver
+    * queries grade against one analytic oracle: version 1 holds one row
+    * per orders key (`val = max(round(o_totalprice,2))`, key-grouped so
+    * duplicate-pk fixtures stay well-defined); version 2 UPDATES keys
+    * %3==1 to `CAST(max(o_custkey) AS DOUBLE)` and DELETES keys %3==2 via
+    * a commit whose `merged` is the new full content of exactly the
+    * touched buckets. The as-of anchor between the publishes is asserted
+    * inline (it must resolve to version 1). */
+  private def twoVersionOrdersStore(spark: SparkSession, dir: String,
+      scratchPrefix: String): (String, org.apache.spark.sql.types.StructType) = {
     import graft.cdc.{BucketedUpsertSink, ManifestStore}
     import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
     val b = BucketedUpsertSink.BucketCol
-    val root = TwoBatchScratch.freshRoot(spark, "graft_timetravel")
+    val root = TwoBatchScratch.freshRoot(spark, scratchPrefix)
     val path = s"$root/state"
     val n = 8
     val schema = StructType(Seq(
@@ -441,12 +477,6 @@ object Maintenance {
     require(asOf == 1L,
       s"as-of resolution drifted: the anchor between the publishes must " +
         s"resolve to version 1, got $asOf")
-    val v1 = ManifestStore.readStateAt(spark, path, schema, 1L)
-      .select(col("o_orderkey"), col("val").as("val_v1"))
-    val now = ManifestStore.readState(spark, path, schema)
-      .select(col("o_orderkey"), col("val").as("val_now"))
-    v1.join(now, Seq("o_orderkey"), "full_outer")
-      .select(col("o_orderkey"), col("val_v1"), col("val_now"))
-      .orderBy(col("o_orderkey"))
+    (path, schema)
   }
 }

@@ -214,6 +214,37 @@ class ManifestSinkSpec extends SparkSpec {
     assert(asOfRows === rowsAt(2L))
   }
 
+  test("change data feed: v->w emits exactly the row-level delta " +
+    "(update = delete+insert), reads only changed buckets, and spans " +
+    "multiple commits; malformed ranges refuse") {
+    val path = tmpDir("mcdf") + "/t"
+    applyM(path, batchDf(("create", 1, 10L), ("create", 2, 20L), ("create", 3, 30L)))
+    applyM(path, batchDf(("update", 1, 11L), ("delete", 2, null)))
+    applyM(path, batchDf(("create", 4, 40L)))
+
+    def cdf(from: Long, to: Long): Set[(Int, Long, String)] =
+      ManifestStore.changesBetween(spark, path, payload, from, to)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getString(2))).toSet
+    assert(cdf(1L, 2L) === Set(
+      (1, 10L, "delete"), (1, 11L, "insert"), (2, 20L, "delete")))
+    assert(cdf(2L, 3L) === Set((4, 40L, "insert")))
+    // spanning delta composes the two commits
+    assert(cdf(1L, 3L) === Set(
+      (1, 10L, "delete"), (1, 11L, "insert"), (2, 20L, "delete"),
+      (4, 40L, "insert")))
+    // changesSince at the current version is an EMPTY delta, same columns
+    val since = ManifestStore.changesSince(spark, path, payload, 3L)
+    assert(since.count() === 0L)
+    assert(since.columns.contains("_change"))
+    assert(ManifestStore.changesSince(spark, path, payload, 1L)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getString(2))).toSet
+      === cdf(1L, 3L))
+    val bad = intercept[IllegalArgumentException] {
+      ManifestStore.changesBetween(spark, path, payload, 3L, 3L)
+    }
+    assert(bad.getMessage.contains("fromVersion < toVersion"), bad.getMessage)
+  }
+
   test("time travel fails LOUD outside retention: a vacuumed version " +
     "names the retained range; an as-of older than history refuses") {
     val path = tmpDir("mttvac") + "/t"
