@@ -109,6 +109,11 @@ object SparkEntry {
     // manifest CHANGE DATA FEED: the row-level v1->v2 delta (insert/delete,
     // update = delete+insert) read from ONLY the changed buckets
     "q_manifest_cdf" -> ((s, d) => Maintenance.cdfQuery(s, d)),
+    // OPTIMISTIC CONCURRENT WRITERS: two real threads race four online
+    // repair commits into one live manifest store through the claim
+    // protocol; key-disjoint writes make the interleaving-independent
+    // final state oracle-gradable — a lost update hash-mismatches
+    "q_occ_writers" -> ((s, d) => Maintenance.occDisjointQuery(s, d)),
     // REAL audio roundtrip: javax.sound.sampled encodes deterministic PCM
     // WAVs and decodes them back; rate/channels/frames/sample-checksum are
     // oracle-graded (PCM WAV is lossless)
@@ -1597,6 +1602,25 @@ object SparkEntry {
         |SELECT o_orderkey, nv AS val, 'insert' FROM m
         |WHERE r = 1 AND val IS DISTINCT FROM nv
         |ORDER BY o_orderkey, _change""".stripMargin,
+
+    // Optimistic concurrent writers over the manifest store: the final
+    // state after two racing writer threads (2 commits each) is
+    // deterministic because the key sets are disjoint — each key's final
+    // value depends only on WHICH writer owns it, never on the commit
+    // interleaving. A lost update (the class the claim protocol prevents)
+    // leaves the base `val` behind and hash-mismatches.
+    "q_occ_writers" ->
+      """WITH b AS (SELECT o_orderkey,
+        |             max(round(o_totalprice, 2)) AS val,
+        |             max(o_custkey) AS ck
+        |           FROM orders GROUP BY o_orderkey)
+        |SELECT o_orderkey,
+        |  CASE ((o_orderkey % 4) + 4) % 4
+        |    WHEN 0 THEN CAST(ck AS DOUBLE) + 0.5
+        |    WHEN 1 THEN val + 1.0
+        |    WHEN 2 THEN CAST(ck AS DOUBLE) + 0.25
+        |    ELSE val + 2.0 END AS val
+        |FROM b ORDER BY o_orderkey""".stripMargin,
 
     // Real-codec WAV roundtrip: the Spark side ENCODES deterministic
     // 16-bit PCM per doc and DECODES it with javax.sound.sampled; the

@@ -337,22 +337,32 @@ object BucketedUpsertSink {
       }
     }
     val withBucket = changes.withColumn(BucketCol, bucketOf(col(pk), numBuckets))
-    val touched = withBucket.select(BucketCol).distinct()
-      .collect().map(_.getLong(0)).sorted.toSeq
-    if (touched.isEmpty) return
-    val state = m match {
-      case Some(mm) =>
-        ManifestStore.readStateOf(spark, statePath, Some(mm), payloadSchema,
-          Some(touched)).drop(BucketCol)
-      case None =>
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], payloadSchema)
-    }
-    val merged = UpsertSink.applyBatch(state, withBucket.drop(BucketCol), pk)
-      .withColumn(BucketCol, bucketOf(col(pk), numBuckets))
-      .persist()
-    try ManifestStore.commitBatch(spark, statePath, merged, touched,
-      numBuckets, effStatCols, prev = m)
-    finally { merged.unpersist(); () }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    try {
+      val touched = withBucket.select(BucketCol).distinct()
+        .collect().map(_.getLong(0)).sorted.toSeq
+      if (touched.isEmpty) return
+      // OPTIMISTIC commit (r13): the merge is a CLOSURE over the base
+      // manifest so a conflicting concurrent commit (an online repair /
+      // backfill landing between our state read and our publish) makes
+      // the loop re-merge against the winner's state instead of silently
+      // clobbering it. The in-pipeline path is lease-serialized, so the
+      // first attempt wins there and this costs one claim-file create.
+      def computeMerged(base: Option[ManifestStore.Manifest]) = {
+        val state = base match {
+          case Some(mm) =>
+            ManifestStore.readStateOf(spark, statePath, Some(mm), payloadSchema,
+              Some(touched)).drop(BucketCol)
+          case None =>
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], payloadSchema)
+        }
+        UpsertSink.applyBatch(state, withBucket.drop(BucketCol), pk)
+          .withColumn(BucketCol, bucketOf(col(pk), numBuckets))
+      }
+      ManifestStore.commitBatchOptimistic(spark, statePath, touched,
+        numBuckets, effStatCols, prev = Some(m))(computeMerged)
+      ()
+    } finally { withBucket.unpersist(); () }
   }
 }

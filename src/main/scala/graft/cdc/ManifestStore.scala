@@ -37,9 +37,14 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * a crash before the manifest rename leaves an orphan commit dir (never
   * referenced, reaped by [[vacuum]] once old enough); the rename itself is
   * atomic; a crash after publish before vacuum leaves garbage the next
-  * vacuum collects. Concurrent publishes of the same version (two writers —
-  * outside the single-driver contract [[DriverLease]] enforces) fail LOUD
-  * on the rename instead of last-write-wins.
+  * vacuum collects. Concurrent writers are FIRST-CLASS (r13): version
+  * publication is mutually exclusive through an atomic create-exclusive
+  * claim file (see the publish-protocol block below), and
+  * [[commitBatchOptimistic]] runs the Delta-style optimistic loop on top —
+  * rebase on disjoint-bucket conflicts, recompute on overlap — so an
+  * online repair or backfill can commit safely WHILE the stream writes
+  * (the single-driver [[DriverLease]] still serializes the pipeline's own
+  * writers; the store no longer depends on it for integrity).
   *
   * 100 TB posture: the manifest is O(buckets) text resolved once per scan
   * (the Delta `_last_checkpoint` shape); per-commit work is one bounded
@@ -312,27 +317,161 @@ object ManifestStore {
     (header ++ rows).mkString("", "\n", "\n")
   }
 
-  /** Publish a manifest version: hidden tmp + ONE atomic rename. A failed
-    * rename (destination exists — a concurrent publish of the same version,
-    * outside the single-writer contract) fails loud rather than
-    * last-write-wins. */
-  private def writeManifest(spark: SparkSession, statePath: String,
-                            m: Manifest): Unit = {
+  // ---------------------------------------------------------------------
+  // Optimistic-concurrency publish protocol (r13). The naive tmp+rename
+  // publish is NOT loud under a real two-writer race on a POSIX filesystem:
+  // Hadoop's RawLocalFileSystem.rename maps to rename(2), which silently
+  // REPLACES an existing destination — two writers publishing the same
+  // version would last-write-win and lose a commit without any error. The
+  // protocol below makes version publication mutually exclusive with the
+  // one atomic primitive every target filesystem has:
+  //
+  //  1. render the manifest to a hidden tmp file (invisible to readers);
+  //  2. CLAIM the version by atomically creating `manifest-v<V>.claim`
+  //     containing a fresh writer token (create-exclusive: O_CREAT|O_EXCL
+  //     locally, create(overwrite=false) on HDFS — atomic on both);
+  //  3. re-read the claim and verify the token is still OURS (fencing —
+  //     a takeover, below, invalidates a stalled claimant here);
+  //  4. one atomic rename tmp -> manifest-v<V>.txt. The claim owner is the
+  //     only renamer, so the rename never races.
+  //
+  // Crash recovery: a writer that dies between (2) and (4) leaves a claim
+  // with no manifest, which would wedge the version forever. A later
+  // writer that finds such a claim OLDER than `claimTakeoverMs` deletes
+  // and re-claims it (token fencing aborts the original claimant if it was
+  // merely stalled). Residual window, documented honestly: a claimant that
+  // stalls LONGER than claimTakeoverMs between the token re-read (3) and
+  // the rename (4) can still race the breaker's ms-scale publish — the
+  // same double-fault assumption (stall budget >> takeover threshold)
+  // every lease-based system, including [[DriverLease]], already makes.
+  // Delta-on-S3 has exactly this shape without an external lock service.
+  // ---------------------------------------------------------------------
+
+  /** Claim-takeover threshold: a version claim with no published manifest
+    * older than this is considered crashed and may be broken. Must be far
+    * above any plausible stall between claiming and renaming (the rename
+    * follows the claim within milliseconds on a healthy writer). */
+  val ClaimTakeoverMs: Long = 15L * 60L * 1000L
+
+  private def claimName(v: Long): String = f"manifest-v$v%012d.claim"
+  private val ClaimRe = """manifest-v(\d{12})\.claim""".r
+
+  /** Atomic create-exclusive of `p` with `token` as content: true iff WE
+    * created it. Local filesystems go through java.io.File.createNewFile
+    * (O_CREAT|O_EXCL — atomic); everything else through
+    * create(overwrite=false), which HDFS implements atomically. */
+  private def atomicClaim(fs: org.apache.hadoop.fs.FileSystem,
+                          p: org.apache.hadoop.fs.Path,
+                          token: String): Boolean = {
+    val created =
+      if (fs.getScheme == "file") {
+        val f = new java.io.File(p.toUri.getPath)
+        f.getParentFile.mkdirs()
+        try f.createNewFile() catch { case _: java.io.IOException => false }
+      } else {
+        try { fs.create(p, false).close(); true }
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+          case _: java.io.IOException if fs.exists(p) => false
+        }
+      }
+    if (created) {
+      // content write after the atomic create: only the creator writes it,
+      // and the fencing re-read treats empty/missing as NOT-OURS
+      val out = fs.create(p, true)
+      try out.write(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    created
+  }
+
+  private def claimTokenOf(fs: org.apache.hadoop.fs.FileSystem,
+                           p: org.apache.hadoop.fs.Path): Option[String] =
+    try {
+      val in = fs.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+      finally in.close()
+    } catch { case _: java.io.IOException => None }
+
+  /** Test seam: runs between the fencing token re-read and the rename.
+    * Production value is a no-op; the OCC spec uses it to steal the claim
+    * mid-publish and prove the fence aborts the stalled claimant. */
+  private[cdc] var occBeforeRenameHook: () => Unit = () => ()
+
+  private[cdc] sealed trait PublishOutcome
+  private[cdc] case object Published extends PublishOutcome
+  /** The target version is owned or already published by another writer
+    * (or our fencing check failed). The caller re-reads the latest
+    * manifest and rebases/recomputes. */
+  private[cdc] case object VersionTaken extends PublishOutcome
+
+  /** One optimistic publish attempt of manifest `m` under the claim
+    * protocol above. Never throws on contention — contention is a normal
+    * outcome ([[VersionTaken]]); it throws only on genuine I/O failure. */
+  private[cdc] def tryPublish(spark: SparkSession, statePath: String,
+                              m: Manifest,
+                              claimTakeoverMs: Long = ClaimTakeoverMs): PublishOutcome = {
     val (fs, root) = hfs(spark, statePath)
     fs.mkdirs(root)
+    val manifestP = new org.apache.hadoop.fs.Path(statePath, manifestName(m.version))
+    val claimP = new org.apache.hadoop.fs.Path(statePath, claimName(m.version))
+    if (fs.exists(manifestP)) return VersionTaken
+    val token = java.util.UUID.randomUUID().toString
+    var owned = atomicClaim(fs, claimP, token)
+    if (!owned) {
+      if (fs.exists(manifestP)) return VersionTaken
+      val age =
+        try System.currentTimeMillis() - fs.getFileStatus(claimP).getModificationTime
+        catch { case _: java.io.IOException => -1L } // vanished: retry next round
+      if (age < claimTakeoverMs) return VersionTaken // pending publisher
+      // crashed claimant: break the claim. The delete+reclaim pair races
+      // other breakers; exactly one wins the create-exclusive.
+      try { fs.delete(claimP, false); () } catch { case _: java.io.IOException => () }
+      owned = atomicClaim(fs, claimP, token)
+      if (!owned) return VersionTaken
+      if (fs.exists(manifestP)) return VersionTaken // zombie published meanwhile
+    }
     val tmp = new org.apache.hadoop.fs.Path(statePath,
       s".manifest-tmp-${java.util.UUID.randomUUID().toString.take(8)}")
     val out = fs.create(tmp, false)
     try out.write(renderManifest(m).getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    val dst = new org.apache.hadoop.fs.Path(statePath, manifestName(m.version))
-    if (!fs.rename(tmp, dst)) {
+    occBeforeRenameHook()
+    // fencing: if a breaker took the claim over while we stalled, abort
+    if (!claimTokenOf(fs, claimP).contains(token)) {
+      try { fs.delete(tmp, false); () } catch { case _: java.io.IOException => () }
+      return VersionTaken
+    }
+    if (!fs.rename(tmp, manifestP)) {
       try { fs.delete(tmp, false); () } catch { case _: java.io.IOException => () }
       throw new IllegalStateException(
-        s"manifest publish lost a rename race for $dst — two writers on one " +
-          "state path violates the single-driver contract (DriverLease)")
+        s"manifest rename failed for $manifestP while holding its claim — " +
+          "filesystem refused an uncontended atomic rename")
     }
+    // the claim is CONSUMED once the manifest exists (every later attempt
+    // short-circuits on the manifest probe before touching it): delete it
+    // eagerly so a healthy store carries no claim files at rest. A stalled
+    // claimant that raced a takeover treats the missing file as not-ours
+    // at its fencing re-read and aborts, same as a stolen token.
+    try { fs.delete(claimP, false); () } catch { case _: java.io.IOException => () }
+    Published
   }
+
+  /** Single-writer publish (the in-pipeline path, serialized by
+    * [[DriverLease]]): one claim-guarded attempt; contention here means the
+    * single-driver contract was violated, so it fails LOUD — and with the
+    * claim protocol that loudness now actually holds on POSIX filesystems,
+    * where a bare rename would silently last-write-win. */
+  private def writeManifest(spark: SparkSession, statePath: String,
+                            m: Manifest): Unit =
+    tryPublish(spark, statePath, m) match {
+      case Published => ()
+      case VersionTaken => throw new IllegalStateException(
+        s"manifest publish lost the claim race for version ${m.version} at " +
+          s"$statePath — two writers on one state path violates the " +
+          "single-driver contract (DriverLease); concurrent writers must " +
+          "commit through commitBatchOptimistic")
+    }
 
   /** Read the state a manifest describes, optionally only a bucket subset.
     * Data files carry the bucket id as a NORMAL long column ([[BucketCol]]),
@@ -448,6 +587,131 @@ object ManifestStore {
     vacuum(spark, statePath)
   }
 
+  /** Outcome of one [[commitBatchOptimistic]]: the published version plus
+    * how the race went — `rebases` are cheap manifest-only retries (the
+    * interleaved commits touched DISJOINT buckets, so our staged files
+    * stayed valid), `recomputes` re-ran the caller's merge against the
+    * newer state (overlapping buckets made the staged merge stale). */
+  final case class OccResult(version: Long, attempts: Int,
+                             rebases: Int, recomputes: Int)
+
+  /** OPTIMISTIC multi-writer commit — the Delta/Iceberg commit loop over
+    * this layout, and what makes ONLINE repair/backfill safe alongside a
+    * live stream (no more stop-the-stream requirement for
+    * [[graft.ops.Maintenance.repairUpsert]]-class fixes).
+    *
+    * `computeMerged(base)` must return the new FULL content of the
+    * `touched` buckets given the state `base` describes (bucket-columned;
+    * this method persists/unpersists it around the commit-dir write). The
+    * loop: stage files against the current manifest, attempt a
+    * claim-guarded publish of version+1; on contention re-read the latest
+    * manifest and either REBASE (interleaved commits touched disjoint
+    * buckets — our files are still the correct new content, only the
+    * manifest pointer moves: O(1) extra cost) or RECOMPUTE (overlap — the
+    * merge was computed against superseded bucket content and must re-run;
+    * the orphaned staged files are reaped by [[vacuum]]'s age floor).
+    *
+    * 100 TB posture: contention cost is proportional to CONFLICTING work,
+    * never to store size — a rebase is one manifest render+rename; a
+    * recompute re-reads only the touched buckets. With B-bucket batches on
+    * an N-bucket store, two concurrent writers overlap with probability
+    * ~B²/N (birthday bound), so sizing N >> B² keeps recomputes rare; the
+    * claim protocol makes the worst case a retry, never a lost update.
+    *
+    * Fails loud after `maxAttempts` base-advancing conflicts, or when a
+    * pending foreign claim neither publishes nor goes stale within the
+    * takeover threshold plus a grace budget. */
+  def commitBatchOptimistic(spark: SparkSession, statePath: String,
+                            touched: Seq[Long], nbuckets: Int,
+                            statCols: Seq[String],
+                            prev: Option[Option[Manifest]] = None,
+                            maxAttempts: Int = 10,
+                            claimTakeoverMs: Long = ClaimTakeoverMs,
+                            backoffMs: Long = 25L)
+                           (computeMerged: Option[Manifest] => DataFrame): OccResult = {
+    require(touched.nonEmpty, "optimistic commit with no touched buckets")
+    val touchedSet = touched.toSet
+    def validate(m: Option[Manifest]): Unit =
+      m.foreach(mm => require(mm.nbuckets == nbuckets && mm.statCols == statCols,
+        s"manifest store at $statePath has (nbuckets=${mm.nbuckets}, " +
+          s"statCols=${mm.statCols}); the writer was configured " +
+          s"($nbuckets, $statCols) — run `refresh` to re-lay the store out"))
+    def stage(b: Option[Manifest]): Map[Long, BucketEntry] = {
+      val df = computeMerged(b)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      try writeCommit(spark, statePath, df, statCols)
+      finally { df.unpersist(); () }
+    }
+    var base = prev.getOrElse(currentManifest(spark, statePath))
+    validate(base)
+    var written = stage(base)
+    var rebases = 0
+    var recomputes = 0
+    var attempts = 0
+    // a pending foreign claim gets the takeover threshold plus grace to
+    // either publish or go stale before we declare the store wedged
+    val waitDeadline = System.currentTimeMillis() + claimTakeoverMs + 60000L
+    try {
+      while (true) {
+        attempts += 1
+        val next = Manifest(
+          version = base.fold(1L)(_.version + 1L),
+          nbuckets = nbuckets, statCols = statCols,
+          buckets = base.fold(Map.empty[Long, BucketEntry])(_.buckets)
+            .removedAll(touched) ++ written)
+        tryPublish(spark, statePath, next, claimTakeoverMs) match {
+          case Published =>
+            releaseStaging(statePath, written)
+            vacuum(spark, statePath)
+            return OccResult(next.version, attempts, rebases, recomputes)
+          case VersionTaken =>
+            val latest = currentManifest(spark, statePath)
+            if (latest.map(_.version) == base.map(_.version)) {
+              // our target version is claimed but not yet published: wait
+              // for the claimant to publish or for its claim to go stale
+              // (tryPublish then breaks it)
+              if (System.currentTimeMillis() > waitDeadline)
+                throw new IllegalStateException(
+                  s"optimistic commit to $statePath wedged: version " +
+                    s"${next.version} stayed claimed-but-unpublished past " +
+                    s"the takeover threshold (${claimTakeoverMs} ms) plus " +
+                    "grace — a foreign writer is stalled mid-publish and " +
+                    "its claim could not be broken")
+              Thread.sleep(backoffMs)
+            } else {
+              if (rebases + recomputes + 1 >= maxAttempts)
+                throw new IllegalStateException(
+                  s"optimistic commit to $statePath gave up after " +
+                    s"$maxAttempts base-advancing conflicts — contention " +
+                    "this hot means the touched-bucket sets of concurrent " +
+                    "writers overlap persistently; serialize those writers " +
+                    "or re-bucket the store")
+              validate(latest)
+              val lm = latest.get
+              val baseBuckets = base.fold(Map.empty[Long, BucketEntry])(_.buckets)
+              val changed = (baseBuckets.keySet ++ lm.buckets.keySet)
+                .filter(k => baseBuckets.get(k).map(_.relDir) !=
+                  lm.buckets.get(k).map(_.relDir))
+              if ((changed & touchedSet).isEmpty) {
+                base = latest
+                rebases += 1 // staged files still valid: manifest-only retry
+              } else {
+                releaseStaging(statePath, written) // orphans; vacuum reaps
+                base = latest
+                written = stage(base)
+                recomputes += 1
+              }
+            }
+        }
+      }
+      throw new IllegalStateException("unreachable")
+    } catch {
+      case t: Throwable =>
+        releaseStaging(statePath, written)
+        throw t
+    }
+  }
+
   private def releaseStaging(statePath: String,
                              written: Map[Long, BucketEntry]): Unit =
     written.values.headOption.foreach { e =>
@@ -527,6 +791,22 @@ object ManifestStore {
       val p = new org.apache.hadoop.fs.Path(statePath, manifestName(v))
       if (fs.getFileStatus(p).getModificationTime < cutoff) {
         try { fs.delete(p, false); () } catch { case _: java.io.IOException => () }
+        try { fs.delete(new org.apache.hadoop.fs.Path(statePath, claimName(v)),
+          false); () } catch { case _: java.io.IOException => () }
+      }
+    }
+    // consumed claims of versions AT OR BELOW the latest publish are inert
+    // once old enough (their publish either happened or was superseded);
+    // claims ABOVE the latest version may be a live pending publish and are
+    // only ever broken by the takeover path, never by vacuum
+    val latest = versions.last
+    fs.listStatus(root).iterator.foreach { st =>
+      st.getPath.getName match {
+        case ClaimRe(v) if v.toLong <= latest - keepVersions &&
+            st.getModificationTime < cutoff =>
+          try { fs.delete(st.getPath, false); () }
+          catch { case _: java.io.IOException => () }
+        case _ => ()
       }
     }
     val dataRoot = new org.apache.hadoop.fs.Path(statePath, DataDir)

@@ -429,6 +429,143 @@ object Maintenance {
       .orderBy(col("o_orderkey"), col("_change"))
   }
 
+  /** ONLINE repair: merge corrected full rows (`fixes`, keyed by `pk`;
+    * optional `op` column for deletes — absent rows default to
+    * replace-whole-document) into a LIVE manifest store through the
+    * optimistic commit loop — safe to run WHILE the stream is writing.
+    * This removes the stop-the-stream requirement the dead-letter
+    * replay/backfill path had: a conflicting stream batch just makes the
+    * repair re-merge against the winner's state (never a lost update in
+    * either direction; the r12 `splitStale` fence covers the one remaining
+    * ordering hazard, a checkpoint-replayed first batch after restart).
+    * Layout (modulus, stat columns) is the STORE's — a repair never
+    * re-lays anything out. */
+  def repairUpsert(spark: SparkSession, statePath: String, fixes: DataFrame,
+                   pk: String,
+                   claimTakeoverMs: Long = graft.cdc.ManifestStore.ClaimTakeoverMs)
+      : graft.cdc.ManifestStore.OccResult = {
+    import graft.cdc.{BucketedUpsertSink, ManifestStore, UpsertSink}
+    import graft.model.Op
+    val b = BucketedUpsertSink.BucketCol
+    val m = ManifestStore.currentManifest(spark, statePath).getOrElse(
+      throw new IllegalStateException(
+        s"repairUpsert targets an existing manifest store; $statePath has " +
+          "no published manifest"))
+    val n = m.nbuckets
+    val payloadSchema = org.apache.spark.sql.types.StructType(
+      fixes.schema.fields.filterNot(f => f.name == "op" || f.name == b))
+    val withOp =
+      (if (fixes.columns.contains("op")) fixes
+       else fixes.withColumn("op", lit(Op.Create)))
+        .withColumn(b, BucketedUpsertSink.bucketOf(col(pk), n))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    try {
+      // bounded collect: at most n bucket ids
+      val touched = withOp.select(col(b)).distinct()
+        .collect().map(_.getLong(0)).sorted.toSeq
+      require(touched.nonEmpty, "repairUpsert with an empty fixes frame")
+      ManifestStore.commitBatchOptimistic(spark, statePath, touched, n,
+        m.statCols, claimTakeoverMs = claimTakeoverMs) { base =>
+        val state = base match {
+          case Some(mm) => ManifestStore.readStateOf(spark, statePath,
+            Some(mm), payloadSchema, Some(touched)).drop(b)
+          case None => spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], payloadSchema)
+        }
+        UpsertSink.applyBatch(state, withOp.drop(b), pk)
+          .withColumn(b, BucketedUpsertSink.bucketOf(col(pk), n))
+      }
+    } finally { withOp.unpersist(); () }
+  }
+
+  /** Driver query for OPTIMISTIC CONCURRENT WRITERS: publish a base store
+    * from `orders`, then run TWO writer threads concurrently against it —
+    * each issuing two sequential [[repairUpsert]] commits over ITS half of
+    * the keyspace (even/odd o_orderkey; the chunks land in overlapping
+    * BUCKETS, so the optimistic loop's rebase/recompute paths are
+    * exercised by real contention, not simulated). Key-level disjointness
+    * makes the final state independent of the nondeterministic commit
+    * interleaving — which is exactly what lets a DuckDB oracle grade a
+    * genuine concurrency run:
+    *   %4==0 -> ck+0.5    %4==1 -> val+1.0
+    *   %4==2 -> ck+0.25   %4==3 -> val+2.0
+    * Any lost update (a clobbered interleaved commit — the failure class
+    * the claim protocol exists to prevent) leaves stale `val`s behind and
+    * hash-mismatches. */
+  def occDisjointQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.cdc.ManifestStore
+    val (path, schema) = occBaseOrdersStore(spark, dir)
+    val base = Tables(spark, dir, "orders")
+      .groupBy(col("o_orderkey"))
+      .agg(max(round(col("o_totalprice"), 2)).as("val"),
+        max(col("o_custkey")).as("ck"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    base.count()
+    def fixes(mod4: Long, newVal: org.apache.spark.sql.Column) = base
+      .filter(pmod(col("o_orderkey"), lit(4)) === mod4)
+      .select(col("o_orderkey"), newVal.as("val"))
+    // degenerate fixtures (empty / near-empty variants): a mod-class with
+    // no keys has no repair to commit — skip it and expect one version
+    // fewer, instead of tripping the empty-fixes contract. Bounded
+    // collect: at most 4 distinct mod classes.
+    val present = base.select(pmod(col("o_orderkey"), lit(4)).as("m"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    val failed = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    def writer(chunks: Seq[(Long, org.apache.spark.sql.Column)]): Thread = {
+      val t = new Thread(() =>
+        try chunks.filter(c => present.contains(c._1)).foreach { case (m4, v) =>
+          repairUpsert(spark, path, fixes(m4, v), "o_orderkey"); ()
+        } catch { case e: Throwable => failed.compareAndSet(null, e); () })
+      t.setDaemon(true)
+      t
+    }
+    try {
+      val even = writer(Seq(
+        0L -> (col("ck").cast("double") + lit(0.5)),
+        2L -> (col("ck").cast("double") + lit(0.25))))
+      val odd = writer(Seq(
+        1L -> (col("val") + lit(1.0)),
+        3L -> (col("val") + lit(2.0))))
+      even.start(); odd.start()
+      even.join(600000); odd.join(600000)
+      if (failed.get != null) throw failed.get
+      require(!even.isAlive && !odd.isAlive,
+        "occ writer thread did not finish within the 10-minute budget")
+    } finally { base.unpersist(); () }
+    // every key was updated exactly once, so the final version count is
+    // base + one commit per present mod-class (recomputes never add
+    // versions) — exactly-once publication pinned inline
+    val expectVersions = 1L + present.size
+    val cur = ManifestStore.currentManifest(spark, path).get
+    require(cur.version == expectVersions,
+      s"expected exactly $expectVersions manifest versions (base + " +
+        s"${present.size} commits), got ${cur.version} — an optimistic " +
+        "commit was lost or double-published")
+    ManifestStore.readState(spark, path, schema)
+      .select(col("o_orderkey"), col("val"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Base (version-1) store for [[occDisjointQuery]]: one row per orders
+    * key, `val = max(round(o_totalprice, 2))` — key-grouped so
+    * duplicate-pk fixtures stay well-defined. */
+  private def occBaseOrdersStore(spark: SparkSession, dir: String)
+      : (String, org.apache.spark.sql.types.StructType) = {
+    import graft.cdc.ManifestStore
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+    val root = TwoBatchScratch.freshRoot(spark, "graft_occ")
+    val path = s"$root/state"
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("val", DoubleType)))
+    val base = Tables(spark, dir, "orders")
+      .groupBy(col("o_orderkey"))
+      .agg(max(round(col("o_totalprice"), 2)).as("val"))
+    val staged = ManifestStore.stageFull(spark, path, base, "o_orderkey", 8,
+      Seq("o_orderkey"))
+    ManifestStore.publishFull(spark, path, staged)
+    (path, schema)
+  }
+
   /** The shared two-version manifest store the time-travel and CDF driver
     * queries grade against one analytic oracle: version 1 holds one row
     * per orders key (`val = max(round(o_totalprice,2))`, key-grouped so
