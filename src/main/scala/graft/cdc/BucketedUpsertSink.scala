@@ -28,6 +28,29 @@ object BucketedUpsertSink {
 
   val BucketCol = "_bucket"
 
+  /** The optimistic merge closure shared by the sink's manifest batch path,
+    * [[graft.ops.Maintenance.repairUpsert]], and the OCC spec: given a base
+    * manifest, read the CURRENT state of the `touched` buckets, LWW-merge
+    * the op-columned `changes` into it, and re-bucket — the new full
+    * content of exactly those buckets. One definition, so the merge
+    * semantics (op handling, empty-state fallback, bucket-column plumbing)
+    * cannot silently diverge between the stream and the repair path. */
+  def upsertMergeOf(spark: SparkSession, statePath: String,
+                    payloadSchema: org.apache.spark.sql.types.StructType,
+                    touched: Seq[Long], changes: DataFrame, pk: String,
+                    nbuckets: Int)
+      : Option[ManifestStore.Manifest] => DataFrame = base => {
+    val state = base match {
+      case Some(mm) =>
+        ManifestStore.readStateOf(spark, statePath, Some(mm), payloadSchema,
+          Some(touched)).drop(BucketCol)
+      case None => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], payloadSchema)
+    }
+    UpsertSink.applyBatch(state, changes, pk)
+      .withColumn(BucketCol, bucketOf(col(pk), nbuckets))
+  }
+
   def bucketOf(pk: Column, numBuckets: Int): Column =
     pmod(xxhash64(pk), lit(numBuckets.toLong))
 
@@ -348,20 +371,10 @@ object BucketedUpsertSink {
       // the loop re-merge against the winner's state instead of silently
       // clobbering it. The in-pipeline path is lease-serialized, so the
       // first attempt wins there and this costs one claim-file create.
-      def computeMerged(base: Option[ManifestStore.Manifest]) = {
-        val state = base match {
-          case Some(mm) =>
-            ManifestStore.readStateOf(spark, statePath, Some(mm), payloadSchema,
-              Some(touched)).drop(BucketCol)
-          case None =>
-            spark.createDataFrame(
-              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], payloadSchema)
-        }
-        UpsertSink.applyBatch(state, withBucket.drop(BucketCol), pk)
-          .withColumn(BucketCol, bucketOf(col(pk), numBuckets))
-      }
       ManifestStore.commitBatchOptimistic(spark, statePath, touched,
-        numBuckets, effStatCols, prev = Some(m))(computeMerged)
+        numBuckets, effStatCols, prev = Some(m))(
+        upsertMergeOf(spark, statePath, payloadSchema, touched,
+          withBucket.drop(BucketCol), pk, numBuckets))
       ()
     } finally { withBucket.unpersist(); () }
   }

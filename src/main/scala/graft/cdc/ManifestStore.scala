@@ -323,41 +323,55 @@ object ManifestStore {
   // Hadoop's RawLocalFileSystem.rename maps to rename(2), which silently
   // REPLACES an existing destination — two writers publishing the same
   // version would last-write-win and lose a commit without any error. The
-  // protocol below makes version publication mutually exclusive with the
-  // one atomic primitive every target filesystem has:
+  // protocol below makes version publication mutually exclusive using ONLY
+  // the one atomic-and-arbitrating primitive every target filesystem has,
+  // create-exclusive — claims are GENERATION files that are only ever
+  // CREATED, never deleted-then-recreated or moved, so every contention
+  // point is settled by exactly one create winning:
   //
   //  1. render the manifest to a hidden tmp file (invisible to readers);
-  //  2. CLAIM the version by atomically creating `manifest-v<V>.claim`
-  //     containing a fresh writer token (create-exclusive: O_CREAT|O_EXCL
-  //     locally, create(overwrite=false) on HDFS — atomic on both);
-  //  3. re-read the claim and verify the token is still OURS (fencing —
-  //     a takeover, below, invalidates a stalled claimant here);
-  //  4. one atomic rename tmp -> manifest-v<V>.txt. The claim owner is the
-  //     only renamer, so the rename never races.
+  //  2. CLAIM the version by atomically creating generation file
+  //     `manifest-v<V>.claim-g<G>` (create-exclusive: O_CREAT|O_EXCL
+  //     locally, create(overwrite=false) on HDFS — atomic on both), where
+  //     G = 0 for an unclaimed version, or highest-existing + 1 when the
+  //     highest generation is STALE (a crashed claimant, below). Losing
+  //     the create means another writer owns that generation: back off.
+  //  3. FENCE immediately before the rename: abort if a HIGHER generation
+  //     claim appeared (a breaker decided we crashed) or the manifest was
+  //     published meanwhile;
+  //  4. one atomic rename tmp -> manifest-v<V>.txt. The highest-generation
+  //     claim owner is the only renamer, so the rename never races.
   //
-  // Crash recovery: a writer that dies between (2) and (4) leaves a claim
-  // with no manifest, which would wedge the version forever. A later
-  // writer that finds such a claim OLDER than `claimTakeoverMs` deletes
-  // and re-claims it (token fencing aborts the original claimant if it was
-  // merely stalled). Residual window, documented honestly: a claimant that
-  // stalls LONGER than claimTakeoverMs between the token re-read (3) and
-  // the rename (4) can still race the breaker's ms-scale publish — the
-  // same double-fault assumption (stall budget >> takeover threshold)
-  // every lease-based system, including [[DriverLease]], already makes.
-  // Delta-on-S3 has exactly this shape without an external lock service.
+  // Crash recovery: a writer that dies between (2) and (4) leaves its
+  // generation claim with no manifest, which would wedge the version. A
+  // later writer that finds the highest generation OLDER than
+  // `claimTakeoverMs` claims generation+1 — create-exclusive, so when TWO
+  // healthy breakers cross the staleness threshold together exactly one
+  // wins the takeover and the loser backs off cleanly (a delete-based
+  // break would let the second breaker destroy the first breaker's fresh
+  // claim — the lost-update class this protocol exists to prevent).
+  // Residual window, documented honestly: a claimant that stalls LONGER
+  // than claimTakeoverMs between its fence (3) and its rename (4) can
+  // still race the breaker's ms-scale publish — the same double-fault
+  // assumption (stall budget >> takeover threshold) every lease-based
+  // system, including [[DriverLease]], already makes. Delta-on-S3 has
+  // exactly this shape without an external lock service.
   // ---------------------------------------------------------------------
 
   /** Claim-takeover threshold: a version claim with no published manifest
-    * older than this is considered crashed and may be broken. Must be far
-    * above any plausible stall between claiming and renaming (the rename
-    * follows the claim within milliseconds on a healthy writer). */
+    * older than this is considered crashed and may be superseded by a
+    * higher-generation claim. Must be far above any plausible stall
+    * between claiming and renaming (the rename follows the claim within
+    * milliseconds on a healthy writer). */
   val ClaimTakeoverMs: Long = 15L * 60L * 1000L
 
-  private def claimName(v: Long): String = f"manifest-v$v%012d.claim"
-  private val ClaimRe = """manifest-v(\d{12})\.claim""".r
+  private[cdc] def claimName(v: Long, g: Int): String =
+    f"manifest-v$v%012d.claim-g$g%04d"
+  private val ClaimRe = """manifest-v(\d{12})\.claim-g(\d{4})""".r
 
-  /** Atomic create-exclusive of `p` with `token` as content: true iff WE
-    * created it. Local filesystems go through java.io.File.createNewFile
+  /** Atomic create-exclusive of `p` (content: a writer token, diagnostics
+    * only — ownership IS having won this create): true iff WE created it.
+    * Local filesystems go through java.io.File.createNewFile
     * (O_CREAT|O_EXCL — atomic); everything else through
     * create(overwrite=false), which HDFS implements atomically. */
   private def atomicClaim(fs: org.apache.hadoop.fs.FileSystem,
@@ -376,8 +390,6 @@ object ManifestStore {
         }
       }
     if (created) {
-      // content write after the atomic create: only the creator writes it,
-      // and the fencing re-read treats empty/missing as NOT-OURS
       val out = fs.create(p, true)
       try out.write(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
@@ -385,75 +397,97 @@ object ManifestStore {
     created
   }
 
-  private def claimTokenOf(fs: org.apache.hadoop.fs.FileSystem,
-                           p: org.apache.hadoop.fs.Path): Option[String] =
-    try {
-      val in = fs.open(p)
-      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
-      finally in.close()
-    } catch { case _: java.io.IOException => None }
-
-  /** Test seam: runs between the fencing token re-read and the rename.
-    * Production value is a no-op; the OCC spec uses it to steal the claim
-    * mid-publish and prove the fence aborts the stalled claimant. */
+  /** Test seam: runs between the fence and the rename. Production value is
+    * a no-op; the OCC spec uses it to take the claim over mid-publish and
+    * prove the fence aborts the stalled claimant. */
   private[cdc] var occBeforeRenameHook: () => Unit = () => ()
 
   private[cdc] sealed trait PublishOutcome
   private[cdc] case object Published extends PublishOutcome
   /** The target version is owned or already published by another writer
-    * (or our fencing check failed). The caller re-reads the latest
-    * manifest and rebases/recomputes. */
+    * (or our fence fired). The caller re-reads the latest manifest and
+    * rebases/recomputes. */
   private[cdc] case object VersionTaken extends PublishOutcome
 
   /** One optimistic publish attempt of manifest `m` under the claim
     * protocol above. Never throws on contention — contention is a normal
-    * outcome ([[VersionTaken]]); it throws only on genuine I/O failure. */
+    * outcome ([[VersionTaken]]); it throws only on genuine I/O failure,
+    * and then never leaves its own claim behind (a lingering claim from an
+    * aborting LIVE writer would wedge the version for the full takeover
+    * threshold). */
   private[cdc] def tryPublish(spark: SparkSession, statePath: String,
                               m: Manifest,
                               claimTakeoverMs: Long = ClaimTakeoverMs): PublishOutcome = {
     val (fs, root) = hfs(spark, statePath)
     fs.mkdirs(root)
     val manifestP = new org.apache.hadoop.fs.Path(statePath, manifestName(m.version))
-    val claimP = new org.apache.hadoop.fs.Path(statePath, claimName(m.version))
+    def claimGens(): Seq[(Int, Long)] = // (generation, mtime), ascending
+      fs.listStatus(root).iterator.flatMap { st =>
+        st.getPath.getName match {
+          case ClaimRe(v, g) if v.toLong == m.version =>
+            Some((g.toInt, st.getModificationTime))
+          case _ => None
+        }
+      }.toSeq.sortBy(_._1)
     if (fs.exists(manifestP)) return VersionTaken
+    val existing = claimGens()
+    val myGen: Int = existing.lastOption match {
+      case None => 0
+      case Some((hg, hmtime)) =>
+        if (System.currentTimeMillis() - hmtime < claimTakeoverMs)
+          return VersionTaken // a fresh claimant is mid-publish: wait
+        hg + 1 // crashed claimant: take over by CREATING the next generation
+    }
     val token = java.util.UUID.randomUUID().toString
-    var owned = atomicClaim(fs, claimP, token)
-    if (!owned) {
-      if (fs.exists(manifestP)) return VersionTaken
-      val age =
-        try System.currentTimeMillis() - fs.getFileStatus(claimP).getModificationTime
-        catch { case _: java.io.IOException => -1L } // vanished: retry next round
-      if (age < claimTakeoverMs) return VersionTaken // pending publisher
-      // crashed claimant: break the claim. The delete+reclaim pair races
-      // other breakers; exactly one wins the create-exclusive.
+    val claimP = new org.apache.hadoop.fs.Path(statePath, claimName(m.version, myGen))
+    if (!atomicClaim(fs, claimP, token))
+      return VersionTaken // another writer won this generation
+    def dropOwnClaim(): Unit =
       try { fs.delete(claimP, false); () } catch { case _: java.io.IOException => () }
-      owned = atomicClaim(fs, claimP, token)
-      if (!owned) return VersionTaken
-      if (fs.exists(manifestP)) return VersionTaken // zombie published meanwhile
+    if (fs.exists(manifestP)) { // published while we were claiming
+      dropOwnClaim()
+      return VersionTaken
     }
     val tmp = new org.apache.hadoop.fs.Path(statePath,
       s".manifest-tmp-${java.util.UUID.randomUUID().toString.take(8)}")
-    val out = fs.create(tmp, false)
-    try out.write(renderManifest(m).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    occBeforeRenameHook()
-    // fencing: if a breaker took the claim over while we stalled, abort
-    if (!claimTokenOf(fs, claimP).contains(token)) {
-      try { fs.delete(tmp, false); () } catch { case _: java.io.IOException => () }
-      return VersionTaken
+    try {
+      val out = fs.create(tmp, false)
+      try out.write(renderManifest(m).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      occBeforeRenameHook()
+      // FENCE: a higher-generation claim means a breaker decided we
+      // crashed and owns the version now; a published manifest means the
+      // race is over. Abort without renaming in both cases.
+      if (claimGens().exists(_._1 > myGen) || fs.exists(manifestP)) {
+        try { fs.delete(tmp, false); () } catch { case _: java.io.IOException => () }
+        dropOwnClaim()
+        return VersionTaken
+      }
+      if (!fs.rename(tmp, manifestP)) {
+        try { fs.delete(tmp, false); () } catch { case _: java.io.IOException => () }
+        dropOwnClaim()
+        throw new IllegalStateException(
+          s"manifest rename failed for $manifestP while holding its claim — " +
+            "filesystem refused an uncontended atomic rename")
+      }
+    } catch {
+      case t: Throwable =>
+        // an aborting LIVE writer must never wedge the version: drop the
+        // claim (and tmp, best-effort) before propagating
+        try { fs.delete(tmp, false); () } catch { case _: java.io.IOException => () }
+        dropOwnClaim()
+        throw t
     }
-    if (!fs.rename(tmp, manifestP)) {
-      try { fs.delete(tmp, false); () } catch { case _: java.io.IOException => () }
-      throw new IllegalStateException(
-        s"manifest rename failed for $manifestP while holding its claim — " +
-          "filesystem refused an uncontended atomic rename")
+    // claims are CONSUMED once the manifest exists (every later attempt
+    // short-circuits on the manifest probe before touching them): delete
+    // our generation and everything below it so a healthy store carries no
+    // claim files at rest. Higher generations (possible only inside the
+    // documented double-fault window) are left to the vacuum sweep.
+    claimGens().filter(_._1 <= myGen).foreach { case (g, _) =>
+      try { fs.delete(new org.apache.hadoop.fs.Path(statePath,
+        claimName(m.version, g)), false); () }
+      catch { case _: java.io.IOException => () }
     }
-    // the claim is CONSUMED once the manifest exists (every later attempt
-    // short-circuits on the manifest probe before touching it): delete it
-    // eagerly so a healthy store carries no claim files at rest. A stalled
-    // claimant that raced a takeover treats the missing file as not-ours
-    // at its fencing re-read and aborts, same as a stolen token.
-    try { fs.delete(claimP, false); () } catch { case _: java.io.IOException => () }
     Published
   }
 
@@ -568,13 +602,20 @@ object ManifestStore {
   /** As above with the prior manifest ALREADY resolved (review r13 #6 —
     * the batch path resolves once for the modulus fence, evolution check,
     * state read, and this commit). */
+  /** The layout (modulus, stat columns) is a property of the STORE: a
+    * writer configured differently must refresh, not write. Shared by the
+    * single-writer and optimistic commit paths. */
+  private def validateLayout(statePath: String, m: Option[Manifest],
+                             nbuckets: Int, statCols: Seq[String]): Unit =
+    m.foreach(mm => require(mm.nbuckets == nbuckets && mm.statCols == statCols,
+      s"manifest store at $statePath has (nbuckets=${mm.nbuckets}, " +
+        s"statCols=${mm.statCols}); the writer was configured " +
+        s"($nbuckets, $statCols) — run `refresh` to re-lay the store out"))
+
   def commitBatch(spark: SparkSession, statePath: String, merged: DataFrame,
                   touched: Seq[Long], nbuckets: Int, statCols: Seq[String],
                   prev: Option[Manifest]): Unit = {
-    prev.foreach(m => require(m.nbuckets == nbuckets && m.statCols == statCols,
-      s"manifest store at $statePath has (nbuckets=${m.nbuckets}, " +
-        s"statCols=${m.statCols}); the writer was configured " +
-        s"($nbuckets, $statCols) — run `refresh` to re-lay the store out"))
+    validateLayout(statePath, prev, nbuckets, statCols)
     val written = writeCommit(spark, statePath, merged, statCols)
     try {
       val next = Manifest(
@@ -632,10 +673,7 @@ object ManifestStore {
     require(touched.nonEmpty, "optimistic commit with no touched buckets")
     val touchedSet = touched.toSet
     def validate(m: Option[Manifest]): Unit =
-      m.foreach(mm => require(mm.nbuckets == nbuckets && mm.statCols == statCols,
-        s"manifest store at $statePath has (nbuckets=${mm.nbuckets}, " +
-          s"statCols=${mm.statCols}); the writer was configured " +
-          s"($nbuckets, $statCols) — run `refresh` to re-lay the store out"))
+      validateLayout(statePath, m, nbuckets, statCols)
     def stage(b: Option[Manifest]): Map[Long, BucketEntry] = {
       val df = computeMerged(b)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
@@ -649,8 +687,17 @@ object ManifestStore {
     var recomputes = 0
     var attempts = 0
     // a pending foreign claim gets the takeover threshold plus grace to
-    // either publish or go stale before we declare the store wedged
-    val waitDeadline = System.currentTimeMillis() + claimTakeoverMs + 60000L
+    // either publish or go stale before we declare the store wedged; the
+    // budget RESETS whenever the base advances (progress was made — a slow
+    // commit with many legitimate conflicts must not inherit a spent clock
+    // and then misread the next healthy fresh claim as a wedge)
+    def freshDeadline() = System.currentTimeMillis() + claimTakeoverMs + 60000L
+    var waitDeadline = freshDeadline()
+    // exponential backoff while a foreign claimant is mid-publish: each
+    // wait tick costs a listing of the state root, and a fixed short poll
+    // over a long takeover window is exactly the per-prefix LIST storm the
+    // 100 TB posture forbids
+    var wait = backoffMs
     try {
       while (true) {
         attempts += 1
@@ -669,7 +716,7 @@ object ManifestStore {
             if (latest.map(_.version) == base.map(_.version)) {
               // our target version is claimed but not yet published: wait
               // for the claimant to publish or for its claim to go stale
-              // (tryPublish then breaks it)
+              // (tryPublish then takes it over)
               if (System.currentTimeMillis() > waitDeadline)
                 throw new IllegalStateException(
                   s"optimistic commit to $statePath wedged: version " +
@@ -677,8 +724,11 @@ object ManifestStore {
                     s"the takeover threshold (${claimTakeoverMs} ms) plus " +
                     "grace — a foreign writer is stalled mid-publish and " +
                     "its claim could not be broken")
-              Thread.sleep(backoffMs)
+              Thread.sleep(wait)
+              wait = math.min(wait * 2, 5000L)
             } else {
+              wait = backoffMs
+              waitDeadline = freshDeadline()
               if (rebases + recomputes + 1 >= maxAttempts)
                 throw new IllegalStateException(
                   s"optimistic commit to $statePath gave up after " +
@@ -770,7 +820,7 @@ object ManifestStore {
     * age alone once their writer is gone. */
   def vacuum(spark: SparkSession, statePath: String,
              keepVersions: Int = KeepVersions,
-             minAgeMs: Long = MinAgeMs): Unit = {
+             minAgeMs: Long = MinAgeMs): Unit = try {
     val (fs, root) = hfs(spark, statePath)
     if (!fs.exists(root)) return
     val versions = fs.listStatus(root).iterator.map(_.getPath.getName).collect {
@@ -789,20 +839,20 @@ object ManifestStore {
       readManifest(spark, statePath, v).buckets.values.map(_.relDir)).toSet
     versions.dropRight(keepVersions).foreach { v =>
       val p = new org.apache.hadoop.fs.Path(statePath, manifestName(v))
-      if (fs.getFileStatus(p).getModificationTime < cutoff) {
+      val old = try fs.getFileStatus(p).getModificationTime < cutoff
+        catch { case _: java.io.FileNotFoundException => false } // peer vacuumed it
+      if (old) {
         try { fs.delete(p, false); () } catch { case _: java.io.IOException => () }
-        try { fs.delete(new org.apache.hadoop.fs.Path(statePath, claimName(v)),
-          false); () } catch { case _: java.io.IOException => () }
       }
     }
-    // consumed claims of versions AT OR BELOW the latest publish are inert
-    // once old enough (their publish either happened or was superseded);
-    // claims ABOVE the latest version may be a live pending publish and are
-    // only ever broken by the takeover path, never by vacuum
+    // consumed/superseded claims of versions AT OR BELOW the latest publish
+    // are inert once old enough; claims ABOVE the latest version may be a
+    // live pending publish and are only ever superseded by the takeover
+    // path, never touched by vacuum
     val latest = versions.last
     fs.listStatus(root).iterator.foreach { st =>
       st.getPath.getName match {
-        case ClaimRe(v) if v.toLong <= latest - keepVersions &&
+        case ClaimRe(v, _) if v.toLong <= latest - keepVersions &&
             st.getModificationTime < cutoff =>
           try { fs.delete(st.getPath, false); () }
           catch { case _: java.io.IOException => () }
@@ -816,19 +866,34 @@ object ManifestStore {
           !activeStaging.contains(commit.getPath.toUri.getPath) &&
           !activeStaging.contains(commit.getPath.toString)) {
         val cname = commit.getPath.getName
-        fs.listStatus(commit.getPath).foreach { bucketDir =>
+        val bucketDirs =
+          try fs.listStatus(commit.getPath)
+          catch { case _: java.io.FileNotFoundException =>
+            Array.empty[org.apache.hadoop.fs.FileStatus] } // peer reaped it
+        bucketDirs.foreach { bucketDir =>
           val rel = s"$DataDir/$cname/${bucketDir.getPath.getName}"
           if (!referenced.contains(rel)) {
             try { fs.delete(bucketDir.getPath, true); () }
             catch { case _: java.io.IOException => () }
           }
         }
-        if (fs.listStatus(commit.getPath).isEmpty) {
+        val emptied =
+          try fs.listStatus(commit.getPath).isEmpty
+          catch { case _: java.io.FileNotFoundException => false }
+        if (emptied) {
           try { fs.delete(commit.getPath, true); () }
           catch { case _: java.io.IOException => () }
         }
       }
     }
+  } catch {
+    // vacuum is advisory garbage collection and, under the r13 concurrent-
+    // writer model, two post-commit vacuums can race: a file the listing
+    // saw may be gone by the time we stat or read it. That is a peer doing
+    // our work, never an error — and it must NOT propagate out of a commit
+    // whose manifest already published (the caller would retry a commit
+    // that succeeded). The next commit's vacuum converges the leftovers.
+    case _: java.io.FileNotFoundException => ()
   }
 
   /** Manifest-resolved pruned read — [[graft.ops.Maintenance.prunedRead]]'s

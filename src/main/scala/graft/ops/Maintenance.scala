@@ -465,16 +465,9 @@ object Maintenance {
         .collect().map(_.getLong(0)).sorted.toSeq
       require(touched.nonEmpty, "repairUpsert with an empty fixes frame")
       ManifestStore.commitBatchOptimistic(spark, statePath, touched, n,
-        m.statCols, claimTakeoverMs = claimTakeoverMs) { base =>
-        val state = base match {
-          case Some(mm) => ManifestStore.readStateOf(spark, statePath,
-            Some(mm), payloadSchema, Some(touched)).drop(b)
-          case None => spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], payloadSchema)
-        }
-        UpsertSink.applyBatch(state, withOp.drop(b), pk)
-          .withColumn(b, BucketedUpsertSink.bucketOf(col(pk), n))
-      }
+        m.statCols, claimTakeoverMs = claimTakeoverMs)(
+        BucketedUpsertSink.upsertMergeOf(spark, statePath, payloadSchema,
+          touched, withOp.drop(b), pk, n))
     } finally { withOp.unpersist(); () }
   }
 
@@ -494,13 +487,23 @@ object Maintenance {
     * hash-mismatches. */
   def occDisjointQuery(spark: SparkSession, dir: String): DataFrame = {
     import graft.cdc.ManifestStore
-    val (path, schema) = occBaseOrdersStore(spark, dir)
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+    // ONE key-grouped aggregate over orders feeds both the base store and
+    // the writers' fixes frames (duplicate-pk fixtures stay well-defined)
     val base = Tables(spark, dir, "orders")
       .groupBy(col("o_orderkey"))
       .agg(max(round(col("o_totalprice"), 2)).as("val"),
         max(col("o_custkey")).as("ck"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     base.count()
+    val root = TwoBatchScratch.freshRoot(spark, "graft_occ")
+    val path = s"$root/state"
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("val", DoubleType)))
+    val staged = ManifestStore.stageFull(spark, path,
+      base.select(col("o_orderkey"), col("val")), "o_orderkey", 8,
+      Seq("o_orderkey"))
+    ManifestStore.publishFull(spark, path, staged)
     def fixes(mod4: Long, newVal: org.apache.spark.sql.Column) = base
       .filter(pmod(col("o_orderkey"), lit(4)) === mod4)
       .select(col("o_orderkey"), newVal.as("val"))
@@ -544,26 +547,6 @@ object Maintenance {
     ManifestStore.readState(spark, path, schema)
       .select(col("o_orderkey"), col("val"))
       .orderBy(col("o_orderkey"))
-  }
-
-  /** Base (version-1) store for [[occDisjointQuery]]: one row per orders
-    * key, `val = max(round(o_totalprice, 2))` — key-grouped so
-    * duplicate-pk fixtures stay well-defined. */
-  private def occBaseOrdersStore(spark: SparkSession, dir: String)
-      : (String, org.apache.spark.sql.types.StructType) = {
-    import graft.cdc.ManifestStore
-    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
-    val root = TwoBatchScratch.freshRoot(spark, "graft_occ")
-    val path = s"$root/state"
-    val schema = StructType(Seq(
-      StructField("o_orderkey", LongType), StructField("val", DoubleType)))
-    val base = Tables(spark, dir, "orders")
-      .groupBy(col("o_orderkey"))
-      .agg(max(round(col("o_totalprice"), 2)).as("val"))
-    val staged = ManifestStore.stageFull(spark, path, base, "o_orderkey", 8,
-      Seq("o_orderkey"))
-    ManifestStore.publishFull(spark, path, staged)
-    (path, schema)
   }
 
   /** The shared two-version manifest store the time-travel and CDF driver

@@ -66,22 +66,17 @@ class ManifestOccSpec extends SparkSpec {
     ManifestStore.commitBatchOptimistic(spark, path, touched, N,
       Seq("score"), claimTakeoverMs = takeover, backoffMs = 10L) { base =>
       onCompute(base)
-      val state = base match {
-        case Some(mm) => ManifestStore.readStateOf(spark, path, Some(mm),
-          payload, Some(touched)).drop(B)
-        case None => spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], payload)
-      }
-      UpsertSink.applyBatch(state, fixes.drop(B), "id")
-        .withColumn(B, BucketedUpsertSink.bucketOf(col("id"), N))
+      BucketedUpsertSink.upsertMergeOf(spark, path, payload, touched,
+        fixes.drop(B), "id", N)(base)
     }
   }
 
-  private def claimPath(path: String, v: Long) =
-    new java.io.File(path, f"manifest-v$v%012d.claim")
+  private def claimPath(path: String, v: Long, g: Int = 0) =
+    new java.io.File(path, ManifestStore.claimName(v, g))
 
-  private def writeForeignClaim(path: String, v: Long, ageMs: Long): Unit = {
-    val f = claimPath(path, v)
+  private def writeForeignClaim(path: String, v: Long, ageMs: Long,
+                                gen: Int = 0): Unit = {
+    val f = claimPath(path, v, gen)
     assert(f.createNewFile(), s"test claim $f already existed")
     java.nio.file.Files.write(f.toPath, "foreign-writer-token".getBytes("UTF-8"))
     assert(f.setLastModified(System.currentTimeMillis() - ageMs))
@@ -162,18 +157,17 @@ class ManifestOccSpec extends SparkSpec {
     assert(ManifestStore.history(spark, path).map(_._1) == (1L to 10L))
   }
 
-  test("a stale claim (crashed claimant) is broken and the version " +
-    "recovered; claims are reaped with their manifests by vacuum") {
+  test("a stale claim (crashed claimant) is superseded by the next " +
+    "generation and the version recovered; consumed claims leave no " +
+    "files at rest") {
     val path = tmpDir("occstale") + "/state"
     seed(path, 1 -> 1L)
     writeForeignClaim(path, 2L, ageMs = 10L * 60L * 1000L)
     val res = occUpsert(path, Seq(2 -> 2L), takeover = 1000L)
     assert(res.version == 2L, "the wedged version must be recovered")
     assert(stateRows(path) == Set((1, 1L), (2, 2L)))
-    occUpsert(path, Seq(3 -> 3L))
-    ManifestStore.vacuum(spark, path, keepVersions = 1, minAgeMs = 0L)
-    assert(!claimPath(path, 2L).exists(),
-      "vacuum must reap consumed claims of dropped versions")
+    assert(!claimPath(path, 2L, 0).exists() && !claimPath(path, 2L, 1).exists(),
+      "a successful publish must consume its own and all lower generations")
   }
 
   test("a FRESH foreign claim is waited out, not broken early: the commit " +
@@ -190,30 +184,61 @@ class ManifestOccSpec extends SparkSpec {
     assert(stateRows(path) == Set((1, 1L), (2, 2L)))
   }
 
-  test("token fencing: a claimant whose claim is stolen mid-publish aborts " +
-    "and retries instead of double-publishing") {
+  test("generation fencing: a claimant taken over mid-publish (a breaker " +
+    "claimed the next generation between its fence point and its rename) " +
+    "aborts and retries instead of double-publishing") {
     val path = tmpDir("occfence") + "/state"
     seed(path, 1 -> 1L)
-    val fenced = new java.util.concurrent.atomic.AtomicInteger(0)
-    ManifestStore.occBeforeRenameHook = () => {
-      // count/steal only publishes of OUR store's contended version (the
-      // hook is global; any other publish in this JVM must pass through)
-      val f = claimPath(path, 2L)
-      if (f.exists() && fenced.getAndIncrement() == 0) {
-        // steal the claim between the claimant's token re-read point and
-        // its rename — the exact window the fence guards
-        java.nio.file.Files.write(f.toPath, "thief-token".getBytes("UTF-8"))
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    ManifestStore.occBeforeRenameHook = () =>
+      if (calls.getAndIncrement() == 0) {
+        // take the version over exactly inside the fence-to-rename window:
+        // a breaker that decided this claimant crashed claims generation 1
+        val f = claimPath(path, 2L, 1)
+        assert(f.createNewFile(), "takeover claim already existed")
+        java.nio.file.Files.write(f.toPath, "breaker-token".getBytes("UTF-8"))
         ()
       }
-    }
     try {
+      val t0 = System.currentTimeMillis()
       val res = occUpsert(path, Seq(2 -> 2L), takeover = 300L)
-      assert(fenced.get() >= 2, "the fenced attempt must have retried")
+      assert(calls.get() >= 2, "the fenced attempt must have retried")
       assert(res.version == 2L && res.attempts >= 2)
+      assert(System.currentTimeMillis() - t0 >= 250L,
+        "the retry must have waited out the breaker's fresh claim")
       assert(stateRows(path) == Set((1, 1L), (2, 2L)))
       assert(ManifestStore.history(spark, path).map(_._1) == Seq(1L, 2L),
         "exactly one publish of the contended version")
+      assert(!claimPath(path, 2L, 0).exists() && !claimPath(path, 2L, 1).exists()
+        && !claimPath(path, 2L, 2).exists(),
+        "all consumed generations must be gone after the publish")
     } finally ManifestStore.occBeforeRenameHook = () => ()
+  }
+
+  test("two HEALTHY breakers racing one stale claim: create-exclusive on " +
+    "the next generation arbitrates — exactly one takes over, the loser " +
+    "backs off and lands on the following version (a delete-based break " +
+    "would let the second breaker destroy the first's fresh claim and " +
+    "double-publish)") {
+    val path = tmpDir("occbreakers") + "/state"
+    seed(path, 1 -> 1L)
+    writeForeignClaim(path, 2L, ageMs = 10L * 60L * 1000L)
+    val failed = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val threads = Seq(10 -> 100L, 11 -> 110L).map { case (id, sc) =>
+      val th = new Thread(() =>
+        try { occUpsert(path, Seq(id -> sc), takeover = 800L); () }
+        catch { case e: Throwable => failed.compareAndSet(null, e); () })
+      th.setDaemon(true); th
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(120000))
+    if (failed.get != null) throw failed.get
+    assert(threads.forall(!_.isAlive), "a breaker thread hung")
+    assert(stateRows(path) == Set((1, 1L), (10, 100L), (11, 110L)),
+      "both breakers' commits must survive — a lost update means the " +
+        "takeover arbitration failed")
+    assert(ManifestStore.history(spark, path).map(_._1) == Seq(1L, 2L, 3L),
+      "exactly one publish per commit, no version double-published")
   }
 
   test("the single-writer publish path fails LOUD on contention (the " +
