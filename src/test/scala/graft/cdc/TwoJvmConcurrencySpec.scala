@@ -108,8 +108,13 @@ class TwoJvmConcurrencySpec extends SparkSpec {
       assert(statsLive(), "bootstrap stats never appeared")
 
       val out = new java.io.File(scratch, "reader.out")
+      // 90 s reader window: the refresh gates below key on OBSERVED reader
+      // reads, and on a loaded host (the round-close sbt test runs this
+      // suite after 500+ specs with a warm 32-thread local cluster) each
+      // heal+pruned read can take 3-6 s — a 32 s window then starves the
+      // second refresh gate and fails the run on pacing, not correctness
       val reader = spawn("graft.cdc.ConcurrentReaderMain",
-        Seq(statePath, zm, "32000"), out)
+        Seq(statePath, zm, "90000"), out)
       try {
         // feed while the reader lives; two refresh rebuilds mid-stream,
         // GATED on observed reader progress — the child's Spark boot takes
@@ -125,7 +130,7 @@ class TwoJvmConcurrencySpec extends SparkSpec {
           }
           val readsSeen = slurp(out).linesIterator.count(_.startsWith("READ "))
           if ((refreshes == 0 && readsSeen >= 5) ||
-              (refreshes == 1 && readsSeen >= 15)) {
+              (refreshes == 1 && readsSeen >= 12)) {
             val n = pipe.refresh(Seq("t"))("t")
             assert(n === total.toLong, s"refresh loaded $n of $total")
             refreshes += 1
