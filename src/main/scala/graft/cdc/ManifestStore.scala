@@ -111,8 +111,13 @@ object ManifestStore {
     * stages its full snapshot OUTSIDE the state lock, and a slow stage can
     * outlive the vacuum age floor — the live stream's per-batch vacuums
     * must never reap a sibling thread's unpublished staging commit
-    * (review r13 #2). Single-driver contract: cross-process writers are
-    * already excluded by [[DriverLease]]. */
+    * (review r13 #2). This set is JVM-local; writers in OTHER processes
+    * (first-class since the r13 OCC work) are protected by the filesystem
+    * instead: vacuum's unpublished-dir age floor exceeds the optimistic
+    * loop's whole wait budget (ClaimTakeoverMs + grace), and a waiting
+    * writer re-touches its staged dir's mtime on every backoff tick, so a
+    * LIVE foreign stage never goes stale while only a crashed one does
+    * (ADVICE r13 medium). */
   private val activeStaging =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
@@ -381,7 +386,14 @@ object ManifestStore {
       if (fs.getScheme == "file") {
         val f = new java.io.File(p.toUri.getPath)
         f.getParentFile.mkdirs()
-        try f.createNewFile() catch { case _: java.io.IOException => false }
+        // lost-the-race is ONLY an existing file (mirror the non-file
+        // branch, ADVICE r13): a genuine I/O failure (permissions, disk
+        // full) mapped to `false` would spin the optimistic loop through
+        // its full takeover budget and then blame a "stalled foreign
+        // writer" — fail fast instead
+        try f.createNewFile()
+        catch { case e: java.io.IOException =>
+          if (f.exists()) false else throw e }
       } else {
         try { fs.create(p, false).close(); true }
         catch {
@@ -396,6 +408,24 @@ object ManifestStore {
     }
     created
   }
+
+  /** The filesystem's own clock: the mtime it stamps on a freshly created
+    * probe file. Used wherever an AGE is computed from an mtime another
+    * host may have stamped — comparing those against the local clock
+    * imports the full cross-host skew into the margin. Falls back to the
+    * local clock if the probe cannot be created (the pre-ADVICE behavior,
+    * never worse). One create+stat+delete per call — only invoked on
+    * contention paths, never per row or per batch of a healthy commit. */
+  private def fsNowMs(fs: org.apache.hadoop.fs.FileSystem,
+                      dir: org.apache.hadoop.fs.Path): Long =
+    try {
+      val p = new org.apache.hadoop.fs.Path(dir,
+        s".clock-probe-${java.util.UUID.randomUUID().toString.take(8)}")
+      fs.create(p, true).close()
+      val t = fs.getFileStatus(p).getModificationTime
+      try { fs.delete(p, false); () } catch { case _: java.io.IOException => () }
+      t
+    } catch { case _: java.io.IOException => System.currentTimeMillis() }
 
   /** Test seam: runs between the fence and the rename. Production value is
     * a no-op; the OCC spec uses it to take the claim over mid-publish and
@@ -434,7 +464,14 @@ object ManifestStore {
     val myGen: Int = existing.lastOption match {
       case None => 0
       case Some((hg, hmtime)) =>
-        if (System.currentTimeMillis() - hmtime < claimTakeoverMs)
+        // staleness is measured against the FILESYSTEM's clock (a fresh
+        // probe file's mtime), not the local one: the claim's mtime was
+        // stamped by the storage host, and with writers on different
+        // machines local-vs-storage skew would eat directly into the
+        // takeover margin and could retire a HEALTHY claimant early
+        // (ADVICE r13). Residual skew (storage clock moving between the
+        // claim stamp and the probe) must stay far below ClaimTakeoverMs.
+        if (fsNowMs(fs, root) - hmtime < claimTakeoverMs)
           return VersionTaken // a fresh claimant is mid-publish: wait
         hg + 1 // crashed claimant: take over by CREATING the next generation
     }
@@ -724,6 +761,11 @@ object ManifestStore {
                     s"the takeover threshold (${claimTakeoverMs} ms) plus " +
                     "grace — a foreign writer is stalled mid-publish and " +
                     "its claim could not be broken")
+              // keep our staged-but-unpublished commit dir visibly LIVE to
+              // foreign vacuums while we wait out the claimant: re-touch
+              // its mtime so the cross-process age floor (vacuum's
+              // stagedCutoff) never sees it stale (ADVICE r13 medium)
+              touchStaging(spark, statePath, written)
               Thread.sleep(wait)
               wait = math.min(wait * 2, 5000L)
             } else {
@@ -761,6 +803,21 @@ object ManifestStore {
         throw t
     }
   }
+
+  /** Refresh the staged commit dir's mtime (see [[vacuum]]'s stagedCutoff:
+    * the cross-process liveness signal while this writer waits out a
+    * foreign claim). Best-effort — a failed touch only narrows the margin
+    * back to the age floor itself. */
+  private def touchStaging(spark: SparkSession, statePath: String,
+                           written: Map[Long, BucketEntry]): Unit =
+    written.values.headOption.foreach { e =>
+      val commitDir = new org.apache.hadoop.fs.Path(statePath,
+        e.relDir.substring(0, e.relDir.lastIndexOf('/')))
+      try {
+        val (fs, _) = hfs(spark, statePath)
+        fs.setTimes(commitDir, System.currentTimeMillis(), -1)
+      } catch { case _: java.io.IOException => () }
+    }
 
   private def releaseStaging(statePath: String,
                              written: Map[Long, BucketEntry]): Unit =
@@ -861,8 +918,18 @@ object ManifestStore {
     }
     val dataRoot = new org.apache.hadoop.fs.Path(statePath, DataDir)
     if (!fs.exists(dataRoot)) return
+    // commit dirs reap on a floor that EXCEEDS the optimistic loop's whole
+    // stale-claim wait budget (ClaimTakeoverMs + 60 s grace, plus margin):
+    // a writer in ANOTHER process can legally hold a staged-but-unpublished
+    // commit dir for that long while waiting out a foreign claim, and
+    // activeStaging only shields this JVM's stages (ADVICE r13 medium).
+    // Live foreign waiters additionally re-touch their dir's mtime every
+    // backoff tick (commitBatchOptimistic), so only genuinely crashed
+    // stages ever cross this floor.
+    val stagedCutoff = System.currentTimeMillis() -
+      math.max(minAgeMs, ClaimTakeoverMs + 120000L)
     fs.listStatus(dataRoot).foreach { commit =>
-      if (commit.getModificationTime < cutoff &&
+      if (commit.getModificationTime < stagedCutoff &&
           !activeStaging.contains(commit.getPath.toUri.getPath) &&
           !activeStaging.contains(commit.getPath.toString)) {
         val cname = commit.getPath.getName

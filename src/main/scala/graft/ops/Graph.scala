@@ -37,6 +37,31 @@ object Graph {
 
   private val Scale = 1000000000000L // 1e12 micro-units of rank mass
 
+  /** Eager localCheckpoint of `df` hash-partitioned AND sorted by `key`,
+    * with that layout VISIBLE to the planner — the iterative-op exchange
+    * eliminator (r14, guide §2.4): every round's sort-merge join /
+    * aggregate keyed on `key` then consumes the checkpointed blocks in
+    * place, where an unaligned checkpoint re-exchanged and re-sorted the
+    * full edge list once per round. AQE must be OFF while the checkpoint
+    * materializes: under AdaptiveSparkPlan the physical plan's
+    * outputPartitioning is unresolved at checkpoint time and the
+    * LogicalRDD degrades to UnknownPartitioning (measured on this build —
+    * the preserved-partitioning path only fires on a concrete plan). The
+    * momentary toggle affects only the checkpoint's own job; everything
+    * downstream plans under AQE as usual. */
+  private[ops] def alignedCheckpoint(df: DataFrame, key: String): DataFrame = {
+    val spark = df.sparkSession
+    val conf = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.getOption(conf)
+    spark.conf.set(conf, "false")
+    try df.repartition(col(key)).sortWithinPartitions(col(key))
+      .localCheckpoint(true)
+    finally prev match {
+      case Some(v) => spark.conf.set(conf, v)
+      case None => spark.conf.unset(conf)
+    }
+  }
+
   /** PageRank (damping 0.85, `iters` fixed power iterations) over the
     * symmetrized eps-neighbor graph [[Dedup.embedDup]] emits — every
     * cosine-similar pair within a (label, sign-cell) block becomes an
@@ -64,8 +89,13 @@ object Graph {
     // Dedup.nearDupClusters): caches the edge list all six iterations
     // reuse AND leaves no session-lifetime cache entry behind — the
     // blocks are freed when the reference is GC'd, unlike an unreleased
-    // persist() which would pin executor memory across later queries
-    val edges = e.join(deg, "src").localCheckpoint(true)
+    // persist() which would pin executor memory across later queries.
+    // PARTITIONED AND SORTED BY THE ITERATION KEY before checkpointing
+    // ([[alignedCheckpoint]], r14): the pre-fix plan re-exchanged AND
+    // re-sorted the full edge list once PER ITERATION — 6 identical
+    // Exchange+Sort of the biggest table in the query
+    // (plans/r14/q_pagerank_before.txt vs _after.txt).
+    val edges = alignedCheckpoint(e.join(deg, "src"), "src")
     // the rank seed derives from the CHECKPOINTED edges (review r11):
     // seeding off deg/nTotal's original lineage re-executed the blocked
     // pair join twice more AFTER the checkpoint already paid for it
@@ -74,10 +104,16 @@ object Graph {
     var ranks = nodes.crossJoin(broadcast(nFromEdges))
       .select(col("src").as("node"), expr(s"${Scale}L div n").as("r"), col("n"))
     for (_ <- 1 to iters) {
+      // groupBy(dst) ALONE (r14): n is a constant 1-row broadcast carried
+      // as a column — grouping on (dst, n) forced each iteration's
+      // aggregate to shuffle on a key the NEXT iteration's join (on node
+      // = dst) could not reuse; keyed on dst, the aggregate's exchange IS
+      // the partitioning the next join needs (max(n) of a constant column
+      // is that constant, so the computed rows are identical).
       ranks = edges.join(ranks, edges("src") === ranks("node"))
         .select(col("dst"),
           expr("(85L * r) div (100L * outdeg)").as("contrib"), col("n"))
-        .groupBy(col("dst"), col("n")).agg(sum(col("contrib")).as("c"))
+        .groupBy(col("dst")).agg(sum(col("contrib")).as("c"), max(col("n")).as("n"))
         .select(col("dst").as("node"),
           (expr("15000000000000L div (100L * n)") + col("c")).as("r"),
           col("n"))
@@ -187,9 +223,14 @@ object Graph {
                 nCells: Int = Dedup.AutoCells): DataFrame = {
     val pairs = blockedPairs(spark, dir, threshold, blocking, nCells)
       .select(col("vec_a"), col("vec_b"))
-    val edges = pairs.select(col("vec_a").as("src"), col("vec_b").as("dst"))
-      .unionByName(pairs.select(col("vec_b").as("src"), col("vec_a").as("dst")))
-      .localCheckpoint(true)
+    // partitioned and sorted by the round key before checkpointing
+    // ([[alignedCheckpoint]], r14): each round's edges-x-labels sort-merge
+    // join then consumes the checkpointed edge list in place instead of
+    // re-exchanging and re-sorting it once per round
+    val edges = alignedCheckpoint(
+      pairs.select(col("vec_a").as("src"), col("vec_b").as("dst"))
+        .unionByName(pairs.select(col("vec_b").as("src"), col("vec_a").as("dst"))),
+      "src")
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("lbl", col("node"))
     for (_ <- 1 to rounds) {

@@ -174,6 +174,12 @@ object IngestFormats {
       val src = new WireCdcSource(spark, feed, s"$root/tables", "wal2json",
         maxFilesPerTrigger = 64)
       val pipe = new Pipeline(spark, cfg, src, sinkRoot)
+      // NOT partition-tuned (r14 measured negative result): wrapping the
+      // lifecycle in the streamedPairs-style 8-partition override changed
+      // nothing (same-JVM interleaved A/B, two reps per arm: run-v1
+      // 4.57/4.89 s untuned vs 4.88/4.99 s tuned; run-v2 a wash) — the
+      // pipeline batch's cost is lifecycle + per-bucket I/O, not
+      // shuffle-task count. Kept at the session default, which scales.
       val q = pipe.start(ckpt)
       try { q.processAllAvailable() } finally {
         try q.stop() finally pipe.releaseLeases()

@@ -42,6 +42,48 @@ object Profile {
       return
     }
 
+    // interleaved config A/B: `<sfDir> confab <reps> <q1,q2,...> <k=v[;k=v]>`
+    // — per query, alternate BASE / OVERRIDE reps in one JVM (steal waves
+    // on a noisy host hit both arms alike); prints both arms' seconds.
+    // Runtime-settable SQL confs only (join strategy, broadcast threshold,
+    // AQE knobs). Rep 1 of each arm runs once untimed per query first so
+    // codegen/JIT for BOTH plan shapes is paid before timing.
+    if (which == "confab") {
+      val reps = args(2).toInt
+      val overrides = args(4).split(";").map { kv =>
+        val Array(k, v) = kv.split("=", 2); (k, v)
+      }.toSeq
+      def withConf[T](on: Boolean)(body: => T): T = {
+        val prev = overrides.map { case (k, _) => k -> spark.conf.getOption(k) }
+        if (on) overrides.foreach { case (k, v) => spark.conf.set(k, v) }
+        try body
+        finally prev.foreach {
+          case (k, Some(v)) => spark.conf.set(k, v)
+          case (k, None) => spark.conf.unset(k)
+        }
+      }
+      args(3).split(",").foreach { q =>
+        val fn = graft.SparkEntry.queries(q)
+        withConf(on = false) { fn(spark, sfDir).count() } // warm base shape
+        withConf(on = true) { fn(spark, sfDir).count() }  // warm override shape
+        val (baseTs, overTs) = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          withConf(on = false) { fn(spark, sfDir).count() }
+          val tBase = (System.nanoTime() - t0) / 1e9
+          val t1 = System.nanoTime()
+          withConf(on = true) { fn(spark, sfDir).count() }
+          val tOver = (System.nanoTime() - t1) / 1e9
+          (tBase, tOver)
+        }.unzip
+        println(f"PROFILE $q%-24s base ${baseTs.map(t => f"$t%.2f").mkString(" ")}" +
+          f"  min=${baseTs.min}%.2f")
+        println(f"PROFILE $q%-24s over ${overTs.map(t => f"$t%.2f").mkString(" ")}" +
+          f"  min=${overTs.min}%.2f")
+      }
+      spark.stop()
+      return
+    }
+
     which match {
       case "prefix" =>
         val s = docs.select(col("doc_id"), expr("graft_shingle_hashes(text, 3)").as("hs"))
@@ -247,6 +289,14 @@ object Profile {
           val out = graft.ops.IngestFormats.cdcEvolveStaged(spark, sfDir,
             (name, f) => time(s"evolve-$rep-$name") { f(); 0L })
           time(s"evolve-$rep-final-read")(out.count())
+        }
+      case "trainab" =>
+        // same-JVM interleaved A/B of the r14 survivor materialization
+        Seq(("warm", true), ("off", false), ("on", true), ("off2", false),
+          ("on2", true), ("off3", false), ("on3", true)).foreach {
+          case (tag, on) =>
+            time(s"train-$tag")(graft.ops.TrainingPipeline
+              .trainManifest(spark, sfDir, materializeSurvivors = on).count())
         }
       case "pipeline" =>
         time("pipeline")(graft.SparkEntry.queries("q_dedup_pipeline")(spark, sfDir).count())

@@ -108,13 +108,20 @@ class TwoJvmConcurrencySpec extends SparkSpec {
       assert(statsLive(), "bootstrap stats never appeared")
 
       val out = new java.io.File(scratch, "reader.out")
-      // 90 s reader window: the refresh gates below key on OBSERVED reader
-      // reads, and on a loaded host (the round-close sbt test runs this
-      // suite after 500+ specs with a warm 32-thread local cluster) each
-      // heal+pruned read can take 3-6 s — a 32 s window then starves the
-      // second refresh gate and fails the run on pacing, not correctness
+      // PACE-ADAPTIVE reader window (r14, closing the last flake class of
+      // this suite): the refresh gates below key on OBSERVED reader reads,
+      // and any fixed window (32 s in r12, 90 s in r13) eventually starves
+      // the second gate on a slow-enough host — this round's steal-heavy
+      // sandbox ran each heal+pruned read in ~6 s and a 90 s window fit
+      // only one refresh, failing the run on pacing, not correctness. The
+      // reader now runs for AT LEAST minMs (keeps the ≥30 s concurrent-
+      // window assertion meaningful) and then until the parent drops a
+      // stop file — which it does only after BOTH refreshes landed and the
+      // reader took two further reads over the post-refresh state — with a
+      // maxMs hard bound so a wedged parent can never hang the child.
+      val stopFile = new java.io.File(scratch, "reader.stop")
       val reader = spawn("graft.cdc.ConcurrentReaderMain",
-        Seq(statePath, zm, "90000"), out)
+        Seq(statePath, zm, "35000", "300000", stopFile.getPath), out)
       try {
         // feed while the reader lives; two refresh rebuilds mid-stream,
         // GATED on observed reader progress — the child's Spark boot takes
@@ -122,8 +129,9 @@ class TwoJvmConcurrencySpec extends SparkSpec {
         // superset and flattens the "load advances under the reader" curve
         var next = 500
         var refreshes = 0
+        var readsAtSecondRefresh = Int.MaxValue
         while (reader.isAlive &&
-            System.currentTimeMillis() < bootDeadline + 240000L) {
+            System.currentTimeMillis() < bootDeadline + 360000L) {
           if (next < total) {
             source.addEvents(events(next, next + 250): _*)
             next += 250
@@ -134,6 +142,13 @@ class TwoJvmConcurrencySpec extends SparkSpec {
             val n = pipe.refresh(Seq("t"))("t")
             assert(n === total.toLong, s"refresh loaded $n of $total")
             refreshes += 1
+            if (refreshes == 2) readsAtSecondRefresh = readsSeen
+          }
+          // both refreshes done and the reader has read the post-refresh
+          // state at least twice: release the child
+          if (refreshes == 2 && readsSeen >= readsAtSecondRefresh + 2 &&
+              !stopFile.exists()) {
+            stopFile.createNewFile(); ()
           }
           Thread.sleep(150L)
         }
@@ -178,7 +193,8 @@ class TwoJvmConcurrencySpec extends SparkSpec {
 }
 
 /** Reader-JVM main: loop swap-heal + pruned read + exact count + marker
-  * probe against (statePath, zmPath) for args(2) ms. Prints one
+  * probe against (statePath, zmPath) for at least args(2) ms, then until
+  * the stop file args(4) appears or args(3) ms elapse. Prints one
   * `READ <i> <n> <marker>` line per iteration; exits 1 on any crash, 2 on
   * a count regression.
   *
@@ -202,14 +218,24 @@ object ConcurrentReaderMain {
   }
 
   def main(args: Array[String]): Unit = {
-    val Array(statePath, zmPath, durMs) = args
+    // minMs: smallest window (keeps the parent's ≥30 s concurrent-load
+    // assertion meaningful on fast hosts); stopPath: the parent's
+    // "both refreshes observed" release signal; maxMs: hard bound so a
+    // wedged parent can never hang this JVM (pace-adaptive window, r14)
+    val Array(statePath, zmPath, minMs, maxMs, stopPath) = args
     val spark = graft.GraftSession.get("local[2]", 2)
     val t0 = System.currentTimeMillis()
-    val deadline = t0 + durMs.toLong
+    val minDeadline = t0 + minMs.toLong
+    val maxDeadline = t0 + maxMs.toLong
+    val stopFile = new java.io.File(stopPath)
+    def keepGoing(): Boolean = {
+      val now = System.currentTimeMillis()
+      now < minDeadline || (now < maxDeadline && !stopFile.exists())
+    }
     var last = -1L
     var i = 0
     var retries = 0
-    while (System.currentTimeMillis() < deadline) {
+    while (keepGoing()) {
       try {
         // the check-shaped read surface, cross-process: any-reader heal,
         // marker state, manifest-pruned count over a wide range (falls
