@@ -53,13 +53,29 @@ object Profile {
       val overrides = args(4).split(";").map { kv =>
         val Array(k, v) = kv.split("=", 2); (k, v)
       }.toSeq
+      // keys prefixed `hadoop:` set the shared sparkContext
+      // hadoopConfiguration (output committer etc.); the rest are runtime
+      // SQL confs
+      val hconf = spark.sparkContext.hadoopConfiguration
       def withConf[T](on: Boolean)(body: => T): T = {
-        val prev = overrides.map { case (k, _) => k -> spark.conf.getOption(k) }
-        if (on) overrides.foreach { case (k, v) => spark.conf.set(k, v) }
+        val (hOver, sOver) = overrides.partition(_._1.startsWith("hadoop:"))
+        val prevS = sOver.map { case (k, _) => k -> spark.conf.getOption(k) }
+        val prevH = hOver.map { case (k, _) =>
+          val hk = k.stripPrefix("hadoop:"); hk -> Option(hconf.get(hk)) }
+        if (on) {
+          sOver.foreach { case (k, v) => spark.conf.set(k, v) }
+          hOver.foreach { case (k, v) => hconf.set(k.stripPrefix("hadoop:"), v) }
+        }
         try body
-        finally prev.foreach {
-          case (k, Some(v)) => spark.conf.set(k, v)
-          case (k, None) => spark.conf.unset(k)
+        finally {
+          prevS.foreach {
+            case (k, Some(v)) => spark.conf.set(k, v)
+            case (k, None) => spark.conf.unset(k)
+          }
+          prevH.foreach {
+            case (k, Some(v)) => hconf.set(k, v)
+            case (k, None) => hconf.unset(k)
+          }
         }
       }
       args(3).split(",").foreach { q =>
@@ -297,6 +313,22 @@ object Profile {
           case (tag, on) =>
             time(s"train-$tag")(graft.ops.TrainingPipeline
               .trainManifest(spark, sfDir, materializeSurvivors = on).count())
+        }
+      case "lpab" =>
+        // same-JVM interleaved A/B of the labelProp aligned checkpoint
+        Seq(("warm", true), ("off", false), ("on", true), ("off2", false),
+          ("on2", true), ("off3", false), ("on3", true)).foreach {
+          case (tag, on) =>
+            time(s"lp-$tag")(graft.ops.Graph
+              .labelProp(spark, sfDir, alignEdges = on).count())
+        }
+      case "prab" =>
+        // same-JVM interleaved A/B of the pageRank aligned checkpoint
+        Seq(("warm", true), ("off", false), ("on", true), ("off2", false),
+          ("on2", true), ("off3", false), ("on3", true)).foreach {
+          case (tag, on) =>
+            time(s"pr-$tag")(graft.ops.Graph
+              .pageRank(spark, sfDir, alignEdges = on).count())
         }
       case "pipeline" =>
         time("pipeline")(graft.SparkEntry.queries("q_dedup_pipeline")(spark, sfDir).count())
