@@ -870,11 +870,15 @@ object ManifestStore {
     * resolved the then-latest manifest within the last `minAgeMs` is
     * holding a KEPT version — every file it references survives. (A
     * creation-age rule would delete a long-carried-forward bucket dir the
-    * moment `keepVersions` rapid commits superseded it.) On top of that:
-    * a commit dir younger than `minAgeMs`, or registered by a live
-    * in-flight stage of this driver ([[activeStaging]], review r13 #2),
-    * is never touched — crash-orphaned unpublished stages are reaped by
-    * age alone once their writer is gone. */
+    * moment `keepVersions` rapid commits superseded it.) On top of that,
+    * two tiers for data no retained manifest references: a dir a
+    * still-on-disk SUPERSEDED manifest published reaps under the plain
+    * supersession gate (ex-live data — every possible reader holds a kept
+    * manifest); a dir NO manifest knows (a foreign writer's in-flight
+    * unpublished stage, or a crash orphan) waits out the longer
+    * stagedCutoff floor that exceeds the optimistic loop's whole wait
+    * budget (ADVICE r13 medium), and this driver's own live stages are
+    * additionally shielded by [[activeStaging]] (review r13 #2). */
   def vacuum(spark: SparkSession, statePath: String,
              keepVersions: Int = KeepVersions,
              minAgeMs: Long = MinAgeMs): Unit = try {
@@ -894,6 +898,19 @@ object ManifestStore {
     if (keptOldestMtime >= cutoff) return
     val referenced = kept.flatMap(v =>
       readManifest(spark, statePath, v).buckets.values.map(_.relDir)).toSet
+    // bucket dirs a SUPERSEDED manifest (still on disk this scan) once
+    // published: ex-live data, reader-safe to reap at the plain minAgeMs
+    // floor because the supersession gate above already proved every
+    // possible reader holds a KEPT manifest. Collected BEFORE the
+    // superseded manifest files themselves are deleted below. A dir in NO
+    // manifest is either a foreign writer's in-flight unpublished stage or
+    // a crash orphan — only those need the longer stagedCutoff floor
+    // (ADVICE r13 medium); without this split the ADVICE fix quietly
+    // stretched EVERY superseded file's retention to ~17 min.
+    val supersededRefs = versions.dropRight(keepVersions).flatMap { v =>
+      try readManifest(spark, statePath, v).buckets.values.map(_.relDir)
+      catch { case _: java.io.FileNotFoundException => Nil } // peer vacuumed it
+    }.toSet
     versions.dropRight(keepVersions).foreach { v =>
       val p = new org.apache.hadoop.fs.Path(statePath, manifestName(v))
       val old = try fs.getFileStatus(p).getModificationTime < cutoff
@@ -929,8 +946,8 @@ object ManifestStore {
     val stagedCutoff = System.currentTimeMillis() -
       math.max(minAgeMs, ClaimTakeoverMs + 120000L)
     fs.listStatus(dataRoot).foreach { commit =>
-      if (commit.getModificationTime < stagedCutoff &&
-          !activeStaging.contains(commit.getPath.toUri.getPath) &&
+      val pastStagedFloor = commit.getModificationTime < stagedCutoff
+      if (!activeStaging.contains(commit.getPath.toUri.getPath) &&
           !activeStaging.contains(commit.getPath.toString)) {
         val cname = commit.getPath.getName
         val bucketDirs =
@@ -939,14 +956,26 @@ object ManifestStore {
             Array.empty[org.apache.hadoop.fs.FileStatus] } // peer reaped it
         bucketDirs.foreach { bucketDir =>
           val rel = s"$DataDir/$cname/${bucketDir.getPath.getName}"
-          if (!referenced.contains(rel)) {
+          // published-then-superseded dirs reap at the plain age floor
+          // (cutoff already passed via the supersession gate); dirs no
+          // manifest on disk knows wait out the in-flight-stage floor
+          if (!referenced.contains(rel) &&
+              (pastStagedFloor || supersededRefs.contains(rel))) {
             try { fs.delete(bucketDir.getPath, true); () }
             catch { case _: java.io.IOException => () }
           }
         }
-        val emptied =
+        // an emptied PUBLISHED commit dir (every bucket was superseded and
+        // reaped above) can go at any age; an empty dir past the staged
+        // floor is a crash orphan. A YOUNG empty dir with no published
+        // history is a foreign stage between mkdir and its first bucket
+        // write — never touched.
+        val emptiedDeletable = pastStagedFloor ||
+          bucketDirs.exists(b => supersededRefs.contains(
+            s"$DataDir/$cname/${b.getPath.getName}"))
+        val emptied = emptiedDeletable && {
           try fs.listStatus(commit.getPath).isEmpty
-          catch { case _: java.io.FileNotFoundException => false }
+          catch { case _: java.io.FileNotFoundException => false } }
         if (emptied) {
           try { fs.delete(commit.getPath, true); () }
           catch { case _: java.io.IOException => () }

@@ -107,7 +107,10 @@ object Maintenance {
     * [[graft.cdc.UpsertSink]]'s recoverSwap; a crash before the manifest
     * write leaves the pre-swap manifest pointing at vanished bins, so the
     * manifest is rewritten FROM the swapped data before anyone reads it
-    * (same call). Returns the manifest. */
+    * (same call). Returns the manifest stats plus a trailing `n_shards`
+    * audit column (computed in the same post-swap scan that feeds the
+    * zone-map write; the persisted zonemap keeps the manifest columns
+    * only). */
   def compactApply(spark: SparkSession, livePath: String,
                    targetBytes: Long = 32768): DataFrame = {
     // the documented heal-by-rerun contract (a crash between the two
@@ -179,16 +182,29 @@ object Maintenance {
       case t: Throwable =>
         graft.cdc.StateCommit.dropStaging(spark, staging); throw t
     }
-    val manifest = spark.read.parquet(livePath)
+    // ONE post-swap scan feeds BOTH the zone-map manifest and the caller's
+    // audit (r14, guide §2.4: the audit in compactionApplyQuery re-scanned
+    // the compacted corpus for aggregates this scan already computes —
+    // fusing them drops a full pass over the rewritten data). The combined
+    // stats are O(bins) rows, materialized so the zonemap write and the
+    // returned frame both read blocks, not files. Column ORDER keeps the
+    // documented manifest prefix (bin, n_rows, bytes, min_doc, max_doc);
+    // n_shards rides at the END so positional consumers are unchanged.
+    val stats = spark.read.parquet(livePath)
       .groupBy(col("bin").cast("long").as("bin"))
       .agg(count(lit(1)).as("n_rows"),
         sum(length(col("text")).cast("long")).as("bytes"),
-        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"),
+        countDistinct(col("shard")).as("n_shards"))
+      .localCheckpoint(true)
+    val manifest = stats
+      .select(col("bin"), col("n_rows"), col("bytes"),
+        col("min_doc"), col("max_doc"))
     graft.cdc.StateCommit.stageSwap(spark, livePath + ".zonemap")(zmTmp =>
       manifest.orderBy(col("bin")).coalesce(1)
         .write.mode("overwrite").parquet(zmTmp))
     graft.cdc.StateCommit.clearMarker(spark, livePath + ".zonemap")
-    spark.read.parquet(livePath + ".zonemap").orderBy(col("bin"))
+    stats.orderBy(col("bin"))
   }
 
   /** Driver query for the applied compaction: stage the documents corpus
@@ -217,12 +233,11 @@ object Maintenance {
         col("id").as("bytes"))
     docs.repartition(col("shard"))
       .write.partitionBy("shard").parquet(live)
+    // the audit IS a projection of the stats compactApply already computed
+    // from the compacted files (r14): same post-swap scan, zero extra pass
     compactApply(spark, live, targetBytes)
-    spark.read.parquet(live)
-      .groupBy(col("bin").cast("long").as("bin"))
-      .agg(countDistinct(col("shard")).as("n_shards"),
-        count(lit(1)).as("n_docs"),
-        sum(length(col("text")).cast("long")).as("bytes"))
+      .select(col("bin"), col("n_shards"), col("n_rows").as("n_docs"),
+        col("bytes"))
       .orderBy(col("bin"))
   }
 
@@ -567,36 +582,42 @@ object Maintenance {
     val n = 8
     val schema = StructType(Seq(
       StructField("o_orderkey", LongType), StructField("val", DoubleType)))
+    // materialized ONCE (r14, guide §5): this aggregate feeds the v1
+    // stageFull, the touched-buckets collect AND the v2 merged frame —
+    // unpersisted it recomputed the whole orders group-by three times
     val base = Tables(spark, dir, "orders")
       .groupBy(col("o_orderkey"))
       .agg(max(round(col("o_totalprice"), 2)).as("val"),
         max(col("o_custkey")).as("ck"))
-    val staged = ManifestStore.stageFull(spark, path,
-      base.select(col("o_orderkey"), col("val")), "o_orderkey", n,
-      Seq("o_orderkey"))
-    ManifestStore.publishFull(spark, path, staged)
-    val tsAfterV1 = System.currentTimeMillis()
-    Thread.sleep(5) // v2's publish mtime must sit strictly after the anchor
-    val bucketed = base
-      .withColumn(b, BucketedUpsertSink.bucketOf(col("o_orderkey"), n))
-    // bounded collect: at most n=8 bucket ids
-    val touched = bucketed.filter(pmod(col("o_orderkey"), lit(3)) =!= 0)
-      .select(col(b)).distinct().collect().map(_.getLong(0)).toSeq
-    val merged = bucketed
-      .filter(col(b).isin(touched: _*) &&
-        pmod(col("o_orderkey"), lit(3)) =!= 2)
-      .select(col("o_orderkey"),
-        when(pmod(col("o_orderkey"), lit(3)) === 1,
-          col("ck").cast("double")).otherwise(col("val")).as("val"),
-        col(b))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    try ManifestStore.commitBatch(spark, path, merged, touched, n,
-      Seq("o_orderkey"))
-    finally { merged.unpersist(); () }
-    val asOf = ManifestStore.versionAsOf(spark, path, tsAfterV1)
-    require(asOf == 1L,
-      s"as-of resolution drifted: the anchor between the publishes must " +
-        s"resolve to version 1, got $asOf")
-    (path, schema)
+    try {
+      val staged = ManifestStore.stageFull(spark, path,
+        base.select(col("o_orderkey"), col("val")), "o_orderkey", n,
+        Seq("o_orderkey"))
+      ManifestStore.publishFull(spark, path, staged)
+      val tsAfterV1 = System.currentTimeMillis()
+      Thread.sleep(5) // v2's publish mtime must sit strictly after the anchor
+      val bucketed = base
+        .withColumn(b, BucketedUpsertSink.bucketOf(col("o_orderkey"), n))
+      // bounded collect: at most n=8 bucket ids
+      val touched = bucketed.filter(pmod(col("o_orderkey"), lit(3)) =!= 0)
+        .select(col(b)).distinct().collect().map(_.getLong(0)).toSeq
+      val merged = bucketed
+        .filter(col(b).isin(touched: _*) &&
+          pmod(col("o_orderkey"), lit(3)) =!= 2)
+        .select(col("o_orderkey"),
+          when(pmod(col("o_orderkey"), lit(3)) === 1,
+            col("ck").cast("double")).otherwise(col("val")).as("val"),
+          col(b))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      try ManifestStore.commitBatch(spark, path, merged, touched, n,
+        Seq("o_orderkey"))
+      finally { merged.unpersist(); () }
+      val asOf = ManifestStore.versionAsOf(spark, path, tsAfterV1)
+      require(asOf == 1L,
+        s"as-of resolution drifted: the anchor between the publishes must " +
+          s"resolve to version 1, got $asOf")
+      (path, schema)
+    } finally { base.unpersist(); () }
   }
 }

@@ -181,6 +181,40 @@ class ManifestSinkSpec extends SparkSpec {
     assert(manifests.length === 1, manifests.mkString(","))
   }
 
+  test("vacuum tiers (r14): a young UNPUBLISHED foreign stage survives a " +
+    "minAge-0 vacuum that reaps superseded published data; past the " +
+    "in-flight floor the crash orphan reaps too") {
+    val path = tmpDir("mvactier") + "/t"
+    applyM(path, batchDf(("create", 1, 10L), ("create", 2, 20L)))
+    applyM(path, batchDf(("update", 1, 11L)))
+    applyM(path, batchDf(("update", 2, 22L)))
+    // a foreign writer's in-flight stage: a commit dir NO manifest knows
+    val staged = new java.io.File(s"$path/${ManifestStore.DataDir}/" +
+      s"c-${System.currentTimeMillis()}-feedf00d/bucket-00001")
+    assert(staged.mkdirs())
+    val stagedFile = new java.io.File(staged, "part-00000-x.snappy.parquet")
+    java.nio.file.Files.write(stagedFile.toPath, Array[Byte](1, 2, 3))
+    ManifestStore.vacuum(spark, path, keepVersions = 1, minAgeMs = 0L)
+    // superseded PUBLISHED data reaps at the plain supersession gate...
+    val m = ManifestStore.currentManifest(spark, path).get
+    val referenced = m.buckets.values.map(e => s"$path/${e.relDir}").toSet
+    dataFiles(path).filterNot(_.contains("feedf00d")).foreach { f =>
+      assert(referenced.exists(d => f.startsWith(d + "/")),
+        s"unreferenced published survivor after vacuum: $f")
+    }
+    // ...while the young unpublished stage is untouchable at ANY minAge
+    assert(stagedFile.exists(),
+      "a young in-flight foreign stage must never be reaped")
+    // age the orphan past the in-flight floor: now it reaps
+    val old = System.currentTimeMillis() -
+      (ManifestStore.ClaimTakeoverMs + 130000L)
+    assert(staged.getParentFile.setLastModified(old))
+    ManifestStore.vacuum(spark, path, keepVersions = 1, minAgeMs = 0L)
+    assert(!stagedFile.exists(),
+      "a crash orphan past the in-flight floor must reap")
+    assert(stateRows(path) === Set((1, 11L), (2, 22L)))
+  }
+
   test("time travel: readStateAt pins a version's exact content across " +
     "later updates/deletes; history and as-of resolve publishes in order") {
     val path = tmpDir("mtt") + "/t"
