@@ -423,22 +423,33 @@ object IncrementalDedup {
       .join(touchedBuckets, Seq("band_id", "band_h"), "left_semi")
       .groupBy(col("band_id"), col("band_h"))
       .agg(count(lit(1)).as("__w"), sum(col("__old")).as("__wOld"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     // __wOld >= 2, not > 0 (review r13): a pre-batch width of 1 can never
     // have emitted a pair (pairs need two members), so a single-old-member
     // bucket crossing the cap matches the one-shot exactly — zero pairs
-    // from both — and must not kill a healthy stream
-    val crossed = widths.filter(col("__w") > maxBucketWidth &&
-      col("__wOld") >= 2 && col("__wOld") <= maxBucketWidth).count()
-    require(crossed == 0L,
-      s"updateLsh: $crossed touched band bucket(s) crossed " +
-        s"maxBucketWidth=$maxBucketWidth mid-stream — pairs already emitted " +
-        "through them in earlier batches are not retracted, so the " +
-        "incremental union no longer equals the one-shot capped " +
-        "Dedup.minhashLsh answer; run a one-shot compaction to re-derive " +
-        "the capped pairs (or raise maxBucketWidth)")
+    // from both — and must not kill a healthy stream.
+    // The guard RIDES the same filter that prunes wide buckets (r14, the
+    // CdcSource assert_true idiom): the r13 shape ran a dedicated count
+    // action per micro-batch — an extra job and an extra scan of the bands
+    // state every trigger, measured ~0.15-0.25 s/batch on q_dedup_stream/
+    // q_dedup_incr. Every widths row still passes through this predicate
+    // (the semi-join fully evaluates its build side), so a crossing fails
+    // the batch exactly as loudly — on the batch's first candidate-
+    // consuming action; state writes are per-batch overwrites and
+    // snapshotRead pins the pre-append snapshot, so a replay of the failed
+    // batch re-detects the crossing.
+    val crossing = col("__w") > maxBucketWidth &&
+      col("__wOld") >= 2 && col("__wOld") <= maxBucketWidth
     val narrow = widths
-      .filter(col("__w") <= maxBucketWidth)
+      .filter(assert_true(!crossing, concat(
+        lit("updateLsh: touched band bucket (band_id="), col("band_id"),
+        lit(", band_h="), col("band_h"),
+        lit(s") crossed maxBucketWidth=$maxBucketWidth mid-stream — pairs " +
+          "already emitted through it in earlier batches are not " +
+          "retracted, so the incremental union no longer equals the " +
+          "one-shot capped Dedup.minhashLsh answer; run a one-shot " +
+          "compaction to re-derive the capped pairs (or raise " +
+          "maxBucketWidth)"))).isNull &&
+        col("__w") <= maxBucketWidth)
       .select(col("band_id"), col("band_h"))
 
     // probe: new bands x all bands; (a < b) ordering makes new x new pairs
@@ -495,7 +506,7 @@ object IncrementalDedup {
           .repartition(col("bucket")),
         setsPath, batchId, partitionCols = Seq("bucket"))
     else writeState(newSets, setsPath, batchId)
-    newBands.unpersist(); newSets.unpersist(); widths.unpersist()
+    newBands.unpersist(); newSets.unpersist()
     if (eb > 0) { candidates.unpersist(); () }
     verified
   }

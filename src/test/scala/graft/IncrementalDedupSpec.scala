@@ -121,13 +121,18 @@ class IncrementalDedupSpec extends SparkSpec {
     val under = IncrementalDedup.updateLsh(spark, state2, cluster(1 to 3),
       maxBucketWidth = 4)
     assert(under.count() === 3L, "under-cap batch emits its C(3,2) pairs")
-    val e = intercept[IllegalArgumentException] {
+    // the guard rides the bucket-pruning filter (r14), so it surfaces as a
+    // task-level raise wrapped by the job — walk the cause chain for the
+    // named contract instead of pinning the wrapper type
+    val e = intercept[Exception] {
       IncrementalDedup.updateLsh(spark, state2, cluster(4 to 6),
         maxBucketWidth = 4).count()
     }
-    assert(e.getMessage.contains("crossed") &&
-      e.getMessage.contains("maxBucketWidth"),
-      s"parity-window failure must name the contract, got: ${e.getMessage}")
+    val msgs = Iterator.iterate[Throwable](e)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString("\n")
+    assert(msgs.contains("crossed") && msgs.contains("maxBucketWidth"),
+      s"parity-window failure must name the contract, got: $msgs")
     // width-1 pre-batch bucket crossing the cap is NOT a parity window
     // (review r13): one old member can never have emitted a pair, so both
     // tiers agree on zero pairs — the guard must not kill a healthy stream
