@@ -685,6 +685,18 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
     * newer than everything observed up to it, so replay must not re-apply
     * any of it. */
   private def observedOffsetCeiling(sync: SyncConfig): Long = {
+    // UNDER the state lock (r14): this is the one watermark-store read
+    // that ran outside it (refresh/K3 call it before their long scans), and
+    // a live batch's advance under the lock rewrites touched _bucket dirs
+    // via dynamic partition overwrite — the unlocked mergeSchema read here
+    // listed files a concurrent advance then deleted, crashing refresh
+    // with FILE_NOT_EXIST mid-footer-read (surfaced by
+    // TwoJvmConcurrencySpec under full-suite load). The lock is held for
+    // ONE max-aggregate over the narrow (pk, offset, _ridx) sidecar plus
+    // the dead-letter max — bounded, nothing like the full source scan the
+    // r9 review moved outside the lock; monitors are reentrant so callers
+    // already holding the lock are unaffected.
+    StateCommit.stateLock(statePath(sync)).synchronized {
     val wmMax = OffsetWatermark.current(spark, statePath(sync))
       .flatMap(w => Option(
         w.agg(max(col(OffsetWatermark.OffsetCol))).head.get(0)))
@@ -699,6 +711,7 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
       else Option(spark.read.parquet(deadLetterPath(sync))
         .agg(max(col("offset"))).head.get(0)).fold(0L)(_.asInstanceOf[Long])
     math.max(wmMax, dlMax)
+    }
   }
 
   /** K3 bootstrap backfill: if `sync.full` and the sink is absent, load the

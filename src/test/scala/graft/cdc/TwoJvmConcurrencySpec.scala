@@ -211,7 +211,14 @@ object ConcurrentReaderMain {
     while (t != null) {
       if (t.isInstanceOf[java.io.FileNotFoundException] ||
         Option(t.getMessage).exists(m => m.contains("FAILED_READ_FILE") ||
-          m.contains("does not exist"))) return true
+          m.contains("does not exist") ||
+          // the vanished-DIRECTORY variant of the same race (r14): the
+          // writer's dynamic-partition overwrite can remove a whole
+          // _bucket dir between the reader's listing and its recursive
+          // walk — Hadoop's RawLocalFileSystem reports that as a generic
+          // "Invalid directory or I/O error occurred for dir", not a
+          // FileNotFoundException
+          m.contains("Invalid directory or I/O error occurred"))) return true
       t = t.getCause
     }
     false
