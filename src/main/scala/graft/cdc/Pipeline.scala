@@ -247,7 +247,16 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
     // per-batch heartbeat refresh
     DriverLease.acquire(spark, statePath(sync), staleMs = config.leaseStaleMs)
     val pk = pkOut(sync)
+    // Persisted for the batch's lifetime (r15, guide §5): the decoded view
+    // (from_json ×2 branches, posexplode, json_object_keys per mapping — the
+    // batch's dominant per-row CPU) feeds THREE actions per batch — the
+    // dead-letter probe, the sink merge, and the watermark advance (plus the
+    // dead-letter append when it fires). Unpersisted, each re-ran the whole
+    // decode over the cached raw batch; serialized cache cuts that to one
+    // decode + cache reads. Batch-sized, freed in the finally below.
     val full = hooks.preEvent.foldLeft(syncView(batch, sync))((df, h) => h(sync.table, df))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    try {
     val dead = full.filter(col(pk).isNull)
     if (!dead.isEmpty)
       dead.write.mode("append").parquet(deadLetterPath(sync))
@@ -299,6 +308,7 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
       StateCommit.mutationStamp(statePath(sync)).incrementAndGet(); ()
     }
     hooks.postBatch.foreach(_(sync.table, batchId))
+    } finally { full.unpersist(); () }
   }
 
   /** Commit one compacted change set to the sync's sink — the shared write

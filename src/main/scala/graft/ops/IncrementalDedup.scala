@@ -360,7 +360,21 @@ object IncrementalDedup {
     * 0.1% batch the saved sets read is a wash because the un-pruned BAND
     * index scan and fixed per-batch costs dominate first. Default stays 0;
     * the layout becomes relevant only once the sets store outweighs the
-    * band index by enough that its scan is the batch bottleneck. */
+    * band index by enough that its scan is the batch bottleneck.
+    *
+    * AFTER A CROSSING FAILURE THE STATE HAS ADVANCED (ADVICE r14): the
+    * parity-window guard rides the returned frame's first consuming
+    * action, and in the default `buckets = 0` path the bands/sets appends
+    * land BEFORE that action runs. A direct-API caller that catches the
+    * crossing exception and keeps feeding new batches against the same
+    * statePath therefore loses detection permanently — once the crossing
+    * batch's bands are on disk, `__wOld` itself exceeds maxBucketWidth and
+    * the crossing predicate can never match again. The contract: a
+    * crossing failure makes a one-shot [[Dedup.minhashLsh]] compaction
+    * MANDATORY before reusing the store (exactly the repair the error
+    * message names). Checkpointed-stream replay is unaffected — a
+    * `batchId` replay re-reads the pre-append snapshot (snapshotRead
+    * excludes batch >= k) and re-detects the crossing. */
   def updateLsh(spark: SparkSession, statePath: String, newDocs: DataFrame,
                 threshold: Double = 0.5, numHashes: Int = 16,
                 bands: Int = 8, batchId: Option[Long] = None,
@@ -437,6 +451,14 @@ object IncrementalDedup {
     // consuming action; state writes are per-batch overwrites and
     // snapshotRead pins the pre-append snapshot, so a replay of the failed
     // batch re-detects the crossing.
+    // ORDER-DEPENDENT (ADVICE r14): the assert_true conjunct must stay to
+    // the LEFT of `__w <= maxBucketWidth` inside this one Filter. And
+    // short-circuits left-to-right, and a crossing row always FAILS the
+    // width conjunct — evaluated first it would silently prune the row the
+    // assert exists to raise on. Both conjuncts reference aggregate output,
+    // so the optimizer can neither split nor push them today; the
+    // IncrementalDedupSpec mid-stream-crossing test is the canary if that
+    // ever changes.
     val crossing = col("__w") > maxBucketWidth &&
       col("__wOld") >= 2 && col("__wOld") <= maxBucketWidth
     val narrow = widths

@@ -186,17 +186,25 @@ object Maintenance {
     // audit (r14, guide §2.4: the audit in compactionApplyQuery re-scanned
     // the compacted corpus for aggregates this scan already computes —
     // fusing them drops a full pass over the rewritten data). The combined
-    // stats are O(bins) rows, materialized so the zonemap write and the
-    // returned frame both read blocks, not files. Column ORDER keeps the
-    // documented manifest prefix (bin, n_rows, bytes, min_doc, max_doc);
-    // n_shards rides at the END so positional consumers are unchanged.
-    val stats = spark.read.parquet(livePath)
+    // stats are O(bins) rows, collected ONCE and returned as a local
+    // relation (ADVICE r14: the previous localCheckpoint(true) was never
+    // unpersisted, so a long-lived driver running periodic compactions
+    // leaked one O(bins) cached RDD per call — and the returned frame
+    // silently depended on checkpoint blocks surviving executor loss,
+    // which localCheckpoint does not guarantee). Bins are bounded by
+    // corpus_bytes / targetBytes — metadata-scale by construction (the
+    // zonemap below is a coalesce(1) write of the same rows). Column
+    // ORDER keeps the documented manifest prefix (bin, n_rows, bytes,
+    // min_doc, max_doc); n_shards rides at the END so positional
+    // consumers are unchanged.
+    val statsAgg = spark.read.parquet(livePath)
       .groupBy(col("bin").cast("long").as("bin"))
       .agg(count(lit(1)).as("n_rows"),
         sum(length(col("text")).cast("long")).as("bytes"),
         min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"),
         countDistinct(col("shard")).as("n_shards"))
-      .localCheckpoint(true)
+    val stats = spark.createDataFrame(
+      java.util.Arrays.asList(statsAgg.collect(): _*), statsAgg.schema)
     val manifest = stats
       .select(col("bin"), col("n_rows"), col("bytes"),
         col("min_doc"), col("max_doc"))

@@ -53,6 +53,14 @@ object Multimodal {
       y += 1
     }
     val bos = new java.io.ByteArrayOutputStream()
+    // ImageIO's useCache defaults to TRUE: every write would otherwise
+    // spool through a FileCacheImageOutputStream — a temp FILE created,
+    // written, read back and deleted PER IMAGE (r15; the in-sweep
+    // q_multimodal_decode spikes were this disk churn under load, not the
+    // codec). Memory caching is byte-identical output for these tiny
+    // images. The flag is a global static; setting it per call is a
+    // no-op after the first and keeps every entry path covered.
+    javax.imageio.ImageIO.setUseCache(false)
     javax.imageio.ImageIO.write(img, "png", bos)
     bos.toByteArray
   }
@@ -93,8 +101,11 @@ object Multimodal {
     import spark.implicits._
     rows.mapPartitions { it =>
       // ImageIO scans for plugins lazily; touching it here keeps codec
-      // discovery once per partition, not per row
-      javax.imageio.ImageIO.getUseCache
+      // discovery once per partition, not per row. useCache OFF (r15):
+      // the default-true flag routes every read through a
+      // FileCacheImageInputStream — one temp file per image decode;
+      // memory caching decodes the same bytes without the disk churn.
+      javax.imageio.ImageIO.setUseCache(false)
       it.map { r =>
         val pngOk = isPng(r.payload)
         val img = javax.imageio.ImageIO.read(

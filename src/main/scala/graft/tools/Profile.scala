@@ -306,6 +306,40 @@ object Profile {
             (name, f) => time(s"evolve-$rep-$name") { f(); 0L })
           time(s"evolve-$rep-final-read")(out.count())
         }
+      case "cdcevolvejobs" =>
+        // job-level anatomy of one warm evolution run (r15): per-Spark-job
+        // wall + gaps, so lifecycle fixed costs (driver-side planning,
+        // stream start/stop, fs protocol) separate from task time
+        val listener = new org.apache.spark.scheduler.SparkListener {
+          private val starts =
+            new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+          @volatile private var lastEnd = 0L
+          override def onJobStart(
+              js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+            starts.put(js.jobId, js.time)
+            val gap = if (lastEnd == 0) 0 else js.time - lastEnd
+            val desc = Option(js.properties)
+              .flatMap(p => Option(p.getProperty("spark.job.description")))
+              .orElse(Option(js.properties)
+                .flatMap(p => Option(p.getProperty("callSite.short"))))
+              .getOrElse("?")
+            println(f"JOBSTART ${js.jobId}%5d gap=${gap}%6d ms  $desc")
+          }
+          override def onJobEnd(
+              je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+            val dur = je.time - starts.getOrDefault(je.jobId, je.time)
+            lastEnd = je.time
+            println(f"JOBEND   ${je.jobId}%5d dur=${dur}%6d ms")
+          }
+        }
+        // one untimed warm pass first so codegen/JIT is out of the anatomy
+        graft.ops.IngestFormats.cdcEvolveStaged(spark, sfDir,
+          (_, f) => f()).count()
+        spark.sparkContext.addSparkListener(listener)
+        val out = graft.ops.IngestFormats.cdcEvolveStaged(spark, sfDir,
+          (name, f) => time(s"evolvej-$name") { f(); 0L })
+        time("evolvej-final-read")(out.count())
+        spark.sparkContext.removeSparkListener(listener)
       case "trainab" =>
         // same-JVM interleaved A/B of the r14 survivor materialization
         Seq(("warm", true), ("off", false), ("on", true), ("off2", false),

@@ -217,8 +217,12 @@ object ConcurrentReaderMain {
           // _bucket dir between the reader's listing and its recursive
           // walk — Hadoop's RawLocalFileSystem reports that as a generic
           // "Invalid directory or I/O error occurred for dir", not a
-          // FileNotFoundException
-          m.contains("Invalid directory or I/O error occurred"))) return true
+          // FileNotFoundException. Narrowed (ADVICE r14): the same message
+          // covers genuine I/O failures (permissions, disk errors), so
+          // only a failure naming one of the writer's `_bucket=` partition
+          // dirs is the benign race — anything else stays fatal.
+          (m.contains("Invalid directory or I/O error occurred") &&
+            m.contains(graft.cdc.BucketedUpsertSink.BucketCol + "=")))) return true
       t = t.getCause
     }
     false
