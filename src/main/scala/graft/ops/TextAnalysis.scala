@@ -1065,6 +1065,15 @@ object TextAnalysis {
       .select(col("c"), split(col("tok"), "").as("syms"))
       .persist() // the only corpus scan; rounds iterate on this
     val learned = scala.collection.mutable.ArrayBuffer.empty[Row]
+    // the generation awaiting unpersist: a parent vocab stays cached until
+    // the NEXT round's argmax action has materialized its child (r15 —
+    // the previous shape ran a dedicated `next.count()` per round purely
+    // to materialize before unpersisting, ONE EXTRA JOB per merge round
+    // on a trainer whose cost is sequential job latency; the argmax that
+    // round k+1 runs anyway is the same materializing action). At most
+    // two generations are cached at once — exactly what count-then-
+    // unpersist also held while the count ran.
+    var prevGen: Option[org.apache.spark.sql.DataFrame] = None
     try {
       var exhausted = false
       for (round <- 1 to merges if !exhausted) {
@@ -1078,6 +1087,8 @@ object TextAnalysis {
           .agg(sum(col("c")).as("freq"))
           .orderBy(col("freq").desc, col("a"), col("b"))
           .limit(1).collect() // 1-row argmax, the kmeans-convergence shape
+        // `vocab` is materialized now; its parent is safe to release
+        prevGen.foreach(_.unpersist()); prevGen = None
         if (best.nonEmpty) {
           val (a, b, f) =
             (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
@@ -1094,8 +1105,7 @@ object TextAnalysis {
                 concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
                 .otherwise(concat(acc, array(x)))).as("syms"))
             .persist()
-          next.count() // materialize before unpersisting the parent
-          vocab.unpersist()
+          prevGen = Some(vocab)
           vocab = next
         } else {
           // nothing left to merge: stop instead of launching an identical
@@ -1103,7 +1113,10 @@ object TextAnalysis {
           exhausted = true
         }
       }
-    } finally vocab.unpersist()
+    } finally {
+      prevGen.foreach(_.unpersist())
+      vocab.unpersist()
+    }
     spark.createDataFrame(
       new java.util.ArrayList[Row](scala.jdk.CollectionConverters
         .SeqHasAsJava(learned.toSeq).asJava),

@@ -340,6 +340,15 @@ object Profile {
           (name, f) => time(s"evolvej-$name") { f(); 0L })
         time("evolvej-final-read")(out.count())
         spark.sparkContext.removeSparkListener(listener)
+      case "prefixab" =>
+        // same-JVM interleaved A/B of the perDoc materialization in the
+        // PPJoin prefix tier (r15)
+        Seq(("warm", true), ("off", false), ("on", true), ("off2", false),
+          ("on2", true), ("off3", false), ("on3", true)).foreach {
+          case (tag, on) =>
+            time(s"prefix-$tag")(graft.ops.Dedup
+              .ngramJaccardPrefix(spark, sfDir, materializePerDoc = on).count())
+        }
       case "trainab" =>
         // same-JVM interleaved A/B of the r14 survivor materialization
         Seq(("warm", true), ("off", false), ("on", true), ("off2", false),
