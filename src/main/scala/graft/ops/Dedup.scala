@@ -444,7 +444,11 @@ object Dedup {
     var labels = edges.groupBy(col("src").as("doc"))
       .agg(min(col("dst")).as("nbr_min"))
       .select(col("doc"), least(col("doc"), col("nbr_min")).as("cluster"))
-      .localCheckpoint(true)
+      // lazy (r15): the checksum below is the materializing action — the
+      // eager form paid one dedicated caching job per round on a loop
+      // whose cost is sequential job latency; lineage truncation and
+      // ContextCleaner block freeing are identical either way
+      .localCheckpoint(false)
     var converged = false
     var iter = 0
     // Order-insensitive (count, xor) label checksum — the bigStar
@@ -474,7 +478,7 @@ object Dedup {
       val next = labels.join(nbrMin, Seq("doc"), "left")
         .select(col("doc"),
           least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"))
-        .localCheckpoint(true)
+        .localCheckpoint(false) // lazy: the checksum materializes it
       val nextSum = labelChecksum(next)
       labels = next // previous round's blocks are freed by ContextCleaner
       // labels only decrease; an (count, xor)-equal label multiset means
@@ -571,13 +575,13 @@ object Dedup {
                                        what: String,
                                        afterMaterialize: () => Unit = () => ())
       : DataFrame = {
-    // localCheckpoint like every round's result (uniform lifecycle — see
-    // nearDupClusters' note on ContextCleaner freeing dropped rounds).
-    var edges = edges0.localCheckpoint(true)
-    // the entry checkpoint is eager, so the caller's upstream caches are no
-    // longer referenced past this point — give it the chance to free them
-    // before the convergence rounds run
-    afterMaterialize()
+    // LAZY localCheckpoint (r15): the entry checksum below is the round's
+    // first action anyway, so it doubles as the materializer — the eager
+    // form paid a dedicated caching job per checkpoint on a loop whose
+    // per-round cost is dominated by sequential job latency. Lineage is
+    // truncated either way (the Dataset wraps a LogicalRDD at checkpoint
+    // time); ContextCleaner still frees dropped rounds' blocks.
+    var edges = edges0.localCheckpoint(false)
     // Order-insensitive set checksum: (count, xor of per-edge hashes).
     // XOR instead of sum — ANSI mode makes a sum of full-range longs an
     // overflow error, and xor is closed over Long with the same
@@ -588,6 +592,12 @@ object Dedup {
       (r.getLong(0), r.getLong(1))
     }
     var checksum = edgeChecksum(edges)
+    // the checksum materialized the entry checkpoint, so the caller's
+    // upstream caches are no longer referenced past this point — give it
+    // the chance to free them before the convergence rounds run (MOVED
+    // below the checksum when the checkpoint went lazy: unpersisting
+    // before materialization would force the upstream pipeline to rerun)
+    afterMaterialize()
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -625,7 +635,8 @@ object Dedup {
           .select(col("u").as("n"), col("m")))
         .select(col("n").as("u"), col("m").as("v"))
         .distinct()
-        .localCheckpoint(true)
+        // lazy: the checksum right below is the materializing action
+        .localCheckpoint(false)
       val nextSum = edgeChecksum(ss)
       edges = ss // previous round's blocks are freed by ContextCleaner
       converged = nextSum == checksum

@@ -379,7 +379,10 @@ object Graph {
       .select(col("vec_a"), col("vec_b"))
     var edges = pairs.select(col("vec_a").as("src"), col("vec_b").as("dst"))
       .unionByName(pairs.select(col("vec_b").as("src"), col("vec_a").as("dst")))
-      .localCheckpoint(true)
+      // lazy (r15): the convergence count below is the materializing
+      // action — the eager form paid a dedicated caching job per round on
+      // a loop whose cost is sequential job latency
+      .localCheckpoint(false)
     var prev = edges.count()
     var r = 0
     var converged = prev == 0
@@ -390,7 +393,7 @@ object Graph {
         .join(keep.select(col("node").as("src")), Seq("src"))
         .join(keep.select(col("node").as("dst")), Seq("dst"))
         .select(col("src"), col("dst"))
-        .localCheckpoint(true)
+        .localCheckpoint(false) // lazy: the convergence count materializes it
       val n = edges.count()
       converged = n == prev // no node dropped => fixed point
       prev = n

@@ -518,7 +518,10 @@ object Maintenance {
       .agg(max(round(col("o_totalprice"), 2)).as("val"),
         max(col("o_custkey")).as("ck"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    base.count()
+    // no eager count (r15): stageFull's stats aggregate below is the first
+    // action and materializes this cache before anything races — the
+    // dedicated count job bought nothing (threads start only after the
+    // base publish and the `present` collect, both cache-backed by then)
     val root = TwoBatchScratch.freshRoot(spark, "graft_occ")
     val path = s"$root/state"
     val schema = StructType(Seq(

@@ -335,7 +335,10 @@ object Similarity {
     var centroids = e.filter(col("vec_id") < k)
       .select(col("vec_id").as("seed_id"),
         expr("transform(vq, q -> cast(q as double))").as("sv"))
-      .localCheckpoint(true)
+      // lazy (r15): the checksum below is the first action and doubles as
+      // the materializer — the eager form paid one dedicated caching job
+      // per round on a loop whose cost is sequential job latency
+      .localCheckpoint(false)
     // Convergence reads the CENTROIDS (k rows, materialized), not a second
     // corpus scan: new centroids identical to the old ones means the
     // assignments were stable, and the per-iteration corpus cost stays at
@@ -371,7 +374,7 @@ object Similarity {
       centroids = centroids.join(means,
           centroids("seed_id") === means("cell"), "left")
         .select(col("seed_id"), coalesce(col("mv"), col("sv")).as("sv"))
-        .localCheckpoint(true)
+        .localCheckpoint(false) // lazy: the checksum materializes it
       val nextSum = centroidChecksum(centroids)
       converged = nextSum == checksum // stable centroids => stable assignments
       checksum = nextSum

@@ -252,9 +252,27 @@ object ConcurrentReaderMain {
         // marker state, manifest-pruned count over a wide range (falls
         // back to the exact unpruned filter while a marker stands)
         val marker = StateCommit.markerOwner(spark, zmPath)
-        val n = graft.ops.Maintenance
+        def readCount(): Long = graft.ops.Maintenance
           .prunedRead(spark, statePath, zmPath, "score", 0L, Long.MaxValue / 2)
           .count()
+        var n = readCount()
+        // The legacy layout's vanished-file race has a THIRD face (r15,
+        // surfaced by a loaded full-suite run): dynamic partition
+        // overwrite deletes a _bucket dir and renames the fresh one in,
+        // and a listing that lands inside that window sees the dir ABSENT
+        // — no exception, just silently fewer files, so the count dips
+        // for one iteration. Distinguish it from a REAL lost update the
+        // same way the r14 narrowing did: re-read once — the listing race
+        // heals instantly (the rename lands in microseconds), a genuine
+        // regression persists and still exits 2. The recount is counted
+        // as a RETRY so the manifest-mode zero-retry assertion stays as
+        // strict as before (immutable files cannot produce this race).
+        if (n < last) {
+          retries += 1
+          println(s"RETRY $retries (bucket dir mid-overwrite: transient " +
+            s"count dip $last -> $n, recounting)")
+          n = readCount()
+        }
         println(s"READ $i $n ${marker.fold("clear")(_.toString)}")
         if (n < last) {
           println(s"REGRESS $last -> $n"); Console.out.flush()
